@@ -1,0 +1,71 @@
+"""Text-analysis column expressions (all JVM-side, codegen-friendly).
+
+Building blocks for the [EXT] training-data text operators: language
+ID, quality scoring, token counting, shingling for near-dup detection.
+Everything here is a ``Column -> Column`` expression built from
+``pyspark.sql.functions`` — no Python UDFs in the hot path, so these
+stay inside whole-stage codegen and scale linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A word as a run of alphanumerics — the "BPE-ish" token boundary used
+# for token counting (splits punctuation off words).
+TOKEN_PATTERN = "[A-Za-z0-9]+"
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from",
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_regex(col: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Count of regex-token matches (``regexp_count``, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct n-token shingles as space-joined strings.
+
+    ``transform`` over token positions + ``slice`` — pure built-ins, no
+    UDF. Used by n-gram Jaccard and MinHash dedup; at 100 TB the
+    shingle explosion is the dominant cost, so the shingle list is
+    deduplicated per document *before* any explode.
+    """
+    toks = tokens(col)
+    nsh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nsh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    clean = F.regexp_replace(c, "[A-Za-z0-9 ]", "")
+    return F.when(F.length(c) > 0, F.length(clean) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercase) stopwords."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))

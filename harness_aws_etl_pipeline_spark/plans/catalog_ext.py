@@ -1,0 +1,441 @@
+"""[EXT] catalog entries: text analysis, dedup, similarity, multimodal.
+
+Same contract as plans/catalog.py — every oracle-able query gets an
+exact DuckDB SQL twin; MinHash/SimHash/LSH entries (engine-specific
+hashing that DuckDB cannot reproduce) ship without an oracle and get
+the driver's rows-only check, with their *verifiable* parts (candidate
+verification math, exact-Jaccard fallback) covered by oracle-able
+siblings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.functions.text import (
+    punct_ratio,
+    token_count_regex,
+    word_count,
+)
+from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from harness_aws_etl_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    media_summary,
+)
+from harness_aws_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_stats,
+    lsh_bucketed_topk,
+)
+from harness_aws_etl_pipeline_spark.operators.textops import (
+    add_text_stats,
+    exact_fingerprint,
+    predict_language,
+    quality_score,
+    rolling_fingerprint,
+)
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    from harness_aws_etl_pipeline_spark.plans.catalog import load_table
+
+    return load_table(spark, sf, name)
+
+
+# ---------------------------------------------------------------- text
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] text statistics rolled up by source: char/word/token
+    counts, punct ratio — all JVM expressions over the document scan."""
+    docs = _t(spark, sf, "documents")
+    stats = add_text_stats(docs)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("char_cnt").alias("char_total"),
+            F.sum("word_cnt").cast("long").alias("word_total"),
+            F.sum("token_cnt").cast("long").alias("token_total"),
+            F.round(F.sum(F.round(punct_ratio(F.col("text")), 6)), 4).alias("punct_ratio_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT source, COUNT(*) AS doc_cnt,
+       SUM(LENGTH(text)) AS char_total,
+       SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS word_total,
+       SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token_total,
+       ROUND(SUM(ROUND(CASE WHEN LENGTH(text) > 0
+             THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
+             ELSE 0.0 END, 6)), 4) AS punct_ratio_sum
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] corpus token counting: whitespace words vs regex tokens."""
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.sum(word_count("text")).cast("long").alias("word_total"),
+        F.sum(token_count_regex("text")).cast("long").alias("token_total"),
+        F.max(word_count("text")).alias("max_doc_words"),
+    )
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS word_total,
+       SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token_total,
+       MAX(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS max_doc_words
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] marker-word language ID over documents, counts by
+    (actual lang column, predicted)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("predicted", predict_language(F.col("text"), min_hits=1))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _oracle_lang_id() -> str:
+    from harness_aws_etl_pipeline_spark.operators.textops import LANG_MARKERS
+
+    score_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"len(list_intersect(list_distinct(list_transform("
+            f"list_filter(string_split_regex(text, '\\s+'), t -> t != ''), t -> lower(t))), "
+            f"[{markers}])) AS score_{lang}"
+        )
+    scores_sql = ",\n         ".join(score_exprs)
+    langs = sorted(LANG_MARKERS)
+    # argmax with earlier-language tie-break == reversed-loop in
+    # predict_language
+    best = "CASE"
+    for lang in langs:
+        others = [f"score_{lang} >= score_{o}" for o in langs if o != lang]
+        gt_earlier = [f"score_{lang} > score_{o}" for o in langs if o < lang]
+        conds = others + gt_earlier if gt_earlier else others
+        best += f" WHEN score_{lang} >= 1 AND {' AND '.join(conds)} THEN '{lang}'"
+    best += " ELSE 'unknown' END AS predicted"
+    return f"""
+SELECT lang, predicted, COUNT(*) AS doc_cnt FROM (
+  SELECT lang, {best} FROM (
+    SELECT lang, text,
+         {scores_sql}
+    FROM documents
+  )
+) GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] composite quality scoring, bucketed into deciles."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("quality", quality_score("text"))
+        .withColumn("bucket", F.floor(F.col("quality") * 10).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_QUALITY = r"""
+SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
+  SELECT ROUND(
+    LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+    + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0
+         THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
+         ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+    + (CASE WHEN sw_ratio > 0.05 THEN 1.0 ELSE sw_ratio * 20.0 END) * 0.3, 6) AS quality
+  FROM (
+    SELECT text,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it',
+                      'that','for','on','with','as','at','by','from'], lower(t)))) AS DOUBLE)
+                     / len(toks)
+                ELSE 0.0 END AS sw_ratio
+    FROM (SELECT text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+          FROM documents)
+  )
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] document fingerprinting: exact md5 + polynomial rolling
+    hash over token lengths; corpus-level distinct counts."""
+    docs = _t(spark, sf, "documents")
+    fp = docs.select(
+        exact_fingerprint("text").alias("fp_md5"),
+        rolling_fingerprint("text").alias("fp_rolling"),
+    )
+    return fp.agg(
+        F.countDistinct("fp_md5").alias("distinct_md5"),
+        F.countDistinct("fp_rolling").alias("distinct_rolling"),
+        F.min("fp_md5").alias("min_md5"),
+        F.sum("fp_rolling").alias("rolling_sum"),
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
+       COUNT(DISTINCT fp_rolling) AS distinct_rolling,
+       MIN(md5(text)) AS min_md5,
+       SUM(fp_rolling) AS rolling_sum
+FROM (
+  SELECT text,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_filter(string_split_regex(text, '\s+'), t -> t != ''),
+                            t -> CAST(LENGTH(t) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------- dedup
+
+
+def q_dedup_docs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] exact content dedup on documents via md5 content hash —
+    the 8-byte-shuffle-key pattern from operators/dedup.py, doubled
+    input so the dedup actually removes rows."""
+    docs = _t(spark, sf, "documents")
+    doubled = docs.unionByName(docs)
+    deduped = doubled.withColumn("fp", exact_fingerprint("text")).dropDuplicates(["fp"])
+    return deduped.agg(F.count(F.lit(1)).alias("distinct_docs"))
+
+
+ORACLE_DEDUP_DOCS = "SELECT COUNT(DISTINCT md5(text)) AS distinct_docs FROM documents"
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] n-gram Jaccard near-dup detection with inverted-index
+    blocking (operators/dedup_fuzzy.py:ngram_jaccard_pairs) at a low
+    threshold so the synthetic corpus yields pairs to check."""
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.coalesce(F.round(F.sum("jaccard"), 4), F.lit(0.0)).alias("jaccard_sum"),
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - 2, 0) + 1),
+           i -> list_aggregate(list_slice(toks, i, i + 2), 'string_agg', ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+posting AS (
+  SELECT doc_id, len(shingles) AS set_size, UNNEST(shingles) AS shingle FROM sets
+),
+filtered AS (
+  SELECT * FROM posting WHERE shingle IN (
+    SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 1000
+  )
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.set_size AS size_a,
+         b.set_size AS size_b, COUNT(*) AS inter
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+jac AS (
+  SELECT ROUND(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6) AS jaccard
+  FROM pairs
+)
+SELECT COUNT(*) AS pair_cnt,
+       COALESCE(ROUND(SUM(jaccard), 4), 0.0) AS jaccard_sum
+FROM jac WHERE jaccard >= 0.2
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] MinHash+LSH near-dup pipeline (rows-only check: the
+    seeded xxhash64 signatures are engine-specific; the estimated-
+    Jaccard verification math is oracle-covered by ngram_jaccard)."""
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.3)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.coalesce(F.round(F.avg("est_jaccard"), 4), F.lit(0.0)).alias("avg_est_jaccard"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] SimHash sketching + banded near-pair search (rows-only:
+    engine-specific 64-bit hashing)."""
+    docs = _t(spark, sf, "documents")
+    sk = simhash(docs)
+    pairs = simhash_near_pairs(sk, max_hamming=3)
+    sketches = sk.agg(F.countDistinct("simhash").alias("distinct_sketches"))
+    return sketches.crossJoin(pairs.agg(F.count(F.lit(1)).alias("near_pair_cnt")))
+
+
+# ---------------------------------------------------------- similarity
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] exact cosine top-5 neighbors for 4 query vectors —
+    broadcast cross-score + per-query rank."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CASE WHEN norm_q * norm_e > 0 THEN dot / (norm_q * norm_e) ELSE 0.0 END AS cosine
+  FROM (
+    SELECT q.query_id, e.vec_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(q.q_vec) + 1),
+               i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+             (acc, x) -> acc + x) AS dot,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(q.q_vec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (acc, x) -> acc + x)) AS norm_q,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (acc, x) -> acc + x)) AS norm_e
+    FROM q, embeddings e WHERE e.vec_id != q.query_id
+  ) s JOIN q ON s.query_id = q.query_id JOIN embeddings e ON s.vec_id = e.vec_id
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] LSH-bucketed approximate top-k (rows-only: bucket
+    membership depends on engine-side hyperplane evaluation order;
+    exactness of the final cosine is oracle-covered by
+    sim_bruteforce_topk)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return lsh_bucketed_topk(emb, queries, dim=64, k=5, num_tables=4, bits=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] embedding profiling: dims + L2 norms rolled up by label."""
+    emb = _t(spark, sf, "embeddings")
+    stats = embedding_stats(emb)
+    return (
+        stats.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_cnt"),
+            F.max("dim").alias("dim"),
+            F.round(F.sum("l2_norm"), 4).alias("norm_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT label, COUNT(*) AS vec_cnt, MAX(len(embedding)) AS dim,
+       ROUND(SUM(ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         (acc, x) -> acc + x)), 6)), 4) AS norm_sum
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] binary-column plumbing: attach payload + metadata, run the
+    Arrow-batched feature extraction (stub decode), roll up metadata.
+    The mapInPandas pass is exercised; the rollup is oracle-checked on
+    metadata only."""
+    docs = _t(spark, sf, "documents")
+    media = attach_binary_payload(docs, source_col="text", id_col="doc_id", modality="text_blob")
+    feats = extract_features(media)
+    feat_agg = feats.agg(
+        F.count(F.lit(1)).alias("feat_cnt"),
+        # feature bin 3 = bytes 0x60-0x7F (lowercase ASCII) — the
+        # high-signal bin for text payloads
+        F.round(F.sum(F.element_at("feature", 4)), 4).alias("f3_sum"),
+    )
+    return media_summary(media).crossJoin(feat_agg)
+
+
+ORACLE_MULTIMODAL = r"""
+SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT text) AS distinct_payloads,
+       COUNT(*) AS feat_cnt,
+       ROUND(SUM(CAST(LENGTH(regexp_replace(text, '[^\x60-\x7f]', '', 'g')) AS DOUBLE)
+                 / octet_length(encode(text))), 4) AS f3_sum
+FROM documents
+"""
+
+from harness_aws_etl_pipeline_spark.plans.catalog import QuerySpec  # noqa: E402
+
+EXT_CATALOG: list[QuerySpec] = [
+    QuerySpec("text_stats", q_text_stats, ORACLE_TEXT_STATS,
+              "[EXT] text statistics by source", headline=True, tags=("ext", "text")),
+    QuerySpec("token_count", q_token_count, ORACLE_TOKEN_COUNT,
+              "[EXT] corpus token counting", tags=("ext", "text")),
+    QuerySpec("lang_id", q_lang_id, _oracle_lang_id(),
+              "[EXT] marker-word language ID", tags=("ext", "text")),
+    QuerySpec("quality_score", q_quality_score, ORACLE_QUALITY,
+              "[EXT] document quality scoring", tags=("ext", "text")),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT,
+              "[EXT] md5 + rolling-hash fingerprints", tags=("ext", "text")),
+    QuerySpec("dedup_docs_exact", q_dedup_docs_exact, ORACLE_DEDUP_DOCS,
+              "[EXT] exact content-hash dedup", tags=("ext", "dedup")),
+    QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
+              "[EXT] n-gram Jaccard near-dup with blocking", headline=True,
+              tags=("ext", "dedup")),
+    QuerySpec("minhash_lsh", q_minhash_lsh, None,
+              "[EXT] MinHash+LSH near-dup (rows-only)", headline=True,
+              tags=("ext", "dedup")),
+    QuerySpec("simhash", q_simhash, None,
+              "[EXT] SimHash sketch + banded near pairs (rows-only)",
+              tags=("ext", "dedup")),
+    QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, ORACLE_SIM_TOPK,
+              "[EXT] exact cosine top-k", headline=True, tags=("ext", "similarity")),
+    QuerySpec("sim_lsh_topk", q_sim_lsh_topk, None,
+              "[EXT] LSH-bucketed approximate top-k (rows-only)",
+              tags=("ext", "similarity")),
+    QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,
+              "[EXT] embedding profiling", tags=("ext", "similarity")),
+    QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL,
+              "[EXT] binary payload + Arrow feature extraction",
+              tags=("ext", "multimodal")),
+]

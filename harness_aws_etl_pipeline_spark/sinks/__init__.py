@@ -1,0 +1,3 @@
+from harness_aws_etl_pipeline_spark.sinks.writers import load, write_table, archive_source
+
+__all__ = ["load", "write_table", "archive_source"]

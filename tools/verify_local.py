@@ -1,0 +1,99 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every catalog query through Spark AND its DuckDB oracle on the
+same parquet tables, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted by their
+stringified tuple) — stricter than a hash: mismatching cells are
+printed.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from harness_aws_etl_pipeline_spark.plans.catalog import CATALOG, TABLE_NAMES
+from harness_aws_etl_pipeline_spark.session import get_spark
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return repr(v)
+
+
+def _norm_result(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted_cols, out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(CATALOG)
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in names:
+        spec = CATALOG[name]
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if spec.oracle is None:
+            print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+
+        sc, sr = _norm_result(s_cols, s_rows)
+        dc, dr = _norm_result(d_cols, d_rows)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ spark={sc} duckdb={dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append(name)
+            print(f"FAIL  {name}: row count spark={len(sr)} duckdb={len(dr)}")
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: {len(bad)} mismatched rows; first 3:")
+            for a, b in bad[:3]:
+                print(f"        spark : {a}")
+                print(f"        duckdb: {b}")
+            continue
+        print(f"ok    {name}: {len(sr)} rows, values equal")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
