@@ -1,0 +1,87 @@
+"""S7 'scheduled' mode as Structured Streaming — the Spark-native
+replacement for the reference's event-driven micro-batching.
+
+Reference behavior: an S3 ObjectCreated event or an EventBridge
+schedule triggers one Lambda batch over new files
+(lambda_handler.py:165-182; extractor.py:64-67), and processed inputs
+are copied to ``archive/`` then deleted (L7, loader.py:162-204).
+
+Spark-first equivalent: the file source with ``Trigger.AvailableNow``
+— the source log tracks which files were already processed (replacing
+the ``pending/`` sweep), ``cleanSource=archive`` + ``sourceArchiveDir``
+replace the copy+delete, and checkpointing makes the whole thing
+exactly-once. One ``run_available_now`` call == one reference
+"scheduled sweep", but incremental and restart-safe.
+
+The transform applied per micro-batch is the same T1→T8 pipeline used
+in batch mode — transforms are plan fragments, so batch/streaming
+share them unchanged (the reason there is no separate streaming
+operator implementation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    fmt: str = "csv",
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming file source over a landing directory.
+
+    ``schema`` is mandatory — streaming sources cannot infer (and at
+    the 100 TB design point batch sources shouldn't either).
+    ``archive_dir`` enables native source archival (L7). Note Spark
+    archives lazily — a processed file moves when a *later* micro-batch
+    runs maintenance, so a one-shot AvailableNow sweep leaves the last
+    batch's inputs in place until the next sweep; for synchronous
+    archive-after-job semantics use sinks.archive_source.
+    ``max_files_per_trigger`` bounds micro-batch size (the scalable
+    version of the reference's BATCH_SIZE hint, config.yaml:49).
+    """
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(source_dir)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 300,
+) -> bool:
+    """Process everything currently available, then stop (the
+    reference's scheduled sweep, exactly-once).
+
+    Returns True if the query terminated within the timeout.
+    """
+    df = transform(stream_df) if transform is not None else stream_df
+    writer = (
+        df.writeStream.format(fmt)
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    query = writer.start()
+    return query.awaitTermination(timeout_sec)

@@ -1,0 +1,189 @@
+"""[EXT] operator tests: fuzzy dedup finds planted near-dups,
+similarity search returns the planted nearest neighbor, text ops score
+sensibly, multimodal plumbing round-trips through Arrow."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from harness_aws_etl_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    extract_features,
+    media_summary,
+)
+from harness_aws_etl_pipeline_spark.operators.similarity import (
+    add_lsh_buckets,
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from harness_aws_etl_pipeline_spark.operators.textops import (
+    add_text_stats,
+    predict_language,
+    quality_score,
+    rolling_fingerprint,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again every single day"
+NEAR = "the quick brown fox jumps over the lazy dog again and again every single night"
+FAR = "completely different words describing an unrelated subject matter entirely here"
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)], "doc_id long, text string"
+    )
+
+
+class TestNgramJaccard:
+    def test_finds_planted_near_dup(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+        }
+        assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+        assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near dup
+        assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
+
+    def test_frequent_shingle_cutoff(self, spark):
+        # every doc shares the same shingle; bucket cap 1 kills blocking
+        df = spark.createDataFrame(
+            [(i, "a b c unique" + str(i)) for i in range(5)], "doc_id long, text string"
+        )
+        assert ngram_jaccard_pairs(df, n=3, threshold=0.1, max_bucket_size=1).count() == 0
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, docs):
+        sigs = minhash_signatures(docs, n=3, num_hashes=16)
+        rows = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+        assert all(len(s) == 16 for s in rows.values())
+        assert rows[1] == rows[4]  # identical docs → identical signature
+        rows2 = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+        assert rows == rows2  # deterministic across runs
+
+    def test_lsh_finds_planted_pairs(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.3).collect()
+        }
+        assert pairs[(1, 4)] == 1.0
+        assert (1, 2) in pairs  # near dup caught by banding
+        assert (1, 3) not in pairs
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self, docs):
+        sk = simhash(docs)
+        rows = {r["doc_id"]: r["simhash"] for r in sk.collect()}
+        assert rows[1] == rows[4]
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(sk, max_hamming=10).collect()
+        }
+        assert pairs[(1, 4)] == 0
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+        assert (1, 3) not in pairs
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),  # nearest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # most anti-similar to 0
+]
+
+
+class TestSimilarity:
+    @pytest.fixture
+    def emb(self, spark):
+        return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+    def test_brute_force_ranking(self, emb):
+        q = emb.filter(F.col("vec_id") == 0)
+        got = [
+            (r["rank"], r["neighbor_id"])
+            for r in brute_force_topk(emb, q, k=4).orderBy("rank").collect()
+        ]
+        assert got[0] == (1, 1)  # planted nearest
+        assert got[-1] == (4, 4)  # anti-similar ranks last
+
+    def test_lsh_recall_on_identical(self, spark):
+        # identical vectors always share every bucket → LSH must find them
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(3)]
+            + [(9, [-4.0, 3.0, -2.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = df.filter(F.col("vec_id") == 0)
+        got = lsh_bucketed_topk(df, q, dim=4, k=2, num_tables=2, bits=4)
+        ids = {r["neighbor_id"] for r in got.collect()}
+        assert {1, 2} <= ids
+
+    def test_bucket_determinism(self, emb):
+        b1 = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(emb, dim=4).collect()}
+        b2 = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(emb, dim=4).collect()}
+        assert b1 == b2
+
+
+class TestTextOps:
+    def test_stats_columns(self, docs):
+        out = add_text_stats(docs)
+        row = out.filter(F.col("doc_id") == 1).first()
+        assert row["word_cnt"] == 15 and row["char_cnt"] == len(BASE)
+        assert row["punct_ratio"] == 0.0
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is on the mat and it is happy"),
+                (2, "der hund ist nicht das problem und die katze"),
+                (3, "zzz qqq xxx"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", predict_language(F.col("text")).alias("lang")).collect()}
+        assert out == {1: "en", 2: "de", 3: "unknown"}
+
+    def test_quality_monotone_in_length(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the of and " * 50), (2, "x")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+        assert rows[1] > rows[2]
+
+    def test_rolling_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bbb c"), (2, "c bbb aa")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+        assert rows[1] != rows[2]  # same tokens, different order
+
+
+class TestMultimodal:
+    def test_payload_and_features(self, docs):
+        media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
+        rows = {r["media_id"]: r for r in media.collect()}
+        assert rows[1]["byte_size"] == len(BASE)
+        assert rows[1]["content_hash"] == rows[4]["content_hash"]  # same content
+        feats = extract_features(media)
+        frow = {r["media_id"]: r["feature"] for r in feats.collect()}
+        assert len(frow[1]) == 8
+        assert abs(sum(frow[1]) - 1.0) < 1e-9  # normalized histogram
+
+    def test_decode_stub_strict_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_stub(b"xx", "image", strict=True)
+
+    def test_media_summary(self, docs):
+        media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
+        s = media_summary(media).first()
+        assert s["media_cnt"] == 4 and s["distinct_payloads"] == 3

@@ -1,0 +1,114 @@
+"""E2E pipeline + job-run lifecycle tests (mirrors reference
+tests/integration/test_etl_pipeline.py:173-221 full E→T→L with
+row-count and column assertions, on local FS instead of LocalStack)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.config import EngineConfig
+from harness_aws_etl_pipeline_spark.meta import JobRuns
+from harness_aws_etl_pipeline_spark.pipeline import run_job, transform
+
+CSV = (
+    "Order ID,Product Name,Quantity,Unit Price,Order Date\n"
+    "1,widget,2,9.99,2024-01-15\n"
+    "2,gadget,1,19.99,2024-02-20\n"
+    "2,gadget,1,19.99,2024-02-20\n"
+    "3,,1,5.00,2024-03-25\n"
+)
+
+
+class TestTransform:
+    def test_full_pipeline(self, spark, tmp_path):
+        p = tmp_path / "sales.csv"
+        p.write_text(CSV)
+        df = spark.read.option("header", True).csv(str(p))
+        out, stats = transform(df)
+        # normalized names
+        assert "order_id" in out.columns and "unit_price" in out.columns
+        # null row dropped (default strategy) + dup removed
+        assert stats["rows_in"] == 4 and stats["rows_out"] == 2
+        # derived metadata
+        for c in ("_processed_at", "_row_hash", "_year", "_month", "_day"):
+            assert c in out.columns
+        # date heuristic cast applied to order_date
+        assert dict(out.dtypes)["order_date"].startswith("timestamp")
+
+    def test_fill_strategy_via_config(self, spark, tmp_path):
+        p = tmp_path / "sales.csv"
+        p.write_text(CSV)
+        df = spark.read.option("header", True).csv(str(p))
+        cfg = EngineConfig({"etl": {"transform": {"null_handling": "fill"}}})
+        out, stats = transform(df, cfg)
+        assert stats["rows_out"] == 3  # dup removed, null row kept (filled)
+
+    def test_lazy_mode_no_stats(self, spark, sample_df):
+        out, stats = transform(sample_df, collect_stats=False)
+        assert stats == {} and out.columns  # plan built, nothing executed
+
+
+class TestRunJob:
+    def test_success_lifecycle(self, spark, tmp_path):
+        src = tmp_path / "in.csv"
+        src.write_text(CSV)
+        runs = JobRuns(spark, str(tmp_path / "job_runs"))
+        result = run_job(
+            spark,
+            {"type": "direct", "path": str(src)},
+            str(tmp_path / "out"),
+            job_runs=runs,
+            job_id="job-1",
+        )
+        assert result["status"] == "success"
+        assert result["load"]["status"] == "success"
+        latest = {r["job_id"]: r["status"] for r in runs.latest().collect()}
+        assert latest == {"job-1": "SUCCESS"}
+        # full history keeps RUNNING + SUCCESS rows (append-only log)
+        assert runs.by_job("job-1").count() == 2
+
+    def test_failure_lifecycle(self, spark, tmp_path):
+        runs = JobRuns(spark, str(tmp_path / "job_runs"))
+        notifications = []
+        with pytest.raises(Exception):
+            run_job(
+                spark,
+                {"type": "direct", "path": str(tmp_path / "missing.csv")},
+                str(tmp_path / "out"),
+                job_runs=runs,
+                job_id="job-2",
+                on_complete=notifications.append,
+            )
+        latest = {r["job_id"]: r["status"] for r in runs.latest().collect()}
+        assert latest == {"job-2": "FAILED"}
+        assert notifications and notifications[0]["status"] == "failed"
+
+    def test_skip_on_empty_prefix(self, spark, tmp_path):
+        (tmp_path / "empty").mkdir()
+        result = run_job(
+            spark,
+            {"type": "batch", "prefix": str(tmp_path / "empty")},
+            str(tmp_path / "out"),
+        )
+        assert result["status"] == "skipped"
+
+    def test_output_readable_and_partitioned(self, spark, tmp_path):
+        src = tmp_path / "in.csv"
+        src.write_text(CSV)
+        run_job(spark, {"type": "direct", "path": str(src)}, str(tmp_path / "out"))
+        back = spark.read.parquet(str(tmp_path / "out"))
+        assert back.count() == 2
+        assert {"_year", "_month", "_day"} <= set(back.columns)
+
+
+class TestConfig:
+    def test_dot_path_and_default(self):
+        cfg = EngineConfig()
+        assert cfg.get("etl.transform.null_handling") == "drop"
+        assert cfg.get("no.such.key", 42) == 42
+
+    def test_env_override(self, monkeypatch):
+        cfg = EngineConfig()
+        monkeypatch.setenv("ETL_TRANSFORM_NULL_HANDLING", "flag")
+        assert cfg.get("etl.transform.null_handling") == "flag"
+        monkeypatch.setenv("ETL_TRANSFORM_DEDUPLICATE", "false")
+        assert cfg.get("etl.transform.deduplicate") is False

@@ -1,0 +1,126 @@
+"""Source/sink tests (mirrors reference tests/unit/test_extractor.py
+format detection + extraction, test_loader.py round trips, empty-skip,
+unsupported format, archive)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks import archive_source, load, write_table
+from harness_aws_etl_pipeline_spark.sources import (
+    detect_format,
+    extract,
+    list_supported_files,
+    read_batch,
+    read_file,
+)
+from harness_aws_etl_pipeline_spark.sources.readers import UnsupportedFormatError
+
+CSV = "id,name,amount\n1,alice,10.5\n2,bob,20.0\n"
+JSONL = '{"id": 1, "name": "alice"}\n{"id": 2, "name": "bob"}\n'
+
+
+class TestFormatDetection:
+    def test_known(self):
+        assert detect_format("a/b/data.CSV") == "csv"
+        assert detect_format("x.jsonl") == "json"
+        assert detect_format("x.parquet") == "parquet"
+
+    def test_unknown_raises(self):
+        with pytest.raises(UnsupportedFormatError):
+            detect_format("file.txt")
+
+
+class TestReadFile:
+    def test_csv(self, spark, tmp_path):
+        p = tmp_path / "data.csv"
+        p.write_text(CSV)
+        df = read_file(spark, str(p))
+        assert df.count() == 2
+        assert dict(df.dtypes)["amount"] == "double"  # inferred
+
+    def test_jsonl(self, spark, tmp_path):
+        p = tmp_path / "data.json"
+        p.write_text(JSONL)
+        df = read_file(spark, str(p))
+        assert df.count() == 2 and "name" in df.columns
+
+
+class TestBatch:
+    def test_listing_filters_unsupported(self, tmp_path):
+        (tmp_path / "a.csv").write_text(CSV)
+        (tmp_path / "b.txt").write_text("junk")
+        (tmp_path / "c.json").write_text(JSONL)
+        files = list_supported_files(str(tmp_path))
+        assert [os.path.basename(f) for f in files] == ["a.csv", "c.json"]
+
+    def test_union_across_formats(self, spark, tmp_path):
+        (tmp_path / "a.csv").write_text(CSV)
+        (tmp_path / "b.json").write_text(JSONL)
+        df, stats = read_batch(spark, str(tmp_path))
+        assert df.count() == 4  # schema-merged union
+        assert stats["files_read"] == 2 and not stats["failed_files"]
+
+    def test_per_file_error_isolation(self, spark, tmp_path):
+        (tmp_path / "good.csv").write_text(CSV)
+        (tmp_path / "bad.parquet").write_text("this is not parquet")
+        df, stats = read_batch(spark, str(tmp_path), isolate_errors=True)
+        assert df.count() == 2
+        assert len(stats["failed_files"]) == 1
+        assert "bad.parquet" in stats["failed_files"][0]["path"]
+
+    def test_empty_batch_sentinel(self, spark, tmp_path):
+        df, stats = read_batch(spark, str(tmp_path))
+        assert df is None and stats["files_listed"] == 0
+
+    def test_extract_routing(self, spark, tmp_path):
+        (tmp_path / "a.csv").write_text(CSV)
+        df, _ = extract(spark, {"type": "direct", "path": str(tmp_path / "a.csv")})
+        assert df.count() == 2
+        df2, _ = extract(spark, {"type": "batch", "prefix": str(tmp_path)})
+        assert df2.count() == 2
+        with pytest.raises(ValueError):
+            extract(spark, {"type": "bogus"})
+
+
+class TestSinks:
+    def test_roundtrip_all_formats(self, spark, sample_df, tmp_path):
+        for fmt in ("parquet", "csv", "json"):
+            path = str(tmp_path / fmt)
+            write_table(sample_df, path, fmt=fmt)
+            back = (
+                spark.read.schema(sample_df.schema)
+                .option("header", True)
+                .format(fmt)
+                .load(path)
+            )
+            assert back.count() == 3
+
+    def test_partitioned_layout(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 2024, 1), (2, 2024, 2)], "id long, _year int, _month int"
+        )
+        path = str(tmp_path / "out")
+        write_table(df, path, partition_by=["_year", "_month"])
+        assert os.path.isdir(os.path.join(path, "_year=2024", "_month=1"))
+
+    def test_empty_skip(self, spark, tmp_path):
+        empty = spark.createDataFrame([], "id long")
+        result = load(empty, str(tmp_path / "nope"))
+        assert result["status"] == "skipped"
+        assert not os.path.exists(tmp_path / "nope")
+
+    def test_load_reports_bytes(self, sample_df, tmp_path):
+        result = load(sample_df, str(tmp_path / "out"))
+        assert result["status"] == "success" and result["bytes_written"] > 0
+
+    def test_unsupported_format(self, sample_df, tmp_path):
+        with pytest.raises(ValueError):
+            write_table(sample_df, str(tmp_path / "x"), fmt="xml")
+
+    def test_archive(self, tmp_path):
+        src = tmp_path / "in.csv"
+        src.write_text(CSV)
+        dest = archive_source(str(src), str(tmp_path / "archive"))
+        assert not src.exists() and os.path.exists(dest)
