@@ -41,6 +41,71 @@ def shingle_sets(
     ).withColumn("set_size", F.size("shingles"))
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    arrow: bool = True,
+) -> DataFrame:
+    """(id, shingle hashes array<long>, set size) — shingles collapsed
+    to 64-bit hashes immediately after shingling.
+
+    Everything downstream (posting lists, joins, minhash) then moves
+    8-byte longs instead of multi-word strings: smaller shuffles,
+    cheaper comparisons. Collision risk at 2^64 is negligible for
+    dedup (~1e-7 at 5M distinct shingles).
+
+    ``arrow=True`` (default) shingles in an Arrow-batched mapInPandas
+    pass: Spark's higher-order array functions (transform / filter /
+    aggregate) are excluded from whole-stage codegen and evaluate
+    interpreted per element, which makes expression-side shingling the
+    hot spot; Python's C-speed string ops + blake2b beat it ~10×. The
+    expression path (``arrow=False``) keeps a pure-JVM fallback with
+    identical set semantics (hash values differ: xxhash64 vs blake2b —
+    both engine-internal, never value-checked)."""
+    if not arrow:
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+                    "shingles"
+                ),
+            ).withColumn("set_size", F.size("shingles"))
+        )
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def _shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import blake2b
+
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split() if text else []
+                seen = {
+                    int.from_bytes(
+                        blake2b(
+                            " ".join(toks[i : i + n]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for i in range(len(toks) - n + 1)
+                }
+                out_ids.append(doc_id)
+                out_sh.append(list(seen))
+            yield pd.DataFrame({"doc_id": out_ids, "shingles": out_sh})
+
+    return src.mapInPandas(
+        _shingle, "doc_id long, shingles array<long>"
+    ).withColumn("set_size", F.size("shingles"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -60,8 +125,15 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
-    posting = sets.select("doc_id", "set_size", F.explode("shingles").alias("shingle"))
+    sets = hashed_shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    # Persist the posting list: it feeds the bucket-size profile AND
+    # both sides of the self-join — without this the whole
+    # tokenize→shingle→hash subtree is recomputed 4×. (At cluster
+    # scale this spills to disk per executor; still strictly cheaper
+    # than re-shingling the corpus.)
+    posting = sets.select(
+        "doc_id", "set_size", F.explode("shingles").alias("shingle")
+    ).persist()
 
     bucket_sizes = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("bucket_n"))
     posting = posting.join(
@@ -105,17 +177,52 @@ def minhash_signatures(
     n: int = 5,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """(doc_id, signature array<long>) — MinHash signature from k seeded
-    xxhash64 passes over the distinct shingle set. Narrow projection;
-    cost is O(shingles × k) JVM-side hash evaluations, no shuffle."""
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return sets.select("doc_id", sig.alias("signature"))
+    """(doc_id, signature array<long>) — MinHash signature over the
+    distinct shingle set: k independent multiply-add (universal-hash)
+    remixes of the 64-bit shingle hashes, minimum per remix.
+
+    Computed in the same Arrow pass as shingling, vectorized with
+    numpy: the (shingles × k) remix is one wrapping uint64
+    outer-product — ~100M ops/sec/core — where the equivalent
+    expression-tree version (k array_min(transform(...)) passes) runs
+    interpreted per element. Signatures are deterministic across runs,
+    workers, and partition layouts (pure function of the text)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rng = np.random.default_rng(12345)  # fixed seed → fixed hash family
+    A = rng.integers(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    B = rng.integers(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import blake2b
+
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                out_ids, out_sig = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = text.split() if text else []
+                    if len(toks) < n:
+                        continue
+                    seen = {
+                        blake2b(
+                            " ".join(toks[i : i + n]).encode(), digest_size=8
+                        ).digest()
+                        for i in range(len(toks) - n + 1)
+                    }
+                    h = np.frombuffer(b"".join(sorted(seen)), dtype=">u8").astype(
+                        np.uint64
+                    )
+                    # k universal-hash remixes, min over shingles
+                    sig = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                    out_ids.append(doc_id)
+                    out_sig.append(sig.astype(np.int64).tolist())
+                yield pd.DataFrame({"doc_id": out_ids, "signature": out_sig})
+
+    return src.mapInPandas(_sig, "doc_id long, signature array<long>")
 
 
 def minhash_lsh_candidates(
@@ -179,7 +286,9 @@ def minhash_dedup_pairs(
     → candidate verification with estimated Jaccard (fraction of
     matching signature positions). Returns (doc_a, doc_b, est_jaccard).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # signatures feed banding + both verification joins — persist or
+    # the O(shingles × k) hash pass runs three times
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
@@ -247,6 +356,7 @@ def simhash_near_pairs(
     Returns (doc_a, doc_b, hamming)."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    sketches = sketches.persist()  # used by both sides of the band join
     banded = sketches.select(
         "doc_id",
         "simhash",

@@ -86,19 +86,22 @@ def add_lsh_buckets(
     out_col: str = "buckets",
 ) -> DataFrame:
     """Random-hyperplane LSH: per table, ``bits`` sign bits → one
-    integer bucket id. Hyperplanes are compile-time literals — the
-    signature computation is a pure codegen'd projection."""
+    integer bucket id. Hyperplanes are literal arrays dotted via
+    ``zip_with``+``aggregate`` (compact loop expressions — a fully
+    unrolled per-element sum blows janino's 64KB codegen method limit
+    and drops the whole stage to interpreted mode)."""
     table_buckets = []
     for t in range(num_tables):
         bucket = F.lit(0).cast("long")
         for b in range(bits):
-            plane = _hyperplane(t * 1000 + b + 1, dim)
-            dot = None
-            for i, w_i in enumerate(plane):
-                term = F.col(vec_col)[i].cast("double") * F.lit(w_i)
-                dot = term if dot is None else dot + term
+            plane = F.array(*[F.lit(w) for w in _hyperplane(t * 1000 + b + 1, dim)])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
             bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            bucket = bucket * 2 + bit
+            bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
         table_buckets.append(bucket)
     return df.withColumn(out_col, F.array(*table_buckets))
 

