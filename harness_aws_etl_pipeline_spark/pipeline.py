@@ -35,12 +35,15 @@ from harness_aws_etl_pipeline_spark.operators.derive import add_processing_metad
 from harness_aws_etl_pipeline_spark.sinks import load as sink_load
 from harness_aws_etl_pipeline_spark.sources import extract as source_extract
 from harness_aws_etl_pipeline_spark.meta.jobruns import JobRuns
+from harness_aws_etl_pipeline_spark.meta.metrics import JobMetrics
+from harness_aws_etl_pipeline_spark.operators.rules import RuleSet
 
 
 def transform(
     df: DataFrame,
     config: EngineConfig | None = None,
     collect_stats: bool = True,
+    rules: "RuleSet | None" = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """T1→T8 in reference order (transformer.py:61-84), returning
     ``(df, stats)``.
@@ -48,7 +51,10 @@ def transform(
     ``collect_stats=False`` skips the eager count passes entirely and
     returns a lazy plan — the mode to use when the pipeline feeds
     another computation rather than a report; at 100 TB every eager
-    count is a full job.
+    count is a full job (run_job uses this mode and collects counts via
+    ``observe`` on the write action instead).
+
+    ``rules`` — a §2.12 RuleSet applied after the built-in steps.
     """
     cfg = config or EngineConfig()
     stats: dict[str, Any] = {}
@@ -73,6 +79,10 @@ def transform(
     if cfg.get("etl.transform.add_processing_metadata", True):
         out = add_processing_metadata(out)
 
+    if rules is not None:
+        out, applied = rules.apply(out)
+        stats["rules_applied"] = applied
+
     if collect_stats:
         stats["rows_out"] = out.count()
         stats["columns_out"] = len(out.columns)
@@ -89,13 +99,20 @@ def run_job(
     job_runs: JobRuns | None = None,
     job_id: str | None = None,
     on_complete: Callable[[dict], None] | None = None,
+    metrics_hook: Callable[[dict], None] | None = None,
+    rules: "RuleSet | None" = None,
 ) -> dict[str, Any]:
     """Full E→T→L with RUNNING→SUCCESS/FAILED lifecycle (reference
     lambda_handler.py:41-152).
 
     ``on_complete`` is the notification hook (reference L9, SNS publish
-    at lambda_handler.py:121-124,140-143) — a driver-side callback, out
-    of the data plane.
+    at lambda_handler.py:121-124,140-143); ``metrics_hook`` the metric
+    publisher (L10, CloudWatch at aws_clients.py:166-201) — both
+    driver-side callbacks, out of the data plane.
+
+    Row counts come from ``observe`` metrics attached to the write
+    action — the whole job is ONE pass over the data (the reference's
+    eager per-step ``len(df)`` counting would be N full scans here).
     """
     cfg = config or EngineConfig()
     job_id = job_id or f"etl-{uuid.uuid4().hex[:12]}"
@@ -110,7 +127,24 @@ def run_job(
         if df is None:
             result.update(status="skipped", reason="no input files")
         else:
-            transformed, tstats = transform(df, cfg)
+            # Emptiness probe on an UNOBSERVED twin of the plan — a
+            # partial action on the observed plan would freeze the
+            # observation at bogus values (first action wins).
+            probe, _ = transform(df, cfg, collect_stats=False, rules=rules)
+            if probe.isEmpty():
+                result["transform"] = {}
+                result["load"] = {"status": "skipped", "reason": "empty input"}
+                result["status"] = "success"
+                result["duration_seconds"] = round(time.time() - started, 6)
+                if job_runs is not None:
+                    job_runs.complete(job_id, result)
+                if on_complete is not None:
+                    on_complete(result)
+                return result
+            jm = JobMetrics()
+            df = jm.observe_input(df)
+            transformed, tstats = transform(df, cfg, collect_stats=False, rules=rules)
+            transformed = jm.observe_output(transformed)
             result["transform"] = tstats
             result["load"] = sink_load(
                 transformed,
@@ -119,7 +153,22 @@ def run_job(
                 mode=cfg.get("etl.load.mode", "append"),
                 partition_by=cfg.get("etl.load.partition_by"),
                 compression=cfg.get("etl.load.compression", "snappy"),
+                assume_nonempty=True,
             )
+            metrics = jm.collect()
+            rows_in = metrics.get("input", {}).get("row_count")
+            rows_out = metrics.get("output", {}).get("row_count")
+            result["transform"].update(
+                rows_in=rows_in,
+                rows_out=rows_out,
+                rows_removed=(rows_in - rows_out)
+                if rows_in is not None and rows_out is not None
+                else None,
+                columns_out=len(transformed.columns),
+            )
+            result["metrics"] = metrics
+            if metrics_hook is not None:
+                metrics_hook(metrics)
             result["status"] = "success"
         result["duration_seconds"] = round(time.time() - started, 6)
         if job_runs is not None:

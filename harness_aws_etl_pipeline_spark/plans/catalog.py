@@ -794,9 +794,10 @@ CORE_CATALOG: list[QuerySpec] = [
 
 def _merged() -> dict[str, QuerySpec]:
     from harness_aws_etl_pipeline_spark.plans.catalog_ext import EXT_CATALOG
+    from harness_aws_etl_pipeline_spark.plans.catalog_gold import GOLD_CATALOG
 
     out: dict[str, QuerySpec] = {}
-    for spec in CORE_CATALOG + EXT_CATALOG:
+    for spec in CORE_CATALOG + GOLD_CATALOG + EXT_CATALOG:
         if spec.name in out:
             raise ValueError(f"duplicate query name {spec.name!r}")
         out[spec.name] = spec

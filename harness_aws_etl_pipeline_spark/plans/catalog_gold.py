@@ -1,0 +1,181 @@
+"""Gold-tier catalog extension: deeper join/aggregate shapes (TPC-H
+Q3/Q5 analogues over the test star schema), pivot, cube/rollup, and
+the G3 SQL-entry-point parity query.
+
+These go beyond the reference's two documented Gold queries to cover
+the full BI surface its dashboard spec implies (etl/README.md:688-695):
+multi-way dimension joins, top-k by computed measure, cross-tabs, and
+grouping-set rollups — all built-in Spark operators, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.plans.catalog import (
+    QuerySpec,
+    dsum,
+    sql_dsum,
+    tables,
+)
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join, revenue per order,
+    top-10. Filters sit directly on the scans (pushed down to parquet);
+    the final top-k is TakeOrdered, not a global sort."""
+    t = tables(spark, sf)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < "1997-01-01")
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the full dimension chain with
+    the local-supplier condition. All dimensions broadcast; the only
+    big shuffle is lineitem⋈orders."""
+    t = tables(spark, sf)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n, c, s, o, li = t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
+    o = o.filter(F.year("o_orderdate") == 1996)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+  AND EXTRACT(year FROM o_orderdate) = 1996
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-tab via ``groupBy().pivot()`` — quantity by return flag ×
+    line status. Explicit pivot values keep the plan a single pass
+    (no distinct-values pre-query)."""
+    li = tables(spark, sf)["lineitem"]
+    scaled = F.round(F.col("l_quantity").cast("double") * 10000).cast("long")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(scaled))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        (F.coalesce(F.col("F"), F.lit(0)).cast("double") / 10000.0).alias("qty_f"),
+        (F.coalesce(F.col("O"), F.lit(0)).cast("double") / 10000.0).alias("qty_o"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+             THEN CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) END), 0) AS DOUBLE)
+         / 10000.0 AS qty_f,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+             THEN CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) END), 0) AS DOUBLE)
+         / 10000.0 AS qty_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-set rollups via ``cube`` — order counts at every
+    (priority × status) granularity incl. grand total, with
+    grouping_id distinguishing the levels."""
+    o = tables(spark, sf)["orders"]
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.grouping_id("o_orderpriority", "o_orderstatus").cast("int").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_cnt,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+# Portable SQL text (runs verbatim on Spark SQL AND DuckDB) — the G3
+# parity check: the engine's SQL entry point produces byte-identical
+# results to the oracle engine running the same statement.
+PORTABLE_REVENUE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_cnt,
+       {sql_dsum("o_totalprice", "revenue")}
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_sql_entry(spark: SparkSession, sf: str) -> DataFrame:
+    """G3 — ad-hoc SQL through the engine's SQL entry point
+    (plans/sqlapi.py): register views, run the statement. The oracle
+    runs the SAME SQL text."""
+    from harness_aws_etl_pipeline_spark.plans.sqlapi import sql
+
+    return sql(spark, sf, PORTABLE_REVENUE_SQL)
+
+
+GOLD_CATALOG: list[QuerySpec] = [
+    QuerySpec("q3_shipping_priority", q_q3_shipping_priority, ORACLE_Q3,
+              "TPC-H Q3 shape: filtered 3-way join + top-k", headline=True,
+              tags=("gold", "join")),
+    QuerySpec("q5_region_revenue", q_q5_region_revenue, ORACLE_Q5,
+              "TPC-H Q5 shape: 6-way dimension-chain join", headline=True,
+              tags=("gold", "join")),
+    QuerySpec("pivot_returnflag", q_pivot_returnflag, ORACLE_PIVOT,
+              "pivot cross-tab", tags=("gold",)),
+    QuerySpec("cube_priority_status", q_cube_priority_status, ORACLE_CUBE,
+              "cube grouping sets", tags=("gold",)),
+    QuerySpec("sql_entry", q_sql_entry, PORTABLE_REVENUE_SQL,
+              "G3 SQL entry point (same SQL text both engines)",
+              tags=("gold", "sql")),
+]

@@ -79,6 +79,7 @@ def load(
     mode: str = "append",
     partition_by: list[str] | None = None,
     compression: str | None = None,
+    assume_nonempty: bool = False,
 ) -> dict[str, Any]:
     """L1–L6 — full load step with empty-skip and size report.
 
@@ -86,8 +87,14 @@ def load(
     (loader.py:53-75): ``{"status": "skipped"|"success", ...}``.
     Row count comes from a post-write metric, not an extra pre-count
     pass (``df.isEmpty()`` is a cheap limit-1 probe).
+
+    ``assume_nonempty=True`` skips the probe — required when ``df``
+    carries ``observe`` metrics (the probe's partial action would
+    become the observation's first-completed action and freeze bogus
+    values); the caller must have checked emptiness on an unobserved
+    twin of the plan.
     """
-    if df is None or df.isEmpty():
+    if df is None or (not assume_nonempty and df.isEmpty()):
         return {"status": "skipped", "reason": "empty input"}
     write_table(df, path, fmt=fmt, mode=mode, partition_by=partition_by, compression=compression)
     result: dict[str, Any] = {"status": "success", "path": path, "format": fmt}
