@@ -149,6 +149,149 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: farthest-point seeding +
+    ``iterations`` Lloyd steps.
+
+    Seeding: first seed = lowest id; each next seed is the vector
+    whose best similarity to any existing seed is lowest (ties broken
+    by id) — deterministic, and spreads seeds across the data (naive
+    lowest-k-ids seeding collapses clusters when the first k vectors
+    are neighbors). k−1 driver-side limit(1) probes; k is small by
+    design.
+
+    Each Lloyd step: assign every vector to its nearest centroid
+    (k-way scored join against the broadcast centroid set), then
+    average per cluster. Centroids are a model of size k×dim —
+    legitimately driver-resident; everything over the data stays
+    distributed. Returns (centroid_id, centroid array<double>).
+    """
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    first = df.orderBy(id_col).limit(1).select(as_double.alias("c")).first()
+    seed_rows: list[tuple[int, list[float]]] = [(0, list(first["c"]))]
+    for j in range(1, k):
+        seeds_df = df.sparkSession.createDataFrame(
+            seed_rows, "centroid_id long, centroid array<double>"
+        )
+        scored = df.crossJoin(F.broadcast(seeds_df)).withColumn(
+            "__sim", cosine_similarity(vec_col, "centroid")
+        )
+        farthest = (
+            scored.groupBy(id_col)
+            .agg(F.max("__sim").alias("__closest"), F.first(as_double).alias("__v"))
+            .orderBy(F.col("__closest").asc(), F.col(id_col).asc())
+            .limit(1)
+            .first()
+        )
+        if farthest is None:
+            break
+        seed_rows.append((j, list(farthest["__v"])))
+    dim = _dim_of(df, vec_col)
+    centroids = df.sparkSession.createDataFrame(
+        seed_rows, "centroid_id long, centroid array<double>"
+    )
+    for _ in range(iterations):
+        assigned = _assign_nearest(df, centroids, id_col, vec_col)
+        # cluster mean: elementwise sum (ordered fold over collected
+        # vectors) / count. collect_list per cluster is bounded by
+        # cluster size; for huge clusters switch to posexplode +
+        # groupBy(position) — the fully-distributed mean.
+        centroids = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                # sort_array fixes the fold order → bit-deterministic
+                # means regardless of partition arrival order
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.col(vec_col))),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+                ).alias("__sum"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("__sum"), lambda s: s / F.col("__n")).alias("centroid"),
+            )
+        )
+    return centroids
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(vec_col).alias("d")).first()["d"]
+
+
+def _assign_nearest(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: k-way scored broadcast join +
+    row_number pick. One shuffle on (row) for the rank."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_similarity(vec_col, "centroid")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "centroid")
+    )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize candidates into
+    ``n_centroids`` inverted lists, probe the ``nprobe`` nearest lists
+    per query, exact cosine only within probed lists.
+
+    The scale path for large corpora: candidate work per query drops
+    to ~nprobe/n_centroids of the corpus, and the join key is the
+    centroid id (int), never the vector. Returns
+    (query_id, rank, neighbor_id, cosine)."""
+    cents = ivf_centroids(candidates, n_centroids, id_col, vec_col).persist()
+    c_assigned = _assign_nearest(candidates, cents, id_col, vec_col)
+
+    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine_similarity(vec_col, "centroid")
+    )
+    wq = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    q_probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "centroid_id",
+        )
+    )
+
+    cands = c_assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.join(F.broadcast(q_probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Profiling for embedding columns: dimension + L2 norm per row."""
     return df.withColumn("dim", F.size(vec_col)).withColumn(

@@ -342,6 +342,84 @@ SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
 """
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] IVF approximate top-k: coarse-quantized inverted lists,
+    nprobe-bounded exact scoring (rows-only: centroid refinement is
+    engine-internal; exact cosine math oracle-covered by
+    sim_bruteforce_topk)."""
+    from harness_aws_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): salted
+    partials merged per key — results identical to a plain groupBy,
+    which is exactly what the oracle checks."""
+    from harness_aws_etl_pipeline_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf, "events")
+    scaled = ev.withColumn(
+        "value", F.round(F.col("value").cast("double") * 10000).cast("long")
+    )
+    out = salted_aggregate(
+        scaled, ["event_type"], {"value": "sum", "event_id": "count"}, buckets=8
+    )
+    return out.select(
+        "event_type",
+        (F.col("sum_value").cast("double") / 10000.0).alias("value_sum"),
+        F.col("count_event_id").alias("event_cnt"),
+    ).orderBy("event_type")
+
+
+ORACLE_SKEW_AGG = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS value_sum,
+       COUNT(event_id) AS event_cnt
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rules_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.12 TransformationRule surface: cap totals + drop low-value
+    orders via a RuleSet, aggregate the result."""
+    from harness_aws_etl_pipeline_spark.operators.rules import (
+        RuleSet,
+        column_rule,
+        filter_rule,
+    )
+    from harness_aws_etl_pipeline_spark.plans.catalog import dsum
+
+    o = _t(spark, sf, "orders")
+    rules = RuleSet(
+        [
+            column_rule(
+                "cap_total", F.col("o_totalprice") > 300000, "o_totalprice", F.lit(300000.0)
+            ),
+            filter_rule("drop_small", F.col("o_totalprice") >= 1000),
+        ]
+    )
+    out, _ = rules.apply(o)
+    return out.agg(
+        F.count(F.lit(1)).alias("order_cnt"), dsum("o_totalprice", "capped_revenue")
+    )
+
+
+ORACLE_RULES = """
+SELECT COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(ROUND(CAST(
+           CASE WHEN o_totalprice > 300000 THEN 300000.0 ELSE o_totalprice END
+         AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS capped_revenue
+FROM orders
+WHERE (CASE WHEN o_totalprice > 300000 THEN 300000.0 ELSE o_totalprice END) >= 1000
+"""
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] LSH-bucketed approximate top-k (rows-only: bucket
     membership depends on engine-side hyperplane evaluation order;
@@ -437,6 +515,13 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("sim_lsh_topk", q_sim_lsh_topk, None,
               "[EXT] LSH-bucketed approximate top-k (rows-only)",
               tags=("ext", "similarity")),
+    QuerySpec("sim_ivf_topk", q_sim_ivf_topk, None,
+              "[EXT] IVF inverted-list approximate top-k (rows-only)",
+              tags=("ext", "similarity")),
+    QuerySpec("skew_salted_agg", q_skew_salted_agg, ORACLE_SKEW_AGG,
+              "skew-safe salted two-phase aggregation", tags=("ext", "skew")),
+    QuerySpec("rules_surface", q_rules_surface, ORACLE_RULES,
+              "§2.12 TransformationRule pipeline", tags=("ext", "rules")),
     QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,
               "[EXT] embedding profiling", tags=("ext", "similarity")),
     QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL,
