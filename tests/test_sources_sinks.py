@@ -84,6 +84,33 @@ class TestBatch:
             extract(spark, {"type": "bogus"})
 
 
+class TestCorruptCapture:
+    def test_bad_rows_quarantined(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from harness_aws_etl_pipeline_spark.sources.readers import (
+            read_with_corrupt_capture,
+        )
+
+        p = tmp_path / "mixed.json"
+        p.write_text(
+            '{"id": 1, "name": "ok"}\n'
+            "this is not json at all\n"
+            '{"id": 3, "name": "fine"}\n'
+        )
+        schema = StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        )
+        # Spark disallows queries touching ONLY the corrupt column on
+        # raw files — materialize first (documented in the helper)
+        df = read_with_corrupt_capture(spark, str(p), schema).persist()
+        df.count()
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 1
+        assert "not json" in bad.first()["_corrupt_record"]
+
+
 class TestSinks:
     def test_roundtrip_all_formats(self, spark, sample_df, tmp_path):
         for fmt in ("parquet", "csv", "json"):
