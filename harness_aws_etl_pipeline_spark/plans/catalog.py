@@ -742,6 +742,57 @@ ORDER BY fmt
 """
 
 
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 JSON decode — extract a field from the JSON props column,
+    aggregate it per event type (reference parses JSON at the edges:
+    extractor.py:96, lambda_handler.py:61)."""
+    ev = tables(spark, sf)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.count(k).alias("k_cnt"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+       COUNT(CAST(props->>'k' AS BIGINT)) AS k_cnt,
+       MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (profiling tier) — both engines
+    implement the standard linear-interpolation quantile, so values
+    match bit-for-bit. At 100 TB swap ``percentile`` for
+    ``percentile_approx`` (t-digest sketch, no sort) — the same
+    exact-for-oracle / sketch-for-scale split as distinct_ratios."""
+    ev = tables(spark, sf)["events"]
+    return ev.agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events
+"""
+
+
 CORE_CATALOG: list[QuerySpec] = [
     QuerySpec("scan_count", q_scan_count,
               "SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem",
@@ -785,6 +836,10 @@ CORE_CATALOG: list[QuerySpec] = [
               "tumbling 1h window aggregation", headline=True, tags=("window", "streaming")),
     QuerySpec("events_sessionize", q_events_sessionize, ORACLE_EVENTS_SESSIONIZE,
               "gap-based sessionization", tags=("window", "streaming")),
+    QuerySpec("json_props", q_json_props, ORACLE_JSON_PROPS,
+              "JSON field extraction + aggregation", tags=("transform",)),
+    QuerySpec("percentiles", q_percentiles, ORACLE_PERCENTILES,
+              "exact interpolated percentiles", tags=("profile",)),
     QuerySpec("pipeline_e2e", q_pipeline_e2e, ORACLE_PIPELINE_E2E,
               "full T1-T8 transform pipeline", tags=("pipeline",)),
     QuerySpec("sink_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP,
