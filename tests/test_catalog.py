@@ -1,0 +1,72 @@
+"""Catalog guard: every query in __spark_entry__ builds and a
+representative subset executes + matches its DuckDB oracle at sf0.001.
+(The full 45-query differential run lives in tools/verify_local.py;
+this keeps the pytest suite fast while still catching API regressions
+and oracle drift.)"""
+
+import math
+
+import duckdb
+import pytest
+
+from harness_aws_etl_pipeline_spark.plans.catalog import CATALOG, TABLE_NAMES
+
+SF = "/root/testdata/sf0.001"
+
+# one per operator family — cheap but representative
+EXECUTED = [
+    "g1_pricing_summary",
+    "join_counts",
+    "events_tumbling",
+    "text_stats",
+    "sim_bruteforce_topk",
+]
+
+
+class TestCatalogContract:
+    def test_every_query_builds(self, spark):
+        for name, spec in CATALOG.items():
+            df = spec.builder(spark, SF)
+            assert df.columns, f"{name} produced no columns"
+
+    def test_entry_contract(self, spark):
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        assert set(oracles) <= set(qs)
+        assert len(qs) == len(CATALOG)
+        flagship = entry_mod.entry(spark)
+        assert flagship.columns == ["order_date", "line_cnt", "revenue"]
+
+    @pytest.mark.parametrize("name", EXECUTED)
+    def test_oracle_match(self, spark, name):
+        spec = CATALOG[name]
+        sdf = spec.builder(spark, SF)
+        s_cols = sorted(sdf.columns)
+        order = [sdf.columns.index(c) for c in s_cols]
+
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        cur = con.execute(spec.oracle)
+        d_cols = [d[0] for d in cur.description]
+        d_order = [d_cols.index(c) for c in sorted(d_cols)]
+        assert sorted(d_cols) == s_cols
+
+        def norm(rows, idx):
+            out = []
+            for r in rows:
+                out.append(
+                    tuple(
+                        round(v, 9) if isinstance(v, float) and not math.isnan(v) else v
+                        for v in (r[i] for i in idx)
+                    )
+                )
+            return sorted(out, key=repr)
+
+        assert norm([tuple(r) for r in sdf.collect()], order) == norm(
+            cur.fetchall(), d_order
+        )
