@@ -119,6 +119,90 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("byte_size", LongType(), True),
+        StructField("content_hash", StringType(), True),
+        StructField("target_w", LongType(), False),
+        StructField("target_h", LongType(), False),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int, strict: bool = False) -> bytes:
+    """STUB for image resize (no codec libs here). Deterministic fake:
+    truncate/pad the byte stream to w*h bytes — preserves the real
+    contract (binary → binary of target-determined size)."""
+    if strict:
+        raise NotImplementedError("real resize requires an image library")
+    target = w * h
+    if payload is None:
+        return bytes(target)
+    return payload[:target] + bytes(max(0, target - len(payload)))
+
+
+def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+    """Arrow-batched resize over media rows — same mapInPandas shape a
+    real decoder/encoder pair would use; output carries refreshed
+    byte_size/content_hash metadata."""
+    from hashlib import md5
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(p, width, height, strict) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": resized,
+                    "byte_size": [len(r) for r in resized],
+                    "content_hash": [md5(r).hexdigest() for r in resized],
+                    "target_w": width,
+                    "target_h": height,
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, strict: bool = False
+) -> DataFrame:
+    """STUB frame sampling for video-like payloads: emit up to
+    ``max_frames`` "frames" (fixed-stride byte windows) per media row —
+    the real decoder would seek keyframes; the Spark shape (one input
+    row → N output rows via mapInPandas) is identical.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError("real frame sampling requires a video decoder")
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def media_summary(df: DataFrame) -> DataFrame:
     """Metadata rollup (no payload bytes touched after the scan —
     column pruning drops them): counts + sizes + distinct content

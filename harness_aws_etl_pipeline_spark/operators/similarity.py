@@ -292,6 +292,60 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_tables: int = 6,
+    bits: int = 10,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the vector-space
+    member of the dedup family (exact / n-gram / MinHash / SimHash /
+    embedding-cosine).
+
+    Same blocking shape as MinHash-LSH: random-hyperplane buckets
+    generate candidates (short (table, bucket) shuffle key, degenerate
+    buckets capped), exact cosine verifies. High thresholds (~0.95)
+    pair naturally with sign-LSH: near-identical vectors agree on
+    almost every hyperplane, so recall stays high with few tables.
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    if dim is None:
+        dim = _dim_of(df, vec_col)
+    bucketed = add_lsh_buckets(df, dim, vec_col, num_tables, bits)
+    flat = bucketed.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    ).persist()
+
+    sizes = flat.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    flat_ok = flat.join(
+        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)).select(
+            "tbl", "bucket"
+        ),
+        ["tbl", "bucket"],
+    )
+    a = flat_ok.select(
+        "tbl", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = flat_ok.select(
+        "tbl", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine_similarity("vec_a", "vec_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Profiling for embedding columns: dimension + L2 norm per row."""
     return df.withColumn("dim", F.size(vec_col)).withColumn(

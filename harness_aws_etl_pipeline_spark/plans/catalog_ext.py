@@ -342,6 +342,23 @@ SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] embedding-cosine near-dup pairs at 0.9 (rows-only:
+    hyperplane bucketing is engine-internal; the cosine math is
+    oracle-covered by sim_bruteforce_topk). Planted exact duplicates
+    would always collide in every bucket."""
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, dim=64)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.coalesce(F.round(F.avg("cosine"), 4), F.lit(0.0)).alias("avg_cosine"),
+    )
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] IVF approximate top-k: coarse-quantized inverted lists,
     nprobe-bounded exact scoring (rows-only: centroid refinement is
@@ -515,6 +532,9 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("sim_lsh_topk", q_sim_lsh_topk, None,
               "[EXT] LSH-bucketed approximate top-k (rows-only)",
               tags=("ext", "similarity")),
+    QuerySpec("embedding_near_dup", q_embedding_near_dup, None,
+              "[EXT] embedding-cosine near-dup pairs (rows-only)",
+              tags=("ext", "dedup", "similarity")),
     QuerySpec("sim_ivf_topk", q_sim_ivf_topk, None,
               "[EXT] IVF inverted-list approximate top-k (rows-only)",
               tags=("ext", "similarity")),

@@ -134,6 +134,60 @@ class TestSimilarity:
         assert b1 == b2
 
 
+class TestEmbeddingNearDup:
+    def test_finds_planted_duplicate(self, spark):
+        import random
+
+        random.seed(3)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+        vecs.append((999, list(vecs[0][1])))  # exact dup of vec 0
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(df, threshold=0.99, dim=16).collect()
+        }
+        assert (0, 999) in pairs and pairs[(0, 999)] == 1.0
+        # random 16-dim vectors essentially never reach cosine 0.99
+        assert all(p == (0, 999) for p in pairs)
+
+
+class TestMultimodalShapes:
+    def test_resize_contract(self, spark, docs=None):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "x")], "doc_id long, text string"
+        )
+        media = attach_binary_payload(df, source_col="text", id_col="doc_id")
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            resize_media,
+            sample_frames,
+        )
+
+        resized = resize_media(media, width=4, height=3)
+        rows = {r["media_id"]: r for r in resized.collect()}
+        assert all(r["byte_size"] == 12 for r in rows.values())
+        assert rows[1]["target_w"] == 4
+
+        frames = sample_frames(media, every_n_bytes=4, max_frames=3)
+        by_media = {}
+        for r in frames.collect():
+            by_media.setdefault(r["media_id"], []).append(r)
+        assert len(by_media[1]) == 2  # 11 bytes // 4 = 2 frames
+        assert by_media[1][0]["frame"] == b"hell"
+
+    def test_resize_strict_raises(self):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import resize_stub
+
+        with _pytest.raises(NotImplementedError):
+            resize_stub(b"xx", 2, 2, strict=True)
+
+
 class TestTextOps:
     def test_stats_columns(self, docs):
         out = add_text_stats(docs)
