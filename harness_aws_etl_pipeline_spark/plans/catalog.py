@@ -841,7 +841,7 @@ CORE_CATALOG: list[QuerySpec] = [
     QuerySpec("percentiles", q_percentiles, ORACLE_PERCENTILES,
               "exact interpolated percentiles", tags=("profile",)),
     QuerySpec("pipeline_e2e", q_pipeline_e2e, ORACLE_PIPELINE_E2E,
-              "full T1-T8 transform pipeline", tags=("pipeline",)),
+              "full T1-T8 transform pipeline", headline=True, tags=("pipeline",)),
     QuerySpec("sink_roundtrip", q_sink_roundtrip, ORACLE_SINK_ROUNDTRIP,
               "L1-L3 write/read round trip", tags=("sink",)),
 ]

@@ -164,6 +164,160 @@ def q_sql_entry(spark: SparkSession, sf: str) -> DataFrame:
     return sql(spark, sf, PORTABLE_REVENUE_SQL)
 
 
+def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function breadth: rank / dense_rank / ntile /
+    percent_rank / cume_dist over one window spec (single shuffle +
+    sort serves all five)."""
+    from pyspark.sql import Window
+
+    c = tables(spark, sf)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+ORACLE_WINDOW_RANKS = """
+SELECT c_mktsegment, c_custkey, rnk, drnk, quartile, pct_rank, cume FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(RANK() OVER w AS BIGINT) AS rnk,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+         CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rnk <= 5 ORDER BY c_mktsegment, rnk
+"""
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 beyond UNION ALL: INTERSECT / EXCEPT / UNION DISTINCT
+    cardinalities between the urgent and high-priority customer sets."""
+    o = tables(spark, sf)["orders"]
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+
+    def cnt(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("row_cnt")).select(
+            F.lit(kind).alias("set_op"), "row_cnt"
+        )
+
+    return (
+        cnt(urgent.intersect(high), "intersect")
+        # subtract == SQL EXCEPT (distinct); exceptAll().distinct()
+        # would keep keys present in BOTH sides at unequal multiplicity
+        .unionByName(cnt(urgent.subtract(high), "except_distinct"))
+        .unionByName(cnt(urgent.union(high).distinct(), "union_distinct"))
+        .orderBy("set_op")
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT * FROM (
+  SELECT 'except_distinct' AS set_op, COUNT(*) AS row_cnt FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+  UNION ALL
+  SELECT 'intersect', COUNT(*) FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+  UNION ALL
+  SELECT 'union_distinct', COUNT(*) FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+) ORDER BY set_op
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 string-function breadth: case, trim/pad, substring,
+    replace, concat, split, levenshtein — one projection, codegen'd."""
+    n = tables(spark, sf)["nation"]
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("upper_name"),
+        F.lower("n_name").alias("lower_name"),
+        F.substring("n_name", 1, 3).alias("prefix3"),
+        F.length("n_name").alias("name_len"),
+        F.regexp_replace(F.col("n_name"), "[AEIOU]", "_").alias("devoweled"),
+        F.concat_ws("-", F.col("n_name"), F.col("n_nationkey").cast("string")).alias(
+            "tagged"
+        ),
+        F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("lev_us"),
+        F.size(F.split("n_name", " ")).alias("word_parts"),
+    ).orderBy("n_nationkey")
+
+
+ORACLE_STRING_FUNCS = """
+SELECT n_nationkey,
+       UPPER(n_name) AS upper_name,
+       LOWER(n_name) AS lower_name,
+       SUBSTRING(n_name, 1, 3) AS prefix3,
+       CAST(LENGTH(n_name) AS INT) AS name_len,
+       regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
+       n_name || '-' || CAST(n_nationkey AS VARCHAR) AS tagged,
+       CAST(levenshtein(n_name, 'UNITED STATES') AS INT) AS lev_us,
+       CAST(len(string_split(n_name, ' ')) AS INT) AS word_parts
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 date-function breadth: trunc, datediff, add_months,
+    last_day, quarter, day-of-week — rolled up by month."""
+    o = tables(spark, sf)["orders"]
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.quarter(d).alias("qtr"),
+            F.dayofweek(d).alias("dow"),
+            F.datediff(F.lit("2001-01-01").cast("date"), d).alias("days_to_2001"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 3).alias("plus3m"),
+        )
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.max("qtr").alias("qtr"),
+            F.countDistinct("dow").alias("distinct_dows"),
+            F.min("days_to_2001").alias("min_days_to_2001"),
+            F.max("month_end").alias("month_end"),
+            F.max("plus3m").alias("max_plus3m"),
+        )
+        .orderBy("month_start")
+    )
+
+
+ORACLE_DATE_FUNCS = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       COUNT(*) AS order_cnt,
+       CAST(MAX(EXTRACT(quarter FROM o_orderdate)) AS INT) AS qtr,
+       COUNT(DISTINCT CAST(EXTRACT(dow FROM o_orderdate) AS INT)) AS distinct_dows,
+       CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01')) AS INT)
+         AS min_days_to_2001,
+       MAX(last_day(CAST(o_orderdate AS DATE))) AS month_end,
+       MAX(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)) AS max_plus3m
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 GOLD_CATALOG: list[QuerySpec] = [
     QuerySpec("q3_shipping_priority", q_q3_shipping_priority, ORACLE_Q3,
               "TPC-H Q3 shape: filtered 3-way join + top-k", headline=True,
@@ -178,4 +332,12 @@ GOLD_CATALOG: list[QuerySpec] = [
     QuerySpec("sql_entry", q_sql_entry, PORTABLE_REVENUE_SQL,
               "G3 SQL entry point (same SQL text both engines)",
               tags=("gold", "sql")),
+    QuerySpec("window_ranks", q_window_ranks, ORACLE_WINDOW_RANKS,
+              "rank/dense_rank/ntile/percent_rank/cume_dist", tags=("window",)),
+    QuerySpec("set_ops", q_set_ops, ORACLE_SET_OPS,
+              "intersect/except/union-distinct", tags=("setop",)),
+    QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS,
+              "string scalar-function breadth", tags=("scalar",)),
+    QuerySpec("date_funcs", q_date_funcs, ORACLE_DATE_FUNCS,
+              "date scalar-function breadth", tags=("scalar",)),
 ]
