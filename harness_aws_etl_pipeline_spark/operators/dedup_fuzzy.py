@@ -113,6 +113,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, blocked on shared
     shingles (inverted index).
@@ -125,7 +126,9 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sets = hashed_shingle_sets(df, id_col, text_col, n).filter(F.col("set_size") > 0)
+    sets = hashed_shingle_sets(df, id_col, text_col, n, arrow=arrow).filter(
+        F.col("set_size") > 0
+    )
     # Persist the posting list: it feeds the bucket-size profile AND
     # both sides of the self-join — without this the whole
     # tokenize→shingle→hash subtree is recomputed 4×. (At cluster

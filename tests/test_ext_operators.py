@@ -52,6 +52,18 @@ class TestNgramJaccard:
         assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near dup
         assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
 
+    def test_arrow_and_expression_paths_agree(self, docs):
+        """Jaccard is hash-agnostic (set overlap is preserved under any
+        injective hash), so the Arrow/blake2b path and the JVM/xxhash64
+        expression path must emit identical pairs + values."""
+        a = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.2, arrow=True).collect())
+        )
+        b = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=0.2, arrow=False).collect())
+        )
+        assert a == b and len(a) >= 2
+
     def test_frequent_shingle_cutoff(self, spark):
         # every doc shares the same shingle; bucket cap 1 kills blocking
         df = spark.createDataFrame(
