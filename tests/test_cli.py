@@ -1,0 +1,66 @@
+"""CLI entry point (the reference's run_local harness equivalent)."""
+
+import json
+
+from harness_aws_etl_pipeline_spark.cli import main
+
+CSV = "Order ID,Amount,Order Date\n1,10.5,2024-01-15\n2,20.0,2024-02-20\n"
+
+
+class TestCli:
+    def test_run_command(self, spark, tmp_path, capsys):
+        src = tmp_path / "sales.csv"
+        src.write_text(CSV)
+        rc = main(
+            [
+                "run",
+                "--source",
+                str(src),
+                "--output",
+                str(tmp_path / "out"),
+                "--job-runs",
+                str(tmp_path / "runs"),
+            ]
+        )
+        assert rc == 0
+        result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert result["status"] == "success"
+        assert result["transform"]["rows_out"] == 2
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+
+    def test_sweep_empty_prefix_skips(self, tmp_path, capsys):
+        (tmp_path / "landing").mkdir()
+        rc = main(
+            [
+                "sweep",
+                "--prefix",
+                str(tmp_path / "landing"),
+                "--output",
+                str(tmp_path / "out"),
+            ]
+        )
+        assert rc == 0
+        result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert result["status"] == "skipped"
+
+    def test_sql_command(self, capsys):
+        rc = main(
+            [
+                "sql",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+                "--query",
+                "SELECT COUNT(*) AS n FROM region",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n"] == 5
+
+    def test_run_missing_source_fails(self, tmp_path, capsys):
+        rc = main(
+            ["run", "--source", str(tmp_path / "nope.csv"), "--output", str(tmp_path / "o")]
+        )
+        assert rc == 1
+        result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert result["status"] == "failed"
