@@ -280,6 +280,77 @@ FROM jac WHERE jaccard >= 0.2
 """
 
 
+def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] near-dup clustering + canonical dedup: Jaccard pairs →
+    connected components → one survivor per cluster. Oracle recomputes
+    the same pairs in SQL and resolves components with a recursive-CTE
+    transitive closure + MIN label."""
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        deduplicate_near,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2).persist()
+    clusters = near_dup_clusters(pairs)
+    survivors = deduplicate_near(docs, pairs)
+    summary = clusters.agg(
+        F.count(F.lit(1)).alias("clustered_docs"),
+        F.countDistinct("cluster_id").alias("cluster_cnt"),
+    )
+    return summary.crossJoin(
+        survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
+    )
+
+
+ORACLE_NEAR_DUP_CLUSTERS = r"""
+WITH RECURSIVE sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - 4, 0) + 1),
+           i -> list_aggregate(list_slice(toks, i, i + 4), 'string_agg', ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 5
+),
+posting AS (
+  SELECT doc_id, len(shingles) AS set_size, UNNEST(shingles) AS shingle FROM sets
+),
+filtered AS (
+  SELECT * FROM posting WHERE shingle IN (
+    SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 1000
+  )
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.set_size AS size_a,
+           b.set_size AS size_b, COUNT(*) AS inter
+    FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE ROUND(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT (SELECT COUNT(*) FROM labels) AS clustered_docs,
+       (SELECT COUNT(DISTINCT cluster_id) FROM labels) AS cluster_cnt,
+       (SELECT (SELECT COUNT(*) FROM documents)
+               - (SELECT COUNT(*) FROM labels WHERE doc_id != cluster_id))
+         AS survivor_cnt
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] MinHash+LSH near-dup pipeline (rows-only check: the
     seeded xxhash64 signatures are engine-specific; the estimated-
@@ -520,6 +591,9 @@ EXT_CATALOG: list[QuerySpec] = [
               "[EXT] exact content-hash dedup", tags=("ext", "dedup")),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
               "[EXT] n-gram Jaccard near-dup with blocking", headline=True,
+              tags=("ext", "dedup")),
+    QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
+              "[EXT] near-dup clustering + canonical dedup",
               tags=("ext", "dedup")),
     QuerySpec("minhash_lsh", q_minhash_lsh, None,
               "[EXT] MinHash+LSH near-dup (rows-only)", headline=True,

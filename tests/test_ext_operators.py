@@ -72,6 +72,29 @@ class TestNgramJaccard:
         assert ngram_jaccard_pairs(df, n=3, threshold=0.1, max_bucket_size=1).count() == 0
 
 
+class TestNearDupClusters:
+    def test_components_and_canonical_dedup(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            deduplicate_near,
+            near_dup_clusters,
+        )
+
+        # chain component {1,2,3} (1-2, 2-3 but no 1-3 edge) + pair {7,9}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+        docs = spark.createDataFrame(
+            [(i, f"doc{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+        )
+        survivors = {r["doc_id"] for r in deduplicate_near(docs, pairs).collect()}
+        assert survivors == {1, 5, 7}  # one per cluster + unpaired 5
+
+
 class TestMinHash:
     def test_signature_shape_and_determinism(self, docs):
         sigs = minhash_signatures(docs, n=3, num_hashes=16)
