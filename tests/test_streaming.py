@@ -119,6 +119,72 @@ class TestWindows:
         got = spark.sql("SELECT sum(event_cnt) FROM tumbling_test").first()[0]
         assert got == 4
 
+    def test_watermark_drops_late_data(self, spark, tmp_path):
+        """Append-mode tumbling agg with a 1h watermark: an event
+        arriving after the watermark passed its window must be
+        discarded, and only watermark-finalized windows are emitted."""
+        import os
+        import time
+
+        land = tmp_path / "late"
+        land.mkdir()
+        # Three micro-batches. A late row is only DROPPED once its
+        # window was finalized in a STRICTLY earlier batch (a row
+        # arriving in the same batch as the finalization still counts)
+        # — so batch2 closes window 0, batch3 brings the late row.
+        f1 = land / "a_batch1.json"
+        f1.write_text(
+            '{"event_id": 1, "ts": "2024-01-01 00:10:00", "user_id": 1, "event_type": "e", "value": 1.0}\n'
+            '{"event_id": 2, "ts": "2024-01-01 03:00:00", "user_id": 1, "event_type": "e", "value": 1.0}\n'
+        )
+        f2 = land / "b_batch2.json"
+        f2.write_text(
+            '{"event_id": 3, "ts": "2024-01-01 04:00:00", "user_id": 1, "event_type": "e", "value": 1.0}\n'
+        )
+        f3 = land / "c_batch3.json"
+        f3.write_text(
+            # window 0 closed at end of batch2 (wm 02:00) → this is dropped
+            '{"event_id": 4, "ts": "2024-01-01 00:30:00", "user_id": 1, "event_type": "e", "value": 1.0}\n'
+            '{"event_id": 5, "ts": "2024-01-01 05:00:00", "user_id": 1, "event_type": "e", "value": 1.0}\n'
+        )
+        # file source orders batches by modification time
+        now = time.time()
+        os.utime(f1, (now - 200, now - 200))
+        os.utime(f2, (now - 100, now - 100))
+        os.utime(f3, (now, now))
+
+        schema = self._events(spark).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land))
+        )
+        windowed = tumbling_counts(stream, width="1 hour", watermark="1 hour")
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")  # append = only watermark-closed windows
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        rows = spark.sql(
+            "SELECT window.start AS s, event_cnt FROM late_test ORDER BY s"
+        ).collect()
+        emitted = {r["s"].hour: r["event_cnt"] for r in rows}
+        # hour-0 closed with ONLY event 1 (late event 4 dropped by the
+        # watermark); hour-3/4 closed by later watermark advances;
+        # hour-5 never finalized -> absent in append mode
+        assert dropped == 1
+        assert emitted[0] == 1
+        assert 5 not in emitted
+
     def test_session_window_streaming(self, spark, tmp_path):
         src_dir = tmp_path / "events2"
         src_dir.mkdir()
