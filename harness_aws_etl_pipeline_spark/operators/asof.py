@@ -1,0 +1,98 @@
+"""[EXT] As-of (time-travel) join — an operator Spark has no native
+form of (SURVEY §2.7 flags it for similarity post-filtering and
+point-in-time feature lookup).
+
+``as_of_join(left, right, ...)`` matches every left row with the
+LATEST right row of the same key whose time is ≤ the left row's time
+(optionally within a tolerance) — the point-in-time-correct join used
+for feature stores and market data.
+
+Implementation is a composition of existing DataFrame ops (the (a)
+path from the build brief): tag sides → union → one window per key
+ordered by (time, side) → ``last(..., ignorenulls=True)`` carries the
+most recent right-side values forward onto each left row. ONE shuffle
+on the key, no range explosion, no per-row Python — at 100 TB this is
+a single sort-within-partitions pass, strictly cheaper than the
+naive inequality join (which Catalyst can only plan as a broadcast
+nested loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the latest ``right`` row
+    with the same ``on`` key and ``right_time <= left_time``.
+
+    Unmatched left rows keep nulls (left-join semantics). Right rows
+    at exactly ``left_time`` DO match (>= semantics, like DuckDB's
+    ASOF JOIN). ``tolerance_seconds`` voids matches older than the
+    tolerance. Output: all left columns + ``<right_time><suffix>`` +
+    ``<col><suffix>`` for each value column.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__t", F.col(left_time)
+    )
+    for c in value_cols:
+        if c not in lhs.columns:
+            lhs = lhs.withColumn(c, F.lit(None))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # right rows sort before left rows at equal time → >= matching
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried: list[Column] = [
+        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    carried.append(
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias(f"{right_time}{suffix}")
+    )
+    out = unioned.select("*", *carried).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp(F.col(left_time))
+            - F.unix_timestamp(F.col(f"{right_time}{suffix}"))
+            <= tolerance_seconds
+        )
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(fresh, F.col(f"{c}{suffix}"))
+            )
+        out = out.withColumn(
+            f"{right_time}{suffix}", F.when(fresh, F.col(f"{right_time}{suffix}"))
+        )
+    return out.drop("__side", "__t")

@@ -357,9 +357,11 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()  # previous round's labels are dead now
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

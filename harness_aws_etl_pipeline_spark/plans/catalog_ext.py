@@ -280,6 +280,46 @@ FROM jac WHERE jaccard >= 0.2
 """
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] as-of join: for every click event, the latest prior (or
+    simultaneous) purchase value of the same user. Window-composition
+    implementation (operators/asof.py) vs DuckDB's native ASOF JOIN."""
+    from harness_aws_etl_pipeline_spark.operators.asof import as_of_join
+    from harness_aws_etl_pipeline_spark.plans.catalog import dsum
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = as_of_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="p_ts",
+        value_cols=["p_value"],
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("click_cnt"),
+        F.count("p_value_asof").alias("matched_cnt"),
+        dsum(F.coalesce(F.col("p_value_asof"), F.lit(0.0)), "matched_value_sum"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT COUNT(*) AS click_cnt,
+       COUNT(p_value) AS matched_cnt,
+       CAST(SUM(CAST(ROUND(CAST(COALESCE(p_value, 0.0) AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS matched_value_sum
+FROM (
+  SELECT c.event_id, p.value AS p_value
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN
+       (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] near-dup clustering + canonical dedup: Jaccard pairs →
     connected components → one survivor per cluster. Oracle recomputes
@@ -592,6 +632,9 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
               "[EXT] n-gram Jaccard near-dup with blocking", headline=True,
               tags=("ext", "dedup")),
+    QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
+              "[EXT] as-of join (window composition vs native ASOF)",
+              tags=("ext", "join")),
     QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
               "[EXT] near-dup clustering + canonical dedup",
               tags=("ext", "dedup")),
