@@ -23,6 +23,55 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_width_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join: left rows whose ``left_point``
+    falls in ``[right_start, right_end)`` (plus an optional equi-key).
+
+    Naive formulation (``l.t >= r.start AND l.t < r.end``) gives
+    Catalyst only inequality predicates → broadcast-nested-loop, which
+    is O(|L|·|R|) and falls over at scale. This implementation maps
+    both sides onto fixed-width time buckets (intervals explode to the
+    buckets they span), equi-joins on (bucket [, key]) — a plain
+    shuffled hash join — and re-applies the exact range predicate to
+    strip false bucket-mates. Cost: O(|L| + Σ interval spans + matches).
+    Pick ``bucket_width_seconds`` near the median interval length so
+    most intervals explode to ~2 buckets.
+    """
+    if how not in ("inner",):
+        raise ValueError("range_join currently supports inner joins")
+    lb = left.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(left_point)) / bucket_width_seconds)
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / bucket_width_seconds),
+                F.floor(
+                    # end is exclusive: an interval ending exactly on a
+                    # bucket boundary does not reach that bucket
+                    (F.unix_timestamp(F.col(right_end)) - 1) / bucket_width_seconds
+                ),
+            )
+        ),
+    )
+    keys = ["__bucket"] + ([on] if on else [])
+    joined = lb.join(rb, keys).filter(
+        (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    return joined.drop("__bucket")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

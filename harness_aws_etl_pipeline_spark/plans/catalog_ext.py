@@ -320,6 +320,40 @@ FROM (
 """
 
 
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] range join: events × per-user error windows ([error ts,
+    +30 min)) — bucketed equi-join implementation vs the oracle's
+    plain inequality join."""
+    from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join(
+        clicks, errors, "ts", "w_start", "w_end", on="user_id",
+        bucket_width_seconds=1800,
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.countDistinct("event_id").alias("affected_clicks"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT COUNT(*) AS pair_cnt, COUNT(DISTINCT c.event_id) AS affected_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts < e.w_end
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] near-dup clustering + canonical dedup: Jaccard pairs →
     connected components → one survivor per cluster. Oracle recomputes
@@ -634,6 +668,9 @@ EXT_CATALOG: list[QuerySpec] = [
               tags=("ext", "dedup")),
     QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
               "[EXT] as-of join (window composition vs native ASOF)",
+              tags=("ext", "join")),
+    QuerySpec("range_join", q_range_join, ORACLE_RANGE_JOIN,
+              "[EXT] bucketed range join vs inequality-join oracle",
               tags=("ext", "join")),
     QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
               "[EXT] near-dup clustering + canonical dedup",

@@ -28,6 +28,45 @@ def _dfs(spark):
     return left, right
 
 
+class TestRangeJoin:
+    def test_matches_inequality_join(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+        points = spark.createDataFrame(
+            [(i, "u1" if i % 2 else "u2", f"2024-01-01 {i:02d}:15:00") for i in range(10)],
+            "pid long, k string, t string",
+        ).withColumn("t", F.to_timestamp("t"))
+        intervals = spark.createDataFrame(
+            [
+                ("u1", "2024-01-01 01:00:00", "2024-01-01 04:00:00"),
+                ("u2", "2024-01-01 02:00:00", "2024-01-01 02:16:00"),
+                ("u1", "2024-01-01 05:15:00", "2024-01-01 07:15:00"),
+            ],
+            "k string, s string, e string",
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+        bucketed = range_join(points, intervals, "t", "s", "e", on="k",
+                              bucket_width_seconds=1800)
+        naive = points.join(
+            intervals,
+            (points.k == intervals.k) & (points.t >= intervals.s) & (points.t < intervals.e),
+        )
+        got = sorted((r["pid"], str(r["s"])) for r in bucketed.collect())
+        want = sorted((r["pid"], str(r["s"])) for r in naive.collect())
+        assert got == want and len(got) == 4
+
+    def test_exclusive_end_boundary(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 02:00:00")], "pid long, t string"
+        ).withColumn("t", F.to_timestamp("t"))
+        iv = spark.createDataFrame(
+            [("2024-01-01 01:00:00", "2024-01-01 02:00:00")], "s string, e string"
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        assert range_join(pts, iv, "t", "s", "e").count() == 0  # end exclusive
+
+
 class TestAsOfJoin:
     def test_latest_prior_and_ties(self, spark):
         left, right = _dfs(spark)
