@@ -280,6 +280,22 @@ FROM jac WHERE jaccard >= 0.2
 """
 
 
+def q_pandas_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] GROUPED_AGG pandas UDAF: per-event-type exact median —
+    deterministic (sorted exact doubles, no accumulation order), so the
+    DuckDB quantile_cont oracle matches bit-for-bit."""
+    from harness_aws_etl_pipeline_spark.operators.udaf import group_medians
+
+    ev = _t(spark, sf, "events")
+    return group_medians(ev, "event_type", "value")
+
+
+ORACLE_PANDAS_UDAF = """
+SELECT event_type, quantile_cont(value, 0.5) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] as-of join: for every click event, the latest prior (or
     simultaneous) purchase value of the same user. Window-composition
@@ -669,6 +685,9 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
               "[EXT] as-of join (window composition vs native ASOF)",
               tags=("ext", "join")),
+    QuerySpec("pandas_udaf", q_pandas_udaf, ORACLE_PANDAS_UDAF,
+              "[EXT] GROUPED_AGG pandas UDAF (exact median)",
+              tags=("ext", "udf")),
     QuerySpec("range_join", q_range_join, ORACLE_RANGE_JOIN,
               "[EXT] bucketed range join vs inequality-join oracle",
               tags=("ext", "join")),

@@ -52,6 +52,29 @@ class TestRules:
         assert out.count() == 1  # cap first (200→100), then filter keeps it
 
 
+class TestPandasUdafSurfaces:
+    def test_group_medians(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.udaf import group_medians
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("a", 10.0), ("b", 5.0), ("b", 7.0)],
+            "k string, v double",
+        )
+        out = {r["k"]: r["median_value"] for r in group_medians(df, "k", "v").collect()}
+        assert out == {"a": 3.0, "b": 6.0}  # interpolated even count
+
+    def test_zscore_per_group(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.udaf import zscore_per_group
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)], "k string, v double"
+        )
+        rows = zscore_per_group(df, "k", "v").collect()
+        by_kv = {(r["k"], r["v"]): r["zscore"] for r in rows}
+        assert by_kv[("a", 1.0)] == -1.0 and by_kv[("a", 3.0)] == 1.0
+        assert by_kv[("b", 5.0)] == 0.0  # zero-variance group
+
+
 class TestJobMetrics:
     def test_observe_single_pass(self, spark, tmp_path):
         jm = JobMetrics()
