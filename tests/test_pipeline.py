@@ -101,6 +101,12 @@ class TestRunJob:
 
 
 class TestConfig:
+    def test_from_yaml(self):
+        cfg = EngineConfig.from_yaml("/root/repo/config/engine.yaml")
+        assert cfg.get("etl.transform.null_handling") == "drop"
+        assert cfg.get("etl.load.partition_by") == ["_year", "_month", "_day"]
+        assert cfg.get("monitoring.alerts.error_threshold") == 3
+
     def test_dot_path_and_default(self):
         cfg = EngineConfig()
         assert cfg.get("etl.transform.null_handling") == "drop"
