@@ -15,8 +15,9 @@ Two tiers:
 
 Vector math is zip_with/aggregate (JVM, codegen) — a deliberate choice
 over Pandas-UDF matmul: at 64-dim the Arrow transfer cost dominates
-the FLOPs, so built-ins win; for ≥1k-dim batched matmul flip
-``use_pandas_udf=True``.
+the FLOPs, so built-ins win; for high dimensions / many queries use
+``brute_force_topk_arrow`` (BLAS matmul per partition, local top-k,
+global merge — identical results, shuffle bounded by partitions×k).
 """
 
 from __future__ import annotations
@@ -59,6 +60,74 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def brute_force_topk_arrow(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the
+    high-dimension scale path promised alongside the zip_with version.
+
+    The query set is collected to a numpy matrix (it must be the small
+    side — same constraint as the broadcast in brute_force_topk) and
+    closed over in a mapInPandas pass: each partition computes one
+    (batch × queries) cosine matrix with BLAS and emits only its LOCAL
+    top-k per query; a final window keeps the global top-k. Shuffle
+    volume is O(partitions × queries × k), never the full score
+    matrix. Identical results to brute_force_topk (same ordering and
+    tie-break).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = 1.0
+            sims = (c_mat @ q_mat.T) / c_norm[:, None] / q_norm[None, :]
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = c_ids != qid
+                ids_j, sims_j = c_ids[mask], col[mask]
+                if not len(ids_j):
+                    continue
+                # local top-k: sort by (-sim, id) for the same
+                # deterministic tie-break as the expression version
+                order = np.lexsort((ids_j, -sims_j))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids_j[order].tolist())
+                out_s.extend(sims_j[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    local = candidates.select(id_col, vec_col).mapInPandas(
+        _score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )

@@ -163,6 +163,21 @@ class TestSimilarity:
         ids = {r["neighbor_id"] for r in got.collect()}
         assert {1, 2} <= ids
 
+    def test_arrow_matmul_matches_expression_topk(self, spark):
+        import random
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk_arrow,
+        )
+
+        random.seed(11)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(12)]) for i in range(120)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, brute_force_topk(df, q, k=7).collect()))
+        b = sorted(map(tuple, brute_force_topk_arrow(df, q, k=7).collect()))
+        assert a == b
+
     def test_bucket_determinism(self, emb):
         b1 = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(emb, dim=4).collect()}
         b2 = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(emb, dim=4).collect()}
