@@ -318,6 +318,58 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """G4-tier sequence analytics: signup → first subsequent click →
+    first subsequent purchase funnel over the event stream. Staged
+    conditional mins with join-back between stages (each stage is one
+    grouped aggregate + one broadcast-sized join)."""
+    ev = tables(spark, sf)["events"]
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("signed_up"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("clicked_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("purchased_after")))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS signed_up,
+       (SELECT COUNT(*) FROM s2) AS clicked_after,
+       (SELECT COUNT(*) FROM s3) AS purchased_after
+"""
+
+
 GOLD_CATALOG: list[QuerySpec] = [
     QuerySpec("q3_shipping_priority", q_q3_shipping_priority, ORACLE_Q3,
               "TPC-H Q3 shape: filtered 3-way join + top-k", headline=True,
@@ -340,4 +392,6 @@ GOLD_CATALOG: list[QuerySpec] = [
               "string scalar-function breadth", tags=("scalar",)),
     QuerySpec("date_funcs", q_date_funcs, ORACLE_DATE_FUNCS,
               "date scalar-function breadth", tags=("scalar",)),
+    QuerySpec("funnel", q_funnel, ORACLE_FUNNEL,
+              "signup→click→purchase funnel analytics", tags=("gold", "events")),
 ]
