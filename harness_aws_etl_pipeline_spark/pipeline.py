@@ -122,7 +122,13 @@ def run_job(
 
     result: dict[str, Any] = {"job_id": job_id, "source": source_info}
     try:
-        df, extract_stats = source_extract(spark, source_info)
+        df, extract_stats = source_extract(
+            spark,
+            source_info,
+            infer_schema=cfg.get("etl.extract.infer_schema", True),
+            isolate_errors=cfg.get("etl.extract.per_file_error_isolation", True),
+            max_file_size_mb=cfg.get("etl.extract.max_file_size_mb", 0),
+        )
         result["extract"] = extract_stats
         if df is None:
             result.update(status="skipped", reason="no input files")

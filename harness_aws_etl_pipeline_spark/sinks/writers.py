@@ -41,9 +41,20 @@ def write_table(
     partition_by: list[str] | None = None,
     compression: str | None = None,
     max_records_per_file: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """L1/L2/L3/L4 — write ``df`` in ``fmt`` with optional hive
-    partitioning."""
+    partitioning.
+
+    ``sort_by`` sorts within partitions before writing — for parquet
+    this clusters values so row-group min/max statistics become
+    selective, enabling data skipping on those columns at read time
+    (the layout-level complement to partition pruning; at 100 TB,
+    sorting the silver layer by its hottest filter column routinely
+    skips most row groups).
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)
     if partition_by:
         present = [c for c in partition_by if c in df.columns]

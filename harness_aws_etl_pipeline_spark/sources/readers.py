@@ -177,12 +177,34 @@ def _union_by_name(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _size_guard(paths: list[str], max_file_size_mb: int, stats: dict) -> list[str]:
+    """Optional input-size guardrail (reference config.yaml:79 —
+    ``etl.extract.max_file_size_mb``; there it protected a 256 MB
+    Lambda, here it is a data-quality tripwire). Oversized LOCAL files
+    are skipped and recorded; 0 disables."""
+    if not max_file_size_mb:
+        return paths
+    cap = max_file_size_mb * 1024 * 1024
+    kept = []
+    for p in paths:
+        local = p.removeprefix("file:")
+        try:
+            if os.path.isfile(local) and os.path.getsize(local) > cap:
+                stats.setdefault("oversized_files", []).append(p)
+                continue
+        except OSError:
+            pass
+        kept.append(p)
+    return kept
+
+
 def read_batch(
     spark: SparkSession,
     prefix: str,
     schema: StructType | None = None,
     infer_schema: bool = True,
     isolate_errors: bool = True,
+    max_file_size_mb: int = 0,
 ) -> tuple[DataFrame | None, dict]:
     """S6 — read every supported file under ``prefix`` and union rows.
 
@@ -198,6 +220,7 @@ def read_batch(
     """
     files = list_supported_files(prefix)
     stats: dict = {"files_listed": len(files), "failed_files": []}
+    files = _size_guard(files, max_file_size_mb, stats)
     if not files:
         return None, stats
 
@@ -233,6 +256,8 @@ def extract(
     source_info: dict,
     schema: StructType | None = None,
     infer_schema: bool = True,
+    isolate_errors: bool = True,
+    max_file_size_mb: int = 0,
 ) -> tuple[DataFrame | None, dict]:
     """S7 — trigger-driven routing (reference extractor.py:42-69 +
     lambda_handler.py:155-197 event parse).
@@ -246,8 +271,20 @@ def extract(
     kind = source_info.get("type", "direct")
     if kind in ("s3", "direct"):
         path = source_info["path"]
+        stats: dict = {"files_listed": 1, "failed_files": []}
+        if not _size_guard([path], max_file_size_mb, stats):
+            stats["files_read"] = 0
+            return None, stats
         df = read_file(spark, path, schema=schema, infer_schema=infer_schema)
-        return df, {"files_listed": 1, "files_read": 1, "failed_files": []}
+        stats["files_read"] = 1
+        return df, stats
     if kind in ("batch", "scheduled"):
-        return read_batch(spark, source_info["prefix"], schema=schema, infer_schema=infer_schema)
+        return read_batch(
+            spark,
+            source_info["prefix"],
+            schema=schema,
+            infer_schema=infer_schema,
+            isolate_errors=isolate_errors,
+            max_file_size_mb=max_file_size_mb,
+        )
     raise ValueError(f"unknown source type: {kind!r}")

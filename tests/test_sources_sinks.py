@@ -84,6 +84,37 @@ class TestBatch:
             extract(spark, {"type": "bogus"})
 
 
+class TestSizeGuard:
+    def test_oversized_file_skipped(self, spark, tmp_path):
+        small = tmp_path / "small.csv"
+        small.write_text(CSV)
+        big = tmp_path / "big.csv"
+        big.write_text("id,name,amount\n" + "9,x,1.0\n" * 200_000)  # ~2 MB
+        df, stats = read_batch(spark, str(tmp_path), max_file_size_mb=1)
+        assert df.count() == 2  # only the small file
+        assert len(stats["oversized_files"]) == 1
+        assert "big.csv" in stats["oversized_files"][0]
+
+    def test_direct_oversized_returns_none(self, spark, tmp_path):
+        big = tmp_path / "big.csv"
+        big.write_text("id,name,amount\n" + "9,x,1.0\n" * 200_000)
+        df, stats = extract(
+            spark, {"type": "direct", "path": str(big)}, max_file_size_mb=1
+        )
+        assert df is None and stats["files_read"] == 0
+
+    def test_config_wires_into_run_job(self, spark, tmp_path, monkeypatch):
+        from harness_aws_etl_pipeline_spark.pipeline import run_job
+
+        big = tmp_path / "big.csv"
+        big.write_text("id,name,amount\n" + "9,x,1.0\n" * 200_000)
+        monkeypatch.setenv("ETL_EXTRACT_MAX_FILE_SIZE_MB", "1")
+        result = run_job(
+            spark, {"type": "direct", "path": str(big)}, str(tmp_path / "out")
+        )
+        assert result["status"] == "skipped"
+
+
 class TestCorruptCapture:
     def test_bad_rows_quarantined(self, spark, tmp_path):
         from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -145,6 +176,29 @@ class TestSinks:
     def test_unsupported_format(self, sample_df, tmp_path):
         with pytest.raises(ValueError):
             write_table(sample_df, str(tmp_path / "x"), fmt="xml")
+
+    def test_schema_evolution_merge(self, spark, tmp_path):
+        """Schema evolution across appends: later files add columns;
+        mergeSchema reconciles (nulls where absent) — the 100 TB
+        reality of long-lived silver tables."""
+        path = str(tmp_path / "evolving")
+        spark.createDataFrame([(1, "a")], "id long, a string").write.mode(
+            "append"
+        ).parquet(path)
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, a string, score double"
+        ).write.mode("append").parquet(path)
+        merged = spark.read.option("mergeSchema", True).parquet(path)
+        assert set(merged.columns) == {"id", "a", "score"}
+        rows = {r["id"]: r["score"] for r in merged.collect()}
+        assert rows == {1: None, 2: 9.5}
+
+    def test_sorted_write(self, spark, tmp_path):
+        df = spark.createDataFrame([(i % 7, i) for i in range(100)], "k int, v int")
+        path = str(tmp_path / "sorted")
+        write_table(df.repartition(2), path, sort_by=["k"], mode="overwrite")
+        back = spark.read.parquet(path)
+        assert back.count() == 100
 
     def test_archive(self, tmp_path):
         src = tmp_path / "in.csv"
