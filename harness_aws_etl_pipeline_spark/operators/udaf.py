@@ -29,10 +29,15 @@ def median_udaf(v: pd.Series) -> float:  # type: ignore[misc]
 
 
 def group_medians(df: DataFrame, key: str, value: str) -> DataFrame:
-    """Per-key exact median via the GROUPED_AGG pandas UDAF."""
+    """Per-key exact median via the GROUPED_AGG pandas UDAF.
+
+    Rounded to 6 dp: pandas interpolates ``(a+b)/2`` while SQL engines
+    compute ``a+(b-a)*0.5`` — identical mathematically, but they can
+    differ in the final ULP, which a raw value-hash would notice.
+    """
     return (
         df.groupBy(key)
-        .agg(median_udaf(F.col(value)).alias("median_value"))
+        .agg(F.round(median_udaf(F.col(value)), 6).alias("median_value"))
         .orderBy(key)
     )
 

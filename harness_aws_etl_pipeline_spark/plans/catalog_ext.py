@@ -291,7 +291,7 @@ def q_pandas_udaf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_PANDAS_UDAF = """
-SELECT event_type, quantile_cont(value, 0.5) AS median_value
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS median_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -68,6 +68,22 @@ class TestSparkProperties:
         assert got == want
 
     @given(
+        st.lists(st.floats(-1e5, 1e5), min_size=1, max_size=40),
+        st.integers(1, 13),
+    )
+    @slow
+    def test_dsum_partition_invariant(self, spark, values, nparts):
+        """The determinism contract: dsum must give the BIT-identical
+        double no matter how rows are partitioned (a plain double sum
+        would not)."""
+        from harness_aws_etl_pipeline_spark.plans.catalog import dsum
+
+        df = spark.createDataFrame([(round(v, 4),) for v in values], "v double")
+        a = df.repartition(1).agg(dsum("v", "s")).first()["s"]
+        b = df.repartition(nparts).agg(dsum("v", "s")).first()["s"]
+        assert a == b  # exact equality, not approx
+
+    @given(
         st.lists(
             st.text(alphabet="ab ", min_size=0, max_size=40), min_size=2, max_size=6
         )
