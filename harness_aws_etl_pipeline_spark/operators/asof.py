@@ -112,10 +112,17 @@ def as_of_join(
             rhs = rhs.withColumn(c, F.lit(None))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
-    # right rows sort before left rows at equal time → >= matching
+    # right rows sort before left rows at equal time → >= matching;
+    # value columns as the final sort key make the carried match
+    # deterministic when several right rows share (key, time) — the
+    # greatest value-tuple wins, independent of partition order
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(
+            F.col("__t"),
+            F.col("__side"),
+            *[F.col(c).asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried: list[Column] = [

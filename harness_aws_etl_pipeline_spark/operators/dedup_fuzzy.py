@@ -79,6 +79,7 @@ def hashed_shingle_sets(
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
 
     def _shingle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hashlib import blake2b
@@ -102,7 +103,7 @@ def hashed_shingle_sets(
             yield pd.DataFrame({"doc_id": out_ids, "shingles": out_sh})
 
     return src.mapInPandas(
-        _shingle, "doc_id long, shingles array<long>"
+        _shingle, f"doc_id {id_type}, shingles array<long>"
     ).withColumn("set_size", F.size("shingles"))
 
 
@@ -199,6 +200,7 @@ def minhash_signatures(
     B = rng.integers(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hashlib import blake2b
@@ -225,7 +227,7 @@ def minhash_signatures(
                     out_sig.append(sig.astype(np.int64).tolist())
                 yield pd.DataFrame({"doc_id": out_ids, "signature": out_sig})
 
-    return src.mapInPandas(_sig, "doc_id long, signature array<long>")
+    return src.mapInPandas(_sig, f"doc_id {id_type}, signature array<long>")
 
 
 def minhash_lsh_candidates(
@@ -369,12 +371,18 @@ def deduplicate_near(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical near-dedup: keep one representative (the min-id
     member) per near-dup cluster, plus every unpaired document.
     The materialization step that turns pair detection into an
-    actually-deduplicated corpus."""
-    clusters = near_dup_clusters(pairs)
+    actually-deduplicated corpus.
+
+    Pass precomputed ``clusters`` (from :func:`near_dup_clusters`)
+    when you already ran the component loop — it is iterative and
+    should never run twice on the same pairs."""
+    if clusters is None:
+        clusters = near_dup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(
         losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"

@@ -243,6 +243,10 @@ def ivf_centroids(
     """
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     first = df.orderBy(id_col).limit(1).select(as_double.alias("c")).first()
+    if first is None:  # empty candidate set → empty quantizer
+        return df.sparkSession.createDataFrame(
+            [], "centroid_id long, centroid array<double>"
+        )
     seed_rows: list[tuple[int, list[float]]] = [(0, list(first["c"]))]
     for j in range(1, k):
         seeds_df = df.sparkSession.createDataFrame(

@@ -46,17 +46,20 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def predict_language(col: Column | str, min_hits: int = 1) -> Column:
-    """Argmax over marker-hit counts; ties break by language-code order;
-    below ``min_hits`` → 'unknown'."""
+    """Argmax over marker-hit counts; ties break toward the
+    alphabetically EARLIEST language code; below ``min_hits`` →
+    'unknown'. (Forward iteration: a later language only takes the
+    lead with a strictly greater score, so the first language at the
+    max keeps it — matching the generated SQL oracle's tie-break.)"""
     scores = lang_scores(col)
     langs = sorted(scores)
     best_lang = F.lit("unknown")
     best_score = F.lit(min_hits - 1)
-    for lang in reversed(langs):  # reversed so earlier langs win ties
+    for lang in langs:
         s = scores[lang]
-        best_lang = F.when(s >= F.greatest(best_score + 1, F.lit(min_hits)), F.lit(lang)).otherwise(
-            best_lang
-        )
+        best_lang = F.when(
+            s >= F.greatest(best_score + 1, F.lit(min_hits)), F.lit(lang)
+        ).otherwise(best_lang)
         best_score = F.greatest(best_score, s)
     return best_lang
 

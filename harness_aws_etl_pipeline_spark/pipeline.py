@@ -133,25 +133,24 @@ def run_job(
         if df is None:
             result.update(status="skipped", reason="no input files")
         else:
-            # Emptiness probe on an UNOBSERVED twin of the plan — a
-            # partial action on the observed plan would freeze the
-            # observation at bogus values (first action wins).
-            probe, _ = transform(df, cfg, collect_stats=False, rules=rules)
-            if probe.isEmpty():
-                result["transform"] = {}
-                result["load"] = {"status": "skipped", "reason": "empty input"}
-                result["status"] = "success"
-                result["duration_seconds"] = round(time.time() - started, 6)
-                if job_runs is not None:
-                    job_runs.complete(job_id, result)
-                if on_complete is not None:
-                    on_complete(result)
-                return result
+            # ONE pass: transform is built once (its data-dependent
+            # profiling — T5 parse ratios — runs once), observations
+            # attach to input and output, and the write is the only
+            # full action. Empty-skip is decided AFTER the write from
+            # the observed output count (no isEmpty probe — a partial
+            # action on an observed plan freezes the metrics at bogus
+            # values), cleaning up the output dir if this job created
+            # it.
+            import os as _os
+            import shutil as _shutil
+
             jm = JobMetrics()
             df = jm.observe_input(df)
             transformed, tstats = transform(df, cfg, collect_stats=False, rules=rules)
             transformed = jm.observe_output(transformed)
             result["transform"] = tstats
+            out_local = output_path.removeprefix("file:")
+            out_preexisted = _os.path.exists(out_local)
             result["load"] = sink_load(
                 transformed,
                 output_path,
@@ -175,6 +174,13 @@ def run_job(
             result["metrics"] = metrics
             if metrics_hook is not None:
                 metrics_hook(metrics)
+            if rows_out == 0:
+                # reference L5 semantics: empty output → skipped, no
+                # object left behind (only removable when this job
+                # created the directory — append jobs keep prior data)
+                if not out_preexisted and _os.path.exists(out_local):
+                    _shutil.rmtree(out_local, ignore_errors=True)
+                result["load"] = {"status": "skipped", "reason": "empty input"}
             result["status"] = "success"
         result["duration_seconds"] = round(time.time() - started, 6)
         if job_runs is not None:

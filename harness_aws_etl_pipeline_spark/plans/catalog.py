@@ -14,7 +14,7 @@ in plans/catalog_ext.py. ``CATALOG`` merges both.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -166,7 +166,7 @@ class QuerySpec:
     oracle: str | None  # None → driver records rows-only check
     description: str = ""
     headline: bool = False  # include in bench.py
-    tags: tuple[str, ...] = field(default=tuple)
+    tags: tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------- scans

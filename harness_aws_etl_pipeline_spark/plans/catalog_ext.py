@@ -64,7 +64,18 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("char_cnt").alias("char_total"),
             F.sum("word_cnt").cast("long").alias("word_total"),
             F.sum("token_cnt").cast("long").alias("token_total"),
-            F.round(F.sum(F.round(punct_ratio(F.col("text")), 6)), 4).alias("punct_ratio_sum"),
+            # scaled-long sum of the 6dp-rounded ratios: exact and
+            # order-independent (a plain double SUM drifts in the last
+            # ULPs with partition order and can flip the final ROUND)
+            F.round(
+                F.sum(
+                    F.round(F.round(punct_ratio(F.col("text")), 6) * 1_000_000).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 1_000_000.0,
+                4,
+            ).alias("punct_ratio_sum"),
         )
         .orderBy("source")
     )
@@ -75,9 +86,9 @@ SELECT source, COUNT(*) AS doc_cnt,
        SUM(LENGTH(text)) AS char_total,
        SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS word_total,
        SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token_total,
-       ROUND(SUM(ROUND(CASE WHEN LENGTH(text) > 0
+       ROUND(CAST(SUM(CAST(ROUND(ROUND(CASE WHEN LENGTH(text) > 0
              THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
-             ELSE 0.0 END, 6)), 4) AS punct_ratio_sum
+             ELSE 0.0 END, 6) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS punct_ratio_sum
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -383,7 +394,7 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2).persist()
     clusters = near_dup_clusters(pairs)
-    survivors = deduplicate_near(docs, pairs)
+    survivors = deduplicate_near(docs, pairs, clusters=clusters)
     summary = clusters.agg(
         F.count(F.lit(1)).alias("clustered_docs"),
         F.countDistinct("cluster_id").alias("cluster_cnt"),
@@ -619,7 +630,14 @@ def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("vec_cnt"),
             F.max("dim").alias("dim"),
-            F.round(F.sum("l2_norm"), 4).alias("norm_sum"),
+            # scaled-long sum of the 6dp-rounded norms (order-exact)
+            F.round(
+                F.sum(F.round(F.col("l2_norm") * 1_000_000).cast("long")).cast(
+                    "double"
+                )
+                / 1_000_000.0,
+                4,
+            ).alias("norm_sum"),
         )
         .orderBy("label")
     )
@@ -627,9 +645,9 @@ def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_EMBEDDING_NORMS = """
 SELECT label, COUNT(*) AS vec_cnt, MAX(len(embedding)) AS dim,
-       ROUND(SUM(ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       ROUND(CAST(SUM(CAST(ROUND(ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
-         (acc, x) -> acc + x)), 6)), 4) AS norm_sum
+         (acc, x) -> acc + x)), 6) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS norm_sum
 FROM embeddings GROUP BY label ORDER BY label
 """
 

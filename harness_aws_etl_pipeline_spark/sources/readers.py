@@ -247,7 +247,8 @@ def read_batch(
     if not parts:
         return None, stats
     df = _union_by_name(parts) if len(parts) > 1 else parts[0]
-    stats["files_read"] = stats["files_listed"] - len(stats["failed_files"])
+    # count from the post-guard file list: listed − oversized − failed
+    stats["files_read"] = len(files) - len(stats["failed_files"])
     return df, stats
 
 

@@ -81,6 +81,23 @@ class TestAsOfJoin:
         assert out[3] is None  # nothing at or before 09:00
         assert out[4] == 40.0  # exact timestamp tie matches (>=)
 
+    def test_duplicate_right_timestamps_deterministic(self, spark):
+        # two right rows at the identical (key, time): the carried
+        # value must be the greatest value tuple, independent of
+        # partitioning
+        left = spark.createDataFrame(
+            [(1, "u1", "2024-01-01 10:00:00")], "event_id long, user_id string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [("u1", "2024-01-01 09:00:00", 5.0), ("u1", "2024-01-01 09:00:00", 9.0)],
+            "user_id string, p_ts string, p_value double",
+        ).withColumn("p_ts", F.to_timestamp("p_ts"))
+        for nparts in (1, 4):
+            got = as_of_join(
+                left, right.repartition(nparts), "user_id", "ts", "p_ts", ["p_value"]
+            ).first()["p_value_asof"]
+            assert got == 9.0
+
     def test_row_count_preserved(self, spark):
         left, right = _dfs(spark)
         assert as_of_join(left, right, "user_id", "ts", "p_ts").count() == left.count()

@@ -257,6 +257,13 @@ class TestTextOps:
         out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", predict_language(F.col("text")).alias("lang")).collect()}
         assert out == {1: "en", 2: "de", 3: "unknown"}
 
+    def test_language_tie_breaks_to_earliest_code(self, spark):
+        # 'la' is a marker for BOTH es and fr → tie must resolve to the
+        # alphabetically earlier code (es), matching the SQL oracle
+        df = spark.createDataFrame([(1, "la xyzzy qqq")], "doc_id long, text string")
+        got = df.select(predict_language(F.col("text")).alias("lang")).first()["lang"]
+        assert got == "es"
+
     def test_quality_monotone_in_length(self, spark):
         df = spark.createDataFrame(
             [(1, "the of and " * 50), (2, "x")], "doc_id long, text string"
