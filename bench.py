@@ -45,12 +45,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - surface in timed pass
             print(f"# warmup {spec.name} failed: {exc}", file=sys.stderr)
 
+    # two timed runs, report the min — steady-state throughput with
+    # scheduler/GC jitter removed
     timings: dict[str, float] = {}
     for spec in headline:
-        start = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        n = len(df.collect())
-        timings[spec.name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            start = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            n = len(df.collect())
+            best = min(best, time.perf_counter() - start)
+        timings[spec.name] = round(best, 3)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -67,21 +67,46 @@ def run_available_now(
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
     timeout_sec: int = 300,
+    on_batch: Callable[[int, dict], None] | None = None,
 ) -> bool:
     """Process everything currently available, then stop (the
     reference's scheduled sweep, exactly-once).
 
+    ``on_batch(batch_id, info)`` is the streaming analogue of the
+    batch job's L8/L9 hooks: called after each micro-batch commits
+    with ``{"rows": n}`` — wire it to JobRuns/notifications for
+    per-batch lineage. When set, the sink runs through foreachBatch
+    (same write, plus the callback); otherwise the native file sink.
+
     Returns True if the query terminated within the timeout.
     """
     df = transform(stream_df) if transform is not None else stream_df
-    writer = (
-        df.writeStream.format(fmt)
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-    )
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+
+    if on_batch is not None:
+
+        def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            w = batch_df.write.mode("append")
+            if partition_by:
+                present = [c for c in partition_by if c in batch_df.columns]
+                if present:
+                    w = w.partitionBy(*present)
+            getattr(w, "parquet" if fmt == "parquet" else fmt)(output_path)
+            on_batch(batch_id, {"rows": batch_df.count()})
+
+        writer = (
+            df.writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        )
+    else:
+        writer = (
+            df.writeStream.format(fmt)
+            .option("path", output_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .outputMode("append")
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
     query = writer.start()
     return query.awaitTermination(timeout_sec)

@@ -55,6 +55,30 @@ class TestAvailableNowIngest:
         assert back.count() == 3
         assert {r["id"] for r in back.collect()} == {1, 2, 3}
 
+    def test_on_batch_hook(self, spark, tmp_path):
+        import os
+        import time as _time
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        (land / "f1.csv").write_text(CSV1)
+        (land / "f2.csv").write_text(CSV2)
+        now = _time.time()
+        os.utime(land / "f1.csv", (now - 100, now - 100))
+        os.utime(land / "f2.csv", (now, now))
+
+        seen = []
+        src = stream_ingest(spark, str(land), SCHEMA, fmt="csv", max_files_per_trigger=1)
+        assert run_available_now(
+            src,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            timeout_sec=120,
+            on_batch=lambda bid, info: seen.append((bid, info["rows"])),
+        )
+        assert sorted(r for _b, r in seen) == [1, 2]  # one callback per batch
+        assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
     def test_transform_applied_per_microbatch(self, spark, tmp_path):
         land = tmp_path / "landing"
         land.mkdir()
