@@ -55,23 +55,36 @@ def transform(
     ``observe`` on the write action instead).
 
     ``rules`` — a §2.12 RuleSet applied after the built-in steps.
+
+    Streaming inputs: T5 numeric inference is skipped (data-dependent
+    schema requires a profiling pass, which is undefined over an
+    unbounded stream — pin schemas explicitly at the streaming source
+    instead), and the 'flag' null strategy flags every column rather
+    than profiling which ones contain nulls.
     """
     cfg = config or EngineConfig()
     stats: dict[str, Any] = {}
+    streaming = df.isStreaming
 
-    if collect_stats:
+    if collect_stats and not streaming:
         stats["rows_in"] = df.count()
         stats["columns_in"] = len(df.columns)
 
     out = normalize_column_names(df)
-    out = handle_nulls(out, cfg.get("etl.transform.null_handling", "drop"))
+    null_strategy = cfg.get("etl.transform.null_handling", "drop")
+    if streaming and null_strategy == "flag":
+        from harness_aws_etl_pipeline_spark.operators import flag_nulls
+
+        out = flag_nulls(out, columns_with_nulls=list(out.columns))
+    else:
+        out = handle_nulls(out, null_strategy)
 
     if cfg.get("etl.transform.deduplicate", True):
         out = deduplicate_exact(out)
 
     if cfg.get("etl.transform.infer_dates", True):
         out = cast_date_like_columns(out)
-    if cfg.get("etl.transform.infer_numeric", True):
+    if cfg.get("etl.transform.infer_numeric", True) and not streaming:
         out = infer_numeric_columns(
             out, threshold=cfg.get("etl.transform.numeric_parse_threshold", 0.8)
         )
@@ -83,7 +96,7 @@ def transform(
         out, applied = rules.apply(out)
         stats["rules_applied"] = applied
 
-    if collect_stats:
+    if collect_stats and not streaming:
         stats["rows_out"] = out.count()
         stats["columns_out"] = len(out.columns)
         stats["rows_removed"] = stats["rows_in"] - stats["rows_out"]
