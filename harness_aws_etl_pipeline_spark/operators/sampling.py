@@ -1,0 +1,44 @@
+"""[EXT] Deterministic dataset splitting & sampling for training data.
+
+Train/val/test splits at 100 TB must be (a) deterministic across
+reruns and cluster layouts, (b) stable under data appends (a document
+never migrates between splits), and (c) free of driver-side state.
+Hash-based assignment gives all three: ``bucket = xxhash64(key, salt)
+mod 100``; a row's split depends only on its key.
+
+``sample_fraction`` is the same mechanism as a WHERE clause —
+predicate-pushdown-friendly, unlike ``df.sample`` whose
+partition-seeded RNG reshuffles membership whenever partitioning
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_bucket(key: Column | str, salt: int = 0, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from a key column."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(buckets))
+
+
+def split_train_test(
+    df: DataFrame,
+    key: str,
+    train_frac: float = 0.8,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split on a stable key hash. A key's assignment
+    never changes with appends, repartitioning, or rerun."""
+    cut = int(round(train_frac * 100))
+    bucket = split_bucket(key, salt)
+    return df.filter(bucket < cut), df.filter(bucket >= cut)
+
+
+def sample_fraction(df: DataFrame, key: str, fraction: float, salt: int = 0) -> DataFrame:
+    """Deterministic ~fraction sample keyed on the hash bucket."""
+    cut = int(round(fraction * 10_000))
+    c = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(10_000))
+    return df.filter(c < cut)

@@ -115,3 +115,38 @@ def add_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", exact_fingerprint(text_col)).withColumn(
         "fp_rolling", rolling_fingerprint(text_col)
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus TF-IDF: (doc_id, term, tf, df, tfidf).
+
+    Three aggregates, all shuffle-bounded on the term: per-doc term
+    counts (explode + groupBy), document frequencies (groupBy term),
+    and idf = ln(N/df) joined back. No UDFs; ln/×/÷ are deterministic
+    per-operand, so scores are engine-exact (order-sensitive SUMs over
+    them must use the scaled-long technique — see the catalog query).
+    ``min_df`` prunes hapax terms before the join (at 100 TB the df
+    table IS the vocabulary — pruning it is what keeps the broadcast
+    join a broadcast).
+    """
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )

@@ -291,6 +291,68 @@ FROM jac WHERE jaccard >= 0.2
 """
 
 
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] corpus TF-IDF: top-15 terms by aggregate score (scaled-
+    long sum of the 6dp-rounded per-doc scores; rank ties broken by
+    term)."""
+    from harness_aws_etl_pipeline_spark.operators.textops import tf_idf
+
+    docs = _t(spark, sf, "documents")
+    scored = tf_idf(docs, min_df=2)
+    return (
+        scored.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.round(
+                F.sum(F.round(F.col("tfidf") * 1_000_000).cast("long")).cast("double")
+                / 1_000_000.0,
+                4,
+            ).alias("tfidf_sum"),
+        )
+        .orderBy(F.col("tfidf_sum").desc(), F.col("term"))
+        .limit(15)
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(list_filter(string_split_regex(text, '\s+'), t -> t != ''),
+                                 t -> lower(t))) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= 2
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT term, COUNT(*) AS doc_cnt,
+       ROUND(CAST(SUM(CAST(ROUND(tfidf * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+         AS tfidf_sum
+FROM scored GROUP BY term ORDER BY tfidf_sum DESC, term LIMIT 15
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] deterministic train/test split (rows-only: bucket hash is
+    engine-internal). Checks partition-invariance structurally: split
+    sizes sum to the corpus and are disjoint by construction."""
+    from harness_aws_etl_pipeline_spark.operators.sampling import split_train_test
+
+    docs = _t(spark, sf, "documents")
+    train, test = split_train_test(docs, "doc_id", train_frac=0.8)
+    return (
+        train.agg(F.count(F.lit(1)).alias("train_cnt"))
+        .crossJoin(test.agg(F.count(F.lit(1)).alias("test_cnt")))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("total_cnt")))
+    )
+
+
 def q_pandas_udaf(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] GROUPED_AGG pandas UDAF: per-event-type exact median —
     deterministic (sorted exact doubles, no accumulation order), so the
@@ -703,6 +765,11 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
               "[EXT] as-of join (window composition vs native ASOF)",
               tags=("ext", "join")),
+    QuerySpec("tfidf", q_tfidf, ORACLE_TFIDF,
+              "[EXT] corpus TF-IDF top terms", tags=("ext", "text")),
+    QuerySpec("train_test_split", q_train_test_split, None,
+              "[EXT] deterministic hash split (rows-only)",
+              tags=("ext", "sampling")),
     QuerySpec("pandas_udaf", q_pandas_udaf, ORACLE_PANDAS_UDAF,
               "[EXT] GROUPED_AGG pandas UDAF (exact median)",
               tags=("ext", "udf")),

@@ -279,6 +279,68 @@ class TestTextOps:
         assert rows[1] != rows[2]  # same tokens, different order
 
 
+class TestTfIdf:
+    def test_scores_favor_rare_terms(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import tf_idf
+
+        df = spark.createDataFrame(
+            [
+                (1, "common rare1 common"),
+                (2, "common other words"),
+                (3, "common more words"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {(r["doc_id"], r["term"]): r for r in tf_idf(df).collect()}
+        # 'common' appears in all 3 docs → idf = ln(1) = 0
+        assert rows[(1, "common")]["tfidf"] == 0.0
+        assert rows[(1, "common")]["tf"] == 2 and rows[(1, "common")]["df"] == 3
+        # 'rare1' in one doc → positive score
+        assert rows[(1, "rare1")]["tfidf"] > 1.0
+
+    def test_min_df_prunes(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import tf_idf
+
+        df = spark.createDataFrame(
+            [(1, "aa bb"), (2, "aa cc")], "doc_id long, text string"
+        )
+        terms = {r["term"] for r in tf_idf(df, min_df=2).collect()}
+        assert terms == {"aa"}
+
+
+class TestSampling:
+    def test_split_disjoint_stable_append_safe(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import split_train_test
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+        train, test = split_train_test(df, "id", train_frac=0.8)
+        tr = {r["id"] for r in train.collect()}
+        te = {r["id"] for r in test.collect()}
+        assert tr.isdisjoint(te) and len(tr) + len(te) == 1000
+        assert 700 < len(tr) < 900  # ~80%
+        # append-stability: the same ids land in the same split on a
+        # superset of the data
+        bigger = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+        tr2, _ = split_train_test(bigger, "id", train_frac=0.8)
+        tr2_ids = {r["id"] for r in tr2.collect()}
+        assert tr == {i for i in tr2_ids if i < 1000}
+
+    def test_salt_changes_assignment(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import split_train_test
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a, _ = split_train_test(df, "id", salt=0)
+        b, _ = split_train_test(df, "id", salt=1)
+        assert {r["id"] for r in a.collect()} != {r["id"] for r in b.collect()}
+
+    def test_sample_fraction(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import sample_fraction
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+        s = sample_fraction(df, "id", 0.1)
+        assert 120 < s.count() < 280  # ~10%
+
+
 class TestMultimodal:
     def test_payload_and_features(self, docs):
         media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
