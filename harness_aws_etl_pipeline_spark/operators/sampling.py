@@ -42,3 +42,26 @@ def sample_fraction(df: DataFrame, key: str, fraction: float, salt: int = 0) -> 
     cut = int(round(fraction * 10_000))
     c = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(10_000))
     return df.filter(c < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing for
+    training mixes): each stratum keeps its own hash-bucket fraction;
+    strata absent from ``fractions`` are dropped. Same determinism
+    guarantees as :func:`sample_fraction` — membership is a pure
+    function of (key, salt), so rebuilding the mix with new weights
+    reuses overlapping rows instead of reshuffling everything."""
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(10_000))
+    # per-stratum threshold: chained when() over the strata, else 0
+    threshold = F.lit(0)
+    for stratum, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(frac * 10_000)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
