@@ -1,0 +1,117 @@
+"""Unified deduplication facade — one entry point over the whole
+family (the engine-user surface; each strategy remains individually
+importable for tuning).
+
+    deduplicate(df, method="exact")                      # T3
+    deduplicate(df, method="hash", subset=["text"])      # 8-byte key
+    deduplicate(df, method="ngram", threshold=0.8)       # exact Jaccard
+    deduplicate(df, method="minhash", threshold=0.8)     # LSH, approx
+    deduplicate(df, method="simhash", max_hamming=3)
+    deduplicate(df, method="embedding", threshold=0.95,
+                vec_col="embedding")
+
+All near-dup methods resolve candidate pairs → connected components →
+keep the min-id representative per cluster (deduplicate_near), so the
+result is always "the corpus with duplicates removed", regardless of
+method.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from harness_aws_etl_pipeline_spark.operators.dedup import (
+    deduplicate_by_hash,
+    deduplicate_exact,
+)
+from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+    deduplicate_near,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+METHODS = ("exact", "hash", "ngram", "minhash", "simhash", "embedding")
+
+
+def deduplicate(
+    df: DataFrame,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    subset: list[str] | None = None,
+    threshold: float = 0.8,
+    max_hamming: int = 3,
+    n: int = 5,
+    **kwargs: Any,
+) -> DataFrame:
+    """Deduplicated DataFrame via the chosen strategy (see module doc)."""
+    if method == "exact":
+        return deduplicate_exact(df, subset=subset)
+    if method == "hash":
+        return deduplicate_by_hash(df, subset=subset)
+    if method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **kwargs
+        ).select("doc_a", "doc_b")
+        return deduplicate_near(df, pairs, id_col=id_col)
+    if method == "minhash":
+        pairs = minhash_dedup_pairs(
+            df, id_col=id_col, text_col=text_col, n=n, threshold=threshold, **kwargs
+        ).select("doc_a", "doc_b")
+        return deduplicate_near(df, pairs, id_col=id_col)
+    if method == "simhash":
+        sketches = simhash(df, id_col=id_col, text_col=text_col)
+        pairs = simhash_near_pairs(sketches, max_hamming=max_hamming).select(
+            "doc_a", "doc_b"
+        )
+        return deduplicate_near(df, pairs, id_col=id_col)
+    if method == "embedding":
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        pairs = (
+            embedding_near_dup_pairs(
+                df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
+            )
+            .selectExpr("id_a AS doc_a", "id_b AS doc_b")
+        )
+        return deduplicate_near(df, pairs, id_col=id_col)
+    raise ValueError(f"unknown dedup method {method!r}; choose from {METHODS}")
+
+
+def similarity_search(
+    candidates: DataFrame,
+    queries: DataFrame,
+    method: str = "brute",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs: Any,
+) -> DataFrame:
+    """Unified ANN facade: exact ('brute' zip_with / 'brute_arrow'
+    BLAS) or approximate ('lsh', 'ivf') top-k — all return
+    (query_id, rank, neighbor_id, cosine)."""
+    from harness_aws_etl_pipeline_spark.operators import similarity as S
+
+    if method == "brute":
+        return S.brute_force_topk(candidates, queries, k, id_col, vec_col)
+    if method == "brute_arrow":
+        return S.brute_force_topk_arrow(candidates, queries, k, id_col, vec_col)
+    if method == "lsh":
+        dim = kwargs.pop("dim", None) or S._dim_of(candidates, vec_col)
+        return S.lsh_bucketed_topk(
+            candidates, queries, dim, k, id_col, vec_col, **kwargs
+        )
+    if method == "ivf":
+        return S.ivf_topk(
+            candidates, queries, k, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+    raise ValueError(
+        f"unknown similarity method {method!r}; choose brute/brute_arrow/lsh/ivf"
+    )

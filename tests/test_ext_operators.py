@@ -279,6 +279,60 @@ class TestTextOps:
         assert rows[1] != rows[2]  # same tokens, different order
 
 
+class TestDedupFacade:
+    def test_all_text_methods_remove_planted_dup(self, docs):
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        # docs: 1=BASE, 2=NEAR, 3=FAR, 4=BASE (exact text dup of 1)
+        for method, kw in [
+            ("exact", {"subset": ["text"]}),
+            ("hash", {"subset": ["text"]}),
+            ("ngram", {"threshold": 0.9, "n": 3}),
+            ("minhash", {"threshold": 0.9, "n": 3}),
+            ("simhash", {"max_hamming": 0}),
+        ]:
+            out = deduplicate(docs, method=method, **kw)
+            ids = {r["doc_id"] for r in out.collect()}
+            # exactly one of the two BASE copies survives; 2 and 3 stay
+            assert len(ids & {1, 4}) == 1 and {2, 3} <= ids, method
+            assert len(ids) == 3, method
+
+    def test_embedding_method(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        vecs = [(i, [float(i), 1.0, 0.0]) for i in range(1, 5)]
+        vecs.append((9, [1.0, 1.0, 0.0]))  # identical direction to vec 1
+        df = spark.createDataFrame(vecs, "doc_id long, embedding array<float>")
+        out = deduplicate(df, method="embedding", threshold=0.9999, dim=3)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 9 not in ids and 1 in ids
+
+    def test_unknown_method_raises(self, docs):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        with _pytest.raises(ValueError, match="unknown dedup method"):
+            deduplicate(docs, method="bogus")
+
+    def test_similarity_facade_methods_agree_on_top1(self, spark):
+        import random
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import (
+            similarity_search,
+        )
+
+        random.seed(5)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+        vecs.append((999, list(vecs[0][1])))  # exact twin of vec 0
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") == 0)
+        for method in ("brute", "brute_arrow", "lsh", "ivf"):
+            got = similarity_search(df, q, method=method, k=3)
+            top = got.filter(F.col("rank") == 1).first()
+            assert top["neighbor_id"] == 999, method
+
+
 class TestTfIdf:
     def test_scores_favor_rare_terms(self, spark):
         from harness_aws_etl_pipeline_spark.operators.textops import tf_idf
