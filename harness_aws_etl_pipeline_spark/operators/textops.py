@@ -117,6 +117,83 @@ def add_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-tokenization step for training-sequence packing.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens). Stride =
+    chunk_tokens − overlap; the final partial window is kept (a short
+    tail beats dropping trailing text). Pure array expressions
+    (sequence + slice + concat_ws) exploded per chunk — the row
+    explosion is the intended output, not a join blow-up, and
+    everything stays narrow until the caller aggregates.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    # Empty docs are filtered up front so n_chunks >= 1 everywhere —
+    # F.sequence(0, n-1) counts DOWN when n-1 < 0, so a zero-chunk row
+    # must never reach it. Docs at or under the overlap get one chunk.
+    src = df.withColumn("__toks", tokens(text_col)).filter(F.size("__toks") > 0)
+    toks = F.col("__toks")
+    n_chunks = F.when(F.size(toks) <= overlap, F.lit(1)).otherwise(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.size(toks) - i * stride, F.lit(chunk_tokens)).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return src.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+# Redaction patterns: email, long digit runs (phone/ids), IPv4.
+REDACTION_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "number": r"\b\d{6,}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_text(
+    col: Column | str, patterns: dict[str, str] | None = None
+) -> Column:
+    """PII-style scrubbing: replace each pattern class with a
+    ``[CLASS]`` placeholder. Chained regexp_replace — JVM-side, one
+    projection, order = dict order (IPv4 before bare numbers matters,
+    so the default dict lists specific classes first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pats = patterns or {
+        "email": REDACTION_PATTERNS["email"],
+        "ipv4": REDACTION_PATTERNS["ipv4"],
+        "number": REDACTION_PATTERNS["number"],
+    }
+    out = c
+    for name, pattern in pats.items():
+        out = F.regexp_replace(out, pattern, f"[{name.upper()}]")
+    return out
+
+
 def tf_idf(
     df: DataFrame,
     id_col: str = "doc_id",

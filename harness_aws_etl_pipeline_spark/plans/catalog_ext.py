@@ -291,6 +291,81 @@ FROM jac WHERE jaccard >= 0.2
 """
 
 
+def q_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] document chunking: overlapping 32-token windows (stride
+    24), rolled up to chunk counts + token accounting."""
+    from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return chunks.agg(
+        F.count(F.lit(1)).alias("chunk_cnt"),
+        F.countDistinct("doc_id").alias("docs_chunked"),
+        F.sum("n_tokens").cast("long").alias("token_total"),
+        F.max("chunk_idx").cast("int").alias("max_chunk_idx"),
+    )
+
+
+ORACLE_CHUNKING = r"""
+WITH toks AS (
+  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 8 THEN 1
+              ELSE CAST(CEIL((n - 8) / 24.0) AS BIGINT) END AS n_chunks
+  FROM toks
+),
+exploded AS (
+  SELECT doc_id, n, UNNEST(range(0, n_chunks)) AS chunk_idx FROM chunks
+)
+SELECT COUNT(*) AS chunk_cnt,
+       COUNT(DISTINCT doc_id) AS docs_chunked,
+       SUM(LEAST(n - chunk_idx * 24, 32)) AS token_total,
+       CAST(MAX(chunk_idx) AS INT) AS max_chunk_idx
+FROM exploded
+"""
+
+
+def q_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] PII-style redaction over synthetic dirty text (emails and
+    long numbers injected deterministically into the corpus), counting
+    redacted placeholders."""
+    from harness_aws_etl_pipeline_spark.operators.textops import redact_text
+
+    docs = _t(spark, sf, "documents")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id 1234567890"),
+        ),
+    )
+    clean = dirty.withColumn("text", redact_text("text"))
+    return clean.agg(
+        F.sum(
+            (F.length("text") - F.length(F.regexp_replace("text", r"\[EMAIL\]", "")))
+            / F.lit(7)
+        ).cast("long").alias("emails_redacted"),
+        F.sum(
+            (F.length("text") - F.length(F.regexp_replace("text", r"\[NUMBER\]", "")))
+            / F.lit(8)
+        ).cast("long").alias("numbers_redacted"),
+        F.sum(F.col("text").contains("@").cast("long")).alias("emails_left"),
+    )
+
+
+ORACLE_REDACTION = r"""
+SELECT COUNT(*) AS emails_redacted, COUNT(*) AS numbers_redacted,
+       0 AS emails_left
+FROM documents
+"""
+
+
 def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] corpus TF-IDF: top-15 terms by aggregate score (scaled-
     long sum of the 6dp-rounded per-doc scores; rank ties broken by
@@ -765,6 +840,10 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
               "[EXT] as-of join (window composition vs native ASOF)",
               tags=("ext", "join")),
+    QuerySpec("chunking", q_chunking, ORACLE_CHUNKING,
+              "[EXT] overlapping token-window chunking", tags=("ext", "text")),
+    QuerySpec("redaction", q_redaction, ORACLE_REDACTION,
+              "[EXT] PII-style redaction", tags=("ext", "text")),
     QuerySpec("tfidf", q_tfidf, ORACLE_TFIDF,
               "[EXT] corpus TF-IDF top terms", tags=("ext", "text")),
     QuerySpec("train_test_split", q_train_test_split, None,

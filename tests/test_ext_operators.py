@@ -333,6 +333,55 @@ class TestDedupFacade:
             assert top["neighbor_id"] == 999, method
 
 
+class TestChunking:
+    def test_overlap_and_tail(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = {
+            r["chunk_idx"]: r
+            for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+        }
+        # stride 2: windows [0:4],[2:6],[4:8],[6:10] → 4 chunks
+        assert len(chunks) == 4
+        assert chunks[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert chunks[1]["chunk_text"] == "w2 w3 w4 w5"  # overlap of 2
+        assert chunks[3]["chunk_text"] == "w6 w7 w8 w9"
+        assert all(c["n_tokens"] == 4 for c in chunks.values())
+
+    def test_short_doc_single_chunk(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        rows = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 2
+
+    def test_bad_overlap_raises(self, spark):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestRedaction:
+    def test_patterns(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import redact_text
+
+        df = spark.createDataFrame(
+            [(1, "mail me at bob@corp.io or call 5551234567 from 10.0.0.1 x5")],
+            "id long, text string",
+        )
+        out = df.select(redact_text("text").alias("t")).first()["t"]
+        assert "[EMAIL]" in out and "bob@" not in out
+        assert "[NUMBER]" in out and "5551234567" not in out
+        assert "[IPV4]" in out and "10.0.0.1" not in out
+        assert "x5" in out  # short numbers untouched
+
+
 class TestTfIdf:
     def test_scores_favor_rare_terms(self, spark):
         from harness_aws_etl_pipeline_spark.operators.textops import tf_idf
