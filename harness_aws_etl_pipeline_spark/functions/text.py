@@ -47,11 +47,15 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     deduplicated per document *before* any explode.
     """
     toks = tokens(col)
-    nsh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), nsh),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    nsh = F.size(toks) - F.lit(n - 1)
+    # guard: F.sequence(1, 0) counts DOWN and slice(…, 0, n) is an
+    # error — docs shorter than n tokens get an empty shingle set
+    return F.when(nsh < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nsh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
     )
 

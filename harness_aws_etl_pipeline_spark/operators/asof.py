@@ -51,6 +51,9 @@ def range_join(
     lb = left.withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(left_point)) / bucket_width_seconds)
     )
+    # degenerate intervals (end <= start) match nothing and would make
+    # the bucket sequence count DOWN — drop them before exploding
+    right = right.filter(F.col(right_end) > F.col(right_start))
     rb = right.withColumn(
         "__bucket",
         F.explode(

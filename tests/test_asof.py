@@ -55,6 +55,21 @@ class TestRangeJoin:
         want = sorted((r["pid"], str(r["s"])) for r in naive.collect())
         assert got == want and len(got) == 4
 
+    def test_degenerate_interval_matches_nothing(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 02:00:00")], "pid long, t string"
+        ).withColumn("t", F.to_timestamp("t"))
+        iv = spark.createDataFrame(
+            [
+                ("2024-01-01 02:00:00", "2024-01-01 02:00:00"),  # empty
+                ("2024-01-01 03:00:00", "2024-01-01 01:00:00"),  # negative
+            ],
+            "s string, e string",
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        assert range_join(pts, iv, "t", "s", "e").count() == 0
+
     def test_exclusive_end_boundary(self, spark):
         from harness_aws_etl_pipeline_spark.operators.asof import range_join
 

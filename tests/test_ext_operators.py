@@ -52,6 +52,24 @@ class TestNgramJaccard:
         assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0  # near dup
         assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
 
+    def test_short_docs_dont_crash_expression_path(self, spark):
+        from harness_aws_etl_pipeline_spark.functions.text import shingles
+        from pyspark.sql import functions as F2
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "one two three four five six")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["s"]
+            for r in df.select("doc_id", shingles("text", 5).alias("s")).collect()
+        }
+        assert rows[1] == [] and rows[2] == []  # shorter than n → empty
+        assert len(rows[3]) == 2
+        # and the full jaccard pipeline tolerates them (expression path)
+        pairs = ngram_jaccard_pairs(df, n=5, threshold=0.1, arrow=False)
+        assert pairs.count() == 0
+
     def test_arrow_and_expression_paths_agree(self, docs):
         """Jaccard is hash-agnostic (set overlap is preserved under any
         injective hash), so the Arrow/blake2b path and the JVM/xxhash64
