@@ -89,6 +89,10 @@ def brute_force_topk_arrow(
     from collections.abc import Iterator
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:  # no queries → empty result with the right schema
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine double"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
