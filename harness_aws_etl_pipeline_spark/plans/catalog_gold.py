@@ -318,6 +318,67 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def q_rollup_year_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical ROLLUP (year → priority → grand total) — the
+    drill-down companion to cube's full cross product."""
+    o = tables(spark, sf)["orders"]
+    return (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .rollup("yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.grouping_id("yr", "o_orderpriority").cast("int").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("yr").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT yr, o_orderpriority, COUNT(*) AS order_cnt,
+       CAST(GROUPING(yr, o_orderpriority) AS INT) AS gid
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, o_orderpriority
+      FROM orders)
+GROUP BY ROLLUP (yr, o_orderpriority)
+ORDER BY gid, yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_array_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation: sorted distinct collections per group
+    (collect_set + array_sort) + element access."""
+    n = tables(spark, sf)["nation"]
+    r = tables(spark, sf)["region"]
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+        .select(
+            "r_name",
+            F.size("nations").alias("nation_cnt"),
+            F.element_at("nations", 1).alias("first_nation"),
+            F.element_at("nations", -1).alias("last_nation"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_ARRAY_AGG = """
+SELECT r_name,
+       CAST(len(nations) AS INT) AS nation_cnt,
+       nations[1] AS first_nation,
+       nations[-1] AS last_nation
+FROM (
+  SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+) ORDER BY r_name
+"""
+
+
 def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """G4-tier sequence analytics: signup → first subsequent click →
     first subsequent purchase funnel over the event stream. Staged
@@ -394,4 +455,8 @@ GOLD_CATALOG: list[QuerySpec] = [
               "date scalar-function breadth", tags=("scalar",)),
     QuerySpec("funnel", q_funnel, ORACLE_FUNNEL,
               "signup→click→purchase funnel analytics", tags=("gold", "events")),
+    QuerySpec("rollup_year_priority", q_rollup_year_priority, ORACLE_ROLLUP,
+              "hierarchical rollup grouping sets", tags=("gold",)),
+    QuerySpec("array_agg", q_array_agg, ORACLE_ARRAY_AGG,
+              "sorted distinct array aggregation", tags=("gold",)),
 ]
