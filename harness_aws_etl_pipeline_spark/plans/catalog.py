@@ -242,8 +242,8 @@ def q_null_fill(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_NULL_FILL = f"""
 SELECT {sql_dsum("CASE WHEN value < 1.0 THEN 0.0 ELSE value END", "value_sum")},
-       SUM(CASE WHEN COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) = 0.0
-                THEN 1 ELSE 0 END) AS zero_cnt
+       CAST(SUM(CASE WHEN COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) = 0.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_cnt
 FROM events
 """
 
@@ -262,7 +262,7 @@ def q_null_flag(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_NULL_FLAG = """
-SELECT SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS flagged_cnt,
+SELECT CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_cnt,
        COUNT(*) AS row_cnt
 FROM events
 """
@@ -283,12 +283,12 @@ def q_null_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_NULL_COUNTS = """
-SELECT SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
-       SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
-       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
-       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS props_nulls
+SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
 FROM events
 """
 
@@ -662,7 +662,7 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_EVENTS_SESSIONIZE = """
-SELECT user_id, MAX(session_id) AS session_cnt, MAX(event_cnt) AS max_session_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS session_cnt, MAX(event_cnt) AS max_session_events
 FROM (
   SELECT user_id, session_id, COUNT(*) AS event_cnt FROM (
     SELECT user_id,
@@ -736,7 +736,7 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_SINK_ROUNDTRIP = """
 SELECT fmt AS format, (SELECT COUNT(*) FROM lineitem) AS row_cnt,
-       (SELECT SUM(l_orderkey) FROM lineitem) AS key_sum
+       (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM lineitem) AS key_sum
 FROM (VALUES ('csv'), ('json'), ('parquet')) AS t(fmt)
 ORDER BY fmt
 """
@@ -761,7 +761,7 @@ def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_JSON_PROPS = """
 SELECT event_type,
-       SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(CAST(props->>'k' AS BIGINT)) AS k_cnt,
        MAX(CAST(props->>'k' AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type

@@ -83,9 +83,9 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_TEXT_STATS = r"""
 SELECT source, COUNT(*) AS doc_cnt,
-       SUM(LENGTH(text)) AS char_total,
-       SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS word_total,
-       SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token_total,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS char_total,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS word_total,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS token_total,
        ROUND(CAST(SUM(CAST(ROUND(ROUND(CASE WHEN LENGTH(text) > 0
              THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
              ELSE 0.0 END, 6) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS punct_ratio_sum
@@ -99,13 +99,13 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return docs.agg(
         F.sum(word_count("text")).cast("long").alias("word_total"),
         F.sum(token_count_regex("text")).cast("long").alias("token_total"),
-        F.max(word_count("text")).alias("max_doc_words"),
+        F.max(word_count("text")).cast("long").alias("max_doc_words"),
     )
 
 
 ORACLE_TOKEN_COUNT = r"""
-SELECT SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS word_total,
-       SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token_total,
+SELECT CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS word_total,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS token_total,
        MAX(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS max_doc_words
 FROM documents
 """
@@ -211,7 +211,7 @@ ORACLE_FINGERPRINT = r"""
 SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
        COUNT(DISTINCT fp_rolling) AS distinct_rolling,
        MIN(md5(text)) AS min_md5,
-       SUM(fp_rolling) AS rolling_sum
+       CAST(SUM(fp_rolling) AS BIGINT) AS rolling_sum
 FROM (
   SELECT text,
          list_reduce(
@@ -323,7 +323,7 @@ exploded AS (
 )
 SELECT COUNT(*) AS chunk_cnt,
        COUNT(DISTINCT doc_id) AS docs_chunked,
-       SUM(LEAST(n - chunk_idx * 24, 32)) AS token_total,
+       CAST(SUM(LEAST(n - chunk_idx * 24, 32)) AS BIGINT) AS token_total,
        CAST(MAX(chunk_idx) AS INT) AS max_chunk_idx
 FROM exploded
 """
@@ -361,7 +361,7 @@ def q_redaction(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_REDACTION = r"""
 SELECT COUNT(*) AS emails_redacted, COUNT(*) AS numbers_redacted,
-       0 AS emails_left
+       CAST(0 AS BIGINT) AS emails_left
 FROM documents
 """
 
@@ -766,7 +766,7 @@ def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
         stats.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("vec_cnt"),
-            F.max("dim").alias("dim"),
+            F.max("dim").cast("long").alias("dim"),
             # scaled-long sum of the 6dp-rounded norms (order-exact)
             F.round(
                 F.sum(F.round(F.col("l2_norm") * 1_000_000).cast("long")).cast(
@@ -800,22 +800,26 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id", modality="text_blob")
     feats = extract_features(media)
+    f3 = F.element_at("feature", 4).cast("double")
     feat_agg = feats.agg(
         F.count(F.lit(1)).alias("feat_cnt"),
         # feature bin 3 = bytes 0x60-0x7F (lowercase ASCII) — the
-        # high-signal bin for text payloads
-        F.round(F.sum(F.element_at("feature", 4)), 4).alias("f3_sum"),
+        # high-signal bin for text payloads. Scaled-long sum so the
+        # accumulation order can't drift vs the oracle.
+        F.round(
+            F.sum(F.round(f3 * 1_000_000).cast("long")).cast("double") / 1_000_000.0, 4
+        ).alias("f3_sum"),
     )
     return media_summary(media).crossJoin(feat_agg)
 
 
 ORACLE_MULTIMODAL = r"""
 SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT text) AS distinct_payloads,
        COUNT(*) AS feat_cnt,
-       ROUND(SUM(CAST(LENGTH(regexp_replace(text, '[^\x60-\x7f]', '', 'g')) AS DOUBLE)
-                 / octet_length(encode(text))), 4) AS f3_sum
+       ROUND(CAST(SUM(CAST(ROUND(CAST(LENGTH(regexp_replace(text, '[^\x60-\x7f]', '', 'g')) AS DOUBLE)
+                 / octet_length(encode(text)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS f3_sum
 FROM documents
 """
 

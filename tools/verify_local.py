@@ -1,10 +1,12 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every catalog query through Spark AND its DuckDB oracle on the
-same parquet tables, then compares row count, column names, and
-order-insensitive values (columns sorted by name, rows sorted by their
-stringified tuple) — stricter than a hash: mismatching cells are
-printed.
+same parquet tables, then compares row count, column names, RESULT
+TYPES (both sides exported to Arrow — catches e.g. DuckDB HUGEINT vs
+Spark BIGINT, which the driver's type-aware value hash rejects even
+when the values are equal), and order-insensitive values (columns
+sorted by name, rows sorted by their stringified tuple) — stricter
+than a hash: mismatching cells are printed.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
@@ -17,9 +19,38 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pyarrow as pa
 
 from harness_aws_etl_pipeline_spark.plans.catalog import CATALOG, TABLE_NAMES
 from harness_aws_etl_pipeline_spark.session import get_spark
+
+
+def _norm_type(t: pa.DataType) -> str:
+    """Canonical spelling of an Arrow type for cross-engine compare.
+
+    Collapses equivalences that the driver's hash treats as equal
+    (string vs large_string, timestamp unit, list vs large_list) while
+    keeping the distinctions that broke round 1 (decimal128(38,0) from
+    a DuckDB HUGEINT SUM vs int64 from Spark).
+    """
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[tz={t.tz}]"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_norm_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_norm_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def _arrow_types(tbl: pa.Table) -> dict[str, str]:
+    return {f.name: _norm_type(f.type) for f in tbl.schema}
 
 
 def _norm_cell(v):
@@ -55,6 +86,7 @@ def main() -> int:
             sdf = spec.builder(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_types = _arrow_types(sdf.limit(0).toArrow())
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
@@ -66,6 +98,7 @@ def main() -> int:
             cur = con.execute(spec.oracle)
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
+            d_types = _arrow_types(con.execute(spec.oracle).arrow())
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
@@ -76,6 +109,15 @@ def main() -> int:
         if sc != dc:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={sc} duckdb={dc}")
+            continue
+        type_bad = {
+            c: (s_types.get(c), d_types.get(c))
+            for c in sc
+            if s_types.get(c) != d_types.get(c)
+        }
+        if type_bad:
+            failures.append(name)
+            print(f"FAIL  {name}: result types differ (spark, duckdb): {type_bad}")
             continue
         if len(sr) != len(dr):
             failures.append(name)
