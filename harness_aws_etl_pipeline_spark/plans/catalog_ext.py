@@ -13,11 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from harness_aws_etl_pipeline_spark.functions.text import (
-    punct_ratio,
-    token_count_regex,
-    word_count,
-)
+from harness_aws_etl_pipeline_spark.functions.text import punct_ratio
 from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -76,6 +72,7 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
                 / 1_000_000.0,
                 4,
             ).alias("punct_ratio_sum"),
+            F.max("word_cnt").cast("long").alias("max_doc_words"),
         )
         .orderBy("source")
     )
@@ -88,26 +85,9 @@ SELECT source, COUNT(*) AS doc_cnt,
        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS token_total,
        ROUND(CAST(SUM(CAST(ROUND(ROUND(CASE WHEN LENGTH(text) > 0
              THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
-             ELSE 0.0 END, 6) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS punct_ratio_sum
+             ELSE 0.0 END, 6) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS punct_ratio_sum,
+       CAST(MAX(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS max_doc_words
 FROM documents GROUP BY source ORDER BY source
-"""
-
-
-def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] corpus token counting: whitespace words vs regex tokens."""
-    docs = _t(spark, sf, "documents")
-    return docs.agg(
-        F.sum(word_count("text")).cast("long").alias("word_total"),
-        F.sum(token_count_regex("text")).cast("long").alias("token_total"),
-        F.max(word_count("text")).cast("long").alias("max_doc_words"),
-    )
-
-
-ORACLE_TOKEN_COUNT = r"""
-SELECT CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS word_total,
-       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS token_total,
-       MAX(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS max_doc_words
-FROM documents
 """
 
 
@@ -827,9 +807,8 @@ from harness_aws_etl_pipeline_spark.plans.catalog import QuerySpec  # noqa: E402
 
 EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("text_stats", q_text_stats, ORACLE_TEXT_STATS,
-              "[EXT] text statistics by source", headline=True, tags=("ext", "text")),
-    QuerySpec("token_count", q_token_count, ORACLE_TOKEN_COUNT,
-              "[EXT] corpus token counting", tags=("ext", "text")),
+              "[EXT] text statistics + token counts by source",
+              headline=True, tags=("ext", "text")),
     QuerySpec("lang_id", q_lang_id, _oracle_lang_id(),
               "[EXT] marker-word language ID", tags=("ext", "text")),
     QuerySpec("quality_score", q_quality_score, ORACLE_QUALITY,

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from harness_aws_etl_pipeline_spark.plans.catalog import (
     QuerySpec,
     dsum,
+    q_join_counts,
     sql_dsum,
     tables,
 )
@@ -245,6 +246,45 @@ SELECT * FROM (
 """
 
 
+def q_relalg_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6/§2.7 — the relational-algebra cardinality panel:
+    inner/left/semi/anti join counts (q_join_counts) unioned with
+    intersect/except/union-distinct counts (q_set_ops) under a common
+    ``op`` tag. One catalog entry covers both SURVEY rows."""
+    j = q_join_counts(spark, sf).withColumnRenamed("join_kind", "op")
+    s = q_set_ops(spark, sf).withColumnRenamed("set_op", "op")
+    return j.unionByName(s).orderBy("op")
+
+
+ORACLE_RELALG_COUNTS = """
+SELECT * FROM (
+  SELECT 'inner' AS op, COUNT(*) AS row_cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'left', COUNT(*) FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  UNION ALL
+  SELECT 'semi', COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT 'anti', COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT 'except_distinct', COUNT(*) FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+  UNION ALL
+  SELECT 'intersect', COUNT(*) FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+  UNION ALL
+  SELECT 'union_distinct', COUNT(*) FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+) ORDER BY op
+"""
+
+
 def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """§2.9 string-function breadth: case, trim/pad, substring,
     replace, concat, split, levenshtein — one projection, codegen'd."""
@@ -347,6 +387,49 @@ ORDER BY gid, yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-set breadth in one entry: CUBE (priority × status) and
+    ROLLUP (year → priority) over orders, unioned under a common
+    (src, dim1, dim2) shape with grouping_id distinguishing levels.
+    Both remain single-shuffle Expand-based aggregates."""
+    cube = q_cube_priority_status(spark, sf).select(
+        F.lit("cube").alias("src"),
+        F.col("o_orderpriority").alias("dim1"),
+        F.col("o_orderstatus").alias("dim2"),
+        "order_cnt",
+        "gid",
+    )
+    roll = q_rollup_year_priority(spark, sf).select(
+        F.lit("rollup").alias("src"),
+        F.col("yr").cast("string").alias("dim1"),
+        F.col("o_orderpriority").alias("dim2"),
+        "order_cnt",
+        "gid",
+    )
+    return cube.unionByName(roll).orderBy(
+        "src",
+        F.col("gid"),
+        F.col("dim1").asc_nulls_first(),
+        F.col("dim2").asc_nulls_first(),
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT * FROM (
+  SELECT 'cube' AS src, o_orderpriority AS dim1, o_orderstatus AS dim2,
+         COUNT(*) AS order_cnt,
+         CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+  FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+  UNION ALL
+  SELECT 'rollup', CAST(yr AS VARCHAR), o_orderpriority, COUNT(*),
+         CAST(GROUPING(yr, o_orderpriority) AS INT)
+  FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, o_orderpriority
+        FROM orders)
+  GROUP BY ROLLUP (yr, o_orderpriority)
+) ORDER BY src, gid, dim1 ASC NULLS FIRST, dim2 ASC NULLS FIRST
+"""
+
+
 def q_array_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Array aggregation: sorted distinct collections per group
     (collect_set + array_sort) + element access."""
@@ -440,23 +523,21 @@ GOLD_CATALOG: list[QuerySpec] = [
               tags=("gold", "join")),
     QuerySpec("pivot_returnflag", q_pivot_returnflag, ORACLE_PIVOT,
               "pivot cross-tab", tags=("gold",)),
-    QuerySpec("cube_priority_status", q_cube_priority_status, ORACLE_CUBE,
-              "cube grouping sets", tags=("gold",)),
+    QuerySpec("grouping_sets", q_grouping_sets, ORACLE_GROUPING_SETS,
+              "cube + rollup grouping sets", tags=("gold",)),
     QuerySpec("sql_entry", q_sql_entry, PORTABLE_REVENUE_SQL,
               "G3 SQL entry point (same SQL text both engines)",
               tags=("gold", "sql")),
     QuerySpec("window_ranks", q_window_ranks, ORACLE_WINDOW_RANKS,
               "rank/dense_rank/ntile/percent_rank/cume_dist", tags=("window",)),
-    QuerySpec("set_ops", q_set_ops, ORACLE_SET_OPS,
-              "intersect/except/union-distinct", tags=("setop",)),
+    QuerySpec("relalg_counts", q_relalg_counts, ORACLE_RELALG_COUNTS,
+              "join + set-operation cardinality panel", tags=("join", "setop")),
     QuerySpec("string_funcs", q_string_funcs, ORACLE_STRING_FUNCS,
               "string scalar-function breadth", tags=("scalar",)),
     QuerySpec("date_funcs", q_date_funcs, ORACLE_DATE_FUNCS,
               "date scalar-function breadth", tags=("scalar",)),
     QuerySpec("funnel", q_funnel, ORACLE_FUNNEL,
               "signup→click→purchase funnel analytics", tags=("gold", "events")),
-    QuerySpec("rollup_year_priority", q_rollup_year_priority, ORACLE_ROLLUP,
-              "hierarchical rollup grouping sets", tags=("gold",)),
     QuerySpec("array_agg", q_array_agg, ORACLE_ARRAY_AGG,
               "sorted distinct array aggregation", tags=("gold",)),
 ]

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 # one per operator family — cheap but representative
 EXECUTED = [
     "g1_pricing_summary",
-    "join_counts",
+    "relalg_counts",
     "events_tumbling",
     "text_stats",
     "sim_bruteforce_topk",
