@@ -98,4 +98,8 @@ def quarantine(
     ok = preds[0]
     for p in preds[1:]:
         ok = ok & p
+    # null-safe split: a predicate evaluating to SQL NULL (e.g.
+    # `col > 5` on a null cell) must land the row in `bad`, not vanish
+    # from both sides (filter(ok) and filter(~ok) each drop NULL)
+    ok = F.coalesce(ok, F.lit(False))
     return df.filter(ok), df.filter(~ok)

@@ -9,8 +9,9 @@ for feature stores and market data.
 
 Implementation is a composition of existing DataFrame ops (the (a)
 path from the build brief): tag sides → union → one window per key
-ordered by (time, side) → ``last(..., ignorenulls=True)`` carries the
-most recent right-side values forward onto each left row. ONE shuffle
+ordered by (time, side) → ``last(struct(...), ignorenulls=True)``
+carries the most recent right-side ROW (one struct, so per-column
+NULLs on the matched row survive) forward onto each left row. ONE shuffle
 on the key, no range explosion, no per-row Python — at 100 TB this is
 a single sort-within-partitions pass, strictly cheaper than the
 naive inequality join (which Catalyst can only plan as a broadcast
@@ -48,8 +49,16 @@ def range_join(
     """
     if how not in ("inner",):
         raise ValueError("range_join currently supports inner joins")
+
+    def _epoch(c) -> Column:
+        # sub-second-precise epoch seconds, valid for TIMESTAMP and
+        # TIMESTAMP_NTZ alike (unix_timestamp truncates to whole
+        # seconds, which would drop the last bucket of an interval
+        # ending just past a boundary, e.g. boundary + 0.5s)
+        return F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1_000_000.0)
+
     lb = left.withColumn(
-        "__bucket", F.floor(F.unix_timestamp(F.col(left_point)) / bucket_width_seconds)
+        "__bucket", F.floor(_epoch(left_point) / bucket_width_seconds)
     )
     # degenerate intervals (end <= start) match nothing and would make
     # the bucket sequence count DOWN — drop them before exploding
@@ -58,11 +67,11 @@ def range_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(right_start)) / bucket_width_seconds),
+                F.floor(_epoch(right_start) / bucket_width_seconds),
                 F.floor(
                     # end is exclusive: an interval ending exactly on a
                     # bucket boundary does not reach that bucket
-                    (F.unix_timestamp(F.col(right_end)) - 1) / bucket_width_seconds
+                    (_epoch(right_end) - 1e-9) / bucket_width_seconds
                 ),
             )
         ),
@@ -128,17 +137,27 @@ def as_of_join(
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry ONE struct per right row (never null for a right row, even
+    # when every value column is) so all carried columns come from the
+    # single matched row and that row's NULLs are preserved. Carrying
+    # each column independently would skip a NULL on the matched row
+    # and surface a STALE older value — and could mix columns from
+    # different right rows (DuckDB/reference ASOF returns the matched
+    # row's NULL as-is).
+    match = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__t").alias("__match_t"),
+                *[F.col(c) for c in value_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried: list[Column] = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(f"{c}{suffix}")
-        for c in value_cols
+        match[c].alias(f"{c}{suffix}") for c in value_cols
     ]
-    carried.append(
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias(f"{right_time}{suffix}")
-    )
+    carried.append(match["__match_t"].alias(f"{right_time}{suffix}"))
     out = unioned.select("*", *carried).filter(F.col("__side") == 1)
 
     if tolerance_seconds is not None:

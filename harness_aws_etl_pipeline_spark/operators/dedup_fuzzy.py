@@ -319,13 +319,17 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = min doc_id in the component.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup components are shallow —
-    a handful of rounds in practice). Pure DataFrame joins, one
-    shuffle per round, labels persisted between rounds; the standard
-    Spark connected-components shape when a graph library isn't
-    warranted.
+    Iterative min-label propagation with pointer doubling: each round
+    every node adopts the smallest label among itself and its
+    neighbors, then shortcuts to its label's label — converging in
+    O(log component diameter) rounds instead of O(diameter), so even
+    a path-shaped component of 2^20 nodes resolves well inside the
+    default ``max_iter``. Pure DataFrame joins; each round is
+    localCheckpoint'ed (the doubling self-join would otherwise grow
+    the logical plan exponentially). Warns loudly if the loop exhausts
+    ``max_iter``
+    without converging (truncated labels would silently keep multiple
+    representatives per true cluster in :func:`deduplicate_near`).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -341,16 +345,36 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        min_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+        )
+        # pointer doubling: shortcut each node to its label's label.
+        # Labels are always node ids (min over self+neighbors), so the
+        # parent lookup is a self-join; label(x) <= x keeps it monotone.
+        parent = min_labels.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("__grand"),
+        )
+        # localCheckpoint (not persist): the self-join references
+        # min_labels TWICE, so without truncation the logical plan
+        # doubles every round — exponential plan growth that OOMs the
+        # driver on analysis alone. Checkpoint materializes the round
+        # and resets lineage to a leaf.
+        new_labels = (
+            min_labels.join(parent, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("__grand", "cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -362,8 +386,19 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()  # previous round's labels are dead now
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "rounds; cluster assignments may be split across components. "
+            "Raise max_iter (rounds needed ~ log2(component diameter)).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -158,21 +158,43 @@ def run_job(
             import shutil as _shutil
 
             jm = JobMetrics()
+            raw_df = df
             df = jm.observe_input(df)
             transformed, tstats = transform(df, cfg, collect_stats=False, rules=rules)
             transformed = jm.observe_output(transformed)
             result["transform"] = tstats
             out_local = output_path.removeprefix("file:")
             out_preexisted = _os.path.exists(out_local)
-            result["load"] = sink_load(
-                transformed,
-                output_path,
-                fmt=cfg.get("etl.load.format", "parquet"),
-                mode=cfg.get("etl.load.mode", "append"),
-                partition_by=cfg.get("etl.load.partition_by"),
-                compression=cfg.get("etl.load.compression", "snappy"),
-                assume_nonempty=True,
-            )
+            load_mode = cfg.get("etl.load.mode", "append")
+            # L5 guard for the one DESTRUCTIVE configuration: overwrite
+            # onto a preexisting output. Writing first would wipe the
+            # prior data before the rows_out==0 check, then report
+            # "skipped" with an empty dir left behind. Probe emptiness
+            # on an UNOBSERVED twin (a partial action like isEmpty on
+            # the observed plan would freeze its metrics at bogus
+            # values); costs one extra transform build + short-circuit
+            # scan, paid only in this configuration.
+            skip_write = False
+            if load_mode == "overwrite" and out_preexisted:
+                twin, _ = transform(
+                    raw_df, cfg, collect_stats=False, rules=rules
+                )
+                skip_write = twin.isEmpty()
+            if skip_write:
+                # full count (not a limit-probe) so the observed
+                # input/output metrics still populate correctly
+                transformed.count()
+                result["load"] = {"status": "skipped", "reason": "empty input"}
+            else:
+                result["load"] = sink_load(
+                    transformed,
+                    output_path,
+                    fmt=cfg.get("etl.load.format", "parquet"),
+                    mode=load_mode,
+                    partition_by=cfg.get("etl.load.partition_by"),
+                    compression=cfg.get("etl.load.compression", "snappy"),
+                    assume_nonempty=True,
+                )
             metrics = jm.collect()
             rows_in = metrics.get("input", {}).get("row_count")
             rows_out = metrics.get("output", {}).get("row_count")

@@ -81,6 +81,20 @@ class TestRangeJoin:
         ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
         assert range_join(pts, iv, "t", "s", "e").count() == 0  # end exclusive
 
+    def test_fractional_second_end_reaches_boundary_bucket(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+        # interval end = bucket boundary + 0.5s; a point just past the
+        # boundary is a true match. unix_timestamp truncates to whole
+        # seconds, which used to drop the interval's last bucket.
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 00:01:00.2")], "pid long, t string"
+        ).withColumn("t", F.to_timestamp("t"))
+        iv = spark.createDataFrame(
+            [("2024-01-01 00:00:30", "2024-01-01 00:01:00.5")], "s string, e string"
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        assert range_join(pts, iv, "t", "s", "e", bucket_width_seconds=60).count() == 1
+
 
 class TestAsOfJoin:
     def test_latest_prior_and_ties(self, spark):
@@ -112,6 +126,29 @@ class TestAsOfJoin:
                 left, right.repartition(nparts), "user_id", "ts", "p_ts", ["p_value"]
             ).first()["p_value_asof"]
             assert got == 9.0
+
+    def test_null_on_matched_row_preserved_not_stale(self, spark):
+        # the matched right row carries ALL its columns — including its
+        # NULLs. Carrying columns independently would skip the NULL and
+        # surface the STALE 09:00 price, and could mix columns from
+        # different right rows.
+        left = spark.createDataFrame(
+            [(1, "u1", "2024-01-01 12:00:00")],
+            "event_id long, user_id string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [
+                ("u1", "2024-01-01 09:00:00", 10.0, "old"),
+                ("u1", "2024-01-01 11:00:00", None, "new"),
+            ],
+            "user_id string, p_ts string, p_value double, tag string",
+        ).withColumn("p_ts", F.to_timestamp("p_ts"))
+        row = as_of_join(
+            left, right, "user_id", "ts", "p_ts", ["p_value", "tag"]
+        ).first()
+        assert row["p_value_asof"] is None  # matched row's NULL, not 10.0
+        assert row["tag_asof"] == "new"  # same single matched row
+        assert str(row["p_ts_asof"]) == "2024-01-01 11:00:00"
 
     def test_row_count_preserved(self, spark):
         left, right = _dfs(spark)

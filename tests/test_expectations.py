@@ -60,6 +60,22 @@ class TestExpectations:
         assert {r["id"] for r in good.collect()} == {1, 3}  # row-level rules only
         assert bad.count() == 2
 
+    def test_quarantine_null_predicate_lands_in_bad(self, spark):
+        # a CUSTOM predicate evaluating to SQL NULL (`amount > 5` on a
+        # null cell — no null-guard like the built-in helpers) must
+        # quarantine the row, not drop it from BOTH splits
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.meta.expectations import Expectation
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None)], "id long, name string, amount double"
+        )
+        good, bad = quarantine(df, [Expectation("amount_gt5", F.col("amount") > 5)])
+        assert {r["id"] for r in good.collect()} == {1}
+        assert {r["id"] for r in bad.collect()} == {2}
+        assert good.count() + bad.count() == df.count()  # nothing vanishes
+
 
 class TestStratifiedSample:
     def test_per_stratum_fractions(self, spark):

@@ -112,6 +112,40 @@ class TestNearDupClusters:
         survivors = {r["doc_id"] for r in deduplicate_near(docs, pairs).collect()}
         assert survivors == {1, 5, 7}  # one per cluster + unpaired 5
 
+    def test_long_chain_converges_via_pointer_doubling(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            near_dup_clusters,
+        )
+
+        # path graph 0-1-2-...-59: diameter 59 >> default max_iter=20.
+        # Plain min-label propagation moves labels one hop per round
+        # and would silently truncate; pointer doubling needs ~log2(60).
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+        }
+        assert labels == {i: 0 for i in range(60)}
+
+    def test_warns_when_not_converged(self, spark):
+        import warnings
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            near_dup_clusters,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(19)], "doc_a long, doc_b long"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            near_dup_clusters(pairs, max_iter=1).collect()
+        assert any(
+            issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+            for w in caught
+        )
+
 
 class TestMinHash:
     def test_signature_shape_and_determinism(self, docs):

@@ -91,6 +91,32 @@ class TestRunJob:
         )
         assert result["status"] == "skipped"
 
+    def test_overwrite_empty_preserves_prior_output(self, spark, tmp_path):
+        # L5 'no object left behind' for the destructive configuration:
+        # overwrite mode + preexisting output + empty transform result
+        # must NOT wipe the prior data (emptiness is probed on an
+        # unobserved twin BEFORE the write)
+        src = tmp_path / "in.csv"
+        src.write_text(CSV)
+        out = tmp_path / "out"
+        run_job(spark, {"type": "direct", "path": str(src)}, str(out))
+        assert spark.read.parquet(str(out)).count() == 2
+
+        # every row null-ish → default drop strategy empties the output
+        empty_src = tmp_path / "empty.csv"
+        empty_src.write_text(
+            "Order ID,Product Name,Quantity,Unit Price,Order Date\n"
+            "4,,1,5.00,2024-03-25\n"
+        )
+        cfg = EngineConfig({"etl": {"load": {"mode": "overwrite"}}})
+        result = run_job(
+            spark, {"type": "direct", "path": str(empty_src)}, str(out), config=cfg
+        )
+        assert result["status"] == "success"
+        assert result["load"]["status"] == "skipped"
+        assert result["transform"]["rows_out"] == 0  # metrics still populated
+        assert spark.read.parquet(str(out)).count() == 2  # prior data intact
+
     def test_output_readable_and_partitioned(self, spark, tmp_path):
         src = tmp_path / "in.csv"
         src.write_text(CSV)
