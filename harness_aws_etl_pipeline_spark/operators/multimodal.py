@@ -3,10 +3,16 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (modality, byte size, content hash). The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas partition flow — is
-real and tested; the actual media decode step is STUBBED (the decode
-libraries are not in this environment) behind ``decode_stub``:
-deterministic fake features by default, ``NotImplementedError`` when
-``strict=True``.
+real and tested.
+
+Image decode is REAL for two container-friendly formats — binary PPM
+(P6) and uncompressed 24-bit BMP — implemented in pure numpy
+(``decode_image``/``encode_ppm``/``encode_bmp``), reachable via
+``extract_features(decode=True)`` and ``resize_media(decode=True)``
+(nearest-neighbor resample on the decoded array). Formats that need
+codec libraries not present here (JPEG/PNG/audio/video) remain STUBBED
+behind ``decode_stub``: deterministic fake features by default,
+``NotImplementedError`` when ``strict=True``.
 
 Scale notes: media payloads are large and must never be shuffle keys —
 all grouping/joining happens on ``content_hash`` or ids. Feature
@@ -21,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -93,30 +100,174 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
     return [c / total for c in counts]
 
 
-def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+# ------------------------------------------------- real image codecs
+#
+# Pure-numpy decoders for the two formats that need no external codec
+# library: binary PPM (P6) and uncompressed 24-bit BMP. These make the
+# decode step of the multimodal path REAL — the mapInPandas plumbing
+# feeds actual pixel arrays, not fakes — while JPEG/PNG/audio/video
+# stay stubbed (their codecs aren't in this container).
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6) bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding, BGR byte order)."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    # bottom-up scanlines, RGB → BGR, each row padded
+    body = b"".join(
+        a[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_offset + len(body), 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """REAL image decode (pure numpy): binary PPM (P6) or uncompressed
+    24-bit BMP → (h, w, 3) uint8 RGB array. Raises ``ValueError`` on
+    anything else — decode callers asserted their payloads are images."""
+    import struct
+
+    if payload is None:
+        raise ValueError("cannot decode a null payload")
+    if payload[:2] == b"P6":
+        # header = magic + 3 ints (w, h, maxval), '#' comments allowed,
+        # one whitespace byte after maxval, then raw w*h*3 samples
+        pos, fields = 2, []
+        while len(fields) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            ch = payload[pos : pos + 1]
+            if ch == b"#":
+                pos = payload.index(b"\n", pos) + 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(payload) and not payload[end : end + 1].isspace():
+                    end += 1
+                fields.append(int(payload[pos:end]))
+                pos = end
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+        pos += 1  # single whitespace separating header from raster
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return data.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+        dib_size = struct.unpack_from("<I", payload, 14)[0]
+        if dib_size < 40:
+            raise ValueError("BMP core-header variant not supported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=h * stride, offset=pixel_offset
+        ).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return (img[::-1] if bottom_up else img).copy()
+    raise ValueError(f"unrecognized image format (magic {payload[:2]!r})")
+
+
+def image_features(payload: bytes) -> list[float]:
+    """Decoded-image feature vector:
+    ``[width, height, channels, mean_r, mean_g, mean_b]``."""
+    arr = decode_image(payload)
+    h, w, c = arr.shape
+    means = arr.reshape(-1, c).mean(axis=0, dtype=np.float64)
+    return [float(w), float(h), float(c), *(float(m) for m in means)]
+
+
+def extract_features(
+    df: DataFrame, strict: bool = False, decode: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over media rows (mapInPandas).
 
-    One Python worker pass per partition; each pandas batch maps
-    payload→feature vector through ``decode_stub``. The output drops
-    the payload column — features flow on, blobs don't.
+    One Python worker pass per partition. With ``decode=True`` each
+    payload is REALLY decoded (PPM/BMP via :func:`decode_image`) and
+    the feature is ``[w, h, channels, mean_r, mean_g, mean_b]``;
+    otherwise the byte-histogram ``decode_stub`` runs. The output
+    drops the payload column — features flow on, blobs don't.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decode:
+                features = [image_features(p) for p in pdf["payload"]]
+            else:
+                features = [
+                    decode_stub(p, m, strict)
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "byte_size": pdf["byte_size"],
-                    "feature": [
-                        decode_stub(p, m, strict)
-                        for p, m in zip(pdf["payload"], pdf["modality"])
-                    ],
+                    "feature": features,
                 }
             )
             yield out
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def synthesize_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image per row (for pipelines/tests without
+    media files): a P6 PPM whose dimensions and solid color derive
+    from the id — ``w = 1 + id % 16``, ``h = 1 + id % 8``, every pixel
+    ``(id % 256, id*7 % 256, id*13 % 256)``. Decoded properties are
+    therefore closed-form in the id, which is what makes the decode
+    path oracle-checkable end-to-end."""
+    from hashlib import md5
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 16, 1 + mid % 8
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = mid % 256
+                arr[..., 1] = mid * 7 % 256
+                arr[..., 2] = mid * 13 % 256
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image/ppm",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -144,15 +295,35 @@ def resize_stub(payload: bytes, w: int, h: int, strict: bool = False) -> bytes:
     return payload[:target] + bytes(max(0, target - len(payload)))
 
 
-def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
-    """Arrow-batched resize over media rows — same mapInPandas shape a
-    real decoder/encoder pair would use; output carries refreshed
-    byte_size/content_hash metadata."""
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize: decode (PPM/BMP), nearest-neighbor resample to
+    (height, width) with pure-numpy index maps, re-encode as PPM."""
+    arr = decode_image(payload)
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h // height).clip(max=h - 1)
+    xs = (np.arange(width) * w // width).clip(max=w - 1)
+    return encode_ppm(arr[ys][:, xs])
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    strict: bool = False,
+    decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched resize over media rows. With ``decode=True`` the
+    payloads are really decoded and nearest-neighbor resampled
+    (:func:`resize_image`); otherwise the byte-truncation stub runs.
+    Output carries refreshed byte_size/content_hash metadata."""
     from hashlib import md5
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [resize_stub(p, width, height, strict) for p in pdf["payload"]]
+            if decode:
+                resized = [resize_image(p, width, height) for p in pdf["payload"]]
+            else:
+                resized = [resize_stub(p, width, height, strict) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -24,6 +24,7 @@ from harness_aws_etl_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
     media_summary,
+    synthesize_ppm_media,
 )
 from harness_aws_etl_pipeline_spark.operators.similarity import (
     brute_force_topk,
@@ -773,10 +774,12 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] binary-column plumbing: attach payload + metadata, run the
-    Arrow-batched feature extraction (stub decode), roll up metadata.
-    The mapInPandas pass is exercised; the rollup is oracle-checked on
-    metadata only."""
+    """[EXT] binary-column plumbing + REAL image decode: attach payload
+    + metadata, run the Arrow-batched stub feature extraction, roll up
+    metadata — then synthesize a real P6 PPM per document (dimensions
+    and solid color closed-form in doc_id), decode it with the pure
+    numpy decoder and verify the decoded widths/heights/channel means
+    against the oracle's closed forms."""
     docs = _t(spark, sf, "documents")
     media = attach_binary_payload(docs, source_col="text", id_col="doc_id", modality="text_blob")
     feats = extract_features(media)
@@ -790,7 +793,18 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.round(f3 * 1_000_000).cast("long")).cast("double") / 1_000_000.0, 4
         ).alias("f3_sum"),
     )
-    return media_summary(media).crossJoin(feat_agg)
+    # real decode path: w = 1 + id%16, h = 1 + id%8, solid pixel color
+    # (id%256, id*7%256, id*13%256) → decoded means are exact integers
+    decoded = extract_features(
+        synthesize_ppm_media(docs, id_col="doc_id"), decode=True
+    )
+    img_agg = decoded.agg(
+        F.sum(F.element_at("feature", 1)).cast("long").alias("width_sum"),
+        F.sum(F.element_at("feature", 2)).cast("long").alias("height_sum"),
+        F.sum(F.element_at("feature", 4)).cast("long").alias("red_sum"),
+        F.sum(F.element_at("feature", 6)).cast("long").alias("blue_sum"),
+    )
+    return media_summary(media).crossJoin(feat_agg).crossJoin(img_agg)
 
 
 ORACLE_MULTIMODAL = r"""
@@ -799,7 +813,11 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        COUNT(DISTINCT text) AS distinct_payloads,
        COUNT(*) AS feat_cnt,
        ROUND(CAST(SUM(CAST(ROUND(CAST(LENGTH(regexp_replace(text, '[^\x60-\x7f]', '', 'g')) AS DOUBLE)
-                 / octet_length(encode(text)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS f3_sum
+                 / octet_length(encode(text)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS f3_sum,
+       CAST(SUM(1 + doc_id % 16) AS BIGINT) AS width_sum,
+       CAST(SUM(1 + doc_id % 8) AS BIGINT) AS height_sum,
+       CAST(SUM(doc_id % 256) AS BIGINT) AS red_sum,
+       CAST(SUM((doc_id * 13) % 256) AS BIGINT) AS blue_sum
 FROM documents
 """
 

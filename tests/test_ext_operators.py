@@ -515,3 +515,94 @@ class TestMultimodal:
         media = attach_binary_payload(docs, source_col="text", id_col="doc_id")
         s = media_summary(media).first()
         assert s["media_cnt"] == 4 and s["distinct_payloads"] == 3
+
+
+class TestRealImageDecode:
+    def _checker(self):
+        import numpy as np
+
+        arr = np.zeros((5, 3, 3), dtype=np.uint8)
+        arr[::2, :, 0] = 255  # red stripes
+        arr[1, 2, 2] = 7
+        return arr
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_ppm,
+        )
+
+        arr = self._checker()
+        assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+
+    def test_ppm_header_comments(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import decode_image
+
+        arr = self._checker()
+        raw = b"P6\n# a comment\n3 # inline\n# another\n5\n255\n" + arr.tobytes()
+        assert np.array_equal(decode_image(raw), arr)
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_bmp,
+        )
+
+        # width 3 → 9-byte rows padded to 12; bottom-up + BGR exercised
+        arr = self._checker()
+        assert np.array_equal(decode_image(encode_bmp(arr)), arr)
+
+    def test_unknown_format_raises(self):
+        from harness_aws_etl_pipeline_spark.operators.multimodal import decode_image
+
+        with pytest.raises(ValueError, match="unrecognized"):
+            decode_image(b"\x89PNG\r\n")
+
+    def test_extract_features_decode_true(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            extract_features,
+            synthesize_ppm_media,
+        )
+
+        df = spark.createDataFrame([(17,), (3,)], "doc_id long")
+        media = synthesize_ppm_media(df)
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in extract_features(media, decode=True).collect()
+        }
+        # id=17 → w=1+17%16=2, h=1+17%8=2, color (17, 119, 221)
+        assert feats[17] == [2.0, 2.0, 3.0, 17.0, 119.0, 221.0]
+        # id=3 → w=4, h=4, color (3, 21, 39)
+        assert feats[3] == [4.0, 4.0, 3.0, 3.0, 21.0, 39.0]
+
+    def test_resize_media_decode_true(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_ppm,
+            resize_media,
+        )
+
+        # 2x2 quadrant image → upsample 4x4: nearest-neighbor blocks
+        arr = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8
+        )
+        df = spark.createDataFrame(
+            [(1, "image/ppm", bytearray(encode_ppm(arr)), None, None)],
+            "media_id long, modality string, payload binary, byte_size long, content_hash string",
+        )
+        out = resize_media(df, width=4, height=4, decode=True).first()
+        resized = decode_image(bytes(out["payload"]))
+        assert resized.shape == (4, 4, 3)
+        assert np.array_equal(resized[0, 0], [255, 0, 0])
+        assert np.array_equal(resized[0, 3], [0, 255, 0])
+        assert np.array_equal(resized[3, 0], [0, 0, 255])
+        assert np.array_equal(resized[3, 3], [9, 9, 9])
+        assert out["byte_size"] == len(bytes(out["payload"]))
