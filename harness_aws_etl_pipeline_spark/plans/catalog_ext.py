@@ -858,7 +858,7 @@ EXT_CATALOG: list[QuerySpec] = [
               tags=("ext", "join")),
     QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
               "[EXT] near-dup clustering + canonical dedup",
-              tags=("ext", "dedup")),
+              headline=True, tags=("ext", "dedup")),
     QuerySpec("minhash_lsh", q_minhash_lsh, None,
               "[EXT] MinHash+LSH near-dup (rows-only)", headline=True,
               tags=("ext", "dedup")),

@@ -33,6 +33,15 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 
+# L6 — MIME type per output format (reference loader.py:153-160)
+CONTENT_TYPES = {
+    "parquet": "application/octet-stream",
+    "csv": "text/csv",
+    "json": "application/json",
+    "jsonl": "application/json",
+}
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -108,7 +117,15 @@ def load(
     if df is None or (not assume_nonempty and df.isEmpty()):
         return {"status": "skipped", "reason": "empty input"}
     write_table(df, path, fmt=fmt, mode=mode, partition_by=partition_by, compression=compression)
-    result: dict[str, Any] = {"status": "success", "path": path, "format": fmt}
+    result: dict[str, Any] = {
+        "status": "success",
+        "path": path,
+        "format": fmt,
+        # L6 content-type tagging (reference loader.py:153-160 sets it
+        # as the S3 object ContentType; on a filesystem sink it rides
+        # in the result metadata)
+        "content_type": CONTENT_TYPES.get(fmt, "application/octet-stream"),
+    }
     if path.startswith(("/", "file:")):
         local = path.removeprefix("file:")
         result["bytes_written"] = _tree_size_bytes(local)

@@ -172,6 +172,15 @@ class TestSinks:
     def test_load_reports_bytes(self, sample_df, tmp_path):
         result = load(sample_df, str(tmp_path / "out"))
         assert result["status"] == "success" and result["bytes_written"] > 0
+        assert result["content_type"] == "application/octet-stream"
+
+    def test_load_content_type_per_format(self, sample_df, tmp_path):
+        # L6 MIME tagging (reference loader.py:153-160)
+        assert load(sample_df, str(tmp_path / "c"), fmt="csv")["content_type"] == "text/csv"
+        assert (
+            load(sample_df, str(tmp_path / "j"), fmt="json")["content_type"]
+            == "application/json"
+        )
 
     def test_unsupported_format(self, sample_df, tmp_path):
         with pytest.raises(ValueError):
