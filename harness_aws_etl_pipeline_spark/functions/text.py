@@ -60,6 +60,32 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     )
 
 
+def dup_line_fraction(col: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of non-empty lines that
+    duplicate an earlier line (0 when the doc has no non-empty lines).
+    Repetitious machine-generated text scores high; prose scores ~0.
+    Pure JVM array expressions — no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda ln: ln != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def dup_word_fraction(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that duplicate an earlier token —
+    the word-level repetition signal (high for keyword-stuffed or
+    looping generations)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(toks))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.col(col) if isinstance(col, str) else col

@@ -345,6 +345,17 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    # Convergence detection without a per-round join: labels only ever
+    # DECREASE (min over self+neighbors, then shortcut to a smaller
+    # ancestor), so the total label sum is strictly monotone until the
+    # fixpoint — equal consecutive sums ⟺ nothing changed. Decimal sum
+    # so a 100-TB-scale id space can't overflow the accumulator.
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neighbor_labels = (
@@ -376,18 +387,13 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels.unpersist()  # previous round's labels are dead now
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         import warnings

@@ -229,15 +229,20 @@ def ivf_centroids(
     vec_col: str = "embedding",
     iterations: int = 2,
 ) -> DataFrame:
-    """Deterministic IVF coarse quantizer: farthest-point seeding +
-    ``iterations`` Lloyd steps.
+    """Deterministic IVF coarse quantizer: sampled farthest-point
+    seeding + ``iterations`` Lloyd steps.
 
-    Seeding: first seed = lowest id; each next seed is the vector
-    whose best similarity to any existing seed is lowest (ties broken
-    by id) — deterministic, and spreads seeds across the data (naive
-    lowest-k-ids seeding collapses clusters when the first k vectors
-    are neighbors). k−1 driver-side limit(1) probes; k is small by
-    design.
+    Seeding runs on a bounded deterministic sample — the
+    ``max(64·k, 1024)`` vectors with the smallest ``xxhash64(id)``
+    (ONE Spark job, hash order is data-placement-independent) — then
+    farthest-point selection happens driver-side in numpy: first seed
+    = lowest id, each next seed the sampled vector whose best cosine
+    to the chosen set is lowest (ties by id). The k-means|| shape:
+    sample once, seed locally. Spreads seeds like full farthest-point
+    (the sample is i.i.d. across the corpus) without the k−1
+    SEQUENTIAL full-scan jobs the exact version needs — at 1000
+    executors that serialization dominates; one job + a k×N BLAS loop
+    doesn't.
 
     Each Lloyd step: assign every vector to its nearest centroid
     (k-way scored join against the broadcast centroid set), then
@@ -245,30 +250,34 @@ def ivf_centroids(
     legitimately driver-resident; everything over the data stays
     distributed. Returns (centroid_id, centroid array<double>).
     """
+    import numpy as np
+
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    first = df.orderBy(id_col).limit(1).select(as_double.alias("c")).first()
-    if first is None:  # empty candidate set → empty quantizer
+    sample_n = max(64 * k, 1024)
+    sample = (
+        df.select(F.col(id_col).alias("__id"), as_double.alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(sample_n)
+        .collect()
+    )
+    if not sample:  # empty candidate set → empty quantizer
         return df.sparkSession.createDataFrame(
             [], "centroid_id long, centroid array<double>"
         )
-    seed_rows: list[tuple[int, list[float]]] = [(0, list(first["c"]))]
-    for j in range(1, k):
-        seeds_df = df.sparkSession.createDataFrame(
-            seed_rows, "centroid_id long, centroid array<double>"
-        )
-        scored = df.crossJoin(F.broadcast(seeds_df)).withColumn(
-            "__sim", cosine_similarity(vec_col, "centroid")
-        )
-        farthest = (
-            scored.groupBy(id_col)
-            .agg(F.max("__sim").alias("__closest"), F.first(as_double).alias("__v"))
-            .orderBy(F.col("__closest").asc(), F.col(id_col).asc())
-            .limit(1)
-            .first()
-        )
-        if farthest is None:
-            break
-        seed_rows.append((j, list(farthest["__v"])))
+    ids = np.array([r["__id"] for r in sample])
+    vecs = np.array([r["__v"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    unit = vecs / np.where(norms == 0.0, 1.0, norms)[:, None]
+    order = np.argsort(ids)
+    chosen = [int(order[0])]  # first seed = lowest id
+    best_sim = unit @ unit[chosen[0]]
+    for _ in range(1, min(k, len(ids))):
+        lo = best_sim.min()
+        cands = np.flatnonzero(best_sim == lo)
+        pick = int(cands[np.argmin(ids[cands])])  # tie-break by id
+        chosen.append(pick)
+        np.maximum(best_sim, unit @ unit[pick], out=best_sim)
+    seed_rows = [(j, [float(x) for x in vecs[i]]) for j, i in enumerate(chosen)]
     dim = _dim_of(df, vec_col)
     centroids = df.sparkSession.createDataFrame(
         seed_rows, "centroid_id long, centroid array<double>"

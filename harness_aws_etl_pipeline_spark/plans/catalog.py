@@ -737,9 +737,10 @@ FROM (SELECT DISTINCT * FROM events)
 
 
 def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """L1/L2/L3 — write parquet/csv/json, re-read, verify counts and a
-    content checksum survive the round trip (reference
-    loader.py:104-127)."""
+    """L1/L2/L3 — write parquet/csv/json/orc, re-read, verify counts
+    and a content checksum survive the round trip (reference
+    loader.py:104-127; orc is a Spark-native format beyond the
+    reference's three)."""
     import tempfile
 
     from harness_aws_etl_pipeline_spark.sinks import write_table
@@ -749,7 +750,7 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     with tempfile.TemporaryDirectory(prefix="sink_roundtrip_") as tmp:
         results = {}
-        for fmt in ("parquet", "csv", "json"):
+        for fmt in ("parquet", "csv", "json", "orc"):
             path = f"{tmp}/{fmt}"
             write_table(li, path, fmt=fmt, mode="overwrite")
             back = (
@@ -767,7 +768,7 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_SINK_ROUNDTRIP = """
 SELECT fmt AS format, (SELECT COUNT(*) FROM lineitem) AS row_cnt,
        (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM lineitem) AS key_sum
-FROM (VALUES ('csv'), ('json'), ('parquet')) AS t(fmt)
+FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS t(fmt)
 ORDER BY fmt
 """
 

@@ -138,9 +138,17 @@ SELECT lang, predicted, COUNT(*) AS doc_cnt FROM (
 
 
 def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] composite quality scoring, bucketed into deciles."""
+    """[EXT] composite quality scoring bucketed into deciles, plus the
+    Gopher-style repetition panel (duplicate-line / duplicate-word
+    fractions, scaled-long corpus sums) crossJoined onto every
+    bucket row."""
+    from harness_aws_etl_pipeline_spark.functions.text import (
+        dup_line_fraction,
+        dup_word_fraction,
+    )
+
     docs = _t(spark, sf, "documents")
-    return (
+    buckets = (
         docs.withColumn("quality", quality_score("text"))
         .withColumn("bucket", F.floor(F.col("quality") * 10).cast("int"))
         .groupBy("bucket")
@@ -148,8 +156,22 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("bucket")
     )
 
+    def _scaled_sum(c, alias):
+        return F.round(
+            F.sum(F.round(F.round(c, 6) * 1_000_000).cast("long")).cast("double")
+            / 1_000_000.0,
+            4,
+        ).alias(alias)
+
+    rep = docs.agg(
+        _scaled_sum(dup_line_fraction("text"), "dup_line_sum"),
+        _scaled_sum(dup_word_fraction("text"), "dup_word_sum"),
+    )
+    return buckets.crossJoin(rep)
+
 
 ORACLE_QUALITY = r"""
+SELECT q.*, r.dup_line_sum, r.dup_word_sum FROM (
 SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
   SELECT ROUND(
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -168,7 +190,20 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
     FROM (SELECT text, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
           FROM documents)
   )
-) GROUP BY 1 ORDER BY 1
+) GROUP BY 1
+) q CROSS JOIN (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(ROUND(CASE WHEN nl > 0
+               THEN CAST(nl - dl AS DOUBLE) / nl ELSE 0.0 END, 6) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS dup_line_sum,
+         ROUND(CAST(SUM(CAST(ROUND(ROUND(CASE WHEN nw > 0
+               THEN CAST(nw - dw AS DOUBLE) / nw ELSE 0.0 END, 6) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS dup_word_sum
+  FROM (SELECT len(lines) AS nl, len(list_distinct(lines)) AS dl,
+               len(toks) AS nw, len(list_distinct(toks)) AS dw
+        FROM (SELECT list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
+                     list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+              FROM documents))
+) r ORDER BY bucket
 """
 
 

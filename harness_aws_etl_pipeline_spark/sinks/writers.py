@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 # L6 — MIME type per output format (reference loader.py:153-160)
 CONTENT_TYPES = {
     "parquet": "application/octet-stream",
+    "orc": "application/octet-stream",
     "csv": "text/csv",
     "json": "application/json",
     "jsonl": "application/json",
@@ -77,6 +78,8 @@ def write_table(
         w.option("header", True).csv(path)
     elif fmt in ("json", "jsonl"):
         w.json(path)
+    elif fmt == "orc":
+        w.option("compression", compression or "snappy").orc(path)
     else:
         raise ValueError(f"unsupported output format: {fmt!r}")
 

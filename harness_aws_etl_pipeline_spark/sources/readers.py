@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-SUPPORTED_FORMATS = ("csv", "json", "jsonl", "parquet")
+SUPPORTED_FORMATS = ("csv", "json", "jsonl", "parquet", "orc")
 
 _EXT_TO_FORMAT = {
     ".csv": "csv",
@@ -47,6 +47,7 @@ _EXT_TO_FORMAT = {
     ".jsonl": "json",
     ".parquet": "parquet",
     ".pq": "parquet",
+    ".orc": "orc",
 }
 
 
@@ -79,6 +80,8 @@ def _reader(spark: SparkSession, fmt: str, schema: StructType | None, infer_sche
         return lambda paths: r.json(paths)
     if fmt == "parquet":
         return lambda paths: r.parquet(*paths) if isinstance(paths, list) else r.parquet(paths)
+    if fmt == "orc":
+        return lambda paths: r.orc(*paths) if isinstance(paths, list) else r.orc(paths)
     raise UnsupportedFormatError(f"unsupported format {fmt!r}")
 
 

@@ -291,6 +291,34 @@ class TestMultimodalShapes:
 
 
 class TestTextOps:
+    def test_repetition_fractions(self, spark):
+        from harness_aws_etl_pipeline_spark.functions.text import (
+            dup_line_fraction,
+            dup_word_fraction,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam line\nspam line\nspam line\nunique"),  # 2/4 dup lines
+                (2, "all words distinct here"),
+                (3, "buy buy buy now"),  # 2/4 dup words
+                (4, ""),  # empty → 0, no division error
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: (r["dl"], r["dw"])
+            for r in df.select(
+                "doc_id",
+                dup_line_fraction("text").alias("dl"),
+                dup_word_fraction("text").alias("dw"),
+            ).collect()
+        }
+        assert rows[1][0] == 0.5  # 4 lines, 2 distinct
+        assert rows[2] == (0.0, 0.0)
+        assert rows[3][1] == 0.5  # 4 words, 2 distinct
+        assert rows[4] == (0.0, 0.0)
+
     def test_stats_columns(self, docs):
         out = add_text_stats(docs)
         row = out.filter(F.col("doc_id") == 1).first()

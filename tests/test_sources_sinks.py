@@ -26,6 +26,7 @@ class TestFormatDetection:
         assert detect_format("a/b/data.CSV") == "csv"
         assert detect_format("x.jsonl") == "json"
         assert detect_format("x.parquet") == "parquet"
+        assert detect_format("x.ORC") == "orc"
 
     def test_unknown_raises(self):
         with pytest.raises(UnsupportedFormatError):
@@ -144,7 +145,7 @@ class TestCorruptCapture:
 
 class TestSinks:
     def test_roundtrip_all_formats(self, spark, sample_df, tmp_path):
-        for fmt in ("parquet", "csv", "json"):
+        for fmt in ("parquet", "csv", "json", "orc"):
             path = str(tmp_path / fmt)
             write_table(sample_df, path, fmt=fmt)
             back = (
