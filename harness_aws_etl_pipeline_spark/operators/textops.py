@@ -227,3 +227,38 @@ def tf_idf(
         .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus top-k word n-grams: (ngram, cnt), count DESC with ties
+    broken by the n-gram string (fully deterministic cut at k).
+
+    The classic corpus-statistics pass: n-grams are built per row with
+    array expressions (no shuffle, no Python), then one groupBy(ngram)
+    with map-side partial counts and a TakeOrdered top-k — at 100 TB
+    the only full-size exchange is the ngram rollup, and its key space
+    is vocabulary-sized, not corpus-sized."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.transform(tokens(text_col), F.lower)
+
+    def _gram(t: Column, i: Column) -> Column:
+        parts = [t] + [F.get(toks, i + j) for j in range(1, n)]
+        return F.concat_ws(" ", *parts)
+
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.slice(toks, 1, F.size(toks) - (n - 1)), _gram),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -383,25 +383,36 @@ FROM documents
 
 
 def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] corpus TF-IDF: top-15 terms by aggregate score (scaled-
-    long sum of the 6dp-rounded per-doc scores; rank ties broken by
-    term)."""
-    from harness_aws_etl_pipeline_spark.operators.textops import tf_idf
+    """[EXT] corpus term analytics panel: top-15 TF-IDF terms (scaled-
+    long sum of the 6dp-rounded per-doc scores) UNION the top-20 word
+    bigrams by occurrence — both deterministically tie-broken by the
+    term string, unified under (src, term, cnt, score)."""
+    from harness_aws_etl_pipeline_spark.operators.textops import tf_idf, top_ngrams
 
     docs = _t(spark, sf, "documents")
     scored = tf_idf(docs, min_df=2)
-    return (
+    terms = (
         scored.groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("doc_cnt"),
+            F.count(F.lit(1)).alias("cnt"),
             F.round(
                 F.sum(F.round(F.col("tfidf") * 1_000_000).cast("long")).cast("double")
                 / 1_000_000.0,
                 4,
-            ).alias("tfidf_sum"),
+            ).alias("score"),
         )
-        .orderBy(F.col("tfidf_sum").desc(), F.col("term"))
+        .orderBy(F.col("score").desc(), F.col("term"))
         .limit(15)
+        .select(F.lit("tfidf").alias("src"), "term", "cnt", "score")
+    )
+    bigrams = top_ngrams(docs, n=2, k=20).select(
+        F.lit("bigram").alias("src"),
+        F.col("ngram").alias("term"),
+        "cnt",
+        F.col("cnt").cast("double").alias("score"),
+    )
+    return terms.unionByName(bigrams).orderBy(
+        "src", F.col("score").desc(), F.col("term")
     )
 
 
@@ -422,10 +433,25 @@ scored AS (
          ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / dfreq.df), 6) AS tfidf
   FROM tf JOIN dfreq ON tf.term = dfreq.term
 )
-SELECT term, COUNT(*) AS doc_cnt,
-       ROUND(CAST(SUM(CAST(ROUND(tfidf * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
-         AS tfidf_sum
-FROM scored GROUP BY term ORDER BY tfidf_sum DESC, term LIMIT 15
+SELECT * FROM (
+  SELECT 'tfidf' AS src, term, cnt, score FROM (
+    SELECT term, COUNT(*) AS cnt,
+           ROUND(CAST(SUM(CAST(ROUND(tfidf * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+             AS score
+    FROM scored GROUP BY term ORDER BY score DESC, term LIMIT 15
+  )
+  UNION ALL
+  SELECT 'bigram', term, cnt, CAST(cnt AS DOUBLE) FROM (
+    SELECT bg AS term, COUNT(*) AS cnt FROM (
+      SELECT UNNEST(CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END) AS bg
+      FROM (SELECT list_transform(list_filter(string_split_regex(text, '\s+'), t -> t != ''),
+                                  t -> lower(t)) AS toks
+            FROM documents)
+    ) GROUP BY bg ORDER BY cnt DESC, term LIMIT 20
+  )
+) ORDER BY src, score DESC, term
 """
 
 

@@ -116,6 +116,24 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    dedup_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in watermark-bounded streaming dedup — the DECLARATIVE
+    twin of :func:`streaming_dedup`: ``dropDuplicatesWithinWatermark``
+    keeps per-key state only inside the watermark horizon, so Spark
+    manages eviction natively (no custom state function, no Python in
+    the hot path). Prefer this when "duplicates arrive close together"
+    holds; use :func:`streaming_dedup` when you need the
+    first-payload/occurrence bookkeeping or an unbounded exact mode."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        dedup_cols
+    )
+
+
 COUNT_OUTPUT_SCHEMA = StructType(
     [
         StructField("key", StringType(), False),

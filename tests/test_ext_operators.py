@@ -319,6 +319,26 @@ class TestTextOps:
         assert rows[3][1] == 0.5  # 4 words, 2 distinct
         assert rows[4] == (0.0, 0.0)
 
+    def test_top_ngrams(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import top_ngrams
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the cat"),
+                (2, "the cat ran"),
+                (3, "solo"),  # < n tokens → contributes nothing
+            ],
+            "doc_id long, text string",
+        )
+        rows = [(r["ngram"], r["cnt"]) for r in top_ngrams(df, n=2, k=3).collect()]
+        assert rows[0] == ("the cat", 3)
+        assert len(rows) == 3
+        # ties broken by ngram string (deterministic cut)
+        cnts = [c for _, c in rows]
+        assert cnts == sorted(cnts, reverse=True)
+        tri = [(r["ngram"], r["cnt"]) for r in top_ngrams(df, n=3, k=2).collect()]
+        assert ("the cat sat", 1) in tri or ("cat sat on", 1) in tri
+
     def test_stats_columns(self, docs):
         out = add_text_stats(docs)
         row = out.filter(F.col("doc_id") == 1).first()

@@ -64,6 +64,53 @@ class TestStreamingDedup:
         # alpha emitted once (despite appearing in both batches)
         assert payloads == ["alpha", "beta", "gamma"]
 
+    def test_builtin_dedup_within_watermark(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.streaming.stateful import (
+            streaming_dedup_within_watermark,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        # duplicate 'alpha' rows inside the watermark horizon, split
+        # across two micro-batches — built-in state must bridge them
+        (land / "b1.json").write_text(
+            '{"id": 1, "text": "alpha", "ts": "2024-01-01T10:00:00"}\n'
+            '{"id": 2, "text": "beta", "ts": "2024-01-01T10:01:00"}\n'
+        )
+        (land / "b2.json").write_text(
+            '{"id": 3, "text": "alpha", "ts": "2024-01-01T10:02:00"}\n'
+            '{"id": 4, "text": "gamma", "ts": "2024-01-01T10:03:00"}\n'
+        )
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("text", StringType()),
+                StructField("ts", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(land))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        deduped = streaming_dedup_within_watermark(
+            stream, ["text"], ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("wm_dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        texts = sorted(
+            r["text"] for r in spark.sql("SELECT text FROM wm_dedup_out").collect()
+        )
+        assert texts == ["alpha", "beta", "gamma"]
+
     def test_running_counts_accumulate(self, spark, tmp_path):
         land = _write_batches(tmp_path)
         stream = (
