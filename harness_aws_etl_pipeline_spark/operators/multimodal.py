@@ -139,6 +139,55 @@ def encode_bmp(arr: "np.ndarray") -> bytes:
     return header + dib + body
 
 
+def _parse_ppm_header(payload: bytes, start: int) -> tuple[int, int, int]:
+    """Parse a P6 header at ``start``: magic + 3 ints (w, h, maxval)
+    with '#' comments allowed, one whitespace byte, then the raster.
+    Returns (w, h, raster_offset)."""
+    if payload[start : start + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM at offset {start}")
+    pos, fields = start + 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        ch = payload[pos : pos + 1]
+        if ch == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    return w, h, pos + 1  # single whitespace separates header from raster
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream (the no-codec stand-in for a
+    video container: frames back-to-back) into per-frame byte strings.
+    Each frame's extent comes from its own header — REAL container
+    parsing, not byte-stride guessing."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        w, h, raster = _parse_ppm_header(payload, pos)
+        end = raster + w * h * 3
+        if end > len(payload):
+            raise ValueError(f"truncated frame {len(frames)} at offset {pos}")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def encode_ppm_sequence(arrays: "list[np.ndarray]") -> bytes:
+    """Concatenate frames into the P6-sequence container."""
+    return b"".join(encode_ppm(a) for a in arrays)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL image decode (pure numpy): binary PPM (P6) or uncompressed
     24-bit BMP → (h, w, 3) uint8 RGB array. Raises ``ValueError`` on
@@ -148,28 +197,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if payload is None:
         raise ValueError("cannot decode a null payload")
     if payload[:2] == b"P6":
-        # header = magic + 3 ints (w, h, maxval), '#' comments allowed,
-        # one whitespace byte after maxval, then raw w*h*3 samples
-        pos, fields = 2, []
-        while len(fields) < 3:
-            if pos >= len(payload):
-                raise ValueError("truncated PPM header")
-            ch = payload[pos : pos + 1]
-            if ch == b"#":
-                pos = payload.index(b"\n", pos) + 1
-            elif ch.isspace():
-                pos += 1
-            else:
-                end = pos
-                while end < len(payload) and not payload[end : end + 1].isspace():
-                    end += 1
-                fields.append(int(payload[pos:end]))
-                pos = end
-        w, h, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
-        pos += 1  # single whitespace separating header from raster
-        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        w, h, raster = _parse_ppm_header(payload, 0)
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=raster)
         return data.reshape(h, w, 3).copy()
     if payload[:2] == b"BM":
         pixel_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -349,26 +378,48 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(
-    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, strict: bool = False
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    strict: bool = False,
+    decode: bool = False,
+    frame_stride: int = 1,
 ) -> DataFrame:
-    """STUB frame sampling for video-like payloads: emit up to
-    ``max_frames`` "frames" (fixed-stride byte windows) per media row —
-    the real decoder would seek keyframes; the Spark shape (one input
-    row → N output rows via mapInPandas) is identical.
+    """Frame sampling for video-like payloads (one input row → N output
+    rows via mapInPandas).
+
+    With ``decode=True`` the payload is parsed as a REAL
+    concatenated-P6 container (:func:`split_ppm_frames`): every
+    ``frame_stride``-th frame is emitted, up to ``max_frames``, each an
+    intact decodable PPM — the keyframe-sampling shape with actual
+    frame boundaries. Default mode is the codec-free stub
+    (fixed-stride byte windows); ``strict=True`` marks where a real
+    video decoder would plug in for other containers.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
+        if strict and not decode:
             raise NotImplementedError("real frame sampling requires a video decoder")
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
-                    ids.append(media_id)
-                    idxs.append(i)
-                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                if decode:
+                    all_frames = split_ppm_frames(bytes(payload))
+                    for i, fr in enumerate(all_frames[::frame_stride][:max_frames]):
+                        ids.append(media_id)
+                        idxs.append(i)
+                        frames.append(fr)
+                else:
+                    for i in range(
+                        min(max_frames, max(1, len(payload) // every_n_bytes))
+                    ):
+                        ids.append(media_id)
+                        idxs.append(i)
+                        frames.append(
+                            payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        )
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)

@@ -629,6 +629,28 @@ class TestRealImageDecode:
         # id=3 → w=4, h=4, color (3, 21, 39)
         assert feats[3] == [4.0, 4.0, 3.0, 3.0, 21.0, 39.0]
 
+    def test_sample_frames_decode_true(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_ppm_sequence,
+            sample_frames,
+        )
+
+        # 6-frame "video": frame f is a 2x2 solid-color image of value f
+        frames = [np.full((2, 2, 3), f, dtype=np.uint8) for f in range(6)]
+        seq = encode_ppm_sequence(frames)
+        df = spark.createDataFrame(
+            [(1, "video/ppm-seq", bytearray(seq), len(seq), None)],
+            "media_id long, modality string, payload binary, byte_size long, content_hash string",
+        )
+        out = sample_frames(df, decode=True, frame_stride=2, max_frames=2).collect()
+        assert [r["frame_idx"] for r in out] == [0, 1]
+        # every sampled frame is an intact decodable PPM: frames 0 and 2
+        vals = [int(decode_image(bytes(r["frame"]))[0, 0, 0]) for r in out]
+        assert vals == [0, 2]
+
     def test_resize_media_decode_true(self, spark):
         import numpy as np
 

@@ -187,6 +187,56 @@ class TestSinks:
         with pytest.raises(ValueError):
             write_table(sample_df, str(tmp_path / "x"), fmt="xml")
 
+    def test_upsert_partitioned(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+            "id long, part string, v double",
+        )
+        r1 = upsert_partitioned(base, path, ["id"], ["part"])
+        assert r1["created"] and r1["partitions_touched"] == 2
+
+        # update id=2 (partition a), insert id=5 (a) and id=6 (new part c);
+        # partition b must survive untouched
+        batch = spark.createDataFrame(
+            [(2, "a", 99.0), (5, "a", 50.0), (6, "c", 60.0)],
+            "id long, part string, v double",
+        )
+        r2 = upsert_partitioned(batch, path, ["id"], ["part"])
+        assert not r2["created"] and r2["partitions_touched"] == 2
+
+        got = {
+            r["id"]: (r["part"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            1: ("a", 10.0),
+            2: ("a", 99.0),  # replaced
+            3: ("b", 30.0),  # untouched partition preserved
+            4: ("b", 40.0),
+            5: ("a", 50.0),  # inserted
+            6: ("c", 60.0),  # new partition
+        }
+
+    def test_upsert_scan_prunes_partitions(self, spark, tmp_path):
+        # the existing-data read must show PartitionFilters — at scale
+        # the merge cost is the touched partitions, not the table
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(i, chr(97 + i % 5), float(i)) for i in range(50)],
+            "id long, part string, v double",
+        )
+        base.write.partitionBy("part").parquet(path)
+        pruned = spark.read.parquet(path).filter(
+            F.struct(F.col("part")).isin([F.struct(F.lit("a"))])
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
     def test_schema_evolution_merge(self, spark, tmp_path):
         """Schema evolution across appends: later files add columns;
         mergeSchema reconciles (nulls where absent) — the 100 TB
