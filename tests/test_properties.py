@@ -101,3 +101,65 @@ class TestSparkProperties:
         for r in pairs:
             assert 0.0 <= r["jaccard"] <= 1.0
             assert r["doc_a"] < r["doc_b"]
+
+    @given(st.lists(st.text(alphabet="xy \n", max_size=30), min_size=1, max_size=8))
+    @slow
+    def test_dup_fractions_bounds(self, spark, texts):
+        """Repetition fractions are always in [0, 1) and a text of all
+        distinct tokens scores 0 — for arbitrary whitespace/newline
+        soup (empty docs, whitespace-only docs, single tokens)."""
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.functions.text import (
+            dup_line_fraction,
+            dup_word_fraction,
+        )
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        rows = df.select(
+            dup_line_fraction("text").alias("dl"),
+            dup_word_fraction("text").alias("dw"),
+        ).collect()
+        for r in rows:
+            assert 0.0 <= r["dl"] < 1.0
+            assert 0.0 <= r["dw"] < 1.0
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(-100, 100)),
+            min_size=1,
+            max_size=15,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(-100, 100)),
+            min_size=1,
+            max_size=15,
+        ),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_upsert_equals_dict_merge(self, spark, tmp_path_factory, base, batch):
+        """Upsert must behave exactly like dict.update keyed on id:
+        for ANY base table and batch (including key collisions inside
+        either input, new partitions, overlapping partitions)."""
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        # de-dup inputs by key (upsert contract: one row per key)
+        base_d = {k: (p, v) for k, p, v in base}
+        batch_d = {k: (p, v) for k, p, v in batch}
+        path = str(tmp_path_factory.mktemp("upsert") / "tbl")
+        mk = lambda d: spark.createDataFrame(
+            [(k, f"p{p}", float(v)) for k, (p, v) in d.items()],
+            "id long, part string, v double",
+        )
+        upsert_partitioned(mk(base_d), path, ["id"], ["part"])
+        upsert_partitioned(mk(batch_d), path, ["id"], ["part"])
+        want = {**base_d, **batch_d}
+        got = {
+            r["id"]: (int(r["part"][1:]), r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {k: (p, float(v)) for k, (p, v) in want.items()}
