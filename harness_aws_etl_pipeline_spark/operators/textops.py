@@ -245,7 +245,12 @@ def top_ngrams(
     is vocabulary-sized, not corpus-sized."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = F.transform(tokens(text_col), F.lower)
+    # materialize the token array as a bound column FIRST: a lambda
+    # that references the raw tokenization expression would re-evaluate
+    # split+filter+lower per element (HOFs are interpreted) — O(len²)
+    # per doc. Against the bound attribute each F.get is an O(1) array
+    # index.
+    toks = F.col("__toks")
 
     def _gram(t: Column, i: Column) -> Column:
         parts = [t] + [F.get(toks, i + j) for j in range(1, n)]
@@ -256,7 +261,8 @@ def top_ngrams(
         F.transform(F.slice(toks, 1, F.size(toks) - (n - 1)), _gram),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(F.transform(tokens(text_col), F.lower).alias("__toks"))
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
