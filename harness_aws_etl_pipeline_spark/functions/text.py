@@ -38,15 +38,25 @@ def token_count_regex(col: Column | str, pattern: str = TOKEN_PATTERN) -> Column
     return F.regexp_count(c, F.lit(pattern))
 
 
-def shingles(col: Column | str, n: int = 5) -> Column:
+def shingles(col: Column | str, n: int = 5, *, pretokenized: bool = False) -> Column:
     """Distinct n-token shingles as space-joined strings.
 
     ``transform`` over token positions + ``slice`` — pure built-ins, no
     UDF. Used by n-gram Jaccard and MinHash dedup; at 100 TB the
     shingle explosion is the dominant cost, so the shingle list is
     deduplicated per document *before* any explode.
+
+    PERF: the transform lambda references the token array, and a HOF
+    lambda re-evaluates outer EXPRESSIONS per element — so callers on a
+    hot path should materialize ``tokens(text)`` into a column first
+    and pass it with ``pretokenized=True`` (a bound attribute is an
+    O(1) lookup; the raw expression re-tokenizes per shingle index,
+    O(len²) per doc).
     """
-    toks = tokens(col)
+    if pretokenized:
+        toks = F.col(col) if isinstance(col, str) else col
+    else:
+        toks = tokens(col)
     nsh = F.size(toks) - F.lit(n - 1)
     # guard: F.sequence(1, 0) counts DOWN and slice(…, 0, n) is an
     # error — docs shorter than n tokens get an empty shingle set

@@ -35,10 +35,14 @@ def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
     """(id, shingles array, set size) — distinct shingles per doc."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(text_col, n).alias("shingles"),
-    ).withColumn("set_size", F.size("shingles"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+        .select(
+            "doc_id",
+            shingles("__toks", n, pretokenized=True).alias("shingles"),
+        )
+        .withColumn("set_size", F.size("shingles"))
+    )
 
 
 def hashed_shingle_sets(
@@ -66,12 +70,15 @@ def hashed_shingle_sets(
     both engine-internal, never value-checked)."""
     if not arrow:
         return (
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
-                    "shingles"
-                ),
-            ).withColumn("set_size", F.size("shingles"))
+            df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+            .select(
+                "doc_id",
+                F.transform(
+                    shingles("__toks", n, pretokenized=True),
+                    lambda s: F.xxhash64(s),
+                ).alias("shingles"),
+            )
+            .withColumn("set_size", F.size("shingles"))
         )
 
     from collections.abc import Iterator
