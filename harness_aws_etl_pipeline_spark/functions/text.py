@@ -104,8 +104,13 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are (lowercase) stopwords."""
+    """Fraction of tokens that are (lowercase) stopwords.
+
+    The membership test is ``isin`` over string literals (an In
+    predicate) rather than ``array_contains`` on a constructed array —
+    a HOF lambda re-evaluates outer expressions per element, which
+    would rebuild the stopword array for every token."""
     toks = tokens(col)
-    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    sw = [w for w in (stopwords or EN_STOPWORDS)]
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))

@@ -438,18 +438,77 @@ def deduplicate_near(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    arrow: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash long) — 64-bit SimHash over token hashes.
 
     For each bit position, majority vote of token-hash bits (+1/−1),
-    folded into one long. Pure array expressions — codegen'd, no UDF,
-    no shuffle.
+    folded into one long. Default path is Arrow-batched mapInPandas
+    with a fully vectorized numpy bit matrix (the same trade as
+    ``hashed_shingle_sets``: the 64 per-bit array aggregates are
+    interpreted JVM-side and dominate; hashes are engine-internal so
+    blake2b vs xxhash64 is immaterial). ``arrow=False`` keeps the
+    pure-expression JVM fallback with identical semantics.
     """
-    token_hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
+    if arrow:
+        from collections.abc import Iterator as _Iter
+
+        import pandas as pd
+
+        src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        id_type = src.schema["doc_id"].dataType.simpleString()
+
+        def _simhash(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+            from hashlib import blake2b
+
+            import numpy as np
+
+            shifts = np.arange(bits, dtype=np.uint64)
+            weights = np.uint64(1) << shifts
+            for pdf in batches:
+                out = []
+                for text in pdf["text"]:
+                    toks = set(text.split()) if text else set()
+                    if not toks:
+                        out.append(0)
+                        continue
+                    hs = np.frombuffer(
+                        b"".join(
+                            blake2b(t.encode(), digest_size=8).digest()
+                            for t in sorted(toks)
+                        ),
+                        dtype=np.uint64,
+                    )
+                    votes = (
+                        ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2
+                        - 1
+                    ).sum(axis=0) > 0
+                    packed = (votes.astype(np.uint64) * weights).sum(
+                        dtype=np.uint64
+                    )
+                    out.append(int(packed.astype(np.int64)))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+        return src.mapInPandas(_simhash, f"doc_id {id_type}, simhash long")
+
+    # materialize token hashes into a bound column FIRST: the 64
+    # bit-vote aggregates each take it as their collection argument,
+    # and interpreted HOFs re-evaluate an outer expression per
+    # aggregate — tokenize+distinct+hash 64× per row without this
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)).alias(
+            "__th"
+        ),
+    )
+    token_hashes = F.col("__th")
     # Shift amounts must be compile-time ints, so the 64 bit-vote
-    # aggregates are unrolled in Python — still one projection, all
-    # sharing the token_hashes subtree via CSE.
+    # aggregates are unrolled in Python — one projection over the
+    # bound hash array.
     def vote(i: int):
         return (
             F.when(
@@ -471,7 +530,7 @@ def simhash(
     sim = F.lit(0).cast("long")
     for i in range(bits):
         sim = F.shiftleft(sim, 1).bitwiseOR(vote(i))
-    return df.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return src.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -179,6 +179,19 @@ class TestSimHash:
         assert (1, 2) in pairs and pairs[(1, 2)] <= 10
         assert (1, 3) not in pairs
 
+    def test_jvm_fallback_same_semantics(self, docs):
+        # arrow=False (pure-expression path) must satisfy the same
+        # structural properties even though hash values differ
+        sk = simhash(docs, arrow=False)
+        rows = {r["doc_id"]: r["simhash"] for r in sk.collect()}
+        assert rows[1] == rows[4]
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(sk, max_hamming=10).collect()
+        }
+        assert pairs[(1, 4)] == 0
+        assert (1, 3) not in pairs
+
 
 VECS = [
     (0, [1.0, 0.0, 0.0, 0.0]),
