@@ -157,12 +157,56 @@ def add_lsh_buckets(
     num_tables: int = 4,
     bits: int = 8,
     out_col: str = "buckets",
+    arrow: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH: per table, ``bits`` sign bits → one
-    integer bucket id. Hyperplanes are literal arrays dotted via
-    ``zip_with``+``aggregate`` (compact loop expressions — a fully
-    unrolled per-element sum blows janino's 64KB codegen method limit
-    and drops the whole stage to interpreted mode)."""
+    integer bucket id.
+
+    Default path is Arrow-batched mapInPandas: ONE numpy matmul
+    (batch × all hyperplanes) computes every sign bit — the
+    expression path runs num_tables·bits interpreted array aggregates
+    per row (HOFs are excluded from codegen), which dominates the ANN
+    queries. ``arrow=False`` keeps the pure-expression fallback
+    (identical hyperplanes; bucket ids can differ only for dots within
+    float rounding of zero)."""
+    if arrow:
+        from collections.abc import Iterator as _Iter
+
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        planes = np.array(
+            [
+                _hyperplane(t * 1000 + b + 1, dim)
+                for t in range(num_tables)
+                for b in range(bits)
+            ],
+            dtype=np.float64,
+        )  # (num_tables*bits, dim)
+        pack = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))]
+        )
+        cols = df.columns
+
+        def _buckets(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(**{out_col: []})
+                    continue
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                signs = (v @ planes.T) >= 0  # n × (num_tables*bits)
+                buckets = [
+                    signs[:, t * bits : (t + 1) * bits].astype(np.int64) @ pack
+                    for t in range(num_tables)
+                ]
+                stacked = np.stack(buckets, axis=1)  # n × num_tables
+                yield pdf.assign(**{out_col: list(stacked)})
+
+        return df.mapInPandas(_buckets, out_schema).select(*cols, out_col)
+
     table_buckets = []
     for t in range(num_tables):
         bucket = F.lit(0).cast("long")
@@ -278,32 +322,36 @@ def ivf_centroids(
         chosen.append(pick)
         np.maximum(best_sim, unit @ unit[pick], out=best_sim)
     seed_rows = [(j, [float(x) for x in vecs[i]]) for j, i in enumerate(chosen)]
-    dim = _dim_of(df, vec_col)
     centroids = df.sparkSession.createDataFrame(
         seed_rows, "centroid_id long, centroid array<double>"
     )
+
+    # cluster mean via applyInPandas: Arrow-batched numpy per cluster
+    # (the expression fold over collect_list is interpreted per
+    # element — O(cluster·dim) scalar ops single-threaded). Rows are
+    # lexsorted before summing so the mean is bit-deterministic
+    # regardless of partition arrival order.
+    def _mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        v = v[np.lexsort(v.T[::-1])]
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "centroid": [(v.sum(axis=0) / len(v)).tolist()],
+            }
+        )
+
+    import pandas as pd  # noqa: F401 - typing reference for _mean
+
     for _ in range(iterations):
         assigned = _assign_nearest(df, centroids, id_col, vec_col)
-        # cluster mean: elementwise sum (ordered fold over collected
-        # vectors) / count. collect_list per cluster is bounded by
-        # cluster size; for huge clusters switch to posexplode +
-        # groupBy(position) — the fully-distributed mean.
         centroids = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                # sort_array fixes the fold order → bit-deterministic
-                # means regardless of partition arrival order
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.col(vec_col))),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
-                ).alias("__sum"),
-                F.count(F.lit(1)).alias("__n"),
-            )
-            .select(
-                "centroid_id",
-                F.transform(F.col("__sum"), lambda s: s / F.col("__n")).alias("centroid"),
-            )
+            assigned.select("centroid_id", vec_col)
+            .groupBy("centroid_id")
+            .applyInPandas(_mean, "centroid_id long, centroid array<double>")
         )
     return centroids
 
@@ -315,17 +363,45 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
 def _assign_nearest(
     df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid assignment: k-way scored broadcast join +
-    row_number pick. One shuffle on (row) for the rank."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_similarity(vec_col, "centroid")
+    """Nearest-centroid assignment, Arrow-batched: the centroid set is
+    a model (k×dim — the same driver-resident object the seeding
+    built), so each executor gets it in the task closure and computes
+    one normalized matmul + argmax per batch. ZERO shuffles and no k×
+    crossJoin row explosion — strictly better than the scored-join +
+    row_number formulation at any scale (ties broken toward the
+    smallest centroid_id, matching the join version's ordering)."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = centroids.orderBy("centroid_id").collect()
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("centroid_id", LongType())]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "centroid")
-    )
+    if not rows:
+        return df.limit(0).withColumn("centroid_id", F.lit(None).cast("long"))
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cunit = cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
+
+    def _assign(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(centroid_id=np.array([], dtype=np.int64))
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            vu = v / np.where(vn == 0.0, 1.0, vn)[:, None]
+            sims = vu @ cunit.T  # n × k
+            # argmax returns the FIRST max; rows are centroid_id-sorted,
+            # so equal similarities resolve to the smallest id
+            yield pdf.assign(centroid_id=cids[np.argmax(sims, axis=1)])
+
+    return df.mapInPandas(_assign, out_schema)
 
 
 def ivf_topk(
