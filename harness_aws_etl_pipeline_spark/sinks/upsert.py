@@ -9,14 +9,22 @@ Spark-first mechanics, no table format required:
    list — partitions, not rows) and turned into an explicit partition
    filter, so the existing-data scan reads ONLY the touched partitions
    (partition pruning, visible as PartitionFilters in the scan).
-2. Survivors = touched-partition rows whose key is NOT in the batch
+2. Keys that MOVED partition (their old copy lives outside the batch's
+   partitions) are detected with a column-pruned key+partition scan of
+   the rest of the table; their old partitions join the touched set so
+   the stale copies are dropped, never duplicated. Pass
+   ``moved_keys="assume_stable"`` to skip that scan when the pipeline
+   guarantees partition-stable keys (the usual date-partition
+   contract) — then the merge cost is strictly proportional to the
+   touched partitions.
+3. Survivors = touched-partition rows whose key is NOT in the batch
    (left_anti against the batch's distinct keys — broadcast when
    small).
-3. Survivors ∪ batch is written with
+4. Survivors ∪ batch is written with
    ``spark.sql.sources.partitionOverwriteMode=dynamic`` so ONLY the
-   touched partitions are rewritten; untouched partitions are never
-   read or written. At 100 TB the cost is proportional to the touched
-   partitions, not the table.
+   touched partitions are rewritten. A moved-key partition that ends
+   up empty is removed directly (dynamic overwrite can't rewrite a
+   partition absent from the output).
 
 The merged plan is localCheckpoint'ed before the overwrite because
 Spark cannot overwrite a path it is still lazily reading from. A
@@ -28,9 +36,16 @@ single-job.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _part_filter(partition_by: list[str], parts: list[tuple]):
+    return F.struct(*[F.col(c) for c in partition_by]).isin(
+        [F.struct(*[F.lit(v) for v in p]) for p in parts]
+    )
 
 
 def upsert_partitioned(
@@ -39,14 +54,23 @@ def upsert_partitioned(
     key_cols: list[str],
     partition_by: list[str],
     fmt: str = "parquet",
+    moved_keys: str = "scan",
 ) -> dict:
     """Merge ``df`` into the partitioned table at ``path`` by key.
 
-    Returns ``{"partitions_touched": n, "rows_upserted": n}``. First
-    write (no existing table) degrades to a plain partitioned write.
+    ``moved_keys``: ``"scan"`` (default) detects keys whose previous
+    row lives in a different partition and drops the stale copy;
+    ``"assume_stable"`` skips the detection scan — only safe when a
+    key's partition value never changes.
+
+    Returns ``{"partitions_touched": n, "rows_upserted": n, ...}``.
+    First write (no existing table) degrades to a plain partitioned
+    write.
     """
     if not key_cols or not partition_by:
         raise ValueError("upsert_partitioned needs key_cols and partition_by")
+    if moved_keys not in ("scan", "assume_stable"):
+        raise ValueError('moved_keys must be "scan" or "assume_stable"')
     spark: SparkSession = df.sparkSession
     local = path.removeprefix("file:")
 
@@ -61,14 +85,28 @@ def upsert_partitioned(
             "created": True,
         }
 
+    table = spark.read.format(fmt).load(path)
+    batch_keys = df.select(*key_cols).distinct()
+
+    stale_parts: list[tuple] = []
+    if moved_keys == "scan":
+        # keys that moved partition: their old copy sits OUTSIDE the
+        # batch partitions and would otherwise survive as a duplicate.
+        # Column-pruned scan (keys + partition values only) — reads no
+        # payload columns and rewrites nothing unless movers exist.
+        stale_parts = [
+            tuple(r)
+            for r in table.filter(~_part_filter(partition_by, batch_parts))
+            .join(F.broadcast(batch_keys), key_cols, "leftsemi")
+            .select(*partition_by)
+            .distinct()
+            .collect()
+        ]
+    touched = batch_parts + stale_parts
+
     # explicit partition filter → the scan prunes to touched partitions
-    part_filter = F.struct(*[F.col(c) for c in partition_by]).isin(
-        [F.struct(*[F.lit(v) for v in p]) for p in batch_parts]
-    )
-    existing = spark.read.format(fmt).load(path).filter(part_filter)
-    survivors = existing.join(
-        F.broadcast(df.select(*key_cols).distinct()), key_cols, "left_anti"
-    )
+    existing = table.filter(_part_filter(partition_by, touched))
+    survivors = existing.join(F.broadcast(batch_keys), key_cols, "left_anti")
     merged = survivors.unionByName(df.select(*survivors.columns)).localCheckpoint(
         eager=True
     )
@@ -81,8 +119,21 @@ def upsert_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    if stale_parts:
+        # a moved-key partition left with zero rows is absent from the
+        # output, so dynamic overwrite couldn't rewrite it — remove it
+        present = {
+            tuple(r) for r in merged.select(*partition_by).distinct().collect()
+        }
+        for p in stale_parts:
+            if tuple(p) not in present:
+                d = os.path.join(
+                    local, *[f"{c}={v}" for c, v in zip(partition_by, p)]
+                )
+                shutil.rmtree(d, ignore_errors=True)
     return {
-        "partitions_touched": len(batch_parts),
+        "partitions_touched": len(touched),
         "rows_upserted": df.count(),
         "created": False,
     }

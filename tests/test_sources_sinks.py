@@ -220,6 +220,25 @@ class TestSinks:
             6: ("c", 60.0),  # new partition
         }
 
+    def test_upsert_moved_key_drops_stale_copy(self, spark, tmp_path):
+        # a key whose partition value CHANGES in the batch must not
+        # leave its old copy behind as a duplicate; a partition emptied
+        # by the move disappears entirely
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (5, "z", 50.0)], "id long, part string, v double"
+        )
+        upsert_partitioned(base, path, ["id"], ["part"])
+        # id=5 moves z -> a; partition z becomes empty
+        batch = spark.createDataFrame([(5, "a", 55.0)], "id long, part string, v double")
+        r = upsert_partitioned(batch, path, ["id"], ["part"])
+        assert r["partitions_touched"] == 2  # a (batch) + z (stale)
+        got = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert got == {1: ("a", 10.0), 5: ("a", 55.0)}
+        assert not os.path.exists(os.path.join(path, "part=z"))
+
     def test_upsert_scan_prunes_partitions(self, spark, tmp_path):
         # the existing-data read must show PartitionFilters — at scale
         # the merge cost is the touched partitions, not the table
