@@ -487,11 +487,66 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    return (
+    funnel = (
         s1.agg(F.count(F.lit(1)).alias("signed_up"))
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("clicked_after")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("purchased_after")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("funnel").alias("metric"),
+                        F.lit("1_signed_up").alias("dim"),
+                        F.col("signed_up").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("funnel").alias("metric"),
+                        F.lit("2_clicked_after").alias("dim"),
+                        F.col("clicked_after").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("funnel").alias("metric"),
+                        F.lit("3_purchased_after").alias("dim"),
+                        F.col("purchased_after").alias("value"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.metric", "r.dim", "r.value")
     )
+    # weekly cohort retention: cohort = Monday-truncated week of the
+    # user's first event; offsets 0-3 count distinct users from the
+    # cohort active in cohort-week + offset. Two grouped aggregates +
+    # one join — the classic BI retention matrix, here in long format
+    # so it unions with the funnel stages under one verified entry.
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    retention = (
+        weeks.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / (7 * 86400)
+            ).cast("int"),
+        )
+        .filter(F.col("week_offset").between(0, 3))
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("value"))
+        .select(
+            F.lit("retention").alias("metric"),
+            F.concat_ws(
+                ":",
+                F.date_format("cohort", "yyyy-MM-dd"),
+                F.col("week_offset").cast("string"),
+            ).alias("dim"),
+            "value",
+        )
+    )
+    return funnel.unionByName(retention).orderBy("metric", "dim")
 
 
 ORACLE_FUNNEL = """
@@ -507,10 +562,28 @@ s3 AS (
   SELECT e.user_id, MIN(e.ts) AS t3
   FROM events e JOIN s2 ON e.user_id = s2.user_id
   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+),
+cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
 )
-SELECT (SELECT COUNT(*) FROM s1) AS signed_up,
-       (SELECT COUNT(*) FROM s2) AS clicked_after,
-       (SELECT COUNT(*) FROM s3) AS purchased_after
+SELECT * FROM (
+  SELECT 'funnel' AS metric, '1_signed_up' AS dim, (SELECT COUNT(*) FROM s1) AS value
+  UNION ALL
+  SELECT 'funnel', '2_clicked_after', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 'funnel', '3_purchased_after', (SELECT COUNT(*) FROM s3)
+  UNION ALL
+  SELECT 'retention',
+         strftime(c.cohort, '%Y-%m-%d') || ':' || CAST(
+           CAST(FLOOR((epoch(a.wk) - epoch(c.cohort)) / 604800) AS INT) AS VARCHAR),
+         COUNT(DISTINCT a.user_id)
+  FROM active a JOIN cohorts c ON a.user_id = c.user_id
+  WHERE FLOOR((epoch(a.wk) - epoch(c.cohort)) / 604800) BETWEEN 0 AND 3
+  GROUP BY 2
+) ORDER BY metric, dim
 """
 
 
@@ -537,7 +610,8 @@ GOLD_CATALOG: list[QuerySpec] = [
     QuerySpec("date_funcs", q_date_funcs, ORACLE_DATE_FUNCS,
               "date scalar-function breadth", tags=("scalar",)),
     QuerySpec("funnel", q_funnel, ORACLE_FUNNEL,
-              "signup→click→purchase funnel analytics", tags=("gold", "events")),
+              "funnel stages + weekly cohort retention panel",
+              tags=("gold", "events")),
     QuerySpec("array_agg", q_array_agg, ORACLE_ARRAY_AGG,
               "sorted distinct array aggregation", tags=("gold",)),
 ]
