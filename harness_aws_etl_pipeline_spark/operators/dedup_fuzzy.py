@@ -322,22 +322,59 @@ def minhash_dedup_pairs(
     )
 
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def near_dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = min doc_id in the component.
 
-    Iterative min-label propagation with pointer doubling: each round
-    every node adopts the smallest label among itself and its
-    neighbors, then shortcuts to its label's label — converging in
-    O(log component diameter) rounds instead of O(diameter), so even
-    a path-shaped component of 2^20 nodes resolves well inside the
+    The pair graph is EDGES BETWEEN NEAR-DUPLICATES — typically many
+    orders of magnitude smaller than the corpus that produced it — so
+    when it fits comfortably on the driver (``<= driver_threshold``
+    edges, counted first) components are resolved with an in-memory
+    union-find in one collect: identical semantics, two Spark jobs
+    instead of ~4 per propagation round. The same size-gated strategy
+    choice as a broadcast join.
+
+    Above the threshold: iterative min-label propagation with pointer
+    doubling — each round every node adopts the smallest label among
+    itself and its neighbors, then shortcuts to its label's label —
+    converging in O(log component diameter) rounds, so even a
+    path-shaped component of 2^20 nodes resolves well inside the
     default ``max_iter``. Pure DataFrame joins; each round is
     localCheckpoint'ed (the doubling self-join would otherwise grow
     the logical plan exponentially). Warns loudly if the loop exhausts
-    ``max_iter``
-    without converging (truncated labels would silently keep multiple
-    representatives per true cluster in :func:`deduplicate_near`).
+    ``max_iter`` without converging (truncated labels would silently
+    keep multiple representatives per true cluster in
+    :func:`deduplicate_near`).
     """
+    if pairs.count() <= driver_threshold:
+        id_type = pairs.schema["doc_a"].dataType.simpleString()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.select("doc_a", "doc_b").collect():
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller → the final
+                # root IS the component minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(node, find(node)) for node in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, f"doc_id {id_type}, cluster_id {id_type}"
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

@@ -101,10 +101,12 @@ class TestNearDupClusters:
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
         )
-        labels = {
-            r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
-        }
-        assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+        for thr in (0, 1_000_000):  # distributed and driver fast path agree
+            labels = {
+                r["doc_id"]: r["cluster_id"]
+                for r in near_dup_clusters(pairs, driver_threshold=thr).collect()
+            }
+            assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
         docs = spark.createDataFrame(
             [(i, f"doc{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
@@ -123,8 +125,10 @@ class TestNearDupClusters:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
         )
+        # driver_threshold=0 pins the DISTRIBUTED propagation path
         labels = {
-            r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(pairs, driver_threshold=0).collect()
         }
         assert labels == {i: 0 for i in range(60)}
 
@@ -140,7 +144,7 @@ class TestNearDupClusters:
         )
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
-            near_dup_clusters(pairs, max_iter=1).collect()
+            near_dup_clusters(pairs, max_iter=1, driver_threshold=0).collect()
         assert any(
             issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
             for w in caught
