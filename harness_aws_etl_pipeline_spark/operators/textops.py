@@ -229,6 +229,45 @@ def tf_idf(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-trained unigram LM score per document: the corpus's own
+    token frequencies become the model, each doc scores the average
+    log-probability of its tokens — the classic cheap perplexity-style
+    quality signal (gibberish and rare-token soup score low, typical
+    prose scores high).
+
+    Shape is TF-IDF's: one explode, one vocabulary-keyed rollup, one
+    join back. Per-token log-probs are scaled-long BEFORE the per-doc
+    sum so the aggregate is partition-order-exact (float sums are
+    not). Returns (doc_id, n_tokens, avg_logprob)."""
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("n_total"))
+    scored = terms.join(freq, "term").crossJoin(F.broadcast(total))
+    tok_lp = F.round(F.log(F.col("tf") / F.col("n_total")) * 1_000_000).cast("long")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(tok_lp).alias("__lp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("__lp_sum").cast("double") / 1_000_000.0 / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

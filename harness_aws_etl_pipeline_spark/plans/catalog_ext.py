@@ -167,11 +167,18 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         _scaled_sum(dup_line_fraction("text"), "dup_line_sum"),
         _scaled_sum(dup_word_fraction("text"), "dup_word_sum"),
     )
-    return buckets.crossJoin(rep)
+    # self-trained unigram LM: corpus sum of per-doc avg log-prob
+    # (scaled-long at every float step — see unigram_logprob)
+    from harness_aws_etl_pipeline_spark.operators.textops import unigram_logprob
+
+    lm = unigram_logprob(docs).agg(
+        _scaled_sum(F.col("avg_logprob"), "logprob_sum")
+    )
+    return buckets.crossJoin(rep).crossJoin(lm)
 
 
 ORACLE_QUALITY = r"""
-SELECT q.*, r.dup_line_sum, r.dup_word_sum FROM (
+SELECT q.*, r.dup_line_sum, r.dup_word_sum, lm.logprob_sum FROM (
 SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
   SELECT ROUND(
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -203,7 +210,25 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
         FROM (SELECT list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
                      list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
               FROM documents))
-) r ORDER BY bucket
+) r CROSS JOIN (
+  WITH t AS (
+    SELECT doc_id,
+           lower(UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS term
+    FROM documents
+  ),
+  f AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+  n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM f),
+  per_doc AS (
+    SELECT t.doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(ln(f.tf / n.n_total) * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS avg_logprob
+    FROM t JOIN f ON t.term = f.term CROSS JOIN n
+    GROUP BY t.doc_id
+  )
+  SELECT ROUND(CAST(SUM(CAST(ROUND(ROUND(avg_logprob, 6) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS logprob_sum
+  FROM per_doc
+) lm ORDER BY bucket
 """
 
 

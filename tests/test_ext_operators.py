@@ -336,6 +336,25 @@ class TestTextOps:
         assert rows[3][1] == 0.5  # 4 words, 2 distinct
         assert rows[4] == (0.0, 0.0)
 
+    def test_unigram_logprob(self, spark):
+        import math
+
+        from harness_aws_etl_pipeline_spark.operators.textops import unigram_logprob
+
+        # corpus: "a" appears 3x, "b" 1x → N=4; doc1 = [a,a] scores
+        # ln(3/4); doc2 = [a,b] scores (ln(3/4)+ln(1/4))/2
+        df = spark.createDataFrame(
+            [(1, "a a"), (2, "a b")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        lp = lambda x: round(round(math.log(x) * 1e6) / 1e6, 6)
+        assert rows[1]["n_tokens"] == 2
+        assert abs(rows[1]["avg_logprob"] - lp(0.75)) < 1e-6
+        want2 = round((round(math.log(0.75) * 1e6) + round(math.log(0.25) * 1e6)) / 1e6 / 2, 6)
+        assert abs(rows[2]["avg_logprob"] - want2) < 1e-6
+        # common-token doc scores higher than rare-token doc
+        assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+
     def test_top_ngrams(self, spark):
         from harness_aws_etl_pipeline_spark.operators.textops import top_ngrams
 
