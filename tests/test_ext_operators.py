@@ -336,6 +336,39 @@ class TestTextOps:
         assert rows[3][1] == 0.5  # 4 words, 2 distinct
         assert rows[4] == (0.0, 0.0)
 
+    def test_null_text_flows_through(self, spark):
+        # a NULL text cell must not crash any text operator (ANSI mode
+        # makes silent null-propagation regressions easy to introduce)
+        from harness_aws_etl_pipeline_spark.functions.text import (
+            dup_line_fraction,
+            dup_word_fraction,
+        )
+        from harness_aws_etl_pipeline_spark.operators.textops import (
+            chunk_documents,
+            redact_text,
+            tf_idf,
+            top_ngrams,
+            unigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "the quick brown fox")], "doc_id long, text string"
+        )
+        assert add_text_stats(df).count() == 2
+        row = df.filter("doc_id = 1").select(
+            dup_line_fraction("text").alias("dl"),
+            dup_word_fraction("text").alias("dw"),
+            rolling_fingerprint("text").alias("fp"),
+            redact_text("text").alias("rx"),
+        ).first()
+        assert row["dl"] == 0.0 and row["dw"] == 0.0
+        assert row["fp"] is None and row["rx"] is None
+        # explode-based ops simply skip the null row
+        assert unigram_logprob(df).count() == 1
+        assert tf_idf(df).count() == 4
+        assert top_ngrams(df).count() == 3
+        assert chunk_documents(df).count() == 1
+
     def test_unigram_logprob(self, spark):
         import math
 
