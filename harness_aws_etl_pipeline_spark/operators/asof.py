@@ -50,16 +50,23 @@ def range_join(
     if how not in ("inner",):
         raise ValueError("range_join currently supports inner joins")
 
-    def _epoch(c) -> Column:
-        # sub-second-precise epoch seconds, valid for TIMESTAMP and
-        # TIMESTAMP_NTZ alike (unix_timestamp truncates to whole
-        # seconds, which would drop the last bucket of an interval
-        # ending just past a boundary, e.g. boundary + 0.5s)
-        return F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1_000_000.0)
+    # All bucket math in integer microseconds: Spark timestamps are
+    # µs-resolution, so this is exact (a float epsilon like 1e-9 s is
+    # below the double ULP near the current epoch and silently rounds
+    # away). pmod-based floor division is a true floor for pre-1970
+    # (negative-µs) timestamps too, where SQL `div` truncates toward
+    # zero and would disagree with the point-side bucket.
+    width_us = int(bucket_width_seconds) * 1_000_000
 
-    lb = left.withColumn(
-        "__bucket", F.floor(_epoch(left_point) / bucket_width_seconds)
-    )
+    def _micros(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def _floor_bucket(m: Column) -> Column:
+        return ((m - F.pmod(m, F.lit(width_us))) / F.lit(width_us)).cast(
+            "long"
+        )
+
+    lb = left.withColumn("__bucket", _floor_bucket(_micros(left_point)))
     # degenerate intervals (end <= start) match nothing and would make
     # the bucket sequence count DOWN — drop them before exploding
     right = right.filter(F.col(right_end) > F.col(right_start))
@@ -67,12 +74,11 @@ def range_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(_epoch(right_start) / bucket_width_seconds),
-                F.floor(
-                    # end is exclusive: an interval ending exactly on a
-                    # bucket boundary does not reach that bucket
-                    (_epoch(right_end) - 1e-9) / bucket_width_seconds
-                ),
+                _floor_bucket(_micros(right_start)),
+                # end is exclusive: an interval ending exactly on a
+                # bucket boundary does not reach that bucket (−1 µs is
+                # exact at timestamp resolution)
+                _floor_bucket(_micros(right_end) - F.lit(1)),
             )
         ),
     )
@@ -91,7 +97,7 @@ def as_of_join(
     left_time: str,
     right_time: str,
     value_cols: list[str] | None = None,
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right`` row
@@ -161,10 +167,14 @@ def as_of_join(
     out = unioned.select("*", *carried).filter(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
+        # integer-microsecond gap so sub-second tolerances work
+        # (unix_timestamp truncates to whole seconds and would judge a
+        # 0.6 s gap as 0 s, wrongly keeping matches outside a 0.5 s
+        # tolerance)
         fresh = (
-            F.unix_timestamp(F.col(left_time))
-            - F.unix_timestamp(F.col(f"{right_time}{suffix}"))
-            <= tolerance_seconds
+            F.unix_micros(F.col(left_time).cast("timestamp"))
+            - F.unix_micros(F.col(f"{right_time}{suffix}").cast("timestamp"))
+            <= F.lit(int(round(tolerance_seconds * 1_000_000)))
         )
         for c in value_cols:
             out = out.withColumn(

@@ -348,7 +348,11 @@ def near_dup_clusters(
     keep multiple representatives per true cluster in
     :func:`deduplicate_near`).
     """
-    if pairs.count() <= driver_threshold:
+    # limit(threshold+1) bounds the gating probe: we only need to know
+    # "more than threshold edges?", not the exact count, so unpersisted
+    # callers don't pay a full pair-generation pass just to pick a
+    # strategy
+    if pairs.limit(driver_threshold + 1).count() <= driver_threshold:
         id_type = pairs.schema["doc_a"].dataType.simpleString()
         parent: dict = {}
 
@@ -389,17 +393,38 @@ def near_dup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    # Convergence detection without a per-round join: labels only ever
-    # DECREASE (min over self+neighbors, then shortcut to a smaller
-    # ancestor), so the total label sum is strictly monotone until the
-    # fixpoint — equal consecutive sums ⟺ nothing changed. Decimal sum
-    # so a 100-TB-scale id space can't overflow the accumulator.
+    # Convergence detection. For NUMERIC ids, no per-round join is
+    # needed: labels only ever DECREASE (min over self+neighbors, then
+    # shortcut to a smaller ancestor), so the total label sum is
+    # strictly monotone until the fixpoint — equal consecutive sums ⟺
+    # nothing changed. Decimal sum so a 100-TB-scale id space can't
+    # overflow the accumulator. For NON-numeric ids (string/UUID doc
+    # ids) that cast yields NULL and the sum would be None every round
+    # — falsely "converged" after one round — so those take an exact
+    # changed-row existence check (join old vs new, stop at the first
+    # differing label) instead.
+    from pyspark.sql.types import NumericType
+
+    id_is_numeric = isinstance(
+        pairs.schema["doc_a"].dataType, NumericType
+    )
+
     def _label_sum(lbl: DataFrame):
         return lbl.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).first()[0]
 
-    prev_sum = _label_sum(labels)
+    def _any_changed(old: DataFrame, new: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev_sum = _label_sum(labels) if id_is_numeric else None
     converged = False
     for _ in range(max_iter):
         neighbor_labels = (
@@ -431,13 +456,17 @@ def near_dup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = _label_sum(new_labels)
+        if id_is_numeric:
+            cur_sum = _label_sum(new_labels)
+            changed = cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = _any_changed(labels, new_labels)
         labels.unpersist()  # previous round's labels are dead now
         labels = new_labels
-        if cur_sum == prev_sum:
+        if not changed:
             converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         import warnings
@@ -487,9 +516,16 @@ def simhash(
     folded into one long. Default path is Arrow-batched mapInPandas
     with a fully vectorized numpy bit matrix (the same trade as
     ``hashed_shingle_sets``: the 64 per-bit array aggregates are
-    interpreted JVM-side and dominate; hashes are engine-internal so
-    blake2b vs xxhash64 is immaterial). ``arrow=False`` keeps the
-    pure-expression JVM fallback with identical semantics.
+    interpreted JVM-side and dominate). ``arrow=False`` keeps a
+    pure-expression JVM fallback.
+
+    .. warning:: Sketches are NOT comparable across paths. Both place
+       the vote for bit *i* at bit position *i*, but the token hash
+       differs (blake2b on the Arrow path — not expressible as a JVM
+       expression — vs xxhash64 on the fallback), so the same corpus
+       yields different sketch values. Build AND compare sketches
+       (:func:`simhash_near_pairs`) with one path; never mix sketches
+       persisted from one path with candidates from the other.
     """
     if arrow:
         from collections.abc import Iterator as _Iter
@@ -563,10 +599,11 @@ def simhash(
         )
 
     # shiftleft|bitwiseOR instead of *2+bit: bit ops don't trip ANSI
-    # overflow checks when the sign bit fills
+    # overflow checks when the sign bit fills. Vote for bit i lands at
+    # bit position i — same packing order as the Arrow path.
     sim = F.lit(0).cast("long")
     for i in range(bits):
-        sim = F.shiftleft(sim, 1).bitwiseOR(vote(i))
+        sim = sim.bitwiseOR(F.shiftleft(vote(i), i))
     return src.select("doc_id", sim.alias("simhash"))
 
 

@@ -30,6 +30,44 @@ from pyspark.sql import functions as F
 from harness_aws_etl_pipeline_spark.functions.vectors import cosine_similarity, l2_norm
 
 
+def _vec_matrix(values, dim: int):
+    """(n×dim float64 matrix, valid mask) from a sequence of embedding
+    arrays. Rows that are NULL, the wrong length, or contain NaN get
+    ``valid=False`` and a zero row — callers must exclude them from
+    results (null bucket / null centroid / no neighbor), matching the
+    tolerance of the expression paths. Raising here would fail the
+    whole job for one bad row, which real corpora with missing
+    embeddings can't afford.
+
+    Fast path is one ``np.asarray`` over the batch; the per-row scan
+    only runs when that fails (i.e. the batch actually contains a
+    NULL/ragged row).
+    """
+    import numpy as np
+
+    vals = list(values)
+    try:
+        mat = np.asarray(vals, dtype=np.float64)
+        if mat.ndim == 2 and mat.shape[1] == dim:
+            valid = ~np.isnan(mat).any(axis=1)
+            if not valid.all():
+                mat = np.where(valid[:, None], mat, 0.0)
+            return mat, valid
+    except (ValueError, TypeError):
+        pass
+    mat = np.zeros((len(vals), dim), dtype=np.float64)
+    valid = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None or len(v) != dim:
+            continue
+        row = np.asarray(v, dtype=np.float64)
+        if np.isnan(row).any():
+            continue
+        mat[i] = row
+        valid[i] = True
+    return mat, valid
+
+
 def brute_force_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -88,11 +126,17 @@ def brute_force_topk_arrow(
     import pandas as pd
     from collections.abc import Iterator
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:  # no queries → empty result with the right schema
+    q_rows = [
+        r
+        for r in queries.select(id_col, vec_col).collect()
+        if r[vec_col] is not None
+    ]
+    if not q_rows:  # no (valid) queries → empty result, right schema
         return candidates.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cosine double"
         )
+    dim = len(q_rows[0][vec_col])
+    q_rows = [r for r in q_rows if len(r[vec_col]) == dim]
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -102,8 +146,11 @@ def brute_force_topk_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat, valid = _vec_matrix(pdf[vec_col], dim)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)[valid]
+            c_mat = c_mat[valid]
+            if not len(c_mat):  # batch was all NULL/ragged vectors
+                continue
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0] = 1.0
             sims = (c_mat @ q_mat.T) / c_norm[:, None] / q_norm[None, :]
@@ -196,14 +243,20 @@ def add_lsh_buckets(
                 if len(pdf) == 0:
                     yield pdf.assign(**{out_col: []})
                     continue
-                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                v, valid = _vec_matrix(pdf[vec_col], dim)
                 signs = (v @ planes.T) >= 0  # n × (num_tables*bits)
                 buckets = [
                     signs[:, t * bits : (t + 1) * bits].astype(np.int64) @ pack
                     for t in range(num_tables)
                 ]
                 stacked = np.stack(buckets, axis=1)  # n × num_tables
-                yield pdf.assign(**{out_col: list(stacked)})
+                # NULL/ragged vector → NULL bucket array (explodes to
+                # zero candidate rows downstream) instead of raising
+                out = [
+                    row.tolist() if ok else None
+                    for row, ok in zip(stacked, valid)
+                ]
+                yield pdf.assign(**{out_col: out})
 
         return df.mapInPandas(_buckets, out_schema).select(*cols, out_col)
 
@@ -299,7 +352,8 @@ def ivf_centroids(
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sample_n = max(64 * k, 1024)
     sample = (
-        df.select(F.col(id_col).alias("__id"), as_double.alias("__v"))
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), as_double.alias("__v"))
         .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
         .limit(sample_n)
         .collect()
@@ -308,6 +362,9 @@ def ivf_centroids(
         return df.sparkSession.createDataFrame(
             [], "centroid_id long, centroid array<double>"
         )
+    # tolerate ragged corpora: seed from the first-seen dimension only
+    dim0 = len(sample[0]["__v"])
+    sample = [r for r in sample if len(r["__v"]) == dim0]
     ids = np.array([r["__id"] for r in sample])
     vecs = np.array([r["__v"] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(vecs, axis=1)
@@ -349,7 +406,10 @@ def ivf_centroids(
     for _ in range(iterations):
         assigned = _assign_nearest(df, centroids, id_col, vec_col)
         centroids = (
-            assigned.select("centroid_id", vec_col)
+            # NULL centroid_id marks rows whose vector was NULL/ragged
+            # — they carry no position and must not form a group
+            assigned.filter(F.col("centroid_id").isNotNull())
+            .select("centroid_id", vec_col)
             .groupBy("centroid_id")
             .applyInPandas(_mean, "centroid_id long, centroid array<double>")
         )
@@ -357,7 +417,11 @@ def ivf_centroids(
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    return df.select(F.size(vec_col).alias("d")).first()["d"]
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()["d"]
+    )
 
 
 def _assign_nearest(
@@ -388,18 +452,27 @@ def _assign_nearest(
     cnorm = np.linalg.norm(cmat, axis=1)
     cunit = cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
 
+    dim = cmat.shape[1]
+
     def _assign(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(centroid_id=np.array([], dtype=np.int64))
                 continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v, valid = _vec_matrix(pdf[vec_col], dim)
             vn = np.linalg.norm(v, axis=1)
             vu = v / np.where(vn == 0.0, 1.0, vn)[:, None]
             sims = vu @ cunit.T  # n × k
             # argmax returns the FIRST max; rows are centroid_id-sorted,
-            # so equal similarities resolve to the smallest id
-            yield pdf.assign(centroid_id=cids[np.argmax(sims, axis=1)])
+            # so equal similarities resolve to the smallest id.
+            # NULL/ragged vectors get a NULL centroid_id (nullable
+            # Int64) instead of raising.
+            nearest = cids[np.argmax(sims, axis=1)]
+            col = pd.array(
+                [int(c) if ok else None for c, ok in zip(nearest, valid)],
+                dtype="Int64",
+            )
+            yield pdf.assign(centroid_id=col)
 
     return df.mapInPandas(_assign, out_schema)
 

@@ -154,17 +154,16 @@ def run_job(
             # action on an observed plan freezes the metrics at bogus
             # values), cleaning up the output dir if this job created
             # it.
-            import os as _os
-            import shutil as _shutil
+            from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
+            _fs = get_fs(output_path, spark)
             jm = JobMetrics()
             raw_df = df
             df = jm.observe_input(df)
             transformed, tstats = transform(df, cfg, collect_stats=False, rules=rules)
             transformed = jm.observe_output(transformed)
             result["transform"] = tstats
-            out_local = output_path.removeprefix("file:")
-            out_preexisted = _os.path.exists(out_local)
+            out_preexisted = _fs.exists(output_path)
             load_mode = cfg.get("etl.load.mode", "append")
             # L5 guard for the one DESTRUCTIVE configuration: overwrite
             # onto a preexisting output. Writing first would wipe the
@@ -213,8 +212,8 @@ def run_job(
                 # reference L5 semantics: empty output → skipped, no
                 # object left behind (only removable when this job
                 # created the directory — append jobs keep prior data)
-                if not out_preexisted and _os.path.exists(out_local):
-                    _shutil.rmtree(out_local, ignore_errors=True)
+                if not out_preexisted and _fs.exists(output_path):
+                    _fs.delete(output_path, recursive=True)
                 result["load"] = {"status": "skipped", "reason": "empty input"}
             result["status"] = "success"
         result["duration_seconds"] = round(time.time() - started, 6)

@@ -28,16 +28,22 @@ def compact_table(
     target_path: str | None = None,
 ) -> dict:
     """Rewrite ``path`` with compacted files; in-place when
-    ``target_path`` is None (write to temp sibling, then swap)."""
-    import os
-    import shutil
-    import tempfile
+    ``target_path`` is None (write to temp sibling, then swap).
 
+    All path operations go through the Hadoop FileSystem adapter
+    (sinks/fs.py) so the swap works on any scheme the cluster has a
+    connector for, not just the local filesystem.
+    """
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    fs = get_fs(path, spark)
     df = spark.read.parquet(path)
     in_place = target_path is None
-    dest = target_path or tempfile.mkdtemp(
-        prefix=".compact_", dir=os.path.dirname(path.rstrip("/")) or "."
-    )
+    # deterministic temp sibling (same parent → same filesystem, so
+    # the final rename is a metadata move, never a copy)
+    dest = target_path or path.rstrip("/") + ".__compacting__"
+    if in_place and fs.exists(dest):
+        fs.delete(dest, recursive=True)  # stale leftover from a crash
 
     if partition_cols:
         if files_per_partition > 1:
@@ -52,15 +58,8 @@ def compact_table(
     writer.option("maxRecordsPerFile", max_records_per_file).parquet(dest)
 
     if in_place:
-        local_src = path.removeprefix("file:")
-        shutil.rmtree(local_src)
-        shutil.move(dest, local_src)
+        fs.delete(path, recursive=True)
+        fs.rename(dest, path)
         dest = path
 
-    def _count_files(p: str) -> int:
-        n = 0
-        for _root, _dirs, files in os.walk(p.removeprefix("file:")):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
-
-    return {"path": dest, "parquet_files": _count_files(dest)}
+    return {"path": dest, "parquet_files": fs.file_count(dest, ".parquet")}

@@ -1,0 +1,184 @@
+"""Filesystem adapter for the sink layer.
+
+The sinks need a handful of metadata/maintenance operations (exists,
+recursive delete, rename, directory size) around what
+``DataFrameWriter`` itself does. Doing those with ``os``/``shutil``
+only works for local paths — at the stated design point the table
+lives on an object store or HDFS, where a silent ``os.path`` no-op
+turns "drop the stale partition" into duplicate keys.
+
+:class:`HadoopFS` routes every operation through the JVM's
+``org.apache.hadoop.fs.FileSystem`` (the same abstraction Spark's own
+committers use), so the SAME code path works for ``file:``, ``hdfs:``,
+``s3a:`` … — whatever connector the cluster has. When no JVM is
+reachable (Spark Connect, or no active session), :func:`get_fs` falls
+back to a local-``os`` implementation for schemeless/``file:`` paths
+and REFUSES loudly for remote schemes rather than silently doing
+nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import shutil
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_fs", "HadoopFS", "LocalFS", "escape_partition_value"]
+
+# Hive/Spark's partition-path escape set (see Spark's
+# ExternalCatalogUtils.escapePathName): control chars plus the
+# characters that are path- or shell-significant.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
+
+
+def escape_partition_value(v) -> str:
+    """Render one partition value the way Spark names its directory:
+    ``None`` → ``__HIVE_DEFAULT_PARTITION__``, booleans lowercase,
+    special characters %-escaped."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s
+    )
+
+
+def partition_dirname(partition_by: list[str], values: tuple) -> str:
+    """``a=1/b=__HIVE_DEFAULT_PARTITION__`` — the relative directory
+    Spark wrote for this partition tuple."""
+    return "/".join(
+        f"{c}={escape_partition_value(v)}"
+        for c, v in zip(partition_by, values)
+    )
+
+
+class LocalFS:
+    """``os``/``shutil`` implementation — valid only for local paths."""
+
+    @staticmethod
+    def _local(path: str) -> str:
+        if path.startswith("file:"):
+            path = path.removeprefix("file:")
+        if "://" in path:
+            raise ValueError(
+                f"LocalFS cannot operate on remote path {path!r}; a "
+                "SparkSession (JVM Hadoop FileSystem) is required for "
+                "non-local schemes"
+            )
+        return path
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._local(path))
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        p = self._local(path)
+        if not os.path.exists(p):
+            return False
+        if os.path.isdir(p):
+            if recursive:
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.rmdir(p)
+        else:
+            os.remove(p)
+        return True
+
+    def rename(self, src: str, dst: str) -> bool:
+        shutil.move(self._local(src), self._local(dst))
+        return True
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(self._local(path), exist_ok=True)
+
+    def tree_size(self, path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self._local(path)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def file_count(self, path: str, suffix: str = "") -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(self._local(path)):
+            n += sum(1 for f in files if f.endswith(suffix))
+        return n
+
+
+class HadoopFS:
+    """``org.apache.hadoop.fs.FileSystem`` via the session JVM —
+    scheme-agnostic (file/hdfs/s3a/…); the path's own scheme picks the
+    connector."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, jpath):
+        return jpath.getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        p = self._jpath(path)
+        return self._fs(p).exists(p)
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        p = self._jpath(path)
+        return self._fs(p).delete(p, recursive)
+
+    def rename(self, src: str, dst: str) -> bool:
+        s, d = self._jpath(src), self._jpath(dst)
+        return self._fs(s).rename(s, d)
+
+    def mkdirs(self, path: str) -> None:
+        p = self._jpath(path)
+        self._fs(p).mkdirs(p)
+
+    def tree_size(self, path: str) -> int:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0
+        # getContentSummary is one namenode/LIST round-trip, not a walk
+        return fs.getContentSummary(p).getLength()
+
+    def file_count(self, path: str, suffix: str = "") -> int:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0
+        it = fs.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(suffix):
+                n += 1
+        return n
+
+
+def get_fs(path: str, spark: SparkSession | None = None):
+    """FS adapter for ``path``: Hadoop FileSystem when a JVM session is
+    available (any scheme), else :class:`LocalFS` (local paths only —
+    remote schemes without a JVM raise instead of silently no-op'ing).
+    """
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is not None and getattr(spark, "_jvm", None) is not None:
+        try:
+            return HadoopFS(spark)
+        except Exception:  # pragma: no cover - Connect-style sessions
+            pass
+    return LocalFS()
+
+
+def join_path(base: str, *parts: str) -> str:
+    """Scheme-preserving path join (os.path.join would mangle
+    ``s3a://bucket`` on Windows and never handles schemes)."""
+    return posixpath.join(base.rstrip("/"), *parts)

@@ -35,17 +35,37 @@ single-job.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from harness_aws_etl_pipeline_spark.sinks.fs import (
+    get_fs,
+    join_path,
+    partition_dirname,
+)
+
 
 def _part_filter(partition_by: list[str], parts: list[tuple]):
-    return F.struct(*[F.col(c) for c in partition_by]).isin(
-        [F.struct(*[F.lit(v) for v in p]) for p in parts]
-    )
+    """Membership filter over partition tuples, NULL-safe.
+
+    ``struct(...).isin(...)`` evaluates to SQL NULL when a partition
+    column is NULL, so rows in a null partition would be silently
+    excluded from the existing/survivor scan while the batch still
+    overwrote that partition — survivors lost. ``<=>`` (eqNullSafe)
+    per column treats NULL as an ordinary value.
+    """
+    if not parts:
+        return F.lit(False)
+    clauses = []
+    for p in parts:
+        conj = F.lit(True)
+        for c, v in zip(partition_by, p):
+            conj = conj & F.col(c).eqNullSafe(F.lit(v))
+        clauses.append(conj)
+    out = clauses[0]
+    for cl in clauses[1:]:
+        out = out | cl
+    return out
 
 
 def upsert_partitioned(
@@ -72,12 +92,12 @@ def upsert_partitioned(
     if moved_keys not in ("scan", "assume_stable"):
         raise ValueError('moved_keys must be "scan" or "assume_stable"')
     spark: SparkSession = df.sparkSession
-    local = path.removeprefix("file:")
+    fs = get_fs(path, spark)
 
     batch_parts = [
         tuple(r) for r in df.select(*partition_by).distinct().collect()
     ]
-    if not os.path.exists(local):
+    if not fs.exists(path):
         df.write.mode("overwrite").partitionBy(*partition_by).format(fmt).save(path)
         return {
             "partitions_touched": len(batch_parts),
@@ -128,10 +148,13 @@ def upsert_partitioned(
         }
         for p in stale_parts:
             if tuple(p) not in present:
-                d = os.path.join(
-                    local, *[f"{c}={v}" for c, v in zip(partition_by, p)]
+                # scheme-agnostic delete (Hadoop FileSystem), and the
+                # directory name uses Spark's own escaping — incl.
+                # __HIVE_DEFAULT_PARTITION__ for NULL values
+                fs.delete(
+                    join_path(path, partition_dirname(partition_by, p)),
+                    recursive=True,
                 )
-                shutil.rmtree(d, ignore_errors=True)
     return {
         "partitions_touched": len(touched),
         "rows_upserted": df.count(),

@@ -26,11 +26,12 @@ the data's partitioning and can be coalesced per partition via
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 from typing import Any
 
 from pyspark.sql import DataFrame
+
+from harness_aws_etl_pipeline_spark.sinks.fs import get_fs, join_path
 
 
 # L6 — MIME type per output format (reference loader.py:153-160)
@@ -84,15 +85,10 @@ def write_table(
         raise ValueError(f"unsupported output format: {fmt!r}")
 
 
-def _tree_size_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+def _tree_size_bytes(path: str, spark=None) -> int:
+    # Hadoop FileSystem contentSummary (one LIST, any scheme) with a
+    # local os.walk fallback — see sinks/fs.py
+    return get_fs(path, spark).tree_size(path)
 
 
 def load(
@@ -129,9 +125,7 @@ def load(
         # in the result metadata)
         "content_type": CONTENT_TYPES.get(fmt, "application/octet-stream"),
     }
-    if path.startswith(("/", "file:")):
-        local = path.removeprefix("file:")
-        result["bytes_written"] = _tree_size_bytes(local)
+    result["bytes_written"] = _tree_size_bytes(path, df.sparkSession)
     return result
 
 
@@ -143,7 +137,8 @@ def archive_source(path: str, archive_root: str) -> str:
     Streaming mode needs none of this: the file source's
     ``cleanSource=archive`` + ``sourceArchiveDir`` do it natively.
     """
-    os.makedirs(archive_root, exist_ok=True)
-    dest = os.path.join(archive_root, os.path.basename(path))
-    shutil.move(path, dest)
+    fs = get_fs(archive_root)
+    fs.mkdirs(archive_root)
+    dest = join_path(archive_root, posixpath.basename(path.rstrip("/")))
+    fs.rename(path, dest)
     return dest

@@ -176,3 +176,61 @@ class TestAsOfJoin:
             ).collect()
         }
         assert out2[2] is None
+
+    def test_subsecond_tolerance(self, spark):
+        # 0.5 s tolerance with 0.4 s and 0.6 s gaps — whole-second
+        # unix_timestamp math judges both gaps as 0 s and wrongly
+        # keeps the 0.6 s match
+        left = spark.createDataFrame(
+            [
+                (1, "a", "2024-01-01 10:00:00.9"),  # 0.4 s after right
+                (2, "b", "2024-01-01 10:00:01.1"),  # 0.6 s after right
+            ],
+            "event_id long, user_id string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [
+                ("a", "2024-01-01 10:00:00.5", 1.0),
+                ("b", "2024-01-01 10:00:00.5", 2.0),
+            ],
+            "user_id string, p_ts string, p_value double",
+        ).withColumn("p_ts", F.to_timestamp("p_ts"))
+        out = {
+            r["event_id"]: r["p_value_asof"]
+            for r in as_of_join(
+                left, right, "user_id", "ts", "p_ts", ["p_value"],
+                tolerance_seconds=0.5,
+            ).collect()
+        }
+        assert out[1] == 1.0  # 0.4 s old — inside tolerance
+        assert out[2] is None  # 0.6 s old — expired
+
+    def test_microsecond_end_exclusivity_buckets(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+        # end − 1 µs is the last instant inside the interval; end
+        # itself is out. Exact at timestamp resolution — no float
+        # epsilon involved.
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:59.999999"), (2, "2024-01-01 00:01:00")],
+            "pid long, t string",
+        ).withColumn("t", F.to_timestamp("t"))
+        iv = spark.createDataFrame(
+            [("2024-01-01 00:00:00", "2024-01-01 00:01:00")], "s string, e string"
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        got = {r["pid"] for r in range_join(pts, iv, "t", "s", "e",
+                                            bucket_width_seconds=60).collect()}
+        assert got == {1}
+
+    def test_pre_epoch_timestamps(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import range_join
+
+        # negative epoch micros: floor (not truncate-toward-zero)
+        # bucketing must agree between the point and interval sides
+        pts = spark.createDataFrame(
+            [(1, "1969-12-31 23:59:30")], "pid long, t string"
+        ).withColumn("t", F.to_timestamp("t"))
+        iv = spark.createDataFrame(
+            [("1969-12-31 23:59:00", "1970-01-01 00:00:30")], "s string, e string"
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        assert range_join(pts, iv, "t", "s", "e", bucket_width_seconds=60).count() == 1

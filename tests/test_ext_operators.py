@@ -132,6 +132,25 @@ class TestNearDupClusters:
         }
         assert labels == {i: 0 for i in range(60)}
 
+    def test_string_ids_distributed_path(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            near_dup_clusters,
+        )
+
+        # string/UUID-style ids: the decimal-sum convergence shortcut
+        # yields NULL sums (None==None would declare convergence after
+        # one round and leave the chain half-propagated) — the
+        # changed-row check must kick in instead. Chain needs >1 round.
+        pairs = spark.createDataFrame(
+            [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(9)],
+            "doc_a string, doc_b string",
+        )
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(pairs, driver_threshold=0).collect()
+        }
+        assert labels == {f"doc{i:02d}": "doc00" for i in range(10)}
+
     def test_warns_when_not_converged(self, spark):
         import warnings
 
@@ -182,6 +201,16 @@ class TestSimHash:
         assert pairs[(1, 4)] == 0
         assert (1, 2) in pairs and pairs[(1, 2)] <= 10
         assert (1, 3) not in pairs
+
+    def test_expression_path_bit_order(self, spark):
+        # a single-token doc has one +1/−1 vote per bit, so the sketch
+        # must equal the token's hash verbatim — pins "vote for bit i
+        # lands at bit i" (the packing the Arrow path uses); a reversed
+        # fold would emit the bit-mirrored value
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        got = simhash(df, arrow=False).first()["simhash"]
+        want = df.select(F.xxhash64(F.lit("solo")).alias("h")).first()["h"]
+        assert got == want
 
     def test_jvm_fallback_same_semantics(self, docs):
         # arrow=False (pure-expression path) must satisfy the same
@@ -251,6 +280,45 @@ class TestSimilarity:
         b1 = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(emb, dim=4).collect()}
         b2 = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(emb, dim=4).collect()}
         assert b1 == b2
+
+    def test_null_and_ragged_vectors_tolerated(self, spark):
+        # real corpora have missing/mis-sized embeddings; the Arrow
+        # paths must null them out, not raise and fail the whole job
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            _assign_nearest,
+            brute_force_topk_arrow,
+            ivf_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in VECS]
+            + [(90, None), (91, [1.0, 2.0])],  # NULL + ragged
+            "vec_id long, embedding array<float>",
+        )
+        # LSH buckets: bad rows get NULL bucket arrays, valid rows the
+        # same buckets as a clean frame
+        got = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(df, dim=4).collect()}
+        clean = spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+        want = {r["vec_id"]: r["buckets"] for r in add_lsh_buckets(clean, dim=4).collect()}
+        assert got[90] is None and got[91] is None
+        assert {k: v for k, v in got.items() if k < 90} == want
+
+        # brute-force arrow: bad candidates never appear as neighbors,
+        # valid results identical to the clean frame
+        q = clean.filter(F.col("vec_id") == 0)
+        a = sorted(map(tuple, brute_force_topk_arrow(clean, q, k=4).collect()))
+        b = sorted(map(tuple, brute_force_topk_arrow(df, q, k=4).collect()))
+        assert a == b
+
+        # IVF assignment: bad rows get NULL centroid_id; centroid set
+        # is unaffected by their presence
+        cents = ivf_centroids(df, k=2)
+        assigned = {
+            r["vec_id"]: r["centroid_id"]
+            for r in _assign_nearest(df, cents, "vec_id", "embedding").collect()
+        }
+        assert assigned[90] is None and assigned[91] is None
+        assert all(v is not None for k, v in assigned.items() if k < 90)
 
 
 class TestEmbeddingNearDup:

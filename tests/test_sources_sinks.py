@@ -239,6 +239,51 @@ class TestSinks:
         assert got == {1: ("a", 10.0), 5: ("a", 55.0)}
         assert not os.path.exists(os.path.join(path, "part=z"))
 
+    def test_upsert_null_partition_preserves_survivors(self, spark, tmp_path):
+        # struct(...).isin(...) is NULL for a NULL partition value, so
+        # null-partition survivors used to be excluded from the scan
+        # while dynamic overwrite still rewrote the partition — silent
+        # data loss. eqNullSafe treats NULL as an ordinary value.
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+            "id long, part string, v double",
+        )
+        upsert_partitioned(base, path, ["id"], ["part"])
+        # update id=2 inside the NULL partition; id=1 must survive
+        batch = spark.createDataFrame(
+            [(2, None, 99.0)], "id long, part string, v double"
+        )
+        upsert_partitioned(batch, path, ["id"], ["part"])
+        got = {
+            r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+        }
+        assert got == {1: (None, 10.0), 2: (None, 99.0), 3: ("b", 30.0)}
+
+    def test_upsert_moved_key_out_of_null_partition(self, spark, tmp_path):
+        # a key moving OUT of the null partition: the stale null-
+        # partition copy must be found (scan) and its emptied
+        # __HIVE_DEFAULT_PARTITION__ directory removed
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (5, None, 50.0)], "id long, part string, v double"
+        )
+        upsert_partitioned(base, path, ["id"], ["part"])
+        batch = spark.createDataFrame(
+            [(5, "a", 55.0)], "id long, part string, v double"
+        )
+        r = upsert_partitioned(batch, path, ["id"], ["part"])
+        assert r["partitions_touched"] == 2
+        got = {r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert got == {1: ("a", 10.0), 5: ("a", 55.0)}
+        assert not os.path.exists(
+            os.path.join(path, "part=__HIVE_DEFAULT_PARTITION__")
+        )
+
     def test_upsert_scan_prunes_partitions(self, spark, tmp_path):
         # the existing-data read must show PartitionFilters — at scale
         # the merge cost is the touched partitions, not the table
@@ -255,6 +300,12 @@ class TestSinks:
         )
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
+        # the NULL-safe filter the upsert actually uses must also prune
+        from harness_aws_etl_pipeline_spark.sinks.upsert import _part_filter
+
+        pruned2 = spark.read.parquet(path).filter(_part_filter(["part"], [("a",)]))
+        plan2 = pruned2._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan2 and "<=>" in plan2
 
     def test_schema_evolution_merge(self, spark, tmp_path):
         """Schema evolution across appends: later files add columns;
