@@ -187,20 +187,36 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 5,
     num_hashes: int = 64,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
-    """(doc_id, signature array<long>) — MinHash signature over the
-    distinct shingle set: k independent multiply-add (universal-hash)
-    remixes of the 64-bit shingle hashes, minimum per remix.
+    """(doc_id, signature) — MinHash signature over the distinct
+    shingle set.
 
-    Computed in the same Arrow pass as shingling, vectorized with
-    numpy: the (shingles × k) remix is one wrapping uint64
-    outer-product — ~100M ops/sec/core — where the equivalent
-    expression-tree version (k array_min(transform(...)) passes) runs
-    interpreted per element. Signatures are deterministic across runs,
-    workers, and partition layouts (pure function of the text)."""
+    ``hash_fn="blake2b"`` (default): k independent multiply-add
+    (universal-hash) remixes of 64-bit blake2b shingle hashes, minimum
+    per remix, as ``array<long>``. Computed in the same Arrow pass as
+    shingling, vectorized with numpy: the (shingles × k) remix is one
+    wrapping uint64 outer-product — ~100M ops/sec/core — where the
+    equivalent expression-tree version (k array_min(transform(...))
+    passes) runs interpreted per element.
+
+    ``hash_fn="md5"``: component i = min over shingles of the 16-hex
+    prefix of ``md5(f"{i}|{shingle}")``, as ``array<string>``. Slower
+    (k md5 calls per shingle) but reproducible by ANY engine with md5
+    — fixed-width hex strings compare in numeric order — so a DuckDB
+    oracle can recompute the exact signatures, candidates, and
+    estimated Jaccards. The differential-verification path; blake2b
+    stays the scale default.
+
+    Both are deterministic across runs, workers, and partition layouts
+    (pure function of the text); signatures from different ``hash_fn``
+    values are not comparable."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
+
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError('hash_fn must be "blake2b" or "md5"')
 
     rng = np.random.default_rng(12345)  # fixed seed → fixed hash family
     A = rng.integers(1, 2**63 - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
@@ -234,6 +250,34 @@ def minhash_signatures(
                     out_sig.append(sig.astype(np.int64).tolist())
                 yield pd.DataFrame({"doc_id": out_ids, "signature": out_sig})
 
+    def _sig_md5(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        for pdf in batches:
+            out_ids, out_sig = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split() if text else []
+                if len(toks) < n:
+                    continue
+                shingle_set = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                sig = [
+                    min(
+                        md5(f"{i}|{s}".encode()).hexdigest()[:16]
+                        for s in shingle_set
+                    )
+                    for i in range(num_hashes)
+                ]
+                out_ids.append(doc_id)
+                out_sig.append(sig)
+            yield pd.DataFrame({"doc_id": out_ids, "signature": out_sig})
+
+    if hash_fn == "md5":
+        return src.mapInPandas(
+            _sig_md5, f"doc_id {id_type}, signature array<string>"
+        )
     return src.mapInPandas(_sig, f"doc_id {id_type}, signature array<long>")
 
 
@@ -293,14 +337,24 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band candidates
     → candidate verification with estimated Jaccard (fraction of
     matching signature positions). Returns (doc_a, doc_b, est_jaccard).
+
+    ``hash_fn="md5"`` makes the whole pipeline engine-reproducible
+    (see :func:`minhash_signatures`): the band bucket is still an
+    xxhash64 of the band's components — the PAIR set only depends on
+    component equality, so any engine that recomputes the md5
+    signatures derives the identical candidate pairs without knowing
+    the bucket hash.
     """
     # signatures feed banding + both verification joins — persist or
     # the O(shingles × k) hash pass runs three times
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, hash_fn=hash_fn
+    ).persist()
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
@@ -605,6 +659,101 @@ def simhash(
     for i in range(bits):
         sim = sim.bitwiseOR(F.shiftleft(vote(i), i))
     return src.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(doc_id, sketch) — SimHash as a ``bits``-char '0'/'1' string,
+    with md5 token hashing: bit *i* of a token's vote vector is bit
+    ``63-i`` of the integer parsed from the first 16 hex chars of
+    ``md5(token)`` (i.e. read the hex digest left to right). Majority
+    vote per position; ties and empty docs go to '0'.
+
+    The engine-reproducible twin of :func:`simhash`: md5 is identical
+    everywhere, and the string sketch needs no 64-bit unsigned
+    arithmetic, so a SQL oracle can recompute sketches, bands, and
+    Hamming distances exactly. Use :func:`simhash_near_pairs_str` for
+    candidate search over these sketches."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
+
+    def _sketch(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        from hashlib import md5
+
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = set(text.split()) if text else set()
+                if not toks:
+                    out.append("0" * bits)
+                    continue
+                votes = [0] * bits
+                for t in toks:
+                    v = int(md5(t.encode()).hexdigest()[: bits // 4], 16)
+                    for i in range(bits):
+                        votes[i] += 1 if (v >> (bits - 1 - i)) & 1 else -1
+                out.append("".join("1" if s > 0 else "0" for s in votes))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sketch": out})
+
+    return src.mapInPandas(_sketch, f"doc_id {id_type}, sketch string")
+
+
+def simhash_near_pairs_str(
+    sketches: DataFrame, max_hamming: int = 3, band_chars: int = 16
+) -> DataFrame:
+    """Near-dup pairs over string sketches (:func:`simhash_md5`) by
+    Hamming distance ≤ ``max_hamming``, blocked on 16-char bands (same
+    pigeonhole as :func:`simhash_near_pairs`). Hamming is a per-
+    position compare of the two 64-char strings — a bound-array HOF
+    evaluated only on banded candidates. Returns
+    (doc_a, doc_b, hamming)."""
+    width = 64
+    nbands = width // band_chars
+    sketches = sketches.persist()
+    banded = sketches.select(
+        "doc_id",
+        "sketch",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "sketch", b * band_chars + 1, band_chars
+                        ).alias("key"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sketch", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+
+    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("sketch").alias("sk_a"))
+    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("sketch").alias("sk_b"))
+    mismatches = F.aggregate(
+        F.sequence(F.lit(1), F.lit(width)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sk_a").substr(i, F.lit(1)) == F.col("sk_b").substr(i, F.lit(1)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", mismatches.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_pairs(

@@ -24,14 +24,44 @@ def split_bucket(key: Column | str, salt: int = 0, buckets: int = 100) -> Column
     return F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(buckets))
 
 
+def md5_split_threshold(frac: float) -> str:
+    """8-hex-char threshold for :func:`md5_split_key`: a key is in the
+    ~``frac`` side iff its md5 prefix sorts below this string."""
+    return format(int(frac * (1 << 32)), "08x")
+
+
+def md5_split_key(key: Column | str, salt: int = 0) -> Column:
+    """First 8 hex chars of ``md5(key || '|' || salt)`` — an
+    engine-agnostic uniform draw. md5 is identical in Spark, DuckDB,
+    Python's hashlib, etc., and fixed-width hex strings compare in
+    numeric order, so split membership is reproducible OUTSIDE this
+    engine (the oracle path; xxhash64 stays the cheap default)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat(c.cast("string"), F.lit(f"|{salt}"))), 1, 8
+    )
+
+
 def split_train_test(
     df: DataFrame,
     key: str,
     train_frac: float = 0.8,
     salt: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """(train, test) split on a stable key hash. A key's assignment
-    never changes with appends, repartitioning, or rerun."""
+    never changes with appends, repartitioning, or rerun.
+
+    ``hash_fn="md5"`` draws the bucket from the md5 hex prefix instead
+    of xxhash64 — same determinism/stability guarantees, ~2^-32 split
+    granularity instead of 1/100, and reproducible by any engine with
+    md5 (the differential-oracle path)."""
+    if hash_fn == "md5":
+        cut_hex = md5_split_threshold(train_frac)
+        h = md5_split_key(key, salt)
+        return df.filter(h < cut_hex), df.filter(h >= cut_hex)
+    if hash_fn != "xxhash64":
+        raise ValueError('hash_fn must be "xxhash64" or "md5"')
     cut = int(round(train_frac * 100))
     bucket = split_bucket(key, salt)
     return df.filter(bucket < cut), df.filter(bucket >= cut)

@@ -285,12 +285,17 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     num_tables: int = 4,
     bits: int = 8,
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to rows sharing
     an LSH bucket with the query in any table, then exact cosine +
-    rank. Returns (query_id, rank, neighbor_id, cosine)."""
-    cb = add_lsh_buckets(candidates, dim, vec_col, num_tables, bits)
-    qb = add_lsh_buckets(queries, dim, vec_col, num_tables, bits)
+    rank. Returns (query_id, rank, neighbor_id, cosine).
+
+    ``arrow=False`` computes buckets with the pure-expression fold —
+    bit-identical to a sequential-fold SQL reimplementation of the
+    same hyperplanes (the differential-oracle path)."""
+    cb = add_lsh_buckets(candidates, dim, vec_col, num_tables, bits, arrow=arrow)
+    qb = add_lsh_buckets(queries, dim, vec_col, num_tables, bits, arrow=arrow)
 
     c_flat = cb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -536,6 +541,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 6,
     bits: int = 10,
     max_bucket_size: int = 2000,
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the vector-space
     member of the dedup family (exact / n-gram / MinHash / SimHash /
@@ -547,10 +553,13 @@ def embedding_near_dup_pairs(
     pair naturally with sign-LSH: near-identical vectors agree on
     almost every hyperplane, so recall stays high with few tables.
     Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    ``arrow=False`` → expression-fold buckets, bit-reproducible by a
+    sequential-fold SQL oracle over the same hyperplanes.
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
-    bucketed = add_lsh_buckets(df, dim, vec_col, num_tables, bits)
+    bucketed = add_lsh_buckets(df, dim, vec_col, num_tables, bits, arrow=arrow)
     flat = bucketed.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

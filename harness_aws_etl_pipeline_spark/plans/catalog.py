@@ -218,13 +218,6 @@ def q_null_drop(spark: SparkSession, sf: str) -> DataFrame:
     return drop_null_rows(ev).agg(F.count(F.lit(1)).alias("row_cnt"))
 
 
-ORACLE_NULL_DROP = """
-SELECT COUNT(*) AS row_cnt FROM events
-WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
-  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
-"""
-
-
 def q_null_fill(spark: SparkSession, sf: str) -> DataFrame:
     """T2b — numeric nulls → 0 then aggregate (transformer.py:130-136).
     Nulls are injected (value < 1.0 → null) so the fill is exercised
@@ -294,21 +287,30 @@ FROM events
 
 
 def q_null_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """T2b/T2c/A2 — the full null-handling surface in one verification
-    row: fill (q_null_fill), flag (q_null_flag), and single-pass
-    per-column counts (q_null_counts), crossJoined as three 1-row
-    aggregates. One catalog entry covers three SURVEY rows (the
-    sink_roundtrip pattern), keeping every oracle-backed query inside
-    the driver's 50-entry correctness window."""
+    """T2a/T2b/T2c/A2 — the full null-handling surface in one
+    verification row: drop (q_null_drop), fill (q_null_fill), flag
+    (q_null_flag), and single-pass per-column counts (q_null_counts),
+    crossJoined as four 1-row aggregates. One catalog entry covers
+    four SURVEY rows (the sink_roundtrip pattern), keeping every
+    oracle-backed query inside the driver's 50-entry correctness
+    window."""
+    dropped = q_null_drop(spark, sf).withColumnRenamed(
+        "row_cnt", "nonnull_row_cnt"
+    )
     return (
         q_null_fill(spark, sf)
         .crossJoin(q_null_flag(spark, sf))
         .crossJoin(q_null_counts(spark, sf))
+        .crossJoin(dropped)
     )
 
 
 ORACLE_NULL_AUDIT = f"""
-SELECT {sql_dsum("CASE WHEN value < 1.0 THEN 0.0 ELSE value END", "value_sum")},
+SELECT (SELECT COUNT(*) FROM events
+        WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL)
+         AS nonnull_row_cnt,
+       {sql_dsum("CASE WHEN value < 1.0 THEN 0.0 ELSE value END", "value_sum")},
        CAST(SUM(CASE WHEN COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) = 0.0
                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cnt,
        CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_cnt,
@@ -327,16 +329,33 @@ FROM events
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """T3/A3 — exact dedup over a doubled input (transformer.py:151-171)."""
+    """T3/A3 — exact dedup over a doubled input (transformer.py:151-171),
+    in both shapes: whole-row distinct on orders, and content-hash
+    (md5 fingerprint, the 8-16-byte-shuffle-key pattern from
+    operators/dedup.py) on documents. Two 1-row aggregates crossJoined
+    — one window slot covers both dedup entry points."""
+    from harness_aws_etl_pipeline_spark.operators.textops import exact_fingerprint
+
     o = tables(spark, sf)["orders"]
     doubled = o.unionByName(o)
-    return deduplicate_exact(doubled).agg(F.count(F.lit(1)).alias("distinct_cnt"))
+    rowwise = deduplicate_exact(doubled).agg(
+        F.count(F.lit(1)).alias("distinct_cnt")
+    )
+    docs = tables(spark, sf)["documents"]
+    docs_doubled = docs.unionByName(docs)
+    by_hash = (
+        docs_doubled.withColumn("fp", exact_fingerprint("text"))
+        .dropDuplicates(["fp"])
+        .agg(F.count(F.lit(1)).alias("distinct_docs"))
+    )
+    return rowwise.crossJoin(by_hash)
 
 
 ORACLE_DEDUP = """
-SELECT COUNT(*) AS distinct_cnt FROM (
-  SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
-)
+SELECT (SELECT COUNT(*) FROM (
+          SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+        )) AS distinct_cnt,
+       (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS distinct_docs
 """
 
 
@@ -915,12 +934,11 @@ CORE_CATALOG: list[QuerySpec] = [
               "S6 multi-file union", tags=("source",)),
     QuerySpec("normalize_names", q_normalize_names, ORACLE_NORMALIZE,
               "T1 column-name normalization", tags=("transform",)),
-    QuerySpec("null_drop", q_null_drop, ORACLE_NULL_DROP, "T2a drop-null rows",
-              tags=("transform",)),
     QuerySpec("null_audit", q_null_audit, ORACLE_NULL_AUDIT,
-              "T2b/T2c/A2 null fill + flag + per-column counts",
+              "T2a/T2b/T2c/A2 null drop + fill + flag + per-column counts",
               tags=("transform", "profile")),
-    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP, "T3/A3 exact dedup",
+    QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP,
+              "T3/A3 exact dedup (row-distinct + content-hash)",
               headline=True, tags=("dedup",)),
     QuerySpec("date_parts", q_date_parts, ORACLE_DATE_PARTS,
               "T4/T8 date cast + partition keys", tags=("transform",)),

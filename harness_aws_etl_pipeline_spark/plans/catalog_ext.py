@@ -268,19 +268,6 @@ FROM (
 # --------------------------------------------------------------- dedup
 
 
-def q_dedup_docs_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] exact content dedup on documents via md5 content hash —
-    the 8-byte-shuffle-key pattern from operators/dedup.py, doubled
-    input so the dedup actually removes rows."""
-    docs = _t(spark, sf, "documents")
-    doubled = docs.unionByName(docs)
-    deduped = doubled.withColumn("fp", exact_fingerprint("text")).dropDuplicates(["fp"])
-    return deduped.agg(F.count(F.lit(1)).alias("distinct_docs"))
-
-
-ORACLE_DEDUP_DOCS = "SELECT COUNT(DISTINCT md5(text)) AS distinct_docs FROM documents"
-
-
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] n-gram Jaccard near-dup detection with inverted-index
     blocking (operators/dedup_fuzzy.py:ngram_jaccard_pairs) at a low
@@ -682,11 +669,20 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sim_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] exact cosine top-5 neighbors for 4 query vectors —
-    broadcast cross-score + per-query rank."""
+    """[EXT] exact cosine top-5 neighbors for 4 query vectors, via the
+    designated scale path: Arrow-batched BLAS matmul with local top-k
+    + global merge (similarity.py:brute_force_topk_arrow). Results are
+    identical to the expression variant (same ordering and tie-break)
+    — this entry drives the Arrow path through the value oracle; the
+    expression variant is equivalence-pinned in
+    tests/test_ext_operators.py."""
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
-    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return brute_force_topk_arrow(emb, queries, k=5).orderBy("query_id", "rank")
 
 
 ORACLE_SIM_TOPK = """
@@ -907,6 +903,374 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
 FROM documents
 """
 
+# ------------------------------------------------- verification panels
+#
+# The MinHash/SimHash/LSH/IVF/split operators hash with engine-internal
+# functions (xxhash64, blake2b, numpy matmul) that no external engine
+# reproduces — which left them "rows-only" in the driver's correctness
+# record. These two panels run each of those pipelines in an
+# ENGINE-AGNOSTIC configuration — md5 hashing (identical in Spark,
+# DuckDB, and hashlib), sequential-fold hyperplane dots (bit-identical
+# to DuckDB's list_reduce), and exhaustive IVF probing (provably equal
+# to brute force) — so a DuckDB oracle recomputes the exact candidate
+# sets, signatures, sketches, buckets, and rankings. The fast engine
+# paths stay the defaults; equivalence between fast and verifiable
+# paths is pinned by the pytest suite (tests/test_ext_operators.py).
+
+
+def _exact_avg(value_col: str, cnt_alias: str, avg_alias: str) -> list:
+    """count + order-independent average of a 6dp-rounded double:
+    accumulate scaled longs (exact), divide once. avg = NULL-free 0.0
+    on empty input, matching the oracle's COALESCE."""
+    scaled = F.sum(F.round(F.col(value_col) * 1_000_000).cast("long"))
+    cnt = F.count(F.lit(1))
+    return [
+        cnt.alias(cnt_alias),
+        F.coalesce(
+            F.round(
+                scaled.cast("double") / 1_000_000.0 / cnt.cast("double"), 4
+            ),
+            F.lit(0.0),
+        ).alias(avg_alias),
+    ]
+
+
+def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] value-level verification panel for the sketch-dedup +
+    sampling family, one row:
+
+    - MinHash+LSH (md5 signatures, 64 perms × 16 bands): candidate
+      pairs from band agreement, estimated Jaccard ≥ 0.3 → pair count
+      + exact average estimate. The oracle recomputes the identical
+      signatures/candidates from shingles with DuckDB md5.
+    - SimHash (md5 token hashes → 64-bit majority sketch as a
+      bitstring): distinct sketches + banded Hamming-≤3 near pairs.
+    - Embedding-cosine near-dup at 0.9 (expression-fold hyperplane
+      buckets — bit-identical to the oracle's list_reduce fold).
+    - Deterministic train/test split on the md5 hex prefix.
+
+    Every number here is the same computation the engine-default paths
+    run (xxhash64/blake2b/numpy), differing only in the inner hash —
+    path-equivalence is test-pinned.
+    """
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        simhash_md5,
+        simhash_near_pairs_str,
+    )
+    from harness_aws_etl_pipeline_spark.operators.sampling import split_train_test
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    mh = minhash_dedup_pairs(
+        docs, n=5, num_hashes=64, bands=16, threshold=0.3, hash_fn="md5"
+    )
+    mh_agg = mh.agg(*_exact_avg("est_jaccard", "mh_pair_cnt", "mh_avg_est"))
+
+    sk = simhash_md5(docs)
+    sh_pairs = simhash_near_pairs_str(sk, max_hamming=3)
+    sh_agg = sk.agg(
+        F.countDistinct("sketch").alias("sh_distinct_sketches")
+    ).crossJoin(sh_pairs.agg(F.count(F.lit(1)).alias("sh_near_pair_cnt")))
+
+    ep = embedding_near_dup_pairs(emb, threshold=0.9, dim=64, arrow=False)
+    ep_agg = ep.agg(*_exact_avg("cosine", "emb_pair_cnt", "emb_avg_cosine"))
+
+    train, test = split_train_test(docs, "doc_id", train_frac=0.8, hash_fn="md5")
+    split_agg = (
+        train.agg(F.count(F.lit(1)).alias("train_cnt"))
+        .crossJoin(test.agg(F.count(F.lit(1)).alias("test_cnt")))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("total_cnt")))
+    )
+    return mh_agg.crossJoin(sh_agg).crossJoin(ep_agg).crossJoin(split_agg)
+
+
+def _sql_planes_values(num_tables: int, bits: int, dim: int) -> str:
+    """VALUES rows (tbl, bit, w) with the exact `_hyperplane` floats
+    embedded as literals — repr() round-trips doubles exactly, so
+    DuckDB folds the same numbers the Spark expressions fold."""
+    from harness_aws_etl_pipeline_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for t in range(num_tables):
+        for b in range(bits):
+            w = _hyperplane(t * 1000 + b + 1, dim)
+            lits = ", ".join(repr(v) for v in w)
+            rows.append(f"({t}, {b}, [{lits}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+_SQL_COSINE = """
+      CASE WHEN norm_a * norm_b > 0 THEN dot / (norm_a * norm_b) ELSE 0.0 END
+""".strip()
+
+
+def _sql_vec_fold(a: str, b: str, dim: int) -> str:
+    """Sequential-fold dot/norms — the same left fold (same order, same
+    double arithmetic) as functions/vectors.py."""
+    return f"""
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, {dim + 1}),
+               i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+             (acc, x) -> acc + x) AS dot,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (acc, x) -> acc + x)) AS norm_a,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+             (acc, x) -> acc + x)) AS norm_b
+""".rstrip()
+
+
+def _oracle_fuzzy_dedup_verify() -> str:
+    planes = _sql_planes_values(num_tables=6, bits=10, dim=64)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+  FROM documents
+),
+mh_shingles AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks) - 3),
+           i -> list_aggregate(list_slice(toks, i, i + 4), 'string_agg', ' '))) AS shingle
+  FROM toks WHERE len(toks) >= 5
+),
+mh_comp AS (
+  SELECT doc_id, g.i AS i,
+         MIN(substr(md5(CAST(g.i AS VARCHAR) || '|' || shingle), 1, 16)) AS mh
+  FROM mh_shingles, generate_series(0, 63) g(i)
+  GROUP BY doc_id, g.i
+),
+mh_bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh, '' ORDER BY i) AS key
+  FROM mh_comp GROUP BY doc_id, i // 4
+),
+mh_buckets AS (
+  SELECT band, key FROM mh_bands
+  GROUP BY band, key HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh_buckets u
+  JOIN mh_bands a ON a.band = u.band AND a.key = u.key
+  JOIN mh_bands b ON b.band = u.band AND b.key = u.key AND a.doc_id < b.doc_id
+),
+mh_est AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 64.0 AS est
+  FROM mh_cand c
+  JOIN mh_comp x ON x.doc_id = c.doc_a
+  JOIN mh_comp y ON y.doc_id = c.doc_b AND y.i = x.i
+  GROUP BY 1, 2
+),
+mh_agg AS (
+  SELECT COUNT(*) AS mh_pair_cnt,
+         COALESCE(ROUND(CAST(SUM(CAST(ROUND(est * 1000000) AS BIGINT)) AS DOUBLE)
+                        / 1000000.0 / COUNT(*), 4), 0.0) AS mh_avg_est
+  FROM mh_est WHERE est >= 0.3
+),
+sh_tokens AS (
+  SELECT DISTINCT doc_id, UNNEST(toks) AS tok FROM toks
+),
+sh_votes AS (
+  SELECT doc_id, g.i AS i,
+         SUM(CASE WHEN ((instr('0123456789abcdef', substr(md5(tok), 1 + g.i // 4, 1)) - 1)
+                        >> (3 - g.i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM sh_tokens, generate_series(0, 63) g(i)
+  GROUP BY doc_id, g.i
+),
+sh_sketch0 AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sketch
+  FROM sh_votes GROUP BY doc_id
+),
+sh_sketches AS (
+  SELECT d.doc_id, COALESCE(s.sketch, repeat('0', 64)) AS sketch
+  FROM documents d LEFT JOIN sh_sketch0 s ON d.doc_id = s.doc_id
+),
+sh_banded AS (
+  SELECT doc_id, sketch, g.b AS band, substr(sketch, g.b * 16 + 1, 16) AS key
+  FROM sh_sketches, generate_series(0, 3) g(b)
+),
+sh_near AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.sketch AS sk_a, b.sketch AS sk_b
+    FROM sh_banded a
+    JOIN sh_banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  ) WHERE list_reduce(list_prepend(0, list_transform(range(1, 65),
+            i -> CASE WHEN substr(sk_a, CAST(i AS INTEGER), 1)
+                         = substr(sk_b, CAST(i AS INTEGER), 1)
+                 THEN 0 ELSE 1 END)),
+          (acc, x) -> acc + x) <= 3
+),
+sh_agg AS (
+  SELECT (SELECT COUNT(DISTINCT sketch) FROM sh_sketches) AS sh_distinct_sketches,
+         (SELECT COUNT(*) FROM sh_near) AS sh_near_pair_cnt
+),
+ed_planes(tbl, bit, w) AS (
+  VALUES
+    {planes}
+),
+ed_bits AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])),
+              (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END AS bc
+  FROM embeddings e, ed_planes p
+),
+ed_buckets AS (
+  SELECT vec_id, tbl, string_agg(bc, '' ORDER BY bit) AS bucket
+  FROM ed_bits GROUP BY vec_id, tbl
+),
+ed_ok AS (
+  SELECT tbl, bucket FROM ed_buckets
+  GROUP BY tbl, bucket HAVING COUNT(*) >= 2 AND COUNT(*) <= 2000
+),
+ed_cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ed_ok o
+  JOIN ed_buckets a ON a.tbl = o.tbl AND a.bucket = o.bucket
+  JOIN ed_buckets b ON b.tbl = o.tbl AND b.bucket = o.bucket AND a.vec_id < b.vec_id
+),
+ed_cos AS (
+  SELECT ROUND({_SQL_COSINE}, 6) AS cosine
+  FROM (
+    SELECT c.id_a, c.id_b,
+{_sql_vec_fold("x.embedding", "y.embedding", 64)}
+    FROM ed_cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+  )
+),
+ed_agg AS (
+  SELECT COUNT(*) AS emb_pair_cnt,
+         COALESCE(ROUND(CAST(SUM(CAST(ROUND(cosine * 1000000) AS BIGINT)) AS DOUBLE)
+                        / 1000000.0 / COUNT(*), 4), 0.0) AS emb_avg_cosine
+  FROM ed_cos WHERE cosine >= 0.9
+),
+sp AS (
+  SELECT CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|0'), 1, 8)
+                       < 'cccccccc' THEN 1 ELSE 0 END) AS BIGINT) AS train_cnt,
+         CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|0'), 1, 8)
+                       >= 'cccccccc' THEN 1 ELSE 0 END) AS BIGINT) AS test_cnt,
+         COUNT(*) AS total_cnt
+  FROM documents
+)
+SELECT m.mh_pair_cnt, m.mh_avg_est,
+       s.sh_distinct_sketches, s.sh_near_pair_cnt,
+       e.emb_pair_cnt, e.emb_avg_cosine,
+       p.train_cnt, p.test_cnt, p.total_cnt
+FROM mh_agg m, sh_agg s, ed_agg e, sp p
+"""
+
+
+def q_ann_topk_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] value-level verification panel for the approximate-NN
+    family: both ANN paths produce their full (query, rank, neighbor,
+    cosine) rankings under configurations an external engine can
+    recompute exactly —
+
+    - ``lsh``: LSH-bucketed top-5 with expression-fold hyperplane
+      buckets; the oracle recomputes every bucket (same plane
+      constants, same fold order), hence the same candidate sets and
+      rankings — the approximation itself is value-checked.
+    - ``ivf``: IVF with nprobe == n_centroids. Probing every inverted
+      list makes IVF provably exact (each candidate sits in exactly
+      one list, every list is scored), so the oracle is the braced
+      brute-force ranking; this pins list construction, assignment
+      totality, probe routing, and scoring. Recall at nprobe <
+      n_centroids is covered by tests/test_ext_operators.py.
+    """
+    from harness_aws_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    lsh = lsh_bucketed_topk(
+        emb, queries, dim=64, k=5, num_tables=4, bits=8, arrow=False
+    ).withColumn("src", F.lit("lsh"))
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).withColumn(
+        "src", F.lit("ivf")
+    )
+    return (
+        lsh.unionByName(ivf)
+        .select("src", "query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("src", "query_id", "rank")
+    )
+
+
+def _oracle_ann_topk_verify() -> str:
+    planes = _sql_planes_values(num_tables=4, bits=8, dim=64)
+    return f"""
+WITH planes(tbl, bit, w) AS (
+  VALUES
+    {planes}
+),
+bits_t AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])),
+              (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END AS bc
+  FROM embeddings e, planes p
+),
+buck AS (
+  SELECT vec_id, tbl, string_agg(bc, '' ORDER BY bit) AS bucket
+  FROM bits_t GROUP BY vec_id, tbl
+),
+lsh_cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buck q
+  JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 4 AND c.vec_id != q.vec_id
+),
+lsh_scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine
+  FROM (
+    SELECT c.query_id, c.neighbor_id,
+{_sql_vec_fold("q.embedding", "n.embedding", 64)}
+    FROM lsh_cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+  )
+),
+lsh_leg AS (
+  SELECT 'lsh' AS src, query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+  FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM lsh_scored
+  ) WHERE rank <= 5
+),
+ivf_scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine
+  FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+{_sql_vec_fold("q.embedding", "n.embedding", 64)}
+    FROM embeddings q
+    JOIN embeddings n ON n.vec_id != q.vec_id
+    WHERE q.vec_id < 4
+  )
+),
+ivf_leg AS (
+  SELECT 'ivf' AS src, query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+  FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 5
+)
+SELECT * FROM lsh_leg UNION ALL SELECT * FROM ivf_leg
+ORDER BY src, query_id, rank
+"""
+
+
 from harness_aws_etl_pipeline_spark.plans.catalog import QuerySpec  # noqa: E402
 
 EXT_CATALOG: list[QuerySpec] = [
@@ -919,8 +1283,6 @@ EXT_CATALOG: list[QuerySpec] = [
               "[EXT] document quality scoring", tags=("ext", "text")),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT,
               "[EXT] md5 + rolling-hash fingerprints", tags=("ext", "text")),
-    QuerySpec("dedup_docs_exact", q_dedup_docs_exact, ORACLE_DEDUP_DOCS,
-              "[EXT] exact content-hash dedup", tags=("ext", "dedup")),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
               "[EXT] n-gram Jaccard near-dup with blocking", headline=True,
               tags=("ext", "dedup")),
@@ -934,7 +1296,8 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("tfidf", q_tfidf, ORACLE_TFIDF,
               "[EXT] corpus TF-IDF top terms", tags=("ext", "text")),
     QuerySpec("train_test_split", q_train_test_split, None,
-              "[EXT] deterministic hash split (rows-only)",
+              "[EXT] deterministic hash split, fast xxhash64 path "
+              "(values oracled via fuzzy_dedup_verify)",
               tags=("ext", "sampling")),
     QuerySpec("pandas_udaf", q_pandas_udaf, ORACLE_PANDAS_UDAF,
               "[EXT] GROUPED_AGG pandas UDAF (exact median)",
@@ -945,22 +1308,36 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
               "[EXT] near-dup clustering + canonical dedup",
               headline=True, tags=("ext", "dedup")),
+    QuerySpec("fuzzy_dedup_verify", q_fuzzy_dedup_verify,
+              _oracle_fuzzy_dedup_verify(),
+              "[EXT] value oracle: MinHash-LSH + SimHash + embedding "
+              "near-dup + hash split (md5/fold variants)",
+              tags=("ext", "dedup", "sampling", "verify")),
+    QuerySpec("ann_topk_verify", q_ann_topk_verify, _oracle_ann_topk_verify(),
+              "[EXT] value oracle: LSH-bucketed + exhaustive-probe IVF "
+              "top-k rankings", tags=("ext", "similarity", "verify")),
     QuerySpec("minhash_lsh", q_minhash_lsh, None,
-              "[EXT] MinHash+LSH near-dup (rows-only)", headline=True,
+              "[EXT] MinHash+LSH near-dup, fast blake2b path "
+              "(values oracled via fuzzy_dedup_verify)", headline=True,
               tags=("ext", "dedup")),
     QuerySpec("simhash", q_simhash, None,
-              "[EXT] SimHash sketch + banded near pairs (rows-only)",
+              "[EXT] SimHash sketch + banded near pairs, fast xxhash64 path "
+              "(values oracled via fuzzy_dedup_verify)",
               tags=("ext", "dedup")),
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, ORACLE_SIM_TOPK,
-              "[EXT] exact cosine top-k", headline=True, tags=("ext", "similarity")),
+              "[EXT] exact cosine top-k (Arrow BLAS path)", headline=True,
+              tags=("ext", "similarity")),
     QuerySpec("sim_lsh_topk", q_sim_lsh_topk, None,
-              "[EXT] LSH-bucketed approximate top-k (rows-only)",
+              "[EXT] LSH-bucketed approximate top-k, Arrow path "
+              "(values oracled via ann_topk_verify)",
               tags=("ext", "similarity")),
     QuerySpec("embedding_near_dup", q_embedding_near_dup, None,
-              "[EXT] embedding-cosine near-dup pairs (rows-only)",
+              "[EXT] embedding-cosine near-dup pairs, Arrow path "
+              "(values oracled via fuzzy_dedup_verify)",
               tags=("ext", "dedup", "similarity")),
     QuerySpec("sim_ivf_topk", q_sim_ivf_topk, None,
-              "[EXT] IVF inverted-list approximate top-k (rows-only)",
+              "[EXT] IVF approximate top-k at nprobe<n_centroids "
+              "(values oracled via ann_topk_verify)",
               tags=("ext", "similarity")),
     QuerySpec("skew_salted_agg", q_skew_salted_agg, ORACLE_SKEW_AGG,
               "skew-safe salted two-phase aggregation", tags=("ext", "skew")),

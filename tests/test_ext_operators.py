@@ -170,6 +170,137 @@ class TestNearDupClusters:
         )
 
 
+class TestOraclePathEquivalence:
+    """The verification panels (plans/catalog_ext.py) run the fuzzy-
+    dedup/ANN/split pipelines with md5/expression-fold internals so a
+    DuckDB oracle can recompute them. These tests pin that the oracle
+    variants behave like the fast engine defaults — same planted-dup
+    detection, same rankings, same split membership — so a green panel
+    row certifies the shared pipeline logic, not a lookalike."""
+
+    def test_minhash_md5_matches_blake2b_pairs(self, docs):
+        fast = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in minhash_dedup_pairs(docs, n=3, threshold=0.3).collect()
+        }
+        ora = {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in minhash_dedup_pairs(
+                docs, n=3, threshold=0.3, hash_fn="md5"
+            ).collect()
+        }
+        # identical docs → est 1.0 on both paths; near pairs found by
+        # both; unrelated docs by neither; estimates agree within
+        # MinHash sampling noise (independent hash families)
+        assert fast[(1, 4)] == 1.0 and ora[(1, 4)] == 1.0
+        assert {(1, 4), (1, 2), (2, 4)} <= set(fast)
+        assert {(1, 4), (1, 2), (2, 4)} <= set(ora)
+        assert all((1, 3) not in s and (3, 4) not in s for s in (fast, ora))
+        assert abs(fast[(1, 2)] - ora[(1, 2)]) <= 0.25
+
+    def test_minhash_md5_signature_is_reproducible(self, spark):
+        # the md5 signature must equal a direct hashlib recomputation —
+        # the exact property the DuckDB oracle relies on
+        from hashlib import md5
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string"
+        )
+        sig = minhash_signatures(df, n=5, num_hashes=8, hash_fn="md5").first()[
+            "signature"
+        ]
+        toks = "a b c d e f g".split()
+        shingle_set = {" ".join(toks[i : i + 5]) for i in range(3)}
+        want = [
+            min(md5(f"{i}|{s}".encode()).hexdigest()[:16] for s in shingle_set)
+            for i in range(8)
+        ]
+        assert sig == want
+
+    def test_simhash_md5_structural_parity(self, docs):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_md5,
+            simhash_near_pairs_str,
+        )
+
+        sk = simhash_md5(docs)
+        rows = {r["doc_id"]: r["sketch"] for r in sk.collect()}
+        assert rows[1] == rows[4] and len(rows[1]) == 64
+        assert set(rows[1]) <= {"0", "1"}
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs_str(sk, max_hamming=10).collect()
+        }
+        assert pairs[(1, 4)] == 0
+        assert (1, 3) not in pairs
+
+    def test_simhash_md5_empty_doc_sketch(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import simhash_md5
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r["sketch"] for r in simhash_md5(df).collect()}
+        assert rows[1] == rows[2] == "0" * 64
+
+    def test_md5_split_matches_hashlib_and_is_stable(self, spark):
+        from hashlib import md5
+
+        from harness_aws_etl_pipeline_spark.operators.sampling import (
+            split_train_test,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        train, test = split_train_test(df, "id", train_frac=0.8, hash_fn="md5")
+        train_ids = {r["id"] for r in train.collect()}
+        test_ids = {r["id"] for r in test.collect()}
+        assert train_ids | test_ids == set(range(500))
+        assert not (train_ids & test_ids)
+        want_train = {
+            i
+            for i in range(500)
+            if md5(f"{i}|0".encode()).hexdigest()[:8] < "cccccccc"
+        }
+        assert train_ids == want_train
+        # stability under append: the original ids keep their side
+        df2 = spark.createDataFrame([(i,) for i in range(800)], "id long")
+        train2, _ = split_train_test(df2, "id", train_frac=0.8, hash_fn="md5")
+        assert {r["id"] for r in train2.collect() if r["id"] < 500} == train_ids
+
+    def test_lsh_topk_expression_matches_arrow(self, spark):
+        import random
+
+        random.seed(17)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") < 3)
+        a = sorted(
+            map(tuple, lsh_bucketed_topk(df, q, dim=16, k=5, arrow=True).collect())
+        )
+        b = sorted(
+            map(tuple, lsh_bucketed_topk(df, q, dim=16, k=5, arrow=False).collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_ivf_exhaustive_probe_equals_brute_force(self, spark):
+        import random
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import ivf_topk
+
+        random.seed(23)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(12)]) for i in range(90)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") < 3)
+        exact = sorted(map(tuple, brute_force_topk(df, q, k=5).collect()))
+        ivf = sorted(
+            map(
+                tuple,
+                ivf_topk(df, q, k=5, n_centroids=6, nprobe=6).collect(),
+            )
+        )
+        assert ivf == exact  # probing every list makes IVF provably exact
+
+
 class TestMinHash:
     def test_signature_shape_and_determinism(self, docs):
         sigs = minhash_signatures(docs, n=3, num_hashes=16)
