@@ -45,13 +45,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - surface in timed pass
             print(f"# warmup {spec.name} failed: {exc}", file=sys.stderr)
 
-    # two timed runs, report the min — steady-state throughput with
-    # scheduler/GC jitter removed
+    # three timed runs, report the min — steady-state throughput with
+    # scheduler/GC jitter removed (min-of-2 left ±0.15 s local[32]
+    # jitter reading as ±20% regressions on sub-second queries)
     timings: dict[str, float] = {}
     for spec in headline:
         best = float("inf")
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             n = len(df.collect())

@@ -10,8 +10,10 @@ latest-row-wins view. DynamoDB's update-by-key has no cheap equivalent
 in immutable columnar storage — and doesn't need one: each lifecycle
 transition appends one row; ``latest()`` resolves current status with a
 window over (job_id) ordered by ts. At one row per job transition this
-table is tiny relative to the data plane forever; a Delta MERGE is the
-upgrade path if mutable semantics are ever required.
+table is tiny relative to the data plane forever; ``compact()`` folds
+the ledger down to its latest-wins rows when file count (not size) is
+the concern, and a Delta MERGE is the upgrade path if row-level mutable
+semantics are ever required.
 
 Writes go through the driver-side SparkSession eagerly (these are
 engine bookkeeping records, not data-plane rows).
@@ -101,6 +103,37 @@ class JobRuns:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+
+    def compact(self) -> dict:
+        """Rewrite the append-only ledger down to its latest-wins rows.
+
+        A long-lived deployment accumulates one file per state
+        transition (the documented trade-off of append-only L8); this
+        bounds it: materialize ``latest()``, swap it in atomically via
+        the temp-sibling + rename pattern (sinks/fs.py — works on any
+        Hadoop-FS scheme), one output file. ``latest()`` before and
+        after compaction returns the same rows; per-transition history
+        (``by_job``) is traded away, which is exactly DynamoDB's
+        update-by-key semantics the reference had (metadata.py:97-117).
+        Returns {"rows": n, "files_before": n, "files_after": n}.
+        """
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+        fs = get_fs(self.path, self.spark)
+        files_before = fs.file_count(self.path, ".parquet")
+        snapshot = self.latest().coalesce(1).localCheckpoint(eager=True)
+        rows = snapshot.count()
+        tmp = self.path.rstrip("/") + ".__compacting__"
+        if fs.exists(tmp):
+            fs.delete(tmp, recursive=True)
+        snapshot.write.mode("overwrite").parquet(tmp)
+        fs.delete(self.path, recursive=True)
+        fs.rename(tmp, self.path)
+        return {
+            "rows": rows,
+            "files_before": files_before,
+            "files_after": fs.file_count(self.path, ".parquet"),
+        }
 
     def by_job(self, job_id: str) -> DataFrame:
         """Query-by-partition-key (metadata.py:189-196) → predicate scan."""

@@ -5,14 +5,16 @@ metadata struct (modality, byte size, content hash). The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas partition flow — is
 real and tested.
 
-Image decode is REAL for two container-friendly formats — binary PPM
-(P6) and uncompressed 24-bit BMP — implemented in pure numpy
-(``decode_image``/``encode_ppm``/``encode_bmp``), reachable via
-``extract_features(decode=True)`` and ``resize_media(decode=True)``
-(nearest-neighbor resample on the decoded array). Formats that need
-codec libraries not present here (JPEG/PNG/audio/video) remain STUBBED
-behind ``decode_stub``: deterministic fake features by default,
-``NotImplementedError`` when ``strict=True``.
+Image decode is REAL for three formats — binary PPM (P6), uncompressed
+24-bit BMP, and non-interlaced 8-bit PNG (gray/RGB/RGBA; stdlib zlib
+IDAT inflate + numpy scanline unfilter, all five filters) — via
+``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``,
+reachable from ``extract_features(decode=True)`` and
+``resize_media(decode=True)`` (nearest-neighbor resample on the
+decoded array). Formats that need codec libraries not present here
+(JPEG/audio/video) remain STUBBED behind ``decode_stub``:
+deterministic fake features by default, ``NotImplementedError`` when
+``strict=True``.
 
 Scale notes: media payloads are large and must never be shuffle keys —
 all grouping/joining happens on ``content_hash`` or ids. Feature
@@ -102,11 +104,12 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
 
 # ------------------------------------------------- real image codecs
 #
-# Pure-numpy decoders for the two formats that need no external codec
-# library: binary PPM (P6) and uncompressed 24-bit BMP. These make the
-# decode step of the multimodal path REAL — the mapInPandas plumbing
-# feeds actual pixel arrays, not fakes — while JPEG/PNG/audio/video
-# stay stubbed (their codecs aren't in this container).
+# Pure-numpy (+ stdlib zlib) codecs for the formats that need no
+# external library: binary PPM (P6), uncompressed 24-bit BMP, and
+# non-interlaced 8-bit PNG. These make the decode step of the
+# multimodal path REAL — the mapInPandas plumbing feeds actual pixel
+# arrays, not fakes — while JPEG/audio/video stay stubbed (their
+# codecs aren't in this container).
 
 
 def encode_ppm(arr: "np.ndarray") -> bytes:
@@ -188,14 +191,173 @@ def encode_ppm_sequence(arrays: "list[np.ndarray]") -> bytes:
     return b"".join(encode_ppm(a) for a in arrays)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: "np.ndarray", filter_type: int | str = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes, stdlib ``zlib`` only.
+
+    ``filter_type``: 0–4 applies that PNG scanline filter to every row;
+    ``"mixed"`` cycles 0..4 by row — useful to exercise every unfilter
+    path in :func:`decode_image` round-trip tests."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    bpp = 3
+
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = a[y].reshape(-1)
+        ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), row[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        elif ft == 4:
+            enc = row - _paeth(left, prev, up_left)
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: "np.ndarray", up: "np.ndarray", up_left: "np.ndarray") -> "np.ndarray":
+    """Vectorized Paeth predictor (PNG filter 4)."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = up_left.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    # spec tie-break order: a if pa<=pb and pa<=pc, else b if pb<=pc,
+    # else c
+    out = np.where(pb <= pc, b, c)
+    out = np.where((pa <= pb) & (pa <= pc), a, out)
+    return out.astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """Pure numpy + stdlib-zlib PNG decode: IDAT inflate + per-scanline
+    unfilter. Supports the non-interlaced 8-bit color types real
+    corpora use — 0 (gray), 2 (RGB), 6 (RGBA; alpha dropped) — and all
+    five scanline filters. Returns (h, w, 3) uint8 RGB."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_v)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype_v}")
+
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    bpp = channels
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(bpp, dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:
+            # recon[x] = raw[x] + recon[x-bpp]: cumulative sum down the
+            # row in pixel steps (uint8 wraparound via int32 cumsum)
+            cols = line.reshape(-1, bpp).astype(np.int32)
+            out[y] = (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ft == 2:
+            out[y] = line + prev
+        elif ft == 3:
+            # average depends on the just-reconstructed left pixel →
+            # sequential in pixel steps, vectorized across channels
+            row = out[y]
+            row[:] = line
+            left = zero
+            for x in range(0, stride, bpp):
+                px = row[x : x + bpp] + (
+                    (left.astype(np.uint16) + prev[x : x + bpp]) // 2
+                ).astype(np.uint8)
+                row[x : x + bpp] = px
+                left = px
+        elif ft == 4:
+            row = out[y]
+            row[:] = line
+            left = zero
+            up_left = zero
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                px = row[x : x + bpp] + _paeth(left, up, up_left)
+                row[x : x + bpp] = px
+                left, up_left = px, up
+        else:
+            raise ValueError(f"unknown PNG filter {ft} on row {y}")
+
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2).copy()
+    return img[:, :, :3].copy()
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """REAL image decode (pure numpy): binary PPM (P6) or uncompressed
-    24-bit BMP → (h, w, 3) uint8 RGB array. Raises ``ValueError`` on
+    """REAL image decode (pure numpy + stdlib zlib): binary PPM (P6),
+    uncompressed 24-bit BMP, or non-interlaced 8-bit PNG (gray/RGB/
+    RGBA) → (h, w, 3) uint8 RGB array. Raises ``ValueError`` on
     anything else — decode callers asserted their payloads are images."""
     import struct
 
     if payload is None:
         raise ValueError("cannot decode a null payload")
+    if bytes(payload[: len(_PNG_SIG)]) == _PNG_SIG:
+        return _decode_png(bytes(payload))
     if payload[:2] == b"P6":
         w, h, raster = _parse_ppm_header(payload, 0)
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=raster)
@@ -290,6 +452,41 @@ def synthesize_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "modality": "image/ppm",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG per row: ``w = 1 + id % 12``,
+    ``h = 1 + id % 6``, every pixel ``(id*3 % 256, id*5 % 256,
+    id*11 % 256)``, scanline filters cycling 0..4 by row so the decode
+    leg exercises every unfilter path. Decoded properties are
+    closed-form in the id → oracle-checkable end-to-end through
+    inflate + unfilter."""
+    from hashlib import md5
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 12, 1 + mid % 6
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = mid * 3 % 256
+                arr[..., 1] = mid * 5 % 256
+                arr[..., 2] = mid * 11 % 256
+                payloads.append(encode_png(arr, filter_type="mixed"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image/png",
                     "payload": payloads,
                     "byte_size": [len(p) for p in payloads],
                     "content_hash": [md5(p).hexdigest() for p in payloads],

@@ -886,7 +886,28 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.element_at("feature", 4)).cast("long").alias("red_sum"),
         F.sum(F.element_at("feature", 6)).cast("long").alias("blue_sum"),
     )
-    return media_summary(media).crossJoin(feat_agg).crossJoin(img_agg)
+    # PNG leg: zlib IDAT inflate + scanline unfilter (filters 0-4
+    # cycle by row) — w = 1 + id%12, h = 1 + id%6, color
+    # (id*3%256, id*5%256, id*11%256), all closed-form in the id
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_png_media,
+    )
+
+    png_decoded = extract_features(
+        synthesize_png_media(docs, id_col="doc_id"), decode=True
+    )
+    png_agg = png_decoded.agg(
+        F.sum(F.element_at("feature", 1)).cast("long").alias("png_width_sum"),
+        F.sum(F.element_at("feature", 2)).cast("long").alias("png_height_sum"),
+        F.sum(F.element_at("feature", 4)).cast("long").alias("png_red_sum"),
+        F.sum(F.element_at("feature", 6)).cast("long").alias("png_blue_sum"),
+    )
+    return (
+        media_summary(media)
+        .crossJoin(feat_agg)
+        .crossJoin(img_agg)
+        .crossJoin(png_agg)
+    )
 
 
 ORACLE_MULTIMODAL = r"""
@@ -899,7 +920,11 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(1 + doc_id % 16) AS BIGINT) AS width_sum,
        CAST(SUM(1 + doc_id % 8) AS BIGINT) AS height_sum,
        CAST(SUM(doc_id % 256) AS BIGINT) AS red_sum,
-       CAST(SUM((doc_id * 13) % 256) AS BIGINT) AS blue_sum
+       CAST(SUM((doc_id * 13) % 256) AS BIGINT) AS blue_sum,
+       CAST(SUM(1 + doc_id % 12) AS BIGINT) AS png_width_sum,
+       CAST(SUM(1 + doc_id % 6) AS BIGINT) AS png_height_sum,
+       CAST(SUM((doc_id * 3) % 256) AS BIGINT) AS png_red_sum,
+       CAST(SUM((doc_id * 11) % 256) AS BIGINT) AS png_blue_sum
 FROM documents
 """
 

@@ -505,6 +505,89 @@ class TestMultimodalShapes:
         with _pytest.raises(NotImplementedError):
             resize_stub(b"xx", 2, 2, strict=True)
 
+    def test_png_roundtrip_all_filters(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(42)
+        arr = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4, "mixed"):
+            assert np.array_equal(decode_image(encode_png(arr, ft)), arr)
+
+    def test_png_gray_and_rgba_decode(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _PNG_SIG,
+            decode_image,
+        )
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+            )
+
+        rng = np.random.default_rng(5)
+        gray = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+        raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = decode_image(png)
+        assert out.shape == (3, 4, 3)
+        assert all(np.array_equal(out[:, :, c], gray) for c in range(3))
+
+        rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+        raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_image(png), rgba[:, :, :3])
+
+    def test_png_rejects_unsupported(self):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import decode_image
+
+        with _pytest.raises(ValueError):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)  # no IHDR
+
+    def test_png_media_pipeline(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            extract_features,
+            synthesize_png_media,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(40)], "doc_id long"
+        )
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in extract_features(
+                synthesize_png_media(df), decode=True
+            ).collect()
+        }
+        for mid, f in feats.items():
+            assert f[0] == 1 + mid % 12 and f[1] == 1 + mid % 6
+            assert f[3] == mid * 3 % 256 and f[5] == mid * 11 % 256
+        assert len(feats) == 40 and np is not None
+
 
 class TestTextOps:
     def test_repetition_fractions(self, spark):

@@ -66,6 +66,26 @@ class TestRunJob:
         # full history keeps RUNNING + SUCCESS rows (append-only log)
         assert runs.by_job("job-1").count() == 2
 
+    def test_ledger_compaction(self, spark, tmp_path):
+        # N transitions → one file with the latest-wins rows; latest()
+        # view unchanged
+        runs = JobRuns(spark, str(tmp_path / "job_runs"))
+        for i in range(4):
+            runs.start(f"job-{i}")
+            runs.complete(f"job-{i}", {"duration_seconds": 0.5 + i})
+        runs.start("job-9")  # still RUNNING — must survive as RUNNING
+        before = sorted(
+            (r["job_id"], r["status"]) for r in runs.latest().collect()
+        )
+        stats = runs.compact()
+        assert stats["files_before"] == 9 and stats["files_after"] == 1
+        assert stats["rows"] == 5
+        after = sorted(
+            (r["job_id"], r["status"]) for r in runs.latest().collect()
+        )
+        assert after == before
+        assert runs.by_status("RUNNING").count() == 1
+
     def test_failure_lifecycle(self, spark, tmp_path):
         runs = JobRuns(spark, str(tmp_path / "job_runs"))
         notifications = []
