@@ -11,9 +11,11 @@ IDAT inflate + numpy scanline unfilter, all five filters) — via
 ``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``,
 reachable from ``extract_features(decode=True)`` and
 ``resize_media(decode=True)`` (nearest-neighbor resample on the
-decoded array). Formats that need codec libraries not present here
-(JPEG/audio/video) remain STUBBED behind ``decode_stub``:
-deterministic fake features by default, ``NotImplementedError`` when
+decoded array). Audio decode is REAL for WAV/RIFF 16-bit PCM
+(``decode_wav``/``audio_features`` — proper chunk walk, stdlib struct
++ numpy). Formats that need codec libraries not present here
+(JPEG/mp3/video) remain STUBBED behind ``decode_stub``: deterministic
+fake features by default, ``NotImplementedError`` when
 ``strict=True``.
 
 Scale notes: media payloads are large and must never be shuffle keys —
@@ -459,6 +461,147 @@ def synthesize_ppm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- real audio codec
+#
+# WAV/RIFF is a length-prefixed chunk container with raw PCM samples —
+# no compression codec needed, so the audio modality can be REAL with
+# stdlib struct + numpy alone. Compressed audio (mp3/aac/flac) stays
+# behind decode_stub.
+
+
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 16_000
+) -> bytes:
+    """(n,) or (n, channels) int16 PCM → WAV (RIFF) bytes."""
+    import struct
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, channels = a.shape
+    data = a.reshape(-1).tobytes()  # interleaved frames
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """REAL audio decode: WAV (RIFF) with 16-bit PCM → ((n, channels)
+    int16 array, sample_rate). Walks the chunk list properly (extra
+    chunks like LIST/fact are skipped), so files from real recorders
+    parse, not just our own encoder's output."""
+    import struct
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype, length = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    frames = np.frombuffer(
+        data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
+    )
+    return frames.reshape(-1, channels).copy(), sample_rate
+
+
+def audio_features(payload: bytes) -> list[float]:
+    """Decoded-audio feature vector:
+    ``[sample_rate, channels, n_frames, duration_s, mean, rms]`` —
+    the audio analogue of :func:`image_features`."""
+    frames, rate = decode_wav(payload)
+    n = frames.shape[0]
+    x = frames.astype(np.float64)
+    mean = float(x.mean()) if n else 0.0
+    rms = float(np.sqrt((x * x).mean())) if n else 0.0
+    return [
+        float(rate),
+        float(frames.shape[1]),
+        float(n),
+        n / rate if rate else 0.0,
+        mean,
+        rms,
+    ]
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV per row: mono 16-bit PCM, ``n = 50 +
+    id % 100`` frames of the constant amplitude ``(id * 17) % 2000 -
+    1000`` at 8 kHz. Constant signals make decoded mean/RMS closed-form
+    in the id (|amp| for RMS), so the decode path is oracle-checkable
+    end-to-end like the PPM/PNG legs."""
+    from hashlib import md5
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % 100
+                amp = (mid * 17) % 2000 - 1000
+                payloads.append(
+                    encode_wav(
+                        np.full(n, amp, dtype=np.int16), sample_rate=8000
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "audio/wav",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio feature extraction (decode_wav per
+    payload) — same shape as :func:`extract_features`."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "byte_size": pdf["byte_size"],
+                    "feature": [audio_features(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

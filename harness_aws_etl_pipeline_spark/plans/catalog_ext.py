@@ -902,11 +902,28 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.element_at("feature", 4)).cast("long").alias("png_red_sum"),
         F.sum(F.element_at("feature", 6)).cast("long").alias("png_blue_sum"),
     )
+    # WAV leg: RIFF chunk walk + 16-bit PCM decode — constant-signal
+    # clips make decoded frame counts / mean / RMS closed-form in the
+    # id (every value an exact integer, so the sums are exact)
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav_media,
+    )
+
+    wav_decoded = extract_audio_features(
+        synthesize_wav_media(docs, id_col="doc_id")
+    )
+    wav_agg = wav_decoded.agg(
+        F.round(F.sum(F.element_at("feature", 3))).cast("long").alias("wav_frames_sum"),
+        F.round(F.sum(F.element_at("feature", 5))).cast("long").alias("wav_mean_sum"),
+        F.round(F.sum(F.element_at("feature", 6))).cast("long").alias("wav_rms_sum"),
+    )
     return (
         media_summary(media)
         .crossJoin(feat_agg)
         .crossJoin(img_agg)
         .crossJoin(png_agg)
+        .crossJoin(wav_agg)
     )
 
 
@@ -924,7 +941,10 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(1 + doc_id % 12) AS BIGINT) AS png_width_sum,
        CAST(SUM(1 + doc_id % 6) AS BIGINT) AS png_height_sum,
        CAST(SUM((doc_id * 3) % 256) AS BIGINT) AS png_red_sum,
-       CAST(SUM((doc_id * 11) % 256) AS BIGINT) AS png_blue_sum
+       CAST(SUM((doc_id * 11) % 256) AS BIGINT) AS png_blue_sum,
+       CAST(SUM(50 + doc_id % 100) AS BIGINT) AS wav_frames_sum,
+       CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS wav_mean_sum,
+       CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS wav_rms_sum
 FROM documents
 """
 

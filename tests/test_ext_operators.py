@@ -566,6 +566,50 @@ class TestMultimodalShapes:
         with _pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)  # no IHDR
 
+    def test_wav_roundtrip_and_chunk_walk(self):
+        import struct
+
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            audio_features,
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(9)
+        stereo = rng.integers(-32768, 32767, size=(300, 2), dtype=np.int16)
+        frames, rate = decode_wav(encode_wav(stereo, 8000))
+        assert rate == 8000 and np.array_equal(frames, stereo)
+
+        # real recorders emit extra chunks (LIST/fact) — the walker
+        # must skip them, not assume data follows fmt directly
+        mono = rng.integers(-32768, 32767, size=100, dtype=np.int16)
+        wav = encode_wav(mono, 16000)
+        i = wav.index(b"data")
+        wav = wav[:i] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[i:]
+        frames, _ = decode_wav(wav)
+        assert np.array_equal(frames[:, 0], mono)
+
+        f = audio_features(encode_wav(np.full(75, -123, dtype=np.int16), 8000))
+        assert f == [8000.0, 1.0, 75.0, 75 / 8000, -123.0, 123.0]
+
+    def test_wav_media_pipeline(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            extract_audio_features,
+            synthesize_wav_media,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in extract_audio_features(synthesize_wav_media(df)).collect()
+        }
+        for mid, f in feats.items():
+            amp = (mid * 17) % 2000 - 1000
+            assert f[2] == 50 + mid % 100  # frames
+            assert f[4] == amp and f[5] == abs(amp)  # mean / rms
+
     def test_png_media_pipeline(self, spark):
         import numpy as np
 
