@@ -5,18 +5,20 @@ metadata struct (modality, byte size, content hash). The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas partition flow — is
 real and tested.
 
-Image decode is REAL for three formats — binary PPM (P6), uncompressed
-24-bit BMP, and non-interlaced 8-bit PNG (gray/RGB/RGBA; stdlib zlib
-IDAT inflate + numpy scanline unfilter, all five filters) — via
-``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``,
-reachable from ``extract_features(decode=True)`` and
+Image decode is REAL for four formats — binary PPM (P6), uncompressed
+24-bit BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA; stdlib zlib IDAT
+inflate + numpy scanline unfilter, all five filters), and baseline
+JPEG (operators/jpeg.py: huffman entropy decode, dequantize, IDCT,
+4:2:0/4:2:2/4:4:4 sampling, YCbCr→RGB) — via
+``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``/
+``encode_jpeg``, reachable from ``extract_features(decode=True)`` and
 ``resize_media(decode=True)`` (nearest-neighbor resample on the
 decoded array). Audio decode is REAL for WAV/RIFF 16-bit PCM
 (``decode_wav``/``audio_features`` — proper chunk walk, stdlib struct
 + numpy). Formats that need codec libraries not present here
-(JPEG/mp3/video) remain STUBBED behind ``decode_stub``: deterministic
-fake features by default, ``NotImplementedError`` when
-``strict=True``.
+(progressive JPEG, mp3/aac, video containers) remain STUBBED behind
+``decode_stub``: deterministic fake features by default,
+``NotImplementedError`` when ``strict=True``.
 
 Scale notes: media payloads are large and must never be shuffle keys —
 all grouping/joining happens on ``content_hash`` or ids. Feature
@@ -106,12 +108,12 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
 
 # ------------------------------------------------- real image codecs
 #
-# Pure-numpy (+ stdlib zlib) codecs for the formats that need no
-# external library: binary PPM (P6), uncompressed 24-bit BMP, and
-# non-interlaced 8-bit PNG. These make the decode step of the
-# multimodal path REAL — the mapInPandas plumbing feeds actual pixel
-# arrays, not fakes — while JPEG/audio/video stay stubbed (their
-# codecs aren't in this container).
+# Pure-numpy (+ stdlib) codecs: binary PPM (P6), uncompressed 24-bit
+# BMP, non-interlaced 8-bit PNG (zlib), and baseline JPEG
+# (operators/jpeg.py). These make the decode step of the multimodal
+# path REAL — the mapInPandas plumbing feeds actual pixel arrays, not
+# fakes — while progressive JPEG / compressed audio / video stay
+# stubbed (their codecs aren't in this container).
 
 
 def encode_ppm(arr: "np.ndarray") -> bytes:
@@ -350,16 +352,21 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """REAL image decode (pure numpy + stdlib zlib): binary PPM (P6),
-    uncompressed 24-bit BMP, or non-interlaced 8-bit PNG (gray/RGB/
-    RGBA) → (h, w, 3) uint8 RGB array. Raises ``ValueError`` on
-    anything else — decode callers asserted their payloads are images."""
+    """REAL image decode (pure numpy + stdlib): binary PPM (P6),
+    uncompressed 24-bit BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA),
+    or baseline JPEG (SOF0, any 1-2 sampling factors) → (h, w, 3)
+    uint8 RGB array. Raises ``ValueError`` on anything else — decode
+    callers asserted their payloads are images."""
     import struct
 
     if payload is None:
         raise ValueError("cannot decode a null payload")
     if bytes(payload[: len(_PNG_SIG)]) == _PNG_SIG:
         return _decode_png(bytes(payload))
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from harness_aws_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     if payload[:2] == b"P6":
         w, h, raster = _parse_ppm_header(payload, 0)
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=raster)
@@ -602,6 +609,41 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline JPEG per row: ``w = 1 + id % 10``,
+    ``h = 1 + id % 5``, solid GRAY level ``(id * 29) % 256`` at
+    quality 100. Grayscale-valued RGB at q100 survives the DCT →
+    quantize → huffman round-trip EXACTLY (chroma sits at 128, DC
+    quantizer is 1), so decoded dims and channel means stay closed-form
+    in the id — the property the oracle leg checks through the full
+    entropy-decode + IDCT path."""
+    from hashlib import md5
+
+    from harness_aws_etl_pipeline_spark.operators.jpeg import encode_jpeg
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 10, 1 + mid % 5
+                arr = np.full((h, w, 3), mid * 29 % 256, dtype=np.uint8)
+                payloads.append(encode_jpeg(arr, quality=100))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image/jpeg",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
 
 
 def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

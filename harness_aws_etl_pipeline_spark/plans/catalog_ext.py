@@ -902,6 +902,21 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.element_at("feature", 4)).cast("long").alias("png_red_sum"),
         F.sum(F.element_at("feature", 6)).cast("long").alias("png_blue_sum"),
     )
+    # JPEG leg: full baseline entropy-decode + dequantize + IDCT +
+    # YCbCr→RGB — solid GRAY q100 images round-trip exactly, so
+    # decoded dims and the red-channel mean stay closed-form
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_jpeg_media,
+    )
+
+    jpeg_decoded = extract_features(
+        synthesize_jpeg_media(docs, id_col="doc_id"), decode=True
+    )
+    jpeg_agg = jpeg_decoded.agg(
+        F.sum(F.element_at("feature", 1)).cast("long").alias("jpeg_width_sum"),
+        F.sum(F.element_at("feature", 2)).cast("long").alias("jpeg_height_sum"),
+        F.round(F.sum(F.element_at("feature", 4))).cast("long").alias("jpeg_gray_sum"),
+    )
     # WAV leg: RIFF chunk walk + 16-bit PCM decode — constant-signal
     # clips make decoded frame counts / mean / RMS closed-form in the
     # id (every value an exact integer, so the sums are exact)
@@ -923,6 +938,7 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(feat_agg)
         .crossJoin(img_agg)
         .crossJoin(png_agg)
+        .crossJoin(jpeg_agg)
         .crossJoin(wav_agg)
     )
 
@@ -942,6 +958,9 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(1 + doc_id % 6) AS BIGINT) AS png_height_sum,
        CAST(SUM((doc_id * 3) % 256) AS BIGINT) AS png_red_sum,
        CAST(SUM((doc_id * 11) % 256) AS BIGINT) AS png_blue_sum,
+       CAST(SUM(1 + doc_id % 10) AS BIGINT) AS jpeg_width_sum,
+       CAST(SUM(1 + doc_id % 5) AS BIGINT) AS jpeg_height_sum,
+       CAST(SUM((doc_id * 29) % 256) AS BIGINT) AS jpeg_gray_sum,
        CAST(SUM(50 + doc_id % 100) AS BIGINT) AS wav_frames_sum,
        CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS wav_mean_sum,
        CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS wav_rms_sum

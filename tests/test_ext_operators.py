@@ -566,6 +566,123 @@ class TestMultimodalShapes:
         with _pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)  # no IHDR
 
+    def test_jpeg_roundtrip(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        # constant gray at q100 round-trips EXACTLY (chroma at 128,
+        # DC quantizer 1) — the property the catalog oracle leg uses
+        for v in (0, 7, 128, 255):
+            arr = np.full((16, 24, 3), v, dtype=np.uint8)
+            assert np.array_equal(decode_jpeg(encode_jpeg(arr, 100)), arr)
+        # smooth gradient at q95 stays within a couple of levels
+        x = np.linspace(0, 255, 32)
+        grad = np.tile(x, (24, 1))
+        arr = np.stack([grad] * 3, axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(arr, quality=95))
+        assert np.abs(out.astype(int) - arr.astype(int)).max() <= 6
+        # odd (non-multiple-of-8) dimensions crop correctly
+        arr = np.full((9, 13, 3), 77, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(arr, 100)).shape == (9, 13, 3)
+
+    def test_jpeg_420_and_grayscale_streams(self):
+        # hand-composed streams (NOT produced by encode_jpeg) exercise
+        # the decoder's MCU interleave, chroma upsample, and
+        # single-component paths against spec-derived expectations
+        import struct
+
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators import jpeg as J
+
+        r, g, b = 180, 60, 120
+        y = round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        qt = np.ones(64, dtype=np.int32)
+        dc_codes = J._canonical_codes(J.DC_BITS, J.DC_VALS)
+        ac_codes = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        def dht(tc, th, bits, vals):
+            return bytes([(tc << 4) | th] + bits + vals)
+
+        bw = J._BitWriter()
+
+        def put_block(dc_diff):
+            size, bits = J._magnitude(dc_diff)
+            c, ln = dc_codes[size]
+            bw.write(c, ln)
+            if size:
+                bw.write(bits, size)
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+
+        # 16×16 4:2:0 MCU: 4 Y blocks (first carries the DC), Cb, Cr
+        put_block(8 * (y - 128))
+        for _ in range(3):
+            put_block(0)
+        put_block(8 * (cb - 128))
+        put_block(8 * (cr - 128))
+        dqt = seg(0xFFDB, b"\x00" + bytes(qt.reshape(-1)[J.ZIGZAG].tolist()))
+        sof = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        dhts = seg(
+            0xFFC4,
+            dht(0, 0, J.DC_BITS, J.DC_VALS) + dht(1, 0, J.AC_BITS, J.AC_VALS),
+        )
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        stream = b"\xff\xd8" + dqt + sof + dhts + sos + bw.flush() + b"\xff\xd9"
+        out = J.decode_jpeg(stream)
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(int) - np.array([r, g, b])).max() <= 2
+
+        # grayscale single-component stream → replicated channels
+        bw = J._BitWriter()
+        put_block(8 * (99 - 128))
+        sof1 = seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        sos1 = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        stream = b"\xff\xd8" + dqt + sof1 + dhts + sos1 + bw.flush() + b"\xff\xd9"
+        out = J.decode_jpeg(stream)
+        assert out.shape == (8, 8, 3)
+        assert abs(int(out[0, 0, 0]) - 99) <= 1
+        assert np.array_equal(out[..., 0], out[..., 1])
+
+        # progressive (SOF2) rejected, not mis-decoded
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            J.decode_jpeg(
+                b"\xff\xd8"
+                + seg(0xFFC2, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+            )
+
+    def test_jpeg_media_pipeline(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            extract_features,
+            synthesize_jpeg_media,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in extract_features(
+                synthesize_jpeg_media(df), decode=True
+            ).collect()
+        }
+        for mid, f in feats.items():
+            assert f[0] == 1 + mid % 10 and f[1] == 1 + mid % 5
+            assert f[3] == mid * 29 % 256  # exact gray round-trip
+
     def test_wav_roundtrip_and_chunk_walk(self):
         import struct
 
