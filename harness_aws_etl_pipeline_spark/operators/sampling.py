@@ -26,7 +26,13 @@ def split_bucket(key: Column | str, salt: int = 0, buckets: int = 100) -> Column
 
 def md5_split_threshold(frac: float) -> str:
     """8-hex-char threshold for :func:`md5_split_key`: a key is in the
-    ~``frac`` side iff its md5 prefix sorts below this string."""
+    ~``frac`` side iff its md5 prefix sorts below this string.
+    ``frac >= 1`` returns ``"g"`` (sorts after every hex string →
+    keep-all); ``frac <= 0`` returns ``"00000000"`` (keep-none)."""
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "00000000"
     return format(int(frac * (1 << 32)), "08x")
 
 
@@ -80,13 +86,28 @@ def stratified_sample(
     strata_col: str,
     fractions: dict,
     salt: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (class rebalancing for
     training mixes): each stratum keeps its own hash-bucket fraction;
     strata absent from ``fractions`` are dropped. Same determinism
     guarantees as :func:`sample_fraction` — membership is a pure
     function of (key, salt), so rebuilding the mix with new weights
-    reuses overlapping rows instead of reshuffling everything."""
+    reuses overlapping rows instead of reshuffling everything.
+
+    ``hash_fn="md5"`` draws from the md5 hex prefix (engine-agnostic,
+    ~2^-32 granularity) — the differential-oracle path."""
+    if hash_fn == "md5":
+        draw = md5_split_key(key, salt)
+        threshold = F.lit("00000000")  # unlisted strata keep nothing
+        for stratum, frac in fractions.items():
+            threshold = F.when(
+                F.col(strata_col) == stratum,
+                F.lit(md5_split_threshold(frac)),
+            ).otherwise(threshold)
+        return df.filter(draw < threshold)
+    if hash_fn != "xxhash64":
+        raise ValueError('hash_fn must be "xxhash64" or "md5"')
     bucket = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(10_000))
     # per-stratum threshold: chained when() over the strata, else 0
     threshold = F.lit(0)

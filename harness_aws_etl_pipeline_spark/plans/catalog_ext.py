@@ -1011,7 +1011,9 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
       bitstring): distinct sketches + banded Hamming-≤3 near pairs.
     - Embedding-cosine near-dup at 0.9 (expression-fold hyperplane
       buckets — bit-identical to the oracle's list_reduce fold).
-    - Deterministic train/test split on the md5 hex prefix.
+    - Deterministic train/test split on the md5 hex prefix, plus a
+      per-source stratified sample (fractions 1.0/0.5/0.25 — the
+      keep-all edge included).
 
     Every number here is the same computation the engine-default paths
     run (xxhash64/blake2b/numpy), differing only in the inner hash —
@@ -1021,7 +1023,10 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
         simhash_md5,
         simhash_near_pairs_str,
     )
-    from harness_aws_etl_pipeline_spark.operators.sampling import split_train_test
+    from harness_aws_etl_pipeline_spark.operators.sampling import (
+        split_train_test,
+        stratified_sample,
+    )
     from harness_aws_etl_pipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
@@ -1049,7 +1054,26 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(test.agg(F.count(F.lit(1)).alias("test_cnt")))
         .crossJoin(docs.agg(F.count(F.lit(1)).alias("total_cnt")))
     )
-    return mh_agg.crossJoin(sh_agg).crossJoin(ep_agg).crossJoin(split_agg)
+    # stratified leg: per-source fractions incl. the keep-all edge;
+    # salt 1 so the draws are independent of the train/test split's
+    strat = stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        salt=1,
+        hash_fn="md5",
+    )
+    strat_agg = strat.agg(
+        F.count(F.lit(1)).alias("strat_cnt"),
+        F.countDistinct("source").alias("strat_src_cnt"),
+    )
+    return (
+        mh_agg.crossJoin(sh_agg)
+        .crossJoin(ep_agg)
+        .crossJoin(split_agg)
+        .crossJoin(strat_agg)
+    )
 
 
 def _sql_planes_values(num_tables: int, bits: int, dim: int) -> str:
@@ -1224,12 +1248,23 @@ sp AS (
                        >= 'cccccccc' THEN 1 ELSE 0 END) AS BIGINT) AS test_cnt,
          COUNT(*) AS total_cnt
   FROM documents
+),
+strat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS strat_cnt,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS strat_src_cnt
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|1'), 1, 8) <
+        CASE source WHEN 'src0' THEN 'g'
+                    WHEN 'src1' THEN '80000000'
+                    WHEN 'src2' THEN '40000000'
+                    ELSE '00000000' END
 )
 SELECT m.mh_pair_cnt, m.mh_avg_est,
        s.sh_distinct_sketches, s.sh_near_pair_cnt,
        e.emb_pair_cnt, e.emb_avg_cosine,
-       p.train_cnt, p.test_cnt, p.total_cnt
-FROM mh_agg m, sh_agg s, ed_agg e, sp p
+       p.train_cnt, p.test_cnt, p.total_cnt,
+       t.strat_cnt, t.strat_src_cnt
+FROM mh_agg m, sh_agg s, ed_agg e, sp p, strat t
 """
 
 

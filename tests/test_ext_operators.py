@@ -267,6 +267,31 @@ class TestOraclePathEquivalence:
         train2, _ = split_train_test(df2, "id", train_frac=0.8, hash_fn="md5")
         assert {r["id"] for r in train2.collect() if r["id"] < 500} == train_ids
 
+    def test_md5_stratified_sample_matches_hashlib(self, spark):
+        from hashlib import md5
+
+        from harness_aws_etl_pipeline_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, cls string")
+        got = {
+            r["id"]
+            for r in stratified_sample(
+                df, "id", "cls", {"a": 1.0, "b": 0.5}, salt=2, hash_fn="md5"
+            ).collect()
+        }
+        want = set()
+        for i, cls in rows:
+            if cls == "a":  # keep-all edge (frac >= 1 → threshold 'g')
+                want.add(i)
+            elif cls == "b" and md5(f"{i}|2".encode()).hexdigest()[:8] < "80000000":
+                want.add(i)
+            # 'c' unlisted → dropped
+        assert got == want
+        assert {i for i, c in rows if c == "a"} <= got
+
     def test_lsh_topk_expression_matches_arrow(self, spark):
         import random
 
