@@ -591,6 +591,32 @@ class TestMultimodalShapes:
         with _pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)  # no IHDR
 
+    def test_resize_decodes_png_and_jpeg_payloads(self, spark):
+        # resize_media(decode=True) must work on any decodable format
+        # (decode_image dispatch) and re-emit decodable PPM
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            resize_media,
+            synthesize_jpeg_media,
+            synthesize_png_media,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        for maker, chans in (
+            (synthesize_png_media, (3, 5, 11)),
+            (synthesize_jpeg_media, (29, 29, 29)),
+        ):
+            out = resize_media(maker(df), width=6, height=4, decode=True)
+            rows = {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
+            for mid, payload in rows.items():
+                arr = decode_image(payload)
+                assert arr.shape == (4, 6, 3)
+                # solid-color sources stay solid after resample
+                want = np.array([mid * c % 256 for c in chans])
+                assert np.abs(arr.reshape(-1, 3) - want).max() <= 1
+
     def test_jpeg_roundtrip(self):
         import numpy as np
 

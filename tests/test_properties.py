@@ -40,6 +40,64 @@ class TestNormalizeNameProperties:
         assert "__" not in out
 
 
+class TestCodecProperties:
+    """Round-trip invariants of the pure-numpy media codecs — these
+    run Spark-free (plain numpy), so hypothesis can sweep hundreds of
+    shapes cheaply."""
+
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.integers(0, 4) | st.just("mixed"),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_lossless(self, h, w, filter_type, seed):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(arr, filter_type)), arr)
+
+    @given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 255))
+    @settings(max_examples=60, deadline=None)
+    def test_jpeg_gray_q100_exact(self, h, w, v):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        arr = np.full((h, w, 3), v, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(arr, quality=100)), arr)
+
+    @given(
+        st.integers(1, 500),
+        st.integers(1, 2),
+        st.sampled_from([8000, 16000, 44100]),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip_lossless(self, n, channels, rate, seed):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32767, size=(n, channels), dtype=np.int16)
+        frames, got_rate = decode_wav(encode_wav(s, rate))
+        assert got_rate == rate and np.array_equal(frames, s)
+
+
 class TestSparkProperties:
     @given(
         st.lists(
