@@ -37,6 +37,40 @@ def test_distributed_components_million_nodes(spark):
 
 
 @stress
+def test_distributed_components_string_ids(spark):
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        near_dup_clusters,
+    )
+
+    # string/UUID-style ids at scale: the decimal-sum convergence
+    # shortcut is unavailable (NULL casts), so every round pays the
+    # exact changed-row check — this pins that the distributed loop
+    # still converges correctly and affordably on 100k nodes in
+    # 100 chains of diameter 999
+    pairs = (
+        spark.range(100_000)
+        .filter(F.col("id") % 1000 != 999)
+        .select(
+            F.format_string("doc-%07d", F.col("id")).alias("doc_a"),
+            F.format_string("doc-%07d", F.col("id") + 1).alias("doc_b"),
+        )
+    )
+    labels = near_dup_clusters(pairs, driver_threshold=0)
+    assert labels.count() == 100_000
+    wrong = labels.filter(
+        F.col("cluster_id")
+        != F.format_string(
+            "doc-%07d",
+            (F.regexp_extract("doc_id", r"(\d+)", 1).cast("long") / 1000).cast(
+                "long"
+            )
+            * 1000,
+        )
+    ).count()
+    assert wrong == 0
+
+
+@stress
 def test_ann_sublinear_at_256x(spark, tmp_path):
     from harness_aws_etl_pipeline_spark.operators.similarity import (
         brute_force_topk,
