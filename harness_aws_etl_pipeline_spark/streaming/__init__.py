@@ -1,4 +1,8 @@
-from harness_aws_etl_pipeline_spark.streaming.ingest import stream_ingest, run_available_now
+from harness_aws_etl_pipeline_spark.streaming.ingest import (
+    run_available_now,
+    run_available_now_upsert,
+    stream_ingest,
+)
 from harness_aws_etl_pipeline_spark.streaming.stateful import (
     streaming_dedup,
     streaming_dedup_within_watermark,
@@ -13,6 +17,7 @@ from harness_aws_etl_pipeline_spark.streaming.windows import (
 __all__ = [
     "stream_ingest",
     "run_available_now",
+    "run_available_now_upsert",
     "streaming_dedup",
     "streaming_dedup_within_watermark",
     "streaming_running_counts",

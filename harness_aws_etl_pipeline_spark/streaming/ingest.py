@@ -110,3 +110,49 @@ def run_available_now(
             writer = writer.partitionBy(*partition_by)
     query = writer.start()
     return query.awaitTermination(timeout_sec)
+
+
+def run_available_now_upsert(
+    stream_df: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    partition_by: list[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    moved_keys: str = "scan",
+    timeout_sec: int = 300,
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> bool:
+    """Streaming MERGE: each micro-batch upserts into the partitioned
+    table by key instead of appending — the standard CDC/incremental-
+    load sink shape (``writeStream.foreachBatch(merge)``), built on
+    :func:`sinks.upsert.upsert_partitioned` so it inherits partition
+    pruning, moved-key stale cleanup, NULL-partition safety, and the
+    Hadoop-FS path handling.
+
+    Exactly-once composition: the file-source checkpoint makes batch
+    REPLAY possible, not duplication — and upsert-by-key is idempotent
+    under replay (the same rows replace themselves), so a crash
+    between write and checkpoint commit converges to the same table.
+    That is precisely why the append sink (:func:`run_available_now`)
+    is NOT replay-idempotent and a keyed table should use this one.
+    """
+    from harness_aws_etl_pipeline_spark.sinks.upsert import upsert_partitioned
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform is not None else batch_df
+        if df.isEmpty():
+            return
+        stats = upsert_partitioned(
+            df, output_path, key_cols, partition_by, moved_keys=moved_keys
+        )
+        if on_batch is not None:
+            on_batch(batch_id, stats)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query.awaitTermination(timeout_sec)

@@ -14,6 +14,7 @@ from pyspark.sql.types import (
 
 from harness_aws_etl_pipeline_spark.streaming import (
     run_available_now,
+    run_available_now_upsert,
     session_counts,
     sliding_counts,
     stream_ingest,
@@ -54,6 +55,45 @@ class TestAvailableNowIngest:
         back = spark.read.parquet(out)
         assert back.count() == 3
         assert {r["id"] for r in back.collect()} == {1, 2, 3}
+
+    def test_streaming_upsert_merges_by_key(self, spark, tmp_path):
+        # CDC shape: second sweep UPDATES key 2 and moves key 1 to a
+        # new partition; foreachBatch-upsert must converge to
+        # latest-per-key with the stale copy gone
+        land = tmp_path / "landing"
+        land.mkdir()
+        (land / "f1.csv").write_text(
+            "id,name,amount\n1,a,1.0\n2,a,2.0\n3,b,3.0\n"
+        )
+        out = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        stats = []
+        src = stream_ingest(spark, str(land), SCHEMA, fmt="csv")
+        assert run_available_now_upsert(
+            src, out, ckpt, key_cols=["id"], partition_by=["name"],
+            timeout_sec=120, on_batch=lambda bid, s: stats.append(s),
+        )
+        assert spark.read.parquet(out).count() == 3
+
+        (land / "f2.csv").write_text(
+            "id,name,amount\n2,a,99.0\n1,b,11.0\n4,c,4.0\n"
+        )
+        src2 = stream_ingest(spark, str(land), SCHEMA, fmt="csv")
+        assert run_available_now_upsert(
+            src2, out, ckpt, key_cols=["id"], partition_by=["name"],
+            timeout_sec=120, on_batch=lambda bid, s: stats.append(s),
+        )
+        got = {
+            r["id"]: (r["name"], r["amount"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            1: ("b", 11.0),  # moved partition, old copy dropped
+            2: ("a", 99.0),  # updated in place
+            3: ("b", 3.0),   # untouched survivor
+            4: ("c", 4.0),   # inserted
+        }
+        assert stats and all("partitions_touched" in s for s in stats)
 
     def test_on_batch_hook(self, spark, tmp_path):
         import os
