@@ -26,11 +26,14 @@ Spark-first mechanics, no table format required:
    up empty is removed directly (dynamic overwrite can't rewrite a
    partition absent from the output).
 
-The merged plan is localCheckpoint'ed before the overwrite because
-Spark cannot overwrite a path it is still lazily reading from. A
-production deployment at petabyte scale would stage-and-swap or use a
-transactional table format; the checkpoint keeps the same semantics
-single-job.
+In the default mode the merged plan is localCheckpoint'ed before the
+overwrite because Spark cannot overwrite a path it is still lazily
+reading from. ``staged=True`` implements the stage-and-swap
+alternative — write to a temp sibling, rename touched partition dirs
+into place — which needs no checkpoint and shrinks the crash window
+to per-partition metadata renames; a transactional table format
+(Delta/Iceberg MERGE) remains the upgrade path for atomic multi-
+partition commits.
 """
 
 from __future__ import annotations
@@ -75,6 +78,7 @@ def upsert_partitioned(
     partition_by: list[str],
     fmt: str = "parquet",
     moved_keys: str = "scan",
+    staged: bool = False,
 ) -> dict:
     """Merge ``df`` into the partitioned table at ``path`` by key.
 
@@ -82,6 +86,17 @@ def upsert_partitioned(
     row lives in a different partition and drops the stale copy;
     ``"assume_stable"`` skips the detection scan — only safe when a
     key's partition value never changes.
+
+    ``staged=True`` writes the merged output to a temp sibling first,
+    then swaps each touched partition directory into place with FS
+    renames (delete-old + rename-new per partition). Two wins over the
+    default dynamic-overwrite path: no ``localCheckpoint``
+    materialization (the write target isn't the path being read), and
+    the crash window shrinks from "mid-overwrite of every touched
+    partition" to individual metadata renames — the stage-and-swap
+    pattern production non-transactional tables use. The default path
+    remains for sinks where extra temp-dir listings cost (object-store
+    request pricing) matters more than the narrower crash window.
 
     Returns ``{"partitions_touched": n, "rows_upserted": n, ...}``.
     First write (no existing table) degrades to a plain partitioned
@@ -127,10 +142,43 @@ def upsert_partitioned(
     # explicit partition filter → the scan prunes to touched partitions
     existing = table.filter(_part_filter(partition_by, touched))
     survivors = existing.join(F.broadcast(batch_keys), key_cols, "left_anti")
-    merged = survivors.unionByName(df.select(*survivors.columns)).localCheckpoint(
-        eager=True
-    )
+    merged = survivors.unionByName(df.select(*survivors.columns))
 
+    if staged:
+        tmp = path.rstrip("/") + ".__upserting__"
+        if fs.exists(tmp):
+            fs.delete(tmp, recursive=True)  # stale leftover from a crash
+        merged.write.mode("overwrite").partitionBy(*partition_by).format(
+            fmt
+        ).save(tmp)
+        present = {
+            tuple(r)
+            for r in spark.read.format(fmt)
+            .load(tmp)
+            .select(*partition_by)
+            .distinct()
+            .collect()
+        }
+        import posixpath
+
+        for p in touched:
+            reldir = partition_dirname(partition_by, p)
+            dest = join_path(path, reldir)
+            fs.delete(dest, recursive=True)
+            if tuple(p) in present:
+                # multi-level partitioning: the parent dirs of a brand-
+                # new partition combination may not exist yet
+                fs.mkdirs(posixpath.dirname(dest))
+                fs.rename(join_path(tmp, reldir), dest)
+        fs.delete(tmp, recursive=True)
+        return {
+            "partitions_touched": len(touched),
+            "rows_upserted": df.count(),
+            "created": False,
+            "staged": True,
+        }
+
+    merged = merged.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

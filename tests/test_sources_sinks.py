@@ -239,6 +239,40 @@ class TestSinks:
         assert got == {1: ("a", 10.0), 5: ("a", 55.0)}
         assert not os.path.exists(os.path.join(path, "part=z"))
 
+    def test_upsert_staged_swap(self, spark, tmp_path):
+        # staged mode: merged output lands in a temp sibling, touched
+        # partitions swap in via renames — same semantics as dynamic
+        # overwrite (update / insert / moved key / emptied partition /
+        # NULL partition), no temp dir left behind
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (5, "z", 50.0), (7, None, 70.0)],
+            "id long, part string, v double",
+        )
+        upsert_partitioned(base, path, ["id"], ["part"], staged=True)
+        batch = spark.createDataFrame(
+            # update 2, move 5 z→a (z empties), insert 6 in new part c,
+            # update 7 inside the NULL partition
+            [(2, "a", 99.0), (5, "a", 55.0), (6, "c", 60.0), (7, None, 77.0)],
+            "id long, part string, v double",
+        )
+        r = upsert_partitioned(batch, path, ["id"], ["part"], staged=True)
+        assert r["staged"] and r["partitions_touched"] == 4  # a, c, null + z
+        got = {
+            r["id"]: (r["part"], r["v"]) for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            1: ("a", 10.0),
+            2: ("a", 99.0),
+            5: ("a", 55.0),
+            6: ("c", 60.0),
+            7: (None, 77.0),
+        }
+        assert not os.path.exists(os.path.join(path, "part=z"))
+        assert not os.path.exists(path + ".__upserting__")
+
     def test_upsert_null_partition_preserves_survivors(self, spark, tmp_path):
         # struct(...).isin(...) is NULL for a NULL partition value, so
         # null-partition survivors used to be excluded from the scan
