@@ -8,6 +8,14 @@ invoke the handler in-process, print the result).
         --prefix landing/ --output out/silver --job-runs out/job_runs
     python -m harness_aws_etl_pipeline_spark.cli sql \
         --sf-dir /root/testdata/sf0.001 --query "SELECT COUNT(*) FROM lineitem"
+    python -m harness_aws_etl_pipeline_spark.cli status \
+        --job-runs out/job_runs --output out/silver
+    python -m harness_aws_etl_pipeline_spark.cli clean --path out/silver --force
+
+``status`` is the engine's scripts/status_check.py (recent jobs +
+per-status counts from the metadata table, sink storage footprint);
+``clean`` is scripts/cleanup.py (refuses without --force, the
+confirmation-prompt equivalent).
 """
 
 from __future__ import annotations
@@ -40,12 +48,83 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--query", required=True)
     sql.add_argument("--limit", type=int, default=20)
 
+    # reference scripts/status_check.py: recent jobs + per-status
+    # counts from the metadata table, storage footprint of the sinks
+    status = sub.add_parser("status", help="job + storage health report")
+    status.add_argument("--job-runs", required=True, help="job_runs table path")
+    status.add_argument("--output", default=None, help="sink path to size")
+    status.add_argument("--recent", type=int, default=10)
+
+    # reference scripts/cleanup.py: tear down pipeline outputs
+    # (explicit --force, like cleanup.py's confirmation prompt)
+    clean = sub.add_parser("clean", help="delete a pipeline output path")
+    clean.add_argument("--path", required=True)
+    clean.add_argument("--force", action="store_true")
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
     from harness_aws_etl_pipeline_spark.session import get_spark
 
+    if args.cmd == "clean":
+        # no Spark session needed — pure FS metadata op
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+        fs = get_fs(args.path)
+        if not fs.exists(args.path):
+            print(json.dumps({"path": args.path, "status": "absent"}))
+            return 0
+        if not args.force:
+            print(
+                json.dumps(
+                    {
+                        "path": args.path,
+                        "status": "would_delete",
+                        "bytes": fs.tree_size(args.path),
+                        "hint": "re-run with --force to delete",
+                    }
+                )
+            )
+            return 1
+        fs.delete(args.path, recursive=True)
+        print(json.dumps({"path": args.path, "status": "deleted"}))
+        return 0
+
     spark = get_spark("etl-cli")
+
+    if args.cmd == "status":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.meta import JobRuns
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+        runs = JobRuns(spark, args.job_runs)
+        latest = runs.latest()
+        by_status = {
+            r["status"]: r["n"]
+            for r in latest.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        recent = [
+            {
+                "job_id": r["job_id"],
+                "status": r["status"],
+                "ts": str(r["ts"]),
+                "duration_seconds": float(r["duration_seconds"])
+                if r["duration_seconds"] is not None
+                else None,
+            }
+            for r in latest.orderBy(F.col("ts").desc()).limit(args.recent).collect()
+        ]
+        report = {"jobs_by_status": by_status, "recent_jobs": recent}
+        if args.output:
+            fs = get_fs(args.output, spark)
+            report["output"] = {
+                "path": args.output,
+                "exists": fs.exists(args.output),
+                "bytes": fs.tree_size(args.output) if fs.exists(args.output) else 0,
+            }
+        print(json.dumps(report))
+        return 0
 
     if args.cmd == "sql":
         from harness_aws_etl_pipeline_spark.plans.sqlapi import sql as run_sql

@@ -57,6 +57,49 @@ class TestCli:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["n"] == 5
 
+    def test_status_command(self, spark, tmp_path, capsys):
+        src = tmp_path / "sales.csv"
+        src.write_text(CSV)
+        assert (
+            main(
+                [
+                    "run",
+                    "--source", str(src),
+                    "--output", str(tmp_path / "out"),
+                    "--job-runs", str(tmp_path / "runs"),
+                ]
+            )
+            == 0
+        )
+        capsys.readouterr()
+        rc = main(
+            [
+                "status",
+                "--job-runs", str(tmp_path / "runs"),
+                "--output", str(tmp_path / "out"),
+            ]
+        )
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["jobs_by_status"] == {"SUCCESS": 1}
+        assert report["recent_jobs"][0]["status"] == "SUCCESS"
+        assert report["output"]["exists"] and report["output"]["bytes"] > 0
+
+    def test_clean_command_requires_force(self, tmp_path, capsys):
+        target = tmp_path / "out"
+        target.mkdir()
+        (target / "f.parquet").write_bytes(b"x" * 10)
+        # without --force: report + nonzero exit, nothing deleted
+        assert main(["clean", "--path", str(target)]) == 1
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["status"] == "would_delete" and out["bytes"] == 10
+        assert target.exists()
+        # with --force: deleted
+        assert main(["clean", "--path", str(target), "--force"]) == 0
+        assert not target.exists()
+        # absent path is a clean no-op
+        assert main(["clean", "--path", str(target)]) == 0
+
     def test_run_missing_source_fails(self, tmp_path, capsys):
         rc = main(
             ["run", "--source", str(tmp_path / "nope.csv"), "--output", str(tmp_path / "o")]
