@@ -86,6 +86,41 @@ class TestRunJob:
         assert after == before
         assert runs.by_status("RUNNING").count() == 1
 
+    def test_alert_monitor(self, spark, tmp_path):
+        # the engine-side CloudWatch-alarm equivalent: error-rate and
+        # latency rules over the latest-per-job run states
+        from harness_aws_etl_pipeline_spark.config import EngineConfig
+        from harness_aws_etl_pipeline_spark.meta import alerts
+
+        runs = JobRuns(spark, str(tmp_path / "job_runs"))
+        runs.start("ok-1")
+        runs.complete("ok-1", {"duration_seconds": 0.2})
+        assert alerts.check(runs) == []  # healthy
+
+        for i in range(3):
+            runs.start(f"bad-{i}")
+            runs.fail(f"bad-{i}", {"duration_seconds": 0.1, "error": "boom"})
+        runs.start("slow-1")
+        runs.complete("slow-1", {"duration_seconds": 45.0})  # > 30s
+
+        fired = []
+        got = alerts.check(runs, on_alert=fired.append)
+        kinds = {a["alert"] for a in got}
+        assert kinds == {"error_rate", "latency"}
+        err = next(a for a in got if a["alert"] == "error_rate")
+        assert err["failed"] == 3 and set(err["job_ids"]) == {
+            "bad-0", "bad-1", "bad-2",
+        }
+        lat = next(a for a in got if a["alert"] == "latency")
+        assert lat["job_ids"] == ["slow-1"]
+        assert fired == got
+        # raising the threshold silences the error alert
+        quiet = alerts.check(
+            runs,
+            EngineConfig({"monitoring": {"alerts": {"error_threshold": 5}}}),
+        )
+        assert {a["alert"] for a in quiet} == {"latency"}
+
     def test_failure_lifecycle(self, spark, tmp_path):
         runs = JobRuns(spark, str(tmp_path / "job_runs"))
         notifications = []
