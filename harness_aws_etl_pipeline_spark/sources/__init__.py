@@ -5,6 +5,7 @@ from harness_aws_etl_pipeline_spark.sources.readers import (
     read_paths,
     list_supported_files,
     extract,
+    parse_event,
     SUPPORTED_FORMATS,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "read_paths",
     "list_supported_files",
     "extract",
+    "parse_event",
     "SUPPORTED_FORMATS",
 ]

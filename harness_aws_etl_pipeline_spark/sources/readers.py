@@ -255,6 +255,54 @@ def read_batch(
     return df, stats
 
 
+def parse_event(event: dict, default_prefix: str = "") -> dict:
+    """Raw trigger payload → ``source_info`` for :func:`extract` —
+    the reference's event parse (lambda_handler.py:155-197), with
+    object-store coordinates mapped to paths.
+
+    Accepted shapes, in the reference's precedence order:
+
+    - storage-event records (``{"Records": [{"s3": {...}}]}``) →
+      ``{"type": "s3", "path": "s3a://<bucket>/<key>", "size": n}``
+    - scheduler events (``{"source": "aws.events", ...}``) →
+      ``{"type": "scheduled", "prefix": default_prefix, "rule": ...,
+      "time": ...}``
+    - direct invocation (``{"source_bucket": ..., "source_key": ...}``)
+      → ``{"type": "direct", "path": "s3a://<bucket>/<key>"}``; a
+      plain ``{"path": ...}`` or ``{"prefix": ...}`` passes through as
+      direct/batch for filesystem callers
+    - anything else → the reference's default full-prefix batch sweep
+    """
+    records = event.get("Records")
+    if records:
+        record = records[0]
+        if "s3" in record:
+            bucket = record["s3"]["bucket"]["name"]
+            key = record["s3"]["object"]["key"]
+            return {
+                "type": "s3",
+                "path": f"s3a://{bucket}/{key}",
+                "size": record["s3"]["object"].get("size", 0),
+            }
+    if event.get("source") == "aws.events":
+        return {
+            "type": "scheduled",
+            "prefix": event.get("prefix", default_prefix),
+            "rule": event.get("resources", ["unknown"])[0],
+            "time": event.get("time"),
+        }
+    if "source_bucket" in event and "source_key" in event:
+        return {
+            "type": "direct",
+            "path": f"s3a://{event['source_bucket']}/{event['source_key']}",
+        }
+    if "path" in event:
+        return {"type": event.get("type", "direct"), "path": event["path"]}
+    if "prefix" in event:
+        return {"type": event.get("type", "batch"), "prefix": event["prefix"]}
+    return {"type": "batch", "prefix": default_prefix}
+
+
 def extract(
     spark: SparkSession,
     source_info: dict,

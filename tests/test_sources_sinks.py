@@ -84,6 +84,49 @@ class TestBatch:
         with pytest.raises(ValueError):
             extract(spark, {"type": "bogus"})
 
+    def test_parse_event_shapes(self, tmp_path):
+        # raw trigger payload → source_info, reference precedence order
+        from harness_aws_etl_pipeline_spark.sources import parse_event
+
+        s3ev = {
+            "Records": [
+                {
+                    "s3": {
+                        "bucket": {"name": "raw"},
+                        "object": {"key": "in/a.csv", "size": 42},
+                    }
+                }
+            ]
+        }
+        assert parse_event(s3ev) == {
+            "type": "s3", "path": "s3a://raw/in/a.csv", "size": 42,
+        }
+        sched = parse_event(
+            {"source": "aws.events", "resources": ["rule-1"], "time": "t"},
+            default_prefix="/landing",
+        )
+        assert sched["type"] == "scheduled" and sched["prefix"] == "/landing"
+        assert sched["rule"] == "rule-1"
+        direct = parse_event({"source_bucket": "raw", "source_key": "k.csv"})
+        assert direct == {"type": "direct", "path": "s3a://raw/k.csv"}
+        # filesystem passthrough + default sweep
+        assert parse_event({"path": "/x.csv"})["type"] == "direct"
+        assert parse_event({"prefix": "/land"}) == {"type": "batch", "prefix": "/land"}
+        assert parse_event({}, default_prefix="/raw") == {
+            "type": "batch", "prefix": "/raw",
+        }
+
+    def test_parse_event_feeds_extract(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources import parse_event
+
+        (tmp_path / "a.csv").write_text(CSV)
+        info = parse_event({"path": str(tmp_path / "a.csv")})
+        df, _ = extract(spark, info)
+        assert df.count() == 2
+        info2 = parse_event({"source": "aws.events"}, default_prefix=str(tmp_path))
+        df2, _ = extract(spark, info2)
+        assert df2.count() == 2
+
 
 class TestSizeGuard:
     def test_oversized_file_skipped(self, spark, tmp_path):
