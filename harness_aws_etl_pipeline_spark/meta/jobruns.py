@@ -109,12 +109,19 @@ class JobRuns:
 
         A long-lived deployment accumulates one file per state
         transition (the documented trade-off of append-only L8); this
-        bounds it: materialize ``latest()``, swap it in atomically via
-        the temp-sibling + rename pattern (sinks/fs.py — works on any
+        bounds it: materialize ``latest()``, stage it in a temp
+        sibling, then swap via renames (sinks/fs.py — works on any
         Hadoop-FS scheme), one output file. ``latest()`` before and
         after compaction returns the same rows; per-transition history
         (``by_job``) is traded away, which is exactly DynamoDB's
         update-by-key semantics the reference had (metadata.py:97-117).
+
+        Single-writer operation (like every ledger write here): run it
+        from the owning driver between jobs, not concurrently with
+        appends — a transition appended mid-compaction would be lost
+        with the old ledger. The swap is rename-aside (old →
+        ``.__old__``, staged → live, delete aside), so a crash at any
+        point leaves a recoverable copy rather than no table.
         Returns {"rows": n, "files_before": n, "files_after": n}.
         """
         from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
@@ -124,11 +131,17 @@ class JobRuns:
         snapshot = self.latest().coalesce(1).localCheckpoint(eager=True)
         rows = snapshot.count()
         tmp = self.path.rstrip("/") + ".__compacting__"
-        if fs.exists(tmp):
-            fs.delete(tmp, recursive=True)
+        aside = self.path.rstrip("/") + ".__old__"
+        for leftover in (tmp, aside):
+            if fs.exists(leftover):
+                fs.delete(leftover, recursive=True)
         snapshot.write.mode("overwrite").parquet(tmp)
-        fs.delete(self.path, recursive=True)
-        fs.rename(tmp, self.path)
+        if not fs.rename(self.path, aside):
+            raise IOError(f"compact: could not move ledger aside to {aside!r}")
+        if not fs.rename(tmp, self.path):
+            fs.rename(aside, self.path)  # roll back — old ledger intact
+            raise IOError("compact: swap rename failed; ledger restored")
+        fs.delete(aside, recursive=True)
         return {
             "rows": rows,
             "files_before": files_before,

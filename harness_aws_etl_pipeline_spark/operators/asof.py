@@ -31,7 +31,7 @@ def range_join(
     right_start: str,
     right_end: str,
     on: str | None = None,
-    bucket_width_seconds: int = 3600,
+    bucket_width_seconds: float = 3600,
     how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval range join: left rows whose ``left_point``
@@ -55,8 +55,15 @@ def range_join(
     # below the double ULP near the current epoch and silently rounds
     # away). pmod-based floor division is a true floor for pre-1970
     # (negative-µs) timestamps too, where SQL `div` truncates toward
-    # zero and would disagree with the point-side bucket.
-    width_us = int(bucket_width_seconds) * 1_000_000
+    # zero and would disagree with the point-side bucket. Round (not
+    # truncate) so fractional widths work — int(0.5)*1e6 would be a
+    # zero width, i.e. NULL pmod buckets and a silently empty join.
+    width_us = int(round(bucket_width_seconds * 1_000_000))
+    if width_us < 1:
+        raise ValueError(
+            f"bucket_width_seconds must be >= 1 microsecond, got "
+            f"{bucket_width_seconds!r}"
+        )
 
     def _micros(c: str) -> Column:
         return F.unix_micros(F.col(c).cast("timestamp"))

@@ -707,15 +707,25 @@ def simhash_md5(
 
 
 def simhash_near_pairs_str(
-    sketches: DataFrame, max_hamming: int = 3, band_chars: int = 16
+    sketches: DataFrame,
+    max_hamming: int = 3,
+    band_chars: int = 16,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs over string sketches (:func:`simhash_md5`) by
-    Hamming distance ≤ ``max_hamming``, blocked on 16-char bands (same
-    pigeonhole as :func:`simhash_near_pairs`). Hamming is a per-
-    position compare of the two 64-char strings — a bound-array HOF
+    Hamming distance ≤ ``max_hamming``, blocked on ``band_chars``-wide
+    bands (same pigeonhole as :func:`simhash_near_pairs`). ``bits``
+    must match the sketch width the sketches were built with —
+    a mismatch would slice empty band keys that bucket everything
+    together and count positions that don't exist. Hamming is a
+    per-position compare of the two sketch strings — a bound-array HOF
     evaluated only on banded candidates. Returns
     (doc_a, doc_b, hamming)."""
-    width = 64
+    width = bits
+    if width % band_chars:
+        raise ValueError(
+            f"bits={width} must be a multiple of band_chars={band_chars}"
+        )
     nbands = width // band_chars
     sketches = sketches.persist()
     banded = sketches.select(

@@ -1,14 +1,16 @@
 """[EXT] Baseline JPEG codec — pure numpy + stdlib, no codec library.
 
-``decode_jpeg`` handles baseline DCT JPEG (SOF0): marker parse, DQT /
-DHT tables read FROM THE FILE (so any compliant baseline stream
-decodes, not just this module's own output), entropy-coded segment
-with 0xFF00 unstuffing and DRI/RSTn restart handling, huffman DC/AC
-coefficient decode, dequantize + dezigzag, orthonormal 8×8 IDCT,
-generic chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 via per-
+``decode_jpeg`` handles single-scan baseline DCT JPEG (SOF0): marker
+parse, DQT / DHT tables read FROM THE FILE (so compliant baseline
+streams decode, not just this module's own output), entropy-coded
+segment with 0xFF00 unstuffing and DRI/RSTn restart handling, huffman
+DC/AC coefficient decode, dequantize + dezigzag, orthonormal 8×8
+IDCT, generic chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 via per-
 component planes + nearest upsample), YCbCr→RGB (BT.601). Grayscale
-streams replicate to 3 channels. Progressive (SOF2) and arithmetic
-coding raise ``ValueError``.
+streams decode non-interleaved per spec A.2.2 (whatever sampling
+factors they declare) and replicate to 3 channels. Progressive
+(SOF2), arithmetic coding, and partial-component multi-scan streams
+raise ``ValueError`` rather than mis-decoding.
 
 ``encode_jpeg`` writes baseline 4:4:4 with quality-scaled Annex-K-style
 quant tables and fixed huffman tables embedded in the stream — it
@@ -262,8 +264,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy segment")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy segment")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -297,8 +303,12 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         d = self.data
-        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG: expected restart marker")
         self.pos += 2
 
 
@@ -418,6 +428,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan_comps, data_start = scan
     h, w = frame["h"], frame["w"]
     comps = frame["comps"]
+    if len(scan_comps) != len(comps):
+        # legal in baseline (one scan per component subset) but rare;
+        # decoding only the first scan would emit zeroed channels
+        raise ValueError(
+            "multi-scan baseline JPEG (partial-component scans) not supported"
+        )
     by_id = {c["id"]: c for c in comps}
     for sc in scan_comps:
         by_id[sc["id"]].update(dc_t=sc["dc"], ac_t=sc["ac"])
@@ -433,50 +449,81 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     br = _BitReader(d, data_start)
     prev_dc = {c["id"]: 0 for c in comps}
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                br.sync_restart()
-                for cid in prev_dc:
-                    prev_dc[cid] = 0
-            mcu_index += 1
-            for c in comps:
-                qt = qts[c["tq"]]
-                dc_table = huff[(0, c["dc_t"])]
-                ac_table = huff[(1, c["ac_t"])]
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        try:
-                            seq = np.zeros(64, np.int32)
-                            size = _read_symbol(br, dc_table)
-                            diff = _extend(br.read_bits(size), size)
-                            prev_dc[c["id"]] += diff
-                            seq[0] = prev_dc[c["id"]]
-                            k = 1
-                            while k < 64:
-                                rs = _read_symbol(br, ac_table)
-                                run, size = rs >> 4, rs & 0xF
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("AC index overflow")
-                                seq[k] = _extend(br.read_bits(size), size)
-                                k += 1
-                        except _RestartMarker:
-                            raise ValueError(
-                                "unexpected restart marker (bad DRI interval)"
-                            ) from None
-                        coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = seq * qt.reshape(-1)[ZIGZAG]
-                        block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-                        y0 = (my * c["v"] + vy) * 8
-                        x0 = (mx * c["h"] + vx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    def _decode_block(c: dict) -> np.ndarray:
+        """One 8×8 data unit for component ``c``: huffman-decode DC
+        diff + AC runs, dequantize, dezigzag, IDCT, level shift."""
+        qt = qts[c["tq"]]
+        dc_table = huff[(0, c["dc_t"])]
+        ac_table = huff[(1, c["ac_t"])]
+        try:
+            seq = np.zeros(64, np.int32)
+            size = _read_symbol(br, dc_table)
+            diff = _extend(br.read_bits(size), size)
+            prev_dc[c["id"]] += diff
+            seq[0] = prev_dc[c["id"]]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, ac_table)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                seq[k] = _extend(br.read_bits(size), size)
+                k += 1
+        except _RestartMarker:
+            raise ValueError(
+                "unexpected restart marker (bad DRI interval)"
+            ) from None
+        coef = np.zeros(64, np.float64)
+        coef[ZIGZAG] = seq * qt.reshape(-1)[ZIGZAG]
+        return _M.T @ coef.reshape(8, 8) @ _M + 128.0
+
+    def _maybe_restart(unit_index: int) -> None:
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            br.sync_restart()
+            for cid in prev_dc:
+                prev_dc[cid] = 0
+
+    if len(comps) == 1:
+        # per spec (ISO 10918-1 A.2.2) a single-component scan is
+        # NON-interleaved: data units raster over the component's own
+        # block grid — ceil(w/8) × ceil(h/8), with the declared
+        # sampling factors NOT forming 8·h × 8·v MCUs (a grayscale
+        # stream declaring 2×2 sampling would otherwise desync)
+        c = comps[0]
+        bw2, bh2 = (w + 7) // 8, (h + 7) // 8
+        unit = 0
+        for byi in range(bh2):
+            for bxi in range(bw2):
+                _maybe_restart(unit)
+                unit += 1
+                c["plane"][byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                    _decode_block(c)
+                )
+        # the plane was sized for the (irrelevant) declared factors;
+        # treat it as unsampled for the upsample/crop step below
+        c["h"] = c["v"] = 1
+        max_h = max_v = 1
+    else:
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                _maybe_restart(mcu_index)
+                mcu_index += 1
+                for c in comps:
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            y0 = (my * c["v"] + vy) * 8
+                            x0 = (mx * c["h"] + vx) * 8
+                            c["plane"][y0 : y0 + 8, x0 : x0 + 8] = (
+                                _decode_block(c)
+                            )
 
     # upsample to full resolution (nearest) and crop
     full = []

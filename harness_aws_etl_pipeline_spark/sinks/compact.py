@@ -32,7 +32,11 @@ def compact_table(
 
     All path operations go through the Hadoop FileSystem adapter
     (sinks/fs.py) so the swap works on any scheme the cluster has a
-    connector for, not just the local filesystem.
+    connector for, not just the local filesystem. Single-writer
+    operation: the staging dir name is deterministic (so a crashed
+    run's leftovers are found and cleaned), which also means two
+    concurrent compactions of the same table would clobber each other
+    — serialize them like any other table rewrite.
     """
     from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
@@ -58,8 +62,17 @@ def compact_table(
     writer.option("maxRecordsPerFile", max_records_per_file).parquet(dest)
 
     if in_place:
-        fs.delete(path, recursive=True)
-        fs.rename(dest, path)
+        # rename-aside swap: a crash at any point leaves either the
+        # old table or both copies on disk, never neither
+        aside = path.rstrip("/") + ".__old__"
+        if fs.exists(aside):
+            fs.delete(aside, recursive=True)
+        if not fs.rename(path, aside):
+            raise IOError(f"compact: could not move table aside to {aside!r}")
+        if not fs.rename(dest, path):
+            fs.rename(aside, path)  # roll back
+            raise IOError("compact: swap rename failed; table restored")
+        fs.delete(aside, recursive=True)
         dest = path
 
     return {"path": dest, "parquet_files": fs.file_count(dest, ".parquet")}

@@ -169,7 +169,16 @@ def upsert_partitioned(
                 # multi-level partitioning: the parent dirs of a brand-
                 # new partition combination may not exist yet
                 fs.mkdirs(posixpath.dirname(dest))
-                fs.rename(join_path(tmp, reldir), dest)
+                # Hadoop FileSystem.rename reports failure by RETURNING
+                # FALSE, not raising — and the old partition is already
+                # gone, so an unchecked failure here would silently
+                # destroy the partition when the temp dir is cleaned.
+                # Raise with the staged copy still intact.
+                if not fs.rename(join_path(tmp, reldir), dest):
+                    raise IOError(
+                        f"staged upsert: rename of partition {reldir!r} "
+                        f"failed; staged output preserved at {tmp!r}"
+                    )
         fs.delete(tmp, recursive=True)
         return {
             "partitions_touched": len(touched),

@@ -125,7 +125,13 @@ def load(
         # in the result metadata)
         "content_type": CONTENT_TYPES.get(fmt, "application/octet-stream"),
     }
-    result["bytes_written"] = _tree_size_bytes(path, df.sparkSession)
+    try:
+        result["bytes_written"] = _tree_size_bytes(path, df.sparkSession)
+    except ValueError:
+        # remote scheme without a reachable JVM (Spark Connect): the
+        # write itself succeeded — skip the size metric rather than
+        # fail the whole load after the fact
+        pass
     return result
 
 
@@ -140,5 +146,13 @@ def archive_source(path: str, archive_root: str) -> str:
     fs = get_fs(archive_root)
     fs.mkdirs(archive_root)
     dest = join_path(archive_root, posixpath.basename(path.rstrip("/")))
-    fs.rename(path, dest)
+    # Hadoop FileSystem.rename reports failure by returning False (e.g.
+    # a cross-filesystem move, which rename cannot do) — reporting the
+    # file archived while leaving it in the landing dir would make the
+    # next sweep re-ingest it as duplicates
+    if not fs.rename(path, dest):
+        raise IOError(
+            f"archive rename {path!r} -> {dest!r} failed (cross-"
+            "filesystem moves need a copy, not a rename)"
+        )
     return dest

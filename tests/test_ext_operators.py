@@ -708,6 +708,28 @@ class TestMultimodalShapes:
         assert abs(int(out[0, 0, 0]) - 99) <= 1
         assert np.array_equal(out[..., 0], out[..., 1])
 
+        # grayscale declaring 2x2 sampling (libjpeg does this): spec
+        # A.2.2 says a single-component scan is NON-interleaved over
+        # ceil(w/8)xceil(h/8) blocks — 20x8 → 3 blocks, not 2x2-MCU
+        # layout (which would desync the entropy stream)
+        bw = J._BitWriter()
+        put_block(8 * (99 - 128))
+        put_block(0)
+        put_block(0)
+        sof2 = seg(0xFFC0, struct.pack(">BHHB", 8, 8, 20, 1) + bytes([1, 0x22, 0]))
+        stream = b"\xff\xd8" + dqt + sof2 + dhts + sos1 + bw.flush() + b"\xff\xd9"
+        out = J.decode_jpeg(stream)
+        assert out.shape == (8, 20, 3)
+        assert np.all(np.abs(out[..., 0].astype(int) - 99) <= 1)
+
+        # truncated entropy segment → ValueError (the documented
+        # bad-payload contract), never IndexError
+        import pytest as _pytest
+
+        truncated = b"\xff\xd8" + dqt + sof2 + dhts + sos1 + bw.flush()[:1]
+        with _pytest.raises(ValueError):
+            J.decode_jpeg(truncated)
+
         # progressive (SOF2) rejected, not mis-decoded
         import pytest as _pytest
 
