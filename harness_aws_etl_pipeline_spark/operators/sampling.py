@@ -73,8 +73,21 @@ def split_train_test(
     return df.filter(bucket < cut), df.filter(bucket >= cut)
 
 
-def sample_fraction(df: DataFrame, key: str, fraction: float, salt: int = 0) -> DataFrame:
-    """Deterministic ~fraction sample keyed on the hash bucket."""
+def sample_fraction(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic ~fraction sample keyed on the hash bucket.
+    ``hash_fn="md5"`` draws from the md5 hex prefix (engine-agnostic,
+    ~2^-32 granularity — the oracle path, same as the split/stratified
+    samplers)."""
+    if hash_fn == "md5":
+        return df.filter(md5_split_key(key, salt) < md5_split_threshold(fraction))
+    if hash_fn != "xxhash64":
+        raise ValueError('hash_fn must be "xxhash64" or "md5"')
     cut = int(round(fraction * 10_000))
     c = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(10_000))
     return df.filter(c < cut)

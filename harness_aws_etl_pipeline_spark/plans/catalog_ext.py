@@ -468,9 +468,10 @@ SELECT * FROM (
 
 
 def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] deterministic train/test split (rows-only: bucket hash is
-    engine-internal). Checks partition-invariance structurally: split
-    sizes sum to the corpus and are disjoint by construction."""
+    """[EXT] deterministic train/test split, fast xxhash64 path.
+    Split sizes sum to the corpus and are disjoint by construction;
+    the VALUES of the split mechanism are oracle-checked through the
+    md5 variant in `fuzzy_dedup_verify` (equivalence test-pinned)."""
     from harness_aws_etl_pipeline_spark.operators.sampling import split_train_test
 
     docs = _t(spark, sf, "documents")
@@ -644,9 +645,11 @@ SELECT (SELECT COUNT(*) FROM labels) AS clustered_docs,
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] MinHash+LSH near-dup pipeline (rows-only check: the
-    seeded xxhash64 signatures are engine-specific; the estimated-
-    Jaccard verification math is oracle-covered by ngram_jaccard)."""
+    """[EXT] MinHash+LSH near-dup pipeline, fast blake2b/numpy path.
+    The full pipeline's VALUES (signatures, band candidates, estimated
+    Jaccards) are oracle-checked through the md5 variant in
+    `fuzzy_dedup_verify`; this entry keeps the scale path exercised
+    and benchmarked."""
     docs = _t(spark, sf, "documents")
     pairs = minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=16, threshold=0.3)
     return pairs.agg(
@@ -656,8 +659,9 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] SimHash sketching + banded near-pair search (rows-only:
-    engine-specific 64-bit hashing)."""
+    """[EXT] SimHash sketching + banded near-pair search, fast
+    xxhash64/blake2b path. Sketch+banding+Hamming VALUES are oracle-
+    checked through the md5-bitstring variant in `fuzzy_dedup_verify`."""
     docs = _t(spark, sf, "documents")
     sk = simhash(docs)
     pairs = simhash_near_pairs(sk, max_hamming=3)
@@ -715,10 +719,10 @@ SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] embedding-cosine near-dup pairs at 0.9 (rows-only:
-    hyperplane bucketing is engine-internal; the cosine math is
-    oracle-covered by sim_bruteforce_topk). Planted exact duplicates
-    would always collide in every bucket."""
+    """[EXT] embedding-cosine near-dup pairs at 0.9, Arrow fast path.
+    The bucketing+verification VALUES are oracle-checked through the
+    expression-fold twin in `fuzzy_dedup_verify` (same hyperplanes;
+    Arrow/expression equivalence test-pinned)."""
     from harness_aws_etl_pipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
@@ -733,9 +737,10 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] IVF approximate top-k: coarse-quantized inverted lists,
-    nprobe-bounded exact scoring (rows-only: centroid refinement is
-    engine-internal; exact cosine math oracle-covered by
-    sim_bruteforce_topk)."""
+    nprobe-bounded exact scoring — the genuinely-approximate config.
+    The IVF machinery's VALUES are oracle-checked at exhaustive
+    probing in `ann_topk_verify` (provably = brute force); recall at
+    this nprobe is pinned by tests."""
     from harness_aws_etl_pipeline_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -810,10 +815,11 @@ WHERE (CASE WHEN o_totalprice > 300000 THEN 300000.0 ELSE o_totalprice END) >= 1
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] LSH-bucketed approximate top-k (rows-only: bucket
-    membership depends on engine-side hyperplane evaluation order;
-    exactness of the final cosine is oracle-covered by
-    sim_bruteforce_topk)."""
+    """[EXT] LSH-bucketed approximate top-k, Arrow fast path. The
+    same query's VALUES — buckets, candidate sets, rankings — are
+    oracle-checked through the expression-fold path in
+    `ann_topk_verify` (identical hyperplanes; path equivalence
+    test-pinned)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, num_tables=4, bits=8).orderBy(
