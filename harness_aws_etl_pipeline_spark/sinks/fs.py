@@ -110,6 +110,17 @@ class LocalFS:
             n += sum(1 for f in files if f.endswith(suffix))
         return n
 
+    def list_file_dirs(self, path: str) -> list[str]:
+        root = self._local(path)
+        if not os.path.exists(root):
+            return []
+        out = []
+        for r, _dirs, files in os.walk(root):
+            if files:
+                rel = os.path.relpath(r, root)
+                out.append("" if rel == "." else rel.replace(os.sep, "/"))
+        return sorted(out)
+
 
 class HadoopFS:
     """``org.apache.hadoop.fs.FileSystem`` via the session JVM —
@@ -161,6 +172,20 @@ class HadoopFS:
             if it.next().getPath().getName().endswith(suffix):
                 n += 1
         return n
+
+    def list_file_dirs(self, path: str) -> list[str]:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        root = fs.makeQualified(p).toUri().getPath()
+        it = fs.listFiles(p, True)
+        seen: set[str] = set()
+        while it.hasNext():
+            parent = it.next().getPath().getParent().toUri().getPath()
+            rel = parent[len(root):].lstrip("/")
+            seen.add(rel)
+        return sorted(seen)
 
 
 def get_fs(path: str, spark: SparkSession | None = None):

@@ -29,14 +29,19 @@ Spark-first mechanics, no table format required:
 In the default mode the merged plan is localCheckpoint'ed before the
 overwrite because Spark cannot overwrite a path it is still lazily
 reading from. ``staged=True`` implements the stage-and-swap
-alternative — write to a temp sibling, rename touched partition dirs
-into place — which needs no checkpoint and shrinks the crash window
-to per-partition metadata renames; a transactional table format
-(Delta/Iceberg MERGE) remains the upgrade path for atomic multi-
-partition commits.
+alternative — write to a temp sibling, back each touched live
+partition dir up into ``tmp/.old`` by rename, rename the staged dirs
+into place — which needs no checkpoint and loses nothing at any kill
+point: the next run restores stranded backups before merging
+(:func:`_recover_staged`). What stage-and-swap still can't give is
+atomic MULTI-partition visibility (a reader between two swaps sees a
+mix of old and new partitions); a transactional table format
+(Delta/Iceberg MERGE) remains the upgrade path for that.
 """
 
 from __future__ import annotations
+
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +51,29 @@ from harness_aws_etl_pipeline_spark.sinks.fs import (
     join_path,
     partition_dirname,
 )
+
+
+def _recover_staged(fs, path: str, tmp: str) -> None:
+    """Clean up after a crashed staged upsert, restoring before
+    deleting: the swap loop renames each live partition dir into
+    ``tmp/.old/`` BEFORE renaming its staged replacement in, so a kill
+    at any point leaves every row either at its destination or under
+    ``.old``. Any backed-up partition whose destination is missing
+    (killed between backup and rename-in) is renamed back; then the
+    whole staging dir is dropped. Runs before the table is read so the
+    restored partitions are part of the merge."""
+    old_root = join_path(tmp, ".old")
+    if fs.exists(old_root):
+        for reldir in fs.list_file_dirs(old_root):
+            dest = join_path(path, reldir) if reldir else path
+            if not fs.exists(dest):
+                fs.mkdirs(posixpath.dirname(dest))
+                if not fs.rename(join_path(old_root, reldir), dest):
+                    raise IOError(
+                        f"staged upsert recovery: could not restore "
+                        f"partition {reldir!r} from {old_root!r}"
+                    )
+    fs.delete(tmp, recursive=True)
 
 
 def _part_filter(partition_by: list[str], parts: list[tuple]):
@@ -89,14 +117,15 @@ def upsert_partitioned(
 
     ``staged=True`` writes the merged output to a temp sibling first,
     then swaps each touched partition directory into place with FS
-    renames (delete-old + rename-new per partition). Two wins over the
-    default dynamic-overwrite path: no ``localCheckpoint``
-    materialization (the write target isn't the path being read), and
-    the crash window shrinks from "mid-overwrite of every touched
-    partition" to individual metadata renames — the stage-and-swap
-    pattern production non-transactional tables use. The default path
-    remains for sinks where extra temp-dir listings cost (object-store
-    request pricing) matters more than the narrower crash window.
+    renames (backup-old-into-``tmp/.old`` + rename-new per
+    partition). Two wins over the default dynamic-overwrite path: no
+    ``localCheckpoint`` materialization (the write target isn't the
+    path being read), and no data is ever lost to a crash — a kill
+    between renames strands the old dir in ``tmp/.old``, and the next
+    upsert against the table restores it before merging. The default
+    path remains for sinks where extra temp-dir rename/list cost
+    (object-store request pricing, or object stores whose "rename" is
+    copy+delete) matters more than the narrower crash window.
 
     Returns ``{"partitions_touched": n, "rows_upserted": n, ...}``.
     First write (no existing table) degrades to a plain partitioned
@@ -108,6 +137,12 @@ def upsert_partitioned(
         raise ValueError('moved_keys must be "scan" or "assume_stable"')
     spark: SparkSession = df.sparkSession
     fs = get_fs(path, spark)
+    tmp = path.rstrip("/") + ".__upserting__"
+    if fs.exists(tmp):
+        # leftover from a crashed staged run — restore any partition
+        # stranded in tmp/.old BEFORE reading the table, whichever
+        # mode this run uses, so the merge sees the recovered rows
+        _recover_staged(fs, path, tmp)
 
     batch_parts = [
         tuple(r) for r in df.select(*partition_by).distinct().collect()
@@ -137,7 +172,16 @@ def upsert_partitioned(
             .distinct()
             .collect()
         ]
-    touched = batch_parts + stale_parts
+    # Dedupe by DIRECTORY NAME, not tuple value: batch_parts carry the
+    # batch's Python types while stale_parts carry the table read's
+    # partition-inferred types, so the same partition can appear as
+    # both ('10',) and (10,). Two tuples naming one directory must be
+    # processed once — in the staged swap, a second pass over the same
+    # dirname would delete the partition just renamed into place.
+    touched_by_dir: dict[str, tuple] = {}
+    for p in batch_parts + stale_parts:
+        touched_by_dir.setdefault(partition_dirname(partition_by, p), tuple(p))
+    touched = list(touched_by_dir.values())
 
     # explicit partition filter → the scan prunes to touched partitions
     existing = table.filter(_part_filter(partition_by, touched))
@@ -145,39 +189,46 @@ def upsert_partitioned(
     merged = survivors.unionByName(df.select(*survivors.columns))
 
     if staged:
-        tmp = path.rstrip("/") + ".__upserting__"
-        if fs.exists(tmp):
-            fs.delete(tmp, recursive=True)  # stale leftover from a crash
         merged.write.mode("overwrite").partitionBy(*partition_by).format(
             fmt
         ).save(tmp)
-        present = {
-            tuple(r)
-            for r in spark.read.format(fmt)
-            .load(tmp)
-            .select(*partition_by)
-            .distinct()
-            .collect()
-        }
-        import posixpath
-
-        for p in touched:
-            reldir = partition_dirname(partition_by, p)
+        # Decide "did the merge produce this partition?" by checking
+        # the staged DIRECTORY, not by re-reading tmp through Spark:
+        # the re-read re-infers partition-column types (a string '10'
+        # comes back as int 10), so a value-level membership test can
+        # miss a staged partition — deleting the old dir and never
+        # renaming the new one in. The dirname is type-independent and
+        # one exists() per partition replaces a whole Spark job.
+        #
+        # Swap = backup-then-rename, never delete-then-rename: the old
+        # dir moves (metadata rename) into tmp/.old before the staged
+        # dir moves in, so a kill at ANY point leaves every row either
+        # at its destination or under tmp/.old, where the next run's
+        # _recover_staged restores it. Hadoop FileSystem.rename reports
+        # failure by RETURNING FALSE, not raising — check both renames
+        # and raise with all copies still intact.
+        for reldir in touched_by_dir:
             dest = join_path(path, reldir)
-            fs.delete(dest, recursive=True)
-            if tuple(p) in present:
+            staged_src = join_path(tmp, reldir)
+            has_staged = fs.exists(staged_src)
+            if fs.exists(dest):
+                backup = join_path(tmp, ".old", reldir)
+                fs.mkdirs(posixpath.dirname(backup))
+                if not fs.rename(dest, backup):
+                    raise IOError(
+                        f"staged upsert: backup rename of partition "
+                        f"{reldir!r} failed; table untouched, staged "
+                        f"output preserved at {tmp!r}"
+                    )
+            if has_staged:
                 # multi-level partitioning: the parent dirs of a brand-
                 # new partition combination may not exist yet
                 fs.mkdirs(posixpath.dirname(dest))
-                # Hadoop FileSystem.rename reports failure by RETURNING
-                # FALSE, not raising — and the old partition is already
-                # gone, so an unchecked failure here would silently
-                # destroy the partition when the temp dir is cleaned.
-                # Raise with the staged copy still intact.
-                if not fs.rename(join_path(tmp, reldir), dest):
+                if not fs.rename(staged_src, dest):
                     raise IOError(
                         f"staged upsert: rename of partition {reldir!r} "
-                        f"failed; staged output preserved at {tmp!r}"
+                        f"failed; old data recoverable from "
+                        f"{tmp!r}/.old by the next run"
                     )
         fs.delete(tmp, recursive=True)
         return {
@@ -199,19 +250,22 @@ def upsert_partitioned(
 
     if stale_parts:
         # a moved-key partition left with zero rows is absent from the
-        # output, so dynamic overwrite couldn't rewrite it — remove it
-        present = {
-            tuple(r) for r in merged.select(*partition_by).distinct().collect()
+        # output, so dynamic overwrite couldn't rewrite it — remove it.
+        # Compare by dirname: stale_parts carry the table read's
+        # inferred types while merged carries the union's resolved type
+        # (the batch's), so (10,) vs ('10',) would otherwise delete a
+        # partition that still has survivors.
+        present_dirs = {
+            partition_dirname(partition_by, tuple(r))
+            for r in merged.select(*partition_by).distinct().collect()
         }
         for p in stale_parts:
-            if tuple(p) not in present:
+            reldir = partition_dirname(partition_by, p)
+            if reldir not in present_dirs:
                 # scheme-agnostic delete (Hadoop FileSystem), and the
                 # directory name uses Spark's own escaping — incl.
                 # __HIVE_DEFAULT_PARTITION__ for NULL values
-                fs.delete(
-                    join_path(path, partition_dirname(partition_by, p)),
-                    recursive=True,
-                )
+                fs.delete(join_path(path, reldir), recursive=True)
     return {
         "partitions_touched": len(touched),
         "rows_upserted": df.count(),

@@ -314,6 +314,14 @@ class TestSinks:
         (tmp_path / "hfs" / "sub" / "x.parquet").write_bytes(b"12345")
         assert fs.tree_size(str(tmp_path / "hfs")) == 5
         assert fs.file_count(str(tmp_path / "hfs"), ".parquet") == 1
+        # list_file_dirs: relative paths of dirs that hold files —
+        # what staged-upsert recovery walks under tmp/.old
+        assert fs.list_file_dirs(str(tmp_path / "hfs")) == ["sub"]
+        assert fs.list_file_dirs(str(tmp_path / "hfs-absent")) == []
+        from harness_aws_etl_pipeline_spark.sinks.fs import LocalFS
+
+        assert LocalFS().list_file_dirs(str(tmp_path / "hfs")) == ["sub"]
+        assert LocalFS().list_file_dirs(str(tmp_path / "hfs-absent")) == []
         assert fs.rename(d, str(tmp_path / "hfs" / "moved"))
         assert not fs.exists(d)
         assert fs.delete(str(tmp_path / "hfs"), recursive=True)
@@ -360,6 +368,176 @@ class TestSinks:
         }
         assert not os.path.exists(os.path.join(path, "part=z"))
         assert not os.path.exists(path + ".__upserting__")
+
+    def test_upsert_staged_numeric_looking_string_partitions(self, spark, tmp_path):
+        # a string partition column holding numeric-looking values:
+        # re-reading the staging dir re-infers the partition column as
+        # int, so a value-level membership test ('10',) in {(10,)} is
+        # False — the old partition dir was deleted and the staged one
+        # never renamed in (2 of 3 partitions destroyed). The swap must
+        # compare DIRECTORY NAMES, never re-read values.
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "10", 1.0), (2, "20", 2.0), (3, "30", 3.0)],
+            "id long, part string, v double",
+        )
+        upsert_partitioned(base, path, ["id"], ["part"], staged=True)
+        batch = spark.createDataFrame(
+            [(1, "10", 11.0)], "id long, part string, v double"
+        )
+        r = upsert_partitioned(batch, path, ["id"], ["part"], staged=True)
+        assert r["staged"]
+        got = {
+            row["id"]: row["v"]
+            for row in spark.read.parquet(path).collect()
+        }
+        assert got == {1: 11.0, 2: 2.0, 3: 3.0}
+        assert not os.path.exists(path + ".__upserting__")
+
+    def test_upsert_moved_key_numeric_looking_survivor_partition(
+        self, spark, tmp_path
+    ):
+        # non-staged twin of the same type-inference trap: stale_parts
+        # come from the table read (int 10) while the merged output
+        # carries the batch's string type ('10'); a value-level
+        # "emptied?" check then deletes a stale partition that still
+        # has survivors. Dirname comparison is type-independent.
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "10", 1.0), (2, "10", 2.0)], "id long, part string, v double"
+        )
+        upsert_partitioned(base, path, ["id"], ["part"])
+        # id=1 moves partition 10 -> 20; id=2 must survive in part=10
+        batch = spark.createDataFrame(
+            [(1, "20", 21.0)], "id long, part string, v double"
+        )
+        upsert_partitioned(batch, path, ["id"], ["part"])
+        got = {
+            row["id"]: row["v"] for row in spark.read.parquet(path).collect()
+        }
+        assert got == {1: 21.0, 2: 2.0}
+
+    @pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+    def test_upsert_staged_crash_recovery(
+        self, spark, tmp_path, monkeypatch, crash_at
+    ):
+        # fault injection for the documented crash window: kill the
+        # swap at every rename boundary (backup of part a, rename-in
+        # of a, backup of b, rename-in of b), then re-run the same
+        # upsert and require byte-identical final state — no survivor
+        # row lost, no duplicate, no staging dir left behind
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+        from harness_aws_etl_pipeline_spark.sinks import upsert as upsert_mod
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+            "id long, part string, v double",
+        )
+        upsert_partitioned(base, path, ["id"], ["part"], staged=True)
+        batch = spark.createDataFrame(
+            # update one key in each partition; 2 and 4 must survive
+            [(1, "a", 11.0), (3, "b", 33.0)],
+            "id long, part string, v double",
+        )
+
+        real_get_fs = upsert_mod.get_fs
+
+        class CrashingFS:
+            def __init__(self, inner, n):
+                self._inner = inner
+                self._left = n
+
+            def rename(self, src, dst):
+                self._left -= 1
+                if self._left < 0:
+                    raise RuntimeError("injected crash mid-swap")
+                return self._inner.rename(src, dst)
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        monkeypatch.setattr(
+            upsert_mod,
+            "get_fs",
+            lambda path, spark=None: CrashingFS(
+                real_get_fs(path, spark), crash_at - 1
+            ),
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_partitioned(batch, path, ["id"], ["part"], staged=True)
+        monkeypatch.setattr(upsert_mod, "get_fs", real_get_fs)
+
+        # re-run the same batch: recovery restores stranded backups,
+        # the merge is idempotent by key
+        r = upsert_partitioned(batch, path, ["id"], ["part"], staged=True)
+        assert r["staged"]
+        got = {
+            row["id"]: (row["part"], row["v"])
+            for row in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            1: ("a", 11.0),
+            2: ("a", 2.0),
+            3: ("b", 33.0),
+            4: ("b", 4.0),
+        }
+        assert not os.path.exists(path + ".__upserting__")
+
+    def test_upsert_staged_crash_readable_without_rerun(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # even BEFORE the recovering re-run, a crash must never have
+        # destroyed rows: every row is either at its destination or
+        # stranded under tmp/.old (the recovery source)
+        from harness_aws_etl_pipeline_spark.sinks import upsert_partitioned
+        from harness_aws_etl_pipeline_spark.sinks import upsert as upsert_mod
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+        )
+        upsert_partitioned(base, path, ["id"], ["part"], staged=True)
+        batch = spark.createDataFrame(
+            [(1, "a", 11.0)], "id long, part string, v double"
+        )
+        real_get_fs = upsert_mod.get_fs
+
+        class FailSecondRename:
+            def __init__(self, inner):
+                self._inner = inner
+                self._calls = 0
+
+            def rename(self, src, dst):
+                self._calls += 1
+                if self._calls >= 2:  # crash between backup and swap-in
+                    raise RuntimeError("injected crash mid-swap")
+                return self._inner.rename(src, dst)
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        monkeypatch.setattr(
+            upsert_mod,
+            "get_fs",
+            lambda path, spark=None: FailSecondRename(real_get_fs(path, spark)),
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            upsert_partitioned(batch, path, ["id"], ["part"], staged=True)
+        monkeypatch.setattr(upsert_mod, "get_fs", real_get_fs)
+
+        tmp = path + ".__upserting__"
+        old_dir = os.path.join(tmp, ".old", "part=a")
+        assert os.path.isdir(old_dir)  # stranded, not deleted
+        stranded = {
+            row["id"]: row["v"]
+            for row in spark.read.parquet(old_dir).collect()
+        }
+        assert stranded == {1: 1.0}  # the pre-update copy survived
 
     def test_upsert_null_partition_preserves_survivors(self, spark, tmp_path):
         # struct(...).isin(...) is NULL for a NULL partition value, so
