@@ -137,14 +137,18 @@ def ngram_jaccard_pairs(
     sets = hashed_shingle_sets(df, id_col, text_col, n, arrow=arrow).filter(
         F.col("set_size") > 0
     )
-    # Persist the posting list: it feeds the bucket-size profile AND
-    # both sides of the self-join — without this the whole
-    # tokenize→shingle→hash subtree is recomputed 4×. (At cluster
-    # scale this spills to disk per executor; still strictly cheaper
-    # than re-shingling the corpus.)
+    # Materialize the posting list once: it feeds the bucket-size
+    # profile AND both sides of the self-join — without this the whole
+    # tokenize→shingle→hash subtree is recomputed 4×. localCheckpoint
+    # rather than persist(): a persist with no unpersist pins a
+    # CacheManager entry for the session's lifetime (repeated calls
+    # leak executor storage), while checkpoint blocks are released by
+    # the ContextCleaner when the frame goes out of scope. Trade: an
+    # executor loss mid-query fails the query (no lineage replay) —
+    # retry the query, not the session.
     posting = sets.select(
         "doc_id", "set_size", F.explode("shingles").alias("shingle")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     bucket_sizes = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("bucket_n"))
     posting = posting.join(
@@ -350,11 +354,13 @@ def minhash_dedup_pairs(
     signatures derives the identical candidate pairs without knowing
     the bucket hash.
     """
-    # signatures feed banding + both verification joins — persist or
-    # the O(shingles × k) hash pass runs three times
+    # signatures feed banding + both verification joins — materialize
+    # once or the O(shingles × k) hash pass runs three times.
+    # localCheckpoint, not persist: no CacheManager entry to leak
+    # across calls (see ngram_jaccard_pairs)
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, hash_fn=hash_fn
-    ).persist()
+    ).localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
@@ -727,7 +733,10 @@ def simhash_near_pairs_str(
             f"bits={width} must be a multiple of band_chars={band_chars}"
         )
     nbands = width // band_chars
-    sketches = sketches.persist()
+    # both sides of the band join read the sketches — materialize once;
+    # localCheckpoint, not persist: no CacheManager entry to leak
+    # across calls (see ngram_jaccard_pairs)
+    sketches = sketches.localCheckpoint(eager=True)
     banded = sketches.select(
         "doc_id",
         "sketch",
@@ -775,7 +784,10 @@ def simhash_near_pairs(
     Returns (doc_a, doc_b, hamming)."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    sketches = sketches.persist()  # used by both sides of the band join
+    # used by both sides of the band join — materialize once;
+    # localCheckpoint, not persist: no CacheManager entry to leak
+    # across calls (see ngram_jaccard_pairs)
+    sketches = sketches.localCheckpoint(eager=True)
     banded = sketches.select(
         "doc_id",
         "simhash",

@@ -499,7 +499,12 @@ def ivf_topk(
     to ~nprobe/n_centroids of the corpus, and the join key is the
     centroid id (int), never the vector. Returns
     (query_id, rank, neighbor_id, cosine)."""
-    cents = ivf_centroids(candidates, n_centroids, id_col, vec_col).persist()
+    # k×dim model table, read by assignment and the probe broadcast —
+    # localCheckpoint, not persist: no CacheManager entry to leak
+    # across calls (see dedup_fuzzy.ngram_jaccard_pairs)
+    cents = ivf_centroids(candidates, n_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     c_assigned = _assign_nearest(candidates, cents, id_col, vec_col)
 
     q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
@@ -554,17 +559,26 @@ def embedding_near_dup_pairs(
     almost every hyperplane, so recall stays high with few tables.
     Returns (id_a, id_b, cosine) with id_a < id_b.
 
+    ``threshold`` applies to the 6dp-ROUNDED cosine — deliberately, and
+    the DuckDB oracle must mirror it (``ROUND(cos, 6) >= t``, never the
+    raw value): rounding first absorbs the float-summation-order noise
+    between engines, so a pair sitting within 5e-7 of the threshold is
+    in (or out) on BOTH sides instead of flaking.
+
     ``arrow=False`` → expression-fold buckets, bit-reproducible by a
     sequential-fold SQL oracle over the same hyperplanes.
     """
     if dim is None:
         dim = _dim_of(df, vec_col)
     bucketed = add_lsh_buckets(df, dim, vec_col, num_tables, bits, arrow=arrow)
+    # feeds the bucket-size profile and both join sides — materialize
+    # once; localCheckpoint, not persist: no CacheManager entry to
+    # leak across calls (see dedup_fuzzy.ngram_jaccard_pairs)
     flat = bucketed.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.posexplode("buckets").alias("tbl", "bucket"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     sizes = flat.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
     flat_ok = flat.join(

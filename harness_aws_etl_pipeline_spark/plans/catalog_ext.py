@@ -584,7 +584,10 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2).persist()
+    # read by clustering, dedup, and the summary legs — materialize
+    # once; localCheckpoint, not persist: repeated verification runs
+    # must not accrete CacheManager entries
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2).localCheckpoint(eager=True)
     clusters = near_dup_clusters(pairs)
     survivors = deduplicate_near(docs, pairs, clusters=clusters)
     summary = clusters.agg(
@@ -1241,6 +1244,9 @@ ed_cos AS (
     JOIN embeddings y ON y.vec_id = c.id_b
   )
 ),
+-- cosine here is ROUND(raw, 6), and the >= 0.9 below filters that
+-- ROUNDED value: this mirrors embedding_near_dup_pairs exactly (it
+-- also rounds before thresholding) so boundary pairs can't flake
 ed_agg AS (
   SELECT COUNT(*) AS emb_pair_cnt,
          COALESCE(ROUND(CAST(SUM(CAST(ROUND(cosine * 1000000) AS BIGINT)) AS DOUBLE)

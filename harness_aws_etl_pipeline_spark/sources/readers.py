@@ -277,8 +277,13 @@ def parse_event(event: dict, default_prefix: str = "") -> dict:
     if records:
         record = records[0]
         if "s3" in record:
+            from urllib.parse import unquote_plus
+
             bucket = record["s3"]["bucket"]["name"]
-            key = record["s3"]["object"]["key"]
+            # storage-event notifications URL-encode the object key
+            # (space → '+', specials → %XX); decode it or keys with
+            # spaces resolve to nonexistent paths
+            key = unquote_plus(record["s3"]["object"]["key"])
             return {
                 "type": "s3",
                 "path": f"s3a://{bucket}/{key}",
@@ -288,7 +293,9 @@ def parse_event(event: dict, default_prefix: str = "") -> dict:
         return {
             "type": "scheduled",
             "prefix": event.get("prefix", default_prefix),
-            "rule": event.get("resources", ["unknown"])[0],
+            # `or` guard: an explicit empty resources list must not
+            # IndexError the whole trigger parse
+            "rule": (event.get("resources") or ["unknown"])[0],
             "time": event.get("time"),
         }
     if "source_bucket" in event and "source_key" in event:

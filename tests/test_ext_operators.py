@@ -43,6 +43,24 @@ def docs(spark):
 
 
 class TestNgramJaccard:
+    def test_no_cache_entries_accrete(self, spark, docs):
+        # the multi-consumer intermediates (posting lists, signatures,
+        # sketches, LSH flats) are materialized via localCheckpoint,
+        # never df.persist(): a persist with no unpersist pins a
+        # CacheManager entry for the session's lifetime, so every
+        # verification run of the panels would leak executor storage
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_md5,
+            simhash_near_pairs_str,
+        )
+
+        cache = spark._jsparkSession.sharedState().cacheManager()
+        ngram_jaccard_pairs(docs, n=3, threshold=0.2).count()
+        minhash_dedup_pairs(docs, n=3, num_hashes=8, bands=4).count()
+        simhash_near_pairs(simhash(docs)).count()
+        simhash_near_pairs_str(simhash_md5(docs)).count()
+        assert cache.isEmpty()
+
     def test_finds_planted_near_dup(self, docs):
         pairs = {
             (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -497,6 +515,37 @@ class TestEmbeddingNearDup:
         assert (0, 999) in pairs and pairs[(0, 999)] == 1.0
         # random 16-dim vectors essentially never reach cosine 0.99
         assert all(p == (0, 999) for p in pairs)
+
+    def test_threshold_filters_rounded_cosine(self, spark):
+        # the threshold applies to the 6dp-ROUNDED cosine — the same
+        # semantics the DuckDB oracle uses (ROUND(...,6) then >= t), so
+        # a raw cosine in [t - 5e-7, t) is IN and one below t - 5e-7
+        # is OUT on both sides; the boundary can never flake
+        import math
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        c_in = 0.89999965  # rounds to 0.900000 → kept
+        c_out = 0.899999  # rounds to 0.899999 → dropped
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [c_in, math.sqrt(1 - c_in**2)]),
+            (2, [c_out, -math.sqrt(1 - c_out**2)]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # 1 hyperplane bit x many tables: candidate generation can't
+        # miss a same-side pair across every table, so the assertion
+        # tests the cosine filter, not bucket recall
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.9, dim=2, num_tables=12, bits=1
+            ).collect()
+        }
+        assert pairs.get((0, 1)) == 0.9
+        assert (0, 2) not in pairs
 
 
 class TestMultimodalShapes:

@@ -116,6 +116,33 @@ class TestBatch:
             "type": "batch", "prefix": "/raw",
         }
 
+    def test_parse_event_url_encoded_key_and_empty_resources(self):
+        # storage events URL-encode object keys (space → '+',
+        # specials → %XX): the path must carry the DECODED key, or
+        # "my file.csv" resolves to the nonexistent "my+file.csv"
+        from harness_aws_etl_pipeline_spark.sources import parse_event
+
+        ev = {
+            "Records": [
+                {
+                    "s3": {
+                        "bucket": {"name": "raw"},
+                        "object": {
+                            "key": "in/my+file+%282024%29.csv",
+                            "size": 1,
+                        },
+                    }
+                }
+            ]
+        }
+        assert parse_event(ev)["path"] == "s3a://raw/in/my file (2024).csv"
+        # a scheduler event with an explicit EMPTY resources list must
+        # parse, not IndexError
+        sched = parse_event(
+            {"source": "aws.events", "resources": []}, default_prefix="/p"
+        )
+        assert sched["rule"] == "unknown" and sched["prefix"] == "/p"
+
     def test_parse_event_feeds_extract(self, spark, tmp_path):
         from harness_aws_etl_pipeline_spark.sources import parse_event
 
