@@ -56,17 +56,65 @@ def main(argv: list[str] | None = None) -> int:
     status.add_argument("--recent", type=int, default=10)
 
     # reference scripts/cleanup.py: tear down pipeline outputs
-    # (explicit --force, like cleanup.py's confirmation prompt)
-    clean = sub.add_parser("clean", help="delete a pipeline output path")
-    clean.add_argument("--path", required=True)
+    # (explicit --force, like cleanup.py's confirmation prompt);
+    # --expired is the lifecycle-rule equivalent (config.yaml:35-37):
+    # age-based per-file expiry instead of whole-path delete
+    clean = sub.add_parser(
+        "clean", help="delete a pipeline output path, or expire old files"
+    )
+    clean.add_argument("--path", default=None)
     clean.add_argument("--force", action="store_true")
+    clean.add_argument(
+        "--expired",
+        action="store_true",
+        help="retention sweep: delete only files older than the tier's "
+        "configured day budget (dry run without --force)",
+    )
+    clean.add_argument(
+        "--days", type=int, default=None, help="day budget for --path mode"
+    )
+    clean.add_argument("--raw", default=None, help="raw-tier root (30 d default)")
+    clean.add_argument(
+        "--processed", default=None, help="processed-tier root (90 d default)"
+    )
+    clean.add_argument(
+        "--archive", default=None, help="archive-tier root (365 d default)"
+    )
 
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
     from harness_aws_etl_pipeline_spark.session import get_spark
 
+    if args.cmd == "clean" and args.expired:
+        # no Spark session needed — pure FS metadata op
+        from harness_aws_etl_pipeline_spark.sinks.retention import (
+            sweep_expired,
+            sweep_lifecycle,
+        )
+
+        dry = not args.force
+        roots = {
+            t: getattr(args, t)
+            for t in ("raw", "processed", "archive")
+            if getattr(args, t)
+        }
+        if roots:
+            report: dict = sweep_lifecycle(roots, EngineConfig(), dry_run=dry)
+        elif args.path:
+            if args.days is None:
+                p.error("clean --expired --path requires --days")
+            report = sweep_expired(args.path, args.days, dry_run=dry)
+        else:
+            p.error("clean --expired needs --path or tier roots (--raw/...)")
+        if dry:
+            report = {"hint": "dry run; re-run with --force to delete", **report}
+        print(json.dumps(report))
+        return 0
+
     if args.cmd == "clean":
+        if not args.path:
+            p.error("clean requires --path")
         # no Spark session needed — pure FS metadata op
         from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 

@@ -51,6 +51,20 @@ DEFAULTS: dict[str, Any] = {
             "mode": "append",
         },
     },
+    "storage": {
+        # Age-based retention per storage tier, in days (reference:
+        # config/config.yaml:35-37 raw/processed/archive retention,
+        # enforced there by S3 lifecycle rules, terraform
+        # main.tf:101-141). The engine enforces them with
+        # sinks/retention.sweep_expired; on a real object store,
+        # declare bucket lifecycle rules too and keep these as the
+        # engine-side mirror.
+        "retention": {
+            "raw_days": 30,
+            "processed_days": 90,
+            "archive_days": 365,
+        },
+    },
     "monitoring": {
         "alerts": {"error_threshold": 3, "latency_threshold_ms": 30000},
     },

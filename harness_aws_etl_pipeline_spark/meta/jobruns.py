@@ -104,8 +104,15 @@ class JobRuns:
             .drop("__rn")
         )
 
-    def compact(self) -> dict:
+    def compact(self, retention_days: int | None = None) -> dict:
         """Rewrite the append-only ledger down to its latest-wins rows.
+
+        ``retention_days`` additionally expires whole job records whose
+        latest transition is older than the budget — the engine's
+        DynamoDB-TTL equivalent, sharing the lifecycle config family
+        (storage.retention.*, reference config.yaml:35-37). Only
+        TERMINAL ages matter: a job is kept or dropped on its latest
+        row's timestamp, never partially truncated.
 
         A long-lived deployment accumulates one file per state
         transition (the documented trade-off of append-only L8); this
@@ -128,7 +135,23 @@ class JobRuns:
 
         fs = get_fs(self.path, self.spark)
         files_before = fs.file_count(self.path, ".parquet")
-        snapshot = self.latest().coalesce(1).localCheckpoint(eager=True)
+        kept = self.latest()
+        if retention_days is not None:
+            if retention_days <= 0:
+                raise ValueError(
+                    f"retention_days must be positive, got {retention_days}"
+                )
+            # naive-UTC cutoff, matching how _append stamps ts — a
+            # Python literal, so the same wall-clock lens applies on
+            # both the write and the filter side regardless of the
+            # session timezone
+            from datetime import timedelta
+
+            cutoff = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(
+                days=retention_days
+            )
+            kept = kept.filter(F.col("ts") >= F.lit(cutoff))
+        snapshot = kept.coalesce(1).localCheckpoint(eager=True)
         rows = snapshot.count()
         tmp = self.path.rstrip("/") + ".__compacting__"
         aside = self.path.rstrip("/") + ".__old__"

@@ -121,6 +121,42 @@ class LocalFS:
                 out.append("" if rel == "." else rel.replace(os.sep, "/"))
         return sorted(out)
 
+    def list_files(self, path: str) -> list[tuple[str, float]]:
+        """(relative path, mtime epoch-seconds) for every file under
+        ``path`` — the retention sweep's input."""
+        root = self._local(path)
+        if not os.path.exists(root):
+            return []
+        out = []
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                full = os.path.join(r, f)
+                try:
+                    mtime = os.path.getmtime(full)
+                except OSError:
+                    continue
+                rel = os.path.relpath(full, root).replace(os.sep, "/")
+                out.append((rel, mtime))
+        return sorted(out)
+
+    def prune_empty_dirs(self, path: str) -> int:
+        """Remove directories left empty (e.g. partitions whose files
+        all expired), bottom-up; the root itself survives."""
+        root = self._local(path)
+        if not os.path.isdir(root):
+            return 0
+        removed = 0
+        # bottom-up, and re-listdir per dir: a child pruned this walk
+        # still sits in the cached `dirs` list os.walk handed out
+        for r, _dirs, _files in os.walk(root, topdown=False):
+            if r != root and not os.listdir(r):
+                try:
+                    os.rmdir(r)
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
 
 class HadoopFS:
     """``org.apache.hadoop.fs.FileSystem`` via the session JVM —
@@ -186,6 +222,51 @@ class HadoopFS:
             rel = parent[len(root):].lstrip("/")
             seen.add(rel)
         return sorted(seen)
+
+    def list_files(self, path: str) -> list[tuple[str, float]]:
+        """(relative path, mtime epoch-seconds) for every file under
+        ``path`` — one recursive LIST, the retention sweep's input."""
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        root = fs.makeQualified(p).toUri().getPath()
+        it = fs.listFiles(p, True)
+        out: list[tuple[str, float]] = []
+        while it.hasNext():
+            st = it.next()
+            rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+            out.append((rel, st.getModificationTime() / 1000.0))
+        return sorted(out)
+
+    def prune_empty_dirs(self, path: str) -> int:
+        """Remove directories left empty, bottom-up; the root itself
+        survives. (On object stores "directories" are synthetic, so
+        this is a cheap no-op-ish pass; on HDFS it keeps the namespace
+        tidy.)"""
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return 0
+        removed = 0
+
+        def _prune(jp) -> bool:
+            """Depth-first; returns True if jp is (now) empty."""
+            nonlocal removed
+            empty = True
+            for st in fs.listStatus(jp):
+                if st.isDirectory():
+                    if _prune(st.getPath()):
+                        fs.delete(st.getPath(), False)
+                        removed += 1
+                    else:
+                        empty = False
+                else:
+                    empty = False
+            return empty
+
+        _prune(p)
+        return removed
 
 
 def get_fs(path: str, spark: SparkSession | None = None):

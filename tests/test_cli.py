@@ -100,6 +100,60 @@ class TestCli:
         # absent path is a clean no-op
         assert main(["clean", "--path", str(target)]) == 0
 
+    def test_clean_expired_tier_sweep(self, tmp_path, capsys):
+        # lifecycle parity (reference config.yaml:35-37): files older
+        # than the tier budget expire, younger survive, emptied
+        # partition dirs are pruned; dry run without --force
+        import os
+        import time
+
+        raw = tmp_path / "raw"
+        (raw / "part=a").mkdir(parents=True)
+        (raw / "part=b").mkdir(parents=True)
+        old_f = raw / "part=a" / "old.parquet"
+        new_f = raw / "part=b" / "new.parquet"
+        old_f.write_bytes(b"x")
+        new_f.write_bytes(b"y")
+        stale = time.time() - 31 * 86400  # raw budget is 30 d
+        os.utime(old_f, (stale, stale))
+
+        # dry run: reported, nothing deleted
+        assert main(["clean", "--expired", "--raw", str(raw)]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["raw"]["files_expired"] == 1
+        assert rep["raw"]["expired"] == ["part=a/old.parquet"]
+        assert rep["raw"]["dry_run"] and old_f.exists()
+
+        # forced: old file gone, its emptied dir pruned, young survives
+        assert main(["clean", "--expired", "--raw", str(raw), "--force"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["raw"]["files_expired"] == 1 and rep["raw"]["dirs_pruned"] == 1
+        assert not old_f.exists() and not (raw / "part=a").exists()
+        assert new_f.exists()
+
+    def test_clean_expired_path_mode_needs_days(self, tmp_path, capsys):
+        import pytest
+
+        with pytest.raises(SystemExit):
+            main(["clean", "--expired", "--path", str(tmp_path)])
+        capsys.readouterr()
+        assert (
+            main(
+                [
+                    "clean",
+                    "--expired",
+                    "--path",
+                    str(tmp_path),
+                    "--days",
+                    "7",
+                    "--force",
+                ]
+            )
+            == 0
+        )
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["files_expired"] == 0
+
     def test_run_missing_source_fails(self, tmp_path, capsys):
         rc = main(
             ["run", "--source", str(tmp_path / "nope.csv"), "--output", str(tmp_path / "o")]

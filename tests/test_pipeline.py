@@ -86,6 +86,34 @@ class TestRunJob:
         assert after == before
         assert runs.by_status("RUNNING").count() == 1
 
+    def test_ledger_compaction_retention(self, spark, tmp_path):
+        # compact(retention_days=N) is the DynamoDB-TTL twin: a job
+        # whose LATEST transition is older than the budget drops out
+        # entirely; fresh jobs keep exactly their latest-wins row
+        from datetime import datetime, timedelta, timezone
+        from decimal import Decimal
+
+        from harness_aws_etl_pipeline_spark.meta.jobruns import JOB_RUNS_SCHEMA
+
+        runs = JobRuns(spark, str(tmp_path / "job_runs"))
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        ancient = now - timedelta(days=40)
+        rows = [
+            ("old-job", ancient, "SUCCESS", Decimal("1.0"), None, None, None),
+            ("new-job", now, "SUCCESS", Decimal("2.0"), None, None, None),
+        ]
+        spark.createDataFrame(rows, JOB_RUNS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(runs.path)
+
+        import pytest
+
+        with pytest.raises(ValueError, match="positive"):
+            runs.compact(retention_days=0)
+        stats = runs.compact(retention_days=30)
+        assert stats["rows"] == 1
+        assert [r["job_id"] for r in runs.latest().collect()] == ["new-job"]
+
     def test_alert_monitor(self, spark, tmp_path):
         # the engine-side CloudWatch-alarm equivalent: error-rate and
         # latency rules over the latest-per-job run states

@@ -566,6 +566,97 @@ class TestSinks:
         }
         assert stranded == {1: 1.0}  # the pre-update copy survived
 
+    def test_retention_sweep_expired(self, spark, tmp_path):
+        # lifecycle parity with the reference's S3 expiration rules:
+        # per-FILE mtime expiry, never per-partition — a partition dir
+        # goes only when every file in it has aged out
+        import os
+
+        from harness_aws_etl_pipeline_spark.sinks import sweep_expired
+
+        root = tmp_path / "processed"
+        (root / "d=1").mkdir(parents=True)
+        (root / "d=2").mkdir(parents=True)
+        f_old = root / "d=1" / "a.parquet"
+        f_mixed_old = root / "d=2" / "b.parquet"
+        f_mixed_new = root / "d=2" / "c.parquet"
+        for f in (f_old, f_mixed_old, f_mixed_new):
+            f.write_bytes(b"data")
+        now = 1_900_000_000.0
+        os.utime(f_old, (now - 91 * 86400,) * 2)
+        os.utime(f_mixed_old, (now - 91 * 86400,) * 2)
+        os.utime(f_mixed_new, (now - 1 * 86400,) * 2)
+
+        # dry run reports without deleting
+        rep = sweep_expired(str(root), 90, now=now, spark=spark, dry_run=True)
+        assert rep["files_expired"] == 2 and rep["files_kept"] == 1
+        assert f_old.exists() and f_mixed_old.exists()
+
+        rep = sweep_expired(str(root), 90, now=now, spark=spark)
+        assert rep["files_expired"] == 2 and rep["dirs_pruned"] == 1
+        assert not (root / "d=1").exists()  # fully expired → pruned
+        assert f_mixed_new.exists()  # young file keeps its dir alive
+        assert (root / "d=2").exists() and not f_mixed_old.exists()
+
+        # absent root: clean no-op report
+        rep = sweep_expired(str(tmp_path / "nope"), 30, now=now, spark=spark)
+        assert rep["files_expired"] == 0 and rep["files_kept"] == 0
+
+        import pytest
+
+        with pytest.raises(ValueError, match="positive"):
+            sweep_expired(str(root), 0, now=now)
+
+    def test_localfs_list_files_and_prune(self, tmp_path):
+        # the no-JVM fallback adapter must mirror HadoopFS for the
+        # sweep's two primitives
+        import os
+
+        from harness_aws_etl_pipeline_spark.sinks.fs import LocalFS
+
+        fs = LocalFS()
+        (tmp_path / "t" / "p=1").mkdir(parents=True)
+        (tmp_path / "t" / "p=2").mkdir(parents=True)
+        f = tmp_path / "t" / "p=1" / "x.bin"
+        f.write_bytes(b"1")
+        os.utime(f, (123456.0, 123456.0))
+        assert fs.list_files(str(tmp_path / "t")) == [("p=1/x.bin", 123456.0)]
+        assert fs.list_files(str(tmp_path / "absent")) == []
+        assert fs.prune_empty_dirs(str(tmp_path / "t")) == 1  # p=2
+        assert (tmp_path / "t" / "p=1").exists()
+        assert not (tmp_path / "t" / "p=2").exists()
+
+    def test_retention_lifecycle_tiers(self, tmp_path):
+        # tier day-budgets come from config (reference
+        # config.yaml:35-37: raw 30 / processed 90 / archive 365) and
+        # each tier sweeps independently
+        import os
+
+        import pytest
+
+        from harness_aws_etl_pipeline_spark.sinks import sweep_lifecycle
+
+        now = 1_900_000_000.0
+        roots = {}
+        for tier, age_days in (("raw", 45), ("processed", 45), ("archive", 45)):
+            d = tmp_path / tier
+            d.mkdir()
+            f = d / "x.bin"
+            f.write_bytes(b"z")
+            os.utime(f, (now - age_days * 86400,) * 2)
+            roots[tier] = str(d)
+
+        rep = sweep_lifecycle(roots, now=now)
+        # 45 d old: beyond raw's 30, inside processed's 90 / archive's 365
+        assert rep["raw"]["files_expired"] == 1
+        assert rep["processed"]["files_expired"] == 0
+        assert rep["archive"]["files_expired"] == 0
+        assert not (tmp_path / "raw" / "x.bin").exists()
+        assert (tmp_path / "processed" / "x.bin").exists()
+
+        with pytest.raises(ValueError, match="unknown retention tiers"):
+            sweep_lifecycle({"bogus": str(tmp_path)})
+
     def test_upsert_null_partition_preserves_survivors(self, spark, tmp_path):
         # struct(...).isin(...) is NULL for a NULL partition value, so
         # null-partition survivors used to be excluded from the scan
