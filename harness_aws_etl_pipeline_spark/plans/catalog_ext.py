@@ -236,35 +236,74 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] document fingerprinting: exact md5 + polynomial rolling
-    hash over token lengths; corpus-level distinct counts."""
+    """[EXT] document fingerprinting + PII redaction panel, one row.
+
+    Fingerprint legs: exact md5 + polynomial rolling hash over token
+    lengths, corpus-level distinct counts. Redaction legs (fused in
+    from the former standalone ``redaction`` entry — two 1-row panels
+    share one slot of the driver's 50-entry correctness window, the
+    ``null_audit`` crossJoin pattern): emails and long numbers
+    injected deterministically into every document, then counted as
+    redacted placeholders after ``redact_text``.
+    """
+    from harness_aws_etl_pipeline_spark.operators.textops import redact_text
+
     docs = _t(spark, sf, "documents")
     fp = docs.select(
         exact_fingerprint("text").alias("fp_md5"),
         rolling_fingerprint("text").alias("fp_rolling"),
     )
-    return fp.agg(
+    fp_agg = fp.agg(
         F.countDistinct("fp_md5").alias("distinct_md5"),
         F.countDistinct("fp_rolling").alias("distinct_rolling"),
         F.min("fp_md5").alias("min_md5"),
         F.sum("fp_rolling").alias("rolling_sum"),
     )
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id 1234567890"),
+        ),
+    )
+    clean = dirty.withColumn("text", redact_text("text"))
+    red_agg = clean.agg(
+        F.sum(
+            (F.length("text") - F.length(F.regexp_replace("text", r"\[EMAIL\]", "")))
+            / F.lit(7)
+        ).cast("long").alias("emails_redacted"),
+        F.sum(
+            (F.length("text") - F.length(F.regexp_replace("text", r"\[NUMBER\]", "")))
+            / F.lit(8)
+        ).cast("long").alias("numbers_redacted"),
+        F.sum(F.col("text").contains("@").cast("long")).alias("emails_left"),
+    )
+    return fp_agg.crossJoin(red_agg)
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
-       COUNT(DISTINCT fp_rolling) AS distinct_rolling,
-       MIN(md5(text)) AS min_md5,
-       CAST(SUM(fp_rolling) AS BIGINT) AS rolling_sum
+SELECT fp.*, red.*
 FROM (
-  SELECT text,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(list_filter(string_split_regex(text, '\s+'), t -> t != ''),
-                            t -> CAST(LENGTH(t) AS BIGINT))),
-           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+  SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
+         COUNT(DISTINCT fp_rolling) AS distinct_rolling,
+         MIN(md5(text)) AS min_md5,
+         CAST(SUM(fp_rolling) AS BIGINT) AS rolling_sum
+  FROM (
+    SELECT text,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split_regex(text, '\s+'), t -> t != ''),
+                              t -> CAST(LENGTH(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+    FROM documents
+  )
+) fp, (
+  SELECT COUNT(*) AS emails_redacted, COUNT(*) AS numbers_redacted,
+         CAST(0 AS BIGINT) AS emails_left
   FROM documents
-)
+) red
 """
 
 
@@ -357,43 +396,6 @@ SELECT COUNT(*) AS chunk_cnt,
        CAST(SUM(LEAST(n - chunk_idx * 24, 32)) AS BIGINT) AS token_total,
        CAST(MAX(chunk_idx) AS INT) AS max_chunk_idx
 FROM exploded
-"""
-
-
-def q_redaction(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] PII-style redaction over synthetic dirty text (emails and
-    long numbers injected deterministically into the corpus), counting
-    redacted placeholders."""
-    from harness_aws_etl_pipeline_spark.operators.textops import redact_text
-
-    docs = _t(spark, sf, "documents")
-    dirty = docs.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com id 1234567890"),
-        ),
-    )
-    clean = dirty.withColumn("text", redact_text("text"))
-    return clean.agg(
-        F.sum(
-            (F.length("text") - F.length(F.regexp_replace("text", r"\[EMAIL\]", "")))
-            / F.lit(7)
-        ).cast("long").alias("emails_redacted"),
-        F.sum(
-            (F.length("text") - F.length(F.regexp_replace("text", r"\[NUMBER\]", "")))
-            / F.lit(8)
-        ).cast("long").alias("numbers_redacted"),
-        F.sum(F.col("text").contains("@").cast("long")).alias("emails_left"),
-    )
-
-
-ORACLE_REDACTION = r"""
-SELECT COUNT(*) AS emails_redacted, COUNT(*) AS numbers_redacted,
-       CAST(0 AS BIGINT) AS emails_left
-FROM documents
 """
 
 
@@ -821,16 +823,64 @@ WHERE (CASE WHEN o_totalprice > 300000 THEN 300000.0 ELSE o_totalprice END) >= 1
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] LSH-bucketed approximate top-k, Arrow fast path. The
-    same query's VALUES — buckets, candidate sets, rankings — are
-    oracle-checked through the expression-fold path in
-    `ann_topk_verify` (identical hyperplanes; path equivalence
-    test-pinned)."""
+    """[EXT] LSH-bucketed approximate top-k, Arrow fast path —
+    oracle-backed: the SQL oracle recomputes the hyperplane buckets
+    with sequential folds over the same plane literals, and the Arrow
+    matmul signs agree with the expression folds bit-for-bit on this
+    frozen corpus (equality also pinned in
+    tests/test_ext_operators.py), so the full (query, rank, neighbor,
+    cosine) ranking of the DEFAULT path is value-checked directly."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
     return lsh_bucketed_topk(emb, queries, dim=64, k=5, num_tables=4, bits=8).orderBy(
         "query_id", "rank"
     )
+
+
+def _oracle_sim_lsh_topk() -> str:
+    planes = _sql_planes_values(num_tables=4, bits=8, dim=64)
+    return f"""
+WITH planes(tbl, bit, w) AS (
+  VALUES
+    {planes}
+),
+bits_t AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])),
+              (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END AS bc
+  FROM embeddings e, planes p
+),
+buck AS (
+  SELECT vec_id, tbl, string_agg(bc, '' ORDER BY bit) AS bucket
+  FROM bits_t GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buck q
+  JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 4 AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine
+  FROM (
+    SELECT c.query_id, c.neighbor_id,
+{_sql_vec_fold("q.embedding", "n.embedding", 64)}
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+  )
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 def q_embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
@@ -1559,7 +1609,8 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("quality_score", q_quality_score, ORACLE_QUALITY,
               "[EXT] document quality scoring", tags=("ext", "text")),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT,
-              "[EXT] md5 + rolling-hash fingerprints", tags=("ext", "text")),
+              "[EXT] md5 + rolling-hash fingerprints + PII redaction "
+              "(fused 1-row panels)", tags=("ext", "text")),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
               "[EXT] n-gram Jaccard near-dup with blocking", headline=True,
               tags=("ext", "dedup")),
@@ -1568,8 +1619,6 @@ EXT_CATALOG: list[QuerySpec] = [
               tags=("ext", "join")),
     QuerySpec("chunking", q_chunking, ORACLE_CHUNKING,
               "[EXT] overlapping token-window chunking", tags=("ext", "text")),
-    QuerySpec("redaction", q_redaction, ORACLE_REDACTION,
-              "[EXT] PII-style redaction", tags=("ext", "text")),
     QuerySpec("tfidf", q_tfidf, ORACLE_TFIDF,
               "[EXT] corpus TF-IDF top terms", tags=("ext", "text")),
     QuerySpec("train_test_split", q_train_test_split, None,
@@ -1604,9 +1653,9 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("sim_bruteforce_topk", q_sim_bruteforce_topk, ORACLE_SIM_TOPK,
               "[EXT] exact cosine top-k (Arrow BLAS path)", headline=True,
               tags=("ext", "similarity")),
-    QuerySpec("sim_lsh_topk", q_sim_lsh_topk, None,
+    QuerySpec("sim_lsh_topk", q_sim_lsh_topk, _oracle_sim_lsh_topk(),
               "[EXT] LSH-bucketed approximate top-k, Arrow path "
-              "(values oracled via ann_topk_verify)",
+              "(direct plane-fold oracle)",
               tags=("ext", "similarity")),
     QuerySpec("embedding_near_dup", q_embedding_near_dup, None,
               "[EXT] embedding-cosine near-dup pairs, Arrow path "

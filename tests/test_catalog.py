@@ -36,7 +36,6 @@ ROWS_ONLY_TAIL = {
     "train_test_split",
     "minhash_lsh",
     "simhash",
-    "sim_lsh_topk",
     "embedding_near_dup",
     "sim_ivf_topk",
 }
