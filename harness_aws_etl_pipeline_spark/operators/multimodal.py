@@ -354,9 +354,10 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL image decode (pure numpy + stdlib): binary PPM (P6),
     uncompressed 24-bit BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA),
-    or baseline JPEG (SOF0, any 1-2 sampling factors) → (h, w, 3)
-    uint8 RGB array. Raises ``ValueError`` on anything else — decode
-    callers asserted their payloads are images."""
+    baseline JPEG (SOF0, any 1-2 sampling factors), or GIF87a/89a
+    (LZW; first composed frame) → (h, w, 3) uint8 RGB array. Raises
+    ``ValueError`` on anything else — decode callers asserted their
+    payloads are images."""
     import struct
 
     if payload is None:
@@ -367,6 +368,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from harness_aws_etl_pipeline_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(payload))
+    if bytes(payload[:4]) == b"GIF8":
+        from harness_aws_etl_pipeline_spark.operators.gif import decode_gif
+
+        return decode_gif(bytes(payload))
     if payload[:2] == b"P6":
         w, h, raster = _parse_ppm_header(payload, 0)
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=raster)
@@ -770,13 +775,15 @@ def sample_frames(
     """Frame sampling for video-like payloads (one input row → N output
     rows via mapInPandas).
 
-    With ``decode=True`` the payload is parsed as a REAL
-    concatenated-P6 container (:func:`split_ppm_frames`): every
-    ``frame_stride``-th frame is emitted, up to ``max_frames``, each an
-    intact decodable PPM — the keyframe-sampling shape with actual
-    frame boundaries. Default mode is the codec-free stub
-    (fixed-stride byte windows); ``strict=True`` marks where a real
-    video decoder would plug in for other containers.
+    With ``decode=True`` the payload is parsed as a REAL multi-frame
+    container — animated GIF (:mod:`operators.gif`: LZW decode +
+    disposal composition, frames re-encoded as PPM) or concatenated
+    P6 (:func:`split_ppm_frames`): every ``frame_stride``-th frame is
+    emitted, up to ``max_frames``, each an intact decodable PPM — the
+    keyframe-sampling shape with actual frame boundaries. Default
+    mode is the codec-free stub (fixed-stride byte windows);
+    ``strict=True`` marks where a real video decoder would plug in
+    for other containers.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -788,7 +795,16 @@ def sample_frames(
                 if payload is None:
                     continue
                 if decode:
-                    all_frames = split_ppm_frames(bytes(payload))
+                    if bytes(payload[:4]) == b"GIF8":
+                        from harness_aws_etl_pipeline_spark.operators.gif import (
+                            split_gif_frames,
+                        )
+
+                        all_frames = [
+                            encode_ppm(a) for a in split_gif_frames(bytes(payload))
+                        ]
+                    else:
+                        all_frames = split_ppm_frames(bytes(payload))
                     for i, fr in enumerate(all_frames[::frame_stride][:max_frames]):
                         ids.append(media_id)
                         idxs.append(i)

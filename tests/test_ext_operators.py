@@ -892,6 +892,109 @@ class TestMultimodalShapes:
             assert f[3] == mid * 3 % 256 and f[5] == mid * 11 % 256
         assert len(feats) == 40 and np is not None
 
+    def test_gif_roundtrip_and_interlace(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.gif import (
+            decode_gif,
+            encode_gif,
+            split_gif_frames,
+        )
+
+        rng = np.random.default_rng(7)
+        f1 = (rng.integers(0, 4, (23, 31, 3)) * 80).astype(np.uint8)
+        f2 = (rng.integers(0, 4, (23, 31, 3)) * 80).astype(np.uint8)
+        frames = split_gif_frames(encode_gif([f1, f2]))
+        assert len(frames) == 2
+        assert np.array_equal(frames[0], f1)
+        assert np.array_equal(frames[1], f2)
+        # interlaced frame de-interlaces back to the same pixels
+        assert np.array_equal(decode_gif(encode_gif([f1], interlace=True)), f1)
+        # a frame big enough to force multiple 255-byte sub-blocks and
+        # several mid-stream CLEAR codes
+        big = (rng.integers(0, 6, (64, 77, 3)) * 40).astype(np.uint8)
+        assert np.array_equal(decode_gif(encode_gif([big])), big)
+
+    def test_gif_transparency_composits_over_previous_frame(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.gif import (
+            encode_gif,
+            split_gif_frames,
+        )
+
+        # frame 1: red everywhere except one black pixel (so black
+        # occupies palette index 0 of BOTH frames — lexicographic
+        # np.unique order); frame 2: green top half, black bottom.
+        # With transparent=0, frame 2's black is a window onto frame 1.
+        base = np.zeros((8, 8, 3), np.uint8)
+        base[:, :, 0] = 200
+        base[0, 0] = 0
+        over = np.zeros((8, 8, 3), np.uint8)
+        over[:4, :, 1] = 150
+        fr = split_gif_frames(encode_gif([base, over], transparent=0))
+        assert (fr[1][:4, :, 1] == 150).all()  # opaque overlay
+        assert (fr[1][4:, :, 0] == 200).all()  # base shows through
+
+    def test_gif_rejects_malformed(self):
+        import numpy as np
+        import pytest
+
+        from harness_aws_etl_pipeline_spark.operators.gif import (
+            encode_gif,
+            split_gif_frames,
+        )
+
+        with pytest.raises(ValueError, match="not a GIF"):
+            split_gif_frames(b"NOTAGIF")
+        ok = encode_gif([np.zeros((4, 4, 3), np.uint8)])
+        with pytest.raises(ValueError):
+            split_gif_frames(ok[:20])  # truncated mid-stream
+        rng = np.random.default_rng(3)
+        too_colorful = rng.integers(0, 256, (20, 20, 3)).astype(np.uint8)
+        assert len(np.unique(too_colorful.reshape(-1, 3), axis=0)) > 256
+        with pytest.raises(ValueError, match=">256"):
+            encode_gif([too_colorful])
+
+    def test_gif_media_pipeline(self, spark):
+        # the Spark-side contract: a GIF payload flows through
+        # decode_image (first frame) and sample_frames (every frame,
+        # re-encoded as decodable PPMs) — the real multi-frame
+        # container the video seam was stubbed for
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.gif import encode_gif
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            resize_media,
+            sample_frames,
+        )
+
+        def gif_for(i: int) -> bytes:
+            a = np.full((6, 5, 3), (i * 13) % 200, np.uint8)
+            b = np.full((6, 5, 3), (i * 29) % 200, np.uint8)
+            return encode_gif([a, b])
+
+        rows = [(i, "video/gif", bytearray(gif_for(i))) for i in range(6)]
+        media = spark.createDataFrame(
+            rows, "media_id long, modality string, payload binary"
+        )
+        frames = sample_frames(media, decode=True)
+        got = {}
+        for r in frames.collect():
+            got.setdefault(r["media_id"], []).append(r)
+        assert set(got) == set(range(6))
+        for mid, frs in got.items():
+            assert len(frs) == 2
+            first = decode_image(bytes(frs[0]["frame"]))  # intact PPM
+            assert first.shape == (6, 5, 3)
+            assert int(first[0, 0, 0]) == (mid * 13) % 200
+            second = decode_image(bytes(frs[1]["frame"]))
+            assert int(second[0, 0, 0]) == (mid * 29) % 200
+        # resize consumes the GIF through decode_image's dispatch
+        resized = resize_media(media, width=3, height=2, decode=True)
+        assert all(r["byte_size"] > 0 for r in resized.collect())
+
 
 class TestTextOps:
     def test_repetition_fractions(self, spark):
