@@ -3,6 +3,10 @@ from harness_aws_etl_pipeline_spark.streaming.ingest import (
     run_available_now_upsert,
     stream_ingest,
 )
+from harness_aws_etl_pipeline_spark.streaming.joins import (
+    enrich_stream,
+    interval_join,
+)
 from harness_aws_etl_pipeline_spark.streaming.stateful import (
     streaming_dedup,
     streaming_dedup_within_watermark,
@@ -24,4 +28,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "interval_join",
+    "enrich_stream",
 ]

@@ -270,3 +270,145 @@ class TestWindows:
         by_user = {r["user_id"]: r["sessions"] for r in rows}
         # user 10: events at 00:05+00:20 merge (gap<30m), 01:10 separate
         assert by_user == {10: 2, 11: 1}
+
+
+class TestIntervalJoin:
+    """Stream-stream interval join: batch twins pin the semantics,
+    a watermarked AvailableNow run pins the streaming path."""
+
+    def _clicks(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 10),
+            (2, "2024-01-01 00:30:00", 10),
+            (3, "2024-01-01 02:00:00", 11),
+        ]
+        return spark.createDataFrame(
+            rows, "click_id long, ts string, user_id long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def _buys(self, spark):
+        rows = [
+            (100, "2024-01-01 00:04:00", 10),  # 4 min after click 1
+            (101, "2024-01-01 00:29:00", 10),  # 29 min after click 1, 1 min before click 2 (outside lower=0)
+            (102, "2024-01-01 02:05:00", 11),  # 5 min after click 3
+            (103, "2024-01-01 05:00:00", 12),  # no matching click user
+        ]
+        return spark.createDataFrame(
+            rows, "buy_id long, ts string, user_id long"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_batch_inner_semantics(self, spark):
+        from harness_aws_etl_pipeline_spark.streaming import interval_join
+
+        out = interval_join(
+            self._clicks(spark),
+            self._buys(spark),
+            on="user_id",
+            lower="0 seconds",
+            upper="10 minutes",
+        )
+        pairs = sorted(
+            (r["click_id"], r["buy_id_r"]) for r in out.collect()
+        )
+        # click1→buy100 (4m), click3→buy102 (5m); buy101 is 29m after
+        # click1 (outside upper) and -1m before click2 (outside lower)
+        assert pairs == [(1, 100), (3, 102)]
+        assert "user_id_r" not in out.columns  # right key dropped
+
+    def test_batch_signed_lower_bound(self, spark):
+        from harness_aws_etl_pipeline_spark.streaming import interval_join
+
+        out = interval_join(
+            self._clicks(spark),
+            self._buys(spark),
+            on="user_id",
+            lower="-5 minutes",
+            upper="10 minutes",
+        )
+        pairs = sorted((r["click_id"], r["buy_id_r"]) for r in out.collect())
+        # widening lower to -5m admits buy101 (1 min BEFORE click 2)
+        assert pairs == [(1, 100), (2, 101), (3, 102)]
+
+    def test_batch_left_outer_keeps_unmatched(self, spark):
+        from harness_aws_etl_pipeline_spark.streaming import interval_join
+
+        out = interval_join(
+            self._clicks(spark),
+            self._buys(spark),
+            on="user_id",
+            upper="10 minutes",
+            how="leftOuter",
+        )
+        got = {r["click_id"]: r["buy_id_r"] for r in out.collect()}
+        assert got == {1: 100, 2: None, 3: 102}
+
+    def test_streaming_requires_watermarks(self, spark, tmp_path):
+        import pytest
+
+        from harness_aws_etl_pipeline_spark.streaming import interval_join
+
+        d = tmp_path / "wm"
+        d.mkdir()
+        self._clicks(spark).coalesce(1).write.mode("overwrite").json(str(d / "c"))
+        stream = spark.readStream.schema(self._clicks(spark).schema).json(
+            str(d / "c")
+        )
+        with pytest.raises(ValueError, match="watermarks on BOTH"):
+            interval_join(stream, self._buys(spark), on="user_id")
+
+    def test_streaming_inner_join(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.streaming import interval_join
+
+        d = tmp_path / "sj"
+        d.mkdir()
+        self._clicks(spark).coalesce(1).write.mode("overwrite").json(str(d / "c"))
+        self._buys(spark).coalesce(1).write.mode("overwrite").json(str(d / "b"))
+        cs = spark.readStream.schema(self._clicks(spark).schema).json(str(d / "c"))
+        bs = spark.readStream.schema(self._buys(spark).schema).json(str(d / "b"))
+        out = interval_join(
+            cs,
+            bs,
+            on="user_id",
+            lower="0 seconds",
+            upper="10 minutes",
+            left_watermark="1 hour",
+            right_watermark="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ij_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        pairs = sorted(
+            (r["click_id"], r["buy_id_r"])
+            for r in spark.sql("SELECT * FROM ij_test").collect()
+        )
+        assert pairs == [(1, 100), (3, 102)]
+
+    def test_enrich_stream_static_dim(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.streaming import enrich_stream
+
+        d = tmp_path / "enr"
+        d.mkdir()
+        self._clicks(spark).coalesce(1).write.mode("overwrite").json(str(d / "c"))
+        cs = spark.readStream.schema(self._clicks(spark).schema).json(str(d / "c"))
+        dim = spark.createDataFrame(
+            [(10, "gold"), (11, "basic")], "user_id long, tier string"
+        )
+        out = enrich_stream(cs, dim, on="user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enrich_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        tiers = {
+            r["click_id"]: r["tier"]
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+        assert tiers == {1: "gold", 2: "gold", 3: "basic"}
