@@ -97,3 +97,37 @@ def test_ann_sublinear_at_256x(spark, tmp_path):
     best = {r["query_id"]: r["cosine"] for r in top.filter(F.col("rank") == 1).collect()}
     assert all(abs(v - 1.0) < 1e-9 for v in best.values())
     assert lsh_bucketed_topk(big, q, dim=64, k=5).count() > 0
+
+
+@stress
+def test_retention_sweep_many_files(spark, tmp_path):
+    # 5k files across 500 partition dirs: the sweep is one recursive
+    # LIST + per-file deletes, all driver-side metadata work — this
+    # pins that it stays linear and correct at file counts where an
+    # accidental per-file Spark job or O(n^2) listing would blow up
+    import os
+    import time as _time
+
+    from harness_aws_etl_pipeline_spark.sinks import sweep_expired
+
+    root = tmp_path / "many"
+    now = 1_900_000_000.0
+    n_parts, per_part = 500, 10
+    for p in range(n_parts):
+        d = root / f"part={p}"
+        d.mkdir(parents=True)
+        for f in range(per_part):
+            fp = d / f"f{f}.parquet"
+            fp.write_bytes(b"x")
+            # even partitions: all files expired; odd: all fresh
+            age = 100 * 86400 if p % 2 == 0 else 0
+            os.utime(fp, (now - age,) * 2)
+
+    t0 = _time.perf_counter()
+    rep = sweep_expired(str(root), 30, now=now, spark=spark)
+    elapsed = _time.perf_counter() - t0
+    assert rep["files_expired"] == (n_parts // 2) * per_part
+    assert rep["files_kept"] == (n_parts // 2) * per_part
+    assert rep["dirs_pruned"] == n_parts // 2
+    # generous bound: metadata-only work on 5k local files
+    assert elapsed < 120, f"sweep took {elapsed:.1f}s for 5k files"

@@ -8,7 +8,14 @@ when the values are equal), and order-insensitive values (columns
 sorted by name, rows sorted by their stringified tuple) — stricter
 than a hash: mismatching cells are printed.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` reproduces the driver's exact shape: a PLAIN
+SparkSession (none of the engine session factory's confs) running the
+``__spark_entry__.queries()`` callables — catches any query that
+silently depends on a conf only ``get_spark`` sets (the
+nanosAsLong/timezone class of bug must be handled inside
+``load_table``, not the session).
 """
 
 from __future__ import annotations
@@ -69,10 +76,46 @@ def _norm_result(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tu
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(CATALOG)
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] or list(CATALOG)
 
-    spark = get_spark("verify-local")
+    if vanilla:
+        import os
+
+        from pyspark.sql import SparkSession
+
+        import __spark_entry__ as entry_mod
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+        spark = (
+            SparkSession.builder.appName("verify-vanilla")
+            .master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        flagship = entry_mod.entry(spark)
+        print(f"entry(): {len(flagship.collect())} rows, schema ok")
+        queries = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        assert set(oracles) <= set(queries)
+
+        def build(name):
+            return queries[name](spark, sf_dir)
+
+        def oracle_of(name):
+            return oracles.get(name)
+
+    else:
+        spark = get_spark("verify-local")
+
+        def build(name):
+            return CATALOG[name].builder(spark, sf_dir)
+
+        def oracle_of(name):
+            return CATALOG[name].oracle
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
@@ -81,9 +124,8 @@ def main() -> int:
 
     failures = []
     for name in names:
-        spec = CATALOG[name]
         try:
-            sdf = spec.builder(spark, sf_dir)
+            sdf = build(name)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
             s_types = _arrow_types(sdf.limit(0).toArrow())
@@ -91,14 +133,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
-        if spec.oracle is None:
+        oracle = oracle_of(name)
+        if oracle is None:
             print(f"ok    {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
-            cur = con.execute(spec.oracle)
+            cur = con.execute(oracle)
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
-            d_types = _arrow_types(con.execute(spec.oracle).arrow())
+            d_types = _arrow_types(con.execute(oracle).arrow())
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
