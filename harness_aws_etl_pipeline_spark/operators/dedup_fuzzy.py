@@ -390,6 +390,100 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+    hash_fn: str = "blake2b",
+) -> DataFrame:
+    """LSH-blocked similarity JOIN across TWO corpora — the
+    entity-resolution / contamination-check shape the self-join family
+    can't express (train set × eval benchmark, new batch × existing
+    corpus). Returns (left_id, right_id, est_jaccard ≥ threshold).
+
+    Same machinery as :func:`minhash_dedup_pairs`, different pairing
+    rule: signatures per side (one Arrow pass each, memoized), banding
+    into (band, bucket) keys, but the bucket join pairs only
+    LEFT×RIGHT rows — never within a side — and each side's bucket
+    occupancy is capped independently, so a degenerate shingle
+    costs at most ``max_bucket_size²`` per band, not corpus².
+
+    At scale this is strictly cheaper than deduping the union: the
+    union self-join would also generate within-side pairs just to
+    throw them away, and its bucket cap would mix both sides'
+    occupancy.
+    """
+    rows_per_band = num_hashes // bands
+    sig_l = _SIG_MEMO.get_or_persist(
+        minhash_signatures(left, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
+    )
+    sig_r = _SIG_MEMO.get_or_persist(
+        minhash_signatures(right, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
+    )
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col("signature")[i * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    def capped(b: DataFrame) -> DataFrame:
+        # no n > 1 floor (unlike the self-join): a singleton bucket
+        # still pairs with the OTHER side's occupants
+        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        return b.join(
+            sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+
+    bl = capped(banded(sig_l, "left_id"))
+    br = capped(banded(sig_r, "right_id"))
+    cands = (
+        bl.join(br, ["band", "bucket"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sa = sig_l.select(F.col("doc_id").alias("left_id"), F.col("signature").alias("sig_a"))
+    sb = sig_r.select(F.col("doc_id").alias("right_id"), F.col("signature").alias("sig_b"))
+    return (
+        cands.join(sa, "left_id")
+        .join(sb, "right_id")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("left_id", "right_id", "est_jaccard")
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
 ) -> DataFrame:

@@ -384,6 +384,54 @@ class TestMinHash:
         assert (1, 3) not in pairs
 
 
+class TestMinHashJoin:
+    def test_cross_corpus_contamination_check(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            minhash_join,
+        )
+
+        train = spark.createDataFrame(
+            [(1, BASE), (2, FAR), (3, "totally unrelated training text about weather patterns and climate")],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(100, NEAR), (101, "benchmark question with entirely novel content nobody saw before today")],
+            "doc_id long, text string",
+        )
+        hits = {
+            (r["left_id"], r["right_id"]): r["est_jaccard"]
+            for r in minhash_join(train, evals, threshold=0.3).collect()
+        }
+        # the near-duplicate of BASE leaks into evals; nothing else
+        assert set(hits) == {(1, 100)}
+        assert hits[(1, 100)] >= 0.3
+
+    def test_no_within_side_pairs(self, spark):
+        # two identical docs on the SAME side must not pair — the
+        # join's contract is strictly cross-corpus
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            minhash_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, BASE), (2, BASE)], "doc_id long, text string"
+        )
+        right = spark.createDataFrame(
+            [(9, FAR)], "doc_id long, text string"
+        )
+        assert minhash_join(left, right, threshold=0.3).count() == 0
+
+    def test_exact_cross_duplicate_scores_one(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            minhash_join,
+        )
+
+        left = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+        right = spark.createDataFrame([(7, BASE)], "doc_id long, text string")
+        rows = minhash_join(left, right, threshold=0.9).collect()
+        assert len(rows) == 1 and rows[0]["est_jaccard"] == 1.0
+
+
 class TestSimHash:
     def test_near_dup_small_hamming(self, docs):
         sk = simhash(docs)
