@@ -32,11 +32,10 @@ def _bench_bucketed_g2(spark, sf_dir: str) -> dict:
     """Bucketed twin of g2_revenue_rollup — NOT a catalog entry (the
     correctness window stays intact); this measures the storage-layout
     half of the scale story: both fact tables written bucketed+sorted
-    on the join key, so the sort-merge join plans with no Exchange and
-    no Sort on either side. Broadcast is disabled for both twins so
-    the comparison is shuffle-join vs bucket-join (at sf0.1 the orders
-    side would otherwise broadcast and hide the point — at 100 TB
-    neither fact side broadcasts).
+    on the join key, so the sort-merge join plans with no Exchange on
+    either side. Setup (tables, broadcast-off, twin joins) is the
+    shared bucketed_g2_demo harness — the same layout
+    tools/explain_audit.py documents in PLANS.md.
 
     Returns min/p50 timings for the plain and bucketed rollups plus
     the join-subtree shuffle verdicts from the executed plans.
@@ -44,15 +43,10 @@ def _bench_bucketed_g2(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from harness_aws_etl_pipeline_spark.plans.bucketing import (
+        bucketed_g2_demo,
         plan_has_shuffle,
-        write_bucketed,
     )
-    from harness_aws_etl_pipeline_spark.plans.catalog import dsum, load_table
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice"
-    )
-    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    from harness_aws_etl_pipeline_spark.plans.catalog import dsum
 
     def rollup(joined):
         return (
@@ -64,19 +58,7 @@ def _bench_bucketed_g2(spark, sf_dir: str) -> dict:
             .orderBy("order_date")
         )
 
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        write_bucketed(li, "bench_b_lineitem", "l_orderkey", num_buckets=8,
-                       sort_cols=["l_orderkey"])
-        write_bucketed(od, "bench_b_orders", "o_orderkey", num_buckets=8,
-                       sort_cols=["o_orderkey"])
-        joined_b = spark.table("bench_b_lineitem").join(
-            spark.table("bench_b_orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        joined_p = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-
+    with bucketed_g2_demo(spark, sf_dir, "bench_b") as (joined_b, joined_p):
         out: dict = {
             "bucketed_join_has_shuffle": plan_has_shuffle(joined_b),
             "sortmerge_join_has_shuffle": plan_has_shuffle(joined_p),
@@ -92,10 +74,6 @@ def _bench_bucketed_g2(spark, sf_dir: str) -> dict:
             out[name] = round(min(samples), 3)
             out[name + "_p50"] = round(sorted(samples)[1], 3)
         return out
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
-        spark.sql("DROP TABLE IF EXISTS bench_b_orders")
 
 
 def main() -> None:

@@ -182,6 +182,11 @@ def split_gif_frames(payload: bytes) -> list[np.ndarray]:
         else:  # 0/1 leave in place; 3 approximated as leave
             canvas[top : top + h, left : left + w] = region
             frames.append(canvas.copy())
+        # a Graphic Control Extension scopes to ONLY the first
+        # rendering block after it (GIF89a §23) — a GCE-less later
+        # frame must not inherit stale transparency/disposal
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF: no image data blocks")
     return frames

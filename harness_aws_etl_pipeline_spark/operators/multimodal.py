@@ -800,15 +800,17 @@ def sample_frames(
                             split_gif_frames,
                         )
 
-                        all_frames = [
-                            encode_ppm(a) for a in split_gif_frames(bytes(payload))
-                        ]
+                        # decode all (LZW is sequential), but PPM-
+                        # encode only the sampled survivors
+                        all_frames = split_gif_frames(bytes(payload))
                     else:
                         all_frames = split_ppm_frames(bytes(payload))
                     for i, fr in enumerate(all_frames[::frame_stride][:max_frames]):
                         ids.append(media_id)
                         idxs.append(i)
-                        frames.append(fr)
+                        frames.append(
+                            fr if isinstance(fr, (bytes, bytearray)) else encode_ppm(fr)
+                        )
                 else:
                     for i in range(
                         min(max_frames, max(1, len(payload) // every_n_bytes))

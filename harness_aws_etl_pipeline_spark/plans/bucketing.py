@@ -18,6 +18,8 @@ the pruning half; bucketing is the co-location half.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -40,6 +42,49 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables — planned without exchanges."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+@contextmanager
+def bucketed_g2_demo(
+    spark: SparkSession, sf_dir: str, prefix: str, num_buckets: int = 8
+):
+    """The g2 fact⋈fact demonstration harness shared by bench.py and
+    tools/explain_audit.py (one definition — the measured layout and
+    the documented plan can't drift apart): writes lineitem/orders
+    bucketed+sorted on the join key as ``{prefix}_lineitem`` /
+    ``{prefix}_orders``, disables broadcast (so the comparison is
+    shuffle-join vs bucket-join — at 100 TB neither fact side
+    broadcasts), and yields ``(joined_bucketed, joined_plain)``.
+    Restores the conf and drops the tables on exit."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.plans.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            li, f"{prefix}_lineitem", "l_orderkey", num_buckets,
+            sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            od, f"{prefix}_orders", "o_orderkey", num_buckets,
+            sort_cols=["o_orderkey"],
+        )
+        joined_b = spark.table(f"{prefix}_lineitem").join(
+            spark.table(f"{prefix}_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined_p = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        yield joined_b, joined_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_lineitem")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_orders")
 
 
 def plan_has_shuffle(df: DataFrame) -> bool:

@@ -121,9 +121,10 @@ class LocalFS:
                 out.append("" if rel == "." else rel.replace(os.sep, "/"))
         return sorted(out)
 
-    def list_files(self, path: str) -> list[tuple[str, float]]:
-        """(relative path, mtime epoch-seconds) for every file under
-        ``path`` — the retention sweep's input."""
+    def list_files(self, path: str) -> list[tuple[str, float, int]]:
+        """(relative path, mtime epoch-seconds, byte size) for every
+        file under ``path`` — ONE walk serves the retention sweep's
+        age test and its bytes accounting."""
         root = self._local(path)
         if not os.path.exists(root):
             return []
@@ -132,11 +133,11 @@ class LocalFS:
             for f in files:
                 full = os.path.join(r, f)
                 try:
-                    mtime = os.path.getmtime(full)
+                    st = os.stat(full)
                 except OSError:
                     continue
                 rel = os.path.relpath(full, root).replace(os.sep, "/")
-                out.append((rel, mtime))
+                out.append((rel, st.st_mtime, st.st_size))
         return sorted(out)
 
     def prune_empty_dirs(self, path: str) -> int:
@@ -223,20 +224,21 @@ class HadoopFS:
             seen.add(rel)
         return sorted(seen)
 
-    def list_files(self, path: str) -> list[tuple[str, float]]:
-        """(relative path, mtime epoch-seconds) for every file under
-        ``path`` — one recursive LIST, the retention sweep's input."""
+    def list_files(self, path: str) -> list[tuple[str, float, int]]:
+        """(relative path, mtime epoch-seconds, byte size) for every
+        file under ``path`` — ONE recursive LIST serves the retention
+        sweep's age test and its bytes accounting."""
         p = self._jpath(path)
         fs = self._fs(p)
         if not fs.exists(p):
             return []
         root = fs.makeQualified(p).toUri().getPath()
         it = fs.listFiles(p, True)
-        out: list[tuple[str, float]] = []
+        out: list[tuple[str, float, int]] = []
         while it.hasNext():
             st = it.next()
             rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
-            out.append((rel, st.getModificationTime() / 1000.0))
+            out.append((rel, st.getModificationTime() / 1000.0, st.getLen()))
         return sorted(out)
 
     def prune_empty_dirs(self, path: str) -> int:

@@ -62,11 +62,12 @@ def sweep_expired(
         "dry_run": dry_run,
         "expired": [],
     }
-    if not fs.exists(path):
-        return report
-    report["bytes_before"] = fs.tree_size(path)
     cutoff = (now if now is not None else time.time()) - days * _DAY_SECONDS
-    for rel, mtime in fs.list_files(path):
+    # ONE recursive LIST answers existence, ages, and byte accounting
+    # (an absent root lists as empty) — on an object store the LIST
+    # requests are the sweep's dominant cost, so no second traversal
+    for rel, mtime, size in fs.list_files(path):
+        report["bytes_before"] += size
         if mtime < cutoff:
             report["files_expired"] += 1
             report["expired"].append(rel)

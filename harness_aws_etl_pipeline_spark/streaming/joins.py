@@ -52,9 +52,12 @@ def interval_join(
 
     ``lower``/``upper`` are signed interval strings (``"-5 minutes"``,
     ``"0 seconds"``, ``"10 minutes"``). Right-side columns come back
-    suffixed ``_r`` (the right key columns are dropped — they equal
-    the left's). ``how`` ∈ inner / leftOuter / rightOuter / fullOuter,
-    Spark's supported stream-stream set.
+    suffixed ``_r``, except the key columns, which collapse to ONE
+    output column per key via ``coalesce(left, right)`` — so a
+    rightOuter/fullOuter unmatched right row still carries its key
+    instead of a NULL next to a dropped column. ``how`` ∈ inner /
+    leftOuter / rightOuter / fullOuter, Spark's supported
+    stream-stream set.
 
     When either side is a streaming DataFrame both watermarks are
     required — they are what lets Spark discard buffered state.
@@ -90,6 +93,12 @@ def interval_join(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     joined = l_side.join(r_side, cond, how)
+    # one key column per key: equal on matches, the surviving side's
+    # on outer-unmatched rows
+    for k in keys:
+        joined = joined.withColumn(
+            k, F.coalesce(F.col(k), F.col(k + _SUFFIX))
+        )
     return joined.drop(*[k + _SUFFIX for k in keys])
 
 

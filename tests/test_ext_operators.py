@@ -82,6 +82,25 @@ class TestNgramJaccard:
         assert b.storageLevel.useMemory is False
         assert cache.isEmpty()
 
+    def test_memo_hash_collision_detected_by_same_result(self, spark, docs):
+        # the 32-bit semanticHash is only the index: a colliding key
+        # must be confirmed with sameResult, never served blindly —
+        # serving another corpus's intermediate would be a silent
+        # wrong-results bug. Simulated by looking up a DIFFERENT plan
+        # under an existing entry's key.
+        import harness_aws_etl_pipeline_spark.operators.memo as memo_mod
+
+        memo = memo_mod.PlanMemo(capacity=4)
+        a = memo.get_or_persist(docs.select("doc_id"))
+        key_a = memo_mod._analyzed(a).semanticHash()
+        other = docs.select("text")
+        got = memo._lookup(
+            key_a, memo_mod._analyzed(other), lambda: other, pin=other
+        )
+        assert got is not a
+        assert got.columns == ["text"]
+        memo.clear()
+
     def test_finds_planted_near_dup(self, docs):
         pairs = {
             (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -983,6 +1002,34 @@ class TestMultimodalShapes:
         fr = split_gif_frames(encode_gif([base, over], transparent=0))
         assert (fr[1][:4, :, 1] == 150).all()  # opaque overlay
         assert (fr[1][4:, :, 0] == 200).all()  # base shows through
+
+    def test_gif_gce_scopes_to_one_frame(self):
+        # GIF89a §23: a Graphic Control Extension governs only the
+        # FIRST rendering block after it. A GCE-less second frame must
+        # not inherit the first frame's transparency — its index-0
+        # pixels are opaque color, not windows onto frame 1.
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.gif import (
+            encode_gif,
+            split_gif_frames,
+        )
+
+        base = np.zeros((6, 6, 3), np.uint8)
+        base[:, :, 0] = 200
+        base[0, 0] = 0  # keep black at palette index 0 on both frames
+        over = np.zeros((6, 6, 3), np.uint8)  # all black = all index 0
+        raw = encode_gif([base, over], transparent=0)
+        # strip the SECOND GCE block (8 bytes: 21 F9 04 .. .. .. .. 00)
+        first = raw.index(b"\x21\xf9\x04")
+        second = raw.index(b"\x21\xf9\x04", first + 1)
+        stripped = raw[:second] + raw[second + 8 :]
+        fr = split_gif_frames(stripped)
+        # frame 2 carried no GCE → fully opaque black, NOT base red
+        assert (fr[1] == 0).all()
+        # control: with the GCE left in, the same frame is a window
+        fr_with = split_gif_frames(raw)
+        assert (fr_with[1][1:, :, 0] == 200).all()
 
     def test_gif_rejects_malformed(self):
         import numpy as np

@@ -620,7 +620,7 @@ class TestSinks:
         f = tmp_path / "t" / "p=1" / "x.bin"
         f.write_bytes(b"1")
         os.utime(f, (123456.0, 123456.0))
-        assert fs.list_files(str(tmp_path / "t")) == [("p=1/x.bin", 123456.0)]
+        assert fs.list_files(str(tmp_path / "t")) == [("p=1/x.bin", 123456.0, 1)]
         assert fs.list_files(str(tmp_path / "absent")) == []
         assert fs.prune_empty_dirs(str(tmp_path / "t")) == 1  # p=2
         assert (tmp_path / "t" / "p=1").exists()

@@ -342,6 +342,24 @@ class TestIntervalJoin:
         got = {r["click_id"]: r["buy_id_r"] for r in out.collect()}
         assert got == {1: 100, 2: None, 3: 102}
 
+    def test_batch_right_outer_keeps_right_key(self, spark):
+        # unmatched RIGHT rows must still carry their join key: the
+        # key columns collapse via coalesce(left, right), they are
+        # not simply the left side's (NULL for outer-unmatched)
+        from harness_aws_etl_pipeline_spark.streaming import interval_join
+
+        out = interval_join(
+            self._clicks(spark),
+            self._buys(spark),
+            on="user_id",
+            upper="10 minutes",
+            how="rightOuter",
+        )
+        got = {r["buy_id_r"]: (r["click_id"], r["user_id"]) for r in out.collect()}
+        assert got[100] == (1, 10)
+        assert got[101] == (None, 10)  # unmatched buy, key preserved
+        assert got[103] == (None, 12)  # user with no clicks at all
+
     def test_streaming_requires_watermarks(self, spark, tmp_path):
         import pytest
 
