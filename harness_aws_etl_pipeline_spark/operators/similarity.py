@@ -649,6 +649,67 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_tables: int = 6,
+    bits: int = 10,
+    max_bucket_size: int = 2000,
+    arrow: bool = True,
+) -> DataFrame:
+    """Cross-corpus cosine similarity JOIN — the vector-space twin of
+    :func:`dedup_fuzzy.minhash_join` (embedding-level contamination
+    check / entity resolution between two corpora). Returns
+    (left_id, right_id, cosine ≥ threshold), cosine 6dp-rounded before
+    thresholding (same boundary semantics as
+    :func:`embedding_near_dup_pairs`).
+
+    Blocking is the same sign-LSH as the self-join — identical seeded
+    hyperplanes on both sides, so near-identical vectors agree on
+    almost every bucket — but the bucket join pairs only LEFT×RIGHT
+    rows and each side's bucket occupancy is capped independently
+    (a degenerate bucket costs at most cap² per table, never corpus²,
+    and no within-side pairs are generated just to be discarded).
+    """
+    if dim is None:
+        dim = _dim_of(left, vec_col)
+
+    def flat_side(df: DataFrame, out_id: str, vec_out: str) -> DataFrame:
+        bucketed = add_lsh_buckets(df, dim, vec_col, num_tables, bits, arrow=arrow)
+        f = _FLAT_MEMO.get_or_persist(
+            bucketed.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.posexplode("buckets").alias("tbl", "bucket"),
+            )
+        )
+        sizes = f.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        # no n > 1 floor: a singleton bucket still pairs with the
+        # OTHER side's occupants
+        f = f.join(
+            sizes.filter(F.col("n") <= max_bucket_size).select("tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        return f.select(
+            "tbl", "bucket", F.col("id").alias(out_id), F.col("vec").alias(vec_out)
+        )
+
+    fl = flat_side(left, "left_id", "vec_a")
+    fr = flat_side(right, "right_id", "vec_b")
+    return (
+        fl.join(fr, ["tbl", "bucket"])
+        .select("left_id", "right_id", "vec_a", "vec_b")
+        .dropDuplicates(["left_id", "right_id"])
+        .withColumn("cosine", F.round(cosine_similarity("vec_a", "vec_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Profiling for embedding columns: dimension + L2 norm per row."""
     return df.withColumn("dim", F.size(vec_col)).withColumn(

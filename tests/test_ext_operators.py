@@ -604,6 +604,31 @@ class TestEmbeddingNearDup:
         # random 16-dim vectors essentially never reach cosine 0.99
         assert all(p == (0, 999) for p in pairs)
 
+    def test_embedding_join_cross_corpus(self, spark):
+        # the vector-space contamination check: a benchmark vector
+        # identical to a training vector is found; within-side
+        # duplicates are NOT paired (strictly cross-corpus contract)
+        import random
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            embedding_join,
+        )
+
+        random.seed(11)
+        train = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+        train.append((41, list(train[0][1])))  # within-side dup of 0
+        evals = [
+            (900, list(train[5][1])),  # leaked copy of train vec 5
+            (901, [random.uniform(-1, 1) for _ in range(16)]),
+        ]
+        lf = spark.createDataFrame(train, "vec_id long, embedding array<float>")
+        rf = spark.createDataFrame(evals, "vec_id long, embedding array<float>")
+        pairs = {
+            (r["left_id"], r["right_id"]): r["cosine"]
+            for r in embedding_join(lf, rf, threshold=0.99, dim=16).collect()
+        }
+        assert pairs == {(5, 900): 1.0}
+
     def test_threshold_filters_rounded_cosine(self, spark):
         # the threshold applies to the 6dp-ROUNDED cosine — the same
         # semantics the DuckDB oracle uses (ROUND(...,6) then >= t), so
