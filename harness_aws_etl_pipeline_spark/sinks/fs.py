@@ -91,6 +91,43 @@ class LocalFS:
         shutil.move(self._local(src), self._local(dst))
         return True
 
+    def rename_if_absent(self, src: str, dst: str) -> bool:
+        """Rename refusing to replace an existing destination — the
+        compare-and-swap the snapshot commit protocol builds on. On a
+        local FS ``os.rename`` silently overwrites, so use a hard link
+        (atomic, fails with EEXIST when dst exists) and unlink src."""
+        s, d = self._local(src), self._local(dst)
+        try:
+            os.link(s, d)
+        except FileExistsError:
+            return False
+        except OSError:
+            # filesystem without hard links: fall back to a checked
+            # rename (exists-check race is acceptable for local tests)
+            if os.path.exists(d):
+                return False
+            shutil.move(s, d)
+            return True
+        os.remove(s)
+        return True
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._local(path), "rb") as f:
+            return f.read()
+
+    def list_children(self, path: str) -> list[str]:
+        """Immediate child names (files and dirs), not recursive."""
+        p = self._local(path)
+        if not os.path.isdir(p):
+            return []
+        return sorted(os.listdir(p))
+
     def mkdirs(self, path: str) -> None:
         os.makedirs(self._local(path), exist_ok=True)
 
@@ -185,6 +222,50 @@ class HadoopFS:
     def rename(self, src: str, dst: str) -> bool:
         s, d = self._jpath(src), self._jpath(dst)
         return self._fs(s).rename(s, d)
+
+    def rename_if_absent(self, src: str, dst: str) -> bool:
+        """Rename refusing to replace an existing destination.
+        ``FileSystem.rename`` already returns False when the
+        destination FILE exists (HDFS semantics) — but when the
+        destination is an existing DIRECTORY it moves src INTO it, so
+        guard that case explicitly."""
+        s, d = self._jpath(src), self._jpath(dst)
+        fs = self._fs(s)
+        if fs.exists(d):
+            return False
+        return fs.rename(s, d)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        p = self._jpath(path)
+        fs = self._fs(p)
+        inp = fs.open(p)
+        try:
+            # py4j copies a Java byte[] back as Python bytes; a py4j
+            # bytearray passed INTO read() would not see the mutation,
+            # so read fully JVM-side (commons-io ships with Spark)
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+            return bytes(data)
+        finally:
+            inp.close()
+
+    def list_children(self, path: str) -> list[str]:
+        """Immediate child names (files and dirs), not recursive."""
+        p = self._jpath(path)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return []
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(p)
+        )
 
     def mkdirs(self, path: str) -> None:
         p = self._jpath(path)

@@ -1,0 +1,382 @@
+"""Snapshot-manifest transactional table: atomic visibility, optimistic
+concurrency, time travel, stats-pruned merge, idempotent streaming
+commits, compaction and vacuum.
+
+The acid tests mirror what the staged-upsert suite could NOT assert:
+a reader concurrent with a multi-file commit sees a whole snapshot,
+never a mix (here: any retained version reproduces exactly)."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.snaptable import (
+    CommitConflict,
+    SnapTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return SnapTable(spark, str(tmp_path / "tbl"))
+
+
+class TestWriteRead:
+    def test_overwrite_then_read(self, spark, table):
+        df = spark.range(10).withColumn("v", F.col("id") * 2)
+        out = table.write(df, mode="overwrite")
+        assert out["version"] == 0 and out["rows_added"] == 10
+        assert _rows(table.read()) == _rows(df)
+
+    def test_append_accumulates(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        table.write(spark.range(5, 8), mode="append")
+        assert sorted(r["id"] for r in table.read().collect()) == list(range(8))
+
+    def test_append_creates_table(self, spark, table):
+        table.write(spark.range(3), mode="append")
+        assert table.read().count() == 3
+
+    def test_empty_batch_commits_no_files(self, spark, table):
+        table.write(spark.range(4), mode="overwrite")
+        out = table.write(spark.range(0), mode="append")
+        assert out["files_added"] == 0
+        assert table.read().count() == 4
+
+    def test_read_missing_table_raises(self, table):
+        with pytest.raises(FileNotFoundError):
+            table.read()
+
+    def test_bad_mode_and_fmt_rejected(self, spark, table, tmp_path):
+        with pytest.raises(ValueError):
+            table.write(spark.range(1), mode="sideways")
+        with pytest.raises(ValueError):
+            SnapTable(spark, str(tmp_path / "x"), fmt="avro")
+
+
+class TestTimeTravel:
+    def test_versions_reproduce(self, spark, table):
+        table.write(spark.range(3), mode="overwrite")
+        table.write(spark.range(3, 6), mode="append")
+        table.write(spark.range(100, 101), mode="overwrite")
+        assert sorted(r["id"] for r in table.read(version=0).collect()) == [0, 1, 2]
+        assert sorted(r["id"] for r in table.read(version=1).collect()) == list(range(6))
+        assert [r["id"] for r in table.read(version=2).collect()] == [100]
+
+    def test_history(self, spark, table):
+        table.write(spark.range(3), mode="overwrite")
+        table.write(spark.range(2), mode="append")
+        hist = table.history()
+        assert [h["version"] for h in hist] == [1, 0]
+        assert hist[0]["operation"] == "append"
+        assert hist[0]["rows"] == 5
+
+    def test_expire_snapshots_shrinks_window(self, spark, table):
+        for i in range(4):
+            table.write(spark.range(i, i + 1), mode="append")
+        out = table.expire_snapshots(keep_last=2)
+        assert out["retained"] == [2, 3]
+        with pytest.raises(ValueError):
+            table.read(version=0)
+        assert table.read(version=3).count() == 4
+
+
+class TestSchemaEvolution:
+    def test_append_new_column_reads_as_null(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1, "a")], "id long, name string"),
+            mode="overwrite",
+        )
+        table.write(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, name string, score double"
+            ),
+            mode="append",
+        )
+        got = {r["id"]: (r["name"], r["score"]) for r in table.read().collect()}
+        assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    def test_type_conflict_rejected(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1,)], "id long"), mode="overwrite"
+        )
+        with pytest.raises(ValueError, match="schema conflict"):
+            table.write(
+                spark.createDataFrame([("x",)], "id string"), mode="append"
+            )
+
+
+class TestStatsPruning:
+    def test_where_prunes_files_and_is_exact(self, spark, table):
+        # range-clustered write → each file owns a narrow id range
+        table.write(
+            spark.range(1000).withColumn("v", F.col("id") % 7),
+            mode="overwrite",
+            cluster_by=["id"],
+            target_files=8,
+        )
+        m = table.manifest(0)
+        assert len(m["files"]) > 1, "need multiple files to prove pruning"
+        kept, total = table.pruned_file_count([("id", "=", 3)])
+        assert kept < total
+        got = table.read(where=[("id", ">=", 10), ("id", "<", 13)])
+        assert sorted(r["id"] for r in got.collect()) == [10, 11, 12]
+
+    def test_unstatable_filters_keep_all_files(self, spark, table):
+        table.write(spark.range(10), mode="overwrite")  # no stats_cols
+        kept, total = table.pruned_file_count([("id", "=", 3)])
+        assert kept == total  # no stats → conservative keep
+        assert table.read(where=[("id", "=", 3)]).count() == 1
+
+
+class TestMerge:
+    def test_upsert_semantics(self, spark, table):
+        base = spark.createDataFrame(
+            [(i, f"old{i}") for i in range(10)], "k long, v string"
+        )
+        table.write(base, mode="overwrite", cluster_by=["k"])
+        batch = spark.createDataFrame(
+            [(3, "new3"), (7, "new7"), (42, "new42")], "k long, v string"
+        )
+        out = table.merge(batch, ["k"])
+        got = {r["k"]: r["v"] for r in table.read().collect()}
+        assert got[3] == "new3" and got[7] == "new7" and got[42] == "new42"
+        assert got[0] == "old0" and len(got) == 11
+        assert out["version"] == 1
+
+    def test_merge_rewrites_only_hit_files(self, spark, table):
+        table.write(
+            spark.range(1000).withColumnRenamed("id", "k").withColumn(
+                "v", F.lit("old")
+            ),
+            mode="overwrite",
+            cluster_by=["k"],
+            target_files=8,
+        )
+        total = len(table.manifest(0)["files"])
+        assert total > 1
+        batch = spark.createDataFrame([(5, "new")], "k long, v string")
+        out = table.merge(batch, ["k"])
+        assert out["files_rewritten"] < total
+        assert out["files_kept"] == total - out["files_rewritten"]
+        got = table.read()
+        assert got.count() == 1000
+        assert got.filter("k = 5").collect()[0]["v"] == "new"
+
+    def test_merge_into_empty_creates(self, spark, table):
+        table.merge(
+            spark.createDataFrame([(1, "a")], "k long, v string"), ["k"]
+        )
+        assert table.read().count() == 1
+
+    def test_merge_no_hits_appends(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite",
+            cluster_by=["k"],
+        )
+        out = table.merge(
+            spark.createDataFrame([(2, "b")], "k long, v string"), ["k"]
+        )
+        assert out["files_rewritten"] == 0
+        assert table.read().count() == 2
+
+    def test_merge_schema_evolution(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite",
+            cluster_by=["k"],
+        )
+        table.merge(
+            spark.createDataFrame(
+                [(1, "a2", 5.0)], "k long, v string, extra double"
+            ),
+            ["k"],
+        )
+        row = table.read().collect()[0]
+        assert (row["v"], row["extra"]) == ("a2", 5.0)
+
+    def test_merge_needs_keys(self, spark, table):
+        with pytest.raises(ValueError):
+            table.merge(spark.range(1), [])
+
+
+class TestDelete:
+    def test_delete_where(self, spark, table):
+        table.write(
+            spark.range(100).withColumn("v", F.col("id") % 10),
+            mode="overwrite",
+            cluster_by=["id"],
+        )
+        out = table.delete_where("id >= 90")
+        assert table.read().count() == 90
+        assert table.read().filter("id >= 90").count() == 0
+        assert out["files_rewritten"] >= 1
+        # untouched rows still intact at the new version
+        assert table.read().filter("id = 0").count() == 1
+
+    def test_delete_no_match_is_noop(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        v0 = table.current_version()
+        out = table.delete_where("id > 999")
+        assert out["files_rewritten"] == 0
+        assert table.current_version() == v0
+
+    def test_delete_everything(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        table.delete_where("id >= 0")
+        assert table.read().count() == 0
+
+
+class TestConcurrency:
+    def test_racing_appends_both_land(self, spark, table):
+        table.write(spark.range(0, 1), mode="overwrite")
+        errs = []
+
+        def appender(lo):
+            try:
+                t = SnapTable(spark, table.path)
+                t.write(spark.range(lo, lo + 5), mode="append")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=appender, args=(lo,))
+            for lo in (100, 200, 300)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        ids = sorted(r["id"] for r in table.read().collect())
+        assert ids == [0] + list(range(100, 105)) + list(
+            range(200, 205)
+        ) + list(range(300, 305))
+        # versions are a linear history: one commit per writer
+        # (v0 overwrite + three appends)
+        assert table.current_version() == 3
+
+    def test_cas_refuses_second_commit_same_version(self, spark, table):
+        table.write(spark.range(1), mode="overwrite")
+        m = dict(table.manifest(0))
+        assert table._try_commit(m, 0) is False
+
+    def test_exhausted_retries_raise(self, spark, table, monkeypatch):
+        table.write(spark.range(1), mode="overwrite")
+        monkeypatch.setattr(
+            SnapTable, "_try_commit", lambda self, m, v: False
+        )
+        with pytest.raises(CommitConflict):
+            table.write(spark.range(1), mode="append", max_retries=2)
+
+
+class TestStreamingIdempotence:
+    def test_replayed_batch_skipped(self, spark, table):
+        sink = table.foreach_batch_writer("appA")
+        sink(spark.range(3), 0)
+        sink(spark.range(3, 6), 1)
+        sink(spark.range(3, 6), 1)  # replay — must be a no-op
+        sink(spark.range(10, 11), 0)  # stale replay — also a no-op
+        assert table.read().count() == 6
+        assert table.manifest(table.current_version())["txns"] == {"appA": 1}
+
+    def test_two_apps_independent_ledgers(self, spark, table):
+        table.foreach_batch_writer("appA")(spark.range(2), 0)
+        table.foreach_batch_writer("appB")(spark.range(10, 12), 0)
+        assert table.read().count() == 4
+
+    def test_keyed_streaming_merge(self, spark, table):
+        sink = table.foreach_batch_writer("appK", key_cols=["k"])
+        sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+        sink(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), 1)
+        sink(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), 1)
+        got = {r["k"]: r["v"] for r in table.read().collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+
+    def test_real_stream_foreach_batch(self, spark, table, tmp_path):
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        spark.range(20).withColumn("v", F.col("id") * 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b0"))
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .parquet(str(src / "b0"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(table.foreach_batch_writer("live"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert table.read().count() == 20
+
+
+class TestMaintenance:
+    def test_compact_preserves_rows(self, spark, table):
+        for i in range(6):
+            table.write(spark.range(i * 10, i * 10 + 10), mode="append")
+        before = _rows(table.read())
+        nfiles_before = len(table.manifest(table.current_version())["files"])
+        out = table.compact(target_file_bytes=1 << 30)
+        assert out["compacted"] == nfiles_before
+        m = table.manifest(table.current_version())
+        assert len(m["files"]) < nfiles_before
+        assert m["operation"] == "compact"
+        assert _rows(table.read()) == before
+
+    def test_vacuum_collects_unreferenced(self, spark, table):
+        table.write(spark.range(5), mode="overwrite", cluster_by=["id"])
+        table.write(spark.range(5), mode="overwrite")  # v0 files now orphan-able
+        table.expire_snapshots(keep_last=1)
+        out = table.vacuum()
+        assert len(out["removed"]) == 1
+        assert table.read().count() == 5  # live snapshot untouched
+
+    def test_vacuum_dry_run_keeps_files(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        table.write(spark.range(5), mode="overwrite")
+        table.expire_snapshots(keep_last=1)
+        out = table.vacuum(dry_run=True)
+        assert len(out["removed"]) == 1
+        assert len(table.vacuum(dry_run=True)["removed"]) == 1  # still there
+
+    def test_vacuum_respects_time_travel(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        table.write(spark.range(9), mode="overwrite")
+        out = table.vacuum()  # both snapshots retained → nothing to remove
+        assert out["removed"] == []
+        assert table.read(version=0).count() == 5
+
+
+class TestCrashWindow:
+    def test_orphaned_txn_dir_invisible_and_vacuumable(self, spark, table):
+        """A writer that dies AFTER writing data files but BEFORE the
+        manifest rename leaves no trace in any read; vacuum collects
+        the orphan."""
+        table.write(spark.range(5), mode="overwrite")
+        # simulate the crash: data files exist, no commit
+        table._write_data_files(spark.range(99, 105), [], None)
+        assert table.read().count() == 5
+        out = table.vacuum()
+        assert len(out["removed"]) == 1
+        assert table.read().count() == 5
+
+    def test_staged_manifest_tmp_never_visible(self, spark, table):
+        table.write(spark.range(3), mode="overwrite")
+        # a stray .tmp manifest must not count as a version
+        table.fs.write_bytes(
+            table._log + "/.tmp-deadbeef.json", b"{}"
+        )
+        assert table.versions() == [0]
+        assert table.read().count() == 3
