@@ -76,6 +76,55 @@ def _bench_bucketed_g2(spark, sf_dir: str) -> dict:
         return out
 
 
+def _bench_snaptable_merge(spark, sf_dir: str) -> dict:
+    """Transactional-merge leg — NOT a catalog entry. Writes lineitem
+    as a SnapTable range-clustered on l_orderkey (32 files), then
+    MERGEs a batch touching ~1% of the key range and reports how many
+    files the manifest stats let the merge skip. The scale claim being
+    measured: merge cost tracks the touched key range, not table size.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+    tmp = tempfile.mkdtemp(prefix="bench_snap_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        t = SnapTable(spark, f"{tmp}/tbl")
+        start = time.perf_counter()
+        t.write(
+            li,
+            mode="overwrite",
+            cluster_by=["l_orderkey"],
+            target_files=32,
+        )
+        write_s = time.perf_counter() - start
+        hi = li.agg(F.max("l_orderkey")).collect()[0][0]
+        batch = li.filter(F.col("l_orderkey") <= hi // 100).withColumn(
+            "l_quantity", F.col("l_quantity") + 1
+        )
+        start = time.perf_counter()
+        out = t.merge(
+            batch, ["l_orderkey", "l_linenumber"], cluster_by=["l_orderkey"]
+        )
+        merge_s = time.perf_counter() - start
+        total = out["files_kept"] + out["files_rewritten"]
+        return {
+            "clustered_write_s": round(write_s, 3),
+            "merge_s": round(merge_s, 3),
+            "files_total": total,
+            "files_rewritten": out["files_rewritten"],
+            "rewrite_fraction": round(out["files_rewritten"] / total, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -130,6 +179,13 @@ def main() -> None:
         bucketed = {"error": str(exc)[:500]}
     print(f"# bucketed: {bucketed}", file=sys.stderr)
 
+    # transactional-merge demonstration leg — also outside "queries"
+    try:
+        snap = _bench_snaptable_merge(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        snap = {"error": str(exc)[:500]}
+    print(f"# snaptable: {snap}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -142,6 +198,7 @@ def main() -> None:
                 "runs": runs,
                 "value_p50": round(sum(p50s.values()), 3),
                 "bucketed": bucketed,
+                "snaptable": snap,
                 "sf": sf_val,
             }
         )

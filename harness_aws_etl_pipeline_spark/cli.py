@@ -81,6 +81,27 @@ def main(argv: list[str] | None = None) -> int:
         "--archive", default=None, help="archive-tier root (365 d default)"
     )
 
+    # snaptable maintenance — the transactional-table ops surface
+    # (history/compact/vacuum/expire), Delta-utilities-shaped
+    snap = sub.add_parser(
+        "snap", help="snapshot-table maintenance (history/compact/vacuum/expire)"
+    )
+    snap.add_argument(
+        "action", choices=["history", "compact", "vacuum", "expire"]
+    )
+    snap.add_argument("--path", required=True, help="snaptable root")
+    snap.add_argument(
+        "--target-file-mb", type=int, default=128, help="compact bin size"
+    )
+    snap.add_argument(
+        "--keep-last", type=int, default=2, help="snapshots retained by expire"
+    )
+    snap.add_argument(
+        "--force",
+        action="store_true",
+        help="vacuum actually deletes (dry run without it)",
+    )
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -139,6 +160,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("etl-cli")
+
+    if args.cmd == "snap":
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        t = SnapTable(spark, args.path)
+        if args.action == "history":
+            print(json.dumps({"history": t.history()}))
+        elif args.action == "compact":
+            print(json.dumps(t.compact(args.target_file_mb * 1024 * 1024)))
+        elif args.action == "vacuum":
+            print(json.dumps(t.vacuum(dry_run=not args.force)))
+        else:  # expire
+            print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        return 0
 
     if args.cmd == "status":
         from pyspark.sql import functions as F

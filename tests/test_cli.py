@@ -161,3 +161,34 @@ class TestCli:
         assert rc == 1
         result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert result["status"] == "failed"
+
+
+class TestSnapCli:
+    def test_snap_lifecycle(self, spark, tmp_path, capsys):
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        path = str(tmp_path / "snap_tbl")
+        t = SnapTable(spark, path)
+        t.write(spark.range(10), mode="overwrite")
+        t.write(spark.range(10, 20), mode="append")
+
+        assert main(["snap", "history", "--path", path]) == 0
+        hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [h["version"] for h in hist["history"]] == [1, 0]
+
+        assert main(["snap", "compact", "--path", path]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["compacted"] >= 2
+
+        assert main(["snap", "expire", "--path", path, "--keep-last", "1"]) == 0
+        capsys.readouterr()
+
+        # dry-run vacuum reports victims without deleting
+        assert main(["snap", "vacuum", "--path", path]) == 0
+        dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert dry["dry_run"] is True and len(dry["removed"]) >= 1
+
+        assert main(["snap", "vacuum", "--path", path, "--force"]) == 0
+        wet = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert wet["dry_run"] is False
+        assert SnapTable(spark, path).read().count() == 20
