@@ -380,3 +380,111 @@ class TestCrashWindow:
         )
         assert table.versions() == [0]
         assert table.read().count() == 3
+
+
+class TestMergeRaceAndModel:
+    def test_merge_racing_append_loses_cas_and_recomputes(self, spark, table):
+        """A merge that loses the CAS to a concurrent append must land
+        on the NEXT version with the append's rows intact — the retry
+        recomputes survivors against the winner's snapshot."""
+        table.write(
+            spark.createDataFrame(
+                [(i, "old") for i in range(10)], "k long, v string"
+            ),
+            mode="overwrite",
+            cluster_by=["k"],
+        )
+        real_commit = SnapTable._try_commit
+        fired = {"n": 0}
+
+        def racing_commit(self_, manifest, version):
+            # on the merge's FIRST commit attempt, sneak an append in
+            # first so the merge's CAS loses
+            if manifest["operation"] == "merge" and fired["n"] == 0:
+                fired["n"] += 1
+                other = SnapTable(spark, self_.path)
+                other.write(
+                    spark.createDataFrame(
+                        [(100, "appended")], "k long, v string"
+                    ),
+                    mode="append",
+                )
+                self_._manifest_cache.clear()
+            return real_commit(self_, manifest, version)
+
+        try:
+            SnapTable._try_commit = racing_commit
+            out = table.merge(
+                spark.createDataFrame([(3, "new3")], "k long, v string"),
+                ["k"],
+            )
+        finally:
+            SnapTable._try_commit = real_commit
+        assert fired["n"] == 1
+        got = {r["k"]: r["v"] for r in table.read().collect()}
+        assert got[3] == "new3"
+        assert got[100] == "appended", "append that won the race survives"
+        assert len(got) == 11
+        assert out["version"] == table.current_version()
+
+    def test_model_based_op_sequence(self, spark, table):
+        """Deterministic pseudo-random sequence of write/merge/delete/
+        compact ops, checked after every step against a dict model —
+        the state-machine pin for snapshot semantics."""
+        import random
+
+        rng = random.Random(20260814)
+        model: dict[int, int] = {}
+
+        def check():
+            got = {r["k"]: r["v"] for r in table.read().collect()}
+            assert got == model
+
+        table.write(
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+            mode="overwrite",
+            cluster_by=["k"],
+        )
+        model = {0: 0}
+        for step in range(12):
+            op = rng.choice(["append", "merge", "delete", "compact", "overwrite"])
+            if op == "append":
+                ks = [rng.randrange(1000, 2000) for _ in range(3)]
+                rows = [(k, step) for k in ks]
+                table.write(
+                    spark.createDataFrame(rows, "k long, v long"),
+                    mode="append",
+                )
+                # append does NOT dedup keys; keep model keys fresh to
+                # stay a function (duplicate appends would make the
+                # table a multiset — merge is the keyed path)
+                for k in ks:
+                    if k in model:
+                        model.pop(k)
+                        table.delete_where(f"k = {k} and v != {step}")
+                    model[k] = step
+            elif op == "merge":
+                ks = rng.sample(sorted(model) or [0], min(2, len(model)))
+                ks.append(rng.randrange(5000, 6000))
+                rows = [(k, 100 + step) for k in ks]
+                table.merge(
+                    spark.createDataFrame(rows, "k long, v long"), ["k"]
+                )
+                for k in ks:
+                    model[k] = 100 + step
+            elif op == "delete":
+                if model:
+                    victim = rng.choice(sorted(model))
+                    table.delete_where(f"k = {victim}")
+                    model.pop(victim)
+            elif op == "compact":
+                table.compact(target_file_bytes=1 << 30)
+            else:
+                rows = [(k, 777) for k in rng.sample(range(100), 4)]
+                table.write(
+                    spark.createDataFrame(rows, "k long, v long"),
+                    mode="overwrite",
+                    cluster_by=["k"],
+                )
+                model = {k: 777 for k, _ in rows}
+            check()
