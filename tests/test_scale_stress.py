@@ -131,3 +131,65 @@ def test_retention_sweep_many_files(spark, tmp_path):
     assert rep["dirs_pruned"] == n_parts // 2
     # generous bound: metadata-only work on 5k local files
     assert elapsed < 120, f"sweep took {elapsed:.1f}s for 5k files"
+
+
+@stress
+def test_snaptable_many_versions_and_files(spark, tmp_path):
+    """Manifest-protocol scale probe: 60 commits / ~200 files. Claims
+    backed: (a) commit latency stays flat as history grows (the CAS
+    touches one JSON regardless of version count), (b) a stats-pruned
+    merge's probe cost tracks candidate files, not the table, (c)
+    expire+vacuum bounds storage. The semi-join probe confines the
+    single-key merge rewrite to the files that actually hold the key
+    (2 of ~200: one clustered file + one unstatted append batch),
+    asserted loosely at <=65 to stay robust to file-count jitter."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+    t = SnapTable(spark, str(tmp_path / "big"))
+    t.write(
+        spark.range(50_000).withColumn("v", F.lit(0).cast("long")),
+        mode="overwrite",
+        cluster_by=["id"],
+        target_files=140,
+    )
+    lat = []
+    for i in range(60):
+        start = time.perf_counter()
+        t.write(
+            spark.range(i * 10, i * 10 + 10).withColumn("v", F.lit(1).cast("long")),
+            mode="append",
+        )
+        lat.append(time.perf_counter() - start)
+    first10, last10 = sum(lat[:10]) / 10, sum(lat[-10:]) / 10
+    # flat commit latency: growing history must not grow commits
+    # (allow 2x for jitter; O(versions) behavior would blow past it)
+    assert last10 < first10 * 2, (first10, last10)
+
+    m = t.manifest(t.current_version())
+    assert len(m["files"]) >= 190
+
+    out = t.merge(
+        spark.createDataFrame([(7, 99)], "id long, v long"),
+        ["id"],
+        cluster_by=["id"],
+    )
+    assert out["files_rewritten"] <= 65, (
+        "stats pruning must confine the merge to the id=7 range files "
+        "+ unstatted appends, not all "
+        f"{out['files_rewritten'] + out['files_kept']}"
+    )
+
+    # 50_000 + 600 appended, minus 1: the merge on id=7 collapsed the
+    # duplicate pair (initial load + append batch 0) into one keyed row
+    assert t.read().count() == 50_000 + 600 - 1
+    # appends keep every prior txn dir referenced; only an overwrite
+    # orphans them — then expire + vacuum reclaims the whole history
+    t.write(spark.range(10), mode="overwrite")
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum()["removed"]
+    assert len(removed) >= 55
+    assert t.read().count() == 10
