@@ -91,7 +91,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     snap.add_argument("--path", required=True, help="snaptable root")
     snap.add_argument(
+        "--format", default="parquet", choices=["parquet", "orc"],
+        dest="snap_format", help="table data-file format",
+    )
+    snap.add_argument(
         "--target-file-mb", type=int, default=128, help="compact bin size"
+    )
+    snap.add_argument(
+        "--min-age-hours",
+        type=float,
+        default=24.0,
+        help="vacuum in-flight-writer guard: only unreferenced txn "
+        "dirs older than this are removed",
     )
     snap.add_argument(
         "--keep-last", type=int, default=2, help="snapshots retained by expire"
@@ -164,13 +175,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "snap":
         from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 
-        t = SnapTable(spark, args.path)
+        t = SnapTable(spark, args.path, fmt=args.snap_format)
         if args.action == "history":
             print(json.dumps({"history": t.history()}))
         elif args.action == "compact":
             print(json.dumps(t.compact(args.target_file_mb * 1024 * 1024)))
         elif args.action == "vacuum":
-            print(json.dumps(t.vacuum(dry_run=not args.force)))
+            print(
+                json.dumps(
+                    t.vacuum(
+                        dry_run=not args.force,
+                        min_age_seconds=args.min_age_hours * 3600,
+                    )
+                )
+            )
         else:  # expire
             print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
         return 0

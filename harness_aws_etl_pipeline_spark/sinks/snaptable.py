@@ -98,11 +98,25 @@ def _is_manifest(name: str) -> bool:
 
 def _jsonable(v):
     """Stats values the manifest can round-trip losslessly: primitives
-    pass through, everything else (dates, decimals, …) is stringified
-    and therefore excluded from pruning comparisons (kept-file safe)."""
+    pass through; date/timestamp become ISO-8601 strings, which ORDER
+    CORRECTLY under the string comparison `_file_may_match` applies
+    when (and only when) the predicate value is also a string. Types
+    whose str() does NOT sort like the value (Decimal: '5' > '30')
+    must never reach here — `_STATABLE_TYPES` excludes them."""
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     return str(v)
+
+
+# column types eligible for per-file min/max stats: numerics compare
+# as numbers, strings as strings, date/timestamp as ISO-8601 strings
+# (zero-padded → lexicographic == chronological). Decimal is excluded:
+# str(Decimal('5')) > str(Decimal('30')) lexicographically, so a
+# stringified decimal stat would WRONGLY prune files (silent row loss).
+_STATABLE_TYPES = (
+    "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "timestamp",
+)
 
 
 def _cmp_ok(a, b) -> bool:
@@ -148,9 +162,26 @@ class SnapTable:
     :meth:`foreach_batch_writer` operate on atomic snapshots.
     """
 
+    # filesystems whose rename is atomic-with-no-overwrite — the CAS
+    # the commit protocol requires. Object stores (s3a/s3/gs/abfs…)
+    # implement "rename" as copy+delete with no exclusivity, so two
+    # racing committers could BOTH win a version and silently lose one
+    # commit; Delta needs an external LogStore/DynamoDB coordinator
+    # there, and until one is plugged in we refuse loudly instead.
+    _ATOMIC_RENAME_SCHEMES = ("file", "hdfs", "viewfs", "webhdfs")
+
     def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
         if fmt not in ("parquet", "orc"):
             raise ValueError(f"unsupported snaptable format {fmt!r}")
+        scheme = path.split("://", 1)[0] if "://" in path else "file"
+        if scheme not in self._ATOMIC_RENAME_SCHEMES:
+            raise ValueError(
+                f"snaptable commit protocol needs atomic no-overwrite "
+                f"rename, which {scheme!r} does not provide; use "
+                f"file/hdfs, or plug an external commit coordinator "
+                f"(the Delta-on-S3 LogStore pattern) before enabling "
+                f"object-store schemes"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
         self.fmt = fmt
@@ -248,7 +279,8 @@ class SnapTable:
         sizes = {
             rel: size
             for rel, _mtime, size in self.fs.list_files(txn_dir)
-            if not rel.startswith("_")
+            # skip _SUCCESS AND the .crc shadows LocalFS's walk sees
+            if not posixpath.basename(rel).startswith(("_", "."))
         }
         if not sizes:
             # empty batch: Spark wrote only the _SUCCESS marker
@@ -259,11 +291,7 @@ class SnapTable:
             f.name
             for f in written.schema.fields
             if f.name in set(stats_cols)
-            and f.dataType.typeName()
-            in (
-                "byte", "short", "integer", "long", "float", "double",
-                "string", "date", "timestamp", "decimal",
-            )
+            and f.dataType.typeName() in _STATABLE_TYPES
         ]
         for c in statable:
             aggs.append(F.min(c).alias(f"_min_{c}"))
@@ -388,15 +416,18 @@ class SnapTable:
     # ------------------------------------------------------- read path
 
     def _resolve(self, version: int | None) -> dict:
-        cur = self.current_version()
-        if cur is None:
+        # ONE log LIST serves the current-version lookup, the
+        # membership check, and the error message (LIST round-trips
+        # are the scan-planning cost on an object store)
+        vs = self.versions()
+        if not vs:
             raise FileNotFoundError(f"no snaptable at {self.path!r}")
         if version is None:
-            version = cur
-        if version not in self.versions():
+            version = vs[-1]
+        if version not in vs:
             raise ValueError(
                 f"snapshot {version} not retained at {self.path!r} "
-                f"(have {self.versions()})"
+                f"(have {vs})"
             )
         return self.manifest(version)
 
@@ -494,7 +525,11 @@ class SnapTable:
             .schema(schema)
             .load(paths)
             .select(*key_cols, F.input_file_name().alias("_file"))
-            .join(F.broadcast(keys_df), key_cols, "leftsemi")
+            # no forced broadcast: a merge batch can carry hundreds of
+            # millions of distinct keys at the design point; AQE
+            # converts to broadcast at runtime when the key set is
+            # actually small, and degrades to shuffle when it isn't
+            .join(keys_df, key_cols, "leftsemi")
             .select("_file")
             .distinct()
             .collect()
@@ -560,7 +595,7 @@ class SnapTable:
                     self.spark.read.format(self.fmt)
                     .schema(schema)
                     .load([join_path(self.path, p) for p in hit])
-                    .join(F.broadcast(keys_df), key_cols, "left_anti")
+                    .join(keys_df, key_cols, "left_anti")
                 )
                 merged = survivors.unionByName(
                     df, allowMissingColumns=True
@@ -598,107 +633,135 @@ class SnapTable:
             f"snaptable merge lost {max_retries} races at {self.path!r}"
         )
 
-    def delete_where(self, predicate: Column | str) -> dict:
+    def delete_where(
+        self, predicate: Column | str, max_retries: int = 3
+    ) -> dict:
         """Delete rows matching ``predicate``; files with no matching
-        rows are kept untouched (probe-then-rewrite, like merge)."""
+        rows are kept untouched (probe-then-rewrite, like merge). A
+        row whose predicate evaluates to NULL does NOT match and is
+        KEPT — ``~pred`` alone would silently drop it under SQL
+        three-valued logic, so the keep-filter is ``pred IS NULL OR
+        NOT pred``. Lost commit races recompute, like merge."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        cur = self.current_version()
-        m = self._resolve(cur)
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
-            return {"version": cur, "files_rewritten": 0}
-        paths = [join_path(self.path, f["path"]) for f in m["files"]]
-        by_name = {
-            posixpath.basename(f["path"]): f["path"] for f in m["files"]
-        }
-        hits = (
-            self.spark.read.format(self.fmt)
-            .schema(schema)
-            .load(paths)
-            .filter(pred)
-            .select(F.input_file_name().alias("_file"))
-            .distinct()
-            .collect()
+        for _ in range(max_retries):
+            m = self._resolve(None)
+            cur = m["version"]
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            if not m["files"]:
+                return {"version": cur, "files_rewritten": 0}
+            paths = [join_path(self.path, f["path"]) for f in m["files"]]
+            by_name = {
+                posixpath.basename(f["path"]): f["path"] for f in m["files"]
+            }
+            hits = (
+                self.spark.read.format(self.fmt)
+                .schema(schema)
+                .load(paths)
+                .filter(pred)
+                .select(F.input_file_name().alias("_file"))
+                .distinct()
+                .collect()
+            )
+            hit = sorted(
+                by_name[posixpath.basename(unquote(r["_file"]))]
+                for r in hits
+                if posixpath.basename(unquote(r["_file"])) in by_name
+            )
+            if not hit:
+                return {"version": cur, "files_rewritten": 0}
+            keep_rows = (
+                self.spark.read.format(self.fmt)
+                .schema(schema)
+                .load([join_path(self.path, p) for p in hit])
+                .filter(pred.isNull() | ~pred)
+            )
+            stats_cols = sorted(
+                {c for f in m["files"] for c in (f.get("stats") or {})}
+            )
+            entries = (
+                self._write_data_files(keep_rows, stats_cols, None)
+                if keep_rows.limit(1).count()
+                else []
+            )
+            hitset = set(hit)
+            files = [
+                f for f in m["files"] if f["path"] not in hitset
+            ] + entries
+            version = cur + 1
+            manifest = {
+                "version": version,
+                "parent": cur,
+                "operation": "delete",
+                "ts": time.time(),
+                "schema": m["schema"],
+                "txns": dict(m.get("txns") or {}),
+                "files": files,
+            }
+            if self._try_commit(manifest, version):
+                return {"version": version, "files_rewritten": len(hit)}
+        raise CommitConflict(
+            f"delete lost {max_retries} commit races at {self.path!r}"
         )
-        hit = sorted(
-            by_name[posixpath.basename(unquote(r["_file"]))]
-            for r in hits
-            if posixpath.basename(unquote(r["_file"])) in by_name
-        )
-        if not hit:
-            return {"version": cur, "files_rewritten": 0}
-        keep_rows = (
-            self.spark.read.format(self.fmt)
-            .schema(schema)
-            .load([join_path(self.path, p) for p in hit])
-            .filter(~pred)
-        )
-        stats_cols = sorted(
-            {c for f in m["files"] for c in (f.get("stats") or {})}
-        )
-        entries = (
-            self._write_data_files(keep_rows, stats_cols, None)
-            if keep_rows.limit(1).count()
-            else []
-        )
-        hitset = set(hit)
-        files = [f for f in m["files"] if f["path"] not in hitset] + entries
-        version = cur + 1
-        manifest = {
-            "version": version,
-            "parent": cur,
-            "operation": "delete",
-            "ts": time.time(),
-            "schema": m["schema"],
-            "txns": dict(m.get("txns") or {}),
-            "files": files,
-        }
-        if not self._try_commit(manifest, version):
-            raise CommitConflict(f"delete lost the commit race at {self.path!r}")
-        return {"version": version, "files_rewritten": len(hit)}
 
     # ------------------------------------------------- maintenance ops
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 3,
+    ) -> dict:
         """Bin-pack files smaller than half the target into
         ~target-sized files — a metadata-only swap for readers (row
         set provably unchanged), the antidote to streaming/merge
-        small-file buildup. Large files are left alone."""
-        cur = self.current_version()
-        m = self._resolve(cur)
-        small = [f for f in m["files"] if f["bytes"] < target_file_bytes // 2]
-        if len(small) < 2:
-            return {"version": cur, "compacted": 0}
-        stats_cols = sorted({c for f in small for c in (f.get("stats") or {})})
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        total = sum(f["bytes"] for f in small)
-        n_out = max(1, -(-total // target_file_bytes))
-        rows = (
-            self.spark.read.format(self.fmt)
-            .schema(schema)
-            .load([join_path(self.path, f["path"]) for f in small])
-            .coalesce(n_out)
+        small-file buildup. Large files are left alone. Routine
+        maintenance must not fail just because writers are active: a
+        lost commit race re-plans against the winner's snapshot (the
+        already-written pack is orphaned for vacuum) instead of
+        raising on the first conflict."""
+        for _ in range(max_retries):
+            m = self._resolve(None)
+            cur = m["version"]
+            small = [
+                f for f in m["files"] if f["bytes"] < target_file_bytes // 2
+            ]
+            if len(small) < 2:
+                return {"version": cur, "compacted": 0}
+            stats_cols = sorted(
+                {c for f in small for c in (f.get("stats") or {})}
+            )
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            total = sum(f["bytes"] for f in small)
+            n_out = max(1, -(-total // target_file_bytes))
+            rows = (
+                self.spark.read.format(self.fmt)
+                .schema(schema)
+                .load([join_path(self.path, f["path"]) for f in small])
+                .coalesce(n_out)
+            )
+            entries = self._write_data_files(rows, stats_cols, None)
+            smallset = {f["path"] for f in small}
+            files = [
+                f for f in m["files"] if f["path"] not in smallset
+            ] + entries
+            version = cur + 1
+            manifest = {
+                "version": version,
+                "parent": cur,
+                "operation": "compact",
+                "ts": time.time(),
+                "schema": m["schema"],
+                "txns": dict(m.get("txns") or {}),
+                "files": files,
+            }
+            if self._try_commit(manifest, version):
+                return {
+                    "version": version,
+                    "compacted": len(small),
+                    "files_added": len(entries),
+                }
+        raise CommitConflict(
+            f"compact lost {max_retries} commit races at {self.path!r}"
         )
-        entries = self._write_data_files(rows, stats_cols, None)
-        smallset = {f["path"] for f in small}
-        files = [f for f in m["files"] if f["path"] not in smallset] + entries
-        version = cur + 1
-        manifest = {
-            "version": version,
-            "parent": cur,
-            "operation": "compact",
-            "ts": time.time(),
-            "schema": m["schema"],
-            "txns": dict(m.get("txns") or {}),
-            "files": files,
-        }
-        if not self._try_commit(manifest, version):
-            raise CommitConflict(f"compact lost the commit race at {self.path!r}")
-        return {
-            "version": version,
-            "compacted": len(small),
-            "files_added": len(entries),
-        }
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop old manifests (time travel window shrinks to the last
@@ -713,10 +776,23 @@ class SnapTable:
             self._manifest_cache.pop(v, None)
         return {"expired": len(drop), "retained": self.versions()}
 
-    def vacuum(self, dry_run: bool = False) -> dict:
+    def vacuum(
+        self,
+        dry_run: bool = False,
+        min_age_seconds: float = 24 * 3600,
+    ) -> dict:
         """Delete ``data/txn-*`` directories not referenced by ANY
         retained manifest — crashed attempts, lost commit races, and
-        files only expired snapshots pointed at."""
+        files only expired snapshots pointed at.
+
+        ``min_age_seconds`` (default 24 h) is the in-flight-writer
+        guard, the same reason Delta's VACUUM has a retention check:
+        a writer that has finished its data files but not yet renamed
+        its manifest is indistinguishable from an orphan, and
+        deleting its directory would let the commit succeed pointing
+        at nothing. An unreferenced dir is only removed once its
+        NEWEST file is older than the window — far longer than any
+        write-to-commit gap."""
         referenced: set[str] = set()
         for v in self.versions():
             for f in self.manifest(v)["files"]:
@@ -724,15 +800,22 @@ class SnapTable:
                 if len(parts) >= 2:
                     referenced.add(parts[1])
         data_root = join_path(self.path, _DATA_DIR)
-        victims = [
-            child
-            for child in self.fs.list_children(data_root)
-            if child.startswith("txn-") and child not in referenced
-        ]
+        now = time.time()
+        victims = []
+        too_young = 0
+        for child in self.fs.list_children(data_root):
+            if not child.startswith("txn-") or child in referenced:
+                continue
+            listed = self.fs.list_files(join_path(data_root, child))
+            newest = max((mt for _rel, mt, _sz in listed), default=0.0)
+            if now - newest < min_age_seconds:
+                too_young += 1
+                continue
+            victims.append(child)
         if not dry_run:
             for child in victims:
                 self.fs.delete(join_path(data_root, child), recursive=True)
-        return {"removed": victims, "dry_run": dry_run}
+        return {"removed": victims, "skipped_young": too_young, "dry_run": dry_run}
 
     # ------------------------------------------------------- streaming
 

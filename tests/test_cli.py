@@ -184,11 +184,11 @@ class TestSnapCli:
         capsys.readouterr()
 
         # dry-run vacuum reports victims without deleting
-        assert main(["snap", "vacuum", "--path", path]) == 0
+        assert main(["snap", "vacuum", "--path", path, "--min-age-hours", "0"]) == 0
         dry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert dry["dry_run"] is True and len(dry["removed"]) >= 1
 
-        assert main(["snap", "vacuum", "--path", path, "--force"]) == 0
+        assert main(["snap", "vacuum", "--path", path, "--force", "--min-age-hours", "0"]) == 0
         wet = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert wet["dry_run"] is False
         assert SnapTable(spark, path).read().count() == 20

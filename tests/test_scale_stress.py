@@ -190,6 +190,6 @@ def test_snaptable_many_versions_and_files(spark, tmp_path):
     # orphans them — then expire + vacuum reclaims the whole history
     t.write(spark.range(10), mode="overwrite")
     t.expire_snapshots(keep_last=1)
-    removed = t.vacuum()["removed"]
+    removed = t.vacuum(min_age_seconds=0)["removed"]
     assert len(removed) >= 55
     assert t.read().count() == 10

@@ -339,7 +339,7 @@ class TestMaintenance:
         table.write(spark.range(5), mode="overwrite", cluster_by=["id"])
         table.write(spark.range(5), mode="overwrite")  # v0 files now orphan-able
         table.expire_snapshots(keep_last=1)
-        out = table.vacuum()
+        out = table.vacuum(min_age_seconds=0)
         assert len(out["removed"]) == 1
         assert table.read().count() == 5  # live snapshot untouched
 
@@ -347,14 +347,14 @@ class TestMaintenance:
         table.write(spark.range(5), mode="overwrite")
         table.write(spark.range(5), mode="overwrite")
         table.expire_snapshots(keep_last=1)
-        out = table.vacuum(dry_run=True)
+        out = table.vacuum(dry_run=True, min_age_seconds=0)
         assert len(out["removed"]) == 1
-        assert len(table.vacuum(dry_run=True)["removed"]) == 1  # still there
+        assert len(table.vacuum(dry_run=True, min_age_seconds=0)["removed"]) == 1  # still there
 
     def test_vacuum_respects_time_travel(self, spark, table):
         table.write(spark.range(5), mode="overwrite")
         table.write(spark.range(9), mode="overwrite")
-        out = table.vacuum()  # both snapshots retained → nothing to remove
+        out = table.vacuum(min_age_seconds=0)  # both snapshots retained → nothing to remove
         assert out["removed"] == []
         assert table.read(version=0).count() == 5
 
@@ -368,7 +368,7 @@ class TestCrashWindow:
         # simulate the crash: data files exist, no commit
         table._write_data_files(spark.range(99, 105), [], None)
         assert table.read().count() == 5
-        out = table.vacuum()
+        out = table.vacuum(min_age_seconds=0)
         assert len(out["removed"]) == 1
         assert table.read().count() == 5
 
@@ -488,3 +488,75 @@ class TestMergeRaceAndModel:
                 )
                 model = {k: 777 for k, _ in rows}
             check()
+
+
+class TestReviewRegressions:
+    """Pins for the round-4 self-review findings."""
+
+    def test_delete_keeps_null_predicate_rows(self, spark, table):
+        # three-valued logic: NOT(v='a') is NULL for v IS NULL — those
+        # rows never matched the delete and must survive the rewrite
+        table.write(
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "b")], "id long, v string"
+            ),
+            mode="overwrite",
+        )
+        table.delete_where("v = 'a'")
+        got = sorted((r["id"], r["v"]) for r in table.read().collect())
+        assert got == [(2, None), (3, "b")]
+
+    def test_object_store_scheme_refused(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="commit coordinator"):
+            SnapTable(spark, "s3a://bucket/tbl")
+        # atomic-rename schemes pass the guard
+        SnapTable(spark, str(tmp_path / "ok"))
+
+    def test_decimal_stats_not_collected(self, spark, table):
+        # str(Decimal) does not sort numerically → decimal columns are
+        # excluded from stats so they can never mis-prune
+        df = spark.sql(
+            "SELECT id, CAST(id AS DECIMAL(10,2)) AS amount "
+            "FROM range(10)"
+        )
+        table.write(
+            df, mode="overwrite", stats_cols=["id", "amount"]
+        )
+        stats = table.manifest(0)["files"][0]["stats"]
+        assert "id" in stats and "amount" not in stats
+        # and a predicate over the unstatted column stays exact
+        assert table.read(where=[("amount", ">=", 5)]).count() == 5
+
+    def test_vacuum_age_guard_protects_inflight_writer(self, spark, table):
+        table.write(spark.range(3), mode="overwrite")
+        # writer mid-flight: data files written, manifest not committed
+        table._write_data_files(spark.range(50, 55), [], None)
+        out = table.vacuum()  # default 24 h window
+        assert out["removed"] == [] and out["skipped_young"] == 1
+        # past the window the same dir is collectable
+        assert len(table.vacuum(min_age_seconds=0)["removed"]) == 1
+
+    def test_compact_retries_past_racing_append(self, spark, table):
+        for i in range(3):
+            table.write(spark.range(i, i + 1), mode="append")
+        real_commit = SnapTable._try_commit
+        fired = {"n": 0}
+
+        def racing_commit(self_, manifest, version):
+            if manifest["operation"] == "compact" and fired["n"] == 0:
+                fired["n"] += 1
+                SnapTable(spark, self_.path).write(
+                    spark.range(100, 101), mode="append"
+                )
+                self_._manifest_cache.clear()
+            return real_commit(self_, manifest, version)
+
+        try:
+            SnapTable._try_commit = racing_commit
+            out = table.compact(target_file_bytes=1 << 30)
+        finally:
+            SnapTable._try_commit = real_commit
+        assert fired["n"] == 1
+        assert out["compacted"] >= 3
+        ids = sorted(r["id"] for r in table.read().collect())
+        assert ids == [0, 1, 2, 100], "racer's append survives the compact"
