@@ -471,6 +471,92 @@ class SnapTable:
                 df = df.filter(ops[op])
         return df
 
+    def read_changes(
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        on_rewrite: str = "error",
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots — the incremental-consumer
+        primitive (CDC-lite): a downstream job remembers the last
+        version it processed and reads only what arrived since,
+        instead of re-scanning the table.
+
+        Exact for append-only history: each commit's delta is its
+        manifest's file list minus its parent's, so the answer comes
+        from metadata — no diffing of row sets. ``compact`` commits
+        are always skipped (their row set is provably unchanged —
+        they bin-pack existing files). Commits that REWRITE rows
+        (merge / delete / overwrite) have no file-level "what
+        changed" answer; ``on_rewrite`` picks the policy:
+        ``"error"`` (default) raises so the consumer knows its
+        incremental assumption broke, ``"include"`` returns every
+        added file's rows (at-least-once: rewritten survivors appear
+        again), ``"skip"`` ignores those commits (at-most-once).
+
+        The result carries a ``_commit_version`` column so a consumer
+        can checkpoint mid-stream. Requires every version in
+        ``(since, to]`` plus ``since`` itself to still be retained.
+        """
+        if on_rewrite not in ("error", "include", "skip"):
+            raise ValueError('on_rewrite must be "error"/"include"/"skip"')
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snaptable at {self.path!r}")
+        to_version = vs[-1] if to_version is None else to_version
+        if since_version not in vs or to_version not in vs:
+            raise ValueError(
+                f"read_changes needs retained endpoints; have {vs}, "
+                f"asked ({since_version}, {to_version}]"
+            )
+        window = [v for v in vs if since_version < v <= to_version]
+        # linear history: each commit's parent is the previous version,
+        # so a single pass tracks the previous file set
+        prev_paths = {f["path"] for f in self.manifest(since_version)["files"]}
+        frames: list[DataFrame] = []
+        for v in window:
+            m = self.manifest(v)
+            if m["parent"] not in vs and m["parent"] != since_version:
+                raise ValueError(
+                    f"snapshot {v}'s parent {m['parent']} is expired; "
+                    f"cannot attribute its delta"
+                )
+            cur_paths = {f["path"] for f in m["files"]}
+            added = [f for f in m["files"] if f["path"] not in prev_paths]
+            prev_paths = cur_paths
+            if m["operation"] == "compact":
+                continue
+            if m["operation"] not in ("append",):
+                if on_rewrite == "error":
+                    raise ValueError(
+                        f"snapshot {v} is a {m['operation']!r} — its "
+                        f"file delta is not an append delta; pass "
+                        f'on_rewrite="include" or "skip" to choose a '
+                        f"policy"
+                    )
+                if on_rewrite == "skip":
+                    continue
+            if not added:
+                continue
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            frames.append(
+                self.spark.read.format(self.fmt)
+                .schema(schema)
+                .load([join_path(self.path, f["path"]) for f in added])
+                .withColumn("_commit_version", F.lit(v))
+            )
+        if not frames:
+            schema = StructType.fromJson(
+                json.loads(self.manifest(to_version)["schema"])
+            )
+            return self.spark.createDataFrame([], schema).withColumn(
+                "_commit_version", F.lit(0).cast("int")
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def pruned_file_count(
         self, where: list[tuple[str, str, object]], version: int | None = None
     ) -> tuple[int, int]:

@@ -560,3 +560,68 @@ class TestReviewRegressions:
         assert out["compacted"] >= 3
         ids = sorted(r["id"] for r in table.read().collect())
         assert ids == [0, 1, 2, 100], "racer's append survives the compact"
+
+
+class TestReadChanges:
+    def test_append_deltas_exact(self, spark, table):
+        table.write(spark.range(3), mode="overwrite")
+        table.write(spark.range(10, 13), mode="append")
+        table.write(spark.range(20, 22), mode="append")
+        ch = table.read_changes(0)
+        got = sorted(
+            (r["id"], r["_commit_version"]) for r in ch.collect()
+        )
+        assert got == [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2)]
+        # windowed read
+        assert sorted(
+            r["id"] for r in table.read_changes(0, to_version=1).collect()
+        ) == [10, 11, 12]
+        assert table.read_changes(2).count() == 0
+
+    def test_compact_in_range_is_transparent(self, spark, table):
+        table.write(spark.range(2), mode="overwrite")
+        table.write(spark.range(10, 12), mode="append")
+        table.compact(target_file_bytes=1 << 30)
+        table.write(spark.range(20, 21), mode="append")
+        got = sorted(r["id"] for r in table.read_changes(0).collect())
+        assert got == [10, 11, 20], "compact adds files but no rows"
+
+    def test_rewrite_in_range_policies(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            mode="overwrite",
+            cluster_by=["k"],
+        )
+        table.merge(
+            spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string"),
+            ["k"],
+        )
+        with pytest.raises(ValueError, match="not an append delta"):
+            table.read_changes(0)
+        inc = {r["k"]: r["v"] for r in
+               table.read_changes(0, on_rewrite="include").collect()}
+        assert inc == {1: "A", 2: "b"}  # at-least-once: survivor re-appears
+        assert table.read_changes(0, on_rewrite="skip").count() == 0
+
+    def test_schema_evolution_across_deltas(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1,)], "id long"), mode="overwrite"
+        )
+        table.write(
+            spark.createDataFrame([(2,)], "id long"), mode="append"
+        )
+        table.write(
+            spark.createDataFrame([(3, "x")], "id long, tag string"),
+            mode="append",
+        )
+        got = sorted(
+            (r["id"], r["tag"]) for r in table.read_changes(0).collect()
+        )
+        assert got == [(2, None), (3, "x")]
+
+    def test_expired_window_refused(self, spark, table):
+        for i in range(4):
+            table.write(spark.range(i, i + 1), mode="append")
+        table.expire_snapshots(keep_last=2)
+        with pytest.raises(ValueError, match="retained endpoints"):
+            table.read_changes(0)
