@@ -247,12 +247,56 @@ class SnapTable:
 
     # ----------------------------------------------------- write path
 
+    _Z_BITS = 16  # per-dimension resolution of the z-curve
+
+    def _zorder_value(self, df: DataFrame, cols: list[str]) -> Column:
+        """Bit-interleaved z-curve value over numeric columns — pure
+        JVM expressions (shift/or over min-max-scaled ints), one
+        min/max agg job for the scaling bounds. Files clustered on
+        this value cover a compact HYPER-RECTANGLE, so per-file
+        min/max stats prune on EVERY z-ordered column, where
+        lexicographic range-clustering prunes only the first."""
+        bounds = df.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in cols],
+        ).collect()[0]
+        scaled = []
+        top = (1 << self._Z_BITS) - 1
+        for c in cols:
+            lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+            if lo is None or hi is None or float(hi) == float(lo):
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+                float(hi) - float(lo)
+            )
+            scaled.append(
+                F.least(
+                    F.lit(top),
+                    F.greatest(
+                        F.lit(0), F.floor(frac * F.lit(top + 1)).cast("long")
+                    ),
+                )
+            )
+        z = F.lit(0).cast("long")
+        n = len(cols)
+        for bit in range(self._Z_BITS):
+            for j, s in enumerate(scaled):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(s, bit).bitwiseAND(F.lit(1)),
+                        bit * n + j,
+                    )
+                )
+        return z
+
     def _write_data_files(
         self,
         df: DataFrame,
         stats_cols: list[str],
         cluster_by: list[str] | None,
         target_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> list[dict]:
         """Write ``df`` under a fresh ``data/txn-<token>/`` dir and
         return manifest file entries (path, rows, bytes, stats). One
@@ -263,7 +307,15 @@ class SnapTable:
         txn_rel = posixpath.join(_DATA_DIR, token)
         txn_dir = join_path(self.path, txn_rel)
         out = df
-        if cluster_by:
+        if zorder_by:
+            z = self._zorder_value(df, zorder_by)
+            out = df.withColumn("_z", z)
+            if target_files:
+                out = out.repartitionByRange(target_files, "_z")
+            else:
+                out = out.repartitionByRange("_z")
+            out = out.sortWithinPartitions("_z").drop("_z")
+        elif cluster_by:
             # range-cluster so each file owns a narrow key range →
             # tight min/max → merge touches few files. This is the
             # sort-based cousin of Delta OPTIMIZE ZORDER for 1 key.
@@ -347,6 +399,7 @@ class SnapTable:
         stats_cols: list[str] | None = None,
         cluster_by: list[str] | None = None,
         target_files: int | None = None,
+        zorder_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         max_retries: int = 5,
         _operation: str | None = None,
@@ -356,7 +409,11 @@ class SnapTable:
         ``mode="append"`` adds files to the current snapshot;
         ``mode="overwrite"`` replaces the file list. ``stats_cols``
         selects the columns whose per-file min/max go into the
-        manifest (defaults to ``cluster_by``). ``txn=(app_id,
+        manifest (defaults to ``cluster_by``/``zorder_by``).
+        ``cluster_by`` range-clusters on the column list
+        (lexicographic — prunes on the leading column);
+        ``zorder_by`` interleaves numeric columns on a z-curve so
+        file stats prune on EVERY listed dimension. ``txn=(app_id,
         batch_id)`` records an idempotence ledger entry — a later
         write with the same app_id and batch_id ≤ ledger is skipped.
 
@@ -366,7 +423,7 @@ class SnapTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError('snaptable write mode must be "append"/"overwrite"')
-        stats_cols = list(stats_cols or cluster_by or [])
+        stats_cols = list(stats_cols or cluster_by or zorder_by or [])
         entries = None
         for _ in range(max_retries):
             cur = self.current_version()
@@ -381,7 +438,7 @@ class SnapTable:
                     }
             if entries is None:
                 entries = self._write_data_files(
-                    df, stats_cols, cluster_by, target_files
+                    df, stats_cols, cluster_by, target_files, zorder_by
                 )
             if base is None or mode == "overwrite":
                 files = list(entries)
@@ -470,6 +527,14 @@ class SnapTable:
                 }
                 df = df.filter(ops[op])
         return df
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact row count from manifest metadata — zero data files
+        touched. Sound because data files are immutable and every
+        commit records per-file row counts at write time (the same
+        reason Delta can answer COUNT(*) from its log)."""
+        m = self._resolve(version)
+        return sum(f.get("rows", 0) for f in m["files"])
 
     def read_changes(
         self,

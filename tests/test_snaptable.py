@@ -625,3 +625,61 @@ class TestReadChanges:
         table.expire_snapshots(keep_last=2)
         with pytest.raises(ValueError, match="retained endpoints"):
             table.read_changes(0)
+
+
+class TestZOrder:
+    def test_zorder_prunes_on_every_dimension(self, spark, table, tmp_path):
+        # 100x100 grid; 16 files. Lexicographic clustering on (x, y)
+        # prunes only on x; the z-curve prunes on BOTH dimensions.
+        grid = spark.range(10_000).select(
+            (F.col("id") % 100).alias("x"),
+            (F.col("id") / 100).cast("long").alias("y"),
+        )
+        table.write(
+            grid, mode="overwrite", zorder_by=["x", "y"], target_files=16
+        )
+        for col in ("x", "y"):
+            kept, total = table.pruned_file_count(
+                [(col, ">=", 10), (col, "<", 15)]
+            )
+            assert total == 16
+            assert kept < total, f"z-order failed to prune on {col}"
+        # exactness of the pruned read
+        got = table.read(
+            where=[("x", ">=", 10), ("x", "<", 12), ("y", "=", 50)]
+        )
+        assert sorted((r["x"], r["y"]) for r in got.collect()) == [
+            (10, 50), (11, 50),
+        ]
+
+        lex = SnapTable(spark, str(tmp_path / "lex"))
+        lex.write(
+            grid, mode="overwrite", cluster_by=["x", "y"], target_files=16
+        )
+        kept_x, _ = lex.pruned_file_count([("x", ">=", 10), ("x", "<", 15)])
+        kept_y, total = lex.pruned_file_count([("y", ">=", 10), ("y", "<", 15)])
+        assert kept_x < total
+        assert kept_y == total, (
+            "lexicographic clustering cannot prune the trailing dim — "
+            "this is the gap z-order closes"
+        )
+
+    def test_zorder_constant_and_null_columns_safe(self, spark, table):
+        df = spark.range(100).select(
+            F.lit(7).cast("long").alias("c"),
+            F.col("id").alias("x"),
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("maybe"),
+        )
+        table.write(df, mode="overwrite", zorder_by=["c", "x", "maybe"])
+        assert table.read().count() == 100
+
+
+class TestMetadataCount:
+    def test_count_rows_matches_scan(self, spark, table):
+        table.write(spark.range(123), mode="overwrite")
+        table.write(spark.range(7), mode="append")
+        assert table.count_rows() == 130 == table.read().count()
+        assert table.count_rows(version=0) == 123
+        table.delete_where("id < 10")
+        # removes ids 0-9 from the base AND all 7 appended rows
+        assert table.count_rows() == table.read().count() == 113
