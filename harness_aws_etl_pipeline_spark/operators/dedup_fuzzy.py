@@ -119,7 +119,14 @@ def hashed_shingle_sets(
                 }
                 out_ids.append(doc_id)
                 out_sh.append(list(seen))
-            yield pd.DataFrame({"doc_id": out_ids, "shingles": out_sh})
+            # object dtype: an all-short batch yields empty columns,
+            # and pandas' float64 default breaks the array<long> cast
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="object"),
+                    "shingles": pd.Series(out_sh, dtype="object"),
+                }
+            )
 
     return src.mapInPandas(
         _shingle, f"doc_id {id_type}, shingles array<long>"
@@ -261,7 +268,16 @@ def minhash_signatures(
                     sig = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
                     out_ids.append(doc_id)
                     out_sig.append(sig.astype(np.int64).tolist())
-                yield pd.DataFrame({"doc_id": out_ids, "signature": out_sig})
+                # explicit object dtype: a batch whose docs are ALL
+                # shorter than n yields an empty frame, and pandas'
+                # default float64 empty columns break Arrow's
+                # list<long> conversion even at length 0
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_ids, dtype="object"),
+                        "signature": pd.Series(out_sig, dtype="object"),
+                    }
+                )
 
     def _sig_md5(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hashlib import md5
@@ -285,7 +301,12 @@ def minhash_signatures(
                 ]
                 out_ids.append(doc_id)
                 out_sig.append(sig)
-            yield pd.DataFrame({"doc_id": out_ids, "signature": out_sig})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="object"),
+                    "signature": pd.Series(out_sig, dtype="object"),
+                }
+            )
 
     if hash_fn == "md5":
         return src.mapInPandas(
@@ -390,6 +411,47 @@ def minhash_dedup_pairs(
     )
 
 
+def banded_buckets(
+    sig: DataFrame, out_id: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(out_id, band, bucket) rows — one per (doc, band), bucket =
+    xxhash64 of the band's signature components. The 16-byte shuffle
+    key every LSH join in this module blocks on."""
+    return sig.select(
+        F.col("doc_id").alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def cap_buckets(b: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop rows in degenerate buckets (> max occupancy). No n > 1
+    floor — in a CROSS-corpus join a singleton bucket still pairs
+    with the other side's occupants (the self-join candidate path
+    applies its own floor separately)."""
+    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return b.join(
+        sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+
 def minhash_join(
     left: DataFrame,
     right: DataFrame,
@@ -427,38 +489,10 @@ def minhash_join(
         minhash_signatures(right, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
     )
 
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        return sig.select(
-            F.col("doc_id").alias(out_id),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col("signature")[i * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bucket"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    def capped(b: DataFrame) -> DataFrame:
-        # no n > 1 floor (unlike the self-join): a singleton bucket
-        # still pairs with the OTHER side's occupants
-        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-        return b.join(
-            sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket"),
-            ["band", "bucket"],
-        )
-
-    bl = capped(banded(sig_l, "left_id"))
-    br = capped(banded(sig_r, "right_id"))
+    bl = cap_buckets(banded_buckets(sig_l, "left_id", bands, rows_per_band),
+                     max_bucket_size)
+    br = cap_buckets(banded_buckets(sig_r, "right_id", bands, rows_per_band),
+                     max_bucket_size)
     cands = (
         bl.join(br, ["band", "bucket"])
         .select("left_id", "right_id")

@@ -1,0 +1,261 @@
+"""Incremental near-dup deduplication against a growing corpus.
+
+The batch operators in :mod:`dedup_fuzzy` answer "which documents in
+THIS dataset are near-duplicates of each other". A production
+training-data pipeline asks a different question every day: "which of
+today's documents duplicate anything we have EVER accepted" — and
+re-running the self-join over the whole corpus per batch is O(corpus)
+when the new work is O(batch).
+
+:class:`IncrementalDeduper` makes the corpus state explicit and
+cheap:
+
+* **State = MinHash signatures only**, kept in a
+  :class:`~harness_aws_etl_pipeline_spark.sinks.snaptable.SnapTable`
+  (``doc_id, signature array<long>``). At 64 hashes that is ~0.5 KB
+  per document regardless of document size — a 1B-doc corpus carries
+  ~0.5 TB of state, scanned column-pruned and joined bucket-blocked,
+  while the raw 100 TB of text is never re-read.
+* **Per batch**: one Arrow pass computes the batch's signatures;
+  LSH banding blocks batch×batch (internal dups) and batch×state
+  (dups against everything accepted so far); estimated Jaccard
+  verifies candidates; connected components pick one canonical per
+  internal cluster. Cost is O(batch + touched buckets), not
+  O(corpus).
+* **Survivors' signatures are APPENDED to the state table** in one
+  atomic snapshot commit carrying the batch's ``(app_id, batch_id)``
+  ledger entry — a replayed batch (foreachBatch retry, rerun job) is
+  detected and skipped BEFORE any recompute, so the state never
+  double-counts and downstream sees exactly-once acceptance.
+
+The reference has no incremental path at all (every run re-reads its
+input prefix, ``etl/extractor.py``); this is the [EXT] scale design
+that makes the fuzzy-dedup family usable as a daily pipeline rather
+than a one-shot audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+    _SIG_MEMO,
+    banded_buckets,
+    cap_buckets,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    near_dup_clusters,
+)
+from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+__all__ = ["IncrementalDeduper"]
+
+
+def _est_jaccard(num_hashes: int):
+    return (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / F.lit(num_hashes)
+    )
+
+
+class IncrementalDeduper:
+    """Near-dup gatekeeper for an append-only corpus.
+
+    ``process_batch(docs)`` returns which documents to accept and the
+    duplicate evidence, and commits the accepted signatures to the
+    state table. All knobs (shingle ``n``, ``num_hashes``, ``bands``,
+    ``threshold``, ``max_bucket_size``, ``hash_fn``) are fixed at
+    construction — signatures in the state are only comparable when
+    every batch used the same family.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        n: int = 5,
+        num_hashes: int = 64,
+        bands: int = 16,
+        threshold: float = 0.5,
+        max_bucket_size: int = 1000,
+        hash_fn: str = "blake2b",
+    ):
+        if num_hashes % bands:
+            raise ValueError("num_hashes must divide evenly into bands")
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.threshold = threshold
+        self.max_bucket_size = max_bucket_size
+        self.hash_fn = hash_fn
+
+    # ------------------------------------------------------------------
+
+    def _already_processed(self, txn: tuple[str, int] | None) -> bool:
+        if txn is None:
+            return False
+        cur = self.table.current_version()
+        if cur is None:
+            return False
+        last = (self.table.manifest(cur).get("txns") or {}).get(txn[0])
+        return last is not None and txn[1] <= last
+
+    def state_signatures(self) -> DataFrame | None:
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def process_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Dedup ``docs`` against itself and the accepted corpus.
+
+        Returns::
+
+            {"accepted_ids":    DataFrame[doc_id]     # commit these
+             "dups_vs_state":   DataFrame[doc_id, state_id, est_jaccard]
+             "dups_in_batch":   DataFrame[doc_id, kept_id, est_jaccard]
+             "unsigned_ids":    DataFrame[doc_id]     # < n tokens, no
+                                                      # signature — pass
+                                                      # through unchecked
+             "state_version":   int, "skipped": bool}
+
+        Acceptance rule: a document is accepted unless it matches the
+        state (``dups_vs_state``) or loses its internal cluster
+        (every cluster keeps its MIN doc_id — deterministic, so a
+        replayed batch reproduces the same survivors). Accepted
+        signatures are appended in ONE snapshot commit with the
+        ``txn`` ledger entry; a replayed ``txn`` short-circuits
+        before any Spark job runs.
+        """
+        if self._already_processed(txn):
+            return {
+                "accepted_ids": None,
+                "dups_vs_state": None,
+                "dups_in_batch": None,
+                "unsigned_ids": None,
+                "state_version": self.table.current_version(),
+                "skipped": True,
+            }
+        src = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        sigs = _SIG_MEMO.get_or_persist(
+            minhash_signatures(
+                src, "doc_id", "text", self.n, self.num_hashes,
+                hash_fn=self.hash_fn,
+            )
+        )
+        # docs too short to shingle have no signature: they can never
+        # match anything, so they bypass the gate (surfaced for the
+        # caller to route — usually straight to quality filtering)
+        unsigned = src.select("doc_id").join(
+            sigs.select("doc_id"), "doc_id", "left_anti"
+        )
+
+        # --- batch-internal near-dups -------------------------------
+        internal_pairs = minhash_lsh_candidates(
+            sigs, self.bands, self.rows_per_band, self.max_bucket_size
+        )
+        sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+        internal = (
+            internal_pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("est_jaccard", _est_jaccard(self.num_hashes))
+            .filter(F.col("est_jaccard") >= self.threshold)
+            .select("doc_a", "doc_b", "est_jaccard")
+        )
+        clusters = near_dup_clusters(internal.select("doc_a", "doc_b"))
+        keepers = clusters.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("kept_id")
+        )
+        internal_losers = (
+            clusters.join(keepers, "cluster_id")
+            .filter(F.col("doc_id") != F.col("kept_id"))
+            .select("doc_id", "kept_id")
+        )
+        # evidence rows: loser → its cluster keeper, with the pair's
+        # jaccard when the direct edge exists (cluster transitivity
+        # can link docs with no direct edge — est_jaccard is null there)
+        edge_j = internal.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("y"), "est_jaccard"
+        ).unionByName(
+            internal.select(
+                F.col("doc_b").alias("x"), F.col("doc_a").alias("y"), "est_jaccard"
+            )
+        )
+        dups_in_batch = internal_losers.join(
+            edge_j,
+            (internal_losers.doc_id == edge_j.x)
+            & (internal_losers.kept_id == edge_j.y),
+            "left",
+        ).select("doc_id", "kept_id", "est_jaccard")
+
+        # --- batch × accepted-corpus near-dups ----------------------
+        state = self.state_signatures()
+        if state is not None:
+            bl = cap_buckets(
+                banded_buckets(sigs, "batch_id_", self.bands, self.rows_per_band),
+                self.max_bucket_size,
+            )
+            br = cap_buckets(
+                banded_buckets(state, "state_id", self.bands, self.rows_per_band),
+                self.max_bucket_size,
+            )
+            cands = (
+                bl.join(br, ["band", "bucket"])
+                .select("batch_id_", "state_id")
+                .distinct()
+            )
+            st = state.select(
+                F.col("doc_id").alias("state_id"), F.col("signature").alias("sig_b")
+            )
+            ba = sigs.select(
+                F.col("doc_id").alias("batch_id_"), F.col("signature").alias("sig_a")
+            )
+            dups_vs_state = (
+                cands.join(ba, "batch_id_")
+                .join(st, "state_id")
+                .withColumn("est_jaccard", _est_jaccard(self.num_hashes))
+                .filter(F.col("est_jaccard") >= self.threshold)
+                .select(
+                    F.col("batch_id_").alias("doc_id"), "state_id", "est_jaccard"
+                )
+            )
+        else:
+            id_type = sigs.schema["doc_id"].dataType.simpleString()
+            dups_vs_state = self.spark.createDataFrame(
+                [],
+                f"doc_id {id_type}, state_id {id_type}, est_jaccard double",
+            )
+
+        drop = (
+            internal_losers.select("doc_id")
+            .unionByName(dups_vs_state.select("doc_id"))
+            .distinct()
+        )
+        accepted_sigs = sigs.join(drop, "doc_id", "left_anti")
+        out = self.table.write(
+            accepted_sigs,
+            mode="append",
+            txn=txn,
+        )
+        return {
+            "accepted_ids": accepted_sigs.select("doc_id"),
+            "dups_vs_state": dups_vs_state,
+            "dups_in_batch": dups_in_batch,
+            "unsigned_ids": unsigned,
+            "state_version": out["version"],
+            "skipped": False,
+        }

@@ -820,7 +820,16 @@ def sample_frames(
                         frames.append(
                             payload[i * every_n_bytes : (i + 1) * every_n_bytes]
                         )
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+            # object dtype: an all-null-payload batch yields empty
+            # columns, and pandas' float64 default can't Arrow-cast
+            # to the binary frame field
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="object"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
 
     return df.mapInPandas(_sample, FRAME_SCHEMA)
 

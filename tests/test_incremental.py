@@ -1,0 +1,148 @@
+"""Incremental corpus dedup: batch-vs-state LSH gatekeeping with
+snapshot-table signature state and exactly-once batch commits."""
+
+from __future__ import annotations
+
+import pytest
+
+from harness_aws_etl_pipeline_spark.operators.incremental import (
+    IncrementalDeduper,
+)
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "in spain stays mainly in the plain and every good boy does fine "
+)
+OTHER = (
+    "completely different content about spark catalyst optimizer "
+    "rules and adaptive query execution planning with shuffle "
+    "partition coalescing and broadcast join thresholds tuned well "
+)
+THIRD = (
+    "a third unrelated passage mentions minhash signatures locality "
+    "sensitive hashing banding buckets jaccard similarity estimation "
+    "and connected components over candidate duplicate pairs today "
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture
+def dd(spark, tmp_path):
+    return IncrementalDeduper(
+        spark, str(tmp_path / "state"), threshold=0.5
+    )
+
+
+class TestIncrementalDedup:
+    def test_first_batch_all_accepted(self, spark, dd):
+        out = dd.process_batch(
+            _docs(spark, [(1, LOREM), (2, OTHER)])
+        )
+        assert sorted(
+            r["doc_id"] for r in out["accepted_ids"].collect()
+        ) == [1, 2]
+        assert out["dups_vs_state"].count() == 0
+        assert out["skipped"] is False
+        assert dd.table.count_rows() == 2
+
+    def test_cross_batch_dup_detected_and_rejected(self, spark, dd):
+        dd.process_batch(_docs(spark, [(1, LOREM), (2, OTHER)]))
+        # batch 2: near-copy of doc 1 (one word changed), plus new doc
+        near = LOREM.replace("lazy", "sleepy")
+        out = dd.process_batch(_docs(spark, [(10, near), (11, THIRD)]))
+        assert [r["doc_id"] for r in out["accepted_ids"].collect()] == [11]
+        dups = out["dups_vs_state"].collect()
+        assert len(dups) == 1
+        assert (dups[0]["doc_id"], dups[0]["state_id"]) == (10, 1)
+        assert dups[0]["est_jaccard"] >= 0.5
+        # state took only the survivor
+        assert dd.table.count_rows() == 3
+
+    def test_batch_internal_dup_keeps_min_id(self, spark, dd):
+        out = dd.process_batch(
+            _docs(spark, [(5, LOREM), (3, LOREM), (7, OTHER)])
+        )
+        assert sorted(
+            r["doc_id"] for r in out["accepted_ids"].collect()
+        ) == [3, 7]
+        losers = {
+            r["doc_id"]: r["kept_id"] for r in out["dups_in_batch"].collect()
+        }
+        assert losers == {5: 3}
+
+    def test_short_docs_bypass_unsigned(self, spark, dd):
+        out = dd.process_batch(
+            _docs(spark, [(1, LOREM), (2, "too short")])
+        )
+        assert [r["doc_id"] for r in out["unsigned_ids"].collect()] == [2]
+        assert [r["doc_id"] for r in out["accepted_ids"].collect()] == [1]
+        assert dd.table.count_rows() == 1
+
+    def test_replayed_batch_short_circuits(self, spark, dd):
+        dd.process_batch(
+            _docs(spark, [(1, LOREM)]), txn=("appX", 0)
+        )
+        out = dd.process_batch(
+            _docs(spark, [(1, LOREM)]), txn=("appX", 0)
+        )
+        assert out["skipped"] is True
+        assert dd.table.count_rows() == 1
+        # and the version did not advance
+        assert out["state_version"] == 0
+
+    def test_three_batches_growing_state(self, spark, dd):
+        dd.process_batch(_docs(spark, [(1, LOREM)]), txn=("a", 0))
+        dd.process_batch(_docs(spark, [(2, OTHER)]), txn=("a", 1))
+        near3 = THIRD.replace("today", "tomorrow")
+        dd.process_batch(_docs(spark, [(3, THIRD)]), txn=("a", 2))
+        out = dd.process_batch(
+            _docs(spark, [(9, near3), (10, LOREM + OTHER)]), txn=("a", 3)
+        )
+        dups = {r["doc_id"]: r["state_id"] for r in out["dups_vs_state"].collect()}
+        assert dups == {9: 3}, "dup found against a THREE-batch-old state"
+        assert dd.table.count_rows() == 4
+        # the evidence trail survives in table history
+        assert [h["operation"] for h in dd.table.history()][-1] == "append"
+
+    def test_bad_band_config_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="divide evenly"):
+            IncrementalDeduper(
+                spark, str(tmp_path / "x"), num_hashes=64, bands=7
+            )
+
+
+class TestEmptyBatchDtypes:
+    """Regression pins for the all-rows-skipped Arrow dtype bug: a
+    mapInPandas batch that drops every row must still yield
+    schema-compatible (object-dtyped) empty columns."""
+
+    def test_all_short_docs_partition(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            hashed_shingle_sets,
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "tiny") for i in range(8)], "doc_id long, text string"
+        ).repartition(4)
+        assert minhash_signatures(docs).count() == 0
+        assert minhash_signatures(docs, hash_fn="md5").count() == 0
+        # shingle sets keep short docs as empty-set rows (by design) —
+        # the hazard is only the Arrow cast, which this exercises too
+        sh = hashed_shingle_sets(docs)
+        assert sh.count() == 8
+        assert sh.filter("set_size != 0").count() == 0
+
+    def test_all_null_payload_frames(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "video/ppm-seq", None), (2, "video/ppm-seq", None)],
+            "media_id long, modality string, payload binary",
+        ).repartition(2)
+        assert sample_frames(df, decode=True).count() == 0
