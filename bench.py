@@ -125,6 +125,59 @@ def _bench_snaptable_merge(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_incremental_dedup(spark, sf_dir: str) -> dict:
+    """Incremental-dedup leg — NOT a catalog entry. Seeds the
+    signature state with 99% of the documents table, then gates the
+    daily-1% batch through IncrementalDeduper.process_batch, with the
+    full corpus self-join (what a non-incremental pipeline pays every
+    day) alongside. At sf0.1 both are dominated by fixed per-job
+    overhead (~15 small jobs for the batch path); the scale claim —
+    batch cost stays FLAT as the corpus grows 10x while the self-join
+    grows with the corpus — is measured by
+    test_scale_stress.py::test_incremental_dedup_flat_in_corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        minhash_dedup_pairs,
+    )
+    from harness_aws_etl_pipeline_spark.operators.incremental import (
+        IncrementalDeduper,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_incdd_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.filter(F.col("doc_id") % 100 != 0)
+        batch = docs.filter(F.col("doc_id") % 100 == 0)  # the daily 1%
+        dd = IncrementalDeduper(spark, f"{tmp}/state", threshold=0.5)
+        start = time.perf_counter()
+        dd.process_batch(corpus, txn=("bench", 0))
+        seed_s = time.perf_counter() - start
+        start = time.perf_counter()
+        out = dd.process_batch(batch, txn=("bench", 1))
+        accepted = out["accepted_ids"].count()
+        dups = out["dups_vs_state"].count()
+        batch_s = time.perf_counter() - start
+        # the non-incremental alternative: full self-join every run
+        start = time.perf_counter()
+        minhash_dedup_pairs(docs).count()
+        full_s = time.perf_counter() - start
+        return {
+            "seed_s": round(seed_s, 3),
+            "batch_s": round(batch_s, 3),
+            "full_selfjoin_s": round(full_s, 3),
+            "batch_accepted": accepted,
+            "batch_dups_vs_state": dups,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -186,6 +239,13 @@ def main() -> None:
         snap = {"error": str(exc)[:500]}
     print(f"# snaptable: {snap}", file=sys.stderr)
 
+    # incremental-dedup demonstration leg — also outside "queries"
+    try:
+        incdd = _bench_incremental_dedup(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        incdd = {"error": str(exc)[:500]}
+    print(f"# incremental_dedup: {incdd}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -199,6 +259,7 @@ def main() -> None:
                 "value_p50": round(sum(p50s.values()), 3),
                 "bucketed": bucketed,
                 "snaptable": snap,
+                "incremental_dedup": incdd,
                 "sf": sf_val,
             }
         )

@@ -175,6 +175,12 @@ class IncrementalDeduper:
             .withColumn("est_jaccard", _est_jaccard(self.num_hashes))
             .filter(F.col("est_jaccard") >= self.threshold)
             .select("doc_a", "doc_b", "est_jaccard")
+            # evidence sets are near-dup EDGES — tiny relative to the
+            # batch — and every downstream consumer (clusters, the
+            # accept anti-join, the state write, caller counts) walks
+            # them; one eager materialization stops the LSH join from
+            # re-running per consumer
+            .localCheckpoint(eager=True)
         )
         clusters = near_dup_clusters(internal.select("doc_a", "doc_b"))
         keepers = clusters.groupBy("cluster_id").agg(
@@ -232,6 +238,7 @@ class IncrementalDeduper:
                 .select(
                     F.col("batch_id_").alias("doc_id"), "state_id", "est_jaccard"
                 )
+                .localCheckpoint(eager=True)
             )
         else:
             id_type = sigs.schema["doc_id"].dataType.simpleString()
