@@ -49,7 +49,7 @@ from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
 )
 from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 
-__all__ = ["IncrementalDeduper"]
+__all__ = ["IncrementalDeduper", "IncrementalEmbeddingDeduper"]
 
 
 def _est_jaccard(num_hashes: int):
@@ -263,6 +263,140 @@ class IncrementalDeduper:
             "dups_vs_state": dups_vs_state,
             "dups_in_batch": dups_in_batch,
             "unsigned_ids": unsigned,
+            "state_version": out["version"],
+            "skipped": False,
+        }
+
+
+class IncrementalEmbeddingDeduper:
+    """Vector-space twin of :class:`IncrementalDeduper`: gates each
+    batch of embeddings against every vector ever accepted.
+
+    State = the accepted ``(vec_id, embedding)`` rows themselves — at
+    768 float32 dims that is ~3 KB/vector, and unlike text there is
+    no cheaper sufficient statistic: exact-cosine verification needs
+    the vector. Blocking reuses the seeded sign-LSH from
+    :func:`similarity.embedding_join` (identical hyperplanes across
+    batches by construction — the hash family is a pure function of
+    the seed), so each batch pays one Arrow bucket pass over the
+    batch plus a capped (table, bucket) join against the state.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        threshold: float = 0.9,
+        dim: int | None = None,
+        num_tables: int = 6,
+        bits: int = 10,
+        max_bucket_size: int = 2000,
+    ):
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.threshold = threshold
+        self.dim = dim
+        self.num_tables = num_tables
+        self.bits = bits
+        self.max_bucket_size = max_bucket_size
+
+    def _already_processed(self, txn: tuple[str, int] | None) -> bool:
+        if txn is None:
+            return False
+        cur = self.table.current_version()
+        if cur is None:
+            return False
+        last = (self.table.manifest(cur).get("txns") or {}).get(txn[0])
+        return last is not None and txn[1] <= last
+
+    def process_batch(
+        self,
+        vecs: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Same contract as :meth:`IncrementalDeduper.process_batch`,
+        with cosine ≥ threshold as the duplicate criterion (6dp-rounded,
+        matching :func:`similarity.embedding_near_dup_pairs`)."""
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            embedding_join,
+            embedding_near_dup_pairs,
+        )
+
+        if self._already_processed(txn):
+            return {
+                "accepted_ids": None,
+                "dups_vs_state": None,
+                "dups_in_batch": None,
+                "state_version": self.table.current_version(),
+                "skipped": True,
+            }
+        src = vecs.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        internal = embedding_near_dup_pairs(
+            src,
+            threshold=self.threshold,
+            dim=self.dim,
+            num_tables=self.num_tables,
+            bits=self.bits,
+            max_bucket_size=self.max_bucket_size,
+        ).localCheckpoint(eager=True)
+        clusters = near_dup_clusters(
+            internal.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
+        keepers = clusters.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("kept_id")
+        )
+        internal_losers = (
+            clusters.join(keepers, "cluster_id")
+            .filter(F.col("doc_id") != F.col("kept_id"))
+            .select(F.col("doc_id").alias("vec_id"), "kept_id")
+        )
+
+        state = (
+            self.table.read()
+            if self.table.current_version() is not None
+            else None
+        )
+        if state is not None:
+            dups_vs_state = (
+                embedding_join(
+                    src,
+                    state,
+                    threshold=self.threshold,
+                    dim=self.dim,
+                    num_tables=self.num_tables,
+                    bits=self.bits,
+                    max_bucket_size=self.max_bucket_size,
+                )
+                .select(
+                    F.col("left_id").alias("vec_id"),
+                    F.col("right_id").alias("state_id"),
+                    "cosine",
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            id_type = src.schema["vec_id"].dataType.simpleString()
+            dups_vs_state = self.spark.createDataFrame(
+                [], f"vec_id {id_type}, state_id {id_type}, cosine double"
+            )
+
+        drop = (
+            internal_losers.select("vec_id")
+            .unionByName(dups_vs_state.select("vec_id"))
+            .distinct()
+        )
+        accepted = src.join(drop, "vec_id", "left_anti")
+        out = self.table.write(accepted, mode="append", txn=txn)
+        return {
+            "accepted_ids": accepted.select("vec_id"),
+            "dups_vs_state": dups_vs_state,
+            "dups_in_batch": internal_losers,
             "state_version": out["version"],
             "skipped": False,
         }

@@ -146,3 +146,53 @@ class TestEmptyBatchDtypes:
             "media_id long, modality string, payload binary",
         ).repartition(2)
         assert sample_frames(df, decode=True).count() == 0
+
+
+class TestIncrementalEmbeddingDedup:
+    @pytest.fixture
+    def ed(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalEmbeddingDeduper,
+        )
+
+        return IncrementalEmbeddingDeduper(
+            spark, str(tmp_path / "estate"), threshold=0.9, dim=8
+        )
+
+    @staticmethod
+    def _vecs(spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_cross_batch_vector_dup(self, spark, ed):
+        v1 = [1.0, 0.0, 0.5, 0.2, 0.0, 0.9, 0.1, 0.3]
+        v2 = [0.0, 1.0, 0.0, 0.8, 0.2, 0.0, 0.7, 0.0]
+        out1 = ed.process_batch(self._vecs(spark, [(1, v1), (2, v2)]))
+        assert sorted(r["vec_id"] for r in out1["accepted_ids"].collect()) == [1, 2]
+        near = [x + 0.001 for x in v1]
+        ortho = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+        out2 = ed.process_batch(self._vecs(spark, [(10, near), (11, ortho)]))
+        assert [r["vec_id"] for r in out2["accepted_ids"].collect()] == [11]
+        dups = out2["dups_vs_state"].collect()
+        assert len(dups) == 1 and dups[0]["state_id"] == 1
+        assert dups[0]["cosine"] >= 0.9
+        assert ed.table.count_rows() == 3
+
+    def test_internal_vector_dup_keeps_min(self, spark, ed):
+        v = [0.3, 0.1, 0.9, 0.0, 0.5, 0.5, 0.2, 0.8]
+        w = [0.9, 0.0, 0.0, 0.1, 0.0, 0.0, 0.8, 0.0]
+        out = ed.process_batch(
+            self._vecs(spark, [(7, v), (4, [x * 2 for x in v]), (9, w)])
+        )
+        # cosine(v, 2v) == 1 → same cluster, min id 4 kept
+        assert sorted(r["vec_id"] for r in out["accepted_ids"].collect()) == [4, 9]
+        losers = {r["vec_id"]: r["kept_id"] for r in out["dups_in_batch"].collect()}
+        assert losers == {7: 4}
+
+    def test_replay_short_circuits(self, spark, ed):
+        v = [1.0] * 8
+        ed.process_batch(self._vecs(spark, [(1, v)]), txn=("e", 0))
+        out = ed.process_batch(self._vecs(spark, [(1, v)]), txn=("e", 0))
+        assert out["skipped"] is True
+        assert ed.table.count_rows() == 1
