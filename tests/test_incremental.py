@@ -196,3 +196,40 @@ class TestIncrementalEmbeddingDedup:
         out = ed.process_batch(self._vecs(spark, [(1, v)]), txn=("e", 0))
         assert out["skipped"] is True
         assert ed.table.count_rows() == 1
+
+
+class TestStreamingGate:
+    def test_foreach_batch_gate_end_to_end(self, spark, tmp_path):
+        """readStream → foreachBatch(process_batch) with AvailableNow:
+        the gate consumes a real micro-batch stream, and re-running
+        the same stream over a fresh checkpoint replays the batch into
+        the txn ledger short-circuit instead of double-counting."""
+        import pyspark.sql.functions as F
+
+        dd = IncrementalDeduper(spark, str(tmp_path / "sstate"))
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, LOREM), (2, OTHER)], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+        def gate(batch_df, batch_id):
+            dd.process_batch(batch_df, txn=("stream-gate", batch_id))
+
+        def run(ckpt):
+            q = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(str(src / "b0"))
+                .writeStream.foreachBatch(gate)
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run("ckpt1")
+        assert dd.table.count_rows() == 2
+        # same data, FRESH checkpoint → same batch_id 0 → ledger skip
+        run("ckpt2")
+        assert dd.table.count_rows() == 2
+        assert dd.table.current_version() == 0
