@@ -52,6 +52,23 @@ from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 __all__ = ["IncrementalDeduper", "IncrementalEmbeddingDeduper"]
 
 
+def _maintain_state(
+    table: SnapTable,
+    target_file_bytes: int,
+    keep_last: int,
+    vacuum_min_age_seconds: float,
+) -> dict:
+    compacted = table.compact(target_file_bytes=target_file_bytes)
+    expired = table.expire_snapshots(keep_last=keep_last)
+    vacuumed = table.vacuum(min_age_seconds=vacuum_min_age_seconds)
+    return {
+        "compacted": compacted.get("compacted", 0),
+        "snapshots_expired": expired["expired"],
+        "dirs_vacuumed": len(vacuumed["removed"]),
+        "version": table.current_version(),
+    }
+
+
 def _est_jaccard(num_hashes: int):
     return (
         F.size(
@@ -110,6 +127,23 @@ class IncrementalDeduper:
         if self.table.current_version() is None:
             return None
         return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        """State housekeeping for a long-running gate: every batch
+        appends one txn directory, so after a year of daily batches
+        the state scan opens ~365 small files. Bin-pack them, keep
+        the last ``keep_last`` snapshots for audit/time-travel, and
+        vacuum what nothing references. Run from the same scheduler
+        slot as the batches (commit races against an in-flight batch
+        retry safely on both sides)."""
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
 
     def process_batch(
         self,
@@ -308,6 +342,17 @@ class IncrementalEmbeddingDeduper:
             return False
         last = (self.table.manifest(cur).get("txns") or {}).get(txn[0])
         return last is not None and txn[1] <= last
+
+    def maintain(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        """Same housekeeping as :meth:`IncrementalDeduper.maintain`."""
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
 
     def process_batch(
         self,

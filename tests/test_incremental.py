@@ -233,3 +233,29 @@ class TestStreamingGate:
         run("ckpt2")
         assert dd.table.count_rows() == 2
         assert dd.table.current_version() == 0
+
+
+class TestMaintain:
+    def test_maintain_compacts_daily_buildup(self, spark, dd):
+        for i in range(6):
+            doc = (i + 1) * 1000
+            text = " ".join(f"w{i}x{j}" for j in range(40))  # distinct/batch
+            dd.process_batch(
+                _docs(spark, [(doc, text)]), txn=("daily", i)
+            )
+        files_before = len(
+            dd.table.manifest(dd.table.current_version())["files"]
+        )
+        assert files_before >= 4, "daily appends must accumulate files"
+        rows_before = dd.table.count_rows()
+        # keep_last=1: the pre-compact snapshot still references every
+        # daily txn dir, so only dropping it frees them for vacuum
+        out = dd.maintain(keep_last=1, vacuum_min_age_seconds=0)
+        assert out["compacted"] == files_before
+        assert out["dirs_vacuumed"] >= 1
+        assert dd.table.count_rows() == rows_before
+        # the ledger survives maintenance: replays still short-circuit
+        replay = dd.process_batch(
+            _docs(spark, [(1000, LOREM)]), txn=("daily", 0)
+        )
+        assert replay["skipped"] is True
