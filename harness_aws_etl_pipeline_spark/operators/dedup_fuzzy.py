@@ -452,6 +452,53 @@ def cap_buckets(b: DataFrame, max_bucket_size: int) -> DataFrame:
     )
 
 
+def minhash_join_signatures(
+    sig_l: DataFrame,
+    sig_r: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH-blocked similarity join over two PRE-COMPUTED signature
+    sets (``doc_id, signature``) — the machinery of
+    :func:`minhash_join` factored out so callers that already hold
+    signatures (the incremental gate's state table) skip the text
+    pass. Returns (left_id, right_id, est_jaccard ≥ threshold)."""
+    bl = cap_buckets(
+        banded_buckets(sig_l, "left_id", bands, rows_per_band), max_bucket_size
+    )
+    br = cap_buckets(
+        banded_buckets(sig_r, "right_id", bands, rows_per_band), max_bucket_size
+    )
+    cands = (
+        bl.join(br, ["band", "bucket"]).select("left_id", "right_id").distinct()
+    )
+    sa = sig_l.select(
+        F.col("doc_id").alias("left_id"), F.col("signature").alias("sig_a")
+    )
+    sb = sig_r.select(
+        F.col("doc_id").alias("right_id"), F.col("signature").alias("sig_b")
+    )
+    return (
+        cands.join(sa, "left_id")
+        .join(sb, "right_id")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("left_id", "right_id", "est_jaccard")
+    )
+
+
 def minhash_join(
     left: DataFrame,
     right: DataFrame,
@@ -481,40 +528,20 @@ def minhash_join(
     throw them away, and its bucket cap would mix both sides'
     occupancy.
     """
-    rows_per_band = num_hashes // bands
     sig_l = _SIG_MEMO.get_or_persist(
         minhash_signatures(left, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
     )
     sig_r = _SIG_MEMO.get_or_persist(
         minhash_signatures(right, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
     )
-
-    bl = cap_buckets(banded_buckets(sig_l, "left_id", bands, rows_per_band),
-                     max_bucket_size)
-    br = cap_buckets(banded_buckets(sig_r, "right_id", bands, rows_per_band),
-                     max_bucket_size)
-    cands = (
-        bl.join(br, ["band", "bucket"])
-        .select("left_id", "right_id")
-        .distinct()
-    )
-    sa = sig_l.select(F.col("doc_id").alias("left_id"), F.col("signature").alias("sig_a"))
-    sb = sig_r.select(F.col("doc_id").alias("right_id"), F.col("signature").alias("sig_b"))
-    return (
-        cands.join(sa, "left_id")
-        .join(sb, "right_id")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda m: m,
-                )
-            ).cast("double")
-            / F.lit(num_hashes),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("left_id", "right_id", "est_jaccard")
+    return minhash_join_signatures(
+        sig_l,
+        sig_r,
+        bands,
+        num_hashes // bands,
+        threshold,
+        num_hashes,
+        max_bucket_size,
     )
 
 

@@ -41,8 +41,7 @@ from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
     _SIG_MEMO,
-    banded_buckets,
-    cap_buckets,
+    minhash_join_signatures,
     minhash_lsh_candidates,
     minhash_signatures,
     near_dup_clusters,
@@ -114,15 +113,6 @@ class IncrementalDeduper:
 
     # ------------------------------------------------------------------
 
-    def _already_processed(self, txn: tuple[str, int] | None) -> bool:
-        if txn is None:
-            return False
-        cur = self.table.current_version()
-        if cur is None:
-            return False
-        last = (self.table.manifest(cur).get("txns") or {}).get(txn[0])
-        return last is not None and txn[1] <= last
-
     def state_signatures(self) -> DataFrame | None:
         if self.table.current_version() is None:
             return None
@@ -172,7 +162,7 @@ class IncrementalDeduper:
         ``txn`` ledger entry; a replayed ``txn`` short-circuits
         before any Spark job runs.
         """
-        if self._already_processed(txn):
+        if self.table.txn_committed(txn):
             return {
                 "accepted_ids": None,
                 "dups_vs_state": None,
@@ -245,32 +235,20 @@ class IncrementalDeduper:
         # --- batch × accepted-corpus near-dups ----------------------
         state = self.state_signatures()
         if state is not None:
-            bl = cap_buckets(
-                banded_buckets(sigs, "batch_id_", self.bands, self.rows_per_band),
-                self.max_bucket_size,
-            )
-            br = cap_buckets(
-                banded_buckets(state, "state_id", self.bands, self.rows_per_band),
-                self.max_bucket_size,
-            )
-            cands = (
-                bl.join(br, ["band", "bucket"])
-                .select("batch_id_", "state_id")
-                .distinct()
-            )
-            st = state.select(
-                F.col("doc_id").alias("state_id"), F.col("signature").alias("sig_b")
-            )
-            ba = sigs.select(
-                F.col("doc_id").alias("batch_id_"), F.col("signature").alias("sig_a")
-            )
             dups_vs_state = (
-                cands.join(ba, "batch_id_")
-                .join(st, "state_id")
-                .withColumn("est_jaccard", _est_jaccard(self.num_hashes))
-                .filter(F.col("est_jaccard") >= self.threshold)
+                minhash_join_signatures(
+                    sigs,
+                    state,
+                    self.bands,
+                    self.rows_per_band,
+                    self.threshold,
+                    self.num_hashes,
+                    self.max_bucket_size,
+                )
                 .select(
-                    F.col("batch_id_").alias("doc_id"), "state_id", "est_jaccard"
+                    F.col("left_id").alias("doc_id"),
+                    F.col("right_id").alias("state_id"),
+                    "est_jaccard",
                 )
                 .localCheckpoint(eager=True)
             )
@@ -334,15 +312,6 @@ class IncrementalEmbeddingDeduper:
         self.bits = bits
         self.max_bucket_size = max_bucket_size
 
-    def _already_processed(self, txn: tuple[str, int] | None) -> bool:
-        if txn is None:
-            return False
-        cur = self.table.current_version()
-        if cur is None:
-            return False
-        last = (self.table.manifest(cur).get("txns") or {}).get(txn[0])
-        return last is not None and txn[1] <= last
-
     def maintain(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
@@ -369,7 +338,7 @@ class IncrementalEmbeddingDeduper:
             embedding_near_dup_pairs,
         )
 
-        if self._already_processed(txn):
+        if self.table.txn_committed(txn):
             return {
                 "accepted_ids": None,
                 "dups_vs_state": None,

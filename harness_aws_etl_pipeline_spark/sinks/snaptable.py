@@ -227,7 +227,37 @@ class SnapTable:
             )
         return out
 
+    def txn_committed(self, txn: tuple[str, int] | None) -> bool:
+        """True when the (app_id, batch_id) ledger already covers
+        ``txn`` — the exactly-once probe for replayed batches. The
+        manifest is cached, so repeat calls cost no I/O."""
+        if txn is None:
+            return False
+        cur = self.current_version()
+        if cur is None:
+            return False
+        last = (self.manifest(cur).get("txns") or {}).get(txn[0])
+        return last is not None and txn[1] <= last
+
     # ---------------------------------------------------------- commit
+
+    def _new_manifest(
+        self,
+        parent: int | None,
+        operation: str,
+        schema_json: str,
+        txns: dict,
+        files: list[dict],
+    ) -> dict:
+        return {
+            "version": (parent if parent is not None else -1) + 1,
+            "parent": parent,
+            "operation": operation,
+            "ts": time.time(),
+            "schema": schema_json,
+            "txns": txns,
+            "files": files,
+        }
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
         """Stage the manifest and CAS-rename it to ``version``. One
@@ -449,19 +479,12 @@ class SnapTable:
             txns = dict((base or {}).get("txns") or {})
             if txn is not None:
                 txns[txn[0]] = txn[1]
-            version = (cur if cur is not None else -1) + 1
-            manifest = {
-                "version": version,
-                "parent": cur,
-                "operation": _operation or mode,
-                "ts": time.time(),
-                "schema": schema_json,
-                "txns": txns,
-                "files": files,
-            }
-            if self._try_commit(manifest, version):
+            manifest = self._new_manifest(
+                cur, _operation or mode, schema_json, txns, files
+            )
+            if self._try_commit(manifest, manifest["version"]):
                 return {
-                    "version": version,
+                    "version": manifest["version"],
                     "files_added": len(entries),
                     "rows_added": sum(e["rows"] for e in entries),
                     "skipped": False,
@@ -471,6 +494,27 @@ class SnapTable:
         )
 
     # ------------------------------------------------------- read path
+
+    def _read_files(self, schema: StructType, rel_paths: list[str]) -> DataFrame:
+        return (
+            self.spark.read.format(self.fmt)
+            .schema(schema)
+            .load([join_path(self.path, p) for p in rel_paths])
+        )
+
+    @staticmethod
+    def _rel_paths_from_uris(rows, files: list[dict]) -> list[str]:
+        """Map ``input_file_name()`` URIs (absolute, %-encoded) back to
+        the manifest's relative paths via their unique basenames."""
+        by_name = {posixpath.basename(f["path"]): f["path"] for f in files}
+        hits = {
+            by_name[name]
+            for name in (
+                posixpath.basename(unquote(r["_file"])) for r in rows
+            )
+            if name in by_name
+        }
+        return sorted(hits)
 
     def _resolve(self, version: int | None) -> dict:
         # ONE log LIST serves the current-version lookup, the
@@ -514,8 +558,7 @@ class SnapTable:
             ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [join_path(self.path, f["path"]) for f in files]
-        df = self.spark.read.format(self.fmt).schema(schema).load(paths)
+        df = self._read_files(schema, [f["path"] for f in files])
         if where:
             for c, op, v in where:
                 ops = {
@@ -605,9 +648,7 @@ class SnapTable:
                 continue
             schema = StructType.fromJson(json.loads(m["schema"]))
             frames.append(
-                self.spark.read.format(self.fmt)
-                .schema(schema)
-                .load([join_path(self.path, f["path"]) for f in added])
+                self._read_files(schema, [f["path"] for f in added])
                 .withColumn("_commit_version", F.lit(v))
             )
         if not frames:
@@ -669,12 +710,8 @@ class SnapTable:
                 cand.append(f)
         if not cand:
             return []
-        paths = [join_path(self.path, f["path"]) for f in cand]
-        by_name = {posixpath.basename(f["path"]): f["path"] for f in cand}
         hits = (
-            self.spark.read.format(self.fmt)
-            .schema(schema)
-            .load(paths)
+            self._read_files(schema, [f["path"] for f in cand])
             .select(*key_cols, F.input_file_name().alias("_file"))
             # no forced broadcast: a merge batch can carry hundreds of
             # millions of distinct keys at the design point; AQE
@@ -685,12 +722,7 @@ class SnapTable:
             .distinct()
             .collect()
         )
-        out = []
-        for r in hits:
-            name = posixpath.basename(unquote(r["_file"]))
-            if name in by_name:
-                out.append(by_name[name])
-        return sorted(out)
+        return self._rel_paths_from_uris(hits, cand)
 
     def merge(
         self,
@@ -742,11 +774,8 @@ class SnapTable:
             hit = self._hit_files(m, keys_df, key_cols)
             hitset = set(hit)
             if hit:
-                survivors = (
-                    self.spark.read.format(self.fmt)
-                    .schema(schema)
-                    .load([join_path(self.path, p) for p in hit])
-                    .join(keys_df, key_cols, "left_anti")
+                survivors = self._read_files(schema, hit).join(
+                    keys_df, key_cols, "left_anti"
                 )
                 merged = survivors.unionByName(
                     df, allowMissingColumns=True
@@ -761,19 +790,10 @@ class SnapTable:
             txns = dict(m.get("txns") or {})
             if txn is not None:
                 txns[txn[0]] = txn[1]
-            version = cur + 1
-            manifest = {
-                "version": version,
-                "parent": cur,
-                "operation": "merge",
-                "ts": time.time(),
-                "schema": schema_json,
-                "txns": txns,
-                "files": files,
-            }
-            if self._try_commit(manifest, version):
+            manifest = self._new_manifest(cur, "merge", schema_json, txns, files)
+            if self._try_commit(manifest, manifest["version"]):
                 return {
-                    "version": version,
+                    "version": manifest["version"],
                     "files_rewritten": len(hit),
                     "files_kept": len(files) - len(entries),
                     "files_added": len(entries),
@@ -800,31 +820,18 @@ class SnapTable:
             schema = StructType.fromJson(json.loads(m["schema"]))
             if not m["files"]:
                 return {"version": cur, "files_rewritten": 0}
-            paths = [join_path(self.path, f["path"]) for f in m["files"]]
-            by_name = {
-                posixpath.basename(f["path"]): f["path"] for f in m["files"]
-            }
             hits = (
-                self.spark.read.format(self.fmt)
-                .schema(schema)
-                .load(paths)
+                self._read_files(schema, [f["path"] for f in m["files"]])
                 .filter(pred)
                 .select(F.input_file_name().alias("_file"))
                 .distinct()
                 .collect()
             )
-            hit = sorted(
-                by_name[posixpath.basename(unquote(r["_file"]))]
-                for r in hits
-                if posixpath.basename(unquote(r["_file"])) in by_name
-            )
+            hit = self._rel_paths_from_uris(hits, m["files"])
             if not hit:
                 return {"version": cur, "files_rewritten": 0}
-            keep_rows = (
-                self.spark.read.format(self.fmt)
-                .schema(schema)
-                .load([join_path(self.path, p) for p in hit])
-                .filter(pred.isNull() | ~pred)
+            keep_rows = self._read_files(schema, hit).filter(
+                pred.isNull() | ~pred
             )
             stats_cols = sorted(
                 {c for f in m["files"] for c in (f.get("stats") or {})}
@@ -838,18 +845,14 @@ class SnapTable:
             files = [
                 f for f in m["files"] if f["path"] not in hitset
             ] + entries
-            version = cur + 1
-            manifest = {
-                "version": version,
-                "parent": cur,
-                "operation": "delete",
-                "ts": time.time(),
-                "schema": m["schema"],
-                "txns": dict(m.get("txns") or {}),
-                "files": files,
-            }
-            if self._try_commit(manifest, version):
-                return {"version": version, "files_rewritten": len(hit)}
+            manifest = self._new_manifest(
+                cur, "delete", m["schema"], dict(m.get("txns") or {}), files
+            )
+            if self._try_commit(manifest, manifest["version"]):
+                return {
+                    "version": manifest["version"],
+                    "files_rewritten": len(hit),
+                }
         raise CommitConflict(
             f"delete lost {max_retries} commit races at {self.path!r}"
         )
@@ -883,30 +886,20 @@ class SnapTable:
             schema = StructType.fromJson(json.loads(m["schema"]))
             total = sum(f["bytes"] for f in small)
             n_out = max(1, -(-total // target_file_bytes))
-            rows = (
-                self.spark.read.format(self.fmt)
-                .schema(schema)
-                .load([join_path(self.path, f["path"]) for f in small])
-                .coalesce(n_out)
-            )
+            rows = self._read_files(
+                schema, [f["path"] for f in small]
+            ).coalesce(n_out)
             entries = self._write_data_files(rows, stats_cols, None)
             smallset = {f["path"] for f in small}
             files = [
                 f for f in m["files"] if f["path"] not in smallset
             ] + entries
-            version = cur + 1
-            manifest = {
-                "version": version,
-                "parent": cur,
-                "operation": "compact",
-                "ts": time.time(),
-                "schema": m["schema"],
-                "txns": dict(m.get("txns") or {}),
-                "files": files,
-            }
-            if self._try_commit(manifest, version):
+            manifest = self._new_manifest(
+                cur, "compact", m["schema"], dict(m.get("txns") or {}), files
+            )
+            if self._try_commit(manifest, manifest["version"]):
                 return {
-                    "version": version,
+                    "version": manifest["version"],
                     "compacted": len(small),
                     "files_added": len(entries),
                 }
