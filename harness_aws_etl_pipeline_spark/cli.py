@@ -32,14 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     run = sub.add_parser("run", help="E→T→L one source file")
     run.add_argument("--source", required=True)
     run.add_argument("--output", required=True)
-    run.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    run.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "snaptable"])
     run.add_argument("--null-handling", default=None, choices=["drop", "fill", "flag"])
     run.add_argument("--job-runs", default=None, help="job_runs table path")
 
     sweep = sub.add_parser("sweep", help="E→T→L every pending file under a prefix")
     sweep.add_argument("--prefix", required=True)
     sweep.add_argument("--output", required=True)
-    sweep.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    sweep.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "snaptable"])
     sweep.add_argument("--null-handling", default=None, choices=["drop", "fill", "flag"])
     sweep.add_argument("--job-runs", default=None)
 

@@ -41,6 +41,7 @@ CONTENT_TYPES = {
     "csv": "text/csv",
     "json": "application/json",
     "jsonl": "application/json",
+    "snaptable": "application/octet-stream",
 }
 
 
@@ -64,6 +65,24 @@ def write_table(
     sorting the silver layer by its hottest filter column routinely
     skips most row groups).
     """
+    if fmt == "snaptable":
+        # transactional sink: one atomic snapshot commit instead of a
+        # directory write — readers never see a partial load, re-runs
+        # are versioned history. Hive partition columns become CLUSTER
+        # columns (Iceberg-style hidden partitioning): file-level
+        # min/max stats give the same pruning with no directory
+        # encoding, and the swap/type-inference failure modes of
+        # path-based partitions disappear.
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        cluster = [c for c in (partition_by or []) if c in df.columns]
+        SnapTable(df.sparkSession, path).write(
+            df,
+            mode=mode,
+            cluster_by=cluster or None,
+            stats_cols=cluster or None,
+        )
+        return
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)

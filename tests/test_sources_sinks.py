@@ -753,3 +753,47 @@ class TestSinks:
         src.write_text(CSV)
         dest = archive_source(str(src), str(tmp_path / "archive"))
         assert not src.exists() and os.path.exists(dest)
+
+
+class TestSnaptableSinkFormat:
+    def test_load_with_snaptable_format(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+        from harness_aws_etl_pipeline_spark.sinks.writers import load
+
+        df = spark.createDataFrame(
+            [(1, "a", 2024), (2, "b", 2025)], "id long, v string, _year int"
+        )
+        out = load(df, str(tmp_path / "tbl"), fmt="snaptable",
+                   partition_by=["_year"])
+        assert out["status"] == "success"
+        t = SnapTable(spark, str(tmp_path / "tbl"))
+        assert t.count_rows() == 2
+        # partition column became a stats/cluster column
+        assert "_year" in (t.manifest(0)["files"][0].get("stats") or {})
+        # append accumulates as a second atomic snapshot
+        load(df, str(tmp_path / "tbl"), fmt="snaptable",
+             partition_by=["_year"])
+        assert t.current_version() == 1 and t.count_rows() == 4
+
+    def test_run_job_to_snaptable(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.config import EngineConfig
+        from harness_aws_etl_pipeline_spark.pipeline import run_job
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        src = tmp_path / "sales.csv"
+        src.write_text(
+            "Order ID,Amount,Order Date\n"
+            "1,10.5,2024-01-15\n2,20.0,2024-02-20\n"
+        )
+        cfg = EngineConfig({"etl": {"load": {"format": "snaptable"}}})
+        result = run_job(
+            spark,
+            {"type": "direct", "path": str(src)},
+            str(tmp_path / "silver"),
+            cfg,
+        )
+        assert result["status"] == "success"
+        t = SnapTable(spark, str(tmp_path / "silver"))
+        got = t.read()
+        assert got.count() == 2
+        assert "_row_hash" in got.columns
