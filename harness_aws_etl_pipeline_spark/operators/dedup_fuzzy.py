@@ -976,3 +976,72 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_size: int = 2000,
+    arrow: bool = True,
+) -> DataFrame:
+    """SimHash similarity JOIN across TWO corpora — completes the
+    cross-corpus family (:func:`minhash_join` for shingle Jaccard,
+    :func:`similarity.embedding_join` for vectors, this for the
+    64-bit-sketch regime where per-doc state must be smallest).
+
+    Both sides are sketched with the SAME path (sketches are not
+    comparable across arrow/expression paths — see :func:`simhash`),
+    banded on ``band_bits``-bit keys (pigeonhole: Hamming ≤ 3 of 64
+    bits ⇒ at least one of the 4 bands agrees exactly), and the band
+    join pairs only LEFT×RIGHT. Each side's band-key occupancy is
+    capped independently (the all-zero sketch of empty docs would
+    otherwise cross-pair every empty doc on both sides).
+    Returns (left_id, right_id, hamming ≤ max_hamming).
+    """
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(sk: DataFrame, out_id: str, sh_out: str) -> DataFrame:
+        b = sk.select(
+            F.col("doc_id").alias(out_id),
+            F.col("simhash").alias(sh_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned("simhash", i * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for i in range(nbands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            out_id, sh_out, F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+        )
+        sizes = b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        return b.join(
+            sizes.filter(F.col("n") <= max_bucket_size).select("band", "key"),
+            ["band", "key"],
+        )
+
+    sk_l = _SKETCH_MEMO.get_or_persist(simhash(left, id_col, text_col, arrow=arrow))
+    sk_r = _SKETCH_MEMO.get_or_persist(simhash(right, id_col, text_col, arrow=arrow))
+    bl = banded(sk_l, "left_id", "sh_a")
+    br = banded(sk_r, "right_id", "sh_b")
+    return (
+        bl.join(br, ["band", "key"])
+        .select(
+            "left_id",
+            "right_id",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -259,3 +259,40 @@ class TestMaintain:
             _docs(spark, [(1000, LOREM)]), txn=("daily", 0)
         )
         assert replay["skipped"] is True
+
+
+class TestSimhashJoin:
+    def test_cross_corpus_simhash(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_join,
+        )
+
+        left = _docs(
+            spark,
+            [(1, LOREM), (2, OTHER)],
+        )
+        right = _docs(
+            spark,
+            [(10, LOREM.replace("lazy", "sleepy")), (11, THIRD), (12, LOREM)],
+        )
+        got = {
+            (r["left_id"], r["right_id"]): r["hamming"]
+            for r in simhash_join(left, right, max_hamming=8).collect()
+        }
+        assert (1, 12) in got and got[(1, 12)] == 0, "exact copy at hamming 0"
+        # one word changed out of ~30 flips the bits whose token-vote
+        # margin was 1 — measured hamming 7 for this pair (deterministic)
+        assert got.get((1, 10)) == 7
+        assert all(k[0] != 2 for k in got), "OTHER matches nothing"
+
+    def test_empty_docs_do_not_cross_pair(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_join,
+        )
+
+        left = _docs(spark, [(i, "") for i in range(30)] + [(100, LOREM)])
+        right = _docs(spark, [(i + 1000, "") for i in range(30)])
+        # zero-sketch empties all land in one band key per band; the
+        # occupancy cap (here: below 30) must suppress the 30x30 blowup
+        got = simhash_join(left, right, max_bucket_size=10).collect()
+        assert got == []
