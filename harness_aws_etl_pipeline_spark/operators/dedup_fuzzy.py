@@ -937,21 +937,46 @@ def simhash_near_pairs_str(
     )
 
 
-def simhash_near_pairs(
-    sketches: DataFrame, max_hamming: int = 3, band_bits: int = 16
+def _check_simhash_bands(
+    max_hamming: int, band_bits: int, strict_recall: bool
+) -> int:
+    """Pigeonhole precondition shared by every banded simhash join:
+    with ``64 // band_bits`` bands, a pair is GUARANTEED to collide on
+    some band only when its Hamming distance is < nbands. A
+    ``band_bits`` that does not divide 64 silently leaves sketch bits
+    outside every band — always an error. A ``max_hamming`` at or
+    above nbands means BEST-EFFORT recall (pairs whose differing bits
+    touch every band are missed): an error under ``strict_recall``,
+    permitted otherwise."""
+    if 64 % band_bits:
+        raise ValueError(f"band_bits={band_bits} must divide 64")
+    nbands = 64 // band_bits
+    if strict_recall and max_hamming >= nbands:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            f"{nbands} bands (guaranteed only for hamming < {nbands}); "
+            f"use smaller band_bits (more bands), or pass "
+            f"strict_recall=False to accept best-effort recall"
+        )
+    return nbands
+
+
+def simhash_banded(
+    sketches: DataFrame,
+    out_id: str,
+    band_bits: int,
+    sketch_out: str,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
-    blocked on 16-bit bands (a pair within Hamming 3 of a 64-bit sketch
-    must agree exactly on at least one of the 4 bands — pigeonhole).
-    Returns (doc_a, doc_b, hamming)."""
+    """(out_id, sketch_out, band, key) rows — the 64-bit sketch split
+    into ``band_bits``-bit band keys; the blocking every banded
+    simhash join shares. ``max_bucket_size`` optionally drops
+    degenerate band keys (the all-zero sketch of empty docs)."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    # used by both sides of the band join — memoized (see
-    # ngram_jaccard_pairs)
-    sketches = _SKETCH_MEMO.get_or_persist(sketches)
-    banded = sketches.select(
-        "doc_id",
-        "simhash",
+    b = sketches.select(
+        F.col("doc_id").alias(out_id),
+        F.col("simhash").alias(sketch_out),
         F.explode(
             F.array(
                 *[
@@ -965,7 +990,35 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    ).select(
+        out_id, sketch_out, F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    if max_bucket_size is not None:
+        sizes = b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        b = b.join(
+            sizes.filter(F.col("n") <= max_bucket_size).select("band", "key"),
+            ["band", "key"],
+        )
+    return b
+
+
+def simhash_near_pairs(
+    sketches: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    strict_recall: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    blocked on 16-bit bands (a pair within Hamming 3 of a 64-bit sketch
+    must agree exactly on at least one of the 4 bands — pigeonhole).
+    Returns (doc_a, doc_b, hamming)."""
+    # best-effort by default for back-compat: max_hamming above the
+    # band guarantee still surfaces whatever candidates band-collide
+    _check_simhash_bands(max_hamming, band_bits, strict_recall)
+    # used by both sides of the band join — memoized (see
+    # ngram_jaccard_pairs)
+    sketches = _SKETCH_MEMO.get_or_persist(sketches)
+    banded = simhash_banded(sketches, "doc_id", band_bits, "simhash")
 
     a = banded.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = banded.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
@@ -987,6 +1040,7 @@ def simhash_join(
     band_bits: int = 16,
     max_bucket_size: int = 2000,
     arrow: bool = True,
+    strict_recall: bool = True,
 ) -> DataFrame:
     """SimHash similarity JOIN across TWO corpora — completes the
     cross-corpus family (:func:`minhash_join` for shingle Jaccard,
@@ -1002,39 +1056,11 @@ def simhash_join(
     otherwise cross-pair every empty doc on both sides).
     Returns (left_id, right_id, hamming ≤ max_hamming).
     """
-    nbands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-
-    def banded(sk: DataFrame, out_id: str, sh_out: str) -> DataFrame:
-        b = sk.select(
-            F.col("doc_id").alias(out_id),
-            F.col("simhash").alias(sh_out),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftrightunsigned("simhash", i * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("key"),
-                        )
-                        for i in range(nbands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(
-            out_id, sh_out, F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
-        )
-        sizes = b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-        return b.join(
-            sizes.filter(F.col("n") <= max_bucket_size).select("band", "key"),
-            ["band", "key"],
-        )
-
+    _check_simhash_bands(max_hamming, band_bits, strict_recall)
     sk_l = _SKETCH_MEMO.get_or_persist(simhash(left, id_col, text_col, arrow=arrow))
     sk_r = _SKETCH_MEMO.get_or_persist(simhash(right, id_col, text_col, arrow=arrow))
-    bl = banded(sk_l, "left_id", "sh_a")
-    br = banded(sk_r, "right_id", "sh_b")
+    bl = simhash_banded(sk_l, "left_id", band_bits, "sh_a", max_bucket_size)
+    br = simhash_banded(sk_r, "right_id", band_bits, "sh_b", max_bucket_size)
     return (
         bl.join(br, ["band", "key"])
         .select(

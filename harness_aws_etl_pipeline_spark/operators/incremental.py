@@ -57,6 +57,15 @@ def _maintain_state(
     keep_last: int,
     vacuum_min_age_seconds: float,
 ) -> dict:
+    if table.current_version() is None:
+        # maintenance slot fired before the first batch ever landed —
+        # nothing to compact/expire/vacuum, not an error
+        return {
+            "compacted": 0,
+            "snapshots_expired": 0,
+            "dirs_vacuumed": 0,
+            "version": None,
+        }
     compacted = table.compact(target_file_bytes=target_file_bytes)
     expired = table.expire_snapshots(keep_last=keep_last)
     vacuumed = table.vacuum(min_age_seconds=vacuum_min_age_seconds)
@@ -330,9 +339,14 @@ class IncrementalEmbeddingDeduper:
         vec_col: str = "embedding",
         txn: tuple[str, int] | None = None,
     ) -> dict:
-        """Same contract as :meth:`IncrementalDeduper.process_batch`,
-        with cosine ≥ threshold as the duplicate criterion (6dp-rounded,
-        matching :func:`similarity.embedding_near_dup_pairs`)."""
+        """Contract of :meth:`IncrementalDeduper.process_batch` with
+        cosine ≥ threshold as the duplicate criterion (6dp-rounded,
+        matching :func:`similarity.embedding_near_dup_pairs`), and two
+        deliberate differences: there is NO ``unsigned_ids`` key
+        (every vector is sketchable — no too-short bypass exists), and
+        ``dups_in_batch`` carries (vec_id, kept_id) without a
+        similarity column (the cosine evidence for cross-state
+        matches is in ``dups_vs_state``)."""
         from harness_aws_etl_pipeline_spark.operators.similarity import (
             embedding_join,
             embedding_near_dup_pairs,

@@ -121,12 +121,15 @@ class IncrementalRollup:
 
         if last is not None:
             existing = self.table.read()
+            # strict unionByName: if the aggs config changed since the
+            # view was built, the stored rollup lacks the new column and
+            # a silent null-fill would commit delta-only values as
+            # all-time aggregates — fail loudly and force a rebuild
             combined = (
                 agg.unionByName(
                     existing.join(
                         agg.select(*self.group_cols), self.group_cols, "leftsemi"
-                    ),
-                    allowMissingColumns=True,
+                    )
                 )
                 .groupBy(*self.group_cols)
                 .agg(

@@ -327,6 +327,7 @@ class SnapTable:
         cluster_by: list[str] | None,
         target_files: int | None = None,
         zorder_by: list[str] | None = None,
+        write_options: dict | None = None,
     ) -> list[dict]:
         """Write ``df`` under a fresh ``data/txn-<token>/`` dir and
         return manifest file entries (path, rows, bytes, stats). One
@@ -356,7 +357,10 @@ class SnapTable:
                 out = df.repartitionByRange(target_files, *cluster_by)
             else:
                 out = df.repartitionByRange(*cluster_by)
-        out.write.mode("errorifexists").format(self.fmt).save(txn_dir)
+        w = out.write.mode("errorifexists").format(self.fmt)
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.save(txn_dir)
 
         sizes = {
             rel: size
@@ -430,6 +434,7 @@ class SnapTable:
         cluster_by: list[str] | None = None,
         target_files: int | None = None,
         zorder_by: list[str] | None = None,
+        write_options: dict | None = None,
         txn: tuple[str, int] | None = None,
         max_retries: int = 5,
         _operation: str | None = None,
@@ -468,7 +473,8 @@ class SnapTable:
                     }
             if entries is None:
                 entries = self._write_data_files(
-                    df, stats_cols, cluster_by, target_files, zorder_by
+                    df, stats_cols, cluster_by, target_files, zorder_by,
+                    write_options,
                 )
             if base is None or mode == "overwrite":
                 files = list(entries)
@@ -487,6 +493,7 @@ class SnapTable:
                     "version": manifest["version"],
                     "files_added": len(entries),
                     "rows_added": sum(e["rows"] for e in entries),
+                    "bytes_added": sum(e["bytes"] for e in entries),
                     "skipped": False,
                 }
         raise CommitConflict(

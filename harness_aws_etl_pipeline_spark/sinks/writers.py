@@ -54,7 +54,7 @@ def write_table(
     compression: str | None = None,
     max_records_per_file: int | None = None,
     sort_by: list[str] | None = None,
-) -> None:
+) -> dict | None:
     """L1/L2/L3/L4 — write ``df`` in ``fmt`` with optional hive
     partitioning.
 
@@ -72,17 +72,25 @@ def write_table(
         # columns (Iceberg-style hidden partitioning): file-level
         # min/max stats give the same pruning with no directory
         # encoding, and the swap/type-inference failure modes of
-        # path-based partitions disappear.
+        # path-based partitions disappear. compression / sort_by /
+        # max_records_per_file are honored exactly like the directory
+        # formats (sort before handoff; writer options through the
+        # snapshot's own data-file write).
         from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        opts: dict = {"compression": compression or "snappy"}
+        if max_records_per_file:
+            opts["maxRecordsPerFile"] = max_records_per_file
         cluster = [c for c in (partition_by or []) if c in df.columns]
-        SnapTable(df.sparkSession, path).write(
+        return SnapTable(df.sparkSession, path).write(
             df,
             mode=mode,
             cluster_by=cluster or None,
             stats_cols=cluster or None,
+            write_options=opts,
         )
-        return
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)
@@ -134,7 +142,9 @@ def load(
     """
     if df is None or (not assume_nonempty and df.isEmpty()):
         return {"status": "skipped", "reason": "empty input"}
-    write_table(df, path, fmt=fmt, mode=mode, partition_by=partition_by, compression=compression)
+    snap_out = write_table(
+        df, path, fmt=fmt, mode=mode, partition_by=partition_by, compression=compression
+    )
     result: dict[str, Any] = {
         "status": "success",
         "path": path,
@@ -144,6 +154,12 @@ def load(
         # in the result metadata)
         "content_type": CONTENT_TYPES.get(fmt, "application/octet-stream"),
     }
+    if snap_out is not None:
+        # snaptable: THIS commit's bytes from its manifest entries —
+        # the whole-tree size would grow with table history and count
+        # other snapshots' files against this load
+        result["bytes_written"] = snap_out.get("bytes_added", 0)
+        return result
     try:
         result["bytes_written"] = _tree_size_bytes(path, df.sparkSession)
     except ValueError:

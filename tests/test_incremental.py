@@ -277,7 +277,10 @@ class TestSimhashJoin:
         )
         got = {
             (r["left_id"], r["right_id"]): r["hamming"]
-            for r in simhash_join(left, right, max_hamming=8).collect()
+            # band_bits=8 → 8 bands → guaranteed recall for hamming ≤ 7
+            for r in simhash_join(
+                left, right, max_hamming=7, band_bits=8
+            ).collect()
         }
         assert (1, 12) in got and got[(1, 12)] == 0, "exact copy at hamming 0"
         # one word changed out of ~30 flips the bits whose token-vote
@@ -296,3 +299,28 @@ class TestSimhashJoin:
         # occupancy cap (here: below 30) must suppress the 30x30 blowup
         got = simhash_join(left, right, max_bucket_size=10).collect()
         assert got == []
+
+
+    def test_pigeonhole_guarantee_enforced(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_join,
+        )
+
+        left = _docs(spark, [(1, LOREM)])
+        with pytest.raises(ValueError, match="recall guarantee"):
+            # 4 bands guarantee only hamming <= 3
+            simhash_join(left, left, max_hamming=8, band_bits=16)
+        with pytest.raises(ValueError, match="divide 64"):
+            simhash_join(left, left, max_hamming=3, band_bits=12)
+
+
+class TestMaintainFreshGate:
+    def test_maintain_before_first_batch_is_noop(self, spark, tmp_path):
+        dd = IncrementalDeduper(spark, str(tmp_path / "fresh"))
+        out = dd.maintain()
+        assert out == {
+            "compacted": 0,
+            "snapshots_expired": 0,
+            "dirs_vacuumed": 0,
+            "version": None,
+        }

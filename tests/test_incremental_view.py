@@ -115,3 +115,30 @@ class TestIncrementalRollup:
     def test_empty_source_skips(self, spark, silver, tmp_path):
         iv = _view(spark, silver, tmp_path)
         assert iv.refresh()["skipped"] is True
+
+
+class TestSchemaDriftRefused:
+    def test_changed_aggs_fail_loudly(self, spark, silver, tmp_path):
+        """Adding an aggregate to an existing view must raise, not
+        silently commit delta-only values as all-time aggregates."""
+        iv = _view(spark, silver, tmp_path)
+        silver.write(_rows(spark, [("d1", 1, 1.0)]), mode="overwrite")
+        iv.refresh()
+        silver.write(_rows(spark, [("d1", 2, 2.0)]))
+        iv2 = IncrementalRollup(
+            spark,
+            silver,
+            str(tmp_path / "gold"),
+            "daily",
+            group_cols=["day"],
+            aggs={
+                "cnt": ("count", F.lit(1)),
+                "qty_sum": ("sum", F.col("qty")),
+                "max_price": ("max", F.col("price")),
+                "min_qty": ("min", F.col("qty")),  # NEW aggregate
+            },
+        )
+        with pytest.raises(Exception):
+            iv2.refresh()
+        # the stored rollup is untouched by the failed refresh
+        assert _got(iv) == {"d1": (1, 1, 1.0)}
