@@ -95,18 +95,28 @@ class LocalFS:
         """Rename refusing to replace an existing destination — the
         compare-and-swap the snapshot commit protocol builds on. On a
         local FS ``os.rename`` silently overwrites, so use a hard link
-        (atomic, fails with EEXIST when dst exists) and unlink src."""
+        (atomic, fails with EEXIST when dst exists) and unlink src.
+        On filesystems without hard links, fall back to an O_EXCL
+        exclusive-create copy — still an atomic winner-takes-all (a
+        checked ``exists + move`` here once let two racing committers
+        BOTH report success, one silently overwriting the other)."""
         s, d = self._local(src), self._local(dst)
         try:
             os.link(s, d)
         except FileExistsError:
             return False
         except OSError:
-            # filesystem without hard links: fall back to a checked
-            # rename (exists-check race is acceptable for local tests)
-            if os.path.exists(d):
+            try:
+                fd = os.open(d, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
                 return False
-            shutil.move(s, d)
+            try:
+                with open(s, "rb") as fsrc, os.fdopen(fd, "wb") as fdst:
+                    shutil.copyfileobj(fsrc, fdst)
+            except BaseException:
+                os.remove(d)
+                raise
+            os.remove(s)
             return True
         os.remove(s)
         return True

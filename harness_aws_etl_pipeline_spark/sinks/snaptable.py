@@ -199,8 +199,24 @@ class SnapTable:
         )
 
     def current_version(self) -> int | None:
+        """Latest committed version. POSIX makes no atomicity promise
+        for a directory listing concurrent with entry creation — a
+        readdir can transiently miss an existing manifest while
+        another writer commits — so probe FORWARD from the listed head
+        with point lookups until the successor is absent. A writer
+        that resolved a stale head would build its commit on a stale
+        parent and silently drop the missed commit's files from the
+        log; the probe closes that hole for the cost of one exists()
+        in the common case."""
         vs = self.versions()
-        return vs[-1] if vs else None
+        if not vs:
+            return None
+        head = vs[-1]
+        while self.fs.exists(
+            join_path(self._log, _manifest_name(head + 1))
+        ):
+            head += 1
+        return head
 
     def manifest(self, version: int) -> dict:
         if version not in self._manifest_cache:
@@ -526,13 +542,20 @@ class SnapTable:
     def _resolve(self, version: int | None) -> dict:
         # ONE log LIST serves the current-version lookup, the
         # membership check, and the error message (LIST round-trips
-        # are the scan-planning cost on an object store)
+        # are the scan-planning cost on an object store). The head is
+        # forward-probed past the listing (see current_version) —
+        # essential for the WRITERS that resolve their base through
+        # here (delete_where/compact): building on a transiently
+        # missed head would drop the missed commit's files.
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no snaptable at {self.path!r}")
+        head = vs[-1]
+        while self.fs.exists(join_path(self._log, _manifest_name(head + 1))):
+            head += 1
         if version is None:
-            version = vs[-1]
-        if version not in vs:
+            version = head
+        elif version not in vs and version != head:
             raise ValueError(
                 f"snapshot {version} not retained at {self.path!r} "
                 f"(have {vs})"

@@ -246,3 +246,38 @@ def test_incremental_dedup_flat_in_corpus(spark, tmp_path):
         f"10x corpus must not linearly inflate batch cost: "
         f"{small:.2f}s -> {big:.2f}s"
     )
+
+
+@stress
+def test_snaptable_concurrent_writer_soak(spark, tmp_path):
+    """CAS-protocol soak: 8 threads x 4 appends racing on one table.
+    Every commit must land (32 linear versions), no rows lost, no
+    duplicate versions — the optimistic-concurrency claim under real
+    thread contention rather than a single staged race."""
+    import threading
+
+    from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+    path = str(tmp_path / "soak")
+    SnapTable(spark, path).write(spark.range(0, 1), mode="overwrite")
+    errs = []
+
+    def writer(tid):
+        try:
+            t = SnapTable(spark, path)
+            for j in range(4):
+                lo = 1000 * (tid + 1) + 10 * j
+                t.write(spark.range(lo, lo + 5), mode="append", max_retries=50)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    t = SnapTable(spark, path)
+    assert t.current_version() == 32, "one linear version per commit"
+    assert t.count_rows() == 1 + 8 * 4 * 5
+    assert t.read().distinct().count() == 1 + 8 * 4 * 5
