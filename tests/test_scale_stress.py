@@ -281,3 +281,38 @@ def test_snaptable_concurrent_writer_soak(spark, tmp_path):
     assert t.current_version() == 32, "one linear version per commit"
     assert t.count_rows() == 1 + 8 * 4 * 5
     assert t.read().distinct().count() == 1 + 8 * 4 * 5
+
+
+@stress
+def test_snaptable_merge_at_16x(spark, tmp_path):
+    """Stats-pruned merge at 16x sf0.1 (9.6M lineitem rows): the
+    rewrite set must stay proportional to the touched key range while
+    the table grows. Also sanity-checks clustered-write throughput at
+    this scale. Measured r4 on local[4]: write ~9.6M rows clustered
+    into 64 files, 1%-key-range merge rewrites <=3 files."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    reps = [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+            for i in range(16)]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    t = SnapTable(spark, str(tmp_path / "big16"))
+    t.write(big, mode="overwrite", cluster_by=["l_orderkey"], target_files=64)
+    assert t.count_rows() == li.count() * 16
+
+    hi = 10_000_000 // 100  # 1% of the first replica's key space
+    batch = li.filter(F.col("l_orderkey") <= hi).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    out = t.merge(batch, ["l_orderkey", "l_linenumber"], cluster_by=["l_orderkey"])
+    total = out["files_kept"] + out["files_rewritten"]
+    assert total >= 64
+    assert out["files_rewritten"] <= 3, out
+    assert t.read().filter(F.col("l_orderkey") <= hi).count() == batch.count()
