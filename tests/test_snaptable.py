@@ -683,3 +683,59 @@ class TestMetadataCount:
         table.delete_where("id < 10")
         # removes ids 0-9 from the base AND all 7 appended rows
         assert table.count_rows() == table.read().count() == 113
+
+
+class TestPruningSoundnessProperty:
+    def test_file_may_match_is_conservative(self):
+        """Property: whenever _file_may_match prunes a file (returns
+        False), NO value in [min, max] can satisfy the predicate —
+        pruning may keep too much, never too little."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import (
+            _file_may_match,
+        )
+
+        values = st.one_of(
+            st.integers(-1000, 1000),
+            st.floats(-1000, 1000, allow_nan=False),
+            st.text("abcxyz", min_size=0, max_size=4),
+        )
+
+        @settings(max_examples=500, deadline=None)
+        @given(
+            lo=values,
+            hi=values,
+            v=values,
+            op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+            probe=values,
+        )
+        def check(lo, hi, v, op, probe):
+            if type(lo) is not type(hi) or (
+                isinstance(lo, (int, float)) != isinstance(hi, (int, float))
+            ):
+                return
+            if hi < lo:
+                lo, hi = hi, lo
+            stats = {"c": {"min": lo, "max": hi}}
+            kept = _file_may_match(stats, "c", op, v)
+            if kept:
+                return  # keeping is always sound
+            # pruned: no in-range value may satisfy the predicate
+            try:
+                in_range = lo <= probe <= hi
+            except TypeError:
+                return
+            if not in_range:
+                return
+            sat = {
+                "=": probe == v,
+                "<": probe < v,
+                "<=": probe <= v,
+                ">": probe > v,
+                ">=": probe >= v,
+            }[op]
+            assert not sat, (lo, hi, op, v, probe)
+
+        check()
