@@ -87,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         "snap", help="snapshot-table maintenance (history/compact/vacuum/expire)"
     )
     snap.add_argument(
-        "action", choices=["history", "compact", "vacuum", "expire"]
+        "action",
+        choices=["history", "compact", "vacuum", "expire", "restore", "changes"],
     )
     snap.add_argument("--path", required=True, help="snaptable root")
     snap.add_argument(
@@ -111,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
         "--force",
         action="store_true",
         help="vacuum actually deletes (dry run without it)",
+    )
+    snap.add_argument(
+        "--to-version", type=int, default=None,
+        help="restore target / changes upper bound",
+    )
+    snap.add_argument(
+        "--since", type=int, default=None, help="changes lower bound (exclusive)"
     )
 
     args = p.parse_args(argv)
@@ -187,6 +195,27 @@ def main(argv: list[str] | None = None) -> int:
                         dry_run=not args.force,
                         min_age_seconds=args.min_age_hours * 3600,
                     )
+                )
+            )
+        elif args.action == "restore":
+            if args.to_version is None:
+                p.error("snap restore requires --to-version")
+            print(json.dumps(t.restore(args.to_version)))
+        elif args.action == "changes":
+            if args.since is None:
+                p.error("snap changes requires --since")
+            ch = t.read_changes(
+                args.since, to_version=args.to_version, on_rewrite="error"
+            )
+            print(
+                json.dumps(
+                    {
+                        "since": args.since,
+                        "to": args.to_version
+                        if args.to_version is not None
+                        else t.current_version(),
+                        "rows_added": ch.count(),
+                    }
                 )
             )
         else:  # expire

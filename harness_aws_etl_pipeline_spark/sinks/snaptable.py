@@ -937,6 +937,37 @@ class SnapTable:
             f"compact lost {max_retries} commit races at {self.path!r}"
         )
 
+    def restore(self, version: int, max_retries: int = 3) -> dict:
+        """Make ``version`` the table's contents again — a NEW commit
+        whose file list is the old snapshot's (the Delta RESTORE
+        shape). Metadata-only: no data files move, history is
+        preserved (the bad commits stay inspectable until
+        expire_snapshots), and because the restored files are
+        re-referenced by the new head they are protected from vacuum
+        again. The txn ledger carries over from the CURRENT head, not
+        the restore target, so exactly-once batch accounting survives
+        the rollback."""
+        target = self._resolve(version)
+        for _ in range(max_retries):
+            cur = self.current_version()
+            head = self.manifest(cur)
+            manifest = self._new_manifest(
+                cur,
+                "restore",
+                target["schema"],
+                dict(head.get("txns") or {}),
+                list(target["files"]),
+            )
+            if self._try_commit(manifest, manifest["version"]):
+                return {
+                    "version": manifest["version"],
+                    "restored_from": version,
+                    "files": len(target["files"]),
+                }
+        raise CommitConflict(
+            f"restore lost {max_retries} commit races at {self.path!r}"
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop old manifests (time travel window shrinks to the last
         ``keep_last`` versions); their exclusively-referenced data

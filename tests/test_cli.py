@@ -192,3 +192,24 @@ class TestSnapCli:
         wet = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert wet["dry_run"] is False
         assert SnapTable(spark, path).read().count() == 20
+
+
+class TestSnapRestoreChangesCli:
+    def test_restore_and_changes(self, spark, tmp_path, capsys):
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        path = str(tmp_path / "rc_tbl")
+        t = SnapTable(spark, path)
+        t.write(spark.range(3), mode="overwrite")
+        t.write(spark.range(10, 12), mode="append")
+
+        assert main(["snap", "changes", "--path", path, "--since", "0"]) == 0
+        ch = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert ch == {"since": 0, "to": 1, "rows_added": 2}
+
+        assert main(
+            ["snap", "restore", "--path", path, "--to-version", "0"]
+        ) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["restored_from"] == 0
+        assert SnapTable(spark, path).read().count() == 3

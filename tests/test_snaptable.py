@@ -739,3 +739,36 @@ class TestPruningSoundnessProperty:
             assert not sat, (lo, hi, op, v, probe)
 
         check()
+
+
+class TestRestore:
+    def test_restore_old_snapshot(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        table.write(spark.range(100, 103), mode="overwrite")
+        out = table.restore(0)
+        assert out["restored_from"] == 0 and out["version"] == 2
+        assert sorted(r["id"] for r in table.read().collect()) == list(range(5))
+        # history preserved: the "bad" snapshot is still readable
+        assert table.read(version=1).count() == 3
+        # restored files are re-referenced → vacuum keeps them even
+        # after the bad snapshot is expired
+        table.expire_snapshots(keep_last=1)
+        table.vacuum(min_age_seconds=0)
+        assert table.read().count() == 5
+
+    def test_restore_carries_txn_ledger_forward(self, spark, table):
+        table.write(spark.range(2), mode="overwrite", txn=("app", 0))
+        table.write(spark.range(5, 7), mode="append", txn=("app", 1))
+        table.restore(0)
+        # exactly-once accounting survives the rollback: batch 1 is
+        # still recorded as committed, so a replay stays a no-op
+        out = table.write(spark.range(5, 7), mode="append", txn=("app", 1))
+        assert out["skipped"] is True
+        assert table.read().count() == 2
+
+    def test_restore_reads_as_rewrite_in_changes(self, spark, table):
+        table.write(spark.range(2), mode="overwrite")
+        table.write(spark.range(10, 12), mode="append")
+        table.restore(0)
+        with pytest.raises(ValueError, match="not an append delta"):
+            table.read_changes(0)
