@@ -295,16 +295,30 @@ class SnapTable:
 
     _Z_BITS = 16  # per-dimension resolution of the z-curve
 
+    @staticmethod
+    def _zorder_numeric(df: DataFrame, col: str) -> Column:
+        """A column as a z-orderable double: numerics cast directly;
+        date/timestamp map to days/seconds since epoch (their natural
+        order), so the common time+key layout z-orders too."""
+        t = df.schema[col].dataType.typeName()
+        if t == "date":
+            return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+        if t == "timestamp":
+            return F.unix_timestamp(F.col(col)).cast("double")
+        return F.col(col).cast("double")
+
     def _zorder_value(self, df: DataFrame, cols: list[str]) -> Column:
-        """Bit-interleaved z-curve value over numeric columns — pure
-        JVM expressions (shift/or over min-max-scaled ints), one
-        min/max agg job for the scaling bounds. Files clustered on
-        this value cover a compact HYPER-RECTANGLE, so per-file
-        min/max stats prune on EVERY z-ordered column, where
-        lexicographic range-clustering prunes only the first."""
+        """Bit-interleaved z-curve value over numeric (or date/
+        timestamp) columns — pure JVM expressions (shift/or over
+        min-max-scaled ints), one min/max agg job for the scaling
+        bounds. Files clustered on this value cover a compact
+        HYPER-RECTANGLE, so per-file min/max stats prune on EVERY
+        z-ordered column, where lexicographic range-clustering prunes
+        only the first."""
+        nums = {c: self._zorder_numeric(df, c) for c in cols}
         bounds = df.agg(
-            *[F.min(c).alias(f"_lo_{c}") for c in cols],
-            *[F.max(c).alias(f"_hi_{c}") for c in cols],
+            *[F.min(nums[c]).alias(f"_lo_{c}") for c in cols],
+            *[F.max(nums[c]).alias(f"_hi_{c}") for c in cols],
         ).collect()[0]
         scaled = []
         top = (1 << self._Z_BITS) - 1
@@ -313,7 +327,7 @@ class SnapTable:
             if lo is None or hi is None or float(hi) == float(lo):
                 scaled.append(F.lit(0).cast("long"))
                 continue
-            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            frac = (nums[c] - F.lit(float(lo))) / F.lit(
                 float(hi) - float(lo)
             )
             scaled.append(

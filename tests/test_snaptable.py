@@ -772,3 +772,50 @@ class TestRestore:
         table.restore(0)
         with pytest.raises(ValueError, match="not an append delta"):
             table.read_changes(0)
+
+
+class TestZOrderDates:
+    def test_zorder_over_date_and_key(self, spark, table):
+        # 64 days x 100 keys; z-order on (event_date, k) prunes BOTH
+        df = spark.range(6400).select(
+            F.date_add(F.lit("2024-01-01"), (F.col("id") / 100).cast("int")).alias(
+                "event_date"
+            ),
+            (F.col("id") % 100).alias("k"),
+        )
+        table.write(
+            df, mode="overwrite", zorder_by=["event_date", "k"], target_files=16
+        )
+        kept_d, total = table.pruned_file_count(
+            [("event_date", ">=", "2024-01-10"), ("event_date", "<", "2024-01-15")]
+        )
+        kept_k, _ = table.pruned_file_count([("k", ">=", 10), ("k", "<", 15)])
+        assert total == 16
+        assert kept_d < total, "date dimension must prune"
+        assert kept_k < total, "key dimension must prune"
+        got = table.read(
+            where=[("event_date", "=", "2024-01-10"), ("k", "=", 50)]
+        )
+        assert got.count() == 1
+
+
+class TestOrcFormat:
+    def test_orc_roundtrip_merge_and_prune(self, spark, tmp_path):
+        t = SnapTable(spark, str(tmp_path / "orc_tbl"), fmt="orc")
+        t.write(
+            spark.range(1000).withColumnRenamed("id", "k").withColumn(
+                "v", F.lit("old")
+            ),
+            mode="overwrite",
+            cluster_by=["k"],
+            target_files=8,
+        )
+        out = t.merge(
+            spark.createDataFrame([(5, "new")], "k long, v string"), ["k"]
+        )
+        assert out["files_rewritten"] < 8
+        got = t.read(where=[("k", ">=", 3), ("k", "<", 8)])
+        vals = {r["k"]: r["v"] for r in got.collect()}
+        assert vals[5] == "new" and vals[3] == "old" and len(vals) == 5
+        kept, total = t.pruned_file_count([("k", "=", 5)])
+        assert kept < total
