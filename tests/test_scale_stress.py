@@ -316,3 +316,61 @@ def test_snaptable_merge_at_16x(spark, tmp_path):
     assert total >= 64
     assert out["files_rewritten"] <= 3, out
     assert t.read().filter(F.col("l_orderkey") <= hi).count() == batch.count()
+
+
+@stress
+def test_snaptable_model_sequence_long(spark, tmp_path):
+    """Longer-horizon state-machine soak (30 mixed ops incl. restore
+    and maintenance) against a dict model — the deterministic cousin
+    of the 12-step suite test, run at stress depth."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+    rng = random.Random(99)
+    table = SnapTable(spark, str(tmp_path / "model_long"))
+    table.write(
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+        mode="overwrite",
+        cluster_by=["k"],
+    )
+    model = {0: 0}
+    snapshots = {table.current_version(): dict(model)}
+
+    for step in range(30):
+        op = rng.choice(
+            ["merge", "merge", "delete", "compact", "restore", "expire_vacuum"]
+        )
+        if op == "merge":
+            ks = rng.sample(sorted(model) or [0], min(2, len(model)))
+            ks.append(rng.randrange(10_000, 20_000))
+            table.merge(
+                spark.createDataFrame(
+                    [(k, 100 + step) for k in ks], "k long, v long"
+                ),
+                ["k"],
+            )
+            for k in ks:
+                model[k] = 100 + step
+        elif op == "delete":
+            if model:
+                victim = rng.choice(sorted(model))
+                table.delete_where(f"k = {victim}")
+                model.pop(victim)
+        elif op == "compact":
+            table.compact(target_file_bytes=1 << 30)
+        elif op == "restore":
+            target = rng.choice(sorted(snapshots))
+            table.restore(target)
+            model = dict(snapshots[target])
+        else:
+            table.expire_snapshots(keep_last=3)
+            table.vacuum(min_age_seconds=0)
+            snapshots = {
+                v: s for v, s in snapshots.items() if v in table.versions()
+            }
+        snapshots[table.current_version()] = dict(model)
+        got = {r["k"]: r["v"] for r in table.read().collect()}
+        assert got == model, f"step {step} ({op}): {got} != {model}"
