@@ -215,15 +215,24 @@ class IncrementalDeduper:
             # re-running per consumer
             .localCheckpoint(eager=True)
         )
-        clusters = near_dup_clusters(internal.select("doc_a", "doc_b"))
-        keepers = clusters.groupBy("cluster_id").agg(
-            F.min("doc_id").alias("kept_id")
-        )
-        internal_losers = (
-            clusters.join(keepers, "cluster_id")
-            .filter(F.col("doc_id") != F.col("kept_id"))
-            .select("doc_id", "kept_id")
-        )
+        # clean batches (no internal near-dups) are the common case in
+        # a steady-state pipeline — internal is already materialized,
+        # so this probe is free and skips the connected-components jobs
+        if internal.isEmpty():
+            id_type = sigs.schema["doc_id"].dataType.simpleString()
+            internal_losers = self.spark.createDataFrame(
+                [], f"doc_id {id_type}, kept_id {id_type}"
+            )
+        else:
+            clusters = near_dup_clusters(internal.select("doc_a", "doc_b"))
+            keepers = clusters.groupBy("cluster_id").agg(
+                F.min("doc_id").alias("kept_id")
+            )
+            internal_losers = (
+                clusters.join(keepers, "cluster_id")
+                .filter(F.col("doc_id") != F.col("kept_id"))
+                .select("doc_id", "kept_id")
+            )
         # evidence rows: loser → its cluster keeper, with the pair's
         # jaccard when the direct edge exists (cluster transitivity
         # can link docs with no direct edge — est_jaccard is null there)
@@ -371,19 +380,25 @@ class IncrementalEmbeddingDeduper:
             bits=self.bits,
             max_bucket_size=self.max_bucket_size,
         ).localCheckpoint(eager=True)
-        clusters = near_dup_clusters(
-            internal.select(
-                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        if internal.isEmpty():
+            id_type = src.schema["vec_id"].dataType.simpleString()
+            internal_losers = self.spark.createDataFrame(
+                [], f"vec_id {id_type}, kept_id {id_type}"
             )
-        )
-        keepers = clusters.groupBy("cluster_id").agg(
-            F.min("doc_id").alias("kept_id")
-        )
-        internal_losers = (
-            clusters.join(keepers, "cluster_id")
-            .filter(F.col("doc_id") != F.col("kept_id"))
-            .select(F.col("doc_id").alias("vec_id"), "kept_id")
-        )
+        else:
+            clusters = near_dup_clusters(
+                internal.select(
+                    F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+                )
+            )
+            keepers = clusters.groupBy("cluster_id").agg(
+                F.min("doc_id").alias("kept_id")
+            )
+            internal_losers = (
+                clusters.join(keepers, "cluster_id")
+                .filter(F.col("doc_id") != F.col("kept_id"))
+                .select(F.col("doc_id").alias("vec_id"), "kept_id")
+            )
 
         state = (
             self.table.read()
