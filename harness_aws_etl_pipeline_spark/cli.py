@@ -88,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     snap.add_argument(
         "action",
-        choices=["history", "compact", "vacuum", "expire", "restore", "changes"],
+        choices=[
+            "history", "compact", "vacuum", "expire", "restore",
+            "changes", "optimize",
+        ],
     )
     snap.add_argument("--path", required=True, help="snaptable root")
     snap.add_argument(
@@ -119,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     snap.add_argument(
         "--since", type=int, default=None, help="changes lower bound (exclusive)"
+    )
+    snap.add_argument(
+        "--zorder-by", default=None,
+        help="comma-separated columns for optimize",
     )
 
     args = p.parse_args(argv)
@@ -197,6 +204,10 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        elif args.action == "optimize":
+            if not args.zorder_by:
+                p.error("snap optimize requires --zorder-by")
+            print(json.dumps(t.optimize(args.zorder_by.split(","))))
         elif args.action == "restore":
             if args.to_version is None:
                 p.error("snap restore requires --to-version")

@@ -676,7 +676,8 @@ class SnapTable:
             cur_paths = {f["path"] for f in m["files"]}
             added = [f for f in m["files"] if f["path"] not in prev_paths]
             prev_paths = cur_paths
-            if m["operation"] == "compact":
+            if m["operation"] in ("compact", "optimize"):
+                # row-preserving rewrites: files change, rows don't
                 continue
             if m["operation"] not in ("append",):
                 if on_rewrite == "error":
@@ -980,6 +981,43 @@ class SnapTable:
                 }
         raise CommitConflict(
             f"restore lost {max_retries} commit races at {self.path!r}"
+        )
+
+    def optimize(
+        self,
+        zorder_by: list[str],
+        target_files: int | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """Rewrite the WHOLE table z-ordered on ``zorder_by`` — the
+        Delta ``OPTIMIZE ZORDER BY`` shape: one row-preserving
+        snapshot whose files each cover a compact hyper-rectangle of
+        the listed dimensions, so every later ``read(where=)`` and
+        ``merge`` prunes on all of them. Row set provably unchanged
+        (like compact), so :meth:`read_changes` treats it as
+        transparent. Use after enough unordered appends have diluted
+        pruning, from the same maintenance slot as compact."""
+        for _ in range(max_retries):
+            m = self._resolve(None)
+            cur = m["version"]
+            if not m["files"]:
+                return {"version": cur, "rewritten": 0}
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            rows = self._read_files(schema, [f["path"] for f in m["files"]])
+            entries = self._write_data_files(
+                rows, zorder_by, None, target_files, zorder_by
+            )
+            manifest = self._new_manifest(
+                cur, "optimize", m["schema"], dict(m.get("txns") or {}), entries
+            )
+            if self._try_commit(manifest, manifest["version"]):
+                return {
+                    "version": manifest["version"],
+                    "rewritten": len(m["files"]),
+                    "files_added": len(entries),
+                }
+        raise CommitConflict(
+            f"optimize lost {max_retries} commit races at {self.path!r}"
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:

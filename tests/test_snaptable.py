@@ -819,3 +819,38 @@ class TestOrcFormat:
         assert vals[5] == "new" and vals[3] == "old" and len(vals) == 5
         kept, total = t.pruned_file_count([("k", "=", 5)])
         assert kept < total
+
+
+class TestOptimize:
+    def test_optimize_restores_pruning_after_appends(self, spark, table):
+        # unordered appends → stats overlap → no pruning; optimize
+        # z-orders the whole table and pruning comes back
+        import random
+
+        rng = random.Random(5)
+        ids = list(range(4000))
+        rng.shuffle(ids)
+        for chunk in range(4):
+            rows = [(i, i % 7) for i in ids[chunk * 1000:(chunk + 1) * 1000]]
+            table.write(
+                spark.createDataFrame(rows, "id long, v long"),
+                mode="append",
+                stats_cols=["id"],
+                target_files=4,
+            )
+        kept_before, total_before = table.pruned_file_count([("id", "=", 50)])
+        before = _rows(table.read())
+        out = table.optimize(["id"], target_files=16)
+        assert out["rewritten"] > 0
+        kept_after, total_after = table.pruned_file_count([("id", "=", 50)])
+        assert kept_after / total_after < kept_before / total_before
+        assert kept_after <= 2
+        assert _rows(table.read()) == before, "row set unchanged"
+        # transparent to incremental consumers
+        v_opt = table.current_version()
+        table.write(spark.createDataFrame([(9999, 0)], "id long, v long"),
+                    mode="append")
+        got = sorted(
+            r["id"] for r in table.read_changes(v_opt - 1).collect()
+        )
+        assert got == [9999], "optimize adds no rows to the change feed"
