@@ -299,7 +299,11 @@ class SnapTable:
     def _zorder_numeric(df: DataFrame, col: str) -> Column:
         """A column as a z-orderable double: numerics cast directly;
         date/timestamp map to days/seconds since epoch (their natural
-        order), so the common time+key layout z-orders too."""
+        order), so the common time+key layout z-orders too. A
+        non-numeric string column degrades gracefully — its cast is
+        null, its dimension contributes a constant to the curve, and
+        pruning on it simply stays unavailable (stats are still
+        recorded; reads remain exact)."""
         t = df.schema[col].dataType.typeName()
         if t == "date":
             return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")

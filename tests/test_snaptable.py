@@ -854,3 +854,24 @@ class TestOptimize:
             r["id"] for r in table.read_changes(v_opt - 1).collect()
         )
         assert got == [9999], "optimize adds no rows to the change feed"
+
+
+class TestEvolvedColumnPruning:
+    def test_where_on_column_added_later(self, spark, table):
+        """Old files lack the evolved column: no stats → kept
+        conservatively; unified-schema read nulls the column → the row
+        filter excludes those rows → result exact."""
+        table.write(
+            spark.createDataFrame([(1,), (2,)], "id long"), mode="overwrite"
+        )
+        table.write(
+            spark.createDataFrame(
+                [(3, 30), (4, 40)], "id long, score long"
+            ),
+            mode="append",
+            stats_cols=["score"],
+        )
+        got = table.read(where=[("score", ">=", 35)])
+        assert [(r["id"], r["score"]) for r in got.collect()] == [(4, 40)]
+        kept, total = table.pruned_file_count([("score", ">=", 35)])
+        assert kept < total  # new files' stats still prune
