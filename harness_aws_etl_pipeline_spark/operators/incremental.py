@@ -77,6 +77,21 @@ def _maintain_state(
     }
 
 
+def _cluster_losers(spark, pairs: DataFrame, id_type: str, out_id: str) -> DataFrame:
+    """(out_id, kept_id) for every doc that loses its internal
+    near-dup cluster. ``pairs`` must be MATERIALIZED (checkpointed) —
+    the isEmpty probe is then free, and clean batches (the steady-state
+    common case) skip the connected-components jobs entirely.
+    near_dup_clusters labels each component with its MIN doc_id, so
+    the keeper is the cluster_id itself — no extra groupBy/join."""
+    if pairs.isEmpty():
+        return spark.createDataFrame([], f"{out_id} {id_type}, kept_id {id_type}")
+    clusters = near_dup_clusters(pairs)
+    return clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(out_id), F.col("cluster_id").alias("kept_id")
+    )
+
+
 def _est_jaccard(num_hashes: int):
     return (
         F.size(
@@ -215,24 +230,12 @@ class IncrementalDeduper:
             # re-running per consumer
             .localCheckpoint(eager=True)
         )
-        # clean batches (no internal near-dups) are the common case in
-        # a steady-state pipeline — internal is already materialized,
-        # so this probe is free and skips the connected-components jobs
-        if internal.isEmpty():
-            id_type = sigs.schema["doc_id"].dataType.simpleString()
-            internal_losers = self.spark.createDataFrame(
-                [], f"doc_id {id_type}, kept_id {id_type}"
-            )
-        else:
-            clusters = near_dup_clusters(internal.select("doc_a", "doc_b"))
-            keepers = clusters.groupBy("cluster_id").agg(
-                F.min("doc_id").alias("kept_id")
-            )
-            internal_losers = (
-                clusters.join(keepers, "cluster_id")
-                .filter(F.col("doc_id") != F.col("kept_id"))
-                .select("doc_id", "kept_id")
-            )
+        internal_losers = _cluster_losers(
+            self.spark,
+            internal.select("doc_a", "doc_b"),
+            sigs.schema["doc_id"].dataType.simpleString(),
+            "doc_id",
+        )
         # evidence rows: loser → its cluster keeper, with the pair's
         # jaccard when the direct edge exists (cluster transitivity
         # can link docs with no direct edge — est_jaccard is null there)
@@ -380,25 +383,14 @@ class IncrementalEmbeddingDeduper:
             bits=self.bits,
             max_bucket_size=self.max_bucket_size,
         ).localCheckpoint(eager=True)
-        if internal.isEmpty():
-            id_type = src.schema["vec_id"].dataType.simpleString()
-            internal_losers = self.spark.createDataFrame(
-                [], f"vec_id {id_type}, kept_id {id_type}"
-            )
-        else:
-            clusters = near_dup_clusters(
-                internal.select(
-                    F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-                )
-            )
-            keepers = clusters.groupBy("cluster_id").agg(
-                F.min("doc_id").alias("kept_id")
-            )
-            internal_losers = (
-                clusters.join(keepers, "cluster_id")
-                .filter(F.col("doc_id") != F.col("kept_id"))
-                .select(F.col("doc_id").alias("vec_id"), "kept_id")
-            )
+        internal_losers = _cluster_losers(
+            self.spark,
+            internal.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            ),
+            src.schema["vec_id"].dataType.simpleString(),
+            "vec_id",
+        )
 
         state = (
             self.table.read()
