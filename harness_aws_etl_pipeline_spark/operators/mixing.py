@@ -1,0 +1,173 @@
+"""[EXT] Corpus mixing — domain-weighted sampling toward a target mix.
+
+A training run specifies its data mix as per-source weights ("70%
+web, 20% code, 10% books" — by tokens, not documents).  Given the
+actual per-source token inventory, this module computes the largest
+achievable mix honoring those weights without upsampling, and applies
+it as a deterministic hash-sample per source.
+
+Reference parity note: the reference has no mixing/sampling surface
+(single-source S3 prefix, ``etl/src/extract/extractor.py:42-102``);
+this is part of the [EXT] training-data layer.
+
+Determinism contract (same as ``sampling.py``): membership is a pure
+function of (key, salt) — appends never reshuffle previously kept
+documents, reruns are bit-identical, and the md5 hash path is
+reproducible by any engine, which is how the differential oracle
+verifies the whole operator including the threshold arithmetic.
+
+Threshold arithmetic is EXACT INTEGER math end-to-end: weights are
+integers, per-source keep-thresholds are ``(budget · w_s · 2^32) //
+(W · T_s)`` computed with arbitrary-precision ints on the driver and
+HUGEINT in the oracle — no float boundary for a document's md5 draw to
+straddle.
+
+Scale design (100 TB): the only driver-side state is the per-source
+token totals — one row per source (tens, not millions; same bounded
+collect class as IVF centroids).  The sample filter itself is a pure
+column predicate (predicate-pushdown-friendly, no join, no shuffle);
+``cap_per_domain`` is one window over a (source)-partitioned shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.functions.text import word_count
+from harness_aws_etl_pipeline_spark.operators.sampling import md5_split_key
+
+__all__ = [
+    "domain_stats",
+    "mix_thresholds",
+    "sample_to_mix",
+    "cap_per_domain",
+    "shuffle_corpus",
+]
+
+_HASH_SPACE = 1 << 32  # md5 8-hex-char prefix space
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    token_expr: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain inventory: ``(domain, docs, tokens)``.  One partial-
+    aggregated groupBy; output is one row per source."""
+    tok = token_expr if token_expr is not None else word_count(text_col)
+    return (
+        df.withColumn("_tok", tok)
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("_tok").cast("long").alias("tokens"),
+        )
+    )
+
+
+def mix_thresholds(
+    totals: dict[str, int],
+    weights: dict[str, int],
+    budget_tokens: int | None = None,
+) -> dict[str, str]:
+    """Per-source md5 keep-thresholds for the largest mix honoring
+    integer ``weights`` without upsampling any source.
+
+    The achievable budget is ``B = min_s floor(T_s · W / w_s)`` (the
+    total token count at which the scarcest source is fully consumed),
+    further capped by ``budget_tokens``.  Source *s* then keeps
+    ``B · w_s / (W · T_s)`` of its tokens, applied as an 8-hex-char
+    md5 threshold (exact integer arithmetic; see module docstring).
+    Sources absent from ``weights`` keep nothing.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    active = {s: w for s, w in weights.items() if w > 0}
+    total_w = sum(active.values())
+    if total_w == 0:
+        raise ValueError("at least one weight must be positive")
+    missing = [s for s in active if totals.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"weighted sources with no tokens: {missing}")
+    budget = min(totals[s] * total_w // active[s] for s in active)
+    if budget_tokens is not None:
+        budget = min(budget, budget_tokens)
+    out: dict[str, str] = {}
+    for s, w in active.items():
+        t = budget * w * _HASH_SPACE // (total_w * totals[s])
+        out[s] = "g" if t >= _HASH_SPACE else format(t, "08x")
+    return out
+
+
+def _threshold_col(domain_col: str, thresholds: dict[str, str]) -> Column:
+    thr = F.lit("00000000")  # unlisted domains keep nothing
+    for domain, hexcut in thresholds.items():
+        thr = F.when(F.col(domain_col) == domain, F.lit(hexcut)).otherwise(thr)
+    return thr
+
+
+def sample_to_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int | None = None,
+    key: str = "doc_id",
+    domain_col: str = "source",
+    token_expr: Column | None = None,
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Filter ``df`` down to the target mix.
+
+    Two passes: (1) aggregate per-source token totals (collected to
+    the driver — one row per source), (2) filter on the per-source md5
+    threshold.  Document-level hash sampling attains the token share
+    in expectation; at corpus scale the realized share concentrates
+    tightly (documented approximation, same as every hash-sampled
+    mix).  Deterministic: a kept document stays kept across reruns and
+    appends (until its source's threshold changes).
+    """
+    stats = domain_stats(df, domain_col, token_expr, text_col)
+    totals = {r["domain"]: r["tokens"] for r in stats.collect()}
+    thresholds = mix_thresholds(totals, weights, budget_tokens)
+    draw = md5_split_key(key, salt)
+    return df.filter(draw < _threshold_col(domain_col, thresholds))
+
+
+def cap_per_domain(
+    df: DataFrame,
+    n: int,
+    domain_col: str = "source",
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` documents per domain — the over-represented-
+    host guard.  Deterministic ranking (``order_by`` with ``id_col``
+    tiebreak); one window over a (domain)-partitioned shuffle.  A
+    pathologically hot domain concentrates on one task only for rank
+    assignment — at 100 TB cap hot domains earlier with
+    ``sample_to_mix`` or pre-filter, or accept the one skewed task."""
+    ordering = (order_by or []) + [F.col(id_col)]
+    w = Window.partitionBy(domain_col).orderBy(*ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame, key: str = "doc_id", salt: int = 0, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Deterministic global shuffle for training output: total order by
+    a keyed hash (range-partitioned sort — no single-task bottleneck).
+    Same order on every run and engine (md5 path), unlike
+    ``df.orderBy(rand(seed))`` whose draw is partition-layout-
+    dependent.  ``hash_fn="md5"`` is the engine-agnostic/oracle path.
+    """
+    if hash_fn == "md5":
+        return df.orderBy(md5_split_key(key, salt), F.col(key))
+    if hash_fn != "xxhash64":
+        raise ValueError('hash_fn must be "xxhash64" or "md5"')
+    return df.orderBy(F.xxhash64(F.col(key), F.lit(salt)), F.col(key))

@@ -1,0 +1,212 @@
+"""Round-5 corpus operators: line-level dedup (CCNet-style), corpus
+mixing, sequence packing.  Unit semantics on tiny frames plus
+determinism/invariant properties; the value-level differential oracle
+lives in the catalog panels (``line_dedup``, ``corpus_mix``,
+``seq_packing``)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.linededup import (
+    frequent_lines,
+    line_dedup_stats,
+    remove_frequent_lines,
+)
+from harness_aws_etl_pipeline_spark.operators.mixing import (
+    cap_per_domain,
+    domain_stats,
+    mix_thresholds,
+    sample_to_mix,
+    shuffle_corpus,
+)
+from harness_aws_etl_pipeline_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "cookie banner\nreal content one\nfooter text", "web"),
+        (2, "Cookie Banner\nunique second doc\nfooter text", "web"),
+        (3, "totally original\nnothing shared here", "books"),
+        (4, "cookie banner\n\nfooter text", "web"),
+        (5, "short", "code"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestLineDedup:
+    def test_frequent_lines_normalized_and_blank_excluded(self, docs):
+        freq = {r["key"]: r["line_cnt"] for r in frequent_lines(docs, 2).collect()}
+        # case-folded: "cookie banner" matches "Cookie Banner"
+        assert freq == {"cookie banner": 3, "footer text": 3}
+        # doc 4's blank line occurs alongside every other doc's implicit
+        # structure but blank keys are never reported
+
+    def test_removal_preserves_order_and_casing(self, docs):
+        out = {
+            r["doc_id"]: (r["text"], r["_lines_removed"])
+            for r in remove_frequent_lines(docs, 2).collect()
+        }
+        assert out[1] == ("real content one", 2)
+        assert out[2] == ("unique second doc", 2)
+        assert out[3] == ("totally original\nnothing shared here", 0)
+        assert out[4] == ("", 2)  # blank line survives? no: text empty
+        assert out[5] == ("short", 0)
+
+    def test_blank_lines_survive_between_kept_lines(self, spark):
+        df = spark.createDataFrame(
+            [(1, "keep a\n\nkeep b\nboiler"), (2, "boiler"), (3, "boiler")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in remove_frequent_lines(df, 2).collect()}
+        assert out[1] == "keep a\n\nkeep b"
+
+    def test_hash_key_variant_identical(self, docs):
+        a = remove_frequent_lines(docs, 2, use_hash_key=False)
+        b = remove_frequent_lines(docs, 2, use_hash_key=True)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_stats_panel_consistency(self, docs):
+        row = line_dedup_stats(docs, 2).collect()[0]
+        assert row["lines_total"] == 12
+        assert row["dup_line_keys"] == 2
+        assert row["lines_removed"] == 6
+        assert row["docs_changed"] == 3
+        cleaned = remove_frequent_lines(docs, 2)
+        chars = cleaned.agg(F.sum(F.length("text"))).collect()[0][0]
+        assert row["chars_after"] == chars
+
+
+class TestMixing:
+    def test_mix_thresholds_integer_exact(self):
+        totals = {"web": 1000, "code": 100}
+        # equal weights: code is scarce -> budget = 200, web keeps 10%
+        thr = mix_thresholds(totals, {"web": 1, "code": 1})
+        assert thr["code"] == "g"  # full keep
+        assert thr["web"] == format((1 << 32) // 10, "08x")
+
+    def test_mix_thresholds_budget_cap(self):
+        totals = {"web": 1000}
+        thr = mix_thresholds(totals, {"web": 1}, budget_tokens=500)
+        assert thr["web"] == format((1 << 32) // 2, "08x")
+
+    def test_mix_thresholds_validation(self):
+        with pytest.raises(ValueError):
+            mix_thresholds({"web": 10}, {})
+        with pytest.raises(ValueError):
+            mix_thresholds({"web": 0}, {"web": 1})
+        with pytest.raises(ValueError):
+            mix_thresholds({"web": 10}, {"web": -1})
+
+    def test_sample_to_mix_respects_thresholds_exactly(self, docs):
+        kept = sample_to_mix(docs, {"web": 1, "books": 1}, salt=3)
+        rows = kept.collect()
+        # membership must equal the reference md5 computation per row
+        stats = {
+            r["domain"]: r["tokens"] for r in domain_stats(docs).collect()
+        }
+        thr = mix_thresholds(
+            {s: t for s, t in stats.items() if s in ("web", "books")},
+            {"web": 1, "books": 1},
+        )
+        expect = set()
+        for r in docs.collect():
+            cut = thr.get(r["source"], "00000000")
+            h = hashlib.md5(f"{r['doc_id']}|3".encode()).hexdigest()[:8]
+            if h < cut:
+                expect.add(r["doc_id"])
+        assert {r["doc_id"] for r in rows} == expect
+        # unweighted source dropped entirely
+        assert all(r["source"] != "code" for r in rows)
+
+    def test_sample_to_mix_append_stability(self, spark, docs):
+        before = {
+            r["doc_id"]
+            for r in sample_to_mix(docs, {"web": 1, "books": 1}).collect()
+        }
+        extra = spark.createDataFrame(
+            [(100 + i, "more web words here", "web") for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        after_df = sample_to_mix(docs.unionByName(extra), {"web": 1, "books": 1})
+        after = {r["doc_id"] for r in after_df.collect()}
+        # books was the scarce source and is still fully kept; its docs
+        # and any web doc whose threshold did not shrink stay members.
+        # Thresholds can only move with the totals; a doc that was OUT
+        # can come IN only if its source's fraction grew — web's shrank,
+        # so no new old-web doc appears.
+        assert {d for d in before if d < 100} >= {d for d in after if d < 100} or (
+            before <= after
+        )
+
+    def test_cap_per_domain(self, docs):
+        capped = cap_per_domain(docs, 1)
+        per = capped.groupBy("source").count().collect()
+        assert all(r["count"] == 1 for r in per)
+        # deterministic: lowest doc_id wins the default ordering
+        assert {r["doc_id"] for r in capped.collect()} == {1, 3, 5}
+
+    def test_shuffle_corpus_deterministic_and_total(self, docs):
+        a = [r["doc_id"] for r in shuffle_corpus(docs, hash_fn="md5").collect()]
+        b = [r["doc_id"] for r in shuffle_corpus(docs, hash_fn="md5").collect()]
+        assert a == b and sorted(a) == [1, 2, 3, 4, 5]
+        expect = sorted(
+            range(1, 6), key=lambda i: hashlib.md5(f"{i}|0".encode()).hexdigest()[:8]
+        )
+        assert a == expect
+        c = [r["doc_id"] for r in shuffle_corpus(docs, salt=1).collect()]
+        assert sorted(c) == [1, 2, 3, 4, 5]
+
+
+class TestPacking:
+    def _mk(self, spark, sizes):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_invariants_small(self, spark):
+        df = self._mk(spark, [5, 4, 3, 2, 1, 6])
+        packed = pack_sequences(df, capacity=6, buckets=1)
+        rows = packed.collect()
+        assert len(rows) == 6
+        fills = {}
+        for r in rows:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+        assert all(f <= 6 for f in fills.values())
+        total = sum(r["n_tokens"] for r in rows)
+        assert total == 21
+        assert len(fills) >= math.ceil(total / 6)
+        # FFD with capacity 6 over [6,5,4,3,2,1] packs into 4 bins:
+        # [6], [5,1], [4,2], [3]
+        assert len(fills) == 4
+
+    def test_oversized_clamped_and_flagged(self, spark):
+        df = self._mk(spark, [10, 2])
+        rows = pack_sequences(df, capacity=6, buckets=1).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[0]["n_tokens"] == 6 and by_id[0]["_truncated"]
+        assert by_id[1]["n_tokens"] == 2 and not by_id[1]["_truncated"]
+
+    def test_deterministic_across_partitioning(self, spark):
+        df = self._mk(spark, [5, 4, 3, 2, 1, 6, 3, 3])
+        a = sorted(map(tuple, pack_sequences(df, 8, buckets=4).collect()))
+        b = sorted(
+            map(tuple, pack_sequences(df.repartition(7), 8, buckets=4).collect())
+        )
+        assert a == b
+
+    def test_stats_panel(self, spark):
+        df = self._mk(spark, [5, 4, 3, 2, 1, 6, 10])
+        row = packing_stats(df, capacity=6, buckets=2).collect()[0]
+        assert row["docs_packed"] == 7
+        assert row["token_total"] == 21 + 6  # doc 6 clamped 10 -> 6
+        assert row["truncated_docs"] == 1
+        assert row["overfull_bins"] == 0
+        assert row["bins_ok"]
