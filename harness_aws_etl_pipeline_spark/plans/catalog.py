@@ -173,19 +173,19 @@ class QuerySpec:
 
 
 def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
-    """S1/S3/A1 — scan + count + exact distinct (reference
-    extractor.py:94-99; transformer.py:53-56)."""
+    """S1/S3/A1 + S6 — scan + count + exact distinct (reference
+    extractor.py:94-99; transformer.py:53-56) fused with the
+    multi-source row-wise union leg (extractor.py:137; formerly the
+    standalone ``union_all`` entry — two 1-row panels share one slot
+    of the driver's 50-entry correctness window)."""
     li = tables(spark, sf)["lineitem"]
-    return li.agg(
+    o = tables(spark, sf)["orders"]
+    scan = li.agg(
         F.count(F.lit(1)).alias("row_cnt"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
-
-
-def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
-    """S6 — multi-source row-wise union (reference extractor.py:137)."""
-    o = tables(spark, sf)["orders"]
-    return o.unionByName(o).agg(F.count(F.lit(1)).alias("row_cnt"))
+    union = o.unionByName(o).agg(F.count(F.lit(1)).alias("union_row_cnt"))
+    return scan.crossJoin(union)
 
 
 def q_normalize_names(spark: SparkSession, sf: str) -> DataFrame:
@@ -927,11 +927,11 @@ SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
 
 CORE_CATALOG: list[QuerySpec] = [
     QuerySpec("scan_count", q_scan_count,
-              "SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem",
-              "S1/S3/A1 parquet scan + counts", tags=("source", "agg")),
-    QuerySpec("union_all", q_union_all,
-              "SELECT COUNT(*) AS row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)",
-              "S6 multi-file union", tags=("source",)),
+              "SELECT s.*, u.* FROM "
+              "(SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem) s, "
+              "(SELECT COUNT(*) AS union_row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)) u",
+              "S1/S3/A1 parquet scan + counts + S6 multi-file union",
+              tags=("source", "agg")),
     QuerySpec("normalize_names", q_normalize_names, ORACLE_NORMALIZE,
               "T1 column-name normalization", tags=("transform",)),
     QuerySpec("null_audit", q_null_audit, ORACLE_NULL_AUDIT,

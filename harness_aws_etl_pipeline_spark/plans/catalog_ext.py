@@ -317,13 +317,28 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
     5-gram shingles: short shingles over a small vocabulary explode
     the candidate-pair space quadratically (the reason production
-    dedup pipelines use 5-13-gram shingles)."""
+    dedup pipelines use 5-13-gram shingles).
+
+    Chunking legs (fused in from the former standalone ``chunking``
+    entry — two 1-row panels share one slot of the driver's 50-entry
+    correctness window): overlapping 32-token windows (stride 24)
+    rolled up to chunk counts + token accounting."""
+    from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
+
     docs = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2)
-    return pairs.agg(
+    jac = pairs.agg(
         F.count(F.lit(1)).alias("pair_cnt"),
         F.coalesce(F.round(F.sum("jaccard"), 4), F.lit(0.0)).alias("jaccard_sum"),
     )
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    chunk_agg = chunks.agg(
+        F.count(F.lit(1)).alias("chunk_cnt"),
+        F.countDistinct("doc_id").alias("docs_chunked"),
+        F.sum("n_tokens").cast("long").alias("token_total"),
+        F.max("chunk_idx").cast("int").alias("max_chunk_idx"),
+    )
+    return jac.crossJoin(chunk_agg)
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -355,47 +370,32 @@ jac AS (
   SELECT ROUND(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 6) AS jaccard
   FROM pairs
 )
-SELECT COUNT(*) AS pair_cnt,
-       COALESCE(ROUND(SUM(jaccard), 4), 0.0) AS jaccard_sum
-FROM jac WHERE jaccard >= 0.2
-"""
-
-
-def q_chunking(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] document chunking: overlapping 32-token windows (stride
-    24), rolled up to chunk counts + token accounting."""
-    from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
-
-    docs = _t(spark, sf, "documents")
-    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
-    return chunks.agg(
-        F.count(F.lit(1)).alias("chunk_cnt"),
-        F.countDistinct("doc_id").alias("docs_chunked"),
-        F.sum("n_tokens").cast("long").alias("token_total"),
-        F.max("chunk_idx").cast("int").alias("max_chunk_idx"),
-    )
-
-
-ORACLE_CHUNKING = r"""
-WITH toks AS (
-  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n
-  FROM documents
-),
-chunks AS (
-  SELECT doc_id, n,
-         CASE WHEN n <= 0 THEN 0
-              WHEN n <= 8 THEN 1
-              ELSE CAST(CEIL((n - 8) / 24.0) AS BIGINT) END AS n_chunks
-  FROM toks
-),
-exploded AS (
-  SELECT doc_id, n, UNNEST(range(0, n_chunks)) AS chunk_idx FROM chunks
-)
-SELECT COUNT(*) AS chunk_cnt,
-       COUNT(DISTINCT doc_id) AS docs_chunked,
-       CAST(SUM(LEAST(n - chunk_idx * 24, 32)) AS BIGINT) AS token_total,
-       CAST(MAX(chunk_idx) AS INT) AS max_chunk_idx
-FROM exploded
+SELECT j.*, c.*
+FROM (
+  SELECT COUNT(*) AS pair_cnt,
+         COALESCE(ROUND(SUM(jaccard), 4), 0.0) AS jaccard_sum
+  FROM jac WHERE jaccard >= 0.2
+) j, (
+  WITH toks AS (
+    SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n
+    FROM documents
+  ),
+  chunks AS (
+    SELECT doc_id, n,
+           CASE WHEN n <= 0 THEN 0
+                WHEN n <= 8 THEN 1
+                ELSE CAST(CEIL((n - 8) / 24.0) AS BIGINT) END AS n_chunks
+    FROM toks
+  ),
+  exploded AS (
+    SELECT doc_id, n, UNNEST(range(0, n_chunks)) AS chunk_idx FROM chunks
+  )
+  SELECT COUNT(*) AS chunk_cnt,
+         COUNT(DISTINCT doc_id) AS docs_chunked,
+         CAST(SUM(LEAST(n - chunk_idx * 24, 32)) AS BIGINT) AS token_total,
+         CAST(MAX(chunk_idx) AS INT) AS max_chunk_idx
+  FROM exploded
+) c
 """
 
 
@@ -505,10 +505,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] as-of join: for every click event, the latest prior (or
-    simultaneous) purchase value of the same user. Window-composition
-    implementation (operators/asof.py) vs DuckDB's native ASOF JOIN."""
-    from harness_aws_etl_pipeline_spark.operators.asof import as_of_join
+    """[EXT] temporal-join panel, one row.
+
+    As-of legs: for every click event, the latest prior (or
+    simultaneous) purchase value of the same user — window-composition
+    implementation (operators/asof.py) vs DuckDB's native ASOF JOIN.
+    Range legs (fused in from the former standalone ``range_join``
+    entry — two 1-row panels share one slot of the driver's 50-entry
+    correctness window): clicks × per-user error windows ([error ts,
+    +30 min)) — bucketed equi-join implementation vs the oracle's
+    plain inequality join."""
+    from harness_aws_etl_pipeline_spark.operators.asof import as_of_join, range_join
     from harness_aws_etl_pipeline_spark.plans.catalog import dsum
 
     ev = _t(spark, sf, "events")
@@ -522,59 +529,48 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         clicks, purchases, on="user_id", left_time="ts", right_time="p_ts",
         value_cols=["p_value"],
     )
-    return joined.agg(
+    asof_agg = joined.agg(
         F.count(F.lit(1)).alias("click_cnt"),
         F.count("p_value_asof").alias("matched_cnt"),
         dsum(F.coalesce(F.col("p_value_asof"), F.lit(0.0)), "matched_value_sum"),
     )
-
-
-ORACLE_ASOF = """
-SELECT COUNT(*) AS click_cnt,
-       COUNT(p_value) AS matched_cnt,
-       CAST(SUM(CAST(ROUND(CAST(COALESCE(p_value, 0.0) AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
-         / 10000.0 AS matched_value_sum
-FROM (
-  SELECT c.event_id, p.value AS p_value
-  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-  ASOF LEFT JOIN
-       (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-  ON c.user_id = p.user_id AND c.ts >= p.ts
-)
-"""
-
-
-def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] range join: events × per-user error windows ([error ts,
-    +30 min)) — bucketed equi-join implementation vs the oracle's
-    plain inequality join."""
-    from harness_aws_etl_pipeline_spark.operators.asof import range_join
-
-    ev = _t(spark, sf, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("user_id"),
         F.col("ts").alias("w_start"),
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    joined = range_join(
+    ranged = range_join(
         clicks, errors, "ts", "w_start", "w_end", on="user_id",
         bucket_width_seconds=1800,
     )
-    return joined.agg(
+    range_agg = ranged.agg(
         F.count(F.lit(1)).alias("pair_cnt"),
         F.countDistinct("event_id").alias("affected_clicks"),
     )
+    return asof_agg.crossJoin(range_agg)
 
 
-ORACLE_RANGE_JOIN = """
-SELECT COUNT(*) AS pair_cnt, COUNT(DISTINCT c.event_id) AS affected_clicks
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
-      FROM events WHERE event_type = 'error') e
-  ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts < e.w_end
+ORACLE_ASOF = """
+SELECT a.*, r.*
+FROM (
+  SELECT COUNT(*) AS click_cnt,
+         COUNT(p_value) AS matched_cnt,
+         CAST(SUM(CAST(ROUND(CAST(COALESCE(p_value, 0.0) AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS matched_value_sum
+  FROM (
+    SELECT c.event_id, p.value AS p_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+  )
+) a, (
+  SELECT COUNT(*) AS pair_cnt, COUNT(DISTINCT c.event_id) AS affected_clicks
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error') e
+    ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts < e.w_end
+) r
 """
 
 
@@ -1598,6 +1594,195 @@ ORDER BY src, query_id, rank
 """
 
 
+# ------------------------------------------------- round-5 corpus ops
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] line-level corpus dedup (CCNet-style boilerplate removal,
+    operators/linededup.py) — 1-row summary panel.
+
+    The synthetic documents are single-line, so the panel derives a
+    deterministic multi-line corpus both engines can reconstruct:
+    every doc gains a banner line shared by doc_id % 5 (heavy
+    corpus-wide repetition — exercises the partial-agg count under
+    skew) and a per-language footer line, around its original text.
+    Legs: total line count, distinct frequent keys, removed lines,
+    docs touched, and surviving characters (order-free, so the oracle
+    verifies the rebuild without reconstructing line order; ordering
+    itself is pinned in tests/test_corpus_ops.py).
+    """
+    from harness_aws_etl_pipeline_spark.operators.linededup import line_dedup_stats
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("banner "), (F.col("doc_id") % 5).cast("string")),
+            F.col("text"),
+            F.concat(F.lit("footer "), F.col("lang")),
+        ),
+    )
+    return line_dedup_stats(docs, min_count=2)
+
+
+ORACLE_LINE_DEDUP = r"""
+WITH multi AS (
+  SELECT doc_id,
+         'banner ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+         text || chr(10) || 'footer ' || lang AS text
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, line, lower(trim(line)) AS key
+  FROM (SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM multi)
+),
+freq AS (
+  SELECT key FROM keyed WHERE length(key) > 0
+  GROUP BY key HAVING COUNT(*) >= 2
+),
+kept AS (
+  SELECT doc_id, COUNT(*) AS kept_cnt, SUM(LENGTH(line)) AS kept_chars
+  FROM keyed WHERE key NOT IN (SELECT key FROM freq) GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id, COUNT(*) AS rem
+  FROM keyed WHERE key IN (SELECT key FROM freq) GROUP BY doc_id
+),
+perdoc AS (
+  SELECT d.doc_id, COALESCE(k.kept_cnt, 0) AS kept_cnt,
+         COALESCE(k.kept_chars, 0) AS kept_chars, COALESCE(r.rem, 0) AS rem
+  FROM multi d
+  LEFT JOIN kept k USING (doc_id)
+  LEFT JOIN removed r USING (doc_id)
+)
+SELECT (SELECT COUNT(*) FROM keyed) AS lines_total,
+       CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+       CAST(SUM(rem) AS BIGINT) AS lines_removed,
+       CAST(SUM(kept_chars + CASE WHEN kept_cnt > 0 THEN kept_cnt - 1 ELSE 0 END)
+            AS BIGINT) AS chars_after,
+       (SELECT COUNT(*) FROM freq) AS dup_line_keys
+FROM perdoc
+"""
+
+
+# The mix the corpus_mix panel targets: 5 of the 20 synthetic sources,
+# integer weights (the exact-arithmetic contract of operators/mixing.py).
+_MIX_WEIGHTS = {"src0": 4, "src1": 3, "src2": 2, "src3": 1, "src17": 5}
+
+
+def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] domain-weighted corpus mixing (operators/mixing.py) —
+    per-source panel: inventory totals vs what the largest achievable
+    mix keeps. Thresholds are exact-integer md5 cuts, so the oracle
+    recomputes the ENTIRE operator — inventory aggregation, budget,
+    per-source thresholds, membership — independently in SQL.
+    """
+    from harness_aws_etl_pipeline_spark.operators.mixing import (
+        domain_stats,
+        sample_to_mix,
+    )
+
+    docs = _t(spark, sf, "documents")
+    stats = domain_stats(docs)
+    mixed = sample_to_mix(docs, _MIX_WEIGHTS, salt=0)
+    kept = domain_stats(mixed).select(
+        F.col("domain"),
+        F.col("docs").alias("docs_kept"),
+        F.col("tokens").alias("tokens_kept"),
+    )
+    return (
+        stats.select(
+            "domain",
+            F.col("docs").alias("docs_total"),
+            F.col("tokens").alias("tokens_total"),
+        )
+        .join(kept, "domain", "left")
+        .select(
+            "domain",
+            "docs_total",
+            "tokens_total",
+            F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
+ORACLE_CORPUS_MIX = r"""
+WITH stats AS (
+  SELECT source AS domain, COUNT(*) AS docs,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT * FROM (VALUES ('src0', 4), ('src1', 3), ('src2', 2),
+                        ('src3', 1), ('src17', 5)) AS t(domain, wt)
+),
+j AS (SELECT s.domain, s.tokens, w.wt FROM stats s JOIN w USING (domain)),
+b AS (
+  SELECT MIN(CAST(tokens AS HUGEINT) * (SELECT SUM(wt) FROM w) // wt) AS budget
+  FROM j
+),
+thr AS (
+  SELECT domain,
+         (SELECT budget FROM b) * wt * CAST(4294967296 AS HUGEINT)
+           // ((SELECT SUM(wt) FROM w) * tokens) AS t
+  FROM j
+),
+cuts AS (
+  SELECT domain,
+         CASE WHEN t >= 4294967296 THEN 'g'
+              ELSE printf('%08x', CAST(t AS BIGINT)) END AS cut
+  FROM thr
+),
+kept AS (
+  SELECT d.source AS domain, COUNT(*) AS docs_kept,
+         CAST(SUM(len(list_filter(string_split_regex(d.text, '\s+'), t -> t != '')))
+              AS BIGINT) AS tokens_kept
+  FROM documents d JOIN cuts c ON d.source = c.domain
+  WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '|0'), 1, 8) < c.cut
+  GROUP BY d.source
+)
+SELECT s.domain, s.docs AS docs_total, s.tokens AS tokens_total,
+       COALESCE(k.docs_kept, 0) AS docs_kept,
+       COALESCE(k.tokens_kept, 0) AS tokens_kept
+FROM stats s LEFT JOIN kept k USING (domain)
+ORDER BY s.domain
+"""
+
+
+def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] sequence packing (operators/packing.py) — 1-row invariant
+    panel at capacity 64 (the corpus spans 10-99 tokens, so both the
+    co-location and the clamp-oversized paths are exercised). The bin
+    ASSIGNMENT is engine-internal (FFD tie order); the panel pins the
+    engine-independent facts — doc and token conservation post-clamp,
+    truncation count — exactly, plus the packing invariants (no
+    overfull bin; bin count within [ceil(tokens/capacity), docs]) as
+    booleans the oracle states as constants. Exact FFD bin counts are
+    pinned in tests/test_corpus_ops.py.
+    """
+    from harness_aws_etl_pipeline_spark.operators.packing import packing_stats
+
+    docs = _t(spark, sf, "documents")
+    return packing_stats(docs, capacity=64, buckets=8)
+
+
+ORACLE_SEQ_PACKING = r"""
+WITH toks AS (
+  SELECT len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n
+  FROM documents
+)
+SELECT COUNT(*) AS docs_packed,
+       CAST(SUM(LEAST(n, 64)) AS BIGINT) AS token_total,
+       CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS truncated_docs,
+       CAST(0 AS BIGINT) AS overfull_bins,
+       TRUE AS bins_ok
+FROM toks
+"""
+
+
 from harness_aws_etl_pipeline_spark.plans.catalog import QuerySpec  # noqa: E402
 
 EXT_CATALOG: list[QuerySpec] = [
@@ -1612,15 +1797,25 @@ EXT_CATALOG: list[QuerySpec] = [
               "[EXT] md5 + rolling-hash fingerprints + PII redaction "
               "(fused 1-row panels)", tags=("ext", "text")),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
-              "[EXT] n-gram Jaccard near-dup with blocking", headline=True,
-              tags=("ext", "dedup")),
+              "[EXT] n-gram Jaccard near-dup with blocking + overlapping "
+              "token-window chunking (fused 1-row panels)", headline=True,
+              tags=("ext", "dedup", "text")),
     QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
-              "[EXT] as-of join (window composition vs native ASOF)",
-              tags=("ext", "join")),
-    QuerySpec("chunking", q_chunking, ORACLE_CHUNKING,
-              "[EXT] overlapping token-window chunking", tags=("ext", "text")),
+              "[EXT] as-of join (window composition vs native ASOF) + "
+              "bucketed range join vs inequality-join oracle (fused "
+              "1-row panels)", tags=("ext", "join")),
     QuerySpec("tfidf", q_tfidf, ORACLE_TFIDF,
               "[EXT] corpus TF-IDF top terms", tags=("ext", "text")),
+    QuerySpec("line_dedup", q_line_dedup, ORACLE_LINE_DEDUP,
+              "[EXT] CCNet-style line-level corpus dedup",
+              tags=("ext", "dedup", "text")),
+    QuerySpec("corpus_mix", q_corpus_mix, ORACLE_CORPUS_MIX,
+              "[EXT] domain-weighted corpus mixing (exact-integer md5 "
+              "thresholds, full operator re-derived by the oracle)",
+              tags=("ext", "sampling")),
+    QuerySpec("seq_packing", q_seq_packing, ORACLE_SEQ_PACKING,
+              "[EXT] sequence packing invariants (FFD per hash bucket)",
+              tags=("ext", "text")),
     QuerySpec("train_test_split", q_train_test_split, None,
               "[EXT] deterministic hash split, fast xxhash64 path "
               "(values oracled via fuzzy_dedup_verify)",
@@ -1628,9 +1823,6 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("pandas_udaf", q_pandas_udaf, ORACLE_PANDAS_UDAF,
               "[EXT] GROUPED_AGG pandas UDAF (exact median)",
               tags=("ext", "udf")),
-    QuerySpec("range_join", q_range_join, ORACLE_RANGE_JOIN,
-              "[EXT] bucketed range join vs inequality-join oracle",
-              tags=("ext", "join")),
     QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
               "[EXT] near-dup clustering + canonical dedup",
               headline=True, tags=("ext", "dedup")),
