@@ -436,3 +436,67 @@ def test_incremental_rollup_delta_cost(spark, tmp_path):
     assert big_s < small_s * 2.5, (
         f"16x silver must not inflate the delta fold: {small_s:.2f}s -> {big_s:.2f}s"
     )
+
+
+@stress
+def test_line_dedup_boilerplate_skew(spark):
+    """Line dedup under the skew it exists for: one boilerplate line in
+    EVERY doc, one in 10% of docs.  Partial aggregation must absorb the
+    hot keys (no salting) and the anti-join must scale ~linearly: 4x
+    the corpus may cost at most ~8x the 1x wall (generous local[4]
+    bound; quadratic behavior would be ~16x)."""
+    import time
+
+    from harness_aws_etl_pipeline_spark.operators.linededup import (
+        remove_frequent_lines,
+    )
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("unique line "), F.col("id").cast("string")),
+                F.lit("all rights reserved boilerplate"),
+                F.when(
+                    F.col("id") % 10 == 0, F.lit("subscribe to our newsletter")
+                ).otherwise(F.concat(F.lit("also unique "), F.col("id").cast("string"))),
+            ).alias("text"),
+        )
+
+    def run(n):
+        t0 = time.monotonic()
+        out = remove_frequent_lines(corpus(n), min_count=1000)
+        removed = out.agg(F.sum("_lines_removed")).collect()[0][0]
+        return time.monotonic() - t0, removed
+
+    w1, removed1 = run(100_000)
+    assert removed1 == 100_000 + 10_000
+    w4, removed4 = run(400_000)
+    assert removed4 == 400_000 + 40_000
+    assert w4 < w1 * 8 + 2.0, f"superlinear: {w1:.1f}s -> {w4:.1f}s"
+
+
+@stress
+def test_packing_million_docs(spark):
+    """FFD packing at 1M docs: invariants hold and waste stays small.
+    Token counts are injected as an expression (no text generation) —
+    the operator contract the 100 TB path uses when counts are already
+    a column."""
+    from harness_aws_etl_pipeline_spark.operators.packing import pack_sequences
+
+    docs = spark.range(1_000_000).select(F.col("id").alias("doc_id"))
+    packed = pack_sequences(
+        docs, capacity=256, token_expr=(F.col("doc_id") % 97 + 8), buckets=64
+    )
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))
+    row = bins.agg(
+        F.count(F.lit(1)).alias("bins"),
+        F.max("fill").alias("maxfill"),
+        F.sum("fill").alias("total"),
+    ).collect()[0]
+    assert row["maxfill"] <= 256
+    # waste = allocated - used; FFD on sub-capacity uniform sizes packs
+    # tightly — even across 64 independent buckets demand <5% slack
+    assert row["bins"] * 256 < row["total"] * 1.05
+    assert packed.count() == 1_000_000
