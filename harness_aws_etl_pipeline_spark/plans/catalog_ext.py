@@ -1610,10 +1610,21 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs touched, and surviving characters (order-free, so the oracle
     verifies the rebuild without reconstructing line order; ordering
     itself is pinned in tests/test_corpus_ops.py).
+
+    Decontamination legs (operators/decontam.py — fused so the new
+    oracle-backed op stays inside the driver's 50-entry window; both
+    ops are corpus-hygiene passes over documents): the "benchmark" is
+    the deterministic doc_id % 97 slice of the corpus itself, n=13
+    (the published GPT-3/PaLM overlap width), string n-grams so the
+    oracle's COUNT semantics match exactly.  Planted by construction:
+    every ≥13-token benchmark doc is its own verbatim overlap, so the
+    join, per-doc distinct-hit counts, and anti-join all move.
     """
+    from harness_aws_etl_pipeline_spark.operators.decontam import contamination_stats
     from harness_aws_etl_pipeline_spark.operators.linededup import line_dedup_stats
 
-    docs = _t(spark, sf, "documents").withColumn(
+    raw = _t(spark, sf, "documents")
+    docs = raw.withColumn(
         "text",
         F.concat_ws(
             "\n",
@@ -1622,7 +1633,9 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.lit("footer "), F.col("lang")),
         ),
     )
-    return line_dedup_stats(docs, min_count=2)
+    bench = raw.where(F.col("doc_id") % 97 == 0)
+    decon = contamination_stats(raw, bench, n=13, use_hash=False)
+    return line_dedup_stats(docs, min_count=2).crossJoin(decon)
 
 
 ORACLE_LINE_DEDUP = r"""
@@ -1655,13 +1668,40 @@ perdoc AS (
   LEFT JOIN kept k USING (doc_id)
   LEFT JOIN removed r USING (doc_id)
 )
-SELECT (SELECT COUNT(*) FROM keyed) AS lines_total,
-       CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
-       CAST(SUM(rem) AS BIGINT) AS lines_removed,
-       CAST(SUM(kept_chars + CASE WHEN kept_cnt > 0 THEN kept_cnt - 1 ELSE 0 END)
-            AS BIGINT) AS chars_after,
-       (SELECT COUNT(*) FROM freq) AS dup_line_keys
-FROM perdoc
+SELECT l.*, d.*
+FROM (
+  SELECT (SELECT COUNT(*) FROM keyed) AS lines_total,
+         CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+         CAST(SUM(rem) AS BIGINT) AS lines_removed,
+         CAST(SUM(kept_chars + CASE WHEN kept_cnt > 0 THEN kept_cnt - 1 ELSE 0 END)
+              AS BIGINT) AS chars_after,
+         (SELECT COUNT(*) FROM freq) AS dup_line_keys
+  FROM perdoc
+) l, (
+  -- decontamination legs: benchmark = doc_id % 97 slice, 13-gram overlap
+  WITH grams AS (
+    SELECT doc_id,
+           UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(len(toks) - 12, 0) + 1),
+             i -> list_aggregate(list_slice(toks, i, i + 12), 'string_agg', ' ')
+           ))) AS g
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+          FROM documents)
+  ),
+  bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+  hits AS (
+    SELECT doc_id, COUNT(*) AS hit
+    FROM grams JOIN bench USING (g) GROUP BY doc_id
+  )
+  SELECT (SELECT COUNT(*) FROM bench) AS bench_ngrams,
+         (SELECT COUNT(*) FROM hits) AS contaminated_docs,
+         (SELECT COALESCE(CAST(SUM(hit) AS BIGINT), 0) FROM hits) AS hits_total,
+         (SELECT COUNT(*) FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM hits)) AS clean_docs,
+         (SELECT COALESCE(CAST(SUM(LENGTH(text)) AS BIGINT), 0) FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM hits)) AS clean_chars
+) d
 """
 
 
