@@ -260,6 +260,16 @@ def main() -> None:
                 "bucketed": bucketed,
                 "snaptable": snap,
                 "incremental_dedup": incdd,
+                # Round-over-round comparability: several headline names
+                # now carry MORE work than in BENCH_r03 because 1-row
+                # panels were fused to keep the driver's 50-entry
+                # correctness window full of oracle-backed specs —
+                # their timings measure the fused plan, not a
+                # regression of the original query.
+                "notes": {
+                    "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
+                    "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
+                },
                 "sf": sf_val,
             }
         )

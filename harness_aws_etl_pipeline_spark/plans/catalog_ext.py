@@ -739,6 +739,21 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """[EXT] SemDeDup semantic dedup, fast path: learned k-means
+    quantizer + greedy keep-farthest-from-centroid, Arrow gram-matrix
+    per cluster (operators/semdedup.py). The dominance/fixed-centroid
+    expression twin is value-oracled inside `fuzzy_dedup_verify`;
+    greedy-vs-dominance and Arrow-vs-expression equivalences are
+    pinned in tests/test_semdedup.py."""
+    from harness_aws_etl_pipeline_spark.operators.semdedup import (
+        semantic_dedup_stats,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup_stats(emb, k=8, threshold=0.9, dim=64)
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] IVF approximate top-k: coarse-quantized inverted lists,
     nprobe-bounded exact scoring — the genuinely-approximate config.
@@ -1126,11 +1141,37 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("strat_cnt"),
         F.countDistinct("source").alias("strat_src_cnt"),
     )
+    # semantic-dedup leg (operators/semdedup.py): FIXED hyperplane
+    # centroids (literals the oracle embeds verbatim), dominance
+    # policy + min_id order, arrow=False — assignment and pairwise
+    # cosine are sequential expression folds, bit-reproducible by the
+    # oracle's list_reduce. The fast path (learned k-means + greedy,
+    # Arrow matmul) is the `semantic_dedup` tail entry; policy/path
+    # equivalence is pinned in tests/test_semdedup.py.
+    from harness_aws_etl_pipeline_spark.operators.semdedup import (
+        semantic_dedup_stats,
+    )
+    from harness_aws_etl_pipeline_spark.operators.similarity import _hyperplane
+
+    sem_cents = spark.createDataFrame(
+        [(i, _hyperplane(7000 + i + 1, 64)) for i in range(4)],
+        "centroid_id long, centroid array<double>",
+    )
+    sem_agg = semantic_dedup_stats(
+        emb,
+        centroids=sem_cents,
+        threshold=0.9,
+        dim=64,
+        policy="dominance",
+        order="min_id",
+        arrow=False,
+    )
     return (
         mh_agg.crossJoin(sh_agg)
         .crossJoin(ep_agg)
         .crossJoin(split_agg)
         .crossJoin(strat_agg)
+        .crossJoin(sem_agg)
     )
 
 
@@ -1171,8 +1212,22 @@ def _sql_vec_fold(a: str, b: str, dim: int) -> str:
 """.rstrip()
 
 
+def _sql_sem_cents(k: int, dim: int) -> str:
+    """VALUES rows (cid, cvec) with the exact fixed semantic-dedup
+    centroids (`_hyperplane(7001..700k)`) as double literals."""
+    from harness_aws_etl_pipeline_spark.operators.similarity import _hyperplane
+
+    rows = []
+    for i in range(k):
+        w = _hyperplane(7000 + i + 1, dim)
+        lits = ", ".join(repr(v) for v in w)
+        rows.append(f"({i}, [{lits}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
 def _oracle_fuzzy_dedup_verify() -> str:
     planes = _sql_planes_values(num_tables=6, bits=10, dim=64)
+    sem_cents = _sql_sem_cents(k=4, dim=64)
     return rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
@@ -1319,13 +1374,66 @@ strat AS (
                     WHEN 'src1' THEN '80000000'
                     WHEN 'src2' THEN '40000000'
                     ELSE '00000000' END
+),
+-- semantic dedup: fixed centroids, nearest by sequential-fold cosine
+-- (ties toward the smaller cid), dominance policy in min_id order
+sd_cents(cid, cvec) AS (
+  VALUES
+    {sem_cents}
+),
+sd_valid AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND NOT list_contains(list_transform(embedding,
+                                         x -> isnan(CAST(x AS DOUBLE))), true)
+),
+sd_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY {_SQL_COSINE} DESC, cid) AS rn
+    FROM (
+      SELECT v.vec_id, c.cid,
+{_sql_vec_fold("v.embedding", "c.cvec", 64)}
+      FROM sd_valid v, sd_cents c
+    )
+  ) WHERE rn = 1
+),
+sd_j AS (
+  SELECT s.vec_id, s.cid, v.embedding
+  FROM sd_assign s JOIN sd_valid v USING (vec_id)
+),
+sd_dom AS (
+  SELECT DISTINCT vec_id FROM (
+    SELECT a.vec_id,
+{_sql_vec_fold("a.embedding", "b.embedding", 64)}
+    FROM sd_j a JOIN sd_j b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  ) WHERE ROUND({_SQL_COSINE}, 6) >= 0.9
+),
+sd_per AS (
+  SELECT j.cid,
+         SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS drops
+  FROM sd_j j LEFT JOIN sd_dom d ON j.vec_id = d.vec_id
+  GROUP BY j.cid
+),
+sd_agg AS (
+  SELECT (SELECT COUNT(*) FROM embeddings) AS sem_total,
+         (SELECT COUNT(*) FROM sd_j) AS sem_valid,
+         (SELECT COUNT(*) FROM embeddings) -
+           (SELECT COUNT(*) FROM sd_dom) AS sem_kept,
+         (SELECT COUNT(*) FROM sd_dom) AS sem_dropped,
+         (SELECT COUNT(*) FROM sd_per) AS sem_clusters,
+         (SELECT CAST(SUM(CASE WHEN drops > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM sd_per) AS sem_dup_clusters
 )
 SELECT m.mh_pair_cnt, m.mh_avg_est,
        s.sh_distinct_sketches, s.sh_near_pair_cnt,
        e.emb_pair_cnt, e.emb_avg_cosine,
        p.train_cnt, p.test_cnt, p.total_cnt,
-       t.strat_cnt, t.strat_src_cnt
-FROM mh_agg m, sh_agg s, ed_agg e, sp p, strat t
+       t.strat_cnt, t.strat_src_cnt,
+       d.sem_total, d.sem_valid, d.sem_kept, d.sem_dropped,
+       d.sem_clusters, d.sem_dup_clusters
+FROM mh_agg m, sh_agg s, ed_agg e, sp p, strat t, sd_agg d
 """
 
 
@@ -1897,6 +2005,10 @@ EXT_CATALOG: list[QuerySpec] = [
               "[EXT] IVF approximate top-k at nprobe<n_centroids "
               "(values oracled via ann_topk_verify)",
               tags=("ext", "similarity")),
+    QuerySpec("semantic_dedup", q_semantic_dedup, None,
+              "[EXT] SemDeDup semantic dedup, fast k-means+greedy path "
+              "(values oracled via fuzzy_dedup_verify)",
+              tags=("ext", "dedup", "similarity")),
     QuerySpec("skew_salted_agg", q_skew_salted_agg, ORACLE_SKEW_AGG,
               "skew-safe salted two-phase aggregation", tags=("ext", "skew")),
     QuerySpec("rules_surface", q_rules_surface, ORACLE_RULES,

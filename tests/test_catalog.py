@@ -38,6 +38,7 @@ ROWS_ONLY_TAIL = {
     "simhash",
     "embedding_near_dup",
     "sim_ivf_topk",
+    "semantic_dedup",
 }
 
 
