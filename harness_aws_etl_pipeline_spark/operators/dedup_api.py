@@ -9,11 +9,17 @@ importable for tuning).
     deduplicate(df, method="simhash", max_hamming=3)
     deduplicate(df, method="embedding", threshold=0.95,
                 vec_col="embedding")
+    deduplicate(df, method="semantic", threshold=0.95,
+                vec_col="embedding")                     # SemDeDup
+    deduplicate(df, method="image", payload_col="payload",
+                max_hamming=3)                           # pHash
 
-All near-dup methods resolve candidate pairs → connected components →
+Most near-dup methods resolve candidate pairs → connected components →
 keep the min-id representative per cluster (deduplicate_near), so the
 result is always "the corpus with duplicates removed", regardless of
-method.
+method.  "semantic" differs by design: its survivors come from
+SemDeDup's per-cluster keep policy (keep the farthest-from-centroid
+representative), not min-id components — see operators/semdedup.py.
 """
 
 from __future__ import annotations
@@ -34,7 +40,16 @@ from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
     simhash_near_pairs,
 )
 
-METHODS = ("exact", "hash", "ngram", "minhash", "simhash", "embedding")
+METHODS = (
+    "exact",
+    "hash",
+    "ngram",
+    "minhash",
+    "simhash",
+    "embedding",
+    "semantic",
+    "image",
+)
 
 
 def deduplicate(
@@ -43,6 +58,7 @@ def deduplicate(
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
+    payload_col: str = "payload",
     subset: list[str] | None = None,
     threshold: float = 0.8,
     max_hamming: int = 3,
@@ -81,6 +97,25 @@ def deduplicate(
             )
             .selectExpr("id_a AS doc_a", "id_b AS doc_b")
         )
+        return deduplicate_near(df, pairs, id_col=id_col)
+    if method == "semantic":
+        from harness_aws_etl_pipeline_spark.operators.semdedup import semantic_dedup
+
+        return semantic_dedup(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+    if method == "image":
+        from harness_aws_etl_pipeline_spark.operators.imagehash import (
+            image_near_dup_pairs,
+        )
+
+        pairs = image_near_dup_pairs(
+            df,
+            payload_col=payload_col,
+            id_col=id_col,
+            max_hamming=max_hamming,
+            **kwargs,
+        ).select("doc_a", "doc_b")
         return deduplicate_near(df, pairs, id_col=id_col)
     raise ValueError(f"unknown dedup method {method!r}; choose from {METHODS}")
 

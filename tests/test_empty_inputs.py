@@ -35,6 +35,17 @@ class TestEmptyInputs:
         for method in ("exact", "hash", "ngram", "minhash", "simhash"):
             assert deduplicate(docs, method=method).count() == 0, method
 
+    def test_dedup_family_vector_and_image(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        vecs = spark.createDataFrame([], "doc_id long, embedding array<float>")
+        # dim must be explicit on an empty frame (nothing to probe)
+        assert deduplicate(
+            vecs, method="semantic", id_col="doc_id", dim=4, k=2
+        ).count() == 0
+        media = spark.createDataFrame([], "doc_id long, payload binary")
+        assert deduplicate(media, method="image").count() == 0
+
     def test_similarity_family(self, spark):
         from harness_aws_etl_pipeline_spark.operators.dedup_api import (
             similarity_search,

@@ -1293,6 +1293,43 @@ class TestDedupFacade:
         with _pytest.raises(ValueError, match="unknown dedup method"):
             deduplicate(docs, method="bogus")
 
+    def test_semantic_method(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        vecs = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 5)]
+        vecs.append((9, [2.0, 2.0, 0.0, 0.0]))  # same direction as vec 1
+        df = spark.createDataFrame(vecs, "doc_id long, embedding array<float>")
+        out = deduplicate(
+            df, method="semantic", threshold=0.9999, id_col="doc_id",
+            k=2, dim=4, order="min_id",
+        )
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 9 not in ids and 1 in ids and len(ids) == 4
+
+    def test_image_method(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+        from harness_aws_etl_pipeline_spark.operators.multimodal import encode_ppm
+
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+        base = np.stack([100 + 30 * np.sin(xx / 4) * np.sin(yy / 5)] * 3, axis=2)
+        base = base.astype(np.uint8)
+        near = (base.astype(np.int16) + 10).astype(np.uint8)
+        far = ((xx // 4 + yy // 4) % 2 * 255).astype(np.uint8)
+        far = np.stack([far] * 3, axis=2)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_ppm(base))),
+                (2, bytearray(encode_ppm(near))),
+                (3, bytearray(encode_ppm(far))),
+            ],
+            "doc_id long, payload binary",
+        )
+        out = deduplicate(df, method="image", max_hamming=3)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert ids == {1, 3}
+
     def test_similarity_facade_methods_agree_on_top1(self, spark):
         import random
 
