@@ -360,6 +360,12 @@ def ivf_centroids(
     """
     import numpy as np
 
+    # project FIRST: every downstream pass (sampling job + each Lloyd
+    # assignment) goes through mapInPandas, which blocks column
+    # pruning — without this, a wide corpus frame would ship all its
+    # columns through Arrow on every iteration
+    df = df.select(id_col, vec_col)
+
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sample_n = max(64 * k, 1024)
     sample = (
