@@ -500,3 +500,107 @@ def test_packing_million_docs(spark):
     # tightly — even across 64 independent buckets demand <5% slack
     assert row["bins"] * 256 < row["total"] * 1.05
     assert packed.count() == 1_000_000
+
+
+@stress
+def test_decontam_linear_in_corpus(spark):
+    """Decontamination cost must be ~linear in the corpus with a FIXED
+    benchmark: the blocklist is broadcast once, the corpus side is one
+    map pass + a doc_id-keyed partial count.  4x the corpus may cost
+    at most ~8x the 1x wall (generous local[4] bound).  Hit counts are
+    exact by construction: every 200th doc embeds a benchmark 8-gram."""
+    import time
+
+    from harness_aws_etl_pipeline_spark.operators.decontam import (
+        contamination_hits,
+    )
+
+    bench = spark.range(50).select(
+        F.col("id").alias("qid"),
+        F.concat_ws(
+            " ",
+            F.lit("planted benchmark sequence token"),
+            F.col("id").cast("string"),
+            F.lit("alpha beta gamma delta"),
+        ).alias("text"),
+    )
+
+    def corpus(n):
+        # doc i embeds bench (i/200 % 50)'s exact 8-gram when i%200==0
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 200 == 0,
+                F.concat_ws(
+                    " ",
+                    F.lit("prefix words planted benchmark sequence token"),
+                    ((F.col("id") / 200) % 50).cast("long").cast("string"),
+                    F.lit("alpha beta gamma delta suffix words"),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.lit("clean document body"),
+                    F.col("id").cast("string"),
+                    F.lit("with enough tokens to form many eight grams"),
+                )
+            )
+            .alias("text"),
+        )
+
+    def run(n):
+        t0 = time.monotonic()
+        hits = contamination_hits(corpus(n), bench, n=8, bench_text_col="text")
+        cnt = hits.count()
+        return time.monotonic() - t0, cnt
+
+    w1, hits1 = run(100_000)
+    assert hits1 == 100_000 // 200
+    w4, hits4 = run(400_000)
+    assert hits4 == 400_000 // 200
+    assert w4 < w1 * 8 + 2.0, f"superlinear: {w1:.1f}s -> {w4:.1f}s"
+
+
+@stress
+def test_semantic_dedup_bounded_by_cluster_cap(spark):
+    """The semantic-dedup pairwise stage must stay bounded when one
+    k-means cluster goes hot: 64k near-identical vectors land in ONE
+    cluster, and without the max_cluster_size sub-split the gram
+    matrix would be 64k x 64k (32 GB).  With the cap it is ≤ cap² per
+    cell.  Also: planted duplicates still collapse hard (sub-split
+    recall loss is bounded because identical vectors share cells only
+    by hash — most cells still contain many copies)."""
+    import time
+
+    from harness_aws_etl_pipeline_spark.operators.semdedup import (
+        semantic_dedup_flags,
+    )
+
+    dim = 16
+    base = [1.0] + [0.0] * (dim - 1)
+    cents = spark.createDataFrame(
+        [(0, base), (1, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "centroid_id long, centroid array<double>",
+    )
+    # 64k copies of the same direction (scaled by id to vary norm only
+    # — cosine 1.0 across the board) all assign to centroid 0
+    vecs = spark.range(65_536).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == 0, (F.col("id") % 7 + 1).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.monotonic()
+    flags = semantic_dedup_flags(
+        vecs, centroids=cents, threshold=0.95, dim=dim,
+        policy="greedy", order="min_id", max_cluster_size=2048,
+    )
+    kept = flags.filter("keep").count()
+    wall = time.monotonic() - t0
+    # 65_536 / 2048 = 32 cells; exactly one survivor per cell
+    assert kept == 32, kept
+    assert wall < 120, f"hot cluster not bounded: {wall:.1f}s"
