@@ -177,11 +177,20 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     lm = unigram_logprob(docs).agg(
         _scaled_sum(F.col("avg_logprob"), "logprob_sum")
     )
-    return buckets.crossJoin(rep).crossJoin(lm)
+    # Gopher preset gate (operators/filters.py) — per-rule fail counts
+    # + full-pass count, default published thresholds; every predicate
+    # is exact-integer division in double, so the oracle re-derives the
+    # whole rule bundle with identical arithmetic
+    from harness_aws_etl_pipeline_spark.operators.filters import (
+        quality_filter_report,
+    )
+
+    qf = quality_filter_report(docs, "gopher")
+    return buckets.crossJoin(rep).crossJoin(lm).crossJoin(qf)
 
 
 ORACLE_QUALITY = r"""
-SELECT q.*, r.dup_line_sum, r.dup_word_sum, lm.logprob_sum FROM (
+SELECT q.*, r.dup_line_sum, r.dup_word_sum, lm.logprob_sum, qf.* FROM (
 SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
   SELECT ROUND(
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -231,7 +240,62 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
   SELECT ROUND(CAST(SUM(CAST(ROUND(ROUND(avg_logprob, 6) * 1000000) AS BIGINT)) AS DOUBLE)
              / 1000000.0, 4) AS logprob_sum
   FROM per_doc
-) lm ORDER BY bucket
+) lm CROSS JOIN (
+  -- Gopher preset gate (operators/filters.py defaults): per-rule fail
+  -- counts + full-pass count; every ratio is small-int division in
+  -- double, so the arithmetic is bit-identical across engines
+  SELECT CAST(SUM(CASE WHEN NOT p_word_count THEN 1 ELSE 0 END) AS BIGINT) AS qf_word_count_fail,
+         CAST(SUM(CASE WHEN NOT p_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS qf_mean_word_len_fail,
+         CAST(SUM(CASE WHEN NOT p_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS qf_symbol_ratio_fail,
+         CAST(SUM(CASE WHEN NOT p_alpha_ratio THEN 1 ELSE 0 END) AS BIGINT) AS qf_alpha_ratio_fail,
+         CAST(SUM(CASE WHEN NOT p_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS qf_stopwords_fail,
+         CAST(SUM(CASE WHEN NOT p_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS qf_dup_lines_fail,
+         CAST(SUM(CASE WHEN NOT p_dup_words THEN 1 ELSE 0 END) AS BIGINT) AS qf_dup_words_fail,
+         CAST(SUM(CASE WHEN NOT p_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS qf_bullet_lines_fail,
+         CAST(SUM(CASE WHEN NOT p_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS qf_ellipsis_lines_fail,
+         CAST(SUM(CASE WHEN p_word_count AND p_mean_word_len AND p_symbol_ratio
+                        AND p_alpha_ratio AND p_stopwords AND p_dup_lines
+                        AND p_dup_words AND p_bullet_lines AND p_ellipsis_lines
+                   THEN 1 ELSE 0 END) AS BIGINT) AS qf_pass_cnt
+  FROM (
+    SELECT (n >= 50 AND n <= 100000) AS p_word_count,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS p_mean_word_len,
+           (CASE WHEN n > 0 THEN CAST(symbols AS DOUBLE) / n < 0.1 ELSE FALSE END) AS p_symbol_ratio,
+           (CASE WHEN n > 0 THEN CAST(alpha_words AS DOUBLE) / n >= 0.8 ELSE FALSE END) AS p_alpha_ratio,
+           (stop_hits >= 2) AS p_stopwords,
+           (dlf <= 0.3) AS p_dup_lines,
+           (dwf <= 0.5) AS p_dup_words,
+           (CASE WHEN nl > 0 THEN CAST(bullets AS DOUBLE) / nl <= 0.9 ELSE TRUE END) AS p_bullet_lines,
+           (CASE WHEN nl > 0 THEN CAST(ellipses AS DOUBLE) / nl <= 0.3 ELSE TRUE END) AS p_ellipsis_lines
+    FROM (
+      SELECT len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(toks, t -> CAST(LENGTH(t) AS BIGINT))),
+                         (a, x) -> a + x) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_len,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+             len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+             CASE WHEN len(lines) > 0
+                  THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END AS dlf,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS dwf,
+             len(nelines) AS nl,
+             len(list_filter(nelines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullets,
+             len(list_filter(nelines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS ellipses
+      FROM (SELECT text,
+                   list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks,
+                   list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
+                   list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS nelines
+            FROM documents)
+    )
+  )
+) qf ORDER BY bucket
 """
 
 
