@@ -128,6 +128,34 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated columns for optimize",
     )
 
+    # training-corpus toolkit: the dedup/decontam/filter/tokenize ops
+    # as batch jobs over a parquet corpus (text column contract:
+    # doc_id + text, embedding tables: vec_id + embedding)
+    corpus = sub.add_parser(
+        "corpus", help="corpus prep: dedup / decontam / filter / tokenize"
+    )
+    corpus.add_argument(
+        "action", choices=["dedup", "decontam", "filter", "tokenize", "report"]
+    )
+    corpus.add_argument("--input", required=True, help="input parquet path")
+    corpus.add_argument("--output", default=None, help="output parquet path")
+    corpus.add_argument(
+        "--method", default="exact",
+        help="dedup method (exact/hash/ngram/minhash/simhash/embedding/"
+        "semantic/image)",
+    )
+    corpus.add_argument("--threshold", type=float, default=0.8)
+    corpus.add_argument("--benchmark", default=None, help="decontam benchmark parquet")
+    corpus.add_argument("--ngram", type=int, default=13, help="decontam n-gram width")
+    corpus.add_argument(
+        "--preset", default="gopher", help="filter preset (gopher/c4)"
+    )
+    corpus.add_argument(
+        "--merges", type=int, default=8000, help="tokenize: BPE merges to learn"
+    )
+    corpus.add_argument("--id-col", default="doc_id")
+    corpus.add_argument("--text-col", default="text")
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -265,6 +293,77 @@ def main(argv: list[str] | None = None) -> int:
                 "bytes": fs.tree_size(args.output) if fs.exists(args.output) else 0,
             }
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "corpus":
+        df = spark.read.parquet(args.input)
+        if args.action == "dedup":
+            from harness_aws_etl_pipeline_spark.operators.dedup_api import (
+                deduplicate,
+            )
+
+            # corpus semantics: exact/hash dedup keys on CONTENT, not
+            # the whole row (doc ids differ between duplicate docs)
+            subset = (
+                [args.text_col] if args.method in ("exact", "hash") else None
+            )
+            out = deduplicate(
+                df, method=args.method, id_col=args.id_col,
+                text_col=args.text_col, threshold=args.threshold,
+                subset=subset,
+            )
+        elif args.action == "decontam":
+            if not args.benchmark:
+                print(json.dumps({"status": "failed",
+                                  "error": "--benchmark required"}))
+                return 1
+            from harness_aws_etl_pipeline_spark.operators.decontam import (
+                decontaminate,
+            )
+
+            bench = spark.read.parquet(args.benchmark)
+            out = decontaminate(
+                df, bench, n=args.ngram, id_col=args.id_col,
+                text_col=args.text_col,
+            )
+        elif args.action == "filter":
+            from harness_aws_etl_pipeline_spark.operators.filters import (
+                apply_quality_filters,
+            )
+
+            out = apply_quality_filters(
+                df, args.preset, text_col=args.text_col, mode="filter"
+            )
+        elif args.action == "tokenize":
+            from harness_aws_etl_pipeline_spark.operators.bpe import (
+                apply_bpe,
+                train_bpe,
+            )
+
+            merges = train_bpe(df, num_merges=args.merges, text_col=args.text_col)
+            out = apply_bpe(df, merges, text_col=args.text_col)
+        else:  # report: per-rule quality-gate counts, no write
+            from harness_aws_etl_pipeline_spark.operators.filters import (
+                quality_filter_report,
+            )
+
+            row = quality_filter_report(
+                df, args.preset, text_col=args.text_col
+            ).collect()[0]
+            print(json.dumps({"status": "success", **row.asDict()}))
+            return 0
+        rows_in = df.count()
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            rows_out = spark.read.parquet(args.output).count()  # no recompute
+        else:
+            rows_out = out.count()
+        print(json.dumps({
+            "status": "success", "action": args.action,
+            "rows_in": rows_in, "rows_out": rows_out,
+            "rows_removed": rows_in - rows_out,
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "sql":

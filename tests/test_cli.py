@@ -213,3 +213,72 @@ class TestSnapRestoreChangesCli:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["restored_from"] == 0
         assert SnapTable(spark, path).read().count() == 3
+
+
+class TestCorpusCli:
+    def _write_corpus(self, spark, tmp_path):
+        path = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over that lazy dog today"),
+                (2, "the quick brown fox jumps over that lazy dog today"),
+                (3, "an entirely different document with its own words here"),
+            ],
+            "doc_id long, text string",
+        ).write.parquet(path)
+        return path
+
+    def test_dedup_action(self, spark, tmp_path, capsys):
+        src = self._write_corpus(spark, tmp_path)
+        out = str(tmp_path / "deduped")
+        rc = main(
+            ["corpus", "dedup", "--input", src, "--output", out,
+             "--method", "hash"]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert (res["rows_in"], res["rows_out"], res["rows_removed"]) == (3, 2, 1)
+        assert spark.read.parquet(out).count() == 2
+
+    def test_decontam_action(self, spark, tmp_path, capsys):
+        src = self._write_corpus(spark, tmp_path)
+        bench = str(tmp_path / "bench")
+        spark.createDataFrame(
+            [(1, "quick brown fox jumps over")], "qid long, text string"
+        ).write.parquet(bench)
+        rc = main(
+            ["corpus", "decontam", "--input", src, "--benchmark", bench,
+             "--ngram", "5"]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows_out"] == 1  # docs 1 and 2 overlap the benchmark
+
+    def test_decontam_requires_benchmark(self, spark, tmp_path, capsys):
+        src = self._write_corpus(spark, tmp_path)
+        assert main(["corpus", "decontam", "--input", src]) == 1
+
+    def test_filter_and_report_actions(self, spark, tmp_path, capsys):
+        src = self._write_corpus(spark, tmp_path)
+        rc = main(["corpus", "filter", "--input", src, "--preset", "gopher"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # 10-word docs all fail the 50-word gopher floor
+        assert res["rows_out"] == 0
+
+        rc = main(["corpus", "report", "--input", src, "--preset", "gopher"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["qf_word_count_fail"] == 3 and rep["qf_pass_cnt"] == 0
+
+    def test_tokenize_action(self, spark, tmp_path, capsys):
+        src = self._write_corpus(spark, tmp_path)
+        out = str(tmp_path / "tok")
+        rc = main(
+            ["corpus", "tokenize", "--input", src, "--output", out,
+             "--merges", "20"]
+        )
+        assert rc == 0
+        toks = spark.read.parquet(out)
+        assert "bpe_tokens" in toks.columns and "bpe_tokens_cnt" in toks.columns
+        assert toks.where("bpe_tokens_cnt <= 0").count() == 0
