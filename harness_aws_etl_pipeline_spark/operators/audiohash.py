@@ -1,0 +1,153 @@
+"""[EXT] Perceptual audio fingerprinting + audio near-duplicate
+detection — the audio member of the perceptual-dedup family
+(``imagehash`` for images, text SimHash for documents).
+
+The fingerprint is the Haitsma–Kalker (2002) "robust audio hash"
+shape, reduced to one 64-bit sketch per clip: divide the clip into 9
+equal time frames, compute per-frame energy in 9 log-spaced frequency
+bands (FFT magnitude²), and set bit ``(t, b)`` from the sign of the
+TIME-DIFFERENCE of the BAND-DIFFERENCE:
+
+    bit(t,b) = [E(t,b) − E(t,b+1)] − [E(t−1,b) − E(t−1,b+1)] > 0
+
+8 time-diffs × 8 band-diffs = 64 bits.  The double difference is why
+the fingerprint survives the edits that break byte hashes: global
+volume change scales every energy by the same factor (signs
+unchanged), re-encoding noise perturbs bands far less than their
+differences, and mild EQ shifts whole bands without flipping
+neighboring-band orderings.
+
+Everything downstream of sketching is SHARED with text SimHash and
+image pHash: the 64-bit `simhash` column plugs into
+``dedup_fuzzy.simhash_banded`` + ``bit_count(XOR)`` unchanged.
+
+Decoding uses the REAL pure-numpy WAV codec
+(``multimodal.decode_wav``); undecodable/NULL payloads → NULL sketch,
+excluded from pairing (same tolerance contract as ``imagehash``).
+
+Scale: hashing is ``mapInPandas`` — audio bytes in, one 8-byte long
+out; nothing of the waveform crosses a shuffle.  Pairing shuffles on
+(band, 16-bit key) with hot-bucket caps.
+
+No DuckDB oracle (SQL cannot decode PCM); invariances and planted
+near-dup recovery are pinned in tests/test_audiohash.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.imagehash import _bits_to_long
+
+__all__ = ["afp64", "audio_hashes", "audio_near_dup_pairs"]
+
+_FRAMES = 9
+_BANDS = 9
+
+
+def afp64(samples, sample_rate: int) -> int:
+    """One 64-bit fingerprint for an (n,) or (n, channels) PCM array.
+
+    Deterministic: fixed 9-frame / 9-band grid, log-spaced band edges
+    over [300 Hz, min(rate/2, 6 kHz)] (the Haitsma–Kalker band range —
+    speech/music energy lives there and it fits any rate ≥ 12 kHz).
+    Raises ``ValueError`` for clips too short to frame (< 9 samples).
+    """
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 2:
+        a = a.mean(axis=1)
+    n = a.shape[0]
+    if n < _FRAMES:
+        raise ValueError(f"clip too short to fingerprint ({n} samples)")
+    frame_len = n // _FRAMES
+    hann = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(frame_len) / max(frame_len - 1, 1)
+    )
+    lo, hi = 300.0, min(sample_rate / 2.0, 6000.0)
+    if hi <= lo:  # degenerate rates: use the whole spectrum
+        lo, hi = 0.0, sample_rate / 2.0
+    edges = np.geomspace(max(lo, 1.0), hi, _BANDS + 1)
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / sample_rate)
+
+    energies = np.empty((_FRAMES, _BANDS))
+    for t in range(_FRAMES):
+        frame = a[t * frame_len : (t + 1) * frame_len] * hann
+        mag2 = np.abs(np.fft.rfft(frame)) ** 2
+        for b in range(_BANDS):
+            mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            energies[t, b] = mag2[mask].sum()
+
+    band_diff = energies[:, :-1] - energies[:, 1:]      # 9 × 8
+    time_diff = band_diff[1:, :] - band_diff[:-1, :]    # 8 × 8
+    return _bits_to_long((time_diff > 0).ravel())
+
+
+def audio_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, simhash) — the 64-bit audio fingerprint per WAV
+    payload; NULL for undecodable/too-short clips.  Column named
+    ``simhash`` so the banded-join machinery applies unchanged."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from harness_aws_etl_pipeline_spark.operators.multimodal import decode_wav
+
+    def _hash(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    frames, rate = decode_wav(payload)
+                    out.append(afp64(frames, rate))
+                except (ValueError, TypeError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, f"{id_col} long, simhash long"
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Audio near-duplicate pairs via the shared banded Hamming join.
+    Returns (doc_a, doc_b, hamming ≤ max_hamming)."""
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        _check_simhash_bands,
+        simhash_banded,
+    )
+
+    _check_simhash_bands(max_hamming, band_bits, strict_recall=True)
+    sketches = (
+        audio_hashes(df, payload_col, id_col)
+        .filter(F.col("simhash").isNotNull())
+        .withColumnRenamed(id_col, "doc_id")
+    )
+    a = simhash_banded(sketches, "doc_a", band_bits, "sh_a", max_bucket_size)
+    b = simhash_banded(sketches, "doc_b", band_bits, "sh_b", max_bucket_size)
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

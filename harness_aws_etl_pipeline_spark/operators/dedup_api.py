@@ -13,6 +13,8 @@ importable for tuning).
                 vec_col="embedding")                     # SemDeDup
     deduplicate(df, method="image", payload_col="payload",
                 max_hamming=3)                           # pHash
+    deduplicate(df, method="audio", payload_col="payload",
+                max_hamming=5, band_bits=8)              # Haitsma-Kalker
 
 Most near-dup methods resolve candidate pairs → connected components →
 keep the min-id representative per cluster (deduplicate_near), so the
@@ -49,6 +51,7 @@ METHODS = (
     "embedding",
     "semantic",
     "image",
+    "audio",
 )
 
 
@@ -110,6 +113,19 @@ def deduplicate(
         )
 
         pairs = image_near_dup_pairs(
+            df,
+            payload_col=payload_col,
+            id_col=id_col,
+            max_hamming=max_hamming,
+            **kwargs,
+        ).select("doc_a", "doc_b")
+        return deduplicate_near(df, pairs, id_col=id_col)
+    if method == "audio":
+        from harness_aws_etl_pipeline_spark.operators.audiohash import (
+            audio_near_dup_pairs,
+        )
+
+        pairs = audio_near_dup_pairs(
             df,
             payload_col=payload_col,
             id_col=id_col,
