@@ -1,0 +1,161 @@
+"""[EXT] End-to-end corpus preparation pipeline.
+
+The single entry point that strings the training-data operators into
+the published corpus-prep order (C4/RefinedWeb/Dolma all share this
+shape):
+
+    quality gate → line dedup → decontamination → document dedup
+    → domain mixing → sequence packing
+
+Each stage is optional (pass None to skip) and individually tuned;
+``prepare_corpus`` returns the prepared DataFrame plus a per-stage
+report of rows in/out — the artifact corpus teams actually review
+before a training run.
+
+Scale notes:
+- With ``report=True`` (default) each enabled stage is persisted and
+  counted — one extra action per stage, the price of the numbers.
+  ``report=False`` returns a single fused lazy plan (no counts, no
+  persists) for production runs where the stage yields are already
+  known.
+- Stage ORDER is the published one for cost reasons, not taste:
+  the cheap pure-column gate runs first (shrinks everything after),
+  line dedup before document dedup (boilerplate inflates shingle
+  overlap and masks real near-dups), decontamination before fuzzy
+  dedup (a contaminated doc must not survive as its cluster's
+  canonical), packing last (operates on what ships).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["prepare_corpus"]
+
+
+def prepare_corpus(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_preset: str | None = None,
+    filter_thresholds: dict | None = None,
+    line_dedup_min_count: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
+    dedup_method: str | None = None,
+    dedup_threshold: float = 0.8,
+    mix_weights: dict[str, int] | None = None,
+    mix_domain_col: str = "source",
+    pack_capacity: int | None = None,
+    report: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the enabled stages in order; returns ``(prepared, report)``.
+
+    ``report`` rows: ``{"stage", "rows_in", "rows_out", "removed"}``
+    per enabled stage (empty list when ``report=False``).  When
+    ``pack_capacity`` is set the result gains ``n_tokens``, ``bin_id``
+    and ``_truncated`` columns (packing assigns, it does not drop).
+    """
+    stages: list[tuple[str, object]] = []
+
+    if filter_preset is not None:
+        from harness_aws_etl_pipeline_spark.operators.filters import (
+            apply_quality_filters,
+        )
+
+        kw = dict(filter_thresholds or {})
+        stages.append(
+            (
+                f"filter[{filter_preset}]",
+                lambda d: apply_quality_filters(
+                    d, filter_preset, text_col=text_col, mode="filter", **kw
+                ),
+            )
+        )
+    if line_dedup_min_count is not None:
+        from harness_aws_etl_pipeline_spark.operators.linededup import (
+            remove_frequent_lines,
+        )
+
+        stages.append(
+            (
+                "line_dedup",
+                lambda d: remove_frequent_lines(
+                    d, min_count=line_dedup_min_count,
+                    text_col=text_col, id_col=id_col,
+                ).drop("_lines_removed"),
+            )
+        )
+    if benchmark is not None:
+        from harness_aws_etl_pipeline_spark.operators.decontam import decontaminate
+
+        stages.append(
+            (
+                "decontam",
+                lambda d: decontaminate(
+                    d, benchmark, n=decontam_n,
+                    id_col=id_col, text_col=text_col,
+                ),
+            )
+        )
+    if dedup_method is not None:
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        subset = [text_col] if dedup_method in ("exact", "hash") else None
+        stages.append(
+            (
+                f"dedup[{dedup_method}]",
+                lambda d: deduplicate(
+                    d, method=dedup_method, id_col=id_col,
+                    text_col=text_col, threshold=dedup_threshold,
+                    subset=subset,
+                ),
+            )
+        )
+    if mix_weights is not None:
+        from harness_aws_etl_pipeline_spark.operators.mixing import sample_to_mix
+
+        stages.append(
+            (
+                "mix",
+                lambda d: sample_to_mix(
+                    d, mix_weights, key=id_col,
+                    domain_col=mix_domain_col, text_col=text_col,
+                ),
+            )
+        )
+    if pack_capacity is not None:
+        from harness_aws_etl_pipeline_spark.operators.packing import pack_sequences
+
+        def _pack(d: DataFrame) -> DataFrame:
+            assignments = pack_sequences(
+                d, pack_capacity, text_col=text_col, id_col=id_col
+            )
+            return d.join(assignments, id_col)
+
+        stages.append(("pack", _pack))
+
+    out = df
+    rows: list[dict] = []
+    prev_cnt = None
+    for name, fn in stages:
+        if report:
+            if prev_cnt is None:
+                prev_cnt = out.count()
+            nxt = fn(out).persist()
+            cnt = nxt.count()
+            rows.append(
+                {
+                    "stage": name,
+                    "rows_in": prev_cnt,
+                    "rows_out": cnt,
+                    "removed": prev_cnt - cnt,
+                }
+            )
+            if out is not df:
+                out.unpersist()
+            out, prev_cnt = nxt, cnt
+        else:
+            out = fn(out)
+    return out, rows

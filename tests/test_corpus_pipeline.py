@@ -1,0 +1,104 @@
+"""End-to-end corpus preparation (operators/corpus_pipeline.py):
+planted artifacts for every stage, report bookkeeping, lazy mode."""
+
+from __future__ import annotations
+
+import pytest
+
+from harness_aws_etl_pipeline_spark.operators.corpus_pipeline import prepare_corpus
+
+BODY = (
+    "the quick brown fox jumps over that lazy dog and keeps running with "
+    "steady pace across the field of green grass to reach home before dark "
+    "while birds have sung overhead and the evening light settles on the "
+    "hills in amber bands that stretch far to the west of the long valley"
+)
+BENCH_GRAM = "zeta functions over finite prime fields"  # absent from BODY
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Docs engineered to trip exactly one stage each:
+    1-2: survivors; 3: exact dup of 1 (dedup); 4: too short (filter);
+    5: contains the benchmark text verbatim later (decontam, but long
+    enough to pass the filter).  Every doc carries a shared boilerplate
+    line (line_dedup must strip it from survivors)."""
+    decon = BODY + " " + BENCH_GRAM
+    rows = [
+        (1, "src0", "shared boilerplate footer\n" + BODY),
+        (2, "src0", "shared boilerplate footer\n" + BODY + " extra tail words"),
+        (3, "src1", "shared boilerplate footer\n" + BODY),  # dup of 1
+        (4, "src1", "shared boilerplate footer\ntoo short"),
+        (5, "src0", "shared boilerplate footer\n" + decon),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(1, f"benchmark question: {BENCH_GRAM} answer")],
+        "qid long, text string",
+    )
+
+
+class TestPrepareCorpus:
+    def test_full_pipeline_stages_and_survivors(self, corpus, bench):
+        out, report = prepare_corpus(
+            corpus,
+            filter_preset="gopher",
+            line_dedup_min_count=3,
+            benchmark=bench,
+            decontam_n=5,
+            dedup_method="hash",
+            pack_capacity=32,
+        )
+        stages = [r["stage"] for r in report]
+        assert stages == [
+            "filter[gopher]", "line_dedup", "decontam", "dedup[hash]", "pack"
+        ]
+        by = {r["stage"]: r for r in report}
+        assert by["filter[gopher]"]["removed"] == 1          # doc 4
+        assert by["line_dedup"]["removed"] == 0              # rewrites, not drops
+        assert by["decontam"]["removed"] == 1                # doc 5
+        assert by["dedup[hash]"]["removed"] == 1             # doc 3 (or 1)
+        assert by["pack"]["removed"] == 0
+        rows = out.collect()
+        ids = {r.doc_id for r in rows}
+        assert len(ids & {1, 3}) == 1 and 2 in ids and len(ids) == 2
+        # boilerplate stripped; packing columns appended
+        assert all("shared boilerplate footer" not in r.text for r in rows)
+        assert {"n_tokens", "bin_id", "_truncated"} <= set(out.columns)
+
+    def test_line_dedup_must_run_before_hash_dedup(self, corpus):
+        # docs 1 and 3 differ ONLY after boilerplate stripping ... they
+        # are exact dups either way; but stripping makes 1 and 2 share
+        # MORE content — assert the stage composes without reordering
+        out, report = prepare_corpus(
+            corpus, line_dedup_min_count=3, dedup_method="hash"
+        )
+        assert [r["stage"] for r in report] == ["line_dedup", "dedup[hash]"]
+        assert out.count() == 4  # one of the exact-dup pair removed
+
+    def test_mix_stage(self, corpus):
+        out, report = prepare_corpus(
+            corpus, mix_weights={"src0": 1, "src1": 1}
+        )
+        assert report[0]["stage"] == "mix"
+        assert 0 < out.count() <= 5
+
+    def test_lazy_mode_no_report(self, corpus, bench):
+        out, report = prepare_corpus(
+            corpus,
+            filter_preset="gopher",
+            benchmark=bench,
+            decontam_n=5,
+            report=False,
+        )
+        assert report == []
+        assert out.count() == 3  # same survivors, one fused plan
+
+    def test_no_stages_is_identity(self, corpus):
+        out, report = prepare_corpus(corpus)
+        assert report == []
+        assert out is corpus
