@@ -36,6 +36,8 @@ than a one-shot audit.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -165,6 +167,7 @@ class IncrementalDeduper:
         id_col: str = "doc_id",
         text_col: str = "text",
         txn: tuple[str, int] | None = None,
+        pre_commit: "Callable[[DataFrame], None] | None" = None,
     ) -> dict:
         """Dedup ``docs`` against itself and the accepted corpus.
 
@@ -286,6 +289,19 @@ class IncrementalDeduper:
             .distinct()
         )
         accepted_sigs = sigs.join(drop, "doc_id", "left_anti")
+        if pre_commit is not None:
+            # exactly-once composition hook: runs BEFORE the state
+            # commit, with the accepted+unsigned id set. A caller that
+            # writes downstream output here via an IDEMPOTENT sink
+            # (keyed upsert / same-txn snapshot write) converges under
+            # every crash ordering: crash before → full deterministic
+            # recompute (state unchanged); crash after the hook but
+            # before the commit → recompute is identical, the hook's
+            # idempotent write rewrites the same rows, commit lands;
+            # replay after the commit → txn short-circuit skips both.
+            pre_commit(
+                accepted_sigs.select("doc_id").unionByName(unsigned)
+            )
         out = self.table.write(
             accepted_sigs,
             mode="append",

@@ -1,0 +1,142 @@
+"""[EXT] Streaming corpus preparation — the continuous-ingest twin of
+``operators.corpus_pipeline.prepare_corpus``.
+
+Each micro-batch runs the stateless gates (quality-filter preset,
+benchmark decontamination against a STATIC benchmark frame) and then
+the stateful cross-batch near-dup gate
+(:class:`operators.incremental.IncrementalDeduper` — batch vs
+everything ever accepted), with the surviving documents upserted into
+a partition-keyed output table.
+
+Exactly-once, spelled out (the part streaming corpus pipelines
+usually get wrong):
+
+- The deduper's snapshot-table txn ledger short-circuits REPLAYED
+  batches (fresh checkpoint, same data ⇒ same batch id ⇒ skip).
+- The output write happens in ``process_batch``'s ``pre_commit`` hook
+  — BEFORE the state commit — through the keyed, replay-idempotent
+  ``upsert_partitioned``.  Every crash ordering converges:
+  crash before the output write → nothing committed, the replayed
+  batch recomputes the identical accepted set (acceptance is a
+  deterministic function of batch + state, and the state is
+  unchanged); crash between output write and state commit → the
+  recompute upserts the SAME rows over themselves and then commits;
+  replay after the commit → the ledger skips both.
+- Stateless gates are deterministic functions of the batch, so they
+  need no state of their own.
+
+Scale: the stateless gates are pure column work on the micro-batch;
+the dedup gate's cost is bounded by batch × matching-state buckets
+(see ``operators/incremental.py``); the output upsert rewrites only
+the partitions the batch touches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+__all__ = ["run_streaming_corpus_prep"]
+
+
+def run_streaming_corpus_prep(
+    stream_df: DataFrame,
+    output_path: str,
+    checkpoint_dir: str,
+    state_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_by: list[str] | None = None,
+    filter_preset: str | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
+    dedup_threshold: float = 0.5,
+    app_id: str = "stream_corpus",
+    timeout_sec: int = 300,
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> bool:
+    """Drain ``stream_df`` (Trigger.AvailableNow) through the corpus
+    gates into a keyed parquet table at ``output_path``.
+
+    Returns the query's termination status.  ``on_batch(batch_id,
+    info)`` receives per-batch counts (rows_in / after each gate /
+    accepted) for monitoring.
+    """
+    from harness_aws_etl_pipeline_spark.operators.incremental import (
+        IncrementalDeduper,
+    )
+    from harness_aws_etl_pipeline_spark.sinks.upsert import upsert_partitioned
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    dd = IncrementalDeduper(spark, state_path, threshold=dedup_threshold)
+    # the keyed upsert needs partition columns to prune its rewrites;
+    # without a natural one, a 16-way id-hash partition bounds every
+    # batch's rewrite to the partitions it touches
+    parts = partition_by or ["_part"]
+    synthetic = partition_by is None
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        info: dict = {"rows_in": batch_df.count()}
+        df = batch_df
+        if filter_preset is not None:
+            from harness_aws_etl_pipeline_spark.operators.filters import (
+                apply_quality_filters,
+            )
+
+            df = apply_quality_filters(
+                df, filter_preset, text_col=text_col, mode="filter"
+            )
+            info["after_filter"] = df.count()
+        if benchmark is not None:
+            from harness_aws_etl_pipeline_spark.operators.decontam import (
+                decontaminate,
+            )
+
+            df = decontaminate(
+                df, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+            )
+            info["after_decontam"] = df.count()
+        # cache: the dedup gate walks the batch several times (sigs,
+        # internal pairs, state join) and the pre_commit semi-join
+        # reads it again
+        df = df.persist()
+        try:
+            accepted_box: dict = {}
+
+            def _write_out(accepted_ids: DataFrame) -> None:
+                accepted = df.join(accepted_ids, id_col, "left_semi")
+                if synthetic:
+                    accepted = accepted.withColumn(
+                        "_part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(16))
+                    )
+                accepted_box["n"] = accepted.count()
+                if accepted_box["n"]:
+                    upsert_partitioned(
+                        accepted, output_path, [id_col], parts
+                    )
+
+            out = dd.process_batch(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                txn=(app_id, batch_id),
+                pre_commit=_write_out,
+            )
+            info["skipped_replay"] = out["skipped"]
+            info["accepted"] = accepted_box.get("n", 0)
+        finally:
+            df.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, info)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query.awaitTermination(timeout_sec)

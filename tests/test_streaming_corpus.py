@@ -1,0 +1,112 @@
+"""Streaming corpus prep (streaming/corpus.py): real readStream
+micro-batches through filter → decontam → incremental dedup gate →
+keyed upsert, plus the fresh-checkpoint replay (exactly-once) case."""
+
+from __future__ import annotations
+
+import pytest
+
+LOREM = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+OTHER = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(30))
+SHORTY = "tiny"
+BENCH_GRAM = "quantized holographic flux capacitor calibration routine"
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    rows = [
+        (1, LOREM),
+        (2, OTHER),
+        (3, LOREM + " tail"),            # near-dup of 1 at threshold .5
+        (4, SHORTY),                     # unsigned: too short to shingle
+        (5, OTHER.replace("delta1 ", f"{BENCH_GRAM} ")),  # contaminated
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d / "b0"))
+    return d
+
+
+@pytest.fixture()
+def bench(spark):
+    return spark.createDataFrame(
+        [(1, f"eval question about the {BENCH_GRAM} please")],
+        "qid long, text string",
+    )
+
+
+def _run(spark, src, tmp_path, bench, ckpt):
+    from harness_aws_etl_pipeline_spark.streaming.corpus import (
+        run_streaming_corpus_prep,
+    )
+
+    batches = {}
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "b0")
+    )
+    run_streaming_corpus_prep(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / ckpt),
+        str(tmp_path / "state"),
+        benchmark=bench,
+        decontam_n=5,
+        dedup_threshold=0.5,
+        on_batch=lambda bid, info: batches.update({bid: info}),
+    )
+    return batches
+
+
+class TestStreamingCorpusPrep:
+    def test_gates_compose_end_to_end(self, spark, src, tmp_path, bench):
+        batches = _run(spark, src, tmp_path, bench, "ckpt1")
+        info = batches[0]
+        assert info["rows_in"] == 5
+        assert info["after_decontam"] == 4          # doc 5 dropped
+        assert info["accepted"] == 3                # 3 loses to 1; 4 unsigned passes
+        out = spark.read.parquet(str(tmp_path / "out"))
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 2, 4}
+        assert "_part" in out.columns               # synthetic partition key
+
+    def test_fresh_checkpoint_replay_is_exactly_once(
+        self, spark, src, tmp_path, bench
+    ):
+        _run(spark, src, tmp_path, bench, "ckpt1")
+        out1 = sorted(
+            map(tuple, spark.read.parquet(str(tmp_path / "out")).collect())
+        )
+        # same data, FRESH checkpoint → same batch id → ledger skip;
+        # output unchanged, state version unchanged
+        batches = _run(spark, src, tmp_path, bench, "ckpt2")
+        assert batches[0]["skipped_replay"] is True
+        assert batches[0]["accepted"] == 0          # hook never ran
+        out2 = sorted(
+            map(tuple, spark.read.parquet(str(tmp_path / "out")).collect())
+        )
+        assert out1 == out2
+
+    def test_second_batch_dedups_against_state(self, spark, src, tmp_path, bench):
+        _run(spark, src, tmp_path, bench, "ckpt1")
+        # a second drop of files: one state-dup, one genuinely new.
+        # Written to a staging dir and the part-file copied INTO b0 —
+        # the file source lists b0 flat (no recursive lookup)
+        import shutil
+
+        staging = tmp_path / "staging"
+        spark.createDataFrame(
+            [(10, LOREM + " more"), (11, "brand new content " * 20)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, src / "b0" / "later-drop.parquet")
+        batches = _run(spark, src, tmp_path, bench, "ckpt1")
+        # the new batch (id 1) accepts only the genuinely-new doc
+        assert batches[1]["accepted"] == 1
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert ids == {1, 2, 4, 11}
