@@ -268,6 +268,77 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Self-trained add-α bigram LM score per document — the next rung
+    up from :func:`unigram_logprob`: scores word ORDER, not just word
+    choice, so shuffled or template-stitched text scores low even when
+    its vocabulary is typical.
+
+    ``P(w₂|w₁) = (c(w₁,w₂) + α) / (c(w₁) + α·V)`` with V the unigram
+    vocabulary size (plain add-α conditional, no backoff — the model
+    and its oracle must share closed-form arithmetic).  Per-bigram
+    log-probs are scaled-long before the per-doc sum (the
+    partition-order-exact trick every LM leg here uses).  Documents
+    with fewer than two tokens have no bigrams and are absent from the
+    result.  Returns (doc_id, n_bigrams, avg_logprob2).
+
+    Scale shape: one explode to bigram rows, two vocabulary-keyed
+    joins (bigram counts, context counts — partial-aggregated), one
+    broadcast scalar (V).  The bigram vocabulary is Heaps-bounded like
+    the unigram one; no corpus-sized shuffle key.
+    """
+    toks = F.transform(tokens(text_col), F.lower)
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    t = F.col("__toks")
+    bi = with_toks.where(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.struct(
+                    F.get(t, i).alias("w1"), F.get(t, i + 1).alias("w2")
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    terms = with_toks.select(F.explode(t).alias("term"))
+    uf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = uf.agg(F.count(F.lit(1)).cast("double").alias("v_size"))
+    bf = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+
+    scored = (
+        bi.join(bf, ["w1", "w2"])
+        .join(uf.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    lp = F.round(
+        F.log(
+            (F.col("bc") + F.lit(alpha))
+            / (F.col("uc") + F.lit(alpha) * F.col("v_size"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(lp).alias("__lp"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("__lp").cast("double") / 1_000_000.0 / F.col("n_bigrams"), 6
+            ).alias("avg_logprob2"),
+        )
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -172,10 +172,18 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
     # self-trained unigram LM: corpus sum of per-doc avg log-prob
     # (scaled-long at every float step — see unigram_logprob)
-    from harness_aws_etl_pipeline_spark.operators.textops import unigram_logprob
+    from harness_aws_etl_pipeline_spark.operators.textops import (
+        bigram_logprob,
+        unigram_logprob,
+    )
 
     lm = unigram_logprob(docs).agg(
         _scaled_sum(F.col("avg_logprob"), "logprob_sum")
+    ).crossJoin(
+        bigram_logprob(docs).agg(
+            _scaled_sum(F.col("avg_logprob2"), "logprob2_sum"),
+            F.sum("n_bigrams").cast("long").alias("bigram_total"),
+        )
     )
     # Gopher preset gate (operators/filters.py) — per-rule fail counts
     # + full-pass count, default published thresholds; every predicate
@@ -190,7 +198,8 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_QUALITY = r"""
-SELECT q.*, r.dup_line_sum, r.dup_word_sum, lm.logprob_sum, qf.* FROM (
+SELECT q.*, r.dup_line_sum, r.dup_word_sum, lm.logprob_sum,
+       lm2.logprob2_sum, lm2.bigram_total, qf.* FROM (
 SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
   SELECT ROUND(
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -241,6 +250,42 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
              / 1000000.0, 4) AS logprob_sum
   FROM per_doc
 ) lm CROSS JOIN (
+  -- add-1 bigram LM: P(w2|w1) = (bc+1)/(uc(w1)+V); scaled-long per
+  -- bigram before the per-doc sum, same determinism trick as lm
+  WITH toks2 AS (
+    SELECT doc_id,
+           list_transform(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+                          x -> lower(x)) AS tk
+    FROM documents
+  ),
+  uni AS (
+    SELECT term, COUNT(*) AS uc
+    FROM (SELECT UNNEST(tk) AS term FROM toks2) GROUP BY term
+  ),
+  vsize AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+  bi AS (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks2, UNNEST(range(1, len(tk))) AS r(i)
+    WHERE len(tk) >= 2
+  ),
+  bic AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY w1, w2),
+  perdoc2 AS (
+    SELECT bi.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ROUND(ln((bic.bc + 1.0) / (uni.uc + vsize.v))
+                                     * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS avg_logprob2
+    FROM bi
+    JOIN bic ON bi.w1 = bic.w1 AND bi.w2 = bic.w2
+    JOIN uni ON bi.w1 = uni.term
+    CROSS JOIN vsize
+    GROUP BY bi.doc_id
+  )
+  SELECT ROUND(CAST(SUM(CAST(ROUND(ROUND(avg_logprob2, 6) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS logprob2_sum,
+         CAST(SUM(n_bigrams) AS BIGINT) AS bigram_total
+  FROM perdoc2
+) lm2 CROSS JOIN (
   -- Gopher preset gate (operators/filters.py defaults): per-rule fail
   -- counts + full-pass count; every ratio is small-int division in
   -- double, so the arithmetic is bit-identical across engines

@@ -1197,6 +1197,43 @@ class TestTextOps:
         # common-token doc scores higher than rare-token doc
         assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
 
+    def test_bigram_logprob(self, spark):
+        import math
+
+        from harness_aws_etl_pipeline_spark.operators.textops import bigram_logprob
+
+        # unigrams: a:3 b:3 c:1 → V=3; bigram counts (a,b):2 (b,a):2;
+        # P(b|a) = (2+1)/(3+3) = 0.5 = P(a|b) — every scored bigram is
+        # ln(0.5); doc 3 has no bigrams and is absent
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "B a"), (3, "c")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+        assert set(rows) == {1, 2}
+        want = round(round(math.log(0.5) * 1e6) / 1e6, 6)
+        assert rows[1]["n_bigrams"] == 3
+        assert abs(rows[1]["avg_logprob2"] - want) < 1e-6
+        assert rows[2]["n_bigrams"] == 1
+        assert abs(rows[2]["avg_logprob2"] - want) < 1e-6
+
+    def test_bigram_logprob_scores_word_order(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.textops import bigram_logprob
+
+        # same vocabulary, shuffled order: the attested-order doc must
+        # outscore the shuffled one (the signal unigram LM cannot see)
+        base = "the cat sat on the mat " * 5
+        shuf = "mat the on cat the sat " * 5
+        df = spark.createDataFrame(
+            [(1, base), (1, base), (1, base), (2, shuf)],
+            "doc_id long, text string",
+        ).dropDuplicates(["doc_id"]).unionByName(
+            spark.createDataFrame(
+                [(3, base)], "doc_id long, text string"
+            )
+        )
+        rows = {r["doc_id"]: r["avg_logprob2"] for r in bigram_logprob(df).collect()}
+        assert rows[3] > rows[2]
+
     def test_top_ngrams(self, spark):
         from harness_aws_etl_pipeline_spark.operators.textops import top_ngrams
 
