@@ -48,6 +48,7 @@ __all__ = [
     "flag_contaminated",
     "decontaminate",
     "contamination_stats",
+    "contamination_by_benchmark",
 ]
 
 
@@ -197,6 +198,47 @@ def decontaminate(
     if broadcast:
         ids = F.broadcast(ids)
     return corpus.join(ids, id_col, "left_anti")
+
+
+def contamination_by_benchmark(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "qid",
+    bench_text_col: str = "text",
+    use_hash: bool = True,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-benchmark-item leak report: which eval items are burned.
+
+    For each benchmark document with ≥1 corpus overlap, returns
+    ``(bench_id_col, leaked_ngrams, corpus_docs)`` — how many of its
+    distinct n-grams appear in the corpus, and how many distinct
+    corpus documents hit it.  The number an eval owner needs: a
+    benchmark item leaked into thousands of training documents cannot
+    be scored even after decontamination fails partway.
+
+    Same broadcast shape as :func:`contamination_hits`, but the
+    blocklist keeps the benchmark id (slightly larger broadcast when
+    items share n-grams — still benchmark-sized).
+    """
+    if bench_id_col == id_col:
+        raise ValueError(
+            "bench_id_col must differ from id_col (both sides appear "
+            "in the same join)"
+        )
+    bench_grams = _doc_ngrams(bench, n, bench_text_col, bench_id_col, use_hash)
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = _doc_ngrams(corpus, n, text_col, id_col, use_hash)
+    hits = doc_grams.join(bench_grams, "ngram")
+    return hits.groupBy(bench_id_col).agg(
+        F.countDistinct("ngram").alias("leaked_ngrams"),
+        F.countDistinct(id_col).alias("corpus_docs"),
+    )
 
 
 def contamination_stats(

@@ -1837,7 +1837,10 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     every ≥13-token benchmark doc is its own verbatim overlap, so the
     join, per-doc distinct-hit counts, and anti-join all move.
     """
-    from harness_aws_etl_pipeline_spark.operators.decontam import contamination_stats
+    from harness_aws_etl_pipeline_spark.operators.decontam import (
+        contamination_by_benchmark,
+        contamination_stats,
+    )
     from harness_aws_etl_pipeline_spark.operators.linededup import line_dedup_stats
 
     raw = _t(spark, sf, "documents")
@@ -1850,9 +1853,21 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.lit("footer "), F.col("lang")),
         ),
     )
-    bench = raw.where(F.col("doc_id") % 97 == 0)
+    bench = raw.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
     decon = contamination_stats(raw, bench, n=13, use_hash=False)
-    return line_dedup_stats(docs, min_count=2).crossJoin(decon)
+    # per-benchmark-item leak rollup (which eval items are burned)
+    leak = contamination_by_benchmark(raw, bench, n=13, use_hash=False).agg(
+        F.count(F.lit(1)).cast("long").alias("leaked_bench_docs"),
+        F.coalesce(F.sum("corpus_docs"), F.lit(0))
+        .cast("long")
+        .alias("leak_pairs"),
+        F.coalesce(F.sum("leaked_ngrams"), F.lit(0))
+        .cast("long")
+        .alias("leaked_ngram_total"),
+    )
+    return line_dedup_stats(docs, min_count=2).crossJoin(decon).crossJoin(leak)
 
 
 ORACLE_LINE_DEDUP = r"""
@@ -1885,7 +1900,7 @@ perdoc AS (
   LEFT JOIN kept k USING (doc_id)
   LEFT JOIN removed r USING (doc_id)
 )
-SELECT l.*, d.*
+SELECT l.*, d.*, lk.*
 FROM (
   SELECT (SELECT COUNT(*) FROM keyed) AS lines_total,
          CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
@@ -1918,7 +1933,31 @@ FROM (
           WHERE doc_id NOT IN (SELECT doc_id FROM hits)) AS clean_docs,
          (SELECT COALESCE(CAST(SUM(LENGTH(text)) AS BIGINT), 0) FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM hits)) AS clean_chars
-) d
+) d, (
+  -- per-benchmark-item leak rollup: grams keep their qid
+  WITH grams2 AS (
+    SELECT doc_id,
+           UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(len(toks) - 12, 0) + 1),
+             i -> list_aggregate(list_slice(toks, i, i + 12), 'string_agg', ' ')
+           ))) AS g
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+          FROM documents)
+  ),
+  perq AS (
+    SELECT b.doc_id AS qid,
+           COUNT(DISTINCT b.g) AS leaked_ngrams,
+           COUNT(DISTINCT c.doc_id) AS corpus_docs
+    FROM grams2 b JOIN grams2 c ON b.g = c.g
+    WHERE b.doc_id % 97 = 0
+    GROUP BY b.doc_id
+  )
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_bench_docs,
+         COALESCE(CAST(SUM(corpus_docs) AS BIGINT), 0) AS leak_pairs,
+         COALESCE(CAST(SUM(leaked_ngrams) AS BIGINT), 0) AS leaked_ngram_total
+  FROM perq
+) lk
 """
 
 

@@ -115,6 +115,35 @@ class TestDecontaminate:
         )
         assert decontaminate(shorty, bench, n=5).count() == 1
 
+    def test_by_benchmark_leak_report(self, spark, corpus):
+        from harness_aws_etl_pipeline_spark.operators.decontam import (
+            contamination_by_benchmark,
+        )
+
+        two_bench = spark.createDataFrame(
+            [
+                (100, f"{BENCH_SENT} over the lazy dog"),  # hits docs 1, 2
+                (200, "nothing from this one appears anywhere at all"),
+            ],
+            "qid long, text string",
+        )
+        rows = {
+            r.qid: (r.leaked_ngrams, r.corpus_docs)
+            for r in contamination_by_benchmark(
+                corpus, two_bench, n=5, use_hash=False
+            ).collect()
+        }
+        # only item 100 leaks: 1 distinct 5-gram, found in 2 corpus docs
+        assert rows == {100: (1, 2)}
+
+    def test_by_benchmark_rejects_id_collision(self, corpus, bench):
+        from harness_aws_etl_pipeline_spark.operators.decontam import (
+            contamination_by_benchmark,
+        )
+
+        with pytest.raises(ValueError, match="bench_id_col"):
+            contamination_by_benchmark(corpus, bench, bench_id_col="doc_id")
+
     def test_blocklist_broadcast_in_plan(self, corpus, bench):
         plan = contamination_hits(
             corpus, bench, n=5, broadcast=True
