@@ -158,4 +158,10 @@ def prepare_corpus(
             out, prev_cnt = nxt, cnt
         else:
             out = fn(out)
+    if report and out is not df:
+        # release the last stage's cache: leaving it persisted leaks a
+        # CacheManager entry per call (the engine-wide no-leak policy —
+        # see operators/memo.py); callers that will iterate the result
+        # repeatedly should persist it themselves
+        out.unpersist()
     return out, rows
