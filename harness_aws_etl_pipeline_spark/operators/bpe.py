@@ -48,6 +48,10 @@ __all__ = [
     "train_bpe",
     "apply_bpe",
     "bpe_encode_word",
+    "save_merges",
+    "load_merges",
+    "build_vocab",
+    "encode_ids",
 ]
 
 _EOW = "</w>"
@@ -228,6 +232,135 @@ def apply_bpe(
                     cnt_col: pd.Series(
                         [len(e) for e in encoded], index=pdf.index, dtype="int32"
                     ),
+                }
+            )
+
+    return df.mapInPandas(_apply, out_schema)
+
+
+def save_merges(
+    merges: list[tuple[str, str]], path: str, spark=None
+) -> None:
+    """Persist the merge list as versioned JSON (rank order IS the
+    file order).  Goes through the engine FS adapter, so local paths
+    and Hadoop-scheme paths both work."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    payload = json.dumps(
+        {"format": "bpe-merges-v1", "merges": [list(p) for p in merges]},
+        ensure_ascii=False,
+    ).encode("utf-8")
+    get_fs(path, spark).write_bytes(path, payload)
+
+
+def load_merges(path: str, spark=None) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges` (validates the format tag)."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    doc = json.loads(get_fs(path, spark).read_bytes(path).decode("utf-8"))
+    if doc.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges file: {path}")
+    return [tuple(p) for p in doc["merges"]]
+
+
+def build_vocab(
+    source: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+    specials: tuple[str, ...] = ("<unk>",),
+) -> dict[str, int]:
+    """token → id over the corpus's ENCODED symbol inventory.
+
+    Encodes the (bounded) word-type table with the merge ranks and
+    ids every distinct output symbol: specials first (id 0 = ``<unk>``
+    by default), then tokens sorted by (frequency desc, token asc) —
+    the deterministic id assignment training stacks expect.  A symbol
+    never produced by encoding the corpus is not in the vocab (it
+    cannot occur at apply time over the same corpus; unseen words at
+    inference fall back to pieces, and pieces absent here map to
+    ``<unk>``).
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    wf = (
+        source.select("word", "freq")
+        if set(source.columns) >= {"word", "freq"}
+        else word_frequencies(
+            source, text_col, lowercase=lowercase, max_words=max_words
+        )
+    )
+    counts: dict[str, int] = {}
+    for r in wf.collect():  # bounded word-type table (see train_bpe)
+        if not r["word"]:
+            continue
+        for tok in bpe_encode_word(r["word"], ranks):
+            counts[tok] = counts.get(tok, 0) + int(r["freq"])
+    vocab: dict[str, int] = {}
+    for s in specials:
+        vocab[s] = len(vocab)
+    for tok in sorted(counts, key=lambda t: (-counts[t], t)):
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
+def encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "bpe_ids",
+    *,
+    lowercase: bool = True,
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Add ``out_col`` (array<int> token ids) — the training-ready
+    form.  Same Arrow/memo design as :func:`apply_bpe`; tokens outside
+    the vocab map to ``vocab[unk_token]``."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    if unk_token not in vocab:
+        raise ValueError(f"vocab must contain the unk token {unk_token!r}")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    unk = vocab[unk_token]
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    out_schema = f"{fields}, `{out_col}` array<int>"
+
+    def _apply(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        memo: dict[str, list[int]] = {}
+
+        def encode(text) -> list[int]:
+            if text is None:
+                return []
+            ids: list[int] = []
+            for w in (text.lower() if lowercase else text).split():
+                enc = memo.get(w)
+                if enc is None:
+                    if len(memo) > 1_000_000:
+                        memo.clear()
+                    enc = [
+                        vocab.get(t, unk) for t in bpe_encode_word(w, ranks)
+                    ]
+                    memo[w] = enc
+                ids.extend(enc)
+            return ids
+
+        for pdf in batches:
+            yield pdf.assign(
+                **{
+                    out_col: pd.Series(
+                        [encode(t) for t in pdf[text_col]],
+                        index=pdf.index,
+                        dtype="object",
+                    )
                 }
             )
 

@@ -129,3 +129,69 @@ class TestApplySpark:
         n_un = untrained.agg(F.sum("bpe_tokens_cnt")).collect()[0][0]
         n_tr = trained.agg(F.sum("bpe_tokens_cnt")).collect()[0][0]
         assert n_tr < n_un
+
+
+class TestModelArtifacts:
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.bpe import (
+            load_merges,
+            save_merges,
+        )
+
+        merges = train_bpe(corpus, num_merges=8)
+        p = str(tmp_path / "model" / "merges.json")
+        save_merges(merges, p)
+        assert load_merges(p) == merges
+
+    def test_load_rejects_foreign_json(self, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.bpe import load_merges
+
+        p = tmp_path / "x.json"
+        p.write_text('{"something": "else"}')
+        with pytest.raises(ValueError, match="bpe-merges"):
+            load_merges(str(p))
+
+    def test_vocab_ids_deterministic_and_special_first(self, corpus):
+        from harness_aws_etl_pipeline_spark.operators.bpe import build_vocab
+
+        merges = train_bpe(corpus, num_merges=10)
+        v1 = build_vocab(corpus, merges)
+        v2 = build_vocab(corpus, merges)
+        assert v1 == v2
+        assert v1["<unk>"] == 0
+        # the fully-merged most frequent word gets the smallest
+        # non-special id
+        assert v1["hug" + _EOW] == 1
+
+    def test_encode_ids_matches_tokens(self, corpus):
+        from harness_aws_etl_pipeline_spark.operators.bpe import (
+            build_vocab,
+            encode_ids,
+        )
+
+        merges = train_bpe(corpus, num_merges=10)
+        vocab = build_vocab(corpus, merges)
+        inv = {i: t for t, i in vocab.items()}
+        toks = apply_bpe(corpus, merges)
+        ids = encode_ids(corpus, merges, vocab)
+        tok_by_id = {r.doc_id: list(r.bpe_tokens) for r in toks.collect()}
+        for r in ids.collect():
+            assert [inv[i] for i in r.bpe_ids] == tok_by_id[r.doc_id]
+
+    def test_unseen_pieces_map_to_unk(self, spark, corpus):
+        from harness_aws_etl_pipeline_spark.operators.bpe import (
+            build_vocab,
+            encode_ids,
+        )
+
+        merges = train_bpe(corpus, num_merges=10)
+        vocab = build_vocab(corpus, merges)
+        alien = spark.createDataFrame([(1, "qqq")], "doc_id long, text string")
+        row = encode_ids(alien, merges, vocab).collect()[0]
+        assert list(row.bpe_ids) and all(i == vocab["<unk>"] for i in row.bpe_ids)
+
+    def test_encode_ids_requires_unk(self, corpus):
+        from harness_aws_etl_pipeline_spark.operators.bpe import encode_ids
+
+        with pytest.raises(ValueError, match="unk"):
+            encode_ids(corpus, [], {"a": 1})
