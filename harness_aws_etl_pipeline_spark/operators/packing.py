@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from harness_aws_etl_pipeline_spark.functions.text import word_count
 
-__all__ = ["pack_sequences", "packing_stats"]
+__all__ = ["pack_sequences", "packing_stats", "materialize_packed"]
 
 _BIN_STRIDE = 1 << 40  # bins per bucket namespace
 
@@ -148,4 +148,65 @@ def packing_stats(
             (F.col("_bins_used") >= F.ceil(F.col("token_total") / capacity))
             & (F.col("_bins_used") <= F.col("docs_packed"))
         ).alias("bins_ok"),
+    )
+
+
+def materialize_packed(
+    df: DataFrame,
+    capacity: int,
+    token_expr: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    separator: str = "\n\n",
+    with_text: bool = True,
+) -> DataFrame:
+    """Build the actual training sequences from a packing pass.
+
+    One row per bin: ``(bin_id, n_docs, total_tokens, fill_fraction,
+    doc_ids, packed_text?)``.  Members are ordered by (n_tokens DESC,
+    id ASC) — the FFD consideration order — so the sequence layout is
+    a pure function of the data, reproducible under any partition
+    arrangement.  Truncated members contribute their CLAMPED token
+    count to ``total_tokens`` but their FULL text to ``packed_text``
+    (clamping is the token-budget accounting; cutting text mid-token
+    is the tokenizer's job downstream).
+
+    Scale: one shuffle on ``bin_id``; a bin holds ≤ capacity tokens of
+    text by construction, so the per-group ``collect_list`` is bounded
+    by the packing capacity, not the corpus.
+    """
+    assignments = pack_sequences(df, capacity, token_expr, text_col, id_col, buckets)
+    joined = assignments.join(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    member = F.struct(
+        (-F.col("n_tokens")).alias("_ord"),
+        F.col(id_col).alias("m_id"),
+        F.col("n_tokens").alias("m_tokens"),
+        F.col(text_col).alias("m_text"),
+    )
+    grouped = joined.groupBy("bin_id").agg(
+        F.array_sort(F.collect_list(member)).alias("members")
+    )
+    out = grouped.select(
+        "bin_id",
+        F.size("members").alias("n_docs"),
+        F.aggregate(
+            "members", F.lit(0).cast("long"), lambda a, m: a + m["m_tokens"]
+        ).alias("total_tokens"),
+        F.transform("members", lambda m: m["m_id"]).alias("doc_ids"),
+        *(
+            [
+                F.array_join(
+                    F.transform("members", lambda m: m["m_text"]), separator
+                ).alias("packed_text")
+            ]
+            if with_text
+            else []
+        ),
+    )
+    return out.withColumn(
+        "fill_fraction",
+        F.round(F.col("total_tokens") / F.lit(float(capacity)), 4),
     )

@@ -210,3 +210,64 @@ class TestPacking:
         assert row["truncated_docs"] == 1
         assert row["overfull_bins"] == 0
         assert row["bins_ok"]
+
+
+class TestMaterializePacked:
+    def test_sequences_are_deterministic_and_complete(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.packing import (
+            materialize_packed,
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(5 + i % 7)))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        out = materialize_packed(docs, capacity=16, buckets=4)
+        rows = out.collect()
+        # every doc appears exactly once across bins
+        all_ids = [i for r in rows for i in r.doc_ids]
+        assert sorted(all_ids) == list(range(40))
+        for r in rows:
+            assert r.n_docs == len(r.doc_ids)
+            assert 0 < r.total_tokens <= 16
+            assert abs(r.fill_fraction - r.total_tokens / 16.0) < 1e-9
+            # packed_text holds each member's text, separator-joined
+            assert r.packed_text.count("\n\n") == r.n_docs - 1
+        # member order pure function of data: ids sorted by
+        # (tokens desc, id asc) within each bin
+        assignments = {
+            (r.doc_id): r.n_tokens
+            for r in pack_sequences(docs, 16, buckets=4).collect()
+        }
+        for r in rows:
+            keys = [(-assignments[i], i) for i in r.doc_ids]
+            assert keys == sorted(keys)
+
+    def test_repartition_invariance(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.packing import (
+            materialize_packed,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = materialize_packed(docs, capacity=12, buckets=4).collect()
+        b = materialize_packed(
+            docs.repartition(7), capacity=12, buckets=4
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_without_text(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.packing import (
+            materialize_packed,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+        )
+        out = materialize_packed(docs, capacity=8, with_text=False)
+        assert "packed_text" not in out.columns
+        assert out.count() >= 1
