@@ -1,0 +1,115 @@
+"""Distributed PCA (operators/pca.py): planted low-rank structure,
+numpy parity, whitening, invariances, invalid-vector tolerance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from harness_aws_etl_pipeline_spark.operators.pca import (
+    explained_variance_ratio,
+    pca_fit,
+    pca_project,
+)
+
+DIM = 8
+
+
+def _planted(n=400, seed=0):
+    """Data living (mostly) in a known 2-plane of 8-dim space."""
+    rng = np.random.RandomState(seed)
+    u = np.array([0.6, 0.8, 0, 0, 0, 0, 0, 0])
+    v = np.array([0.8, -0.6, 0, 0, 0, 0, 0, 0])
+    a = rng.standard_normal(n) * 5.0
+    b = rng.standard_normal(n) * 2.0
+    noise = rng.standard_normal((n, DIM)) * 0.05
+    pts = np.outer(a, u) + np.outer(b, v) + noise + 1.5  # offset mean
+    return pts
+
+
+@pytest.fixture(scope="module")
+def planted_df(spark):
+    pts = _planted()
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(pts)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestFit:
+    def test_matches_numpy_pca(self, planted_df):
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        pts = _planted()
+        cov = np.cov(pts.T, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        top = evecs[:, np.argsort(evals)[::-1][:2]].T
+        got = np.asarray(model["components"])
+        for i in range(2):
+            ref = top[i]
+            j = int(np.argmax(np.abs(ref)))
+            if ref[j] < 0:
+                ref = -ref
+            assert np.allclose(got[i], ref, atol=1e-6)
+        assert np.allclose(model["mean"], pts.mean(axis=0), atol=1e-9)
+
+    def test_variance_concentrated_in_plane(self, planted_df):
+        model = pca_fit(planted_df, k=4, dim=DIM)
+        r = explained_variance_ratio(model)
+        assert r[0] > r[1] > r[2]
+        assert r[0] + r[1] > 0.99           # the planted 2-plane
+        assert model["explained_variance"][2] < 0.01
+
+    def test_components_orthonormal(self, planted_df):
+        c = np.asarray(pca_fit(planted_df, k=4, dim=DIM)["components"])
+        assert np.allclose(c @ c.T, np.eye(4), atol=1e-8)
+
+    def test_partitioning_invariance_to_tolerance(self, planted_df):
+        a = pca_fit(planted_df, k=2, dim=DIM)
+        b = pca_fit(planted_df.repartition(13), k=2, dim=DIM)
+        assert np.allclose(a["components"], b["components"], atol=1e-8)
+
+    def test_k_validation_and_empty(self, spark, planted_df):
+        with pytest.raises(ValueError, match="k must be"):
+            pca_fit(planted_df, k=9, dim=DIM)
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="no valid vectors"):
+            pca_fit(empty, k=2, dim=DIM)
+
+
+class TestProject:
+    def test_projection_matches_numpy(self, planted_df):
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        out = {r.vec_id: r.pca for r in pca_project(planted_df, model).collect()}
+        pts = _planted()
+        ref = (pts - np.asarray(model["mean"])) @ np.asarray(model["components"]).T
+        for i in range(len(pts)):
+            assert np.allclose(out[i], ref[i], atol=1e-4)
+
+    def test_whiten_unit_variance(self, planted_df):
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        rows = pca_project(planted_df, model, whiten=True).collect()
+        proj = np.array([r.pca for r in rows])
+        assert np.allclose(proj.var(axis=0), 1.0, atol=0.05)
+
+    def test_invalid_vectors_project_null(self, spark, planted_df):
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        bad = spark.createDataFrame(
+            [(1, None), (2, [1.0, 2.0]), (3, [float("nan")] * DIM),
+             (4, [0.5] * DIM)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r.pca for r in pca_project(bad, model).collect()}
+        assert got[1] is None and got[2] is None and got[3] is None
+        assert got[4] is not None and len(got[4]) == 2
+
+    def test_distances_preserved_in_plane(self, planted_df):
+        # data is ~entirely in the 2-plane: pairwise distances survive
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        rows = sorted(
+            pca_project(planted_df, model).collect(), key=lambda r: r.vec_id
+        )[:50]
+        pts = _planted()[:50]
+        proj = np.array([r.pca for r in rows])
+        for i in range(0, 50, 7):
+            for j in range(i + 1, 50, 11):
+                d_full = np.linalg.norm(pts[i] - pts[j])
+                d_proj = np.linalg.norm(proj[i] - proj[j])
+                assert abs(d_full - d_proj) < 0.5
