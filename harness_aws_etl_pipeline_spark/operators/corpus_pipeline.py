@@ -4,8 +4,9 @@ The single entry point that strings the training-data operators into
 the published corpus-prep order (C4/RefinedWeb/Dolma all share this
 shape):
 
-    quality gate → line dedup → decontamination → document dedup
-    → domain mixing → sequence packing
+    unicode/whitespace normalization → quality gate → line dedup
+    → decontamination → document dedup → domain mixing
+    → sequence packing
 
 Each stage is optional (pass None to skip) and individually tuned;
 ``prepare_corpus`` returns the prepared DataFrame plus a per-stage
@@ -38,6 +39,7 @@ def prepare_corpus(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: str | None = None,
     filter_preset: str | None = None,
     filter_thresholds: dict | None = None,
     line_dedup_min_count: int | None = None,
@@ -59,6 +61,22 @@ def prepare_corpus(
     """
     stages: list[tuple[str, object]] = []
 
+    if normalize is not None:
+        from harness_aws_etl_pipeline_spark.operators.textclean import (
+            clean_text,
+            normalize_unicode,
+        )
+        from pyspark.sql import functions as F
+
+        form = normalize  # "NFKC" etc.; validated by normalize_unicode
+        stages.append(
+            (
+                f"normalize[{form}]",
+                lambda d: normalize_unicode(d, text_col, form).withColumn(
+                    text_col, clean_text(F.col(text_col))
+                ),
+            )
+        )
     if filter_preset is not None:
         from harness_aws_etl_pipeline_spark.operators.filters import (
             apply_quality_filters,

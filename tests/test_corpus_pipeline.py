@@ -102,3 +102,15 @@ class TestPrepareCorpus:
         out, report = prepare_corpus(corpus)
         assert report == []
         assert out is corpus
+
+    def test_normalize_stage_first(self, spark):
+        # composed vs decomposed twins: normalization makes them exact
+        # dups, so hash dedup collapses them — the stage-order reason
+        df = spark.createDataFrame(
+            [(1, "caf\xe9 latte"), (2, "café latte")],
+            "doc_id long, text string",
+        )
+        out, report = prepare_corpus(df, normalize="NFKC", dedup_method="hash")
+        assert [r["stage"] for r in report] == ["normalize[NFKC]", "dedup[hash]"]
+        assert report[0]["removed"] == 0  # rewrite, not a drop
+        assert out.count() == 1
