@@ -129,3 +129,29 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(round(frac * 10_000)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    key: Column | str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n`` rows (or all, if fewer), deterministically.
+
+    Fraction sampling (:func:`sample_fraction`) attains its rate in
+    expectation; evaluation sets and seeding samples need an exact
+    count.  The draw is "smallest ``xxhash64(key, salt)`` first" with
+    the key itself as tie-break — a uniform permutation of the corpus,
+    independent of partition layout, reproducible across reruns, and
+    stable under appends in the top-k sense (a new document displaces
+    at most one previous member).
+
+    Plan shape: ``TakeOrderedAndProject`` — each partition keeps its
+    local top-n, the driver merges; no full sort, no full shuffle.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    k = F.col(key) if isinstance(key, str) else key
+    draw = F.xxhash64(k.cast("string"), F.lit(salt))
+    return df.orderBy(draw, k).limit(n)

@@ -1628,3 +1628,37 @@ class TestRealImageDecode:
         assert np.array_equal(resized[3, 0], [0, 0, 255])
         assert np.array_equal(resized[3, 3], [9, 9, 9])
         assert out["byte_size"] == len(bytes(out["payload"]))
+
+
+class TestSampleExactN:
+    def test_exact_count_and_determinism(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in sample_exact_n(df, 50).collect()}
+        b = {r.doc_id for r in sample_exact_n(df.repartition(13), 50).collect()}
+        assert len(a) == 50 and a == b
+
+    def test_append_displaces_at_most_one(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        base = {r.doc_id for r in sample_exact_n(df, 50).collect()}
+        grown = df.unionByName(
+            spark.createDataFrame([(10_000,)], "doc_id long")
+        )
+        after = {r.doc_id for r in sample_exact_n(grown, 50).collect()}
+        assert len(base - after) <= 1
+
+    def test_n_larger_than_corpus(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        assert sample_exact_n(df, 50).count() == 5
+
+    def test_take_ordered_plan(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        plan = sample_exact_n(df, 5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

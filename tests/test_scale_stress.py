@@ -604,3 +604,36 @@ def test_semantic_dedup_bounded_by_cluster_cap(spark):
     # 65_536 / 2048 = 32 cells; exactly one survivor per cell
     assert kept == 32, kept
     assert wall < 120, f"hot cluster not bounded: {wall:.1f}s"
+
+
+@stress
+def test_pca_moments_bounded_at_1m_vectors(spark):
+    """PCA fitting at 1M × 32-dim: the driver sees only per-batch
+    moment partials (d + d² doubles per batch), never vectors.  The
+    fit must complete in bounded time and reproduce the planted
+    dominant direction."""
+    import time
+
+    import numpy as np
+
+    from harness_aws_etl_pipeline_spark.operators.pca import pca_fit
+
+    dim = 32
+    # planted: coordinate 0 carries 10x the variance of the rest,
+    # generated as column expressions (no driver-side data)
+    vecs = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                i == 0, ((F.xxhash64(F.col("id")) % 1000) / 50.0).cast("double")
+            ).otherwise(((F.xxhash64(F.col("id"), i) % 1000) / 500.0).cast("double")),
+        ).alias("embedding"),
+    )
+    t0 = time.monotonic()
+    model = pca_fit(vecs, k=4, dim=dim)
+    wall = time.monotonic() - t0
+    assert model["n"] == 1_000_000
+    comp0 = np.asarray(model["components"][0])
+    assert abs(comp0[0]) > 0.99, "planted dominant direction not found"
+    assert wall < 120, f"PCA fit too slow at 1M: {wall:.1f}s"
