@@ -114,3 +114,40 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     sw = [w for w in (stopwords or EN_STOPWORDS)]
     hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(toks: Column, n: int) -> Column:
+    """Fraction of the document's tokens covered by its single most
+    frequent n-gram — the Gopher repetition signal for n ≥ 2 (a page
+    where one 2-gram covers 20%+ of the text is template spam).
+
+    ``toks`` MUST be a bound token-array column (not a raw expression)
+    — a HOF lambda re-evaluates raw outer expressions per element (the
+    re-tokenization trap documented on :func:`shingles`).  The inner
+    count necessarily re-evaluates the gram array per DISTINCT gram
+    (it appears inside the outer lambda), so the per-document cost is
+    O(distinct-grams × len) in codegen'd array ops — quadratic in
+    document length but document-local: bounded work per row, no
+    shuffle, fine for the ≤10³-token documents this gate targets.
+
+    Token-based (each occurrence of the winning n-gram covers n
+    tokens), where the paper counts characters — same signal, exactly
+    reproducible in SQL without character bookkeeping.
+    """
+    ngrams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    # count occurrences of each DISTINCT gram, take the max
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ngrams),
+            lambda g: F.size(F.filter(ngrams, lambda x: x == g)),
+        )
+    )
+    return F.when(
+        F.size(toks) >= n,
+        (top_cnt * n).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))

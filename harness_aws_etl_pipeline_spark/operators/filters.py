@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from harness_aws_etl_pipeline_spark.functions.text import (
     dup_line_fraction,
     dup_word_fraction,
+    top_ngram_fraction,
 )
 
 __all__ = [
@@ -59,6 +60,7 @@ def _nonempty_lines(text: Column) -> Column:
 
 def _gopher_rules(
     text: Column,
+    toks_bound: Column | None = None,
     *,
     min_words: int = 50,
     max_words: int = 100_000,
@@ -71,8 +73,15 @@ def _gopher_rules(
     max_dup_word_fraction: float = 0.5,
     max_bullet_line_fraction: float = 0.9,
     max_ellipsis_line_fraction: float = 0.3,
+    max_top2gram_fraction: float = 0.20,
+    max_top3gram_fraction: float = 0.18,
+    max_top4gram_fraction: float = 0.16,
 ) -> dict[str, Column]:
-    toks = _toks(text)
+    # the n-gram repetition rules walk the token array per distinct
+    # gram — against a raw tokenize EXPRESSION that re-splits the text
+    # per element (cubic per doc); apply/report materialize the array
+    # into a column first and pass it here as a bound attribute
+    toks = toks_bound if toks_bound is not None else _toks(text)
     n = F.size(toks)
     lines = _nonempty_lines(text)
     nl = F.size(lines)
@@ -119,6 +128,12 @@ def _gopher_rules(
         "ellipsis_lines": F.when(
             nl > 0, ellipses.cast("double") / nl <= max_ellipsis_line_fraction
         ).otherwise(F.lit(True)),
+        # Gopher's top-n-gram repetition caps (token-covered fraction;
+        # the paper counts characters — documented deviation in
+        # functions/text.py). Thresholds are the published A1.1 numbers.
+        "top2gram": top_ngram_fraction(toks, 2) <= max_top2gram_fraction,
+        "top3gram": top_ngram_fraction(toks, 3) <= max_top3gram_fraction,
+        "top4gram": top_ngram_fraction(toks, 4) <= max_top4gram_fraction,
     }
 
 
@@ -143,10 +158,20 @@ def _c4_rules(
 PRESETS = ("gopher", "c4")
 
 
-def preset_rules(preset: str, text: Column, **thresholds) -> dict[str, Column]:
-    """rule name → "passes" boolean Column for the chosen preset."""
+def preset_rules(
+    preset: str,
+    text: Column,
+    toks_bound: Column | None = None,
+    **thresholds,
+) -> dict[str, Column]:
+    """rule name → "passes" boolean Column for the chosen preset.
+
+    ``toks_bound``: optionally a MATERIALIZED token-array column for
+    the gopher rules — callers projecting over many documents should
+    provide it (see ``_gopher_rules``); ``apply_quality_filters`` and
+    ``quality_filter_report`` do this automatically."""
     if preset == "gopher":
-        return _gopher_rules(text, **thresholds)
+        return _gopher_rules(text, toks_bound, **thresholds)
     if preset == "c4":
         return _c4_rules(text, **thresholds)
     raise ValueError(f"unknown preset {preset!r}; choose from {PRESETS}")
@@ -168,7 +193,10 @@ def apply_quality_filters(
     """
     if mode not in ("flag", "filter"):
         raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
-    rules = preset_rules(preset, F.col(text_col), **thresholds)
+    staged = df.withColumn("__qf_toks", _toks(F.col(text_col)))
+    rules = preset_rules(
+        preset, F.col(text_col), F.col("__qf_toks"), **thresholds
+    )
     failed = F.filter(
         F.array(
             *[
@@ -178,8 +206,10 @@ def apply_quality_filters(
         ),
         lambda x: x.isNotNull(),
     )
-    flagged = df.withColumn("_qf_failed", failed).withColumn(
-        "_qf_pass", F.size("_qf_failed") == 0
+    flagged = (
+        staged.withColumn("_qf_failed", failed)
+        .withColumn("_qf_pass", F.size("_qf_failed") == 0)
+        .drop("__qf_toks")
     )
     if mode == "flag":
         return flagged
@@ -195,7 +225,10 @@ def quality_filter_report(
     """1-row report: per-rule fail counts (independent — a doc failing
     two rules counts in both) + docs passing every rule.  One
     aggregate pass over one projection."""
-    rules = preset_rules(preset, F.col(text_col), **thresholds)
+    staged = df.withColumn("__qf_toks", _toks(F.col(text_col)))
+    rules = preset_rules(
+        preset, F.col(text_col), F.col("__qf_toks"), **thresholds
+    )
     aggs = [
         F.sum(F.when(~passes, 1).otherwise(0))
         .cast("long")
@@ -206,4 +239,4 @@ def quality_filter_report(
     for passes in rules.values():
         all_pass = passes if all_pass is None else (all_pass & passes)
     aggs.append(F.sum(F.when(all_pass, 1).otherwise(0)).cast("long").alias("qf_pass_cnt"))
-    return df.agg(*aggs)
+    return staged.agg(*aggs)

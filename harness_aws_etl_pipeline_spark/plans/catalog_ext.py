@@ -298,9 +298,13 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
          CAST(SUM(CASE WHEN NOT p_dup_words THEN 1 ELSE 0 END) AS BIGINT) AS qf_dup_words_fail,
          CAST(SUM(CASE WHEN NOT p_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS qf_bullet_lines_fail,
          CAST(SUM(CASE WHEN NOT p_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS qf_ellipsis_lines_fail,
+         CAST(SUM(CASE WHEN NOT p_top2gram THEN 1 ELSE 0 END) AS BIGINT) AS qf_top2gram_fail,
+         CAST(SUM(CASE WHEN NOT p_top3gram THEN 1 ELSE 0 END) AS BIGINT) AS qf_top3gram_fail,
+         CAST(SUM(CASE WHEN NOT p_top4gram THEN 1 ELSE 0 END) AS BIGINT) AS qf_top4gram_fail,
          CAST(SUM(CASE WHEN p_word_count AND p_mean_word_len AND p_symbol_ratio
                         AND p_alpha_ratio AND p_stopwords AND p_dup_lines
                         AND p_dup_words AND p_bullet_lines AND p_ellipsis_lines
+                        AND p_top2gram AND p_top3gram AND p_top4gram
                    THEN 1 ELSE 0 END) AS BIGINT) AS qf_pass_cnt
   FROM (
     SELECT (n >= 50 AND n <= 100000) AS p_word_count,
@@ -311,9 +315,27 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
            (dlf <= 0.3) AS p_dup_lines,
            (dwf <= 0.5) AS p_dup_words,
            (CASE WHEN nl > 0 THEN CAST(bullets AS DOUBLE) / nl <= 0.9 ELSE TRUE END) AS p_bullet_lines,
-           (CASE WHEN nl > 0 THEN CAST(ellipses AS DOUBLE) / nl <= 0.3 ELSE TRUE END) AS p_ellipsis_lines
+           (CASE WHEN nl > 0 THEN CAST(ellipses AS DOUBLE) / nl <= 0.3 ELSE TRUE END) AS p_ellipsis_lines,
+           (t2frac <= 0.20) AS p_top2gram,
+           (t3frac <= 0.18) AS p_top3gram,
+           (t4frac <= 0.16) AS p_top4gram
     FROM (
       SELECT len(toks) AS n,
+             CASE WHEN len(toks) >= 2
+                  THEN CAST(list_max(list_transform(list_distinct(g2),
+                         g -> len(list_filter(g2, x -> x = g)))) * 2 AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS t2frac,
+             CASE WHEN len(toks) >= 3
+                  THEN CAST(list_max(list_transform(list_distinct(g3),
+                         g -> len(list_filter(g3, x -> x = g)))) * 3 AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS t3frac,
+             CASE WHEN len(toks) >= 4
+                  THEN CAST(list_max(list_transform(list_distinct(g4),
+                         g -> len(list_filter(g4, x -> x = g)))) * 4 AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS t4frac,
              CASE WHEN len(toks) > 0
                   THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                          list_transform(toks, t -> CAST(LENGTH(t) AS BIGINT))),
@@ -333,11 +355,18 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
              len(nelines) AS nl,
              len(list_filter(nelines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullets,
              len(list_filter(nelines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS ellipses
-      FROM (SELECT text,
-                   list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks,
-                   list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
-                   list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS nelines
-            FROM documents)
+      FROM (SELECT text, toks, lines, nelines,
+                   list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                     i -> list_aggregate(list_slice(toks, i, i + 1), 'string_agg', ' ')) AS g2,
+                   list_transform(range(1, GREATEST(len(toks) - 2, 0) + 1),
+                     i -> list_aggregate(list_slice(toks, i, i + 2), 'string_agg', ' ')) AS g3,
+                   list_transform(range(1, GREATEST(len(toks) - 3, 0) + 1),
+                     i -> list_aggregate(list_slice(toks, i, i + 3), 'string_agg', ' ')) AS g4
+            FROM (SELECT text,
+                         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks,
+                         list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
+                         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS nelines
+                  FROM documents))
     )
   )
 ) qf ORDER BY bucket

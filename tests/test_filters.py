@@ -66,6 +66,30 @@ class TestGopher:
         assert row.qf_word_count_fail >= 1
         assert row.qf_stopwords_fail >= 2  # docs 3 and 6 at least
 
+    def test_top_ngram_repetition_rules(self, spark):
+        # template spam: one 2-gram ("buy now") covers most of the doc.
+        # Pad with distinct filler so only the repetition rules fail.
+        filler = " ".join(
+            f"word{i} of the sentence and that with have to be" for i in range(6)
+        )
+        spam = ("buy now " * 20) + filler
+        df = spark.createDataFrame(
+            [(1, GOOD), (2, spam)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: set(r._qf_failed)
+            for r in apply_quality_filters(df, "gopher").collect()
+        }
+        assert got[1] == set()
+        assert {"top2gram", "top3gram", "top4gram"} & got[2]
+        # relaxing the caps clears those rules
+        relaxed = apply_quality_filters(
+            df, "gopher", max_top2gram_fraction=1.0,
+            max_top3gram_fraction=1.0, max_top4gram_fraction=1.0,
+        )
+        got2 = {r.doc_id: set(r._qf_failed) for r in relaxed.collect()}
+        assert not {"top2gram", "top3gram", "top4gram"} & got2[2]
+
     def test_empty_text_fails_not_crashes(self, spark):
         df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
         out = apply_quality_filters(df.fillna({"text": ""}), "gopher")
