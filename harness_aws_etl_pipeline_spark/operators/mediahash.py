@@ -1,0 +1,136 @@
+"""[EXT] Unified mixed-media near-duplicate detection.
+
+Real multimodal tables hold images AND audio in one binary column.
+This module routes each payload by its magic bytes to the right
+perceptual hasher (``imagehash.phash64`` for PNG/JPEG/GIF/PPM/BMP,
+``audiohash.afp64`` for RIFF/WAVE), then runs ONE banded Hamming join
+with the MODALITY IN THE BAND KEY — a 64-bit image sketch and a 64-bit
+audio sketch live in unrelated spaces, and without the modality guard
+a band collision between them would surface a meaningless
+"image≈audio" pair.
+
+Undecodable/unknown payloads get a NULL modality and never pair.
+Everything else (banding guarantees, hot-bucket caps, ``bit_count``
+verification) is the shared SimHash machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["media_hashes", "media_near_dup_pairs"]
+
+_IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8", b"GIF8", b"P6", b"BM")
+
+
+def _classify(payload: bytes) -> str | None:
+    if payload is None:
+        return None
+    head = bytes(payload[:12])
+    for m in _IMAGE_MAGICS:
+        if head.startswith(m):
+            return "image"
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "audio"
+    return None
+
+
+def media_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, modality, simhash) — modality-routed perceptual
+    sketches; NULL modality/sketch for unknown or undecodable
+    payloads."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from harness_aws_etl_pipeline_spark.operators.audiohash import afp64
+    from harness_aws_etl_pipeline_spark.operators.imagehash import phash64
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_wav,
+    )
+
+    def _hash(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            modes, sketches = [], []
+            for payload in pdf[payload_col]:
+                mode = _classify(payload)
+                sketch = None
+                try:
+                    if mode == "image":
+                        sketch = phash64(decode_image(payload))
+                    elif mode == "audio":
+                        frames, rate = decode_wav(payload)
+                        sketch = afp64(frames, rate)
+                except (ValueError, TypeError, IndexError):
+                    mode, sketch = None, None
+                modes.append(mode)
+                sketches.append(sketch)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "modality": pd.Series(modes, dtype="object"),
+                    "simhash": pd.array(sketches, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, f"{id_col} long, modality string, simhash long"
+    )
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """(doc_a, doc_b, modality, hamming) — near-dup pairs within each
+    modality; the band join key is (modality, band, key) so sketches
+    from different spaces can never pair."""
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        _check_simhash_bands,
+        simhash_banded,
+    )
+
+    _check_simhash_bands(max_hamming, band_bits, strict_recall=True)
+    sketches = media_hashes(df, payload_col, id_col).filter(
+        F.col("simhash").isNotNull()
+    )
+    a = simhash_banded(
+        sketches.withColumnRenamed(id_col, "doc_id"),
+        "doc_a",
+        band_bits,
+        "sh_a",
+        max_bucket_size,
+    ).join(
+        sketches.select(F.col(id_col).alias("doc_a"), "modality"), "doc_a"
+    )
+    b = simhash_banded(
+        sketches.withColumnRenamed(id_col, "doc_id"),
+        "doc_b",
+        band_bits,
+        "sh_b",
+        max_bucket_size,
+    ).join(
+        sketches.select(F.col(id_col).alias("doc_b"), "modality"), "doc_b"
+    )
+    return (
+        a.join(b, ["modality", "band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "modality",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

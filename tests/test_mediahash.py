@@ -1,0 +1,70 @@
+"""Mixed-media near-dup (operators/mediahash.py): modality routing by
+magic bytes, within-modality pairing, no cross-modality pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from harness_aws_etl_pipeline_spark.operators.mediahash import (
+    media_hashes,
+    media_near_dup_pairs,
+)
+from harness_aws_etl_pipeline_spark.operators.multimodal import (
+    encode_png,
+    encode_ppm,
+    encode_wav,
+)
+
+RATE = 16_000
+
+
+def _img(shift=0):
+    yy, xx = np.mgrid[0:48, 0:48].astype(np.float64)
+    g = 100 + 30 * np.sin(xx / 5.0) * np.cos(yy / 7.0) + 0.4 * xx + shift
+    g = np.clip(g, 0, 255).astype(np.uint8)
+    return np.stack([g] * 3, axis=2)
+
+
+def _clip(seed, noise=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(RATE) / RATE
+    sig = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for f, a in zip(rng.uniform(350, 5500, 6), rng.uniform(0.2, 1.0, 6))
+    )
+    sig = sig + 0.15 * rng.standard_normal(RATE)
+    pcm = (sig / np.abs(sig).max() * 12_000).astype(np.int16)
+    if noise:
+        pcm = (pcm + np.random.RandomState(0).randint(-noise, noise, pcm.shape)).astype(
+            np.int16
+        )
+    return pcm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, bytearray(encode_ppm(_img()))),
+        (2, bytearray(encode_png(_img(shift=8)))),      # image near-dup of 1
+        (3, bytearray(encode_wav(_clip(7), RATE))),
+        (4, bytearray(encode_wav(_clip(7, noise=100), RATE))),  # audio near-dup of 3
+        (5, bytearray(b"neither image nor audio")),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+class TestMediaHash:
+    def test_modality_routing(self, media):
+        got = {r.doc_id: (r.modality, r.simhash) for r in media_hashes(media).collect()}
+        assert got[1][0] == "image" and got[2][0] == "image"
+        assert got[3][0] == "audio" and got[4][0] == "audio"
+        assert got[5] == (None, None) and got[6] == (None, None)
+
+    def test_pairs_within_modality_only(self, media):
+        # 8-bit bands: pigeonhole recall guaranteed to Hamming 7,
+        # covering the audio pair's <=5-bit noise envelope
+        pairs = media_near_dup_pairs(media, max_hamming=5, band_bits=8).collect()
+        got = {(p.doc_a, p.doc_b): p.modality for p in pairs}
+        assert got == {(1, 2): "image", (3, 4): "audio"}
