@@ -342,7 +342,10 @@ def main(argv: list[str] | None = None) -> int:
 
             merges = train_bpe(df, num_merges=args.merges, text_col=args.text_col)
             out = apply_bpe(df, merges, text_col=args.text_col)
-        else:  # report: per-rule quality-gate counts, no write
+        else:  # report: corpus summary + per-rule gate counts, no write
+            from harness_aws_etl_pipeline_spark.operators.corpus_report import (
+                corpus_report,
+            )
             from harness_aws_etl_pipeline_spark.operators.filters import (
                 quality_filter_report,
             )
@@ -350,7 +353,10 @@ def main(argv: list[str] | None = None) -> int:
             row = quality_filter_report(
                 df, args.preset, text_col=args.text_col
             ).collect()[0]
-            print(json.dumps({"status": "success", **row.asDict()}))
+            summary = corpus_report(
+                df, text_col=args.text_col, filter_preset=None
+            )
+            print(json.dumps({"status": "success", **summary, **row.asDict()}))
             return 0
         rows_in = df.count()
         if args.output:
