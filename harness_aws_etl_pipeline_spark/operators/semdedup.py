@@ -75,6 +75,7 @@ __all__ = [
     "semantic_dedup_flags",
     "semantic_dedup",
     "semantic_dedup_stats",
+    "cluster_embeddings",
 ]
 
 _VALID_POLICIES = ("greedy", "dominance")
@@ -303,3 +304,33 @@ def semantic_dedup_stats(df: DataFrame, **kwargs) -> DataFrame:
             .alias("sem_dup_clusters"),
         )
     )
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+    arrow: bool = True,
+) -> DataFrame:
+    """Corpus clustering facade: the rows of ``df`` plus
+    ``centroid_id`` (NULL for invalid vectors) — the k-means surface
+    users reach for directly (topic buckets, stratified eval splits,
+    SemDeDup's first stage) without the dedup semantics.
+
+    Same machinery as :func:`semantic_dedup_flags`: learned
+    ``ivf_centroids`` quantizer (or fixed ``centroids``), broadcast-
+    model assignment with zero shuffle on the Arrow path.
+    """
+    if dim is None:
+        dim = _dim_of(df, vec_col)
+    if centroids is None:
+        centroids = ivf_centroids(df, k=k, id_col=id_col, vec_col=vec_col)
+    assign = _assign_nearest if arrow else _assign_nearest_expr
+    valid = df.filter(_is_valid_vec(vec_col, dim))
+    invalid = df.join(valid.select(id_col), id_col, "left_anti").withColumn(
+        "centroid_id", F.lit(None).cast("long")
+    )
+    return assign(valid, centroids, id_col, vec_col).unionByName(invalid)
