@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_quality_classifier", "score_quality"]
+__all__ = ["train_quality_classifier", "score_quality", "save_model", "load_model"]
 
 
 def _features(texts, dim: int):
@@ -184,3 +184,28 @@ def score_quality(
             )
 
     return df.mapInPandas(_score, out_schema)
+
+
+def save_model(model: dict, path: str, spark=None) -> None:
+    """Persist a trained classifier as versioned JSON through the FS
+    adapter (local or Hadoop-scheme paths)."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    payload = json.dumps(
+        {"format": "quality-logreg-v1", **model}, ensure_ascii=False
+    ).encode("utf-8")
+    get_fs(path, spark).write_bytes(path, payload)
+
+
+def load_model(path: str, spark=None) -> dict:
+    """Inverse of :func:`save_model` (validates the format tag)."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    doc = json.loads(get_fs(path, spark).read_bytes(path).decode("utf-8"))
+    if doc.pop("format", None) != "quality-logreg-v1":
+        raise ValueError(f"not a quality-logreg model file: {path}")
+    return doc

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.similarity import _dim_of, _vec_matrix
 
-__all__ = ["pca_fit", "pca_project", "explained_variance_ratio"]
+__all__ = ["pca_fit", "pca_project", "explained_variance_ratio", "save_pca", "load_pca"]
 
 
 def pca_fit(
@@ -173,3 +173,27 @@ def pca_project(
             )
 
     return df.mapInPandas(_proj, out_schema)
+
+
+def save_pca(model: dict, path: str, spark=None) -> None:
+    """Persist a PCA model as versioned JSON through the FS adapter."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    payload = json.dumps(
+        {"format": "pca-model-v1", **model}, ensure_ascii=False
+    ).encode("utf-8")
+    get_fs(path, spark).write_bytes(path, payload)
+
+
+def load_pca(path: str, spark=None) -> dict:
+    """Inverse of :func:`save_pca` (validates the format tag)."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    doc = json.loads(get_fs(path, spark).read_bytes(path).decode("utf-8"))
+    if doc.pop("format", None) != "pca-model-v1":
+        raise ValueError(f"not a pca model file: {path}")
+    return doc

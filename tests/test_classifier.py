@@ -111,3 +111,30 @@ class TestScoring:
             .collect()
         }
         assert means[True] > means[False]
+
+
+class TestModelPersistence:
+    def test_save_load_roundtrip_and_scores_agree(self, labeled, model, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.classifier import (
+            load_model,
+            save_model,
+        )
+
+        p = str(tmp_path / "m" / "quality.json")
+        save_model(model, p)
+        loaded = load_model(p)
+        assert loaded["weights"] == model["weights"]
+        assert loaded["bias"] == model["bias"]
+        a = score_quality(labeled, model).select("doc_id", "quality_prob")
+        b = score_quality(labeled, loaded).select("doc_id", "quality_prob")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_load_rejects_foreign(self, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.classifier import load_model
+
+        p = tmp_path / "x.json"
+        p.write_text('{"weights": []}')
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="quality-logreg"):
+            load_model(str(p))

@@ -113,3 +113,28 @@ class TestProject:
                 d_full = np.linalg.norm(pts[i] - pts[j])
                 d_proj = np.linalg.norm(proj[i] - proj[j])
                 assert abs(d_full - d_proj) < 0.5
+
+
+class TestModelPersistence:
+    def test_save_load_roundtrip(self, planted_df, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.pca import (
+            load_pca,
+            save_pca,
+        )
+
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        p = str(tmp_path / "pca.json")
+        save_pca(model, p)
+        loaded = load_pca(p)
+        assert loaded["components"] == model["components"]
+        a = pca_project(planted_df, model).select("vec_id", "pca")
+        b = pca_project(planted_df, loaded).select("vec_id", "pca")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_load_rejects_foreign(self, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.pca import load_pca
+
+        p = tmp_path / "x.json"
+        p.write_text('{"mean": []}')
+        with pytest.raises(ValueError, match="pca model"):
+            load_pca(str(p))
