@@ -135,7 +135,11 @@ def main(argv: list[str] | None = None) -> int:
         "corpus", help="corpus prep: dedup / decontam / filter / tokenize"
     )
     corpus.add_argument(
-        "action", choices=["dedup", "decontam", "filter", "tokenize", "report"]
+        "action",
+        choices=[
+            "dedup", "decontam", "filter", "tokenize", "report",
+            "train-scorer", "score",
+        ],
     )
     corpus.add_argument("--input", required=True, help="input parquet path")
     corpus.add_argument("--output", default=None, help="output parquet path")
@@ -155,6 +159,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus.add_argument("--id-col", default="doc_id")
     corpus.add_argument("--text-col", default="text")
+    corpus.add_argument(
+        "--model", default=None,
+        help="train-scorer: output model JSON path; score: model to apply",
+    )
+    corpus.add_argument(
+        "--label-col", default=None,
+        help="train-scorer: 0/1 label column (default: gopher-gate labels)",
+    )
 
     args = p.parse_args(argv)
 
@@ -333,6 +345,52 @@ def main(argv: list[str] | None = None) -> int:
 
             out = apply_quality_filters(
                 df, args.preset, text_col=args.text_col, mode="filter"
+            )
+        elif args.action == "train-scorer":
+            from harness_aws_etl_pipeline_spark.operators.classifier import (
+                save_model,
+                train_quality_classifier,
+            )
+
+            if not args.model:
+                print(json.dumps({"status": "failed",
+                                  "error": "--model required"}))
+                return 1
+            labeled = df
+            label_col = args.label_col
+            if label_col is None:
+                from pyspark.sql import functions as SF
+
+                from harness_aws_etl_pipeline_spark.operators.filters import (
+                    apply_quality_filters,
+                )
+
+                labeled = apply_quality_filters(
+                    df, args.preset, text_col=args.text_col
+                ).withColumn("__label", SF.col("_qf_pass").cast("int"))
+                label_col = "__label"
+            m = train_quality_classifier(
+                labeled, label_col, text_col=args.text_col, id_col=args.id_col
+            )
+            save_model(m, args.model, spark)
+            print(json.dumps({
+                "status": "success", "model": args.model,
+                "n": m["n"], "final_loss": m["losses"][-1],
+                "iterations": len(m["losses"]),
+            }))
+            return 0
+        elif args.action == "score":
+            from harness_aws_etl_pipeline_spark.operators.classifier import (
+                load_model,
+                score_quality,
+            )
+
+            if not args.model:
+                print(json.dumps({"status": "failed",
+                                  "error": "--model required"}))
+                return 1
+            out = score_quality(
+                df, load_model(args.model, spark), text_col=args.text_col
             )
         elif args.action == "tokenize":
             from harness_aws_etl_pipeline_spark.operators.bpe import (

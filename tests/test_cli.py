@@ -282,3 +282,49 @@ class TestCorpusCli:
         toks = spark.read.parquet(out)
         assert "bpe_tokens" in toks.columns and "bpe_tokens_cnt" in toks.columns
         assert toks.where("bpe_tokens_cnt <= 0").count() == 0
+
+
+class TestScorerCli:
+    def test_train_and_score(self, spark, tmp_path, capsys):
+        good = (
+            "the quick brown fox jumps over that lazy dog and keeps running "
+            "with steady pace across the field of green grass to reach home "
+            "before dark while birds have sung overhead and the evening light "
+            "settles on the hills in amber bands that stretch to the west"
+        )
+        rows = [(i, good + f" tail{i % 9}") for i in range(30)] + [
+            (100 + i, "buy now " * 15 + f"x{i}") for i in range(30)
+        ]
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+        model_path = str(tmp_path / "model.json")
+        rc = main(
+            ["corpus", "train-scorer", "--input", src, "--model", model_path]
+        )
+        assert rc == 0
+        trained = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert trained["n"] == 60 and trained["final_loss"] < trained["iterations"]
+
+        out = str(tmp_path / "scored")
+        rc = main(
+            ["corpus", "score", "--input", src, "--model", model_path,
+             "--output", out]
+        )
+        assert rc == 0
+        scored = spark.read.parquet(out)
+        assert "quality_prob" in scored.columns
+        from pyspark.sql import functions as SF
+
+        means = {
+            r.g: r.p
+            for r in scored.withColumn("g", SF.col("doc_id") < 100)
+            .groupBy("g").agg(SF.avg("quality_prob").alias("p")).collect()
+        }
+        assert means[True] > means[False]
+
+    def test_model_required(self, spark, tmp_path):
+        src = str(tmp_path / "d2")
+        spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(src)
+        assert main(["corpus", "train-scorer", "--input", src]) == 1
+        assert main(["corpus", "score", "--input", src]) == 1
