@@ -138,3 +138,42 @@ class TestModelPersistence:
         p.write_text('{"mean": []}')
         with pytest.raises(ValueError, match="pca model"):
             load_pca(str(p))
+
+
+class TestAnnInPcaSpace:
+    def test_similarity_values_survive_projection(self, spark, planted_df):
+        """The stated use-case: cosine similarities computed in 2-dim
+        PCA space match the CENTERED 8-dim cosines.  (Centering
+        matters: cosine is not translation-invariant and PCA subtracts
+        the mean.)  Exact top-k SET recall is deliberately not
+        asserted: 2-planar data has hundreds of angular near-ties, so
+        tie reordering under 1e-3-scale noise flips set membership
+        without any similarity error — the VALUE parity below is the
+        well-conditioned form of the claim."""
+        import numpy as _np
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        model = pca_fit(planted_df, k=2, dim=DIM)
+        proj = pca_project(planted_df, model, out_col="p").select(
+            "vec_id", F.col("p").alias("embedding")
+        )
+        queries_p = proj.limit(8)
+        proj_top = brute_force_topk(proj, queries_p, k=5).collect()
+        assert len(proj_top) == 40
+
+        pts = _planted()
+        centered = pts - pts.mean(axis=0)
+        unit = centered / _np.linalg.norm(centered, axis=1)[:, None]
+        for r in proj_top:
+            raw_cos = float(unit[r.query_id] @ unit[r.neighbor_id])
+            # the residual IS PCA's approximation error: the dropped
+            # out-of-plane noise deflates raw cosines by up to ~1e-2
+            # for small in-plane vectors
+            assert abs(r.cosine - raw_cos) < 0.02, (
+                r.query_id, r.neighbor_id, r.cosine, raw_cos,
+            )
+            assert r.cosine > 0.99  # planar data: dense angular ties
