@@ -1,18 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The FINAL stdout line is ONE compact JSON object — nothing after it:
   {"metric": "headline_total", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "queries_p50": {name: sec, ...},
-   "runs": {name: [sec, ...]}, "value_p50": <total sec>, "sf": <sf>}
+   "queries": {name: sec, ...}, "value_p50": <total sec>, "sf": <sf>}
+
+The driver captures only a bounded tail of stdout, so the headline
+line must stay small.  The rich payload (p50 per query, raw runs,
+bucketed/snaptable/incremental/corpus legs, drift-attribution leg
+timings, notes) goes to BENCH_DETAIL.json next to this file and is
+summarized on stderr.
 
 Each query is executed to completion (collect) and timed wall-clock;
 a warmup query first absorbs JVM/session startup so the numbers
 measure the plans, not the JIT. `value`/`queries` stay min-of-N (the
 round-over-round regression tracker — scheduler/GC jitter removed);
-`queries_p50` + raw `runs` are recorded so a jitter-vs-regression
-call is decidable from the artifact alone: a min that moved with a
-steady p50 is jitter, both moving together is a real change.
+`queries_p50` + raw `runs` are recorded in the detail file so a
+jitter-vs-regression call is decidable from the artifacts alone: a
+min that moved with a steady p50 is jitter, both moving together is
+a real change.
 """
 
 from __future__ import annotations
@@ -178,11 +184,46 @@ def _bench_incremental_dedup(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: 89 distinct pure-alpha filler words (no Gopher stopwords) — the
+#: vocabulary for the planted should-pass gate documents below.
+_PLANT_VOCAB = (
+    "mountain river valley forest meadow harbor island plateau canyon glacier "
+    "history science language culture economy industry transport medicine "
+    "physics biology geology weather climate seasons morning evening winter "
+    "summer autumn spring garden kitchen window doorway ceiling corridor "
+    "library museum theater station airport market village city country "
+    "region continent ocean desert prairie tundra volcano earthquake "
+    "thunder lightning rainbow horizon sunrise sunset twilight midnight "
+    "journey voyage travel discovery invention progress research analysis "
+    "method theory practice example problem solution question answer "
+    "teacher student lesson chapter volume edition author reader writer "
+    "painter sculptor musician"
+).split()
+
+
+def _planted_pass_docs(spark, n: int = 200):
+    """``n`` documents engineered to PASS every Gopher rule: 64 words,
+    4 stopwords up front, the other 60 distinct pure-alpha words (a
+    stride-3 walk of an 89-word vocabulary, so no doc repeats a word
+    and no two docs share a bigram pattern).  Makes the gate leg's
+    pass count a meaningful nonzero number — the synthetic TESTDATA
+    documents are short enough that the gate correctly rejects 100% of
+    them, which would hide a gate-rejects-everything regression."""
+    assert len(_PLANT_VOCAB) == 89, len(_PLANT_VOCAB)
+    rows = []
+    for i in range(n):
+        body = " ".join(_PLANT_VOCAB[(5 * i + 3 * j) % 89] for j in range(60))
+        rows.append((10_000_000 + i, "the of and that " + body))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def _bench_corpus_prep(spark, sf_dir: str) -> dict:
-    """Corpus-prep leg — NOT a catalog entry: the round-6 training-data
+    """Corpus-prep leg — NOT a catalog entry: the training-data
     operators timed end-to-end at the bench SF.  Decontamination
-    (13-gram vs the doc_id%97 slice), the Gopher gate report, SemDeDup
-    over the embeddings table, and BPE train(500 merges)+apply.  All
+    (13-gram vs the doc_id%97 slice), the Gopher gate report (with a
+    planted should-pass slice so the pass count is nonzero and a
+    gate-rejects-everything regression is detectable), SemDeDup over
+    the embeddings table, and BPE train(500 merges)+apply.  All
     values are deterministic; wall-clocks show the ops run at corpus
     scale, correctness is pinned by the catalog panels/tests."""
     from pyspark.sql import functions as F
@@ -207,8 +248,12 @@ def _bench_corpus_prep(spark, sf_dir: str) -> dict:
     ).collect()[0]
     decon_s = time.perf_counter() - start
 
+    n_planted = 200
+    gate_input = docs.select("doc_id", "text").unionByName(
+        _planted_pass_docs(spark, n_planted)
+    )
     start = time.perf_counter()
-    gate = quality_filter_report(docs, "gopher").collect()[0]
+    gate = quality_filter_report(gate_input, "gopher").collect()[0]
     filter_s = time.perf_counter() - start
 
     # the synthetic embeddings contain NO natural >=0.9 pairs (checked
@@ -234,12 +279,79 @@ def _bench_corpus_prep(spark, sf_dir: str) -> dict:
         "decontam_flagged": row["contaminated_docs"],
         "filter_s": round(filter_s, 3),
         "filter_pass": gate["qf_pass_cnt"],
+        "filter_planted": n_planted,
+        # the work-done check: every planted doc passes the gate
+        "filter_pass_ok": bool(gate["qf_pass_cnt"] >= n_planted),
         "semantic_s": round(sem_s, 3),
         "semantic_dropped": sem["sem_dropped"],
         "bpe_s": round(bpe_s, 3),
         "bpe_merges": len(merges),
         "bpe_tokens": int(tok_total),
     }
+
+
+def _bench_drift_legs(spark, sf_dir: str) -> dict:
+    """Per-leg wall-clocks for the two entries whose r4 totals moved
+    outside the jitter band (text_stats +24%, near_dup_clusters +19%)
+    so a future drift is attributable to a named leg, not guessed.
+
+    near_dup_clusters decomposes into pairs-build → clustering →
+    survivor-dedup; text_stats into the count aggregates vs the
+    punct-ratio leg (the only regex-replace in the query)."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        deduplicate_near,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from harness_aws_etl_pipeline_spark.operators.textops import add_text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    out: dict = {}
+
+    start = time.perf_counter()
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2).persist()
+    pairs.count()
+    out["ndc_pairs_s"] = round(time.perf_counter() - start, 3)
+    try:
+        start = time.perf_counter()
+        clusters = near_dup_clusters(pairs).persist()
+        clusters.count()
+        out["ndc_clusters_s"] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        deduplicate_near(docs, pairs, clusters=clusters).count()
+        out["ndc_survivors_s"] = round(time.perf_counter() - start, 3)
+        clusters.unpersist()
+    finally:
+        pairs.unpersist()
+
+    counts_only = (
+        add_text_stats(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("char_cnt").alias("char_total"),
+            F.sum("word_cnt").cast("long").alias("word_total"),
+            F.sum("token_cnt").cast("long").alias("token_total"),
+        )
+    )
+    counts_only.collect()  # warm
+    start = time.perf_counter()
+    counts_only.collect()
+    out["ts_counts_s"] = round(time.perf_counter() - start, 3)
+    from harness_aws_etl_pipeline_spark.functions.text import punct_ratio
+
+    with_punct = docs.agg(
+        F.sum(F.round(punct_ratio(F.col("text")), 6)).alias("p")
+    )
+    with_punct.collect()  # warm
+    start = time.perf_counter()
+    with_punct.collect()
+    out["ts_punct_s"] = round(time.perf_counter() - start, 3)
+    return out
 
 
 def main() -> None:
@@ -317,7 +429,47 @@ def main() -> None:
         prep = {"error": str(exc)[:500]}
     print(f"# corpus_prep: {prep}", file=sys.stderr)
 
+    # drift-attribution leg timings (see _bench_drift_legs docstring)
+    try:
+        drift = _bench_drift_legs(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        drift = {"error": str(exc)[:500]}
+    print(f"# drift_legs: {drift}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_p50": p50s,
+        "runs": runs,
+        "value_p50": round(sum(p50s.values()), 3),
+        "bucketed": bucketed,
+        "snaptable": snap,
+        "incremental_dedup": incdd,
+        "corpus_prep": prep,
+        "drift_legs": drift,
+        # Round-over-round comparability: several headline names carry
+        # MORE work than in BENCH_r03 because 1-row panels were fused
+        # to keep the driver's 50-entry correctness window full of
+        # oracle-backed specs — their timings measure the fused plan,
+        # not a regression of the original query.
+        "notes": {
+            "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
+            "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
+        },
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w", encoding="utf-8") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# full payload -> {detail_path}", file=sys.stderr)
+
+    # the driver captures a bounded stdout TAIL: the compact headline
+    # must be the FINAL line, with nothing after it
     print(
         json.dumps(
             {
@@ -325,23 +477,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_p50": p50s,
-                "runs": runs,
                 "value_p50": round(sum(p50s.values()), 3),
-                "bucketed": bucketed,
-                "snaptable": snap,
-                "incremental_dedup": incdd,
-                "corpus_prep": prep,
-                # Round-over-round comparability: several headline names
-                # now carry MORE work than in BENCH_r03 because 1-row
-                # panels were fused to keep the driver's 50-entry
-                # correctness window full of oracle-backed specs —
-                # their timings measure the fused plan, not a
-                # regression of the original query.
-                "notes": {
-                    "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
-                    "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
-                },
                 "sf": sf_val,
             }
         )

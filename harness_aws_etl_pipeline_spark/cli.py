@@ -24,6 +24,8 @@ import argparse
 import json
 import sys
 
+from harness_aws_etl_pipeline_spark.operators import dedup_api
+
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="harness_aws_etl_pipeline_spark")
@@ -145,8 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     corpus.add_argument("--output", default=None, help="output parquet path")
     corpus.add_argument(
         "--method", default="exact",
-        help="dedup method (exact/hash/ngram/minhash/simhash/embedding/"
-        "semantic/image)",
+        help="dedup method (" + "/".join(dedup_api.METHODS) + ")",
     )
     corpus.add_argument("--threshold", type=float, default=0.8)
     corpus.add_argument("--benchmark", default=None, help="decontam benchmark parquet")

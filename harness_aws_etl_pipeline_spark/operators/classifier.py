@@ -102,6 +102,12 @@ def train_quality_classifier(
             w_b, b_b = w, b  # closure snapshot for this pass
 
             def _grad(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+                # accumulate gradient partials across the WHOLE batch
+                # iterator; one (dim+3)-double row per task, so the
+                # per-iteration collect is task-count-bounded
+                gp = np.zeros(dim)
+                gbp = llp = 0.0
+                np_ = 0
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -111,15 +117,19 @@ def train_quality_classifier(
                     p = 1.0 / (1.0 + np.exp(-z))
                     r = p - y
                     eps = 1e-12
-                    ll = -(
+                    llp += -(
                         y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)
                     ).sum()
+                    gp += x.T @ r
+                    gbp += float(r.sum())
+                    np_ += len(pdf)
+                if np_:
                     yield pd.DataFrame(
                         {
-                            "g": [(x.T @ r).tolist()],
-                            "gb": [float(r.sum())],
-                            "loss": [float(ll)],
-                            "n": [len(pdf)],
+                            "g": [gp.tolist()],
+                            "gb": [gbp],
+                            "loss": [float(llp)],
+                            "n": [np_],
                         }
                     )
 

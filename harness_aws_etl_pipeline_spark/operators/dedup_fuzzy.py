@@ -967,16 +967,23 @@ def simhash_banded(
     band_bits: int,
     sketch_out: str,
     max_bucket_size: int | None = None,
+    extra_key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(out_id, sketch_out, band, key) rows — the 64-bit sketch split
-    into ``band_bits``-bit band keys; the blocking every banded
-    simhash join shares. ``max_bucket_size`` optionally drops
-    degenerate band keys (the all-zero sketch of empty docs)."""
+    """(out_id, sketch_out, *extra_key_cols, band, key) rows — the
+    64-bit sketch split into ``band_bits``-bit band keys; the blocking
+    every banded simhash join shares. ``max_bucket_size`` optionally
+    drops degenerate band keys (the all-zero sketch of empty docs).
+    ``extra_key_cols`` are carried through from ``sketches`` AND
+    included in the bucket-cap grouping, so heterogeneous sketch
+    spaces (e.g. image vs audio modalities) get independent caps
+    instead of sharing one bucket on a band-key collision."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    extra = list(extra_key_cols)
     b = sketches.select(
         F.col("doc_id").alias(out_id),
         F.col("simhash").alias(sketch_out),
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -991,13 +998,17 @@ def simhash_banded(
             )
         ).alias("bb"),
     ).select(
-        out_id, sketch_out, F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+        out_id,
+        sketch_out,
+        *extra,
+        F.col("bb.band").alias("band"),
+        F.col("bb.key").alias("key"),
     )
     if max_bucket_size is not None:
-        sizes = b.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        keys = extra + ["band", "key"]
+        sizes = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
         b = b.join(
-            sizes.filter(F.col("n") <= max_bucket_size).select("band", "key"),
-            ["band", "key"],
+            sizes.filter(F.col("n") <= max_bucket_size).select(*keys), keys
         )
     return b
 

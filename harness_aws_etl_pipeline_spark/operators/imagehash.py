@@ -159,8 +159,9 @@ def image_hashes(
                 {id_col: pdf[id_col], "simhash": pd.array(out, dtype="Int64")}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        _hash, f"{id_col} long, simhash long"
+        _hash, f"{id_col} {id_type}, simhash long"
     )
 
 

@@ -79,8 +79,9 @@ def media_hashes(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        _hash, f"{id_col} long, modality string, simhash long"
+        _hash, f"{id_col} {id_type}, modality string, simhash long"
     )
 
 
@@ -104,14 +105,17 @@ def media_near_dup_pairs(
     sketches = media_hashes(df, payload_col, id_col).filter(
         F.col("simhash").isNotNull()
     )
+    # modality rides the banding (extra_key_cols), so the bucket cap is
+    # applied PER (modality, band, key): image and audio sketches that
+    # collide on a 16-bit band key neither share a cap nor need a
+    # post-hoc join to recover modality
     a = simhash_banded(
         sketches.withColumnRenamed(id_col, "doc_id"),
         "doc_a",
         band_bits,
         "sh_a",
         max_bucket_size,
-    ).join(
-        sketches.select(F.col(id_col).alias("doc_a"), "modality"), "doc_a"
+        extra_key_cols=("modality",),
     )
     b = simhash_banded(
         sketches.withColumnRenamed(id_col, "doc_id"),
@@ -119,8 +123,7 @@ def media_near_dup_pairs(
         band_bits,
         "sh_b",
         max_bucket_size,
-    ).join(
-        sketches.select(F.col(id_col).alias("doc_b"), "modality"), "doc_b"
+        extra_key_cols=("modality",),
     )
     return (
         a.join(b, ["modality", "band", "key"])

@@ -70,6 +70,12 @@ def pca_fit(
     d = dim
 
     def _partials(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        # accumulate (n, Σv, Σv·vᵀ) across the WHOLE batch iterator and
+        # emit one row per task — the driver collect is task-count-
+        # bounded (32 × (d + d²) doubles), not rows/10k-bounded
+        n = 0
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -77,19 +83,19 @@ def pca_fit(
             mat = mat[valid]
             if mat.shape[0] == 0:
                 continue
+            n += int(mat.shape[0])
+            s += mat.sum(axis=0)
+            ss += mat.T @ mat
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [int(mat.shape[0])],
-                    "s": [mat.sum(axis=0).tolist()],
-                    "ss": [(mat.T @ mat).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
             )
 
     rows = (
         df.select(vec_col)
         .mapInPandas(_partials, "n long, s array<double>, ss array<double>")
         .collect()
-    )  # one row per non-empty Arrow batch — bounded by task count
+    )  # ONE row per task with any valid vectors — bounded by task count
     if not rows:
         raise ValueError("no valid vectors to fit PCA on")
     n = sum(r["n"] for r in rows)

@@ -228,8 +228,9 @@ def _flags_arrow(
             }
         )
 
+    id_type = assigned.schema[id_col].dataType.simpleString()
     return assigned.groupBy("__cell").applyInPandas(
-        _dedup, f"{id_col} long, centroid_id long, keep boolean"
+        _dedup, f"{id_col} {id_type}, centroid_id long, keep boolean"
     )
 
 

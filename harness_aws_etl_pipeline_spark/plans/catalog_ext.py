@@ -1840,7 +1840,7 @@ ORDER BY src, query_id, rank
 """
 
 
-# ------------------------------------------------- round-5 corpus ops
+# ----------------------------------------------------- corpus ops
 
 
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:

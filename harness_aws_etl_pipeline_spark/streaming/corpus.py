@@ -108,7 +108,13 @@ def run_streaming_corpus_prep(
             accepted_box: dict = {}
 
             def _write_out(accepted_ids: DataFrame) -> None:
-                accepted = df.join(accepted_ids, id_col, "left_semi")
+                # process_batch normalizes ids to an internal "doc_id"
+                # column; rename back so the semi-join works for any
+                # caller-supplied id_col
+                ids = accepted_ids
+                if id_col != "doc_id":
+                    ids = ids.withColumnRenamed("doc_id", id_col)
+                accepted = df.join(ids, id_col, "left_semi")
                 if synthetic:
                     accepted = accepted.withColumn(
                         "_part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(16))

@@ -1343,6 +1343,22 @@ class TestDedupFacade:
         ids = {r["doc_id"] for r in out.collect()}
         assert 9 not in ids and 1 in ids and len(ids) == 4
 
+    def test_semantic_method_string_ids(self, spark):
+        """String id types flow through the SemDeDup Arrow path (the
+        applyInPandas schema derives the id type; regression for the
+        hardcoded-long schema)."""
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import deduplicate
+
+        vecs = [(f"d{i}", [float(i), 1.0, 0.0, 0.0]) for i in range(1, 5)]
+        vecs.append(("z9", [2.0, 2.0, 0.0, 0.0]))  # same direction as d1
+        df = spark.createDataFrame(vecs, "doc_id string, embedding array<float>")
+        out = deduplicate(
+            df, method="semantic", threshold=0.9999, id_col="doc_id",
+            k=2, dim=4, order="min_id",
+        )
+        ids = {r["doc_id"] for r in out.collect()}
+        assert "z9" not in ids and "d1" in ids and len(ids) == 4
+
     def test_image_method(self, spark):
         import numpy as np
 

@@ -68,3 +68,44 @@ class TestMediaHash:
         pairs = media_near_dup_pairs(media, max_hamming=5, band_bits=8).collect()
         got = {(p.doc_a, p.doc_b): p.modality for p in pairs}
         assert got == {(1, 2): "image", (3, 4): "audio"}
+
+    def test_string_ids(self, spark):
+        """Non-long id types flow through hashing and pairing (the
+        Arrow schemas derive the id type instead of hardcoding long)."""
+        rows = [
+            ("a", bytearray(encode_ppm(_img()))),
+            ("b", bytearray(encode_png(_img(shift=8)))),
+            ("c", bytearray(encode_wav(_clip(7), RATE))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, payload binary")
+        got = {r.doc_id: r.modality for r in media_hashes(df).collect()}
+        assert got == {"a": "image", "b": "image", "c": "audio"}
+        pairs = media_near_dup_pairs(df, max_hamming=5, band_bits=8).collect()
+        assert {(p.doc_a, p.doc_b) for p in pairs} == {("a", "b")}
+
+
+class TestPerModalityCap:
+    def test_bucket_cap_is_per_modality(self, spark):
+        """A band-key collision across modalities must not share one
+        cap: 3 identical 'image' sketches over the cap are dropped,
+        while the 2 'audio' sketches colliding on every (band, key)
+        survive and pair."""
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_banded,
+        )
+
+        rows = [(i, "image", 7) for i in range(3)] + [
+            (10, "audio", 7),
+            (11, "audio", 7),
+        ]
+        sk = spark.createDataFrame(
+            rows, "doc_id long, modality string, simhash long"
+        )
+        banded = simhash_banded(
+            sk, "doc_id", 16, "sh", max_bucket_size=2, extra_key_cols=("modality",)
+        )
+        kept = {
+            (r.modality, r.doc_id) for r in banded.select("modality", "doc_id").distinct().collect()
+        }
+        # image bucket (3 > cap 2) dropped entirely; audio (2 <= cap) kept
+        assert kept == {("audio", 10), ("audio", 11)}

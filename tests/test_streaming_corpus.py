@@ -88,6 +88,39 @@ class TestStreamingCorpusPrep:
         )
         assert out1 == out2
 
+    def test_custom_id_col(self, spark, tmp_path, bench):
+        """Non-default id_col: process_batch normalizes ids to an
+        internal doc_id; the output hook must rename back before the
+        semi-join (regression: AnalysisException for any id_col other
+        than 'doc_id')."""
+        from harness_aws_etl_pipeline_spark.streaming.corpus import (
+            run_streaming_corpus_prep,
+        )
+
+        d = tmp_path / "src2"
+        d.mkdir()
+        spark.createDataFrame(
+            [("a", LOREM), ("b", OTHER), ("c", LOREM + " tail")],
+            "item_key string, body string",
+        ).coalesce(1).write.parquet(str(d / "b0"))
+        batches = {}
+        stream = spark.readStream.schema("item_key string, body string").parquet(
+            str(d / "b0")
+        )
+        run_streaming_corpus_prep(
+            stream,
+            str(tmp_path / "out2"),
+            str(tmp_path / "ckpt_id"),
+            str(tmp_path / "state2"),
+            id_col="item_key",
+            text_col="body",
+            dedup_threshold=0.5,
+            on_batch=lambda bid, info: batches.update({bid: info}),
+        )
+        assert batches[0]["accepted"] == 2          # c loses to a
+        out = spark.read.parquet(str(tmp_path / "out2"))
+        assert {r.item_key for r in out.collect()} == {"a", "b"}
+
     def test_second_batch_dedups_against_state(self, spark, src, tmp_path, bench):
         _run(spark, src, tmp_path, bench, "ckpt1")
         # a second drop of files: one state-dup, one genuinely new.
