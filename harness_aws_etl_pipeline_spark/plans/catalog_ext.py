@@ -194,12 +194,43 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     qf = quality_filter_report(docs, "gopher")
-    return buckets.crossJoin(rep).crossJoin(lm).crossJoin(qf)
+
+    # corpus_report legs (operators/corpus_report.py, fused round 5):
+    # the diagnostics summary's volume / token-mean / domain-share /
+    # gate-yield numbers re-derived by the oracle.  The report runs its
+    # REAL code path (two aggregate jobs) at build time; the scalars
+    # become a 1-row frame.  gate_pass re-derives the same 12-rule
+    # conjunction the qf arm pins (the oracle states it as qf_pass_cnt).
+    from harness_aws_etl_pipeline_spark.operators.corpus_report import (
+        corpus_report,
+    )
+
+    rep_d = corpus_report(docs, filter_preset="gopher")
+    top_share = max(
+        (d["share"] for d in rep_d.get("domains", {}).values()), default=0.0
+    )
+    cr = spark.createDataFrame(
+        [
+            (
+                rep_d["docs"],
+                rep_d["tokens"],
+                rep_d["chars"],
+                float(rep_d["token_mean"]),
+                rep_d["gate_pass"],
+                len(rep_d.get("domains", {})),
+                float(top_share),
+            )
+        ],
+        "cr_docs long, cr_tokens long, cr_chars long, cr_token_mean double, "
+        "cr_gate_pass long, cr_domains long, cr_top_share double",
+    )
+    return buckets.crossJoin(rep).crossJoin(lm).crossJoin(qf).crossJoin(cr)
 
 
 ORACLE_QUALITY = r"""
 SELECT q.*, r.dup_line_sum, r.dup_word_sum, lm.logprob_sum,
-       lm2.logprob2_sum, lm2.bigram_total, qf.* FROM (
+       lm2.logprob2_sum, lm2.bigram_total, qf.*,
+       cr.*, qf.qf_pass_cnt AS cr_gate_pass FROM (
 SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
   SELECT ROUND(
     LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -369,12 +400,32 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
                   FROM documents))
     )
   )
-) qf ORDER BY bucket
+) qf CROSS JOIN (
+  -- corpus_report volume / token-mean / domain-share legs (whitespace
+  -- tokens throughout, matching functions.text.tokens)
+  WITH dt AS (
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS dtok
+    FROM documents GROUP BY source
+  ), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS cr_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))) AS BIGINT) AS cr_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS cr_chars,
+           ROUND(AVG(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))), 2) AS cr_token_mean
+    FROM documents
+  )
+  SELECT tot.cr_docs, tot.cr_tokens, tot.cr_chars, tot.cr_token_mean,
+         CAST((SELECT COUNT(*) FROM dt) AS BIGINT) AS cr_domains,
+         (SELECT MAX(ROUND(CAST(dtok AS DOUBLE) / GREATEST(tot.cr_tokens, 1), 4))
+          FROM dt) AS cr_top_share
+  FROM tot
+) cr ORDER BY bucket
 """
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] document fingerprinting + PII redaction panel, one row.
+    """[EXT] document fingerprinting + PII redaction + text-normalization
+    panel, one row.
 
     Fingerprint legs: exact md5 + polynomial rolling hash over token
     lengths, corpus-level distinct counts. Redaction legs (fused in
@@ -383,10 +434,50 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     ``null_audit`` crossJoin pattern): emails and long numbers
     injected deterministically into every document, then counted as
     redacted placeholders after ``redact_text``.
+
+    Textclean legs (operators/textclean.py, fused round 5): (a) planted
+    unicode literals through NFKC → clean_text, value-checked against
+    the Unicode-standard expected strings the oracle states as VALUES
+    (DuckDB has no NFKC — the expected outputs are independent known
+    facts, the md5/string-agg machinery is SQL-side); (b) corpus-level
+    clean_text parity — changed-doc count + cleaned-length sum, the
+    oracle re-deriving the same strip/fold/trim regex pipeline in RE2.
     """
+    from harness_aws_etl_pipeline_spark.operators.textclean import (
+        clean_text,
+        normalize_unicode,
+    )
     from harness_aws_etl_pipeline_spark.operators.textops import redact_text
 
     docs = _t(spark, sf, "documents")
+    planted = spark.createDataFrame(
+        [
+            (1, "\ufb01ne \u216b \u2460"),  # fi-ligature, roman XII, circled 1
+            (2, "a\u00a0b\u200bc"),          # NBSP fold + zero-width strip
+            (3, "x\x01y\x02z"),                        # C0 control strip
+            (4, "  multi   space\tand\nnewline  "),    # whitespace soup
+            (5, "\uff25\uff2d\uff22\uff25\uff24"),  # fullwidth EMBED
+            (6, None),                                 # NULL in, NULL out
+        ],
+        "tid int, raw string",
+    )
+    cleaned = normalize_unicode(planted, "raw", "NFKC", out_col="norm").select(
+        "tid", clean_text(F.col("norm")).alias("cleaned")
+    )
+    tc_planted = cleaned.agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("cleaned")))).alias(
+            "tc_planted_md5"
+        ),
+        F.count("cleaned").cast("long").alias("tc_planted_nonnull"),
+    )
+    tc_corpus = docs.agg(
+        F.sum((clean_text(F.col("text")) != F.col("text")).cast("long"))
+        .cast("long")
+        .alias("tc_changed_cnt"),
+        F.sum(F.length(clean_text(F.col("text"))))
+        .cast("long")
+        .alias("tc_len_sum"),
+    )
     fp = docs.select(
         exact_fingerprint("text").alias("fp_md5"),
         rolling_fingerprint("text").alias("fp_rolling"),
@@ -418,11 +509,11 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("numbers_redacted"),
         F.sum(F.col("text").contains("@").cast("long")).alias("emails_left"),
     )
-    return fp_agg.crossJoin(red_agg)
+    return fp_agg.crossJoin(red_agg).crossJoin(tc_planted).crossJoin(tc_corpus)
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*
+SELECT fp.*, red.*, tc.*, tcc.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -441,7 +532,26 @@ FROM (
   SELECT COUNT(*) AS emails_redacted, COUNT(*) AS numbers_redacted,
          CAST(0 AS BIGINT) AS emails_left
   FROM documents
-) red
+) red, (
+  -- expected NFKC -> clean_text outputs of the planted literals; the
+  -- EXPECTED strings are Unicode-standard facts (DuckDB has no NFKC),
+  -- the sort/agg/md5 machinery is SQL-side
+  SELECT md5(string_agg(v, '|' ORDER BY v)) AS tc_planted_md5,
+         CAST(COUNT(v) AS BIGINT) AS tc_planted_nonnull
+  FROM (VALUES ('EMBED'), ('a bc'), ('fine XII 1'),
+               ('multi space and newline'), ('xyz')) AS c(v)
+) tc, (
+  -- clean_text re-derived in RE2: strip controls/zero-width, fold
+  -- whitespace+separators, trim the single edge spaces
+  SELECT CAST(SUM(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT) AS tc_changed_cnt,
+         CAST(SUM(LENGTH(cleaned)) AS BIGINT) AS tc_len_sum
+  FROM (SELECT text,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200b}-\x{200d}\x{2060}\x{feff}\x{00ad}]', '', 'g'),
+            '[\s\p{Z}]+', ' ', 'g'),
+            '^ | $', '', 'g') AS cleaned
+        FROM documents)
+) tcc
 """
 
 
@@ -2087,23 +2197,80 @@ def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
     overfull bin; bin count within [ceil(tokens/capacity), docs]) as
     booleans the oracle states as constants. Exact FFD bin counts are
     pinned in tests/test_corpus_ops.py.
+
+    BPE legs (operators/bpe.py, fused round 5 — the token world's
+    second panel sharing this slot):
+
+    - ``bpe0_tokens``: corpus token total under the EMPTY merge list —
+      one token per character with the end-of-word marker on the last
+      symbol, so the total is exactly the summed character length of
+      the whitespace vocabulary (the oracle recounts it in SQL).
+    - ``bpe1_tokens``: total under the single merge ('t','h').  The
+      marker makes word-final 'h' a distinct symbol ('h</w>'), so the
+      SQL-derivable saving is the count of 'th' occurrences whose 'h'
+      is not word-final (disjoint for a two-distinct-char pair).
+    - ``bpe_first_merge``: the first TRAINED merge — argmax adjacent
+      symbol pair by (freq desc, pair lex asc) over word types, which
+      the oracle re-derives with an UNNEST/GROUP BY on character
+      pairs.  This pins the distributed word-count + driver-trainer
+      composition, not just the apply path.
     """
+    from harness_aws_etl_pipeline_spark.operators.bpe import apply_bpe, train_bpe
     from harness_aws_etl_pipeline_spark.operators.packing import packing_stats
 
     docs = _t(spark, sf, "documents")
-    return packing_stats(docs, capacity=64, buckets=8)
+    bpe0 = apply_bpe(docs.select("text"), []).agg(
+        F.sum("bpe_tokens_cnt").cast("long").alias("bpe0_tokens")
+    )
+    bpe1 = apply_bpe(docs.select("text"), [("t", "h")]).agg(
+        F.sum("bpe_tokens_cnt").cast("long").alias("bpe1_tokens")
+    )
+    first = train_bpe(docs, num_merges=1)
+    first_str = f"{first[0][0]}|{first[0][1]}" if first else ""
+    bpe_first = spark.createDataFrame(
+        [(first_str,)], "bpe_first_merge string"
+    )
+    return (
+        packing_stats(docs, capacity=64, buckets=8)
+        .crossJoin(bpe0)
+        .crossJoin(bpe1)
+        .crossJoin(bpe_first)
+    )
 
 
 ORACLE_SEQ_PACKING = r"""
 WITH toks AS (
   SELECT len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n
   FROM documents
+),
+words AS (
+  SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS w
+  FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+first_pairs AS (
+  SELECT substr(w, i, 1) AS a,
+         substr(w, i + 1, 1) ||
+           CASE WHEN i + 1 = length(w) THEN '</w>' ELSE '' END AS b,
+         SUM(freq) AS f
+  FROM wf, UNNEST(range(1, length(w))) AS r(i)
+  WHERE length(w) >= 2
+  GROUP BY a, b
 )
 SELECT COUNT(*) AS docs_packed,
        CAST(SUM(LEAST(n, 64)) AS BIGINT) AS token_total,
        CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS truncated_docs,
        CAST(0 AS BIGINT) AS overfull_bins,
-       TRUE AS bins_ok
+       TRUE AS bins_ok,
+       (SELECT CAST(SUM(length(w)) AS BIGINT) FROM words) AS bpe0_tokens,
+       (SELECT CAST(SUM(length(w)) AS BIGINT)
+               - CAST(SUM((length(s) - length(replace(s, 'th', ''))) // 2) AS BIGINT)
+        FROM (SELECT w, CASE WHEN length(w) > 1
+                            THEN substr(w, 1, length(w) - 1)
+                            ELSE w END AS s
+              FROM words)) AS bpe1_tokens,
+       COALESCE((SELECT a || '|' || b FROM first_pairs
+                 WHERE f >= 2 ORDER BY f DESC, a, b LIMIT 1), '') AS bpe_first_merge
 FROM toks
 """
 
