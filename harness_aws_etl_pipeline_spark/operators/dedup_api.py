@@ -136,6 +136,18 @@ def deduplicate(
     raise ValueError(f"unknown dedup method {method!r}; choose from {METHODS}")
 
 
+def dedup_cap_stats(df: DataFrame, method: str = "minhash", **kwargs: Any) -> DataFrame:
+    """Cap-hit observability panel for the bucketed blockings (see
+    :func:`dedup_fuzzy.bucket_cap_stats`): how many buckets a skewed
+    corpus pushes over the occupancy cap, how many rows sit in them,
+    and the upper bound on candidate pairs the cap silently drops."""
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        bucket_cap_stats,
+    )
+
+    return bucket_cap_stats(df, method=method, **kwargs)
+
+
 def similarity_search(
     candidates: DataFrame,
     queries: DataFrame,

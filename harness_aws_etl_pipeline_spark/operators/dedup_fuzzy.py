@@ -1082,3 +1082,85 @@ def simhash_join(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def bucket_cap_stats(
+    df: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    band_bits: int = 16,
+    max_bucket_size: int = 1000,
+    arrow: bool = True,
+) -> DataFrame:
+    """Cap-hit observability for the bucketed dedup blockings.
+
+    Every blocking in this family trades recall for boundedness
+    silently at runtime: the n-gram frequent-shingle cutoff, the
+    MinHash (band, bucket) occupancy cap, and the SimHash (band, key)
+    occupancy cap all DROP rows in degenerate buckets.  On a skewed
+    corpus (boilerplate, empty docs, template spam) that loss should
+    surface as a number, not a silent recall drop — this 1-row panel
+    reports it without running the join itself:
+
+    ``(method, cap, buckets_total, buckets_capped, rows_in_capped,
+    pairs_lost_ub, max_bucket)``
+
+    ``pairs_lost_ub`` is the upper bound on lost candidate pairs —
+    Σ n·(n−1)/2 over capped buckets (an upper bound because a pair may
+    also co-occur in an uncapped bucket and survive there).
+
+    Cost: the same sketch/banding pass the real operator runs, plus
+    one groupBy-count — no candidate join.  For the cross-corpus joins
+    (``minhash_join`` / ``simhash_join`` / ``media_near_dup_pairs``),
+    run this per side: each side's occupancy is capped independently.
+    """
+    if method == "ngram":
+        sets = hashed_shingle_sets(df, id_col, text_col, n, arrow=arrow).filter(
+            F.col("set_size") > 0
+        )
+        sizes = (
+            sets.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        )
+    elif method == "minhash":
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+        sizes = (
+            banded_buckets(sigs, "doc_id", bands, num_hashes // bands)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        )
+    elif method == "simhash":
+        sk = simhash(df, id_col, text_col, arrow=arrow)
+        sizes = (
+            simhash_banded(sk, "doc_id", band_bits, "sh")
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        )
+    else:
+        raise ValueError(
+            f"unknown blocking method {method!r} (ngram/minhash/simhash)"
+        )
+    cap = max_bucket_size
+    nn = F.col("bucket_n")
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_total"),
+        F.coalesce(F.sum((nn > cap).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("buckets_capped"),
+        F.coalesce(F.sum(F.when(nn > cap, nn)), F.lit(0))
+        .cast("long")
+        .alias("rows_in_capped"),
+        F.coalesce(F.sum(F.when(nn > cap, nn * (nn - F.lit(1)) / 2)), F.lit(0))
+        .cast("long")
+        .alias("pairs_lost_ub"),
+        F.coalesce(F.max(nn), F.lit(0)).cast("long").alias("max_bucket"),
+    ).select(
+        F.lit(method).alias("method"),
+        F.lit(cap).cast("long").alias("cap"),
+        "*",
+    )

@@ -282,12 +282,22 @@ def semantic_dedup(df: DataFrame, **kwargs) -> DataFrame:
 
 
 def semantic_dedup_stats(df: DataFrame, **kwargs) -> DataFrame:
-    """1-row panel: totals, kept/dropped, clusters touched, and the
-    number of clusters that actually contained duplicates."""
+    """1-row panel: totals, kept/dropped, clusters touched, the number
+    of clusters that actually contained duplicates — and the cap-hit
+    counters (``sem_oversized_clusters`` / ``sem_split_cells``): how
+    many clusters exceeded ``max_cluster_size`` and how many extra
+    sub-cells the deterministic sub-split created.  The sub-split
+    bounds the m×m gram matrix but trades recall (pairs across
+    sub-cells are never compared) — on a skewed embedding space that
+    trade should surface as a number, not a silent recall drop."""
+    cap = int(kwargs.get("max_cluster_size", 4096))
     flags = semantic_dedup_flags(df, **kwargs)
     per_cluster = flags.filter(F.col("centroid_id").isNotNull()).groupBy(
         "centroid_id"
-    ).agg(F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("__drops"))
+    ).agg(
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("__drops"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return flags.agg(
         F.count(F.lit(1)).cast("long").alias("sem_total"),
         F.sum(F.when(F.col("centroid_id").isNotNull(), 1).otherwise(0))
@@ -303,6 +313,22 @@ def semantic_dedup_stats(df: DataFrame, **kwargs) -> DataFrame:
             F.sum(F.when(F.col("__drops") > 0, 1).otherwise(0))
             .cast("long")
             .alias("sem_dup_clusters"),
+            F.coalesce(
+                F.sum(F.when(F.col("__n") > cap, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("sem_oversized_clusters"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__n") > cap,
+                        F.ceil(F.col("__n") / cap) - F.lit(1),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sem_split_cells"),
         )
     )
 

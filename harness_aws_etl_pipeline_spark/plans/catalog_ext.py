@@ -1660,7 +1660,8 @@ sd_dom AS (
 ),
 sd_per AS (
   SELECT j.cid,
-         SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS drops
+         SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS drops,
+         COUNT(*) AS n
   FROM sd_j j LEFT JOIN sd_dom d ON j.vec_id = d.vec_id
   GROUP BY j.cid
 ),
@@ -1672,7 +1673,12 @@ sd_agg AS (
          (SELECT COUNT(*) FROM sd_dom) AS sem_dropped,
          (SELECT COUNT(*) FROM sd_per) AS sem_clusters,
          (SELECT CAST(SUM(CASE WHEN drops > 0 THEN 1 ELSE 0 END) AS BIGINT)
-          FROM sd_per) AS sem_dup_clusters
+          FROM sd_per) AS sem_dup_clusters,
+         (SELECT CAST(COALESCE(SUM(CASE WHEN n > 4096 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM sd_per) AS sem_oversized_clusters,
+         (SELECT CAST(COALESCE(SUM(CASE WHEN n > 4096
+                  THEN CAST(CEIL(n / 4096.0) AS BIGINT) - 1 ELSE 0 END), 0) AS BIGINT)
+          FROM sd_per) AS sem_split_cells
 )
 SELECT m.mh_pair_cnt, m.mh_avg_est,
        s.sh_distinct_sketches, s.sh_near_pair_cnt,
@@ -1680,7 +1686,8 @@ SELECT m.mh_pair_cnt, m.mh_avg_est,
        p.train_cnt, p.test_cnt, p.total_cnt,
        t.strat_cnt, t.strat_src_cnt,
        d.sem_total, d.sem_valid, d.sem_kept, d.sem_dropped,
-       d.sem_clusters, d.sem_dup_clusters
+       d.sem_clusters, d.sem_dup_clusters,
+       d.sem_oversized_clusters, d.sem_split_cells
 FROM mh_agg m, sh_agg s, ed_agg e, sp p, strat t, sd_agg d
 """
 
