@@ -177,3 +177,57 @@ class TestAnnInPcaSpace:
                 r.query_id, r.neighbor_id, r.cosine, raw_cos,
             )
             assert r.cosine > 0.99  # planar data: dense angular ties
+
+    def test_topk_set_recall_on_separated_clusters(self, spark):
+        """Top-k SET recall pinned on a fixture where it is
+        well-conditioned: 4 clusters of 6 points around well-separated
+        directions in a 3-plane of 8-dim space.  Intra-cluster cosines
+        are ~0.999, inter-cluster at most ~0.6, so each query's top-5
+        (its 5 cluster-mates; the operator excludes self) is
+        unambiguous — PCA(k=3) projection must reproduce every top-5
+        set exactly (recall 1.0), with no tie caveats."""
+        import numpy as _np
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        rng = _np.random.RandomState(7)
+        basis = _np.zeros((3, DIM))
+        basis[0, 0] = basis[1, 1] = basis[2, 2] = 1.0
+        dirs3 = _np.array(
+            [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0], [1.0, 1.0, 1.0] / _np.sqrt(3)]
+        )
+        pts = []
+        for c in range(4):
+            for _ in range(6):
+                p3 = dirs3[c] * rng.uniform(4.0, 6.0) + rng.standard_normal(3) * 0.05
+                pts.append(p3 @ basis + rng.standard_normal(DIM) * 0.01 + 2.0)
+        pts = _np.asarray(pts)
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        )
+        model = pca_fit(df, k=3, dim=DIM)
+        assert sum(explained_variance_ratio(model)[:3]) > 0.999
+        proj = pca_project(df, model, out_col="p").select(
+            "vec_id", F.col("p").alias("embedding")
+        )
+        got = brute_force_topk(proj, proj, k=5).collect()
+        got_sets: dict[int, set[int]] = {}
+        for r in got:
+            got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        centered = pts - pts.mean(axis=0)
+        unit = centered / _np.linalg.norm(centered, axis=1)[:, None]
+        sims = unit @ unit.T
+        _np.fill_diagonal(sims, -2.0)  # operator excludes self
+        hits = total = 0
+        for q in range(len(pts)):
+            ref = set(_np.argsort(-sims[q])[:5].tolist())
+            assert ref == {q // 6 * 6 + j for j in range(6)} - {q}  # sanity
+            hits += len(got_sets[q] & ref)
+            total += 5
+        assert hits == total  # exact set recall 1.0, no ties involved

@@ -1,0 +1,182 @@
+"""Fast-stress tier — bounded, DEFAULT-ON versions of the scale
+claims in tests/test_scale_stress.py (which stays opt-in via
+SPARK_GRAFT_STRESS=1 at 10-100x these sizes).  Every test here runs in
+seconds so the distributed paths — pointer-doubling components, FFD
+packing, broadcast decontam, hot-cluster sub-split, moment-partial
+PCA — are exercised in every CI run, not only when someone remembers
+to flip the stress flag."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_components_chains_50k(spark):
+    """500 chains of 100 nodes under the forced DISTRIBUTED loop
+    (driver_threshold=0): pointer doubling must converge with exact
+    min labels — the same worst-shape claim as the 1M stress test."""
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        near_dup_clusters,
+    )
+
+    pairs = (
+        spark.range(50_000)
+        .filter(F.col("id") % 100 != 99)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    labels = near_dup_clusters(pairs, driver_threshold=0)
+    assert labels.count() == 50_000
+    wrong = labels.filter(
+        F.col("cluster_id") != F.col("doc_id") - F.col("doc_id") % 100
+    ).count()
+    assert wrong == 0
+    assert labels.select("cluster_id").distinct().count() == 500
+
+
+def test_components_string_ids_10k(spark):
+    """String ids force the exact changed-row convergence check every
+    doubling round; the loop must still converge correctly."""
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        near_dup_clusters,
+    )
+
+    pairs = (
+        spark.range(10_000)
+        .filter(F.col("id") % 100 != 99)
+        .select(
+            F.format_string("doc-%05d", F.col("id")).alias("doc_a"),
+            F.format_string("doc-%05d", F.col("id") + 1).alias("doc_b"),
+        )
+    )
+    labels = near_dup_clusters(pairs, driver_threshold=0)
+    assert labels.count() == 10_000
+    wrong = labels.filter(
+        F.col("cluster_id")
+        != F.format_string(
+            "doc-%05d",
+            (F.regexp_extract("doc_id", r"(\d+)", 1).cast("long") / 100).cast(
+                "long"
+            )
+            * 100,
+        )
+    ).count()
+    assert wrong == 0
+
+
+def test_packing_100k_docs(spark):
+    """FFD packing at 100k docs from an injected token expression:
+    no overfull bin, <5% slack, doc conservation."""
+    from harness_aws_etl_pipeline_spark.operators.packing import pack_sequences
+
+    docs = spark.range(100_000).select(F.col("id").alias("doc_id"))
+    packed = pack_sequences(
+        docs, capacity=256, token_expr=(F.col("doc_id") % 97 + 8), buckets=16
+    )
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))
+    row = bins.agg(
+        F.count(F.lit(1)).alias("bins"),
+        F.max("fill").alias("maxfill"),
+        F.sum("fill").alias("total"),
+    ).collect()[0]
+    assert row["maxfill"] <= 256
+    assert row["bins"] * 256 < row["total"] * 1.05
+    assert packed.count() == 100_000
+
+
+def test_decontam_planted_exact_50k(spark):
+    """Broadcast-blocklist decontamination at 50k docs: hit counts are
+    exact by construction (every 200th doc embeds a benchmark 8-gram)."""
+    from harness_aws_etl_pipeline_spark.operators.decontam import (
+        contamination_hits,
+    )
+
+    bench = spark.range(50).select(
+        F.col("id").alias("qid"),
+        F.concat_ws(
+            " ",
+            F.lit("planted benchmark sequence token"),
+            F.col("id").cast("string"),
+            F.lit("alpha beta gamma delta"),
+        ).alias("text"),
+    )
+    corpus = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 200 == 0,
+            F.concat_ws(
+                " ",
+                F.lit("prefix words planted benchmark sequence token"),
+                ((F.col("id") / 200) % 50).cast("long").cast("string"),
+                F.lit("alpha beta gamma delta suffix words"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.lit("clean document body"),
+                F.col("id").cast("string"),
+                F.lit("with enough tokens to form many eight grams"),
+            )
+        )
+        .alias("text"),
+    )
+    hits = contamination_hits(corpus, bench, n=8, bench_text_col="text")
+    assert hits.count() == 50_000 // 200
+
+
+def test_semantic_dedup_hot_cluster_capped(spark):
+    """8k same-direction vectors in ONE cluster with cap 1024: the
+    sub-split bounds the gram matrix and keeps exactly one survivor
+    per cell (8192/1024 = 8 cells)."""
+    from harness_aws_etl_pipeline_spark.operators.semdedup import (
+        semantic_dedup_flags,
+    )
+
+    dim = 16
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1)), (1, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "centroid_id long, centroid array<double>",
+    )
+    vecs = spark.range(8_192).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == 0, (F.col("id") % 7 + 1).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    flags = semantic_dedup_flags(
+        vecs, centroids=cents, threshold=0.95, dim=dim,
+        policy="greedy", order="min_id", max_cluster_size=1024,
+    )
+    assert flags.filter("keep").count() == 8
+
+
+def test_pca_moments_100k(spark):
+    """PCA at 100k x 16-dim from column expressions: planted dominant
+    direction recovered; the fit stays comfortably in-bounds because
+    the driver only ever sees task-count moment partials."""
+    import numpy as np
+
+    from harness_aws_etl_pipeline_spark.operators.pca import pca_fit
+
+    dim = 16
+    vecs = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                i == 0, ((F.xxhash64(F.col("id")) % 1000) / 50.0).cast("double")
+            ).otherwise(((F.xxhash64(F.col("id"), i) % 1000) / 500.0).cast("double")),
+        ).alias("embedding"),
+    )
+    t0 = time.monotonic()
+    model = pca_fit(vecs, k=4, dim=dim)
+    wall = time.monotonic() - t0
+    assert model["n"] == 100_000
+    comp0 = np.asarray(model["components"][0])
+    assert abs(comp0[0]) > 0.99, "planted dominant direction not found"
+    assert wall < 90, f"PCA fit too slow at 100k: {wall:.1f}s"
