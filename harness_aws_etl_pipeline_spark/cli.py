@@ -139,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     corpus.add_argument(
         "action",
         choices=[
-            "dedup", "decontam", "filter", "tokenize", "report",
+            "dedup", "span-dedup", "decontam", "filter", "tokenize", "report",
             "train-scorer", "score",
         ],
     )
@@ -338,6 +338,14 @@ def main(argv: list[str] | None = None) -> int:
             out = decontaminate(
                 df, bench, n=args.ngram, id_col=args.id_col,
                 text_col=args.text_col,
+            )
+        elif args.action == "span-dedup":
+            from harness_aws_etl_pipeline_spark.operators.spandedup import (
+                remove_duplicated_spans,
+            )
+
+            out = remove_duplicated_spans(
+                df, k=args.ngram, id_col=args.id_col, text_col=args.text_col
             )
         elif args.action == "filter":
             from harness_aws_etl_pipeline_spark.operators.filters import (

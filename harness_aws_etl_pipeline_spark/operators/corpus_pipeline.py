@@ -43,6 +43,7 @@ def prepare_corpus(
     filter_preset: str | None = None,
     filter_thresholds: dict | None = None,
     line_dedup_min_count: int | None = None,
+    span_dedup_k: int | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     dedup_method: str | None = None,
@@ -103,6 +104,19 @@ def prepare_corpus(
                     d, min_count=line_dedup_min_count,
                     text_col=text_col, id_col=id_col,
                 ).drop("_lines_removed"),
+            )
+        )
+    if span_dedup_k is not None:
+        from harness_aws_etl_pipeline_spark.operators.spandedup import (
+            remove_duplicated_spans,
+        )
+
+        stages.append(
+            (
+                f"span_dedup[k={span_dedup_k}]",
+                lambda d: remove_duplicated_spans(
+                    d, k=span_dedup_k, id_col=id_col, text_col=text_col
+                ),
             )
         )
     if benchmark is not None:

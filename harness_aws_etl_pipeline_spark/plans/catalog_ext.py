@@ -2013,7 +2013,22 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("leaked_ngram_total"),
     )
-    return line_dedup_stats(docs, min_count=2).crossJoin(decon).crossJoin(leak)
+    # duplicated-span legs (operators/spandedup.py, fused round 5 —
+    # the third corpus-hygiene pass sharing this slot): 13-token
+    # windows, first occurrence canonical, islands-merged spans; the
+    # oracle re-derives windows/canonicals/merge with gram STRINGS as
+    # keys (decisions depend only on gram equality, never hash values)
+    from harness_aws_etl_pipeline_spark.operators.spandedup import (
+        span_dedup_stats,
+    )
+
+    spans = span_dedup_stats(raw, k=13)
+    return (
+        line_dedup_stats(docs, min_count=2)
+        .crossJoin(decon)
+        .crossJoin(leak)
+        .crossJoin(spans)
+    )
 
 
 ORACLE_LINE_DEDUP = r"""
@@ -2046,7 +2061,7 @@ perdoc AS (
   LEFT JOIN kept k USING (doc_id)
   LEFT JOIN removed r USING (doc_id)
 )
-SELECT l.*, d.*, lk.*
+SELECT l.*, d.*, lk.*, sp.*
 FROM (
   SELECT (SELECT COUNT(*) FROM keyed) AS lines_total,
          CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
@@ -2103,7 +2118,54 @@ FROM (
          COALESCE(CAST(SUM(corpus_docs) AS BIGINT), 0) AS leak_pairs,
          COALESCE(CAST(SUM(leaked_ngrams) AS BIGINT), 0) AS leaked_ngram_total
   FROM perq
-) lk
+) lk, (
+  -- duplicated-span legs: 13-token windows with positions, canonical
+  -- first by (doc_id, pos), islands merge, token accounting
+  WITH sp_toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+    FROM documents
+  ),
+  sp_pos AS (
+    SELECT doc_id, i - 1 AS pos,
+           list_aggregate(list_slice(toks, i, i + 12), 'string_agg', ' ') AS g
+    FROM sp_toks, UNNEST(range(1, GREATEST(len(toks) - 12, 0) + 1)) AS r(i)
+  ),
+  sp_cnt AS (SELECT g, COUNT(*) AS cnt FROM sp_pos GROUP BY g),
+  sp_first AS (
+    SELECT g, doc_id AS fdoc, pos AS fpos FROM (
+      SELECT g, doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM sp_pos) WHERE rn = 1
+  ),
+  sp_marked AS (
+    SELECT p.doc_id, p.pos
+    FROM sp_pos p JOIN sp_cnt c USING (g) JOIN sp_first f USING (g)
+    WHERE c.cnt >= 2 AND NOT (p.doc_id = f.fdoc AND p.pos = f.fpos)
+  ),
+  sp_islands AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > COALESCE(MAX(pos + 13) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS is_start
+    FROM sp_marked
+  ),
+  sp_merged AS (
+    SELECT doc_id, span, MIN(pos) AS s, MAX(pos) + 13 AS e
+    FROM (SELECT doc_id, pos,
+                 SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+          FROM sp_islands)
+    GROUP BY doc_id, span
+  )
+  SELECT (SELECT CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) FROM sp_toks)
+           AS span_tokens_total,
+         CAST((SELECT COUNT(*) FROM sp_merged) AS BIGINT) AS spans_removed,
+         CAST((SELECT COUNT(DISTINCT doc_id) FROM sp_merged) AS BIGINT)
+           AS span_docs_affected,
+         (SELECT CAST(COALESCE(SUM(e - s), 0) AS BIGINT) FROM sp_merged)
+           AS span_tokens_removed
+) sp
 """
 
 

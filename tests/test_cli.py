@@ -240,6 +240,21 @@ class TestCorpusCli:
         assert (res["rows_in"], res["rows_out"], res["rows_removed"]) == (3, 2, 1)
         assert spark.read.parquet(out).count() == 2
 
+    def test_span_dedup_action(self, spark, tmp_path, capsys):
+        src = self._write_corpus(spark, tmp_path)
+        out = str(tmp_path / "span_deduped")
+        rc = main(
+            ["corpus", "span-dedup", "--input", src, "--output", out,
+             "--ngram", "8"]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert (res["rows_in"], res["rows_out"]) == (3, 3)  # edits, no drops
+        texts = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+        # doc 1 and 2 share a 10-token text: the later copy is cut to empty
+        assert sorted([texts[1], texts[2]])[0] == ""
+        assert "different document" in texts[3]
+
     def test_decontam_action(self, spark, tmp_path, capsys):
         src = self._write_corpus(spark, tmp_path)
         bench = str(tmp_path / "bench")

@@ -80,6 +80,25 @@ class TestPrepareCorpus:
         assert [r["stage"] for r in report] == ["line_dedup", "dedup[hash]"]
         assert out.count() == 4  # one of the exact-dup pair removed
 
+    def test_span_dedup_stage(self, spark):
+        """span_dedup cuts a duplicated passage out of the later doc
+        while keeping the first occurrence and all unique text."""
+        shared = " ".join(f"boil{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [
+                (1, "src0", " ".join(f"head{i}" for i in range(6)) + " " + shared),
+                (2, "src0", " ".join(f"tail{i}" for i in range(6)) + " " + shared),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out, report = prepare_corpus(df, span_dedup_k=8)
+        texts = {r.doc_id: r.text for r in out.collect()}
+        assert shared in texts[1]
+        assert shared not in texts[2]
+        assert texts[2].startswith("tail0")
+        assert [r["stage"] for r in report] == ["span_dedup[k=8]"]
+        assert report[0]["rows_out"] == 2  # edits text, drops no rows
+
     def test_mix_stage(self, corpus):
         out, report = prepare_corpus(
             corpus, mix_weights={"src0": 1, "src1": 1}
