@@ -458,6 +458,9 @@ def main() -> None:
         "notes": {
             "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
             "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
+            "drift_r4": "text_stats/near_dup_clusters r4 deltas were jitter: "
+            "r5 clean run measures 0.50/0.89 vs r3's 0.535/0.914 with no "
+            "code change to either query; per-leg clocks in drift_legs",
         },
         "sf": sf_val,
     }
