@@ -1,0 +1,188 @@
+"""[EXT] URL normalization and host/domain operators for web corpora.
+
+Web-scale training corpora key almost everything on URLs: dedup by
+canonical URL, per-host crawl caps, domain-weighted mixing, blocklist
+filtering.  Raw URLs are noisy keys — scheme/case/fragment/tracking-
+param variants of the same page would survive exact dedup — so every
+published pipeline canonicalizes first.
+
+All operators here are pure column expressions (regexp + array
+functions, whole-stage codegen, no Python), and every transform is
+re-derivable in SQL, so the family is oracle-checkable end-to-end.
+
+Canonicalization spec (:func:`normalize_url`):
+
+1. lowercase scheme and host (path/query case is preserved — it is
+   significant on most servers)
+2. strip the fragment (``#…`` never reaches the server)
+3. strip default ports (``:80`` for http, ``:443`` for https)
+4. drop a leading ``www.``
+5. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``)
+6. sort surviving query parameters byte-wise (param order is almost
+   never significant; sorting makes equal pages equal strings)
+7. drop the trailing ``/`` of a bare path
+
+Host/domain (:func:`url_host`, :func:`registered_domain`): heuristic
+public-suffix handling with the common two-level suffixes — a full
+public-suffix list is a data file, not an algorithm, and can be
+swapped in by callers who need exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_url",
+    "url_host",
+    "registered_domain",
+    "add_url_columns",
+    "dedup_by_url",
+    "cap_per_host",
+]
+
+#: query params dropped by normalize_url (tracking / referrer noise)
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
+
+#: common two-level public suffixes (heuristic subset)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.nz", "com.sg", "com.tr", "co.za",
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL string per the module spec; NULL in, NULL out."""
+    u = _c(col)
+    # 1. lowercase scheme://host[:port] (the authority prefix only;
+    # path/query case is significant and preserved)
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    remainder = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(head, remainder)
+    # 2. strip fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. default ports
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443(?=[/?#]|$)", r"$1")
+    # 4. leading www.
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
+    # 5+6. query params: split, drop tracking, sort, rejoin
+    base = F.substring_index(u, "?", 1)
+    has_q = u.contains("?")
+    params = F.filter(
+        F.split(F.substring_index(u, "?", -1), "&"),
+        lambda p: (p != "")
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAMS]),
+            lambda t: F.when(
+                t.endswith("_"), p.startswith(t)
+            ).otherwise(p.startswith(F.concat(t, F.lit("=")))  # noqa: PLC2801
+                        | (p == t)),
+        ),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    u = F.when(
+        has_q & (F.size(params) > 0), F.concat(base, F.lit("?"), sorted_q)
+    ).otherwise(base)
+    # 7. trailing slash on a bare path ("https://x.com/" == "https://x.com";
+    # deeper trailing slashes are left alone — their equivalence is
+    # server-dependent)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host (no port, no www prefix); NULL for non-URLs."""
+    u = _c(col)
+    h = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    h = F.regexp_replace(h, r"^www\.", "")
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def registered_domain(col: Column | str) -> Column:
+    """eTLD+1 heuristic: the last two host labels, or three when the
+    last two form a known two-level public suffix."""
+    h = url_host(col)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    is_two_level = F.exists(
+        F.array(*[F.lit(s) for s in TWO_LEVEL_SUFFIXES]), lambda s: s == last2
+    )
+    take = F.when(is_two_level & (n >= 3), 3).otherwise(2)
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= take, h).otherwise(
+            F.array_join(F.slice(parts, n - take + 1, take), ".")
+        )
+    )
+
+
+def add_url_columns(
+    df: DataFrame, url_col: str = "url", prefix: str = "url_"
+) -> DataFrame:
+    """Adds ``{prefix}norm``, ``{prefix}host``, ``{prefix}domain``,
+    ``{prefix}path_depth`` (count of non-empty path segments)."""
+    u = F.col(url_col)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return (
+        df.withColumn(f"{prefix}norm", normalize_url(u))
+        .withColumn(f"{prefix}host", url_host(u))
+        .withColumn(f"{prefix}domain", registered_domain(u))
+        .withColumn(
+            f"{prefix}path_depth",
+            F.when(u.isNull(), F.lit(None).cast("int")).otherwise(depth),
+        )
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL — the smallest ``id_col`` survives
+    (deterministic, matching the near-dup families' min-id policy).
+    Rows with NULL urls all survive (nothing to key on)."""
+    w_key = normalize_url(F.col(url_col))
+    keyed = df.withColumn("__uk", w_key)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__uk").orderBy(F.col(id_col))
+    ranked = keyed.withColumn(
+        "__rn",
+        F.when(F.col("__uk").isNull(), F.lit(1)).otherwise(
+            F.row_number().over(w)
+        ),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__uk", "__rn")
+
+
+def cap_per_host(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``max_docs`` rows per host, chosen by smallest
+    ``xxhash64(id)`` — deterministic, append-stable sampling (a doc
+    that survives keeps surviving as the host grows, until its hash
+    rank is displaced).  NULL-host rows are never capped."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("__host", url_host(F.col(url_col)))
+    w = Window.partitionBy("__host").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    ranked = keyed.withColumn(
+        "__rn",
+        F.when(F.col("__host").isNull(), F.lit(1)).otherwise(
+            F.row_number().over(w)
+        ),
+    )
+    return ranked.filter(F.col("__rn") <= max_docs).drop("__host", "__rn")

@@ -2173,6 +2173,29 @@ FROM (
 # integer weights (the exact-arithmetic contract of operators/mixing.py).
 _MIX_WEIGHTS = {"src0": 4, "src1": 3, "src2": 2, "src3": 1, "src17": 5}
 
+# Planted URLs for the urlops legs fused into corpus_mix: one per
+# normalization rule (case, fragment, default/non-default ports, www,
+# tracking params + sort, keeper-prefix param, bare/deep trailing
+# slash), plus canonical-dup groups ({1,3,5} and {10,11}) and multi-
+# label hosts for the eTLD+1 heuristic.  Embedded verbatim in BOTH the
+# Spark builder and the oracle's VALUES.
+_URL_FIXTURE = (
+    "HTTPS://Example.COM/Path/File",
+    "https://a.com/x#section-2",
+    "http://a.com:80/x",
+    "https://a.com:443/x",
+    "https://a.com:8443/x",
+    "https://www.a.com/x",
+    "https://a.com/x?utm_source=tw&b=2&a=1&fbclid=zz",
+    "https://a.com/x?refresh=1",
+    "https://a.com/",
+    "https://a.com/x/",
+    "HTTP://WWW.Example.com:80/page?b=2&a=1#top",
+    "http://example.com/page?a=1&b=2",
+    "https://www.news.example.co.uk:443/a",
+    "http://blog.example.com/x",
+)
+
 
 def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] domain-weighted corpus mixing (operators/mixing.py) —
@@ -2186,6 +2209,12 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         sample_to_mix,
     )
 
+    from harness_aws_etl_pipeline_spark.operators.urlops import (
+        add_url_columns,
+        cap_per_host,
+        dedup_by_url,
+    )
+
     docs = _t(spark, sf, "documents")
     stats = domain_stats(docs)
     mixed = sample_to_mix(docs, _MIX_WEIGHTS, salt=0)
@@ -2193,6 +2222,33 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         F.col("domain"),
         F.col("docs").alias("docs_kept"),
         F.col("tokens").alias("tokens_kept"),
+    )
+    # urlops legs (operators/urlops.py, fused round 5 — the web-corpus
+    # keying family lives with the domain-weighted panel): planted URL
+    # literals through normalize/host/eTLD+1/dedup/per-host-cap, every
+    # transform re-derived by the oracle in SQL from the same VALUES
+    urls = spark.createDataFrame(
+        list(enumerate(_URL_FIXTURE)), "doc_id long, url string"
+    )
+    with_cols = add_url_columns(urls)
+    url_agg = (
+        with_cols.agg(
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("url_norm")))
+            ).alias("url_norm_md5"),
+            F.countDistinct("url_host").cast("long").alias("url_host_cnt"),
+            F.countDistinct("url_domain").cast("long").alias("url_domain_cnt"),
+        )
+        .crossJoin(
+            dedup_by_url(urls).agg(
+                F.count(F.lit(1)).cast("long").alias("url_dedup_kept")
+            )
+        )
+        .crossJoin(
+            cap_per_host(urls, 2).agg(
+                F.count(F.lit(1)).cast("long").alias("url_cap2_kept")
+            )
+        )
     )
     return (
         stats.select(
@@ -2208,6 +2264,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
             F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
         )
+        .crossJoin(url_agg)
         .orderBy("domain")
     )
 
@@ -2250,10 +2307,107 @@ kept AS (
 )
 SELECT s.domain, s.docs AS docs_total, s.tokens AS tokens_total,
        COALESCE(k.docs_kept, 0) AS docs_kept,
-       COALESCE(k.tokens_kept, 0) AS tokens_kept
+       COALESCE(k.tokens_kept, 0) AS tokens_kept,
+       uu.*
 FROM stats s LEFT JOIN kept k USING (domain)
+CROSS JOIN (__URL_ARM__) uu
 ORDER BY s.domain
 """
+
+
+def _oracle_corpus_mix() -> str:
+    """ORACLE_CORPUS_MIX with the urlops arm: the planted URL literals
+    through the full normalization spec re-implemented in RE2/DuckDB
+    string functions (no expected values hardcoded — both engines run
+    their own implementation of the spec over the same VALUES)."""
+    values = ",\n    ".join(
+        f"({i}, '{u}')" for i, u in enumerate(_URL_FIXTURE)
+    )
+    suffixes = ", ".join(f"'{s}'" for s in (
+        "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+        "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+        "co.in", "co.kr", "co.nz", "com.sg", "com.tr", "co.za",
+    ))
+    url_arm = rf"""
+  WITH raw(id, u) AS (VALUES
+    {values}
+  ),
+  n1 AS (
+    SELECT id, u,
+           lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+           regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS v
+    FROM raw
+  ),
+  n2 AS (SELECT id, u, regexp_replace(v, '#.*$', '') AS v FROM n1),
+  n3 AS (SELECT id, u,
+           regexp_replace(v, '^(http://[^/?#]*):80((?:[/?#].*)?)$', '\1\2') AS v
+         FROM n2),
+  n4 AS (SELECT id, u,
+           regexp_replace(v, '^(https://[^/?#]*):443((?:[/?#].*)?)$', '\1\2') AS v
+         FROM n3),
+  n5 AS (SELECT id, u,
+           regexp_replace(v, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS v
+         FROM n4),
+  n6 AS (
+    SELECT id, u,
+           CASE WHEN len(plist) > 0
+                THEN base || '?' || list_aggregate(list_sort(plist), 'string_agg', '&')
+                ELSE base END AS v
+    FROM (
+      SELECT id, u,
+             CASE WHEN strpos(v, '?') > 0 THEN substr(v, 1, strpos(v, '?') - 1)
+                  ELSE v END AS base,
+             list_filter(
+               string_split(CASE WHEN strpos(v, '?') > 0
+                                 THEN substr(v, strpos(v, '?') + 1)
+                                 ELSE '' END, '&'),
+               p -> p <> '' AND NOT (
+                 p LIKE 'utm\_%' ESCAPE '\'
+                 OR p = 'fbclid' OR p LIKE 'fbclid=%'
+                 OR p = 'gclid' OR p LIKE 'gclid=%'
+                 OR p = 'msclkid' OR p LIKE 'msclkid=%'
+                 OR p = 'ref' OR p LIKE 'ref=%')) AS plist
+      FROM n5
+    )
+  ),
+  normed AS (
+    SELECT id, u,
+           regexp_replace(v, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1') AS v
+    FROM n6
+  ),
+  hosts AS (
+    SELECT id, u, v,
+           CASE WHEN h = '' THEN NULL ELSE h END AS host
+    FROM (SELECT id, u, v,
+                 regexp_replace(
+                   lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+                   '^www\.', '') AS h
+          FROM normed)
+  ),
+  doms AS (
+    SELECT id, u, v, host,
+           CASE WHEN host IS NULL THEN NULL
+                WHEN len(parts) <= take THEN host
+                ELSE list_aggregate(
+                       list_slice(parts, len(parts) - take + 1, len(parts)),
+                       'string_agg', '.') END AS dom
+    FROM (
+      SELECT *, CASE WHEN len(parts) >= 3 AND
+                          (parts[len(parts) - 1] || '.' || parts[len(parts)])
+                            IN ({suffixes})
+                     THEN 3 ELSE 2 END AS take
+      FROM (SELECT id, u, v, host, string_split(host, '.') AS parts FROM hosts)
+    )
+  )
+  SELECT md5(string_agg(v, '|' ORDER BY v)) AS url_norm_md5,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS url_host_cnt,
+         CAST(COUNT(DISTINCT dom) AS BIGINT) AS url_domain_cnt,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS url_dedup_kept,
+         (SELECT CAST(SUM(LEAST(n, 2)) AS BIGINT)
+          FROM (SELECT host, COUNT(*) AS n FROM hosts GROUP BY host)) AS url_cap2_kept
+  FROM doms
+"""
+    return ORACLE_CORPUS_MIX.replace("__URL_ARM__", url_arm)
 
 
 def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
@@ -2370,10 +2524,12 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("line_dedup", q_line_dedup, ORACLE_LINE_DEDUP,
               "[EXT] CCNet-style line-level corpus dedup",
               tags=("ext", "dedup", "text")),
-    QuerySpec("corpus_mix", q_corpus_mix, ORACLE_CORPUS_MIX,
+    QuerySpec("corpus_mix", q_corpus_mix, _oracle_corpus_mix(),
               "[EXT] domain-weighted corpus mixing (exact-integer md5 "
-              "thresholds, full operator re-derived by the oracle)",
-              tags=("ext", "sampling")),
+              "thresholds, full operator re-derived by the oracle) + "
+              "urlops legs (normalize/host/eTLD+1/dedup/per-host-cap "
+              "over planted literals, spec re-implemented in SQL)",
+              tags=("ext", "sampling", "url")),
     QuerySpec("seq_packing", q_seq_packing, ORACLE_SEQ_PACKING,
               "[EXT] sequence packing invariants (FFD per hash bucket)",
               tags=("ext", "text")),

@@ -1,0 +1,149 @@
+"""URL operators (operators/urlops.py): canonicalization spec by
+case, host/domain extraction, URL dedup, per-host caps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.urlops import (
+    add_url_columns,
+    cap_per_host,
+    dedup_by_url,
+    normalize_url,
+    registered_domain,
+    url_host,
+)
+
+
+def _norm(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "u string")
+        .select(normalize_url("u").alias("n"))
+        .collect()[0]
+        .n
+    )
+
+
+class TestNormalizeUrl:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            # scheme/host case, path case preserved
+            ("HTTPS://Example.COM/Path/File", "https://example.com/Path/File"),
+            # fragment stripped
+            ("https://a.com/x#section-2", "https://a.com/x"),
+            # default ports
+            ("http://a.com:80/x", "http://a.com/x"),
+            ("https://a.com:443/x", "https://a.com/x"),
+            ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default kept
+            # www
+            ("https://www.a.com/x", "https://a.com/x"),
+            # tracking params dropped, rest sorted
+            (
+                "https://a.com/x?utm_source=tw&b=2&a=1&fbclid=zz",
+                "https://a.com/x?a=1&b=2",
+            ),
+            ("https://a.com/x?gclid=1&utm_campaign=c", "https://a.com/x"),
+            ("https://a.com/x?ref=hn&keep=1", "https://a.com/x?keep=1"),
+            # a param NAMED like a keeper stays ("refresh" != "ref")
+            ("https://a.com/x?refresh=1", "https://a.com/x?refresh=1"),
+            # bare-path trailing slash; deeper slashes preserved
+            ("https://a.com/", "https://a.com"),
+            ("https://a.com/x/", "https://a.com/x/"),
+        ],
+    )
+    def test_spec_cases(self, spark, raw, expected):
+        assert _norm(spark, raw) == expected
+
+    def test_variants_converge(self, spark):
+        variants = [
+            "HTTP://WWW.Example.com:80/page?b=2&a=1#top",
+            "http://example.com/page?a=1&b=2",
+            "http://www.example.com/page?b=2&utm_medium=email&a=1",
+        ]
+        normed = {
+            r.n
+            for r in spark.createDataFrame([(v,) for v in variants], "u string")
+            .select(normalize_url("u").alias("n"))
+            .collect()
+        }
+        assert normed == {"http://example.com/page?a=1&b=2"}
+
+    def test_null_and_non_url(self, spark):
+        df = spark.createDataFrame([(None,), ("not a url",)], "u string")
+        got = [r.n for r in df.select(normalize_url("u").alias("n")).collect()]
+        assert got == [None, "not a url"]
+
+
+class TestHostDomain:
+    def test_host_and_domain(self, spark):
+        rows = [
+            ("https://www.news.example.co.uk:443/a", "news.example.co.uk", "example.co.uk"),
+            ("http://blog.example.com/x", "blog.example.com", "example.com"),
+            ("https://example.com", "example.com", "example.com"),
+            ("nonsense", None, None),
+        ]
+        df = spark.createDataFrame([(r[0],) for r in rows], "u string")
+        got = df.select(
+            url_host("u").alias("h"), registered_domain("u").alias("d")
+        ).collect()
+        for (u, eh, ed), r in zip(rows, got):
+            assert (r.h, r.d) == (eh, ed), u
+
+    def test_add_url_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://www.a.com/x/y/z?q=1"), (2, None)],
+            "doc_id long, url string",
+        )
+        out = {r.doc_id: r for r in add_url_columns(df).collect()}
+        assert out[1].url_host == "a.com"
+        assert out[1].url_path_depth == 3
+        assert out[1].url_norm == "https://a.com/x/y/z?q=1"
+        assert out[2].url_norm is None and out[2].url_path_depth is None
+
+
+class TestUrlDedupAndCaps:
+    def test_dedup_by_url_min_id_survives(self, spark):
+        df = spark.createDataFrame(
+            [
+                (3, "http://www.a.com/p?utm_source=x"),
+                (1, "HTTP://A.com/p"),
+                (2, "http://a.com/q"),
+                (4, None),
+                (5, None),
+            ],
+            "doc_id long, url string",
+        )
+        out = dedup_by_url(df)
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {1, 2, 4, 5}  # 3 is a canonical-dup of 1; NULLs kept
+
+    def test_cap_per_host_deterministic(self, spark):
+        rows = [(i, f"https://busy.com/p{i}") for i in range(20)] + [
+            (100, "https://quiet.com/only"),
+            (101, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out1 = cap_per_host(df, max_docs=5)
+        out2 = cap_per_host(df, max_docs=5)
+        got1 = sorted(r.doc_id for r in out1.collect())
+        assert got1 == sorted(r.doc_id for r in out2.collect())
+        busy = [i for i in got1 if i < 100]
+        assert len(busy) == 5
+        assert {100, 101} <= set(got1)  # quiet host + NULL row unaffected
+
+    def test_cap_append_stability(self, spark):
+        """Docs surviving the cap keep surviving when the host grows
+        (hash-rank displacement only)."""
+        small = spark.createDataFrame(
+            [(i, "https://h.com/p") for i in range(10)], "doc_id long, url string"
+        )
+        big = spark.createDataFrame(
+            [(i, "https://h.com/p") for i in range(20)], "doc_id long, url string"
+        )
+        s1 = {r.doc_id for r in cap_per_host(small, 5).collect()}
+        s2 = {r.doc_id for r in cap_per_host(big, 5).collect()}
+        # survivors of the bigger corpus that existed in the smaller
+        # corpus must be a subset of the smaller corpus's survivors
+        assert {i for i in s2 if i < 10} <= s1
