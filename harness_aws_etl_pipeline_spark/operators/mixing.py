@@ -43,6 +43,8 @@ __all__ = [
     "sample_to_mix",
     "cap_per_domain",
     "shuffle_corpus",
+    "plan_epochs",
+    "repeat_to_budget",
 ]
 
 _HASH_SPACE = 1 << 32  # md5 8-hex-char prefix space
@@ -171,3 +173,112 @@ def shuffle_corpus(
     if hash_fn != "xxhash64":
         raise ValueError('hash_fn must be "xxhash64" or "md5"')
     return df.orderBy(F.xxhash64(F.col(key), F.lit(salt)), F.col(key))
+
+
+def plan_epochs(
+    totals: dict[str, int],
+    weights: dict[str, int],
+    budget_tokens: int,
+    max_epochs: int = 4,
+) -> dict:
+    """Data-constrained mix planning: unlike :func:`mix_thresholds`
+    (downsample-only — the scarcest source caps the whole budget),
+    scarce sources may be REPEATED up to ``max_epochs`` so the target
+    weights hold at a larger budget (the regime of data-constrained
+    scaling: a few epochs of a scarce high-weight source beat shrinking
+    the run to it).
+
+    The feasible budget is ``B = min(budget_tokens,
+    min_s floor(max_epochs · T_s · W / w_s))`` — the total at which the
+    scarcest source would exceed ``max_epochs``.  Source *s* then
+    contributes ``target_s = B · w_s // W`` tokens as ``target_s //
+    T_s`` full epochs plus one partial epoch hash-sampled at an exact
+    8-hex md5 threshold (same integer arithmetic as
+    :func:`mix_thresholds`, so the whole plan is oracle-reproducible).
+
+    Returns ``{"budget": B, "total_weight": W, "domains": {s:
+    {"tokens": T_s, "weight": w_s, "target_tokens", "full_epochs",
+    "partial_threshold": 8-hex-or-'g'}}}``.
+    """
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative integers")
+    active = {s: w for s, w in weights.items() if w > 0}
+    total_w = sum(active.values())
+    if total_w == 0:
+        raise ValueError("at least one weight must be positive")
+    missing = [s for s in active if totals.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"weighted sources with no tokens: {missing}")
+    budget = min(
+        [budget_tokens]
+        + [max_epochs * totals[s] * total_w // active[s] for s in active]
+    )
+    domains: dict[str, dict] = {}
+    for s, w in active.items():
+        target = budget * w // total_w
+        full = target // totals[s]
+        rem = target - full * totals[s]
+        t = rem * _HASH_SPACE // totals[s]
+        domains[s] = {
+            "tokens": totals[s],
+            "weight": w,
+            "target_tokens": target,
+            "full_epochs": int(full),
+            "partial_threshold": "g" if t >= _HASH_SPACE else format(t, "08x"),
+        }
+    return {"budget": int(budget), "total_weight": total_w, "domains": domains}
+
+
+def repeat_to_budget(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    max_epochs: int = 4,
+    key: str = "doc_id",
+    domain_col: str = "source",
+    token_expr: Column | None = None,
+    text_col: str = "text",
+    salt: int = 0,
+    epoch_col: str = "_epoch",
+) -> DataFrame:
+    """Materialize the :func:`plan_epochs` mix: every kept row appears
+    once per full epoch plus (hash-sampled) once in the partial epoch,
+    tagged with ``epoch_col`` (0-based) so downstream shuffling/packing
+    can interleave repeats.  Pure column work after the one bounded
+    stats collect: explode over a per-domain epoch sequence, partial-
+    epoch membership by the same deterministic md5 draw the mix
+    sampler uses — appends and reruns are stable.  Unlisted domains
+    contribute nothing.
+    """
+    stats = domain_stats(df, domain_col, token_expr, text_col)
+    totals = {r["domain"]: r["tokens"] for r in stats.collect()}
+    plan = plan_epochs(totals, weights, budget_tokens, max_epochs)
+
+    full_col = F.lit(-1)
+    thr_col = F.lit("00000000")
+    for s, d in plan["domains"].items():
+        full_col = F.when(F.col(domain_col) == s, F.lit(d["full_epochs"])).otherwise(
+            full_col
+        )
+        thr_col = F.when(
+            F.col(domain_col) == s, F.lit(d["partial_threshold"])
+        ).otherwise(thr_col)
+    draw = md5_split_key(key, salt)
+    # epochs 0..full-1 are unconditional; epoch `full` is the partial
+    # (kept iff the doc's draw clears the per-domain threshold)
+    out = (
+        df.withColumn("__full", full_col)
+        .filter(F.col("__full") >= 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("__full"))),
+        )
+        .filter(
+            (F.col(epoch_col) < F.col("__full"))
+            | (draw < thr_col)
+        )
+        .drop("__full")
+    )
+    return out

@@ -2250,6 +2250,23 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+    # data-constrained repetition legs (mixing.repeat_to_budget, fused
+    # round 5): max_epochs=2 binds (budget_tokens is effectively
+    # infinite), so scarce sources materialize full repeat epochs plus
+    # an exact-md5-threshold partial epoch — row/token/epoch totals
+    # re-derived by the oracle with the same HUGEINT arithmetic
+    from harness_aws_etl_pipeline_spark.functions.text import word_count
+    from harness_aws_etl_pipeline_spark.operators.mixing import repeat_to_budget
+
+    rep_agg = repeat_to_budget(
+        docs, _MIX_WEIGHTS, budget_tokens=1_000_000_000, max_epochs=2, salt=0
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("rep_rows"),
+        F.coalesce(F.sum(word_count("text")), F.lit(0))
+        .cast("long")
+        .alias("rep_tokens"),
+        F.max("_epoch").cast("long").alias("rep_epoch_max"),
+    )
     return (
         stats.select(
             "domain",
@@ -2265,6 +2282,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
         )
         .crossJoin(url_agg)
+        .crossJoin(rep_agg)
         .orderBy("domain")
     )
 
@@ -2308,9 +2326,53 @@ kept AS (
 SELECT s.domain, s.docs AS docs_total, s.tokens AS tokens_total,
        COALESCE(k.docs_kept, 0) AS docs_kept,
        COALESCE(k.tokens_kept, 0) AS tokens_kept,
-       uu.*
+       uu.*, rr.*
 FROM stats s LEFT JOIN kept k USING (domain)
 CROSS JOIN (__URL_ARM__) uu
+CROSS JOIN (
+  -- repeat_to_budget legs: budget bound by max_epochs=2, per-source
+  -- full epochs + exact-md5 partial epoch (same HUGEINT arithmetic)
+  WITH jw2 AS (SELECT s2.domain, s2.docs, s2.tokens, w2.wt
+               FROM stats s2 JOIN w w2 USING (domain)),
+  bb2 AS (SELECT LEAST(CAST(1000000000 AS HUGEINT),
+                       MIN(CAST(2 AS HUGEINT) * tokens *
+                           (SELECT SUM(wt) FROM w) // wt)) AS budget
+          FROM jw2),
+  per2 AS (
+    SELECT domain, docs, tokens,
+           ((SELECT budget FROM bb2) * wt // (SELECT SUM(wt) FROM w)) AS target
+    FROM jw2
+  ),
+  per3 AS (
+    SELECT domain, docs, tokens, CAST(target // tokens AS BIGINT) AS fullep,
+           CASE WHEN (target % tokens) * CAST(4294967296 AS HUGEINT) // tokens
+                     >= 4294967296
+                THEN 'g'
+                ELSE printf('%08x', CAST((target % tokens) *
+                       CAST(4294967296 AS HUGEINT) // tokens AS BIGINT)) END AS cut
+    FROM per2
+  ),
+  pdocs AS (
+    SELECT p.domain, COUNT(*) AS nd,
+           CAST(SUM(len(list_filter(string_split_regex(d.text, '\s+'),
+                                    t -> t != ''))) AS BIGINT) AS tok
+    FROM documents d JOIN per3 p ON d.source = p.domain
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '|0'), 1, 8) < p.cut
+    GROUP BY p.domain
+  ),
+  maxep AS (
+    SELECT MAX(CASE WHEN q.nd IS NOT NULL THEN p.fullep
+                    ELSE p.fullep - 1 END) AS m
+    FROM per3 p LEFT JOIN pdocs q USING (domain)
+    WHERE (CASE WHEN q.nd IS NOT NULL THEN p.fullep
+                ELSE p.fullep - 1 END) >= 0
+  )
+  SELECT CAST((SELECT COALESCE(SUM(fullep * docs), 0) FROM per3)
+            + (SELECT COALESCE(SUM(nd), 0) FROM pdocs) AS BIGINT) AS rep_rows,
+         CAST((SELECT COALESCE(SUM(fullep * tokens), 0) FROM per3)
+            + (SELECT COALESCE(SUM(tok), 0) FROM pdocs) AS BIGINT) AS rep_tokens,
+         CAST((SELECT m FROM maxep) AS BIGINT) AS rep_epoch_max
+) rr
 ORDER BY s.domain
 """
 

@@ -21,6 +21,8 @@ from harness_aws_etl_pipeline_spark.operators.mixing import (
     cap_per_domain,
     domain_stats,
     mix_thresholds,
+    plan_epochs,
+    repeat_to_budget,
     sample_to_mix,
     shuffle_corpus,
 )
@@ -105,6 +107,69 @@ class TestMixing:
             mix_thresholds({"web": 0}, {"web": 1})
         with pytest.raises(ValueError):
             mix_thresholds({"web": 10}, {"web": -1})
+
+    def test_plan_epochs_repeats_scarce_source(self):
+        totals = {"web": 1000, "code": 100}
+        # equal weights, budget 600: each side targets 300 tokens;
+        # code (100) needs 3 full epochs; web keeps 30% of one epoch
+        plan = plan_epochs(totals, {"web": 1, "code": 1},
+                           budget_tokens=600, max_epochs=4)
+        assert plan["budget"] == 600
+        code = plan["domains"]["code"]
+        assert code["target_tokens"] == 300
+        assert code["full_epochs"] == 3
+        assert code["partial_threshold"] == "00000000"
+        web = plan["domains"]["web"]
+        assert web["full_epochs"] == 0
+        assert web["partial_threshold"] == format(
+            300 * (1 << 32) // 1000, "08x")
+
+    def test_plan_epochs_caps_at_max_epochs(self):
+        totals = {"web": 1000, "code": 100}
+        # budget 10_000 infeasible: code would need 25 epochs; the
+        # feasible budget is max_epochs * 100 * 2 / 1 = 800
+        plan = plan_epochs(totals, {"web": 1, "code": 1},
+                           budget_tokens=10_000, max_epochs=4)
+        assert plan["budget"] == 800
+        assert plan["domains"]["code"]["full_epochs"] == 4
+        assert plan["domains"]["code"]["partial_threshold"] == "00000000"
+
+    def test_plan_epochs_validation(self):
+        with pytest.raises(ValueError):
+            plan_epochs({"web": 10}, {"web": 1}, 100, max_epochs=0)
+        with pytest.raises(ValueError):
+            plan_epochs({}, {"web": 1}, 100)
+
+    def test_repeat_to_budget_materializes_epochs(self, spark):
+        # web: 4 docs x 10 tokens = 40; code: 1 doc x 10 tokens = 10
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)), "web")
+                for i in range(4)]
+        rows.append((9, " ".join(f"c{j}" for j in range(10)), "code"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # equal weights, budget 60 -> each targets 30: code = 3 full
+        # epochs exactly; web keeps 75% of one epoch by hash draw
+        out = repeat_to_budget(df, {"web": 1, "code": 1},
+                               budget_tokens=60, max_epochs=4)
+        got = out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_epoch").alias("ep"),
+        ).collect()
+        by = {r.source: r for r in got}
+        assert by["code"].n == 3 and by["code"].ep == 3
+        assert 1 <= by["web"].n <= 4 and by["web"].ep == 1   # partial only
+        # epoch tags are 0-based and dense for the full epochs
+        eps = {r._epoch for r in out.filter("source = 'code'").collect()}
+        assert eps == {0, 1, 2}
+
+    def test_repeat_to_budget_deterministic(self, spark):
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)), "web")
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = sorted(map(tuple, repeat_to_budget(
+            df, {"web": 1}, budget_tokens=50).collect()))
+        b = sorted(map(tuple, repeat_to_budget(
+            df, {"web": 1}, budget_tokens=50).collect()))
+        assert a == b
 
     def test_sample_to_mix_respects_thresholds_exactly(self, docs):
         kept = sample_to_mix(docs, {"web": 1, "books": 1}, salt=3)
