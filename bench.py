@@ -290,6 +290,93 @@ def _bench_corpus_prep(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_skew_join(spark, sf_dir: str) -> dict:
+    """AQE skew-join leg — NOT a catalog entry. 95% of the lineitem
+    fact rows are collapsed onto ONE join key (the template-spam /
+    null-surrogate shape that breaks naive shuffles at 100 TB), then
+    joined to orders with broadcast disabled so the shuffle join must
+    cope.  Reports wall-clock with AQE skew-splitting ON vs OFF and
+    whether the executed plan actually marked the join skew=true —
+    the runtime re-plan story PLANS.md documents, measured.
+
+    Interpretation: the flag is the signal here, not the delta.  At
+    sf0.1 the hot partition is ~25 MB and fits one task, so splitting
+    it costs slightly more than it saves; the win appears when the
+    hot partition exceeds per-task capacity (the 100 TB regime), and
+    what this leg pins is that the MECHANISM engages — plus its two
+    preconditions worth knowing: incompressible-enough map output
+    (byte-based detection) and map-side parallelism (split specs
+    follow map-output boundaries)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    # md5 pad: an incompressible payload per row, so the hot
+    # partition's COMPRESSED map-output size reflects its row count
+    # (constant-key + small-double rows lz4 to almost nothing and
+    # would hide the skew from the byte-based detector).
+    # repartition(32): AQE splits a skewed reduce partition along MAP
+    # OUTPUT boundaries — with the 3 map tasks a single parquet file
+    # yields, the hot partition cannot be subdivided and the rule
+    # declines (measured); map-side parallelism is a precondition of
+    # the skew-split story, which is exactly the kind of note this
+    # leg exists to record
+    fact = li.repartition(32).select(
+        F.when(F.col("l_orderkey") % 20 != 0, F.lit(7))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+        F.md5(
+            F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("pad"),
+    )
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled"
+    )
+    out: dict = {}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # timings via the noop sink: fully distributed execution with
+        # no driver transfer, and the JOIN stays the final shuffle
+        # stage — a partial aggregate on top suppresses
+        # OptimizeSkewedJoin (observed on this Spark version), which
+        # is itself worth knowing when reading these numbers
+        for label, enabled in (("skew_on", "true"), ("skew_off", "false")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            joined.write.format("noop").mode("overwrite").save()  # warm
+            samples = []
+            for _ in range(3):
+                start = time.perf_counter()
+                joined.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            out[f"{label}_s"] = round(min(samples), 3)
+        # flag from a collected variant (same QueryExecution rule set;
+        # count of matches keeps driver transfer small)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep the pad column so column pruning doesn't shrink the
+        # fact shuffle below the detection threshold
+        probe = joined.select("k", "pad")
+        probe.collect()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        out["skew_split_fired"] = "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
+
+
 def _bench_drift_legs(spark, sf_dir: str) -> dict:
     """Per-leg wall-clocks for the two entries whose r4 totals moved
     outside the jitter band (text_stats +24%, near_dup_clusters +19%)
@@ -436,6 +523,13 @@ def main() -> None:
         drift = {"error": str(exc)[:500]}
     print(f"# drift_legs: {drift}", file=sys.stderr)
 
+    # AQE skew-join demonstration leg — also outside "queries"
+    try:
+        skew = _bench_skew_join(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        skew = {"error": str(exc)[:500]}
+    print(f"# skew_join: {skew}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -450,6 +544,7 @@ def main() -> None:
         "incremental_dedup": incdd,
         "corpus_prep": prep,
         "drift_legs": drift,
+        "skew_join": skew,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of
