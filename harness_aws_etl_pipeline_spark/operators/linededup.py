@@ -51,16 +51,27 @@ def _norm_key(line: Column) -> Column:
 
 
 def explode_lines(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
-    """(id, pos, line, key) — one row per physical line.
+    """(id, pos, line, key) — one row per physical unit.
 
-    ``pos`` is the 0-based line index inside the document; ``key`` is
+    ``pos`` is the 0-based unit index inside the document; ``key`` is
     the normalized form used for frequency counting and matching.
+    ``sep`` picks the unit: ``"\\n"`` (default) is CCNet line-level
+    dedup; ``"\\n\\n"`` makes the whole family operate on PARAGRAPHS
+    (repeated quote blocks, license preambles) with identical plans.
+    The separator is a regex-escaped literal.
     """
+    import re as _re
+
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
     ).withColumn("key", _norm_key(F.col("line")))
 
 
@@ -69,6 +80,7 @@ def frequent_lines(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """Normalized lines occurring ≥ ``min_count`` times corpus-wide.
 
@@ -76,7 +88,7 @@ def frequent_lines(
     document structure, not boilerplate content.  Returns
     ``(key, line_cnt, doc_cnt)``.
     """
-    lines = explode_lines(df, text_col, id_col)
+    lines = explode_lines(df, text_col, id_col, sep)
     return (
         lines.filter(F.length("key") > 0)
         .groupBy("key")
@@ -94,6 +106,7 @@ def remove_frequent_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_hash_key: bool = False,
+    sep: str = "\n",
 ) -> DataFrame:
     """Strip corpus-frequent lines from every document.
 
@@ -108,8 +121,8 @@ def remove_frequent_lines(
     absent 64-bit collisions (engine-internal fast path; the string
     join is the oracle-exact default).
     """
-    lines = explode_lines(df, text_col, id_col)
-    freq = frequent_lines(df, min_count, text_col, id_col).select("key")
+    lines = explode_lines(df, text_col, id_col, sep)
+    freq = frequent_lines(df, min_count, text_col, id_col, sep).select("key")
     if use_hash_key:
         lines = lines.withColumn("_jk", F.xxhash64("key"))
         freq = freq.select(F.xxhash64("key").alias("_jk")).distinct()
@@ -121,7 +134,7 @@ def remove_frequent_lines(
 
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
-            "\n",
+            sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s.getField("line"),

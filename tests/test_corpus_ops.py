@@ -87,6 +87,36 @@ class TestLineDedup:
         assert row["chars_after"] == chars
 
 
+class TestParagraphDedup:
+    def test_paragraph_unit(self, spark):
+        """sep='\\n\\n' runs the same family at paragraph granularity:
+        a repeated quote block is removed, multi-line unique paragraphs
+        survive intact (inner newlines untouched)."""
+        quote = "famous quote line one\nfamous quote line two"
+        rows = [
+            (1, "unique intro\n\n" + quote + "\n\nunique outro"),
+            (2, "other text\nwith lines\n\n" + quote),
+            (3, "totally original\n\nparagraphs only"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text, r._lines_removed)
+            for r in remove_frequent_lines(
+                df, min_count=2, sep="\n\n"
+            ).collect()
+        }
+        assert out[1] == ("unique intro\n\nunique outro", 1)
+        assert out[2] == ("other text\nwith lines", 1)
+        assert out[3] == ("totally original\n\nparagraphs only", 0)
+
+    def test_line_default_unchanged(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.text for r in remove_frequent_lines(df).collect()}
+        assert out == {1: "b", 2: "c"}
+
+
 class TestMixing:
     def test_mix_thresholds_integer_exact(self):
         totals = {"web": 1000, "code": 100}
