@@ -158,8 +158,11 @@ def similarity_search(
     **kwargs: Any,
 ) -> DataFrame:
     """Unified ANN facade: exact ('brute' zip_with / 'brute_arrow'
-    BLAS) or approximate ('lsh', 'ivf') top-k — all return
-    (query_id, rank, neighbor_id, cosine)."""
+    BLAS) or approximate ('lsh', 'ivf', 'pq') top-k — all return
+    (query_id, rank, neighbor_id, cosine/score).  'pq' trains (or
+    reuses ``kwargs["model"]``) product-quantization codebooks and
+    scans m-byte codes via ADC — the memory-bounded path: the corpus
+    side ships codes, never raw vectors."""
     from harness_aws_etl_pipeline_spark.operators import similarity as S
 
     if method == "brute":
@@ -175,6 +178,22 @@ def similarity_search(
         return S.ivf_topk(
             candidates, queries, k, id_col=id_col, vec_col=vec_col, **kwargs
         )
+    if method == "pq":
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            pq_encode,
+            pq_topk,
+            train_pq,
+        )
+
+        model = kwargs.pop("model", None)
+        if model is None:
+            model = train_pq(
+                candidates, vec_col=vec_col, id_col=id_col, **kwargs
+            )
+        enc = pq_encode(candidates, model, vec_col=vec_col)
+        return pq_topk(
+            enc, queries, model, topk=k, id_col=id_col, vec_col=vec_col
+        )
     raise ValueError(
-        f"unknown similarity method {method!r}; choose brute/brute_arrow/lsh/ivf"
+        f"unknown similarity method {method!r}; choose brute/brute_arrow/lsh/ivf/pq"
     )

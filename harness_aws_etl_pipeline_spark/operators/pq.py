@@ -1,0 +1,315 @@
+"""[EXT] Product quantization (PQ) — memory-bounded approximate
+nearest neighbor for embedding corpora.
+
+At 100 TB the similarity family's real constraint is BYTES PER VECTOR:
+a 64-dim float32 embedding is 256 B, and every ANN structure that
+keeps raw vectors (LSH buckets, IVF inverted lists, brute-force
+scans) pays it on every shuffle and every cache.  PQ (Jégou et al.
+2011, the FAISS workhorse) stores ``m`` one-byte codes per vector —
+32× smaller at m=8 — and scores candidates against a query with
+per-subspace lookup tables (ADC: asymmetric distance computation), no
+decompression.
+
+Same "small model, distributed data" split as ``ivf_centroids`` /
+``pca_fit`` / ``train_bpe``:
+
+- **Training is driver-side numpy over a bounded sample** — per-
+  subspace k-means on ``sample_exact_n`` rows (deterministic
+  smallest-hash sample, so training is append-stable and
+  reproducible).  The model is m × k × (d/m) floats — KBs.
+- **Encoding is distributed** (``mapInPandas``): one argmin per
+  subspace over the broadcast codebooks, vectorized across the batch.
+- **Search is distributed ADC**: the query's m × k lookup table is
+  built once per (query, task) and candidate scores are ``m`` table
+  gathers + a sum — no per-candidate float math on raw vectors.
+  Local top-k inside each task, global top-k via the same
+  window-rank pattern as ``brute_force_topk``.
+
+Scoring is INNER PRODUCT on unit-normalized vectors (= cosine), so
+``pq_topk`` ranks approximate the exact cosine ranks; reconstruction
+error is the tunable (more subspaces / larger codebooks → closer).
+Like the rest of the float family this has no SQL value-oracle;
+tests pin recall on separated fixtures, reconstruction-error
+monotonicity, and determinism (see tests/test_pq.py).
+
+Invalid vectors (NULL/ragged/NaN) encode to NULL codes and never
+appear as neighbors — the tolerance contract of the family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.similarity import (
+    _dim_of,
+    _vec_matrix,
+)
+
+__all__ = ["train_pq", "pq_encode", "pq_topk", "pq_reconstruction_mse"]
+
+
+def _unit_rows(mat):
+    import numpy as np
+
+    n = np.linalg.norm(mat, axis=1)
+    return mat / np.where(n == 0.0, 1.0, n)[:, None]
+
+
+def _kmeans_1sub(x, k: int, iters: int) -> "object":
+    """Deterministic k-means for one subspace: farthest-point seeding
+    from the centroid-of-mass, then Lloyd.  ``x`` is (n × dsub)."""
+    import numpy as np
+
+    n = x.shape[0]
+    k = min(k, n)
+    # deterministic farthest-point seeding (no RNG: reproducible
+    # across runs and machines)
+    seeds = [int(np.argmax(((x - x.mean(axis=0)) ** 2).sum(axis=1)))]
+    d2 = ((x - x[seeds[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    cents = x[seeds].copy()
+    for _ in range(iters):
+        # (n × k) squared distances via the expansion trick
+        d = ((x**2).sum(axis=1)[:, None]
+             - 2.0 * x @ cents.T
+             + (cents**2).sum(axis=1)[None, :])
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                cents[j] = x[sel].mean(axis=0)
+    return cents
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sample_n: int = 65_536,
+    iters: int = 10,
+    id_col: str = "vec_id",
+) -> dict:
+    """Train per-subspace codebooks on a bounded deterministic sample.
+
+    Returns ``{"dim", "m", "dsub", "k", "codebooks": m × k × dsub
+    nested lists}``.  ``dim`` must divide evenly by ``m``.  Vectors
+    are unit-normalized before training (the IP-on-unit-vectors
+    scoring contract).
+    """
+    import numpy as np
+
+    from harness_aws_etl_pipeline_spark.operators.sampling import sample_exact_n
+
+    if dim is None:
+        dim = _dim_of(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    src = df.select(id_col, vec_col)
+    sample = sample_exact_n(src, sample_n, key=id_col)
+    rows = [r[0] for r in sample.select(vec_col).collect()]
+    mat, valid = _vec_matrix(rows, dim)
+    mat = _unit_rows(mat[valid])
+    if mat.shape[0] == 0:
+        raise ValueError("no valid vectors to train PQ on")
+
+    codebooks = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        codebooks.append(_kmeans_1sub(sub, k, iters).tolist())
+    return {
+        "dim": dim,
+        "m": m,
+        "dsub": dsub,
+        "k": int(min(k, mat.shape[0])),
+        "codebooks": codebooks,
+    }
+
+
+def pq_encode(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``out_col`` — array<int> of ``m`` codebook indices per
+    vector (NULL for invalid vectors).  Arrow-batched; the codebooks
+    ride the task closure (model-sized)."""
+    import numpy as np
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    dim, m, dsub = model["dim"], model["m"], model["dsub"]
+    books = [np.asarray(b) for b in model["codebooks"]]
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    out_schema = f"{fields}, `{out_col}` array<int>"
+
+    def _enc(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype="object")})
+                continue
+            mat, valid = _vec_matrix(pdf[vec_col], dim)
+            unit = _unit_rows(mat)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                sub = unit[:, s * dsub : (s + 1) * dsub]
+                cb = books[s]
+                d = ((sub**2).sum(axis=1)[:, None]
+                     - 2.0 * sub @ cb.T
+                     + (cb**2).sum(axis=1)[None, :])
+                codes[:, s] = d.argmin(axis=1)
+            vals = [
+                [int(c) for c in row] if ok else None
+                for row, ok in zip(codes, valid)
+            ]
+            yield pdf.assign(
+                **{out_col: pd.Series(vals, index=pdf.index, dtype="object")}
+            )
+
+    return df.mapInPandas(_enc, out_schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k of each (raw) query vector over a
+    PQ-ENCODED corpus: per-task ADC lookup-table scan + local top-k,
+    global rank via window.  Returns (query_id, rank, neighbor_id,
+    score) — ``score`` is the PQ inner-product approximation of the
+    cosine, not the exact value.
+    """
+    import numpy as np
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    dim, m, dsub = model["dim"], model["m"], model["dsub"]
+    books = [np.asarray(b) for b in model["codebooks"]]
+    qrows = queries.select(id_col, vec_col).collect()
+    qmat, qvalid = _vec_matrix([r[1] for r in qrows], dim)
+    qids = [r[0] for r in qrows]
+    qunit = _unit_rows(qmat)
+    # m × k inner-product lookup tables per query, built ONCE on the
+    # driver (queries are the small side by contract) and broadcast
+    luts = []
+    kept_qids = []
+    for i, ok in enumerate(qvalid):
+        if not ok:
+            continue
+        kept_qids.append(qids[i])
+        luts.append(
+            np.stack(
+                [
+                    books[s] @ qunit[i, s * dsub : (s + 1) * dsub]
+                    for s in range(m)
+                ]
+            )
+        )  # m × k
+    if not luts:
+        raise ValueError("no valid query vectors")
+    lut_arr = np.stack(luts)  # q × m × k
+
+    def _scan(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        out_q, out_n, out_s = [], [], []
+        for pdf in batches:
+            rows = [
+                (i, c)
+                for i, c in zip(pdf[id_col], pdf[code_col])
+                if c is not None
+            ]
+            if not rows:
+                continue
+            ids = [r[0] for r in rows]
+            codes = np.asarray([r[1] for r in rows], dtype=np.int64)  # n × m
+            n = codes.shape[0]
+            # scores[q, n] = Σ_s lut[q, s, codes[n, s]]
+            gathered = lut_arr[:, np.arange(m)[None, :], codes]  # q × n × m
+            scores = gathered.sum(axis=2)  # q × n
+            loc = min(topk, n)
+            for qi, qid in enumerate(kept_qids):
+                idx = np.argpartition(-scores[qi], loc - 1)[:loc]
+                for j in idx:
+                    out_q.append(qid)
+                    out_n.append(ids[int(j)])
+                    out_s.append(float(scores[qi, int(j)]))
+        if out_q:
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    id_type = encoded.schema[id_col].dataType.simpleString()
+    local = encoded.select(id_col, code_col).mapInPandas(
+        _scan, f"query_id {id_type}, neighbor_id {id_type}, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
+def pq_reconstruction_mse(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of the codebooks over the
+    corpus (unit-normalized) — the quantization-quality diagnostic
+    (decreases as k or m grows).  Distributed encode + per-task
+    partial sums; driver sees one row per task."""
+    import numpy as np
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    dim, m, dsub = model["dim"], model["m"], model["dsub"]
+    books = [np.asarray(b) for b in model["codebooks"]]
+
+    def _mse(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        tot = 0.0
+        cnt = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat, valid = _vec_matrix(pdf[vec_col], dim)
+            unit = _unit_rows(mat[valid])
+            if unit.shape[0] == 0:
+                continue
+            recon = np.empty_like(unit)
+            for s in range(m):
+                sub = unit[:, s * dsub : (s + 1) * dsub]
+                cb = books[s]
+                d = ((sub**2).sum(axis=1)[:, None]
+                     - 2.0 * sub @ cb.T
+                     + (cb**2).sum(axis=1)[None, :])
+                recon[:, s * dsub : (s + 1) * dsub] = cb[d.argmin(axis=1)]
+            tot += float(((unit - recon) ** 2).sum())
+            cnt += unit.shape[0] * dim
+        if cnt:
+            yield pd.DataFrame({"t": [tot], "n": [cnt]})
+
+    rows = df.select(vec_col).mapInPandas(_mse, "t double, n long").collect()
+    if not rows:
+        raise ValueError("no valid vectors")
+    return sum(r["t"] for r in rows) / sum(r["n"] for r in rows)

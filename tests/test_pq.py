@@ -1,0 +1,147 @@
+"""Product quantization (operators/pq.py): codebook training,
+encoding, ADC top-k recall on separated clusters, reconstruction-error
+monotonicity, determinism, invalid-vector tolerance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from harness_aws_etl_pipeline_spark.operators.pq import (
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk,
+    train_pq,
+)
+
+DIM = 16
+
+
+def _clustered(n_clusters=4, per=8, seed=3):
+    """Well-separated unit-ish clusters in DIM-dim space."""
+    rng = np.random.RandomState(seed)
+    pts = []
+    for c in range(n_clusters):
+        center = np.zeros(DIM)
+        center[c * 2] = 5.0
+        center[c * 2 + 1] = 3.0
+        for _ in range(per):
+            pts.append(center + rng.standard_normal(DIM) * 0.05)
+    return np.asarray(pts)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    pts = _clustered()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def model(vecs):
+    return train_pq(vecs, m=4, k=8, dim=DIM, iters=10)
+
+
+class TestTrain:
+    def test_model_shape(self, model):
+        assert model["m"] == 4 and model["dsub"] == 4 and model["dim"] == DIM
+        assert len(model["codebooks"]) == 4
+        for cb in model["codebooks"]:
+            assert len(cb) == model["k"] and len(cb[0]) == 4
+
+    def test_deterministic(self, vecs):
+        a = train_pq(vecs, m=4, k=8, dim=DIM)
+        b = train_pq(vecs, m=4, k=8, dim=DIM)
+        assert a == b
+
+    def test_dim_must_divide(self, vecs):
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq(vecs, m=5, dim=DIM)
+
+
+class TestEncode:
+    def test_codes_shape_and_range(self, vecs, model):
+        enc = pq_encode(vecs, model)
+        rows = enc.collect()
+        assert len(rows) == 32
+        for r in rows:
+            assert len(r.pq_code) == 4
+            assert all(0 <= c < model["k"] for c in r.pq_code)
+
+    def test_codes_are_nearest_codewords(self, vecs, model):
+        """Implementation parity: every emitted code is the argmin-
+        distance codeword per subspace, recomputed in plain numpy on
+        the unit-normalized vector."""
+        pts = _clustered()
+        unit = pts / np.linalg.norm(pts, axis=1)[:, None]
+        books = [np.asarray(b) for b in model["codebooks"]]
+        dsub = model["dsub"]
+        enc = {r.vec_id: r.pq_code for r in pq_encode(vecs, model).collect()}
+        for i in range(len(pts)):
+            for s in range(model["m"]):
+                sub = unit[i, s * dsub : (s + 1) * dsub]
+                want = int(((books[s] - sub) ** 2).sum(axis=1).argmin())
+                assert enc[i][s] == want, (i, s)
+
+    def test_invalid_vectors_null_codes(self, spark, model):
+        df = spark.createDataFrame(
+            [(1, [1.0] * DIM), (2, None), (3, [1.0] * 3)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r.pq_code for r in pq_encode(df, model).collect()}
+        assert got[1] is not None and got[2] is None and got[3] is None
+
+
+class TestTopK:
+    def test_recall_on_separated_clusters(self, spark, vecs, model):
+        """ADC top-7 of each query must be exactly its 7 cluster-mates
+        + itself minus... (self included: encoded corpus contains the
+        query) — on separated clusters PQ recall is 1.0."""
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        enc = pq_encode(vecs, model)
+        got = pq_topk(enc, vecs, model, topk=8)
+        sets: dict[int, set[int]] = {}
+        for r in got.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert len(sets) == 32
+        for q, nb in sets.items():
+            assert nb == {q // 8 * 8 + j for j in range(8)}, (q, nb)
+
+    def test_null_codes_never_neighbors(self, spark, vecs, model):
+        bad = spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<float>"
+        )
+        enc = pq_encode(vecs.unionByName(bad), model)
+        got = pq_topk(enc, vecs.limit(4), model, topk=8)
+        assert all(r.neighbor_id != 999 for r in got.collect())
+
+
+class TestReconstruction:
+    def test_mse_decreases_with_k(self, vecs):
+        m2 = train_pq(vecs, m=4, k=2, dim=DIM)
+        m8 = train_pq(vecs, m=4, k=8, dim=DIM)
+        e2 = pq_reconstruction_mse(vecs, m2)
+        e8 = pq_reconstruction_mse(vecs, m8)
+        assert e8 < e2
+        assert e8 < 0.01  # 4 tight clusters, 8 codewords: near-exact
+
+
+class TestFacade:
+    def test_similarity_search_pq(self, spark, vecs):
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import (
+            similarity_search,
+        )
+
+        got = similarity_search(
+            vecs, vecs.limit(4), method="pq", k=8, m=4, dim=DIM
+        )
+        sets: dict[int, set[int]] = {}
+        for r in got.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for q, nb in sets.items():
+            assert nb == {q // 8 * 8 + j for j in range(8)}
