@@ -377,6 +377,73 @@ def _bench_skew_join(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_pq(spark, sf_dir: str) -> dict:
+    """Product-quantization leg — NOT a catalog entry. Trains m=8
+    codebooks on the embeddings table, encodes the corpus to 8-byte
+    codes, runs ADC top-10 for 16 queries, and scores recall@10
+    against the exact Arrow brute-force ranks (both Spark-side — a
+    deterministic work-done check, not just a wall-clock)."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 997 == 0).limit(16)
+
+    start = time.perf_counter()
+    model = train_pq(emb, m=8, k=256, dim=64)
+    train_s = time.perf_counter() - start
+
+    start = time.perf_counter()
+    enc = pq_encode(emb, model).persist()
+    n = enc.count()
+    encode_s = time.perf_counter() - start
+    try:
+        start = time.perf_counter()
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_topk(enc, queries, model, topk=10).collect()
+        }
+        scan_s = time.perf_counter() - start
+        start = time.perf_counter()
+        reranked = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_topk(
+                enc, queries, model, topk=10, rerank_with=emb, shortlist=100
+            ).collect()
+        }
+        rerank_s = time.perf_counter() - start
+    finally:
+        enc.unpersist()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk_arrow(emb, queries, k=10).collect()
+    }
+    return {
+        "train_s": round(train_s, 3),
+        "encode_s": round(encode_s, 3),
+        "scan_s": round(scan_s, 3),
+        "rerank_scan_s": round(rerank_s, 3),
+        "vectors": n,
+        # pure-ADC recall is the quantization-noise floor on these
+        # NEAR-RANDOM synthetic embeddings (the hardest case for PQ);
+        # the shortlist+exact-rerank recipe is the production path
+        "recall_at10_adc": round(len(approx & exact) / max(len(exact), 1), 3),
+        "recall_at10_rerank": round(
+            len(reranked & exact) / max(len(exact), 1), 3
+        ),
+    }
+
+
 def _bench_drift_legs(spark, sf_dir: str) -> dict:
     """Per-leg wall-clocks for the two entries whose r4 totals moved
     outside the jitter band (text_stats +24%, near_dup_clusters +19%)
@@ -530,6 +597,13 @@ def main() -> None:
         skew = {"error": str(exc)[:500]}
     print(f"# skew_join: {skew}", file=sys.stderr)
 
+    # product-quantization ANN leg — also outside "queries"
+    try:
+        pq = _bench_pq(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        pq = {"error": str(exc)[:500]}
+    print(f"# pq: {pq}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -545,6 +619,7 @@ def main() -> None:
         "corpus_prep": prep,
         "drift_legs": drift,
         "skew_join": skew,
+        "pq": pq,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of

@@ -186,13 +186,22 @@ def similarity_search(
         )
 
         model = kwargs.pop("model", None)
+        rerank = kwargs.pop("rerank", False)
+        shortlist = kwargs.pop("shortlist", None)
         if model is None:
             model = train_pq(
                 candidates, vec_col=vec_col, id_col=id_col, **kwargs
             )
         enc = pq_encode(candidates, model, vec_col=vec_col)
         return pq_topk(
-            enc, queries, model, topk=k, id_col=id_col, vec_col=vec_col
+            enc,
+            queries,
+            model,
+            topk=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            rerank_with=candidates if rerank else None,
+            shortlist=shortlist,
         )
     raise ValueError(
         f"unknown similarity method {method!r}; choose brute/brute_arrow/lsh/ivf/pq"

@@ -187,12 +187,23 @@ def pq_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k of each (raw) query vector over a
     PQ-ENCODED corpus: per-task ADC lookup-table scan + local top-k,
     global rank via window.  Returns (query_id, rank, neighbor_id,
     score) — ``score`` is the PQ inner-product approximation of the
     cosine, not the exact value.
+
+    ``rerank_with`` enables the production PQ recipe — ADC SHORTLIST
+    then exact rerank: the code scan keeps ``shortlist`` candidates
+    per query (default 10·topk), their RAW vectors are fetched from
+    ``rerank_with`` (an (id, vector) frame — typically the original
+    corpus), and exact cosine re-ranks to ``topk``.  The expensive
+    full scan still touches only m-byte codes; the raw-vector join is
+    queries × shortlist rows.  On hard (near-random) embeddings this
+    recovers most of the recall pure ADC loses to quantization noise.
     """
     import numpy as np
 
@@ -225,6 +236,9 @@ def pq_topk(
     if not luts:
         raise ValueError("no valid query vectors")
     lut_arr = np.stack(luts)  # q × m × k
+    # per-task candidates kept: the final top-k, or the rerank
+    # shortlist when the exact second stage will re-rank
+    keep = topk if rerank_with is None else (shortlist or 10 * topk)
 
     def _scan(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
         out_q, out_n, out_s = [], [], []
@@ -242,7 +256,7 @@ def pq_topk(
             # scores[q, n] = Σ_s lut[q, s, codes[n, s]]
             gathered = lut_arr[:, np.arange(m)[None, :], codes]  # q × n × m
             scores = gathered.sum(axis=2)  # q × n
-            loc = min(topk, n)
+            loc = min(keep, n)
             for qi, qid in enumerate(kept_qids):
                 idx = np.argpartition(-scores[qi], loc - 1)[:loc]
                 for j in idx:
@@ -261,10 +275,38 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
+    ranked = (
         local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
+        .filter(F.col("rank") <= keep)
         .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+    if rerank_with is None:
+        return ranked
+
+    from harness_aws_etl_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    nv = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    exact = (
+        ranked.drop("rank", "score")
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("score", F.round(cosine_similarity("__qv", "__nv"), 6))
+        .drop("__qv", "__nv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "score")
     )
 
 
