@@ -46,7 +46,14 @@ from harness_aws_etl_pipeline_spark.operators.similarity import (
     _vec_matrix,
 )
 
-__all__ = ["train_pq", "pq_encode", "pq_topk", "pq_reconstruction_mse"]
+__all__ = [
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+    "pq_reconstruction_mse",
+    "ivfpq_index",
+    "ivfpq_topk",
+]
 
 
 def _unit_rows(mat):
@@ -355,3 +362,175 @@ def pq_reconstruction_mse(
     if not rows:
         raise ValueError("no valid vectors")
     return sum(r["t"] for r in rows) / sum(r["n"] for r in rows)
+
+
+def ivfpq_index(
+    df: DataFrame,
+    model: dict,
+    centroids: DataFrame | None = None,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF-PQ index frame: ``(id, centroid_id, code)`` —
+    each vector coarse-assigned to its inverted list AND PQ-encoded.
+    Returns ``(index_df, centroids)`` (the quantizer is trained with
+    ``similarity.ivf_centroids`` when not supplied).  The index is
+    what a 100 TB deployment persists: nlist-partitionable, m bytes
+    + one long per vector, raw vectors not required at query time
+    unless exact rerank is requested."""
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        _assign_nearest,
+        ivf_centroids,
+    )
+
+    if centroids is None:
+        centroids = ivf_centroids(df, k=nlist, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_nearest(
+        df.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    enc = pq_encode(assigned, model, vec_col=vec_col)
+    return (
+        enc.filter(F.col("centroid_id").isNotNull())
+        .select(id_col, "centroid_id", code_col),
+        centroids,
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    centroids: DataFrame,
+    nprobe: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``nprobe`` nearest
+    inverted lists and ADC-scores ONLY those lists' codes — the scan
+    fraction is ~nprobe/nlist of the corpus per query, on m-byte
+    codes.  (query, centroid) probe pairs are a broadcast-joined
+    driver-built frame; scoring reuses the per-query lookup tables.
+    Optional exact rerank as in :func:`pq_topk`.  Returns
+    (query_id, rank, neighbor_id, score).
+    """
+    import numpy as np
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    dim, m, dsub = model["dim"], model["m"], model["dsub"]
+    books = [np.asarray(b) for b in model["codebooks"]]
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qmat, qvalid = _vec_matrix([r[1] for r in qrows], dim)
+    qids = [r[0] for r in qrows]
+    qunit = _unit_rows(qmat)
+
+    crows = centroids.orderBy("centroid_id").collect()
+    if not crows:
+        raise ValueError("empty centroid set")
+    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+    cmat = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    cunit = _unit_rows(cmat)
+
+    kept_qids, luts, probes = [], [], []
+    nprobe = min(nprobe, len(crows))
+    for i, ok in enumerate(qvalid):
+        if not ok:
+            continue
+        qi = len(kept_qids)
+        kept_qids.append(qids[i])
+        luts.append(
+            np.stack(
+                [books[s] @ qunit[i, s * dsub : (s + 1) * dsub] for s in range(m)]
+            )
+        )
+        sims = cunit @ qunit[i]
+        order = np.lexsort((cids, -sims))[:nprobe]
+        probes.extend(
+            (qids[i], int(cids[j])) for j in order
+        )
+    if not kept_qids:
+        raise ValueError("no valid query vectors")
+    lut_arr = np.stack(luts)
+    qidx = {q: i for i, q in enumerate(kept_qids)}
+
+    spark = index.sparkSession
+    id_type = index.schema[id_col].dataType.simpleString()
+    probe_df = spark.createDataFrame(
+        probes, f"query_id {id_type}, centroid_id long"
+    )
+    cand = index.join(F.broadcast(probe_df), "centroid_id")
+
+    def _score(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            rows = [
+                (q, i, c)
+                for q, i, c in zip(
+                    pdf["query_id"], pdf[id_col], pdf[code_col]
+                )
+                if c is not None
+            ]
+            if not rows:
+                continue
+            codes = np.asarray([r[2] for r in rows], dtype=np.int64)
+            qpos = np.asarray([qidx[r[0]] for r in rows], dtype=np.int64)
+            # score[j] = Σ_s lut[qpos[j], s, codes[j, s]]
+            scores = lut_arr[qpos[:, None], np.arange(m)[None, :], codes].sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": [r[0] for r in rows],
+                    "neighbor_id": [r[1] for r in rows],
+                    "score": scores,
+                }
+            )
+
+    local = cand.mapInPandas(
+        _score, f"query_id {id_type}, neighbor_id {id_type}, score double"
+    )
+    keep = topk if rerank_with is None else (shortlist or 10 * topk)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    ranked = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+    if rerank_with is None:
+        return ranked
+
+    from harness_aws_etl_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    nv = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    exact = (
+        ranked.drop("rank", "score")
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("score", F.round(cosine_similarity("__qv", "__nv"), 6))
+        .drop("__qv", "__nv")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -207,3 +207,53 @@ class TestRerank:
         r_rr = len(rr & exact) / len(exact)
         assert r_rr >= r_adc
         assert r_rr >= 0.8, (r_adc, r_rr)
+
+
+class TestIvfPq:
+    def test_probed_lists_recall_on_clusters(self, spark, vecs, model):
+        """4 natural clusters -> 4 inverted lists; nprobe=1 sends each
+        query to exactly its own cluster's list, and the ADC top-8
+        there is the full cluster."""
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            ivfpq_index,
+            ivfpq_topk,
+        )
+
+        index, cents = ivfpq_index(vecs, model, nlist=4)
+        assert index.count() == 32
+        got = ivfpq_topk(index, vecs.limit(8), model, cents, nprobe=1, topk=8)
+        sets: dict[int, set[int]] = {}
+        for r in got.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for q, nb in sets.items():
+            assert nb == {q // 8 * 8 + j for j in range(8)}, (q, nb)
+
+    def test_scan_fraction_bounded_by_probes(self, spark, vecs, model):
+        """nprobe=1 of 4 lists: the candidate join for one query scans
+        ~1/4 of the corpus (its own list), never the whole index."""
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            ivfpq_index,
+            ivfpq_topk,
+        )
+
+        index, cents = ivfpq_index(vecs, model, nlist=4)
+        got = ivfpq_topk(
+            index, vecs.limit(1), model, cents, nprobe=1, topk=32
+        ).collect()
+        # top-32 asked for, but only the probed list's 8 members exist
+        assert len(got) == 8
+
+    def test_rerank_path(self, spark, vecs, model):
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            ivfpq_index,
+            ivfpq_topk,
+        )
+
+        index, cents = ivfpq_index(vecs, model, nlist=4)
+        got = ivfpq_topk(
+            index, vecs.limit(2), model, cents, nprobe=2, topk=3,
+            rerank_with=vecs, shortlist=8,
+        ).collect()
+        for r in got:
+            if r.query_id == r.neighbor_id:
+                assert abs(r.score - 1.0) < 1e-6
