@@ -55,6 +55,40 @@ class TestEmptyInputs:
         for method in ("brute", "brute_arrow"):
             assert similarity_search(vecs, vecs, method=method).count() == 0, method
 
+    def test_span_and_url_ops(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.spandedup import (
+            duplicated_spans,
+            remove_duplicated_spans,
+        )
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            add_url_columns,
+            cap_per_host,
+            dedup_by_url,
+        )
+
+        docs = _empty_docs(spark)
+        assert duplicated_spans(docs, k=8).count() == 0
+        assert remove_duplicated_spans(docs, k=8).count() == 0
+        urls = spark.createDataFrame([], "doc_id long, url string")
+        assert add_url_columns(urls).count() == 0
+        assert dedup_by_url(urls).count() == 0
+        assert cap_per_host(urls, 5).count() == 0
+
+    def test_repeat_to_budget_unlisted_domains(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.mixing import (
+            repeat_to_budget,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "some words here", "web")],
+            "doc_id long, text string, source string",
+        )
+        # weights name a domain with data; an unlisted domain yields 0
+        out = repeat_to_budget(df, {"web": 1}, budget_tokens=100)
+        assert out.count() >= 1
+        out2 = out.filter(F.col("source") == "nope")
+        assert out2.count() == 0
+
     def test_text_ops(self, spark):
         from harness_aws_etl_pipeline_spark.operators.textops import (
             chunk_documents,
