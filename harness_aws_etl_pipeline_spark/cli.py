@@ -169,6 +169,24 @@ def main(argv: list[str] | None = None) -> int:
         help="train-scorer: 0/1 label column (default: gopher-gate labels)",
     )
 
+    ann = sub.add_parser(
+        "ann", help="similarity search over an embedding table"
+    )
+    ann.add_argument("--input", required=True, help="candidates parquet")
+    ann.add_argument("--queries", required=True, help="query-vectors parquet")
+    ann.add_argument("--output", default=None, help="results parquet path")
+    ann.add_argument(
+        "--method", default="brute_arrow",
+        help="brute/brute_arrow/lsh/ivf/pq",
+    )
+    ann.add_argument("--k", type=int, default=10)
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument(
+        "--rerank", action="store_true",
+        help="pq only: exact-cosine rerank of the ADC shortlist",
+    )
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -306,6 +324,27 @@ def main(argv: list[str] | None = None) -> int:
                 "bytes": fs.tree_size(args.output) if fs.exists(args.output) else 0,
             }
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "ann":
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import (
+            similarity_search,
+        )
+
+        cands = spark.read.parquet(args.input)
+        queries = spark.read.parquet(args.queries)
+        kw = {"rerank": True} if (args.rerank and args.method == "pq") else {}
+        out = similarity_search(
+            cands, queries, method=args.method, k=args.k,
+            id_col=args.id_col, vec_col=args.vec_col, **kw,
+        )
+        n = out.count()
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "method": args.method, "k": args.k,
+            "result_rows": n, "output": args.output,
+        }))
         return 0
 
     if args.cmd == "corpus":

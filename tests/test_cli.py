@@ -215,6 +215,42 @@ class TestSnapRestoreChangesCli:
         assert SnapTable(spark, path).read().count() == 3
 
 
+class TestAnnCli:
+    def test_ann_pq_with_rerank(self, spark, tmp_path, capsys):
+        import random
+
+        random.seed(2)
+        rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+        src = str(tmp_path / "emb")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+        qsrc = str(tmp_path / "q")
+        spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>").write.parquet(qsrc)
+        out = str(tmp_path / "ann_out")
+        rc = main([
+            "ann", "--input", src, "--queries", qsrc, "--output", out,
+            "--method", "pq", "--k", "5", "--rerank",
+        ])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success" and res["result_rows"] == 10
+        got = spark.read.parquet(out)
+        assert set(got.columns) == {"query_id", "rank", "neighbor_id", "score"}
+        # self is its own nearest neighbor with exact cosine 1.0
+        top1 = {r.query_id: (r.neighbor_id, r.score)
+                for r in got.filter("rank = 1").collect()}
+        for q, (n, s) in top1.items():
+            assert n == q and abs(s - 1.0) < 1e-6
+
+    def test_ann_brute(self, spark, tmp_path, capsys):
+        rows = [(i, [float(i), 1.0]) for i in range(10)]
+        src = str(tmp_path / "emb2")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+        rc = main(["ann", "--input", src, "--queries", src, "--k", "3"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["result_rows"] == 30
+
+
 class TestCorpusCli:
     def _write_corpus(self, spark, tmp_path):
         path = str(tmp_path / "corpus")
