@@ -428,11 +428,39 @@ def _bench_pq(spark, sf_dir: str) -> dict:
         (r.query_id, r.neighbor_id)
         for r in brute_force_topk_arrow(emb, queries, k=10).collect()
     }
+
+    # IVF-PQ: probe 4 of 16 inverted lists per query — the scan reads
+    # ~25% of the code rows (work-done check: candidate rows counted)
+    from harness_aws_etl_pipeline_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    start = time.perf_counter()
+    index, cents = ivfpq_index(emb, model, nlist=16)
+    index = index.persist()
+    index.count()
+    ivf_build_s = time.perf_counter() - start
+    try:
+        start = time.perf_counter()
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                index, queries, model, cents, nprobe=4, topk=10,
+                rerank_with=emb, shortlist=100,
+            ).collect()
+        }
+        ivf_scan_s = time.perf_counter() - start
+    finally:
+        index.unpersist()
+
     return {
         "train_s": round(train_s, 3),
         "encode_s": round(encode_s, 3),
         "scan_s": round(scan_s, 3),
         "rerank_scan_s": round(rerank_s, 3),
+        "ivf_build_s": round(ivf_build_s, 3),
+        "ivf_scan_s": round(ivf_scan_s, 3),
         "vectors": n,
         # pure-ADC recall is the quantization-noise floor on these
         # NEAR-RANDOM synthetic embeddings (the hardest case for PQ);
@@ -441,6 +469,9 @@ def _bench_pq(spark, sf_dir: str) -> dict:
         "recall_at10_rerank": round(
             len(reranked & exact) / max(len(exact), 1), 3
         ),
+        # nprobe=4/16: recall is bounded by list coverage on random
+        # vectors — reported so the probe-fraction trade is visible
+        "recall_at10_ivfpq": round(len(ivf & exact) / max(len(exact), 1), 3),
     }
 
 
