@@ -172,7 +172,13 @@ def cap_per_host(
     """At most ``max_docs`` rows per host, chosen by smallest
     ``xxhash64(id)`` — deterministic, append-stable sampling (a doc
     that survives keeps surviving as the host grows, until its hash
-    rank is displaced).  NULL-host rows are never capped."""
+    rank is displaced).  NULL-host rows are never capped.
+
+    Scale note (same caveat as ``mixing.cap_per_domain``): the rank
+    window concentrates each host on one task.  A pathologically hot
+    host (hundreds of millions of pages) should be pre-thinned with a
+    hash predicate (``xxhash64(id) % k == 0``) before the exact cap —
+    the window then ranks the survivors only."""
     from pyspark.sql import Window
 
     keyed = df.withColumn("__host", url_host(F.col(url_col)))
