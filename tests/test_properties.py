@@ -322,3 +322,75 @@ class TestDecontamProperties:
         for i, t in enumerate(texts):
             expect_clean = not (grams(t) & bench_grams)
             assert (i in clean) == expect_clean
+
+
+_URL_SEG = st.text(alphabet="abcXYZ019-._~", max_size=8)
+_URL_HOST = st.lists(
+    st.text(alphabet="abcXYZ09", min_size=1, max_size=6),
+    min_size=1,
+    max_size=4,
+).map(".".join)
+_URL = st.builds(
+    lambda sch, www, host, port, segs, q, frag: (
+        sch
+        + "://"
+        + ("www." if www else "")
+        + host
+        + (f":{port}" if port else "")
+        + ("/" + "/".join(segs) if segs else "")
+        + (("?" + "&".join(q)) if q else "")
+        + (("#" + frag) if frag else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HttpS"]),
+    st.booleans(),
+    _URL_HOST,
+    st.sampled_from([None, 80, 443, 8080]),
+    st.lists(_URL_SEG, max_size=3),
+    st.lists(
+        st.one_of(
+            st.text(alphabet="abz019=_", min_size=1, max_size=8),
+            st.sampled_from(["utm_source=x", "ref=hn", "gclid", "fbclid=1"]),
+        ),
+        max_size=4,
+    ),
+    st.text(alphabet="abz", max_size=5),
+)
+
+
+class TestUrlProperties:
+    @given(st.lists(_URL, min_size=1, max_size=25))
+    @slow
+    def test_normalize_idempotent(self, spark, urls):
+        """Canonicalization is a projection: normalize(normalize(u))
+        == normalize(u) for arbitrary scheme/www/port/path/tracking-
+        param/fragment combinations."""
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.urlops import normalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        rows = df.select(
+            normalize_url("u").alias("once"),
+        ).select(
+            "once", normalize_url("once").alias("twice")
+        ).collect()
+        for r in rows:
+            assert r.once == r.twice, r
+
+    @given(st.lists(_URL, min_size=1, max_size=25))
+    @slow
+    def test_host_survives_normalization(self, spark, urls):
+        """url_host(normalize_url(u)) == url_host(u) — canonicalizing
+        never changes which host a URL belongs to."""
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            normalize_url,
+            url_host,
+        )
+
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        rows = df.select(
+            url_host("u").alias("h1"),
+            url_host(normalize_url("u")).alias("h2"),
+        ).collect()
+        for r in rows:
+            assert r.h1 == r.h2, r
