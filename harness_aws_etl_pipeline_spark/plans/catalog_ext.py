@@ -2500,8 +2500,10 @@ def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
       pairs.  This pins the distributed word-count + driver-trainer
       composition, not just the apply path.
     """
+    from harness_aws_etl_pipeline_spark.functions.text import word_count
     from harness_aws_etl_pipeline_spark.operators.bpe import apply_bpe, train_bpe
     from harness_aws_etl_pipeline_spark.operators.packing import packing_stats
+    from harness_aws_etl_pipeline_spark.sinks.shards import assign_shards
 
     docs = _t(spark, sf, "documents")
     bpe0 = apply_bpe(docs.select("text"), []).agg(
@@ -2515,11 +2517,28 @@ def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
     bpe_first = spark.createDataFrame(
         [(first_str,)], "bpe_first_merge string"
     )
+    # shard-layout legs (sinks/shards.py, fused round 5): the two-level
+    # prefix sum's global running totals re-derived by the oracle's
+    # single cumsum window — shard count and shard-0 token fill
+    toks = docs.select(
+        F.col("doc_id").alias("bin_id"),
+        F.least(word_count("text"), F.lit(64)).cast("long").alias("total_tokens"),
+    )
+    sh = assign_shards(toks, tokens_per_shard=512).agg(
+        F.countDistinct("shard_id").cast("long").alias("shard_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("shard_id") == 0, F.col("total_tokens"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("shard0_tokens"),
+    )
     return (
         packing_stats(docs, capacity=64, buckets=8)
         .crossJoin(bpe0)
         .crossJoin(bpe1)
         .crossJoin(bpe_first)
+        .crossJoin(sh)
     )
 
 
@@ -2555,7 +2574,21 @@ SELECT COUNT(*) AS docs_packed,
                             ELSE w END AS s
               FROM words)) AS bpe1_tokens,
        COALESCE((SELECT a || '|' || b FROM first_pairs
-                 WHERE f >= 2 ORDER BY f DESC, a, b LIMIT 1), '') AS bpe_first_merge
+                 WHERE f >= 2 ORDER BY f DESC, a, b LIMIT 1), '') AS bpe_first_merge,
+       (SELECT CAST(COUNT(DISTINCT (c - t) // 512 ) AS BIGINT)
+        FROM (SELECT t, SUM(t) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS c
+              FROM (SELECT doc_id,
+                           LEAST(len(list_filter(string_split_regex(text, '\s+'),
+                                                 x -> x != '')), 64) AS t
+                    FROM documents))) AS shard_cnt,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN (c - t) // 512 = 0 THEN t END), 0) AS BIGINT)
+        FROM (SELECT t, SUM(t) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS c
+              FROM (SELECT doc_id,
+                           LEAST(len(list_filter(string_split_regex(text, '\s+'),
+                                                 x -> x != '')), 64) AS t
+                    FROM documents))) AS shard0_tokens
 FROM toks
 """
 
