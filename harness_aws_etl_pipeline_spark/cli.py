@@ -140,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "dedup", "span-dedup", "decontam", "filter", "tokenize", "report",
-            "train-scorer", "score",
+            "prepare", "train-scorer", "score",
         ],
     )
     corpus.add_argument("--input", required=True, help="input parquet path")
@@ -167,6 +167,22 @@ def main(argv: list[str] | None = None) -> int:
     corpus.add_argument(
         "--label-col", default=None,
         help="train-scorer: 0/1 label column (default: gopher-gate labels)",
+    )
+    corpus.add_argument(
+        "--normalize", default=None,
+        help="prepare: unicode form (NFKC/NFC/...) for the normalize stage",
+    )
+    corpus.add_argument(
+        "--gate", action="store_true",
+        help="prepare: enable the quality-filter stage (--preset)",
+    )
+    corpus.add_argument(
+        "--line-min", type=int, default=None,
+        help="prepare: line-dedup min corpus count (stage off when unset)",
+    )
+    corpus.add_argument(
+        "--span-k", type=int, default=None,
+        help="prepare: duplicated-span window width (stage off when unset)",
     )
 
     ann = sub.add_parser(
@@ -448,6 +464,39 @@ def main(argv: list[str] | None = None) -> int:
 
             merges = train_bpe(df, num_merges=args.merges, text_col=args.text_col)
             out = apply_bpe(df, merges, text_col=args.text_col)
+        elif args.action == "prepare":
+            from harness_aws_etl_pipeline_spark.operators.corpus_pipeline import (
+                prepare_corpus,
+            )
+
+            bench_df = (
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            )
+            out, stage_report = prepare_corpus(
+                df,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                normalize=args.normalize,
+                filter_preset=args.preset if args.gate else None,
+                line_dedup_min_count=args.line_min,
+                span_dedup_k=args.span_k,
+                benchmark=bench_df,
+                decontam_n=args.ngram,
+                dedup_method=args.method if args.method != "none" else None,
+                dedup_threshold=args.threshold,
+            )
+            rows_in = df.count()
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                rows_out = spark.read.parquet(args.output).count()
+            else:
+                rows_out = out.count()
+            print(json.dumps({
+                "status": "success", "action": "prepare",
+                "rows_in": rows_in, "rows_out": rows_out,
+                "stages": stage_report, "output": args.output,
+            }))
+            return 0
         else:  # report: corpus summary + per-rule gate counts, no write
             from harness_aws_etl_pipeline_spark.operators.corpus_report import (
                 corpus_report,

@@ -276,6 +276,36 @@ class TestCorpusCli:
         assert (res["rows_in"], res["rows_out"], res["rows_removed"]) == (3, 2, 1)
         assert spark.read.parquet(out).count() == 2
 
+    def test_prepare_action(self, spark, tmp_path, capsys):
+        """corpus prepare chains the stages: span dedup + hash dedup
+        drop the planted duplicates in one invocation."""
+        path = str(tmp_path / "prep_src")
+        shared = " ".join(f"pb{i}" for i in range(10))
+        spark.createDataFrame(
+            [
+                (1, "head one two three " + shared),
+                (2, "tail four five six " + shared),   # span-dup of 1
+                (3, "plain unique document body"),
+                (4, "plain unique document body"),      # exact dup of 3
+            ],
+            "doc_id long, text string",
+        ).write.parquet(path)
+        out = str(tmp_path / "prep_out")
+        rc = main([
+            "corpus", "prepare", "--input", path, "--output", out,
+            "--span-k", "8", "--method", "hash",
+        ])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success"
+        assert [st["stage"] for st in res["stages"]] == [
+            "span_dedup[k=8]", "dedup[hash]",
+        ]
+        got = spark.read.parquet(out)
+        texts = {r.doc_id: r.text for r in got.collect()}
+        assert got.count() == 3                       # one exact dup gone
+        assert sum(shared in t for t in texts.values()) == 1  # one span copy
+
     def test_span_dedup_action(self, spark, tmp_path, capsys):
         src = self._write_corpus(spark, tmp_path)
         out = str(tmp_path / "span_deduped")
