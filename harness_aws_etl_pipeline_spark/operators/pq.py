@@ -53,6 +53,8 @@ __all__ = [
     "pq_reconstruction_mse",
     "ivfpq_index",
     "ivfpq_topk",
+    "save_pq",
+    "load_pq",
 ]
 
 
@@ -534,3 +536,28 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def save_pq(model: dict, path: str, spark=None) -> None:
+    """Persist PQ codebooks as versioned JSON through the FS adapter
+    (same artifact convention as save_pca / save_merges / save_model)."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    payload = json.dumps(
+        {"format": "pq-model-v1", **model}, ensure_ascii=False
+    ).encode("utf-8")
+    get_fs(path, spark).write_bytes(path, payload)
+
+
+def load_pq(path: str, spark=None) -> dict:
+    """Inverse of :func:`save_pq` (validates the format tag)."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    doc = json.loads(get_fs(path, spark).read_bytes(path).decode("utf-8"))
+    if doc.pop("format", None) != "pq-model-v1":
+        raise ValueError(f"not a pq model file: {path}")
+    return doc

@@ -257,3 +257,26 @@ class TestIvfPq:
         for r in got:
             if r.query_id == r.neighbor_id:
                 assert abs(r.score - 1.0) < 1e-6
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, vecs, model, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.pq import load_pq, save_pq
+
+        p = str(tmp_path / "pq.json")
+        save_pq(model, p)
+        loaded = load_pq(p)
+        assert loaded == model
+        a = sorted(map(tuple, pq_encode(vecs, model).collect()))
+        b = sorted(map(tuple, pq_encode(vecs, loaded).collect()))
+        assert a == b
+
+    def test_load_rejects_foreign(self, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.pq import load_pq
+
+        p = tmp_path / "x.json"
+        p.write_text('{"codebooks": []}')
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pq model"):
+            load_pq(str(p))
