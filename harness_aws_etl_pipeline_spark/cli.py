@@ -202,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
         "--rerank", action="store_true",
         help="pq only: exact-cosine rerank of the ADC shortlist",
     )
+    ann.add_argument(
+        "--model", default=None,
+        help="pq only: codebook JSON — loaded when it exists, else "
+        "trained and saved there",
+    )
 
     args = p.parse_args(argv)
 
@@ -350,6 +355,21 @@ def main(argv: list[str] | None = None) -> int:
         cands = spark.read.parquet(args.input)
         queries = spark.read.parquet(args.queries)
         kw = {"rerank": True} if (args.rerank and args.method == "pq") else {}
+        if args.model and args.method == "pq":
+            from harness_aws_etl_pipeline_spark.operators.pq import (
+                load_pq,
+                save_pq,
+                train_pq,
+            )
+            from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+            if get_fs(args.model, spark).exists(args.model):
+                kw["model"] = load_pq(args.model, spark)
+            else:
+                kw["model"] = train_pq(
+                    cands, vec_col=args.vec_col, id_col=args.id_col
+                )
+                save_pq(kw["model"], args.model, spark)
         out = similarity_search(
             cands, queries, method=args.method, k=args.k,
             id_col=args.id_col, vec_col=args.vec_col, **kw,

@@ -241,6 +241,30 @@ class TestAnnCli:
         for q, (n, s) in top1.items():
             assert n == q and abs(s - 1.0) < 1e-6
 
+    def test_ann_pq_model_persist_and_reuse(self, spark, tmp_path, capsys):
+        import random
+
+        random.seed(4)
+        rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(32)]
+        src = str(tmp_path / "emb3")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+        model = str(tmp_path / "pq_model.json")
+        rc = main(["ann", "--input", src, "--queries", src,
+                   "--method", "pq", "--k", "3", "--model", model])
+        assert rc == 0
+        import os
+
+        assert os.path.exists(model)           # trained + saved
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # second invocation loads the same model -> identical results
+        out_path = str(tmp_path / "ann3")
+        rc = main(["ann", "--input", src, "--queries", src,
+                   "--method", "pq", "--k", "3", "--model", model,
+                   "--output", out_path])
+        assert rc == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["result_rows"] == out2["result_rows"]
+
     def test_ann_brute(self, spark, tmp_path, capsys):
         rows = [(i, [float(i), 1.0]) for i in range(10)]
         src = str(tmp_path / "emb2")
