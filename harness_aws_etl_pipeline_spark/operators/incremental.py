@@ -50,7 +50,11 @@ from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
 )
 from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 
-__all__ = ["IncrementalDeduper", "IncrementalEmbeddingDeduper"]
+__all__ = [
+    "IncrementalDeduper",
+    "IncrementalEmbeddingDeduper",
+    "IncrementalSpanDeduper",
+]
 
 
 def _maintain_state(
@@ -448,6 +452,152 @@ class IncrementalEmbeddingDeduper:
             "accepted_ids": accepted.select("vec_id"),
             "dups_vs_state": dups_vs_state,
             "dups_in_batch": internal_losers,
+            "state_version": out["version"],
+            "skipped": False,
+        }
+
+
+class IncrementalSpanDeduper:
+    """Duplicated-span gate for an append-only corpus — the
+    substring-level sibling of :class:`IncrementalDeduper`.
+
+    State = every distinct k-gram ever seen with its canonical first
+    occurrence ``(gram, doc_id, pos)`` — one row per distinct gram
+    (8-byte hash + id + int), kept in a snapshot table with the same
+    txn ledger.  A batch is marked against ITSELF (batch-internal
+    canonical firsts) and against the state (any state gram wins),
+    spans are islands-merged, and the cleaned batch text is rebuilt;
+    the batch's NEW grams are appended in one exactly-once commit.
+
+    Processing batches in arrival order is equivalent to running
+    :func:`spandedup.remove_duplicated_spans` over the concatenated
+    corpus with arrival-order canonical firsts, up to the k-token
+    boundary effect every window-based ExactSubstr shares: grams that
+    enter the state from inside a removed island tail can remove a
+    future occurrence whose canonical text was itself cut — bounded
+    by k tokens per span edge, and documented rather than hidden.
+
+    Scale: the per-batch cost is one position-gram pass over the
+    BATCH plus joins keyed on the 8-byte gram hash against the state
+    (shuffle join; AQE handles hot boilerplate grams).  The state
+    grows with distinct corpus grams — same storage class as the
+    signature state, maintained with :func:`IncrementalDeduper.maintain`'s
+    compaction through ``maintain()``.
+    """
+
+    def __init__(self, spark: SparkSession, state_path: str, k: int = 50):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.k = k
+
+    def state_grams(self) -> DataFrame | None:
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+    def process_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        txn: tuple[str, int] | None = None,
+        pre_commit: "Callable[[DataFrame], None] | None" = None,
+    ) -> dict:
+        """Returns::
+
+            {"cleaned":   DataFrame  # the batch with spans cut out
+             "spans":     DataFrame[doc_id, span_start, span_end]
+             "new_grams": int        # grams appended to the state
+             "state_version": int, "skipped": bool}
+
+        ``cleaned`` is a deterministic function of (batch, state), so
+        a replayed batch reproduces it exactly; ``pre_commit(cleaned)``
+        runs BEFORE the state commit (the same exactly-once
+        composition hook as :class:`IncrementalDeduper`).
+        """
+        from harness_aws_etl_pipeline_spark.operators.spandedup import (
+            merge_positions_to_spans,
+            position_grams,
+            remove_spans,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "cleaned": None,
+                "spans": None,
+                "new_grams": 0,
+                "state_version": self.table.current_version(),
+                "skipped": True,
+            }
+        src = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        # the gram pass feeds batch-internal firsts, the state join,
+        # and the new-gram commit — persist for the batch's lifetime
+        pg = position_grams(src, self.k).persist()
+        try:
+            firsts = pg.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("doc_id", "pos")).alias("__first"),
+            )
+            internal = (
+                pg.join(firsts, "gram")
+                .filter(
+                    (F.col("__cnt") >= 2)
+                    & ~(
+                        (F.col("doc_id") == F.col("__first.doc_id"))
+                        & (F.col("pos") == F.col("__first.pos"))
+                    )
+                )
+                .select("doc_id", "pos")
+            )
+            state = self.state_grams()
+            if state is not None:
+                vs_state = pg.join(
+                    state.select("gram"), "gram", "left_semi"
+                ).select("doc_id", "pos")
+                marked = internal.unionByName(vs_state).distinct()
+            else:
+                marked = internal
+            # spans are small (edges of duplication, not the corpus):
+            # materialize once so the rebuild and the caller's reads
+            # don't re-run the gram joins
+            spans = merge_positions_to_spans(marked, self.k).localCheckpoint(
+                eager=True
+            )
+            cleaned = remove_spans(docs, spans, id_col=id_col, text_col=text_col)
+            if pre_commit is not None:
+                pre_commit(cleaned)
+
+            new_rows = firsts.select(
+                "gram",
+                F.col("__first.doc_id").alias("doc_id"),
+                F.col("__first.pos").alias("pos"),
+            )
+            if state is not None:
+                new_rows = new_rows.join(
+                    state.select("gram"), "gram", "left_anti"
+                )
+            out = self.table.write(new_rows, mode="append", txn=txn)
+            n_new = new_rows.count()
+        finally:
+            pg.unpersist()
+        return {
+            "cleaned": cleaned,
+            "spans": spans,
+            "new_grams": int(n_new),
             "state_version": out["version"],
             "skipped": False,
         }

@@ -50,7 +50,9 @@ from harness_aws_etl_pipeline_spark.functions.text import tokens
 __all__ = [
     "position_grams",
     "duplicated_spans",
+    "merge_positions_to_spans",
     "remove_duplicated_spans",
+    "remove_spans",
     "span_dedup_stats",
 ]
 
@@ -114,8 +116,15 @@ def duplicated_spans(
         )
         .select("doc_id", "pos")
     )
-    # islands merge: windows [pos, pos+k) overlap/touch when the next
-    # pos <= running_end; span id = count of gap-starts so far
+    return merge_positions_to_spans(marked, k)
+
+
+def merge_positions_to_spans(marked: DataFrame, k: int) -> DataFrame:
+    """Islands merge of removable window positions: ``(doc_id, pos)``
+    rows → merged ``(doc_id, span_start, span_end)`` token spans (end
+    exclusive).  Windows [pos, pos+k) overlap/touch when the next pos
+    ≤ running end; span id = count of gap-starts so far.  One shuffle
+    on doc_id."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     wprev = (
         Window.partitionBy("doc_id")
@@ -152,6 +161,19 @@ def remove_duplicated_spans(
     duplicated span keep their rebuilt token stream too, so the
     operator is idempotent and the output is uniformly normalized."""
     spans = duplicated_spans(df, k, id_col, text_col, min_count)
+    return remove_spans(df, spans, id_col=id_col, text_col=text_col)
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut explicit ``(doc_id, span_start, span_end)`` token spans out
+    of ``text_col`` (the rebuild half of the operator, reusable by the
+    incremental gate): tokens outside every span reassembled in order,
+    other columns untouched."""
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

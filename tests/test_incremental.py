@@ -324,3 +324,86 @@ class TestMaintainFreshGate:
             "dirs_vacuumed": 0,
             "version": None,
         }
+
+
+class TestIncrementalSpanDeduper:
+    BOILER = " ".join(f"sb{i}" for i in range(12))
+
+    def _dd(self, spark, tmp_path, name="spanstate"):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalSpanDeduper,
+        )
+
+        return IncrementalSpanDeduper(spark, str(tmp_path / name), k=8)
+
+    def test_batch_internal_and_cross_batch(self, spark, tmp_path):
+        dd = self._dd(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [
+                (1, " ".join(f"u{i}" for i in range(6)) + " " + self.BOILER),
+                (2, " ".join(f"v{i}" for i in range(6)) + " " + self.BOILER),
+            ],
+            "doc_id long, text string",
+        )
+        out1 = dd.process_batch(b1, txn=("t", 0))
+        texts1 = {r.doc_id: r.text for r in out1["cleaned"].collect()}
+        assert self.BOILER in texts1[1]          # canonical first kept
+        assert self.BOILER not in texts1[2]      # batch-internal copy cut
+        assert out1["new_grams"] > 0
+
+        # batch 2: one doc repeating the passage (cut vs STATE), one new
+        b2 = spark.createDataFrame(
+            [
+                (10, " ".join(f"w{i}" for i in range(6)) + " " + self.BOILER),
+                (11, " ".join(f"x{i}" for i in range(20))),
+            ],
+            "doc_id long, text string",
+        )
+        out2 = dd.process_batch(b2, txn=("t", 1))
+        texts2 = {r.doc_id: r.text for r in out2["cleaned"].collect()}
+        assert self.BOILER not in texts2[10]
+        assert texts2[10].startswith("w0")
+        assert texts2[11] == " ".join(f"x{i}" for i in range(20))
+
+    def test_replay_short_circuits(self, spark, tmp_path):
+        dd = self._dd(spark, tmp_path, "spanstate2")
+        b = spark.createDataFrame(
+            [(1, " ".join(f"y{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        out1 = dd.process_batch(b, txn=("app", 7))
+        v1 = out1["state_version"]
+        out2 = dd.process_batch(b, txn=("app", 7))
+        assert out2["skipped"] is True
+        assert out2["state_version"] == v1
+
+    def test_new_grams_not_recommitted(self, spark, tmp_path):
+        dd = self._dd(spark, tmp_path, "spanstate3")
+        b = spark.createDataFrame(
+            [(1, " ".join(f"z{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        out1 = dd.process_batch(b, txn=("a", 0))
+        # identical content, new txn: every gram already in state
+        b2 = spark.createDataFrame(
+            [(2, " ".join(f"z{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        out2 = dd.process_batch(b2, txn=("a", 1))
+        assert out1["new_grams"] == 3            # 10 tokens, k=8 -> 3 windows
+        assert out2["new_grams"] == 0
+        # and the duplicate content is fully cut
+        (r,) = out2["cleaned"].collect()
+        assert r.text == ""
+
+    def test_pre_commit_sees_cleaned(self, spark, tmp_path):
+        dd = self._dd(spark, tmp_path, "spanstate4")
+        seen = {}
+        b = spark.createDataFrame(
+            [(1, " ".join(f"q{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        dd.process_batch(
+            b, txn=("h", 0), pre_commit=lambda df: seen.update(n=df.count())
+        )
+        assert seen["n"] == 1
