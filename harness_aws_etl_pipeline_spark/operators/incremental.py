@@ -477,6 +477,16 @@ class IncrementalSpanDeduper:
     future occurrence whose canonical text was itself cut — bounded
     by k tokens per span edge, and documented rather than hidden.
 
+    Streaming-composition caveat (vs :class:`IncrementalDeduper`'s
+    pre_commit contract): ``cleaned`` is deterministic given the
+    PRE-COMMIT state, but a replay AFTER the commit cannot recompute
+    it against the current state (the batch's own grams are now
+    present and would mark every occurrence).  A foreachBatch
+    composition must therefore write its output inside ``pre_commit``
+    (idempotent sink) — after the ledger skip there is nothing to
+    recompute, which is exactly the crash-ordering convergence the
+    doc-level gate documents; do NOT recompute cleaned post-commit.
+
     Scale: the per-batch cost is one position-gram pass over the
     BATCH plus joins keyed on the 8-byte gram hash against the state
     (shuffle join; AQE handles hot boilerplate grams).  The state
