@@ -517,45 +517,26 @@ class IncrementalSpanDeduper:
             self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
         )
 
-    def process_batch(
+    def clean_batch(
         self,
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
-        txn: tuple[str, int] | None = None,
-        pre_commit: "Callable[[DataFrame], None] | None" = None,
     ) -> dict:
-        """Returns::
-
-            {"cleaned":   DataFrame  # the batch with spans cut out
-             "spans":     DataFrame[doc_id, span_start, span_end]
-             "new_grams": int        # grams appended to the state
-             "state_version": int, "skipped": bool}
-
-        ``cleaned`` is a deterministic function of (batch, state), so
-        a replayed batch reproduces it exactly; ``pre_commit(cleaned)``
-        runs BEFORE the state commit (the same exactly-once
-        composition hook as :class:`IncrementalDeduper`).
-        """
+        """The PURE half: ``{"cleaned", "spans"}`` as a deterministic
+        function of (batch, current state) — no commit, so it is safe
+        to call during a replay whose gram commit already landed has
+        NOT happened yet (see the streaming caveat above; pair with
+        :meth:`commit_grams`)."""
         from harness_aws_etl_pipeline_spark.operators.spandedup import (
             merge_positions_to_spans,
             position_grams,
             remove_spans,
         )
 
-        if self.table.txn_committed(txn):
-            return {
-                "cleaned": None,
-                "spans": None,
-                "new_grams": 0,
-                "state_version": self.table.current_version(),
-                "skipped": True,
-            }
         src = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        # the gram pass feeds batch-internal firsts, the state join,
-        # and the new-gram commit — persist for the batch's lifetime
         pg = position_grams(src, self.k).persist()
         try:
             firsts = pg.groupBy("gram").agg(
@@ -587,27 +568,93 @@ class IncrementalSpanDeduper:
             spans = merge_positions_to_spans(marked, self.k).localCheckpoint(
                 eager=True
             )
-            cleaned = remove_spans(docs, spans, id_col=id_col, text_col=text_col)
-            if pre_commit is not None:
-                pre_commit(cleaned)
-
-            new_rows = firsts.select(
-                "gram",
-                F.col("__first.doc_id").alias("doc_id"),
-                F.col("__first.pos").alias("pos"),
-            )
-            if state is not None:
-                new_rows = new_rows.join(
-                    state.select("gram"), "gram", "left_anti"
-                )
-            out = self.table.write(new_rows, mode="append", txn=txn)
-            n_new = new_rows.count()
         finally:
             pg.unpersist()
+        cleaned = remove_spans(docs, spans, id_col=id_col, text_col=text_col)
+        return {"cleaned": cleaned, "spans": spans}
+
+    def commit_grams(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """The COMMIT half: append the batch's new distinct grams
+        (with their batch-canonical firsts) to the state, exactly once
+        per ``txn``.  Grams come from the PRE-clean batch text — the
+        arrival-order ExactSubstr policy.  Returns ``{"new_grams",
+        "state_version", "skipped"}``."""
+        from harness_aws_etl_pipeline_spark.operators.spandedup import (
+            position_grams,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "new_grams": 0,
+                "state_version": self.table.current_version(),
+                "skipped": True,
+            }
+        src = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        firsts = position_grams(src, self.k).groupBy("gram").agg(
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        new_rows = firsts.select(
+            "gram",
+            F.col("__first.doc_id").alias("doc_id"),
+            F.col("__first.pos").alias("pos"),
+        )
+        state = self.state_grams()
+        if state is not None:
+            new_rows = new_rows.join(state.select("gram"), "gram", "left_anti")
+        new_rows = new_rows.localCheckpoint(eager=True)
+        out = self.table.write(new_rows, mode="append", txn=txn)
         return {
-            "cleaned": cleaned,
-            "spans": spans,
-            "new_grams": int(n_new),
+            "new_grams": int(new_rows.count()),
             "state_version": out["version"],
+            "skipped": False,
+        }
+
+    def process_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        txn: tuple[str, int] | None = None,
+        pre_commit: "Callable[[DataFrame], None] | None" = None,
+    ) -> dict:
+        """:meth:`clean_batch` + :meth:`commit_grams` in one call.
+
+        Returns::
+
+            {"cleaned":   DataFrame  # the batch with spans cut out
+             "spans":     DataFrame[doc_id, span_start, span_end]
+             "new_grams": int        # grams appended to the state
+             "state_version": int, "skipped": bool}
+
+        ``cleaned`` is a deterministic function of (batch, state), so
+        a replayed batch reproduces it exactly; ``pre_commit(cleaned)``
+        runs BEFORE the state commit (the same exactly-once
+        composition hook as :class:`IncrementalDeduper`).
+        """
+        if self.table.txn_committed(txn):
+            return {
+                "cleaned": None,
+                "spans": None,
+                "new_grams": 0,
+                "state_version": self.table.current_version(),
+                "skipped": True,
+            }
+        halves = self.clean_batch(docs, id_col, text_col)
+        if pre_commit is not None:
+            pre_commit(halves["cleaned"])
+        out = self.commit_grams(docs, id_col, text_col, txn)
+        return {
+            "cleaned": halves["cleaned"],
+            "spans": halves["spans"],
+            "new_grams": out["new_grams"],
+            "state_version": out["state_version"],
             "skipped": False,
         }

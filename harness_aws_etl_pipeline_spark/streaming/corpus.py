@@ -2,11 +2,22 @@
 ``operators.corpus_pipeline.prepare_corpus``.
 
 Each micro-batch runs the stateless gates (quality-filter preset,
-benchmark decontamination against a STATIC benchmark frame) and then
-the stateful cross-batch near-dup gate
+benchmark decontamination against a STATIC benchmark frame), the
+optional stateful SUBSTRING gate (``span_state_path`` —
+:class:`operators.incremental.IncrementalSpanDeduper`: duplicated
+k-token spans vs every gram ever seen are cut from the batch text),
+and then the stateful cross-batch near-dup gate
 (:class:`operators.incremental.IncrementalDeduper` — batch vs
 everything ever accepted), with the surviving documents upserted into
 a partition-keyed output table.
+
+Span-gate ordering (the part that makes it exactly-once): the clean
+pass is PURE against the pre-batch gram state; the gram commit runs
+LAST, after the doc-gate commit, under its own txn ledger.  Crash
+before the doc commit → full deterministic recompute; crash between
+the two commits → doc-gate skip + gram commit alone (the cleaned
+output was already written through pre_commit); replay after both →
+both ledgers skip.
 
 Exactly-once, spelled out (the part streaming corpus pipelines
 usually get wrong):
@@ -53,6 +64,8 @@ def run_streaming_corpus_prep(
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     dedup_threshold: float = 0.5,
+    span_state_path: str | None = None,
+    span_k: int = 50,
     app_id: str = "stream_corpus",
     timeout_sec: int = 300,
     on_batch: Callable[[int, dict], None] | None = None,
@@ -66,6 +79,7 @@ def run_streaming_corpus_prep(
     """
     from harness_aws_etl_pipeline_spark.operators.incremental import (
         IncrementalDeduper,
+        IncrementalSpanDeduper,
     )
     from harness_aws_etl_pipeline_spark.sinks.upsert import upsert_partitioned
 
@@ -73,6 +87,11 @@ def run_streaming_corpus_prep(
 
     spark = stream_df.sparkSession
     dd = IncrementalDeduper(spark, state_path, threshold=dedup_threshold)
+    span_dd = (
+        IncrementalSpanDeduper(spark, span_state_path, k=span_k)
+        if span_state_path is not None
+        else None
+    )
     # the keyed upsert needs partition columns to prune its rewrites;
     # without a natural one, a 16-way id-hash partition bounds every
     # batch's rewrite to the partitions it touches
@@ -100,6 +119,20 @@ def run_streaming_corpus_prep(
                 df, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
             )
             info["after_decontam"] = df.count()
+        if span_dd is not None:
+            # PURE clean against the pre-batch span state; the gram
+            # commit happens LAST (after the doc-gate commit) so a
+            # replay in any crash window recomputes the identical
+            # cleaned text — see IncrementalSpanDeduper's streaming
+            # caveat.  pre_span is cached: the clean pass walks it and
+            # the gram commit recounts it.
+            pre_span = df.persist()
+            df = span_dd.clean_batch(
+                pre_span, id_col=id_col, text_col=text_col
+            )["cleaned"]
+            info["span_docs"] = pre_span.count()
+        else:
+            pre_span = None
         # cache: the dedup gate walks the batch several times (sigs,
         # internal pairs, state join) and the pre_commit semi-join
         # reads it again
@@ -134,8 +167,22 @@ def run_streaming_corpus_prep(
             )
             info["skipped_replay"] = out["skipped"]
             info["accepted"] = accepted_box.get("n", 0)
+            if span_dd is not None:
+                # gram commit LAST, and attempted even when the doc
+                # gate skipped: a crash between the two commits
+                # replays into doc-skip + THIS commit alone (the
+                # cleaned text was already written through
+                # pre_commit); the span ledger dedups its own replays
+                sp = span_dd.commit_grams(
+                    pre_span, id_col=id_col, text_col=text_col,
+                    txn=(f"{app_id}-span", batch_id),
+                )
+                info["span_new_grams"] = sp["new_grams"]
+                info["span_commit_skipped"] = sp["skipped"]
         finally:
             df.unpersist()
+            if pre_span is not None:
+                pre_span.unpersist()
         if on_batch is not None:
             on_batch(batch_id, info)
 

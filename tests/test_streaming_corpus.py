@@ -143,3 +143,69 @@ class TestStreamingCorpusPrep:
             for r in spark.read.parquet(str(tmp_path / "out")).collect()
         }
         assert ids == {1, 2, 4, 11}
+
+
+class TestStreamingSpanGate:
+    def test_cross_batch_span_cut_and_replay(self, spark, tmp_path):
+        """span_state_path enables the substring gate: batch 2's doc
+        shares a 12-token passage with batch 1 — the passage is cut
+        BEFORE the doc-level gate (so the otherwise-distinct doc is
+        accepted without it), and a fresh-checkpoint replay converges
+        with the span commit skipped."""
+        import shutil
+
+        from harness_aws_etl_pipeline_spark.streaming.corpus import (
+            run_streaming_corpus_prep,
+        )
+
+        boiler = " ".join(f"flux{i}" for i in range(12))
+        d = tmp_path / "src_span"
+        d.mkdir()
+        spark.createDataFrame(
+            [(1, " ".join(f"aa{i}" for i in range(30)) + " " + boiler)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(d / "b0"))
+
+        def run(ck):
+            batches = {}
+            stream = spark.readStream.schema("doc_id long, text string").parquet(
+                str(d / "b0")
+            )
+            run_streaming_corpus_prep(
+                stream,
+                str(tmp_path / "out_span"),
+                str(tmp_path / ck),
+                str(tmp_path / "state_span_doc"),
+                span_state_path=str(tmp_path / "state_span_gram"),
+                span_k=8,
+                dedup_threshold=0.5,
+                on_batch=lambda bid, info: batches.update({bid: info}),
+            )
+            return batches
+
+        b = run("ck_span1")
+        assert b[0]["accepted"] == 1 and b[0]["span_new_grams"] > 0
+
+        # second drop: distinct text + the SAME passage
+        staging = tmp_path / "staging_span"
+        spark.createDataFrame(
+            [(2, " ".join(f"bb{i}" for i in range(30)) + " " + boiler)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, d / "b0" / "later-span.parquet")
+        b = run("ck_span1")
+        assert b[1]["accepted"] == 1                  # distinct doc accepted
+        out = spark.read.parquet(str(tmp_path / "out_span"))
+        texts = {r.doc_id: r.text for r in out.collect()}
+        assert boiler in texts[1]                     # first occurrence kept
+        assert boiler not in texts[2]                 # cross-batch span cut
+        assert texts[2].startswith("bb0")
+
+        # fresh checkpoint, same data: both ledgers short-circuit
+        b = run("ck_span2")
+        assert b[0]["skipped_replay"] is True
+        assert b[0]["span_commit_skipped"] is True
+        out2 = {r.doc_id: r.text for r in spark.read.parquet(
+            str(tmp_path / "out_span")).collect()}
+        assert out2 == texts
