@@ -213,6 +213,12 @@ def pq_topk(
     full scan still touches only m-byte codes; the raw-vector join is
     queries × shortlist rows.  On hard (near-random) embeddings this
     recovers most of the recall pure ADC loses to quantization noise.
+
+    Contract: ``rerank_with`` must cover every id in the encoded
+    corpus — the rerank stage inner-joins the shortlist to it, so a
+    shortlist id with no raw vector is dropped (a query can then
+    return fewer than ``topk`` rows).  Use the frame the codes were
+    encoded from (the normal case) and the contract holds trivially.
     """
     import numpy as np
 
@@ -418,7 +424,9 @@ def ivfpq_topk(
     fraction is ~nprobe/nlist of the corpus per query, on m-byte
     codes.  (query, centroid) probe pairs are a broadcast-joined
     driver-built frame; scoring reuses the per-query lookup tables.
-    Optional exact rerank as in :func:`pq_topk`.  Returns
+    Optional exact rerank as in :func:`pq_topk` — same coverage
+    contract: ``rerank_with`` must cover every indexed id (the rerank
+    inner-join silently drops shortlist ids it cannot find).  Returns
     (query_id, rank, neighbor_id, score).
     """
     import numpy as np

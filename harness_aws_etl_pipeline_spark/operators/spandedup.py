@@ -174,8 +174,15 @@ def remove_spans(
     of ``text_col`` (the rebuild half of the operator, reusable by the
     incremental gate): tokens outside every span reassembled in order,
     other columns untouched."""
+    # cast to int so the no-span fallback array below always matches
+    # the joined column's type (callers may pass long-typed spans)
     per_doc = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("int").alias("span_start"),
+                F.col("span_end").cast("int").alias("span_end"),
+            )
+        ).alias("__spans")
     )
     toked = df.withColumn("__toks", tokens(text_col))
     joined = toked.join(

@@ -73,11 +73,13 @@ def normalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/?#]*):443(?=[/?#]|$)", r"$1")
     # 4. leading www.
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
-    # 5+6. query params: split, drop tracking, sort, rejoin
+    # 5+6. query params: split, drop tracking, sort, rejoin.  The
+    # query is everything after the FIRST '?' (RFC 3986 — later '?'
+    # are literal query characters, e.g. "/x?a=1?b=2" has one param)
     base = F.substring_index(u, "?", 1)
     has_q = u.contains("?")
     params = F.filter(
-        F.split(F.substring_index(u, "?", -1), "&"),
+        F.split(F.regexp_extract(u, r"^[^?]*\?(.*)$", 1), "&"),
         lambda p: (p != "")
         & ~F.exists(
             F.array(*[F.lit(t) for t in TRACKING_PARAMS]),

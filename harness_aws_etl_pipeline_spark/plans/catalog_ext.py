@@ -2178,7 +2178,11 @@ _MIX_WEIGHTS = {"src0": 4, "src1": 3, "src2": 2, "src3": 1, "src17": 5}
 # tracking params + sort, keeper-prefix param, bare/deep trailing
 # slash), plus canonical-dup groups ({1,3,5} and {10,11}) and multi-
 # label hosts for the eTLD+1 heuristic.  Embedded verbatim in BOTH the
-# Spark builder and the oracle's VALUES.
+# Spark builder and the oracle's VALUES.  Round 6 adds a literal-'?'
+# query (RFC 3986 allows '?' inside the query — the params must come
+# from the FIRST '?') and three non-URL rows, so the NULL-host group
+# exceeds the cap_per_host leg's cap of 2 and pins the never-cap-NULL
+# contract on both sides.
 _URL_FIXTURE = (
     "HTTPS://Example.COM/Path/File",
     "https://a.com/x#section-2",
@@ -2194,6 +2198,10 @@ _URL_FIXTURE = (
     "http://example.com/page?a=1&b=2",
     "https://www.news.example.co.uk:443/a",
     "http://blog.example.com/x",
+    "https://a.com/x?a=1?b=2",
+    "not-a-url-1",
+    "not-a-url-2",
+    "not-a-url-3",
 )
 
 
@@ -2465,7 +2473,10 @@ def _oracle_corpus_mix() -> str:
          CAST(COUNT(DISTINCT host) AS BIGINT) AS url_host_cnt,
          CAST(COUNT(DISTINCT dom) AS BIGINT) AS url_domain_cnt,
          CAST(COUNT(DISTINCT v) AS BIGINT) AS url_dedup_kept,
-         (SELECT CAST(SUM(LEAST(n, 2)) AS BIGINT)
+         -- NULL-host rows are never capped (the engine's contract) —
+         -- the NULL group must NOT go through LEAST()
+         (SELECT CAST(SUM(CASE WHEN host IS NULL THEN n
+                               ELSE LEAST(n, 2) END) AS BIGINT)
           FROM (SELECT host, COUNT(*) AS n FROM hosts GROUP BY host)) AS url_cap2_kept
   FROM doms
 """

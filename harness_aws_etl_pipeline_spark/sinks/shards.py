@@ -43,7 +43,16 @@ def assign_shards(
     """Add ``shard_col`` — the 0-based token-bounded shard index in
     ``order_col`` order (see module doc for the two-level prefix sum).
     Deterministic: a pure function of (order_col, token_col) values,
-    independent of the input partitioning."""
+    independent of the input partitioning.
+
+    The ranged frame is evaluated by TWO jobs (the per-partition sums,
+    then the within-partition window), so it is persisted across them
+    — otherwise a nondeterministic input (sample/limit/nondeterministic
+    UDF upstream) could recompute differently in job 2 and silently
+    disagree with the driver offsets.  The cache handle rides the
+    returned frame as ``_shard_cache``; :func:`write_training_shards`
+    unpersists it after its action, standalone callers should
+    ``out._shard_cache.unpersist()`` once the result is materialized."""
     if tokens_per_shard < 1:
         raise ValueError("tokens_per_shard must be >= 1")
     nparts = num_range_parts or df.sparkSession.conf.get(
@@ -51,7 +60,7 @@ def assign_shards(
     )
     ranged = df.repartitionByRange(int(nparts), F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).persist()
     # per-range-partition sums: tiny (one row per partition), and the
     # partition -> key-range mapping is monotone by construction
     psums = (
@@ -76,7 +85,7 @@ def assign_shards(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    out = (
         ranged.withColumn("__cum", F.sum(token_col).over(w))
         .withColumn(
             shard_col,
@@ -87,6 +96,8 @@ def assign_shards(
         )
         .drop("__pid", "__cum")
     )
+    out._shard_cache = ranged  # unpersist handle (see docstring)
+    return out
 
 
 def write_training_shards(
@@ -117,4 +128,7 @@ def write_training_shards(
         F.count(F.lit(1)).alias("r"),
         F.sum(token_col).alias("t"),
     ).collect()[0]
+    cache = getattr(assigned, "_shard_cache", None)
+    if cache is not None:
+        cache.unpersist()
     return {"shards": int(row["s"]), "rows": int(row["r"]), "tokens": int(row["t"])}

@@ -103,6 +103,23 @@ class TestRemove:
             map(tuple, twice.collect())
         )
 
+    def test_explicit_spans_long_typed(self, spark):
+        """remove_spans accepts long-typed explicit spans — the
+        empty-spans fallback must not fail analysis on the type
+        mismatch (the int cast happens in the per-doc aggregation)."""
+        from harness_aws_etl_pipeline_spark.operators.spandedup import (
+            remove_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "f g h")], "doc_id long, text string"
+        )
+        spans = spark.createDataFrame(
+            [(1, 1, 3)], "doc_id long, span_start long, span_end long"
+        )
+        got = {r.doc_id: r.text for r in remove_spans(docs, spans).collect()}
+        assert got == {1: "a d e", 2: "f g h"}
+
     def test_other_columns_untouched(self, spark):
         df = spark.createDataFrame(
             [(1, "x " + BOILER, "s0"), (2, "y " + BOILER, "s1")],

@@ -48,6 +48,10 @@ class TestNormalizeUrl:
             ("https://a.com/x?ref=hn&keep=1", "https://a.com/x?keep=1"),
             # a param NAMED like a keeper stays ("refresh" != "ref")
             ("https://a.com/x?refresh=1", "https://a.com/x?refresh=1"),
+            # literal '?' inside the query (RFC 3986): the query is
+            # everything after the FIRST '?', nothing is dropped
+            ("https://a.com/x?a=1?b=2", "https://a.com/x?a=1?b=2"),
+            ("https://a.com/x?b=2&a=1?z", "https://a.com/x?a=1?z&b=2"),
             # bare-path trailing slash; deeper slashes preserved
             ("https://a.com/", "https://a.com"),
             ("https://a.com/x/", "https://a.com/x/"),
