@@ -26,7 +26,9 @@ Scale design (100 TB): the only driver-side state is the per-source
 token totals — one row per source (tens, not millions; same bounded
 collect class as IVF centroids).  The sample filter itself is a pure
 column predicate (predicate-pushdown-friendly, no join, no shuffle);
-``cap_per_domain`` is one window over a (source)-partitioned shuffle.
+``cap_per_domain`` is a two-phase salted-bucket ranking — no single
+task ever sees a whole hot domain (round 6; NULL domains are exempt
+from the cap, matching ``cap_per_host``'s convention).
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ __all__ = [
     "mix_thresholds",
     "sample_to_mix",
     "cap_per_domain",
+    "cap_per_domain_stats",
     "shuffle_corpus",
     "plan_epochs",
     "repeat_to_budget",
@@ -143,19 +146,60 @@ def cap_per_domain(
     domain_col: str = "source",
     order_by: list[Column] | None = None,
     id_col: str = "doc_id",
+    buckets: int = 32,
 ) -> DataFrame:
     """Keep at most ``n`` documents per domain — the over-represented-
     host guard.  Deterministic ranking (``order_by`` with ``id_col``
-    tiebreak); one window over a (domain)-partitioned shuffle.  A
-    pathologically hot domain concentrates on one task only for rank
-    assignment — at 100 TB cap hot domains earlier with
-    ``sample_to_mix`` or pre-filter, or accept the one skewed task."""
+    tiebreak).
+
+    Scale: two-phase salted-bucket ranking (``urlops._two_phase_cap``)
+    — a pathologically hot domain is spread over ``buckets`` tasks in
+    phase 1 and bounded to ``buckets·n`` rows per domain in phase 2;
+    output is IDENTICAL to the naive single per-domain window (any
+    true top-``n`` row has < n rows ahead of it in its own bucket).
+    No caller-side pre-thin needed; counters via
+    :func:`cap_per_domain_stats`."""
+    from harness_aws_etl_pipeline_spark.operators.urlops import _two_phase_cap
+
     ordering = (order_by or []) + [F.col(id_col)]
-    w = Window.partitionBy(domain_col).orderBy(*ordering)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
+    return _two_phase_cap(
+        df, domain_col, n, ordering, F.xxhash64(F.col(id_col)), buckets
+    )
+
+
+def cap_per_domain_stats(
+    df: DataFrame,
+    n: int,
+    domain_col: str = "source",
+) -> DataFrame:
+    """1-row cap-hit panel for :func:`cap_per_domain` (the
+    ``bucket_cap_stats`` observability convention): ``(cap,
+    domains_total, domains_capped, rows_total, rows_dropped,
+    max_domain, null_domain_rows)``.  One groupBy-count, no window."""
+    sizes = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    doms = sizes.filter(F.col("__dom").isNotNull())
+    return doms.agg(
+        F.lit(n).cast("long").alias("cap"),
+        F.count(F.lit(1)).cast("long").alias("domains_total"),
+        F.coalesce(F.sum((F.col("n") > n).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("domains_capped"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("rows_total"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n") > n, F.col("n") - n).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("rows_dropped"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_domain"),
+    ).crossJoin(
+        sizes.filter(F.col("__dom").isNull()).agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("long")
+            .alias("null_domain_rows")
+        )
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "add_url_columns",
     "dedup_by_url",
     "cap_per_host",
+    "cap_per_host_stats",
 ]
 
 #: query params dropped by normalize_url (tracking / referrer noise)
@@ -165,32 +166,122 @@ def dedup_by_url(
     return ranked.filter(F.col("__rn") == 1).drop("__uk", "__rn")
 
 
+def _two_phase_cap(
+    df: DataFrame,
+    key_col: str,
+    max_docs: int,
+    ordering: list[Column],
+    salt: Column,
+    buckets: int,
+) -> DataFrame:
+    """Exact per-``key_col`` top-``max_docs`` by ``ordering`` with NO
+    hot single task — the automated bound the engine's other capped
+    blockings (LSH bucket caps, semdedup sub-split) already follow.
+
+    Two windows instead of one:
+
+    1. rank within ``(key, salt % buckets)`` — a pathologically hot
+       key is spread over ``buckets`` tasks; keep rank ≤ max_docs.
+       Any row in the TRUE per-key top-``max_docs`` has < max_docs
+       rows ahead of it globally, hence < max_docs ahead of it inside
+       its own bucket, so it always survives — phase 1 is a lossless
+       (w.r.t. the final answer) pre-thin, no probabilistic cutoff.
+    2. exact rank over the survivors (≤ buckets·max_docs per key —
+       bounded, so the per-key task is bounded) — identical output to
+       the naive single window, proven by the superset argument above.
+
+    NULL keys bypass both windows (never capped)."""
+    from pyspark.sql import Window
+
+    bucket = F.pmod(salt, F.lit(buckets))
+    w1 = Window.partitionBy(F.col(key_col), bucket).orderBy(*ordering)
+    w2 = Window.partitionBy(key_col).orderBy(*ordering)
+    null_key = F.col(key_col).isNull()
+    phase1 = df.withColumn(
+        "__rn1",
+        F.when(null_key, F.lit(1)).otherwise(F.row_number().over(w1)),
+    ).filter(F.col("__rn1") <= max_docs)
+    return (
+        phase1.withColumn(
+            "__rn2",
+            F.when(null_key, F.lit(1)).otherwise(F.row_number().over(w2)),
+        )
+        .filter(F.col("__rn2") <= max_docs)
+        .drop("__rn1", "__rn2")
+    )
+
+
 def cap_per_host(
     df: DataFrame,
     max_docs: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    buckets: int = 32,
 ) -> DataFrame:
     """At most ``max_docs`` rows per host, chosen by smallest
     ``xxhash64(id)`` — deterministic, append-stable sampling (a doc
     that survives keeps surviving as the host grows, until its hash
     rank is displaced).  NULL-host rows are never capped.
 
-    Scale note (same caveat as ``mixing.cap_per_domain``): the rank
-    window concentrates each host on one task.  A pathologically hot
-    host (hundreds of millions of pages) should be pre-thinned with a
-    hash predicate (``xxhash64(id) % k == 0``) before the exact cap —
-    the window then ranks the survivors only."""
-    from pyspark.sql import Window
-
+    Scale: the cap is a two-phase salted-bucket ranking (see
+    :func:`_two_phase_cap`) — a pathologically hot host (hundreds of
+    millions of pages) is spread over ``buckets`` tasks in phase 1
+    and bounded to ``buckets·max_docs`` rows in phase 2, with output
+    IDENTICAL to the naive per-host window.  No caller-side pre-thin
+    needed.  Pair with :func:`cap_per_host_stats` for the cap-hit
+    counters (the ``bucket_cap_stats`` observability convention)."""
     keyed = df.withColumn("__host", url_host(F.col(url_col)))
-    w = Window.partitionBy("__host").orderBy(
-        F.xxhash64(F.col(id_col)), F.col(id_col)
+    out = _two_phase_cap(
+        keyed,
+        "__host",
+        max_docs,
+        [F.xxhash64(F.col(id_col)), F.col(id_col)],
+        F.xxhash64(F.col(id_col)),
+        buckets,
     )
-    ranked = keyed.withColumn(
-        "__rn",
-        F.when(F.col("__host").isNull(), F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
+    return out.drop("__host")
+
+
+def cap_per_host_stats(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """1-row cap-hit panel for :func:`cap_per_host` — the silent-drop
+    observability twin (``bucket_cap_stats`` convention): ``(cap,
+    hosts_total, hosts_capped, rows_total, rows_dropped, max_host,
+    null_host_rows)``.  NULL-host rows are exempt from the cap and
+    reported separately.  Cost: one groupBy-count, no window."""
+    sizes = (
+        df.withColumn("__host", url_host(F.col(url_col)))
+        .groupBy("__host")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    return ranked.filter(F.col("__rn") <= max_docs).drop("__host", "__rn")
+    hosts = sizes.filter(F.col("__host").isNotNull())
+    return (
+        hosts.agg(
+            F.lit(max_docs).cast("long").alias("cap"),
+            F.count(F.lit(1)).cast("long").alias("hosts_total"),
+            F.coalesce(
+                F.sum((F.col("n") > max_docs).cast("long")), F.lit(0)
+            ).cast("long").alias("hosts_capped"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("rows_total"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("n") > max_docs, F.col("n") - max_docs
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).cast("long").alias("rows_dropped"),
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_host"),
+        )
+        .crossJoin(
+            sizes.filter(F.col("__host").isNull()).agg(
+                F.coalesce(F.sum("n"), F.lit(0))
+                .cast("long")
+                .alias("null_host_rows")
+            )
+        )
+    )

@@ -2220,6 +2220,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     from harness_aws_etl_pipeline_spark.operators.urlops import (
         add_url_columns,
         cap_per_host,
+        cap_per_host_stats,
         dedup_by_url,
     )
 
@@ -2255,6 +2256,15 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(
             cap_per_host(urls, 2).agg(
                 F.count(F.lit(1)).cast("long").alias("url_cap2_kept")
+            )
+        )
+        # round 6: the cap-hit counters (automated two-phase cap) are
+        # oracle-backed too — hosts over the cap and rows dropped,
+        # re-derived by the SQL arm from the same VALUES
+        .crossJoin(
+            cap_per_host_stats(urls, 2).select(
+                F.col("hosts_capped").alias("url_cap_hosts_capped"),
+                F.col("rows_dropped").alias("url_cap_rows_dropped"),
             )
         )
     )
@@ -2477,7 +2487,15 @@ def _oracle_corpus_mix() -> str:
          -- the NULL group must NOT go through LEAST()
          (SELECT CAST(SUM(CASE WHEN host IS NULL THEN n
                                ELSE LEAST(n, 2) END) AS BIGINT)
-          FROM (SELECT host, COUNT(*) AS n FROM hosts GROUP BY host)) AS url_cap2_kept
+          FROM (SELECT host, COUNT(*) AS n FROM hosts GROUP BY host)) AS url_cap2_kept,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT host, COUNT(*) AS n FROM hosts
+                WHERE host IS NOT NULL GROUP BY host)
+          WHERE n > 2) AS url_cap_hosts_capped,
+         (SELECT CAST(COALESCE(SUM(n - 2), 0) AS BIGINT)
+          FROM (SELECT host, COUNT(*) AS n FROM hosts
+                WHERE host IS NOT NULL GROUP BY host)
+          WHERE n > 2) AS url_cap_rows_dropped
   FROM doms
 """
     return ORACLE_CORPUS_MIX.replace("__URL_ARM__", url_arm)

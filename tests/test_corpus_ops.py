@@ -249,6 +249,31 @@ class TestMixing:
         # deterministic: lowest doc_id wins the default ordering
         assert {r["doc_id"] for r in capped.collect()} == {1, 3, 5}
 
+    def test_cap_per_domain_hot_domain_two_phase(self, spark):
+        """Planted hot domain: the two-phase cap equals the naive
+        window (default ordering = lowest doc_id per domain), NULL
+        domains are exempt, and the counters fire."""
+        from harness_aws_etl_pipeline_spark.operators.mixing import (
+            cap_per_domain_stats,
+        )
+
+        rows = (
+            [(i, "hot", "t") for i in range(300)]
+            + [(1000 + i, f"cold{i}", "t") for i in range(5)]
+            + [(2000, None, "t"), (2001, None, "t")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = sorted(
+            r.doc_id for r in cap_per_domain(df, 4, buckets=8).collect()
+        )
+        # naive answer: lowest 4 ids of "hot", every cold, both NULLs
+        assert got == [0, 1, 2, 3] + [1000 + i for i in range(5)] + [2000, 2001]
+
+        s = cap_per_domain_stats(df, 4).collect()[0]
+        assert s.cap == 4 and s.domains_total == 6
+        assert s.domains_capped == 1 and s.rows_dropped == 296
+        assert s.max_domain == 300 and s.null_domain_rows == 2
+
     def test_shuffle_corpus_deterministic_and_total(self, docs):
         a = [r["doc_id"] for r in shuffle_corpus(docs, hash_fn="md5").collect()]
         b = [r["doc_id"] for r in shuffle_corpus(docs, hash_fn="md5").collect()]

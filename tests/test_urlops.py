@@ -137,6 +137,71 @@ class TestUrlDedupAndCaps:
         assert len(busy) == 5
         assert {100, 101} <= set(got1)  # quiet host + NULL row unaffected
 
+    def test_two_phase_cap_identical_to_naive_on_planted_hot_host(
+        self, spark
+    ):
+        """One host with 500 rows among tiny hosts: the two-phase
+        salted-bucket cap must return EXACTLY the naive single-window
+        answer (the superset argument in _two_phase_cap), while never
+        ranking the hot host in one task."""
+        from pyspark.sql import Window
+
+        from harness_aws_etl_pipeline_spark.operators.urlops import url_host
+
+        rows = (
+            [(i, "https://hot.com/p%d" % i) for i in range(500)]
+            + [(1000 + i, "https://cold%d.com/x" % i) for i in range(10)]
+            + [(2000, None), (2001, "junk")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = sorted(r.doc_id for r in cap_per_host(df, 7, buckets=8).collect())
+
+        keyed = df.withColumn("__h", url_host(F.col("url")))
+        w = Window.partitionBy("__h").orderBy(
+            F.xxhash64(F.col("doc_id")), F.col("doc_id")
+        )
+        naive = (
+            keyed.withColumn(
+                "__rn",
+                F.when(F.col("__h").isNull(), F.lit(1)).otherwise(
+                    F.row_number().over(w)
+                ),
+            )
+            .filter(F.col("__rn") <= 7)
+        )
+        want = sorted(r.doc_id for r in naive.collect())
+        assert got == want
+        assert len([d for d in got if d < 500]) == 7  # hot host capped
+        assert {2000, 2001} <= set(got)  # NULL-host rows exempt
+
+    def test_cap_stats_counters_fire(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            cap_per_host_stats,
+        )
+
+        rows = (
+            [(i, "https://hot.com/p%d" % i) for i in range(20)]
+            + [(100, "https://quiet.com/only")]
+            + [(200, None), (201, "junk-no-host")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        s = cap_per_host_stats(df, 5).collect()[0]
+        assert s.cap == 5 and s.hosts_total == 2
+        assert s.hosts_capped == 1 and s.rows_dropped == 15
+        assert s.rows_total == 21 and s.max_host == 20
+        assert s.null_host_rows == 2
+
+    def test_two_phase_plan_has_no_whole_host_partition(self, spark):
+        """Phase 1's window partitions on (host, bucket) — the plan
+        must show the salted key in the first window's partition
+        spec (no single-task hot host)."""
+        df = spark.createDataFrame(
+            [(i, "https://h.com/x") for i in range(10)],
+            "doc_id long, url string",
+        )
+        plan = cap_per_host(df, 2, buckets=8)._jdf.queryExecution().toString()
+        assert "pmod" in plan
+
     def test_cap_append_stability(self, spark):
         """Docs surviving the cap keep surviving when the host grows
         (hash-rank displacement only)."""
