@@ -23,10 +23,12 @@ Canonicalization spec (:func:`normalize_url`):
    never significant; sorting makes equal pages equal strings)
 7. drop the trailing ``/`` of a bare path
 
-Host/domain (:func:`url_host`, :func:`registered_domain`): heuristic
-public-suffix handling with the common two-level suffixes — a full
-public-suffix list is a data file, not an algorithm, and can be
-swapped in by callers who need exactness.
+Host/domain (:func:`url_host`, :func:`registered_domain`): the full
+public-suffix ALGORITHM (normal / ``*.`` wildcard / ``!`` exception
+rules, longest match, implicit ``*`` default) runs as pure column
+expressions; feed it the real publicsuffix.org data file via
+:func:`load_suffix_list` / :func:`parse_suffix_list`, or let it fall
+back to the bundled common-two-level-suffix subset.
 """
 
 from __future__ import annotations
@@ -38,6 +40,8 @@ __all__ = [
     "normalize_url",
     "url_host",
     "registered_domain",
+    "parse_suffix_list",
+    "load_suffix_list",
     "add_url_columns",
     "dedup_by_url",
     "cap_per_host",
@@ -109,26 +113,115 @@ def url_host(col: Column | str) -> Column:
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
-def registered_domain(col: Column | str) -> Column:
-    """eTLD+1 heuristic: the last two host labels, or three when the
-    last two form a known two-level public suffix."""
+def parse_suffix_list(text: str) -> dict:
+    """Parse the publicsuffix.org list format (public knowledge —
+    https://publicsuffix.org/list/): one rule per line, ``//``
+    comments, ``*.`` wildcard rules (stored by their PARENT, the '*'
+    matches exactly one label), ``!`` exception rules.  Returns
+    ``{"normal": [...], "wildcard": [parents], "exception": [...]}``
+    for :func:`registered_domain`."""
+    normal: list[str] = []
+    wildcard: list[str] = []
+    exception: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        token = line.split()[0].lower().lstrip(".")
+        if token.startswith("!"):
+            exception.append(token[1:])
+        elif token.startswith("*."):
+            wildcard.append(token[2:])
+        elif token != "*":  # bare '*' is the implicit default rule
+            normal.append(token)
+    return {"normal": normal, "wildcard": wildcard, "exception": exception}
+
+
+def load_suffix_list(path: str, spark=None) -> dict:
+    """Read + parse a public-suffix list file through the FS adapter
+    (same artifact convention as load_pq / load_merges)."""
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    return parse_suffix_list(
+        get_fs(path, spark).read_bytes(path).decode("utf-8")
+    )
+
+
+def registered_domain(col: Column | str, rules: dict | None = None) -> Column:
+    """eTLD+1 of the URL's host under the public-suffix algorithm
+    (https://publicsuffix.org/list/ — public knowledge):
+
+    - prevailing rule = the matching rule with the most labels;
+      exception rules beat everything; no match → the implicit ``*``
+      rule (suffix = the last label)
+    - registered domain = public suffix + one label; a host that IS a
+      public suffix is returned as-is (the most useful grouping key
+      for corpus work — the PSL itself leaves it undefined)
+
+    ``rules`` is the dict from :func:`parse_suffix_list` /
+    :func:`load_suffix_list`; without it the bundled heuristic subset
+    (``TWO_LEVEL_SUFFIXES``) runs through the SAME engine.  Pure
+    column expressions — rule membership compiles to hash-set
+    ``IN`` lookups (Catalyst InSet), so even the full ~10k-rule list
+    is one broadcast-free, shuffle-free projection."""
     h = url_host(col)
     parts = F.split(h, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    is_two_level = F.exists(
-        F.array(*[F.lit(s) for s in TWO_LEVEL_SUFFIXES]), lambda s: s == last2
-    )
-    take = F.when(is_two_level & (n >= 3), 3).otherwise(2)
-    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(n <= take, h).otherwise(
-            F.array_join(F.slice(parts, n - take + 1, take), ".")
+    if rules is None:
+        rules = {"normal": list(TWO_LEVEL_SUFFIXES)}
+
+    by_level_n: dict[int, list[str]] = {}
+    for s in rules.get("normal", ()):
+        by_level_n.setdefault(s.count(".") + 1, []).append(s)
+    # wildcard parents: rule '*.ck' (parent 'ck', parent_levels+1 total)
+    by_level_w: dict[int, list[str]] = {}
+    for s in rules.get("wildcard", ()):
+        by_level_w.setdefault(s.count(".") + 2, []).append(s)
+    by_level_e: dict[int, list[str]] = {}
+    for s in rules.get("exception", ()):
+        by_level_e.setdefault(s.count(".") + 1, []).append(s)
+
+    def cand(k: int) -> Column:
+        return F.when(n >= k, F.array_join(F.slice(parts, -k, k), "."))
+
+    level_exprs = [F.lit(1)]
+    for k, lst in by_level_n.items():
+        level_exprs.append(
+            F.when(cand(k).isin(lst), F.lit(k)).otherwise(F.lit(0))
         )
+    for k, parents in by_level_w.items():
+        level_exprs.append(
+            F.when((n >= k) & cand(k - 1).isin(parents), F.lit(k)).otherwise(
+                F.lit(0)
+            )
+        )
+    suffix_level = (
+        F.greatest(*level_exprs) if len(level_exprs) > 1 else F.lit(1)
+    )
+    exc_level = F.lit(0)
+    for k, lst in sorted(by_level_e.items()):
+        exc_level = F.when(cand(k).isin(lst), F.lit(k)).otherwise(exc_level)
+
+    # exception rule: the exception itself IS the registered domain
+    take = F.when(exc_level > 0, exc_level).otherwise(suffix_level + 1)
+    max_take = 1 + max(
+        [1, *by_level_n.keys(), *by_level_w.keys(), *by_level_e.keys()]
+    )
+    cand_take = F.lit(None).cast("string")
+    for k in range(1, max_take + 1):
+        cand_take = F.when(
+            take == k, F.array_join(F.slice(parts, -k, k), ".")
+        ).otherwise(cand_take)
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= take, h).otherwise(cand_take)
     )
 
 
 def add_url_columns(
-    df: DataFrame, url_col: str = "url", prefix: str = "url_"
+    df: DataFrame,
+    url_col: str = "url",
+    prefix: str = "url_",
+    suffix_rules: dict | None = None,
 ) -> DataFrame:
     """Adds ``{prefix}norm``, ``{prefix}host``, ``{prefix}domain``,
     ``{prefix}path_depth`` (count of non-empty path segments)."""
@@ -138,7 +231,7 @@ def add_url_columns(
     return (
         df.withColumn(f"{prefix}norm", normalize_url(u))
         .withColumn(f"{prefix}host", url_host(u))
-        .withColumn(f"{prefix}domain", registered_domain(u))
+        .withColumn(f"{prefix}domain", registered_domain(u, suffix_rules))
         .withColumn(
             f"{prefix}path_depth",
             F.when(u.isNull(), F.lit(None).cast("int")).otherwise(depth),

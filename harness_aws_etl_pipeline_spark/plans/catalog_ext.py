@@ -2204,6 +2204,29 @@ _URL_FIXTURE = (
     "not-a-url-3",
 )
 
+# Round-6 PSL leg: a planted public-suffix rule set (publicsuffix.org
+# FORMAT is public knowledge; these VALUES are the oracle's copy) and
+# URLs covering every rule kind — normal at 1/2/3 labels, wildcard,
+# exception, host-is-suffix, implicit default.  The SQL arm re-derives
+# eTLD+1 from the SAME rules table with the full PSL algorithm.
+_PSL_RULES = {
+    "normal": ["com", "uk", "co.uk", "ac.uk", "ck", "github.io",
+               "s3.amazonaws.com"],
+    "wildcard": ["ck"],
+    "exception": ["reg.ck"],
+}
+_PSL_URLS = (
+    "https://foo.github.io/x",
+    "https://a.b.github.io/x",
+    "https://github.io/",
+    "https://bucket.s3.amazonaws.com/k",
+    "https://www.dept.univ.ac.uk/p",
+    "https://deep.shop.stuff.ck/x",
+    "https://sub.reg.ck/x",
+    "https://a.example.com/x",
+    "https://x.unknown-tld/x",
+)
+
 
 def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] domain-weighted corpus mixing (operators/mixing.py) —
@@ -2222,6 +2245,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         cap_per_host,
         cap_per_host_stats,
         dedup_by_url,
+        registered_domain,
     )
 
     docs = _t(spark, sf, "documents")
@@ -2265,6 +2289,18 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
             cap_per_host_stats(urls, 2).select(
                 F.col("hosts_capped").alias("url_cap_hosts_capped"),
                 F.col("rows_dropped").alias("url_cap_rows_dropped"),
+            )
+        )
+        # round 6: public-suffix-list eTLD+1 (registered_domain with a
+        # planted rule set — normal/wildcard/exception) — the oracle
+        # runs the full PSL algorithm in SQL over the same VALUES
+        .crossJoin(
+            spark.createDataFrame([(u,) for u in _PSL_URLS], "u string")
+            .select(registered_domain("u", _PSL_RULES).alias("d"))
+            .agg(
+                F.md5(
+                    F.concat_ws("|", F.array_sort(F.collect_list("d")))
+                ).alias("url_psl_md5")
             )
         )
     )
@@ -2403,6 +2439,7 @@ def _oracle_corpus_mix() -> str:
     values = ",\n    ".join(
         f"({i}, '{u}')" for i, u in enumerate(_URL_FIXTURE)
     )
+    psl_values = ", ".join(f"('{u}')" for u in _PSL_URLS)
     suffixes = ", ".join(f"'{s}'" for s in (
         "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
         "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
@@ -2495,10 +2532,81 @@ def _oracle_corpus_mix() -> str:
          (SELECT CAST(COALESCE(SUM(n - 2), 0) AS BIGINT)
           FROM (SELECT host, COUNT(*) AS n FROM hosts
                 WHERE host IS NOT NULL GROUP BY host)
-          WHERE n > 2) AS url_cap_rows_dropped
+          WHERE n > 2) AS url_cap_rows_dropped,
+         -- round 6: full public-suffix ALGORITHM re-derived in SQL
+         -- over the planted rules VALUES (normal/wildcard/exception,
+         -- longest match, exception wins, implicit '*' default;
+         -- host-is-suffix returns the host)
+         (WITH pslr(rule, kind) AS (VALUES
+            ('com','n'),('uk','n'),('co.uk','n'),('ac.uk','n'),
+            ('ck','n'),('github.io','n'),('s3.amazonaws.com','n'),
+            ('ck','w'),('reg.ck','e')),
+          pslu(u) AS (VALUES __PSL_URLS__),
+          pslh AS (
+            SELECT u, CASE WHEN h = '' THEN NULL ELSE h END AS h
+            FROM (SELECT u, regexp_replace(
+                    lower(regexp_extract(u,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+                    '^www\.', '') AS h
+                  FROM pslu)
+          ),
+          pslc AS (
+            SELECT u, h, string_split(h, '.') AS parts,
+                   len(string_split(h, '.')) AS n
+            FROM pslh WHERE h IS NOT NULL
+          ),
+          cnds AS (
+            SELECT u, h, n,
+              list_aggregate(list_slice(parts, n, n), 'string_agg', '.') AS c1,
+              CASE WHEN n >= 2 THEN list_aggregate(
+                list_slice(parts, n - 1, n), 'string_agg', '.') END AS c2,
+              CASE WHEN n >= 3 THEN list_aggregate(
+                list_slice(parts, n - 2, n), 'string_agg', '.') END AS c3,
+              CASE WHEN n >= 4 THEN list_aggregate(
+                list_slice(parts, n - 3, n), 'string_agg', '.') END AS c4
+            FROM pslc
+          ),
+          lv AS (
+            SELECT u, h, n, c1, c2, c3, c4,
+              GREATEST(1,
+                CASE WHEN c1 IN (SELECT rule FROM pslr WHERE kind = 'n'
+                                 AND len(string_split(rule, '.')) = 1)
+                     THEN 1 ELSE 0 END,
+                CASE WHEN c2 IN (SELECT rule FROM pslr WHERE kind = 'n'
+                                 AND len(string_split(rule, '.')) = 2)
+                     THEN 2 ELSE 0 END,
+                CASE WHEN c3 IN (SELECT rule FROM pslr WHERE kind = 'n'
+                                 AND len(string_split(rule, '.')) = 3)
+                     THEN 3 ELSE 0 END,
+                CASE WHEN n >= 2 AND c1 IN (SELECT rule FROM pslr
+                                            WHERE kind = 'w'
+                                 AND len(string_split(rule, '.')) = 1)
+                     THEN 2 ELSE 0 END,
+                CASE WHEN n >= 3 AND c2 IN (SELECT rule FROM pslr
+                                            WHERE kind = 'w'
+                                 AND len(string_split(rule, '.')) = 2)
+                     THEN 3 ELSE 0 END) AS slv,
+              COALESCE(CASE WHEN c2 IN (SELECT rule FROM pslr
+                                        WHERE kind = 'e'
+                             AND len(string_split(rule, '.')) = 2)
+                            THEN 2 END, 0) AS exc
+            FROM cnds
+          ),
+          dom AS (
+            SELECT u, CASE WHEN tk >= n THEN h
+                           WHEN tk = 1 THEN c1 WHEN tk = 2 THEN c2
+                           WHEN tk = 3 THEN c3 WHEN tk = 4 THEN c4 END AS d
+            FROM (SELECT u, h, n, c1, c2, c3, c4,
+                         CASE WHEN exc > 0 THEN exc ELSE slv + 1 END AS tk
+                  FROM lv)
+          )
+          SELECT md5(string_agg(d, '|' ORDER BY d)) FROM dom
+         ) AS url_psl_md5
   FROM doms
 """
-    return ORACLE_CORPUS_MIX.replace("__URL_ARM__", url_arm)
+    return ORACLE_CORPUS_MIX.replace("__URL_ARM__", url_arm).replace(
+        "__PSL_URLS__", psl_values
+    )
 
 
 def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:

@@ -107,6 +107,117 @@ class TestHostDomain:
         assert out[2].url_norm is None and out[2].url_path_depth is None
 
 
+_PSL_FIXTURE = """\
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+ac.uk
+au
+com.au
+ck
+*.ck
+!reg.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+s3.amazonaws.com
+// ===END PRIVATE DOMAINS===
+"""
+
+
+class TestPublicSuffixList:
+    def test_parse_format(self):
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            parse_suffix_list,
+        )
+
+        rules = parse_suffix_list(_PSL_FIXTURE)
+        assert "github.io" in rules["normal"]
+        assert "s3.amazonaws.com" in rules["normal"]
+        assert rules["wildcard"] == ["ck"]
+        assert rules["exception"] == ["reg.ck"]
+        assert "com" in rules["normal"] and "*" not in rules["normal"]
+
+    def test_load_from_file(self, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            load_suffix_list,
+            parse_suffix_list,
+        )
+
+        p = tmp_path / "psl.dat"
+        p.write_text(_PSL_FIXTURE)
+        assert load_suffix_list(str(p)) == parse_suffix_list(_PSL_FIXTURE)
+
+    @pytest.mark.parametrize(
+        "url,expected",
+        [
+            # private-registry suffix beyond the old 18-entry heuristic
+            ("https://foo.github.io/x", "foo.github.io"),
+            ("https://a.b.github.io/x", "b.github.io"),
+            ("https://github.io/", "github.io"),  # host IS a suffix
+            # 3-label private suffix
+            ("https://bucket.s3.amazonaws.com/k", "bucket.s3.amazonaws.com"),
+            # multi-level ICANN beyond the heuristic's co.uk
+            ("https://www.dept.univ.ac.uk/p", "univ.ac.uk"),
+            # wildcard *.ck: any x.ck is a suffix
+            ("https://shop.stuff.ck/x", "shop.stuff.ck"),
+            ("https://deep.shop.stuff.ck/x", "shop.stuff.ck"),
+            # exception !reg.ck cancels the wildcard
+            ("https://reg.ck/x", "reg.ck"),
+            ("https://sub.reg.ck/x", "reg.ck"),
+            # url_host strips a leading www. (canonicalization), so a
+            # www.-prefixed host degrades to its parent BEFORE the
+            # PSL runs — documented interaction, pinned here
+            ("https://www.ck/x", "ck"),
+            # plain rules + implicit default
+            ("https://a.example.com/x", "example.com"),
+            ("https://x.unknown-tld/x", "x.unknown-tld"),
+            (None, None),
+        ],
+    )
+    def test_psl_semantics(self, spark, url, expected):
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            parse_suffix_list,
+        )
+
+        rules = parse_suffix_list(_PSL_FIXTURE)
+        got = (
+            spark.createDataFrame([(url,)], "u string")
+            .select(registered_domain("u", rules).alias("d"))
+            .collect()[0]
+            .d
+        )
+        assert got == expected, url
+
+    def test_default_rules_unchanged(self, spark):
+        """No rules passed -> the bundled heuristic subset through the
+        same engine — byte-identical to the round-5 behavior."""
+        rows = [
+            ("https://www.news.example.co.uk:443/a", "example.co.uk"),
+            ("http://blog.example.com/x", "example.com"),
+            ("https://example.com", "example.com"),
+            ("https://a.co.jp/x", "a.co.jp"),
+        ]
+        df = spark.createDataFrame([(r[0],) for r in rows], "u string")
+        got = df.select(registered_domain("u").alias("d")).collect()
+        for (u, want), r in zip(rows, got):
+            assert r.d == want, u
+
+    def test_add_url_columns_takes_rules(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            parse_suffix_list,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://foo.github.io/x")], "doc_id long, url string"
+        )
+        out = add_url_columns(
+            df, suffix_rules=parse_suffix_list(_PSL_FIXTURE)
+        ).collect()[0]
+        assert out.url_domain == "foo.github.io"
+
+
 class TestUrlDedupAndCaps:
     def test_dedup_by_url_min_id_survives(self, spark):
         df = spark.createDataFrame(
