@@ -493,14 +493,41 @@ class IncrementalSpanDeduper:
     grows with distinct corpus grams — same storage class as the
     signature state, maintained with :func:`IncrementalDeduper.maintain`'s
     compaction through ``maintain()``.
+
+    State-growth bound (round 6, opt-in): with ``track_hits=True``
+    every state row carries ``(batch_seq, last_seq)`` — the commit
+    sequence that inserted the gram and the last sequence that SAW it
+    again — and the commit becomes a keyed merge (new grams inserted,
+    hit grams' ``last_seq`` refreshed; still one exactly-once txn).
+    ``maintain(prune_singletons_older_than=N)`` then drops grams that
+    were never seen twice (``last_seq == batch_seq``) and are older
+    than ``N`` commits, so state size plateaus at roughly the
+    distinct-gram footprint of the last N batches plus the recurring
+    (boilerplate) set, which is never pruned because its ``last_seq``
+    keeps advancing.  RECALL CONSEQUENCE (documented, counted): a
+    pruned singleton that recurs later is re-inserted as a NEW
+    canonical first — that one recurrence survives the gate; only
+    occurrences after it are removed again.  This is bounded-memory
+    ExactSubstr: duplicates at a distance greater than the prune
+    horizon cost exactly one missed removal each.  Cost: the merge
+    rewrites only files holding the batch's hit grams (gram-clustered
+    files keep hot boilerplate co-located), vs the pure append of
+    ``track_hits=False``.
     """
 
-    def __init__(self, spark: SparkSession, state_path: str, k: int = 50):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        k: int = 50,
+        track_hits: bool = False,
+    ):
         if k < 2:
             raise ValueError("k must be >= 2")
         self.spark = spark
         self.table = SnapTable(spark, state_path)
         self.k = k
+        self.track_hits = track_hits
 
     def state_grams(self) -> DataFrame | None:
         if self.table.current_version() is None:
@@ -512,10 +539,29 @@ class IncrementalSpanDeduper:
         target_file_bytes: int = 128 * 1024 * 1024,
         keep_last: int = 7,
         vacuum_min_age_seconds: float = 24 * 3600,
+        prune_singletons_older_than: int | None = None,
     ) -> dict:
-        return _maintain_state(
+        """Compaction + snapshot expiry (as the doc-level gate), plus
+        the optional singleton-age pruning policy (class docstring —
+        needs a ``track_hits=True`` state).  Returns the compaction
+        dict plus ``pruned_grams``."""
+        pruned = 0
+        if prune_singletons_older_than is not None:
+            state = self.state_grams()
+            if state is not None and "last_seq" in state.columns:
+                cur = self.table.current_version() or 0
+                cutoff = cur - int(prune_singletons_older_than)
+                before = self.table.count_rows()
+                self.table.delete_where(
+                    (F.col("last_seq") == F.col("batch_seq"))
+                    & (F.col("batch_seq") <= cutoff)
+                )
+                pruned = before - self.table.count_rows()
+        out = _maintain_state(
             self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
         )
+        out["pruned_grams"] = pruned
+        return out
 
     def clean_batch(
         self,
@@ -609,6 +655,48 @@ class IncrementalSpanDeduper:
         state = self.state_grams()
         if state is not None:
             new_rows = new_rows.join(state.select("gram"), "gram", "left_anti")
+        if self.track_hits:
+            # hit-tracking commit: new grams stamped with this commit's
+            # sequence, previously-seen grams refreshed (last_seq only
+            # — canonical first and insert age are preserved), in ONE
+            # exactly-once keyed merge
+            cur = self.table.current_version()
+            seq = (cur + 1) if cur is not None else 0
+            new_rows = (
+                new_rows.withColumn("batch_seq", F.lit(seq).cast("long"))
+                .withColumn("last_seq", F.lit(seq).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            n_new = int(new_rows.count())
+            if state is not None:
+                # legacy states (track_hits=False history) lack the
+                # seq columns — treat their rows as inserted "now"
+                bseq = (
+                    F.coalesce(F.col("batch_seq"), F.lit(seq))
+                    if "batch_seq" in state.columns
+                    else F.lit(seq)
+                )
+                hit_rows = state.join(
+                    firsts.select("gram"), "gram", "left_semi"
+                ).select(
+                    "gram",
+                    "doc_id",
+                    "pos",
+                    bseq.cast("long").alias("batch_seq"),
+                    F.lit(seq).cast("long").alias("last_seq"),
+                )
+                upsert = new_rows.unionByName(hit_rows).localCheckpoint(
+                    eager=True
+                )
+            else:
+                upsert = new_rows
+            out = self.table.merge(upsert, key_cols=["gram"], txn=txn)
+            return {
+                "new_grams": n_new,
+                "hit_grams": int(upsert.count()) - n_new,
+                "state_version": out["version"],
+                "skipped": False,
+            }
         new_rows = new_rows.localCheckpoint(eager=True)
         out = self.table.write(new_rows, mode="append", txn=txn)
         return {
@@ -651,10 +739,13 @@ class IncrementalSpanDeduper:
         if pre_commit is not None:
             pre_commit(halves["cleaned"])
         out = self.commit_grams(docs, id_col, text_col, txn)
-        return {
+        res = {
             "cleaned": halves["cleaned"],
             "spans": halves["spans"],
             "new_grams": out["new_grams"],
             "state_version": out["state_version"],
             "skipped": False,
         }
+        if "hit_grams" in out:
+            res["hit_grams"] = out["hit_grams"]
+        return res

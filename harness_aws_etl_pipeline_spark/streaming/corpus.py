@@ -66,6 +66,7 @@ def run_streaming_corpus_prep(
     dedup_threshold: float = 0.5,
     span_state_path: str | None = None,
     span_k: int = 50,
+    span_track_hits: bool = False,
     app_id: str = "stream_corpus",
     timeout_sec: int = 300,
     on_batch: Callable[[int, dict], None] | None = None,
@@ -88,7 +89,9 @@ def run_streaming_corpus_prep(
     spark = stream_df.sparkSession
     dd = IncrementalDeduper(spark, state_path, threshold=dedup_threshold)
     span_dd = (
-        IncrementalSpanDeduper(spark, span_state_path, k=span_k)
+        IncrementalSpanDeduper(
+            spark, span_state_path, k=span_k, track_hits=span_track_hits
+        )
         if span_state_path is not None
         else None
     )

@@ -4,6 +4,7 @@ snapshot-table signature state and exactly-once batch commits."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.incremental import (
     IncrementalDeduper,
@@ -395,6 +396,68 @@ class TestIncrementalSpanDeduper:
         # and the duplicate content is fully cut
         (r,) = out2["cleaned"].collect()
         assert r.text == ""
+
+    def test_track_hits_prune_plateaus_state_keeps_boilerplate(
+        self, spark, tmp_path
+    ):
+        """Long-run state-growth bound: with track_hits + singleton-age
+        pruning the state PLATEAUS (each batch adds singleton grams,
+        maintain() drops the aged-out ones) while planted recurring
+        boilerplate — whose last_seq keeps advancing — is never pruned
+        and keeps being caught in every batch."""
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalSpanDeduper,
+        )
+
+        dd = IncrementalSpanDeduper(
+            spark, str(tmp_path / "spanstate5"), k=8, track_hits=True
+        )
+        boiler = " ".join(f"bb{i}" for i in range(8))  # exactly one gram
+        sizes, pruned_total = [], 0
+        for b in range(10):
+            uniq = " ".join(f"u{b}x{i}" for i in range(8))
+            docs = spark.createDataFrame(
+                [(b * 10 + 1, f"{uniq} {boiler}")], "doc_id long, text string"
+            )
+            out = dd.process_batch(docs, txn=("lr", b))
+            (row,) = out["cleaned"].collect()
+            if b == 0:
+                assert "bb0" in row.text  # canonical first kept
+            else:
+                assert "bb0" not in row.text  # boilerplate still caught
+                assert out["hit_grams"] >= 1
+            m = dd.maintain(
+                prune_singletons_older_than=3,
+                keep_last=1,
+                vacuum_min_age_seconds=0,
+            )
+            pruned_total += m["pruned_grams"]
+            sizes.append(dd.table.count_rows())
+        assert pruned_total > 0
+        # steady state: the last three sizes are flat (no linear growth)
+        assert sizes[-1] == sizes[-2] == sizes[-3], sizes
+        # and far below the unpruned footprint (9 grams/batch * 10)
+        assert sizes[-1] < 60, sizes
+        # the recurring gram is still in state (refreshed, not pruned)
+        state = dd.state_grams()
+        assert state.filter(F.col("last_seq") > F.col("batch_seq")).count() >= 1
+
+    def test_track_hits_replay_short_circuits(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalSpanDeduper,
+        )
+
+        dd = IncrementalSpanDeduper(
+            spark, str(tmp_path / "spanstate6"), k=8, track_hits=True
+        )
+        b = spark.createDataFrame(
+            [(1, " ".join(f"r{i}" for i in range(10)))],
+            "doc_id long, text string",
+        )
+        out1 = dd.process_batch(b, txn=("th", 0))
+        out2 = dd.process_batch(b, txn=("th", 0))
+        assert out2["skipped"] is True
+        assert out2["state_version"] == out1["state_version"]
 
     def test_pre_commit_sees_cleaned(self, spark, tmp_path):
         dd = self._dd(spark, tmp_path, "spanstate4")
