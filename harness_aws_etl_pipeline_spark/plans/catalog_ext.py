@@ -1254,6 +1254,90 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.element_at("feature", 5))).cast("long").alias("wav_mean_sum"),
         F.round(F.sum(F.element_at("feature", 6))).cast("long").alias("wav_rms_sum"),
     )
+    # media-hash legs (round 6): planted payloads whose perceptual-
+    # hash bits are HAND-COMPUTABLE facts of the algorithms — the
+    # oracle states them as constants (the NFKC planted-fact
+    # convention; SQL cannot decode pixels/PCM, but the expected bits
+    # follow from the hash definitions alone):
+    #  - aHash of a half-white/half-black 8×8: 32 ones then 32 zeros
+    #    = 0xFFFFFFFF00000000 → signed −4294967296; its inverse image
+    #    gives the complement 4294967295
+    #  - dHash of a strictly left-to-right-increasing 8×9 gradient:
+    #    all 64 gradient bits set → signed −1
+    #  - Haitsma–Kalker fingerprint of silence: every band energy 0,
+    #    every double-difference 0 → hash 0
+    #  - banded Hamming joins must find exactly the planted identical
+    #    pair in each modality (and nothing else)
+    import numpy as _np
+
+    from harness_aws_etl_pipeline_spark.operators.audiohash import (
+        audio_hashes,
+        audio_near_dup_pairs,
+    )
+    from harness_aws_etl_pipeline_spark.operators.imagehash import (
+        image_hashes,
+        image_near_dup_pairs,
+    )
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    split = _np.zeros((8, 8, 3), dtype=_np.uint8)
+    split[:4, :, :] = 255
+    grad = _np.zeros((8, 9, 3), dtype=_np.uint8)
+    for j in range(9):
+        grad[:, j, :] = j * 10
+    imgs = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(split))),
+            (2, bytearray(encode_bmp(split))),
+            (3, bytearray(encode_bmp(grad))),
+            (4, bytearray(encode_bmp((255 - split).astype(_np.uint8)))),
+        ],
+        "doc_id long, payload binary",
+    )
+    ah = image_hashes(imgs, method="ahash")
+    dh = image_hashes(imgs, method="dhash")
+    silence = bytearray(encode_wav(_np.zeros(2048, dtype=_np.int16), 16000))
+    wavs = spark.createDataFrame(
+        [(1, silence), (2, silence)], "doc_id long, payload binary"
+    )
+    hash_agg = (
+        ah.agg(
+            F.min(F.when(F.col("doc_id") == 1, F.col("simhash")))
+            .cast("long")
+            .alias("mh_ahash_split"),
+            F.min(F.when(F.col("doc_id") == 4, F.col("simhash")))
+            .cast("long")
+            .alias("mh_ahash_inv"),
+        )
+        .crossJoin(
+            dh.agg(
+                F.min(F.when(F.col("doc_id") == 3, F.col("simhash")))
+                .cast("long")
+                .alias("mh_dhash_grad")
+            )
+        )
+        .crossJoin(
+            image_near_dup_pairs(imgs, method="ahash", max_hamming=3).agg(
+                F.count(F.lit(1)).cast("long").alias("mh_img_pairs"),
+                F.coalesce(F.sum("hamming"), F.lit(0))
+                .cast("long")
+                .alias("mh_img_hamming_sum"),
+            )
+        )
+        .crossJoin(
+            audio_hashes(wavs).agg(
+                F.max("simhash").cast("long").alias("mh_afp_silence")
+            )
+        )
+        .crossJoin(
+            audio_near_dup_pairs(wavs).agg(
+                F.count(F.lit(1)).cast("long").alias("mh_audio_pairs")
+            )
+        )
+    )
     return (
         media_summary(media)
         .crossJoin(feat_agg)
@@ -1261,6 +1345,7 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(png_agg)
         .crossJoin(jpeg_agg)
         .crossJoin(wav_agg)
+        .crossJoin(hash_agg)
     )
 
 
@@ -1284,7 +1369,16 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM((doc_id * 29) % 256) AS BIGINT) AS jpeg_gray_sum,
        CAST(SUM(50 + doc_id % 100) AS BIGINT) AS wav_frames_sum,
        CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS wav_mean_sum,
-       CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS wav_rms_sum
+       CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS wav_rms_sum,
+       -- media-hash facts (round 6): hand-computable from the hash
+       -- definitions over the planted payloads (see q_multimodal_meta)
+       CAST(-4294967296 AS BIGINT) AS mh_ahash_split,
+       CAST(4294967295 AS BIGINT) AS mh_ahash_inv,
+       CAST(-1 AS BIGINT) AS mh_dhash_grad,
+       CAST(1 AS BIGINT) AS mh_img_pairs,
+       CAST(0 AS BIGINT) AS mh_img_hamming_sum,
+       CAST(0 AS BIGINT) AS mh_afp_silence,
+       CAST(1 AS BIGINT) AS mh_audio_pairs
 FROM documents
 """
 
