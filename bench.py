@@ -583,6 +583,27 @@ def _bench_drift_legs(spark, sf_dir: str) -> dict:
     start = time.perf_counter()
     with_punct.collect()
     out["ts_punct_s"] = round(time.perf_counter() - start, 3)
+
+    # g2_revenue_rollup legs (round 6: r5 read +0.14 s vs r4 at the
+    # jitter edge with an unchanged plan — decompose so a real drift
+    # names its leg): scan+join row count vs the full agg+sort
+    from harness_aws_etl_pipeline_spark.plans.catalog import tables
+
+    t = tables(spark, sf_dir)
+    join_only = t["lineitem"].join(
+        t["orders"],
+        t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        "inner",
+    )
+    join_only.count()  # warm
+    start = time.perf_counter()
+    join_only.count()
+    out["g2_join_s"] = round(time.perf_counter() - start, 3)
+    full = CATALOG["g2_revenue_rollup"].builder(spark, sf_dir)
+    full.collect()  # warm
+    start = time.perf_counter()
+    full.collect()
+    out["g2_full_s"] = round(time.perf_counter() - start, 3)
     return out
 
 

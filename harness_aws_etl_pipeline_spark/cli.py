@@ -193,14 +193,18 @@ def main(argv: list[str] | None = None) -> int:
     ann.add_argument("--output", default=None, help="results parquet path")
     ann.add_argument(
         "--method", default="brute_arrow",
-        help="brute/brute_arrow/lsh/ivf/pq",
+        help="brute/brute_arrow/lsh/ivf/pq/ivfpq",
     )
     ann.add_argument("--k", type=int, default=10)
     ann.add_argument("--id-col", default="vec_id")
     ann.add_argument("--vec-col", default="embedding")
     ann.add_argument(
         "--rerank", action="store_true",
-        help="pq only: exact-cosine rerank of the ADC shortlist",
+        help="pq/ivfpq: exact-cosine rerank of the ADC shortlist",
+    )
+    ann.add_argument(
+        "--nprobe", type=int, default=4,
+        help="ivfpq: inverted lists probed per query",
     )
     ann.add_argument(
         "--model", default=None,
@@ -354,7 +358,13 @@ def main(argv: list[str] | None = None) -> int:
 
         cands = spark.read.parquet(args.input)
         queries = spark.read.parquet(args.queries)
-        kw = {"rerank": True} if (args.rerank and args.method == "pq") else {}
+        kw = (
+            {"rerank": True}
+            if (args.rerank and args.method in ("pq", "ivfpq"))
+            else {}
+        )
+        if args.method == "ivfpq":
+            kw["nprobe"] = args.nprobe
         if args.model and args.method == "pq":
             from harness_aws_etl_pipeline_spark.operators.pq import (
                 load_pq,

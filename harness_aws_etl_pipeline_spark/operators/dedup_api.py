@@ -203,6 +203,34 @@ def similarity_search(
             rerank_with=candidates if rerank else None,
             shortlist=shortlist,
         )
+    if method == "ivfpq":
+        # residual IVF-PQ (build_ivfpq): probe nprobe of nlist
+        # inverted lists on the q·c + q·r̂ score — the deployment-
+        # shape path (persist index/centroids/model for reuse)
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            build_ivfpq,
+            ivfpq_topk,
+        )
+
+        rerank = kwargs.pop("rerank", False)
+        shortlist = kwargs.pop("shortlist", None)
+        nprobe = kwargs.pop("nprobe", 4)
+        index, cents, model = build_ivfpq(
+            candidates, id_col=id_col, vec_col=vec_col, **kwargs
+        )
+        return ivfpq_topk(
+            index,
+            queries,
+            model,
+            cents,
+            nprobe=nprobe,
+            topk=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            rerank_with=candidates if rerank else None,
+            shortlist=shortlist,
+        )
     raise ValueError(
-        f"unknown similarity method {method!r}; choose brute/brute_arrow/lsh/ivf/pq"
+        f"unknown similarity method {method!r}; choose "
+        "brute/brute_arrow/lsh/ivf/pq/ivfpq"
     )

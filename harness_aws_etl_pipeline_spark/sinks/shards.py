@@ -46,21 +46,23 @@ def assign_shards(
     independent of the input partitioning.
 
     The ranged frame is evaluated by TWO jobs (the per-partition sums,
-    then the within-partition window), so it is persisted across them
-    — otherwise a nondeterministic input (sample/limit/nondeterministic
-    UDF upstream) could recompute differently in job 2 and silently
-    disagree with the driver offsets.  The cache handle rides the
-    returned frame as ``_shard_cache``; :func:`write_training_shards`
-    unpersists it after its action, standalone callers should
-    ``out._shard_cache.unpersist()`` once the result is materialized."""
+    then the within-partition window), so it is pinned with an eager
+    ``localCheckpoint`` across them — otherwise a nondeterministic
+    input (sample/limit/nondeterministic UDF upstream) could recompute
+    differently in job 2 and silently disagree with the driver
+    offsets.  localCheckpoint (not persist) keeps the engine's
+    cache-hygiene contract — no CacheManager entry to leak; the
+    blocks are released when the frame is garbage-collected."""
     if tokens_per_shard < 1:
         raise ValueError("tokens_per_shard must be >= 1")
     nparts = num_range_parts or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    ranged = df.repartitionByRange(int(nparts), F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    ).persist()
+    ranged = (
+        df.repartitionByRange(int(nparts), F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # per-range-partition sums: tiny (one row per partition), and the
     # partition -> key-range mapping is monotone by construction
     psums = (
@@ -85,7 +87,7 @@ def assign_shards(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = (
+    return (
         ranged.withColumn("__cum", F.sum(token_col).over(w))
         .withColumn(
             shard_col,
@@ -96,8 +98,6 @@ def assign_shards(
         )
         .drop("__pid", "__cum")
     )
-    out._shard_cache = ranged  # unpersist handle (see docstring)
-    return out
 
 
 def write_training_shards(
@@ -128,7 +128,4 @@ def write_training_shards(
         F.count(F.lit(1)).alias("r"),
         F.sum(token_col).alias("t"),
     ).collect()[0]
-    cache = getattr(assigned, "_shard_cache", None)
-    if cache is not None:
-        cache.unpersist()
     return {"shards": int(row["s"]), "rows": int(row["r"]), "tokens": int(row["t"])}

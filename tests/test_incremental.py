@@ -414,7 +414,7 @@ class TestIncrementalSpanDeduper:
         )
         boiler = " ".join(f"bb{i}" for i in range(8))  # exactly one gram
         sizes, pruned_total = [], 0
-        for b in range(10):
+        for b in range(8):
             uniq = " ".join(f"u{b}x{i}" for i in range(8))
             docs = spark.createDataFrame(
                 [(b * 10 + 1, f"{uniq} {boiler}")], "doc_id long, text string"
@@ -436,7 +436,7 @@ class TestIncrementalSpanDeduper:
         assert pruned_total > 0
         # steady state: the last three sizes are flat (no linear growth)
         assert sizes[-1] == sizes[-2] == sizes[-3], sizes
-        # and far below the unpruned footprint (9 grams/batch * 10)
+        # and far below the unpruned footprint (9 grams/batch * 8)
         assert sizes[-1] < 60, sizes
         # the recurring gram is still in state (refreshed, not pruned)
         state = dd.state_grams()
