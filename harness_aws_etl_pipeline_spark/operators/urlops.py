@@ -240,23 +240,29 @@ def add_url_columns(
 
 
 def dedup_by_url(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    buckets: int = 32,
 ) -> DataFrame:
     """One row per canonical URL — the smallest ``id_col`` survives
     (deterministic, matching the near-dup families' min-id policy).
-    Rows with NULL urls all survive (nothing to key on)."""
-    w_key = normalize_url(F.col(url_col))
-    keyed = df.withColumn("__uk", w_key)
-    from pyspark.sql import Window
+    Rows with NULL urls all survive (nothing to key on).
 
-    w = Window.partitionBy("__uk").orderBy(F.col(id_col))
-    ranked = keyed.withColumn(
-        "__rn",
-        F.when(F.col("__uk").isNull(), F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
+    Scale: the min-id pick is a cap-1 instance of the two-phase
+    salted-bucket ranking — a crawl with millions of copies of one
+    canonical URL never concentrates on one task (round 6; output
+    identical to the naive per-key window)."""
+    keyed = df.withColumn("__uk", normalize_url(F.col(url_col)))
+    out = _two_phase_cap(
+        keyed,
+        "__uk",
+        1,
+        [F.col(id_col)],
+        F.xxhash64(F.col(id_col)),
+        buckets,
     )
-    return ranked.filter(F.col("__rn") == 1).drop("__uk", "__rn")
+    return out.drop("__uk")
 
 
 def _two_phase_cap(
