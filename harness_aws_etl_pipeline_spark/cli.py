@@ -184,6 +184,19 @@ def main(argv: list[str] | None = None) -> int:
         "--span-k", type=int, default=None,
         help="prepare: duplicated-span window width (stage off when unset)",
     )
+    corpus.add_argument(
+        "--url-col", default=None,
+        help="prepare: URL column — enables canonical-URL dedup first",
+    )
+    corpus.add_argument(
+        "--max-docs-per-host", type=int, default=None,
+        help="prepare: per-host cap (needs --url-col)",
+    )
+    corpus.add_argument(
+        "--suffix-list", default=None,
+        help="prepare: publicsuffix.org data file for eTLD+1 "
+        "(adds url_* columns)",
+    )
 
     ann = sub.add_parser(
         "ann", help="similarity search over an embedding table"
@@ -502,6 +515,13 @@ def main(argv: list[str] | None = None) -> int:
             bench_df = (
                 spark.read.parquet(args.benchmark) if args.benchmark else None
             )
+            rules = None
+            if args.suffix_list:
+                from harness_aws_etl_pipeline_spark.operators.urlops import (
+                    load_suffix_list,
+                )
+
+                rules = load_suffix_list(args.suffix_list, spark)
             out, stage_report = prepare_corpus(
                 df,
                 id_col=args.id_col,
@@ -514,6 +534,10 @@ def main(argv: list[str] | None = None) -> int:
                 decontam_n=args.ngram,
                 dedup_method=args.method if args.method != "none" else None,
                 dedup_threshold=args.threshold,
+                url_col=args.url_col,
+                max_docs_per_host=args.max_docs_per_host,
+                url_columns=args.suffix_list is not None,
+                suffix_rules=rules,
             )
             rows_in = df.count()
             if args.output:

@@ -51,6 +51,10 @@ def prepare_corpus(
     mix_weights: dict[str, int] | None = None,
     mix_domain_col: str = "source",
     pack_capacity: int | None = None,
+    url_col: str | None = None,
+    max_docs_per_host: int | None = None,
+    url_columns: bool = False,
+    suffix_rules: dict | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the enabled stages in order; returns ``(prepared, report)``.
@@ -59,8 +63,50 @@ def prepare_corpus(
     per enabled stage (empty list when ``report=False``).  When
     ``pack_capacity`` is set the result gains ``n_tokens``, ``bin_id``
     and ``_truncated`` columns (packing assigns, it does not drop).
+
+    ``url_col`` enables the web-corpus keying family FIRST in the
+    chain (key-based thinning is cheap — run it before the expensive
+    text gates): canonical-URL dedup, then ``max_docs_per_host`` caps
+    if set (both two-phase salted-bucket, hot-key safe).
+    ``url_columns=True`` additionally materializes
+    ``url_norm/url_host/url_domain/url_path_depth`` — with
+    ``suffix_rules`` (``load_suffix_list``) the domain column is
+    real-PSL eTLD+1, so ``mix_domain_col="url_domain"`` gives
+    domain-weighted mixing over registered domains.
     """
     stages: list[tuple[str, object]] = []
+
+    if url_col is not None:
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            add_url_columns,
+            cap_per_host,
+            dedup_by_url,
+        )
+
+        stages.append(
+            (
+                "url_dedup",
+                lambda d: dedup_by_url(d, url_col=url_col, id_col=id_col),
+            )
+        )
+        if max_docs_per_host is not None:
+            stages.append(
+                (
+                    f"host_cap[{max_docs_per_host}]",
+                    lambda d: cap_per_host(
+                        d, max_docs_per_host, url_col=url_col, id_col=id_col
+                    ),
+                )
+            )
+        if url_columns:
+            stages.append(
+                (
+                    "url_columns",
+                    lambda d: add_url_columns(
+                        d, url_col=url_col, suffix_rules=suffix_rules
+                    ),
+                )
+            )
 
     if normalize is not None:
         from harness_aws_etl_pipeline_spark.operators.textclean import (

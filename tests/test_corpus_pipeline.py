@@ -99,6 +99,41 @@ class TestPrepareCorpus:
         assert [r["stage"] for r in report] == ["span_dedup[k=8]"]
         assert report[0]["rows_out"] == 2  # edits text, drops no rows
 
+    def test_url_stages_run_first(self, spark):
+        """url_dedup + host cap lead the chain (key thinning before
+        text gates); url_columns materializes PSL eTLD+1 for
+        domain-weighted mixing."""
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            parse_suffix_list,
+        )
+
+        rows = [
+            (1, "https://a.github.io/x", "t1 " * 10),
+            (2, "HTTPS://a.github.io/x#frag", "t2 " * 10),  # canonical dup of 1
+            (3, "https://b.github.io/y", "t3 " * 10),
+            (4, "https://b.github.io/z", "t4 " * 10),
+            (5, "https://b.github.io/w", "t5 " * 10),
+            (6, None, "t6 " * 10),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        rules = parse_suffix_list("github.io\ncom\n")
+        out, report = prepare_corpus(
+            df,
+            url_col="url",
+            max_docs_per_host=2,
+            url_columns=True,
+            suffix_rules=rules,
+        )
+        assert [r["stage"] for r in report] == [
+            "url_dedup", "host_cap[2]", "url_columns",
+        ]
+        got = {r.doc_id: r for r in out.collect()}
+        assert 2 not in got          # canonical dup dropped (min id 1 wins)
+        assert 6 in got              # NULL url untouched
+        b_docs = [d for d in got if got[d].url_host == "b.github.io"]
+        assert len(b_docs) == 2      # host capped
+        assert got[1].url_domain == "a.github.io"  # PSL private suffix
+
     def test_mix_stage(self, corpus):
         out, report = prepare_corpus(
             corpus, mix_weights={"src0": 1, "src1": 1}
