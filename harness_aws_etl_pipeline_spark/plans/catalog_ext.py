@@ -1338,6 +1338,29 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+    # container-probe legs (round 6): REAL MP4 box walking + MP3
+    # frame-header parsing over synthesized valid containers whose
+    # probed duration/dims are closed-form in the id (no codec decode
+    # involved — container metadata only, operators/containers.py)
+    from harness_aws_etl_pipeline_spark.operators.containers import (
+        probe_media_containers,
+        synthesize_mp3_media,
+        synthesize_mp4_media,
+    )
+
+    mp4_probe = probe_media_containers(synthesize_mp4_media(docs, id_col="doc_id"))
+    mp4_agg = mp4_probe.agg(
+        F.sum("duration_ms").cast("long").alias("mp4_dur_sum"),
+        F.sum("width").cast("long").alias("mp4_w_sum"),
+        F.sum("height").cast("long").alias("mp4_h_sum"),
+        F.sum("n_tracks").cast("long").alias("mp4_tracks_sum"),
+    )
+    mp3_probe = probe_media_containers(synthesize_mp3_media(docs, id_col="doc_id"))
+    mp3_agg = mp3_probe.agg(
+        F.sum("duration_ms").cast("long").alias("mp3_dur_sum"),
+        F.min("sample_rate").cast("long").alias("mp3_rate_min"),
+        F.max("bitrate_kbps").cast("long").alias("mp3_kbps_max"),
+    )
     return (
         media_summary(media)
         .crossJoin(feat_agg)
@@ -1346,6 +1369,8 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(jpeg_agg)
         .crossJoin(wav_agg)
         .crossJoin(hash_agg)
+        .crossJoin(mp4_agg)
+        .crossJoin(mp3_agg)
     )
 
 
@@ -1378,7 +1403,16 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(1 AS BIGINT) AS mh_img_pairs,
        CAST(0 AS BIGINT) AS mh_img_hamming_sum,
        CAST(0 AS BIGINT) AS mh_afp_silence,
-       CAST(1 AS BIGINT) AS mh_audio_pairs
+       CAST(1 AS BIGINT) AS mh_audio_pairs,
+       -- container-probe facts (round 6): synthesized MP4/MP3 whose
+       -- probed metadata is closed-form in the id (containers.py)
+       CAST(SUM(500 + doc_id % 1000) AS BIGINT) AS mp4_dur_sum,
+       CAST(SUM(16 * (1 + doc_id % 32)) AS BIGINT) AS mp4_w_sum,
+       CAST(SUM(16 * (1 + doc_id % 18)) AS BIGINT) AS mp4_h_sum,
+       CAST(2 * COUNT(*) AS BIGINT) AS mp4_tracks_sum,
+       CAST(SUM(36 * (10 + doc_id % 20)) AS BIGINT) AS mp3_dur_sum,
+       CAST(32000 AS BIGINT) AS mp3_rate_min,
+       CAST(128 AS BIGINT) AS mp3_kbps_max
 FROM documents
 """
 

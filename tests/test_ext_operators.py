@@ -42,6 +42,18 @@ def docs(spark):
     )
 
 
+def _cached_plans(spark) -> list[str]:
+    """First line of every plan still held by the shared CacheManager —
+    the diagnostic for cache-hygiene failures (a bare assertion on
+    isEmpty() says a leak exists; this says WHOSE plan leaked)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    it = cm.cachedData().iterator()
+    plans = []
+    while it.hasNext():
+        plans.append(it.next().plan().toString().splitlines()[0][:200])
+    return plans
+
+
 class TestNgramJaccard:
     def test_memo_bounds_cache_and_reuses_plans(self, spark, docs):
         # the multi-consumer intermediates (posting lists, signatures,
@@ -66,7 +78,7 @@ class TestNgramJaccard:
         simhash_near_pairs(simhash(docs)).count()
         dfz.simhash_near_pairs_str(dfz.simhash_md5(docs)).count()
         clear_all_memos()
-        assert cache.isEmpty()
+        assert cache.isEmpty(), f"leaked cache entries: {_cached_plans(spark)}"
 
         # eviction unpersists: capacity-1 memo holding A then B keeps
         # storage for exactly one frame
@@ -80,7 +92,7 @@ class TestNgramJaccard:
         assert b.storageLevel.useMemory is True
         memo.clear()
         assert b.storageLevel.useMemory is False
-        assert cache.isEmpty()
+        assert cache.isEmpty(), f"leaked cache entries: {_cached_plans(spark)}"
 
     def test_memo_hash_collision_detected_by_same_result(self, spark, docs):
         # the 32-bit semanticHash is only the index: a colliding key
