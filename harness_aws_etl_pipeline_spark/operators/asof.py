@@ -97,6 +97,78 @@ def range_join(
     return joined.drop("__bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | None = None,
+    bucket_width_seconds: float = 3600,
+) -> DataFrame:
+    """Interval-overlap join: pairs whose half-open intervals
+    ``[left_start, left_end)`` and ``[right_start, right_end)``
+    intersect (plus an optional equi-key) — the second member of the
+    range-join family (:func:`range_join` is the point-in-interval
+    case).
+
+    Same scale story: the naive ``l.s < r.e AND r.s < l.e``
+    formulation plans as a broadcast nested loop. Here BOTH sides
+    explode onto the fixed-width buckets they span and equi-join on
+    (bucket [, key]). An overlapping pair shares every bucket their
+    intersection spans — to emit it exactly once WITHOUT a distinct
+    (a shuffle over the whole result), the join keeps only the FIRST
+    shared bucket: the bucket of ``greatest(left_start, right_start)``,
+    which both sides provably cover. Cost: O(Σ spans + matches), one
+    shuffle, no dedup pass.
+    """
+    width_us = int(round(bucket_width_seconds * 1_000_000))
+    if width_us < 1:
+        raise ValueError(
+            f"bucket_width_seconds must be >= 1 microsecond, got "
+            f"{bucket_width_seconds!r}"
+        )
+
+    def _micros(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def _floor_bucket(m: Column) -> Column:
+        return ((m - F.pmod(m, F.lit(width_us))) / F.lit(width_us)).cast("long")
+
+    def _explode(df: DataFrame, start: str, end: str, first_col: str) -> DataFrame:
+        return (
+            df.filter(F.col(end) > F.col(start))
+            .withColumn(first_col, _floor_bucket(_micros(start)))
+            .withColumn(
+                "__bucket",
+                F.explode(
+                    F.sequence(
+                        F.col(first_col),
+                        _floor_bucket(_micros(end) - F.lit(1)),
+                    )
+                ),
+            )
+        )
+
+    lb = _explode(left, left_start, left_end, "__l_first")
+    rb = _explode(right, right_start, right_end, "__r_first")
+    keys = ["__bucket"] + ([on] if on else [])
+    joined = (
+        lb.join(rb, keys)
+        # exact overlap predicate strips false bucket-mates …
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        # … and the first-shared-bucket condition makes each pair
+        # unique: greatest(l_first, r_first) is the bucket of the
+        # later start, which both exploded sides contain
+        .filter(F.col("__bucket") == F.greatest("__l_first", "__r_first"))
+    )
+    return joined.drop("__bucket", "__l_first", "__r_first")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -795,11 +795,32 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("pair_cnt"),
         F.countDistinct("event_id").alias("affected_clicks"),
     )
-    return asof_agg.crossJoin(range_agg)
+    # interval-overlap leg (round 6): purchase windows [ts, +15 min) ×
+    # error windows [ts, +30 min) per user — the bucketed
+    # first-shared-bucket implementation vs the oracle's plain
+    # inequality join (operators/asof.py interval_overlap_join)
+    from harness_aws_etl_pipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    p_windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("p_end"),
+    )
+    overlapped = interval_overlap_join(
+        p_windows, errors, "p_start", "p_end", "w_start", "w_end",
+        on="user_id", bucket_width_seconds=900,
+    )
+    overlap_agg = overlapped.agg(
+        F.count(F.lit(1)).alias("overlap_cnt"),
+        F.countDistinct("user_id").alias("overlap_users"),
+    )
+    return asof_agg.crossJoin(range_agg).crossJoin(overlap_agg)
 
 
 ORACLE_ASOF = """
-SELECT a.*, r.*
+SELECT a.*, r.*, o.*
 FROM (
   SELECT COUNT(*) AS click_cnt,
          COUNT(p_value) AS matched_cnt,
@@ -818,7 +839,14 @@ FROM (
   JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
         FROM events WHERE event_type = 'error') e
     ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts < e.w_end
-) r
+) r, (
+  SELECT COUNT(*) AS overlap_cnt, COUNT(DISTINCT p.user_id) AS overlap_users
+  FROM (SELECT user_id, ts AS p_start, ts + INTERVAL 15 MINUTE AS p_end
+        FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error') e
+    ON p.user_id = e.user_id AND p.p_start < e.w_end AND e.w_start < p.p_end
+) o
 """
 
 

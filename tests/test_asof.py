@@ -234,3 +234,87 @@ class TestAsOfJoin:
             [("1969-12-31 23:59:00", "1970-01-01 00:00:30")], "s string, e string"
         ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
         assert range_join(pts, iv, "t", "s", "e", bucket_width_seconds=60).count() == 1
+
+
+class TestIntervalOverlapJoin:
+    def _naive(self, left, right, on=None):
+        cond = (F.col("l_s") < F.col("r_e")) & (F.col("r_s") < F.col("l_e"))
+        if on:
+            return left.join(right, on).filter(cond)
+        return left.crossJoin(right).filter(cond)
+
+    def test_matches_naive_join_and_emits_each_pair_once(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        # intervals spanning 1..9 hourly buckets: multi-bucket overlaps
+        # must still come out exactly once
+        left = spark.createDataFrame(
+            [
+                (i, "k1" if i % 2 else "k2",
+                 f"2024-01-01 {i:02d}:00:00", f"2024-01-01 {i + (i % 3) * 4 + 1:02d}:30:00")
+                for i in range(8)
+            ],
+            "lid long, k string, l_s string, l_e string",
+        ).withColumn("l_s", F.to_timestamp("l_s")).withColumn("l_e", F.to_timestamp("l_e"))
+        right = spark.createDataFrame(
+            [
+                (j, "k1" if j % 3 else "k2",
+                 f"2024-01-01 {j:02d}:45:00", f"2024-01-01 {j + 2:02d}:10:00")
+                for j in range(10)
+            ],
+            "rid long, k string, r_s string, r_e string",
+        ).withColumn("r_s", F.to_timestamp("r_s")).withColumn("r_e", F.to_timestamp("r_e"))
+
+        for on in (None, "k"):
+            got = interval_overlap_join(
+                left, right, "l_s", "l_e", "r_s", "r_e", on=on,
+                bucket_width_seconds=3600,
+            )
+            pairs = sorted((r["lid"], r["rid"]) for r in got.collect())
+            want = sorted(
+                (r["lid"], r["rid"]) for r in self._naive(left, right, on).collect()
+            )
+            assert pairs == want
+            assert len(pairs) == len(set(pairs))  # no duplicate emission
+            assert len(pairs) > 0
+
+    def test_touching_endpoints_do_not_overlap(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-01 10:00:00")],
+            "lid long, l_s string, l_e string",
+        ).withColumn("l_s", F.to_timestamp("l_s")).withColumn("l_e", F.to_timestamp("l_e"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "2024-01-01 20:00:00"),  # touches: no
+             (2, "2024-01-01 09:59:59", "2024-01-01 20:00:00")],  # overlaps: yes
+            "rid long, r_s string, r_e string",
+        ).withColumn("r_s", F.to_timestamp("r_s")).withColumn("r_e", F.to_timestamp("r_e"))
+        got = interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", bucket_width_seconds=3600
+        )
+        assert [r["rid"] for r in got.collect()] == [2]
+
+    def test_degenerate_intervals_dropped_both_sides(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.asof import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 05:00:00", "2024-01-01 05:00:00"),  # empty
+             (2, "2024-01-01 05:00:00", "2024-01-01 06:00:00")],
+            "lid long, l_s string, l_e string",
+        ).withColumn("l_s", F.to_timestamp("l_s")).withColumn("l_e", F.to_timestamp("l_e"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 05:30:00", "2024-01-01 05:15:00"),  # inverted
+             (2, "2024-01-01 05:30:00", "2024-01-01 07:00:00")],
+            "rid long, r_s string, r_e string",
+        ).withColumn("r_s", F.to_timestamp("r_s")).withColumn("r_e", F.to_timestamp("r_e"))
+        got = interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", bucket_width_seconds=600
+        )
+        assert [(r["lid"], r["rid"]) for r in got.collect()] == [(2, 2)]
