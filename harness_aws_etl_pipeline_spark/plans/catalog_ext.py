@@ -2384,6 +2384,24 @@ _PSL_URLS = (
 )
 
 
+import hashlib as _hashlib
+
+from harness_aws_etl_pipeline_spark.operators.takedown import (
+    TakedownRules,
+    takedown_report,
+)
+
+# takedown rule set over _URL_FIXTURE (url doubles as the text column):
+# ids 2+3, partial-match utm regex, anchored case-sensitive http regex,
+# exact md5 of one non-URL literal — every kind exercised, overlaps
+# included (id 2 also matches '^http://')
+_TAKEDOWN_RULES = TakedownRules(
+    ids=(2, 3),
+    url_patterns=("utm_source", "^http://"),
+    content_hashes=(_hashlib.md5(b"not-a-url-1").hexdigest(),),
+)
+
+
 def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] domain-weighted corpus mixing (operators/mixing.py) —
     per-source panel: inventory totals vs what the largest achievable
@@ -2457,6 +2475,26 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
                 F.md5(
                     F.concat_ws("|", F.array_sort(F.collect_list("d")))
                 ).alias("url_psl_md5")
+            )
+        )
+        # round 6: takedown governance pass (operators/takedown.py) —
+        # id + URL-regex + content-hash rules over the same VALUES,
+        # audit counts re-derived by the oracle in SQL
+        .crossJoin(
+            takedown_report(
+                urls,
+                _TAKEDOWN_RULES,
+                id_col="doc_id",
+                url_col="url",
+                text_col="url",
+            ).select(
+                F.col("total").alias("td_total"),
+                F.col("removed").alias("td_removed"),
+                F.col("kept").alias("td_kept"),
+                F.col("matched_ids").alias("td_m_ids"),
+                F.col("matched_url_pattern_0").alias("td_m_p0"),
+                F.col("matched_url_pattern_1").alias("td_m_p1"),
+                F.col("matched_content_hashes").alias("td_m_hash"),
             )
         )
     )
@@ -2757,7 +2795,28 @@ def _oracle_corpus_mix() -> str:
                   FROM lv)
           )
           SELECT md5(string_agg(d, '|' ORDER BY d)) FROM dom
-         ) AS url_psl_md5
+         ) AS url_psl_md5,
+         -- round 6: takedown audit counts over the same VALUES (id +
+         -- URL-regex + content-hash rules; a row matching several
+         -- rules counts once in removed, once per rule it matched)
+         CAST(COUNT(*) AS BIGINT) AS td_total,
+         CAST(SUM(CASE WHEN id IN (2, 3)
+                        OR regexp_matches(u, 'utm_source')
+                        OR regexp_matches(u, '^http://')
+                        OR md5(u) = md5('not-a-url-1')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS td_removed,
+         CAST(SUM(CASE WHEN id IN (2, 3)
+                        OR regexp_matches(u, 'utm_source')
+                        OR regexp_matches(u, '^http://')
+                        OR md5(u) = md5('not-a-url-1')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS td_kept,
+         CAST(SUM(CASE WHEN id IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS td_m_ids,
+         CAST(SUM(CASE WHEN regexp_matches(u, 'utm_source')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS td_m_p0,
+         CAST(SUM(CASE WHEN regexp_matches(u, '^http://')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS td_m_p1,
+         CAST(SUM(CASE WHEN md5(u) = md5('not-a-url-1')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS td_m_hash
   FROM doms
 """
     return ORACLE_CORPUS_MIX.replace("__URL_ARM__", url_arm).replace(
