@@ -140,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "dedup", "span-dedup", "decontam", "filter", "tokenize", "report",
-            "prepare", "train-scorer", "score",
+            "prepare", "train-scorer", "score", "takedown",
         ],
     )
     corpus.add_argument("--input", required=True, help="input parquet path")
@@ -197,6 +197,27 @@ def main(argv: list[str] | None = None) -> int:
         help="prepare: publicsuffix.org data file for eTLD+1 "
         "(adds url_* columns)",
     )
+    corpus.add_argument(
+        "--block-ids", default=None,
+        help="takedown: comma-separated doc ids OR a parquet path whose "
+        "first column is the blocklist (bulk anti-join path)",
+    )
+    corpus.add_argument(
+        "--block-url-pattern", action="append", default=[],
+        help="takedown: URL regex rule (repeatable; needs --url-col)",
+    )
+    corpus.add_argument(
+        "--block-hash", action="append", default=[],
+        help="takedown: md5(text) content-hash rule (repeatable)",
+    )
+
+    probe = sub.add_parser(
+        "probe", help="media container metadata (mp4/mp3/wav/images), no decode"
+    )
+    probe.add_argument("--input", required=True, help="media parquet path")
+    probe.add_argument("--output", default=None, help="metadata parquet path")
+    probe.add_argument("--id-col", default="media_id")
+    probe.add_argument("--payload-col", default="payload")
 
     ann = sub.add_parser(
         "ann", help="similarity search over an embedding table"
@@ -362,6 +383,30 @@ def main(argv: list[str] | None = None) -> int:
                 "bytes": fs.tree_size(args.output) if fs.exists(args.output) else 0,
             }
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "probe":
+        from harness_aws_etl_pipeline_spark.operators.containers import (
+            probe_media_containers,
+        )
+
+        meta = probe_media_containers(
+            spark.read.parquet(args.input),
+            payload_col=args.payload_col,
+            id_col=args.id_col,
+        )
+        if args.output:
+            meta.write.mode("overwrite").parquet(args.output)
+            meta = spark.read.parquet(args.output)
+        by_kind = {
+            r["container"]: r["count"]
+            for r in meta.groupBy("container").count().collect()
+        }
+        print(json.dumps({
+            "status": "success", "action": "probe",
+            "rows": sum(by_kind.values()), "containers": by_kind,
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "ann":
@@ -549,6 +594,56 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "success", "action": "prepare",
                 "rows_in": rows_in, "rows_out": rows_out,
                 "stages": stage_report, "output": args.output,
+            }))
+            return 0
+        elif args.action == "takedown":
+            from harness_aws_etl_pipeline_spark.operators.takedown import (
+                TakedownRules,
+                apply_takedown,
+                apply_takedown_ids,
+                takedown_report,
+            )
+
+            block_ids: tuple = ()
+            if args.block_ids and not args.block_ids.replace(",", "").replace(
+                "-", ""
+            ).strip().isdigit():
+                # parquet blocklist → bulk anti-join path; regex/hash
+                # rules (if any) run as a second literal-rule pass
+                blocked = spark.read.parquet(args.block_ids)
+                out = apply_takedown_ids(df, blocked, id_col=args.id_col)
+                removed_ids = df.count() - out.count()
+                report = {"matched_ids_bulk": removed_ids}
+            elif args.block_ids:
+                block_ids = tuple(int(x) for x in args.block_ids.split(","))
+                out, report = df, {}
+            else:
+                out, report = df, {}
+            if block_ids or args.block_url_pattern or args.block_hash:
+                rules = TakedownRules(
+                    ids=block_ids,
+                    url_patterns=tuple(args.block_url_pattern),
+                    content_hashes=tuple(args.block_hash),
+                )
+                report.update(
+                    takedown_report(
+                        out, rules, id_col=args.id_col,
+                        url_col=args.url_col, text_col=args.text_col,
+                    ).collect()[0].asDict()
+                )
+                out = apply_takedown(
+                    out, rules, id_col=args.id_col,
+                    url_col=args.url_col, text_col=args.text_col,
+                )
+            elif not report:
+                print(json.dumps({"status": "failed",
+                                  "error": "no takedown rules given"}))
+                return 1
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({
+                "status": "success", "action": "takedown",
+                "audit": report, "output": args.output,
             }))
             return 0
         else:  # report: corpus summary + per-rule gate counts, no write

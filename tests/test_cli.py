@@ -2,6 +2,8 @@
 
 import json
 
+from pyspark.sql import functions as F
+
 from harness_aws_etl_pipeline_spark.cli import main
 
 CSV = "Order ID,Amount,Order Date\n1,10.5,2024-01-15\n2,20.0,2024-02-20\n"
@@ -433,3 +435,80 @@ class TestScorerCli:
         spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(src)
         assert main(["corpus", "train-scorer", "--input", src]) == 1
         assert main(["corpus", "score", "--input", src]) == 1
+
+
+class TestTakedownAndProbe:
+    def test_takedown_literal_rules(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "td_corpus")
+        spark.createDataFrame(
+            [
+                (1, "https://keep.com/a", "alpha"),
+                (2, "http://bad.com/x", "beta"),
+                (3, "https://keep.com/b", "erase me"),
+            ],
+            "doc_id long, url string, text string",
+        ).write.parquet(src)
+        out = str(tmp_path / "td_kept")
+        import hashlib
+
+        rc = main(
+            ["corpus", "takedown", "--input", src, "--output", out,
+             "--url-col", "url",
+             "--block-url-pattern", "^http://",
+             "--block-hash", hashlib.md5(b"erase me").hexdigest()]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["audit"]["removed"] == 2
+        assert res["audit"]["matched_url_pattern_0"] == 1
+        assert res["audit"]["matched_content_hashes"] == 1
+        assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+
+    def test_takedown_bulk_parquet_blocklist(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "td2_corpus")
+        spark.range(10).withColumnRenamed("id", "doc_id").withColumn(
+            "text", F.concat(F.lit("doc "), F.col("doc_id"))
+        ).write.parquet(src)
+        block = str(tmp_path / "blocklist")
+        spark.createDataFrame([(2,), (5,), (7,)], "doc_id long").write.parquet(block)
+        out = str(tmp_path / "td2_kept")
+        rc = main(
+            ["corpus", "takedown", "--input", src, "--output", out,
+             "--block-ids", block]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["audit"]["matched_ids_bulk"] == 3
+        assert spark.read.parquet(out).count() == 7
+
+    def test_takedown_no_rules_fails(self, spark, tmp_path, capsys):
+        src = self._corpus(spark, tmp_path)
+        rc = main(["corpus", "takedown", "--input", src])
+        assert rc == 1
+        assert "no takedown rules" in capsys.readouterr().out
+
+    def _corpus(self, spark, tmp_path):
+        path = str(tmp_path / "c")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        ).write.parquet(path)
+        return path
+
+    def test_probe_command(self, spark, tmp_path, capsys):
+        from harness_aws_etl_pipeline_spark.operators.containers import (
+            synthesize_mp3_media,
+            synthesize_mp4_media,
+        )
+
+        docs = spark.range(1, 6).withColumnRenamed("id", "doc_id")
+        src = str(tmp_path / "media")
+        synthesize_mp4_media(docs).unionByName(
+            synthesize_mp3_media(docs)
+        ).write.parquet(src)
+        out = str(tmp_path / "meta")
+        rc = main(["probe", "--input", src, "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["containers"] == {"mp4": 5, "mp3": 5}
+        meta = spark.read.parquet(out)
+        assert meta.filter(F.col("container") == "mp4").count() == 5
