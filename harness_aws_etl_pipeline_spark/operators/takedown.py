@@ -27,7 +27,7 @@ construction: apply to the snapshot table's current state and MERGE.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +36,8 @@ __all__ = [
     "TakedownRules",
     "apply_takedown",
     "apply_takedown_ids",
+    "takedown_from_table",
+    "takedown_predicate",
     "takedown_report",
 ]
 
@@ -95,12 +97,11 @@ def apply_takedown(
 ) -> DataFrame:
     """Rows matching NO rule — the surviving corpus. One scan, pure
     column predicates (null url/text never matches a rule)."""
-    preds = _rule_predicates(rules, id_col, url_col, text_col)
-    hit = preds[0][1]
-    for _, p in preds[1:]:
-        hit = hit | p
     # null-safe: a NULL predicate result means "did not match"
-    return df.filter(~F.coalesce(hit, F.lit(False)))
+    return df.filter(
+        ~takedown_predicate(rules, id_col=id_col, url_col=url_col,
+                            text_col=text_col)
+    )
 
 
 def takedown_report(
@@ -130,6 +131,54 @@ def takedown_report(
             .alias(f"matched_{name}")
         )
     return df.agg(*aggs)
+
+
+def takedown_predicate(
+    rules: TakedownRules,
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    text_col: str = "text",
+) -> Column:
+    """The any-rule-hit predicate as a reusable Column (NULL-safe
+    false) — what :func:`apply_takedown` negates, exposed for callers
+    that push the hit condition elsewhere (e.g. a snapshot-table
+    delete)."""
+    preds = _rule_predicates(rules, id_col, url_col, text_col)
+    hit = preds[0][1]
+    for _, p in preds[1:]:
+        hit = hit | p
+    return F.coalesce(hit, F.lit(False))
+
+
+def takedown_from_table(
+    table,
+    rules: TakedownRules,
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    text_col: str = "text",
+) -> dict:
+    """Erasure against a :class:`~..sinks.snaptable.SnapTable`: audit
+    counts on the CURRENT snapshot, then a transactional
+    ``delete_where`` of the hit predicate — files without matches stay
+    untouched (probe-then-rewrite), the delete is one commit, and the
+    pre-delete version remains readable for compliance review via time
+    travel until snapshots are expired.
+
+    Returns the audit report dict + ``version`` / ``files_rewritten``
+    from the commit."""
+    report = (
+        takedown_report(
+            table.read(), rules, id_col=id_col, url_col=url_col,
+            text_col=text_col,
+        )
+        .collect()[0]
+        .asDict()
+    )
+    res = table.delete_where(
+        takedown_predicate(rules, id_col=id_col, url_col=url_col,
+                           text_col=text_col)
+    )
+    return {**report, **res}
 
 
 def apply_takedown_ids(

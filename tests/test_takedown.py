@@ -94,3 +94,34 @@ class TestBulkIds:
             .toString()
         )
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestSnapTableTakedown:
+    def test_erasure_commit_and_time_travel_audit(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.takedown import (
+            takedown_from_table,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        t = SnapTable(spark, str(tmp_path / "corpus_table"))
+        t.write(
+            spark.createDataFrame(
+                [
+                    (1, "https://keep.com/a", "alpha"),
+                    (2, "http://bad.com/x", "beta"),
+                    (3, "https://keep.com/b", "gamma"),
+                ],
+                "doc_id long, url string, text string",
+            )
+        )
+        v0 = t.current_version()
+        res = takedown_from_table(
+            t, TakedownRules(ids=(3,), url_patterns=(r"^http://",)),
+            url_col="url",
+        )
+        assert res["removed"] == 2 and res["kept"] == 1
+        assert res["matched_ids"] == 1 and res["matched_url_pattern_0"] == 1
+        assert res["files_rewritten"] >= 1
+        assert [r["doc_id"] for r in t.read().collect()] == [1]
+        # the pre-delete snapshot stays reviewable via time travel
+        assert t.read(version=v0).count() == 3
