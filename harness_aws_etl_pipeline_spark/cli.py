@@ -198,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
         "(adds url_* columns)",
     )
     corpus.add_argument(
+        "--html-col", default=None,
+        help="prepare: HTML column - extract text into --text-col first",
+    )
+    corpus.add_argument(
         "--block-ids", default=None,
         help="takedown: comma-separated doc ids OR a parquet path whose "
         "first column is the blocklist (bulk anti-join path)",
@@ -583,6 +587,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_docs_per_host=args.max_docs_per_host,
                 url_columns=args.suffix_list is not None,
                 suffix_rules=rules,
+                html_col=args.html_col,
             )
             rows_in = df.count()
             if args.output:

@@ -55,6 +55,7 @@ def prepare_corpus(
     max_docs_per_host: int | None = None,
     url_columns: bool = False,
     suffix_rules: dict | None = None,
+    html_col: str | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the enabled stages in order; returns ``(prepared, report)``.
@@ -75,6 +76,24 @@ def prepare_corpus(
     domain-weighted mixing over registered domains.
     """
     stages: list[tuple[str, object]] = []
+
+    if html_col is not None:
+        # markup → text before anything else: every downstream stage
+        # (normalize, gates, dedup) scores the EXTRACTED text, and the
+        # harvested links feed the URL family if a caller routes them
+        from harness_aws_etl_pipeline_spark.operators.html import (
+            strip_html_columns,
+        )
+
+        stages.append(
+            (
+                "html_extract",
+                lambda d: strip_html_columns(
+                    d, html_col=html_col, text_col=text_col,
+                    title_col=None, links_col=None,
+                ),
+            )
+        )
 
     if url_col is not None:
         from harness_aws_etl_pipeline_spark.operators.urlops import (

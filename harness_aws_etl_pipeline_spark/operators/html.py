@@ -1,0 +1,115 @@
+"""HTML → text extraction for web corpora — pure column expressions.
+
+Web-scale training corpora start as markup; the prep chain needs a
+cheap, deterministic first pass that turns HTML into scoreable text
+and harvests the links that feed the URL family
+(:mod:`operators.urlops`). Heavyweight DOM extraction (readability /
+boilerplate models) needs an HTML parser library; this operator is
+the scalable 80%: a fixed chain of JVM ``regexp_replace`` steps that
+runs inside whole-stage codegen — no Python in the path, no UDF.
+
+Pipeline per document (:func:`html_to_text`):
+1. drop ``<script>`` / ``<style>`` / ``<!-- -->`` blocks (non-greedy
+   dotall — content inside them is code, not text),
+2. convert ``<br>`` and block-element *closers* to newlines so
+   paragraph structure survives tag removal,
+3. strip every remaining tag,
+4. decode the common entities (``&amp; &lt; &gt; &quot; &#39;
+   &nbsp;`` + decimal numerics),
+5. collapse runs of spaces/tabs and 3+ newlines.
+
+Every regex stays in the RE2-safe subset (no lookahead/backrefs) so an
+external SQL engine can re-derive the chain verbatim — that is what
+the ``doc_fingerprint`` oracle leg does.
+
+Harvesters: :func:`extract_links` (href values, protocol-relative and
+relative links included — canonicalize downstream), :func:`extract_title`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "extract_links",
+    "extract_title",
+    "html_to_text",
+    "strip_html_columns",
+]
+
+# Tag chains shared by the oracle (plans/catalog_ext.py re-derives
+# them in DuckDB): every pattern stays RE2-compatible — no lookahead,
+# no backreferences (script/style are two sequential patterns instead
+# of one `</\1>` alternation for exactly this reason).
+_SCRIPT_DROP = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_STYLE_DROP = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_COMMENT = r"(?s)<!--.*?-->"
+_NEWLINE_TAGS = r"(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>"
+_ANY_TAG = r"(?s)<[^>]*>"
+
+
+def html_to_text(col: Column | str) -> Column:
+    """The extraction chain as one nested column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _SCRIPT_DROP, " ")
+    c = F.regexp_replace(c, _STYLE_DROP, " ")
+    c = F.regexp_replace(c, _COMMENT, " ")
+    c = F.regexp_replace(c, _NEWLINE_TAGS, "\n")
+    c = F.regexp_replace(c, _ANY_TAG, " ")
+    # entities: only the handful below are common enough to matter;
+    # the long tail stays literal (visible to quality filters,
+    # harmless). `&amp;` decodes LAST — decoding it earlier would
+    # double-decode literals like `&amp;lt;` into `<`.
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\x0B\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # edge trim including newlines (F.trim strips spaces only)
+    return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
+
+
+def extract_title(col: Column | str) -> Column:
+    """``<title>`` text (first occurrence), entity-decoded + trimmed;
+    empty string when absent (NULL only for NULL input)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    return html_to_text(t)
+
+
+def extract_links(col: Column | str) -> Column:
+    """``href`` values of anchor tags as an array<string> (order of
+    appearance, duplicates kept — dedup belongs to the URL family).
+    Both quote styles; relative and protocol-relative links included."""
+    c = F.col(col) if isinstance(col, str) else col
+    double = F.regexp_extract_all(c, F.lit(r'(?is)<a\b[^>]*\bhref="([^"]*)"'), F.lit(1))
+    single = F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*\bhref='([^']*)'"), F.lit(1))
+    return F.concat(double, single)
+
+
+def strip_html_columns(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    title_col: str | None = "title",
+    links_col: str | None = "links",
+) -> DataFrame:
+    """One-pass projection: extracted text (+ optional title / links
+    columns) alongside the input. Pure narrow transformation — no
+    shuffle, whole-stage codegen end to end; at 100 TB this is
+    scan-bound, exactly as a first-pass extractor should be."""
+    out = df.withColumn(text_col, html_to_text(html_col))
+    if title_col:
+        out = out.withColumn(title_col, extract_title(html_col))
+    if links_col:
+        out = out.withColumn(links_col, extract_links(html_col))
+    return out

@@ -423,6 +423,19 @@ SELECT CAST(FLOOR(quality * 10) AS INT) AS bucket, COUNT(*) AS doc_cnt FROM (
 """
 
 
+# planted HTML literals for the html-extraction legs — no single
+# quotes (the oracle embeds them as SQL VALUES with one doubling pass
+# for the href='...' variant only)
+_HTML_FIXTURE = (
+    '<html><head><title>Alpha &amp; Beta</title><style>p{color:red}'
+    "</style></head><body><!-- hidden <p>x</p> --><h1>Head</h1>"
+    '<p>First &lt;p&gt; and&nbsp;nb.</p><a href="https://x.com/a">x</a>'
+    "<a href='/rel'>r</a>line<br>break</body></html>",
+    "plain text, no markup",
+    "<p>before</p><script>var j=1;",
+)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] document fingerprinting + PII redaction + text-normalization
     panel, one row.
@@ -509,11 +522,35 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("numbers_redacted"),
         F.sum(F.col("text").contains("@").cast("long")).alias("emails_left"),
     )
-    return fp_agg.crossJoin(red_agg).crossJoin(tc_planted).crossJoin(tc_corpus)
+    # html-extraction legs (operators/html.py, round 6): planted HTML
+    # literals through the full RE2-safe regexp chain — text, title,
+    # and harvested-link counts re-derived verbatim by the oracle
+    from harness_aws_etl_pipeline_spark.operators.html import (
+        strip_html_columns,
+    )
+
+    html_rows = spark.createDataFrame(
+        list(enumerate(_HTML_FIXTURE)), "hid long, html string"
+    )
+    html_agg = strip_html_columns(html_rows).agg(
+        F.md5(
+            F.concat_ws("|", F.array_sort(F.collect_list("text")))
+        ).alias("html_text_md5"),
+        F.md5(
+            F.concat_ws("|", F.array_sort(F.collect_list("title")))
+        ).alias("html_title_md5"),
+        F.sum(F.size("links")).cast("long").alias("html_links_cnt"),
+    )
+    return (
+        fp_agg.crossJoin(red_agg)
+        .crossJoin(tc_planted)
+        .crossJoin(tc_corpus)
+        .crossJoin(html_agg)
+    )
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*, tc.*, tcc.*
+SELECT fp.*, red.*, tc.*, tcc.*, html.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -551,8 +588,66 @@ FROM (
             '[\s\p{Z}]+', ' ', 'g'),
             '^ | $', '', 'g') AS cleaned
         FROM documents)
-) tcc
+) tcc, (__HTML_ARM__) html
 """
+
+
+def _oracle_fingerprint() -> str:
+    """ORACLE_FINGERPRINT with the html-extraction arm: the planted
+    HTML literals through the SAME RE2 regexp/replace chain as
+    operators/html.py (the chain runs once over a text/title UNION —
+    the engine applies html_to_text to both the document and the
+    extracted <title>)."""
+    values = ",\n    ".join(
+        f"({i}, '" + h.replace("'", "''") + "')"
+        for i, h in enumerate(_HTML_FIXTURE)
+    )
+    html_arm = (
+        r"""
+  WITH hraw(hid, h) AS (VALUES
+    """
+        + values
+        + r"""
+  ),
+  src(kind, hid, v) AS (
+    SELECT 'text', hid, h FROM hraw
+    UNION ALL
+    SELECT 'title', hid,
+           regexp_extract(h, '(?is)<title[^>]*>(.*?)</title\s*>', 1)
+    FROM hraw
+  ),
+  chain AS (
+    SELECT kind, hid,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(v,
+              '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>',
+              chr(10), 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+        '[ \t\x0B\f\r]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+        '\n{3,}', chr(10) || chr(10), 'g'),
+        '^[ \n]+|[ \n]+$', '', 'g') AS txt
+    FROM src
+  )
+  SELECT
+    (SELECT md5(string_agg(txt, '|' ORDER BY txt)) FROM chain
+     WHERE kind = 'text') AS html_text_md5,
+    (SELECT md5(string_agg(txt, '|' ORDER BY txt)) FROM chain
+     WHERE kind = 'title') AS html_title_md5,
+    (SELECT CAST(SUM(
+        len(regexp_extract_all(h, '(?is)<a\b[^>]*\bhref="([^"]*)"', 1))
+      + len(regexp_extract_all(h, '(?is)<a\b[^>]*\bhref=''([^'']*)''', 1))
+     ) AS BIGINT) FROM hraw) AS html_links_cnt
+"""
+    )
+    return ORACLE_FINGERPRINT.replace("__HTML_ARM__", html_arm)
 
 
 # --------------------------------------------------------------- dedup
@@ -2955,7 +3050,7 @@ EXT_CATALOG: list[QuerySpec] = [
               "[EXT] marker-word language ID", tags=("ext", "text")),
     QuerySpec("quality_score", q_quality_score, ORACLE_QUALITY,
               "[EXT] document quality scoring", tags=("ext", "text")),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT,
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, _oracle_fingerprint(),
               "[EXT] md5 + rolling-hash fingerprints + PII redaction "
               "(fused 1-row panels)", tags=("ext", "text")),
     QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,

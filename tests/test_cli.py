@@ -512,3 +512,20 @@ class TestTakedownAndProbe:
         assert res["containers"] == {"mp4": 5, "mp3": 5}
         meta = spark.read.parquet(out)
         assert meta.filter(F.col("container") == "mp4").count() == 5
+
+    def test_prepare_html_col(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "html_corpus")
+        spark.createDataFrame(
+            [(1, "<p>the quick brown fox jumps over the lazy dog</p>")],
+            "doc_id long, html string",
+        ).write.parquet(src)
+        out = str(tmp_path / "html_kept")
+        rc = main(
+            ["corpus", "prepare", "--input", src, "--output", out,
+             "--html-col", "html"]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["stages"][0]["stage"] == "html_extract"
+        got = spark.read.parquet(out).collect()[0]["text"]
+        assert got == "the quick brown fox jumps over the lazy dog"

@@ -168,3 +168,25 @@ class TestPrepareCorpus:
         assert [r["stage"] for r in report] == ["normalize[NFKC]", "dedup[hash]"]
         assert report[0]["removed"] == 0  # rewrite, not a drop
         assert out.count() == 1
+
+
+class TestHtmlStage:
+    def test_html_extract_runs_first_and_feeds_gates(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.corpus_pipeline import (
+            prepare_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "<html><body><p>the quick brown fox jumps over the "
+                    "lazy dog again and again</p></body></html>"),
+                (2, "<p>dup</p><p>dup</p>"),
+            ],
+            "doc_id long, html string",
+        )
+        out, report = prepare_corpus(df, html_col="html")
+        stages = [r["stage"] for r in report]
+        assert stages[0] == "html_extract"
+        rows = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert rows[1].startswith("the quick brown fox")
+        assert "<p>" not in rows[1] and "<p>" not in rows[2]

@@ -1,0 +1,86 @@
+"""HTML→text extraction: tag/script stripping, entities, structure
+newlines, title + link harvesting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.html import (
+    extract_links,
+    extract_title,
+    html_to_text,
+    strip_html_columns,
+)
+
+DOC = (
+    "<html><head><title> My &amp; Your <b>Page</b> </title>"
+    "<style>body { color: red }</style>"
+    '<script type="text/javascript">var x = "<p>not text</p>";</script>'
+    "</head><body>"
+    "<!-- a comment <p>also not text</p> -->"
+    "<h1>Header</h1>"
+    "<p>First &lt;paragraph&gt; with &quot;quotes&quot; &#39;here&#39;.</p>"
+    "<div>Second&nbsp;block</div>"
+    '<a href="https://a.com/x">link one</a>'
+    "<a href='/relative/path'>link two</a>"
+    "<ul><li>item 1</li><li>item 2</li></ul>"
+    "line<br>break"
+    "</body></html>"
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame([(1, DOC), (2, None), (3, "plain, no tags")],
+                                 "doc_id long, html string")
+
+
+class TestHtmlToText:
+    def test_extraction_chain(self, spark, df):
+        rows = {r["doc_id"]: r for r in strip_html_columns(df).collect()}
+        text = rows[1]["text"]
+        # script/style/comment content must be gone entirely
+        assert "color: red" not in text and "not text" not in text
+        # entities decoded
+        assert '"quotes"' in text and "'here'" in text
+        assert "First <paragraph>" in text
+        assert "Second block" in text  # &nbsp; → space
+        # block closers → newlines keep structure
+        assert "Header\n" in text
+        assert "item 1\nitem 2" in text
+        assert "line\nbreak" in text
+        # null passthrough, tag-free passthrough
+        assert rows[2]["text"] is None
+        assert rows[3]["text"] == "plain, no tags"
+
+    def test_title_and_links(self, spark, df):
+        rows = {r["doc_id"]: r for r in strip_html_columns(df).collect()}
+        assert rows[1]["title"] == "My & Your Page"
+        assert rows[1]["links"] == ["https://a.com/x", "/relative/path"]
+        assert rows[3]["title"] == "" and rows[3]["links"] == []
+
+    def test_no_shuffle_in_plan(self, spark, df):
+        plan = (
+            strip_html_columns(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # pure narrow projection
+
+    def test_amp_decodes_last_no_double_decode(self, spark):
+        df = spark.createDataFrame(
+            [(1, "<p>literal &amp;lt; stays, real &lt; decodes</p>")],
+            "id long, html string",
+        )
+        text = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+        assert text == "literal &lt; stays, real < decodes"
+
+    def test_unclosed_script_does_not_eat_document(self, spark):
+        # a script block with no closer: the non-greedy block regex
+        # cannot match, the tag stripper still removes the <script> tag
+        # itself, and the rest of the document survives
+        df = spark.createDataFrame(
+            [(1, "<p>before</p><script>var x = 1;")], "id long, html string"
+        )
+        text = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+        assert "before" in text
