@@ -215,6 +215,23 @@ def main(argv: list[str] | None = None) -> int:
         help="takedown: md5(text) content-hash rule (repeatable)",
     )
 
+    warc = sub.add_parser(
+        "warc", help="ingest WARC crawl files into a documents parquet"
+    )
+    warc.add_argument("--input", required=True, help="WARC file/dir")
+    warc.add_argument("--output", required=True, help="documents parquet path")
+    warc.add_argument(
+        "--glob", default=None, help="pathGlobFilter, e.g. *.warc.gz"
+    )
+    warc.add_argument(
+        "--all-records", action="store_true",
+        help="keep every record type (default: response only)",
+    )
+    warc.add_argument(
+        "--extract-text", action="store_true",
+        help="add a text column via the HTML extraction chain",
+    )
+
     probe = sub.add_parser(
         "probe", help="media container metadata (mp4/mp3/wav/images), no decode"
     )
@@ -387,6 +404,41 @@ def main(argv: list[str] | None = None) -> int:
                 "bytes": fs.tree_size(args.output) if fs.exists(args.output) else 0,
             }
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "warc":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.sources.warc import read_warc
+
+        df = read_warc(
+            spark, args.input,
+            record_types=() if args.all_records else ("response",),
+            glob=args.glob,
+        )
+        if args.extract_text:
+            from harness_aws_etl_pipeline_spark.operators.html import (
+                html_to_text,
+            )
+
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.col("content_type").startswith("text/"),
+                    html_to_text(F.col("payload").cast("string")),
+                ),
+            )
+        df.write.mode("overwrite").parquet(args.output)
+        got = spark.read.parquet(args.output)
+        by_type = {
+            r["record_type"]: r["count"]
+            for r in got.groupBy("record_type").count().collect()
+        }
+        print(json.dumps({
+            "status": "success", "action": "warc",
+            "rows": sum(by_type.values()), "record_types": by_type,
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "probe":

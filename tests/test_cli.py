@@ -529,3 +529,31 @@ class TestTakedownAndProbe:
         assert res["stages"][0]["stage"] == "html_extract"
         got = spark.read.parquet(out).collect()[0]["text"]
         assert got == "the quick brown fox jumps over the lazy dog"
+
+    def test_warc_ingest(self, spark, tmp_path, capsys):
+        from harness_aws_etl_pipeline_spark.sources.warc import (
+            build_warc,
+            http_response,
+        )
+
+        wdir = tmp_path / "crawl"
+        wdir.mkdir()
+        (wdir / "seg.warc.gz").write_bytes(
+            build_warc(
+                [
+                    {"type": "response", "uri": "https://a.com/x",
+                     "payload": http_response(b"<p>hello crawl</p>")},
+                    {"type": "request", "uri": "https://a.com/x",
+                     "payload": b"GET /x HTTP/1.1\r\n\r\n"},
+                ],
+                per_record_gzip=True,
+            )
+        )
+        out = str(tmp_path / "docs")
+        rc = main(["warc", "--input", str(wdir), "--output", out,
+                   "--extract-text"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["record_types"] == {"response": 1}
+        row = spark.read.parquet(out).collect()[0]
+        assert row["text"] == "hello crawl"
