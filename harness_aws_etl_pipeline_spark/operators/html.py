@@ -35,6 +35,8 @@ __all__ = [
     "extract_links",
     "extract_title",
     "html_to_text",
+    "markdown_links",
+    "markdown_to_text",
     "strip_html_columns",
 ]
 
@@ -94,6 +96,50 @@ def extract_links(col: Column | str) -> Column:
     double = F.regexp_extract_all(c, F.lit(r'(?is)<a\b[^>]*\bhref="([^"]*)"'), F.lit(1))
     single = F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*\bhref='([^']*)'"), F.lit(1))
     return F.concat(double, single)
+
+
+def markdown_to_text(col: Column | str, keep_code: bool = True) -> Column:
+    """Markdown → plain text, the code-corpus sibling of
+    :func:`html_to_text` (GitHub/docs corpora ship as .md). Same
+    architecture: a fixed RE2-safe ``regexp_replace`` chain in
+    whole-stage codegen.
+
+    Steps: fenced code blocks (kept verbatim minus the fences by
+    default — code is usually wanted text in a training corpus;
+    ``keep_code=False`` drops them), inline-code backticks, ATX
+    heading markers, bold/italic/strikethrough markers, images (alt
+    text survives), links (anchor text survives — harvest targets
+    with :func:`markdown_links`), blockquote markers, list bullets,
+    horizontal rules, table pipes, whitespace collapse."""
+    c = F.col(col) if isinstance(col, str) else col
+    if keep_code:
+        c = F.regexp_replace(c, r"(?m)^```[^\n]*$", "")
+    else:
+        c = F.regexp_replace(c, r"(?s)```.*?```", " ")
+    c = F.regexp_replace(c, r"`([^`\n]*)`", r"$1")
+    c = F.regexp_replace(c, r"(?m)^#{1,6}[ \t]+", "")
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\(([^)]*)\)", r"$1")
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\(([^)]*)\)", r"$1")
+    c = F.regexp_replace(c, r"(\*\*|__)([^*_\n]+)(\*\*|__)", r"$2")
+    c = F.regexp_replace(c, r"(\*|\b_)([^*_\n]+)(\*|_\b)", r"$2")
+    c = F.regexp_replace(c, r"~~([^~\n]+)~~", r"$1")
+    c = F.regexp_replace(c, r"(?m)^>[ \t]?", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]*([-*+]|\d+\.)[ \t]+", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]*([-*_][ \t]*){3,}$", "")
+    c = F.regexp_replace(c, r"(?m)^\|", "")
+    c = F.regexp_replace(c, r"\|", " ")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
+
+
+def markdown_links(col: Column | str) -> Column:
+    """Link + image targets of ``[text](url)`` / ``![alt](url)`` as an
+    array<string> in order of appearance — feed them to the URL
+    family like :func:`extract_links` output."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"!?\[[^\]]*\]\(([^)]*)\)"), F.lit(1))
 
 
 def strip_html_columns(

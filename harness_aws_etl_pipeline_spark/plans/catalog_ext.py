@@ -435,6 +435,16 @@ _HTML_FIXTURE = (
     "<p>before</p><script>var j=1;",
 )
 
+# planted markdown literals (quote-free: they embed directly as SQL
+# VALUES) for the markdown-extraction legs
+_MD_FIXTURE = (
+    "# Title\n\nSome **bold** and *italic* text with `inline code`.\n\n"
+    "> quote\n\n- item one\n- item two\n\n"
+    "[anchor](https://md.example.com/p) and ![alt](https://img.example.com/i.png)\n\n"
+    "```python\ndef f():\n    return 1\n```\n\n| a | b |\n|---|---|\n",
+    "plain markdown-free text",
+)
+
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] document fingerprinting + PII redaction + text-normalization
@@ -526,6 +536,8 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # literals through the full RE2-safe regexp chain — text, title,
     # and harvested-link counts re-derived verbatim by the oracle
     from harness_aws_etl_pipeline_spark.operators.html import (
+        markdown_links,
+        markdown_to_text,
         strip_html_columns,
     )
 
@@ -541,16 +553,28 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("html_title_md5"),
         F.sum(F.size("links")).cast("long").alias("html_links_cnt"),
     )
+    md_rows = spark.createDataFrame(
+        list(enumerate(_MD_FIXTURE)), "mid long, md string"
+    )
+    md_agg = md_rows.agg(
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(markdown_to_text("md")))
+            )
+        ).alias("md_text_md5"),
+        F.sum(F.size(markdown_links("md"))).cast("long").alias("md_links_cnt"),
+    )
     return (
         fp_agg.crossJoin(red_agg)
         .crossJoin(tc_planted)
         .crossJoin(tc_corpus)
         .crossJoin(html_agg)
+        .crossJoin(md_agg)
     )
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*, tc.*, tcc.*, html.*
+SELECT fp.*, red.*, tc.*, tcc.*, html.*, md.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -588,7 +612,7 @@ FROM (
             '[\s\p{Z}]+', ' ', 'g'),
             '^ | $', '', 'g') AS cleaned
         FROM documents)
-) tcc, (__HTML_ARM__) html
+) tcc, (__HTML_ARM__) html, (__MD_ARM__) md
 """
 
 
@@ -647,7 +671,54 @@ def _oracle_fingerprint() -> str:
      ) AS BIGINT) FROM hraw) AS html_links_cnt
 """
     )
-    return ORACLE_FINGERPRINT.replace("__HTML_ARM__", html_arm)
+    md_values = ",\n    ".join(
+        f"({i}, '" + m.replace("'", "''") + "')"
+        for i, m in enumerate(_MD_FIXTURE)
+    )
+    md_arm = (
+        r"""
+  WITH mraw(mid, m) AS (VALUES
+    """
+        + md_values
+        + r"""
+  ),
+  mchain AS (
+    SELECT mid,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(m,
+        '(?m)^```[^\n]*$', '', 'g'),
+        '`([^`\n]*)`', '\1', 'g'),
+        '(?m)^#{1,6}[ \t]+', '', 'g'),
+        '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        '(\*\*|__)([^*_\n]+)(\*\*|__)', '\2', 'g'),
+        '(\*|\b_)([^*_\n]+)(\*|_\b)', '\2', 'g'),
+        '~~([^~\n]+)~~', '\1', 'g'),
+        '(?m)^>[ \t]?', '', 'g'),
+        '(?m)^[ \t]*([-*+]|\d+\.)[ \t]+', '', 'g'),
+        '(?m)^[ \t]*([-*_][ \t]*){3,}$', '', 'g'),
+        '(?m)^\|', '', 'g'),
+        '\|', ' ', 'g'),
+        '[ \t]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+        '\n{3,}', chr(10) || chr(10), 'g'),
+        '^[ \n]+|[ \n]+$', '', 'g') AS txt
+    FROM mraw
+  )
+  SELECT
+    (SELECT md5(string_agg(txt, '|' ORDER BY txt)) FROM mchain)
+      AS md_text_md5,
+    (SELECT CAST(SUM(
+        len(regexp_extract_all(m, '!?\[[^\]]*\]\(([^)]*)\)', 1))
+     ) AS BIGINT) FROM mraw) AS md_links_cnt
+"""
+    )
+    return ORACLE_FINGERPRINT.replace("__HTML_ARM__", html_arm).replace(
+        "__MD_ARM__", md_arm
+    )
 
 
 # --------------------------------------------------------------- dedup

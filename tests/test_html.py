@@ -84,3 +84,68 @@ class TestHtmlToText:
         )
         text = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
         assert "before" in text
+
+
+MD = """# Title
+
+Some **bold** and *italic* and ~~gone~~ text with `inline code`.
+
+> a quote line
+
+- item one
+- item two
+
+1. numbered
+
+[anchor text](https://md.example.com/page) and ![alt words](https://img.example.com/i.png)
+
+```python
+def f():
+    return 1
+```
+
+| a | b |
+|---|---|
+| 1 | 2 |
+
+---
+"""
+
+
+class TestMarkdown:
+    def test_markdown_to_text_keeps_content_drops_syntax(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.html import (
+            markdown_links,
+            markdown_to_text,
+        )
+
+        df = spark.createDataFrame([(1, MD)], "id long, md string")
+        row = df.select(
+            markdown_to_text("md").alias("t"),
+            markdown_links("md").alias("links"),
+        ).collect()[0]
+        t = row["t"]
+        assert t.startswith("Title")
+        assert "Some bold and italic and gone text with inline code." in t
+        assert "a quote line" in t
+        assert "item one\nitem two" in t
+        assert "numbered" in t
+        assert "anchor text and alt words" in t
+        assert "def f():" in t and "```" not in t
+        assert "|" not in t and "**" not in t and "~~" not in t
+        assert row["links"] == [
+            "https://md.example.com/page",
+            "https://img.example.com/i.png",
+        ]
+
+    def test_drop_code_mode(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.html import (
+            markdown_to_text,
+        )
+
+        df = spark.createDataFrame([(1, MD)], "id long, md string")
+        t = df.select(
+            markdown_to_text("md", keep_code=False).alias("t")
+        ).collect()[0]["t"]
+        assert "def f():" not in t
+        assert "Some bold and italic" in t
