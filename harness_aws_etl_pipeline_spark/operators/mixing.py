@@ -72,6 +72,33 @@ def domain_stats(
     )
 
 
+def temperature_weights(
+    totals: dict[str, int],
+    temperature: float,
+    scale: int = 1_000_000,
+) -> dict[str, int]:
+    """Temperature-scaled source weights: ``w_s ∝ T_s^(1/τ)``, the
+    standard multilingual/multi-source rebalancing rule (τ=1 keeps
+    natural proportions, τ→∞ approaches uniform, τ<1 sharpens toward
+    the biggest sources).
+
+    Returns INTEGER weights (largest source scaled to ``scale``) so
+    the result plugs straight into the exact-integer md5-threshold
+    machinery of :func:`mix_thresholds` / :func:`sample_to_mix` —
+    the float pow happens once, driver-side, and everything
+    downstream stays exactly reproducible.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    active = {s: t for s, t in totals.items() if t > 0}
+    if not active:
+        raise ValueError("no source with positive tokens")
+    raw = {s: float(t) ** (1.0 / temperature) for s, t in active.items()}
+    top = max(raw.values())
+    out = {s: max(1, round(v / top * scale)) for s, v in raw.items()}
+    return out
+
+
 def mix_thresholds(
     totals: dict[str, int],
     weights: dict[str, int],

@@ -125,6 +125,33 @@ class TestMixing:
         assert thr["code"] == "g"  # full keep
         assert thr["web"] == format((1 << 32) // 10, "08x")
 
+    def test_temperature_weights(self):
+        from harness_aws_etl_pipeline_spark.operators.mixing import (
+            temperature_weights,
+        )
+
+        totals = {"web": 1_000_000, "code": 10_000, "books": 0}
+        # tau=1: natural proportions (largest scaled to 1e6)
+        w1 = temperature_weights(totals, 1.0)
+        assert w1 == {"web": 1_000_000, "code": 10_000}
+        # tau=2: sqrt rebalance -> code rises from 1% to 10% of web
+        w2 = temperature_weights(totals, 2.0)
+        assert w2["web"] == 1_000_000 and w2["code"] == 100_000
+        # tau -> inf: approaches uniform
+        winf = temperature_weights(totals, 1e9)
+        assert winf["web"] == winf["code"] == 1_000_000
+        # plugs into the exact-threshold machinery unchanged
+        thr = mix_thresholds({"web": 1_000_000, "code": 10_000}, w2)
+        assert set(thr) == {"web", "code"}
+        # floor weight: a tiny source never rounds to zero
+        assert temperature_weights({"a": 10**12, "b": 1}, 1.0)["b"] == 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            temperature_weights(totals, 0)
+        with _pytest.raises(ValueError):
+            temperature_weights({"a": 0}, 1.0)
+
     def test_mix_thresholds_budget_cap(self):
         totals = {"web": 1000}
         thr = mix_thresholds(totals, {"web": 1}, budget_tokens=500)
