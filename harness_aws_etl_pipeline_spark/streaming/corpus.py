@@ -61,6 +61,8 @@ def run_streaming_corpus_prep(
     text_col: str = "text",
     partition_by: list[str] | None = None,
     filter_preset: str | None = None,
+    takedown_rules=None,
+    url_col: str | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     dedup_threshold: float = 0.5,
@@ -77,6 +79,11 @@ def run_streaming_corpus_prep(
     Returns the query's termination status.  ``on_batch(batch_id,
     info)`` receives per-batch counts (rows_in / after each gate /
     accepted) for monitoring.
+
+    ``takedown_rules`` (a :class:`~..operators.takedown.TakedownRules`)
+    enforces erasure rules on EVERY batch before the quality gates —
+    the continuous-enforcement half of the governance story (the
+    retroactive half is ``takedown_from_table`` on the output table).
     """
     from harness_aws_etl_pipeline_spark.operators.incremental import (
         IncrementalDeduper,
@@ -104,6 +111,16 @@ def run_streaming_corpus_prep(
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         info: dict = {"rows_in": batch_df.count()}
         df = batch_df
+        if takedown_rules is not None:
+            from harness_aws_etl_pipeline_spark.operators.takedown import (
+                apply_takedown,
+            )
+
+            df = apply_takedown(
+                df, takedown_rules, id_col=id_col, url_col=url_col,
+                text_col=text_col,
+            )
+            info["after_takedown"] = df.count()
         if filter_preset is not None:
             from harness_aws_etl_pipeline_spark.operators.filters import (
                 apply_quality_filters,

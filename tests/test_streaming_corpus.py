@@ -209,3 +209,37 @@ class TestStreamingSpanGate:
         out2 = {r.doc_id: r.text for r in spark.read.parquet(
             str(tmp_path / "out_span")).collect()}
         assert out2 == texts
+
+
+class TestStreamingTakedown:
+    def test_rules_enforced_per_batch_before_gates(self, spark, tmp_path, src, bench):
+        from harness_aws_etl_pipeline_spark.operators.takedown import (
+            TakedownRules,
+        )
+        from harness_aws_etl_pipeline_spark.streaming.corpus import (
+            run_streaming_corpus_prep,
+        )
+
+        batches = {}
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src / "b0")
+        )
+        ok = run_streaming_corpus_prep(
+            stream,
+            str(tmp_path / "out_td"),
+            str(tmp_path / "ckpt_td"),
+            str(tmp_path / "state_td"),
+            takedown_rules=TakedownRules(ids=(2,)),
+            benchmark=bench,
+            decontam_n=5,
+            dedup_threshold=0.5,
+            on_batch=lambda bid, info: batches.update({bid: info}),
+        )
+        assert ok
+        info = batches[0]
+        assert info["after_takedown"] == info["rows_in"] - 1
+        out_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out_td")).collect()
+        }
+        assert 2 not in out_ids and 1 in out_ids
