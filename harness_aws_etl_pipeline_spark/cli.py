@@ -263,8 +263,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     ann.add_argument(
         "--model", default=None,
-        help="pq only: codebook JSON — loaded when it exists, else "
-        "trained and saved there",
+        help="pq/ivf: model JSON (codebooks / coarse centroids) — "
+        "loaded when it exists, else trained and saved there",
     )
 
     args = p.parse_args(argv)
@@ -479,6 +479,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.method == "ivfpq":
             kw["nprobe"] = args.nprobe
+        if args.model and args.method == "ivf":
+            from harness_aws_etl_pipeline_spark.operators.similarity import (
+                ivf_centroids,
+                load_ivf,
+                save_ivf,
+            )
+            from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+            if get_fs(args.model, spark).exists(args.model):
+                kw["centroids"] = load_ivf(args.model, spark)
+            else:
+                kw["centroids"] = ivf_centroids(
+                    cands, id_col=args.id_col, vec_col=args.vec_col
+                )
+                save_ivf(kw["centroids"], args.model, spark)
         if args.model and args.method == "pq":
             from harness_aws_etl_pipeline_spark.operators.pq import (
                 load_pq,

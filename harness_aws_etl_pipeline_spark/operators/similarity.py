@@ -716,6 +716,44 @@ def embedding_join(
     )
 
 
+def save_ivf(centroids: DataFrame, path: str, spark=None) -> None:
+    """Persist a trained IVF coarse quantizer — (centroid_id,
+    centroid) rows, model-sized by contract (k × dim) — as versioned
+    JSON through the FS adapter (the save_pq artifact convention).
+    Completes the FAISS-style train/add split for plain IVF:
+    ``ivf_centroids`` once, ``save_ivf``, then
+    ``ivf_topk(..., centroids=load_ivf(path, spark))`` on every
+    incremental load with no retrain."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    )
+    payload = json.dumps(
+        {"format": "ivf-model-v1", "centroids": rows}, ensure_ascii=False
+    ).encode("utf-8")
+    get_fs(path, spark or centroids.sparkSession).write_bytes(path, payload)
+
+
+def load_ivf(path: str, spark) -> DataFrame:
+    """Inverse of :func:`save_ivf` (validates the format tag); returns
+    the (centroid_id, centroid) frame ``ivf_topk`` consumes."""
+    import json
+
+    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+    doc = json.loads(get_fs(path, spark).read_bytes(path).decode("utf-8"))
+    if doc.get("format") != "ivf-model-v1":
+        raise ValueError(f"not an ivf model file: {path}")
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in doc["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Profiling for embedding columns: dimension + L2 norm per row."""
     return df.withColumn("dim", F.size(vec_col)).withColumn(

@@ -557,3 +557,31 @@ class TestTakedownAndProbe:
         assert res["record_types"] == {"response": 1}
         row = spark.read.parquet(out).collect()[0]
         assert row["text"] == "hello crawl"
+
+    def test_ann_ivf_model_persist_and_reuse(self, spark, tmp_path, capsys):
+        import random
+
+        random.seed(7)
+        cands = spark.createDataFrame(
+            [(i, [random.random() for _ in range(8)]) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+        qsrc = str(tmp_path / "ivf_queries")
+        csrc = str(tmp_path / "ivf_cands")
+        cands.write.parquet(csrc)
+        cands.limit(3).write.parquet(qsrc)
+        model = str(tmp_path / "ivf_model.json")
+        out = str(tmp_path / "ivf_out")
+        for i in range(2):  # second run loads the saved quantizer
+            rc = main(
+                ["ann", "--input", csrc, "--queries", qsrc, "--output", out,
+                 "--method", "ivf", "--k", "3", "--model", model]
+            )
+            assert rc == 0
+            res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert res["result_rows"] == 9
+        from harness_aws_etl_pipeline_spark.operators.similarity import load_ivf
+
+        loaded = load_ivf(model, spark)
+        assert loaded.count() == 16
+        assert len(loaded.collect()[0]["centroid"]) == 8
