@@ -52,6 +52,7 @@ def prepare_corpus(
     mix_domain_col: str = "source",
     pack_capacity: int | None = None,
     url_col: str | None = None,
+    robots_rules: "DataFrame | None" = None,
     max_docs_per_host: int | None = None,
     url_columns: bool = False,
     suffix_rules: dict | None = None,
@@ -102,6 +103,17 @@ def prepare_corpus(
             dedup_by_url,
         )
 
+        if robots_rules is not None:
+            from harness_aws_etl_pipeline_spark.operators.robots import (
+                robots_filter,
+            )
+
+            stages.append(
+                (
+                    "robots_filter",
+                    lambda d: robots_filter(d, robots_rules, url_col=url_col),
+                )
+            )
         stages.append(
             (
                 "url_dedup",

@@ -2567,6 +2567,15 @@ _TAKEDOWN_RULES = TakedownRules(
     content_hashes=(_hashlib.md5(b"not-a-url-1").hexdigest(),),
 )
 
+# planted robots rules over the same URL fixture (operators/robots.py):
+# literal prefix, longest-match allow-wins, wildcard+anchor, whole-host
+_ROBOTS_RULES = (
+    ("a.com", "disallow", "/x", 2),
+    ("a.com", "allow", "/x/", 3),
+    ("example.com", "disallow", "/page*$", 7),
+    ("news.example.co.uk", "disallow", "/", 1),
+)
+
 
 def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] domain-weighted corpus mixing (operators/mixing.py) —
@@ -2580,6 +2589,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         sample_to_mix,
     )
 
+    from harness_aws_etl_pipeline_spark.operators.robots import robots_filter
     from harness_aws_etl_pipeline_spark.operators.urlops import (
         add_url_columns,
         cap_per_host,
@@ -2641,6 +2651,25 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
                 F.md5(
                     F.concat_ws("|", F.array_sort(F.collect_list("d")))
                 ).alias("url_psl_md5")
+            )
+        )
+        # round 6: robots.txt politeness filtering (operators/robots.py)
+        # — planted rules over the same URL VALUES; the oracle
+        # re-compiles the prefix patterns and re-derives the
+        # longest-match/allow-wins resolution in SQL
+        .crossJoin(
+            robots_filter(
+                urls,
+                spark.createDataFrame(
+                    list(_ROBOTS_RULES),
+                    "host string, rule string, prefix string, prefix_len int",
+                ),
+                mode="flag",
+            ).agg(
+                F.sum(F.col("robots_allowed").cast("long"))
+                .cast("long")
+                .alias("robots_allowed_cnt"),
+                F.count(F.lit(1)).cast("long").alias("robots_total_cnt"),
             )
         )
         # round 6: takedown governance pass (operators/takedown.py) —
@@ -2962,6 +2991,44 @@ def _oracle_corpus_mix() -> str:
           )
           SELECT md5(string_agg(d, '|' ORDER BY d)) FROM dom
          ) AS url_psl_md5,
+         -- round 6: robots.txt politeness verdicts over the same
+         -- VALUES — prefix patterns re-compiled with the engine's
+         -- escape/wildcard/anchor chain, longest-match allow-wins
+         -- resolution as MAX(allow_len) >= MAX(disallow_len)
+         (WITH rr(rhost, rrule, rprefix, rplen) AS (VALUES
+            ('a.com', 'disallow', '/x', 2),
+            ('a.com', 'allow', '/x/', 3),
+            ('example.com', 'disallow', '/page*$', 7),
+            ('news.example.co.uk', 'disallow', '/', 1)),
+          up AS (
+            SELECT id, host,
+                   CASE WHEN p IS NULL OR p = '' THEN '/' ELSE p END AS path
+            FROM (SELECT id, host,
+                         regexp_extract(u,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)?',
+                           1) AS p
+                  FROM hosts)
+          ),
+          cand AS (
+            SELECT up.id, rr.rrule, rr.rplen,
+                   regexp_matches(up.path, '^' ||
+                     regexp_replace(regexp_replace(regexp_replace(rr.rprefix,
+                       '([.^$+?()\[\]{{}}|\\])', '\\\1', 'g'),
+                       '\*', '.*', 'g'),
+                       '\\\$$', '$', 'g')) AS hit
+            FROM up LEFT JOIN rr ON up.host = rr.rhost
+          ),
+          rv AS (
+            SELECT id,
+                   COALESCE(MAX(CASE WHEN rrule = 'allow' AND hit
+                                     THEN rplen END), -1)
+                   >= COALESCE(MAX(CASE WHEN rrule = 'disallow' AND hit
+                                        THEN rplen END), -1) AS ok
+            FROM cand GROUP BY id
+          )
+          SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+          FROM rv) AS robots_allowed_cnt,
+         CAST(COUNT(*) AS BIGINT) AS robots_total_cnt,
          -- round 6: takedown audit counts over the same VALUES (id +
          -- URL-regex + content-hash rules; a row matching several
          -- rules counts once in removed, once per rule it matched)

@@ -190,3 +190,24 @@ class TestHtmlStage:
         rows = {r["doc_id"]: r["text"] for r in out.collect()}
         assert rows[1].startswith("the quick brown fox")
         assert "<p>" not in rows[1] and "<p>" not in rows[2]
+
+    def test_robots_stage(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.corpus_pipeline import (
+            prepare_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/ok", "fine words here today"),
+                (2, "https://a.com/private/x", "secret words here today"),
+            ],
+            "doc_id long, url string, text string",
+        )
+        rules = spark.createDataFrame(
+            [("a.com", "disallow", "/private/", 9)],
+            "host string, rule string, prefix string, prefix_len int",
+        )
+        out, report = prepare_corpus(df, url_col="url", robots_rules=rules)
+        assert report[0]["stage"] == "robots_filter"
+        assert report[0]["removed"] == 1
+        assert [r["doc_id"] for r in out.collect()] == [1]
