@@ -290,6 +290,91 @@ def _bench_corpus_prep(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_web_prep(spark, sf_dir: str) -> dict:
+    """Web-corpus extraction leg (round 6) — NOT a catalog entry: the
+    markup→text chain, robots filtering, and URL canonicalization
+    timed at the bench SF with deterministic work-done checks.  Every
+    document is wrapped in a synthetic HTML template (title + anchor)
+    via column expressions, given a deterministic URL
+    (host = doc_id % 1000), and pushed through html_to_text /
+    extract_links, a 100-host disallow rule set (hosts ≡ 0 mod 10 →
+    expected denials computable exactly), and canonical-URL dedup."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.html import (
+        extract_links,
+        html_to_text,
+    )
+    from harness_aws_etl_pipeline_spark.operators.robots import robots_filter
+    from harness_aws_etl_pipeline_spark.operators.urlops import normalize_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{color:red}</style></head><body><p>"),
+            F.col("text"),
+            F.lit('</p><a href="https://h'),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit('?utm_source=x">next</a></body></html>'),
+        ).alias("html"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+    start = time.perf_counter()
+    ext = wrapped.select(
+        "doc_id",
+        html_to_text("html").alias("text"),
+        F.size(extract_links("html")).alias("n_links"),
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+        F.sum("n_links").alias("links"),
+    ).collect()[0]
+    html_s = time.perf_counter() - start
+
+    rules = spark.createDataFrame(
+        [(f"h{h}.example.com", "disallow", "/doc/", 5) for h in range(0, 1000, 10)],
+        "host string, rule string, prefix string, prefix_len int",
+    )
+    start = time.perf_counter()
+    flagged = robots_filter(wrapped, rules, mode="flag")
+    denied = flagged.filter(~F.col("robots_allowed")).count()
+    robots_s = time.perf_counter() - start
+    expected_denied = wrapped.filter(F.col("doc_id") % 10 == 0).count()
+
+    start = time.perf_counter()
+    n_norm = (
+        wrapped.select(normalize_url("url").alias("u"))
+        .agg(F.countDistinct("u"))
+        .collect()[0][0]
+    )
+    url_s = time.perf_counter() - start
+
+    return {
+        "html_s": round(html_s, 3),
+        "docs": int(ext["docs"]),
+        "links": int(ext["links"]),
+        "links_ok": bool(ext["links"] == ext["docs"]),  # one anchor per doc
+        "robots_s": round(robots_s, 3),
+        "robots_denied": int(denied),
+        "robots_ok": bool(denied == expected_denied),
+        "url_norm_s": round(url_s, 3),
+        "url_distinct": int(n_norm),
+    }
+
+
 def _bench_skew_join(spark, sf_dir: str) -> dict:
     """AQE skew-join leg — NOT a catalog entry. 95% of the lineitem
     fact rows are collapsed onto ONE join key (the template-spam /
@@ -703,6 +788,13 @@ def main() -> None:
         pq = {"error": str(exc)[:500]}
     print(f"# pq: {pq}", file=sys.stderr)
 
+    # web-corpus extraction leg (round 6) — also outside "queries"
+    try:
+        web = _bench_web_prep(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        web = {"error": str(exc)[:500]}
+    print(f"# web_prep: {web}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -718,6 +810,7 @@ def main() -> None:
         "corpus_prep": prep,
         "drift_legs": drift,
         "skew_join": skew,
+        "web_prep": web,
         "pq": pq,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
