@@ -8,11 +8,14 @@ The engine models it corpus-scale:
   prefix) rules via an Arrow batch parse (robots files are small,
   one per host; the stateful user-agent-group scan is per-file
   Python, the distribution is by host).
-- :func:`robots_filter` — docs × rules: ONE equi-join on host + ONE
-  aggregation implementing the Google-documented resolution rule —
-  the longest matching rule wins, ties go to allow — as
-  ``max(struct(prefix_len, allow_bit))``: struct comparison orders by
-  length first, then allow, which IS the rule. Hosts with no rules
+- :func:`robots_filter` — rules grouped into ONE array per host,
+  broadcast, left-joined (no row multiplication), and resolved per
+  doc with higher-order array expressions: ``array_max(transform(
+  filter(rules, matches), r -> struct(prefix_len, allow_bit)))``
+  implements the Google-documented resolution — the longest matching
+  rule wins, ties go to allow — because struct comparison orders by
+  length first, then allow. ZERO shuffle on the doc side, zero
+  aggregation: the whole verdict is a projection. Hosts with no rules
   (or docs with no host) are allowed.
 
 Matching supports the literal-prefix core plus the ``*`` wildcard and
@@ -156,9 +159,12 @@ def robots_filter(
     """Docs → allowed docs (``mode="filter"``) or docs +
     ``robots_allowed`` flag (``mode="flag"``).
 
-    One equi-join on host, exact-prefix/wildcard match, then the
-    resolution agg: ``max(struct(prefix_len, allow_bit))`` picks the
-    longest rule with allow winning ties. Docs whose host has no
+    Rules collapse to one precompiled array per host (host-cardinality
+    groupBy on the SMALL side), broadcast, and left-join onto docs
+    with no row multiplication; the verdict is then a pure projection:
+    ``array_max`` over ``struct(prefix_len, allow_bit)`` of the
+    matching rules picks the longest rule with allow winning ties.
+    The doc side never shuffles or aggregates. Docs whose host has no
     matching rule — or no rules at all, or no parseable host — are
     allowed."""
     if mode not in ("filter", "flag"):
@@ -178,38 +184,36 @@ def robots_filter(
     docs = docs.withColumn(
         "__path", F.when(F.col("__path") == "", "/").otherwise(F.col("__path"))
     )
-    r = rules.select(
-        F.col("host").alias("__host"),
-        F.col("rule"),
-        F.col("prefix"),
-        F.col("prefix_len").cast("int").alias("prefix_len"),
+    per_host = rules.groupBy(F.col("host").alias("__host")).agg(
+        F.collect_list(
+            F.struct(
+                _prefix_regex(F.col("prefix")).alias("rx"),
+                F.col("prefix_len").cast("int").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+            )
+        ).alias("__rules")
     )
     if broadcast_rules:
-        r = F.broadcast(r)
-    matched = (
-        docs.join(r, "__host", "left")
-        .withColumn(
-            "__hit",
-            F.col("prefix").isNotNull()
-            & F.regexp_like(F.col("__path"), _prefix_regex(F.col("prefix"))),
+        per_host = F.broadcast(per_host)
+    best = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("__rules"),
+                lambda r: F.regexp_like(F.col("__path"), r["rx"]),
+            ),
+            lambda r: F.struct(r["l"].alias("l"), r["a"].alias("a")),
         )
-        .groupBy(*[F.col(c) for c in df.columns], "__host", "__path")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("__hit"),
-                    F.struct(
-                        F.col("prefix_len").alias("l"),
-                        (F.col("rule") == "allow").cast("int").alias("a"),
-                    ),
-                )
-            ).alias("__best")
+    )
+    matched = (
+        docs.join(per_host, "__host", "left")
+        .withColumn(
+            "__best", F.when(F.col("__rules").isNotNull(), best)
         )
         .withColumn(
             "robots_allowed",
             F.col("__best").isNull() | (F.col("__best.a") == 1),
         )
-        .drop("__best", "__host", "__path")
+        .drop("__best", "__rules", "__host", "__path")
     )
     if mode == "flag":
         return matched

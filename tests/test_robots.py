@@ -114,3 +114,16 @@ class TestFilter:
         }
         assert flags[1] is False
         assert flags[2] is True  # '.' must not match 'X'
+
+    def test_doc_side_never_shuffles(self, spark, docs, rules):
+        plan = (
+            robots_filter(docs, rules, mode="flag")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the only aggregation is the host-cardinality rules collapse
+        # (small side); the doc side is join + projection
+        assert plan.count("ObjectHashAggregate") <= 2
