@@ -180,3 +180,87 @@ def test_pca_moments_100k(spark):
     comp0 = np.asarray(model["components"][0])
     assert abs(comp0[0]) > 0.99, "planted dominant direction not found"
     assert wall < 90, f"PCA fit too slow at 100k: {wall:.1f}s"
+
+
+def test_web_extraction_chain_20k(spark):
+    """20k synthetic HTML documents through html_to_text +
+    extract_links as pure column expressions: exact extracted text per
+    doc (closed-form in the id), one link each, no Python in the path."""
+    from harness_aws_etl_pipeline_spark.operators.html import (
+        extract_links,
+        html_to_text,
+    )
+
+    docs = spark.range(20_000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("<html><head><title>t</title><style>p{x}</style></head>"
+                  "<body><p>body "),
+            F.col("id").cast("string"),
+            F.lit(' text</p><a href="https://h.com/'),
+            F.col("id").cast("string"),
+            F.lit('">l</a></body></html>'),
+        ).alias("html"),
+    )
+    out = docs.select(
+        "id",
+        html_to_text("html").alias("text"),
+        F.size(extract_links("html")).alias("nl"),
+    )
+    bad = out.filter(
+        (F.col("text") != F.concat(
+            F.lit("t body "), F.col("id").cast("string"), F.lit(" text\nl")
+        ))
+        | (F.col("nl") != 1)
+    ).count()
+    assert bad == 0
+
+
+def test_robots_verdicts_50k_docs_5k_hosts(spark):
+    """50k URLs across 5k hosts against 1k disallow rules: verdicts
+    stay exact (closed-form expected denials) with the doc side never
+    shuffling (broadcast per-host rule arrays)."""
+    from harness_aws_etl_pipeline_spark.operators.robots import robots_filter
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 5000).cast("string"),
+            F.lit(".com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [(f"h{h}.com", "disallow", "/p/", 3) for h in range(0, 5000, 5)],
+        "host string, rule string, prefix string, prefix_len int",
+    )
+    denied = (
+        robots_filter(docs, rules, mode="flag")
+        .filter(~F.col("robots_allowed"))
+        .count()
+    )
+    assert denied == 10_000  # hosts ≡ 0 (mod 5) → ids ≡ 0 (mod 5)
+
+
+def test_container_probe_4k_media(spark):
+    """4k synthesized MP4/MP3 payloads probed in one Arrow pass:
+    closed-form duration sums both modalities."""
+    from harness_aws_etl_pipeline_spark.operators.containers import (
+        probe_media_containers,
+        synthesize_mp3_media,
+        synthesize_mp4_media,
+    )
+
+    docs = spark.range(1, 2001).withColumnRenamed("id", "doc_id")
+    media = synthesize_mp4_media(docs).unionByName(synthesize_mp3_media(docs))
+    got = {
+        r["container"]: r["s"]
+        for r in probe_media_containers(media)
+        .groupBy("container")
+        .agg(F.sum("duration_ms").alias("s"))
+        .collect()
+    }
+    ids = range(1, 2001)
+    assert got["mp4"] == sum(500 + i % 1000 for i in ids)
+    assert got["mp3"] == sum(36 * (10 + i % 20) for i in ids)
