@@ -62,40 +62,86 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
-def parse_warc(data: bytes) -> Iterator[dict[str, Any]]:
-    """One forward scan over a WARC byte stream (gzip — including
-    per-record members — is detected and decompressed first). Yields
-    one dict per record: warc headers + raw payload. Malformed tails
-    stop the scan cleanly rather than raising."""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # multi-member: whole file inflates
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while data[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if not data[pos : pos + 5] == b"WARC/":
+class _Stream:
+    """Buffered reader over a file-like object with bounded lookahead:
+    ``read_until(sep)`` and ``read_exact(n)`` hold at most the current
+    header block / payload in memory — never the inflated file."""
+
+    __slots__ = ("f", "buf")
+
+    def __init__(self, f):
+        self.f = f
+        self.buf = b""
+
+    def _fill(self, n: int = 65536) -> bool:
+        chunk = self.f.read(n)
+        if not chunk:
+            return False
+        self.buf += chunk
+        return True
+
+    def read_until(self, sep: bytes, limit: int = 1 << 20) -> bytes | None:
+        """Bytes up to and EXCLUDING sep (consumed); None when sep
+        doesn't arrive within ``limit`` bytes or the stream ends."""
+        while True:
+            i = self.buf.find(sep)
+            if i >= 0:
+                out, self.buf = self.buf[:i], self.buf[i + len(sep) :]
+                return out
+            if len(self.buf) > limit or not self._fill():
+                return None
+
+    def read_exact(self, n: int) -> bytes | None:
+        while len(self.buf) < n:
+            if not self._fill(max(65536, n - len(self.buf))):
+                return None
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def skip_crlf_runs(self) -> None:
+        while True:
+            while self.buf[:2] == b"\r\n":
+                self.buf = self.buf[2:]
+            if len(self.buf) >= 2 or not self._fill():
+                return
+
+
+def parse_warc(data: "bytes | Any") -> Iterator[dict[str, Any]]:
+    """One forward STREAMING scan over a WARC byte stream — ``data``
+    may be bytes or a binary file-like object; gzip (including the
+    crawl-archive per-record-member layout) is detected and inflated
+    lazily, so peak memory is O(largest record), never O(inflated
+    file) — the property that matters when one task owns a ~1 GB
+    member file that inflates 4×. Yields one dict per record: warc
+    headers + raw payload. Malformed/truncated tails stop the scan
+    cleanly rather than raising."""
+    f = io.BytesIO(data) if isinstance(data, (bytes, bytearray)) else data
+    head = f.read(2)
+    f.seek(-len(head), io.SEEK_CUR)
+    if head == b"\x1f\x8b":
+        # GzipFile reads across concatenated members transparently and
+        # decompresses on demand via read(n)
+        f = gzip.GzipFile(fileobj=f, mode="rb")
+    s = _Stream(f)
+    while True:
+        s.skip_crlf_runs()
+        head_block = s.read_until(_CRLF2)
+        if head_block is None or not head_block.startswith(b"WARC/"):
             break
-        head_end = data.find(_CRLF2, pos)
-        if head_end < 0:
-            break
-        version_line, _, header_block = data[pos:head_end].partition(b"\r\n")
+        version_line, _, header_block = head_block.partition(b"\r\n")
         headers = _parse_headers(header_block)
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
-        body_start = head_end + 4
-        if body_start + length > n:
+        payload = s.read_exact(length)
+        if payload is None:
             break  # truncated record: Content-Length not satisfied
-        payload = data[body_start : body_start + length]
         yield {
             "version": version_line.decode("ascii", "replace"),
             "headers": headers,
             "payload": payload,
         }
-        pos = body_start + length
 
 
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
@@ -151,10 +197,13 @@ def read_warc(
     files = reader.load(path).select("path", "content")
     want = tuple(record_types)
 
+    chunk_records = 256  # bound the in-flight rows, not file-at-a-time
+
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in WARC_SCHEMA.fields]
+        rows: list[dict] = []
+        emitted = False
         for pdf in batches:
-            rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc(bytes(content)):
                     h = rec["headers"]
@@ -180,6 +229,11 @@ def read_warc(
                             "payload_length": len(body),
                         }
                     )
+                    if len(rows) >= chunk_records:
+                        emitted = True
+                        yield pd.DataFrame(rows, columns=cols).astype("object")
+                        rows = []
+        if rows or not emitted:
             yield pd.DataFrame(rows, columns=cols).astype("object")
 
     return files.mapInPandas(_parse, WARC_SCHEMA)

@@ -120,3 +120,41 @@ class TestSparkRead:
         assert all(r["url_host"] == "a.com" for r in out)
         # title text stays inline ahead of the body text
         assert all(r["text"] == "A alpha page" for r in out)
+
+
+class TestStreaming:
+    def test_filelike_input_streams_lazily(self):
+        import io
+
+        # a file-like input is consumed incrementally: after yielding
+        # the first record, the reader must not have slurped the rest
+        data = build_warc(_records())
+
+        class Meter(io.BytesIO):
+            def __init__(self, b):
+                super().__init__(b)
+                self.reads = 0
+
+            def read(self, n=-1):
+                self.reads += 1
+                return super().read(n)
+
+        m = Meter(data)
+        gen = parse_warc(m)
+        first = next(gen)
+        assert first["headers"]["warc-type"] == "warcinfo"
+        rest = list(gen)
+        assert len(rest) == 3
+
+    def test_gzip_member_stream_equivalent(self):
+        plain = list(parse_warc(build_warc(_records())))
+        gz = list(parse_warc(build_warc(_records(), per_record_gzip=True)))
+        assert [(r["headers"]["warc-type"], r["payload"]) for r in plain] == [
+            (r["headers"]["warc-type"], r["payload"]) for r in gz
+        ]
+
+    def test_header_block_limit_stops_scan(self):
+        # a "record" whose header block never terminates (no CRLFCRLF
+        # within the 1 MiB lookahead) must stop cleanly
+        junk = b"WARC/1.0\r\n" + b"X: y\r\n" * 300_000
+        assert list(parse_warc(junk)) == []
