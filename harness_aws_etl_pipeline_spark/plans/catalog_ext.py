@@ -445,6 +445,24 @@ _MD_FIXTURE = (
     "plain markdown-free text",
 )
 
+# planted WARC response records (uri, http_status, content_type, body)
+# — ASCII-only so DuckDB LENGTH() (codepoints) equals the engine's
+# payload_length (bytes). The warc legs of ``doc_fingerprint`` write
+# these through sources/warc.build_warc in BOTH file layouts (plain +
+# per-record gzip, the crawl-archive form), re-read them with
+# read_warc, and value-check the aggregates against this fixture.
+_WARC_FIXTURE = (
+    (
+        "https://w.example.com/zero",
+        200,
+        "text/html",
+        "<html><title>W Zero</title><body>zero &amp; more</body></html>",
+    ),
+    ("https://w.example.com/one", 200, "text/plain", "plain body one"),
+    ("https://w.example.com/two", 404, "text/html", ""),
+    ("https://w.example.com/three", 301, "application/json", '{"k": 1}'),
+)
+
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] document fingerprinting + PII redaction + text-normalization
@@ -564,17 +582,93 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("md_text_md5"),
         F.sum(F.size(markdown_links("md"))).cast("long").alias("md_links_cnt"),
     )
+    # warc-source legs (sources/warc.py, round 6): write the planted
+    # response records through build_warc in BOTH layouts (plain +
+    # per-record-gzip, the crawl-archive form), plus a warcinfo and a
+    # request record that the default record_types filter must drop,
+    # then re-read with read_warc. Aggregates are collected INSIDE the
+    # tempdir scope (binaryFile is lazy — the files must outlive the
+    # scan) and ride the panel as a literal 1-row frame, the
+    # sink_roundtrip pattern. warc_body_len_sum pins the HTTP-envelope
+    # split (Content-Length header stripped, entity body measured);
+    # warc_gzip_ok pins layout parity (same (uri, payload) set from
+    # both files).
+    import os
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.sources.warc import (
+        build_warc,
+        http_response,
+        read_warc,
+    )
+
+    warc_recs = [
+        {"type": "warcinfo", "payload": b"software: spark-graft\r\n"},
+        {
+            "type": "request",
+            "uri": _WARC_FIXTURE[0][0],
+            "payload": b"GET /zero HTTP/1.1\r\nHost: w.example.com\r\n\r\n",
+        },
+    ] + [
+        {
+            "type": "response",
+            "uri": u,
+            "payload": http_response(b.encode(), status=s, content_type=c),
+        }
+        for (u, s, c, b) in _WARC_FIXTURE
+    ]
+    with tempfile.TemporaryDirectory(prefix="warc_panel_") as tmp:
+        os.makedirs(f"{tmp}/plain")
+        os.makedirs(f"{tmp}/gz")
+        with open(f"{tmp}/plain/a.warc", "wb") as fh:
+            fh.write(build_warc(warc_recs))
+        with open(f"{tmp}/gz/a.warc.gz", "wb") as fh:
+            fh.write(build_warc(warc_recs, per_record_gzip=True))
+        plain = read_warc(spark, f"{tmp}/plain")
+        gz = read_warc(spark, f"{tmp}/gz")
+
+        def _keyed(df: DataFrame) -> DataFrame:
+            return df.select("target_uri", F.md5("payload").alias("pmd5"))
+
+        a, b = _keyed(plain), _keyed(gz)
+        gzip_ok = int(a.exceptAll(b).union(b.exceptAll(a)).count() == 0)
+        wrow = plain.agg(
+            F.count(F.lit(1)).cast("long").alias("warc_resp_cnt"),
+            F.sum("http_status").cast("long").alias("warc_status_sum"),
+            F.sum("payload_length").cast("long").alias("warc_body_len_sum"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("target_uri")))
+            ).alias("warc_uri_md5"),
+            F.sum((F.col("content_type") == "text/html").cast("long")).alias(
+                "warc_ct_html_cnt"
+            ),
+        ).first()
+    warc_agg = spark.createDataFrame(
+        [
+            (
+                wrow["warc_resp_cnt"],
+                wrow["warc_status_sum"],
+                wrow["warc_body_len_sum"],
+                wrow["warc_uri_md5"],
+                wrow["warc_ct_html_cnt"],
+                gzip_ok,
+            )
+        ],
+        "warc_resp_cnt long, warc_status_sum long, warc_body_len_sum long, "
+        "warc_uri_md5 string, warc_ct_html_cnt long, warc_gzip_ok long",
+    )
     return (
         fp_agg.crossJoin(red_agg)
         .crossJoin(tc_planted)
         .crossJoin(tc_corpus)
         .crossJoin(html_agg)
         .crossJoin(md_agg)
+        .crossJoin(warc_agg)
     )
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*, tc.*, tcc.*, html.*, md.*
+SELECT fp.*, red.*, tc.*, tcc.*, html.*, md.*, warc.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -612,7 +706,7 @@ FROM (
             '[\s\p{Z}]+', ' ', 'g'),
             '^ | $', '', 'g') AS cleaned
         FROM documents)
-) tcc, (__HTML_ARM__) html, (__MD_ARM__) md
+) tcc, (__HTML_ARM__) html, (__MD_ARM__) md, (__WARC_ARM__) warc
 """
 
 
@@ -716,8 +810,36 @@ def _oracle_fingerprint() -> str:
      ) AS BIGINT) FROM mraw) AS md_links_cnt
 """
     )
-    return ORACLE_FINGERPRINT.replace("__HTML_ARM__", html_arm).replace(
-        "__MD_ARM__", md_arm
+    # warc arm: the planted response records as VALUES — counts,
+    # status/byte sums, and the sorted-URI md5 re-derived SQL-side.
+    # warc_gzip_ok is an in-engine layout-parity work-check (plain vs
+    # per-record-gzip read sets), pinned to 1.
+    warc_values = ",\n    ".join(
+        "('{}', {}, '{}', '{}')".format(
+            u, s, c, b.replace("'", "''")
+        )
+        for (u, s, c, b) in _WARC_FIXTURE
+    )
+    warc_arm = (
+        r"""
+  SELECT CAST(COUNT(*) AS BIGINT) AS warc_resp_cnt,
+         CAST(SUM(status) AS BIGINT) AS warc_status_sum,
+         CAST(SUM(LENGTH(body)) AS BIGINT) AS warc_body_len_sum,
+         md5(string_agg(uri, '|' ORDER BY uri)) AS warc_uri_md5,
+         CAST(SUM(CASE WHEN ctype = 'text/html' THEN 1 ELSE 0 END) AS BIGINT)
+           AS warc_ct_html_cnt,
+         CAST(1 AS BIGINT) AS warc_gzip_ok
+  FROM (VALUES
+    """
+        + warc_values
+        + r"""
+  ) AS w(uri, status, ctype, body)
+"""
+    )
+    return (
+        ORACLE_FINGERPRINT.replace("__HTML_ARM__", html_arm)
+        .replace("__MD_ARM__", md_arm)
+        .replace("__WARC_ARM__", warc_arm)
     )
 
 
