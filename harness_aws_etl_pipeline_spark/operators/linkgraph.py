@@ -1,0 +1,190 @@
+"""Link-graph construction + PageRank for corpus-level quality ranking.
+
+A web training corpus wants more than per-document gates: the link
+structure between hosts carries a global quality signal (the original
+use of PageRank). The chain here completes the engine's web-corpus
+path: WARC (`sources/warc.py`) → `html.extract_links` →
+:func:`host_graph` (page links rolled up to a host→host edge multiset)
+→ :func:`pagerank` → rank joined back as a mixing weight
+(`operators/mixing.py` domain weights) or a quality gate.
+
+Why FIXED-POINT arithmetic (``rank_scaled`` = rank × ``scale`` as
+BIGINT) instead of doubles: distributed float aggregation is
+non-reproducible — ``SUM(double)`` depends on partition merge order,
+so two runs of the same job on the same data can rank borderline hosts
+differently, and a Spark result can never be bit-compared to another
+engine. Integer sums are associative/commutative exactly, so ranks are
+byte-stable across runs, partitionings, AND engines (the DuckDB oracle
+re-derives them bit-for-bit). The floor-division mass loss per
+iteration is bounded by 1/scale per edge share — at the default
+``scale`` = 1e12 that is noise, and it is deterministic noise.
+
+Scale design (the 100 TB story):
+- one iteration = one shuffle join (edges ⋈ ranks on src) + one
+  groupBy(dst) partial-aggregated shuffle; edges + out-degrees are
+  repartitioned by src ONCE and persisted, so the static side's
+  exchange is reused every iteration;
+- the dangling-node mass is a 1-row aggregate broadcast back in
+  (crossJoin of a single row — no driver round trip in the plan);
+- lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+  iterations — without it the plan depth grows linearly and the
+  optimizer re-analyzes an O(iterations)-deep tree;
+- no ``collect`` except the node count (one scalar).
+
+Reference scope note: the reference pipeline (etl/src/transform/
+transformer.py) has no graph operator — this extends the engine for
+the web-corpus workload, same class as the dedup/ANN families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["host_graph", "pagerank"]
+
+
+def host_graph(
+    docs: DataFrame,
+    url_col: str = "url",
+    links_col: str = "links",
+    keep_self_loops: bool = False,
+) -> DataFrame:
+    """Harvested page links → host→host edge list with multiplicities.
+
+    ``docs`` carries one row per page: its own URL (``url_col``) and
+    the array of outgoing link URLs (``links_col``, the output of
+    ``html.extract_links``). Relative links (no scheme/host) are
+    dropped — they stay on the same host and become self-loops, which
+    say nothing about cross-host endorsement. Output:
+    ``(src, dst, weight)`` with weight = number of links from pages on
+    ``src`` to pages on ``dst``.
+
+    Pure column expressions (explode + two host extractions + one
+    aggregation) — one shuffle on (src, dst).
+    """
+    from harness_aws_etl_pipeline_spark.operators.urlops import url_host
+
+    edges = (
+        docs.select(
+            url_host(F.col(url_col)).alias("src"),
+            F.explode(links_col).alias("_link"),
+        )
+        .select("src", url_host(F.col("_link")).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    if not keep_self_loops:
+        edges = edges.where(F.col("src") != F.col("dst"))
+    return edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Power-iteration PageRank in exact fixed-point arithmetic.
+
+    ``edges`` is a multiset: parallel (src, dst) rows act as edge
+    weight. Per iteration, every node splits its scaled rank evenly
+    over its out-edges (integer division), each node gathers
+    ``damping_pct/100`` of its in-shares plus the teleport base, and
+    the total mass of dangling nodes (no out-edges) is redistributed
+    uniformly. Returns ``(node, rank_scaled BIGINT, rank DOUBLE)``
+    where ``rank = rank_scaled / scale``; the frame is eagerly
+    ``localCheckpoint``-ed so callers get a bounded plan and the
+    internal caches are already released.
+
+    Determinism: every arithmetic step is integer add / multiply /
+    floor-divide — associative, so bit-identical regardless of
+    partitioning, AQE decisions, or engine (the catalog oracle
+    re-derives three iterations in DuckDB and matches the md5 of the
+    full rank vector).
+
+    Overflow headroom: all sums are bounded by ``scale`` (total mass
+    never grows), and the largest intermediate is ``scale * 100``
+    — keep ``scale ≤ 9e16``. For very large graphs pick
+    ``scale ≥ 1000 × node count`` so the initial per-node mass
+    ``scale // n`` keeps ~3 digits of precision; the guard below
+    raises rather than silently degrading to all-zero ranks.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    e = edges.select(
+        F.col(src).cast("string").alias("_pr_src"),
+        F.col(dst).cast("string").alias("_pr_dst"),
+    )
+    # static per-iteration sides: repartition by the join key ONCE and
+    # persist — every iteration's edges ⋈ ranks reuses this exchange
+    e = e.repartition("_pr_src").persist()
+    nodes = (
+        e.select(F.col("_pr_src").alias("node"))
+        .union(e.select("_pr_dst"))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("_pr_src").agg(F.count(F.lit(1)).alias("_out_deg")).persist()
+
+    n = nodes.count()
+    if n == 0:
+        for df in (e, nodes, outdeg):
+            df.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank_scaled long, rank double"
+        )
+    if scale < 1000 * n:
+        for df in (e, nodes, outdeg):
+            df.unpersist()
+        raise ValueError(
+            f"scale={scale} too small for {n} nodes — ranks would lose all "
+            f"precision; use scale >= {1000 * n}"
+        )
+    d = int(damping_pct)
+    base = (scale * (100 - d) // 100) // n
+
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_scaled"))
+    for i in range(iterations):
+        r = ranks.join(outdeg, ranks["node"] == outdeg["_pr_src"], "left")
+        dang = (
+            r.where(F.col("_out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).cast("long").alias("_dang"))
+        )
+        shares = r.where(F.col("_out_deg").isNotNull()).select(
+            F.col("node").alias("_snode"),
+            F.expr("rank_scaled div _out_deg").alias("_share"),
+        )
+        contrib = (
+            e.join(shares, e["_pr_src"] == shares["_snode"])
+            .groupBy("_pr_dst")
+            .agg(F.sum("_share").cast("long").alias("_in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_pr_dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(coalesce(_in_sum, 0L) * {d}) div 100")
+                    + F.expr(f"((_dang * {d}) div 100) div {n}")
+                ).cast("long").alias("rank_scaled"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    out = ranks.withColumn(
+        "rank", F.col("rank_scaled") / F.lit(float(scale))
+    ).localCheckpoint(eager=True)
+    for df in (e, nodes, outdeg):
+        df.unpersist()
+    return out

@@ -1138,15 +1138,35 @@ FROM (
 """
 
 
+# planted link graph for the pagerank legs of ``near_dup_clusters``
+# (the graph-algorithm panel): a hub (C: three in-links), a dangling
+# node (E: no out-edges — its mass redistributes), two leaves with a
+# rank TIE (D, F — pins deterministic tie handling), one 2-cycle.
+_PR_EDGES = (
+    ("A", "B"), ("A", "C"), ("B", "C"), ("B", "E"),
+    ("C", "A"), ("D", "C"), ("F", "A"), ("F", "E"),
+)
+_PR_ITERS = 3
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """[EXT] near-dup clustering + canonical dedup: Jaccard pairs →
-    connected components → one survivor per cluster. Oracle recomputes
-    the same pairs in SQL and resolves components with a recursive-CTE
-    transitive closure + MIN label."""
+    """[EXT] graph-algorithm panel: near-dup clustering + canonical
+    dedup (Jaccard pairs → connected components → one survivor per
+    cluster; oracle recomputes the pairs in SQL and resolves
+    components with a recursive-CTE transitive closure + MIN label),
+    plus the fixed-point PageRank legs (operators/linkgraph.py, fused
+    round 6): three power iterations over the planted graph — the
+    integer arithmetic is bit-reproducible across partitionings AND
+    engines, so the oracle re-derives the full rank vector (md5),
+    total mass, and argmax node with three unrolled iterations in
+    DuckDB."""
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
         deduplicate_near,
         near_dup_clusters,
     )
+    from harness_aws_etl_pipeline_spark.operators.linkgraph import pagerank
 
     docs = _t(spark, sf, "documents")
     # read by clustering, dedup, and the summary legs — memoized so
@@ -1159,8 +1179,33 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("clustered_docs"),
         F.countDistinct("cluster_id").alias("cluster_cnt"),
     )
-    return summary.crossJoin(
-        survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
+    pr = pagerank(
+        spark.createDataFrame(list(_PR_EDGES), "src string, dst string"),
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+        checkpoint_every=0,
+    )
+    pr_agg = pr.agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":", "node", F.col("rank_scaled").cast("string")
+                        )
+                    )
+                ),
+            )
+        ).alias("pr_rank_md5"),
+        F.sum("rank_scaled").cast("long").alias("pr_mass"),
+        F.max(F.struct("rank_scaled", "node"))["node"].alias("pr_top_node"),
+    )
+    return (
+        summary.crossJoin(
+            survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
+        ).crossJoin(pr_agg)
     )
 
 
@@ -1203,13 +1248,69 @@ reach AS (
 labels AS (
   SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
   FROM reach GROUP BY src
-)
+)__PR_CTES__
 SELECT (SELECT COUNT(*) FROM labels) AS clustered_docs,
        (SELECT COUNT(DISTINCT cluster_id) FROM labels) AS cluster_cnt,
        (SELECT (SELECT COUNT(*) FROM documents)
                - (SELECT COUNT(*) FROM labels WHERE doc_id != cluster_id))
-         AS survivor_cnt
+         AS survivor_cnt,
+       (SELECT md5(string_agg(s, '|' ORDER BY s))
+        FROM (SELECT node || ':' || CAST(r AS VARCHAR) AS s FROM pr__K__))
+         AS pr_rank_md5,
+       (SELECT CAST(SUM(r) AS BIGINT) FROM pr__K__) AS pr_mass,
+       (SELECT node FROM pr__K__ ORDER BY r DESC, node DESC LIMIT 1)
+         AS pr_top_node
 """
+
+
+def _oracle_near_dup_clusters() -> str:
+    """ORACLE_NEAR_DUP_CLUSTERS with the pagerank arm: the planted
+    edges as VALUES, out-degrees, and ``_PR_ITERS`` UNROLLED power
+    iterations (pr1..prK as plain CTEs — no recursion needed for a
+    fixed constant, and the single-reference restriction on recursive
+    CTEs would forbid the dangling-mass subquery anyway). Every step
+    is integer add/multiply/floor-divide, so DuckDB reproduces the
+    engine's fixed-point ranks bit-for-bit."""
+    nodes = sorted({x for edge in _PR_EDGES for x in edge})
+    n = len(nodes)
+    init = _PR_SCALE // n
+    base = (_PR_SCALE * (100 - _PR_DAMP) // 100) // n
+    d = _PR_DAMP
+    edge_values = ", ".join(f"('{s}', '{t}')" for s, t in _PR_EDGES)
+    ctes = [
+        f""",
+pr_edges(src, dst) AS (VALUES {edge_values}),
+pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges)
+),
+pr_outdeg AS (SELECT src, COUNT(*) AS od FROM pr_edges GROUP BY src),
+pr0 AS (SELECT node, CAST({init} AS BIGINT) AS r FROM pr_nodes)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"pr{i - 1}"
+        ctes.append(f""",
+pr{i} AS (
+  SELECT n.node,
+         CAST({base} + (COALESCE(c.in_sum, 0) * {d}) // 100
+              + ((dg.dang * {d}) // 100) // {n} AS BIGINT) AS r
+  FROM pr_nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // o.od) AS in_sum
+    FROM {prev} p
+    JOIN pr_outdeg o ON o.src = p.node
+    JOIN pr_edges e ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+  CROSS JOIN (
+    SELECT COALESCE(SUM(p.r), 0) AS dang
+    FROM {prev} p LEFT JOIN pr_outdeg o ON o.src = p.node
+    WHERE o.src IS NULL
+  ) dg
+)""")
+    return ORACLE_NEAR_DUP_CLUSTERS.replace(
+        "__PR_CTES__", "".join(ctes)
+    ).replace("__K__", str(_PR_ITERS))
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -3342,8 +3443,9 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("pandas_udaf", q_pandas_udaf, ORACLE_PANDAS_UDAF,
               "[EXT] GROUPED_AGG pandas UDAF (exact median)",
               tags=("ext", "udf")),
-    QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_NEAR_DUP_CLUSTERS,
-              "[EXT] near-dup clustering + canonical dedup",
+    QuerySpec("near_dup_clusters", q_near_dup_clusters,
+              _oracle_near_dup_clusters(),
+              "[EXT] near-dup clustering + canonical dedup + pagerank",
               headline=True, tags=("ext", "dedup")),
     QuerySpec("fuzzy_dedup_verify", q_fuzzy_dedup_verify,
               _oracle_fuzzy_dedup_verify(),

@@ -1,0 +1,131 @@
+"""linkgraph: host-graph construction + fixed-point PageRank.
+
+The operator's claim is exact reproducibility: integer arithmetic
+makes the rank vector bit-identical across partitionings and engines
+(the catalog oracle re-derives it in DuckDB). These tests pin the
+numeric semantics against an independent float implementation and the
+structural properties (mass conservation, ring uniformity, dangling
+redistribution, multiplicity-as-weight)."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.linkgraph import host_graph, pagerank
+
+EDGES = [
+    ("A", "B"), ("A", "C"), ("B", "C"), ("B", "E"),
+    ("C", "A"), ("D", "C"), ("F", "A"), ("F", "E"),
+]
+SCALE = 10**12
+
+
+def _float_ref(edges: list[tuple[str, str]], iterations: int, d: float = 0.85):
+    nodes = sorted({x for e in edges for x in e})
+    out = collections.Counter(s for s, _ in edges)
+    n = len(nodes)
+    rk = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dang = sum(rk[v] for v in nodes if out[v] == 0)
+        new = {v: (1 - d) / n + d * dang / n for v in nodes}
+        for s, t in edges:
+            new[t] += d * rk[s] / out[s]
+        rk = new
+    return rk
+
+
+def _run(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: (r["rank_scaled"], r["rank"])
+        for r in pagerank(e, **kw).collect()
+    }
+
+
+class TestPageRank:
+    def test_matches_float_reference(self, spark):
+        got = _run(spark, EDGES, iterations=3, checkpoint_every=2)
+        ref = _float_ref(EDGES, 3)
+        assert set(got) == set(ref)
+        for v, (_, rank) in got.items():
+            # fixed-point floor loss is bounded well under 1e-6 here
+            assert rank == pytest.approx(ref[v], abs=1e-6)
+
+    def test_mass_conserved_up_to_floor_loss(self, spark):
+        got = _run(spark, EDGES, iterations=5)
+        mass = sum(s for s, _ in got.values())
+        # each of the 5 iterations loses < #nodes + #edges units to floors
+        assert SCALE - 5 * (6 + 8) * 10 <= mass <= SCALE
+
+    def test_ring_is_exactly_uniform(self, spark):
+        ring = [(str(i), str((i + 1) % 5)) for i in range(5)]
+        got = _run(spark, ring, iterations=4)
+        assert len({s for s, _ in got.values()}) == 1
+
+    def test_parallel_edges_act_as_weight(self, spark):
+        # two A->B edges vs one A->C: B gathers twice C's share from A
+        got = _run(spark, [("A", "B"), ("A", "B"), ("A", "C"), ("B", "A"), ("C", "A")],
+                   iterations=1)
+        a_share = (SCALE // 3) // 3  # A's rank split over its 3 out-edges
+        assert got["B"][0] - got["C"][0] == a_share * 85 // 100
+
+    def test_deterministic_across_partitionings(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        a = {r["node"]: r["rank_scaled"]
+             for r in pagerank(e.repartition(16), iterations=3).collect()}
+        b = {r["node"]: r["rank_scaled"]
+             for r in pagerank(e.coalesce(1), iterations=3).collect()}
+        assert a == b
+
+    def test_empty_edges(self, spark):
+        e = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(e, iterations=2).count() == 0
+
+    def test_guards(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        with pytest.raises(ValueError, match="damping_pct"):
+            pagerank(e, damping_pct=100)
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(e, iterations=0)
+        with pytest.raises(ValueError, match="scale"):
+            pagerank(e, scale=1000)
+
+    def test_cache_hygiene(self, spark):
+        # the operator persists edges/nodes/outdeg internally and must
+        # release them (suite-wide invariant: empty CacheManager)
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        pagerank(e, iterations=2).collect()
+        jvm_cm = spark._jsparkSession.sharedState().cacheManager()
+        assert jvm_cm.isEmpty()
+
+
+class TestHostGraph:
+    def test_rollup_and_self_loop_drop(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("https://a.com/p1",
+                 ["https://b.com/x", "https://b.com/y", "https://a.com/self", "/rel"]),
+                ("https://a.com/p2", ["https://b.com/z", "https://c.com/"]),
+                ("https://b.com/p", ["https://a.com/"]),
+            ],
+            "url string, links array<string>",
+        )
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in host_graph(docs).collect()}
+        assert got == {("a.com", "b.com"): 3, ("a.com", "c.com"): 1,
+                       ("b.com", "a.com"): 1}
+
+    def test_feeds_pagerank(self, spark):
+        docs = spark.createDataFrame(
+            [("https://hub.com/", ["https://a.com/", "https://b.com/"]),
+             ("https://a.com/", ["https://b.com/"]),
+             ("https://b.com/", ["https://hub.com/"])],
+            "url string, links array<string>",
+        )
+        ranks = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(host_graph(docs), iterations=8).collect()}
+        # b.com has two in-links, everything else one — it must lead
+        assert max(ranks, key=ranks.get) == "b.com"
