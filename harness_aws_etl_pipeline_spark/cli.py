@@ -240,6 +240,25 @@ def main(argv: list[str] | None = None) -> int:
     probe.add_argument("--id-col", default="media_id")
     probe.add_argument("--payload-col", default="payload")
 
+    rank = sub.add_parser(
+        "rank", help="PageRank over a link graph (edges or docs+links)"
+    )
+    rank.add_argument("--input", required=True, help="input parquet path")
+    rank.add_argument("--output", default=None, help="ranks parquet path")
+    rank.add_argument(
+        "--from-links", action="store_true",
+        help="input is docs with url+links columns: build the host "
+        "graph first (default: input already is src/dst edges)",
+    )
+    rank.add_argument("--url-col", default="url")
+    rank.add_argument("--links-col", default="links")
+    rank.add_argument("--src-col", default="src")
+    rank.add_argument("--dst-col", default="dst")
+    rank.add_argument("--iterations", type=int, default=10)
+    rank.add_argument("--damping-pct", type=int, default=85)
+    rank.add_argument("--top", type=int, default=10,
+                      help="top-N nodes echoed in the report")
+
     ann = sub.add_parser(
         "ann", help="similarity search over an embedding table"
     )
@@ -462,6 +481,37 @@ def main(argv: list[str] | None = None) -> int:
             "status": "success", "action": "probe",
             "rows": sum(by_kind.values()), "containers": by_kind,
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "rank":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+            host_graph,
+            pagerank,
+        )
+
+        df = spark.read.parquet(args.input)
+        edges = (
+            host_graph(df, url_col=args.url_col, links_col=args.links_col)
+            if args.from_links
+            else df.withColumnsRenamed({args.src_col: "src", args.dst_col: "dst"})
+        )
+        ranks = pagerank(
+            edges, iterations=args.iterations, damping_pct=args.damping_pct
+        )
+        if args.output:
+            ranks.write.mode("overwrite").parquet(args.output)
+        top = [
+            {"node": r["node"], "rank": r["rank"]}
+            for r in ranks.orderBy(
+                F.desc("rank_scaled"), "node"
+            ).limit(args.top).collect()
+        ]
+        print(json.dumps({
+            "status": "success", "action": "rank",
+            "nodes": ranks.count(), "top": top, "output": args.output,
         }))
         return 0
 

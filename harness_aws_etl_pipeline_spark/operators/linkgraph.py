@@ -88,6 +88,8 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     checkpoint_every: int = 5,
+    partitions: int | None = None,
+    lazy: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank in exact fixed-point arithmetic.
 
@@ -113,6 +115,14 @@ def pagerank(
     ``scale ≥ 1000 × node count`` so the initial per-node mass
     ``scale // n`` keeps ~3 digits of precision; the guard below
     raises rather than silently degrading to all-zero ranks.
+
+    ``lazy=True`` is the small-graph mode (planted fixtures, host
+    graphs that fit a handful of tasks): no persists, no checkpoints,
+    no eager materialization — the whole iteration compiles into ONE
+    nested plan and the only job run at call time is the node count.
+    Don't use it for deep iteration counts on big graphs: the plan
+    depth grows linearly and the static sides get recomputed each
+    iteration instead of read from cache.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -124,25 +134,34 @@ def pagerank(
         F.col(dst).cast("string").alias("_pr_dst"),
     )
     # static per-iteration sides: repartition by the join key ONCE and
-    # persist — every iteration's edges ⋈ ranks reuses this exchange
-    e = e.repartition("_pr_src").persist()
+    # persist — every iteration's edges ⋈ ranks reuses this exchange.
+    # ``partitions`` sizes the whole iteration (small planted graphs
+    # don't need the session-wide shuffle width; huge graphs need more)
+    e = (
+        e.repartition(partitions, "_pr_src") if partitions else e.repartition("_pr_src")
+    )
+    if not lazy:
+        e = e.persist()
     nodes = (
         e.select(F.col("_pr_src").alias("node"))
         .union(e.select("_pr_dst"))
         .distinct()
-        .persist()
     )
-    outdeg = e.groupBy("_pr_src").agg(F.count(F.lit(1)).alias("_out_deg")).persist()
+    outdeg = e.groupBy("_pr_src").agg(F.count(F.lit(1)).alias("_out_deg"))
+    if not lazy:
+        nodes = nodes.persist()
+        outdeg = outdeg.persist()
+    held = () if lazy else (e, nodes, outdeg)
 
     n = nodes.count()
     if n == 0:
-        for df in (e, nodes, outdeg):
+        for df in held:
             df.unpersist()
         return edges.sparkSession.createDataFrame(
             [], "node string, rank_scaled long, rank double"
         )
     if scale < 1000 * n:
-        for df in (e, nodes, outdeg):
+        for df in held:
             df.unpersist()
         raise ValueError(
             f"scale={scale} too small for {n} nodes — ranks would lose all "
@@ -179,12 +198,18 @@ def pagerank(
                 ).cast("long").alias("rank_scaled"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+        if (
+            not lazy
+            and checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
             ranks = ranks.localCheckpoint(eager=True)
 
-    out = ranks.withColumn(
-        "rank", F.col("rank_scaled") / F.lit(float(scale))
-    ).localCheckpoint(eager=True)
-    for df in (e, nodes, outdeg):
+    out = ranks.withColumn("rank", F.col("rank_scaled") / F.lit(float(scale)))
+    if lazy:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for df in held:
         df.unpersist()
     return out

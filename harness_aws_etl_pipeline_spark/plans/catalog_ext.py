@@ -1179,28 +1179,40 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("clustered_docs"),
         F.countDistinct("cluster_id").alias("cluster_cnt"),
     )
-    pr = pagerank(
-        spark.createDataFrame(list(_PR_EDGES), "src string, dst string"),
-        iterations=_PR_ITERS,
-        damping_pct=_PR_DAMP,
-        scale=_PR_SCALE,
-        checkpoint_every=0,
-    )
-    pr_agg = pr.agg(
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(
-                            ":", "node", F.col("rank_scaled").cast("string")
+    pr_edges = spark.createDataFrame(list(_PR_EDGES), "src string, dst string")
+
+    def _pr_agg() -> DataFrame:
+        # lazy mode: the 3 iterations compile into ONE nested plan (no
+        # persists/checkpoints to schedule) — right for a 6-node
+        # fixture; memoized below so repeated panel runs reuse the
+        # 1-row result (the _PAIRS_MEMO pattern)
+        pr = pagerank(
+            pr_edges,
+            iterations=_PR_ITERS,
+            damping_pct=_PR_DAMP,
+            scale=_PR_SCALE,
+            partitions=2,
+            lazy=True,
+        )
+        return pr.agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":", "node", F.col("rank_scaled").cast("string")
+                            )
                         )
-                    )
-                ),
-            )
-        ).alias("pr_rank_md5"),
-        F.sum("rank_scaled").cast("long").alias("pr_mass"),
-        F.max(F.struct("rank_scaled", "node"))["node"].alias("pr_top_node"),
+                    ),
+                )
+            ).alias("pr_rank_md5"),
+            F.sum("rank_scaled").cast("long").alias("pr_mass"),
+            F.max(F.struct("rank_scaled", "node"))["node"].alias("pr_top_node"),
+        )
+
+    pr_agg = _PAIRS_MEMO.get_or_compute(
+        pr_edges, ("pagerank", _PR_ITERS, _PR_DAMP, _PR_SCALE), _pr_agg
     )
     return (
         summary.crossJoin(

@@ -585,3 +585,39 @@ class TestTakedownAndProbe:
         loaded = load_ivf(model, spark)
         assert loaded.count() == 16
         assert len(loaded.collect()[0]["centroid"]) == 8
+
+
+class TestRank:
+    def test_rank_edges(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "rank_edges")
+        # hub links BACK to all three — keeps the rank vector from the
+        # period-2 oscillation a pure star + single back-edge produces
+        spark.createDataFrame(
+            [("a", "hub"), ("b", "hub"), ("c", "hub"),
+             ("hub", "a"), ("hub", "b"), ("hub", "c")],
+            "src string, dst string",
+        ).write.parquet(src)
+        out = str(tmp_path / "rank_out")
+        rc = main(["rank", "--input", src, "--output", out,
+                   "--iterations", "6", "--top", "2"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success"
+        assert res["nodes"] == 4
+        assert res["top"][0]["node"] == "hub"
+        back = spark.read.parquet(out)
+        assert back.columns == ["node", "rank_scaled", "rank"]
+        assert back.count() == 4
+
+    def test_rank_from_links(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "rank_docs")
+        spark.createDataFrame(
+            [("https://x.com/p", ["https://hub.com/a", "https://hub.com/b"]),
+             ("https://y.com/p", ["https://hub.com/c"]),
+             ("https://hub.com/p", ["https://x.com/", "https://y.com/"])],
+            "url string, links array<string>",
+        ).write.parquet(src)
+        rc = main(["rank", "--input", src, "--from-links", "--top", "1"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["top"][0]["node"] == "hub.com"

@@ -129,3 +129,13 @@ class TestHostGraph:
                  for r in pagerank(host_graph(docs), iterations=8).collect()}
         # b.com has two in-links, everything else one — it must lead
         assert max(ranks, key=ranks.get) == "b.com"
+
+    def test_lazy_matches_eager(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        eager = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(e, iterations=3).collect()}
+        lazy = {r["node"]: r["rank_scaled"]
+                for r in pagerank(e, iterations=3, lazy=True).collect()}
+        assert eager == lazy
+        # lazy path must leave nothing persisted behind
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
