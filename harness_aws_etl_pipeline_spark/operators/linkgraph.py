@@ -171,6 +171,7 @@ def pagerank(
     base = (scale * (100 - d) // 100) // n
 
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_scaled"))
+    rank_gens: list[DataFrame] = []
     for i in range(iterations):
         r = ranks.join(outdeg, ranks["node"] == outdeg["_pr_src"], "left")
         dang = (
@@ -198,6 +199,14 @@ def pagerank(
                 ).cast("long").alias("rank_scaled"),
             )
         )
+        if not lazy:
+            # each new rank vector is referenced TWICE by the next
+            # iteration (dangling mass + shares) — without a persist
+            # the plan tree doubles per iteration and execution cost
+            # grows 2^iterations; with it every generation computes
+            # once (the standard iterative-algorithm pattern)
+            ranks = ranks.persist()
+            rank_gens.append(ranks)
         if (
             not lazy
             and checkpoint_every
@@ -210,6 +219,6 @@ def pagerank(
     if lazy:
         return out
     out = out.localCheckpoint(eager=True)
-    for df in held:
+    for df in (*held, *rank_gens):
         df.unpersist()
     return out
