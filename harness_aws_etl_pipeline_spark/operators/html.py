@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "extract_anchors",
     "extract_links",
     "extract_title",
     "html_to_text",
@@ -96,6 +97,49 @@ def extract_links(col: Column | str) -> Column:
     double = F.regexp_extract_all(c, F.lit(r'(?is)<a\b[^>]*\bhref="([^"]*)"'), F.lit(1))
     single = F.regexp_extract_all(c, F.lit(r"(?is)<a\b[^>]*\bhref='([^']*)'"), F.lit(1))
     return F.concat(double, single)
+
+
+# anchor patterns: ONE pattern per quote style captures href (group 1)
+# and inner text (group 2) from the same match, so two
+# regexp_extract_all calls with different group indexes stay
+# positionally aligned — that's what lets the oracle re-derive the
+# (href, text) pairing with plain list indexing, no zip semantics.
+_ANCHOR_D = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a\s*>'
+_ANCHOR_S = r"(?is)<a\b[^>]*\bhref='([^']*)'[^>]*>(.*?)</a\s*>"
+# explicit whitespace class (NOT \s): Java \s includes \x0B, RE2 \s
+# does not — spelling it out keeps Spark and the DuckDB oracle
+# bit-identical on every input
+_WS_RUN = r"[ \t\n\x0B\f\r]+"
+
+
+def _anchor_text_clean(t: Column) -> Column:
+    """Inner markup stripped, whitespace collapsed, edges trimmed —
+    anchor text may wrap <b>/<img>/newlines."""
+    t = F.regexp_replace(t, _ANY_TAG, " ")
+    t = F.regexp_replace(t, _WS_RUN, " ")
+    return F.regexp_replace(t, r"^ | $", "")
+
+
+def extract_anchors(col: Column | str) -> Column:
+    """Anchor tags as ``array<struct<href string, text string>>`` —
+    the anchor TEXT is the classic web relevance signal (what other
+    pages call this URL); aggregate per target with
+    :func:`~harness_aws_etl_pipeline_spark.operators.linkgraph.anchor_text_index`.
+    Order of appearance within each quote style, duplicates kept."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def pairs(pat: str) -> Column:
+        hrefs = F.regexp_extract_all(c, F.lit(pat), F.lit(1))
+        texts = F.regexp_extract_all(c, F.lit(pat), F.lit(2))
+        return F.zip_with(
+            hrefs,
+            texts,
+            lambda h, t: F.struct(
+                h.alias("href"), _anchor_text_clean(t).alias("text")
+            ),
+        )
+
+    return F.concat(pairs(_ANCHOR_D), pairs(_ANCHOR_S))
 
 
 def markdown_to_text(col: Column | str, keep_code: bool = True) -> Column:

@@ -41,7 +41,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["host_graph", "pagerank"]
+__all__ = ["anchor_text_index", "host_graph", "pagerank"]
+
+
+def anchor_text_index(
+    docs: DataFrame,
+    html_col: str = "html",
+    k: int = 5,
+) -> DataFrame:
+    """Incoming anchor texts per link target — the relevance signal
+    search engines (and corpus quality models) attach to a URL: what
+    OTHER pages call it. Output: ``(href, anchor_cnt, top_texts)``
+    with the ``k`` most frequent distinct texts, most-frequent first
+    (ties by text).
+
+    Scale shape: hot targets (a popular URL gathers millions of
+    anchors) never concentrate in one task — the first aggregation
+    keys on (href, text) so partial aggregation combines map-side,
+    and only the per-href top-k rank window sees one row per DISTINCT
+    text. No unbounded collect_list over raw anchors.
+    """
+    from pyspark.sql import Window
+
+    from harness_aws_etl_pipeline_spark.operators.html import extract_anchors
+
+    anchors = (
+        docs.select(F.explode(extract_anchors(html_col)).alias("_a"))
+        .select(F.col("_a.href").alias("href"), F.col("_a.text").alias("text"))
+        .where((F.col("href") != "") & (F.col("text") != ""))
+    )
+    counted = anchors.groupBy("href", "text").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("href").orderBy(F.desc("cnt"), "text")
+    return (
+        counted.withColumn("_rk", F.row_number().over(w))
+        .groupBy("href")
+        .agg(
+            F.sum("cnt").cast("long").alias("anchor_cnt"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rk") <= k,
+                            F.struct("_rk", "text"),
+                        )
+                    )
+                ),
+                lambda s: s["text"],
+            ).alias("top_texts"),
+        )
+    )
 
 
 def host_graph(

@@ -554,6 +554,7 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # literals through the full RE2-safe regexp chain — text, title,
     # and harvested-link counts re-derived verbatim by the oracle
     from harness_aws_etl_pipeline_spark.operators.html import (
+        extract_anchors,
         markdown_links,
         markdown_to_text,
         strip_html_columns,
@@ -562,14 +563,31 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     html_rows = spark.createDataFrame(
         list(enumerate(_HTML_FIXTURE)), "hid long, html string"
     )
-    html_agg = strip_html_columns(html_rows).agg(
-        F.md5(
-            F.concat_ws("|", F.array_sort(F.collect_list("text")))
-        ).alias("html_text_md5"),
-        F.md5(
-            F.concat_ws("|", F.array_sort(F.collect_list("title")))
-        ).alias("html_title_md5"),
-        F.sum(F.size("links")).cast("long").alias("html_links_cnt"),
+    html_agg = (
+        strip_html_columns(html_rows)
+        .withColumn(
+            "_anchor_strs",
+            F.transform(
+                extract_anchors("html"),
+                lambda a: F.concat(a["href"], F.lit(">"), a["text"]),
+            ),
+        )
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("text")))
+            ).alias("html_text_md5"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("title")))
+            ).alias("html_title_md5"),
+            F.sum(F.size("links")).cast("long").alias("html_links_cnt"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(F.flatten(F.collect_list("_anchor_strs"))),
+                )
+            ).alias("anchors_md5"),
+            F.sum(F.size("_anchor_strs")).cast("long").alias("anchors_cnt"),
+        )
     )
     md_rows = spark.createDataFrame(
         list(enumerate(_MD_FIXTURE)), "mid long, md string"
@@ -754,6 +772,32 @@ def _oracle_fingerprint() -> str:
         '^[ \n]+|[ \n]+$', '', 'g') AS txt
     FROM src
   )
+  ,
+  -- anchor (href, text) pairs: group-1/group-2 extractions of the SAME
+  -- pattern stay positionally aligned, so plain 1-based list indexing
+  -- re-derives the pairing; text cleanup = tag strip + explicit
+  -- whitespace-class collapse + edge trim, the operator's exact chain
+  anch AS (
+    SELECT
+      regexp_extract_all(h, '(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a\s*>', 1) AS dh,
+      regexp_extract_all(h, '(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a\s*>', 2) AS dt,
+      regexp_extract_all(h, '(?is)<a\b[^>]*\bhref=''([^'']*)''[^>]*>(.*?)</a\s*>', 1) AS sh,
+      regexp_extract_all(h, '(?is)<a\b[^>]*\bhref=''([^'']*)''[^>]*>(.*?)</a\s*>', 2) AS st
+    FROM hraw
+  ),
+  anchor_strs AS (
+    SELECT UNNEST(list_concat(
+      list_transform(range(1, len(dh) + 1), i -> dh[i] || '>' ||
+        regexp_replace(regexp_replace(regexp_replace(dt[i],
+          '(?s)<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+          '^ | $', '', 'g')),
+      list_transform(range(1, len(sh) + 1), i -> sh[i] || '>' ||
+        regexp_replace(regexp_replace(regexp_replace(st[i],
+          '(?s)<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+          '^ | $', '', 'g'))
+    )) AS s
+    FROM anch
+  )
   SELECT
     (SELECT md5(string_agg(txt, '|' ORDER BY txt)) FROM chain
      WHERE kind = 'text') AS html_text_md5,
@@ -762,7 +806,10 @@ def _oracle_fingerprint() -> str:
     (SELECT CAST(SUM(
         len(regexp_extract_all(h, '(?is)<a\b[^>]*\bhref="([^"]*)"', 1))
       + len(regexp_extract_all(h, '(?is)<a\b[^>]*\bhref=''([^'']*)''', 1))
-     ) AS BIGINT) FROM hraw) AS html_links_cnt
+     ) AS BIGINT) FROM hraw) AS html_links_cnt,
+    (SELECT md5(string_agg(s, '|' ORDER BY s)) FROM anchor_strs)
+      AS anchors_md5,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM anchor_strs) AS anchors_cnt
 """
     )
     md_values = ",\n    ".join(

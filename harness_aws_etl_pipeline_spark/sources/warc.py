@@ -44,7 +44,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["build_warc", "parse_warc", "read_warc"]
+__all__ = ["build_warc", "parse_warc", "read_warc", "read_wet"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -237,6 +237,31 @@ def read_warc(
             yield pd.DataFrame(rows, columns=cols).astype("object")
 
     return files.mapInPandas(_parse, WARC_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """WET sidecar files (the extracted-text companions crawl archives
+    publish next to raw WARC): structurally WARC, but the useful rows
+    are ``conversion`` records whose payload is UTF-8 plain text —
+    the cheap entry point when raw markup isn't needed. Same
+    one-file-per-task scan as :func:`read_warc`; payload surfaced as
+    a ``text`` string column."""
+    from pyspark.sql import functions as F
+
+    return read_warc(
+        spark, path, record_types=("conversion",), glob=glob
+    ).select(
+        "warc_file",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.col("payload").cast("string").alias("text"),
+        "payload_length",
+    )
 
 
 def build_warc(

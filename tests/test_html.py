@@ -149,3 +149,46 @@ class TestMarkdown:
         ).collect()[0]["t"]
         assert "def f():" not in t
         assert "Some bold and italic" in t
+
+
+class TestAnchors:
+    def test_extract_anchors_pairs_and_cleanup(self, spark):
+        html = ('<a href="https://a.com/x"> Click <b>here</b>\n now </a>'
+                "<a href='/rel'>rel</a>"
+                '<a href="https://a.com/y"><img src="i.png"></a>'
+                "plain text no anchors")
+        from harness_aws_etl_pipeline_spark.operators.html import extract_anchors
+
+        row = spark.createDataFrame([(html,)], "h string").select(
+            extract_anchors("h").alias("a")
+        ).first()
+        got = [(a["href"], a["text"]) for a in row["a"]]
+        assert ("https://a.com/x", "Click here now") in got
+        assert ("/rel", "rel") in got
+        # image-only anchor: markup stripped to empty text
+        assert ("https://a.com/y", "") in got
+        assert len(got) == 3
+
+    def test_anchor_text_index_topk_and_counts(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+            anchor_text_index,
+        )
+
+        def page(*anchors):
+            return "".join(f'<a href="{h}">{t}</a>' for h, t in anchors)
+
+        docs = spark.createDataFrame(
+            [
+                (page(("https://t.com/", "best site"), ("https://t.com/", "best site"),
+                      ("https://t.com/", "spam"), ("https://o.com/", "other")),),
+                (page(("https://t.com/", "best site"), ("https://t.com/", "great"),
+                      ("https://t.com/", "spam")),),
+            ],
+            "html string",
+        )
+        idx = {r["href"]: r for r in anchor_text_index(docs, k=2).collect()}
+        t = idx["https://t.com/"]
+        assert t["anchor_cnt"] == 6
+        # top-2 by frequency: "best site" (3), "spam" (2); "great" cut
+        assert t["top_texts"] == ["best site", "spam"]
+        assert idx["https://o.com/"]["anchor_cnt"] == 1

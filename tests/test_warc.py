@@ -158,3 +158,25 @@ class TestStreaming:
         # within the 1 MiB lookahead) must stop cleanly
         junk = b"WARC/1.0\r\n" + b"X: y\r\n" * 300_000
         assert list(parse_warc(junk)) == []
+
+
+class TestWet:
+    def test_read_wet_conversion_records(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.warc import build_warc, read_wet
+
+        recs = [
+            {"type": "warcinfo", "payload": b"software: x\r\n"},
+            {"type": "conversion", "uri": "https://a.com/1",
+             "payload": "extracted text one — unicode".encode()},
+            {"type": "conversion", "uri": "https://a.com/2",
+             "payload": b"extracted text two"},
+            {"type": "response", "uri": "https://a.com/raw",
+             "payload": b"HTTP/1.1 200 OK\r\n\r\n<html></html>"},
+        ]
+        p = tmp_path / "f.warc.wet.gz"
+        p.write_bytes(build_warc(recs, per_record_gzip=True))
+        got = {r["target_uri"]: r["text"]
+               for r in read_wet(spark, str(tmp_path)).collect()}
+        # conversion records only — warcinfo and the raw response dropped
+        assert got == {"https://a.com/1": "extracted text one — unicode",
+                       "https://a.com/2": "extracted text two"}
