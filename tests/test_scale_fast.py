@@ -264,3 +264,39 @@ def test_container_probe_4k_media(spark):
     ids = range(1, 2001)
     assert got["mp4"] == sum(500 + i % 1000 for i in ids)
     assert got["mp3"] == sum(36 * (10 + i % 20) for i in ids)
+
+
+def test_pagerank_ring_plus_hub_20k(spark):
+    """20k-node graph (ring + every node also links to a hub) through
+    the eager production path: exact structural facts survive scale —
+    ring symmetry means every non-hub node has the SAME fixed-point
+    rank (integer determinism, not approximate equality), the hub
+    dominates, and total mass is conserved up to floor loss."""
+    from harness_aws_etl_pipeline_spark.operators.linkgraph import pagerank
+
+    n = 20_000
+    ring = spark.range(n).select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") + 1) % n).cast("string").alias("dst"),
+    )
+    to_hub = spark.range(n).select(
+        F.col("id").cast("string").alias("src"), F.lit("hub").alias("dst")
+    )
+    scale = 10**12
+    t0 = time.time()
+    ranks = pagerank(ring.union(to_hub), iterations=4, scale=scale,
+                     checkpoint_every=2)
+    agg = ranks.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.sum("rank_scaled").alias("mass"),
+        F.countDistinct(
+            F.when(F.col("node") != "hub", F.col("rank_scaled"))
+        ).alias("distinct_nonhub"),
+        F.max(F.struct("rank_scaled", "node"))["node"].alias("top"),
+    ).first()
+    elapsed = time.time() - t0
+    assert agg["nodes"] == n + 1
+    assert agg["distinct_nonhub"] == 1  # exact symmetry, bit-for-bit
+    assert agg["top"] == "hub"
+    assert scale - int(agg["mass"]) < 4 * (2 * n + n + 1) * 10
+    assert elapsed < 60, f"pagerank 20k took {elapsed:.1f}s"
