@@ -139,3 +139,29 @@ class TestHostGraph:
         assert eager == lazy
         # lazy path must leave nothing persisted behind
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    def test_tol_early_stop_on_symmetric_graph(self, spark):
+        # a ring is uniform from the start — the first measured delta
+        # is 0, so the loop must stop at iteration 2 of the 10-cap
+        ring = [(str(i), str((i + 1) % 6)) for i in range(6)]
+        e = spark.createDataFrame(ring, "src string, dst string")
+        r = pagerank(e, iterations=10, tol=1e-9)
+        assert r._pr_iterations == 2
+        assert len({x["rank_scaled"] for x in r.collect()}) == 1
+
+    def test_tol_converges_same_as_deep_run(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        converged = pagerank(e, iterations=100, tol=1e-7)
+        deep = pagerank(e, iterations=60)
+        assert converged._pr_iterations < 60
+        got = {r["node"]: r["rank_scaled"] for r in converged.collect()}
+        ref = {r["node"]: r["rank_scaled"] for r in deep.collect()}
+        # stopping at L1 delta < tol*scale bounds the distance to the
+        # fixed point by delta * d/(1-d) ≈ 5.7x the delta
+        bound = int(1e-7 * SCALE * 6)
+        assert all(abs(got[k] - ref[k]) <= bound for k in ref)
+
+    def test_tol_rejects_lazy(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        with pytest.raises(ValueError, match="tol"):
+            pagerank(e, tol=1e-6, lazy=True)
