@@ -254,6 +254,11 @@ def main(argv: list[str] | None = None) -> int:
     rank.add_argument("--links-col", default="links")
     rank.add_argument("--src-col", default="src")
     rank.add_argument("--dst-col", default="dst")
+    rank.add_argument(
+        "--weight-col", default=None,
+        help="integer edge-weight column (host-graph input weights "
+        "automatically)",
+    )
     rank.add_argument("--iterations", type=int, default=10)
     rank.add_argument("--damping-pct", type=int, default=85)
     rank.add_argument("--top", type=int, default=10,
@@ -493,13 +498,17 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         df = spark.read.parquet(args.input)
-        edges = (
-            host_graph(df, url_col=args.url_col, links_col=args.links_col)
-            if args.from_links
-            else df.withColumnsRenamed({args.src_col: "src", args.dst_col: "dst"})
-        )
+        if args.from_links:
+            edges = host_graph(df, url_col=args.url_col, links_col=args.links_col)
+            wcol = "weight"
+        else:
+            edges = df.withColumnsRenamed(
+                {args.src_col: "src", args.dst_col: "dst"}
+            )
+            wcol = args.weight_col
         ranks = pagerank(
-            edges, iterations=args.iterations, damping_pct=args.damping_pct
+            edges, weight=wcol,
+            iterations=args.iterations, damping_pct=args.damping_pct,
         )
         if args.output:
             ranks.write.mode("overwrite").parquet(args.output)

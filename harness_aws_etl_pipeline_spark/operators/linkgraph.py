@@ -134,6 +134,7 @@ def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
     iterations: int = 10,
     damping_pct: int = 85,
     scale: int = 10**12,
@@ -149,7 +150,14 @@ def pagerank(
     over its out-edges (integer division), each node gathers
     ``damping_pct/100`` of its in-shares plus the teleport base, and
     the total mass of dangling nodes (no out-edges) is redistributed
-    uniformly. Returns ``(node, rank_scaled BIGINT, rank DOUBLE)``
+    uniformly.
+
+    ``weight`` names an integer edge-weight column (what
+    :func:`host_graph` emits): one weighted row is defined as — and
+    is bit-identical to — that many parallel unit rows (the per-node
+    unit share ``rank // Σw`` is computed once and multiplied by the
+    edge weight), so a rolled-up graph and its expansion produce the
+    SAME rank vector. Rows with weight < 1 are dropped. Returns ``(node, rank_scaled BIGINT, rank DOUBLE)``
     where ``rank = rank_scaled / scale``; the frame is eagerly
     ``localCheckpoint``-ed so callers get a bounded plan and the
     internal caches are already released.
@@ -162,7 +170,8 @@ def pagerank(
 
     Overflow headroom: all sums are bounded by ``scale`` (total mass
     never grows), and the largest intermediate is ``scale * 100``
-    — keep ``scale ≤ 9e16``. For very large graphs pick
+    — keep ``scale ≤ 9e16`` (with weighted edges the unit-share ×
+    weight product must also fit: keep ``scale × max_weight < 9e18``). For very large graphs pick
     ``scale ≥ 1000 × node count`` so the initial per-node mass
     ``scale // n`` keeps ~3 digits of precision; the guard below
     raises rather than silently degrading to all-zero ranks.
@@ -192,7 +201,12 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("string").alias("_pr_src"),
         F.col(dst).cast("string").alias("_pr_dst"),
+        (
+            F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+        ).alias("_w"),
     )
+    if weight:
+        e = e.where(F.col("_w") >= 1)
     # static per-iteration sides: repartition by the join key ONCE and
     # persist — every iteration's edges ⋈ ranks reuses this exchange.
     # ``partitions`` sizes the whole iteration (small planted graphs
@@ -207,7 +221,7 @@ def pagerank(
         .union(e.select("_pr_dst"))
         .distinct()
     )
-    outdeg = e.groupBy("_pr_src").agg(F.count(F.lit(1)).alias("_out_deg"))
+    outdeg = e.groupBy("_pr_src").agg(F.sum("_w").alias("_out_deg"))
     if not lazy:
         nodes = nodes.persist()
         outdeg = outdeg.persist()
@@ -245,7 +259,9 @@ def pagerank(
         contrib = (
             e.join(shares, e["_pr_src"] == shares["_snode"])
             .groupBy("_pr_dst")
-            .agg(F.sum("_share").cast("long").alias("_in_sum"))
+            .agg(
+                F.sum(F.col("_share") * F.col("_w")).cast("long").alias("_in_sum")
+            )
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["_pr_dst"], "left")

@@ -165,3 +165,43 @@ class TestHostGraph:
         e = spark.createDataFrame(EDGES, "src string, dst string")
         with pytest.raises(ValueError, match="tol"):
             pagerank(e, tol=1e-6, lazy=True)
+
+    def test_weighted_equals_multiset_expansion(self, spark):
+        # rolled-up weighted edges must be BIT-identical to the same
+        # graph written as parallel unit rows
+        weighted = spark.createDataFrame(
+            [("A", "B", 3), ("A", "C", 1), ("B", "A", 2), ("C", "A", 5)],
+            "src string, dst string, weight long",
+        )
+        expanded = spark.createDataFrame(
+            [("A", "B")] * 3 + [("A", "C")] + [("B", "A")] * 2 + [("C", "A")] * 5,
+            "src string, dst string",
+        )
+        w = {r["node"]: r["rank_scaled"]
+             for r in pagerank(weighted, weight="weight", iterations=4).collect()}
+        m = {r["node"]: r["rank_scaled"]
+             for r in pagerank(expanded, iterations=4).collect()}
+        assert w == m
+
+    def test_weighted_host_graph_chain(self, spark):
+        docs = spark.createDataFrame(
+            [("https://x.com/p", ["https://hub.com/a", "https://hub.com/b"]),
+             ("https://y.com/p", ["https://hub.com/c"]),
+             ("https://hub.com/p", ["https://x.com/", "https://y.com/"])],
+            "url string, links array<string>",
+        )
+        ranks = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(host_graph(docs), weight="weight",
+                                   iterations=6).collect()}
+        assert max(ranks, key=ranks.get) == "hub.com"
+
+    def test_nonpositive_weights_dropped(self, spark):
+        e = spark.createDataFrame(
+            [("A", "B", 2), ("A", "C", 0), ("B", "A", 1)],
+            "src string, dst string, weight long",
+        )
+        ranks = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(e, weight="weight", iterations=2).collect()}
+        # weight 0 = zero parallel edges = the edge does not exist, so
+        # C (reachable only through it) is not in the graph at all
+        assert set(ranks) == {"A", "B"}
