@@ -29,7 +29,8 @@ Scale design (the 100 TB story):
 - lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
   iterations — without it the plan depth grows linearly and the
   optimizer re-analyzes an O(iterations)-deep tree;
-- no ``collect`` except the node count (one scalar).
+- no ``collect`` except the node count (one scalar; ``tol`` adds one
+  bounded scalar per iteration for the convergence delta).
 
 Reference scope note: the reference pipeline (etl/src/transform/
 transformer.py) has no graph operator — this extends the engine for
@@ -157,10 +158,14 @@ def pagerank(
     is bit-identical to — that many parallel unit rows (the per-node
     unit share ``rank // Σw`` is computed once and multiplied by the
     edge weight), so a rolled-up graph and its expansion produce the
-    SAME rank vector. Rows with weight < 1 are dropped. Returns ``(node, rank_scaled BIGINT, rank DOUBLE)``
-    where ``rank = rank_scaled / scale``; the frame is eagerly
+    SAME rank vector. Rows with weight < 1 are dropped.
+
+    Returns ``(node, rank_scaled BIGINT, rank DOUBLE)`` where
+    ``rank = rank_scaled / scale``; the frame is eagerly
     ``localCheckpoint``-ed so callers get a bounded plan and the
-    internal caches are already released.
+    internal caches are already released. In-flight cache is bounded
+    too: generations are released at every checkpoint boundary, and
+    under ``tol`` only the latest two stay cached.
 
     Determinism: every arithmetic step is integer add / multiply /
     floor-divide — associative, so bit-identical regardless of
@@ -282,6 +287,7 @@ def pagerank(
             # grows 2^iterations; with it every generation computes
             # once (the standard iterative-algorithm pattern)
             ranks = ranks.persist()
+            converged = False
             if tol is not None and rank_gens:
                 prev = rank_gens[-1]
                 delta = (
@@ -294,18 +300,29 @@ def pagerank(
                     .agg(F.sum(F.abs(F.col("rank_scaled") - F.col("_prev"))))
                     .first()[0]
                 )
-                rank_gens.append(ranks)
-                if int(delta) < tol * scale:
-                    break
-            else:
-                rank_gens.append(ranks)
+                converged = int(delta) < tol * scale
+            rank_gens.append(ranks)
+            if tol is not None:
+                # the delta job materialized current + prev, so older
+                # generations can't be re-demanded — release them
+                while len(rank_gens) > 2:
+                    rank_gens.pop(0).unpersist()
+            if converged:
+                break
         if (
             not lazy
             and checkpoint_every
             and (i + 1) % checkpoint_every == 0
             and i + 1 < iterations
         ):
+            # the eager checkpoint materializes the cut — every prior
+            # generation is now unreachable from future lineage
             ranks = ranks.localCheckpoint(eager=True)
+            for df in rank_gens:
+                df.unpersist()
+            # keep the checkpointed frame as the tol baseline (its
+            # later unpersist is a no-op — it's RDD-backed, not cached)
+            rank_gens = [ranks]
 
     out = ranks.withColumn("rank", F.col("rank_scaled") / F.lit(float(scale)))
     if lazy:
