@@ -95,7 +95,12 @@ class TestPageRank:
 
     def test_cache_hygiene(self, spark):
         # the operator persists edges/nodes/outdeg internally and must
-        # release them (suite-wide invariant: empty CacheManager)
+        # release them (suite-wide invariant: empty CacheManager).
+        # Earlier suites legitimately leave bounded PlanMemo entries
+        # cached — drain them first so this asserts OUR hygiene only.
+        from harness_aws_etl_pipeline_spark.operators.memo import clear_all_memos
+
+        clear_all_memos()
         e = spark.createDataFrame(EDGES, "src string, dst string")
         pagerank(e, iterations=2).collect()
         jvm_cm = spark._jsparkSession.sharedState().cacheManager()
@@ -137,7 +142,11 @@ class TestHostGraph:
         lazy = {r["node"]: r["rank_scaled"]
                 for r in pagerank(e, iterations=3, lazy=True).collect()}
         assert eager == lazy
-        # lazy path must leave nothing persisted behind
+        # lazy path must leave nothing persisted behind (memo entries
+        # from earlier suites are bounded by design — drain first)
+        from harness_aws_etl_pipeline_spark.operators.memo import clear_all_memos
+
+        clear_all_memos()
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
     def test_tol_early_stop_on_symmetric_graph(self, spark):
