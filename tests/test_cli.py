@@ -599,7 +599,7 @@ class TestRank:
         ).write.parquet(src)
         out = str(tmp_path / "rank_out")
         rc = main(["rank", "--input", src, "--output", out,
-                   "--iterations", "6", "--top", "2"])
+                   "--iterations", "3", "--top", "2"])
         assert rc == 0
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["status"] == "success"
@@ -617,7 +617,8 @@ class TestRank:
              ("https://hub.com/p", ["https://x.com/", "https://y.com/"])],
             "url string, links array<string>",
         ).write.parquet(src)
-        rc = main(["rank", "--input", src, "--from-links", "--top", "1"])
+        rc = main(["rank", "--input", src, "--from-links",
+                   "--iterations", "2", "--top", "1"])
         assert rc == 0
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["top"][0]["node"] == "hub.com"

@@ -46,19 +46,18 @@ def _run(spark, edges, **kw):
 
 
 class TestPageRank:
-    def test_matches_float_reference(self, spark):
+    def test_matches_float_reference_and_conserves_mass(self, spark):
+        # checkpoint_every=2 exercises the mid-run lineage cut on the
+        # same run that pins values and mass (one Spark run, three pins)
         got = _run(spark, EDGES, iterations=3, checkpoint_every=2)
         ref = _float_ref(EDGES, 3)
         assert set(got) == set(ref)
         for v, (_, rank) in got.items():
             # fixed-point floor loss is bounded well under 1e-6 here
             assert rank == pytest.approx(ref[v], abs=1e-6)
-
-    def test_mass_conserved_up_to_floor_loss(self, spark):
-        got = _run(spark, EDGES, iterations=5)
         mass = sum(s for s, _ in got.values())
-        # each of the 5 iterations loses < #nodes + #edges units to floors
-        assert SCALE - 5 * (6 + 8) * 10 <= mass <= SCALE
+        # each of the 3 iterations loses < #nodes + #edges units to floors
+        assert SCALE - 3 * (6 + 8) * 10 <= mass <= SCALE
 
     def test_ring_is_exactly_uniform(self, spark):
         ring = [(str(i), str((i + 1) % 5)) for i in range(5)]
@@ -123,18 +122,6 @@ class TestHostGraph:
         assert got == {("a.com", "b.com"): 3, ("a.com", "c.com"): 1,
                        ("b.com", "a.com"): 1}
 
-    def test_feeds_pagerank(self, spark):
-        docs = spark.createDataFrame(
-            [("https://hub.com/", ["https://a.com/", "https://b.com/"]),
-             ("https://a.com/", ["https://b.com/"]),
-             ("https://b.com/", ["https://hub.com/"])],
-            "url string, links array<string>",
-        )
-        ranks = {r["node"]: r["rank_scaled"]
-                 for r in pagerank(host_graph(docs), iterations=8).collect()}
-        # b.com has two in-links, everything else one — it must lead
-        assert max(ranks, key=ranks.get) == "b.com"
-
     def test_lazy_matches_eager(self, spark):
         e = spark.createDataFrame(EDGES, "src string, dst string")
         eager = {r["node"]: r["rank_scaled"]
@@ -158,17 +145,19 @@ class TestHostGraph:
         assert r._pr_iterations == 2
         assert len({x["rank_scaled"] for x in r.collect()}) == 1
 
-    def test_tol_converges_same_as_deep_run(self, spark):
+    def test_tol_converges_to_fixed_point(self, spark):
+        # d=0.5 halves the delta per iteration, so tol=1e-5 is reached
+        # in ~15 iterations — the reference fixed point comes from the
+        # float implementation (free), not a second deep Spark run
         e = spark.createDataFrame(EDGES, "src string, dst string")
-        converged = pagerank(e, iterations=100, tol=1e-7)
-        deep = pagerank(e, iterations=60)
-        assert converged._pr_iterations < 60
+        converged = pagerank(e, iterations=30, damping_pct=50, tol=1e-5)
+        assert converged._pr_iterations < 30
         got = {r["node"]: r["rank_scaled"] for r in converged.collect()}
-        ref = {r["node"]: r["rank_scaled"] for r in deep.collect()}
+        ref = _float_ref(EDGES, 200, d=0.5)
         # stopping at L1 delta < tol*scale bounds the distance to the
-        # fixed point by delta * d/(1-d) ≈ 5.7x the delta
-        bound = int(1e-7 * SCALE * 6)
-        assert all(abs(got[k] - ref[k]) <= bound for k in ref)
+        # fixed point by delta * d/(1-d) = delta at d=0.5; 2x slack
+        bound = int(1e-5 * SCALE * 2)
+        assert all(abs(got[k] - ref[k] * SCALE) <= bound for k in ref)
 
     def test_tol_rejects_lazy(self, spark):
         e = spark.createDataFrame(EDGES, "src string, dst string")
@@ -187,9 +176,9 @@ class TestHostGraph:
             "src string, dst string",
         )
         w = {r["node"]: r["rank_scaled"]
-             for r in pagerank(weighted, weight="weight", iterations=4).collect()}
+             for r in pagerank(weighted, weight="weight", iterations=2).collect()}
         m = {r["node"]: r["rank_scaled"]
-             for r in pagerank(expanded, iterations=4).collect()}
+             for r in pagerank(expanded, iterations=2).collect()}
         assert w == m
 
     def test_weighted_host_graph_chain(self, spark):
