@@ -143,6 +143,7 @@ def pagerank(
     partitions: int | None = None,
     lazy: bool = False,
     tol: float | None = None,
+    seeds: DataFrame | list[str] | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank in exact fixed-point arithmetic.
 
@@ -195,6 +196,14 @@ def pagerank(
     stops once ``delta < tol × scale``. ``iterations`` becomes the
     cap. Cost: one extra (cached-input) aggregation job per
     iteration; worth it whenever the iteration cap is generous.
+
+    ``seeds`` makes it PERSONALIZED PageRank: teleport and dangling
+    mass go uniformly to the seed set only (a 1-column DataFrame of
+    node values, or a small list), so ranks measure proximity to the
+    seeds — the standard trick for "rank hosts by closeness to a
+    known-good allowlist" corpus weighting. With every node seeded the
+    result is bit-identical to the unseeded run; nodes with no inbound
+    path from the seeds get rank exactly 0.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -247,9 +256,38 @@ def pagerank(
             f"precision; use scale >= {1000 * n}"
         )
     d = int(damping_pct)
-    base = (scale * (100 - d) // 100) // n
 
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_scaled"))
+    if seeds is not None:
+        spark_ = edges.sparkSession
+        seed_df = (
+            spark_.createDataFrame([(s,) for s in seeds], "node string")
+            if isinstance(seeds, list)
+            else seeds.select(F.col(seeds.columns[0]).cast("string").alias("node"))
+        ).distinct()
+        nodes = nodes.join(
+            seed_df.withColumn("_seed", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        if not lazy:
+            nodes = nodes.persist()
+            held = (*held, nodes)
+        n_tp = nodes.where("_seed").count()
+        if n_tp == 0:
+            for df in held:
+                df.unpersist()
+            raise ValueError("seeds match no node in the graph")
+    else:
+        nodes = nodes.select("node", F.lit(True).alias("_seed"))
+        n_tp = n
+    base = (scale * (100 - d) // 100) // n_tp
+    seed_base = F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(scale // n_tp))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_scaled"),
+    )
     rank_gens: list[DataFrame] = []
     for i in range(iterations):
         r = ranks.join(outdeg, ranks["node"] == outdeg["_pr_src"], "left")
@@ -274,9 +312,12 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    seed_base
                     + F.expr(f"(coalesce(_in_sum, 0L) * {d}) div 100")
-                    + F.expr(f"((_dang * {d}) div 100) div {n}")
+                    + F.when(
+                        F.col("_seed"),
+                        F.expr(f"((_dang * {d}) div 100) div {n_tp}"),
+                    ).otherwise(F.lit(0))
                 ).cast("long").alias("rank_scaled"),
             )
         )

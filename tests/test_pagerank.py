@@ -203,3 +203,33 @@ class TestHostGraph:
         # weight 0 = zero parallel edges = the edge does not exist, so
         # C (reachable only through it) is not in the graph at all
         assert set(ranks) == {"A", "B"}
+
+    def test_seeded_all_nodes_equals_unseeded(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        all_nodes = sorted({x for ed in EDGES for x in ed})
+        seeded = {r["node"]: r["rank_scaled"]
+                  for r in pagerank(e, iterations=3, seeds=all_nodes).collect()}
+        plain = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(e, iterations=3).collect()}
+        assert seeded == plain
+
+    def test_seeded_unreachable_node_is_exactly_zero(self, spark):
+        # component {A,B} seeded; component {X,Y} unreachable from it —
+        # with teleport restricted to seeds, X and Y hold rank 0 exactly
+        e = spark.createDataFrame(
+            [("A", "B"), ("B", "A"), ("X", "Y"), ("Y", "X")],
+            "src string, dst string",
+        )
+        ranks = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(e, iterations=4, seeds=["A"]).collect()}
+        assert ranks["X"] == 0 and ranks["Y"] == 0
+        assert ranks["A"] > 0 and ranks["B"] > 0
+
+    def test_seeds_dataframe_input_and_bad_seeds(self, spark):
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        seed_df = spark.createDataFrame([("A",), ("C",)], "host string")
+        ranks = {r["node"]: r["rank_scaled"]
+                 for r in pagerank(e, iterations=3, seeds=seed_df).collect()}
+        assert len(ranks) == 6 and ranks["A"] > ranks["D"]
+        with pytest.raises(ValueError, match="seeds match no node"):
+            pagerank(e, iterations=2, seeds=["ZZZ"])
