@@ -261,6 +261,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     rank.add_argument("--iterations", type=int, default=10)
     rank.add_argument("--damping-pct", type=int, default=85)
+    rank.add_argument(
+        "--seed", action="append", default=None, metavar="NODE",
+        help="personalized PageRank: teleport only to these nodes "
+        "(repeatable)",
+    )
     rank.add_argument("--top", type=int, default=10,
                       help="top-N nodes echoed in the report")
 
@@ -509,6 +514,7 @@ def main(argv: list[str] | None = None) -> int:
         ranks = pagerank(
             edges, weight=wcol,
             iterations=args.iterations, damping_pct=args.damping_pct,
+            seeds=args.seed,
         )
         if args.output:
             ranks.write.mode("overwrite").parquet(args.output)

@@ -608,6 +608,13 @@ class TestRank:
         back = spark.read.parquet(out)
         assert back.columns == ["node", "rank_scaled", "rank"]
         assert back.count() == 4
+        # personalized: teleport restricted to node "a" still ranks it
+        rc = main(["rank", "--input", src, "--iterations", "2",
+                   "--seed", "a", "--top", "4"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        nodes = {t["node"]: t["rank"] for t in res["top"]}
+        assert nodes["a"] > 0 and nodes["hub"] > 0
 
     def test_rank_from_links(self, spark, tmp_path, capsys):
         src = str(tmp_path / "rank_docs")
