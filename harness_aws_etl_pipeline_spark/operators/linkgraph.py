@@ -39,7 +39,7 @@ the web-corpus workload, same class as the dedup/ANN families.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["anchor_text_index", "host_graph", "pagerank"]
@@ -100,6 +100,8 @@ def host_graph(
     url_col: str = "url",
     links_col: str = "links",
     keep_self_loops: bool = False,
+    by: str = "host",
+    psl_rules: dict | None = None,
 ) -> DataFrame:
     """Harvested page links → host→host edge list with multiplicities.
 
@@ -111,17 +113,37 @@ def host_graph(
     ``(src, dst, weight)`` with weight = number of links from pages on
     ``src`` to pages on ``dst``.
 
-    Pure column expressions (explode + two host extractions + one
-    aggregation) — one shuffle on (src, dst).
+    ``by="domain"`` rolls nodes up to eTLD+1 (``urlops.
+    registered_domain``, optionally with a loaded public-suffix list
+    via ``psl_rules``) — the granularity domain-weighted mixing uses,
+    so the rank vector joins straight onto ``cap_per_domain`` /
+    ``domain_stats`` keys. ``by="host"`` (default) keeps full hosts.
+
+    Pure column expressions (explode + two host/domain extractions +
+    one aggregation) — one shuffle on (src, dst).
     """
-    from harness_aws_etl_pipeline_spark.operators.urlops import url_host
+    from harness_aws_etl_pipeline_spark.operators.urlops import (
+        registered_domain,
+        url_host,
+    )
+
+    if by not in ("host", "domain"):
+        raise ValueError("by must be 'host' or 'domain'")
+
+    def key(col: Column) -> Column:
+        # registered_domain extracts the host itself (takes the URL)
+        return (
+            registered_domain(col, rules=psl_rules)
+            if by == "domain"
+            else url_host(col)
+        )
 
     edges = (
         docs.select(
-            url_host(F.col(url_col)).alias("src"),
+            key(F.col(url_col)).alias("src"),
             F.explode(links_col).alias("_link"),
         )
-        .select("src", url_host(F.col("_link")).alias("dst"))
+        .select("src", key(F.col("_link")).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
     if not keep_self_loops:

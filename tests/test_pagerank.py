@@ -233,3 +233,18 @@ class TestHostGraph:
         assert len(ranks) == 6 and ranks["A"] > ranks["D"]
         with pytest.raises(ValueError, match="seeds match no node"):
             pagerank(e, iterations=2, seeds=["ZZZ"])
+
+    def test_host_graph_domain_granularity(self, spark):
+        # www.a.com and blog.a.com roll up to one eTLD+1 node
+        docs = spark.createDataFrame(
+            [("https://www.a.com/p", ["https://b.co.uk/x"]),
+             ("https://blog.a.com/q", ["https://b.co.uk/y", "https://c.com/"]),
+             ("https://b.co.uk/p", ["https://www.a.com/"])],
+            "url string, links array<string>",
+        )
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in host_graph(docs, by="domain").collect()}
+        assert got == {("a.com", "b.co.uk"): 2, ("a.com", "c.com"): 1,
+                       ("b.co.uk", "a.com"): 1}
+        with pytest.raises(ValueError, match="by must be"):
+            host_graph(docs, by="etld")
