@@ -362,6 +362,20 @@ def _bench_web_prep(spark, sf_dir: str) -> dict:
     )
     url_s = time.perf_counter() - start
 
+    # anchor-text index over the same synthetic pages: every page has
+    # exactly one anchor ("next" → the next doc's URL), so the index
+    # must contain `docs` distinct targets each with anchor_cnt 1
+    from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+        anchor_text_index,
+    )
+
+    start = time.perf_counter()
+    arow = anchor_text_index(wrapped, html_col="html").agg(
+        F.count(F.lit(1)).alias("targets"),
+        F.sum("anchor_cnt").alias("anchors"),
+    ).collect()[0]
+    anchors_s = time.perf_counter() - start
+
     return {
         "html_s": round(html_s, 3),
         "docs": int(ext["docs"]),
@@ -372,6 +386,9 @@ def _bench_web_prep(spark, sf_dir: str) -> dict:
         "robots_ok": bool(denied == expected_denied),
         "url_norm_s": round(url_s, 3),
         "url_distinct": int(n_norm),
+        "anchors_s": round(anchors_s, 3),
+        "anchor_targets": int(arow["targets"]),
+        "anchors_ok": bool(int(arow["anchors"]) == int(ext["docs"])),
     }
 
 

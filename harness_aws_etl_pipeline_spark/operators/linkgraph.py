@@ -42,7 +42,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["anchor_text_index", "host_graph", "pagerank"]
+__all__ = ["anchor_text_index", "host_graph", "pagerank", "rank_weights"]
+
+
+def rank_weights(
+    ranks: DataFrame,
+    top_n: int = 10_000,
+    weight_scale: int = 1_000_000,
+) -> dict[str, int]:
+    """Bridge from a PageRank vector to the integer weight dict the
+    mixing machinery consumes (``mixing.mix_thresholds`` /
+    ``temperature_weights``): the ``top_n`` nodes by rank, scaled so
+    the best node weighs ``weight_scale`` (minimum 1 — a selected node
+    never rounds to excluded). Driver-side by contract — ``top_n``
+    bounds the collect the same way query/centroid frames are bounded
+    elsewhere in the engine."""
+    rows = (
+        ranks.orderBy(F.desc("rank_scaled"), "node")
+        .limit(top_n)
+        .select("node", "rank_scaled")
+        .collect()
+    )
+    if not rows:
+        return {}
+    top = rows[0]["rank_scaled"]
+    if top <= 0:
+        return {r["node"]: 1 for r in rows}
+    return {
+        r["node"]: max(1, r["rank_scaled"] * weight_scale // top) for r in rows
+    }
 
 
 def anchor_text_index(

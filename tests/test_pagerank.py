@@ -248,3 +248,20 @@ class TestHostGraph:
                        ("b.co.uk", "a.com"): 1}
         with pytest.raises(ValueError, match="by must be"):
             host_graph(docs, by="etld")
+
+    def test_rank_weights_bridge(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import rank_weights
+
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        ranks = pagerank(e, iterations=3)
+        w = rank_weights(ranks, top_n=3, weight_scale=1000)
+        assert len(w) == 3
+        assert max(w.values()) == 1000          # best node pinned to scale
+        assert all(v >= 1 for v in w.values())  # never rounds to excluded
+        # top node by rank is the top-weighted node
+        top = max(w, key=w.get)
+        best = ranks.orderBy(F.desc("rank_scaled")).first()["node"]
+        assert top == best
+        assert rank_weights(pagerank(
+            spark.createDataFrame([], "src string, dst string"), iterations=1
+        )) == {}
