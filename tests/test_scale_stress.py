@@ -637,3 +637,39 @@ def test_pca_moments_bounded_at_1m_vectors(spark):
     comp0 = np.asarray(model["components"][0])
     assert abs(comp0[0]) > 0.99, "planted dominant direction not found"
     assert wall < 120, f"PCA fit too slow at 1M: {wall:.1f}s"
+
+
+def test_pagerank_500k_nodes(spark):
+    """10-100x the fast-tier graph: 500k-node ring where every node
+    also links to a hub — 1M edges, 4 iterations through the eager
+    production path (persisted static sides, checkpoint at 2). The
+    exact claims survive the scale-up: ring symmetry is bit-exact
+    across all 500k non-hub nodes, the hub dominates, and fixed-point
+    mass is conserved up to the floor-loss bound."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.linkgraph import pagerank
+
+    n = 500_000
+    ring = spark.range(n).select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") + 1) % n).cast("string").alias("dst"),
+    )
+    to_hub = spark.range(n).select(
+        F.col("id").cast("string").alias("src"), F.lit("hub").alias("dst")
+    )
+    scale = 10**12
+    ranks = pagerank(ring.union(to_hub), iterations=4, scale=scale,
+                     checkpoint_every=2)
+    agg = ranks.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.sum("rank_scaled").alias("mass"),
+        F.countDistinct(
+            F.when(F.col("node") != "hub", F.col("rank_scaled"))
+        ).alias("distinct_nonhub"),
+        F.max(F.struct("rank_scaled", "node"))["node"].alias("top"),
+    ).first()
+    assert agg["nodes"] == n + 1
+    assert agg["distinct_nonhub"] == 1
+    assert agg["top"] == "hub"
+    assert scale - int(agg["mass"]) < 4 * (2 * n + n + 1) * 10
