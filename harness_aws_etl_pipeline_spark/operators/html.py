@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "extract_anchors",
     "extract_links",
+    "extract_sitemap_urls",
     "extract_title",
     "html_to_text",
+    "markdown_anchors",
     "markdown_links",
     "markdown_to_text",
     "strip_html_columns",
@@ -184,6 +186,44 @@ def markdown_links(col: Column | str) -> Column:
     family like :func:`extract_links` output."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(r"!?\[[^\]]*\]\(([^)]*)\)"), F.lit(1))
+
+
+# markdown anchor pattern: one pattern, two groups (text, href) — same
+# positional-alignment trick as the HTML anchors. Images are stripped
+# FIRST (RE2 has no lookbehind to exclude the leading '!') — alt text
+# is a caption, not an endorsement anchor.
+_MD_IMAGE = r"!\[[^\]]*\]\([^)]*\)"
+_MD_ANCHOR = r"\[([^\]]*)\]\(([^)]*)\)"
+
+
+def markdown_anchors(col: Column | str) -> Column:
+    """Markdown links as ``array<struct<href string, text string>>`` —
+    the code-corpus sibling of :func:`extract_anchors` (anchor text is
+    the same relevance signal in README/docs corpora). Images
+    (``![alt](url)``) are excluded; whitespace in the text collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _MD_IMAGE, "")
+    texts = F.regexp_extract_all(c, F.lit(_MD_ANCHOR), F.lit(1))
+    hrefs = F.regexp_extract_all(c, F.lit(_MD_ANCHOR), F.lit(2))
+    return F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(
+            h.alias("href"), _anchor_text_clean(t).alias("text")
+        ),
+    )
+
+
+def extract_sitemap_urls(col: Column | str) -> Column:
+    """``<loc>`` entries of a sitemap.xml document as an
+    array<string> — crawl frontier discovery (sitemaps are the
+    publisher-declared URL inventory robots.txt points at). Tolerates
+    whitespace inside the element; urlset/sitemapindex both work (a
+    sitemap-index's ``<loc>`` entries are child sitemap URLs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        c, F.lit(r"(?is)<loc\s*>\s*([^<]*?)\s*</loc\s*>"), F.lit(1)
+    )
 
 
 def strip_html_columns(

@@ -445,6 +445,17 @@ _MD_FIXTURE = (
     "plain markdown-free text",
 )
 
+# planted sitemap.xml literal (apostrophe-free: embeds directly as a
+# SQL VALUES string) for the sitemap-extraction legs — whitespace
+# inside <loc>, an upper-case <LOC>, and a relative entry
+_SITEMAP_FIXTURE = (
+    '<?xml version="1.0"?><urlset>'
+    "<url><loc> https://s.example.com/page-one </loc>"
+    "<lastmod>2024-01-01</lastmod></url>"
+    "<url><LOC>https://s.example.com/two</LOC></url>"
+    "<url><loc>relative/skip?q=1</loc></url></urlset>"
+)
+
 # planted WARC response records (uri, http_status, content_type, body)
 # — ASCII-only so DuckDB LENGTH() (codepoints) equals the engine's
 # payload_length (bytes). The warc legs of ``doc_fingerprint`` write
@@ -589,16 +600,45 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.size("_anchor_strs")).cast("long").alias("anchors_cnt"),
         )
     )
+    from harness_aws_etl_pipeline_spark.operators.html import (
+        extract_sitemap_urls,
+        markdown_anchors,
+    )
+
     md_rows = spark.createDataFrame(
         list(enumerate(_MD_FIXTURE)), "mid long, md string"
     )
-    md_agg = md_rows.agg(
+    md_agg = md_rows.withColumn(
+        "_md_anchor_strs",
+        F.transform(
+            markdown_anchors("md"),
+            lambda a: F.concat(a["href"], F.lit(">"), a["text"]),
+        ),
+    ).agg(
         F.md5(
             F.concat_ws(
                 "|", F.array_sort(F.collect_list(markdown_to_text("md")))
             )
         ).alias("md_text_md5"),
         F.sum(F.size(markdown_links("md"))).cast("long").alias("md_links_cnt"),
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.flatten(F.collect_list("_md_anchor_strs")))
+            )
+        ).alias("md_anchors_md5"),
+        F.sum(F.size("_md_anchor_strs")).cast("long").alias("md_anchors_cnt"),
+    )
+    sm_rows = spark.createDataFrame([(0, _SITEMAP_FIXTURE)], "sid long, sm string")
+    sm_agg = sm_rows.agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.flatten(F.collect_list(extract_sitemap_urls("sm")))
+                ),
+            )
+        ).alias("sm_urls_md5"),
+        F.sum(F.size(extract_sitemap_urls("sm"))).cast("long").alias("sm_urls_cnt"),
     )
     # warc-source legs (sources/warc.py, round 6): write the planted
     # response records through build_warc in BOTH layouts (plain +
@@ -681,12 +721,13 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(tc_corpus)
         .crossJoin(html_agg)
         .crossJoin(md_agg)
+        .crossJoin(sm_agg)
         .crossJoin(warc_agg)
     )
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*, tc.*, tcc.*, html.*, md.*, warc.*
+SELECT fp.*, red.*, tc.*, tcc.*, html.*, md.*, sm.*, warc.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -724,7 +765,8 @@ FROM (
             '[\s\p{Z}]+', ' ', 'g'),
             '^ | $', '', 'g') AS cleaned
         FROM documents)
-) tcc, (__HTML_ARM__) html, (__MD_ARM__) md, (__WARC_ARM__) warc
+) tcc, (__HTML_ARM__) html, (__MD_ARM__) md, (__SM_ARM__) sm,
+(__WARC_ARM__) warc
 """
 
 
@@ -849,12 +891,48 @@ def _oracle_fingerprint() -> str:
         '^[ \n]+|[ \n]+$', '', 'g') AS txt
     FROM mraw
   )
+  ,
+  -- markdown anchors: images stripped first (RE2 has no lookbehind),
+  -- then one pattern's group-1 (text) / group-2 (href) extractions
+  -- paired by index; same cleanup chain as the html anchor legs
+  manch AS (
+    SELECT
+      regexp_extract_all(base, '\[([^\]]*)\]\(([^)]*)\)', 1) AS mt,
+      regexp_extract_all(base, '\[([^\]]*)\]\(([^)]*)\)', 2) AS mh
+    FROM (SELECT regexp_replace(m, '!\[[^\]]*\]\([^)]*\)', '', 'g') AS base
+          FROM mraw)
+  ),
+  manchor_strs AS (
+    SELECT UNNEST(
+      list_transform(range(1, len(mh) + 1), i -> mh[i] || '>' ||
+        regexp_replace(regexp_replace(regexp_replace(mt[i],
+          '(?s)<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+          '^ | $', '', 'g'))
+    ) AS s
+    FROM manch
+  )
   SELECT
     (SELECT md5(string_agg(txt, '|' ORDER BY txt)) FROM mchain)
       AS md_text_md5,
     (SELECT CAST(SUM(
         len(regexp_extract_all(m, '!?\[[^\]]*\]\(([^)]*)\)', 1))
-     ) AS BIGINT) FROM mraw) AS md_links_cnt
+     ) AS BIGINT) FROM mraw) AS md_links_cnt,
+    (SELECT md5(string_agg(s, '|' ORDER BY s)) FROM manchor_strs)
+      AS md_anchors_md5,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM manchor_strs) AS md_anchors_cnt
+"""
+    )
+    sm_arm = (
+        r"""
+  SELECT md5(string_agg(u, '|' ORDER BY u)) AS sm_urls_md5,
+         CAST(COUNT(*) AS BIGINT) AS sm_urls_cnt
+  FROM (
+    SELECT UNNEST(regexp_extract_all(
+      '"""
+        + _SITEMAP_FIXTURE
+        + r"""',
+      '(?is)<loc\s*>\s*([^<]*?)\s*</loc\s*>', 1)) AS u
+  )
 """
     )
     # warc arm: the planted response records as VALUES — counts,
@@ -886,6 +964,7 @@ def _oracle_fingerprint() -> str:
     return (
         ORACLE_FINGERPRINT.replace("__HTML_ARM__", html_arm)
         .replace("__MD_ARM__", md_arm)
+        .replace("__SM_ARM__", sm_arm)
         .replace("__WARC_ARM__", warc_arm)
     )
 

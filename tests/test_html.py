@@ -192,3 +192,27 @@ class TestAnchors:
         # top-2 by frequency: "best site" (3), "spam" (2); "great" cut
         assert t["top_texts"] == ["best site", "spam"]
         assert idx["https://o.com/"]["anchor_cnt"] == 1
+
+    def test_markdown_anchors_excludes_images(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.html import markdown_anchors
+
+        md = ("See [the  docs](https://d.com/x) and ![alt](https://img.com/i.png) "
+              "plus [a\nb](/rel).")
+        row = spark.createDataFrame([(md,)], "m string").select(
+            markdown_anchors("m").alias("a")
+        ).first()
+        got = [(a["href"], a["text"]) for a in row["a"]]
+        assert got == [("https://d.com/x", "the docs"), ("/rel", "a b")]
+
+    def test_extract_sitemap_urls(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.html import (
+            extract_sitemap_urls,
+        )
+
+        sm = ('<?xml version="1.0"?><urlset><url><loc> https://s.com/a </loc>'
+              "<lastmod>2024-01-01</lastmod></url><url><LOC>https://s.com/b"
+              "</LOC></url></urlset>")
+        row = spark.createDataFrame([(sm,)], "x string").select(
+            extract_sitemap_urls("x").alias("u")
+        ).first()
+        assert row["u"] == ["https://s.com/a", "https://s.com/b"]
