@@ -29,10 +29,12 @@ and should be fused with other Arrow work where possible.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["clean_text", "normalize_unicode"]
+__all__ = ["clean_text", "decode_text", "normalize_unicode"]
 
 # C0/C1 control blocks (minus \t\n\r which are whitespace, folded by
 # the whitespace pass), zero-width chars, BOM, soft hyphen
@@ -97,3 +99,92 @@ def normalize_unicode(
             yield pdf.assign(**{target: pd.Series(vals, index=pdf.index, dtype="object")})
 
     return df.mapInPandas(_norm, out_schema)
+
+
+_META_CHARSET = re.compile(
+    rb"""(?is)<meta[^>]+charset\s*=\s*["']?\s*([a-z0-9._\-]+)"""
+)
+_CT_CHARSET = re.compile(r"(?i)charset\s*=\s*[\"']?\s*([a-z0-9._\-]+)")
+
+
+def _pick_codec(name: "str | None") -> "str | None":
+    import codecs
+
+    if not name:
+        return None
+    try:
+        return codecs.lookup(name.strip()).name
+    except (LookupError, ValueError):
+        return None
+
+
+def _decode_one(payload: "bytes | None", ctype: "str | None") -> "str | None":
+    if payload is None:
+        return None
+    b = bytes(payload)
+    # 1) BOMs are authoritative
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", "replace")
+    if b.startswith(b"\xff\xfe") or b.startswith(b"\xfe\xff"):
+        return b.decode("utf-16", "replace")
+    # 2) HTTP header charset, 3) meta-tag sniff in the first 2 KiB
+    codec = _pick_codec(
+        _CT_CHARSET.search(ctype).group(1) if ctype and _CT_CHARSET.search(ctype) else None
+    )
+    if codec is None:
+        m = _META_CHARSET.search(b[:2048])
+        codec = _pick_codec(m.group(1).decode("ascii", "replace") if m else None)
+    if codec is not None:
+        return b.decode(codec, "replace")
+    # 4) strict UTF-8 (the common case), else 5) latin-1 (never fails,
+    # byte-transparent — the standard crawl-pipeline last resort)
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def decode_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    content_type_col: "str | None" = "content_type",
+    out_col: str = "text",
+) -> DataFrame:
+    """Charset-aware ``binary`` → ``string`` decoding for crawl
+    payloads — a real web corpus is NOT all UTF-8 (legacy latin-1 /
+    windows-125x / koi8 pages survive in every crawl), and a blind
+    ``cast("string")`` mangles them irreversibly BEFORE the quality
+    gates can see the text.
+
+    Priority (the practical consensus order): byte-order mark →
+    ``Content-Type`` header charset → ``<meta charset>`` sniff in the
+    first 2 KiB → strict UTF-8 → latin-1 (byte-transparent fallback;
+    ``errors="replace"`` everywhere, so the output never throws and
+    replacement characters become a quality-gate signal downstream).
+
+    Arrow-batched ``mapInPandas`` (the decode itself is the stdlib's C
+    codec machinery); NULL payloads pass through as NULL. Chain:
+    ``read_warc`` → ``decode_text`` → ``html_to_text`` → gates.
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes) + f", `{out_col}` string"
+
+    def _dec(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            ct = (
+                pdf[content_type_col]
+                if content_type_col and content_type_col in pdf.columns
+                else [None] * len(pdf)
+            )
+            vals = [
+                _decode_one(p, c if isinstance(c, str) else None)
+                for p, c in zip(pdf[payload_col], ct)
+            ]
+            yield pdf.assign(
+                **{out_col: pd.Series(vals, index=pdf.index, dtype="object")}
+            )
+
+    return df.mapInPandas(_dec, out_schema)

@@ -522,6 +522,30 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.count("cleaned").cast("long").alias("tc_planted_nonnull"),
     )
+    # charset-decode legs (textclean.decode_text, round 6): planted
+    # byte payloads through the BOM → header → meta-sniff → utf-8 →
+    # latin-1 chain; the EXPECTED strings are codec-standard facts
+    # (DuckDB can't decode windows-1252/koi8-r), the md5/count
+    # machinery is SQL-side — the NFKC-leg pattern
+    from harness_aws_etl_pipeline_spark.operators.textclean import decode_text
+
+    dec_planted = spark.createDataFrame(
+        [
+            (1, b"\xef\xbb\xbfh\xc3\xa9llo", "text/html; charset=latin-1"),
+            (2, b"caf\xe9", "text/plain; charset=windows-1252"),
+            (3, b'<meta charset="koi8-r"><p>\xc4\xc1</p>', "text/html"),
+            (4, "héllo".encode(), None),
+            (5, b"caf\xe9", None),
+            (6, None, "text/html"),
+        ],
+        "rid int, payload binary, content_type string",
+    )
+    dec_agg = decode_text(dec_planted).agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("text")))).alias(
+            "dec_planted_md5"
+        ),
+        F.count("text").cast("long").alias("dec_planted_nonnull"),
+    )
     tc_corpus = docs.agg(
         F.sum((clean_text(F.col("text")) != F.col("text")).cast("long"))
         .cast("long")
@@ -718,6 +742,7 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return (
         fp_agg.crossJoin(red_agg)
         .crossJoin(tc_planted)
+        .crossJoin(dec_agg)
         .crossJoin(tc_corpus)
         .crossJoin(html_agg)
         .crossJoin(md_agg)
@@ -727,7 +752,7 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*, tc.*, tcc.*, html.*, md.*, sm.*, warc.*
+SELECT fp.*, red.*, tc.*, dec.*, tcc.*, html.*, md.*, sm.*, warc.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -755,6 +780,15 @@ FROM (
   FROM (VALUES ('EMBED'), ('a bc'), ('fine XII 1'),
                ('multi space and newline'), ('xyz')) AS c(v)
 ) tc, (
+  -- expected charset-decode outputs of the planted byte payloads
+  -- (BOM / header / meta-sniff / utf-8 / latin-1 chain); the EXPECTED
+  -- strings are codec-standard facts, machinery SQL-side
+  SELECT md5(string_agg(v, '|' ORDER BY v)) AS dec_planted_md5,
+         CAST(COUNT(v) AS BIGINT) AS dec_planted_nonnull
+  FROM (VALUES ('héllo'), ('café'),
+               ('<meta charset="koi8-r"><p>да</p>'),
+               ('héllo'), ('café')) AS d(v)
+) dec, (
   -- clean_text re-derived in RE2: strip controls/zero-width, fold
   -- whitespace+separators, trim the single edge spaces
   SELECT CAST(SUM(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT) AS tc_changed_cnt,

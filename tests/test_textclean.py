@@ -82,3 +82,51 @@ class TestNormalizeUnicode:
         )
         n = normalize_unicode(df)
         assert n.select(F.md5("text")).distinct().count() == 1
+
+
+class TestDecodeText:
+    def _decode(self, spark, rows):
+        from harness_aws_etl_pipeline_spark.operators.textclean import decode_text
+
+        df = spark.createDataFrame(rows, "rid int, payload binary, content_type string")
+        return {r["rid"]: r["text"] for r in decode_text(df).collect()}
+
+    def test_priority_chain(self, spark):
+        got = self._decode(spark, [
+            # BOM wins even over a lying header
+            (1, b"\xef\xbb\xbfh\xc3\xa9llo", "text/html; charset=latin-1"),
+            # header charset decodes windows-1252 é (0xe9)
+            (2, b"caf\xe9", "text/plain; charset=windows-1252"),
+            # meta-tag sniff: koi8-r bytes for русское "да"
+            (3, b'<meta charset="koi8-r"><p>\xc4\xc1</p>', "text/html"),
+            # plain valid utf-8, no hints
+            (4, "héllo".encode(), None),
+            # invalid utf-8 without hints -> latin-1 byte-transparent
+            (5, b"caf\xe9", None),
+            # unknown charset name falls through to utf-8/latin-1
+            (6, b"abc", "text/html; charset=no-such-enc"),
+            (7, None, "text/html"),
+        ])
+        assert got[1] == "héllo"
+        assert got[2] == "café"
+        assert "да" in got[3]
+        assert got[4] == "héllo"
+        assert got[5] == "café"
+        assert got[6] == "abc"
+        assert got[7] is None
+
+    def test_chains_from_warc(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.textclean import decode_text
+        from harness_aws_etl_pipeline_spark.sources.warc import (
+            build_warc, http_response, read_warc,
+        )
+
+        p = tmp_path / "x.warc"
+        p.write_bytes(build_warc([{
+            "type": "response", "uri": "https://a.com/",
+            "payload": http_response(
+                "zoné".encode("latin-1"), content_type="text/html; charset=latin-1"
+            ),
+        }]))
+        row = decode_text(read_warc(spark, str(tmp_path))).first()
+        assert row["text"] == "zoné"
