@@ -449,14 +449,20 @@ def main(argv: list[str] | None = None) -> int:
             from harness_aws_etl_pipeline_spark.operators.html import (
                 html_to_text,
             )
+            from harness_aws_etl_pipeline_spark.operators.textclean import (
+                decode_text,
+            )
 
+            # charset-aware decode (BOM/header/meta-sniff chain), then
+            # markup -> text for text/* payloads only
+            df = decode_text(df, out_col="_decoded")
             df = df.withColumn(
                 "text",
                 F.when(
                     F.col("content_type").startswith("text/"),
-                    html_to_text(F.col("payload").cast("string")),
+                    html_to_text(F.col("_decoded")),
                 ),
-            )
+            ).drop("_decoded")
         df.write.mode("overwrite").parquet(args.output)
         got = spark.read.parquet(args.output)
         by_type = {
