@@ -1098,11 +1098,27 @@ FROM (
 def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] corpus term analytics panel: top-15 TF-IDF terms (scaled-
     long sum of the 6dp-rounded per-doc scores) UNION the top-20 word
-    bigrams by occurrence — both deterministically tie-broken by the
-    term string, unified under (src, term, cnt, score)."""
+    bigrams by occurrence UNION the BM25 top-5 documents for two
+    planted queries (`operators/retrieval.py` — Lucene-idf BM25 with
+    scaled-long per-term sums, ranks bit-stable; re-derived term-by-
+    term in the oracle) — all deterministically tie-broken, unified
+    under (src, term, cnt, score)."""
+    from harness_aws_etl_pipeline_spark.operators.retrieval import bm25_topk
     from harness_aws_etl_pipeline_spark.operators.textops import tf_idf, top_ngrams
 
     docs = _t(spark, sf, "documents")
+    queries = spark.createDataFrame(
+        [("wq", "window scan"), ("vs", "vector spark hash")],
+        "query_id string, query string",
+    )
+    bm25 = bm25_topk(docs, queries, k=5).select(
+        F.lit("bm25").alias("src"),
+        F.concat_ws(":", "query_id", F.col("doc_id").cast("string")).alias(
+            "term"
+        ),
+        F.col("rk").cast("long").alias("cnt"),
+        "score",
+    )
     scored = tf_idf(docs, min_df=2)
     terms = (
         scored.groupBy("term")
@@ -1124,7 +1140,7 @@ def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         "cnt",
         F.col("cnt").cast("double").alias("score"),
     )
-    return terms.unionByName(bigrams).orderBy(
+    return terms.unionByName(bigrams).unionByName(bm25).orderBy(
         "src", F.col("score").desc(), F.col("term")
     )
 
@@ -1164,6 +1180,52 @@ SELECT * FROM (
             FROM documents)
     ) GROUP BY bg ORDER BY cnt DESC, term LIMIT 20
   )
+  UNION ALL
+  -- BM25 arm: full Lucene-idf BM25 re-derived term by term with the
+  -- engine's exact arithmetic (per-term contribution rounded to a
+  -- scaled long BEFORE the per-(query, doc) sum; rank on the integer)
+  SELECT 'bm25' AS src,
+         query_id || ':' || CAST(doc_id AS VARCHAR) AS term,
+         rk AS cnt,
+         ROUND(CAST(score_scaled AS DOUBLE) / 1000000.0, 6) AS score
+  FROM (
+    SELECT query_id, doc_id, score_scaled,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score_scaled DESC, doc_id) AS rk
+    FROM (
+      SELECT q.query_id, tf.doc_id,
+             SUM(CAST(ROUND(
+               q.qtf
+               * ln(1 + (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) - dfq.df + 0.5)
+                        / (dfq.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                       / (SELECT CAST(SUM(dl) AS DOUBLE)
+                            / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                          FROM (SELECT doc_id, COUNT(*) AS dl FROM (
+                                  SELECT doc_id, UNNEST(list_transform(list_filter(
+                                    string_split_regex(text, '\s+'), t -> t != ''),
+                                    t -> lower(t))) AS term FROM documents)
+                                GROUP BY doc_id)))))
+               * 1000000) AS BIGINT)) AS score_scaled
+      FROM tf
+      JOIN (SELECT query_id, term, COUNT(*) AS qtf FROM (
+              SELECT query_id, UNNEST(list_transform(list_filter(
+                string_split_regex(qtext, '\s+'), t -> t != ''),
+                t -> lower(t))) AS term
+              FROM (VALUES ('wq', 'window scan'),
+                           ('vs', 'vector spark hash')) v(query_id, qtext)
+            ) GROUP BY query_id, term) q ON tf.term = q.term
+      JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) dfq
+        ON tf.term = dfq.term
+      JOIN (SELECT doc_id, COUNT(*) AS dl FROM (
+              SELECT doc_id, UNNEST(list_transform(list_filter(
+                string_split_regex(text, '\s+'), t -> t != ''),
+                t -> lower(t))) AS term FROM documents)
+            GROUP BY doc_id) dl ON tf.doc_id = dl.doc_id
+      GROUP BY q.query_id, tf.doc_id
+    )
+  ) WHERE rk <= 5
 ) ORDER BY src, score DESC, term
 """
 
