@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["anchor_text_index", "host_graph", "pagerank", "rank_weights"]
+__all__ = ["anchor_text_index", "hits", "host_graph", "pagerank", "rank_weights"]
 
 
 def rank_weights(
@@ -179,6 +179,190 @@ def host_graph(
     return edges.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("weight")
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 10,
+    scale: int | None = None,
+    checkpoint_every: int = 2,
+    partitions: int | None = None,
+    lazy: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
+    arithmetic — the complement to :func:`pagerank` on the same host
+    graph: a good HUB links to many good authorities (directories,
+    link lists, sitemaps), a good AUTHORITY is linked from many good
+    hubs (canonical content pages). For corpus curation the authority
+    vector is the quality weight (mirror/aggregator hosts rank as hubs,
+    not authorities, so they stop inflating their own mixing weight the
+    way raw in-degree would).
+
+    Per iteration: ``auth(j) = Σ_{i→j} hub(i)·w`` then L1-normalized
+    back to total ``scale``; ``hub(i) = Σ_{i→j} auth(j)·w`` then
+    normalized likewise. Normalization is the integer
+    ``x·scale div total`` — every step is add/multiply/floor-divide,
+    so the vectors are bit-reproducible across runs, partitionings,
+    and engines (the catalog oracle re-derives three unrolled
+    iterations in DuckDB).
+
+    Returns ``(node, hub_scaled BIGINT, auth_scaled BIGINT,
+    hub DOUBLE, auth DOUBLE)`` with hub = hub_scaled / scale; nodes
+    with no out-edges have hub 0, no in-edges auth 0.
+
+    Overflow headroom: the largest intermediate is
+    ``raw·scale ≤ scale² × Σw`` — ``scale`` defaults to the largest
+    power of 10 with ``scale² × Σw < 9e18`` (and the same
+    ``scale ≥ 1000 × n`` precision floor pagerank enforces); an
+    explicit ``scale`` outside that bound raises rather than silently
+    overflowing.
+
+    Scale shape matches pagerank's: per iteration two edge⋈vector
+    shuffles with the edge side repartitioned+persisted ONCE, totals
+    as broadcast 1-row aggregates, generations persisted (each is
+    referenced twice) and released at ``checkpoint_every`` lineage
+    cuts. ``lazy=True`` compiles everything into one nested plan for
+    planted fixtures.
+
+    ``checkpoint_every`` defaults TIGHTER than pagerank's (2 vs 5):
+    each HITS iteration runs TWO propagates and each propagate
+    references its raw frame twice (total + join), so the un-cut plan
+    tree grows ~4× per iteration (vs pagerank's 2×) — persists bound
+    the EXECUTION to one compute per generation, but the nested
+    logical/cached-plan TREE still doubles per propagate, and plan
+    stringification at the final ``localCheckpoint`` goes exponential
+    past a handful of un-cut iterations.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    e = edges.select(
+        F.col(src).cast("string").alias("_h_src"),
+        F.col(dst).cast("string").alias("_h_dst"),
+        (
+            F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+        ).alias("_w"),
+    )
+    if weight:
+        e = e.where(F.col("_w") >= 1)
+    e = e.repartition(partitions, "_h_src") if partitions else e.repartition("_h_src")
+    if not lazy:
+        e = e.persist()
+    nodes = (
+        e.select(F.col("_h_src").alias("node"))
+        .union(e.select("_h_dst"))
+        .distinct()
+    )
+    if not lazy:
+        nodes = nodes.persist()
+    held = () if lazy else (e, nodes)
+
+    out_schema = (
+        "node string, hub_scaled long, auth_scaled long, hub double, auth double"
+    )
+    n = nodes.count()
+    if n == 0:
+        for df in held:
+            df.unpersist()
+        return edges.sparkSession.createDataFrame([], out_schema)
+    total_w = e.agg(F.sum("_w")).first()[0] or 0
+    if total_w == 0:
+        for df in held:
+            df.unpersist()
+        return edges.sparkSession.createDataFrame([], out_schema)
+    # scale² · Σw must stay inside int64 — auto-pick the largest
+    # power of 10 under the bound, floor at the precision guard
+    max_scale = int((9 * 10**18 // total_w) ** 0.5)
+    if scale is None:
+        scale = 10 ** max(3, len(str(max_scale)) - 1)
+    if scale > max_scale:
+        for df in held:
+            df.unpersist()
+        raise ValueError(
+            f"scale={scale} overflows int64 for total edge weight {total_w} "
+            f"(max safe scale {max_scale})"
+        )
+    if scale < 1000 * n:
+        for df in held:
+            df.unpersist()
+        raise ValueError(
+            f"scale={scale} too small for {n} nodes — scores would lose all "
+            f"precision; use scale >= {1000 * n} (max safe {max_scale})"
+        )
+
+    hub = nodes.select("node", F.lit(scale // n).cast("long").alias("s"))
+    gens: list[DataFrame] = []
+
+    def _propagate(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """raw(key_out) = Σ vec(key_in)·w, L1-renormalized to scale."""
+        raw = (
+            e.join(vec, e[key_in] == vec["node"])
+            .groupBy(key_out)
+            .agg(F.sum(F.col("s") * F.col("_w")).cast("long").alias("_raw"))
+        )
+        if not lazy:
+            raw = raw.persist()
+            gens.append(raw)
+        total = raw.agg(
+            F.coalesce(F.sum("_raw"), F.lit(0)).cast("long").alias("_tot")
+        )
+        normed = (
+            nodes.join(raw, nodes["node"] == raw[key_out], "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(
+                    F.col("_tot") > 0,
+                    F.expr(f"(coalesce(_raw, 0L) * {scale}) div _tot"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("s"),
+            )
+        )
+        if not lazy:
+            normed = normed.persist()
+            gens.append(normed)
+        return normed
+
+    for i in range(iterations):
+        auth = _propagate(hub, "_h_src", "_h_dst")
+        hub = _propagate(auth, "_h_dst", "_h_src")
+        if (
+            not lazy
+            and checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < iterations
+        ):
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+            for df in gens:
+                df.unpersist()
+            gens = []
+
+    out = (
+        hub.withColumnRenamed("s", "hub_scaled")
+        .join(
+            auth.withColumnRenamed("s", "auth_scaled"),
+            "node",
+        )
+        .select(
+            "node",
+            "hub_scaled",
+            "auth_scaled",
+            (F.col("hub_scaled") / F.lit(float(scale))).alias("hub"),
+            (F.col("auth_scaled") / F.lit(float(scale))).alias("auth"),
+        )
+    )
+    if lazy:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for df in (*held, *gens):
+        df.unpersist()
+    return out
 
 
 def pagerank(

@@ -1378,6 +1378,13 @@ _PR_DAMP = 85
 # fresh entry and evict the shared pairs entry). The operator itself is
 # timed at scale by the bench pagerank leg, not by this panel.
 _PR_ROW: tuple | None = None
+# HITS legs on the SAME planted graph: 3 full hub/auth rounds at an
+# int64-safe scale (scale² × Σw < 9e18 with Σw = 8 caps scale at
+# ~1.06e9). Cached driver-side for the same PlanMemo-can't-key-
+# LocalRelations reason as ``_PR_ROW``.
+_HITS_ITERS = 3
+_HITS_SCALE = 10**9
+_HITS_ROW: tuple | None = None
 
 
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -1390,7 +1397,9 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     integer arithmetic is bit-reproducible across partitionings AND
     engines, so the oracle re-derives the full rank vector (md5),
     total mass, and argmax node with three unrolled iterations in
-    DuckDB."""
+    DuckDB — plus the HITS legs (same graph, three unrolled hub/auth
+    rounds with integer L1 renormalization: full-vector md5 + top hub
+    + top authority)."""
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
         deduplicate_near,
         near_dup_clusters,
@@ -1440,10 +1449,44 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pr_agg = spark.createDataFrame(
         [_PR_ROW], "pr_rank_md5 string, pr_mass long, pr_top_node string"
     )
+    global _HITS_ROW
+    if _HITS_ROW is None:
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+
+        ht = hits(
+            spark.createDataFrame(list(_PR_EDGES), "src string, dst string"),
+            iterations=_HITS_ITERS,
+            scale=_HITS_SCALE,
+            partitions=2,
+            lazy=True,
+        )
+        hrow = ht.agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                "node",
+                                F.col("hub_scaled").cast("string"),
+                                F.col("auth_scaled").cast("string"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("hits_md5"),
+            F.max(F.struct("hub_scaled", "node"))["node"].alias("hits_top_hub"),
+            F.max(F.struct("auth_scaled", "node"))["node"].alias("hits_top_auth"),
+        ).first()
+        _HITS_ROW = (hrow["hits_md5"], hrow["hits_top_hub"], hrow["hits_top_auth"])
+    hits_agg = spark.createDataFrame(
+        [_HITS_ROW], "hits_md5 string, hits_top_hub string, hits_top_auth string"
+    )
     return (
         summary.crossJoin(
             survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
-        ).crossJoin(pr_agg)
+        ).crossJoin(pr_agg).crossJoin(hits_agg)
     )
 
 
@@ -1497,7 +1540,16 @@ SELECT (SELECT COUNT(*) FROM labels) AS clustered_docs,
          AS pr_rank_md5,
        (SELECT CAST(SUM(r) AS BIGINT) FROM pr__K__) AS pr_mass,
        (SELECT node FROM pr__K__ ORDER BY r DESC, node DESC LIMIT 1)
-         AS pr_top_node
+         AS pr_top_node,
+       (SELECT md5(string_agg(s, '|' ORDER BY s))
+        FROM (SELECT h.node || ':' || CAST(h.s AS VARCHAR) || ':'
+                     || CAST(a.s AS VARCHAR) AS s
+              FROM hb__HK__ h JOIN au__HK__ a ON a.node = h.node))
+         AS hits_md5,
+       (SELECT node FROM hb__HK__ ORDER BY s DESC, node DESC LIMIT 1)
+         AS hits_top_hub,
+       (SELECT node FROM au__HK__ ORDER BY s DESC, node DESC LIMIT 1)
+         AS hits_top_auth
 """
 
 
@@ -1525,6 +1577,34 @@ pr_nodes AS (
 pr_outdeg AS (SELECT src, COUNT(*) AS od FROM pr_edges GROUP BY src),
 pr0 AS (SELECT node, CAST({init} AS BIGINT) AS r FROM pr_nodes)"""
     ]
+    # HITS legs: same planted graph, _HITS_ITERS unrolled hub/auth
+    # rounds. Each round is auth_raw(j) = Σ_{i→j} hub(i) then integer
+    # L1-renormalization to _HITS_SCALE, then the mirror for hubs —
+    # add/multiply/floor-divide only, so DuckDB reproduces the
+    # engine's fixed-point vectors bit-for-bit.
+    hits_init = _HITS_SCALE // n
+    hits_ctes = [f""",
+hb0 AS (SELECT node, CAST({hits_init} AS BIGINT) AS s FROM pr_nodes)"""]
+    for i in range(1, _HITS_ITERS + 1):
+        for raw_name, vec, key_join, key_grp, prev in (
+            (f"au{i}_raw", f"au{i}", "src", "dst", f"hb{i - 1}"),
+            (f"hb{i}_raw", f"hb{i}", "dst", "src", f"au{i}"),
+        ):
+            hits_ctes.append(f""",
+{raw_name} AS (
+  SELECT e.{key_grp} AS node, SUM(v.s) AS raw
+  FROM pr_edges e JOIN {prev} v ON v.node = e.{key_join}
+  GROUP BY e.{key_grp}
+),
+{vec} AS (
+  SELECT n.node,
+         CAST(CASE WHEN t.tot > 0
+                   THEN (COALESCE(r.raw, 0) * {_HITS_SCALE}) // t.tot
+                   ELSE 0 END AS BIGINT) AS s
+  FROM pr_nodes n
+  LEFT JOIN {raw_name} r ON r.node = n.node
+  CROSS JOIN (SELECT COALESCE(SUM(raw), 0) AS tot FROM {raw_name}) t
+)""")
     for i in range(1, _PR_ITERS + 1):
         prev = f"pr{i - 1}"
         ctes.append(f""",
@@ -1546,9 +1626,13 @@ pr{i} AS (
     WHERE o.src IS NULL
   ) dg
 )""")
-    return ORACLE_NEAR_DUP_CLUSTERS.replace(
-        "__PR_CTES__", "".join(ctes)
-    ).replace("__K__", str(_PR_ITERS))
+    return (
+        ORACLE_NEAR_DUP_CLUSTERS.replace(
+            "__PR_CTES__", "".join(ctes) + "".join(hits_ctes)
+        )
+        .replace("__HK__", str(_HITS_ITERS))
+        .replace("__K__", str(_PR_ITERS))
+    )
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

@@ -265,3 +265,106 @@ class TestHostGraph:
         assert rank_weights(pagerank(
             spark.createDataFrame([], "src string, dst string"), iterations=1
         )) == {}
+
+
+def _hits_float_ref(edges: list[tuple[str, str]], iterations: int):
+    """Independent double-precision HITS with L1 renormalization —
+    the floor-loss-free twin of the fixed-point operator."""
+    nodes = sorted({x for e in edges for x in e})
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        auth = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            auth[t] += hub[s]
+        tot = sum(auth.values())
+        if tot:
+            auth = {v: a / tot for v, a in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            hub[s] += auth[t]
+        tot = sum(hub.values())
+        if tot:
+            hub = {v: h / tot for v, h in hub.items()}
+    return hub, auth
+
+
+class TestHits:
+    def test_matches_float_reference(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        # checkpoint_every=2 exercises the mid-run lineage cut on the
+        # value-pinning run (one Spark run, two pins)
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in hits(e, iterations=3, checkpoint_every=2).collect()}
+        hub_ref, auth_ref = _hits_float_ref(EDGES, 3)
+        assert set(got) == set(hub_ref)
+        for v, (h, a) in got.items():
+            assert h == pytest.approx(hub_ref[v], abs=1e-6)
+            assert a == pytest.approx(auth_ref[v], abs=1e-6)
+
+    def test_star_exact_values(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+
+        # A -> {B, C, D}: A is the sole hub (exactly scale after one
+        # normalization), leaves are equal authorities at scale // 3
+        e = spark.createDataFrame(
+            [("A", "B"), ("A", "C"), ("A", "D")], "src string, dst string"
+        )
+        scale = 10**9
+        got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+               for r in hits(e, iterations=2, scale=scale).collect()}
+        assert got["A"] == (scale, 0)
+        for leaf in "BCD":
+            assert got[leaf] == (0, scale // 3)
+
+    def test_deterministic_across_partitionings_and_lazy(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        a = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+             for r in hits(e.repartition(16), iterations=3).collect()}
+        b = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+             for r in hits(e.coalesce(1), iterations=3, lazy=True).collect()}
+        assert a == b
+
+    def test_weighted_equals_multiset_expansion(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+
+        w = spark.createDataFrame(
+            [("A", "B", 2), ("A", "C", 1), ("B", "A", 3)],
+            "src string, dst string, w int",
+        )
+        flat = spark.createDataFrame(
+            [("A", "B")] * 2 + [("A", "C")] + [("B", "A")] * 3,
+            "src string, dst string",
+        )
+        got_w = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+                 for r in hits(w, weight="w", iterations=3).collect()}
+        got_f = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+                 for r in hits(flat, iterations=3).collect()}
+        assert got_w == got_f
+
+    def test_empty_and_guards(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert hits(empty, iterations=2).count() == 0
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        with pytest.raises(ValueError, match="iterations"):
+            hits(e, iterations=0)
+        with pytest.raises(ValueError, match="too small"):
+            hits(e, scale=1000)
+        with pytest.raises(ValueError, match="overflows int64"):
+            hits(e, scale=10**10)  # max safe scale for total weight 8 is ~1.06e9
+
+    def test_cache_hygiene(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
+        from harness_aws_etl_pipeline_spark.operators.memo import clear_all_memos
+
+        clear_all_memos()
+        e = spark.createDataFrame(EDGES, "src string, dst string")
+        hits(e, iterations=2).collect()
+        jvm_cm = spark._jsparkSession.sharedState().cacheManager()
+        assert jvm_cm.isEmpty()
