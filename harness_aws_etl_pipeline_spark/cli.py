@@ -241,9 +241,14 @@ def main(argv: list[str] | None = None) -> int:
     probe.add_argument("--payload-col", default="payload")
 
     rank = sub.add_parser(
-        "rank", help="PageRank over a link graph (edges or docs+links)"
+        "rank", help="PageRank/HITS over a link graph (edges or docs+links)"
     )
     rank.add_argument("--input", required=True, help="input parquet path")
+    rank.add_argument(
+        "--algo", default="pagerank", choices=("pagerank", "hits"),
+        help="pagerank (rank vector) or hits (hub+authority vectors; "
+        "top-N is by authority)",
+    )
     rank.add_argument("--output", default=None, help="ranks parquet path")
     rank.add_argument(
         "--from-links", action="store_true",
@@ -504,6 +509,7 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+            hits,
             host_graph,
             pagerank,
         )
@@ -517,21 +523,32 @@ def main(argv: list[str] | None = None) -> int:
                 {args.src_col: "src", args.dst_col: "dst"}
             )
             wcol = args.weight_col
-        ranks = pagerank(
-            edges, weight=wcol,
-            iterations=args.iterations, damping_pct=args.damping_pct,
-            seeds=args.seed,
-        )
+        if args.algo == "hits":
+            if args.seed:
+                raise SystemExit("--seed is pagerank-only (personalized PR)")
+            ranks = hits(edges, weight=wcol, iterations=args.iterations)
+            top = [
+                {"node": r["node"], "hub": r["hub"], "auth": r["auth"]}
+                for r in ranks.orderBy(
+                    F.desc("auth_scaled"), "node"
+                ).limit(args.top).collect()
+            ]
+        else:
+            ranks = pagerank(
+                edges, weight=wcol,
+                iterations=args.iterations, damping_pct=args.damping_pct,
+                seeds=args.seed,
+            )
+            top = [
+                {"node": r["node"], "rank": r["rank"]}
+                for r in ranks.orderBy(
+                    F.desc("rank_scaled"), "node"
+                ).limit(args.top).collect()
+            ]
         if args.output:
             ranks.write.mode("overwrite").parquet(args.output)
-        top = [
-            {"node": r["node"], "rank": r["rank"]}
-            for r in ranks.orderBy(
-                F.desc("rank_scaled"), "node"
-            ).limit(args.top).collect()
-        ]
         print(json.dumps({
-            "status": "success", "action": "rank",
+            "status": "success", "action": "rank", "algo": args.algo,
             "nodes": ranks.count(), "top": top, "output": args.output,
         }))
         return 0

@@ -2,6 +2,7 @@
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.cli import main
@@ -629,3 +630,31 @@ class TestRank:
         assert rc == 0
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["top"][0]["node"] == "hub.com"
+
+    def test_rank_hits(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "hits_edges")
+        # d links to everything popular (pure hub), a/b/c form a cycle
+        # so they hold hub mass too; a gathers the most in-links
+        spark.createDataFrame(
+            [("d", "a"), ("d", "b"), ("d", "c"),
+             ("a", "b"), ("b", "a"), ("c", "a")],
+            "src string, dst string",
+        ).write.parquet(src)
+        out = str(tmp_path / "hits_out")
+        rc = main(["rank", "--input", src, "--algo", "hits", "--output", out,
+                   "--iterations", "3", "--top", "4"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success" and res["algo"] == "hits"
+        assert res["nodes"] == 4
+        # top is authority-ordered; "a" has the most quality in-links
+        assert res["top"][0]["node"] == "a"
+        hubs = {t["node"]: t["hub"] for t in res["top"]}
+        assert hubs["d"] > hubs["c"]
+        back = spark.read.parquet(out)
+        assert back.columns == [
+            "node", "hub_scaled", "auth_scaled", "hub", "auth"
+        ]
+        assert back.count() == 4
+        with pytest.raises(SystemExit, match="pagerank-only"):
+            main(["rank", "--input", src, "--algo", "hits", "--seed", "a"])
