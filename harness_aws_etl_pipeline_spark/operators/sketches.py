@@ -1,0 +1,187 @@
+"""Mergeable frequency sketch: space-saving heavy hitters.
+
+Why a sketch when ``groupBy(key).count()`` is already distributed:
+the exact plan's shuffle carries one row per DISTINCT key per map
+partition — fine for bounded domains, catastrophic for unbounded ones
+(n-gram shingles, URLs, user agents over 100 TB: billions of keys,
+the shuffle IS the job, and a single hot-key investigation doesn't
+want to pay it). The space-saving summary (Metwally et al., "Efficient
+Computation of Frequent and Top-k Elements in Data Streams", 2005)
+bounds the per-partition state AND the shuffle to ``capacity`` rows
+per input partition regardless of key cardinality — a narrow
+``capacity × partitions`` merge instead of a full-width exchange —
+while keeping SOUND per-key bounds, merged with the summary algebra
+of Agarwal et al., "Mergeable Summaries" (PODS 2012):
+
+- per partition, every tracked key carries ``(cnt, err)`` with
+  ``cnt - err <= true_p <= cnt``;
+- a key ABSENT from a partition's summary has
+  ``true_p <= floor_p`` where ``floor_p`` is the minimum tracked
+  count if that partition ever evicted, else exactly 0;
+- merged: ``count_min = Σ_present (cnt-err)`` and ``count_max =
+  Σ_present cnt + Σ_absent floor_p``; any key whose true global
+  count exceeds ``Σ_p floor_p`` is CERTAIN to be in the candidate
+  set, and ``guaranteed`` marks keys whose lower bound beats every
+  possible outside count — certainly among the true top k.
+
+Determinism: eviction depends on arrival order, so bounds can differ
+across partitionings — EXCEPT when no partition ever evicts
+(``capacity`` ≥ per-partition distinct keys), where the summary is
+provably the exact per-partition count map and the result equals the
+exact groupBy, independent of order. The catalog oracle leg runs in
+that regime (bounded-domain column), so DuckDB re-derives it exactly;
+the adversarial regimes are pinned by tests/test_sketches.py.
+
+Reference scope note: the reference pipeline (etl/src/transform/
+transformer.py) has no sketch operators — this extends the engine's
+profiling family (HLL distinct ratios, exact/approx percentiles) for
+the 100 TB corpus workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters"]
+
+_SUMMARY_SCHEMA = "pid int, key string, cnt long, err long, is_floor boolean"
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int | None = None,
+    weight: str | None = None,
+) -> DataFrame:
+    """Approximate top-``k`` most frequent values of ``df[col]`` with
+    sound error bounds, in one narrow pass.
+
+    Returns ``(rank INT, key STRING, count_min BIGINT, count_max
+    BIGINT, guaranteed BOOLEAN)`` ordered by rank — candidates ranked
+    by ``count_max`` desc then key asc; ``count_min <= true count <=
+    count_max`` always holds, and ``guaranteed`` is true iff the key
+    is CERTAINLY among the true top ``k`` (its lower bound beats the
+    best possible count of every candidate ranked below it and of
+    every untracked key).
+
+    ``capacity`` is the per-partition summary size (default
+    ``max(16*k, 256)``); per-partition error is at most
+    ``rows_in_partition / capacity``. ``weight`` names an integer
+    column: a weighted row is equivalent to that many unit rows
+    (weights < 1 dropped, like the graph operators). NULL keys are
+    dropped. Keys are compared as strings (cast once on entry).
+
+    Scale shape: one ``mapInPandas`` pass over the input (per-batch
+    pandas pre-aggregation, heap-tracked eviction), then all merging
+    runs on the ``capacity × partitions``-row summary — the only
+    wide operation the input pays is its own scan. The final ranking
+    window is a single-partition sort of the summary (bounded,
+    documented); the result is eagerly localCheckpoint-ed so the
+    summary cache is released before return.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cap = capacity if capacity is not None else max(16 * k, 256)
+    if cap < k:
+        raise ValueError(f"capacity={cap} must be >= k={k}")
+
+    src = df.select(
+        F.col(col).cast("string").alias("_hh_key"),
+        (
+            F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+        ).alias("_hh_w"),
+    ).where(F.col("_hh_key").isNotNull() & (F.col("_hh_w") >= 1))
+
+    def _sketch(batches):
+        import heapq
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counts: dict[str, list[int]] = {}  # key -> [cnt, err]
+        heap: list[tuple[int, str]] = []  # (cnt, key), stale-tolerant
+        evicted = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            agg = pdf.groupby("_hh_key", sort=False)["_hh_w"].sum()
+            for key, w in agg.items():
+                w = int(w)
+                ent = counts.get(key)
+                if ent is not None:
+                    ent[0] += w
+                    heapq.heappush(heap, (ent[0], key))
+                elif len(counts) < cap:
+                    counts[key] = [w, 0]
+                    heapq.heappush(heap, (w, key))
+                else:
+                    evicted = True
+                    while True:  # pop to the first non-stale minimum
+                        c, mk = heapq.heappop(heap)
+                        e = counts.get(mk)
+                        if e is not None and e[0] == c:
+                            break
+                    m = counts.pop(mk)[0]
+                    counts[key] = [m + w, m]
+                    heapq.heappush(heap, (m + w, key))
+        floor = min(e[0] for e in counts.values()) if evicted and counts else 0
+        rows = [(pid, key, e[0], e[1], False) for key, e in counts.items()]
+        rows.append((pid, None, floor, 0, True))
+        out = pd.DataFrame(rows, columns=["pid", "key", "cnt", "err", "is_floor"])
+        out["key"] = out["key"].astype(object)
+        yield out
+
+    summ = src.mapInPandas(_sketch, _SUMMARY_SCHEMA).persist()
+    try:
+        floors = summ.where("is_floor").select("pid", F.col("cnt").alias("_floor"))
+        total_floor = floors.agg(
+            F.coalesce(F.sum("_floor"), F.lit(0)).cast("long").alias("_tf")
+        )
+        cand = (
+            summ.where(~F.col("is_floor"))
+            .join(F.broadcast(floors), "pid", "left")
+            .groupBy("key")
+            .agg(
+                F.sum(F.col("cnt") - F.col("err")).alias("_lb_raw"),
+                F.sum("cnt").alias("_ub_present"),
+                F.sum(F.coalesce("_floor", F.lit(0))).alias("_pf"),
+            )
+            .crossJoin(F.broadcast(total_floor))
+            .select(
+                "key",
+                F.greatest(F.col("_lb_raw"), F.lit(0)).cast("long").alias("count_min"),
+                (F.col("_ub_present") + F.col("_tf") - F.col("_pf"))
+                .cast("long")
+                .alias("count_max"),
+                "_tf",
+            )
+        )
+        ranked = cand.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("count_max"), F.asc("key"))),
+        )
+        outside = ranked.agg(
+            F.max(F.when(F.col("rank") > k, F.col("count_max"))).alias("_ob")
+        )
+        out = (
+            ranked.where(F.col("rank") <= k)
+            .crossJoin(F.broadcast(outside))
+            .select(
+                F.col("rank").cast("int").alias("rank"),
+                "key",
+                "count_min",
+                "count_max",
+                (
+                    F.col("count_min")
+                    > F.greatest(F.coalesce(F.col("_ob"), F.lit(0)), F.col("_tf"))
+                ).alias("guaranteed"),
+            )
+            .orderBy("rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        summ.unpersist()
+    return out

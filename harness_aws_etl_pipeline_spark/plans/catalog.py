@@ -914,14 +914,66 @@ FROM events
 
 
 def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """A4 + percentile profiling in one verification row: exact
-    distinct ratios (customer) crossJoined with exact interpolated
-    percentiles (events) — two 1-row aggregates, one catalog entry."""
-    return q_distinct_ratio(spark, sf).crossJoin(q_percentiles(spark, sf))
+    """A4 + percentile + heavy-hitter profiling in one verification
+    row: exact distinct ratios (customer) crossJoined with exact
+    interpolated percentiles (events) and the space-saving top-2 of
+    ``l_returnflag`` (operators/sketches.py, fused round 6). The
+    sketch leg runs in its provably-exact regime — the default
+    capacity dwarfs the 3-value domain, so no partition ever evicts,
+    bounds collapse to the exact counts, and the guaranteed flag
+    reduces to "lower bound beats the 3rd candidate's count" — which
+    DuckDB re-derives verbatim (the eviction regimes are pinned by
+    tests/test_sketches.py)."""
+    from harness_aws_etl_pipeline_spark.operators.sketches import heavy_hitters
+
+    hh = heavy_hitters(tables(spark, sf)["lineitem"], "l_returnflag", k=2)
+    hh_leg = hh.agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("rank").cast("string"),
+                            "key",
+                            F.col("count_min").cast("string"),
+                            F.col("count_max").cast("string"),
+                            F.col("guaranteed").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("hh_md5")
+    )
+    return (
+        q_distinct_ratio(spark, sf)
+        .crossJoin(q_percentiles(spark, sf))
+        .crossJoin(hh_leg)
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT md5(string_agg(
+         CAST(rnk AS VARCHAR) || ':' || key || ':' || CAST(cnt AS VARCHAR)
+         || ':' || CAST(cnt AS VARCHAR) || ':' || CAST(cnt > ob AS VARCHAR),
+         '|' ORDER BY rnk)) AS hh_md5
+FROM (SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk
+      FROM (SELECT l_returnflag AS key, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1))
+CROSS JOIN (SELECT COALESCE(MAX(cnt), 0) AS ob
+            FROM (SELECT COUNT(*) AS cnt, ROW_NUMBER() OVER
+                         (ORDER BY COUNT(*) DESC, l_returnflag) AS rnk
+                  FROM lineitem GROUP BY l_returnflag)
+            WHERE rnk > 2)
+WHERE rnk <= 2
+"""
 
 
 ORACLE_PROFILE_STATS = f"""
 SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
+CROSS JOIN ({ORACLE_HEAVY_HITTERS})
 """
 
 
