@@ -885,10 +885,13 @@ def main() -> None:
         "notes": {
             "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
             "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
-            "near_dup_clusters": "since r6: + pagerank fixture legs (the "
-            "6-node planted graph computes once per process, then rides as "
-            "a 1-row literal; the operator is timed at scale by the "
-            "pagerank leg)",
+            "near_dup_clusters": "since r6: + pagerank and HITS fixture "
+            "legs (the 6-node planted graph computes once per process, "
+            "then rides as a 1-row literal; first sample pays it, min/p50 "
+            "don't; the rank operators are timed at scale by the pagerank "
+            "leg)",
+            "profile_stats": "since r6: + space-saving heavy-hitter leg "
+            "(exact-regime sketch over l_returnflag)",
             "drift_r4": "text_stats/near_dup_clusters r4 deltas were jitter: "
             "r5 clean run measures 0.50/0.89 vs r3's 0.535/0.914 with no "
             "code change to either query; per-leg clocks in drift_legs",

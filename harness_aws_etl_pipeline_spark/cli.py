@@ -274,6 +274,21 @@ def main(argv: list[str] | None = None) -> int:
     rank.add_argument("--top", type=int, default=10,
                       help="top-N nodes echoed in the report")
 
+    layout = sub.add_parser(
+        "layout", help="re-cluster a table along the Z-order (Morton) curve"
+    )
+    layout.add_argument("--input", required=True, help="input parquet path")
+    layout.add_argument("--output", required=True, help="re-clustered parquet path")
+    layout.add_argument(
+        "--by", required=True,
+        help="comma-separated columns to cluster (2+ typical)",
+    )
+    layout.add_argument("--bits", type=int, default=10, help="bits per dimension")
+    layout.add_argument(
+        "--partitions", type=int, default=None,
+        help="output file count (default: session shuffle parallelism)",
+    )
+
     ann = sub.add_parser(
         "ann", help="similarity search over an embedding table"
     )
@@ -478,6 +493,36 @@ def main(argv: list[str] | None = None) -> int:
             "status": "success", "action": "warc",
             "rows": sum(by_type.values()), "record_types": by_type,
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "layout":
+        from harness_aws_etl_pipeline_spark.operators.zorder import (
+            layout_stats,
+            zorder_by,
+        )
+
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        z = zorder_by(
+            spark.read.parquet(args.input), cols,
+            bits=args.bits, partitions=args.partitions,
+        ).persist()  # write + stats read the shuffled layout once
+        z.write.mode("overwrite").parquet(args.output)
+        # stats on the WRITE-side partitions (1 file each) — a re-read
+        # would pack small files together and inflate the boxes
+        srows = layout_stats(z, cols).collect()
+        z.unpersist()
+        spans = {
+            c: round(
+                sum(r[f"{c}_max"] - r[f"{c}_min"] for r in srows)
+                / max(len(srows), 1), 2,
+            )
+            for c in cols
+        }
+        print(json.dumps({
+            "status": "success", "action": "layout", "by": cols,
+            "rows": sum(r["rows"] for r in srows),
+            "avg_partition_span": spans, "output": args.output,
         }))
         return 0
 

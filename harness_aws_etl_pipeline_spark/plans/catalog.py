@@ -582,12 +582,74 @@ SELECT * FROM (
 def q_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
     """O1/O2 — global sort + limit (reference etl/README.md:685;
     metadata.py:226-228). Spark plans TakeOrderedAndProject — a
-    per-partition top-k + driver merge, never a full global sort."""
+    per-partition top-k + driver merge, never a full global sort.
+
+    Fused (round 6): the Z-ORDER leg — Morton codes of every lineitem
+    row over (l_partkey, l_suppkey) at 8 bits/dim
+    (operators/zorder.py). The cell scaling is one fixed IEEE-double
+    expression and the interleave pure integer shifts/ors, so DuckDB
+    re-derives every row's code bit-for-bit (md5 of the sorted
+    key:code list + total)."""
+    from harness_aws_etl_pipeline_spark.operators.zorder import morton_code
+
     n = tables(spark, sf)["nation"]
-    return n.orderBy("n_name").limit(5)
+    base = n.orderBy("n_name").limit(5)
+    mz = morton_code(
+        tables(spark, sf)["lineitem"], ["l_partkey", "l_suppkey"], bits=8
+    )
+    s = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("_morton").cast("string"),
+    )
+    leg = mz.agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias("mz_md5"),
+        F.sum("_morton").cast("long").alias("mz_sum"),
+    )
+    return base.crossJoin(leg)
 
 
-ORACLE_ORDERBY_LIMIT = "SELECT * FROM nation ORDER BY n_name LIMIT 5"
+def _morton_oracle_sql(bits: int = 8) -> str:
+    """The zorder leg's DuckDB twin: cell scaling spelled with the
+    SAME arithmetic order as operators/zorder.py:_cell (subtract →
+    cast double → multiply → divide → floor), interleave unrolled to
+    shifts/ors (dim 0 = l_partkey at even positions)."""
+    m = (1 << bits) - 1
+
+    def cell(col: str, mn: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {col} IS NULL OR {mx} = {mn} THEN 0 "
+            f"ELSE LEAST(CAST(FLOOR((CAST({col} - {mn} AS DOUBLE) * {float(m)}) "
+            f"/ CAST({mx} - {mn} AS DOUBLE)) AS BIGINT), {m}) END"
+        )
+
+    terms = []
+    for d, c in enumerate(("cp", "cs")):
+        terms += [f"((({c} >> {b}) & 1) << {b * 2 + d})" for b in range(bits)]
+    interleave = " | ".join(terms)
+    return f"""
+WITH st AS (SELECT MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p,
+                   MIN(l_suppkey) AS mn_s, MAX(l_suppkey) AS mx_s
+            FROM lineitem),
+cells AS (SELECT l_orderkey, l_linenumber,
+                 {cell('l_partkey', 'mn_p', 'mx_p')} AS cp,
+                 {cell('l_suppkey', 'mn_s', 'mx_s')} AS cs
+          FROM lineitem, st),
+mz AS (SELECT CAST(l_orderkey AS VARCHAR) || ':'
+              || CAST(l_linenumber AS VARCHAR) || ':'
+              || CAST({interleave} AS VARCHAR) AS s,
+              ({interleave}) AS m
+       FROM cells)
+SELECT md5(string_agg(s, '|' ORDER BY s)) AS mz_md5,
+       CAST(SUM(m) AS BIGINT) AS mz_sum
+FROM mz"""
+
+
+ORACLE_ORDERBY_LIMIT = f"""
+SELECT * FROM (SELECT * FROM nation ORDER BY n_name LIMIT 5)
+CROSS JOIN ({_morton_oracle_sql()})
+"""
 
 
 # ------------------------------------------------------------- windows
