@@ -883,7 +883,9 @@ def main() -> None:
         # oracle-backed specs — their timings measure the fused plan,
         # not a regression of the original query.
         "notes": {
-            "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
+            "dedup_exact": "since r3: + documents md5-fingerprint dedup "
+            "leg; since r6: + KMV overlap/estimate legs (k-min sketches "
+            "of the orders/customer key sets)",
             "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
             "near_dup_clusters": "since r6: + pagerank and HITS fixture "
             "legs (the 6-node planted graph computes once per process, "

@@ -348,14 +348,62 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates(["fp"])
         .agg(F.count(F.lit(1)).alias("distinct_docs"))
     )
-    return rowwise.crossJoin(by_hash)
+    # KMV legs (operators/kmv.py, fused round 6): overlap + distinct
+    # estimation between the orders and customer key sets WITHOUT a
+    # join — dedup planning's "how much do these corpora overlap"
+    # question. k smallest md5s are a pure set property (order/
+    # partitioning/engine independent) and the estimator arithmetic
+    # runs in one fixed order, so DuckDB re-derives sketches AND
+    # estimates verbatim; below-k inputs exercise the exact branch
+    # (sf0.001), above-k the estimator branch (sf0.01+).
+    from harness_aws_etl_pipeline_spark.operators.kmv import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    sk_o = kmv_sketch(tables(spark, sf)["orders"], "o_custkey", k=_KMV_K)
+    sk_c = kmv_sketch(tables(spark, sf)["customer"], "c_custkey", k=_KMV_K)
+    jac = kmv_jaccard(sk_o, sk_c, k=_KMV_K).select(
+        F.col("union_basis").alias("kmv_union_basis"),
+        F.col("inter_cnt").alias("kmv_inter_cnt"),
+        F.col("jaccard_est").alias("kmv_jaccard"),
+    )
+    est = kmv_distinct_estimate(sk_o, k=_KMV_K).select(
+        F.col("exact").alias("kmv_exact"),
+        F.col("distinct_est").alias("kmv_est_custkeys"),
+    )
+    return rowwise.crossJoin(by_hash).crossJoin(jac).crossJoin(est)
 
 
-ORACLE_DEDUP = """
+_KMV_K = 128
+
+
+ORACLE_DEDUP = f"""
+WITH ka AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+            FROM orders WHERE o_custkey IS NOT NULL ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h
+       FROM customer WHERE c_custkey IS NOT NULL ORDER BY h LIMIT {_KMV_K}),
+kk AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT {_KMV_K}),
+j AS (SELECT COUNT(*) AS ub,
+             COUNT(CASE WHEN h IN (SELECT h FROM ka)
+                         AND h IN (SELECT h FROM kb) THEN 1 END) AS ic
+      FROM kk),
+ea AS (SELECT COUNT(*) AS cnt, MAX(h) AS mx FROM ka)
 SELECT (SELECT COUNT(*) FROM (
           SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
         )) AS distinct_cnt,
-       (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS distinct_docs
+       (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS distinct_docs,
+       CAST(j.ub AS BIGINT) AS kmv_union_basis,
+       CAST(j.ic AS BIGINT) AS kmv_inter_cnt,
+       ROUND(CAST(j.ic AS DOUBLE) / j.ub, 4) AS kmv_jaccard,
+       (ea.cnt < {_KMV_K}) AS kmv_exact,
+       ROUND(CASE WHEN ea.cnt < {_KMV_K} THEN CAST(ea.cnt AS DOUBLE)
+             ELSE {float(_KMV_K - 1)} /
+                  (CAST(CAST('0x' || SUBSTR(ea.mx, 1, 15) AS BIGINT) AS DOUBLE)
+                   / 1152921504606846976.0) END, 4) AS kmv_est_custkeys
+FROM j, ea
 """
 
 
