@@ -274,6 +274,18 @@ def main(argv: list[str] | None = None) -> int:
     rank.add_argument("--top", type=int, default=10,
                       help="top-N nodes echoed in the report")
 
+    overlap = sub.add_parser(
+        "overlap",
+        help="KMV sketch overlap/cardinality estimate between two tables",
+    )
+    overlap.add_argument("--a", required=True, help="first parquet path")
+    overlap.add_argument("--b", required=True, help="second parquet path")
+    overlap.add_argument("--col", required=True, help="key column (both tables)")
+    overlap.add_argument(
+        "--col-b", default=None, help="key column in --b when named differently"
+    )
+    overlap.add_argument("--k", type=int, default=1024, help="sketch size")
+
     layout = sub.add_parser(
         "layout", help="re-cluster a table along the Z-order (Morton) curve"
     )
@@ -493,6 +505,30 @@ def main(argv: list[str] | None = None) -> int:
             "status": "success", "action": "warc",
             "rows": sum(by_type.values()), "record_types": by_type,
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "overlap":
+        from harness_aws_etl_pipeline_spark.operators.kmv import (
+            kmv_distinct_estimate,
+            kmv_jaccard,
+            kmv_sketch,
+        )
+
+        sk_a = kmv_sketch(spark.read.parquet(args.a), args.col, k=args.k)
+        sk_b = kmv_sketch(
+            spark.read.parquet(args.b), args.col_b or args.col, k=args.k
+        )
+        jac = kmv_jaccard(sk_a, sk_b, k=args.k).first()
+        est_a = kmv_distinct_estimate(sk_a, k=args.k).first()
+        est_b = kmv_distinct_estimate(sk_b, k=args.k).first()
+        print(json.dumps({
+            "status": "success", "action": "overlap", "k": args.k,
+            "jaccard_est": jac["jaccard_est"],
+            "union_basis": jac["union_basis"],
+            "inter_cnt": jac["inter_cnt"],
+            "distinct_a": {"est": est_a["distinct_est"], "exact": est_a["exact"]},
+            "distinct_b": {"est": est_b["distinct_est"], "exact": est_b["exact"]},
         }))
         return 0
 

@@ -105,3 +105,27 @@ class TestMerge:
         d = spark.createDataFrame([("q",)], "v string")
         row = kmv_jaccard(kmv_sketch(e, "v", k=8), kmv_sketch(d, "v", k=8), k=8).first()
         assert row["union_basis"] == 1 and row["inter_cnt"] == 0
+
+
+class TestOverlapCli:
+    def test_overlap_command(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        pa = str(tmp_path / "a")
+        pb = str(tmp_path / "b")
+        spark.createDataFrame([(i,) for i in range(100)], "id long").write.parquet(pa)
+        spark.createDataFrame(
+            [(i,) for i in range(50, 150)], "key long"
+        ).write.parquet(pb)
+        rc = main(["overlap", "--a", pa, "--b", pb,
+                   "--col", "id", "--col-b", "key", "--k", "512"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success"
+        # both sides below k -> everything exact: J = 50/150
+        assert res["union_basis"] == 150 and res["inter_cnt"] == 50
+        assert res["jaccard_est"] == round(50 / 150, 4)
+        assert res["distinct_a"] == {"est": 100.0, "exact": True}
+        assert res["distinct_b"] == {"est": 100.0, "exact": True}
