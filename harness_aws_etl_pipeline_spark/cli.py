@@ -274,6 +274,21 @@ def main(argv: list[str] | None = None) -> int:
     rank.add_argument("--top", type=int, default=10,
                       help="top-N nodes echoed in the report")
 
+    topk = sub.add_parser(
+        "topk",
+        help="space-saving heavy hitters over a column (bounded shuffle)",
+    )
+    topk.add_argument("--input", required=True, help="input parquet path")
+    topk.add_argument("--col", required=True, help="key column")
+    topk.add_argument("--k", type=int, default=10)
+    topk.add_argument(
+        "--capacity", type=int, default=None,
+        help="per-partition summary size (default max(16k, 256))",
+    )
+    topk.add_argument(
+        "--weight-col", default=None, help="integer weight column"
+    )
+
     overlap = sub.add_parser(
         "overlap",
         help="KMV sketch overlap/cardinality estimate between two tables",
@@ -505,6 +520,26 @@ def main(argv: list[str] | None = None) -> int:
             "status": "success", "action": "warc",
             "rows": sum(by_type.values()), "record_types": by_type,
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "topk":
+        from harness_aws_etl_pipeline_spark.operators.sketches import (
+            heavy_hitters,
+        )
+
+        hits_df = heavy_hitters(
+            spark.read.parquet(args.input), args.col,
+            k=args.k, capacity=args.capacity, weight=args.weight_col,
+        )
+        print(json.dumps({
+            "status": "success", "action": "topk", "col": args.col,
+            "top": [
+                {"rank": r["rank"], "key": r["key"],
+                 "count_min": r["count_min"], "count_max": r["count_max"],
+                 "guaranteed": r["guaranteed"]}
+                for r in hits_df.collect()
+            ],
         }))
         return 0
 

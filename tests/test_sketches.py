@@ -131,3 +131,21 @@ class TestEdges:
         df = spark.createDataFrame([(f"k{i % 3}",) for i in range(30)], "v string")
         heavy_hitters(df, "v", k=2).collect()
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+class TestTopkCli:
+    def test_topk_command(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        src = str(tmp_path / "keys")
+        spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 10, "v string"
+        ).write.parquet(src)
+        rc = main(["topk", "--input", src, "--col", "v", "--k", "2"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success"
+        assert [(t["key"], t["count_min"], t["guaranteed"]) for t in res["top"]] \
+            == [("a", 30, True), ("b", 20, True)]
