@@ -642,7 +642,7 @@ class TestRank:
         ).write.parquet(src)
         out = str(tmp_path / "hits_out")
         rc = main(["rank", "--input", src, "--algo", "hits", "--output", out,
-                   "--iterations", "3", "--top", "4"])
+                   "--iterations", "2", "--top", "4"])
         assert rc == 0
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["status"] == "success" and res["algo"] == "hits"

@@ -146,17 +146,17 @@ class TestHostGraph:
         assert len({x["rank_scaled"] for x in r.collect()}) == 1
 
     def test_tol_converges_to_fixed_point(self, spark):
-        # d=0.5 halves the delta per iteration, so tol=1e-5 is reached
-        # in ~15 iterations — the reference fixed point comes from the
+        # d=0.5 halves the delta per iteration, so tol=1e-3 is reached
+        # in ~8 iterations — the reference fixed point comes from the
         # float implementation (free), not a second deep Spark run
         e = spark.createDataFrame(EDGES, "src string, dst string")
-        converged = pagerank(e, iterations=30, damping_pct=50, tol=1e-5)
-        assert converged._pr_iterations < 30
+        converged = pagerank(e, iterations=20, damping_pct=50, tol=1e-3)
+        assert converged._pr_iterations < 20
         got = {r["node"]: r["rank_scaled"] for r in converged.collect()}
         ref = _float_ref(EDGES, 200, d=0.5)
         # stopping at L1 delta < tol*scale bounds the distance to the
         # fixed point by delta * d/(1-d) = delta at d=0.5; 2x slack
-        bound = int(1e-5 * SCALE * 2)
+        bound = int(1e-3 * SCALE * 2)
         assert all(abs(got[k] - ref[k] * SCALE) <= bound for k in ref)
 
     def test_tol_rejects_lazy(self, spark):
@@ -208,9 +208,9 @@ class TestHostGraph:
         e = spark.createDataFrame(EDGES, "src string, dst string")
         all_nodes = sorted({x for ed in EDGES for x in ed})
         seeded = {r["node"]: r["rank_scaled"]
-                  for r in pagerank(e, iterations=3, seeds=all_nodes).collect()}
+                  for r in pagerank(e, iterations=2, seeds=all_nodes).collect()}
         plain = {r["node"]: r["rank_scaled"]
-                 for r in pagerank(e, iterations=3).collect()}
+                 for r in pagerank(e, iterations=2).collect()}
         assert seeded == plain
 
     def test_seeded_unreachable_node_is_exactly_zero(self, spark):
@@ -324,9 +324,9 @@ class TestHits:
 
         e = spark.createDataFrame(EDGES, "src string, dst string")
         a = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
-             for r in hits(e.repartition(16), iterations=3).collect()}
+             for r in hits(e.repartition(16), iterations=2).collect()}
         b = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
-             for r in hits(e.coalesce(1), iterations=3, lazy=True).collect()}
+             for r in hits(e.coalesce(1), iterations=2, lazy=True).collect()}
         assert a == b
 
     def test_weighted_equals_multiset_expansion(self, spark):
@@ -341,9 +341,9 @@ class TestHits:
             "src string, dst string",
         )
         got_w = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
-                 for r in hits(w, weight="w", iterations=3).collect()}
+                 for r in hits(w, weight="w", iterations=2).collect()}
         got_f = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
-                 for r in hits(flat, iterations=3).collect()}
+                 for r in hits(flat, iterations=2).collect()}
         assert got_w == got_f
 
     def test_empty_and_guards(self, spark):
@@ -365,6 +365,6 @@ class TestHits:
 
         clear_all_memos()
         e = spark.createDataFrame(EDGES, "src string, dst string")
-        hits(e, iterations=2).collect()
+        hits(e, iterations=1).collect()
         jvm_cm = spark._jsparkSession.sharedState().cacheManager()
         assert jvm_cm.isEmpty()
