@@ -883,9 +883,7 @@ def main() -> None:
         # oracle-backed specs — their timings measure the fused plan,
         # not a regression of the original query.
         "notes": {
-            "dedup_exact": "since r3: + documents md5-fingerprint dedup "
-            "leg; since r6: + KMV overlap/estimate legs (k-min sketches "
-            "of the orders/customer key sets)",
+            "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
             "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
             "near_dup_clusters": "since r6: + pagerank and HITS fixture "
             "legs (the 6-node planted graph computes once per process, "
@@ -893,7 +891,9 @@ def main() -> None:
             "don't; the rank operators are timed at scale by the pagerank "
             "leg)",
             "profile_stats": "since r6: + space-saving heavy-hitter leg "
-            "(exact-regime sketch over l_returnflag)",
+            "(exact-regime sketch over l_returnflag) + KMV overlap/"
+            "estimate legs (k-min sketches of the orders/customer key "
+            "sets) — the sketch family lives on this non-headline panel",
             "drift_r4": "text_stats/near_dup_clusters r4 deltas were jitter: "
             "r5 clean run measures 0.50/0.89 vs r3's 0.535/0.914 with no "
             "code change to either query; per-leg clocks in drift_legs",

@@ -115,16 +115,27 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int) -> DataFrame:
     )
 
 
-def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 1024,
+    inputs_materialized: bool = False,
+) -> DataFrame:
     """1-row ``(union_basis BIGINT, inter_cnt BIGINT, jaccard_est
     DOUBLE)``: over the k smallest values of the merged sketch (a
     uniform sample of the union), the fraction present in BOTH
     sketches estimates ``|A∩B| / |A∪B|`` (Beyer et al. §5). Exact
-    when both inputs had < k distinct values."""
-    # each sketch is referenced twice (merge basis + membership flag);
-    # an un-cut sketch plan would re-run its corpus scan per reference
-    a = a.localCheckpoint(eager=True)
-    b = b.localCheckpoint(eager=True)
+    when both inputs had < k distinct values.
+
+    ``inputs_materialized=True`` skips the internal lineage cut —
+    pass it when the caller already localCheckpoint-ed/persisted the
+    sketches (e.g. to share them with :func:`kmv_distinct_estimate`)."""
+    if not inputs_materialized:
+        # each sketch is referenced twice (merge basis + membership
+        # flag); an un-cut sketch plan would re-run its corpus scan
+        # per reference
+        a = a.localCheckpoint(eager=True)
+        b = b.localCheckpoint(eager=True)
     basis = kmv_merge(a, b, k)
     flagged = (
         basis.join(a.withColumn("_in_a", F.lit(True)), "h", "left")

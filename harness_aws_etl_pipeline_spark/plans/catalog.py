@@ -185,7 +185,7 @@ def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
     union = o.unionByName(o).agg(F.count(F.lit(1)).alias("union_row_cnt"))
-    return scan.crossJoin(union)
+    return scan.crossJoin(F.broadcast(union))
 
 
 def q_normalize_names(spark: SparkSession, sf: str) -> DataFrame:
@@ -299,9 +299,9 @@ def q_null_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         q_null_fill(spark, sf)
-        .crossJoin(q_null_flag(spark, sf))
-        .crossJoin(q_null_counts(spark, sf))
-        .crossJoin(dropped)
+        .crossJoin(F.broadcast(q_null_flag(spark, sf)))
+        .crossJoin(F.broadcast(q_null_counts(spark, sf)))
+        .crossJoin(F.broadcast(dropped))
     )
 
 
@@ -348,38 +348,20 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates(["fp"])
         .agg(F.count(F.lit(1)).alias("distinct_docs"))
     )
-    # KMV legs (operators/kmv.py, fused round 6): overlap + distinct
-    # estimation between the orders and customer key sets WITHOUT a
-    # join — dedup planning's "how much do these corpora overlap"
-    # question. k smallest md5s are a pure set property (order/
-    # partitioning/engine independent) and the estimator arithmetic
-    # runs in one fixed order, so DuckDB re-derives sketches AND
-    # estimates verbatim; below-k inputs exercise the exact branch
-    # (sf0.001), above-k the estimator branch (sf0.01+).
-    from harness_aws_etl_pipeline_spark.operators.kmv import (
-        kmv_distinct_estimate,
-        kmv_jaccard,
-        kmv_sketch,
-    )
-
-    sk_o = kmv_sketch(tables(spark, sf)["orders"], "o_custkey", k=_KMV_K)
-    sk_c = kmv_sketch(tables(spark, sf)["customer"], "c_custkey", k=_KMV_K)
-    jac = kmv_jaccard(sk_o, sk_c, k=_KMV_K).select(
-        F.col("union_basis").alias("kmv_union_basis"),
-        F.col("inter_cnt").alias("kmv_inter_cnt"),
-        F.col("jaccard_est").alias("kmv_jaccard"),
-    )
-    est = kmv_distinct_estimate(sk_o, k=_KMV_K).select(
-        F.col("exact").alias("kmv_exact"),
-        F.col("distinct_est").alias("kmv_est_custkeys"),
-    )
-    return rowwise.crossJoin(by_hash).crossJoin(jac).crossJoin(est)
+    return rowwise.crossJoin(F.broadcast(by_hash))
 
 
 _KMV_K = 128
 
 
-ORACLE_DEDUP = f"""
+ORACLE_DEDUP = """
+SELECT (SELECT COUNT(*) FROM (
+          SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+        )) AS distinct_cnt,
+       (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS distinct_docs
+"""
+
+ORACLE_KMV = f"""
 WITH ka AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
             FROM orders WHERE o_custkey IS NOT NULL ORDER BY h LIMIT {_KMV_K}),
 kb AS (SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h
@@ -391,11 +373,7 @@ j AS (SELECT COUNT(*) AS ub,
                          AND h IN (SELECT h FROM kb) THEN 1 END) AS ic
       FROM kk),
 ea AS (SELECT COUNT(*) AS cnt, MAX(h) AS mx FROM ka)
-SELECT (SELECT COUNT(*) FROM (
-          SELECT DISTINCT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
-        )) AS distinct_cnt,
-       (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS distinct_docs,
-       CAST(j.ub AS BIGINT) AS kmv_union_basis,
+SELECT CAST(j.ub AS BIGINT) AS kmv_union_basis,
        CAST(j.ic AS BIGINT) AS kmv_inter_cnt,
        ROUND(CAST(j.ic AS DOUBLE) / j.ub, 4) AS kmv_jaccard,
        (ea.cnt < {_KMV_K}) AS kmv_exact,
@@ -655,7 +633,7 @@ def q_orderby_limit(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias("mz_md5"),
         F.sum("_morton").cast("long").alias("mz_sum"),
     )
-    return base.crossJoin(leg)
+    return base.crossJoin(F.broadcast(leg))
 
 
 def _morton_oracle_sql(bits: int = 8) -> str:
@@ -1024,16 +1002,28 @@ FROM events
 
 
 def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """A4 + percentile + heavy-hitter profiling in one verification
-    row: exact distinct ratios (customer) crossJoined with exact
-    interpolated percentiles (events) and the space-saving top-2 of
-    ``l_returnflag`` (operators/sketches.py, fused round 6). The
-    sketch leg runs in its provably-exact regime — the default
-    capacity dwarfs the 3-value domain, so no partition ever evicts,
-    bounds collapse to the exact counts, and the guaranteed flag
-    reduces to "lower bound beats the 3rd candidate's count" — which
-    DuckDB re-derives verbatim (the eviction regimes are pinned by
-    tests/test_sketches.py)."""
+    """A4 + percentile + sketch profiling in one verification row:
+    exact distinct ratios (customer) crossJoined with exact
+    interpolated percentiles (events), the space-saving top-2 of
+    ``l_returnflag`` (operators/sketches.py, fused round 6), and the
+    KMV overlap/cardinality legs between the orders and customer key
+    sets (operators/kmv.py, fused round 6) — the full profiling tier:
+    exact, frequency-sketch, and distinct-sketch.
+
+    The heavy-hitter leg runs in its provably-exact regime — the
+    default capacity dwarfs the 3-value domain, so no partition ever
+    evicts, bounds collapse to the exact counts, and the guaranteed
+    flag reduces to "lower bound beats the 3rd candidate's count" —
+    which DuckDB re-derives verbatim (eviction regimes are pinned by
+    tests/test_sketches.py). The KMV legs are deterministic
+    structurally (k smallest md5s are a set property; the 60-bit
+    hash-fraction estimator runs in one fixed IEEE order): sf0.001
+    exercises the exact branch, sf0.01 the estimator branch."""
+    from harness_aws_etl_pipeline_spark.operators.kmv import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
     from harness_aws_etl_pipeline_spark.operators.sketches import heavy_hitters
 
     hh = heavy_hitters(tables(spark, sf)["lineitem"], "l_returnflag", k=2)
@@ -1056,10 +1046,29 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("hh_md5")
     )
+    # materialize each sketch ONCE (jaccard references both twice,
+    # the estimate reuses sk_o) — the corpus scans run once per call
+    sk_o = kmv_sketch(
+        tables(spark, sf)["orders"], "o_custkey", k=_KMV_K
+    ).localCheckpoint(eager=True)
+    sk_c = kmv_sketch(
+        tables(spark, sf)["customer"], "c_custkey", k=_KMV_K
+    ).localCheckpoint(eager=True)
+    jac = kmv_jaccard(sk_o, sk_c, k=_KMV_K, inputs_materialized=True).select(
+        F.col("union_basis").alias("kmv_union_basis"),
+        F.col("inter_cnt").alias("kmv_inter_cnt"),
+        F.col("jaccard_est").alias("kmv_jaccard"),
+    )
+    est = kmv_distinct_estimate(sk_o, k=_KMV_K).select(
+        F.col("exact").alias("kmv_exact"),
+        F.col("distinct_est").alias("kmv_est_custkeys"),
+    )
     return (
         q_distinct_ratio(spark, sf)
-        .crossJoin(q_percentiles(spark, sf))
-        .crossJoin(hh_leg)
+        .crossJoin(F.broadcast(q_percentiles(spark, sf)))
+        .crossJoin(F.broadcast(hh_leg))
+        .crossJoin(F.broadcast(jac))
+        .crossJoin(F.broadcast(est))
     )
 
 
@@ -1083,7 +1092,7 @@ WHERE rnk <= 2
 
 ORACLE_PROFILE_STATS = f"""
 SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
-CROSS JOIN ({ORACLE_HEAVY_HITTERS})
+CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_KMV})
 """
 
 

@@ -179,12 +179,12 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
     lm = unigram_logprob(docs).agg(
         _scaled_sum(F.col("avg_logprob"), "logprob_sum")
-    ).crossJoin(
+    ).crossJoin(F.broadcast(
         bigram_logprob(docs).agg(
             _scaled_sum(F.col("avg_logprob2"), "logprob2_sum"),
             F.sum("n_bigrams").cast("long").alias("bigram_total"),
         )
-    )
+    ))
     # Gopher preset gate (operators/filters.py) — per-rule fail counts
     # + full-pass count, default published thresholds; every predicate
     # is exact-integer division in double, so the oracle re-derives the
@@ -224,7 +224,7 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         "cr_docs long, cr_tokens long, cr_chars long, cr_token_mean double, "
         "cr_gate_pass long, cr_domains long, cr_top_share double",
     )
-    return buckets.crossJoin(rep).crossJoin(lm).crossJoin(qf).crossJoin(cr)
+    return buckets.crossJoin(F.broadcast(rep)).crossJoin(F.broadcast(lm)).crossJoin(F.broadcast(qf)).crossJoin(F.broadcast(cr))
 
 
 ORACLE_QUALITY = r"""
@@ -740,14 +740,14 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         "warc_uri_md5 string, warc_ct_html_cnt long, warc_gzip_ok long",
     )
     return (
-        fp_agg.crossJoin(red_agg)
-        .crossJoin(tc_planted)
-        .crossJoin(dec_agg)
-        .crossJoin(tc_corpus)
-        .crossJoin(html_agg)
-        .crossJoin(md_agg)
-        .crossJoin(sm_agg)
-        .crossJoin(warc_agg)
+        fp_agg.crossJoin(F.broadcast(red_agg))
+        .crossJoin(F.broadcast(tc_planted))
+        .crossJoin(F.broadcast(dec_agg))
+        .crossJoin(F.broadcast(tc_corpus))
+        .crossJoin(F.broadcast(html_agg))
+        .crossJoin(F.broadcast(md_agg))
+        .crossJoin(F.broadcast(sm_agg))
+        .crossJoin(F.broadcast(warc_agg))
     )
 
 
@@ -1034,7 +1034,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("token_total"),
         F.max("chunk_idx").cast("int").alias("max_chunk_idx"),
     )
-    return jac.crossJoin(chunk_agg)
+    return jac.crossJoin(F.broadcast(chunk_agg))
 
 
 ORACLE_NGRAM_JACCARD = r"""
@@ -1241,8 +1241,8 @@ def q_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     train, test = split_train_test(docs, "doc_id", train_frac=0.8)
     return (
         train.agg(F.count(F.lit(1)).alias("train_cnt"))
-        .crossJoin(test.agg(F.count(F.lit(1)).alias("test_cnt")))
-        .crossJoin(docs.agg(F.count(F.lit(1)).alias("total_cnt")))
+        .crossJoin(F.broadcast(test.agg(F.count(F.lit(1)).alias("test_cnt"))))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("total_cnt"))))
     )
 
 
@@ -1326,7 +1326,7 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("overlap_cnt"),
         F.countDistinct("user_id").alias("overlap_users"),
     )
-    return asof_agg.crossJoin(range_agg).crossJoin(overlap_agg)
+    return asof_agg.crossJoin(F.broadcast(range_agg)).crossJoin(F.broadcast(overlap_agg))
 
 
 ORACLE_ASOF = """
@@ -1378,11 +1378,15 @@ _PR_DAMP = 85
 # fresh entry and evict the shared pairs entry). The operator itself is
 # timed at scale by the bench pagerank leg, not by this panel.
 _PR_ROW: tuple | None = None
-# HITS legs on the SAME planted graph: 3 full hub/auth rounds at an
+# HITS legs on the SAME planted graph: 2 full hub/auth rounds at an
 # int64-safe scale (scale² × Σw < 9e18 with Σw = 8 caps scale at
-# ~1.06e9). Cached driver-side for the same PlanMemo-can't-key-
-# LocalRelations reason as ``_PR_ROW``.
-_HITS_ITERS = 3
+# ~1.06e9). Two rounds, not three: the fixture runs lazy (one nested
+# plan) and the un-cut tree grows ~4× per round — at 3 rounds Catalyst
+# ANALYSIS alone cost ~12 s of the panel's first call; 2 rounds still
+# exercise both propagate directions from a non-uniform vector. Cached
+# driver-side for the same PlanMemo-can't-key-LocalRelations reason as
+# ``_PR_ROW``.
+_HITS_ITERS = 2
 _HITS_SCALE = 10**9
 _HITS_ROW: tuple | None = None
 
@@ -1484,9 +1488,9 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         [_HITS_ROW], "hits_md5 string, hits_top_hub string, hits_top_auth string"
     )
     return (
-        summary.crossJoin(
+        summary.crossJoin(F.broadcast(
             survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
-        ).crossJoin(pr_agg).crossJoin(hits_agg)
+        )).crossJoin(F.broadcast(pr_agg)).crossJoin(F.broadcast(hits_agg))
     )
 
 
@@ -1657,7 +1661,7 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     sk = simhash(docs)
     pairs = simhash_near_pairs(sk, max_hamming=3)
     sketches = sk.agg(F.countDistinct("simhash").alias("distinct_sketches"))
-    return sketches.crossJoin(pairs.agg(F.count(F.lit(1)).alias("near_pair_cnt")))
+    return sketches.crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("near_pair_cnt"))))
 
 
 # ---------------------------------------------------------- similarity
@@ -2051,31 +2055,31 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("mh_ahash_inv"),
         )
-        .crossJoin(
+        .crossJoin(F.broadcast(
             dh.agg(
                 F.min(F.when(F.col("doc_id") == 3, F.col("simhash")))
                 .cast("long")
                 .alias("mh_dhash_grad")
             )
-        )
-        .crossJoin(
+        ))
+        .crossJoin(F.broadcast(
             image_near_dup_pairs(imgs, method="ahash", max_hamming=3).agg(
                 F.count(F.lit(1)).cast("long").alias("mh_img_pairs"),
                 F.coalesce(F.sum("hamming"), F.lit(0))
                 .cast("long")
                 .alias("mh_img_hamming_sum"),
             )
-        )
-        .crossJoin(
+        ))
+        .crossJoin(F.broadcast(
             audio_hashes(wavs).agg(
                 F.max("simhash").cast("long").alias("mh_afp_silence")
             )
-        )
-        .crossJoin(
+        ))
+        .crossJoin(F.broadcast(
             audio_near_dup_pairs(wavs).agg(
                 F.count(F.lit(1)).cast("long").alias("mh_audio_pairs")
             )
-        )
+        ))
     )
     # container-probe legs (round 6): REAL MP4 box walking + MP3
     # frame-header parsing over synthesized valid containers whose
@@ -2102,14 +2106,14 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         media_summary(media)
-        .crossJoin(feat_agg)
-        .crossJoin(img_agg)
-        .crossJoin(png_agg)
-        .crossJoin(jpeg_agg)
-        .crossJoin(wav_agg)
-        .crossJoin(hash_agg)
-        .crossJoin(mp4_agg)
-        .crossJoin(mp3_agg)
+        .crossJoin(F.broadcast(feat_agg))
+        .crossJoin(F.broadcast(img_agg))
+        .crossJoin(F.broadcast(png_agg))
+        .crossJoin(F.broadcast(jpeg_agg))
+        .crossJoin(F.broadcast(wav_agg))
+        .crossJoin(F.broadcast(hash_agg))
+        .crossJoin(F.broadcast(mp4_agg))
+        .crossJoin(F.broadcast(mp3_agg))
     )
 
 
@@ -2231,7 +2235,7 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
     sh_pairs = simhash_near_pairs_str(sk, max_hamming=3)
     sh_agg = sk.agg(
         F.countDistinct("sketch").alias("sh_distinct_sketches")
-    ).crossJoin(sh_pairs.agg(F.count(F.lit(1)).alias("sh_near_pair_cnt")))
+    ).crossJoin(F.broadcast(sh_pairs.agg(F.count(F.lit(1)).alias("sh_near_pair_cnt"))))
 
     ep = embedding_near_dup_pairs(emb, threshold=0.9, dim=64, arrow=False)
     ep_agg = ep.agg(*_exact_avg("cosine", "emb_pair_cnt", "emb_avg_cosine"))
@@ -2239,8 +2243,8 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
     train, test = split_train_test(docs, "doc_id", train_frac=0.8, hash_fn="md5")
     split_agg = (
         train.agg(F.count(F.lit(1)).alias("train_cnt"))
-        .crossJoin(test.agg(F.count(F.lit(1)).alias("test_cnt")))
-        .crossJoin(docs.agg(F.count(F.lit(1)).alias("total_cnt")))
+        .crossJoin(F.broadcast(test.agg(F.count(F.lit(1)).alias("test_cnt"))))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("total_cnt"))))
     )
     # stratified leg: per-source fractions incl. the keep-all edge;
     # salt 1 so the draws are independent of the train/test split's
@@ -2282,11 +2286,11 @@ def q_fuzzy_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
         arrow=False,
     )
     return (
-        mh_agg.crossJoin(sh_agg)
-        .crossJoin(ep_agg)
-        .crossJoin(split_agg)
-        .crossJoin(strat_agg)
-        .crossJoin(sem_agg)
+        mh_agg.crossJoin(F.broadcast(sh_agg))
+        .crossJoin(F.broadcast(ep_agg))
+        .crossJoin(F.broadcast(split_agg))
+        .crossJoin(F.broadcast(strat_agg))
+        .crossJoin(F.broadcast(sem_agg))
     )
 
 
@@ -2892,9 +2896,9 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     spans = span_dedup_stats(raw, k=13)
     return (
         line_dedup_stats(docs, min_count=2)
-        .crossJoin(decon)
-        .crossJoin(leak)
-        .crossJoin(spans)
+        .crossJoin(F.broadcast(decon))
+        .crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(spans))
     )
 
 
@@ -3167,29 +3171,29 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("url_host").cast("long").alias("url_host_cnt"),
             F.countDistinct("url_domain").cast("long").alias("url_domain_cnt"),
         )
-        .crossJoin(
+        .crossJoin(F.broadcast(
             dedup_by_url(urls).agg(
                 F.count(F.lit(1)).cast("long").alias("url_dedup_kept")
             )
-        )
-        .crossJoin(
+        ))
+        .crossJoin(F.broadcast(
             cap_per_host(urls, 2).agg(
                 F.count(F.lit(1)).cast("long").alias("url_cap2_kept")
             )
-        )
+        ))
         # round 6: the cap-hit counters (automated two-phase cap) are
         # oracle-backed too — hosts over the cap and rows dropped,
         # re-derived by the SQL arm from the same VALUES
-        .crossJoin(
+        .crossJoin(F.broadcast(
             cap_per_host_stats(urls, 2).select(
                 F.col("hosts_capped").alias("url_cap_hosts_capped"),
                 F.col("rows_dropped").alias("url_cap_rows_dropped"),
             )
-        )
+        ))
         # round 6: public-suffix-list eTLD+1 (registered_domain with a
         # planted rule set — normal/wildcard/exception) — the oracle
         # runs the full PSL algorithm in SQL over the same VALUES
-        .crossJoin(
+        .crossJoin(F.broadcast(
             spark.createDataFrame([(u,) for u in _PSL_URLS], "u string")
             .select(registered_domain("u", _PSL_RULES).alias("d"))
             .agg(
@@ -3197,12 +3201,12 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
                     F.concat_ws("|", F.array_sort(F.collect_list("d")))
                 ).alias("url_psl_md5")
             )
-        )
+        ))
         # round 6: robots.txt politeness filtering (operators/robots.py)
         # — planted rules over the same URL VALUES; the oracle
         # re-compiles the prefix patterns and re-derives the
         # longest-match/allow-wins resolution in SQL
-        .crossJoin(
+        .crossJoin(F.broadcast(
             robots_filter(
                 urls,
                 spark.createDataFrame(
@@ -3216,11 +3220,11 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
                 .alias("robots_allowed_cnt"),
                 F.count(F.lit(1)).cast("long").alias("robots_total_cnt"),
             )
-        )
+        ))
         # round 6: takedown governance pass (operators/takedown.py) —
         # id + URL-regex + content-hash rules over the same VALUES,
         # audit counts re-derived by the oracle in SQL
-        .crossJoin(
+        .crossJoin(F.broadcast(
             takedown_report(
                 urls,
                 _TAKEDOWN_RULES,
@@ -3236,7 +3240,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("matched_url_pattern_1").alias("td_m_p1"),
                 F.col("matched_content_hashes").alias("td_m_hash"),
             )
-        )
+        ))
     )
     # data-constrained repetition legs (mixing.repeat_to_budget, fused
     # round 5): max_epochs=2 binds (budget_tokens is effectively
@@ -3269,8 +3273,8 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
             F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
         )
-        .crossJoin(url_agg)
-        .crossJoin(rep_agg)
+        .crossJoin(F.broadcast(url_agg))
+        .crossJoin(F.broadcast(rep_agg))
         .orderBy("domain")
     )
 
@@ -3665,10 +3669,10 @@ def q_seq_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         packing_stats(docs, capacity=64, buckets=8)
-        .crossJoin(bpe0)
-        .crossJoin(bpe1)
-        .crossJoin(bpe_first)
-        .crossJoin(sh)
+        .crossJoin(F.broadcast(bpe0))
+        .crossJoin(F.broadcast(bpe1))
+        .crossJoin(F.broadcast(bpe_first))
+        .crossJoin(F.broadcast(sh))
     )
 
 

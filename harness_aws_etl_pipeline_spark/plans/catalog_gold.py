@@ -489,8 +489,8 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
     funnel = (
         s1.agg(F.count(F.lit(1)).alias("signed_up"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("clicked_after")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("purchased_after")))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("clicked_after"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("purchased_after"))))
         .select(
             F.explode(
                 F.array(
