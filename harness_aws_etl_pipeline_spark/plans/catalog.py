@@ -1018,11 +1018,22 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_sketches.py). The KMV legs are deterministic
     structurally (k smallest md5s are a set property; the 60-bit
     hash-fraction estimator runs in one fixed IEEE order): sf0.001
-    exercises the exact branch, sf0.01 the estimator branch."""
+    exercises the exact branch, sf0.01 the estimator branch.
+
+    The rank-selection legs (operators/quantiles.py, fused round 6)
+    pin the 100 TB-shaped EXACT quantile path — two-level rank
+    selection over l_extendedprice, no buffering aggregate — against
+    DuckDB's ROW_NUMBER re-derivation with the same floor(q*(n-1))
+    rank arithmetic, plus the percentile_approx-vs-exact accuracy
+    band as a deterministic boolean."""
     from harness_aws_etl_pipeline_spark.operators.kmv import (
         kmv_distinct_estimate,
         kmv_jaccard,
         kmv_sketch,
+    )
+    from harness_aws_etl_pipeline_spark.operators.quantiles import (
+        exact_quantiles,
+        quantile_check,
     )
     from harness_aws_etl_pipeline_spark.operators.sketches import heavy_hitters
 
@@ -1063,12 +1074,21 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.col("exact").alias("kmv_exact"),
         F.col("distinct_est").alias("kmv_est_custkeys"),
     )
+    li = tables(spark, sf)["lineitem"]
+    rq = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.99]).agg(
+        F.max(F.when(F.col("q") == 0.25, F.col("value"))).alias("oq25"),
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("oq50"),
+        F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("oq99"),
+    )
+    qchk = quantile_check(li, "l_extendedprice", [0.5, 0.9], rel_err=1e-3)
     return (
         q_distinct_ratio(spark, sf)
         .crossJoin(F.broadcast(q_percentiles(spark, sf)))
         .crossJoin(F.broadcast(hh_leg))
         .crossJoin(F.broadcast(jac))
         .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(rq))
+        .crossJoin(F.broadcast(qchk))
     )
 
 
@@ -1090,9 +1110,24 @@ WHERE rnk <= 2
 """
 
 
+ORACLE_RANK_QUANTILES = """
+WITH nn AS (SELECT l_extendedprice AS v FROM lineitem
+            WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT COUNT(*) AS c FROM nn),
+s AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nn)
+SELECT MAX(CASE WHEN rk = CAST(FLOOR(0.25 * (c - 1)) AS BIGINT) THEN v END) AS oq25,
+       MAX(CASE WHEN rk = CAST(FLOOR(0.5  * (c - 1)) AS BIGINT) THEN v END) AS oq50,
+       MAX(CASE WHEN rk = CAST(FLOOR(0.99 * (c - 1)) AS BIGINT) THEN v END) AS oq99,
+       CAST(2 AS BIGINT) AS quantiles_checked,
+       TRUE AS approx_within_band
+FROM s, n
+"""
+
+
 ORACLE_PROFILE_STATS = f"""
 SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
 CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_KMV})
+CROSS JOIN ({ORACLE_RANK_QUANTILES})
 """
 
 
