@@ -203,8 +203,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus.add_argument(
         "--block-ids", default=None,
-        help="takedown: comma-separated doc ids OR a parquet path whose "
-        "first column is the blocklist (bulk anti-join path)",
+        help="takedown: comma-separated literal doc ids (string ids "
+        "welcome; all-digit ids compare as ints). Legacy: a parquet "
+        "path also works here, but prefer --block-ids-path",
+    )
+    corpus.add_argument(
+        "--block-ids-path", default=None,
+        help="takedown: parquet path whose first column is the "
+        "blocklist (bulk anti-join path) - explicit, no heuristics",
     )
     corpus.add_argument(
         "--block-url-pattern", action="append", default=[],
@@ -880,21 +886,40 @@ def main(argv: list[str] | None = None) -> int:
                 takedown_report,
             )
 
+            def _literal_ids(raw: str) -> tuple:
+                # string doc_ids are first-class: only an all-digit
+                # token compares as int (back-compat with long id
+                # columns), everything else stays a string
+                toks = [t.strip() for t in raw.split(",") if t.strip()]
+                return tuple(int(t) if t.isdigit() else t for t in toks)
+
             block_ids: tuple = ()
-            if args.block_ids and not args.block_ids.replace(",", "").replace(
-                "-", ""
-            ).strip().isdigit():
-                # parquet blocklist → bulk anti-join path; regex/hash
-                # rules (if any) run as a second literal-rule pass
-                blocked = spark.read.parquet(args.block_ids)
+            out, report = df, {}
+            if args.block_ids_path:
+                # explicit parquet blocklist → bulk anti-join path;
+                # regex/hash rules (if any) run as a second pass
+                blocked = spark.read.parquet(args.block_ids_path)
                 out = apply_takedown_ids(df, blocked, id_col=args.id_col)
                 removed_ids = df.count() - out.count()
                 report = {"matched_ids_bulk": removed_ids}
+            if args.block_ids and not args.block_ids.replace(",", "").replace(
+                "-", ""
+            ).strip().isdigit():
+                # legacy heuristic: non-digit --block-ids used to mean
+                # "parquet path". Try that read, but fall back to the
+                # literal-string-id path so corpora with string doc_ids
+                # (e.g. 'abc123,def') are not misrouted to a
+                # confusing path error.
+                try:
+                    blocked = spark.read.parquet(args.block_ids)
+                except Exception:
+                    block_ids = _literal_ids(args.block_ids)
+                else:
+                    out = apply_takedown_ids(out, blocked, id_col=args.id_col)
+                    removed_ids = df.count() - out.count()
+                    report = {"matched_ids_bulk": removed_ids}
             elif args.block_ids:
-                block_ids = tuple(int(x) for x in args.block_ids.split(","))
-                out, report = df, {}
-            else:
-                out, report = df, {}
+                block_ids = _literal_ids(args.block_ids)
             if block_ids or args.block_url_pattern or args.block_hash:
                 rules = TakedownRules(
                     ids=block_ids,

@@ -99,8 +99,13 @@ def bm25_scores(
     # broadcast query terms FIRST: prunes the posting list to query
     # vocabulary before df / dl / scoring ever run
     hits = tf.join(F.broadcast(qterms), "term")
+    # df only of query-vocabulary terms: left-semi prune BEFORE the df
+    # aggregate keeps every posting of a retained term (df per term is
+    # unchanged) while the shuffle and the broadcast shrink from corpus
+    # vocabulary to query vocabulary
     dfreq = (
-        tf.groupBy("term")
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )

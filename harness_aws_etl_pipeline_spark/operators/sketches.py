@@ -127,6 +127,14 @@ def heavy_hitters(
                     m = counts.pop(mk)[0]
                     counts[key] = [m + w, m]
                     heapq.heappush(heap, (m + w, key))
+                if len(heap) > 4 * cap:
+                    # stale entries dominate (every increment pushes a
+                    # fresh tuple and stale ones persist until popped):
+                    # rebuild from live counts so heap stays O(cap),
+                    # keeping the bounded-per-partition-state claim true
+                    # for the heap too, not just `counts`
+                    heap = [(e[0], k2) for k2, e in counts.items()]
+                    heapq.heapify(heap)
         floor = min(e[0] for e in counts.values()) if evicted and counts else 0
         rows = [(pid, key, e[0], e[1], False) for key, e in counts.items()]
         rows.append((pid, None, floor, 0, True))

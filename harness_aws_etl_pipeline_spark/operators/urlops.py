@@ -289,25 +289,29 @@ def _two_phase_cap(
        bounded, so the per-key task is bounded) — identical output to
        the naive single window, proven by the superset argument above.
 
-    NULL keys bypass both windows (never capped)."""
+    NULL keys bypass both windows (never capped) — split out BEFORE
+    the window execs, not gated inside them: a ``when(null).otherwise(
+    row_number())`` still partitions every NULL row into ONE window
+    task (``partitionBy(key)`` hashes all NULLs together), which is
+    exactly the hot single task this design exists to kill.  Crawl
+    data makes NULL keys common (unparseable URLs), so the NULL side
+    rides a plain filter + union and never touches an exchange."""
     from pyspark.sql import Window
 
+    null_rows = df.filter(F.col(key_col).isNull())
+    keyed = df.filter(F.col(key_col).isNotNull())
     bucket = F.pmod(salt, F.lit(buckets))
     w1 = Window.partitionBy(F.col(key_col), bucket).orderBy(*ordering)
     w2 = Window.partitionBy(key_col).orderBy(*ordering)
-    null_key = F.col(key_col).isNull()
-    phase1 = df.withColumn(
-        "__rn1",
-        F.when(null_key, F.lit(1)).otherwise(F.row_number().over(w1)),
-    ).filter(F.col("__rn1") <= max_docs)
-    return (
-        phase1.withColumn(
-            "__rn2",
-            F.when(null_key, F.lit(1)).otherwise(F.row_number().over(w2)),
-        )
+    phase1 = keyed.withColumn("__rn1", F.row_number().over(w1)).filter(
+        F.col("__rn1") <= max_docs
+    )
+    capped = (
+        phase1.withColumn("__rn2", F.row_number().over(w2))
         .filter(F.col("__rn2") <= max_docs)
         .drop("__rn1", "__rn2")
     )
+    return capped.unionByName(null_rows)
 
 
 def cap_per_host(

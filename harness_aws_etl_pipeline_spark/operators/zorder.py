@@ -66,14 +66,19 @@ def morton_interleave(cells: Sequence[Column], bits: int) -> Column:
 
 def _cell(col: Column, mn: Column, mx: Column, bits: int) -> Column:
     """Scale ``col`` into ``[0, 2^bits)`` against data min/max. The
-    arithmetic order (subtract → cast double → multiply → divide →
+    arithmetic order (cast double → subtract → multiply → divide →
     floor) is fixed: both engines evaluate it IEEE-identically for
-    inputs under 2^53."""
+    integer inputs under 2^53 (where double subtraction of exactly-
+    representable values is exact, so this matches the former
+    subtract-in-long form bit-for-bit) — and fractional columns
+    (doubles in [0,1), sub-second timestamps) scale on their REAL
+    values instead of silently collapsing to one long-truncated cell
+    and losing that dimension's clustering entirely."""
     m = (1 << bits) - 1
     # NULLIF keeps the constant-column branch from materializing an
     # Inf/NaN floor under ANSI mode — the WHEN below never reads it
     scaled = F.floor(
-        ((col.cast("long") - mn) * F.lit(float(m)))
+        ((col.cast("double") - mn) * F.lit(float(m)))
         / F.nullif((mx - mn).cast("double"), F.lit(0.0))
     )
     return (
@@ -102,8 +107,8 @@ def morton_code(
             f
             for c in cols
             for f in (
-                F.min(F.col(c).cast("long")).alias(f"_mn_{c}"),
-                F.max(F.col(c).cast("long")).alias(f"_mx_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
             )
         ]
     )

@@ -482,6 +482,40 @@ class TestTakedownAndProbe:
         assert res["audit"]["matched_ids_bulk"] == 3
         assert spark.read.parquet(out).count() == 7
 
+    def test_takedown_string_ids_literal(self, spark, tmp_path, capsys):
+        # string doc_ids: 'abc123,def' used to be misrouted to
+        # spark.read.parquet('abc123,def') (ADVICE r6) — now it falls
+        # back to the literal-string-id path
+        src = str(tmp_path / "td3_corpus")
+        spark.createDataFrame(
+            [("abc123", "a"), ("def", "b"), ("keep", "c")],
+            "doc_id string, text string",
+        ).write.parquet(src)
+        out = str(tmp_path / "td3_kept")
+        rc = main(
+            ["corpus", "takedown", "--input", src, "--output", out,
+             "--block-ids", "abc123,def"]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["audit"]["matched_ids"] == 2
+        assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == ["keep"]
+
+    def test_takedown_explicit_blocklist_path(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "td4_corpus")
+        spark.range(6).withColumnRenamed("id", "doc_id").write.parquet(src)
+        block = str(tmp_path / "td4_block")
+        spark.createDataFrame([(1,), (4,)], "doc_id long").write.parquet(block)
+        out = str(tmp_path / "td4_kept")
+        rc = main(
+            ["corpus", "takedown", "--input", src, "--output", out,
+             "--block-ids-path", block]
+        )
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["audit"]["matched_ids_bulk"] == 2
+        assert spark.read.parquet(out).count() == 4
+
     def test_takedown_no_rules_fails(self, spark, tmp_path, capsys):
         src = self._corpus(spark, tmp_path)
         rc = main(["corpus", "takedown", "--input", src])
