@@ -250,10 +250,38 @@ def q_relalg_counts(spark: SparkSession, sf: str) -> DataFrame:
     """§2.6/§2.7 — the relational-algebra cardinality panel:
     inner/left/semi/anti join counts (q_join_counts) unioned with
     intersect/except/union-distinct counts (q_set_ops) under a common
-    ``op`` tag. One catalog entry covers both SURVEY rows."""
+    ``op`` tag. One catalog entry covers both SURVEY rows.
+
+    Fused (round 7): the BLOOM-JOIN legs — orders ⋈ a selective
+    customer slice through the Bloom-pruned join path
+    (operators/bloomjoin.py). A Bloom filter has no false negatives
+    and the real join removes the false positives, so the pruned
+    result is PROVABLY identical to the plain join — which is exactly
+    what the oracle pins (DuckDB runs the plain joins; any pruning
+    bug that drops a matching row breaks the count)."""
+    from harness_aws_etl_pipeline_spark.operators.bloomjoin import bloom_join
+
     j = q_join_counts(spark, sf).withColumnRenamed("join_kind", "op")
     s = q_set_ops(spark, sf).withColumnRenamed("set_op", "op")
-    return j.unionByName(s).orderBy("op")
+    o = tables(spark, sf)["orders"]
+    c = tables(spark, sf)["customer"].filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+
+    def cnt(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("row_cnt")).select(
+            F.lit(kind).alias("op"), "row_cnt"
+        )
+
+    b = cnt(
+        bloom_join(o, c, ("o_custkey", "c_custkey")), "bloom_inner"
+    ).unionByName(
+        cnt(
+            bloom_join(o, c, ("o_custkey", "c_custkey"), how="left_semi"),
+            "bloom_semi",
+        )
+    )
+    return j.unionByName(s).unionByName(b).orderBy("op")
 
 
 ORACLE_RELALG_COUNTS = """
@@ -266,6 +294,13 @@ SELECT * FROM (
   SELECT 'semi', COUNT(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
   UNION ALL
   SELECT 'anti', COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT 'bloom_inner', COUNT(*) FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+  UNION ALL
+  SELECT 'bloom_semi', COUNT(*) FROM orders WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
   UNION ALL
   SELECT 'except_distinct', COUNT(*) FROM (
     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
