@@ -92,7 +92,16 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-tab via ``groupBy().pivot()`` — quantity by return flag ×
     line status. Explicit pivot values keep the plan a single pass
-    (no distinct-values pre-query)."""
+    (no distinct-values pre-query).
+
+    Fused (round 7): the TPC-H PARITY PACK — ten classic decision-
+    support shapes (Q4/Q7/Q8/Q9/Q10/Q14/Q17/Q18/Q19/Q22 adapted to
+    the trimmed star schema, plans/catalog_tpch.py) each reduced to a
+    deterministic (rows, md5) pair and re-derived verbatim in DuckDB.
+    This panel is NON-headline on purpose — the pack's ten extra join
+    trees must not pollute per-query bench drift."""
+    from harness_aws_etl_pipeline_spark.plans.catalog_tpch import tpch_pack_arm
+
     li = tables(spark, sf)["lineitem"]
     scaled = F.round(F.col("l_quantity").cast("double") * 10000).cast("long")
     pivoted = (
@@ -100,14 +109,21 @@ def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.sum(scaled))
     )
-    return pivoted.select(
+    base = pivoted.select(
         "l_returnflag",
         (F.coalesce(F.col("F"), F.lit(0)).cast("double") / 10000.0).alias("qty_f"),
         (F.coalesce(F.col("O"), F.lit(0)).cast("double") / 10000.0).alias("qty_o"),
     ).orderBy("l_returnflag")
+    return base.crossJoin(F.broadcast(tpch_pack_arm(spark, sf)))
 
 
-ORACLE_PIVOT = """
+def _oracle_pivot() -> str:
+    from harness_aws_etl_pipeline_spark.plans.catalog_tpch import (
+        ORACLE_TPCH_FRAGMENT,
+    )
+
+    return f"""
+SELECT * FROM (
 SELECT l_returnflag,
        CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
              THEN CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) END), 0) AS DOUBLE)
@@ -115,8 +131,13 @@ SELECT l_returnflag,
        CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
              THEN CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) END), 0) AS DOUBLE)
          / 10000.0 AS qty_o
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+FROM lineitem GROUP BY l_returnflag
+) base CROSS JOIN {ORACLE_TPCH_FRAGMENT}
+ORDER BY l_returnflag
 """
+
+
+ORACLE_PIVOT = _oracle_pivot()
 
 
 def q_cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,105 @@
+"""TPC-H parity pack (plans/catalog_tpch.py): semantic pins the md5
+oracle can't express — the integer restatements equal their float
+originals, top-k cuts are deterministic, and the dimension joins
+broadcast (no fact-side shuffle beyond the lineitem⋈orders exchange)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.plans import catalog_tpch as T
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSemantics:
+    def test_q17_integer_restatement_equals_float(self, spark):
+        # 5·qlˢ·cnt < Σqlˢ  ⟺  ql < 0.2·avg(ql) — prove it on the data
+        got = T.tpch_q17_small_quantity(spark, SF).first()
+        from harness_aws_etl_pipeline_spark.plans.catalog import tables
+
+        t = tables(spark, SF)
+        li = t["lineitem"].join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#12")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_partkey")
+        ref = (
+            li.withColumn("_avg", F.avg("l_quantity").over(w))
+            .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+            .count()
+        )
+        assert got["line_cnt"] == ref
+
+    def test_q22_above_average_and_dormant(self, spark):
+        rows = T.tpch_q22_dormant_customers(spark, SF).collect()
+        assert rows, "dormant-since-1999 slice is non-empty at sf0.001"
+        from harness_aws_etl_pipeline_spark.plans.catalog import tables
+
+        t = tables(spark, SF)
+        c = t["customer"]
+        avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal")
+        ).first()[0]
+        ref = (
+            c.filter(F.col("c_acctbal") > avg_pos)
+            .join(
+                t["orders"].filter(F.col("o_orderdate") >= "1999-01-01"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .count()
+        )
+        assert sum(r["cust_cnt"] for r in rows) == ref
+
+    def test_q18_threshold_and_order(self, spark):
+        rows = T.tpch_q18_large_orders(spark, SF).collect()
+        assert 0 < len(rows) <= 10
+        qtys = [r["qty_scaled"] for r in rows]
+        assert all(q > 100 * 10_000 for q in qtys)
+        prices = [r["price_scaled"] for r in rows]
+        assert prices == sorted(prices, reverse=True)
+
+    def test_q10_topk_is_rank_stable(self, spark):
+        rows = T.tpch_q10_returned_items(spark, SF).collect()
+        assert 0 < len(rows) <= 20
+        revs = [(r["rev_scaled"], r["c_custkey"]) for r in rows]
+        assert revs == sorted(revs, key=lambda t: (-t[0], t[1]))
+
+    def test_q14_share_bounds(self, spark):
+        r = T.tpch_q14_promo_effect(spark, SF).first()
+        assert 0 <= r["promo_scaled"] <= r["total_scaled"]
+
+    def test_q7_directions_both_present(self, spark):
+        # the specific nation pair is empty at sf0.001 — use sf0.01,
+        # where the driver's correctness gate runs, so the leg is
+        # known non-degenerate there
+        rows = T.tpch_q7_volume_shipping(spark, "/root/testdata/sf0.01").collect()
+        pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+        assert pairs <= {
+            ("NATION_1", "NATION_2"),
+            ("NATION_2", "NATION_1"),
+        } and pairs
+
+
+class TestPlanShape:
+    def test_q9_dimensions_broadcast(self, spark):
+        plan = (
+            T.tpch_q9_product_profit(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # part/supplier/nation ride broadcast joins; the only hash
+        # exchanges belong to lineitem⋈orders and the final groupBy
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_pack_arm_single_row(self, spark):
+        arm = T.tpch_pack_arm(spark, SF)
+        assert arm.count() == 1
+        cols = arm.columns
+        for tag, _fn, _sql, _cols in T._PACK:
+            assert f"{tag}_rows" in cols and f"{tag}_md5" in cols
