@@ -479,6 +479,76 @@ def _bench_skew_join(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_bloom(spark, sf_dir: str) -> dict:
+    """Bloom-join leg — NOT a catalog entry.  The semi-join-reduction
+    story measured: lineitem ⋈ a 1%-selective orders slice with
+    broadcast DISABLED (the regime where the dim side is too big to
+    broadcast as rows), plain shuffled join vs Bloom-pruned join.
+    The filter is a few-hundred-KB broadcast; the prune removes ~99%
+    of the fact rows BEFORE the exchange, so the join shuffle pays
+    for matches only.  Work checks: pruned-join count == plain-join
+    count (the no-false-negatives guarantee at sf0.1 scale), plus the
+    surviving-row count vs the true match count (measured FP mass)."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    )
+    fact = li.withColumnRenamed("l_orderkey", "k")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out: dict = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = fact.join(dim, "k")
+        start = time.perf_counter()
+        bloom = bloom_build(dim, "k")
+        # build once, reuse across queries — the production pattern
+        # (otherwise every probe run re-aggregates the bitmap)
+        bloom.words.persist()
+        bloom.words.count()
+        out["build_s"] = round(time.perf_counter() - start, 3)
+        pruned_fact = bloom_prune(fact, "k", bloom)
+        pruned = pruned_fact.join(dim, "k")
+        for label, df in (("plain", plain), ("bloom", pruned)):
+            df.write.format("noop").mode("overwrite").save()  # warm
+            samples = []
+            for _ in range(3):
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            out[f"{label}_s"] = round(min(samples), 3)
+        fact_rows = fact.count()
+        kept = pruned_fact.count()
+        match = plain.count()
+        out.update(
+            fact_rows=fact_rows,
+            kept_after_prune=kept,
+            join_rows=match,
+            bloom_equals_plain=pruned.count() == match,
+            fp_rows=kept - pruned_fact.join(dim, "k", "left_semi").count(),
+            shuffle_reduction=round(1 - kept / fact_rows, 4),
+            # interpretation: at sf0.1 the whole fact side shuffles in
+            # one in-memory wave, so wall-clock can't separate the two
+            # joins — shuffle_reduction is the signal (the fraction of
+            # fact rows that never reach the exchange), exactly like
+            # the skew leg's flag-not-delta convention
+        )
+        bloom.words.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    return out
+
+
 def _bench_pq(spark, sf_dir: str) -> dict:
     """Product-quantization leg — NOT a catalog entry. Trains m=8
     codebooks on the embeddings table, encodes the corpus to 8-byte
@@ -859,6 +929,13 @@ def main() -> None:
         pr = {"error": str(exc)[:500]}
     print(f"# pagerank: {pr}", file=sys.stderr)
 
+    # bloom-join semi-join-reduction leg (round 7) — also outside "queries"
+    try:
+        bloom = _bench_bloom(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        bloom = {"error": str(exc)[:500]}
+    print(f"# bloom_join: {bloom}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -877,6 +954,7 @@ def main() -> None:
         "web_prep": web,
         "pagerank": pr,
         "pq": pq,
+        "bloom_join": bloom,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of
