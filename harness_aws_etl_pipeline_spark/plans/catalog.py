@@ -892,10 +892,21 @@ def q_inference_scan(spark: SparkSession, sf: str) -> DataFrame:
     Inference expectations pinned by the oracle: CSV integral columns
     that fit int32 infer as ``int`` (Spark tries Integer before Long),
     JSON integers always infer as ``bigint``; doubles and strings
-    infer natively in both."""
+    infer natively in both.
+
+    Fused (round 7): the SCHEMA-EVOLUTION leg — three planted parquet
+    generations of one table (int→long + float→double widening, a
+    column added, a column dropped) read back through
+    ``read_parquet_evolved`` (sources/evolve.py). The evolved dtypes
+    ride ``schema_sig`` and the aggregates map onto this panel's
+    columns; the oracle re-derives them from the SAME planted VALUES
+    with the widened types stated explicitly."""
     import tempfile
 
     from harness_aws_etl_pipeline_spark.sinks import write_table
+    from harness_aws_etl_pipeline_spark.sources.evolve import (
+        read_parquet_evolved,
+    )
     from harness_aws_etl_pipeline_spark.sources.readers import read_file
 
     li = tables(spark, sf)["lineitem"].select(
@@ -928,11 +939,42 @@ def q_inference_scan(spark: SparkSession, sf: str) -> DataFrame:
                     int(row["flag_cnt"]),
                 )
             )
+        # schema-evolution leg: three generations, one logical table
+        ev_root = f"{tmp}/evolved"
+        spark.createDataFrame(
+            [(1, 1.5), (2, 2.5)], "id int, v float"
+        ).coalesce(1).write.mode("append").parquet(ev_root)
+        spark.createDataFrame(
+            [(3, 3.5, "x")], "id long, v double, tag string"
+        ).coalesce(1).write.mode("append").parquet(ev_root)
+        spark.createDataFrame(
+            [(4, "y", 40)], "id int, tag string, n long"
+        ).coalesce(1).write.mode("append").parquet(ev_root)
+        ev = read_parquet_evolved(spark, ev_root)
+        sig = ",".join(f"{c}:{t}" for c, t in ev.dtypes)
+        row = ev.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("id").cast("long").alias("key_sum"),
+            F.sum(
+                F.round(F.col("v").cast("double") * 10000).cast("long")
+            ).alias("qty_scaled"),
+            F.countDistinct("tag").alias("flag_cnt"),
+        ).first()
+        rows.append(
+            (
+                "evolved_parquet",
+                sig,
+                int(row["cnt"]),
+                int(row["key_sum"]),
+                float(row["qty_scaled"]) / 10000.0,
+                int(row["flag_cnt"]),
+            )
+        )
     return spark.createDataFrame(
         rows,
         "format string, schema_sig string, row_cnt bigint, key_sum bigint,"
         " qty_sum double, flag_cnt bigint",
-    )
+    ).orderBy("format")
 
 
 ORACLE_INFERENCE_SCAN = """
@@ -946,7 +988,21 @@ SELECT fmt AS format,
                / 10000.0 FROM lineitem) AS qty_sum,
        (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS flag_cnt
 FROM (VALUES ('csv'), ('json')) AS t(fmt)
-ORDER BY fmt
+UNION ALL
+-- the schema-evolution leg: the widened read of the three planted
+-- generations must equal this recomputation over the same literals
+-- (gen1: id int, v float; gen2: id long, v double, +tag; gen3: -v, +n)
+SELECT 'evolved_parquet' AS format,
+       'id:bigint,v:double,tag:string,n:bigint' AS schema_sig,
+       COUNT(*) AS row_cnt,
+       CAST(SUM(id) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS qty_sum,
+       COUNT(DISTINCT tag) AS flag_cnt
+FROM (VALUES (1, CAST(1.5 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+             (2, 2.5, NULL, NULL),
+             (3, 3.5, 'x', NULL),
+             (4, NULL, 'y', 40)) AS ev(id, v, tag, n)
+ORDER BY format
 """
 
 

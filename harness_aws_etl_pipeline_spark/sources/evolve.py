@@ -1,0 +1,224 @@
+"""Schema-evolution-tolerant parquet reading.
+
+A long-lived lake accumulates files written under different schema
+versions: columns appear and disappear, and upstream type changes
+widen int→long or float→double. Spark's ``mergeSchema=true`` handles
+column ADDITION but hard-errors on type conflicts ("Failed to merge
+incompatible data types int and bigint"), and a plain multi-path read
+silently takes the first footer's schema — both wrong answers for a
+100 TB table with years of history.
+
+This module reads such a table correctly:
+
+1. **Distributed footer scan** — every file's parquet schema is read
+   on the EXECUTORS (one pyarrow ``read_schema`` per file, a footer-
+   only operation; files fan out over tasks) and shipped back as
+   Arrow IPC bytes, so the driver never opens a single data file.
+   At millions of files this is one short all-metadata job.
+2. **Type-widening reconciliation** — per column name, the observed
+   types fold through a promotion lattice (integral widths widen to
+   the largest; float→double; integral ⊎ fractional → double; decimal
+   widens to cover both precision ranges). Incompatible families
+   (string vs int, struct shape changes) raise loudly — silent
+   coercion of those is how corrupt tables happen.
+3. **Group-cast-union read** — files are grouped by their EXACT
+   schema (distinct-schema count is small in practice — one group per
+   writer version); each group is read with its own explicit schema
+   (so the vectorized reader never upcasts), cast to the widened
+   target, and ``unionByName(allowMissingColumns=True)`` fills
+   dropped/added columns with NULLs. The result is one DataFrame
+   with the evolved schema and ALL rows, regardless of which schema
+   version wrote them.
+
+Reference scope note: the reference reads one file per Lambda event
+with per-file inference (etl/src/extract/extractor.py:94-99) — schema
+drift across files is simply a failed run there. This extends the
+engine's S-class family (multi-file union, error isolation) with the
+evolution semantics a lakehouse table format provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "widen_type",
+    "evolved_schema",
+    "scan_parquet_schemas",
+    "read_parquet_evolved",
+]
+
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_ORDER = {"float": 0, "double": 1}
+
+
+def widen_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """The least common type ``a`` and ``b`` both losslessly widen to.
+
+    Integral widths widen to the larger; float→double; an integral
+    meeting a fractional widens to double (the standard lake-format
+    rule — longs above 2^53 lose precision there, same trade-off
+    Delta/Iceberg accept); decimals widen to cover both ranges
+    (integer digits AND scale). Arrays/maps widen element-wise;
+    everything else must match exactly — a string-vs-int or
+    struct-shape conflict is a data bug to surface, not coerce."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_ORDER and bn in _INT_ORDER:
+        return a if _INT_ORDER[an] >= _INT_ORDER[bn] else b
+    if an in _FLOAT_ORDER and bn in _FLOAT_ORDER:
+        return T.DoubleType()
+    if (an in _INT_ORDER and bn in _FLOAT_ORDER) or (
+        an in _FLOAT_ORDER and bn in _INT_ORDER
+    ):
+        return T.DoubleType()
+    if an == "decimal" and bn == "decimal":
+        ints = max(a.precision - a.scale, b.precision - b.scale)
+        scale = max(a.scale, b.scale)
+        if ints + scale > 38:
+            raise ValueError(
+                f"cannot widen {a.simpleString()} and {b.simpleString()}: "
+                f"combined precision {ints + scale} exceeds decimal(38)"
+            )
+        return T.DecimalType(ints + scale, scale)
+    if an == "decimal" and bn in _INT_ORDER:
+        return widen_type(a, T.DecimalType(20, 0))
+    if bn == "decimal" and an in _INT_ORDER:
+        return widen_type(T.DecimalType(20, 0), b)
+    if an == "array" and bn == "array":
+        return T.ArrayType(widen_type(a.elementType, b.elementType), True)
+    if an == "map" and bn == "map":
+        return T.MapType(
+            widen_type(a.keyType, b.keyType),
+            widen_type(a.valueType, b.valueType),
+            True,
+        )
+    raise ValueError(
+        f"incompatible schema evolution: {a.simpleString()} vs "
+        f"{b.simpleString()} (only width/precision widening is safe to "
+        "reconcile automatically)"
+    )
+
+
+def evolved_schema(schemas: list[T.StructType]) -> T.StructType:
+    """Fold per-file schemas into the widened target. Column order is
+    first-seen across the inputs (stable for a table that only ever
+    appends columns); every field is nullable (a column absent from
+    some file IS null there)."""
+    if not schemas:
+        raise ValueError("no schemas to evolve")
+    order: list[str] = []
+    types: dict[str, T.DataType] = {}
+    for sch in schemas:
+        for f in sch.fields:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.dataType
+            else:
+                try:
+                    types[f.name] = widen_type(types[f.name], f.dataType)
+                except ValueError as exc:
+                    raise ValueError(f"column {f.name!r}: {exc}") from exc
+    return T.StructType([T.StructField(n, types[n], True) for n in order])
+
+
+def scan_parquet_schemas(
+    spark: SparkSession, paths: list[str], tasks: int = 64
+) -> list[tuple[str, T.StructType]]:
+    """(path, schema) for every file — footers read on the EXECUTORS
+    (pyarrow ``read_schema``: a footer-only open, no row groups
+    touched), returned to the driver as Arrow IPC bytes. The collect
+    is one row per FILE (bounded metadata, not data); schema
+    deserialization happens driver-side via the same Arrow→Spark
+    mapping the Pandas-UDF machinery uses."""
+    if not paths:
+        return []
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def _scan(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = [
+                (p, pq.read_schema(p).serialize().to_pybytes())
+                for p in b["path"]
+            ]
+            out = pd.DataFrame(rows, columns=["path", "schema_ipc"])
+            out["schema_ipc"] = out["schema_ipc"].astype(object)
+            yield out
+
+    got = (
+        pdf.repartition(min(len(paths), tasks))
+        .mapInPandas(_scan, "path string, schema_ipc binary")
+        .collect()
+    )
+    return [
+        (
+            r["path"],
+            from_arrow_schema(pa.ipc.read_schema(pa.BufferReader(r["schema_ipc"]))),
+        )
+        for r in got
+    ]
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str | list[str]
+) -> DataFrame:
+    """Every row of every file under ``path`` (a directory, or an
+    explicit file list) as ONE DataFrame with the widened evolved
+    schema — files written under older schema versions contribute
+    NULLs for columns they predate and widened values for columns
+    whose type grew.
+
+    Plan shape: one group per DISTINCT file schema, each group read
+    with its exact schema (vectorized reader, no upcast surprises),
+    cast column-wise to the target, unioned by name. The union is a
+    metadata operation — no shuffle; downstream operators see a
+    single scan-shaped relation per group."""
+    if isinstance(path, str):
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs, join_path
+
+        fs = get_fs(path, spark)
+        files = [
+            join_path(path, rel)
+            for rel, _mtime, size in fs.list_files(path)
+            if rel.endswith(".parquet") and size > 0
+        ]
+    else:
+        files = list(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    per_file = scan_parquet_schemas(spark, files)
+    groups: dict[str, tuple[T.StructType, list[str]]] = {}
+    for p, sch in per_file:
+        key = sch.simpleString()
+        groups.setdefault(key, (sch, []))[1].append(p)
+    target = evolved_schema([sch for sch, _files in groups.values()])
+    out: DataFrame | None = None
+    for sch, grp_files in groups.values():
+        have = {f.name: f.dataType for f in sch.fields}
+        df = spark.read.schema(sch).parquet(*sorted(grp_files))
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+                if f.name in have
+            ]
+        )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    # a final column-order normalization: unionByName keeps the first
+    # branch's order, which may miss target columns entirely
+    return out.select(
+        *[
+            F.col(f.name) if f.name in out.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )

@@ -1,0 +1,126 @@
+"""Schema-evolution reads (sources/evolve.py): the widening lattice,
+incompatibility surfacing, distributed footer scan, and the actual
+claim — a directory mixing int/long and added/dropped columns reads
+back complete and correctly typed where both mergeSchema and a plain
+multi-path read fail or lie."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harness_aws_etl_pipeline_spark.sources.evolve import (
+    evolved_schema,
+    read_parquet_evolved,
+    scan_parquet_schemas,
+    widen_type,
+)
+
+
+class TestWiden:
+    def test_integral_ladder(self):
+        assert widen_type(T.IntegerType(), T.LongType()) == T.LongType()
+        assert widen_type(T.ByteType(), T.ShortType()) == T.ShortType()
+        assert widen_type(T.LongType(), T.IntegerType()) == T.LongType()
+
+    def test_fractional_and_cross_family(self):
+        assert widen_type(T.FloatType(), T.DoubleType()) == T.DoubleType()
+        assert widen_type(T.LongType(), T.FloatType()) == T.DoubleType()
+        assert widen_type(T.IntegerType(), T.DoubleType()) == T.DoubleType()
+
+    def test_decimal_covers_both_ranges(self):
+        a, b = T.DecimalType(10, 2), T.DecimalType(8, 4)
+        assert widen_type(a, b) == T.DecimalType(12, 4)
+        assert widen_type(T.DecimalType(10, 2), T.IntegerType()) == T.DecimalType(
+            22, 2
+        )
+
+    def test_containers_recurse(self):
+        assert widen_type(
+            T.ArrayType(T.IntegerType()), T.ArrayType(T.LongType())
+        ) == T.ArrayType(T.LongType(), True)
+
+    def test_incompatible_raises(self):
+        with pytest.raises(ValueError, match="incompatible"):
+            widen_type(T.StringType(), T.LongType())
+
+    def test_evolved_schema_order_and_names(self):
+        s1 = T.StructType(
+            [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+        )
+        s2 = T.StructType(
+            [T.StructField("b", T.StringType()), T.StructField("c", T.DoubleType()),
+             T.StructField("a", T.LongType())]
+        )
+        got = evolved_schema([s1, s2])
+        assert [f.name for f in got.fields] == ["a", "b", "c"]
+        assert got["a"].dataType == T.LongType()
+        with pytest.raises(ValueError, match="column 'b'"):
+            evolved_schema(
+                [s1, T.StructType([T.StructField("b", T.LongType())])]
+            )
+
+
+@pytest.fixture()
+def evolved_dir(spark, tmp_path):
+    """Three schema generations of one table: v1 (id int, v float),
+    v2 (id long, v double, tag string), v3 drops v, adds n long."""
+    root = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "id int, v float"
+    ).coalesce(1).write.mode("append").parquet(root)
+    spark.createDataFrame(
+        [(3, 3.5, "x")], "id long, v double, tag string"
+    ).coalesce(1).write.mode("append").parquet(root)
+    spark.createDataFrame(
+        [(4, "y", 40)], "id int, tag string, n long"
+    ).coalesce(1).write.mode("append").parquet(root)
+    return root
+
+
+class TestRead:
+    def test_mergeschema_cannot_read_this(self, spark, evolved_dir):
+        with pytest.raises(Exception, match="(?i)merge|convert|schema"):
+            spark.read.option("mergeSchema", "true").parquet(
+                evolved_dir
+            ).collect()
+
+    def test_reads_all_rows_with_widened_types(self, spark, evolved_dir):
+        df = read_parquet_evolved(spark, evolved_dir)
+        assert dict(df.dtypes) == {
+            "id": "bigint",
+            "v": "double",
+            "tag": "string",
+            "n": "bigint",
+        }
+        rows = {r["id"]: r for r in df.collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[1]["v"] == 1.5 and rows[1]["tag"] is None
+        assert rows[3]["tag"] == "x" and rows[3]["n"] is None
+        assert rows[4]["n"] == 40 and rows[4]["v"] is None
+
+    def test_explicit_file_list(self, spark, evolved_dir):
+        import glob
+
+        files = sorted(glob.glob(f"{evolved_dir}/*.parquet"))
+        assert read_parquet_evolved(spark, files).count() == 4
+
+    def test_footer_scan_distributed(self, spark, evolved_dir):
+        import glob
+
+        files = sorted(glob.glob(f"{evolved_dir}/*.parquet"))
+        got = scan_parquet_schemas(spark, files)
+        assert len(got) == len(files) >= 3
+        names = {tuple(f.name for f in sch.fields) for _p, sch in got}
+        assert ("id", "v") in names
+
+    def test_single_schema_passthrough(self, spark, tmp_path):
+        root = str(tmp_path / "flat")
+        spark.range(10).write.parquet(root)
+        df = read_parquet_evolved(spark, root)
+        assert df.count() == 10 and df.columns == ["id"]
+
+    def test_empty_dir_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_parquet_evolved(spark, str(tmp_path / "nope"))
