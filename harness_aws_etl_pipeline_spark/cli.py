@@ -349,6 +349,42 @@ def main(argv: list[str] | None = None) -> int:
         "loaded when it exists, else trained and saved there",
     )
 
+    bj = sub.add_parser(
+        "bloomjoin",
+        help="join with the big side Bloom-pruned before the shuffle",
+    )
+    bj.add_argument("--big", required=True, help="fact-side parquet path")
+    bj.add_argument("--small", required=True, help="dim-side parquet path")
+    bj.add_argument("--on", required=True, help="join key (shared name)")
+    bj.add_argument(
+        "--small-on", default=None, help="dim-side key when named differently"
+    )
+    bj.add_argument(
+        "--how", default="inner", help="inner / left_semi / right"
+    )
+    bj.add_argument("--output", default=None, help="result parquet path")
+    bj.add_argument("--num-hashes", type=int, default=5)
+    bj.add_argument(
+        "--num-bits", type=int, default=None,
+        help="bitmap size (default 10x dim rows, ~0.9%% fp)",
+    )
+
+    tpch = sub.add_parser(
+        "tpch", help="run the TPC-H parity-pack queries over an sf dir"
+    )
+    tpch.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01",
+        help="directory with the star-schema parquet tables",
+    )
+    tpch.add_argument(
+        "--query", default=None,
+        help="one of q4,q7,q8,q9,q10,q14,q17,q18,q19,q22 (default: all)",
+    )
+    tpch.add_argument(
+        "--show", type=int, default=0,
+        help="print the first N result rows per query",
+    )
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -526,6 +562,78 @@ def main(argv: list[str] | None = None) -> int:
             "status": "success", "action": "warc",
             "rows": sum(by_type.values()), "record_types": by_type,
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "bloomjoin":
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_build,
+            bloom_join,
+            bloom_prune,
+        )
+
+        big = spark.read.parquet(args.big)
+        small = spark.read.parquet(args.small)
+        on = (args.on, args.small_on) if args.small_on else args.on
+        bloom = bloom_build(
+            small, args.small_on or args.on,
+            num_hashes=args.num_hashes, num_bits=args.num_bits,
+        )
+        kept = bloom_prune(big, args.on, bloom).count()
+        out = bloom_join(
+            big, small, on, how=args.how,
+            num_hashes=args.num_hashes, num_bits=args.num_bits,
+        )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            joined = spark.read.parquet(args.output).count()
+        else:
+            joined = out.count()
+        big_rows = big.count()
+        print(json.dumps({
+            "status": "success", "action": "bloomjoin", "how": args.how,
+            "big_rows": big_rows, "kept_after_prune": kept,
+            "shuffle_reduction": round(1 - kept / max(big_rows, 1), 4),
+            "join_rows": joined, "num_bits": bloom.num_bits,
+            "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "tpch":
+        import time as _time
+
+        from harness_aws_etl_pipeline_spark.plans import catalog_tpch as _T
+
+        builders = {
+            tag.replace("tq", "q"): fn for tag, fn, _sql, _cols in _T._PACK
+        }
+        names = (
+            [args.query] if args.query else sorted(builders, key=lambda n: int(n[1:]))
+        )
+        report = {}
+        for name in names:
+            if name not in builders:
+                print(json.dumps({
+                    "status": "failed",
+                    "error": f"unknown query {name!r}; choose from "
+                    f"{sorted(builders)}",
+                }))
+                return 1
+            start = _time.perf_counter()
+            df = builders[name](spark, args.sf_dir)
+            rows = df.collect()
+            report[name] = {
+                "rows": len(rows),
+                "sec": round(_time.perf_counter() - start, 3),
+            }
+            if args.show:
+                report[name]["head"] = [
+                    {k: str(v) for k, v in r.asDict().items()}
+                    for r in rows[: args.show]
+                ]
+        print(json.dumps({
+            "status": "success", "action": "tpch", "sf_dir": args.sf_dir,
+            "queries": report,
         }))
         return 0
 

@@ -692,3 +692,36 @@ class TestRank:
         assert back.count() == 4
         with pytest.raises(SystemExit, match="pagerank-only"):
             main(["rank", "--input", src, "--algo", "hits", "--seed", "a"])
+
+
+class TestBloomJoinAndTpch:
+    def test_bloomjoin_roundtrip(self, spark, tmp_path, capsys):
+        big = str(tmp_path / "bj_big")
+        small = str(tmp_path / "bj_small")
+        spark.range(0, 5000).selectExpr("id % 400 as k", "id as v").write.parquet(big)
+        spark.range(0, 8).selectExpr("id * 31 as k").write.parquet(small)
+        out = str(tmp_path / "bj_out")
+        rc = main(["bloomjoin", "--big", big, "--small", small,
+                   "--on", "k", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["status"] == "success"
+        exp = (
+            spark.read.parquet(big)
+            .join(spark.read.parquet(small), "k")
+            .count()
+        )
+        assert res["join_rows"] == exp == spark.read.parquet(out).count()
+        assert res["kept_after_prune"] < res["big_rows"]
+        assert res["shuffle_reduction"] > 0.9
+
+    def test_tpch_runner_single_and_unknown(self, spark, capsys):
+        rc = main(["tpch", "--sf-dir", "/root/testdata/sf0.001",
+                   "--query", "q14"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["queries"]["q14"]["rows"] == 1
+        rc = main(["tpch", "--sf-dir", "/root/testdata/sf0.001",
+                   "--query", "q99"])
+        assert rc == 1
+        assert "unknown query" in capsys.readouterr().out
