@@ -43,9 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "heavy_hitters_by"]
 
 _SUMMARY_SCHEMA = "pid int, key string, cnt long, err long, is_floor boolean"
+_GROUPED_SCHEMA = (
+    "pid int, grp string, key string, cnt long, err long, is_floor boolean"
+)
 
 
 def heavy_hitters(
@@ -188,6 +191,166 @@ def heavy_hitters(
                 ).alias("guaranteed"),
             )
             .orderBy("rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        summ.unpersist()
+    return out
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-group approximate top-``k``: the most frequent ``key_col``
+    values WITHIN each ``group_col`` value, with the same sound
+    space-saving bounds as :func:`heavy_hitters` (top URLs per host,
+    top n-grams per language, top user agents per day).
+
+    Returns ``(grp STRING, rank INT, key STRING, count_min BIGINT,
+    count_max BIGINT, guaranteed BOOLEAN)`` — all bound/guarantee
+    semantics hold per group independently (each group's summary,
+    floors, and outside-candidate comparison never mix with another
+    group's).
+
+    State and shuffle are bounded by ``capacity × groups-per-
+    partition`` rows per input partition: the group dimension is for
+    MODERATE cardinality (languages, days, a watchlist of hosts) —
+    for millions of groups, repartition by group first so each task
+    holds few groups, or use the exact per-group rank (the
+    ``anchor_text_index`` pattern) when keys-per-group are bounded.
+    A group never seen by a partition contributes floor 0 there, so
+    skew across groups costs nothing extra. Exactness regime, NULL
+    handling, and weighting follow :func:`heavy_hitters` (NULL
+    groups are dropped with NULL keys)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cap = capacity if capacity is not None else max(16 * k, 256)
+    if cap < k:
+        raise ValueError(f"capacity={cap} must be >= k={k}")
+
+    src = df.select(
+        F.col(group_col).cast("string").alias("_hh_grp"),
+        F.col(key_col).cast("string").alias("_hh_key"),
+        (
+            F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+        ).alias("_hh_w"),
+    ).where(
+        F.col("_hh_grp").isNotNull()
+        & F.col("_hh_key").isNotNull()
+        & (F.col("_hh_w") >= 1)
+    )
+
+    def _sketch(batches):
+        import heapq
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # per group: (counts: key -> [cnt, err], heap, evicted flag)
+        groups: dict[str, tuple[dict, list, list]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            agg = pdf.groupby(["_hh_grp", "_hh_key"], sort=False)["_hh_w"].sum()
+            for (grp, key), w in agg.items():
+                w = int(w)
+                st = groups.get(grp)
+                if st is None:
+                    st = groups[grp] = ({}, [], [False])
+                counts, heap, evicted = st
+                ent = counts.get(key)
+                if ent is not None:
+                    ent[0] += w
+                    heapq.heappush(heap, (ent[0], key))
+                elif len(counts) < cap:
+                    counts[key] = [w, 0]
+                    heapq.heappush(heap, (w, key))
+                else:
+                    evicted[0] = True
+                    while True:  # pop to the first non-stale minimum
+                        c, mk = heapq.heappop(heap)
+                        e = counts.get(mk)
+                        if e is not None and e[0] == c:
+                            break
+                    m = counts.pop(mk)[0]
+                    counts[key] = [m + w, m]
+                    heapq.heappush(heap, (m + w, key))
+                if len(heap) > 4 * cap:
+                    heap = [(e[0], k2) for k2, e in counts.items()]
+                    heapq.heapify(heap)
+                    groups[grp] = (counts, heap, evicted)
+        rows = []
+        for grp, (counts, _heap, evicted) in groups.items():
+            floor = (
+                min(e[0] for e in counts.values())
+                if evicted[0] and counts
+                else 0
+            )
+            rows += [
+                (pid, grp, key, e[0], e[1], False) for key, e in counts.items()
+            ]
+            rows.append((pid, grp, None, floor, 0, True))
+        out = pd.DataFrame(
+            rows, columns=["pid", "grp", "key", "cnt", "err", "is_floor"]
+        )
+        for c in ("grp", "key"):
+            out[c] = out[c].astype(object)
+        yield out
+
+    summ = src.mapInPandas(_sketch, _GROUPED_SCHEMA).persist()
+    try:
+        floors = summ.where("is_floor").select(
+            "pid", "grp", F.col("cnt").alias("_floor")
+        )
+        total_floor = floors.groupBy("grp").agg(
+            F.coalesce(F.sum("_floor"), F.lit(0)).cast("long").alias("_tf")
+        )
+        cand = (
+            summ.where(~F.col("is_floor"))
+            .join(F.broadcast(floors), ["pid", "grp"], "left")
+            .groupBy("grp", "key")
+            .agg(
+                F.sum(F.col("cnt") - F.col("err")).alias("_lb_raw"),
+                F.sum("cnt").alias("_ub_present"),
+                F.sum(F.coalesce("_floor", F.lit(0))).alias("_pf"),
+            )
+            .join(F.broadcast(total_floor), "grp")
+            .select(
+                "grp",
+                "key",
+                F.greatest(F.col("_lb_raw"), F.lit(0)).cast("long").alias("count_min"),
+                (F.col("_ub_present") + F.col("_tf") - F.col("_pf"))
+                .cast("long")
+                .alias("count_max"),
+                "_tf",
+            )
+        )
+        w = Window.partitionBy("grp").orderBy(F.desc("count_max"), F.asc("key"))
+        ranked = cand.withColumn("rank", F.row_number().over(w))
+        outside = ranked.groupBy("grp").agg(
+            F.max(F.when(F.col("rank") > k, F.col("count_max"))).alias("_ob")
+        )
+        out = (
+            ranked.where(F.col("rank") <= k)
+            .join(F.broadcast(outside), "grp")
+            .select(
+                "grp",
+                F.col("rank").cast("int").alias("rank"),
+                "key",
+                "count_min",
+                "count_max",
+                (
+                    F.col("count_min")
+                    > F.greatest(F.coalesce(F.col("_ob"), F.lit(0)), F.col("_tf"))
+                ).alias("guaranteed"),
+            )
+            .orderBy("grp", "rank")
             .localCheckpoint(eager=True)
         )
     finally:

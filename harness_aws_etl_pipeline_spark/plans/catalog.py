@@ -1091,7 +1091,10 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         exact_quantiles,
         quantile_check,
     )
-    from harness_aws_etl_pipeline_spark.operators.sketches import heavy_hitters
+    from harness_aws_etl_pipeline_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_by,
+    )
 
     hh = heavy_hitters(tables(spark, sf)["lineitem"], "l_returnflag", k=2)
     hh_leg = hh.agg(
@@ -1112,6 +1115,32 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
         ).alias("hh_md5")
+    )
+    # grouped twin (round 7): per-l_linestatus top-2 return flags in
+    # the same provably-exact regime — group summaries never mix, so
+    # DuckDB re-derives every group's bounds and guarantee verbatim
+    hhg = heavy_hitters_by(
+        tables(spark, sf)["lineitem"], "l_linestatus", "l_returnflag", k=2
+    )
+    hhg_leg = hhg.agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            "grp",
+                            F.col("rank").cast("string"),
+                            "key",
+                            F.col("count_min").cast("string"),
+                            F.col("count_max").cast("string"),
+                            F.col("guaranteed").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("hhg_md5")
     )
     # materialize each sketch ONCE (jaccard references both twice,
     # the estimate reuses sk_o) — the corpus scans run once per call
@@ -1141,6 +1170,7 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         q_distinct_ratio(spark, sf)
         .crossJoin(F.broadcast(q_percentiles(spark, sf)))
         .crossJoin(F.broadcast(hh_leg))
+        .crossJoin(F.broadcast(hhg_leg))
         .crossJoin(F.broadcast(jac))
         .crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(rq))
@@ -1166,6 +1196,27 @@ WHERE rnk <= 2
 """
 
 
+ORACLE_GROUPED_HH = """
+SELECT md5(string_agg(s, '|' ORDER BY s)) AS hhg_md5
+FROM (
+  SELECT grp || ':' || CAST(rnk AS VARCHAR) || ':' || key || ':'
+         || CAST(cnt AS VARCHAR) || ':' || CAST(cnt AS VARCHAR) || ':'
+         || CAST(cnt > COALESCE(ob, 0) AS VARCHAR) AS s
+  FROM (SELECT grp, key, cnt,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt DESC, key) AS rnk
+        FROM (SELECT l_linestatus AS grp, l_returnflag AS key, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2)) r
+  LEFT JOIN (SELECT grp AS ogrp, MAX(cnt) AS ob FROM (
+               SELECT l_linestatus AS grp, COUNT(*) AS cnt,
+                      ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                                         ORDER BY COUNT(*) DESC, l_returnflag) AS rnk
+               FROM lineitem GROUP BY l_linestatus, l_returnflag)
+             WHERE rnk > 2 GROUP BY 1) o ON r.grp = o.ogrp
+  WHERE rnk <= 2
+)
+"""
+
+
 ORACLE_RANK_QUANTILES = """
 WITH nn AS (SELECT l_extendedprice AS v FROM lineitem
             WHERE l_extendedprice IS NOT NULL),
@@ -1182,7 +1233,8 @@ FROM s, n
 
 ORACLE_PROFILE_STATS = f"""
 SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
-CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_KMV})
+CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_GROUPED_HH})
+CROSS JOIN ({ORACLE_KMV})
 CROSS JOIN ({ORACLE_RANK_QUANTILES})
 """
 

@@ -149,3 +149,85 @@ class TestTopkCli:
         assert res["status"] == "success"
         assert [(t["key"], t["count_min"], t["guaranteed"]) for t in res["top"]] \
             == [("a", 30, True), ("b", 20, True)]
+
+
+class TestGroupedHeavyHitters:
+    def test_exact_regime_matches_windowed_groupby(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sketches import (
+            heavy_hitters_by,
+        )
+
+        # strictly-decreasing per-key counts per group (ties with the
+        # 3rd candidate would legitimately clear `guaranteed`)
+        rows = [
+            (g, f"k{j}")
+            for g_i, g in enumerate(("en", "de", "fr"))
+            for j in range(3 + g_i)
+            for _ in range(50 - 10 * j + g_i)
+        ]
+        df = spark.createDataFrame(rows, "lang string, tok string").repartition(7)
+        got = heavy_hitters_by(df, "lang", "tok", k=2).collect()
+        from pyspark.sql import Window
+
+        exact = (
+            df.groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+                ),
+            )
+            .filter(F.col("rank") <= 2)
+            .collect()
+        )
+        exp = {(r["lang"], r["rank"]): (r["tok"], r["c"]) for r in exact}
+        assert len(got) == len(exp) == 6
+        for r in got:
+            tok, c = exp[(r["grp"], r["rank"])]
+            assert r["key"] == tok
+            assert r["count_min"] == r["count_max"] == c  # exact regime
+            assert r["guaranteed"]
+
+    def test_groups_never_mix_and_bounds_sound(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sketches import (
+            heavy_hitters_by,
+        )
+
+        # group A: one hot key among many; group B: uniform junk that
+        # would evict A's state if the groups shared a summary
+        rows = [("A", "hot")] * 300 + [("A", f"a{i}") for i in range(40)]
+        rows += [("B", f"b{i % 50}") for i in range(500)]
+        df = spark.createDataFrame(rows, "g string, k string").repartition(5)
+        got = heavy_hitters_by(df, "g", "k", k=1, capacity=8)
+        byg = {r["grp"]: r for r in got.collect()}
+        assert byg["A"]["key"] == "hot"
+        assert byg["A"]["count_min"] <= 300 <= byg["A"]["count_max"]
+        # B's uniform keys: top-1 exists with sound bounds
+        assert byg["B"]["count_min"] <= 10 <= byg["B"]["count_max"]
+
+    def test_weighted_and_null_groups_dropped(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sketches import (
+            heavy_hitters_by,
+        )
+
+        df = spark.createDataFrame(
+            [("g", "x", 5), ("g", "y", 2), (None, "z", 9), ("g", None, 9)],
+            "g string, k string, w int",
+        )
+        got = heavy_hitters_by(df, "g", "k", k=2, weight="w").collect()
+        assert [(r["grp"], r["key"], r["count_max"]) for r in got] == [
+            ("g", "x", 5),
+            ("g", "y", 2),
+        ]
+
+    def test_guards(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.sketches import (
+            heavy_hitters_by,
+        )
+
+        df = spark.createDataFrame([("g", "k")], "g string, k string")
+        with pytest.raises(ValueError, match="k must be"):
+            heavy_hitters_by(df, "g", "k", k=0)
+        with pytest.raises(ValueError, match="capacity"):
+            heavy_hitters_by(df, "g", "k", k=9, capacity=3)
