@@ -294,6 +294,10 @@ def main(argv: list[str] | None = None) -> int:
     topk.add_argument(
         "--weight-col", default=None, help="integer weight column"
     )
+    topk.add_argument(
+        "--by", default=None,
+        help="group column: per-group top-k instead of global",
+    )
 
     overlap = sub.add_parser(
         "overlap",
@@ -640,18 +644,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "topk":
         from harness_aws_etl_pipeline_spark.operators.sketches import (
             heavy_hitters,
+            heavy_hitters_by,
         )
 
-        hits_df = heavy_hitters(
-            spark.read.parquet(args.input), args.col,
-            k=args.k, capacity=args.capacity, weight=args.weight_col,
-        )
+        if args.by:
+            hits_df = heavy_hitters_by(
+                spark.read.parquet(args.input), args.by, args.col,
+                k=args.k, capacity=args.capacity, weight=args.weight_col,
+            )
+        else:
+            hits_df = heavy_hitters(
+                spark.read.parquet(args.input), args.col,
+                k=args.k, capacity=args.capacity, weight=args.weight_col,
+            )
         print(json.dumps({
             "status": "success", "action": "topk", "col": args.col,
+            "by": args.by,
             "top": [
-                {"rank": r["rank"], "key": r["key"],
-                 "count_min": r["count_min"], "count_max": r["count_max"],
-                 "guaranteed": r["guaranteed"]}
+                {
+                    **({"group": r["grp"]} if args.by else {}),
+                    "rank": r["rank"], "key": r["key"],
+                    "count_min": r["count_min"], "count_max": r["count_max"],
+                    "guaranteed": r["guaranteed"],
+                }
                 for r in hits_df.collect()
             ],
         }))
