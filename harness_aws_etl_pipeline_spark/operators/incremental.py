@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
@@ -53,6 +53,7 @@ from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 __all__ = [
     "IncrementalDeduper",
     "IncrementalEmbeddingDeduper",
+    "IncrementalHeavyHitters",
     "IncrementalSpanDeduper",
 ]
 
@@ -749,3 +750,200 @@ class IncrementalSpanDeduper:
         if "hit_grams" in out:
             res["hit_grams"] = out["hit_grams"]
         return res
+
+
+class IncrementalHeavyHitters:
+    """Streaming/daily heavy hitters over an unbounded key domain.
+
+    :func:`~harness_aws_etl_pipeline_spark.operators.sketches.
+    heavy_hitters` answers "top keys of THIS dataset"; a monitoring
+    pipeline asks "top keys EVER, updated per batch, without re-reading
+    history". This keeps one space-saving summary as durable state
+    (``capacity`` rows — KBs to MBs, independent of how many batches
+    or distinct keys flowed through) and folds each batch in with the
+    Agarwal et al. mergeable-summaries algebra the one-shot operator
+    already uses across partitions:
+
+    * **per batch**: partition summaries of the batch
+      (``sketches.partition_summaries``) are merged TOGETHER WITH the
+      prior state (riding as one more source, pid −1, floor = the
+      state's absent-key bound) via ``sketches.merged_bounds``;
+    * **trim**: the merged candidates are cut back to ``capacity``
+      rows ranked by upper bound; the new floor is
+      ``max(Σ floors, (capacity+1)-th upper bound)`` — sound for
+      evicted keys (their UB is ≤ the cutoff) AND never-tracked keys
+      (bounded by the summed floors), so ``count_min ≤ true ≤
+      count_max`` holds across any number of batches;
+    * **exactly-once**: the state write is one snapshot commit
+      carrying the batch's ``(app_id, batch_id)`` ledger entry — a
+      replayed batch short-circuits before any Spark job (the same
+      txn pattern as the dedup gates; plug ``process_batch`` straight
+      into ``foreachBatch``).
+
+    Exactness: while no partition of any batch ever evicts AND the
+    state never trims (capacity covers the global distinct count),
+    the state equals the exact running groupBy — pinned by tests;
+    under pressure the bounds stay sound and ``guaranteed`` marks
+    certain members of the true top-k.
+    """
+
+    _STATE_SCHEMA = "key string, cnt long, err long, is_floor boolean"
+
+    def __init__(self, spark: SparkSession, state_path: str, capacity: int = 1024):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.capacity = capacity
+
+    # ------------------------------------------------------------------
+
+    def state_summary(self) -> DataFrame | None:
+        """The tracked ``(key, cnt, err)`` rows plus the floor row
+        (key NULL, ``is_floor``) — ``cnt − err ≤ true ≤ cnt`` per
+        tracked key, ``true ≤ floor`` for everything else."""
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+    def process_batch(
+        self,
+        df: DataFrame,
+        col: str,
+        weight: str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Fold one batch into the running summary.
+
+        Returns ``{"state_version", "skipped", "tracked_keys",
+        "floor"}``; read the current ranking any time with
+        :meth:`top`."""
+        from harness_aws_etl_pipeline_spark.operators.sketches import (
+            _hh_source,
+            merged_bounds,
+            partition_summaries,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "tracked_keys": None,
+                "floor": None,
+            }
+        batch_summ = partition_summaries(_hh_source(df, col, weight), self.capacity)
+        state = self.state_summary()
+        if state is not None:
+            state_summ = state.select(
+                F.lit(-1).alias("pid"), "key", "cnt", "err", "is_floor"
+            )
+            batch_summ = batch_summ.unionByName(state_summ)
+        summ = batch_summ.persist()
+        try:
+            merged = merged_bounds(summ)
+            ranked = merged.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.orderBy(F.desc("count_max"), F.asc("key"))
+                ),
+            ).persist()
+            cutoff = ranked.agg(
+                F.max(
+                    F.when(F.col("_rk") > self.capacity, F.col("count_max"))
+                ).alias("_cut"),
+                F.max("_tf").alias("_tf"),
+            )
+            new_state = (
+                ranked.where(F.col("_rk") <= self.capacity)
+                .select(
+                    "key",
+                    F.col("count_max").alias("cnt"),
+                    (F.col("count_max") - F.col("count_min")).alias("err"),
+                    F.lit(False).alias("is_floor"),
+                )
+                .unionByName(
+                    cutoff.select(
+                        F.lit(None).cast("string").alias("key"),
+                        F.greatest(
+                            F.coalesce(F.col("_cut"), F.lit(0)), F.col("_tf")
+                        ).alias("cnt"),
+                        F.lit(0).cast("long").alias("err"),
+                        F.lit(True).alias("is_floor"),
+                    )
+                )
+                # the state is capacity+1 rows — materialize so the
+                # overwrite below doesn't re-run the merge against the
+                # table it is replacing
+                .localCheckpoint(eager=True)
+            )
+            out = self.table.write(new_state, mode="overwrite", txn=txn)
+            tracked = new_state.where(~F.col("is_floor")).count()
+            floor = new_state.where("is_floor").first()["cnt"]
+        finally:
+            summ.unpersist()
+            try:
+                ranked.unpersist()
+            except Exception:
+                pass
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "tracked_keys": tracked,
+            "floor": int(floor),
+        }
+
+    def top(self, k: int = 10) -> DataFrame:
+        """Current top-``k``: ``(rank, key, count_min, count_max,
+        guaranteed)`` — same contract as the one-shot operator, over
+        everything ever folded in."""
+        state = self.state_summary()
+        if state is None:
+            return self.spark.createDataFrame(
+                [],
+                "rank int, key string, count_min long, count_max long,"
+                " guaranteed boolean",
+            )
+        floor = state.where("is_floor").select(F.col("cnt").alias("_tf"))
+        ranked = (
+            state.where(~F.col("is_floor"))
+            .select(
+                "key",
+                (F.col("cnt") - F.col("err")).alias("count_min"),
+                F.col("cnt").alias("count_max"),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("count_max"), F.asc("key"))
+                ),
+            )
+        )
+        outside = ranked.agg(
+            F.max(F.when(F.col("rank") > k, F.col("count_max"))).alias("_ob")
+        )
+        return (
+            ranked.where(F.col("rank") <= k)
+            .crossJoin(F.broadcast(outside))
+            .crossJoin(F.broadcast(floor))
+            .select(
+                F.col("rank").cast("int").alias("rank"),
+                "key",
+                "count_min",
+                "count_max",
+                (
+                    F.col("count_min")
+                    > F.greatest(F.coalesce(F.col("_ob"), F.lit(0)), F.col("_tf"))
+                ).alias("guaranteed"),
+            )
+            .orderBy("rank")
+        )

@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "heavy_hitters_by"]
+__all__ = [
+    "heavy_hitters",
+    "heavy_hitters_by",
+    "merged_bounds",
+    "partition_summaries",
+]
 
 _SUMMARY_SCHEMA = "pid int, key string, cnt long, err long, is_floor boolean"
 _GROUPED_SCHEMA = (
@@ -51,51 +56,22 @@ _GROUPED_SCHEMA = (
 )
 
 
-def heavy_hitters(
-    df: DataFrame,
-    col: str,
-    k: int = 10,
-    capacity: int | None = None,
-    weight: str | None = None,
-) -> DataFrame:
-    """Approximate top-``k`` most frequent values of ``df[col]`` with
-    sound error bounds, in one narrow pass.
-
-    Returns ``(rank INT, key STRING, count_min BIGINT, count_max
-    BIGINT, guaranteed BOOLEAN)`` ordered by rank — candidates ranked
-    by ``count_max`` desc then key asc; ``count_min <= true count <=
-    count_max`` always holds, and ``guaranteed`` is true iff the key
-    is CERTAINLY among the true top ``k`` (its lower bound beats the
-    best possible count of every candidate ranked below it and of
-    every untracked key).
-
-    ``capacity`` is the per-partition summary size (default
-    ``max(16*k, 256)``); per-partition error is at most
-    ``rows_in_partition / capacity``. ``weight`` names an integer
-    column: a weighted row is equivalent to that many unit rows
-    (weights < 1 dropped, like the graph operators). NULL keys are
-    dropped. Keys are compared as strings (cast once on entry).
-
-    Scale shape: one ``mapInPandas`` pass over the input (per-batch
-    pandas pre-aggregation, heap-tracked eviction), then all merging
-    runs on the ``capacity × partitions``-row summary — the only
-    wide operation the input pays is its own scan. The final ranking
-    window is a single-partition sort of the summary (bounded,
-    documented); the result is eagerly localCheckpoint-ed so the
-    summary cache is released before return.
-    """
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    cap = capacity if capacity is not None else max(16 * k, 256)
-    if cap < k:
-        raise ValueError(f"capacity={cap} must be >= k={k}")
-
-    src = df.select(
+def _hh_source(df: DataFrame, col: str, weight: str | None) -> DataFrame:
+    return df.select(
         F.col(col).cast("string").alias("_hh_key"),
         (
             F.col(weight).cast("long") if weight else F.lit(1).cast("long")
         ).alias("_hh_w"),
     ).where(F.col("_hh_key").isNotNull() & (F.col("_hh_w") >= 1))
+
+
+def partition_summaries(src: DataFrame, cap: int) -> DataFrame:
+    """Per-partition space-saving summaries of a ``(_hh_key, _hh_w)``
+    frame: ≤ ``cap`` tracked ``(pid, key, cnt, err)`` rows plus ONE
+    floor row per partition (``is_floor``, key NULL, cnt = the
+    partition's absent-key upper bound). The building block shared by
+    :func:`heavy_hitters` (one-shot merge) and
+    ``IncrementalHeavyHitters`` (cross-batch merge)."""
 
     def _sketch(batches):
         import heapq
@@ -145,31 +121,82 @@ def heavy_hitters(
         out["key"] = out["key"].astype(object)
         yield out
 
-    summ = src.mapInPandas(_sketch, _SUMMARY_SCHEMA).persist()
+    return src.mapInPandas(_sketch, _SUMMARY_SCHEMA)
+
+
+def merged_bounds(summ: DataFrame) -> DataFrame:
+    """Merge per-source summaries (the :func:`partition_summaries`
+    shape — ``pid`` is any source id) into sound global bounds:
+    ``(key, count_min, count_max, _tf)`` where ``_tf`` is the summed
+    floor (the best possible count of a key tracked by NO source)."""
+    floors = summ.where("is_floor").select("pid", F.col("cnt").alias("_floor"))
+    total_floor = floors.agg(
+        F.coalesce(F.sum("_floor"), F.lit(0)).cast("long").alias("_tf")
+    )
+    return (
+        summ.where(~F.col("is_floor"))
+        .join(F.broadcast(floors), "pid", "left")
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("cnt") - F.col("err")).alias("_lb_raw"),
+            F.sum("cnt").alias("_ub_present"),
+            F.sum(F.coalesce("_floor", F.lit(0))).alias("_pf"),
+        )
+        .crossJoin(F.broadcast(total_floor))
+        .select(
+            "key",
+            F.greatest(F.col("_lb_raw"), F.lit(0)).cast("long").alias("count_min"),
+            (F.col("_ub_present") + F.col("_tf") - F.col("_pf"))
+            .cast("long")
+            .alias("count_max"),
+            "_tf",
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int | None = None,
+    weight: str | None = None,
+) -> DataFrame:
+    """Approximate top-``k`` most frequent values of ``df[col]`` with
+    sound error bounds, in one narrow pass.
+
+    Returns ``(rank INT, key STRING, count_min BIGINT, count_max
+    BIGINT, guaranteed BOOLEAN)`` ordered by rank — candidates ranked
+    by ``count_max`` desc then key asc; ``count_min <= true count <=
+    count_max`` always holds, and ``guaranteed`` is true iff the key
+    is CERTAINLY among the true top ``k`` (its lower bound beats the
+    best possible count of every candidate ranked below it and of
+    every untracked key).
+
+    ``capacity`` is the per-partition summary size (default
+    ``max(16*k, 256)``); per-partition error is at most
+    ``rows_in_partition / capacity``. ``weight`` names an integer
+    column: a weighted row is equivalent to that many unit rows
+    (weights < 1 dropped, like the graph operators). NULL keys are
+    dropped. Keys are compared as strings (cast once on entry).
+
+    Scale shape: one ``mapInPandas`` pass over the input (per-batch
+    pandas pre-aggregation, heap-tracked eviction), then all merging
+    runs on the ``capacity × partitions``-row summary — the only
+    wide operation the input pays is its own scan. The final ranking
+    window is a single-partition sort of the summary (bounded,
+    documented); the result is eagerly localCheckpoint-ed so the
+    summary cache is released before return.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cap = capacity if capacity is not None else max(16 * k, 256)
+    if cap < k:
+        raise ValueError(f"capacity={cap} must be >= k={k}")
+
+    src = _hh_source(df, col, weight)
+    summ = partition_summaries(src, cap).persist()
     try:
-        floors = summ.where("is_floor").select("pid", F.col("cnt").alias("_floor"))
-        total_floor = floors.agg(
-            F.coalesce(F.sum("_floor"), F.lit(0)).cast("long").alias("_tf")
-        )
-        cand = (
-            summ.where(~F.col("is_floor"))
-            .join(F.broadcast(floors), "pid", "left")
-            .groupBy("key")
-            .agg(
-                F.sum(F.col("cnt") - F.col("err")).alias("_lb_raw"),
-                F.sum("cnt").alias("_ub_present"),
-                F.sum(F.coalesce("_floor", F.lit(0))).alias("_pf"),
-            )
-            .crossJoin(F.broadcast(total_floor))
-            .select(
-                "key",
-                F.greatest(F.col("_lb_raw"), F.lit(0)).cast("long").alias("count_min"),
-                (F.col("_ub_present") + F.col("_tf") - F.col("_pf"))
-                .cast("long")
-                .alias("count_max"),
-                "_tf",
-            )
-        )
+        cand = merged_bounds(summ)
         ranked = cand.withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.desc("count_max"), F.asc("key"))),

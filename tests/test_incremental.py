@@ -470,3 +470,87 @@ class TestIncrementalSpanDeduper:
             b, txn=("h", 0), pre_commit=lambda df: seen.update(n=df.count())
         )
         assert seen["n"] == 1
+
+
+class TestIncrementalHeavyHitters:
+    def _ihh(self, spark, tmp_path, capacity=1024):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalHeavyHitters,
+        )
+
+        return IncrementalHeavyHitters(
+            spark, str(tmp_path / "hh_state"), capacity=capacity
+        )
+
+    def test_exact_regime_equals_running_groupby(self, spark, tmp_path):
+        ihh = self._ihh(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)], "k string"
+        ).repartition(3)
+        b2 = spark.createDataFrame(
+            [("b",)] * 4 + [("d",)] * 2, "k string"
+        ).repartition(2)
+        ihh.process_batch(b1, "k", txn=("t", 0))
+        out = ihh.process_batch(b2, "k", txn=("t", 1))
+        assert out["floor"] == 0 and out["tracked_keys"] == 4
+        top = {r["key"]: r for r in ihh.top(4).collect()}
+        # running exact counts: b=7, a=5, d=2, c=1
+        for key, cnt in (("b", 7), ("a", 5), ("d", 2), ("c", 1)):
+            assert top[key]["count_min"] == top[key]["count_max"] == cnt
+        ranks = [r["key"] for r in ihh.top(4).collect()]
+        assert ranks == ["b", "a", "d", "c"]
+        assert all(r["guaranteed"] for r in ihh.top(2).collect())
+
+    def test_replay_short_circuits(self, spark, tmp_path):
+        ihh = self._ihh(spark, tmp_path)
+        b = spark.createDataFrame([("x",)] * 3, "k string")
+        ihh.process_batch(b, "k", txn=("app", 7))
+        v = ihh.table.current_version()
+        replay = ihh.process_batch(b, "k", txn=("app", 7))
+        assert replay["skipped"] and ihh.table.current_version() == v
+        assert ihh.top(1).first()["count_max"] == 3  # not double-counted
+
+    def test_bounds_sound_under_trim_pressure(self, spark, tmp_path):
+        # capacity 4 with 30 distinct keys per batch: state must trim
+        # every batch, yet the hot key's true count stays inside
+        # [count_min, count_max] and untracked keys stay under floor
+        ihh = self._ihh(spark, tmp_path, capacity=4)
+        import random
+
+        rng = random.Random(7)
+        true_counts: dict[str, int] = {}
+        for b in range(4):
+            rows = [("hot",)] * 50
+            for i in range(60):
+                rows.append((f"k{rng.randrange(30)}",))
+            for (k,) in rows:
+                true_counts[k] = true_counts.get(k, 0) + 1
+            df = spark.createDataFrame(rows, "k string").repartition(3)
+            out = ihh.process_batch(df, "k", txn=("p", b))
+            assert out["tracked_keys"] <= 4
+        state = {
+            r["key"]: r
+            for r in ihh.state_summary().where("NOT is_floor").collect()
+        }
+        floor = ihh.state_summary().where("is_floor").first()["cnt"]
+        assert "hot" in state, "the true heavy hitter must survive trims"
+        hot = state["hot"]
+        assert hot["cnt"] - hot["err"] <= true_counts["hot"] <= hot["cnt"]
+        for k, true in true_counts.items():
+            if k not in state:
+                assert true <= floor, (k, true, floor)
+
+    def test_weighted_and_empty_batch(self, spark, tmp_path):
+        ihh = self._ihh(spark, tmp_path)
+        df = spark.createDataFrame([("u", 10), ("v", 1)], "k string, w int")
+        ihh.process_batch(df, "k", weight="w", txn=("w", 0))
+        empty = spark.createDataFrame([], "k string, w int")
+        out = ihh.process_batch(empty, "k", weight="w", txn=("w", 1))
+        assert not out["skipped"]
+        top = ihh.top(2).collect()
+        assert [(r["key"], r["count_max"]) for r in top] == [("u", 10), ("v", 1)]
+
+    def test_maintain_before_first_batch(self, spark, tmp_path):
+        ihh = self._ihh(spark, tmp_path)
+        rep = ihh.maintain()
+        assert rep["version"] is None
