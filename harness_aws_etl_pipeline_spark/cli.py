@@ -373,6 +373,16 @@ def main(argv: list[str] | None = None) -> int:
         help="bitmap size (default 10x dim rows, ~0.9%% fp)",
     )
 
+    evolve = sub.add_parser(
+        "evolve",
+        help="read a parquet dir whose files span schema versions",
+    )
+    evolve.add_argument("--input", required=True, help="parquet table path")
+    evolve.add_argument(
+        "--output", default=None,
+        help="write the widened/normalized table here (else report only)",
+    )
+
     tpch = sub.add_parser(
         "tpch", help="run the TPC-H parity-pack queries over an sf dir"
     )
@@ -599,6 +609,45 @@ def main(argv: list[str] | None = None) -> int:
             "big_rows": big_rows, "kept_after_prune": kept,
             "shuffle_reduction": round(1 - kept / max(big_rows, 1), 4),
             "join_rows": joined, "num_bits": bloom.num_bits,
+            "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "evolve":
+        from harness_aws_etl_pipeline_spark.sources.evolve import (
+            read_parquet_evolved,
+            scan_parquet_schemas,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs, join_path
+
+        fs = get_fs(args.input, spark)
+        files = [
+            join_path(args.input, rel)
+            for rel, _m, size in fs.list_files(args.input)
+            if rel.endswith(".parquet") and size > 0
+        ]
+        if not files:
+            print(json.dumps({"status": "failed",
+                              "error": f"no parquet files under {args.input}"}))
+            return 1
+        distinct = {
+            sch.simpleString() for _p, sch in scan_parquet_schemas(spark, files)
+        }
+        try:
+            df = read_parquet_evolved(spark, files)
+        except ValueError as exc:
+            print(json.dumps({"status": "failed", "error": str(exc),
+                              "files": len(files),
+                              "schema_versions": len(distinct)}))
+            return 1
+        rows = df.count()
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "evolve",
+            "files": len(files), "schema_versions": len(distinct),
+            "rows": rows,
+            "evolved_schema": {c: t for c, t in df.dtypes},
             "output": args.output,
         }))
         return 0

@@ -124,3 +124,36 @@ class TestRead:
     def test_empty_dir_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             read_parquet_evolved(spark, str(tmp_path / "nope"))
+
+
+class TestCli:
+    def test_evolve_cli_report_and_write(self, spark, evolved_dir, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        out = str(tmp_path / "normalized")
+        rc = main(["evolve", "--input", evolved_dir, "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["schema_versions"] == 3 and res["rows"] == 4
+        assert res["evolved_schema"]["id"] == "bigint"
+        back = spark.read.parquet(out)  # normalized: plain read works now
+        assert back.count() == 4 and dict(back.dtypes)["v"] == "double"
+
+    def test_evolve_cli_incompatible_fails_loudly(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        root = str(tmp_path / "bad")
+        spark.createDataFrame([(1,)], "a int").coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+        spark.createDataFrame([("x",)], "a string").coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+        rc = main(["evolve", "--input", root])
+        assert rc == 1
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "incompatible" in res["error"] and res["schema_versions"] == 2
