@@ -499,9 +499,15 @@ def _bench_bloom(spark, sf_dir: str) -> dict:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
+    # selectivity on a NON-key column: a key-derived predicate (e.g.
+    # o_orderkey % 100 == 0) would let Catalyst infer the same filter
+    # onto the fact side of the PLAIN join via constraint propagation,
+    # and the baseline would get the pruning for free — the bloom
+    # filter exists precisely for dim selectivity the optimizer cannot
+    # restate over the fact columns
     dim = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
+        .filter(F.col("o_totalprice") > 495_000)
         .select(F.col("o_orderkey").alias("k"), "o_totalprice")
     )
     fact = li.withColumnRenamed("l_orderkey", "k")
