@@ -554,3 +554,38 @@ class TestIncrementalHeavyHitters:
         ihh = self._ihh(spark, tmp_path)
         rep = ihh.maintain()
         assert rep["version"] is None
+
+    def test_foreach_batch_stream_end_to_end(self, spark, tmp_path):
+        """readStream → foreachBatch(process_batch) with AvailableNow:
+        the sketch folds a real micro-batch stream, and replaying the
+        same stream over a fresh checkpoint hits the txn ledger
+        short-circuit instead of double-counting."""
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalHeavyHitters,
+        )
+
+        ihh = IncrementalHeavyHitters(spark, str(tmp_path / "hh_sstate"))
+        src = tmp_path / "hh_src"
+        src.mkdir()
+        spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 2, "k string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+        def fold(batch_df, batch_id):
+            ihh.process_batch(batch_df, "k", txn=("hh-stream", batch_id))
+
+        def run(ckpt):
+            q = (
+                spark.readStream.schema("k string")
+                .parquet(str(src / "b0"))
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run("hck1")
+        assert ihh.top(1).first()["count_max"] == 6
+        run("hck2")  # fresh checkpoint: same batch_id 0 → ledger skip
+        assert ihh.top(1).first()["count_max"] == 6  # not 12
