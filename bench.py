@@ -555,6 +555,28 @@ def _bench_bloom(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_tpch(spark, sf_dir: str) -> dict:
+    """TPC-H parity-pack leg — NOT a catalog entry (the pack's value
+    oracle rides the pivot_returnflag panel; this leg times the TEN
+    multi-join decision-support plans at sf0.1, once each after a
+    warm run, so warehouse-shape performance is a recorded number
+    rather than a claim)."""
+    from harness_aws_etl_pipeline_spark.plans.catalog_tpch import _PACK
+
+    out: dict = {}
+    total = 0.0
+    for tag, fn, _sql, _cols in _PACK:
+        df = fn(spark, sf_dir)
+        df.collect()  # warm (plans/scans cached by the session)
+        start = time.perf_counter()
+        rows = len(df.collect())
+        sec = time.perf_counter() - start
+        out[tag] = {"s": round(sec, 3), "rows": rows}
+        total += sec
+    out["total_s"] = round(total, 3)
+    return out
+
+
 def _bench_pq(spark, sf_dir: str) -> dict:
     """Product-quantization leg — NOT a catalog entry. Trains m=8
     codebooks on the embeddings table, encodes the corpus to 8-byte
@@ -942,6 +964,13 @@ def main() -> None:
         bloom = {"error": str(exc)[:500]}
     print(f"# bloom_join: {bloom}", file=sys.stderr)
 
+    # TPC-H parity-pack leg (round 7) — also outside "queries"
+    try:
+        tpch = _bench_tpch(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        tpch = {"error": str(exc)[:500]}
+    print(f"# tpch_pack: {tpch}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -961,6 +990,7 @@ def main() -> None:
         "pagerank": pr,
         "pq": pq,
         "bloom_join": bloom,
+        "tpch_pack": tpch,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of
