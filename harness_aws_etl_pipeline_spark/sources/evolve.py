@@ -181,7 +181,14 @@ def read_parquet_evolved(
     with its exact schema (vectorized reader, no upcast surprises),
     cast column-wise to the target, unioned by name. The union is a
     metadata operation — no shuffle; downstream operators see a
-    single scan-shaped relation per group."""
+    single scan-shaped relation per group.
+
+    Hive-partitioned layouts: files are read by explicit path, so
+    DIRECTORY-ENCODED partition columns (``year=2024/…``) are not
+    reconstructed — the columns that exist are the ones in the file
+    footers. For a partitioned lake table, either write partition
+    values into the files, or evolve per-partition and add the
+    partition literals back (``withColumn``) before unioning."""
     if isinstance(path, str):
         from harness_aws_etl_pipeline_spark.sinks.fs import get_fs, join_path
 
