@@ -300,3 +300,34 @@ def test_pagerank_ring_plus_hub_20k(spark):
     assert agg["top"] == "hub"
     assert scale - int(agg["mass"]) < 4 * (2 * n + n + 1) * 10
     assert elapsed < 60, f"pagerank 20k took {elapsed:.1f}s"
+
+
+def test_bloom_join_1m_fact_equality_and_prune(spark):
+    """1M-row fact against a 1k-key dim through the Bloom-pruned join:
+    result EXACTLY equals the plain join (no false negatives at
+    scale), and the prune removes ≥95% of the non-matching fact rows
+    before the exchange — the semi-join-reduction claim measured at a
+    size where eviction of it would be visible."""
+    from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_join,
+        bloom_prune,
+    )
+
+    fact = spark.range(1_000_000).select(
+        (F.col("id") % 100_000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(1_000).select((F.col("id") * 97 + 13).alias("k"))
+    start = time.time()
+    got = bloom_join(fact, dim, "k").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+    ).first()
+    exp = fact.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+    ).first()
+    assert (got["c"], got["s"]) == (exp["c"], exp["s"])
+    kept = bloom_prune(fact, "k", bloom_build(dim, "k")).count()
+    matching = exp["c"]
+    assert kept >= matching  # no false negatives
+    assert kept - matching <= 0.05 * 1_000_000  # fp mass bounded
+    assert time.time() - start < 60
