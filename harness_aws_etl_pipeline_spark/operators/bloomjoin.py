@@ -30,7 +30,16 @@ Spark's own AQE runtime filters (``spark.sql.optimizer.runtime.
 bloomFilter.enabled``) inject this automatically for some plans; this
 operator makes the technique explicit, composable (the filter is a
 value you can persist and reuse across queries/batches), and
-observable (``bloom_stats``).
+observable (the prune's row counts are plain DataFrame counts — the
+bench leg records ``shuffle_reduction`` from them).
+
+Operating regime: the sparse map materializes in ONE row (one task,
+then a broadcast), so it must fit comfortably in an executor/driver —
+at the default 10 bits/key that is ~1 GB per ~800M distinct dim keys;
+the practical envelope is dims up to the low hundreds of millions of
+keys, i.e. "too big to broadcast as ROWS, small enough to broadcast
+as a BITMAP". Beyond that, lower ``num_bits`` (higher fp rate still
+prunes usefully) or split the dim and prune through per-split filters.
 
 Reference scope note: the reference pipeline joins nothing larger
 than its own staging tables (etl/src/transform/transformer.py); this
