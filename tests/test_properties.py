@@ -16,7 +16,7 @@ from harness_aws_etl_pipeline_spark.operators.normalize import normalize_name
 # structure (hypothesis still shrinks any failure) at ~60% of the
 # round-5 wall-clock — the suite-runtime guardrail is <= 900 s.
 slow = settings(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -200,7 +200,7 @@ class TestSparkProperties:
         ),
     )
     @settings(
-        max_examples=8,
+        max_examples=5,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )

@@ -639,6 +639,7 @@ def test_pca_moments_bounded_at_1m_vectors(spark):
     assert wall < 120, f"PCA fit too slow at 1M: {wall:.1f}s"
 
 
+@stress
 def test_pagerank_500k_nodes(spark):
     """10-100x the fast-tier graph: 500k-node ring where every node
     also links to a hub — 1M edges, 4 iterations through the eager
