@@ -373,6 +373,19 @@ def main(argv: list[str] | None = None) -> int:
         help="bitmap size (default 10x dim rows, ~0.9%% fp)",
     )
 
+    explain = sub.add_parser(
+        "explain", help="print the physical plan of a catalog query"
+    )
+    explain.add_argument("--query", required=True, help="catalog query name")
+    explain.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="directory with the star-schema parquet tables",
+    )
+    explain.add_argument(
+        "--mode", default="formatted",
+        help="explain mode: simple/extended/codegen/cost/formatted",
+    )
+
     evolve = sub.add_parser(
         "evolve",
         help="read a parquet dir whose files span schema versions",
@@ -611,6 +624,20 @@ def main(argv: list[str] | None = None) -> int:
             "join_rows": joined, "num_bits": bloom.num_bits,
             "output": args.output,
         }))
+        return 0
+
+    if args.cmd == "explain":
+        from harness_aws_etl_pipeline_spark.plans.catalog import CATALOG
+
+        if args.query not in CATALOG:
+            print(json.dumps({
+                "status": "failed",
+                "error": f"unknown query {args.query!r}; see COVERAGE.md",
+                "available": sorted(CATALOG),
+            }))
+            return 1
+        df = CATALOG[args.query].builder(spark, args.sf_dir)
+        df.explain(args.mode)
         return 0
 
     if args.cmd == "evolve":

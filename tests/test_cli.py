@@ -725,3 +725,19 @@ class TestBloomJoinAndTpch:
                    "--query", "q99"])
         assert rc == 1
         assert "unknown query" in capsys.readouterr().out
+
+
+class TestExplainCli:
+    def test_explain_known_query(self, spark, capsys):
+        rc = main(["explain", "--query", "g1_pricing_summary",
+                   "--sf-dir", "/root/testdata/sf0.001"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Physical Plan" in out and "HashAggregate" in out
+
+    def test_explain_unknown_query(self, spark, capsys):
+        rc = main(["explain", "--query", "nope"])
+        assert rc == 1
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "unknown query" in res["error"]
+        assert "g1_pricing_summary" in res["available"]
