@@ -55,7 +55,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BloomFilter", "bloom_build", "bloom_prune", "bloom_join"]
+__all__ = [
+    "BloomFilter",
+    "bloom_anti_join",
+    "bloom_build",
+    "bloom_join",
+    "bloom_prune",
+]
 
 _WORDS_COL = "_bloom_words"
 
@@ -212,3 +218,41 @@ def bloom_join(
     return pruned.join(
         small, on=pruned[big_col] == small[small_col], how=how
     )
+
+
+def bloom_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | tuple[str, str],
+    num_hashes: int = 5,
+    num_bits: int | None = None,
+    expected: int | None = None,
+) -> DataFrame:
+    """``big`` minus rows whose key appears in ``small`` (left-anti),
+    with the opposite routing from :func:`bloom_join`: a Bloom
+    NEGATIVE is definitive, so rows the filter rejects are KEPT
+    without ever touching the join — only the (small) bloom-positive
+    candidate set rides the real anti-join, which then removes the
+    true matches and readmits the false positives. NULL keys never
+    equi-match, so they take the definite-keep path too.
+
+    Result is provably identical to ``big.join(small, on,
+    "left_anti")``; the anti-join's shuffle is sized by matches + fp
+    instead of by ``big``. The blocklist-scale takedown shape
+    (``apply_takedown_ids``) at dims too big to broadcast as rows."""
+    big_col, small_col = (on, on) if isinstance(on, str) else on
+    bloom = bloom_build(
+        small, small_col, num_hashes=num_hashes, num_bits=num_bits,
+        expected=expected,
+    )
+    pred = bloom.might_contain(_canon(big, big_col))
+    tagged = big.crossJoin(F.broadcast(bloom.words))
+    definite_keep = tagged.filter(~pred).drop(_WORDS_COL)
+    candidates = tagged.filter(pred).drop(_WORDS_COL)
+    if big_col == small_col:
+        survivors = candidates.join(small, on=big_col, how="left_anti")
+    else:
+        survivors = candidates.join(
+            small, on=candidates[big_col] == small[small_col], how="left_anti"
+        )
+    return definite_keep.unionByName(survivors)

@@ -280,7 +280,10 @@ def q_relalg_counts(spark: SparkSession, sf: str) -> DataFrame:
     result is PROVABLY identical to the plain join — which is exactly
     what the oracle pins (DuckDB runs the plain joins; any pruning
     bug that drops a matching row breaks the count)."""
-    from harness_aws_etl_pipeline_spark.operators.bloomjoin import bloom_join
+    from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+        bloom_anti_join,
+        bloom_join,
+    )
 
     j = q_join_counts(spark, sf).withColumnRenamed("join_kind", "op")
     s = q_set_ops(spark, sf).withColumnRenamed("set_op", "op")
@@ -294,12 +297,19 @@ def q_relalg_counts(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(kind).alias("op"), "row_cnt"
         )
 
-    b = cnt(
-        bloom_join(o, c, ("o_custkey", "c_custkey")), "bloom_inner"
-    ).unionByName(
-        cnt(
-            bloom_join(o, c, ("o_custkey", "c_custkey"), how="left_semi"),
-            "bloom_semi",
+    b = (
+        cnt(bloom_join(o, c, ("o_custkey", "c_custkey")), "bloom_inner")
+        .unionByName(
+            cnt(
+                bloom_join(o, c, ("o_custkey", "c_custkey"), how="left_semi"),
+                "bloom_semi",
+            )
+        )
+        .unionByName(
+            cnt(
+                bloom_anti_join(o, c, ("o_custkey", "c_custkey")),
+                "bloom_anti",
+            )
         )
     )
     return j.unionByName(s).unionByName(b).orderBy("op")
@@ -320,6 +330,10 @@ SELECT * FROM (
   WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
   UNION ALL
   SELECT 'bloom_semi', COUNT(*) FROM orders WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+  UNION ALL
+  SELECT 'bloom_anti', COUNT(*) FROM orders WHERE o_custkey NOT IN (
     SELECT c_custkey FROM customer
     WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
   UNION ALL

@@ -126,3 +126,53 @@ class TestDeterminismAndPlan:
             bloom_build(df, "k", num_bits=100)
         with pytest.raises(ValueError, match="num_hashes"):
             bloom_build(df, "k", num_hashes=0)
+
+
+class TestAntiJoin:
+    def test_anti_equals_plain(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        big = spark.range(0, 4000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(0, 30).select((F.col("id") * 17).alias("k"))
+        got = bloom_anti_join(big, small, "k")
+        exp = big.join(small, "k", "left_anti")
+        assert _sorted_rows(got) == _sorted_rows(exp)
+
+    def test_null_keys_kept(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        big = spark.createDataFrame(
+            [(None, 1), (2, 2), (3, 3)], "k int, v int"
+        )
+        small = spark.createDataFrame([(2,)], "k int")
+        key = lambda t: tuple((x is None, x) for x in t)  # None-safe sort
+        got = sorted((tuple(r) for r in bloom_anti_join(big, small, "k").collect()), key=key)
+        exp = sorted((tuple(r) for r in big.join(small, "k", "left_anti").collect()), key=key)
+        assert got == exp
+        assert (None, 1) in got  # NULL never matches -> survives anti
+
+    def test_empty_blocklist_keeps_everything(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        big = spark.range(0, 50).select(F.col("id").alias("k"))
+        small = spark.range(0).select(F.col("id").alias("k"))
+        assert bloom_anti_join(big, small, "k").count() == 50
+
+    def test_differing_key_names(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        big = spark.range(0, 300).select((F.col("id") % 40).alias("bk"))
+        small = spark.range(0, 5).select((F.col("id") * 7).alias("sk"))
+        got = bloom_anti_join(big, small, ("bk", "sk"))
+        exp = big.join(small, big["bk"] == small["sk"], "left_anti")
+        assert _sorted_rows(got) == _sorted_rows(exp)
