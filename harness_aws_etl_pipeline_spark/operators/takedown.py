@@ -186,13 +186,25 @@ def apply_takedown_ids(
     blocked: DataFrame,
     id_col: str = "doc_id",
     broadcast: bool = True,
+    bloom: bool = False,
 ) -> DataFrame:
     """Bulk-id erasure: anti-join against a blocklist FRAME (the path
     for opt-out lists beyond literal size). ``broadcast=True`` ships
     the blocklist to every task (right for human-scale lists, up to
     ~tens of millions of ids); ``False`` falls back to a shuffled
-    anti-join for blocklists that are themselves data-scale."""
+    anti-join for blocklists that are themselves data-scale —
+    and ``bloom=True`` upgrades THAT regime to the Bloom-routed
+    anti-join (operators/bloomjoin.py): rows the bitmap rejects are
+    definitively clean and skip the shuffle entirely, so the exchange
+    is sized by (matches + ~1% fp) rather than by the corpus.
+    Output is identical in all three modes."""
     b = blocked.select(F.col(blocked.columns[0]).alias(id_col)).distinct()
+    if bloom:
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        return bloom_anti_join(df, b, id_col)
     if broadcast:
         b = F.broadcast(b)
     return df.join(b, on=id_col, how="left_anti")

@@ -125,3 +125,18 @@ class TestSnapTableTakedown:
         assert [r["doc_id"] for r in t.read().collect()] == [1]
         # the pre-delete snapshot stays reviewable via time travel
         assert t.read(version=v0).count() == 3
+
+
+class TestBloomBulkPath:
+    def test_bloom_anti_mode_identical(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.takedown import (
+            apply_takedown_ids,
+        )
+
+        docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        blocked = spark.range(0, 40).selectExpr("id * 31 as doc_id")
+        plain = apply_takedown_ids(docs, blocked, bloom=False)
+        bloomed = apply_takedown_ids(docs, blocked, bloom=True)
+        assert sorted(r["doc_id"] for r in bloomed.collect()) == sorted(
+            r["doc_id"] for r in plain.collect()
+        )
