@@ -710,13 +710,22 @@ SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
 def q_window_trend(spark: SparkSession, sf: str) -> DataFrame:
     """G4 trend — daily order counts with lag delta + 7-row moving
     average (reference etl/README.md:692 'daily trends'). Aggregate
-    first (shuffle on date), window over the tiny aggregate."""
+    first (shuffle on date), window over the tiny aggregate.
+
+    Fused (round 7): the SCD-2 leg — the full version history of each
+    customer's (priority, status) observation stream derived from
+    orders (operators/scd.py:scd2_history), reduced to version/current
+    counts + an md5 over every (key, attrs, valid_from, valid_to) row.
+    Run-collapse, NULL-safe change detection, and the tie-broken LEAD
+    chain are re-derived verbatim in DuckDB."""
+    from harness_aws_etl_pipeline_spark.operators.scd import scd2_history
+
     o = tables(spark, sf)["orders"]
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("order_cnt")
     )
     w = Window.orderBy("d")
-    return (
+    base = (
         daily.withColumn("prev_cnt", F.lag("order_cnt").over(w))
         .withColumn(
             "delta", F.col("order_cnt") - F.coalesce(F.col("prev_cnt"), F.lit(0))
@@ -733,9 +742,31 @@ def q_window_trend(spark: SparkSession, sf: str) -> DataFrame:
         .select("d", "order_cnt", "prev_cnt", "delta", F.round("ma7", 6).alias("ma7"))
         .orderBy("d")
     )
+    obs = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("a1"),
+        F.col("o_orderstatus").alias("a2"),
+    )
+    hist = scd2_history(obs, "k", "ts", ["a1", "a2"])
+    s = F.concat_ws(
+        ":",
+        F.col("k").cast("string"),
+        "a1",
+        "a2",
+        F.col("valid_from").cast("date").cast("string"),
+        F.coalesce(F.col("valid_to").cast("date").cast("string"), F.lit("open")),
+    )
+    scd_leg = hist.agg(
+        F.count(F.lit(1)).alias("scd_versions"),
+        F.sum(F.col("is_current").cast("long")).alias("scd_current"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias("scd_md5"),
+    )
+    return base.crossJoin(F.broadcast(scd_leg))
 
 
 ORACLE_WINDOW_TREND = """
+SELECT * FROM (
 SELECT d, order_cnt, prev_cnt, order_cnt - COALESCE(prev_cnt, 0) AS delta,
        ROUND(CAST(SUM(order_cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / LEAST(CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE), 7.0), 6) AS ma7
@@ -744,7 +775,44 @@ FROM (
     SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS order_cnt
     FROM orders GROUP BY 1
   )
-) ORDER BY d
+)
+) base CROSS JOIN (
+  -- SCD-2 rebuild re-derived: run-collapse via cumulative change
+  -- marks (RANGE frame, so tied observations share a version),
+  -- version start = MIN(ts) per run, valid_to = tie-broken LEAD
+  WITH obs AS (SELECT o_custkey AS k, o_orderdate AS ts,
+                      o_orderpriority AS a1, o_orderstatus AS a2
+               FROM orders),
+  marks AS (
+    SELECT k, ts, a1, a2,
+           CASE WHEN ROW_NUMBER() OVER win = 1
+                  OR LAG(a1) OVER win IS DISTINCT FROM a1
+                  OR LAG(a2) OVER win IS DISTINCT FROM a2
+                THEN 1 ELSE 0 END AS chg
+    FROM obs WINDOW win AS (PARTITION BY k ORDER BY ts, a1, a2)),
+  runs AS (SELECT k, a1, a2, ts,
+                  SUM(chg) OVER (PARTITION BY k ORDER BY ts, a1, a2) AS ver
+           FROM marks),
+  vers AS (SELECT k, ver, a1, a2, MIN(ts) AS valid_from
+           FROM runs GROUP BY 1, 2, 3, 4),
+  hist AS (SELECT k, a1, a2, valid_from,
+                  LEAD(valid_from) OVER (PARTITION BY k
+                                         ORDER BY valid_from, a1, a2) AS valid_to
+           FROM vers)
+  SELECT COUNT(*) AS scd_versions,
+         CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS scd_current,
+         md5(string_agg(
+           CAST(k AS VARCHAR) || ':' || a1 || ':' || a2 || ':'
+           || CAST(CAST(valid_from AS DATE) AS VARCHAR) || ':'
+           || COALESCE(CAST(CAST(valid_to AS DATE) AS VARCHAR), 'open'),
+           '|' ORDER BY CAST(k AS VARCHAR) || ':' || a1 || ':' || a2 || ':'
+           || CAST(CAST(valid_from AS DATE) AS VARCHAR) || ':'
+           || COALESCE(CAST(CAST(valid_to AS DATE) AS VARCHAR), 'open')
+         )) AS scd_md5
+  FROM hist
+) scd_arm
+ORDER BY d
 """
 
 
