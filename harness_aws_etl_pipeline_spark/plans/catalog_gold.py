@@ -114,7 +114,27 @@ def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
         (F.coalesce(F.col("F"), F.lit(0)).cast("double") / 10000.0).alias("qty_f"),
         (F.coalesce(F.col("O"), F.lit(0)).cast("double") / 10000.0).alias("qty_o"),
     ).orderBy("l_returnflag")
-    return base.crossJoin(F.broadcast(tpch_pack_arm(spark, sf)))
+    # UNPIVOT leg (round 7): melt the cross-tab back to long form —
+    # the inverse relational op, pinned via scaled-long md5 over every
+    # (flag, status, qty) row
+    melted = base.unpivot(
+        ["l_returnflag"], ["qty_f", "qty_o"], "status", "qty"
+    )
+    ms = F.concat_ws(
+        ":",
+        "l_returnflag",
+        "status",
+        F.round(F.col("qty") * 10000).cast("long").cast("string"),
+    )
+    melt_leg = melted.agg(
+        F.count(F.lit(1)).alias("melt_rows"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(ms)))).alias(
+            "melt_md5"
+        ),
+    )
+    return base.crossJoin(F.broadcast(tpch_pack_arm(spark, sf))).crossJoin(
+        F.broadcast(melt_leg)
+    )
 
 
 def _oracle_pivot() -> str:
@@ -133,6 +153,30 @@ SELECT l_returnflag,
          / 10000.0 AS qty_o
 FROM lineitem GROUP BY l_returnflag
 ) base CROSS JOIN {ORACLE_TPCH_FRAGMENT}
+CROSS JOIN (
+  -- the melt leg: the cross-tab unpivoted back to long form
+  WITH p AS (
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) END), 0) AS DOUBLE)
+             / 10000.0 AS qty_f,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS BIGINT) END), 0) AS DOUBLE)
+             / 10000.0 AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+  ),
+  m AS (
+    SELECT l_returnflag, 'qty_f' AS status, qty_f AS qty FROM p
+    UNION ALL
+    SELECT l_returnflag, 'qty_o', qty_o FROM p
+  ),
+  s AS (SELECT l_returnflag || ':' || status || ':'
+               || CAST(CAST(ROUND(qty * 10000) AS BIGINT) AS VARCHAR) AS s
+        FROM m)
+  SELECT COUNT(*) AS melt_rows,
+         md5(string_agg(s, '|' ORDER BY s)) AS melt_md5
+  FROM s
+) melt_arm
 ORDER BY l_returnflag
 """
 
