@@ -399,3 +399,46 @@ class TestUrlProperties:
         ).collect()
         for r in rows:
             assert r.h1 == r.h2, r
+
+
+class TestBloomJoinProperties:
+    @given(
+        st.lists(
+            st.one_of(st.integers(-50, 50), st.none()), min_size=0, max_size=40
+        ),
+        st.lists(
+            st.one_of(st.integers(-50, 50), st.none()), min_size=0, max_size=12
+        ),
+    )
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_bloom_join_and_anti_equal_plain(self, spark, big_keys, small_keys):
+        """For ANY key multisets (dups, NULLs, negatives, empty sides):
+        bloom_join ≡ join and bloom_anti_join ≡ left_anti — the
+        no-false-negative / definite-negative routing guarantees."""
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+            bloom_join,
+        )
+
+        big = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(big_keys)] or [(None, -1)],
+            "k int, v int",
+        )
+        small = spark.createDataFrame(
+            [(k,) for k in small_keys] or [(None,)], "k int"
+        )
+        key = lambda t: tuple((x is None, x if x is not None else 0) for x in t)
+        for fn, how in ((bloom_join, "inner"), (bloom_anti_join, None)):
+            got = fn(big, small, "k")
+            exp = (
+                big.join(small, "k")
+                if how == "inner"
+                else big.join(small, "k", "left_anti")
+            )
+            g = sorted((tuple(r) for r in got.collect()), key=key)
+            e = sorted((tuple(r) for r in exp.collect()), key=key)
+            assert g == e, (big_keys, small_keys, how)
