@@ -434,10 +434,37 @@ FROM nation ORDER BY n_nationkey
 
 def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """§2.9 date-function breadth: trunc, datediff, add_months,
-    last_day, quarter, day-of-week — rolled up by month."""
+    last_day, quarter, day-of-week — rolled up by month.
+
+    Fused (round 7): the DATE-SPINE leg — per-priority daily order
+    counts re-laid on the dense calendar axis
+    (operators/timeseries.py:fill_date_gaps). Spine size, zero-filled
+    hole count, and the md5 of every (priority, day, cnt) row are
+    re-derived in DuckDB via generate_series."""
+    from harness_aws_etl_pipeline_spark.operators.timeseries import (
+        fill_date_gaps,
+    )
+
     o = tables(spark, sf)["orders"]
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dense = fill_date_gaps(daily, "od", ["o_orderpriority"])
+    s = F.concat_ws(
+        ":",
+        "o_orderpriority",
+        F.col("od").cast("string"),
+        F.col("cnt").cast("string"),
+    )
+    spine_leg = dense.agg(
+        F.count(F.lit(1)).alias("spine_rows"),
+        F.sum((F.col("cnt") == 0).cast("long")).alias("spine_zero_rows"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias(
+            "spine_md5"
+        ),
+    )
     d = F.to_date("o_orderdate")
-    return (
+    base = (
         o.select(
             F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
             F.quarter(d).alias("qtr"),
@@ -457,9 +484,11 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+    return base.crossJoin(F.broadcast(spine_leg))
 
 
 ORACLE_DATE_FUNCS = """
+SELECT * FROM (
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
        COUNT(*) AS order_cnt,
        CAST(MAX(EXTRACT(quarter FROM o_orderdate)) AS INT) AS qtr,
@@ -468,7 +497,28 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
          AS min_days_to_2001,
        MAX(last_day(CAST(o_orderdate AS DATE))) AS month_end,
        MAX(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)) AS max_plus3m
-FROM orders GROUP BY 1 ORDER BY 1
+FROM orders GROUP BY 1
+) base CROSS JOIN (
+  -- the date-spine leg: per-priority daily counts on the dense axis
+  WITH daily AS (SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS od,
+                        COUNT(*) AS cnt
+                 FROM orders GROUP BY 1, 2),
+  b AS (SELECT MIN(od) AS mn, MAX(od) AS mx FROM daily),
+  spine AS (SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS od
+            FROM b),
+  dom AS (SELECT DISTINCT g FROM daily),
+  dense AS (SELECT dom.g, spine.od, COALESCE(daily.cnt, 0) AS cnt
+            FROM dom CROSS JOIN spine
+            LEFT JOIN daily ON daily.g = dom.g AND daily.od = spine.od),
+  strs AS (SELECT g || ':' || CAST(od AS VARCHAR) || ':' || CAST(cnt AS VARCHAR) AS s,
+                  cnt
+           FROM dense)
+  SELECT COUNT(*) AS spine_rows,
+         CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS spine_zero_rows,
+         md5(string_agg(s, '|' ORDER BY s)) AS spine_md5
+  FROM strs
+) spine_arm
+ORDER BY month_start
 """
 
 
