@@ -331,3 +331,37 @@ def test_bloom_join_1m_fact_equality_and_prune(spark):
     assert kept >= matching  # no false negatives
     assert kept - matching <= 0.05 * 1_000_000  # fp mass bounded
     assert time.time() - start < 60
+
+
+def test_evolve_footer_scan_200_files(spark, tmp_path_factory):
+    """200 files across two schema generations: the footer scan stays
+    a single short metadata job (no data read), grouping finds exactly
+    2 distinct schemas, and the evolved read returns every row with
+    the widened type."""
+    from harness_aws_etl_pipeline_spark.sources.evolve import (
+        read_parquet_evolved,
+        scan_parquet_schemas,
+    )
+
+    root = str(tmp_path_factory.mktemp("evolve_scale") / "tbl")
+    spark.range(0, 1000).selectExpr("CAST(id AS INT) AS id").repartition(
+        100
+    ).write.mode("append").parquet(root)
+    spark.range(1000, 2000).selectExpr("id AS id").repartition(100).write.mode(
+        "append"
+    ).parquet(root)
+    import glob
+    import time
+
+    files = glob.glob(f"{root}/*.parquet")
+    assert len(files) >= 150
+    start = time.time()
+    schemas = scan_parquet_schemas(spark, files)
+    assert time.time() - start < 30
+    assert len(schemas) == len(files)
+    assert len({sch.simpleString() for _p, sch in schemas}) == 2
+    df = read_parquet_evolved(spark, root)
+    assert dict(df.dtypes) == {"id": "bigint"}
+    assert df.count() == 2000 and df.agg({"id": "sum"}).first()[0] == sum(
+        range(2000)
+    )
