@@ -418,7 +418,19 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 
 def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
     """T5/A6 — parse-ratio profiling over string columns in one pass
-    (transformer.py:190-197)."""
+    (transformer.py:190-197).
+
+    Fused (round 7): the HISTOGRAM + EXACT-CORRELATION legs
+    (operators/histogram.py) — 8 equi-width bins of l_extendedprice
+    (the deterministic IEEE cell arithmetic, bin counts md5'd) and
+    Pearson r of (l_quantity, l_extendedprice) from exact decimal
+    moment sums with ONE fixed float expression at the end — both
+    re-derived bit-for-bit in DuckDB."""
+    from harness_aws_etl_pipeline_spark.operators.histogram import (
+        corr_exact,
+        histogram,
+    )
+
     ev = tables(spark, sf)["events"]
     probe = ev.select(
         F.col("event_type"),
@@ -427,11 +439,36 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
     )
     ratios = numeric_parse_ratios(probe)
     rows = [(c, float(r)) for c, r in sorted(ratios.items())]
-    return spark.createDataFrame(rows, "col_name string, parse_ratio double")
+    base = spark.createDataFrame(rows, "col_name string, parse_ratio double")
+    li = tables(spark, sf)["lineitem"]
+    h = histogram(li, "l_extendedprice", bins=8)
+    hist_leg = h.agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("bin").cast("string"),
+                            F.col("cnt").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("hist_md5"),
+        F.sum("cnt").cast("long").alias("hist_total"),
+    )
+    corr_leg = corr_exact(li, "l_quantity", "l_extendedprice").select(
+        F.col("n").alias("corr_n"), F.col("corr").alias("corr_qty_price")
+    )
+    return base.crossJoin(F.broadcast(hist_leg)).crossJoin(
+        F.broadcast(corr_leg)
+    )
 
 
 ORACLE_NUMERIC_INFERENCE = """
-SELECT col_name, parse_ratio FROM (
+SELECT * FROM (
   SELECT 'event_type' AS col_name,
          COALESCE(AVG(CASE WHEN event_type IS NOT NULL THEN
            CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
@@ -446,7 +483,56 @@ SELECT col_name, parse_ratio FROM (
          COALESCE(AVG(CASE WHEN CAST(value AS VARCHAR) IS NOT NULL THEN
            CASE WHEN TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
          END), 0.0) FROM events
-) ORDER BY col_name
+) base CROSS JOIN (
+  -- histogram leg: the same fixed IEEE cell arithmetic, empty bins
+  -- emitted via the spine so cnt=0 rows hash too
+  WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                    MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+             FROM lineitem),
+  cells AS (SELECT CAST(
+              CASE WHEN hi = lo THEN 0
+                   ELSE GREATEST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - lo) * 8.0)
+                                             / (hi - lo)), 7), 0) END AS INT) AS bin
+            FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+  counts AS (SELECT bin, COUNT(*) AS cnt FROM cells GROUP BY 1),
+  spine AS (SELECT UNNEST(generate_series(0, 7)) AS bin),
+  hrows AS (SELECT CAST(spine.bin AS VARCHAR) || ':'
+                   || CAST(COALESCE(counts.cnt, 0) AS VARCHAR) AS s,
+                   COALESCE(counts.cnt, 0) AS cnt
+            FROM spine LEFT JOIN counts ON spine.bin = counts.bin)
+  SELECT md5(string_agg(s, '|' ORDER BY s)) AS hist_md5,
+         CAST(SUM(cnt) AS BIGINT) AS hist_total
+  FROM hrows
+) hist_arm CROSS JOIN (
+  -- exact-correlation leg: decimal moment sums, one fixed float expr
+  WITH m AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)) AS sx,
+           SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 10000) AS HUGEINT)) AS sy,
+           SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)
+               * CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)) AS sxx,
+           SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 10000) AS HUGEINT)
+               * CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 10000) AS HUGEINT)) AS syy,
+           SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)
+               * CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 10000) AS HUGEINT)) AS sxy
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+  SELECT CAST(n AS BIGINT) AS corr_n,
+         CASE WHEN n >= 2
+               AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+               AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+              THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   / SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         END AS corr_qty_price
+  FROM m
+) corr_arm
+ORDER BY col_name
 """
 
 

@@ -1,0 +1,86 @@
+"""Histogram + exact correlation (operators/histogram.py): bin
+placement edges, empty-bin emission, clamping, NULLs, constant
+columns, numpy parity for corr, and partitioning invariance of the
+exact moment sums."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.histogram import corr_exact, histogram
+
+
+class TestHistogram:
+    def test_counts_and_edges(self, spark):
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        rows = histogram(df, "v", bins=10).collect()
+        assert [r["bin"] for r in rows] == list(range(10))
+        assert all(r["cnt"] == 10 for r in rows)
+        # max value lands in the LAST bin, not a phantom 11th
+        assert rows[-1]["cnt"] == 10 and rows[-1]["hi"] == 99.0
+
+    def test_empty_bins_emitted(self, spark):
+        df = spark.createDataFrame([(0.0,), (9.99,)], "v double")
+        rows = histogram(df, "v", bins=5).collect()
+        assert len(rows) == 5
+        assert [r["cnt"] for r in rows] == [1, 0, 0, 0, 1]
+
+    def test_explicit_range_clamps(self, spark):
+        df = spark.createDataFrame([(-5.0,), (2.0,), (99.0,)], "v double")
+        rows = histogram(df, "v", bins=4, lo=0.0, hi=8.0).collect()
+        assert rows[0]["cnt"] == 1  # -5 clamps into bin 0
+        assert rows[1]["cnt"] == 1  # 2.0 -> [2, 4)
+        assert rows[-1]["cnt"] == 1  # 99 clamps into the top bin
+
+    def test_nulls_and_constant(self, spark):
+        df = spark.createDataFrame([(None,), (3.0,), (3.0,)], "v double")
+        rows = histogram(df, "v", bins=3).collect()
+        assert sum(r["cnt"] for r in rows) == 2
+        assert rows[0]["cnt"] == 2  # constant column -> all in bin 0
+
+    def test_guard(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="bins"):
+            histogram(df, "v", bins=0)
+
+
+class TestCorr:
+    def test_numpy_parity(self, spark):
+        rng = np.random.default_rng(7)
+        xv = rng.normal(50, 10, 500).round(4)
+        yv = (0.7 * xv + rng.normal(0, 5, 500)).round(4)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(xv, yv)], "x double, y double"
+        )
+        got = corr_exact(df, "x", "y").first()
+        assert got["n"] == 500
+        assert got["corr"] == pytest.approx(np.corrcoef(xv, yv)[0, 1], abs=1e-6)
+
+    def test_partitioning_invariance_bit_exact(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [
+            (float(a), float(b))
+            for a, b in zip(
+                rng.normal(0, 3, 400).round(4), rng.normal(0, 3, 400).round(4)
+            )
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        a = corr_exact(df.repartition(1), "x", "y").first()["corr"]
+        b = corr_exact(df.repartition(13, "x"), "x", "y").first()["corr"]
+        assert a == b  # EXACT equality: integer moments, one float expr
+
+    def test_constant_and_null_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (1.0, 7.0), (None, 9.0), (2.0, None)],
+            "x double, y double",
+        )
+        r = corr_exact(df, "x", "y").first()
+        assert r["n"] == 2 and r["corr"] is None  # x constant on the pairs
+
+    def test_perfect_correlation(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), float(2 * i + 3)) for i in range(50)], "x double, y double"
+        )
+        assert corr_exact(df, "x", "y").first()["corr"] == pytest.approx(1.0)
