@@ -373,6 +373,17 @@ def main(argv: list[str] | None = None) -> int:
         help="bitmap size (default 10x dim rows, ~0.9%% fp)",
     )
 
+    prof = sub.add_parser(
+        "profile", help="distribution profile of a numeric parquet column"
+    )
+    prof.add_argument("--input", required=True, help="parquet path")
+    prof.add_argument("--col", required=True, help="numeric column")
+    prof.add_argument("--bins", type=int, default=10)
+    prof.add_argument(
+        "--corr-with", default=None,
+        help="second column: also report exact Pearson r",
+    )
+
     explain = sub.add_parser(
         "explain", help="print the physical plan of a catalog query"
     )
@@ -624,6 +635,37 @@ def main(argv: list[str] | None = None) -> int:
             "join_rows": joined, "num_bits": bloom.num_bits,
             "output": args.output,
         }))
+        return 0
+
+    if args.cmd == "profile":
+        from pyspark.sql import functions as SF
+
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            corr_exact,
+            histogram,
+        )
+
+        df = spark.read.parquet(args.input)
+        stats = df.agg(
+            SF.count(SF.col(args.col)).alias("n"),
+            SF.min(args.col).alias("min"),
+            SF.max(args.col).alias("max"),
+            SF.avg(args.col).alias("mean"),
+            SF.expr(f"percentile(`{args.col}`, 0.5)").alias("p50"),
+        ).first()
+        hist = [
+            {"bin": r["bin"], "lo": r["lo"], "hi": r["hi"], "cnt": r["cnt"]}
+            for r in histogram(df, args.col, bins=args.bins).collect()
+        ]
+        out = {
+            "status": "success", "action": "profile", "col": args.col,
+            "n": stats["n"], "min": stats["min"], "max": stats["max"],
+            "mean": stats["mean"], "p50": stats["p50"], "histogram": hist,
+        }
+        if args.corr_with:
+            c = corr_exact(df, args.col, args.corr_with).first()
+            out["corr"] = {"with": args.corr_with, "n": c["n"], "r": c["corr"]}
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "explain":

@@ -84,3 +84,22 @@ class TestCorr:
             [(float(i), float(2 * i + 3)) for i in range(50)], "x double, y double"
         )
         assert corr_exact(df, "x", "y").first()["corr"] == pytest.approx(1.0)
+
+
+class TestProfileCli:
+    def test_profile_with_corr(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        src = str(tmp_path / "prof")
+        spark.range(0, 200).selectExpr(
+            "CAST(id AS DOUBLE) AS x", "CAST(id * 3 AS DOUBLE) AS y"
+        ).write.parquet(src)
+        rc = main(["profile", "--input", src, "--col", "x",
+                   "--bins", "4", "--corr-with", "y"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["n"] == 200 and res["min"] == 0.0 and res["max"] == 199.0
+        assert [b["cnt"] for b in res["histogram"]] == [50, 50, 50, 50]
+        assert res["corr"]["r"] == pytest.approx(1.0)
