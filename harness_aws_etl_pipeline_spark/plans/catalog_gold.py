@@ -399,11 +399,36 @@ SELECT * FROM (
 """
 
 
+_FUZZY_L = ("anna", "johnny", "catherine", "bob", "zebra")
+_FUZZY_R = ("ana", "jonny", "katherine", "rob", "zebras", "unrelated")
+
+
 def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """§2.9 string-function breadth: case, trim/pad, substring,
-    replace, concat, split, levenshtein — one projection, codegen'd."""
+    replace, concat, split, levenshtein — one projection, codegen'd.
+
+    Fused (round 7): the FUZZY-JOIN leg — planted near-miss word lists
+    through the blocked edit-distance join
+    (operators/fuzzyjoin.py; length banding is lossless, so the pair
+    set equals the naive cross-join filter the oracle runs)."""
+    from harness_aws_etl_pipeline_spark.operators.fuzzyjoin import (
+        fuzzy_string_join,
+    )
+
+    fl = spark.createDataFrame([(w,) for w in _FUZZY_L], "lw string")
+    fr = spark.createDataFrame([(w,) for w in _FUZZY_R], "rw string")
+    pairs = fuzzy_string_join(fl, fr, "lw", "rw", max_dist=2)
+    fs = F.concat_ws(
+        ":", "lw", "rw", F.col("edit_dist").cast("string")
+    )
+    fuzzy_leg = pairs.agg(
+        F.count(F.lit(1)).alias("fuzzy_pairs"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(fs)))).alias(
+            "fuzzy_md5"
+        ),
+    )
     n = tables(spark, sf)["nation"]
-    return n.select(
+    base = n.select(
         "n_nationkey",
         F.upper("n_name").alias("upper_name"),
         F.lower("n_name").alias("lower_name"),
@@ -416,6 +441,7 @@ def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("lev_us"),
         F.size(F.split("n_name", " ")).alias("word_parts"),
     ).orderBy("n_nationkey")
+    return base.crossJoin(F.broadcast(fuzzy_leg))
 
 
 ORACLE_STRING_FUNCS = """
@@ -427,8 +453,20 @@ SELECT n_nationkey,
        regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled,
        n_name || '-' || CAST(n_nationkey AS VARCHAR) AS tagged,
        CAST(levenshtein(n_name, 'UNITED STATES') AS INT) AS lev_us,
-       CAST(len(string_split(n_name, ' ')) AS INT) AS word_parts
-FROM nation ORDER BY n_nationkey
+       CAST(len(string_split(n_name, ' ')) AS INT) AS word_parts,
+       fuzzy_pairs, fuzzy_md5
+FROM nation
+CROSS JOIN (
+  SELECT COUNT(*) AS fuzzy_pairs,
+         md5(string_agg(lw || ':' || rw || ':' || CAST(d AS VARCHAR),
+             '|' ORDER BY lw || ':' || rw || ':' || CAST(d AS VARCHAR)))
+           AS fuzzy_md5
+  FROM (SELECT lw, rw, levenshtein(lw, rw) AS d
+        FROM (VALUES ('anna'), ('johnny'), ('catherine'), ('bob'), ('zebra')) AS l(lw)
+        CROSS JOIN (VALUES ('ana'), ('jonny'), ('katherine'), ('rob'), ('zebras'), ('unrelated')) AS r(rw)
+        WHERE levenshtein(lw, rw) <= 2)
+) fuzzy_arm
+ORDER BY n_nationkey
 """
 
 
