@@ -555,6 +555,58 @@ def _bench_bloom(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_fuzzy(spark, sf_dir: str) -> dict:
+    """Fuzzy-string-join leg — NOT a catalog entry (the value oracle
+    rides string_funcs' fuzzy legs).  Measures the r7 VERDICT's scale
+    criterion directly: on a NARROW length distribution (3k×3k hex
+    words, every length in 9–12 — the regime where length-band
+    blocking degenerates toward |L|·|R|), the PassJoin segment
+    blocking's candidate-pair count must sit near the true-match
+    density, not near the 9M cross product.  Work checks recorded:
+    candidate pairs for both blocking schemes, the verified match
+    count, and the work ratio candidates/|L|·|R|."""
+    import hashlib
+
+    from harness_aws_etl_pipeline_spark.operators.fuzzyjoin import (
+        fuzzy_join_candidates,
+        fuzzy_string_join,
+    )
+
+    n = 3000
+
+    def words(salt: str) -> list[str]:
+        out = []
+        for i in range(n):
+            h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+            w = h[: 9 + (i % 4)]
+            # plant true near-matches: every 10th right word is a
+            # 1-char corruption of the left word with the same index
+            if salt == "R" and i % 10 == 0:
+                base = hashlib.md5(f"L:{i}".encode()).hexdigest()[: 9 + (i % 4)]
+                w = "z" + base[1:]
+            out.append(w)
+        return out
+
+    l = spark.createDataFrame([(w,) for w in words("L")], "a string")
+    r = spark.createDataFrame([(w,) for w in words("R")], "b string")
+    out: dict = {"cross_product": n * n}
+    start = time.perf_counter()
+    matches = fuzzy_string_join(l, r, "a", "b", max_dist=2).count()
+    out["segment_join_s"] = round(time.perf_counter() - start, 3)
+    out["match_pairs"] = matches
+    seg = fuzzy_join_candidates(l, r, "a", "b", max_dist=2).count()
+    band = fuzzy_join_candidates(
+        l, r, "a", "b", max_dist=2, blocking="length"
+    ).count()
+    out.update(
+        segment_candidates=seg,
+        length_candidates=band,
+        segment_work_ratio=round(seg / (n * n), 6),
+        length_work_ratio=round(band / (n * n), 6),
+    )
+    return out
+
+
 def _bench_tpch(spark, sf_dir: str) -> dict:
     """TPC-H parity-pack leg — NOT a catalog entry (the pack's value
     oracle rides the pivot_returnflag panel; this leg times the TEN
@@ -971,6 +1023,13 @@ def main() -> None:
         tpch = {"error": str(exc)[:500]}
     print(f"# tpch_pack: {tpch}", file=sys.stderr)
 
+    # fuzzy-join blocking work-check leg (round 8) — also outside "queries"
+    try:
+        fuzzy = _bench_fuzzy(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        fuzzy = {"error": str(exc)[:500]}
+    print(f"# fuzzy_join: {fuzzy}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -991,6 +1050,7 @@ def main() -> None:
         "pq": pq,
         "bloom_join": bloom,
         "tpch_pack": tpch,
+        "fuzzy_join": fuzzy,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of

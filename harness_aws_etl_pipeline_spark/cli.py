@@ -1140,9 +1140,9 @@ def main(argv: list[str] | None = None) -> int:
                 # explicit parquet blocklist → bulk anti-join path;
                 # regex/hash rules (if any) run as a second pass
                 blocked = spark.read.parquet(args.block_ids_path)
-                out = apply_takedown_ids(df, blocked, id_col=args.id_col)
-                removed_ids = df.count() - out.count()
-                report = {"matched_ids_bulk": removed_ids}
+                pre = out.count()
+                out = apply_takedown_ids(out, blocked, id_col=args.id_col)
+                report = {"matched_ids_bulk": pre - out.count()}
             if args.block_ids and not args.block_ids.replace(",", "").replace(
                 "-", ""
             ).strip().isdigit():
@@ -1156,9 +1156,13 @@ def main(argv: list[str] | None = None) -> int:
                 except Exception:
                     block_ids = _literal_ids(args.block_ids)
                 else:
+                    # per-pass count: snapshot BEFORE this apply so a
+                    # preceding --block-ids-path pass isn't re-counted
+                    pre = out.count()
                     out = apply_takedown_ids(out, blocked, id_col=args.id_col)
-                    removed_ids = df.count() - out.count()
-                    report = {"matched_ids_bulk": removed_ids}
+                    report["matched_ids_bulk"] = report.get(
+                        "matched_ids_bulk", 0
+                    ) + (pre - out.count())
             elif args.block_ids:
                 block_ids = _literal_ids(args.block_ids)
             if block_ids or args.block_url_pattern or args.block_hash:

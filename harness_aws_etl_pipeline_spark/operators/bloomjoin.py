@@ -70,17 +70,39 @@ _WORDS_COL = "_bloom_words"
 # canonical widened type so a filter built from an int column prunes a
 # long probe column correctly (and vice versa).
 _CANON_CASTS = {
-    "tinyint": "long",
-    "smallint": "long",
-    "int": "long",
+    "tinyint": "bigint",
+    "smallint": "bigint",
+    "int": "bigint",
     "float": "double",
 }
+
+
+def _canon_type(df: DataFrame, col: str) -> str:
+    t = df.schema[col].dataType.simpleString()
+    return _CANON_CASTS.get(t, t)
 
 
 def _canon(df: DataFrame, col: str) -> Column:
     t = df.schema[col].dataType.simpleString()
     c = F.col(col)
     return c.cast(_CANON_CASTS[t]) if t in _CANON_CASTS else c
+
+
+def _check_probe_type(bloom: "BloomFilter", df: DataFrame, col: str) -> None:
+    """The prune is only sound when build and probe keys hash the same
+    bytes. ``_CANON_CASTS`` reconciles int widths and float/double, but
+    a decimal / date / string key meeting a long key would EQUI-JOIN
+    after Spark's implicit coercion while ``xxhash64`` hashes them
+    differently — Bloom false NEGATIVES, i.e. silently dropped matches.
+    Refuse loudly instead of pruning wrong."""
+    probe_t = _canon_type(df, col)
+    if bloom.key_type and probe_t != bloom.key_type:
+        raise ValueError(
+            f"bloom probe key {col!r} has canonical type {probe_t!r} but the "
+            f"filter was built over {bloom.key_type!r}; xxhash64 is type-"
+            "sensitive, so pruning across this pair would drop matching rows "
+            "— cast both keys to one type explicitly first"
+        )
 
 
 @dataclass(frozen=True)
@@ -97,6 +119,10 @@ class BloomFilter:
     words: DataFrame
     num_bits: int
     num_hashes: int
+    # canonical simpleString of the build key's type — probes against a
+    # different canonical type are rejected (xxhash64 is type-sensitive;
+    # see _check_probe_type). Empty = unchecked (pre-r8 pickles/tests).
+    key_type: str = ""
 
     def might_contain(self, col: Column | str) -> Column:
         """Membership predicate for a row already joined with
@@ -130,14 +156,26 @@ def bloom_build(
 
     ``num_bits`` defaults to ``10 × expected`` rounded up to a word
     boundary (~0.9% false positives at the default 5 hashes);
-    ``expected`` defaults to ``df.count()`` — pass it explicitly to
-    skip that job when the build side's size is already known.
-    Duplicate keys cost nothing extra (bit-OR is idempotent), so no
-    distinct pass runs."""
+    ``expected`` defaults to an ``approx_count_distinct`` over the key
+    — a single aggregate whose shuffle carries HLL sketches, not rows,
+    and which sizes on DISTINCT keys (bit-OR is idempotent, so dup-
+    heavy dims don't oversize the bitmap the way a row count would).
+    Pass ``expected`` explicitly to skip that job entirely when the
+    build side's cardinality is already known. The estimate's ~2% rsd
+    means the bitmap can be slightly under-sized: the fp rate drifts
+    from ~0.9% toward ~1.1% in the worst case — join RESULTS are
+    unaffected (false positives are re-checked by the real join; false
+    negatives cannot happen regardless of sizing)."""
     if num_hashes < 1:
         raise ValueError("num_hashes must be >= 1")
     if num_bits is None:
-        n = expected if expected is not None else df.count()
+        n = (
+            expected
+            if expected is not None
+            else df.agg(
+                F.approx_count_distinct(_canon(df, col), rsd=0.02).alias("n")
+            ).first()["n"]
+        )
         num_bits = max(64, ((10 * max(n, 1) + 63) // 64) * 64)
     if num_bits % 64 != 0 or num_bits < 64:
         raise ValueError("num_bits must be a positive multiple of 64")
@@ -169,7 +207,12 @@ def bloom_build(
             ).alias(_WORDS_COL)
         )
     )
-    return BloomFilter(words=words, num_bits=num_bits, num_hashes=num_hashes)
+    return BloomFilter(
+        words=words,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        key_type=_canon_type(df, col),
+    )
 
 
 def bloom_prune(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
@@ -177,6 +220,7 @@ def bloom_prune(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
     filter's key set (NULL keys prune too — they cannot equi-join).
     One broadcast + a codegen'd filter; no shuffle, no aggregation on
     ``df``'s side."""
+    _check_probe_type(bloom, df, col)
     return (
         df.crossJoin(F.broadcast(bloom.words))
         .filter(bloom.might_contain(_canon(df, col)))
@@ -227,6 +271,7 @@ def bloom_anti_join(
     num_hashes: int = 5,
     num_bits: int | None = None,
     expected: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """``big`` minus rows whose key appears in ``small`` (left-anti),
     with the opposite routing from :func:`bloom_join`: a Bloom
@@ -238,15 +283,32 @@ def bloom_anti_join(
 
     Result is provably identical to ``big.join(small, on,
     "left_anti")``; the anti-join's shuffle is sized by matches + fp
-    instead of by ``big``. The blocklist-scale takedown shape
+    instead of by ``big``.  Operating note — the split SCANS the big
+    side twice: the keep branch and the candidate branch each
+    re-evaluate scan → broadcast → filter (two passes of read I/O, one
+    filter each, zero shuffle on the keep branch). That trade is right
+    when shuffle bytes dominate scan bytes — the usual case for a
+    selective blocklist over columnar files with pushdown, where the
+    avoided exchange (sort + spill + network on ALL of ``big``) costs
+    far more than a second pushdown-pruned scan. When the big side is
+    expensive to produce (an upstream join/agg, a non-reusable stream)
+    pass ``persist=True`` to cache the tagged frame (MEMORY_AND_DISK)
+    so both branches read one materialization — at true 100 TB inputs
+    prefer the double scan; caching the whole fact table costs more
+    than it saves. The blocklist-scale takedown shape
     (``apply_takedown_ids``) at dims too big to broadcast as rows."""
     big_col, small_col = (on, on) if isinstance(on, str) else on
     bloom = bloom_build(
         small, small_col, num_hashes=num_hashes, num_bits=num_bits,
         expected=expected,
     )
+    _check_probe_type(bloom, big, big_col)
     pred = bloom.might_contain(_canon(big, big_col))
     tagged = big.crossJoin(F.broadcast(bloom.words))
+    if persist:
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     definite_keep = tagged.filter(~pred).drop(_WORDS_COL)
     candidates = tagged.filter(pred).drop(_WORDS_COL)
     if big_col == small_col:

@@ -7,21 +7,46 @@ with a ``levenshtein ≤ k`` filter — O(|L|·|R|) comparisons, dead at
 scale. The standard fix is BLOCKING: only pairs that agree on cheap
 invariants of any ≤ k-edit match are compared at all.
 
-Blocking invariants used (both PROVABLY safe for edit distance ≤ k —
-no true match is lost):
+Two lossless blocking schemes (both PROVABLY complete for edit
+distance ≤ k — no true match is lost):
 
-- length band: ``|len(a) − len(b)| ≤ k`` (each edit changes length by
-  at most 1) — expressed by joining on length-bucket ids, each side
-  exploded onto the ⌈(2k+1)/band⌉ buckets it can reach;
-- optional prefix agreement (``prefix_len`` > 0): first characters
-  equal — NOT edit-safe (an edit can change the first letter) but the
-  classic recall/cost dial; off by default so default results are
-  exactly the naive join's.
+- ``blocking="segment"`` (default) — PassJoin-style pigeonhole
+  blocking (Li/Deng/Feng, VLDB 2012): each right string of length L is
+  split into k+1 contiguous segments; any string within k edits must
+  contain AT LEAST ONE segment verbatim (k edits can corrupt at most k
+  of the k+1 segments), at a start position whose shift from the
+  segment's home position is bounded by the edits before it.  The
+  right side indexes (target_len, segment_idx, segment); the left side
+  enumerates, for each reachable target length and segment slot, the
+  few substrings inside the provably-sufficient shift window
+  ``q − p ∈ [Δ−k, Δ+k] ∩ [−k, k]`` (Δ = len(left) − target_len; edits
+  before the segment bound the left end, edits after it bound the
+  right end).  Blocking power scales with segment entropy — on natural
+  text the (len, idx, multi-char-substring) key spreads candidates
+  over the corpus vocabulary instead of ~2k+1 length bands, so the
+  per-bucket candidate count stays near the true-match density.
+  Strings shorter than k+1 have empty segments and degrade gracefully
+  to length-only blocking for those lengths — the correct floor.
+- ``blocking="length"`` — length-band only: ``|len(a) − len(b)| ≤ k``
+  (each edit changes length by at most 1), each left row exploded onto
+  the ±1 neighbouring length buckets.  Cheaper to generate (no
+  substring enumeration) but near-quadratic when the corpus length
+  distribution is narrow; kept for tiny inputs and as the oracle of
+  the segment path.
 
-Everything is JVM-side: the block key is an equi-join key (hash
-shuffle on (bucket[, prefix])), the verify is the codegen
-``levenshtein`` with Spark's built-in ≤-threshold early exit. The
-result carries the distance for downstream scoring.
+Optional prefix agreement (``prefix_len`` > 0): first characters
+equal — NOT edit-safe (an edit can change the first letter) but the
+classic recall/cost dial; off by default so default results are
+exactly the naive join's.
+
+Everything is JVM-side: block keys are equi-join keys (hash shuffle),
+candidate enumeration is ``array``/``inline`` codegen, and the verify
+is the codegen ``levenshtein`` with Spark's built-in ≤-threshold early
+exit.  A pair can meet in several segment slots, so candidates carry
+per-row ids and the verified output is de-duplicated per (left row,
+right row) — multiplicity equals the naive join's exactly (duplicate
+input rows get distinct ids and are preserved).  The result carries
+the distance for downstream scoring.
 
 Reference scope note: the reference has no string matching at all
 (its only key matching is a DynamoDB point lookup,
@@ -31,46 +56,139 @@ similarity families with the lexical entity-resolution join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_string_join"]
+__all__ = ["fuzzy_string_join", "fuzzy_join_candidates"]
+
+_HELPERS = ("_fl", "_fr", "_bk", "_pf", "_lid", "_rid", "_tlen", "_seg_i", "_seg")
 
 
-def fuzzy_string_join(
+def _prepare(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
-    max_dist: int = 2,
-    prefix_len: int = 0,
-) -> DataFrame:
-    """Pairs with ``levenshtein(left_col, right_col) ≤ max_dist``.
-
-    Returns every left column + every right column (collisions
-    suffixed ``_r``) + ``edit_dist INT``. With ``prefix_len=0`` the
-    result EQUALS the naive cross-join filter (length banding is
-    lossless for edit distance); ``prefix_len>0`` additionally
-    requires the first characters to match — cheaper, may drop
-    matches whose edits touch the prefix. NULL strings never match."""
-    if max_dist < 0:
-        raise ValueError("max_dist must be >= 0")
-    band = max_dist + 1  # bucket width: a ≤k partner is in ±1 bucket
-    lc, rc = F.col("_fl"), F.col("_fr")
+) -> tuple[DataFrame, DataFrame, str]:
+    """Suffix right-side collisions with ``_r`` and reject inputs whose
+    existing columns would collide with the suffixed names, the helper
+    columns, or the ``edit_dist`` output — a pre-existing ``{c}_r``
+    would silently shadow the renamed column (ADVICE r7)."""
     overlap = set(left.columns) & set(right.columns)
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        bad = sorted(set(cols) & set(_HELPERS)) + (
+            ["edit_dist"] if "edit_dist" in cols else []
+        )
+        if bad:
+            raise ValueError(
+                f"{side} input columns {bad} collide with fuzzy_string_join's "
+                "helper/output columns; rename them first"
+            )
+    clashes = sorted(
+        f"{c}_r"
+        for c in overlap
+        if f"{c}_r" in left.columns or f"{c}_r" in right.columns
+    )
+    if clashes:
+        raise ValueError(
+            f"collision-suffix target(s) {clashes} already exist in the "
+            "inputs; rename them so the right side's overlapping columns "
+            "can be suffixed '_r' unambiguously"
+        )
     r = right
     for c in overlap:
         r = r.withColumnRenamed(c, f"{c}_r")
     right_out = f"{right_col}_r" if right_col in overlap else right_col
-    l_keyed = left.where(F.col(left_col).isNotNull()).withColumn(
-        "_fl", F.col(left_col)
+    return left, r, right_out
+
+
+def _seg_geometry(tlen: Column, i: int, k: int) -> tuple[Column, Column]:
+    """(start0, seg_len) of segment ``i`` in the k+1-way partition of a
+    string of length ``tlen``: the first ``k+1 − (tlen mod (k+1))``
+    segments take ``⌊tlen/(k+1)⌋`` chars, the rest one more — standard
+    PassJoin geometry, lengths sum to ``tlen`` exactly."""
+    k1 = k + 1
+    base = F.floor(tlen / k1).cast("int")
+    rem = F.pmod(tlen, F.lit(k1)).cast("int")
+    m = F.lit(k1) - rem  # count of short segments
+    seg_len = base + F.when(F.lit(i) >= m, 1).otherwise(0)
+    start = F.lit(i) * base + F.greatest(F.lit(0), F.lit(i) - m)
+    return start, seg_len
+
+
+def _segment_candidates(
+    l_keyed: DataFrame,
+    r_keyed: DataFrame,
+    k: int,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """The blocked candidate frame (pre-verify): left and right rows
+    joined on (target_len, segment_idx, segment).  Per left row the
+    enumeration is ≤ Σ_{|Δ|≤k} (k+1)(2k−|Δ|+1) structs (57 at k=2),
+    ``array_distinct``-ed so one left row probes each key once."""
+    lc, rc = F.col("_fl"), F.col("_fr")
+    k1 = k + 1
+    # ---- index side: k+1 (target_len, idx, segment) entries per row
+    entries = []
+    rlen = F.length(rc).cast("int")
+    for i in range(k1):
+        start, seg_len = _seg_geometry(rlen, i, k)
+        entries.append(
+            F.struct(
+                rlen.alias("_tlen"),
+                F.lit(i).alias("_seg_i"),
+                rc.substr(start + 1, seg_len).alias("_seg"),
+            )
+        )
+    r_exp = r_keyed.select("*", F.inline(F.array(*entries)))
+    # ---- probe side: for each reachable target length ls+dl and each
+    # segment slot, the substrings inside the sound shift window
+    ls = F.length(lc).cast("int")
+    probes = []
+    for dl in range(-k, k + 1):  # target_len − probe_len
+        tlen = ls + dl
+        for i in range(k1):
+            start, seg_len = _seg_geometry(tlen, i, k)
+            # Δ = ls − tlen = −dl; shift window [max(−k, Δ−k), min(k, Δ+k)]
+            lo = max(-k, -dl - k)
+            hi = min(k, -dl + k)
+            for off in range(lo, hi + 1):
+                q = start + off
+                valid = (
+                    (tlen >= 0)
+                    & (q >= 0)
+                    & (q + seg_len <= ls)
+                )
+                probes.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            tlen.alias("_tlen"),
+                            F.lit(i).alias("_seg_i"),
+                            lc.substr(q + 1, seg_len).alias("_seg"),
+                        ),
+                    )
+                )
+    l_exp = l_keyed.select(
+        "*",
+        F.inline(F.array_distinct(F.array_compact(F.array(*probes)))),
     )
-    r_keyed = r.where(F.col(right_out).isNotNull()).withColumn(
-        "_fr", F.col(right_out)
+    return l_exp.join(r_exp, ["_tlen", "_seg_i", "_seg", *extra_keys]).drop(
+        "_tlen", "_seg_i", "_seg"
     )
-    # left explodes onto its bucket and both neighbours; right keeps
-    # one bucket — every pair within the length band meets exactly
-    # once on the right's own bucket id
+
+
+def _length_candidates(
+    l_keyed: DataFrame,
+    r_keyed: DataFrame,
+    k: int,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Length-band candidates: left explodes onto its bucket and both
+    neighbours; right keeps one bucket — every pair within the length
+    band meets exactly once on the right's own bucket id."""
+    lc, rc = F.col("_fl"), F.col("_fr")
+    band = k + 1
     l_b = l_keyed.withColumn(
         "_bk",
         F.explode(
@@ -82,21 +200,108 @@ def fuzzy_string_join(
         ),
     )
     r_b = r_keyed.withColumn("_bk", F.floor(F.length(rc) / band).cast("long"))
-    keys = ["_bk"]
-    if prefix_len > 0:
-        l_b = l_b.withColumn("_pf", F.substring(lc, 1, prefix_len))
-        r_b = r_b.withColumn("_pf", F.substring(rc, 1, prefix_len))
-        keys.append("_pf")
     return (
-        l_b.join(r_b, keys)
-        .withColumn(
-            "edit_dist",
-            F.levenshtein(lc, rc, max_dist),
-        )
-        # threshold form returns -1 past the cutoff
-        .filter(
-            (F.col("edit_dist") >= 0)
-            & (F.abs(F.length(lc) - F.length(rc)) <= max_dist)
-        )
-        .drop("_fl", "_fr", "_bk", *(["_pf"] if prefix_len > 0 else []))
+        l_b.join(r_b, ["_bk", *extra_keys])
+        .filter(F.abs(F.length(lc) - F.length(rc)) <= k)
+        .drop("_bk")
     )
+
+
+def fuzzy_join_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    blocking: str = "segment",
+) -> DataFrame:
+    """The candidate PAIRS the blocked join would verify — one row per
+    distinct (left row, right row) meeting, with both key strings.
+    This is the work metric: the naive join compares |L|·|R| pairs;
+    blocking is doing its job when this count sits near the true-match
+    count, not near the cross product.  Used by the planted-fixture
+    test and the bench work-check."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    left, r, right_out = _prepare(left, right, left_col, right_col)
+    l_keyed = (
+        left.where(F.col(left_col).isNotNull())
+        .withColumn("_fl", F.col(left_col))
+        .withColumn("_lid", F.monotonically_increasing_id())
+    )
+    r_keyed = (
+        r.where(F.col(right_out).isNotNull())
+        .withColumn("_fr", F.col(right_out))
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
+    cands = (
+        _segment_candidates(l_keyed, r_keyed, max_dist)
+        if blocking == "segment"
+        else _length_candidates(l_keyed, r_keyed, max_dist)
+    )
+    return (
+        cands.select("_lid", "_rid", "_fl", "_fr")
+        .dropDuplicates(["_lid", "_rid"])
+        .withColumnRenamed("_fl", left_col)
+        .withColumnRenamed("_fr", right_out)
+    )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 0,
+    blocking: str = "segment",
+) -> DataFrame:
+    """Pairs with ``levenshtein(left_col, right_col) ≤ max_dist``.
+
+    Returns every left column + every right column (collisions
+    suffixed ``_r``) + ``edit_dist INT``.  With ``prefix_len=0`` the
+    result EQUALS the naive cross-join filter — both blocking schemes
+    are lossless for edit distance; ``blocking="segment"`` (default)
+    is the PassJoin pigeonhole scheme whose candidate count tracks the
+    true-match density, ``blocking="length"`` the cheaper length-band
+    scheme that degrades toward |L|·|R| on narrow length
+    distributions.  ``prefix_len>0`` additionally requires the first
+    characters to match — cheaper, may drop matches whose edits touch
+    the prefix.  NULL strings never match."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if blocking not in ("segment", "length"):
+        raise ValueError(f"unknown blocking scheme {blocking!r}")
+    left, r, right_out = _prepare(left, right, left_col, right_col)
+    lc, rc = F.col("_fl"), F.col("_fr")
+    l_keyed = (
+        left.where(F.col(left_col).isNotNull())
+        .withColumn("_fl", F.col(left_col))
+        .withColumn("_lid", F.monotonically_increasing_id())
+    )
+    r_keyed = (
+        r.where(F.col(right_out).isNotNull())
+        .withColumn("_fr", F.col(right_out))
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
+    extra: tuple[str, ...] = ()
+    if prefix_len > 0:
+        l_keyed = l_keyed.withColumn("_pf", F.substring(lc, 1, prefix_len))
+        r_keyed = r_keyed.withColumn("_pf", F.substring(rc, 1, prefix_len))
+        extra = ("_pf",)
+    cands = (
+        _segment_candidates(l_keyed, r_keyed, max_dist, extra)
+        if blocking == "segment"
+        else _length_candidates(l_keyed, r_keyed, max_dist, extra)
+    )
+    if prefix_len > 0:
+        cands = cands.drop("_pf")
+    out = (
+        cands.withColumn("edit_dist", F.levenshtein(lc, rc, max_dist))
+        # threshold form returns -1 past the cutoff
+        .filter(F.col("edit_dist") >= 0)
+        .drop("_fl", "_fr")
+        .dropDuplicates(["_lid", "_rid"])
+        .drop("_lid", "_rid")
+    )
+    return out

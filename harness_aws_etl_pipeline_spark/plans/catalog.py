@@ -1105,7 +1105,10 @@ def q_inference_scan(spark: SparkSession, sf: str) -> DataFrame:
             [(4, "y", 40)], "id int, tag string, n long"
         ).coalesce(1).write.mode("append").parquet(ev_root)
         ev = read_parquet_evolved(spark, ev_root)
-        sig = ",".join(f"{c}:{t}" for c, t in ev.dtypes)
+        # order-independent signature: the evolved column ORDER is a
+        # deterministic function of the schema set, but the oracle pins
+        # the column:type SET — sorted so neither side depends on it
+        sig = ",".join(sorted(f"{c}:{t}" for c, t in ev.dtypes))
         row = ev.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("id").cast("long").alias("key_sum"),
@@ -1147,7 +1150,7 @@ UNION ALL
 -- generations must equal this recomputation over the same literals
 -- (gen1: id int, v float; gen2: id long, v double, +tag; gen3: -v, +n)
 SELECT 'evolved_parquet' AS format,
-       'id:bigint,v:double,tag:string,n:bigint' AS schema_sig,
+       'id:bigint,n:bigint,tag:string,v:double' AS schema_sig,
        COUNT(*) AS row_cnt,
        CAST(SUM(id) AS BIGINT) AS key_sum,
        CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS qty_sum,

@@ -408,9 +408,10 @@ def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
     replace, concat, split, levenshtein — one projection, codegen'd.
 
     Fused (round 7): the FUZZY-JOIN leg — planted near-miss word lists
-    through the blocked edit-distance join
-    (operators/fuzzyjoin.py; length banding is lossless, so the pair
-    set equals the naive cross-join filter the oracle runs)."""
+    through the blocked edit-distance join (operators/fuzzyjoin.py;
+    the PassJoin segment blocking is lossless for edit distance, so
+    the pair set equals the naive cross-join filter the oracle
+    runs)."""
     from harness_aws_etl_pipeline_spark.operators.fuzzyjoin import (
         fuzzy_string_join,
     )

@@ -104,15 +104,19 @@ def widen_type(a: T.DataType, b: T.DataType) -> T.DataType:
 
 
 def evolved_schema(schemas: list[T.StructType]) -> T.StructType:
-    """Fold per-file schemas into the widened target. Column order is
-    first-seen across the inputs (stable for a table that only ever
-    appends columns); every field is nullable (a column absent from
-    some file IS null there)."""
+    """Fold per-file schemas into the widened target. The inputs are
+    folded in a DETERMINISTIC order (sorted by ``simpleString`` —
+    footer-scan collect order is executor-scheduling-dependent, so
+    first-seen order would differ run to run for the same table);
+    column order is then first-seen across that sorted fold, so a
+    given SET of schemas always evolves to the same column order.
+    Every field is nullable (a column absent from some file IS null
+    there)."""
     if not schemas:
         raise ValueError("no schemas to evolve")
     order: list[str] = []
     types: dict[str, T.DataType] = {}
-    for sch in schemas:
+    for sch in sorted(schemas, key=lambda s: s.simpleString()):
         for f in sch.fields:
             if f.name not in types:
                 order.append(f.name)
@@ -209,7 +213,7 @@ def read_parquet_evolved(
         groups.setdefault(key, (sch, []))[1].append(p)
     target = evolved_schema([sch for sch, _files in groups.values()])
     out: DataFrame | None = None
-    for sch, grp_files in groups.values():
+    for _key, (sch, grp_files) in sorted(groups.items()):
         have = {f.name: f.dataType for f in sch.fields}
         df = spark.read.schema(sch).parquet(*sorted(grp_files))
         df = df.select(

@@ -176,3 +176,44 @@ class TestAntiJoin:
         got = bloom_anti_join(big, small, ("bk", "sk"))
         exp = big.join(small, big["bk"] == small["sk"], "left_anti")
         assert _sorted_rows(got) == _sorted_rows(exp)
+
+
+class TestTypeGuard:
+    def test_mismatched_key_families_raise(self, spark):
+        from decimal import Decimal
+
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        big = spark.range(0, 100).select(F.col("id").alias("k"))
+        small = spark.createDataFrame(
+            [(Decimal(5),), (Decimal(9),)], "k decimal(10,0)"
+        )
+        bloom = bloom_build(small, "k")
+        with pytest.raises(ValueError, match="canonical type"):
+            bloom_prune(big, "k", bloom)
+        with pytest.raises(ValueError, match="canonical type"):
+            bloom_anti_join(big, small, "k")
+        with pytest.raises(ValueError, match="canonical type"):
+            bloom_join(big, small, "k")
+
+    def test_int_widths_and_float_double_reconcile(self, spark):
+        big = spark.range(0, 50).select(F.col("id").cast("int").alias("k"))
+        small = spark.range(0, 10).select(
+            (F.col("id") * 5).cast("bigint").alias("k")
+        )
+        got = _sorted_rows(bloom_join(big, small, "k"))
+        exp = _sorted_rows(big.join(small, "k"))
+        assert got == exp and len(got) == 10
+
+    def test_anti_join_persist_path_equal(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.bloomjoin import (
+            bloom_anti_join,
+        )
+
+        big = spark.range(0, 500).select((F.col("id") % 80).alias("k"))
+        small = spark.range(0, 9).select((F.col("id") * 7).alias("k"))
+        got = _sorted_rows(bloom_anti_join(big, small, "k", persist=True))
+        exp = _sorted_rows(big.join(small, "k", "left_anti"))
+        assert got == exp

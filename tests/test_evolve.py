@@ -56,6 +56,9 @@ class TestWiden:
         got = evolved_schema([s1, s2])
         assert [f.name for f in got.fields] == ["a", "b", "c"]
         assert got["a"].dataType == T.LongType()
+        # fold order is deterministic regardless of input order (the
+        # footer-scan collect order is scheduling-dependent)
+        assert evolved_schema([s2, s1]) == got
         with pytest.raises(ValueError, match="column 'b'"):
             evolved_schema(
                 [s1, T.StructType([T.StructField("b", T.LongType())])]
