@@ -121,12 +121,27 @@ def scd2_apply(
       (no spurious versions);
     - an open version whose attributes differ closes at the batch
       timestamp, and the batch row opens as the new current version;
-    - keys new to the dimension open their first version."""
+    - keys new to the dimension open their first version.
+
+    Batch contract: one CURRENT row per key. A non-conforming batch
+    (duplicate keys) is collapsed DETERMINISTICALLY to the latest
+    observation per key — greatest ``ts_col``, ties broken by the
+    attribute tuple (descending) — instead of silently fanning the
+    full join out into duplicate open versions. The collapse is one
+    window over the (small) batch, not the dimension."""
     attrs = attr_cols or [
         c
         for c in batch.columns
         if c not in (key_col, ts_col)
     ]
+    w_dedup = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in attrs]
+    )
+    batch = (
+        batch.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     closed = dim.filter(~F.col("is_current"))
     open_ = dim.filter(F.col("is_current")).alias("o")
     b = (

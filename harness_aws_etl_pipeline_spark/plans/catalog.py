@@ -1093,17 +1093,19 @@ def q_inference_scan(spark: SparkSession, sf: str) -> DataFrame:
                     int(row["flag_cnt"]),
                 )
             )
-        # schema-evolution leg: three generations, one logical table
+        # schema-evolution leg: three generations, one logical table,
+        # each generation under a hive partition dir (g=1/2/3) so the
+        # r8 partition-column recovery is value-pinned too
         ev_root = f"{tmp}/evolved"
         spark.createDataFrame(
             [(1, 1.5), (2, 2.5)], "id int, v float"
-        ).coalesce(1).write.mode("append").parquet(ev_root)
+        ).coalesce(1).write.mode("append").parquet(f"{ev_root}/g=1")
         spark.createDataFrame(
             [(3, 3.5, "x")], "id long, v double, tag string"
-        ).coalesce(1).write.mode("append").parquet(ev_root)
+        ).coalesce(1).write.mode("append").parquet(f"{ev_root}/g=2")
         spark.createDataFrame(
             [(4, "y", 40)], "id int, tag string, n long"
-        ).coalesce(1).write.mode("append").parquet(ev_root)
+        ).coalesce(1).write.mode("append").parquet(f"{ev_root}/g=3")
         ev = read_parquet_evolved(spark, ev_root)
         # order-independent signature: the evolved column ORDER is a
         # deterministic function of the schema set, but the oracle pins
@@ -1111,7 +1113,9 @@ def q_inference_scan(spark: SparkSession, sf: str) -> DataFrame:
         sig = ",".join(sorted(f"{c}:{t}" for c, t in ev.dtypes))
         row = ev.agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("id").cast("long").alias("key_sum"),
+            # + 100·g folds the RECOVERED partition values into the
+            # pinned sum — a wrong/missing partition column breaks it
+            F.sum(F.col("id") + 100 * F.col("g")).cast("long").alias("key_sum"),
             F.sum(
                 F.round(F.col("v").cast("double") * 10000).cast("long")
             ).alias("qty_scaled"),
@@ -1148,17 +1152,19 @@ FROM (VALUES ('csv'), ('json')) AS t(fmt)
 UNION ALL
 -- the schema-evolution leg: the widened read of the three planted
 -- generations must equal this recomputation over the same literals
--- (gen1: id int, v float; gen2: id long, v double, +tag; gen3: -v, +n)
+-- (gen1: id int, v float; gen2: id long, v double, +tag; gen3: -v,
+-- +n; each generation hive-partitioned under g=1/2/3 — the recovered
+-- partition values ride key_sum as +100·g)
 SELECT 'evolved_parquet' AS format,
-       'id:bigint,n:bigint,tag:string,v:double' AS schema_sig,
+       'g:bigint,id:bigint,n:bigint,tag:string,v:double' AS schema_sig,
        COUNT(*) AS row_cnt,
-       CAST(SUM(id) AS BIGINT) AS key_sum,
+       CAST(SUM(id + 100 * g) AS BIGINT) AS key_sum,
        CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS qty_sum,
        COUNT(DISTINCT tag) AS flag_cnt
-FROM (VALUES (1, CAST(1.5 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
-             (2, 2.5, NULL, NULL),
-             (3, 3.5, 'x', NULL),
-             (4, NULL, 'y', 40)) AS ev(id, v, tag, n)
+FROM (VALUES (1, CAST(1.5 AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 1),
+             (2, 2.5, NULL, NULL, 1),
+             (3, 3.5, 'x', NULL, 2),
+             (4, NULL, 'y', 40, 3)) AS ev(id, v, tag, n, g)
 ORDER BY format
 """
 

@@ -39,6 +39,9 @@ evolution semantics a lakehouse table format provides.
 
 from __future__ import annotations
 
+import re
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -49,6 +52,55 @@ __all__ = [
     "scan_parquet_schemas",
     "read_parquet_evolved",
 ]
+
+_PART_SEG = re.compile(r"^([^=/]+)=(.*)$")
+_INT_RE = re.compile(r"^-?\d+$")
+_FLOAT_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_schema(rels: list[str]) -> list[tuple[str, str]]:
+    """(name, type) of the hive partition columns encoded in the
+    RELATIVE file paths, inferred ONCE across all files so every
+    schema group casts to the same types (per-group inference could
+    disagree: one group's ``year`` values all digits, another's not).
+    All files must agree on the partition key sequence — a mixed
+    layout is a data bug to surface, not guess around."""
+    keys_order: list[str] | None = None
+    values: dict[str, set[str]] = {}
+    for rel in rels:
+        pairs = []
+        for seg in rel.split("/")[:-1]:
+            m = _PART_SEG.match(seg)
+            if m:
+                pairs.append((m.group(1), unquote(m.group(2))))
+        ks = [k for k, _v in pairs]
+        if keys_order is None:
+            keys_order = ks
+        elif ks != keys_order:
+            raise ValueError(
+                f"inconsistent hive partition layout: {ks} vs {keys_order} "
+                "(all files under an evolved table must share one partition "
+                "key sequence)"
+            )
+        for k, v in pairs:
+            values.setdefault(k, set()).add(v)
+    if not keys_order:
+        return []
+    out = []
+    for k in keys_order:
+        vs = {v for v in values[k] if v != _HIVE_NULL}
+        if vs and all(_INT_RE.match(v) for v in vs):
+            t = "bigint"
+        elif vs and all(_FLOAT_RE.match(v) for v in vs):
+            t = "double"
+        elif vs and all(_DATE_RE.match(v) for v in vs):
+            t = "date"
+        else:
+            t = "string"
+        out.append((k, t))
+    return out
 
 _INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
 _FLOAT_ORDER = {"float": 0, "double": 1}
@@ -187,21 +239,29 @@ def read_parquet_evolved(
     metadata operation — no shuffle; downstream operators see a
     single scan-shaped relation per group.
 
-    Hive-partitioned layouts: files are read by explicit path, so
-    DIRECTORY-ENCODED partition columns (``year=2024/…``) are not
-    reconstructed — the columns that exist are the ones in the file
-    footers. For a partitioned lake table, either write partition
-    values into the files, or evolve per-partition and add the
-    partition literals back (``withColumn``) before unioning."""
+    Hive-partitioned layouts (directory input only): DIRECTORY-ENCODED
+    partition columns (``year=2024/…`` — the engine's own L4 sink
+    layout) ARE reconstructed: the partition key sequence and types
+    are inferred ONCE from the relative paths (all-int → bigint,
+    numeric → double, ISO date → date, else string; consistent across
+    schema groups by construction), each group is read with
+    ``basePath`` so Spark appends the partition values, and the
+    columns are cast to the shared inferred types. A partition key
+    that also appears in a file footer raises — a shadowed data
+    column is a layout bug. An explicit FILE-LIST input has no root
+    to parse against, so no partition recovery happens there."""
+    part_schema: list[tuple[str, str]] = []
     if isinstance(path, str):
         from harness_aws_etl_pipeline_spark.sinks.fs import get_fs, join_path
 
         fs = get_fs(path, spark)
-        files = [
-            join_path(path, rel)
+        rels = [
+            rel
             for rel, _mtime, size in fs.list_files(path)
             if rel.endswith(".parquet") and size > 0
         ]
+        files = [join_path(path, rel) for rel in rels]
+        part_schema = _partition_schema(rels)
     else:
         files = list(path)
     if not files:
@@ -212,18 +272,52 @@ def read_parquet_evolved(
         key = sch.simpleString()
         groups.setdefault(key, (sch, []))[1].append(p)
     target = evolved_schema([sch for sch, _files in groups.values()])
-    out: DataFrame | None = None
-    for _key, (sch, grp_files) in sorted(groups.items()):
-        have = {f.name: f.dataType for f in sch.fields}
-        df = spark.read.schema(sch).parquet(*sorted(grp_files))
-        df = df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in target.fields
-                if f.name in have
-            ]
+    shadowed = sorted(
+        {f.name for f in target.fields} & {k for k, _t in part_schema}
+    )
+    if shadowed:
+        raise ValueError(
+            f"partition column(s) {shadowed} also exist in the file "
+            "footers; a directory-encoded value shadowing a data column "
+            "is ambiguous — rename one of them"
         )
-        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    saved_inference = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    )
+    out: DataFrame | None = None
+    try:
+        if part_schema:
+            # per-group Spark inference could type the same key
+            # differently (group-local values); read as string and
+            # cast to the globally inferred type instead
+            spark.conf.set(
+                "spark.sql.sources.partitionColumnTypeInference.enabled",
+                "false",
+            )
+        for _key, (sch, grp_files) in sorted(groups.items()):
+            have = {f.name: f.dataType for f in sch.fields}
+            reader = spark.read.schema(sch)
+            if part_schema:
+                reader = reader.option("basePath", str(path))
+            df = reader.parquet(*sorted(grp_files))
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                    if f.name in have
+                ],
+                *[F.col(k).cast(t).alias(k) for k, t in part_schema],
+            )
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            saved_inference,
+        )
     # a final column-order normalization: unionByName keeps the first
     # branch's order, which may miss target columns entirely
     return out.select(
@@ -231,5 +325,6 @@ def read_parquet_evolved(
             F.col(f.name) if f.name in out.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target.fields
-        ]
+        ],
+        *[F.col(k) for k, _t in part_schema],
     )

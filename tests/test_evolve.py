@@ -160,3 +160,83 @@ class TestCli:
         assert rc == 1
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "incompatible" in res["error"] and res["schema_versions"] == 2
+
+
+class TestPartitionRecovery:
+    """Round 8: directory-encoded partition columns are reconstructed
+    when reading through the evolution path — the engine's own L4
+    layout round-trips."""
+
+    def test_l4_roundtrip_with_schema_evolution(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks import write_table
+
+        root = str(tmp_path / "lake")
+        gen1 = spark.createDataFrame(
+            [(1, 1.5, 2024, 1), (2, 2.5, 2024, 2)],
+            "id int, v float, year int, month int",
+        )
+        gen2 = spark.createDataFrame(
+            [(3, 3.5, "x", 2025, 1)],
+            "id long, v double, tag string, year int, month int",
+        )
+        for gen in (gen1, gen2):
+            write_table(gen, root, partition_by=["year", "month"])
+        df = read_parquet_evolved(spark, root)
+        assert dict(df.dtypes)["year"] == "bigint"
+        assert dict(df.dtypes)["month"] == "bigint"
+        assert dict(df.dtypes)["id"] == "bigint"
+        rows = {r["id"]: r for r in df.collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["year"] == 2024 and rows[1]["month"] == 1
+        assert rows[3]["year"] == 2025 and rows[3]["tag"] == "x"
+        assert rows[1]["tag"] is None
+
+    def test_partition_types_inferred_globally(self, spark, tmp_path):
+        # one partition's values are digits, another's are not — the
+        # shared type must be string for BOTH groups (per-group
+        # inference would disagree and break the union)
+        root = tmp_path / "mixed"
+        a = spark.createDataFrame([(1,)], "id int")
+        b = spark.createDataFrame([(2,)], "id long")
+        a.write.parquet(str(root / "tag=123"))
+        b.write.parquet(str(root / "tag=abc"))
+        df = read_parquet_evolved(spark, str(root))
+        assert dict(df.dtypes) == {"id": "bigint", "tag": "string"}
+        got = {(r["id"], r["tag"]) for r in df.collect()}
+        assert got == {(1, "123"), (2, "abc")}
+
+    def test_date_partitions_and_file_list_unchanged(self, spark, tmp_path):
+        import glob
+
+        root = tmp_path / "dated"
+        spark.createDataFrame([(1,)], "id int").write.parquet(
+            str(root / "ds=2024-01-05")
+        )
+        spark.createDataFrame([(2,)], "id int").write.parquet(
+            str(root / "ds=2024-02-06")
+        )
+        df = read_parquet_evolved(spark, str(root))
+        assert dict(df.dtypes)["ds"] == "date"
+        assert df.where(F.col("ds") == "2024-02-06").first()["id"] == 2
+        # explicit file list: no root, no partition recovery
+        files = sorted(glob.glob(f"{root}/**/*.parquet", recursive=True))
+        assert read_parquet_evolved(spark, files).columns == ["id"]
+
+    def test_shadowed_partition_column_raises(self, spark, tmp_path):
+        root = tmp_path / "shadow"
+        spark.createDataFrame([(1, 7)], "id int, year int").write.parquet(
+            str(root / "year=2024")
+        )
+        with pytest.raises(ValueError, match="shadow|ambiguous"):
+            read_parquet_evolved(spark, str(root))
+
+    def test_inconsistent_layout_raises(self, spark, tmp_path):
+        root = tmp_path / "bad"
+        spark.createDataFrame([(1,)], "id int").write.parquet(
+            str(root / "year=2024")
+        )
+        spark.createDataFrame([(2,)], "id int").write.parquet(
+            str(root / "month=5")
+        )
+        with pytest.raises(ValueError, match="partition"):
+            read_parquet_evolved(spark, str(root))

@@ -124,3 +124,48 @@ class TestApply:
         assert cur2["city"] == "nice"
         old2 = out.filter((F.col("cust") == 2) & ~F.col("is_current")).first()
         assert old2["valid_to"] == _d("2024-08-01")
+
+    def test_duplicate_key_batch_collapses_to_latest(self, spark, log):
+        """A non-conforming batch (same key twice) must not fan out
+        duplicate open versions — it collapses deterministically to
+        the latest observation per key (ts desc, attr tie-break)."""
+        dim = scd2_history(log, "cust", "ts")
+        dup_batch = spark.createDataFrame(
+            [
+                (2, _d("2024-08-01"), "nice", "gold"),
+                (2, _d("2024-09-01"), "lille", "gold"),   # latest wins
+                (2, _d("2024-07-01"), "paris", "gold"),
+                # tie on ts: attr tuple descending -> 'zurich' beats 'basel'
+                (4, _d("2024-08-01"), "basel", "gold"),
+                (4, _d("2024-08-01"), "zurich", "gold"),
+            ],
+            "cust long, ts timestamp, city string, tier string",
+        )
+        out = scd2_apply(dim, dup_batch, "cust", "ts")
+        # exactly ONE open version per key, always
+        open_counts = (
+            out.filter(F.col("is_current"))
+            .groupBy("cust")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] == 1 for r in open_counts)
+        cur2 = out.filter((F.col("cust") == 2) & F.col("is_current")).first()
+        assert cur2["city"] == "lille" and cur2["valid_from"] == _d("2024-09-01")
+        cur4 = out.filter((F.col("cust") == 4) & F.col("is_current")).first()
+        assert cur4["city"] == "zurich"
+        # equal to applying only the collapsed batch
+        collapsed = spark.createDataFrame(
+            [
+                (2, _d("2024-09-01"), "lille", "gold"),
+                (4, _d("2024-08-01"), "zurich", "gold"),
+            ],
+            "cust long, ts timestamp, city string, tier string",
+        )
+        exp = scd2_apply(dim, collapsed, "cust", "ts")
+        norm = lambda df: sorted(
+            map(tuple, df.select("cust", "city", "tier", "valid_from",
+                                 "valid_to", "is_current").collect()),
+            key=str,
+        )
+        assert norm(out) == norm(exp)
