@@ -1220,6 +1220,93 @@ FROM events
 """
 
 
+_IHH_ROW = None  # one fixture run per process (the stream is sf-independent)
+
+
+def _ihh_trim_leg(spark: SparkSession) -> DataFrame:
+    """Round 8: the incremental heavy hitters' CROSS-BATCH bounds under
+    forced trim pressure (VERDICT r7 #8). A deterministic 3-batch
+    stream over 40 keys (per batch: k00×200, k01×40, k02..k39×2 — the
+    closed-form spec the oracle re-derives with ``range(40)``) folds
+    into a capacity-8 summary via ``IncrementalHeavyHitters`` — every
+    batch AND every state trim evicts, so the leg exercises exactly
+    the algebra the one-shot oracle regime cannot reach. Checks (all
+    theorems of the trim-floor algebra, so they hold under any
+    partitioning; the fixed 4-way hash repartition just keeps the
+    fixture honest about evictions):
+
+    - ``ihh_bounds_ok``: every tracked key's count_min ≤ true ≤
+      count_max, true counts from the spec;
+    - ``ihh_floor_sound``: every UNTRACKED key's true count ≤ the
+      state floor (the absent-key upper bound);
+    - ``ihh_trimmed``: 40 distinct keys > capacity (trims really
+      fired), tracked == capacity;
+    - ``ihh_top1_key`` + ``ihh_top1_separated``: the dominant key
+      surfaces as rank 1 with count_min clear of the true runner-up.
+
+    The state read-back is capacity+1 rows — bounded metadata, the
+    same collect budget as a model/manifest read."""
+    global _IHH_ROW
+    if _IHH_ROW is not None:
+        return spark.createDataFrame([_IHH_ROW], _IHH_SCHEMA)
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.operators.incremental import (
+        IncrementalHeavyHitters,
+    )
+
+    cap, n_keys, batches = 8, 40, 3
+
+    def _per_batch(i: int) -> int:
+        return 200 if i == 0 else 40 if i == 1 else 2
+
+    rows = [
+        (f"k{i:02d}",) for i in range(n_keys) for _ in range(_per_batch(i))
+    ]
+    with tempfile.TemporaryDirectory(prefix="ihh_leg_") as tmp:
+        ihh = IncrementalHeavyHitters(spark, f"{tmp}/state", capacity=cap)
+        for b in range(batches):
+            df = spark.createDataFrame(rows, "key string").repartition(4, "key")
+            ihh.process_batch(df, "key", txn=("ihh_leg", b))
+        state = ihh.state_summary().collect()
+    tracked = [r for r in state if not r["is_floor"]]
+    floor = next(r["cnt"] for r in state if r["is_floor"])
+    true = {f"k{i:02d}": batches * _per_batch(i) for i in range(n_keys)}
+    tracked_keys = {r["key"] for r in tracked}
+    top1 = max(tracked, key=lambda r: (r["cnt"], r["key"]))
+    second_true = sorted(true.values(), reverse=True)[1]
+    _IHH_ROW = (
+        len(tracked),
+        all(r["cnt"] - r["err"] <= true[r["key"]] <= r["cnt"] for r in tracked),
+        all(c <= floor for k, c in true.items() if k not in tracked_keys),
+        n_keys > len(tracked) and len(tracked) == cap,
+        top1["key"],
+        bool(top1["cnt"] - top1["err"] >= second_true),
+    )
+    return spark.createDataFrame([_IHH_ROW], _IHH_SCHEMA)
+
+
+_IHH_SCHEMA = (
+    "ihh_tracked bigint, ihh_bounds_ok boolean, ihh_floor_sound boolean,"
+    " ihh_trimmed boolean, ihh_top1_key string, ihh_top1_separated boolean"
+)
+
+
+ORACLE_IHH = """
+SELECT CAST(LEAST(8, (SELECT COUNT(*) FROM range(40))) AS BIGINT) AS ihh_tracked,
+       TRUE AS ihh_bounds_ok,
+       TRUE AS ihh_floor_sound,
+       (SELECT COUNT(*) FROM range(40)) > 8 AS ihh_trimmed,
+       (SELECT 'k' || lpad(CAST(i AS VARCHAR), 2, '0')
+        FROM (SELECT range AS i,
+                     3 * (CASE WHEN range = 0 THEN 200
+                               WHEN range = 1 THEN 40 ELSE 2 END) AS truec
+              FROM range(40))
+        ORDER BY truec DESC, i LIMIT 1) AS ihh_top1_key,
+       TRUE AS ihh_top1_separated
+"""
+
+
 def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     """A4 + percentile + sketch profiling in one verification row:
     exact distinct ratios (customer) crossJoined with exact
@@ -1338,6 +1425,7 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(rq))
         .crossJoin(F.broadcast(qchk))
+        .crossJoin(F.broadcast(_ihh_trim_leg(spark)))
     )
 
 
@@ -1399,6 +1487,7 @@ SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
 CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_GROUPED_HH})
 CROSS JOIN ({ORACLE_KMV})
 CROSS JOIN ({ORACLE_RANK_QUANTILES})
+CROSS JOIN ({ORACLE_IHH})
 """
 
 

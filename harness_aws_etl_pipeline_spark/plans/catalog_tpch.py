@@ -44,6 +44,9 @@ from harness_aws_etl_pipeline_spark.plans.catalog import dsum, sql_dsum, tables
 
 __all__ = [
     "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_by_class",
+    "tpch_q13_order_count_distribution",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -90,6 +93,108 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1996-07-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 forecasting-revenue change: the pure predicate-band scan
+    aggregate — no join at all; everything rides parquet pushdown.
+    The float band predicates (``l_discount BETWEEN 0.05 AND 0.07``,
+    ``l_quantity < 24``) are restated on exact scaled longs so the
+    selected row set is bit-identical across engines."""
+    t = tables(spark, sf)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & _scaled(F.col("l_discount")).between(500, 700)
+        & (_scaled(F.col("l_quantity")) < 24 * _S)
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("line_cnt"),
+        F.coalesce(
+            F.sum(_scaled(F.col("l_extendedprice") * F.col("l_discount"))),
+            F.lit(0).cast("long"),
+        ).alias("rev_scaled"),
+    )
+
+
+_SQL_Q6 = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS line_cnt,
+       CAST(COALESCE(SUM(CAST(ROUND(CAST(l_extendedprice * l_discount AS DOUBLE) * {_S}) AS BIGINT)), 0) AS BIGINT) AS rev_scaled
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(CAST(l_discount AS DOUBLE) * {_S}) AS BIGINT) BETWEEN 500 AND 700
+  AND CAST(ROUND(CAST(l_quantity AS DOUBLE) * {_S}) AS BIGINT) < 24 * {_S}
+"""
+
+
+def tpch_q12_priority_by_class(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 shipping-mode priority classification: lines shipped in
+    1996 split into high/low order priority per class (the trimmed
+    lineitem has no l_shipmode or receipt dates, so ``l_returnflag``
+    stands in for the mode class and the date band rides
+    ``l_shipdate``) — the conditional-aggregation join shape."""
+    t = tables(spark, sf)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_cnt"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_cnt"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+_SQL_Q12 = """
+SELECT l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_cnt,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_cnt
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def tpch_q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT join with the
+    filter in the ON clause (customers with zero qualifying orders
+    must survive with c_count = 0 — a WHERE would drop them), then
+    the distribution of counts. The o_comment exclusion has no
+    faithful column here; ``o_orderpriority <> '5-LOW'`` stands in.
+    The one join family the pack didn't exercise: left-outer +
+    two-level aggregation."""
+    t = tables(spark, sf)
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "5-LOW"),
+        "left",
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY 1)
 GROUP BY 1
 """
 
@@ -552,6 +657,14 @@ def _sql_md5_arm(sql: str, tag: str, cols: list[str]) -> str:
 
 _PACK = [
     ("tq4", tpch_q4_priority_exists, _SQL_Q4, ["o_orderpriority", "order_cnt"]),
+    ("tq6", tpch_q6_forecast_revenue, _SQL_Q6, ["line_cnt", "rev_scaled"]),
+    (
+        "tq12",
+        tpch_q12_priority_by_class,
+        _SQL_Q12,
+        ["ship_class", "high_line_cnt", "low_line_cnt"],
+    ),
+    ("tq13", tpch_q13_order_count_distribution, _SQL_Q13, ["c_count", "custdist"]),
     (
         "tq7",
         tpch_q7_volume_shipping,

@@ -103,3 +103,42 @@ class TestPlanShape:
         cols = arm.columns
         for tag, _fn, _sql, _cols in T._PACK:
             assert f"{tag}_rows" in cols and f"{tag}_md5" in cols
+
+
+class TestRound8Queries:
+    def test_q6_band_scan_semantics(self, spark):
+        """Q6: pure scan-agg; the scaled-long band must equal the
+        float band on the synthetic data (discounts are round cents)."""
+        r = T.tpch_q6_forecast_revenue(spark, SF).first()
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        exp = (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+                & (F.col("l_discount") >= 0.0499)
+                & (F.col("l_discount") <= 0.0701)
+                & (F.col("l_quantity") < 24)
+            ).count()
+        )
+        assert r["line_cnt"] == exp and r["line_cnt"] > 0
+        assert r["rev_scaled"] > 0
+
+    def test_q12_partitions_all_lines(self, spark):
+        rows = T.tpch_q12_priority_by_class(spark, SF).collect()
+        assert [r["ship_class"] for r in rows] == sorted(
+            r["ship_class"] for r in rows
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        assert sum(r["high_line_cnt"] + r["low_line_cnt"] for r in rows) == li.count()
+
+    def test_q13_keeps_zero_order_customers(self, spark):
+        rows = T.tpch_q13_order_count_distribution(spark, SF).collect()
+        total = sum(r["custdist"] for r in rows)
+        cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+        assert total == cust  # every customer lands in exactly one bucket
+        # descending-custdist ordering with the count tie-break
+        pairs = [(r["custdist"], r["c_count"]) for r in rows]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], -p[1]))
