@@ -384,6 +384,18 @@ def main(argv: list[str] | None = None) -> int:
         help="second column: also report exact Pearson r",
     )
 
+    drift = sub.add_parser(
+        "drift", help="distribution drift between two parquet snapshots"
+    )
+    drift.add_argument("--reference", required=True, help="reference parquet")
+    drift.add_argument("--current", required=True, help="current parquet")
+    drift.add_argument("--col", required=True, help="column to compare")
+    drift.add_argument(
+        "--kind", choices=("numeric", "categorical"), default="numeric",
+        help="numeric: KS + PSI over bins; categorical: TVD + chi-square",
+    )
+    drift.add_argument("--bins", type=int, default=10, help="PSI bin count")
+
     explain = sub.add_parser(
         "explain", help="print the physical plan of a catalog query"
     )
@@ -665,6 +677,44 @@ def main(argv: list[str] | None = None) -> int:
         if args.corr_with:
             c = corr_exact(df, args.col, args.corr_with).first()
             out["corr"] = {"with": args.corr_with, "n": c["n"], "r": c["corr"]}
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "drift":
+        from harness_aws_etl_pipeline_spark.operators.drift import (
+            chi2_drift,
+            ks_statistic,
+            psi,
+            psi_report,
+            tvd_drift,
+        )
+
+        ref = spark.read.parquet(args.reference)
+        cur = spark.read.parquet(args.current)
+        out = {"status": "success", "action": "drift", "col": args.col,
+               "kind": args.kind}
+        if args.kind == "numeric":
+            k = ks_statistic(ref, cur, args.col).first()
+            p = psi(ref, cur, args.col, bins=args.bins).first()
+            rep = psi_report(ref, cur, args.col, bins=args.bins).collect()
+            out.update(
+                n_ref=k["n_ref"], n_cur=k["n_cur"],
+                ks=k["ks"], ks_num=str(k["ks_num"]),
+                psi=p["psi"],
+                bins=[
+                    {"bin": r["bin"], "lo": r["lo"], "hi": r["hi"],
+                     "ref_cnt": r["ref_cnt"], "cur_cnt": r["cur_cnt"]}
+                    for r in rep
+                ],
+            )
+        else:
+            t = tvd_drift(ref, cur, args.col).first()
+            c = chi2_drift(ref, cur, args.col).first()
+            out.update(
+                n_ref=t["n_ref"], n_cur=t["n_cur"],
+                tvd=t["tvd"], tvd_num=str(t["tvd_num"]),
+                chi2=c["chi2"], dof=c["dof"], categories=c["categories"],
+            )
         print(json.dumps(out))
         return 0
 

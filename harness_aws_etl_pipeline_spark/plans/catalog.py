@@ -425,7 +425,20 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
     (the deterministic IEEE cell arithmetic, bin counts md5'd) and
     Pearson r of (l_quantity, l_extendedprice) from exact decimal
     moment sums with ONE fixed float expression at the end — both
-    re-derived bit-for-bit in DuckDB."""
+    re-derived bit-for-bit in DuckDB.
+
+    Fused (round 8): the DRIFT legs (operators/drift.py) — the exact
+    two-sample KS statistic of l_quantity between all lineitem rows
+    and the returned slice (integer sufficient statistic
+    ``max |cum_ref·n_cur − cum_cur·n_ref|`` from the two-level prefix
+    sum, so DuckDB re-derives it with one window), and the exact
+    total-variation distance of o_orderpriority between all orders
+    and the 1997+ slice. The drift DECISION (``ks > 0.05``) rides as
+    an exact integer inequality."""
+    from harness_aws_etl_pipeline_spark.operators.drift import (
+        ks_statistic,
+        tvd_drift,
+    )
     from harness_aws_etl_pipeline_spark.operators.histogram import (
         corr_exact,
         histogram,
@@ -462,8 +475,32 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
     corr_leg = corr_exact(li, "l_quantity", "l_extendedprice").select(
         F.col("n").alias("corr_n"), F.col("corr").alias("corr_qty_price")
     )
-    return base.crossJoin(F.broadcast(hist_leg)).crossJoin(
-        F.broadcast(corr_leg)
+    ks_leg = ks_statistic(
+        li, li.filter(F.col("l_returnflag") == "R"), "l_quantity"
+    ).select(
+        F.col("n_ref").alias("ks_n_ref"),
+        F.col("n_cur").alias("ks_n_cur"),
+        "ks_num",
+        "ks",
+        # exact-integer drift decision (values fit longs at test SF;
+        # the operator's internal statistic stays decimal for 100 TB)
+        (F.col("ks_num").cast("long") * 20 > F.col("n_ref") * F.col("n_cur"))
+        .alias("ks_drifted"),
+    )
+    o = tables(spark, sf)["orders"]
+    tvd_leg = tvd_drift(
+        o, o.filter(F.col("o_orderdate") >= "1997-01-01"), "o_orderpriority"
+    ).select(
+        F.col("n_ref").alias("tvd_n_ref"),
+        F.col("n_cur").alias("tvd_n_cur"),
+        "tvd_num",
+        "tvd",
+    )
+    return (
+        base.crossJoin(F.broadcast(hist_leg))
+        .crossJoin(F.broadcast(corr_leg))
+        .crossJoin(F.broadcast(ks_leg))
+        .crossJoin(F.broadcast(tvd_leg))
     )
 
 
@@ -531,7 +568,48 @@ SELECT * FROM (
                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
          END AS corr_qty_price
   FROM m
-) corr_arm
+) corr_arm CROSS JOIN (
+  -- KS drift leg: exact two-sample statistic, integer numerator
+  WITH vals AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS v, 1 AS s FROM lineitem
+    WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT CAST(l_quantity AS DOUBLE), 2 FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_returnflag = 'R'),
+  d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        FROM vals GROUP BY 1),
+  n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d),
+  c AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2 FROM d)
+  SELECT CAST(n1 AS BIGINT) AS ks_n_ref,
+         CAST(n2 AS BIGINT) AS ks_n_cur,
+         CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DECIMAL(38,0)) AS ks_num,
+         CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks,
+         CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) * 20
+           > CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT) AS ks_drifted
+  FROM c, n GROUP BY n1, n2
+) ks_arm CROSS JOIN (
+  -- TVD drift leg: exact total-variation distance, integer numerator
+  WITH vals AS (
+    SELECT o_orderpriority AS v, 1 AS s FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    UNION ALL
+    SELECT o_orderpriority, 2 FROM orders
+    WHERE o_orderpriority IS NOT NULL
+      AND o_orderdate >= TIMESTAMP '1997-01-01'),
+  d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+        FROM vals GROUP BY 1),
+  n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
+  SELECT CAST(n1 AS BIGINT) AS tvd_n_ref,
+         CAST(n2 AS BIGINT) AS tvd_n_cur,
+         CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS tvd_num,
+         CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+           / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
+  FROM d, n GROUP BY n1, n2
+) tvd_arm
 ORDER BY col_name
 """
 

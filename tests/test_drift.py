@@ -1,0 +1,171 @@
+"""Distribution drift (operators/drift.py): exact KS against the
+closed-form two-sample statistic, TVD identities (0 on identical, 1 on
+disjoint, symmetry), PSI on hand-computable fixtures, χ² shape, empty/
+NULL handling, and partitioning invariance of the two-level prefix."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.drift import (
+    chi2_drift,
+    ks_statistic,
+    psi,
+    psi_report,
+    tvd_drift,
+)
+
+
+def _vals(spark, xs, col="x"):
+    return spark.createDataFrame([(float(v),) for v in xs], f"{col} double")
+
+
+def _cats(spark, xs, col="c"):
+    return spark.createDataFrame([(v,) for v in xs], f"{col} string")
+
+
+def _naive_ks(a, b):
+    pts = sorted(set(a) | set(b))
+    best = 0.0
+    for x in pts:
+        f1 = sum(1 for v in a if v <= x) / len(a)
+        f2 = sum(1 for v in b if v <= x) / len(b)
+        best = max(best, abs(f1 - f2))
+    return best
+
+
+class TestKS:
+    def test_matches_naive_definition(self, spark):
+        a = [1, 2, 2, 3, 5, 8, 13, 21, 34, 55]
+        b = [1, 4, 4, 6, 9, 9, 10, 30]
+        r = ks_statistic(_vals(spark, a), _vals(spark, b), "x").first()
+        assert r["n_ref"] == len(a) and r["n_cur"] == len(b)
+        assert r["ks"] == pytest.approx(_naive_ks(a, b), abs=1e-12)
+        assert int(r["ks_num"]) == round(r["ks"] * len(a) * len(b))
+
+    def test_identical_is_zero_and_disjoint_is_one(self, spark):
+        a = _vals(spark, [1, 2, 3, 4, 5])
+        assert ks_statistic(a, _vals(spark, [1, 2, 3, 4, 5]), "x").first()["ks"] == 0.0
+        assert (
+            ks_statistic(a, _vals(spark, [10, 11, 12]), "x").first()["ks"] == 1.0
+        )
+
+    def test_partitioning_invariance(self, spark):
+        import random
+
+        rng = random.Random(7)
+        a = [rng.gauss(0, 1) for _ in range(500)]
+        b = [rng.gauss(0.4, 1.2) for _ in range(400)]
+        base = ks_statistic(_vals(spark, a), _vals(spark, b), "x").first()
+        alt = ks_statistic(
+            _vals(spark, a).repartition(17),
+            _vals(spark, b).repartition(3),
+            "x",
+            num_range_parts=5,
+        ).first()
+        assert int(base["ks_num"]) == int(alt["ks_num"])
+        assert base["ks"] == alt["ks"]
+        assert base["ks"] == pytest.approx(_naive_ks(a, b), abs=1e-12)
+
+    def test_nulls_excluded_and_empty_side_null(self, spark):
+        a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+        b = spark.createDataFrame([(None,)], "x double")
+        r = ks_statistic(a, b, "x").first()
+        assert r["n_ref"] == 2 and r["n_cur"] == 0 and r["ks"] is None
+        both = ks_statistic(b, b, "x").first()
+        assert both["n_ref"] == 0 and both["ks"] is None
+
+
+class TestTVD:
+    def test_identities(self, spark):
+        a = _cats(spark, ["a", "a", "b", "c"])
+        same = tvd_drift(a, _cats(spark, ["a", "a", "b", "c"]), "c").first()
+        assert same["tvd"] == 0.0
+        disj = tvd_drift(a, _cats(spark, ["z", "z"]), "c").first()
+        assert disj["tvd"] == 1.0
+
+    def test_exact_value_and_symmetry(self, spark):
+        a = _cats(spark, ["a"] * 3 + ["b"] * 1)          # p = (.75, .25, 0)
+        b = _cats(spark, ["a"] * 1 + ["b"] * 2 + ["c"])  # q = (.25, .5, .25)
+        r = tvd_drift(a, b, "c").first()
+        assert r["tvd"] == pytest.approx(0.5, abs=1e-12)  # .5*(0.5+.25+.25)
+        assert int(r["tvd_num"]) == 16  # |3*4-1*4| + |1*4-2*4| + |0-1*4|
+        s = tvd_drift(b, a, "c").first()
+        assert s["tvd"] == r["tvd"]
+
+    def test_empty_side(self, spark):
+        a = _cats(spark, ["a"])
+        e = spark.createDataFrame([], "c string")
+        assert tvd_drift(a, e, "c").first()["tvd"] is None
+
+
+class TestPSI:
+    def test_zero_on_identical(self, spark):
+        a = _vals(spark, range(100))
+        r = psi(a, _vals(spark, range(100)), "x", bins=10).first()
+        assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_hand_computed_two_bins(self, spark):
+        # ref: 50/50 over [0,1); cur: 80/20 -> psi = (.3)ln(.8/.5)+(-.3)ln(.2/.5)
+        ref = _vals(spark, [0.1] * 5 + [0.9] * 5)
+        cur = _vals(spark, [0.1] * 8 + [0.9] * 2)
+        exp = 0.3 * math.log(0.8 / 0.5) + (-0.3) * math.log(0.2 / 0.5)
+        r = psi(ref, cur, "x", bins=2, lo=0.0, hi=1.0).first()
+        assert r["psi"] == pytest.approx(exp, rel=1e-9)
+
+    def test_report_grid_from_reference_and_clamping(self, spark):
+        ref = _vals(spark, [0, 1, 2, 3, 4])
+        cur = _vals(spark, [-5, 9, 2])  # outside ref bounds -> edge bins
+        rep = psi_report(ref, cur, "x", bins=4).collect()
+        assert len(rep) == 4
+        assert sum(r["ref_cnt"] for r in rep) == 5
+        assert sum(r["cur_cnt"] for r in rep) == 3
+        assert rep[0]["cur_cnt"] >= 1 and rep[-1]["cur_cnt"] >= 1
+
+    def test_empty_reference_raises(self, spark):
+        e = spark.createDataFrame([], "x double")
+        with pytest.raises(ValueError, match="no non-NULL"):
+            psi_report(e, _vals(spark, [1.0]), "x")
+
+
+class TestChi2:
+    def test_zero_on_identical_and_positive_on_shift(self, spark):
+        a = _cats(spark, ["a"] * 30 + ["b"] * 20)
+        same = chi2_drift(a, _cats(spark, ["a"] * 30 + ["b"] * 20), "c").first()
+        assert same["chi2"] == pytest.approx(0.0, abs=1e-9)
+        assert same["dof"] == 1 and same["categories"] == 2
+        moved = chi2_drift(a, _cats(spark, ["a"] * 5 + ["b"] * 45), "c").first()
+        assert moved["chi2"] > 10
+
+    def test_single_category_null(self, spark):
+        a = _cats(spark, ["a", "a"])
+        assert chi2_drift(a, _cats(spark, ["a"]), "c").first()["chi2"] is None
+
+
+class TestCli:
+    def test_drift_cli_numeric_and_categorical(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        ref, cur = str(tmp_path / "ref"), str(tmp_path / "cur")
+        _vals(spark, [1, 2, 3, 4, 5, 6, 7, 8]).write.parquet(ref)
+        _vals(spark, [5, 6, 7, 8, 9, 10]).write.parquet(cur)
+        rc = main(["drift", "--reference", ref, "--current", cur,
+                   "--col", "x", "--bins", "4"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["n_ref"] == 8 and res["n_cur"] == 6
+        assert 0 < res["ks"] <= 1 and len(res["bins"]) == 4
+        refc, curc = str(tmp_path / "refc"), str(tmp_path / "curc")
+        _cats(spark, ["a", "a", "b"]).write.parquet(refc)
+        _cats(spark, ["b", "b", "c"]).write.parquet(curc)
+        rc = main(["drift", "--reference", refc, "--current", curc,
+                   "--col", "c", "--kind", "categorical"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["tvd"] == pytest.approx(2.0 / 3.0, abs=1e-12)
+        assert res["categories"] == 3 and res["dof"] == 2
