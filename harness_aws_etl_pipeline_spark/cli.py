@@ -396,6 +396,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     drift.add_argument("--bins", type=int, default=10, help="PSI bin count")
 
+    tdiff = sub.add_parser(
+        "diff", help="keyed reconciliation of two parquet snapshots"
+    )
+    tdiff.add_argument("--reference", required=True, help="reference parquet")
+    tdiff.add_argument("--current", required=True, help="current parquet")
+    tdiff.add_argument(
+        "--keys", required=True, help="comma-separated candidate-key columns"
+    )
+    tdiff.add_argument(
+        "--compare-cols", default=None,
+        help="comma-separated columns to compare (default: all shared non-key)",
+    )
+    tdiff.add_argument(
+        "--float-tolerance", type=float, default=None,
+        help="treat |a-b| <= tol as equal for float/double columns",
+    )
+    tdiff.add_argument(
+        "--output", default=None,
+        help="optional parquet path for the per-row diff frame",
+    )
+
     explain = sub.add_parser(
         "explain", help="print the physical plan of a catalog query"
     )
@@ -716,6 +737,37 @@ def main(argv: list[str] | None = None) -> int:
                 chi2=c["chi2"], dof=c["dof"], categories=c["categories"],
             )
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "diff":
+        from harness_aws_etl_pipeline_spark.operators.diffing import (
+            diff_summary,
+            table_diff,
+        )
+
+        ref = spark.read.parquet(args.reference)
+        cur = spark.read.parquet(args.current)
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        cmp_cols = (
+            [c.strip() for c in args.compare_cols.split(",") if c.strip()]
+            if args.compare_cols
+            else None
+        )
+        s = diff_summary(
+            ref, cur, keys, compare_cols=cmp_cols,
+            float_tolerance=args.float_tolerance,
+        ).first()
+        if args.output:
+            table_diff(
+                ref, cur, keys, compare_cols=cmp_cols,
+                float_tolerance=args.float_tolerance,
+            ).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "diff", "keys": keys,
+            **{k: (bool(v) if isinstance(v, bool) else v)
+               for k, v in s.asDict().items()},
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "explain":

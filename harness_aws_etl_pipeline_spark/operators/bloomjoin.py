@@ -292,10 +292,13 @@ def bloom_anti_join(
     avoided exchange (sort + spill + network on ALL of ``big``) costs
     far more than a second pushdown-pruned scan. When the big side is
     expensive to produce (an upstream join/agg, a non-reusable stream)
-    pass ``persist=True`` to cache the tagged frame (MEMORY_AND_DISK)
-    so both branches read one materialization — at true 100 TB inputs
-    prefer the double scan; caching the whole fact table costs more
-    than it saves. The blocklist-scale takedown shape
+    pass ``persist=True`` to pin the tagged frame with an eager
+    ``localCheckpoint`` so both branches read one materialization —
+    checkpoint, not ``.persist()``, keeps the engine's cache-hygiene
+    contract (no CacheManager entry to leak from a lazily-returned
+    frame; blocks free on GC). At true 100 TB inputs prefer the
+    double scan; materializing the whole fact table costs more than
+    it saves. The blocklist-scale takedown shape
     (``apply_takedown_ids``) at dims too big to broadcast as rows."""
     big_col, small_col = (on, on) if isinstance(on, str) else on
     bloom = bloom_build(
@@ -306,9 +309,7 @@ def bloom_anti_join(
     pred = bloom.might_contain(_canon(big, big_col))
     tagged = big.crossJoin(F.broadcast(bloom.words))
     if persist:
-        from pyspark import StorageLevel
-
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        tagged = tagged.localCheckpoint(eager=True)
     definite_keep = tagged.filter(~pred).drop(_WORDS_COL)
     candidates = tagged.filter(pred).drop(_WORDS_COL)
     if big_col == small_col:

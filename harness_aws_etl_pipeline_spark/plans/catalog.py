@@ -177,7 +177,16 @@ def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
     extractor.py:94-99; transformer.py:53-56) fused with the
     multi-source row-wise union leg (extractor.py:137; formerly the
     standalone ``union_all`` entry — two 1-row panels share one slot
-    of the driver's 50-entry correctness window)."""
+    of the driver's 50-entry correctness window).
+
+    Fused (round 8): the TABLE-DIFF leg (operators/diffing.py) —
+    orders reconciled against a planted migration copy (keys %1009
+    removed, o_totalprice bumped on keys %97) through the keyed
+    full-outer diff; status counts + per-column change attribution +
+    the identical gate re-derived by the oracle from the same planted
+    predicates."""
+    from harness_aws_etl_pipeline_spark.operators.diffing import diff_summary
+
     li = tables(spark, sf)["lineitem"]
     o = tables(spark, sf)["orders"]
     scan = li.agg(
@@ -185,7 +194,24 @@ def q_scan_count(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
     union = o.unionByName(o).agg(F.count(F.lit(1)).alias("union_row_cnt"))
-    return scan.crossJoin(F.broadcast(union))
+    migrated = o.where(F.col("o_orderkey") % 1009 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff_leg = diff_summary(
+        o, migrated, "o_orderkey", compare_cols=["o_totalprice", "o_orderstatus"]
+    ).select(
+        F.col("added").alias("diff_added"),
+        F.col("removed").alias("diff_removed"),
+        F.col("changed").alias("diff_changed"),
+        F.col("unchanged").alias("diff_unchanged"),
+        F.col("changed_o_totalprice").alias("diff_changed_price"),
+        F.col("changed_o_orderstatus").alias("diff_changed_status"),
+        F.col("identical").alias("diff_identical"),
+    )
+    return scan.crossJoin(F.broadcast(union)).crossJoin(F.broadcast(diff_leg))
 
 
 def q_normalize_names(spark: SparkSession, sf: str) -> DataFrame:
@@ -1571,10 +1597,20 @@ CROSS JOIN ({ORACLE_IHH})
 
 CORE_CATALOG: list[QuerySpec] = [
     QuerySpec("scan_count", q_scan_count,
-              "SELECT s.*, u.* FROM "
+              "SELECT s.*, u.*, d.* FROM "
               "(SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem) s, "
-              "(SELECT COUNT(*) AS union_row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)) u",
-              "S1/S3/A1 parquet scan + counts + S6 multi-file union",
+              "(SELECT COUNT(*) AS union_row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)) u, "
+              # table-diff leg: the planted migration copy re-derived
+              # from the same predicates (keys %1009 removed, price
+              # bumped on surviving keys %97)
+              "(SELECT CAST(0 AS BIGINT) AS diff_added, "
+              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 = 0) AS diff_removed, "
+              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 = 0) AS diff_changed, "
+              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 <> 0) AS diff_unchanged, "
+              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 = 0) AS diff_changed_price, "
+              " CAST(0 AS BIGINT) AS diff_changed_status, "
+              " FALSE AS diff_identical) d",
+              "S1/S3/A1 parquet scan + counts + S6 multi-file union + keyed table diff",
               tags=("source", "agg")),
     QuerySpec("normalize_names", q_normalize_names, ORACLE_NORMALIZE,
               "T1 column-name normalization", tags=("transform",)),

@@ -11,6 +11,8 @@ from harness_aws_etl_pipeline_spark.operators.classifier import (
     train_quality_classifier,
 )
 
+from tests.tiers import deep
+
 
 def _doc(kind: str, i: int) -> str:
     if kind == "good":
@@ -50,6 +52,8 @@ class TestTraining:
         ).count()
         assert acc >= 230
 
+    @deep
+
     def test_partitioning_tolerance(self, labeled, model):
         b = train_quality_classifier(
             labeled.repartition(11), "label", dim=512, iters=30
@@ -80,6 +84,8 @@ class TestScoring:
         assert 0.0 <= got[1] <= 1.0 and 0.0 <= got[2] <= 1.0
         assert got[3] is None
         assert got[1] > got[2]
+
+    @deep
 
     def test_gate_label_bootstrap(self, spark):
         # the self-supervised loop: gopher gate labels seed the model,

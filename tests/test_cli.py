@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.cli import main
 
+from tests.tiers import deep
+
 CSV = "Order ID,Amount,Order Date\n1,10.5,2024-01-15\n2,20.0,2024-02-20\n"
 
 
@@ -623,6 +625,7 @@ class TestTakedownAndProbe:
 
 
 class TestRank:
+    @deep
     def test_rank_edges(self, spark, tmp_path, capsys):
         src = str(tmp_path / "rank_edges")
         # hub links BACK to all three — keeps the rank vector from the

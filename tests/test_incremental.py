@@ -10,6 +10,8 @@ from harness_aws_etl_pipeline_spark.operators.incremental import (
     IncrementalDeduper,
 )
 
+from tests.tiers import deep
+
 LOREM = (
     "the quick brown fox jumps over the lazy dog while the rain "
     "in spain stays mainly in the plain and every good boy does fine "
@@ -237,6 +239,7 @@ class TestStreamingGate:
 
 
 class TestMaintain:
+    @deep
     def test_maintain_compacts_daily_buildup(self, spark, dd):
         for i in range(6):
             doc = (i + 1) * 1000
@@ -396,6 +399,8 @@ class TestIncrementalSpanDeduper:
         # and the duplicate content is fully cut
         (r,) = out2["cleaned"].collect()
         assert r.text == ""
+
+    @deep
 
     def test_track_hits_prune_plateaus_state_keeps_boilerplate(
         self, spark, tmp_path

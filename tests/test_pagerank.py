@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.linkgraph import host_graph, pagerank
 
+from tests.tiers import deep
+
 EDGES = [
     ("A", "B"), ("A", "C"), ("B", "C"), ("B", "E"),
     ("C", "A"), ("D", "C"), ("F", "A"), ("F", "E"),
@@ -145,6 +147,8 @@ class TestHostGraph:
         assert r._pr_iterations == 2
         assert len({x["rank_scaled"] for x in r.collect()}) == 1
 
+    @deep
+
     def test_tol_converges_to_fixed_point(self, spark):
         # d=0.5 halves the delta per iteration, so tol=1e-3 is reached
         # in ~8 iterations — the reference fixed point comes from the
@@ -163,6 +167,8 @@ class TestHostGraph:
         e = spark.createDataFrame(EDGES, "src string, dst string")
         with pytest.raises(ValueError, match="tol"):
             pagerank(e, tol=1e-6, lazy=True)
+
+    @deep
 
     def test_weighted_equals_multiset_expansion(self, spark):
         # rolled-up weighted edges must be BIT-identical to the same
@@ -290,6 +296,7 @@ def _hits_float_ref(edges: list[tuple[str, str]], iterations: int):
 
 
 class TestHits:
+    @deep
     def test_matches_float_reference(self, spark):
         from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
 
@@ -318,6 +325,8 @@ class TestHits:
         assert got["A"] == (scale, 0)
         for leaf in "BCD":
             assert got[leaf] == (0, scale // 3)
+
+    @deep
 
     def test_deterministic_across_partitionings_and_lazy(self, spark):
         from harness_aws_etl_pipeline_spark.operators.linkgraph import hits

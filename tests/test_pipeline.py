@@ -6,6 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.config import EngineConfig
+
+from tests.tiers import deep
 from harness_aws_etl_pipeline_spark.meta import JobRuns
 from harness_aws_etl_pipeline_spark.pipeline import run_job, transform
 
@@ -65,6 +67,8 @@ class TestRunJob:
         assert latest == {"job-1": "SUCCESS"}
         # full history keeps RUNNING + SUCCESS rows (append-only log)
         assert runs.by_job("job-1").count() == 2
+
+    @deep
 
     def test_ledger_compaction(self, spark, tmp_path):
         # N transitions → one file with the latest-wins rows; latest()

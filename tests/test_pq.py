@@ -14,6 +14,8 @@ from harness_aws_etl_pipeline_spark.operators.pq import (
     train_pq,
 )
 
+from tests.tiers import deep
+
 DIM = 16
 
 
@@ -316,6 +318,8 @@ class TestResidual:
                 want = int(((books[s] - sub) ** 2).sum(axis=1).argmin())
                 assert got[i][1][s] == want, (i, s)
 
+    @deep
+
     def test_residual_roundtrip_tighter_than_raw(self, vecs):
         """Residual reconstruction ``c + r̂`` lands closer to the unit
         vector than raw-vector PQ reconstruction at the SAME (m, k)
@@ -372,6 +376,8 @@ class TestResidual:
             sets.setdefault(r.query_id, set()).add(r.neighbor_id)
         for q, nb in sets.items():
             assert nb == {q // 8 * 8 + j for j in range(8)}, (q, nb)
+
+    @deep
 
     def test_residual_beats_raw_on_clustered_vectors(self, spark):
         """Clustered corpus, identical (m, k, nlist, nprobe) and NO

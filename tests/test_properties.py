@@ -10,6 +10,8 @@ from hypothesis import strategies as st
 
 from harness_aws_etl_pipeline_spark.operators.normalize import normalize_name
 
+from tests.tiers import deep
+
 # Spark-backed properties: every example is a few full Spark jobs
 # (~1.5-2 s each), so the example budget IS the suite-runtime budget.
 # 12 examples keeps each invariant exercised across the generator's
@@ -103,6 +105,7 @@ class TestCodecProperties:
         assert got_rate == rate and np.array_equal(frames, s)
 
 
+@deep
 class TestSparkProperties:
     @given(
         st.lists(
@@ -279,6 +282,7 @@ class TestBpeProperties:
             assert all(t for t in toks)
 
 
+@deep
 class TestDecontamProperties:
     @given(
         st.lists(
@@ -401,6 +405,7 @@ class TestUrlProperties:
             assert r.h1 == r.h2, r
 
 
+@deep
 class TestBloomJoinProperties:
     @given(
         st.lists(

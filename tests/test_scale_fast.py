@@ -12,6 +12,11 @@ import time
 
 from pyspark.sql import functions as F
 
+from tests.tiers import deep
+
+
+@deep
+
 
 def test_components_chains_50k(spark):
     """500 chains of 100 nodes under the forced DISTRIBUTED loop
@@ -63,6 +68,9 @@ def test_components_string_ids_10k(spark):
         )
     ).count()
     assert wrong == 0
+
+
+@deep
 
 
 def test_packing_100k_docs(spark):
@@ -331,6 +339,9 @@ def test_bloom_join_1m_fact_equality_and_prune(spark):
     assert kept >= matching  # no false negatives
     assert kept - matching <= 0.05 * 1_000_000  # fp mass bounded
     assert time.time() - start < 60
+
+
+@deep
 
 
 def test_evolve_footer_scan_200_files(spark, tmp_path_factory):

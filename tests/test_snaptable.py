@@ -19,6 +19,8 @@ from harness_aws_etl_pipeline_spark.sinks.snaptable import (
     SnapTable,
 )
 
+from tests.tiers import deep
+
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
@@ -427,6 +429,8 @@ class TestMergeRaceAndModel:
         assert len(got) == 11
         assert out["version"] == table.current_version()
 
+    @deep
+
     def test_model_based_op_sequence(self, spark, table):
         """Deterministic pseudo-random sequence of write/merge/delete/
         compact ops, checked after every step against a dict model —
@@ -822,6 +826,7 @@ class TestOrcFormat:
 
 
 class TestOptimize:
+    @deep
     def test_optimize_restores_pruning_after_appends(self, spark, table):
         # unordered appends → stats overlap → no pruning; optimize
         # z-orders the whole table and pruning comes back
