@@ -54,6 +54,7 @@ __all__ = [
     "tpch_q14_promo_effect",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
+    "tpch_q15_top_supplier",
     "tpch_q19_disjunctive_bands",
     "tpch_q22_dormant_customers",
     "tpch_pack_arm",
@@ -523,6 +524,57 @@ ORDER BY price_scaled DESC, l_orderkey LIMIT 10
 """
 
 
+def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 top supplier: supplier(s) achieving the maximum 1996-Q1
+    shipped revenue. The ``revenue = (SELECT max(...))`` correlated
+    view is a per-supplier partial aggregate plus a 1-row max
+    broadcast back onto it (NOT a global window over the fact table,
+    which would single-task the sort at 100 TB); revenue is the exact
+    scaled long, so the max — and therefore the selected supplier
+    set — is bit-identical across engines. Ties all survive, as in
+    the spec."""
+    t = tables(spark, sf)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("total_rev").alias("rev_scaled"))
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) * {_S}) AS BIGINT)) AS BIGINT) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev AS rev_scaled
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 def tpch_q19_disjunctive_bands(spark: SparkSession, sf: str) -> DataFrame:
     """Q19 discounted revenue under OR-of-ANDs predicate bands
     (brand × size × quantity; p_container doesn't exist here, p_size
@@ -680,6 +732,12 @@ _PACK = [
         ["c_custkey", "c_name", "n_name", "rev_scaled"],
     ),
     ("tq14", tpch_q14_promo_effect, _SQL_Q14, ["promo_scaled", "total_scaled"]),
+    (
+        "tq15",
+        tpch_q15_top_supplier,
+        _SQL_Q15,
+        ["s_suppkey", "s_name", "rev_scaled"],
+    ),
     ("tq17", tpch_q17_small_quantity, _SQL_Q17, ["line_cnt", "rev_scaled"]),
     (
         "tq18",

@@ -134,6 +134,41 @@ class TestRound8Queries:
         )
         assert sum(r["high_line_cnt"] + r["low_line_cnt"] for r in rows) == li.count()
 
+    def test_q15_matches_window_rank(self, spark):
+        """Q15: the 1-row max broadcast-back must select exactly the
+        rank-1 suppliers of a window formulation, ties included."""
+        rows = T.tpch_q15_top_supplier(spark, SF).collect()
+        assert rows
+        from pyspark.sql import Window
+
+        from harness_aws_etl_pipeline_spark.plans.catalog import tables
+
+        t = tables(spark, SF)
+        rev = (
+            t["lineitem"]
+            .filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1996-04-01")
+            )
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10_000
+                    ).cast("long")
+                ).alias("total_rev")
+            )
+        )
+        ranked = rev.withColumn(
+            "_rk", F.rank().over(Window.orderBy(F.col("total_rev").desc()))
+        ).filter(F.col("_rk") == 1)
+        assert {r["s_suppkey"] for r in rows} == {
+            r["l_suppkey"] for r in ranked.collect()
+        }
+        assert len({r["rev_scaled"] for r in rows}) == 1
+
     def test_q13_keeps_zero_order_customers(self, spark):
         rows = T.tpch_q13_order_count_distribution(spark, SF).collect()
         total = sum(r["custdist"] for r in rows)
