@@ -21,10 +21,16 @@ supplies the dense-axis guarantee those trends assume.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["date_spine", "fill_date_gaps"]
+__all__ = [
+    "date_spine",
+    "fill_date_gaps",
+    "ffill",
+    "bfill",
+    "interpolate_linear",
+]
 
 
 def date_spine(
@@ -78,3 +84,124 @@ def fill_date_gaps(
         if v is not None:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return out
+
+
+# ------------------------------------------------------ hole filling
+#
+# The three standard repairs for a series with NULL holes (sensor
+# dropouts, spine-induced gaps from ``fill_date_gaps(fill={c: None})``):
+# carry the last observation forward, carry the next one back, or
+# connect the neighbors linearly. All three are running-frame window
+# functions — one Exchange on the group key shared by every output
+# column, O(rows) per partition, no UDFs, no collect.
+#
+# Scale note: with ``group_cols`` the windows partition by key and
+# parallelize per series; WITHOUT groups the window is a single
+# global frame — one task holds the whole series, which is fine for
+# a per-key series already reduced to thousands of points and wrong
+# for a raw 100 TB fact table (aggregate or group first).
+
+
+def _ordered(
+    group_cols: list[str] | None, order_col: str
+):
+    groups = group_cols or []
+    if groups:
+        return Window.partitionBy(*groups).orderBy(order_col)
+    return Window.partitionBy().orderBy(order_col)
+
+
+def ffill(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forward fill: each NULL takes the most recent non-NULL value
+    at or before it in ``order_col`` order (per group). Leading NULLs
+    stay NULL."""
+    w = _ordered(group_cols, order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for c in value_cols:
+        df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return df
+
+
+def bfill(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward fill: each NULL takes the next non-NULL value at or
+    after it. Trailing NULLs stay NULL."""
+    w = _ordered(group_cols, order_col).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    for c in value_cols:
+        df = df.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return df
+
+
+def _axis(df: DataFrame, order_col: str) -> Column:
+    """The interpolation x-axis as a double: days since epoch for
+    dates, seconds for timestamps, the value itself for numerics."""
+    t = dict(df.dtypes)[order_col]
+    c = F.col(order_col)
+    if t == "date":
+        return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
+    if t.startswith("timestamp"):
+        return c.cast("double")
+    return c.cast("double")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    extrapolate: str = "none",
+) -> DataFrame:
+    """Linear interpolation: each NULL becomes the straight line
+    between its nearest non-NULL neighbors, evaluated at its own
+    ``order_col`` position (dates interpolate on the day axis, so
+    unevenly spaced gaps weight correctly — a hole 1 day from the
+    left neighbor and 9 from the right lands near the left value).
+
+    Edge policy: interior holes always fill; leading/trailing holes
+    (only one neighbor exists) stay NULL under ``extrapolate="none"``
+    (the default) or copy the nearest neighbor under
+    ``extrapolate="nearest"``. Output columns are double.
+
+    The fill expression is the single IEEE chain
+    ``y0 + (y1 - y0) * ((x - x0) / (x1 - x0))`` — engines that
+    evaluate it in this exact order (DuckDB, numpy) reproduce it
+    bit-for-bit, which is what lets the catalog value-oracle this
+    operator.
+    """
+    if extrapolate not in ("none", "nearest"):
+        raise ValueError(f"extrapolate must be none|nearest: {extrapolate}")
+    base = _ordered(group_cols, order_col)
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    x = _axis(df, order_col)
+    for c in value_cols:
+        y = F.col(c).cast("double")
+        known_x = F.when(y.isNotNull(), x)
+        y0 = F.last(y, ignorenulls=True).over(back)
+        x0 = F.last(known_x, ignorenulls=True).over(back)
+        y1 = F.first(y, ignorenulls=True).over(fwd)
+        x1 = F.first(known_x, ignorenulls=True).over(fwd)
+        edge = (
+            F.coalesce(y0, y1)
+            if extrapolate == "nearest"
+            else F.lit(None).cast("double")
+        )
+        df = df.withColumn(
+            c,
+            F.when(y.isNotNull(), y)
+            .when(y0.isNull() | y1.isNull(), edge)
+            .otherwise(y0 + (y1 - y0) * ((x - x0) / (x1 - x0))),
+        )
+    return df

@@ -479,9 +479,18 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     counts re-laid on the dense calendar axis
     (operators/timeseries.py:fill_date_gaps). Spine size, zero-filled
     hole count, and the md5 of every (priority, day, cnt) row are
-    re-derived in DuckDB via generate_series."""
+    re-derived in DuckDB via generate_series.
+
+    Fused (round 8): the HOLE-FILLING leg — the same dense axis with
+    NULL holes, repaired by ``ffill`` AND ``interpolate_linear``
+    (operators/timeseries.py). The interpolated value is the exact
+    IEEE chain ``y0 + (y1-y0)·((x-x0)/(x1-x0))`` on the day axis,
+    re-derived verbatim in DuckDB (IGNORE NULLS running windows), and
+    hashed as a scaled long — edge NULLs render as '_'."""
     from harness_aws_etl_pipeline_spark.operators.timeseries import (
+        ffill,
         fill_date_gaps,
+        interpolate_linear,
     )
 
     o = tables(spark, sf)["orders"]
@@ -500,6 +509,29 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.sum((F.col("cnt") == 0).cast("long")).alias("spine_zero_rows"),
         F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias(
             "spine_md5"
+        ),
+    )
+    grp = ["o_orderpriority"]
+    holes = fill_date_gaps(
+        daily, "od", grp, fill={"cnt": None}
+    ).withColumn("ffc", F.col("cnt"))
+    repaired = ffill(
+        interpolate_linear(holes, "od", ["cnt"], grp), "od", ["ffc"], grp
+    )
+    fs = F.concat_ws(
+        ":",
+        "o_orderpriority",
+        F.col("od").cast("string"),
+        F.coalesce(
+            F.round(F.col("cnt") * 10_000).cast("long").cast("string"),
+            F.lit("_"),
+        ),
+        F.coalesce(F.col("ffc").cast("string"), F.lit("_")),
+    )
+    fill_leg = repaired.agg(
+        F.sum(F.col("cnt").isNotNull().cast("long")).alias("fill_known"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(fs)))).alias(
+            "fill_md5"
         ),
     )
     d = F.to_date("o_orderdate")
@@ -523,7 +555,9 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
-    return base.crossJoin(F.broadcast(spine_leg))
+    return base.crossJoin(F.broadcast(spine_leg)).crossJoin(
+        F.broadcast(fill_leg)
+    )
 
 
 ORACLE_DATE_FUNCS = """
@@ -556,7 +590,51 @@ FROM orders GROUP BY 1
          CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS spine_zero_rows,
          md5(string_agg(s, '|' ORDER BY s)) AS spine_md5
   FROM strs
-) spine_arm
+) spine_arm CROSS JOIN (
+  -- the hole-filling leg: the dense axis with NULL holes, repaired by
+  -- ffill AND linear interpolation on the day axis — the same IEEE
+  -- chain y0 + (y1-y0)*((x-x0)/(x1-x0)) the Spark operator emits
+  WITH daily2 AS (SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS od,
+                         COUNT(*) AS cnt
+                  FROM orders GROUP BY 1, 2),
+  b2 AS (SELECT MIN(od) AS mn, MAX(od) AS mx FROM daily2),
+  spine2 AS (SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS od
+             FROM b2),
+  dom2 AS (SELECT DISTINCT g FROM daily2),
+  holes AS (SELECT dom2.g, spine2.od, daily2.cnt
+            FROM dom2 CROSS JOIN spine2
+            LEFT JOIN daily2 ON daily2.g = dom2.g AND daily2.od = spine2.od),
+  w AS (SELECT g, od, cnt,
+               CAST(cnt AS DOUBLE) AS y,
+               CAST(date_diff('day', DATE '1970-01-01', od) AS DOUBLE) AS x,
+               last_value(CAST(cnt AS DOUBLE) IGNORE NULLS) OVER back AS y0,
+               last_value(CASE WHEN cnt IS NOT NULL
+                 THEN CAST(date_diff('day', DATE '1970-01-01', od) AS DOUBLE) END
+                 IGNORE NULLS) OVER back AS x0,
+               first_value(CAST(cnt AS DOUBLE) IGNORE NULLS) OVER fwd AS y1,
+               first_value(CASE WHEN cnt IS NOT NULL
+                 THEN CAST(date_diff('day', DATE '1970-01-01', od) AS DOUBLE) END
+                 IGNORE NULLS) OVER fwd AS x1,
+               last_value(cnt IGNORE NULLS) OVER back AS ff
+        FROM holes
+        WINDOW back AS (PARTITION BY g ORDER BY od
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd AS (PARTITION BY g ORDER BY od
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+  rep AS (SELECT g, od, ff,
+                 CASE WHEN y IS NOT NULL THEN y
+                      WHEN y0 IS NULL OR y1 IS NULL THEN NULL
+                      ELSE y0 + (y1 - y0) * ((x - x0) / (x1 - x0)) END AS ip
+          FROM w),
+  fstr AS (SELECT ip,
+                  g || ':' || CAST(od AS VARCHAR) || ':'
+                    || COALESCE(CAST(CAST(ROUND(ip * 10000) AS BIGINT) AS VARCHAR), '_')
+                    || ':' || COALESCE(CAST(ff AS VARCHAR), '_') AS s
+           FROM rep)
+  SELECT CAST(SUM(CASE WHEN ip IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fill_known,
+         md5(string_agg(s, '|' ORDER BY s)) AS fill_md5
+  FROM fstr
+) fill_arm
 ORDER BY month_start
 """
 

@@ -11,8 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.timeseries import (
+    bfill,
     date_spine,
+    ffill,
     fill_date_gaps,
+    interpolate_linear,
 )
 
 
@@ -85,3 +88,111 @@ class TestFill:
         # Jan 2-4 = (0 + 0 + 40)/3; the sparse frame would have
         # averaged Jan 1 and Jan 4 together
         assert ma[("a", _d("2024-01-04"))] == pytest.approx(40 / 3)
+
+
+@pytest.fixture()
+def holey(spark):
+    # per-group series with leading, interior, and trailing holes
+    rows = [
+        ("a", _d("2024-01-01"), None),
+        ("a", _d("2024-01-02"), 10.0),
+        ("a", _d("2024-01-03"), None),
+        ("a", _d("2024-01-04"), None),
+        ("a", _d("2024-01-05"), 40.0),
+        ("a", _d("2024-01-06"), None),
+        ("b", _d("2024-01-01"), 7.0),
+        ("b", _d("2024-01-02"), None),
+    ]
+    return spark.createDataFrame(rows, "g string, d date, v double")
+
+
+def _vals(df):
+    return {
+        (r["g"], r["d"]): r["v"]
+        for r in df.orderBy("g", "d").collect()
+    }
+
+
+class TestHoleFilling:
+    def test_ffill(self, spark, holey):
+        got = _vals(ffill(holey, "d", ["v"], ["g"]))
+        assert got[("a", _d("2024-01-01"))] is None  # leading stays
+        assert got[("a", _d("2024-01-03"))] == 10.0
+        assert got[("a", _d("2024-01-04"))] == 10.0
+        assert got[("a", _d("2024-01-06"))] == 40.0
+        assert got[("b", _d("2024-01-02"))] == 7.0
+
+    def test_bfill(self, spark, holey):
+        got = _vals(bfill(holey, "d", ["v"], ["g"]))
+        assert got[("a", _d("2024-01-01"))] == 10.0
+        assert got[("a", _d("2024-01-04"))] == 40.0
+        assert got[("a", _d("2024-01-06"))] is None  # trailing stays
+        assert got[("b", _d("2024-01-02"))] is None
+
+    def test_linear_interior_weights_by_axis_distance(self, spark, holey):
+        got = _vals(interpolate_linear(holey, "d", ["v"], ["g"]))
+        # Jan 3/4 sit 1/3 and 2/3 of the way from 10 → 40
+        assert got[("a", _d("2024-01-03"))] == pytest.approx(20.0)
+        assert got[("a", _d("2024-01-04"))] == pytest.approx(30.0)
+        assert got[("a", _d("2024-01-02"))] == 10.0  # untouched
+        assert got[("a", _d("2024-01-01"))] is None  # edge default
+        assert got[("a", _d("2024-01-06"))] is None
+        assert got[("b", _d("2024-01-02"))] is None
+
+    def test_linear_uneven_spacing(self, spark):
+        # hole 1 day from the left neighbor, 9 from the right: the
+        # value must land 1/10 of the way, NOT at the midpoint
+        rows = [
+            ("a", _d("2024-01-01"), 0.0),
+            ("a", _d("2024-01-02"), None),
+            ("a", _d("2024-01-11"), 100.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, d date, v double")
+        got = _vals(interpolate_linear(df, "d", ["v"], ["g"]))
+        assert got[("a", _d("2024-01-02"))] == pytest.approx(10.0)
+
+    def test_linear_nearest_extrapolation(self, spark, holey):
+        got = _vals(
+            interpolate_linear(
+                holey, "d", ["v"], ["g"], extrapolate="nearest"
+            )
+        )
+        assert got[("a", _d("2024-01-01"))] == 10.0
+        assert got[("a", _d("2024-01-06"))] == 40.0
+        assert got[("b", _d("2024-01-02"))] == 7.0
+
+    def test_linear_numeric_axis_and_all_null_group(self, spark):
+        rows = [
+            ("a", 0, 0.0),
+            ("a", 4, None),
+            ("a", 10, 5.0),
+            ("c", 1, None),
+            ("c", 2, None),
+        ]
+        df = spark.createDataFrame(rows, "g string, x long, v double")
+        got = {
+            (r["g"], r["x"]): r["v"]
+            for r in interpolate_linear(df, "x", ["v"], ["g"]).collect()
+        }
+        assert got[("a", 4)] == pytest.approx(2.0)
+        assert got[("c", 1)] is None and got[("c", 2)] is None
+
+    def test_spine_then_interpolate_composes(self, spark, sparse):
+        dense = fill_date_gaps(sparse, "d", ["g"], fill={"cnt": None})
+        got = {
+            (r["g"], r["d"]): r["cnt"]
+            for r in interpolate_linear(
+                dense, "d", ["cnt"], ["g"]
+            ).collect()
+        }
+        assert got[("a", _d("2024-01-02"))] == pytest.approx(20.0)
+        assert got[("a", _d("2024-01-03"))] == pytest.approx(30.0)
+
+    def test_single_exchange_for_all_windows(self, spark, holey):
+        plan = (
+            interpolate_linear(holey, "d", ["v"], ["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 1
