@@ -1009,22 +1009,117 @@ ORDER BY d
 def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """§2.11 [EXT] — tumbling 1-hour window aggregation over the event
     stream table (batch form; the streaming form with watermarks lives
-    in streaming/windows.py with identical semantics)."""
+    in streaming/windows.py with identical semantics).
+
+    Fused (round 8): the ROBUST-OUTLIER legs (operators/outliers.py).
+    Rolling z-score over the hourly per-type counts (trailing 24 h,
+    k=2) — the flag is the exact integer inequality
+    ``(x·n − s)² > k²·(n·q − s²)`` so the flagged set md5-matches the
+    DuckDB re-derivation; groupwise MAD and Tukey-IQR flag counts
+    over the raw event values (exact 2×-median / 4×-quartile integer
+    fences)."""
+    from harness_aws_etl_pipeline_spark.operators.outliers import (
+        iqr_outliers,
+        mad_outliers,
+        rolling_zscore,
+    )
+
     ev = tables(spark, sf)["events"]
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("event_cnt"), dsum("value", "value_sum"))
+    rz = rolling_zscore(
+        hourly,
+        "window_start",
+        "event_cnt",
+        ["event_type"],
+        window=24,
+        k=2,
+        min_periods=3,
+    )
+    # window_start is TIMESTAMP_NTZ; session tz is pinned UTC by
+    # load_table, so the ltz hop renders the same epoch second DuckDB's
+    # epoch() does
+    rs = F.concat_ws(
+        ":",
+        "event_type",
+        F.col("window_start").cast("timestamp_ltz").cast("long"),
+    )
+    rz_leg = rz.filter(F.col("is_outlier")).agg(
+        F.count(F.lit(1)).alias("rz_flags"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(rs)))).alias(
+            "rz_md5"
+        ),
+    )
+    vals = ev.select("event_type", "value")
+    mad_leg = mad_outliers(vals, "value", ["event_type"], k=3).agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("mad_flags")
+    )
+    iqr_leg = iqr_outliers(vals, "value", ["event_type"], k_halves=3).agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("iqr_flags")
+    )
     return (
-        ev.groupBy(
-            F.window("ts", "1 hour").getField("start").alias("window_start"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("event_cnt"), dsum("value", "value_sum"))
-        .orderBy("window_start", "event_type")
+        hourly.orderBy("window_start", "event_type")
+        .crossJoin(F.broadcast(rz_leg))
+        .crossJoin(F.broadcast(mad_leg))
+        .crossJoin(F.broadcast(iqr_leg))
     )
 
 
 ORACLE_EVENTS_TUMBLING = f"""
+SELECT * FROM (
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS event_cnt, {sql_dsum("value", "value_sum")}
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
+FROM events GROUP BY 1, 2
+) base CROSS JOIN (
+  -- rolling z-score flags over hourly per-type counts: the exact
+  -- integer inequality (x·n − s)² > k²·(n·q − s²), k=2, 24 h window
+  WITH hr AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                     event_type AS et, COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2),
+  sc AS (SELECT et, ws, CAST(cnt * 10000 AS HUGEINT) AS xs FROM hr),
+  win AS (SELECT et, ws, xs,
+                 CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+                 SUM(xs) OVER w AS s,
+                 SUM(xs * xs) OVER w AS q
+          FROM sc
+          WINDOW w AS (PARTITION BY et ORDER BY ws
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+  fl AS (SELECT et || ':' || CAST(CAST(epoch(ws) AS BIGINT) AS VARCHAR) AS s
+         FROM win
+         WHERE n >= 3 AND (xs*n - s)*(xs*n - s) > 4*(n*q - s*s))
+  SELECT COUNT(*) AS rz_flags,
+         md5(COALESCE(string_agg(s, '|' ORDER BY s), '')) AS rz_md5
+  FROM fl
+) rz_arm CROSS JOIN (
+  -- groupwise MAD flags: 2·|2x − med2| > k·mad4 on scaled longs
+  WITH xs AS (SELECT event_type AS et,
+                     CAST(ROUND(CAST(value AS DOUBLE) * 10000) AS BIGINT) AS x
+              FROM events),
+  med AS (SELECT et, CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.5) * 2) AS BIGINT) AS med2
+          FROM xs GROUP BY 1),
+  dev AS (SELECT xs.et, ABS(2 * x - med2) AS d
+          FROM xs JOIN med ON xs.et = med.et),
+  mad AS (SELECT et, CAST(ROUND(quantile_cont(CAST(d AS DOUBLE), 0.5) * 2) AS BIGINT) AS mad4
+          FROM dev GROUP BY 1)
+  SELECT CAST(SUM(CASE WHEN 2 * d > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT) AS mad_flags
+  FROM dev JOIN mad ON dev.et = mad.et
+) mad_arm CROSS JOIN (
+  -- Tukey fences: 8x outside [2·q1₄ − 3·iqr₄, 2·q3₄ + 3·iqr₄]
+  WITH xs AS (SELECT event_type AS et,
+                     CAST(ROUND(CAST(value AS DOUBLE) * 10000) AS BIGINT) AS x
+              FROM events),
+  qu AS (SELECT et,
+                CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.25) * 4) AS BIGINT) AS q1_4,
+                CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.75) * 4) AS BIGINT) AS q3_4
+         FROM xs GROUP BY 1)
+  SELECT CAST(SUM(CASE WHEN 8 * x < 2 * q1_4 - 3 * (q3_4 - q1_4)
+                         OR 8 * x > 2 * q3_4 + 3 * (q3_4 - q1_4)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS iqr_flags
+  FROM xs JOIN qu ON xs.et = qu.et
+) iqr_arm
+ORDER BY window_start, event_type
 """
 
 
