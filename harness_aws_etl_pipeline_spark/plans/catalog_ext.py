@@ -1389,6 +1389,22 @@ _PR_ROW: tuple | None = None
 _HITS_ITERS = 2
 _HITS_SCALE = 10**9
 _HITS_ROW: tuple | None = None
+# triangle/clustering legs (fused round 8): a planted graph with two
+# triangles sharing an edge, a 4-clique (4 more), a pendant, an
+# isolated edge, AND deliberately messy rows — a reversed duplicate,
+# a parallel duplicate, a self-loop — pinning the simple-graph
+# collapse cross-engine. Cached driver-side like _PR_ROW.
+_TRI_EDGES = (
+    ("A", "B"), ("B", "C"), ("A", "C"),
+    ("B", "D"), ("C", "D"),
+    ("D", "E"),
+    ("B", "A"), ("A", "A"),
+    ("P", "Q"), ("P", "R"), ("P", "S"),
+    ("Q", "R"), ("Q", "S"), ("R", "S"),
+    ("P", "Q"),
+    ("X", "Y"),
+)
+_TRI_ROW: tuple | None = None
 
 
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -1487,10 +1503,42 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     hits_agg = spark.createDataFrame(
         [_HITS_ROW], "hits_md5 string, hits_top_hub string, hits_top_auth string"
     )
+    global _TRI_ROW
+    if _TRI_ROW is None:
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+            triangles,
+        )
+
+        tr = triangles(
+            spark.createDataFrame(list(_TRI_EDGES), "src string, dst string")
+        )
+        trow = tr.agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                "node",
+                                F.col("deg").cast("string"),
+                                F.col("tri_cnt").cast("string"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("tri_md5"),
+            (F.sum("tri_cnt") / 3).cast("long").alias("tri_total"),
+        ).first()
+        _TRI_ROW = (trow["tri_md5"], trow["tri_total"])
+    tri_agg = spark.createDataFrame([_TRI_ROW], "tri_md5 string, tri_total long")
     return (
         summary.crossJoin(F.broadcast(
             survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
-        )).crossJoin(F.broadcast(pr_agg)).crossJoin(F.broadcast(hits_agg))
+        ))
+        .crossJoin(F.broadcast(pr_agg))
+        .crossJoin(F.broadcast(hits_agg))
+        .crossJoin(F.broadcast(tri_agg))
     )
 
 
@@ -1553,7 +1601,13 @@ SELECT (SELECT COUNT(*) FROM labels) AS clustered_docs,
        (SELECT node FROM hb__HK__ ORDER BY s DESC, node DESC LIMIT 1)
          AS hits_top_hub,
        (SELECT node FROM au__HK__ ORDER BY s DESC, node DESC LIMIT 1)
-         AS hits_top_auth
+         AS hits_top_auth,
+       (SELECT md5(string_agg(s, '|' ORDER BY s))
+        FROM (SELECT d.n || ':' || CAST(d.d AS VARCHAR) || ':'
+                     || CAST(COALESCE(c.tc, 0) AS VARCHAR) AS s
+              FROM tri_deg d LEFT JOIN tri_pernode c ON c.node = d.n))
+         AS tri_md5,
+       (SELECT COUNT(*) FROM tri_tri) AS tri_total
 """
 
 
@@ -1630,9 +1684,46 @@ pr{i} AS (
     WHERE o.src IS NULL
   ) dg
 )""")
+    # triangle legs: the planted edges as VALUES, the same
+    # degree-ordered orientation + wedge-close join the operator
+    # runs — exact integers throughout, so md5 matches bit-for-bit
+    tri_values = ", ".join(f"('{a}', '{b}')" for a, b in _TRI_EDGES)
+    tri_ctes = f""",
+tri_e(a, b) AS (VALUES {tri_values}),
+tri_und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+            FROM tri_e WHERE a <> b),
+tri_deg AS (SELECT n, COUNT(*) AS d
+            FROM (SELECT u AS n FROM tri_und
+                  UNION ALL SELECT v FROM tri_und)
+            GROUP BY 1),
+tri_o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS dt
+  FROM tri_und e
+  JOIN tri_deg du ON du.n = e.u
+  JOIN tri_deg dv ON dv.n = e.v
+),
+tri_tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM tri_o e1
+  JOIN tri_o e2 ON e1.s = e2.s
+              AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+  JOIN tri_o e3 ON e3.s = e1.t AND e3.t = e2.t
+),
+tri_pernode AS (
+  SELECT node, COUNT(*) AS tc
+  FROM (SELECT a AS node FROM tri_tri
+        UNION ALL SELECT b FROM tri_tri
+        UNION ALL SELECT c FROM tri_tri)
+  GROUP BY 1
+)"""
     return (
         ORACLE_NEAR_DUP_CLUSTERS.replace(
-            "__PR_CTES__", "".join(ctes) + "".join(hits_ctes)
+            "__PR_CTES__", "".join(ctes) + "".join(hits_ctes) + tri_ctes
         )
         .replace("__HK__", str(_HITS_ITERS))
         .replace("__K__", str(_PR_ITERS))
