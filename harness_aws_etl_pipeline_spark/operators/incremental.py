@@ -36,6 +36,7 @@ than a one-shot audit.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,6 +55,7 @@ __all__ = [
     "IncrementalDeduper",
     "IncrementalEmbeddingDeduper",
     "IncrementalHeavyHitters",
+    "IncrementalQuantiles",
     "IncrementalSpanDeduper",
 ]
 
@@ -947,3 +949,232 @@ class IncrementalHeavyHitters:
             )
             .orderBy("rank")
         )
+
+
+class IncrementalQuantiles:
+    """Streaming/daily quantiles over an unbounded value stream.
+
+    ``operators/quantiles.py`` answers "the exact p99 of THIS
+    dataset"; a monitoring pipeline asks "the running p99 over
+    everything ever folded in, updated per batch, without re-reading
+    history". This keeps one WEIGHTED QUANTILE SUMMARY as durable
+    state — at most ``capacity`` ``(value, weight)`` rows plus a meta
+    row ``(n, err)`` — and folds each batch with a deterministic
+    mergeable algebra (no randomness anywhere, so the state is
+    byte-reproducible across runs and partitionings):
+
+    * **per batch**: ``batch_k`` evenly spaced EXACT order statistics
+      of the batch (``quantiles.exact_quantiles`` — the two-level
+      rank selection, one range shuffle, no buffering aggregate)
+      become a weighted summary whose rank error is
+      ``max(block weight) − 1`` — zero while batches are smaller
+      than ``batch_k``;
+    * **merge**: summaries union and their errors ADD — the rank
+      estimate of a union is the sum of the two estimates, each
+      within its own bound;
+    * **compress**: when the union exceeds ``capacity`` rows, it is
+      re-stratified to ``capacity`` rows by weighted rank (driver-
+      side over ≤ capacity + batch_k rows — the same bounded-
+      metadata collect budget as a model/manifest read), adding
+      ``max(new block weight − kept row's own weight)`` to the
+      error bound;
+    * **exactly-once**: the state write is one snapshot commit with
+      the batch's ``(app_id, batch_id)`` ledger entry — replays
+      short-circuit before any Spark job (``foreachBatch``-ready).
+
+    Soundness invariant (pinned by tests): for every reported
+    quantile, ``rank_lo ≤ true rank of the reported value ≤
+    rank_hi`` where the window is the accumulated error bound — and
+    while batches stay under ``batch_k`` and no compression fires,
+    the summary is EXACT (err = 0). State size is KBs regardless of
+    how many values flowed through.
+    """
+
+    _STATE_SCHEMA = (
+        "value double, weight long, is_meta boolean, n long, err long"
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        capacity: int = 256,
+        batch_k: int = 128,
+    ):
+        if capacity < 8 or batch_k < 2:
+            raise ValueError("capacity must be >= 8 and batch_k >= 2")
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.capacity = capacity
+        self.batch_k = batch_k
+
+    # ------------------------------------------------------------------
+
+    def state_summary(self) -> DataFrame | None:
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+    # ------------------------------------------------------------------
+
+    def _read_state(self) -> tuple[list[tuple[float, int]], int, int]:
+        state = self.state_summary()
+        if state is None:
+            return [], 0, 0
+        rows = state.collect()
+        meta = next(r for r in rows if r["is_meta"])
+        data = sorted(
+            ((r["value"], r["weight"]) for r in rows if not r["is_meta"]),
+        )
+        return data, meta["n"], meta["err"]
+
+    @staticmethod
+    def _compress(
+        data: list[tuple[float, int]], capacity: int
+    ) -> tuple[list[tuple[float, int]], int]:
+        """Re-stratify a sorted weighted summary to ≤ capacity rows by
+        weighted rank; returns (rows, added error bound)."""
+        if len(data) <= capacity:
+            return data, 0
+        total = sum(w for _, w in data)
+        out: list[tuple[float, int]] = []
+        added = 0
+        cum = 0
+        prev_cut = 0
+        i = 0
+        for j in range(1, capacity + 1):
+            target = -(-j * total // capacity)  # ceil
+            while cum < target and i < len(data):
+                v, w = data[i]
+                cum += w
+                i += 1
+            if cum > prev_cut:
+                new_w = cum - prev_cut
+                out.append((v, new_w))
+                added = max(added, new_w - w)
+                prev_cut = cum
+            if i >= len(data):
+                break
+        return out, added
+
+    def process_batch(
+        self,
+        df: DataFrame,
+        col: str,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Fold one batch of ``df[col]`` (NULLs skipped) into the
+        running summary. Returns ``{"state_version", "skipped", "n",
+        "err", "rows"}``."""
+        from harness_aws_etl_pipeline_spark.operators.quantiles import (
+            exact_quantiles,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "n": None,
+                "err": None,
+                "rows": None,
+            }
+        data, n, err = self._read_state()
+        src = df.select(F.col(col).cast("double").alias("__v")).where(
+            F.col("__v").isNotNull()
+        )
+        n_b = src.count()
+        if n_b > 0:
+            k = min(self.batch_k, n_b)
+            qs = [(i + 1) / k for i in range(k)]
+            qs[-1] = 1.0
+            stats = exact_quantiles(src, "__v", qs).collect()
+            # distinct ranks only (small batches repeat ranks); block
+            # weights from consecutive rank gaps sum exactly to n_b
+            seen: dict[int, float] = {}
+            for r in stats:
+                seen[r["rank"]] = r["value"]
+            prev = -1
+            batch_rows: list[tuple[float, int]] = []
+            err_b = 0
+            for rank in sorted(seen):
+                w = rank - prev
+                batch_rows.append((seen[rank], w))
+                err_b = max(err_b, w - 1)
+                prev = rank
+            data = sorted(data + batch_rows)
+            n += n_b
+            err += err_b
+            data, added = self._compress(data, self.capacity)
+            err += added
+        new_state = self.spark.createDataFrame(
+            [(v, w, False, None, None) for v, w in data]
+            + [(None, None, True, n, err)],
+            self._STATE_SCHEMA,
+        ).coalesce(1)
+        out = self.table.write(new_state, mode="overwrite", txn=txn)
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "n": n,
+            "err": err,
+            "rows": len(data),
+        }
+
+    # ------------------------------------------------------------------
+
+    def quantiles(self, qs: list[float]) -> list[dict]:
+        """Point estimates with sound rank windows: for each ``q``,
+        the summary value whose cumulative weight first reaches
+        ``ceil(q·n)``, with ``[rank_lo, rank_hi]`` = cumulative
+        weight ± the accumulated error bound (clamped to [1, n]) —
+        the TRUE rank of the reported value (1-based count of stream
+        elements ≤ it) always falls inside the window."""
+        for q in qs:
+            if not (0.0 <= q <= 1.0):
+                raise ValueError(f"quantile {q} outside [0, 1]")
+        data, n, err = self._read_state()
+        out = []
+        for q in qs:
+            if not data:
+                out.append(
+                    {"q": q, "value": None, "rank_lo": None,
+                     "rank_hi": None, "n": 0, "err": err}
+                )
+                continue
+            target = max(1, min(n, math.ceil(q * n)))
+            cum = 0
+            val, est = data[-1][0], n
+            for i, (v, w) in enumerate(data):
+                cum += w
+                if cum >= target:
+                    # absorb trailing rows carrying the SAME value
+                    # (merged summaries can split one value across
+                    # rows) — the rank window is anchored on the full
+                    # cumulative weight through the value
+                    for v2, w2 in data[i + 1 :]:
+                        if v2 != v:
+                            break
+                        cum += w2
+                    val, est = v, cum
+                    break
+            out.append(
+                {
+                    "q": q,
+                    "value": val,
+                    "rank_lo": max(1, est - err),
+                    "rank_hi": min(n, est + err),
+                    "n": n,
+                    "err": err,
+                }
+            )
+        return out

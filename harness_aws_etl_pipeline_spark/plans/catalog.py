@@ -1491,6 +1491,99 @@ _IHH_SCHEMA = (
 )
 
 
+_IQ_ROW = None  # one fixture run per process (sf-independent stream)
+
+
+def _iq_leg(spark: SparkSession) -> DataFrame:
+    """Round 8: the incremental quantile summary's cross-batch rank
+    windows (operators/incremental.py:IncrementalQuantiles) on a
+    closed-form 3-batch stream (batch b: ``(i·37 + b·11) mod 199``,
+    i < 100 — the multiset DuckDB re-derives with ``range()``
+    arithmetic). Two instances:
+
+    - ample capacity (no compression): ``err`` must be 0 and the
+      reported p50 must equal the spec's exact 150th-smallest —
+      ``iq_exact_p50`` is a genuine cross-engine VALUE check;
+    - forced compression (capacity 16, batch_k 8): every decile's
+      reported value must carry a sound rank window (true rank from
+      the spec inside [rank_lo, rank_hi]) with the state capped at
+      capacity rows — ``iq_sound``/``iq_compressed``;
+    - a replayed middle batch (same txn) must short-circuit without
+      double-counting — ``iq_replay_ok`` and ``iq_n``."""
+    global _IQ_ROW
+    if _IQ_ROW is not None:
+        return spark.createDataFrame([_IQ_ROW], _IQ_SCHEMA)
+    import math
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.operators.incremental import (
+        IncrementalQuantiles,
+    )
+
+    batches = [
+        [float((i * 37 + b * 11) % 199) for i in range(100)]
+        for b in range(3)
+    ]
+    stream = sorted(v for vs in batches for v in vs)
+    n = len(stream)
+
+    def _fold(iq):
+        for b, vals in enumerate(batches):
+            df = spark.createDataFrame([(v,) for v in vals], "v double")
+            iq.process_batch(df, "v", txn=("iq_leg", b))
+            if b == 1:  # replay the middle batch — must short-circuit
+                r = iq.process_batch(df, "v", txn=("iq_leg", b))
+                assert r["skipped"]
+
+    with tempfile.TemporaryDirectory(prefix="iq_leg_") as tmp:
+        iqe = IncrementalQuantiles(
+            spark, f"{tmp}/exact", capacity=512, batch_k=128
+        )
+        _fold(iqe)
+        exact = iqe.quantiles([0.5])[0]
+        iqc = IncrementalQuantiles(
+            spark, f"{tmp}/comp", capacity=16, batch_k=8
+        )
+        _fold(iqc)
+        comp = iqc.quantiles([0.1, 0.25, 0.5, 0.75, 0.9])
+        last = iqc.process_batch(
+            spark.createDataFrame([], "v double"), "v", txn=("iq_leg", 99)
+        )
+    sound = all(
+        e["rank_lo"]
+        <= sum(1 for x in stream if x <= e["value"])
+        <= e["rank_hi"]
+        for e in comp
+    )
+    _IQ_ROW = (
+        exact["n"],
+        int(exact["value"]),
+        bool(exact["err"] == 0 and exact["n"] == n),
+        sound,
+        bool(last["err"] > 0 and last["rows"] <= 16),
+        bool(comp[0]["n"] == n),
+    )
+    return spark.createDataFrame([_IQ_ROW], _IQ_SCHEMA)
+
+
+_IQ_SCHEMA = (
+    "iq_n bigint, iq_exact_p50 bigint, iq_exact_ok boolean,"
+    " iq_sound boolean, iq_compressed boolean, iq_replay_ok boolean"
+)
+
+
+ORACLE_IQ = """
+SELECT (SELECT COUNT(*) FROM range(100) i CROSS JOIN range(3) b) AS iq_n,
+       (SELECT v FROM (SELECT (i.range * 37 + b.range * 11) % 199 AS v
+                       FROM range(100) i CROSS JOIN range(3) b)
+        ORDER BY v LIMIT 1 OFFSET 149) AS iq_exact_p50,
+       TRUE AS iq_exact_ok,
+       TRUE AS iq_sound,
+       TRUE AS iq_compressed,
+       TRUE AS iq_replay_ok
+"""
+
+
 ORACLE_IHH = """
 SELECT CAST(LEAST(8, (SELECT COUNT(*) FROM range(40))) AS BIGINT) AS ihh_tracked,
        TRUE AS ihh_bounds_ok,
@@ -1625,6 +1718,7 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(rq))
         .crossJoin(F.broadcast(qchk))
         .crossJoin(F.broadcast(_ihh_trim_leg(spark)))
+        .crossJoin(F.broadcast(_iq_leg(spark)))
     )
 
 
@@ -1687,6 +1781,7 @@ CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_GROUPED_HH})
 CROSS JOIN ({ORACLE_KMV})
 CROSS JOIN ({ORACLE_RANK_QUANTILES})
 CROSS JOIN ({ORACLE_IHH})
+CROSS JOIN ({ORACLE_IQ})
 """
 
 
