@@ -1009,70 +1009,29 @@ ORDER BY d
 def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """§2.11 [EXT] — tumbling 1-hour window aggregation over the event
     stream table (batch form; the streaming form with watermarks lives
-    in streaming/windows.py with identical semantics).
-
-    Fused (round 8): the ROBUST-OUTLIER legs (operators/outliers.py).
-    Rolling z-score over the hourly per-type counts (trailing 24 h,
-    k=2) — the flag is the exact integer inequality
-    ``(x·n − s)² > k²·(n·q − s²)`` so the flagged set md5-matches the
-    DuckDB re-derivation; groupwise MAD and Tukey-IQR flag counts
-    over the raw event values (exact 2×-median / 4×-quartile integer
-    fences)."""
-    from harness_aws_etl_pipeline_spark.operators.outliers import (
-        iqr_outliers,
-        mad_outliers,
-        rolling_zscore,
-    )
-
+    in streaming/windows.py with identical semantics). Headline bench
+    query — keep it leg-free (round-6 rule) so per-query drift stays
+    attributable; the round-8 outlier legs live on
+    ``events_sessionize``."""
     ev = tables(spark, sf)["events"]
-    hourly = ev.groupBy(
-        F.window("ts", "1 hour").getField("start").alias("window_start"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("event_cnt"), dsum("value", "value_sum"))
-    rz = rolling_zscore(
-        hourly,
-        "window_start",
-        "event_cnt",
-        ["event_type"],
-        window=24,
-        k=2,
-        min_periods=3,
-    )
-    # window_start is TIMESTAMP_NTZ; session tz is pinned UTC by
-    # load_table, so the ltz hop renders the same epoch second DuckDB's
-    # epoch() does
-    rs = F.concat_ws(
-        ":",
-        "event_type",
-        F.col("window_start").cast("timestamp_ltz").cast("long"),
-    )
-    rz_leg = rz.filter(F.col("is_outlier")).agg(
-        F.count(F.lit(1)).alias("rz_flags"),
-        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(rs)))).alias(
-            "rz_md5"
-        ),
-    )
-    vals = ev.select("event_type", "value")
-    mad_leg = mad_outliers(vals, "value", ["event_type"], k=3).agg(
-        F.sum(F.col("is_outlier").cast("long")).alias("mad_flags")
-    )
-    iqr_leg = iqr_outliers(vals, "value", ["event_type"], k_halves=3).agg(
-        F.sum(F.col("is_outlier").cast("long")).alias("iqr_flags")
-    )
     return (
-        hourly.orderBy("window_start", "event_type")
-        .crossJoin(F.broadcast(rz_leg))
-        .crossJoin(F.broadcast(mad_leg))
-        .crossJoin(F.broadcast(iqr_leg))
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("event_cnt"), dsum("value", "value_sum"))
+        .orderBy("window_start", "event_type")
     )
 
 
 ORACLE_EVENTS_TUMBLING = f"""
-SELECT * FROM (
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS event_cnt, {sql_dsum("value", "value_sum")}
-FROM events GROUP BY 1, 2
-) base CROSS JOIN (
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_ORACLE_OUTLIER_ARMS = """(
   -- rolling z-score flags over hourly per-type counts: the exact
   -- integer inequality (x·n − s)² > k²·(n·q − s²), k=2, 24 h window
   WITH hr AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
@@ -1118,16 +1077,68 @@ FROM events GROUP BY 1, 2
                          OR 8 * x > 2 * q3_4 + 3 * (q3_4 - q1_4)
                        THEN 1 ELSE 0 END) AS BIGINT) AS iqr_flags
   FROM xs JOIN qu ON xs.et = qu.et
-) iqr_arm
-ORDER BY window_start, event_type
-"""
+) iqr_arm"""
 
 
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] sessionization — gap-based sessions (30 min) per user via
     lag + cumulative sum, the deterministic batch equivalent of
-    ``session_window``. One shuffle on user_id."""
+    ``session_window``. One shuffle on user_id.
+
+    Fused (round 8): the ROBUST-OUTLIER legs (operators/outliers.py).
+    Rolling z-score over the hourly per-type counts (trailing 24 h,
+    k=2) — the flag is the exact integer inequality
+    ``(x·n − s)² > k²·(n·q − s²)`` so the flagged set md5-matches the
+    DuckDB re-derivation; groupwise MAD and Tukey-IQR flag counts
+    over the raw event values (exact 2×-median / 4×-quartile integer
+    fences). On THIS panel, not events_tumbling — that one is a
+    headline bench query and stays leg-free."""
+    from harness_aws_etl_pipeline_spark.operators.outliers import (
+        iqr_outliers,
+        mad_outliers,
+        rolling_zscore,
+    )
+
     ev = tables(spark, sf)["events"]
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("event_cnt"))
+    rz = rolling_zscore(
+        hourly,
+        "window_start",
+        "event_cnt",
+        ["event_type"],
+        window=24,
+        k=2,
+        min_periods=3,
+    )
+    # window_start is TIMESTAMP_NTZ; session tz is pinned UTC by
+    # load_table, so the ltz hop renders the same epoch second DuckDB's
+    # epoch() does
+    rs = F.concat_ws(
+        ":",
+        "event_type",
+        F.col("window_start").cast("timestamp_ltz").cast("long"),
+    )
+    rz_leg = rz.filter(F.col("is_outlier")).agg(
+        F.count(F.lit(1)).alias("rz_flags"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(rs)))).alias(
+            "rz_md5"
+        ),
+    )
+    vals = ev.select("event_type", "value")
+    mad_leg = mad_outliers(vals, "value", ["event_type"], k=3).agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("mad_flags")
+    )
+    iqr_leg = iqr_outliers(vals, "value", ["event_type"], k_halves=3).agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("iqr_flags")
+    )
+    outlier_arms = (
+        rz_leg.crossJoin(F.broadcast(mad_leg)).crossJoin(
+            F.broadcast(iqr_leg)
+        )
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
@@ -1148,10 +1159,12 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             F.max("event_cnt").alias("max_session_events"),
         )
         .orderBy("user_id")
+        .crossJoin(F.broadcast(outlier_arms))
     )
 
 
 ORACLE_EVENTS_SESSIONIZE = """
+SELECT * FROM (
 SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS session_cnt, MAX(event_cnt) AS max_session_events
 FROM (
   SELECT user_id, session_id, COUNT(*) AS event_cnt FROM (
@@ -1166,8 +1179,10 @@ FROM (
       FROM events
     )
   ) GROUP BY user_id, session_id
-) GROUP BY user_id ORDER BY user_id
-"""
+) GROUP BY user_id
+) sess CROSS JOIN __OUTLIER_ARMS__
+ORDER BY user_id
+""".replace("__OUTLIER_ARMS__", _ORACLE_OUTLIER_ARMS)
 
 
 # ------------------------------------------------------------ pipeline
