@@ -417,6 +417,48 @@ def main(argv: list[str] | None = None) -> int:
         help="optional parquet path for the per-row diff frame",
     )
 
+    outl = sub.add_parser(
+        "outliers", help="robust outlier flags over a parquet column"
+    )
+    outl.add_argument("--input", required=True, help="parquet path")
+    outl.add_argument("--col", required=True, help="numeric value column")
+    outl.add_argument(
+        "--method", choices=("zscore", "mad", "iqr"), default="mad"
+    )
+    outl.add_argument(
+        "--group-by", default=None,
+        help="comma-separated group columns (default: whole table)",
+    )
+    outl.add_argument(
+        "--order-by", default=None,
+        help="ordering column (required for --method zscore)",
+    )
+    outl.add_argument("--window", type=int, default=7, help="zscore window")
+    outl.add_argument(
+        "--k", type=int, default=3,
+        help="zscore/MAD threshold multiplier; IQR half-IQR count (3 = 1.5×)",
+    )
+    outl.add_argument(
+        "--output", default=None,
+        help="optional parquet path for the flagged rows",
+    )
+
+    tri = sub.add_parser(
+        "triangles",
+        help="triangle counts + clustering coefficients of an edge list",
+    )
+    tri.add_argument("--input", required=True, help="edge-list parquet")
+    tri.add_argument("--src", default="src", help="source column")
+    tri.add_argument("--dst", default="dst", help="destination column")
+    tri.add_argument(
+        "--top", type=int, default=10,
+        help="report the N highest-triangle nodes",
+    )
+    tri.add_argument(
+        "--output", default=None,
+        help="optional parquet path for the per-node frame",
+    )
+
     explain = sub.add_parser(
         "explain", help="print the physical plan of a catalog query"
     )
@@ -449,7 +491,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     tpch.add_argument(
         "--query", default=None,
-        help="one of q4,q7,q8,q9,q10,q14,q17,q18,q19,q22 (default: all)",
+        help="one of q4,q6,q7,q8,q9,q10,q12,q13,q14,q15,q17,q18,q19,q22"
+             " (default: all)",
     )
     tpch.add_argument(
         "--show", type=int, default=0,
@@ -699,6 +742,82 @@ def main(argv: list[str] | None = None) -> int:
             c = corr_exact(df, args.col, args.corr_with).first()
             out["corr"] = {"with": args.corr_with, "n": c["n"], "r": c["corr"]}
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "outliers":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.outliers import (
+            iqr_outliers,
+            mad_outliers,
+            rolling_zscore,
+        )
+
+        df = spark.read.parquet(args.input)
+        groups = args.group_by.split(",") if args.group_by else None
+        if args.method == "zscore":
+            if not args.order_by:
+                print(
+                    json.dumps(
+                        {"status": "error",
+                         "message": "--method zscore requires --order-by"}
+                    )
+                )
+                return 2
+            flagged = rolling_zscore(
+                df, args.order_by, args.col, groups,
+                window=args.window, k=args.k,
+            )
+        elif args.method == "mad":
+            flagged = mad_outliers(df, args.col, groups, k=args.k)
+        else:
+            flagged = iqr_outliers(df, args.col, groups, k_halves=args.k)
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_outlier").cast("long")).alias("flagged"),
+        ).first()
+        if args.output:
+            flagged.filter(F.col("is_outlier")).write.mode(
+                "overwrite"
+            ).parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "outliers",
+            "method": args.method, "col": args.col,
+            "rows": agg["rows"], "flagged": agg["flagged"],
+            "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "triangles":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+            clustering_coefficient,
+        )
+
+        edges = spark.read.parquet(args.input)
+        nodes = clustering_coefficient(edges, args.src, args.dst)
+        nodes = nodes.localCheckpoint(eager=True)
+        summary = nodes.agg(
+            F.count(F.lit(1)).alias("nodes"),
+            (F.sum("tri_cnt") / 3).cast("long").alias("triangles"),
+            F.avg("lcc").alias("avg_lcc"),
+        ).first()
+        top = [
+            {"node": str(r["node"]), "deg": r["deg"],
+             "tri_cnt": r["tri_cnt"], "lcc": r["lcc"]}
+            for r in nodes.orderBy(
+                F.desc("tri_cnt"), F.col("node")
+            ).limit(args.top).collect()
+        ]
+        if args.output:
+            nodes.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "triangles",
+            "nodes": summary["nodes"], "triangles": summary["triangles"],
+            "avg_lcc": summary["avg_lcc"], "top": top,
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "drift":

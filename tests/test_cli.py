@@ -744,3 +744,42 @@ class TestExplainCli:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "unknown query" in res["error"]
         assert "g1_pricing_summary" in res["available"]
+
+
+class TestOutliersAndTriangles:
+    def test_outliers_mad_and_output(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "vals")
+        rows = [("a", float(v)) for v in [1, 1.1, 0.9, 1.0, 40.0]]
+        spark.createDataFrame(rows, "g string, v double").write.parquet(src)
+        out = str(tmp_path / "flagged")
+        rc = main(["outliers", "--input", src, "--col", "v",
+                   "--group-by", "g", "--method", "mad", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows"] == 5 and res["flagged"] == 1
+        flagged = spark.read.parquet(out).collect()
+        assert len(flagged) == 1 and flagged[0]["v"] == 40.0
+
+    def test_outliers_zscore_requires_order(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "vals2")
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "t int, v double"
+        ).write.parquet(src)
+        rc = main(["outliers", "--input", src, "--col", "v",
+                   "--method", "zscore"])
+        assert rc == 2
+        rc = main(["outliers", "--input", src, "--col", "v",
+                   "--method", "zscore", "--order-by", "t"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows"] == 10
+
+    def test_triangles_report(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "edges")
+        edges = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5)]
+        spark.createDataFrame(edges, "src long, dst long").write.parquet(src)
+        rc = main(["triangles", "--input", src, "--top", "3"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["nodes"] == 5 and res["triangles"] == 2
+        assert res["top"][0]["tri_cnt"] == 2  # nodes 2/3 share both
