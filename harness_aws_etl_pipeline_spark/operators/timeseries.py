@@ -30,6 +30,8 @@ __all__ = [
     "ffill",
     "bfill",
     "interpolate_linear",
+    "ewma",
+    "holt_linear",
 ]
 
 
@@ -205,3 +207,149 @@ def interpolate_linear(
             .otherwise(y0 + (y1 - y0) * ((x - x0) / (x1 - x0))),
         )
     return df
+
+
+# ------------------------------------------- exponential smoothing
+#
+# EWMA and Holt's linear method are RECURRENCES (each output depends
+# on the previous one), which no window frame expresses. The Spark
+# shape is a per-group sequential fold: collect the (order, value)
+# series into a sorted array (one shuffle on the group key), run
+# ``F.aggregate`` over it JVM-side (no Python), and explode back to
+# rows. Scale envelope: one group's series must fit in one task —
+# aggregate to a coarser grain first (daily/hourly roll-up), exactly
+# like the window-based repairs above; the fold itself is O(n) state
+# with an O(n²)-copy output array, fine for the
+# thousands-of-points-per-series this is for and wrong for raw facts.
+#
+# Determinism contract: the fold is a fixed IEEE chain
+# (``α·x + (1-α)·s`` in that order), so any engine that folds the
+# same sorted series with the same expression reproduces it
+# bit-for-bit — DuckDB's ``list_reduce`` (EWMA) and a recursive CTE
+# (Holt) do, which is what lets the catalog value-oracle both.
+
+
+def _series(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: list[str] | None,
+) -> DataFrame:
+    """One row per group holding the sorted (o, v) series. Contract:
+    one row per (group, order) — aggregate duplicates first (ties
+    would sort deterministically by value but smooth a meaningless
+    interleaving)."""
+    groups = group_cols or []
+    return df.groupBy(*groups).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("_series")
+    )
+
+
+def ewma(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per group:
+    ``s₁ = x₁; sₜ = α·xₜ + (1-α)·sₜ₋₁`` — the standard smoother for
+    noisy operational series (init = first observation, the
+    ``adjust=False`` convention). Returns one row per input point:
+    (groups, order_col, value_col, out_col)."""
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    oma = 1.0 - a
+    groups = list(group_cols or [])
+    assembled = _series(df, order_col, value_col, groups)
+
+    def step(acc, x):
+        s = F.when(acc["s"].isNull(), x["v"]).otherwise(
+            F.lit(a) * x["v"] + F.lit(oma) * acc["s"]
+        )
+        return F.struct(
+            s.alias("s"), F.concat(acc["out"], F.array(s)).alias("out")
+        )
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("s"),
+        F.array().cast("array<double>").alias("out"),
+    )
+    return (
+        assembled.withColumn(
+            "_ew", F.aggregate("_series", init, step)["out"]
+        )
+        .select(*groups, F.explode(F.arrays_zip("_series", "_ew")).alias("_z"))
+        .select(
+            *groups,
+            F.col("_z._series.o").alias(order_col),
+            F.col("_z._series.v").alias(value_col),
+            F.col("_z._ew").alias(out_col),
+        )
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per group:
+    ``ℓ₁ = x₁, b₁ = 0;  ℓₜ = α·xₜ + (1-α)·(ℓₜ₋₁ + bₜ₋₁);
+    bₜ = β·(ℓₜ - ℓₜ₋₁) + (1-β)·bₜ₋₁`` — level + trend state, the
+    one-step forecast being ``level + trend``. Same shape and scale
+    envelope as :func:`ewma`."""
+    a, b = float(alpha), float(beta)
+    for name, v in (("alpha", a), ("beta", b)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1]: {v}")
+    oma, omb = 1.0 - a, 1.0 - b
+    groups = list(group_cols or [])
+    assembled = _series(df, order_col, value_col, groups)
+
+    def step(acc, x):
+        nl = F.when(acc["l"].isNull(), x["v"]).otherwise(
+            F.lit(a) * x["v"] + F.lit(oma) * (acc["l"] + acc["b"])
+        )
+        nb = F.when(acc["l"].isNull(), F.lit(0.0)).otherwise(
+            F.lit(b) * (nl - acc["l"]) + F.lit(omb) * acc["b"]
+        )
+        pair = F.struct(nl.alias("l"), nb.alias("b"))
+        return F.struct(
+            nl.alias("l"),
+            nb.alias("b"),
+            F.concat(acc["out"], F.array(pair)).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+        F.array().cast("array<struct<l:double,b:double>>").alias("out"),
+    )
+    return (
+        assembled.withColumn(
+            "_hl", F.aggregate("_series", init, step)["out"]
+        )
+        .select(*groups, F.explode(F.arrays_zip("_series", "_hl")).alias("_z"))
+        .select(
+            *groups,
+            F.col("_z._series.o").alias(order_col),
+            F.col("_z._series.v").alias(value_col),
+            F.col("_z._hl.l").alias(level_col),
+            F.col("_z._hl.b").alias(trend_col),
+        )
+    )

@@ -907,8 +907,19 @@ def q_window_trend(spark: SparkSession, sf: str) -> DataFrame:
     orders (operators/scd.py:scd2_history), reduced to version/current
     counts + an md5 over every (key, attrs, valid_from, valid_to) row.
     Run-collapse, NULL-safe change detection, and the tie-broken LEAD
-    chain are re-derived verbatim in DuckDB."""
+    chain are re-derived verbatim in DuckDB.
+
+    Fused (round 8): the SMOOTHING leg — per-event-type EWMA and Holt
+    level/trend over the daily mean-value series
+    (operators/timeseries.py:ewma/holt_linear). The folds are fixed
+    IEEE chains, so DuckDB reproduces the final state bit-for-bit:
+    list_reduce for EWMA, a recursive CTE (same expression order) for
+    Holt; finals hashed as floor-scaled longs."""
     from harness_aws_etl_pipeline_spark.operators.scd import scd2_history
+    from harness_aws_etl_pipeline_spark.operators.timeseries import (
+        ewma,
+        holt_linear,
+    )
 
     o = tables(spark, sf)["orders"]
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
@@ -952,10 +963,42 @@ def q_window_trend(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("is_current").cast("long")).alias("scd_current"),
         F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias("scd_md5"),
     )
-    return base.crossJoin(F.broadcast(scd_leg))
+    ev = tables(spark, sf)["events"]
+    daily_ev = ev.groupBy(
+        "event_type", F.to_date("ts").alias("ed")
+    ).agg(davg("value", "v"))
+    ew_fin = (
+        ewma(daily_ev, "ed", "v", ["event_type"], alpha=0.3)
+        .groupBy("event_type")
+        .agg(F.max_by("ewma", "ed").alias("ew"))
+    )
+    hl_fin = (
+        holt_linear(daily_ev, "ed", "v", ["event_type"], alpha=0.3, beta=0.2)
+        .groupBy("event_type")
+        .agg(
+            F.max_by("level", "ed").alias("lvl"),
+            F.max_by("trend", "ed").alias("tr"),
+        )
+    )
+    ss = F.concat_ws(
+        ":",
+        "event_type",
+        F.floor(F.col("ew") * F.lit(1e6)).cast("long").cast("string"),
+        F.floor(F.col("lvl") * F.lit(1e6)).cast("long").cast("string"),
+        F.floor(F.col("tr") * F.lit(1e6)).cast("long").cast("string"),
+    )
+    smooth_leg = ew_fin.join(hl_fin, "event_type").agg(
+        F.count(F.lit(1)).alias("smooth_groups"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(ss)))).alias(
+            "smooth_md5"
+        ),
+    )
+    return base.crossJoin(F.broadcast(scd_leg)).crossJoin(
+        F.broadcast(smooth_leg)
+    )
 
 
-ORACLE_WINDOW_TREND = """
+ORACLE_WINDOW_TREND = f"""
 SELECT * FROM (
 SELECT d, order_cnt, prev_cnt, order_cnt - COALESCE(prev_cnt, 0) AS delta,
        ROUND(CAST(SUM(order_cnt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -1001,7 +1044,42 @@ FROM (
            || COALESCE(CAST(CAST(valid_to AS DATE) AS VARCHAR), 'open')
          )) AS scd_md5
   FROM hist
-) scd_arm
+) scd_arm CROSS JOIN (
+  -- exponential-smoothing leg: EWMA final via list_reduce (init =
+  -- first element, fold = 0.3*x + 0.7*s — the operator's exact IEEE
+  -- chain), Holt level/trend via a recursive CTE spelling the same
+  -- expressions in the same order
+  WITH RECURSIVE dly AS (
+    SELECT event_type AS g, CAST(ts AS DATE) AS ed, {sql_davg("value", "v")}
+    FROM events GROUP BY 1, 2),
+  idx AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY ed) AS i
+          FROM dly),
+  ew AS (SELECT g, list_reduce(list(v ORDER BY ed),
+                  (s, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*s)
+                AS ew
+         FROM dly GROUP BY g),
+  rec AS (
+    SELECT g, i, v AS l, CAST(0 AS DOUBLE) AS b FROM idx WHERE i = 1
+    UNION ALL
+    SELECT r.g, x.i,
+           CAST(0.3 AS DOUBLE)*x.v + CAST(0.7 AS DOUBLE)*(r.l + r.b),
+           CAST(0.2 AS DOUBLE)*((CAST(0.3 AS DOUBLE)*x.v
+                                 + CAST(0.7 AS DOUBLE)*(r.l + r.b)) - r.l)
+             + CAST(0.8 AS DOUBLE)*r.b
+    FROM rec r JOIN idx x ON x.g = r.g AND x.i = r.i + 1),
+  hl AS (SELECT g, l, b FROM (
+           SELECT g, l, b,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+           FROM rec) WHERE rn = 1)
+  SELECT COUNT(*) AS smooth_groups,
+         md5(string_agg(s, '|' ORDER BY s)) AS smooth_md5
+  FROM (
+    SELECT ew.g || ':'
+           || CAST(CAST(FLOOR(ew.ew * 1e6) AS BIGINT) AS VARCHAR) || ':'
+           || CAST(CAST(FLOOR(hl.l * 1e6) AS BIGINT) AS VARCHAR) || ':'
+           || CAST(CAST(FLOOR(hl.b * 1e6) AS BIGINT) AS VARCHAR) AS s
+    FROM ew JOIN hl ON ew.g = hl.g) strs
+) smooth_arm
 ORDER BY d
 """
 

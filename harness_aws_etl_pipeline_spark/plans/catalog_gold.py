@@ -747,7 +747,18 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """G4-tier sequence analytics: signup → first subsequent click →
     first subsequent purchase funnel over the event stream. Staged
     conditional mins with join-back between stages (each stage is one
-    grouped aggregate + one broadcast-sized join)."""
+    grouped aggregate + one broadcast-sized join).
+
+    Fused (round 8): the SEQUENCE legs — the first-order Markov
+    transition matrix (counts + row-conditional probabilities scaled
+    to exact longs) and the corpus trigram chains
+    (operators/eventseq.py), both tie-broken on event_id and
+    re-derived verbatim in DuckDB lag windows."""
+    from harness_aws_etl_pipeline_spark.operators.eventseq import (
+        event_ngrams,
+        transition_counts,
+    )
+
     ev = tables(spark, sf)["events"]
     s1 = (
         ev.filter(F.col("event_type") == "signup")
@@ -827,7 +838,33 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
             "value",
         )
     )
-    return funnel.unionByName(retention).orderBy("metric", "dim")
+    trans = transition_counts(
+        ev, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    )
+    t_cnt = trans.select(
+        F.lit("transition").alias("metric"),
+        F.concat_ws(">", "prev_state", "state").alias("dim"),
+        F.col("cnt").alias("value"),
+    )
+    t_p = trans.select(
+        F.lit("transition_p").alias("metric"),
+        F.concat_ws(">", "prev_state", "state").alias("dim"),
+        F.floor(F.col("p") * F.lit(1e9)).cast("long").alias("value"),
+    )
+    tri = event_ngrams(
+        ev, "user_id", "ts", "event_type", n=3, tie_cols=["event_id"]
+    ).select(
+        F.lit("trigram").alias("metric"),
+        F.col("gram").alias("dim"),
+        F.col("cnt").alias("value"),
+    )
+    return (
+        funnel.unionByName(retention)
+        .unionByName(t_cnt)
+        .unionByName(t_p)
+        .unionByName(tri)
+        .orderBy("metric", "dim")
+    )
 
 
 ORACLE_FUNNEL = """
@@ -849,6 +886,22 @@ cohorts AS (
 ),
 active AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+trans AS (
+  SELECT prev_state, event_type AS state, COUNT(*) AS cnt FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_state,
+           event_type
+    FROM events) t
+  WHERE prev_state IS NOT NULL GROUP BY 1, 2
+),
+tri AS (
+  SELECT p2 || '>' || p1 || '>' || event_type AS gram, COUNT(*) AS cnt FROM (
+    SELECT LAG(event_type, 2) OVER w AS p2,
+           LAG(event_type, 1) OVER w AS p1,
+           event_type
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+  WHERE p2 IS NOT NULL GROUP BY 1
 )
 SELECT * FROM (
   SELECT 'funnel' AS metric, '1_signed_up' AS dim, (SELECT COUNT(*) FROM s1) AS value
@@ -864,6 +917,16 @@ SELECT * FROM (
   FROM active a JOIN cohorts c ON a.user_id = c.user_id
   WHERE FLOOR((epoch(a.wk) - epoch(c.cohort)) / 604800) BETWEEN 0 AND 3
   GROUP BY 2
+  UNION ALL
+  SELECT 'transition', prev_state || '>' || state, cnt FROM trans
+  UNION ALL
+  SELECT 'transition_p', prev_state || '>' || state,
+         CAST(FLOOR(CAST(cnt AS DOUBLE)
+                    / CAST(SUM(cnt) OVER (PARTITION BY prev_state) AS DOUBLE)
+                    * 1e9) AS BIGINT)
+  FROM trans
+  UNION ALL
+  SELECT 'trigram', gram, cnt FROM tri
 ) ORDER BY metric, dim
 """
 

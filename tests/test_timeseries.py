@@ -196,3 +196,78 @@ class TestHoleFilling:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestExponentialSmoothing:
+    """ewma / holt_linear: exact IEEE-fold equality against a Python
+    reference fold (the operators' determinism contract), init
+    conventions, grouping, and the no-extra-shuffle plan shape."""
+
+    VALS = [10.0, 20.0, 15.0, 7.5, 33.25, 33.25, 0.0]
+
+    @pytest.fixture()
+    def series(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.timeseries import (
+            ewma,
+            holt_linear,
+        )
+
+        rows = [("a", i, v) for i, v in enumerate(self.VALS)]
+        rows += [("b", i, float(i)) for i in range(3)]
+        df = spark.createDataFrame(rows, "g string, o int, v double")
+        return df, ewma, holt_linear
+
+    def test_ewma_matches_reference_fold_exactly(self, series):
+        df, ewma, _ = series
+        got = {
+            (r["g"], r["o"]): r["ewma"]
+            for r in ewma(df, "o", "v", ["g"], alpha=0.3).collect()
+        }
+        s = self.VALS[0]
+        exp = [s]
+        for x in self.VALS[1:]:
+            s = 0.3 * x + 0.7 * s
+            exp.append(s)
+        assert [got[("a", i)] for i in range(len(self.VALS))] == exp
+        # independent group folds from its own first value
+        assert got[("b", 0)] == 0.0
+        assert got[("b", 1)] == 0.3 * 1.0 + 0.7 * 0.0
+
+    def test_holt_matches_reference_fold_exactly(self, series):
+        df, _, holt_linear = series
+        got = {
+            (r["g"], r["o"]): (r["level"], r["trend"])
+            for r in holt_linear(
+                df, "o", "v", ["g"], alpha=0.3, beta=0.2
+            ).collect()
+        }
+        lvl, tr = self.VALS[0], 0.0
+        exp = [(lvl, tr)]
+        for x in self.VALS[1:]:
+            nl = 0.3 * x + 0.7 * (lvl + tr)
+            tr = 0.2 * (nl - lvl) + 0.8 * tr
+            lvl = nl
+            exp.append((lvl, tr))
+        assert [got[("a", i)] for i in range(len(self.VALS))] == exp
+        assert got[("b", 0)] == (0.0, 0.0)
+
+    def test_alpha_bounds_and_ungrouped(self, series):
+        df, ewma, holt_linear = series
+        with pytest.raises(ValueError):
+            ewma(df, "o", "v", ["g"], alpha=0.0)
+        with pytest.raises(ValueError):
+            holt_linear(df, "o", "v", ["g"], beta=1.5)
+        one = df.filter(F.col("g") == "a")
+        flat = ewma(one.select("o", "v"), "o", "v", alpha=1.0).collect()
+        # alpha=1 tracks the input exactly
+        assert all(r["ewma"] == r["v"] for r in flat)
+
+    def test_single_exchange(self, series):
+        df, ewma, _ = series
+        plan = (
+            ewma(df, "o", "v", ["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 1
