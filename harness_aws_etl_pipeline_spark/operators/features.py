@@ -1,0 +1,107 @@
+"""ML feature preparation: one-hot encoding and the hashing trick.
+
+The last mile of a training-data pipeline turns categorical columns
+into model inputs. Two standard encodings:
+
+- **one-hot** for LOW-cardinality columns: one 0/1 indicator per
+  observed value, with a fixed, sorted column order so downstream
+  schemas are stable across reruns and shards.
+- **feature hashing** for UNBOUNDED-cardinality columns (hosts,
+  tokens, ids): each ``col=value`` string hashes to one of ``dims``
+  slots; collisions are the accepted trade for a fixed-width vector
+  with zero vocabulary state (Weinberger et al., ICML 2009 — the
+  "hashing trick").
+
+Spark-first shape: one-hot is a pure projection (codegen'd CASE
+columns — never a pivot, which would shuffle); hashing is a
+projection into an array column. The ONLY collect is one bounded
+distinct() when one-hot values aren't supplied, and it raises above
+``max_values`` rather than silently building a 10⁶-column schema.
+
+Determinism: slots derive from md5 (engine-agnostic, like the
+sampling/mixing machinery) — any engine with md5 + hex→int
+reproduces the exact slot assignment, which is what lets the catalog
+value-oracle the encoding cross-engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["one_hot", "hash_features", "feature_slot"]
+
+_SAFE = re.compile(r"[^0-9a-zA-Z_]")
+
+
+def one_hot(
+    df: DataFrame,
+    col: str,
+    values: list[str] | None = None,
+    max_values: int = 256,
+) -> DataFrame:
+    """Append one ``{col}__{value}`` 0/1 int column per value, in
+    sorted value order. NULLs (and values outside ``values``) encode
+    as all-zeros. Pass ``values`` explicitly in production (schema
+    pinned by config, no job-time scan); omitting it runs one bounded
+    ``distinct()`` and raises above ``max_values`` — one-hot beyond a
+    few hundred columns is the wrong encoding (use
+    :func:`hash_features`)."""
+    if values is None:
+        observed = [
+            r[0]
+            for r in df.select(col).distinct().limit(max_values + 1).collect()
+            if r[0] is not None
+        ]
+        if len(observed) > max_values:
+            raise ValueError(
+                f"one_hot({col!r}): > {max_values} distinct values — "
+                "pass values= or switch to hash_features"
+            )
+        values = observed
+    out = df
+    for v in sorted(values):
+        name = f"{col}__{_SAFE.sub('_', str(v))}"
+        out = out.withColumn(
+            name, (F.col(col) == F.lit(v)).cast("int")
+        )
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    return out
+
+
+def feature_slot(feature: Column, dims: int) -> Column:
+    """Slot in [0, dims) for a feature string: the first 8 hex chars
+    of its md5 as an integer, mod ``dims`` — exact integer arithmetic,
+    reproducible by any md5-capable engine."""
+    h = F.substring(F.md5(feature), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(dims)).cast("int")
+
+
+def hash_features(
+    df: DataFrame,
+    cols: list[str],
+    dims: int = 1024,
+    out_col: str = "features",
+) -> DataFrame:
+    """Hash each ``col=value`` pair of the given categorical columns
+    into a ``dims``-slot space and append ``out_col`` as a sorted
+    array of distinct slots (NULL values contribute nothing). The
+    vector width is fixed by ``dims`` — no vocabulary, no fit step,
+    append-safe at any cardinality."""
+    if dims <= 0:
+        raise ValueError(f"dims must be positive: {dims}")
+    slots = [
+        F.when(
+            F.col(c).isNotNull(),
+            feature_slot(F.concat(F.lit(f"{c}="), F.col(c).cast("string")), dims),
+        )
+        for c in cols
+    ]
+    arr = F.array_sort(
+        F.array_distinct(
+            F.filter(F.array(*slots), lambda s: s.isNotNull())
+        )
+    )
+    return df.withColumn(out_col, arr)

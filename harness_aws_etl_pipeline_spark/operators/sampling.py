@@ -155,3 +155,51 @@ def sample_exact_n(
     k = F.col(key) if isinstance(key, str) else key
     draw = F.xxhash64(k.cast("string"), F.lit(salt))
     return df.orderBy(draw, k).limit(n)
+
+
+def sample_weighted_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key: str,
+    salt: int = 0,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACTLY ``n`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` (per group, if ``group_cols``) —
+    Efraimidis–Spirakis A-Res: each row draws a deterministic uniform
+    ``u`` from its md5 prefix and is ranked by the exponential jump
+    ``e = -ln(u) / w``; the n SMALLEST win. Length-weighted corpus
+    seeding, importance-weighted eval sets, per-domain quotas.
+
+    Determinism: ``u`` is a pure function of (key, salt) — the md5
+    machinery :func:`md5_split_key` uses — so membership survives
+    reruns, appends (a new row displaces at most one member), and any
+    partition layout. ``e`` is reproducible by any engine whose
+    ``ln`` is correctly rounded for the 2³² possible ``u`` values
+    (ulp-level ties between two rows' draws are ~2⁻⁴⁰ improbable).
+
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    never sampled; A-Res has no meaning for w ≤ 0).
+
+    Plan shape: ungrouped — ``TakeOrderedAndProject`` (per-partition
+    top-n, driver merge, no full sort); grouped — one window on the
+    group key.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    w = F.col(weight_col).cast("double")
+    u_int = F.conv(md5_split_key(key, salt), 16, 10).cast("long")
+    u = (u_int.cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    e = -F.log(u) / w
+    kept = df.filter(w.isNotNull() & (w > 0))
+    if not group_cols:
+        return kept.orderBy(e.alias("_e"), key).limit(n)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*group_cols).orderBy(e, F.col(key))
+    return (
+        kept.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

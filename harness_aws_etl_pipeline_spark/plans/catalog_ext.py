@@ -97,12 +97,56 @@ FROM documents GROUP BY source ORDER BY source
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] marker-word language ID over documents, counts by
-    (actual lang column, predicted)."""
+    (actual lang column, predicted).
+
+    Fused (round 8): the FEATURE-ENCODING legs — one-hot indicator
+    sums over ``lang`` (sorted pinned schema, NULL→all-zeros) and the
+    md5 hashing-trick slot histogram over (lang, source)
+    (operators/features.py); both re-derived in DuckDB from the same
+    md5/regex machinery."""
+    from harness_aws_etl_pipeline_spark.operators.features import (
+        hash_features,
+        one_hot,
+    )
+
     docs = _t(spark, sf, "documents")
-    return (
+    oh = one_hot(docs, "lang")
+    ind = sorted(c for c in oh.columns if c.startswith("lang__"))
+    oh_strs = F.array_sort(
+        F.array(
+            *[
+                F.concat_ws(":", F.lit(c), F.sum(c).cast("string"))
+                for c in ind
+            ]
+        )
+    )
+    oh_leg = oh.agg(
+        F.lit(len(ind)).cast("long").alias("onehot_cols"),
+        F.md5(F.concat_ws("|", oh_strs)).alias("onehot_md5"),
+    )
+    hist = (
+        hash_features(docs, ["lang", "source"], dims=64)
+        .select(F.explode("features").alias("slot"))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("slot_cnt"))
+    )
+    hs = F.concat_ws(
+        ":", F.col("slot").cast("string"), F.col("slot_cnt").cast("string")
+    )
+    hash_leg = hist.agg(
+        F.count(F.lit(1)).alias("hash_slots"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(hs)))).alias(
+            "hash_md5"
+        ),
+    )
+    base = (
         docs.withColumn("predicted", predict_language(F.col("text"), min_hits=1))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("doc_cnt"))
+    )
+    return (
+        base.crossJoin(F.broadcast(oh_leg))
+        .crossJoin(F.broadcast(hash_leg))
         .orderBy("lang", "predicted")
     )
 
@@ -130,13 +174,42 @@ def _oracle_lang_id() -> str:
         best += f" WHEN score_{lang} >= 1 AND {' AND '.join(conds)} THEN '{lang}'"
     best += " ELSE 'unknown' END AS predicted"
     return f"""
-SELECT lang, predicted, COUNT(*) AS doc_cnt FROM (
+SELECT lang, predicted, COUNT(*) AS doc_cnt, onehot_cols, onehot_md5,
+       hash_slots, hash_md5
+FROM (
   SELECT lang, {best} FROM (
     SELECT lang, text,
          {scores_sql}
     FROM documents
   )
-) GROUP BY lang, predicted ORDER BY lang, predicted
+) base CROSS JOIN (
+  -- one-hot leg: per-value indicator sums == per-lang counts, hashed
+  -- under the operator's sorted '{{col}}__{{value}}:{{sum}}' naming
+  SELECT COUNT(*) AS onehot_cols,
+         md5(string_agg(s, '|' ORDER BY s)) AS onehot_md5
+  FROM (
+    SELECT 'lang__' || regexp_replace(lang, '[^0-9a-zA-Z_]', '_', 'g')
+           || ':' || CAST(COUNT(*) AS VARCHAR) AS s
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+) oh_arm CROSS JOIN (
+  -- hashing-trick leg: md5-derived slot histogram over (lang, source)
+  SELECT COUNT(*) AS hash_slots,
+         md5(string_agg(s, '|' ORDER BY s)) AS hash_md5
+  FROM (
+    SELECT CAST(slot AS VARCHAR) || ':' || CAST(COUNT(*) AS VARCHAR) AS s
+    FROM (
+      SELECT doc_id, UNNEST(list_distinct(list_filter([
+        CASE WHEN lang IS NOT NULL THEN
+          CAST(('0x' || substr(md5('lang=' || lang), 1, 8))::BIGINT % 64 AS INT)
+        END,
+        CASE WHEN source IS NOT NULL THEN
+          CAST(('0x' || substr(md5('source=' || source), 1, 8))::BIGINT % 64 AS INT)
+        END], x -> x IS NOT NULL))) AS slot
+      FROM documents) slots
+    GROUP BY slot)
+) hash_arm
+GROUP BY lang, predicted, onehot_cols, onehot_md5, hash_slots, hash_md5
+ORDER BY lang, predicted
 """
 
 
@@ -3350,6 +3423,23 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         .alias("rep_tokens"),
         F.max("_epoch").cast("long").alias("rep_epoch_max"),
     )
+    # weighted-sampling leg (round 8): A-Res over documents weighted
+    # by n_chars (operators/sampling.py:sample_weighted_n); the oracle
+    # recomputes the md5-uniform and the -ln(u)/w jump in SQL
+    from harness_aws_etl_pipeline_spark.operators.sampling import (
+        sample_weighted_n,
+    )
+
+    ws_agg = sample_weighted_n(docs, 50, "n_chars", "doc_id", salt=7).agg(
+        F.count(F.lit(1)).cast("long").alias("wsample_rows"),
+        F.sum("n_chars").cast("long").alias("wsample_chars"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+            )
+        ).alias("wsample_md5"),
+    )
     return (
         stats.select(
             "domain",
@@ -3366,6 +3456,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(url_agg))
         .crossJoin(F.broadcast(rep_agg))
+        .crossJoin(F.broadcast(ws_agg))
         .orderBy("domain")
     )
 
@@ -3409,7 +3500,7 @@ kept AS (
 SELECT s.domain, s.docs AS docs_total, s.tokens AS tokens_total,
        COALESCE(k.docs_kept, 0) AS docs_kept,
        COALESCE(k.tokens_kept, 0) AS tokens_kept,
-       uu.*, rr.*
+       uu.*, rr.*, ws.*
 FROM stats s LEFT JOIN kept k USING (domain)
 CROSS JOIN (__URL_ARM__) uu
 CROSS JOIN (
@@ -3456,6 +3547,24 @@ CROSS JOIN (
             + (SELECT COALESCE(SUM(tok), 0) FROM pdocs) AS BIGINT) AS rep_tokens,
          CAST((SELECT m FROM maxep) AS BIGINT) AS rep_epoch_max
 ) rr
+CROSS JOIN (
+  -- weighted-sampling leg (round 8): Efraimidis–Spirakis A-Res over
+  -- documents weighted by n_chars — same md5-uniform, same
+  -- -ln(u)/w jump, n smallest win (ties broken by doc_id)
+  SELECT CAST(COUNT(*) AS BIGINT) AS wsample_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS wsample_chars,
+         md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+             ORDER BY CAST(doc_id AS VARCHAR))) AS wsample_md5
+  FROM (
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'),
+                                       1, 8))::BIGINT AS DOUBLE) + 1.0)
+                 / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS e
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    ORDER BY e, doc_id LIMIT 50)
+) ws
 ORDER BY s.domain
 """
 

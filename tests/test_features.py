@@ -1,0 +1,157 @@
+"""Feature prep (operators/features.py) and weighted sampling
+(operators/sampling.py:sample_weighted_n): encoding correctness,
+determinism, schema stability, cardinality guards, and the A-Res
+membership/weighting properties."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.operators.features import (
+    feature_slot,
+    hash_features,
+    one_hot,
+)
+from harness_aws_etl_pipeline_spark.operators.sampling import (
+    sample_weighted_n,
+)
+
+
+@pytest.fixture()
+def cats(spark):
+    rows = [
+        (1, "en", "web"),
+        (2, "fr", "web"),
+        (3, "en", None),
+        (4, None, "book"),
+    ]
+    return spark.createDataFrame(rows, "id long, lang string, src string")
+
+
+class TestOneHot:
+    def test_indicators_and_sorted_schema(self, cats):
+        out = one_hot(cats, "lang")
+        assert [c for c in out.columns if c.startswith("lang__")] == [
+            "lang__en",
+            "lang__fr",
+        ]
+        got = {r["id"]: (r["lang__en"], r["lang__fr"]) for r in out.collect()}
+        assert got[1] == (1, 0)
+        assert got[2] == (0, 1)
+        assert got[4] == (0, 0)  # NULL → all zeros
+
+    def test_explicit_values_pin_schema(self, cats):
+        out = one_hot(cats, "lang", values=["en", "de"])
+        assert [c for c in out.columns if c.startswith("lang__")] == [
+            "lang__de",
+            "lang__en",
+        ]
+        got = {r["id"]: r["lang__de"] for r in out.collect()}
+        assert all(v == 0 for v in got.values())
+
+    def test_cardinality_guard(self, spark):
+        df = spark.range(50).withColumn("v", F.col("id").cast("string"))
+        with pytest.raises(ValueError, match="distinct"):
+            one_hot(df, "v", max_values=10)
+
+    def test_no_shuffle_with_pinned_values(self, cats):
+        plan = (
+            one_hot(cats, "lang", values=["en", "fr"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestHashFeatures:
+    def test_slot_matches_hashlib(self, spark):
+        df = spark.createDataFrame([("en",)], "lang string")
+        slot = df.select(
+            feature_slot(F.concat(F.lit("lang="), F.col("lang")), 256).alias("s")
+        ).first()["s"]
+        exp = int(hashlib.md5(b"lang=en").hexdigest()[:8], 16) % 256
+        assert slot == exp
+
+    def test_array_sorted_distinct_null_safe(self, cats):
+        out = {
+            r["id"]: r["features"]
+            for r in hash_features(cats, ["lang", "src"], dims=64).collect()
+        }
+
+        def slot(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 64
+
+        assert out[1] == sorted({slot("lang=en"), slot("src=web")})
+        assert out[3] == [slot("lang=en")]  # NULL src contributes nothing
+        assert out[4] == [slot("src=book")]
+
+    def test_dims_guard(self, cats):
+        with pytest.raises(ValueError):
+            hash_features(cats, ["lang"], dims=0)
+
+
+class TestWeightedSample:
+    @pytest.fixture()
+    def weighted(self, spark):
+        rows = [(i, float(1 + (i % 7)), "g%d" % (i % 2)) for i in range(200)]
+        return spark.createDataFrame(rows, "id long, w double, g string")
+
+    @staticmethod
+    def _exp_jump(key, salt, w):
+        u_int = int(
+            hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:8], 16
+        )
+        return -math.log((u_int + 1) / 4294967296.0) / w
+
+    def test_matches_reference_ares(self, weighted):
+        got = sorted(
+            r["id"] for r in sample_weighted_n(weighted, 20, "w", "id").collect()
+        )
+        rows = weighted.collect()
+        exp = sorted(
+            i
+            for i, _ in sorted(
+                ((r["id"], self._exp_jump(r["id"], 0, r["w"])) for r in rows),
+                key=lambda t: (t[1], t[0]),
+            )[:20]
+        )
+        assert got == exp
+
+    def test_weight_bias(self, spark):
+        # two-point corpus: weight-9 rows should dominate weight-1 rows
+        rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        heavy = sum(
+            1
+            for r in sample_weighted_n(df, 400, "w", "id", salt=3).collect()
+            if r["id"] % 2 == 0
+        )
+        # E[heavy] ≈ 360 of 400; binomial-ish tail makes < 300 absurd
+        assert heavy > 300
+
+    def test_grouped_and_nonpositive_weights(self, weighted):
+        df = weighted.withColumn(
+            "w", F.when(F.col("id") < 10, F.lit(-1.0)).otherwise(F.col("w"))
+        )
+        out = sample_weighted_n(df, 5, "w", "id", group_cols=["g"])
+        rows = out.collect()
+        assert len(rows) == 10  # 5 per group
+        assert all(r["id"] >= 10 for r in rows)  # w<=0 excluded
+        per_g = {g: 0 for g in ("g0", "g1")}
+        for r in rows:
+            per_g[r["g"]] += 1
+        assert per_g == {"g0": 5, "g1": 5}
+
+    def test_take_ordered_plan(self, weighted):
+        plan = (
+            sample_weighted_n(weighted, 5, "w", "id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
