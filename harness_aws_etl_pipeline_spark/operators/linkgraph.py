@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "anchor_text_index",
+    "bfs_distances",
     "clustering_coefficient",
     "hits",
     "host_graph",
@@ -723,3 +724,72 @@ def clustering_coefficient(
             F.col("tri_cnt") * 2 / denom.cast("double"),
         ),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 6,
+    directed: bool = True,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Minimum hop count from a SEED SET to every reachable node
+    within ``max_hops`` — crawl-depth features, link-distance-to-
+    trusted-hosts quality signals, blast-radius queries. Output:
+    ``(node, hop)``, one row per reached node (seeds at hop 0);
+    unreachable nodes are absent.
+
+    Frontier expansion: each hop is one join (frontier ⋈ edges on the
+    source key) + one left-anti against the visited set — nodes enter
+    at their FIRST (minimal) hop, so re-expansion of visited nodes
+    never happens and the per-hop work is O(edges out of the
+    frontier). Edges are repartitioned on the source key once and
+    persisted — every hop reuses that one exchange. Each frontier is
+    eagerly ``localCheckpoint``-ed: it cuts the O(hops)-deep lineage
+    AND doubles as the (bounded, frontier-sized) early-stop check —
+    the loop ends as soon as a frontier is empty. No driver-side data
+    beyond the per-hop count scalar.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0: {max_hops}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+    e = (
+        e.where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    try:
+        for hop in range(1, max_hops + 1):
+            neigh = (
+                frontier.join(e, frontier["node"] == e["s"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .withColumn("hop", F.lit(hop))
+            )
+            new = neigh.join(
+                dist.select("node"), "node", "left_anti"
+            ).localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            dist = dist.unionByName(new)
+            if hop % checkpoint_every == 0:
+                dist = dist.localCheckpoint(eager=True)
+            frontier = new
+        return dist
+    finally:
+        e.unpersist()

@@ -1158,6 +1158,12 @@ _ORACLE_OUTLIER_ARMS = """(
 ) iqr_arm"""
 
 
+# BFS fixture: 1→2→3→4→5→1 cycle, 2→6→7 branch, 8→9 its own component;
+# seeds {1, 9}. Expected hops: 1:0 9:0 2:1 3:2 6:2 4:3 7:3 5:4; 8 absent.
+_BFS_EDGES = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 6), (6, 7), (8, 9)]
+_BFS_SEEDS = (1, 9)
+
+
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] sessionization — gap-based sessions (30 min) per user via
     lag + cumulative sum, the deterministic batch equivalent of
@@ -1170,7 +1176,16 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB re-derivation; groupwise MAD and Tukey-IQR flag counts
     over the raw event values (exact 2×-median / 4×-quartile integer
     fences). On THIS panel, not events_tumbling — that one is a
-    headline bench query and stays leg-free."""
+    headline bench query and stays leg-free.
+
+    Fused (round 8): the BFS leg — seed-set hop distances over a
+    planted digraph (chain + cycle + branch + unreachable component,
+    two seeds) through operators/linkgraph.py:bfs_distances; the
+    oracle walks the same VALUES with a recursive CTE and takes
+    MIN(hop)."""
+    from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+        bfs_distances,
+    )
     from harness_aws_etl_pipeline_spark.operators.outliers import (
         iqr_outliers,
         mad_outliers,
@@ -1212,10 +1227,23 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     iqr_leg = iqr_outliers(vals, "value", ["event_type"], k_halves=3).agg(
         F.sum(F.col("is_outlier").cast("long")).alias("iqr_flags")
     )
+    bfs_edges = spark.createDataFrame(
+        _BFS_EDGES, "src long, dst long"
+    )
+    bfs_seeds = spark.createDataFrame([(s,) for s in _BFS_SEEDS], "node long")
+    bs = F.concat_ws(
+        ":", F.col("node").cast("string"), F.col("hop").cast("string")
+    )
+    bfs_leg = bfs_distances(bfs_edges, bfs_seeds, max_hops=4).agg(
+        F.count(F.lit(1)).alias("bfs_nodes"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(bs)))).alias(
+            "bfs_md5"
+        ),
+    )
     outlier_arms = (
-        rz_leg.crossJoin(F.broadcast(mad_leg)).crossJoin(
-            F.broadcast(iqr_leg)
-        )
+        rz_leg.crossJoin(F.broadcast(mad_leg))
+        .crossJoin(F.broadcast(iqr_leg))
+        .crossJoin(F.broadcast(bfs_leg))
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
@@ -1259,8 +1287,31 @@ FROM (
   ) GROUP BY user_id, session_id
 ) GROUP BY user_id
 ) sess CROSS JOIN __OUTLIER_ARMS__
+CROSS JOIN (
+  -- BFS leg: recursive walk over the planted digraph, MIN(hop) per
+  -- node == the operator's first-entry frontier semantics
+  WITH RECURSIVE ed(s, d) AS (VALUES __BFS_EDGES__),
+  walk(node, hop) AS (
+    SELECT * FROM (VALUES __BFS_SEEDS__) t(node, hop)
+    UNION ALL
+    SELECT ed.d, w.hop + 1 FROM walk w JOIN ed ON ed.s = w.node
+    WHERE w.hop < 4
+  ),
+  bfs AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+  SELECT COUNT(*) AS bfs_nodes,
+         md5(string_agg(CAST(node AS VARCHAR) || ':' || CAST(hop AS VARCHAR),
+             '|' ORDER BY CAST(node AS VARCHAR) || ':' || CAST(hop AS VARCHAR)
+         )) AS bfs_md5
+  FROM bfs
+) bfs_arm
 ORDER BY user_id
-""".replace("__OUTLIER_ARMS__", _ORACLE_OUTLIER_ARMS)
+""".replace("__OUTLIER_ARMS__", _ORACLE_OUTLIER_ARMS).replace(
+    "__BFS_EDGES__",
+    ", ".join(f"({s}, {d})" for s, d in _BFS_EDGES),
+).replace(
+    "__BFS_SEEDS__",
+    ", ".join(f"({s}, 0)" for s in _BFS_SEEDS),
+)
 
 
 # ------------------------------------------------------------ pipeline
