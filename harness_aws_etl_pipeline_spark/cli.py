@@ -459,6 +459,84 @@ def main(argv: list[str] | None = None) -> int:
         help="optional parquet path for the per-node frame",
     )
 
+    trn = sub.add_parser(
+        "transitions",
+        help="event transition matrix / path n-grams per actor",
+    )
+    trn.add_argument("--input", required=True, help="event parquet")
+    trn.add_argument("--key", required=True, help="actor column")
+    trn.add_argument("--order-by", required=True, help="ordering column")
+    trn.add_argument("--state", required=True, help="event-type column")
+    trn.add_argument(
+        "--tie", default=None, help="comma-separated tie-break columns"
+    )
+    trn.add_argument(
+        "--n", type=int, default=2,
+        help="chain length: 2 = transition matrix, >2 = path n-grams",
+    )
+    trn.add_argument("--top", type=int, default=10, help="report top N")
+    trn.add_argument(
+        "--output", default=None,
+        help="optional parquet path for the full matrix/gram frame",
+    )
+
+    smp = sub.add_parser(
+        "sample", help="deterministic hash-based sampling"
+    )
+    smp.add_argument("--input", required=True, help="parquet path")
+    smp.add_argument("--key", required=True, help="stable row key column")
+    smp.add_argument(
+        "--method", choices=("fraction", "exact", "weighted"),
+        default="fraction",
+    )
+    smp.add_argument("--fraction", type=float, default=0.1)
+    smp.add_argument("--n", type=int, default=1000, help="exact/weighted n")
+    smp.add_argument(
+        "--weight-col", default=None, help="weight column (weighted only)"
+    )
+    smp.add_argument(
+        "--group-by", default=None,
+        help="comma-separated group columns (weighted: n PER group)",
+    )
+    smp.add_argument("--salt", type=int, default=0)
+    smp.add_argument("--output", required=True, help="sample parquet path")
+
+    bfs = sub.add_parser(
+        "bfs", help="minimum hop distances from a seed set over an edge list"
+    )
+    bfs.add_argument("--input", required=True, help="edge-list parquet")
+    bfs.add_argument(
+        "--seeds", required=True, help="comma-separated seed node ids"
+    )
+    bfs.add_argument("--src", default="src", help="source column")
+    bfs.add_argument("--dst", default="dst", help="destination column")
+    bfs.add_argument("--max-hops", type=int, default=6)
+    bfs.add_argument(
+        "--undirected", action="store_true",
+        help="treat edges as undirected",
+    )
+    bfs.add_argument(
+        "--output", default=None,
+        help="optional parquet path for the (node, hop) frame",
+    )
+
+    smo = sub.add_parser(
+        "smooth", help="exponential smoothing over an ordered series"
+    )
+    smo.add_argument("--input", required=True, help="parquet path")
+    smo.add_argument("--order-by", required=True, help="ordering column")
+    smo.add_argument("--value", required=True, help="value column")
+    smo.add_argument(
+        "--group-by", default=None,
+        help="comma-separated series-key columns",
+    )
+    smo.add_argument(
+        "--method", choices=("ewma", "holt"), default="ewma"
+    )
+    smo.add_argument("--alpha", type=float, default=0.3)
+    smo.add_argument("--beta", type=float, default=0.2, help="holt trend gain")
+    smo.add_argument("--output", required=True, help="smoothed parquet path")
+
     explain = sub.add_parser(
         "explain", help="print the physical plan of a catalog query"
     )
@@ -817,6 +895,138 @@ def main(argv: list[str] | None = None) -> int:
             "nodes": summary["nodes"], "triangles": summary["triangles"],
             "avg_lcc": summary["avg_lcc"], "top": top,
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "transitions":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.eventseq import (
+            event_ngrams,
+            transition_counts,
+        )
+
+        df = spark.read.parquet(args.input)
+        ties = args.tie.split(",") if args.tie else None
+        if args.n == 2:
+            out = transition_counts(
+                df, args.key, args.order_by, args.state, tie_cols=ties
+            )
+            label = F.concat_ws(">", "prev_state", "state")
+            ordered = out.orderBy(F.desc("cnt"), label)
+            top = [
+                {"gram": r[0], "cnt": r["cnt"], "p": r["p"]}
+                for r in ordered.select(
+                    label.alias("g"), "cnt", "p"
+                ).limit(args.top).collect()
+            ]
+        else:
+            out = event_ngrams(
+                df, args.key, args.order_by, args.state,
+                n=args.n, tie_cols=ties,
+            )
+            top = [
+                {"gram": r["gram"], "cnt": r["cnt"]}
+                for r in out.orderBy(
+                    F.desc("cnt"), "gram"
+                ).limit(args.top).collect()
+            ]
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        total = out.agg(F.count(F.lit(1))).first()[0]
+        print(json.dumps({
+            "status": "success", "action": "transitions", "n": args.n,
+            "distinct": total, "top": top, "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "sample":
+        from harness_aws_etl_pipeline_spark.operators.sampling import (
+            sample_exact_n,
+            sample_fraction,
+            sample_weighted_n,
+        )
+
+        df = spark.read.parquet(args.input)
+        if args.method == "fraction":
+            out = sample_fraction(df, args.key, args.fraction, salt=args.salt)
+        elif args.method == "exact":
+            out = sample_exact_n(df, args.n, args.key, salt=args.salt)
+        else:
+            if not args.weight_col:
+                print(json.dumps({
+                    "status": "error",
+                    "message": "--method weighted requires --weight-col",
+                }))
+                return 2
+            groups = args.group_by.split(",") if args.group_by else None
+            out = sample_weighted_n(
+                df, args.n, args.weight_col, args.key,
+                salt=args.salt, group_cols=groups,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "status": "success", "action": "sample",
+            "method": args.method, "rows": kept, "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "bfs":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+            bfs_distances,
+        )
+
+        edges = spark.read.parquet(args.input)
+        seed_type = dict(edges.dtypes)[args.src]
+        seeds = spark.createDataFrame(
+            [(s.strip(),) for s in args.seeds.split(",")], "node string"
+        ).selectExpr(f"CAST(node AS {seed_type}) AS node")
+        dist = bfs_distances(
+            edges, seeds, src=args.src, dst=args.dst,
+            max_hops=args.max_hops, directed=not args.undirected,
+        )
+        dist = dist.localCheckpoint(eager=True)
+        per_hop = {
+            r["hop"]: r["n"]
+            for r in dist.groupBy("hop").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        if args.output:
+            dist.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "bfs",
+            "reached": sum(per_hop.values()),
+            "per_hop": {str(k): per_hop[k] for k in sorted(per_hop)},
+            "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "smooth":
+        from harness_aws_etl_pipeline_spark.operators.timeseries import (
+            ewma,
+            holt_linear,
+        )
+
+        df = spark.read.parquet(args.input)
+        groups = args.group_by.split(",") if args.group_by else None
+        if args.method == "ewma":
+            out = ewma(
+                df, args.order_by, args.value, groups, alpha=args.alpha
+            )
+        else:
+            out = holt_linear(
+                df, args.order_by, args.value, groups,
+                alpha=args.alpha, beta=args.beta,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "status": "success", "action": "smooth",
+            "method": args.method, "rows": rows, "output": args.output,
         }))
         return 0
 

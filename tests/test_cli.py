@@ -783,3 +783,59 @@ class TestOutliersAndTriangles:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["nodes"] == 5 and res["triangles"] == 2
         assert res["top"][0]["tri_cnt"] == 2  # nodes 2/3 share both
+
+
+class TestRound8Ops:
+    def test_transitions_matrix_and_ngrams(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "ev8")
+        rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "a"), (2, 2, "b")]
+        spark.createDataFrame(rows, "u long, t long, e string").write.parquet(src)
+        rc = main(["transitions", "--input", src, "--key", "u",
+                   "--order-by", "t", "--state", "e"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["top"][0] == {"gram": "a>b", "cnt": 2, "p": 1.0}
+        rc = main(["transitions", "--input", src, "--key", "u",
+                   "--order-by", "t", "--state", "e", "--n", "3"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["top"] == [{"gram": "a>b>a", "cnt": 1}]
+
+    def test_sample_weighted_and_guard(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "docs8")
+        rows = [(i, float(1 + i % 3)) for i in range(100)]
+        spark.createDataFrame(rows, "id long, w double").write.parquet(src)
+        out = str(tmp_path / "sampled8")
+        rc = main(["sample", "--input", src, "--key", "id",
+                   "--method", "weighted", "--n", "10",
+                   "--weight-col", "w", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows"] == 10
+        rc = main(["sample", "--input", src, "--key", "id",
+                   "--method", "weighted", "--output", out])
+        assert rc == 2
+
+    def test_bfs_report(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "edges8")
+        edges = [(1, 2), (2, 3), (3, 1), (4, 5)]
+        spark.createDataFrame(edges, "src long, dst long").write.parquet(src)
+        rc = main(["bfs", "--input", src, "--seeds", "1", "--max-hops", "4"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["reached"] == 3
+        assert res["per_hop"] == {"0": 1, "1": 1, "2": 1}
+
+    def test_smooth_roundtrip(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "series8")
+        rows = [("g", i, float(i)) for i in range(5)]
+        spark.createDataFrame(rows, "g string, t int, v double").write.parquet(src)
+        out = str(tmp_path / "smoothed8")
+        rc = main(["smooth", "--input", src, "--order-by", "t",
+                   "--value", "v", "--group-by", "g", "--method", "holt",
+                   "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows"] == 5
+        got = spark.read.parquet(out).orderBy("t").collect()
+        assert {"level", "trend"} <= set(got[0].asDict())
