@@ -31,7 +31,13 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["one_hot", "hash_features", "feature_slot"]
+__all__ = [
+    "one_hot",
+    "hash_features",
+    "feature_slot",
+    "standard_scale",
+    "minmax_scale",
+]
 
 _SAFE = re.compile(r"[^0-9a-zA-Z_]")
 
@@ -105,3 +111,95 @@ def hash_features(
         )
     )
     return df.withColumn(out_col, arr)
+
+
+# ----------------------------------------------------- numeric scaling
+#
+# Distributed standardization has the same reproducibility trap as
+# every float aggregate: SUM(double) depends on partition merge order,
+# so two runs can z-score borderline rows differently. The fix is the
+# repo's exact-moment pattern (operators/histogram.py:corr_exact):
+# scale values to longs, accumulate Σx and Σx² as decimal(38,0)
+# (exact + associative), then evaluate ONE fixed IEEE chain at the
+# end — byte-stable across runs, partitionings, and engines.
+
+_S = 10_000
+
+
+def standard_scale(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Append ``{col}{suffix}`` = ``(x − mean) / std`` per column
+    (population std, per group if ``group_cols``), from exact decimal
+    moment sums evaluated in one fixed IEEE chain:
+    ``(xₛ − s1/n) / (sqrt(n·s2 − s1²)/n)`` on the 10⁴-scaled axis
+    (the z-score is scale-invariant, so no rescaling is needed).
+    NULL inputs stay NULL; a constant (or single-row) group scores
+    NULL. One grouped aggregate over ≤ |groups| rows + one join —
+    map-side combinable, no windows over the facts."""
+    groups = list(group_cols or [])
+    aggs = []
+    for c in cols:
+        xs = F.round(F.col(c).cast("double") * _S).cast("decimal(38,0)")
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.sum(xs).alias(f"_s1_{c}"),
+            F.sum(xs * xs).alias(f"_s2_{c}"),
+        ]
+    stats = df.groupBy(*groups).agg(*aggs)
+    out = (
+        df.join(stats, on=groups, how="left")
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    for c in cols:
+        xs = F.round(F.col(c).cast("double") * _S)
+        n = F.col(f"_n_{c}").cast("double")
+        s1 = F.col(f"_s1_{c}").cast("double")
+        s2 = F.col(f"_s2_{c}").cast("double")
+        spread = n * s2 - s1 * s1
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(
+                (F.col(f"_n_{c}") >= 2) & (spread > 0),
+                (xs - s1 / n) / (F.sqrt(spread) / n),
+            ),
+        )
+    return out.drop(
+        *[f"_{m}_{c}" for c in cols for m in ("n", "s1", "s2")]
+    )
+
+
+def minmax_scale(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+    suffix: str = "_mm",
+) -> DataFrame:
+    """Append ``{col}{suffix}`` = ``(x − min) / (max − min)`` per
+    column (per group if ``group_cols``) — min/max are exact under any
+    aggregation order, and the rescale is one fixed IEEE chain, so the
+    output is byte-stable cross-engine. Constant groups score NULL."""
+    groups = list(group_cols or [])
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_mn_{c}"), F.max(v).alias(f"_mx_{c}")]
+    stats = df.groupBy(*groups).agg(*aggs)
+    out = (
+        df.join(stats, on=groups, how="left")
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    for c in cols:
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(
+                mx > mn, (F.col(c).cast("double") - mn) / (mx - mn)
+            ),
+        )
+    return out.drop(*[f"_{m}_{c}" for c in cols for m in ("mn", "mx")])

@@ -460,10 +460,21 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
     sum, so DuckDB re-derives it with one window), and the exact
     total-variation distance of o_orderpriority between all orders
     and the 1997+ slice. The drift DECISION (``ks > 0.05``) rides as
-    an exact integer inequality."""
+    an exact integer inequality.
+
+    Fused (round 8): the SCALING leg (operators/features.py) —
+    per-returnflag standard scaling and min-max rescaling of
+    l_discount, reduced to floor-scaled-long sums. The z chain
+    ``(xₛ − s1/n) / (sqrt(n·s2 − s1²)/n)`` evaluates from exact
+    decimal moments in one fixed IEEE order, so every per-row z is
+    bit-identical in DuckDB."""
     from harness_aws_etl_pipeline_spark.operators.drift import (
         ks_statistic,
         tvd_drift,
+    )
+    from harness_aws_etl_pipeline_spark.operators.features import (
+        minmax_scale,
+        standard_scale,
     )
     from harness_aws_etl_pipeline_spark.operators.histogram import (
         corr_exact,
@@ -522,11 +533,30 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         "tvd_num",
         "tvd",
     )
+    slice_ = li.select("l_returnflag", "l_discount")
+    z = standard_scale(slice_, ["l_discount"], ["l_returnflag"])
+    mm = minmax_scale(slice_, ["l_discount"], ["l_returnflag"])
+    scale_leg = z.agg(
+        F.sum(F.floor(F.col("l_discount_z") * F.lit(1e6)))
+        .cast("long")
+        .alias("z_floor_sum"),
+        F.count("l_discount_z").alias("z_rows"),
+    ).crossJoin(
+        F.broadcast(
+            mm.agg(
+                F.sum(F.floor(F.col("l_discount_mm") * F.lit(1e6)))
+                .cast("long")
+                .alias("mm_floor_sum"),
+                F.count("l_discount_mm").alias("mm_rows"),
+            )
+        )
+    )
     return (
         base.crossJoin(F.broadcast(hist_leg))
         .crossJoin(F.broadcast(corr_leg))
         .crossJoin(F.broadcast(ks_leg))
         .crossJoin(F.broadcast(tvd_leg))
+        .crossJoin(F.broadcast(scale_leg))
     )
 
 
@@ -635,7 +665,36 @@ SELECT * FROM (
          CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
            / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
   FROM d, n GROUP BY n1, n2
-) tvd_arm
+) tvd_arm CROSS JOIN (
+  -- scaling leg: per-returnflag standard + min-max scaling of
+  -- l_discount, per-row chains re-derived bit-for-bit, floor-summed
+  WITH mo AS (
+    SELECT l_returnflag AS g, COUNT(l_discount) AS n,
+           SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s1,
+           SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)
+               * CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s2,
+           MIN(CAST(l_discount AS DOUBLE)) AS mn,
+           MAX(CAST(l_discount AS DOUBLE)) AS mx
+    FROM lineitem GROUP BY 1),
+  zz AS (
+    SELECT CASE WHEN mo.n >= 2
+                 AND CAST(mo.n AS DOUBLE) * CAST(mo.s2 AS DOUBLE)
+                     - CAST(mo.s1 AS DOUBLE) * CAST(mo.s1 AS DOUBLE) > 0
+            THEN (ROUND(CAST(l.l_discount AS DOUBLE) * 10000)
+                  - CAST(mo.s1 AS DOUBLE) / CAST(mo.n AS DOUBLE))
+                 / (SQRT(CAST(mo.n AS DOUBLE) * CAST(mo.s2 AS DOUBLE)
+                         - CAST(mo.s1 AS DOUBLE) * CAST(mo.s1 AS DOUBLE))
+                    / CAST(mo.n AS DOUBLE)) END AS z,
+           CASE WHEN mo.mx > mo.mn
+            THEN (CAST(l.l_discount AS DOUBLE) - mo.mn) / (mo.mx - mo.mn)
+           END AS m
+    FROM lineitem l JOIN mo ON l.l_returnflag = mo.g)
+  SELECT CAST(SUM(FLOOR(z * 1e6)) AS BIGINT) AS z_floor_sum,
+         COUNT(z) AS z_rows,
+         CAST(SUM(FLOOR(m * 1e6)) AS BIGINT) AS mm_floor_sum,
+         COUNT(m) AS mm_rows
+  FROM zz
+) scale_arm
 ORDER BY col_name
 """
 

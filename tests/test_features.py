@@ -155,3 +155,64 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestScaling:
+    @pytest.fixture()
+    def nums(self, spark):
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0),
+                ("a", None)]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_standard_scale_exact(self, spark, nums):
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            standard_scale,
+        )
+
+        got = standard_scale(nums, ["v"], ["g"]).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r["g"], []).append((r["v"], r["v_z"]))
+        # group a: mean 2, pop std sqrt(2/3) on the scaled axis
+        n, s1, s2 = 3.0, 60000.0, 1400000000.0
+        z = lambda x: (round(x * 10000) - s1 / n) / (
+            ((n * s2 - s1 * s1) ** 0.5) / n
+        )
+        for v, vz in by["a"]:
+            if v is None:
+                assert vz is None
+            else:
+                assert vz == z(v)
+        # constant group b → NULL
+        assert all(vz is None for _, vz in by["b"])
+
+    def test_minmax_scale(self, spark, nums):
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            minmax_scale,
+        )
+
+        got = {
+            (r["g"], r["v"]): r["v_mm"]
+            for r in minmax_scale(nums, ["v"], ["g"]).collect()
+        }
+        assert got[("a", 1.0)] == 0.0
+        assert got[("a", 2.0)] == 0.5
+        assert got[("a", 3.0)] == 1.0
+        assert got[("b", 5.0)] is None  # constant group
+        assert got[("a", None)] is None
+
+    def test_global_scaling_broadcasts(self, spark, nums):
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            minmax_scale,
+            standard_scale,
+        )
+
+        out = standard_scale(nums.select("v"), ["v"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+        got = sorted(
+            r["v_mm"]
+            for r in minmax_scale(nums.select("v"), ["v"]).collect()
+            if r["v_mm"] is not None
+        )
+        assert got[0] == 0.0 and got[-1] == 1.0
