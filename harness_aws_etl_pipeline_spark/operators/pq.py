@@ -56,6 +56,9 @@ __all__ = [
     "ivfpq_topk",
     "save_pq",
     "load_pq",
+    "sq_train",
+    "sq_encode",
+    "sq_decode",
 ]
 
 
@@ -761,3 +764,96 @@ def load_pq(path: str, spark=None) -> dict:
     if doc.pop("format", None) != "pq-model-v1":
         raise ValueError(f"not a pq model file: {path}")
     return doc
+
+
+# ------------------------------------------------- scalar quantization
+#
+# SQ (int8) is PQ's simpler sibling: per-DIMENSION affine codes
+# instead of per-subspace codebooks — 4x smaller than float32 at far
+# lower distortion than PQ's 32x, zero training beyond one exact
+# min/max pass, and (unlike PQ) fully value-oracle-able: the code is
+# the fixed IEEE chain round((x − mn)·levels/(mx − mn)) on exact
+# per-dim bounds, so any engine reproduces every byte. The standard
+# first step before shipping an embedding corpus to an ANN service.
+
+
+def sq_train(df, vec_col: str = "embedding", levels: int = 255) -> dict:
+    """Per-dimension (min, max) bounds — one distributed
+    posexplode + groupBy(dim) pass; the only collect is ``dim`` rows.
+    Returns ``{"mins": [...], "maxs": [...], "levels": levels}``."""
+    from pyspark.sql import functions as F
+
+    if levels < 1 or levels > 65535:
+        raise ValueError(f"levels must be in [1, 65535]: {levels}")
+    rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_train: no vectors")
+    dim = max(r["i"] for r in rows) + 1
+    mins, maxs = [0.0] * dim, [0.0] * dim
+    for r in rows:
+        mins[r["i"]], maxs[r["i"]] = r["mn"], r["mx"]
+    return {"mins": mins, "maxs": maxs, "levels": levels}
+
+
+def _sq_bounds(model: dict):
+    from pyspark.sql import functions as F
+
+    mn = F.array(*[F.lit(float(v)) for v in model["mins"]])
+    mx = F.array(*[F.lit(float(v)) for v in model["maxs"]])
+    return mn, mx, float(model["levels"])
+
+
+def sq_encode(
+    df,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "sq_codes",
+) -> "object":
+    """Append ``out_col``: array<int> of per-dim affine codes in
+    [0, levels] — ``round((x − mnᵢ)·levels/(mxᵢ − mnᵢ))`` clamped,
+    constant dims code 0. Pure projection (one transform over the
+    broadcast bound literals); NULL vectors code NULL."""
+    from pyspark.sql import functions as F
+
+    mn, mx, levels = _sq_bounds(model)
+
+    def code(x, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        q = F.round((x.cast("double") - lo) * F.lit(levels) / (hi - lo))
+        return F.when(
+            hi > lo,
+            F.least(F.greatest(q, F.lit(0.0)), F.lit(levels)),
+        ).otherwise(F.lit(0.0)).cast("int")
+
+    return df.withColumn(out_col, F.transform(F.col(vec_col), code))
+
+
+def sq_decode(
+    df,
+    model: dict,
+    codes_col: str = "sq_codes",
+    out_col: str = "sq_vec",
+) -> "object":
+    """Inverse projection: ``mnᵢ + code·(mxᵢ − mnᵢ)/levels`` as
+    array<double> — the reconstruction an SQ-backed ANN scores
+    against (max error (mx−mn)/(2·levels) per dim)."""
+    from pyspark.sql import functions as F
+
+    mn, mx, levels = _sq_bounds(model)
+
+    def decode(c, i):
+        lo = F.element_at(mn, i + 1)
+        hi = F.element_at(mx, i + 1)
+        return lo + c.cast("double") * (hi - lo) / F.lit(levels)
+
+    return df.withColumn(out_col, F.transform(F.col(codes_col), decode))

@@ -2828,11 +2828,43 @@ def q_ann_topk_verify(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
+    # scalar-quantization leg (round 8): per-dim int8 code sums of the
+    # whole corpus (operators/pq.py:sq_train/sq_encode — exact bounds,
+    # fixed affine chain) ride the panel schema as one row per dim:
+    # query_id = dim, neighbor_id = Σcodes, cosine = mean code / 255
+    from harness_aws_etl_pipeline_spark.operators.pq import (
+        sq_encode,
+        sq_train,
+    )
+
+    sq_model = sq_train(emb)
+    sq_rows = (
+        sq_encode(emb, sq_model)
+        .select(F.posexplode("sq_codes").alias("i", "c"))
+        .groupBy("i")
+        .agg(
+            F.sum("c").cast("long").alias("csum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.lit("zzsq_codes").alias("src"),
+            F.col("i").cast("long").alias("query_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.col("csum").alias("neighbor_id"),
+            F.round(
+                F.col("csum").cast("double")
+                / F.col("cnt").cast("double")
+                / F.lit(255.0),
+                6,
+            ).alias("cosine"),
+        )
+    )
     return (
         lsh.unionByName(ivf)
         .select("src", "query_id", "rank", "neighbor_id", "cosine")
         .unionByName(recall_leg(ivf_probe2, "zivf_recall@5"))
         .unionByName(recall_leg(lsh_default, "zlsh_recall@5"))
+        .unionByName(sq_rows)
         .orderBy("src", "query_id", "rank")
     )
 
@@ -2988,6 +3020,28 @@ lsh_recall AS (
 )
 SELECT * FROM lsh_leg UNION ALL SELECT * FROM ivf_leg
 UNION ALL SELECT * FROM ivf_recall UNION ALL SELECT * FROM lsh_recall
+UNION ALL
+-- scalar-quantization leg: per-dim exact bounds, fixed affine chain
+-- round((x − mn)·255/(mx − mn)) clamped; one row per dim
+SELECT 'zzsq_codes' AS src, CAST(i AS BIGINT) AS query_id,
+       CAST(0 AS INT) AS rank, CAST(SUM(c) AS BIGINT) AS neighbor_id,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 255.0, 6)
+         AS cosine
+FROM (
+  WITH dims AS (SELECT UNNEST(embedding) AS x,
+                       UNNEST(range(len(embedding))) AS i
+                FROM embeddings WHERE embedding IS NOT NULL),
+  mm AS (SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+         FROM dims GROUP BY i)
+  SELECT d.i,
+         CASE WHEN mm.mx > mm.mn
+           THEN CAST(LEAST(GREATEST(
+                  ROUND((CAST(d.x AS DOUBLE) - mm.mn) * 255.0
+                        / (mm.mx - mm.mn)), 0.0), 255.0) AS INT)
+           ELSE 0 END AS c
+  FROM dims d JOIN mm USING (i)
+) codes
+GROUP BY i
 ORDER BY src, query_id, rank
 """
 

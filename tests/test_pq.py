@@ -485,3 +485,95 @@ class TestPersistence:
 
         with _pytest.raises(ValueError, match="pq model"):
             load_pq(str(p))
+
+
+class TestScalarQuantization:
+    """SQ int8 codes: exact chain vs a Python reference, clamping,
+    constant dims, NULL tolerance, decode error bound."""
+
+    def test_codes_match_reference(self, spark):
+        import math
+
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            sq_decode,
+            sq_encode,
+            sq_train,
+        )
+
+        vecs = [
+            (1, [0.0, -1.0, 5.0]),
+            (2, [1.0, 1.0, 5.0]),
+            (3, [0.25, 0.0, 5.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        model = sq_train(df)
+        assert model["mins"] == [0.0, -1.0, 5.0]
+        assert model["maxs"] == [1.0, 1.0, 5.0]
+        got = {
+            r["vec_id"]: r["sq_codes"]
+            for r in sq_encode(df, model).collect()
+        }
+
+        def ref(x, lo, hi):
+            if hi <= lo:
+                return 0
+            q = round((x - lo) * 255.0 / (hi - lo))
+            return int(min(max(q, 0.0), 255.0))
+
+        for vid, vec in vecs:
+            assert got[vid] == [
+                ref(x, lo, hi)
+                for x, lo, hi in zip(vec, model["mins"], model["maxs"])
+            ]
+        # constant dim codes 0 everywhere
+        assert all(codes[2] == 0 for codes in got.values())
+        # decode error bounded by half a step per dim
+        dec = {
+            r["vec_id"]: r["sq_vec"]
+            for r in sq_decode(sq_encode(df, model), model).collect()
+        }
+        for vid, vec in vecs:
+            for j, (x, lo, hi) in enumerate(
+                zip(vec, model["mins"], model["maxs"])
+            ):
+                if hi > lo:
+                    assert math.isclose(
+                        dec[vid][j], x, abs_tol=(hi - lo) / 510 + 1e-12
+                    )
+
+    def test_null_vector_and_levels_guard(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            sq_encode,
+            sq_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 1.0]), (2, None)],
+            "vec_id long, embedding array<float>",
+        )
+        model = sq_train(df)
+        got = {r["vec_id"]: r["sq_codes"] for r in sq_encode(df, model).collect()}
+        assert got[2] is None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sq_train(df, levels=0)
+
+    def test_encode_is_pure_projection(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            sq_encode,
+            sq_train,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), float(-i)]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        model = sq_train(df)
+        plan = (
+            sq_encode(df, model)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
