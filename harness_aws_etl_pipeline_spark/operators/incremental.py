@@ -1178,3 +1178,221 @@ class IncrementalQuantiles:
                 }
             )
         return out
+
+
+class IncrementalTransitions:
+    """Streaming/daily Markov transition matrix over an event stream.
+
+    ``operators/eventseq.py:transition_counts`` answers "the matrix of
+    THIS dataset"; a monitoring pipeline asks "the matrix so far,
+    updated per batch, without re-reading history". Two pieces of
+    durable state in one snapshot table:
+
+    * the **matrix rows** (kind 'm'): exact (prev_state, state, cnt) —
+      at most |states|² rows;
+    * the **per-actor tail** (kind 'l'): each actor's LAST (state,
+      order) seen so far — what stitches the transition that SPANS a
+      batch boundary (the batch's first event per actor transitions
+      from the stored tail, not from nothing).
+
+    Per batch: one lag window for within-batch steps, one
+    min_by/max_by aggregate per actor for the batch's endpoints, one
+    join against the stored tails for the boundary steps, one grouped
+    sum to fold the matrix. Everything after the actor-key Exchange
+    operates on per-actor/per-pair aggregates.
+
+    Ordering contract: batches must be per-actor monotone (each
+    actor's events in batch N start at or after their stored tail —
+    true for time-ordered ingestion, e.g. AvailableNow file streams).
+    A batch that violates it (late replay of older events) still
+    counts its WITHIN-batch steps exactly, but its boundary step is
+    dropped rather than miscounted, and the drop is reported
+    (``late_actors``).
+
+    Exactly-once: the state write is one snapshot commit carrying the
+    batch's ``(app_id, batch_id)`` ledger entry — a replayed batch
+    short-circuits before any Spark job (same txn pattern as the
+    dedup gates; plug ``process_batch`` into ``foreachBatch``).
+
+    Exactness: under the ordering contract the matrix after N batches
+    EQUALS ``transition_counts`` over the concatenated stream —
+    pinned by tests.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        key_col: str,
+        order_col: str,
+        state_col: str,
+        tie_cols: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.key_col = key_col
+        self.order_col = order_col
+        self.state_col = state_col
+        self.tie_cols = list(tie_cols or [])
+
+    # ------------------------------------------------------------------
+
+    def state_summary(self) -> DataFrame | None:
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+    def _ord_struct(self, prefix: str = ""):
+        cols = [F.col(prefix + self.order_col)] + [
+            F.col(prefix + c) for c in self.tie_cols
+        ]
+        return F.struct(*cols)
+
+    def process_batch(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
+        """Fold one batch in; returns ``{"state_version", "skipped",
+        "pairs_tracked", "actors_tracked", "late_actors"}``."""
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "pairs_tracked": None,
+                "actors_tracked": None,
+                "late_actors": None,
+            }
+        k, o, s = self.key_col, self.order_col, self.state_col
+        src = df.select(k, o, s, *self.tie_cols)
+        w = Window.partitionBy(k).orderBy(
+            F.col(o), *[F.col(c) for c in self.tie_cols]
+        )
+        within = (
+            src.withColumn("_prev", F.lag(s).over(w))
+            .where(F.col("_prev").isNotNull())
+            .groupBy(
+                F.col("_prev").alias("prev_state"), F.col(s).alias("state")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ends = src.groupBy(F.col(k).alias("actor")).agg(
+            F.min_by(F.col(s), self._ord_struct()).alias("first_state"),
+            F.min(self._ord_struct()).alias("first_ord"),
+            F.max_by(F.col(s), self._ord_struct()).alias("last_state"),
+            F.max(self._ord_struct()).alias("last_ord"),
+        )
+        state = self.state_summary()
+        if state is not None:
+            matrix = state.where(F.col("kind") == "m").select(
+                "prev_state", "state", "cnt"
+            )
+            tails = state.where(F.col("kind") == "l").select(
+                "actor",
+                F.col("state").alias("tail_state"),
+                F.col("last_ord").alias("tail_ord"),
+            )
+        else:
+            matrix = tails = None
+        if tails is not None:
+            j = ends.join(tails, "actor", "left")
+            boundary = (
+                j.where(
+                    F.col("tail_state").isNotNull()
+                    & (F.col("tail_ord") <= F.col("first_ord"))
+                )
+                .groupBy(
+                    F.col("tail_state").alias("prev_state"),
+                    F.col("first_state").alias("state"),
+                )
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            late = j.where(
+                F.col("tail_state").isNotNull()
+                & (F.col("tail_ord") > F.col("first_ord"))
+            ).count()
+            new_tails = (
+                j.select(
+                    "actor",
+                    F.col("last_state").alias("state"),
+                    "last_ord",
+                )
+                .unionByName(
+                    tails.join(ends, "actor", "left_anti").select(
+                        "actor",
+                        F.col("tail_state").alias("state"),
+                        F.col("tail_ord").alias("last_ord"),
+                    )
+                )
+            )
+            folded = within.unionByName(boundary)
+            if matrix is not None:
+                folded = folded.unionByName(matrix)
+        else:
+            late = 0
+            new_tails = ends.select(
+                "actor", F.col("last_state").alias("state"), "last_ord"
+            )
+            folded = within
+        new_matrix = folded.groupBy("prev_state", "state").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        new_state = (
+            new_matrix.select(
+                F.lit("m").alias("kind"),
+                "prev_state",
+                "state",
+                "cnt",
+                F.lit(None).cast("string").alias("actor"),
+                F.lit(None)
+                .cast(new_tails.schema["last_ord"].dataType)
+                .alias("last_ord"),
+            )
+            .unionByName(
+                new_tails.select(
+                    F.lit("l").alias("kind"),
+                    F.lit(None).cast("string").alias("prev_state"),
+                    "state",
+                    F.lit(None).cast("long").alias("cnt"),
+                    "actor",
+                    "last_ord",
+                )
+            )
+            # materialize before the overwrite re-reads the table
+            .localCheckpoint(eager=True)
+        )
+        out = self.table.write(new_state, mode="overwrite", txn=txn)
+        pairs = new_state.where(F.col("kind") == "m").count()
+        actors = new_state.where(F.col("kind") == "l").count()
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "pairs_tracked": pairs,
+            "actors_tracked": actors,
+            "late_actors": int(late),
+        }
+
+    def matrix(self) -> DataFrame:
+        """Current exact matrix: ``(prev_state, state, cnt, p)`` —
+        same contract as the one-shot operator, over everything ever
+        folded in."""
+        state = self.state_summary()
+        if state is None:
+            return self.spark.createDataFrame(
+                [], "prev_state string, state string, cnt long, p double"
+            )
+        counts = state.where(F.col("kind") == "m").select(
+            "prev_state", "state", "cnt"
+        )
+        row_total = Window.partitionBy("prev_state")
+        return counts.withColumn(
+            "p",
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(row_total).cast("double"),
+        )
