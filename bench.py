@@ -607,6 +607,147 @@ def _bench_fuzzy(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_transitions(spark, sf_dir: str) -> dict:
+    """Event-sequence leg (round 8) — NOT a catalog entry (the value
+    oracle rides the funnel panel). Times the Markov transition matrix
+    and path trigrams over the FULL events table at the bench SF.
+    Work-done checks: total steps must equal rows − actors (each event
+    after an actor's first is exactly one step — a cross-actor leak or
+    a dropped tie shows up here immediately), and every prev-state's
+    probability row sums to 1."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.eventseq import (
+        event_ngrams,
+        transition_counts,
+    )
+    from harness_aws_etl_pipeline_spark.plans.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.count()
+    actors = ev.select("user_id").distinct().count()
+    t0 = time.perf_counter()
+    mat = transition_counts(
+        ev, "user_id", "ts", "event_type", tie_cols=["event_id"]
+    ).collect()
+    matrix_s = round(time.perf_counter() - t0, 3)
+    steps = sum(r["cnt"] for r in mat)
+    psums: dict = {}
+    for r in mat:
+        psums[r["prev_state"]] = psums.get(r["prev_state"], 0.0) + r["p"]
+    t0 = time.perf_counter()
+    trigrams = event_ngrams(
+        ev, "user_id", "ts", "event_type", n=3, tie_cols=["event_id"]
+    ).count()
+    return {
+        "matrix_s": matrix_s,
+        "trigram_s": round(time.perf_counter() - t0, 3),
+        "rows": int(rows),
+        "actors": int(actors),
+        "steps": int(steps),
+        "steps_ok": bool(steps == rows - actors),
+        "pairs": len(mat),
+        "trigram_chains": int(trigrams),
+        "prob_rows_ok": bool(
+            all(abs(s - 1.0) < 1e-9 for s in psums.values())
+        ),
+    }
+
+
+def _bench_bfs(spark, sf_dir: str) -> dict:
+    """BFS leg (round 8) — NOT a catalog entry (the value oracle rides
+    events_sessionize's planted-digraph arm). Frontier expansion at
+    scale on the same lineitem-derived graph as the pagerank leg
+    (~600k edges over ~10k nodes at sf0.1), 3 seeds, 4 hops.
+    Work-done checks: hop counts are recorded per level (coverage
+    collapse or frontier re-expansion shows as a wrong profile), and
+    reached ≤ nodes."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.linkgraph import (
+        bfs_distances,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = li.select(
+        (F.col("l_orderkey") % 9973).cast("string").alias("src"),
+        (F.col("l_partkey") % 9973).cast("string").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame([("1",), ("2",), ("3",)], "node string")
+    t0 = time.perf_counter()
+    dist = bfs_distances(edges, seeds, max_hops=4).localCheckpoint(eager=True)
+    per_hop = {
+        str(r["hop"]): int(r["n"])
+        for r in dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    secs = round(time.perf_counter() - t0, 3)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    reached = sum(per_hop.values())
+    return {
+        "seconds": secs,
+        "edges_hops": 4,
+        "nodes": int(nodes),
+        "reached": reached,
+        "per_hop": {k: per_hop[k] for k in sorted(per_hop, key=int)},
+        "coverage_ok": bool(reached <= nodes + 3),
+    }
+
+
+def _bench_sq(spark, sf_dir: str) -> dict:
+    """Scalar-quantization leg (round 8) — NOT a catalog entry (the
+    byte-level value oracle rides ann_topk_verify's zzsq rows). Trains
+    per-dim int8 bounds on the embeddings table, encodes the corpus,
+    and scores recall@10 of brute-force cosine over the DECODED
+    vectors against the exact ranking over the raw floats for 16
+    queries — the quantization-quality number recorded as a checked
+    work product (int8 on 64 dims should sit near 1.0)."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.pq import (
+        sq_decode,
+        sq_encode,
+        sq_train,
+    )
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    t0 = time.perf_counter()
+    model = sq_train(emb)
+    train_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    coded = sq_encode(emb, model).localCheckpoint(eager=True)
+    n = coded.count()
+    encode_s = round(time.perf_counter() - t0, 3)
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, queries, k=10)
+    dec = sq_decode(coded, model).select(
+        "vec_id", F.col("sq_vec").alias("embedding")
+    )
+    qdec = dec.filter(F.col("vec_id") < 16)
+    approx = brute_force_topk(dec, qdec, k=10)
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
+    denom = exact.count()
+    return {
+        "train_s": train_s,
+        "encode_s": encode_s,
+        "vectors": int(n),
+        "dims": len(model["mins"]),
+        "recall_at10": round(hits / denom, 4) if denom else None,
+        "recall_ok": bool(denom and hits / denom >= 0.8),
+    }
+
+
 def _bench_tpch(spark, sf_dir: str) -> dict:
     """TPC-H parity-pack leg — NOT a catalog entry (the pack's value
     oracle rides the pivot_returnflag panel; this leg times the TEN
@@ -1030,6 +1171,27 @@ def main() -> None:
         fuzzy = {"error": str(exc)[:500]}
     print(f"# fuzzy_join: {fuzzy}", file=sys.stderr)
 
+    # event-sequence leg (round 8) — also outside "queries"
+    try:
+        trans = _bench_transitions(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        trans = {"error": str(exc)[:500]}
+    print(f"# transitions: {trans}", file=sys.stderr)
+
+    # BFS frontier-expansion leg (round 8) — also outside "queries"
+    try:
+        bfs = _bench_bfs(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        bfs = {"error": str(exc)[:500]}
+    print(f"# bfs: {bfs}", file=sys.stderr)
+
+    # scalar-quantization recall leg (round 8) — also outside "queries"
+    try:
+        sq = _bench_sq(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        sq = {"error": str(exc)[:500]}
+    print(f"# sq: {sq}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -1051,6 +1213,9 @@ def main() -> None:
         "bloom_join": bloom,
         "tpch_pack": tpch,
         "fuzzy_join": fuzzy,
+        "transitions": trans,
+        "bfs": bfs,
+        "sq": sq,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of
