@@ -1221,6 +1221,10 @@ _ORACLE_OUTLIER_ARMS = """(
 # seeds {1, 9}. Expected hops: 1:0 9:0 2:1 3:2 6:2 4:3 7:3 5:4; 8 absent.
 _BFS_EDGES = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 6), (6, 7), (8, 9)]
 _BFS_SEEDS = (1, 9)
+# the BFS arm is SF-independent (planted fixture) and its frontier
+# loop runs eager jobs at BUILD time — cache the 1-row result per
+# process like catalog_ext._PR_ROW so repeated builds don't re-walk
+_BFS_ROW: tuple | None = None
 
 
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1286,18 +1290,28 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     iqr_leg = iqr_outliers(vals, "value", ["event_type"], k_halves=3).agg(
         F.sum(F.col("is_outlier").cast("long")).alias("iqr_flags")
     )
-    bfs_edges = spark.createDataFrame(
-        _BFS_EDGES, "src long, dst long"
-    )
-    bfs_seeds = spark.createDataFrame([(s,) for s in _BFS_SEEDS], "node long")
-    bs = F.concat_ws(
-        ":", F.col("node").cast("string"), F.col("hop").cast("string")
-    )
-    bfs_leg = bfs_distances(bfs_edges, bfs_seeds, max_hops=4).agg(
-        F.count(F.lit(1)).alias("bfs_nodes"),
-        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(bs)))).alias(
-            "bfs_md5"
-        ),
+    global _BFS_ROW
+    if _BFS_ROW is None:
+        bfs_edges = spark.createDataFrame(_BFS_EDGES, "src long, dst long")
+        bfs_seeds = spark.createDataFrame(
+            [(s,) for s in _BFS_SEEDS], "node long"
+        )
+        bs = F.concat_ws(
+            ":", F.col("node").cast("string"), F.col("hop").cast("string")
+        )
+        brow = (
+            bfs_distances(bfs_edges, bfs_seeds, max_hops=4)
+            .agg(
+                F.count(F.lit(1)).alias("bfs_nodes"),
+                F.md5(
+                    F.concat_ws("|", F.array_sort(F.collect_list(bs)))
+                ).alias("bfs_md5"),
+            )
+            .first()
+        )
+        _BFS_ROW = (brow["bfs_nodes"], brow["bfs_md5"])
+    bfs_leg = spark.createDataFrame(
+        [_BFS_ROW], "bfs_nodes long, bfs_md5 string"
     )
     outlier_arms = (
         rz_leg.crossJoin(F.broadcast(mad_leg))

@@ -95,6 +95,9 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+_LANG_VALUES: dict[str, list] = {}
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] marker-word language ID over documents, counts by
     (actual lang column, predicted).
@@ -110,7 +113,17 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = _t(spark, sf, "documents")
-    oh = one_hot(docs, "lang")
+    # the observed lang values collect at BUILD time — cache per sf so
+    # repeated builds scan once per process
+    vals = _LANG_VALUES.get(sf)
+    if vals is None:
+        vals = [
+            r[0]
+            for r in docs.select("lang").distinct().collect()
+            if r[0] is not None
+        ]
+        _LANG_VALUES[sf] = vals
+    oh = one_hot(docs, "lang", values=vals)
     ind = sorted(c for c in oh.columns if c.startswith("lang__"))
     oh_strs = F.array_sort(
         F.array(
@@ -2738,6 +2751,9 @@ def _ivf_fixed_centroids(spark: SparkSession, k: int = 8, dim: int = 64):
     return spark.createDataFrame(rows, "centroid_id long, centroid array<double>")
 
 
+_SQ_MODELS: dict[str, dict] = {}
+
+
 def q_ann_topk_verify(spark: SparkSession, sf: str) -> DataFrame:
     """[EXT] value-level verification panel for the approximate-NN
     family: both ANN paths produce their full (query, rank, neighbor,
@@ -2831,13 +2847,18 @@ def q_ann_topk_verify(spark: SparkSession, sf: str) -> DataFrame:
     # scalar-quantization leg (round 8): per-dim int8 code sums of the
     # whole corpus (operators/pq.py:sq_train/sq_encode — exact bounds,
     # fixed affine chain) ride the panel schema as one row per dim:
-    # query_id = dim, neighbor_id = Σcodes, cosine = mean code / 255
+    # query_id = dim, neighbor_id = Σcodes, cosine = mean code / 255.
+    # The bounds model collects dim rows at BUILD time — cached per sf
+    # so repeated builds (tests, driver passes) train once per process.
     from harness_aws_etl_pipeline_spark.operators.pq import (
         sq_encode,
         sq_train,
     )
 
-    sq_model = sq_train(emb)
+    sq_model = _SQ_MODELS.get(sf)
+    if sq_model is None:
+        sq_model = sq_train(emb)
+        _SQ_MODELS[sf] = sq_model
     sq_rows = (
         sq_encode(emb, sq_model)
         .select(F.posexplode("sq_codes").alias("i", "c"))

@@ -67,9 +67,38 @@ class TestDriverWindowInvariant:
 
 class TestCatalogContract:
     def test_every_query_builds(self, spark):
-        for name, spec in CATALOG.items():
-            df = spec.builder(spark, SF)
-            assert df.columns, f"{name} produced no columns"
+        """API smoke-check: every catalog query constructs a plan.
+
+        The sf-INDEPENDENT fixture legs (incremental hh/quantile
+        streams, pagerank/HITS/triangle/BFS planted graphs) run real
+        multi-job folds at build time and are VALUE-tested by their
+        own suites + the driver oracle — seed their per-process
+        caches with placeholder rows here so this guard measures
+        plan construction, not ~45 s of fixture jobs, then restore so
+        any later value-sensitive consumer recomputes the real rows.
+        """
+        import harness_aws_etl_pipeline_spark.plans.catalog as cat
+        import harness_aws_etl_pipeline_spark.plans.catalog_ext as ext
+
+        saved = (
+            cat._IHH_ROW, cat._IQ_ROW, cat._BFS_ROW,
+            ext._PR_ROW, ext._HITS_ROW, ext._TRI_ROW,
+        )
+        cat._IHH_ROW = cat._IHH_ROW or (1, True, True, True, "k", True)
+        cat._IQ_ROW = cat._IQ_ROW or (1, 1, True, True, True, True)
+        cat._BFS_ROW = cat._BFS_ROW or (1, "x")
+        ext._PR_ROW = ext._PR_ROW or ("x", 1, "n")
+        ext._HITS_ROW = ext._HITS_ROW or ("x", "h", "a")
+        ext._TRI_ROW = ext._TRI_ROW or ("x", 1)
+        try:
+            for name, spec in CATALOG.items():
+                df = spec.builder(spark, SF)
+                assert df.columns, f"{name} produced no columns"
+        finally:
+            (
+                cat._IHH_ROW, cat._IQ_ROW, cat._BFS_ROW,
+                ext._PR_ROW, ext._HITS_ROW, ext._TRI_ROW,
+            ) = saved
 
     def test_entry_contract(self, spark):
         import __spark_entry__ as entry_mod

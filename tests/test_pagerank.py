@@ -338,6 +338,7 @@ class TestHits:
              for r in hits(e.coalesce(1), iterations=2, lazy=True).collect()}
         assert a == b
 
+    @deep
     def test_weighted_equals_multiset_expansion(self, spark):
         from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
 
