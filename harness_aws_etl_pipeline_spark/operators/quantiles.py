@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "quantile_check"]
+__all__ = ["exact_quantiles", "quantile_check", "quantile_bucket"]
 
 
 def exact_quantiles(
@@ -153,4 +153,42 @@ def quantile_check(
     return spark.createDataFrame(
         [(len(set(qs)), bool(ok))],
         "quantiles_checked long, approx_within_band boolean",
+    )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    col: str,
+    buckets: int = 4,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile discretization: append ``{col}_qb`` (int in
+    [0, buckets)) assigning each row to its corpus quantile bucket —
+    the third member of the scaling family (features.standard_scale /
+    minmax_scale) and the standard equal-frequency binning for
+    feature prep and stratified reporting.
+
+    Cut points are the EXACT order statistics at i/buckets
+    (:func:`exact_quantiles` — rank = floor(q·(n−1)), a pure function
+    of the value multiset), collected as ``buckets − 1`` rows of
+    bounded metadata and applied as a codegen'd comparison chain:
+    ``bucket = Σᵢ [x > cutᵢ]`` — ties land in the LOWER bucket, so
+    membership is deterministic and any engine with the same rank
+    arithmetic re-derives every assignment. NULLs stay NULL. Heavy
+    ties can make buckets unequal-sized (correctly — equal-frequency
+    binning cannot split a tied value)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2: {buckets}")
+    name = out_col or f"{col}_qb"
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts = [
+        r["value"]
+        for r in exact_quantiles(df, col, qs).orderBy("q").collect()
+    ]
+    x = F.col(col)
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (x > F.lit(c)).cast("int")
+    return df.withColumn(
+        name, F.when(x.isNotNull(), bucket.cast("int"))
     )

@@ -1848,6 +1848,7 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
     from harness_aws_etl_pipeline_spark.operators.quantiles import (
         exact_quantiles,
+        quantile_bucket,
         quantile_check,
     )
     from harness_aws_etl_pipeline_spark.operators.sketches import (
@@ -1925,6 +1926,18 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("oq99"),
     )
     qchk = quantile_check(li, "l_extendedprice", [0.5, 0.9], rel_err=1e-3)
+    # equal-frequency discretization leg (round 8): exact-order-
+    # statistic cuts, strict-greater assignment — per-bucket counts
+    # re-derived by the oracle from the same rank arithmetic
+    qb = quantile_bucket(li, "l_extendedprice", 4)
+    qb_leg = qb.agg(
+        *[
+            F.sum((F.col("l_extendedprice_qb") == i).cast("long"))
+            .cast("long")
+            .alias(f"qb_c{i}")
+            for i in range(4)
+        ]
+    )
     return (
         q_distinct_ratio(spark, sf)
         .crossJoin(F.broadcast(q_percentiles(spark, sf)))
@@ -1934,6 +1947,7 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(est))
         .crossJoin(F.broadcast(rq))
         .crossJoin(F.broadcast(qchk))
+        .crossJoin(F.broadcast(qb_leg))
         .crossJoin(F.broadcast(_ihh_trim_leg(spark)))
         .crossJoin(F.broadcast(_iq_leg(spark)))
     )
@@ -1992,11 +2006,33 @@ FROM s, n
 """
 
 
+ORACLE_QUANTILE_BUCKETS = """
+WITH nn2 AS (SELECT l_extendedprice AS v FROM lineitem
+             WHERE l_extendedprice IS NOT NULL),
+n2 AS (SELECT COUNT(*) AS c FROM nn2),
+s2 AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk FROM nn2),
+cuts AS (
+  SELECT MAX(CASE WHEN rk = CAST(FLOOR(0.25 * (c - 1)) AS BIGINT) THEN v END) AS c1,
+         MAX(CASE WHEN rk = CAST(FLOOR(0.5  * (c - 1)) AS BIGINT) THEN v END) AS c2,
+         MAX(CASE WHEN rk = CAST(FLOOR(0.75 * (c - 1)) AS BIGINT) THEN v END) AS c3
+  FROM s2, n2)
+SELECT CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS qb_c0,
+       CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS qb_c1,
+       CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS qb_c2,
+       CAST(SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS qb_c3
+FROM (SELECT (CASE WHEN v > c1 THEN 1 ELSE 0 END
+            + CASE WHEN v > c2 THEN 1 ELSE 0 END
+            + CASE WHEN v > c3 THEN 1 ELSE 0 END) AS b
+      FROM nn2, cuts)
+"""
+
+
 ORACLE_PROFILE_STATS = f"""
 SELECT * FROM ({ORACLE_DISTINCT_RATIO}) CROSS JOIN ({ORACLE_PERCENTILES})
 CROSS JOIN ({ORACLE_HEAVY_HITTERS}) CROSS JOIN ({ORACLE_GROUPED_HH})
 CROSS JOIN ({ORACLE_KMV})
 CROSS JOIN ({ORACLE_RANK_QUANTILES})
+CROSS JOIN ({ORACLE_QUANTILE_BUCKETS})
 CROSS JOIN ({ORACLE_IHH})
 CROSS JOIN ({ORACLE_IQ})
 """

@@ -78,3 +78,50 @@ class TestApproxCheck:
         row = quantile_check(df, "v", [0.5, 0.9, 0.99], rel_err=1e-3).first()
         assert row["quantiles_checked"] == 3
         assert row["approx_within_band"] is True
+
+
+class TestQuantileBucket:
+    def test_quartile_assignment_and_ties(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.quantiles import (
+            quantile_bucket,
+        )
+
+        # 0..7: cuts at ranks floor(.25*7)=1, floor(.5*7)=3, floor(.75*7)=5
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "id long, v double"
+        )
+        got = {
+            r["id"]: r["v_qb"] for r in quantile_bucket(df, "v", 4).collect()
+        }
+        # cuts = 1.0, 3.0, 5.0 ; ties land LOW (x > cut strictly)
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+    def test_nulls_and_guard(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.quantiles import (
+            quantile_bucket,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 9.0)], "id long, v double"
+        )
+        got = {
+            r["id"]: r["v_qb"] for r in quantile_bucket(df, "v", 2).collect()
+        }
+        assert got[2] is None
+        assert got[1] == 0 and got[3] == 1
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            quantile_bucket(df, "v", 1)
+
+    def test_heavy_ties_stay_deterministic(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.quantiles import (
+            quantile_bucket,
+        )
+
+        rows = [(i, 5.0) for i in range(20)] + [(100, 9.0)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {r["id"]: r["v_qb"] for r in quantile_bucket(df, "v", 4).collect()}
+        # all cuts equal 5.0 → every tied row is bucket 0, outlier top
+        assert all(v == 0 for k, v in got.items() if k != 100)
+        assert got[100] == 3
