@@ -54,9 +54,11 @@ from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 __all__ = [
     "IncrementalDeduper",
     "IncrementalEmbeddingDeduper",
+    "IncrementalEwma",
     "IncrementalHeavyHitters",
     "IncrementalQuantiles",
     "IncrementalSpanDeduper",
+    "IncrementalTransitions",
 ]
 
 
@@ -1396,3 +1398,157 @@ class IncrementalTransitions:
             F.col("cnt").cast("double")
             / F.sum("cnt").over(row_total).cast("double"),
         )
+
+
+class IncrementalEwma:
+    """Streaming EWMA per series: exponential smoothing that SURVIVES
+    micro-batches. ``timeseries.ewma`` smooths one bounded frame; a
+    monitoring stream needs each batch smoothed as a CONTINUATION of
+    everything before it — the recurrence's whole state is one double
+    per series, so the durable state is exactly (group, s, last_ord):
+    KBs per thousand series, independent of stream length.
+
+    Per batch: the per-group fold (same fixed IEEE chain as the batch
+    operator — ``α·x + (1−α)·s``) seeds its accumulator from the
+    stored ``s`` instead of NULL, so batch boundaries are invisible in
+    the output; the new state is the fold's final value. Rows at or
+    before a series' stored ``last_ord`` are DROPPED and counted
+    (``late_rows``) rather than corrupting the recurrence — the same
+    per-series monotone contract as :class:`IncrementalTransitions`.
+
+    Exactly-once: snapshot commit with the batch txn ledger; replays
+    short-circuit. Smoothed rows come back eagerly materialized
+    (``localCheckpoint``) so the caller can write them idempotently
+    BEFORE the state they correspond to is the committed one.
+
+    Exactness: folding batches b₁..bₙ equals ``timeseries.ewma`` over
+    their concatenation, bit for bit — pinned by tests.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        order_col: str,
+        value_col: str,
+        group_cols: list[str],
+        alpha: float = 0.3,
+    ):
+        if not group_cols:
+            raise ValueError("group_cols must be non-empty (one series per group)")
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.group_cols = list(group_cols)
+        self.alpha = float(alpha)
+
+    def state_summary(self) -> DataFrame | None:
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+    def process_batch(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
+        """Fold one batch; returns ``{"smoothed": DataFrame(groups,
+        order, value, ewma), "state_version", "skipped", "series",
+        "rows", "late_rows"}`` — ``smoothed`` is eagerly materialized
+        and NULL when the batch was a replay."""
+        if self.table.txn_committed(txn):
+            return {
+                "smoothed": None,
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "series": None,
+                "rows": None,
+                "late_rows": None,
+            }
+        groups, o, v = self.group_cols, self.order_col, self.value_col
+        a, oma = self.alpha, 1.0 - self.alpha
+        src = df.select(*groups, o, v)
+        state = self.state_summary()
+        if state is not None:
+            src = src.join(state, on=groups, how="left")
+            late_pred = F.col("last_ord").isNotNull() & (
+                F.col(o) <= F.col("last_ord")
+            )
+            late = src.where(late_pred).count()
+            src = src.where(~F.coalesce(late_pred, F.lit(False)))
+        else:
+            late = 0
+            src = (
+                src.withColumn("s", F.lit(None).cast("double"))
+                .withColumn(
+                    "last_ord", F.lit(None).cast(df.schema[o].dataType)
+                )
+            )
+        assembled = src.groupBy(*groups).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(o).alias("o"),
+                        F.col(v).cast("double").alias("v"),
+                    )
+                )
+            ).alias("_series"),
+            F.first("s").alias("_s0"),
+        )
+
+        def step(acc, x):
+            s = F.when(acc["s"].isNull(), x["v"]).otherwise(
+                F.lit(a) * x["v"] + F.lit(oma) * acc["s"]
+            )
+            return F.struct(
+                s.alias("s"), F.concat(acc["out"], F.array(s)).alias("out")
+            )
+
+        init = F.struct(
+            F.col("_s0").alias("s"),
+            F.array().cast("array<double>").alias("out"),
+        )
+        folded = assembled.withColumn(
+            "_ew", F.aggregate("_series", init, step)["out"]
+        )
+        smoothed = (
+            folded.select(
+                *groups, F.explode(F.arrays_zip("_series", "_ew")).alias("_z")
+            )
+            .select(
+                *groups,
+                F.col("_z._series.o").alias(o),
+                F.col("_z._series.v").alias(v),
+                F.col("_z._ew").alias("ewma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_tail = folded.where(F.size("_series") > 0).select(
+            *groups,
+            F.element_at("_ew", -1).alias("s"),
+            F.element_at("_series", -1)["o"].alias("last_ord"),
+        )
+        if state is not None:
+            batch_keys = new_tail.select(*groups)
+            new_tail = new_tail.unionByName(
+                state.join(batch_keys, on=groups, how="left_anti")
+            )
+        new_state = new_tail.localCheckpoint(eager=True)
+        out = self.table.write(new_state, mode="overwrite", txn=txn)
+        return {
+            "smoothed": smoothed,
+            "state_version": out["version"],
+            "skipped": False,
+            "series": new_state.count(),
+            "rows": smoothed.count(),
+            "late_rows": int(late),
+        }

@@ -93,3 +93,87 @@ class TestIncrementalTransitions:
     def test_empty_state_matrix(self, spark, tmp_path):
         it = _it(spark, tmp_path)
         assert it.matrix().count() == 0
+
+
+class TestIncrementalEwma:
+    """IncrementalEwma: batch-boundary-invisible smoothing — folding
+    batches equals timeseries.ewma on the concatenation bit for bit;
+    late rows dropped+counted; replay short-circuits."""
+
+    VALS = [10.0, 20.0, 15.0, 7.5, 33.25, 1.0]
+
+    def _batches(self, spark):
+        rows = [("g", i, v) for i, v in enumerate(self.VALS)]
+        rows += [("h", i, float(i * 2)) for i in range(4)]
+        by_batch = [
+            [r for r in rows if r[1] < 2],
+            [r for r in rows if 2 <= r[1] < 4],
+            [r for r in rows if r[1] >= 4],
+        ]
+        return [
+            spark.createDataFrame(b, "g string, t long, v double")
+            for b in by_batch
+        ]
+
+    def test_equals_batch_operator_on_concatenation(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalEwma,
+        )
+        from harness_aws_etl_pipeline_spark.operators.timeseries import ewma
+
+        ie = IncrementalEwma(
+            spark, str(tmp_path / "ewma_state"), "t", "v", ["g"], alpha=0.3
+        )
+        got = {}
+        for i, b in enumerate(self._batches(spark)):
+            rep = ie.process_batch(b, txn=("e", i))
+            assert rep["late_rows"] == 0
+            for r in rep["smoothed"].collect():
+                got[(r["g"], r["t"])] = r["ewma"]
+        full = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(self.VALS)]
+            + [("h", i, float(i * 2)) for i in range(4)],
+            "g string, t long, v double",
+        )
+        exp = {
+            (r["g"], r["t"]): r["ewma"]
+            for r in ewma(full, "t", "v", ["g"], alpha=0.3).collect()
+        }
+        assert got == exp  # bit-for-bit, across batch boundaries
+
+    def test_replay_and_late_rows(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalEwma,
+        )
+
+        ie = IncrementalEwma(
+            spark, str(tmp_path / "st"), "t", "v", ["g"], alpha=0.5
+        )
+        b0 = spark.createDataFrame(
+            [("g", 5, 1.0), ("g", 6, 2.0)], "g string, t long, v double"
+        )
+        ie.process_batch(b0, txn=("r", 0))
+        rep = ie.process_batch(b0, txn=("r", 0))
+        assert rep["skipped"] is True and rep["smoothed"] is None
+        # late rows (t <= stored last_ord=6) dropped and counted
+        mixed = spark.createDataFrame(
+            [("g", 6, 9.0), ("g", 4, 9.0), ("g", 7, 3.0)],
+            "g string, t long, v double",
+        )
+        rep = ie.process_batch(mixed, txn=("r", 1))
+        assert rep["late_rows"] == 2
+        sm = {r["t"]: r["ewma"] for r in rep["smoothed"].collect()}
+        # continues from s=0.5*2+0.5*1=1.5 → 0.5*3+0.5*1.5
+        assert sm == {7: 0.5 * 3.0 + 0.5 * 1.5}
+
+    def test_guards(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalEwma,
+        )
+
+        with pytest.raises(ValueError, match="group_cols"):
+            IncrementalEwma(spark, str(tmp_path / "x"), "t", "v", [])
+        with pytest.raises(ValueError, match="alpha"):
+            IncrementalEwma(
+                spark, str(tmp_path / "y"), "t", "v", ["g"], alpha=0.0
+            )
