@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["histogram", "corr_exact"]
+__all__ = ["histogram", "corr_exact", "corr_matrix"]
 
 _S = 10_000
 
@@ -137,4 +137,63 @@ def corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
             (F.col("n") >= 2) & (vx > 0) & (vy > 0),
             num / F.sqrt(vx) / F.sqrt(vy),
         ).alias("corr"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregate
+    pass: ``(x string, y string, n bigint, corr double)``, one row per
+    unordered pair (x ≤ y in list order, diagonal included). Each
+    pair is PAIRWISE-COMPLETE (rows where both are non-NULL) with its
+    own exact decimal moment sums — the same partition-order-proof
+    arithmetic and single fixed float expression as
+    :func:`corr_exact`, so every cell is reproducible bit-for-bit
+    cross-engine.
+
+    Cost: one map-side-combinable aggregate carrying
+    ``6·p·(p+1)/2`` columns — right for profiling panels of up to a
+    few dozen numeric columns; at hundreds of columns move to a
+    melt + self-join shape instead (p² shuffle rows, not p² aggregate
+    expressions in one stage)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            tag = f"{i}_{cols.index(b, i)}"
+            pairs.append((a, b, tag))
+            xa = F.round(F.col(a).cast("double") * _S).cast("decimal(38,0)")
+            xb = F.round(F.col(b).cast("double") * _S).cast("decimal(38,0)")
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            aggs += [
+                F.sum(both.cast("long")).alias(f"n_{tag}"),
+                F.sum(F.when(both, xa)).alias(f"sx_{tag}"),
+                F.sum(F.when(both, xb)).alias(f"sy_{tag}"),
+                F.sum(F.when(both, xa * xa)).alias(f"sxx_{tag}"),
+                F.sum(F.when(both, xb * xb)).alias(f"syy_{tag}"),
+                F.sum(F.when(both, xa * xb)).alias(f"sxy_{tag}"),
+            ]
+    m = df.agg(*aggs)
+    rows = []
+    for a, b, tag in pairs:
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        num = n * F.col(f"sxy_{tag}").cast("double") - sx * sy
+        vx = n * F.col(f"sxx_{tag}").cast("double") - sx * sx
+        vy = n * F.col(f"syy_{tag}").cast("double") - sy * sy
+        rows.append(
+            F.struct(
+                F.lit(a).alias("x"),
+                F.lit(b).alias("y"),
+                F.col(f"n_{tag}").cast("long").alias("n"),
+                F.when(
+                    (F.col(f"n_{tag}") >= 2) & (vx > 0) & (vy > 0),
+                    num / F.sqrt(vx) / F.sqrt(vy),
+                ).alias("corr"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("_r")).select(
+        "_r.x", "_r.y", "_r.n", "_r.corr"
     )

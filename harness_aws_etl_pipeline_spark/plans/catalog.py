@@ -533,6 +533,33 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         "tvd_num",
         "tvd",
     )
+    # correlation-matrix leg (round 8): one-pass pairwise Pearson over
+    # three lineitem measures (operators/histogram.py:corr_matrix) —
+    # every cell the same fixed chain the corr leg pins, reduced to a
+    # floor-scaled md5 (constant/degenerate cells render '_')
+    from harness_aws_etl_pipeline_spark.operators.histogram import (
+        corr_matrix,
+    )
+
+    cmat = corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    cs = F.concat_ws(
+        ":",
+        "x",
+        "y",
+        F.col("n").cast("string"),
+        F.coalesce(
+            F.floor(F.col("corr") * F.lit(1e9)).cast("long").cast("string"),
+            F.lit("_"),
+        ),
+    )
+    cm_leg = cmat.agg(
+        F.count(F.lit(1)).alias("cm_pairs"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(cs)))).alias(
+            "cm_md5"
+        ),
+    )
     slice_ = li.select("l_returnflag", "l_discount")
     z = standard_scale(slice_, ["l_discount"], ["l_returnflag"])
     mm = minmax_scale(slice_, ["l_discount"], ["l_returnflag"])
@@ -557,6 +584,7 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(ks_leg))
         .crossJoin(F.broadcast(tvd_leg))
         .crossJoin(F.broadcast(scale_leg))
+        .crossJoin(F.broadcast(cm_leg))
     )
 
 
@@ -694,9 +722,62 @@ SELECT * FROM (
          CAST(SUM(FLOOR(m * 1e6)) AS BIGINT) AS mm_floor_sum,
          COUNT(m) AS mm_rows
   FROM zz
-) scale_arm
+) scale_arm CROSS JOIN (
+  -- correlation-matrix leg: every pair re-derived with the exact
+  -- moment sums and the corr leg's fixed float chain
+__CM_ARM__
+) cm_arm
 ORDER BY col_name
 """
+
+
+def _sql_cm_pair(a: str, b: str) -> str:
+    xa = f"CAST(ROUND(CAST({a} AS DOUBLE) * 10000) AS HUGEINT)"
+    xb = f"CAST(ROUND(CAST({b} AS DOUBLE) * 10000) AS HUGEINT)"
+    both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+    return f"""
+    SELECT '{a}' AS x, '{b}' AS y, n,
+           CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                THEN num / SQRT(vx) / SQRT(vy) END AS corr
+    FROM (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      FROM (
+        SELECT SUM(CASE WHEN {both} THEN 1 ELSE 0 END) AS n,
+               SUM(CASE WHEN {both} THEN {xa} END) AS sx,
+               SUM(CASE WHEN {both} THEN {xb} END) AS sy,
+               SUM(CASE WHEN {both} THEN {xa} * {xa} END) AS sxx,
+               SUM(CASE WHEN {both} THEN {xb} * {xb} END) AS syy,
+               SUM(CASE WHEN {both} THEN {xa} * {xb} END) AS sxy
+        FROM lineitem))"""
+
+
+def _cm_arm_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    legs = [
+        _sql_cm_pair(a, b)
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    union = "\n    UNION ALL\n".join(legs)
+    return f"""
+  SELECT CAST(COUNT(*) AS BIGINT) AS cm_pairs,
+         md5(string_agg(s, '|' ORDER BY s)) AS cm_md5
+  FROM (
+    SELECT x || ':' || y || ':' || CAST(n AS VARCHAR) || ':'
+           || COALESCE(CAST(CAST(FLOOR(corr * 1e9) AS BIGINT) AS VARCHAR),
+                       '_') AS s
+    FROM ({union}))"""
+
+
+ORACLE_NUMERIC_INFERENCE = ORACLE_NUMERIC_INFERENCE.replace(
+    "__CM_ARM__", _cm_arm_sql()
+)
 
 
 def q_distinct_ratio(spark: SparkSession, sf: str) -> DataFrame:

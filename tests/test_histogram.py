@@ -103,3 +103,60 @@ class TestProfileCli:
         assert res["n"] == 200 and res["min"] == 0.0 and res["max"] == 199.0
         assert [b["cnt"] for b in res["histogram"]] == [50, 50, 50, 50]
         assert res["corr"]["r"] == pytest.approx(1.0)
+
+
+class TestCorrMatrix:
+    def test_matches_corr_exact_per_pair(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            corr_exact,
+            corr_matrix,
+        )
+
+        rows = [
+            (1.0, 2.0, -1.0),
+            (2.0, 4.1, -2.0),
+            (3.0, 5.9, -3.5),
+            (4.0, 8.2, None),
+            (None, 1.0, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {
+            (r["x"], r["y"]): (r["n"], r["corr"])
+            for r in corr_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert len(got) == 6  # 3 diag + 3 upper
+        for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+            ref = corr_exact(df, x, y).first()
+            assert got[(x, y)] == (ref["n"], ref["corr"]), (x, y)
+        # diagonal: perfectly self-correlated (same fixed chain)
+        assert got[("a", "a")][1] == pytest.approx(1.0)
+        # pairwise-complete counts differ per pair
+        assert got[("a", "b")][0] == 4 and got[("a", "c")][0] == 3
+
+    def test_single_aggregate_pass(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            corr_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * i)) for i in range(10)],
+            "a double, b double",
+        )
+        out = corr_matrix(df, ["a", "b"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one global aggregate: a single pair of HashAggregates
+        assert plan.count("HashAggregate") <= 2
+        constant = corr_matrix(
+            df.withColumn("k", F.lit(1.0)), ["a", "k"]
+        ).collect()
+        flat = {(r["x"], r["y"]): r["corr"] for r in constant}
+        assert flat[("a", "k")] is None and flat[("k", "k")] is None
+
+    def test_empty_cols_guard(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            corr_matrix,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with pytest.raises(ValueError):
+            corr_matrix(df, [])
