@@ -537,6 +537,27 @@ def main(argv: list[str] | None = None) -> int:
     smo.add_argument("--beta", type=float, default=0.2, help="holt trend gain")
     smo.add_argument("--output", required=True, help="smoothed parquet path")
 
+    feat = sub.add_parser(
+        "features", help="ML feature prep: encode / scale / bucket"
+    )
+    feat.add_argument("--input", required=True, help="parquet path")
+    feat.add_argument(
+        "--op",
+        choices=("onehot", "hash", "scale", "minmax", "bucket"),
+        required=True,
+    )
+    feat.add_argument(
+        "--cols", required=True,
+        help="comma-separated columns to encode/scale",
+    )
+    feat.add_argument(
+        "--group-by", default=None,
+        help="comma-separated group columns (scale/minmax only)",
+    )
+    feat.add_argument("--dims", type=int, default=1024, help="hash slots")
+    feat.add_argument("--buckets", type=int, default=4)
+    feat.add_argument("--output", required=True, help="output parquet path")
+
     explain = sub.add_parser(
         "explain", help="print the physical plan of a catalog query"
     )
@@ -1027,6 +1048,44 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "status": "success", "action": "smooth",
             "method": args.method, "rows": rows, "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "features":
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            hash_features,
+            minmax_scale,
+            one_hot,
+            standard_scale,
+        )
+        from harness_aws_etl_pipeline_spark.operators.quantiles import (
+            quantile_bucket,
+        )
+
+        df = spark.read.parquet(args.input)
+        cols = args.cols.split(",")
+        groups = args.group_by.split(",") if args.group_by else None
+        if args.op == "onehot":
+            out = df
+            for c in cols:
+                out = one_hot(out, c)
+        elif args.op == "hash":
+            out = hash_features(df, cols, dims=args.dims)
+        elif args.op == "scale":
+            out = standard_scale(df, cols, groups)
+        elif args.op == "minmax":
+            out = minmax_scale(df, cols, groups)
+        else:
+            out = df
+            for c in cols:
+                out = quantile_bucket(out, c, buckets=args.buckets)
+        out.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "features", "op": args.op,
+            "rows": back.count(),
+            "added_cols": sorted(set(back.columns) - set(df.columns)),
+            "output": args.output,
         }))
         return 0
 

@@ -839,3 +839,34 @@ class TestRound8Ops:
         assert res["rows"] == 5
         got = spark.read.parquet(out).orderBy("t").collect()
         assert {"level", "trend"} <= set(got[0].asDict())
+
+
+class TestFeaturesCli:
+    def test_onehot_and_bucket(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "fsrc")
+        rows = [(i, "en" if i % 2 else "fr", float(i)) for i in range(8)]
+        spark.createDataFrame(rows, "id long, lang string, v double").write.parquet(src)
+        out = str(tmp_path / "fout")
+        rc = main(["features", "--input", src, "--op", "onehot",
+                   "--cols", "lang", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["added_cols"] == ["lang__en", "lang__fr"]
+        rc = main(["features", "--input", src, "--op", "bucket",
+                   "--cols", "v", "--buckets", "4", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["added_cols"] == ["v_qb"]
+        back = spark.read.parquet(out)
+        assert back.agg({"v_qb": "max"}).first()[0] == 3
+
+    def test_scale_grouped(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "ssrc")
+        rows = [("a", float(i)) for i in range(5)] + [("b", 7.0), ("b", 9.0)]
+        spark.createDataFrame(rows, "g string, v double").write.parquet(src)
+        out = str(tmp_path / "sout")
+        rc = main(["features", "--input", src, "--op", "scale",
+                   "--cols", "v", "--group-by", "g", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["added_cols"] == ["v_z"]
