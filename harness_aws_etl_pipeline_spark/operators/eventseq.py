@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_counts", "event_ngrams"]
+__all__ = ["transition_counts", "event_ngrams", "funnel_steps"]
 
 
 def transition_counts(
@@ -95,3 +95,53 @@ def event_ngrams(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered conversion funnel over arbitrary step lists: an actor
+    reaches step i when their first ``steps[i]`` event AT OR AFTER
+    their step-(i−1) time exists. Returns one row per step:
+    ``(step int, name string, actors long)`` — actors monotonically
+    non-increasing down the funnel by construction.
+
+    Staged conditional mins: each stage is one filtered grouped
+    aggregate plus one equi-join back on the actor key — the stage
+    frames shrink monotonically, so every join after the first is on
+    an already-reduced key set (broadcastable when the funnel
+    narrows; Catalyst/AQE decides). No windows over the raw events,
+    no collect."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    stages = []
+    prev = None
+    for i, name in enumerate(steps):
+        filt = df.filter(F.col(state_col) == name).select(
+            key_col, order_col
+        )
+        if prev is None:
+            cur = filt.groupBy(key_col).agg(F.min(order_col).alias("_t"))
+        else:
+            cur = (
+                filt.join(prev, key_col)
+                .filter(F.col(order_col) >= F.col("_t"))
+                .groupBy(key_col)
+                .agg(F.min(order_col).alias("_t"))
+            )
+        prev = cur
+        stages.append(
+            cur.agg(F.count(F.lit(1)).alias("actors")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("name"),
+                F.col("actors").cast("long").alias("actors"),
+            )
+        )
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out

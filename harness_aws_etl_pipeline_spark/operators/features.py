@@ -37,6 +37,7 @@ __all__ = [
     "feature_slot",
     "standard_scale",
     "minmax_scale",
+    "robust_scale",
 ]
 
 _SAFE = re.compile(r"[^0-9a-zA-Z_]")
@@ -203,3 +204,39 @@ def minmax_scale(
             ),
         )
     return out.drop(*[f"_{m}_{c}" for c in cols for m in ("mn", "mx")])
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: list[str],
+    suffix: str = "_rs",
+) -> DataFrame:
+    """Outlier-resistant scaling: ``(x − median) / IQR`` per column —
+    the third scaler (standard/min-max/robust), the one to reach for
+    when the column has heavy tails that would crush a z-score's
+    variance. Center and spread are EXACT order statistics
+    (operators/quantiles.py:exact_quantiles — rank = floor(q·(n−1)),
+    a pure function of the value multiset, collected as 3 rows of
+    bounded metadata per column), and the rescale is one fixed IEEE
+    chain — byte-stable cross-engine like its siblings. Zero-IQR
+    (>50% tied) columns scale NULL; NULLs pass through."""
+    from harness_aws_etl_pipeline_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    out = df
+    for c in cols:
+        cuts = {
+            r["q"]: float(r["value"])
+            for r in exact_quantiles(df, c, [0.25, 0.5, 0.75]).collect()
+        }
+        q1, med, q3 = cuts[0.25], cuts[0.5], cuts[0.75]
+        x = F.col(c).cast("double")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(
+                F.lit(q3 > q1) & x.isNotNull(),
+                (x - F.lit(med)) / (F.lit(q3) - F.lit(q1)),
+            ),
+        )
+    return out

@@ -756,55 +756,28 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     re-derived verbatim in DuckDB lag windows."""
     from harness_aws_etl_pipeline_spark.operators.eventseq import (
         event_ngrams,
+        funnel_steps,
         transition_counts,
     )
 
     ev = tables(spark, sf)["events"]
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    funnel = (
-        s1.agg(F.count(F.lit(1)).alias("signed_up"))
-        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("clicked_after"))))
-        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("purchased_after"))))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("funnel").alias("metric"),
-                        F.lit("1_signed_up").alias("dim"),
-                        F.col("signed_up").alias("value"),
-                    ),
-                    F.struct(
-                        F.lit("funnel").alias("metric"),
-                        F.lit("2_clicked_after").alias("dim"),
-                        F.col("clicked_after").alias("value"),
-                    ),
-                    F.struct(
-                        F.lit("funnel").alias("metric"),
-                        F.lit("3_purchased_after").alias("dim"),
-                        F.col("purchased_after").alias("value"),
-                    ),
-                )
-            ).alias("r")
-        )
-        .select("r.metric", "r.dim", "r.value")
+    # the staged-conditional-min funnel is the OPERATOR now
+    # (operators/eventseq.py:funnel_steps, round 8) — the oracle below
+    # re-derives the same stages, so the refactor is value-pinned
+    _DIMS = {
+        1: "1_signed_up",
+        2: "2_clicked_after",
+        3: "3_purchased_after",
+    }
+    dim = F.col("name")
+    for step, label in _DIMS.items():
+        dim = F.when(F.col("step") == step, F.lit(label)).otherwise(dim)
+    funnel = funnel_steps(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    ).select(
+        F.lit("funnel").alias("metric"),
+        dim.alias("dim"),
+        F.col("actors").alias("value"),
     )
     # weekly cohort retention: cohort = Monday-truncated week of the
     # user's first event; offsets 0-3 count distinct users from the

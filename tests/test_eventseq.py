@@ -107,3 +107,50 @@ class TestNgrams:
     def test_n_validation(self, stream):
         with pytest.raises(ValueError):
             event_ngrams(stream, "u", "t", "e", n=1)
+
+
+class TestFunnelSteps:
+    def test_staged_minima_and_monotonicity(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.eventseq import (
+            funnel_steps,
+        )
+
+        rows = [
+            # u1 completes all three in order
+            (1, 1, "signup"), (1, 2, "click"), (1, 3, "buy"),
+            # u2 clicks BEFORE signup — click doesn't count, no buy
+            (2, 1, "click"), (2, 2, "signup"),
+            # u3 signs up only
+            (3, 1, "signup"),
+            # u4 never signs up
+            (4, 1, "click"), (4, 2, "buy"),
+        ]
+        df = spark.createDataFrame(rows, "u long, t long, e string")
+        got = {
+            r["step"]: (r["name"], r["actors"])
+            for r in funnel_steps(
+                df, "u", "t", "e", ["signup", "click", "buy"]
+            ).collect()
+        }
+        assert got == {
+            1: ("signup", 3),
+            2: ("click", 1),
+            3: ("buy", 1),
+        }
+
+    def test_same_timestamp_counts_and_empty_guard(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.eventseq import (
+            funnel_steps,
+        )
+
+        # at-or-after: a click AT the signup instant counts
+        df = spark.createDataFrame(
+            [(1, 5, "signup"), (1, 5, "click")], "u long, t long, e string"
+        )
+        got = {
+            r["step"]: r["actors"]
+            for r in funnel_steps(df, "u", "t", "e", ["signup", "click"]).collect()
+        }
+        assert got == {1: 1, 2: 1}
+        with pytest.raises(ValueError):
+            funnel_steps(df, "u", "t", "e", [])

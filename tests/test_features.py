@@ -216,3 +216,31 @@ class TestScaling:
             if r["v_mm"] is not None
         )
         assert got[0] == 0.0 and got[-1] == 1.0
+
+
+class TestRobustScale:
+    def test_exact_median_iqr_chain(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            robust_scale,
+        )
+
+        # 0..8: q1 = rank floor(.25*8)=2 → 2.0, med = 4.0, q3 = 6.0
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(9)] + [(99, None)],
+            "id long, v double",
+        )
+        got = {r["id"]: r["v_rs"] for r in robust_scale(df, ["v"]).collect()}
+        for i in range(9):
+            assert got[i] == (float(i) - 4.0) / (6.0 - 2.0)
+        assert got[99] is None
+
+    def test_zero_iqr_scales_null(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            robust_scale,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)], "id long, v double"
+        )
+        got = [r["v_rs"] for r in robust_scale(df, ["v"]).collect()]
+        assert all(v is None for v in got)
