@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_counts", "event_ngrams", "funnel_steps"]
+__all__ = ["transition_counts", "event_ngrams", "funnel_steps", "sessionize"]
 
 
 def transition_counts(
@@ -145,3 +145,40 @@ def funnel_steps(
     for s in stages[1:]:
         out = out.unionByName(s)
     return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    gap_seconds: int = 1800,
+    tie_cols: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: append ``out_col`` (1-based long per
+    actor) — a new session starts at an actor's first event and
+    whenever the gap from the previous event exceeds ``gap_seconds``.
+    The deterministic batch twin of ``streaming/windows.py``'s
+    ``session_window`` path: lag + cumulative sum over ONE actor-key
+    Exchange, no UDFs.
+
+    ``order_col`` must be a timestamp (gaps measure in seconds);
+    ``tie_cols`` breaks equal timestamps deterministically."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive: {gap_seconds}")
+    ties = [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col), *ties)
+    prev = F.lag(order_col).over(w)
+    new_session = (
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(order_col)) - F.unix_timestamp(prev)
+            > gap_seconds
+        )
+    ).cast("long")
+    return df.withColumn(
+        out_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

@@ -1399,16 +1399,15 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(iqr_leg))
         .crossJoin(F.broadcast(bfs_leg))
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "new_session",
-        (
-            F.col("prev_ts").isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
-        ).cast("long"),
+    # the gap-session logic is the OPERATOR now
+    # (operators/eventseq.py:sessionize, round 8) — oracle unchanged,
+    # so the refactor is value-pinned
+    from harness_aws_etl_pipeline_spark.operators.eventseq import (
+        sessionize,
     )
-    sessions = gaps.withColumn(
-        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+    sessions = sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tie_cols=["event_id"]
     )
     return (
         sessions.groupBy("user_id", "session_id")

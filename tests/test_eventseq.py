@@ -154,3 +154,39 @@ class TestFunnelSteps:
         assert got == {1: 1, 2: 1}
         with pytest.raises(ValueError):
             funnel_steps(df, "u", "t", "e", [])
+
+
+class TestSessionize:
+    def test_gap_splits_and_ties(self, spark):
+        import datetime
+
+        from harness_aws_etl_pipeline_spark.operators.eventseq import (
+            sessionize,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def at(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        rows = [
+            (1, at(0), 1), (1, at(100), 2),          # session 1
+            (1, at(100 + 1801), 3),                  # gap > 1800 → 2
+            (1, at(100 + 1801 + 1800), 4),           # gap == 1800 → same
+            (2, at(0), 5),                           # own actor → 1
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, id long")
+        got = {
+            r["id"]: r["session_id"]
+            for r in sessionize(df, "u", "ts", 1800, tie_cols=["id"]).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    def test_guard(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.eventseq import (
+            sessionize,
+        )
+
+        df = spark.createDataFrame([(1,)], "u long")
+        with pytest.raises(ValueError):
+            sessionize(df, "u", "u", 0)
