@@ -537,6 +537,18 @@ def main(argv: list[str] | None = None) -> int:
     smo.add_argument("--beta", type=float, default=0.2, help="holt trend gain")
     smo.add_argument("--output", required=True, help="smoothed parquet path")
 
+    sess = sub.add_parser(
+        "sessionize", help="gap-based session ids over an event parquet"
+    )
+    sess.add_argument("--input", required=True, help="event parquet")
+    sess.add_argument("--key", required=True, help="actor column")
+    sess.add_argument("--ts", required=True, help="timestamp column")
+    sess.add_argument("--gap", type=int, default=1800, help="gap seconds")
+    sess.add_argument(
+        "--tie", default=None, help="comma-separated tie-break columns"
+    )
+    sess.add_argument("--output", required=True, help="output parquet path")
+
     feat = sub.add_parser(
         "features", help="ML feature prep: encode / scale / bucket"
     )
@@ -1048,6 +1060,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "status": "success", "action": "smooth",
             "method": args.method, "rows": rows, "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "sessionize":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.eventseq import (
+            sessionize,
+        )
+
+        df = spark.read.parquet(args.input)
+        ties = args.tie.split(",") if args.tie else None
+        out = sessionize(df, args.key, args.ts, args.gap, tie_cols=ties)
+        out.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        stats = back.groupBy(args.key).agg(
+            F.max("session_id").alias("n")
+        ).agg(
+            F.count(F.lit(1)).alias("actors"),
+            F.sum("n").alias("sessions"),
+            F.max("n").alias("max_sessions_per_actor"),
+        ).first()
+        print(json.dumps({
+            "status": "success", "action": "sessionize",
+            "rows": back.count(), "actors": stats["actors"],
+            "sessions": stats["sessions"],
+            "max_sessions_per_actor": stats["max_sessions_per_actor"],
+            "output": args.output,
         }))
         return 0
 

@@ -870,3 +870,29 @@ class TestFeaturesCli:
         assert rc == 0
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["added_cols"] == ["v_z"]
+
+
+class TestSessionizeCli:
+    def test_sessionize_report(self, spark, tmp_path, capsys):
+        import datetime
+
+        src = str(tmp_path / "sess_src")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        rows = [(1, at(0), 1), (1, at(60), 2), (1, at(5000), 3),
+                (2, at(0), 4)]
+        spark.createDataFrame(
+            rows, "u long, ts timestamp, id long"
+        ).write.parquet(src)
+        out = str(tmp_path / "sess_out")
+        rc = main(["sessionize", "--input", src, "--key", "u",
+                   "--ts", "ts", "--tie", "id", "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows"] == 4
+        assert res["actors"] == 2
+        assert res["sessions"] == 3  # user1: 2, user2: 1
+        assert res["max_sessions_per_actor"] == 2
