@@ -54,6 +54,7 @@ __all__ = [
     "psi_report",
     "psi",
     "chi2_drift",
+    "drift_cells",
 ]
 
 _DEC = "decimal(38,0)"
@@ -269,6 +270,22 @@ def psi(
             F.col("n_cur").cast("long").alias("n_cur"),
             "psi",
         )
+    )
+
+
+def drift_cells(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """``(value STRING, ref_cnt BIGINT, cur_cnt BIGINT)`` — the exact
+    per-category contingency table BOTH :func:`tvd_drift` and
+    :func:`chi2_drift` reduce (NULLs excluded, categories from either
+    side). This is the χ² family's sufficient statistic and the thing
+    to value-oracle cross-engine: the counts are exact integers under
+    any partitioning, while the χ² score itself is a chained float.
+    One union + one map-side-combinable groupBy — |categories| rows."""
+    d = _side_counts(ref, cur, col, None)
+    return d.select(
+        F.col("v").cast("string").alias("value"),
+        F.col("c1").alias("ref_cnt"),
+        F.col("c2").alias("cur_cnt"),
     )
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "standard_scale",
     "minmax_scale",
     "robust_scale",
+    "scale_outlier_counts",
 ]
 
 _SAFE = re.compile(r"[^0-9a-zA-Z_]")
@@ -55,12 +56,19 @@ def one_hot(
     pinned by config, no job-time scan); omitting it runs one bounded
     ``distinct()`` and raises above ``max_values`` — one-hot beyond a
     few hundred columns is the wrong encoding (use
-    :func:`hash_features`)."""
+    :func:`hash_features`).
+
+    Distinct values whose SANITIZED names collide (``a.b`` vs ``a_b``
+    both map to ``a_b``) raise rather than silently overwriting an
+    indicator — a lost value would desync any downstream schema."""
     if values is None:
         observed = [
             r[0]
-            for r in df.select(col).distinct().limit(max_values + 1).collect()
-            if r[0] is not None
+            for r in df.select(col)
+            .where(F.col(col).isNotNull())
+            .distinct()
+            .limit(max_values + 1)
+            .collect()
         ]
         if len(observed) > max_values:
             raise ValueError(
@@ -68,6 +76,16 @@ def one_hot(
                 "pass values= or switch to hash_features"
             )
         values = observed
+    names: dict[str, str] = {}
+    for v in sorted(values):
+        name = f"{col}__{_SAFE.sub('_', str(v))}"
+        if name in names:
+            raise ValueError(
+                f"one_hot({col!r}): values {names[name]!r} and {v!r} "
+                f"both sanitize to column {name!r} — rename the values "
+                "or pass disambiguated values="
+            )
+        names[name] = str(v)
     out = df
     for v in sorted(values):
         name = f"{col}__{_SAFE.sub('_', str(v))}"
@@ -240,3 +258,70 @@ def robust_scale(
             ),
         )
     return out
+
+
+def scale_outlier_counts(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """1 row of EXACT-INTEGER facts about the two scalers' output —
+    the cross-engine value oracle for :func:`standard_scale` and
+    :func:`minmax_scale` without hashing any chained float:
+
+    ``(z_rows, z_hi_cnt, z_lo_cnt, mm_rows, mm_hi_cnt)`` all BIGINT —
+    rows that would z-score non-NULL, rows with z > 1 / z < −1, rows
+    that would min-max-scale non-NULL, and rows with mm > ½.
+
+    The boundary tests are the scalers' defining inequalities pushed
+    back to exact decimal arithmetic on the 10⁴-scaled axis:
+
+    - ``z > 1  ⟺  d > 0 ∧ d² > spread`` with ``d = n·xₛ − s1`` and
+      ``spread = n·s2 − s1²`` (d, spread exact decimal(38,0));
+    - ``z < −1 ⟺  d < 0 ∧ d² > spread``;
+    - ``mm > ½ ⟺  2·xₛ > mnₛ + mxₛ`` on the scaled-long axis.
+
+    No sqrt, no division — every comparison is a decimal integer
+    inequality, so ANY engine reproduces the counts bit-for-bit (this
+    is what the driver's `numeric_inference` oracle re-derives in
+    DuckDB with HUGEINTs). The float z/mm columns the scalers emit
+    stay pinned by the pytest numpy oracles. Decimal(38,0) holds up to
+    ~10³⁸: with xₛ ≤ 10⁹ that is ~10¹⁴ rows per group before d²
+    overflows — beyond 100 TB-scale group sizes.
+
+    One grouped aggregate (map-side combinable) + one broadcast join —
+    the same physical shape as the scalers themselves."""
+    groups = list(group_cols or [])
+    _dec = "decimal(38,0)"
+    xs = F.round(F.col(col).cast("double") * _S).cast(_dec)
+    stats = df.groupBy(*groups).agg(
+        F.count(F.col(col)).cast(_dec).alias("_n"),
+        F.sum(xs).alias("_s1"),
+        F.sum(xs * xs).alias("_s2"),
+        F.min(xs).alias("_mn"),
+        F.max(xs).alias("_mx"),
+    )
+    j = (
+        df.join(stats, on=groups, how="left")
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    d = F.col("_n") * xs - F.col("_s1")
+    spread = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    z_ok = F.col(col).isNotNull() & (F.col("_n") >= 2) & (spread > 0)
+    mm_ok = F.col(col).isNotNull() & (F.col("_mx") > F.col("_mn"))
+    return j.agg(
+        F.sum(z_ok.cast("long")).cast("long").alias("z_rows"),
+        F.sum((z_ok & (d > 0) & (d * d > spread)).cast("long"))
+        .cast("long")
+        .alias("z_hi_cnt"),
+        F.sum((z_ok & (d < 0) & (d * d > spread)).cast("long"))
+        .cast("long")
+        .alias("z_lo_cnt"),
+        F.sum(mm_ok.cast("long")).cast("long").alias("mm_rows"),
+        F.sum(
+            (mm_ok & (xs * 2 > F.col("_mn") + F.col("_mx"))).cast("long")
+        )
+        .cast("long")
+        .alias("mm_hi_cnt"),
+    )

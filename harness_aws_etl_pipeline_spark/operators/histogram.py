@@ -107,13 +107,22 @@ def histogram(
     )
 
 
-def corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
+def corr_exact(
+    df: DataFrame, x: str, y: str, include_moments: bool = False
+) -> DataFrame:
     """1 row: ``(n BIGINT, corr DOUBLE)`` — Pearson correlation of the
     rows where BOTH columns are non-NULL, from exact decimal moment
     sums (one pass, map-side combinable). ``corr`` is NULL when either
     column is constant (zero variance) or fewer than 2 rows qualify.
     Values are scaled to 4 decimal places before summing — inputs
-    needing more precision should pre-scale."""
+    needing more precision should pre-scale.
+
+    ``include_moments=True`` appends the raw decimal(38,0) sums
+    ``(sx, sy, sxx, syy, sxy)`` — the exact, order-independent
+    sufficient statistic. Hash THOSE cross-engine (any engine with
+    128-bit integers re-derives them bit-for-bit); the float ``corr``
+    is a chained sqrt/divide and belongs to the in-repo numpy tests,
+    not a byte-level oracle."""
     xs = F.round(F.col(x).cast("double") * _S).cast("decimal(38,0)")
     ys = F.round(F.col(y).cast("double") * _S).cast("decimal(38,0)")
     src = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
@@ -131,24 +140,31 @@ def corr_exact(df: DataFrame, x: str, y: str) -> DataFrame:
     num = n * F.col("sxy").cast("double") - sx * sy
     vx = n * F.col("sxx").cast("double") - sx * sx
     vy = n * F.col("syy").cast("double") - sy * sy
-    return m.select(
+    out = [
         F.col("n").cast("long").alias("n"),
         F.when(
             (F.col("n") >= 2) & (vx > 0) & (vy > 0),
             num / F.sqrt(vx) / F.sqrt(vy),
         ).alias("corr"),
-    )
+    ]
+    if include_moments:
+        out += [F.col(c) for c in ("sx", "sy", "sxx", "syy", "sxy")]
+    return m.select(*out)
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def corr_matrix(
+    df: DataFrame, cols: list[str], include_moments: bool = False
+) -> DataFrame:
     """Pairwise Pearson correlations of ``cols`` in ONE aggregate
     pass: ``(x string, y string, n bigint, corr double)``, one row per
     unordered pair (x ≤ y in list order, diagonal included). Each
     pair is PAIRWISE-COMPLETE (rows where both are non-NULL) with its
     own exact decimal moment sums — the same partition-order-proof
     arithmetic and single fixed float expression as
-    :func:`corr_exact`, so every cell is reproducible bit-for-bit
-    cross-engine.
+    :func:`corr_exact`. ``include_moments=True`` appends the raw
+    decimal(38,0) sums ``(sx, sy, sxx, syy, sxy)`` per pair — the
+    exact sufficient statistic, the thing to hash cross-engine
+    (see :func:`corr_exact`).
 
     Cost: one map-side-combinable aggregate carrying
     ``6·p·(p+1)/2`` columns — right for profiling panels of up to a
@@ -160,8 +176,11 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = []
     pairs = []
     for i, a in enumerate(cols):
-        for b in cols[i:]:
-            tag = f"{i}_{cols.index(b, i)}"
+        # positional tags: a repeated column name must not collide
+        # (cols=['a','b','a'] once aliased the diagonal and the (a,a)
+        # pair both as 0_0 and broke the aggregate)
+        for j, b in enumerate(cols[i:], start=i):
+            tag = f"{i}_{j}"
             pairs.append((a, b, tag))
             xa = F.round(F.col(a).cast("double") * _S).cast("decimal(38,0)")
             xb = F.round(F.col(b).cast("double") * _S).cast("decimal(38,0)")
@@ -183,17 +202,24 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         num = n * F.col(f"sxy_{tag}").cast("double") - sx * sy
         vx = n * F.col(f"sxx_{tag}").cast("double") - sx * sx
         vy = n * F.col(f"syy_{tag}").cast("double") - sy * sy
-        rows.append(
-            F.struct(
-                F.lit(a).alias("x"),
-                F.lit(b).alias("y"),
-                F.col(f"n_{tag}").cast("long").alias("n"),
-                F.when(
-                    (F.col(f"n_{tag}") >= 2) & (vx > 0) & (vy > 0),
-                    num / F.sqrt(vx) / F.sqrt(vy),
-                ).alias("corr"),
-            )
-        )
-    return m.select(F.explode(F.array(*rows)).alias("_r")).select(
-        "_r.x", "_r.y", "_r.n", "_r.corr"
-    )
+        fields = [
+            F.lit(a).alias("x"),
+            F.lit(b).alias("y"),
+            F.col(f"n_{tag}").cast("long").alias("n"),
+            F.when(
+                (F.col(f"n_{tag}") >= 2) & (vx > 0) & (vy > 0),
+                num / F.sqrt(vx) / F.sqrt(vy),
+            ).alias("corr"),
+        ]
+        if include_moments:
+            fields += [
+                F.coalesce(
+                    F.col(f"{mom}_{tag}"), F.lit(0).cast("decimal(38,0)")
+                ).alias(mom)
+                for mom in ("sx", "sy", "sxx", "syy", "sxy")
+            ]
+        rows.append(F.struct(*fields))
+    out_cols = ["_r.x", "_r.y", "_r.n", "_r.corr"]
+    if include_moments:
+        out_cols += [f"_r.{mom}" for mom in ("sx", "sy", "sxx", "syy", "sxy")]
+    return m.select(F.explode(F.array(*rows)).alias("_r")).select(*out_cols)

@@ -1208,8 +1208,10 @@ class IncrementalTransitions:
     true for time-ordered ingestion, e.g. AvailableNow file streams).
     A batch that violates it (late replay of older events) still
     counts its WITHIN-batch steps exactly, but its boundary step is
-    dropped rather than miscounted, and the drop is reported
-    (``late_actors``).
+    dropped rather than miscounted, the drop is reported
+    (``late_actors``), and the stored tail KEEPS whichever endpoint
+    is newest (a late batch never regresses an actor's tail, so the
+    next in-order batch still stitches from fresh state).
 
     Exactly-once: the state write is one snapshot commit carrying the
     batch's ``(app_id, batch_id)`` ledger entry — a replayed batch
@@ -1319,11 +1321,22 @@ class IncrementalTransitions:
                 F.col("tail_state").isNotNull()
                 & (F.col("tail_ord") > F.col("first_ord"))
             ).count()
+            # keep whichever endpoint is NEWER: a late batch (all of
+            # its events before the stored tail) must not regress the
+            # tail to older state/ord, or the next in-order batch
+            # would stitch its boundary from stale state
+            _tail_newer = F.col("tail_ord").isNotNull() & (
+                F.col("tail_ord") > F.col("last_ord")
+            )
             new_tails = (
                 j.select(
                     "actor",
-                    F.col("last_state").alias("state"),
-                    "last_ord",
+                    F.when(_tail_newer, F.col("tail_state"))
+                    .otherwise(F.col("last_state"))
+                    .alias("state"),
+                    F.when(_tail_newer, F.col("tail_ord"))
+                    .otherwise(F.col("last_ord"))
+                    .alias("last_ord"),
                 )
                 .unionByName(
                     tails.join(ends, "actor", "left_anti").select(

@@ -446,35 +446,50 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
     """T5/A6 — parse-ratio profiling over string columns in one pass
     (transformer.py:190-197).
 
-    Fused (round 7): the HISTOGRAM + EXACT-CORRELATION legs
-    (operators/histogram.py) — 8 equi-width bins of l_extendedprice
-    (the deterministic IEEE cell arithmetic, bin counts md5'd) and
-    Pearson r of (l_quantity, l_extendedprice) from exact decimal
-    moment sums with ONE fixed float expression at the end — both
-    re-derived bit-for-bit in DuckDB.
+    INTEGER-EXACT PANEL (rebuilt round 9 after the r8 driver run
+    recorded hash_match:false, unreproduced locally in 5 runs): every
+    hashed cell is now either an exact integer/decimal, an md5 of
+    exact integer strings, or a single correctly-rounded division
+    (parse_ratio) — NO chained-float value (corr, ks, tvd doubles;
+    floor(z·10⁶) sums; floor(corr·10⁹) strings) rides the hash
+    anymore. Chained sqrt/divide floats stay pinned by the in-repo
+    numpy tests; the cross-engine oracle pins the sufficient
+    statistics, which any engine with 128-bit integers re-derives
+    bit-for-bit regardless of libm, FMA contraction, or rounding-mode
+    differences on the driver VM.
 
-    Fused (round 8): the DRIFT legs (operators/drift.py) — the exact
-    two-sample KS statistic of l_quantity between all lineitem rows
-    and the returned slice (integer sufficient statistic
-    ``max |cum_ref·n_cur − cum_cur·n_ref|`` from the two-level prefix
-    sum, so DuckDB re-derives it with one window), and the exact
-    total-variation distance of o_orderpriority between all orders
-    and the 1997+ slice. The drift DECISION (``ks > 0.05``) rides as
-    an exact integer inequality.
+    Legs (all broadcast 1-row cross-joins onto the 3-row base):
 
-    Fused (round 8): the SCALING leg (operators/features.py) —
-    per-returnflag standard scaling and min-max rescaling of
-    l_discount, reduced to floor-scaled-long sums. The z chain
-    ``(xₛ − s1/n) / (sqrt(n·s2 − s1²)/n)`` evaluates from exact
-    decimal moments in one fixed IEEE order, so every per-row z is
-    bit-identical in DuckDB."""
+    - HISTOGRAM (r7): 8 equi-width bins of l_extendedprice — the
+      fixed IEEE cell chain (passed r5–r8), bin counts md5'd.
+    - CORRELATION (r7, rebuilt): Pearson moments of (l_quantity,
+      l_extendedprice) — md5 of the exact decimal(38,0) sums
+      (n,sx,sy,sxx,syy,sxy) instead of the derived float r.
+    - CORR-MATRIX (r8, rebuilt): all pairs of three lineitem
+      measures, md5 of per-pair exact moment strings.
+    - KS drift (r8): integer numerator max|cum_ref·n_cur −
+      cum_cur·n_ref| + the exact integer drift decision (ks > 0.05 as
+      20·num > n_ref·n_cur); the float KS no longer rides.
+    - TVD drift (r8): integer numerator Σ|c_ref·n_cur − c_cur·n_ref|.
+    - PSI (r9, new oracle leg): per-bin (ref_cnt, cur_cnt) over the
+      reference-defined 10-bin grid of l_extendedprice vs the
+      returned slice — exact counts md5'd (the float PSI score is
+      ln-based, tests-only: operators/drift.py:psi).
+    - χ² cells (r9, new oracle leg): the exact contingency table of
+      l_linestatus between all lineitem and the 1997+ ship slice
+      (operators/drift.py:drift_cells) — the χ² sufficient statistic.
+    - SCALING (r8, rebuilt): the scalers' defining inequalities
+      pushed to exact decimal arithmetic — counts of z>1 / z<−1 /
+      mm>½ via d=n·xₛ−s1, d²>n·s2−s1², 2·xₛ>mnₛ+mxₛ
+      (operators/features.py:scale_outlier_counts)."""
     from harness_aws_etl_pipeline_spark.operators.drift import (
+        drift_cells,
         ks_statistic,
+        psi_report,
         tvd_drift,
     )
     from harness_aws_etl_pipeline_spark.operators.features import (
-        minmax_scale,
-        standard_scale,
+        scale_outlier_counts,
     )
     from harness_aws_etl_pipeline_spark.operators.histogram import (
         corr_exact,
@@ -509,8 +524,15 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("hist_md5"),
         F.sum("cnt").cast("long").alias("hist_total"),
     )
-    corr_leg = corr_exact(li, "l_quantity", "l_extendedprice").select(
-        F.col("n").alias("corr_n"), F.col("corr").alias("corr_qty_price")
+    corr_leg = corr_exact(
+        li, "l_quantity", "l_extendedprice", include_moments=True
+    ).select(
+        F.col("n").alias("corr_n"),
+        F.md5(
+            F.concat_ws(
+                ":", "n", "sx", "sy", "sxx", "syy", "sxy"
+            )
+        ).alias("corr_md5"),
     )
     ks_leg = ks_statistic(
         li, li.filter(F.col("l_returnflag") == "R"), "l_quantity"
@@ -518,7 +540,6 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_ref").alias("ks_n_ref"),
         F.col("n_cur").alias("ks_n_cur"),
         "ks_num",
-        "ks",
         # exact-integer drift decision (values fit longs at test SF;
         # the operator's internal statistic stays decimal for 100 TB)
         (F.col("ks_num").cast("long") * 20 > F.col("n_ref") * F.col("n_cur"))
@@ -531,28 +552,72 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_ref").alias("tvd_n_ref"),
         F.col("n_cur").alias("tvd_n_cur"),
         "tvd_num",
-        "tvd",
     )
-    # correlation-matrix leg (round 8): one-pass pairwise Pearson over
-    # three lineitem measures (operators/histogram.py:corr_matrix) —
-    # every cell the same fixed chain the corr leg pins, reduced to a
-    # floor-scaled md5 (constant/degenerate cells render '_')
+    psi_rep = psi_report(
+        li, li.filter(F.col("l_returnflag") == "R"), "l_extendedprice",
+        bins=10,
+    )
+    psi_leg = psi_rep.agg(
+        F.count(F.lit(1)).cast("long").alias("psi_bins"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("bin").cast("string"),
+                            F.col("ref_cnt").cast("string"),
+                            F.col("cur_cnt").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("psi_md5"),
+    )
+    chi2_cells = drift_cells(
+        li, li.filter(F.col("l_shipdate") >= "1997-01-01"), "l_linestatus"
+    )
+    chi2_leg = chi2_cells.agg(
+        F.count(F.lit(1)).cast("long").alias("chi2_cats"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            "value",
+                            F.col("ref_cnt").cast("string"),
+                            F.col("cur_cnt").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("chi2_md5"),
+    )
+    # correlation-matrix leg: one-pass pairwise Pearson over three
+    # lineitem measures (operators/histogram.py:corr_matrix) — md5 of
+    # per-pair EXACT moment strings, not floor-scaled floats
     from harness_aws_etl_pipeline_spark.operators.histogram import (
         corr_matrix,
     )
 
     cmat = corr_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount"]
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        include_moments=True,
     )
     cs = F.concat_ws(
         ":",
         "x",
         "y",
         F.col("n").cast("string"),
-        F.coalesce(
-            F.floor(F.col("corr") * F.lit(1e9)).cast("long").cast("string"),
-            F.lit("_"),
-        ),
+        F.col("sx").cast("string"),
+        F.col("sy").cast("string"),
+        F.col("sxx").cast("string"),
+        F.col("syy").cast("string"),
+        F.col("sxy").cast("string"),
     )
     cm_leg = cmat.agg(
         F.count(F.lit(1)).alias("cm_pairs"),
@@ -560,29 +625,18 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
             "cm_md5"
         ),
     )
-    slice_ = li.select("l_returnflag", "l_discount")
-    z = standard_scale(slice_, ["l_discount"], ["l_returnflag"])
-    mm = minmax_scale(slice_, ["l_discount"], ["l_returnflag"])
-    scale_leg = z.agg(
-        F.sum(F.floor(F.col("l_discount_z") * F.lit(1e6)))
-        .cast("long")
-        .alias("z_floor_sum"),
-        F.count("l_discount_z").alias("z_rows"),
-    ).crossJoin(
-        F.broadcast(
-            mm.agg(
-                F.sum(F.floor(F.col("l_discount_mm") * F.lit(1e6)))
-                .cast("long")
-                .alias("mm_floor_sum"),
-                F.count("l_discount_mm").alias("mm_rows"),
-            )
-        )
+    scale_leg = scale_outlier_counts(
+        li.select("l_returnflag", "l_discount"),
+        "l_discount",
+        ["l_returnflag"],
     )
     return (
         base.crossJoin(F.broadcast(hist_leg))
         .crossJoin(F.broadcast(corr_leg))
         .crossJoin(F.broadcast(ks_leg))
         .crossJoin(F.broadcast(tvd_leg))
+        .crossJoin(F.broadcast(psi_leg))
+        .crossJoin(F.broadcast(chi2_leg))
         .crossJoin(F.broadcast(scale_leg))
         .crossJoin(F.broadcast(cm_leg))
     )
@@ -625,7 +679,8 @@ SELECT * FROM (
          CAST(SUM(cnt) AS BIGINT) AS hist_total
   FROM hrows
 ) hist_arm CROSS JOIN (
-  -- exact-correlation leg: decimal moment sums, one fixed float expr
+  -- exact-correlation leg: md5 of the raw decimal moment sums — the
+  -- sufficient statistic, bit-exact under any partitioning/libm
   WITH m AS (
     SELECT COUNT(*) AS n,
            SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)) AS sx,
@@ -639,18 +694,10 @@ SELECT * FROM (
     FROM lineitem
     WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
   SELECT CAST(n AS BIGINT) AS corr_n,
-         CASE WHEN n >= 2
-               AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-               AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-              THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                   / SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-         END AS corr_qty_price
+         md5(CAST(n AS VARCHAR) || ':' || CAST(sx AS VARCHAR) || ':'
+             || CAST(sy AS VARCHAR) || ':' || CAST(sxx AS VARCHAR) || ':'
+             || CAST(syy AS VARCHAR) || ':' || CAST(sxy AS VARCHAR))
+           AS corr_md5
   FROM m
 ) corr_arm CROSS JOIN (
   -- KS drift leg: exact two-sample statistic, integer numerator
@@ -669,8 +716,6 @@ SELECT * FROM (
   SELECT CAST(n1 AS BIGINT) AS ks_n_ref,
          CAST(n2 AS BIGINT) AS ks_n_cur,
          CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DECIMAL(38,0)) AS ks_num,
-         CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
-           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks,
          CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) * 20
            > CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT) AS ks_drifted
   FROM c, n GROUP BY n1, n2
@@ -689,42 +734,81 @@ SELECT * FROM (
   n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
   SELECT CAST(n1 AS BIGINT) AS tvd_n_ref,
          CAST(n2 AS BIGINT) AS tvd_n_cur,
-         CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS tvd_num,
-         CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
-           / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
+         CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS tvd_num
   FROM d, n GROUP BY n1, n2
 ) tvd_arm CROSS JOIN (
-  -- scaling leg: per-returnflag standard + min-max scaling of
-  -- l_discount, per-row chains re-derived bit-for-bit, floor-summed
+  -- PSI leg: per-bin (ref_cnt, cur_cnt) over the reference-defined
+  -- 10-bin grid (the hist_arm cell chain), exact counts md5'd
+  WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                    MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+             FROM lineitem),
+  cells AS (SELECT CAST(
+              CASE WHEN hi = lo THEN 0
+                   ELSE GREATEST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - lo) * 10.0)
+                                             / (hi - lo)), 9), 0) END AS INT) AS bin,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_cur
+            FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+  counts AS (SELECT bin, COUNT(*) AS rc, SUM(is_cur) AS cc
+             FROM cells GROUP BY 1),
+  spine AS (SELECT UNNEST(generate_series(0, 9)) AS bin),
+  prows AS (SELECT CAST(spine.bin AS VARCHAR) || ':'
+                   || CAST(COALESCE(counts.rc, 0) AS VARCHAR) || ':'
+                   || CAST(COALESCE(counts.cc, 0) AS VARCHAR) AS s
+            FROM spine LEFT JOIN counts ON spine.bin = counts.bin)
+  SELECT CAST(COUNT(*) AS BIGINT) AS psi_bins,
+         md5(string_agg(s, '|' ORDER BY s)) AS psi_md5
+  FROM prows
+) psi_arm CROSS JOIN (
+  -- chi2 leg: the exact contingency table (the chi2 sufficient
+  -- statistic) of l_linestatus, all rows vs the 1997+ ship slice
+  WITH d AS (
+    SELECT CAST(l_linestatus AS VARCHAR) AS v,
+           COUNT(*) AS c1,
+           SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                    THEN 1 ELSE 0 END) AS c2
+    FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1)
+  SELECT CAST(COUNT(*) AS BIGINT) AS chi2_cats,
+         md5(string_agg(v || ':' || CAST(c1 AS VARCHAR) || ':'
+                        || CAST(c2 AS VARCHAR), '|'
+                        ORDER BY v || ':' || CAST(c1 AS VARCHAR) || ':'
+                        || CAST(c2 AS VARCHAR))) AS chi2_md5
+  FROM d
+) chi2_arm CROSS JOIN (
+  -- scaling leg: the scalers' defining inequalities as exact HUGEINT
+  -- arithmetic — z>1 iff d>0 and d^2>spread with d = n*xs - s1,
+  -- spread = n*s2 - s1^2; mm>1/2 iff 2*xs > mn_s + mx_s
   WITH mo AS (
-    SELECT l_returnflag AS g, COUNT(l_discount) AS n,
+    SELECT l_returnflag AS g, CAST(COUNT(l_discount) AS HUGEINT) AS n,
            SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s1,
            SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)
                * CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s2,
-           MIN(CAST(l_discount AS DOUBLE)) AS mn,
-           MAX(CAST(l_discount AS DOUBLE)) AS mx
+           MIN(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS mn,
+           MAX(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS mx
     FROM lineitem GROUP BY 1),
-  zz AS (
-    SELECT CASE WHEN mo.n >= 2
-                 AND CAST(mo.n AS DOUBLE) * CAST(mo.s2 AS DOUBLE)
-                     - CAST(mo.s1 AS DOUBLE) * CAST(mo.s1 AS DOUBLE) > 0
-            THEN (ROUND(CAST(l.l_discount AS DOUBLE) * 10000)
-                  - CAST(mo.s1 AS DOUBLE) / CAST(mo.n AS DOUBLE))
-                 / (SQRT(CAST(mo.n AS DOUBLE) * CAST(mo.s2 AS DOUBLE)
-                         - CAST(mo.s1 AS DOUBLE) * CAST(mo.s1 AS DOUBLE))
-                    / CAST(mo.n AS DOUBLE)) END AS z,
-           CASE WHEN mo.mx > mo.mn
-            THEN (CAST(l.l_discount AS DOUBLE) - mo.mn) / (mo.mx - mo.mn)
-           END AS m
+  ineq AS (
+    SELECT CASE WHEN l.l_discount IS NOT NULL AND mo.n >= 2
+                 AND mo.n * mo.s2 - mo.s1 * mo.s1 > 0
+                THEN 1 ELSE 0 END AS z_ok,
+           mo.n * CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 10000) AS HUGEINT)
+             - mo.s1 AS d,
+           mo.n * mo.s2 - mo.s1 * mo.s1 AS spread,
+           CASE WHEN l.l_discount IS NOT NULL AND mo.mx > mo.mn
+                THEN 1 ELSE 0 END AS mm_ok,
+           CASE WHEN l.l_discount IS NOT NULL AND mo.mx > mo.mn
+                 AND 2 * CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 10000) AS HUGEINT)
+                     > mo.mn + mo.mx
+                THEN 1 ELSE 0 END AS mm_hi
     FROM lineitem l JOIN mo ON l.l_returnflag = mo.g)
-  SELECT CAST(SUM(FLOOR(z * 1e6)) AS BIGINT) AS z_floor_sum,
-         COUNT(z) AS z_rows,
-         CAST(SUM(FLOOR(m * 1e6)) AS BIGINT) AS mm_floor_sum,
-         COUNT(m) AS mm_rows
-  FROM zz
+  SELECT CAST(SUM(z_ok) AS BIGINT) AS z_rows,
+         CAST(SUM(CASE WHEN z_ok = 1 AND d > 0 AND d * d > spread
+                       THEN 1 ELSE 0 END) AS BIGINT) AS z_hi_cnt,
+         CAST(SUM(CASE WHEN z_ok = 1 AND d < 0 AND d * d > spread
+                       THEN 1 ELSE 0 END) AS BIGINT) AS z_lo_cnt,
+         CAST(SUM(mm_ok) AS BIGINT) AS mm_rows,
+         CAST(SUM(mm_hi) AS BIGINT) AS mm_hi_cnt
+  FROM ineq
 ) scale_arm CROSS JOIN (
-  -- correlation-matrix leg: every pair re-derived with the exact
-  -- moment sums and the corr leg's fixed float chain
+  -- correlation-matrix leg: every pair's exact moment sums md5'd
 __CM_ARM__
 ) cm_arm
 ORDER BY col_name
@@ -737,24 +821,17 @@ def _sql_cm_pair(a: str, b: str) -> str:
     both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
     return f"""
     SELECT '{a}' AS x, '{b}' AS y, n,
-           CASE WHEN n >= 2 AND vx > 0 AND vy > 0
-                THEN num / SQRT(vx) / SQRT(vy) END AS corr
+           COALESCE(sx, 0) AS sx, COALESCE(sy, 0) AS sy,
+           COALESCE(sxx, 0) AS sxx, COALESCE(syy, 0) AS syy,
+           COALESCE(sxy, 0) AS sxy
     FROM (
-      SELECT n,
-             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
-      FROM (
         SELECT SUM(CASE WHEN {both} THEN 1 ELSE 0 END) AS n,
                SUM(CASE WHEN {both} THEN {xa} END) AS sx,
                SUM(CASE WHEN {both} THEN {xb} END) AS sy,
                SUM(CASE WHEN {both} THEN {xa} * {xa} END) AS sxx,
                SUM(CASE WHEN {both} THEN {xb} * {xb} END) AS syy,
                SUM(CASE WHEN {both} THEN {xa} * {xb} END) AS sxy
-        FROM lineitem))"""
+        FROM lineitem)"""
 
 
 def _cm_arm_sql() -> str:
@@ -770,8 +847,9 @@ def _cm_arm_sql() -> str:
          md5(string_agg(s, '|' ORDER BY s)) AS cm_md5
   FROM (
     SELECT x || ':' || y || ':' || CAST(n AS VARCHAR) || ':'
-           || COALESCE(CAST(CAST(FLOOR(corr * 1e9) AS BIGINT) AS VARCHAR),
-                       '_') AS s
+           || CAST(sx AS VARCHAR) || ':' || CAST(sy AS VARCHAR) || ':'
+           || CAST(sxx AS VARCHAR) || ':' || CAST(syy AS VARCHAR) || ':'
+           || CAST(sxy AS VARCHAR) AS s
     FROM ({union}))"""
 
 

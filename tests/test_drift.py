@@ -169,3 +169,23 @@ class TestCli:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["tvd"] == pytest.approx(2.0 / 3.0, abs=1e-12)
         assert res["categories"] == 3 and res["dof"] == 2
+
+
+class TestDriftCells:
+    def test_exact_contingency_table(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.drift import (
+            chi2_drift,
+            drift_cells,
+        )
+
+        ref = spark.createDataFrame(
+            [("a",), ("a",), ("b",), (None,)], "v string"
+        )
+        cur = spark.createDataFrame([("a",), ("c",)], "v string")
+        got = {
+            r["value"]: (r["ref_cnt"], r["cur_cnt"])
+            for r in drift_cells(ref, cur, "v").collect()
+        }
+        assert got == {"a": (2, 1), "b": (1, 0), "c": (0, 1)}
+        # chi2 consumes the same table: categories count agrees
+        assert chi2_drift(ref, cur, "v").first()["categories"] == 3

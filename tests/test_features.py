@@ -244,3 +244,71 @@ class TestRobustScale:
         )
         got = [r["v_rs"] for r in robust_scale(df, ["v"]).collect()]
         assert all(v is None for v in got)
+
+
+class TestOneHotGuards:
+    def test_sanitized_collision_raises(self, spark):
+        df = spark.createDataFrame([("a.b",), ("a_b",)], "v string")
+        with pytest.raises(ValueError, match="sanitize to column"):
+            one_hot(df, "v")
+
+    def test_null_does_not_occupy_guard_slot(self, spark):
+        # 3 non-null values + NULL with max_values=3 must encode all
+        # three (NULL once rode the limit and evicted one value)
+        df = spark.createDataFrame(
+            [("x",), ("y",), ("z",), (None,)], "v string"
+        )
+        out = one_hot(df, "v", max_values=3)
+        assert [c for c in out.columns if c.startswith("v__")] == [
+            "v__x", "v__y", "v__z",
+        ]
+
+    def test_guard_still_fires_past_max(self, spark):
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",), (None,)], "v string"
+        )
+        with pytest.raises(ValueError, match="distinct values"):
+            one_hot(df, "v", max_values=3)
+
+
+class TestScaleOutlierCounts:
+    def test_matches_float_scalers(self, spark):
+        """The exact decimal inequalities must agree with the float
+        z/mm columns wherever the float value is not borderline —
+        on this fixture nothing is within 1e-9 of a boundary, so the
+        counts must match the scalers' outputs exactly."""
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            minmax_scale,
+            scale_outlier_counts,
+            standard_scale,
+        )
+
+        rows = [
+            ("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]
+        ] + [("b", 5.0), ("b", 5.0), ("a", None), (None, 3.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = scale_outlier_counts(df, "v", ["g"]).first()
+        z = standard_scale(df, ["v"], ["g"]).collect()
+        mm = minmax_scale(df, ["v"], ["g"]).collect()
+        z_vals = [r["v_z"] for r in z if r["v_z"] is not None]
+        mm_vals = [r["v_mm"] for r in mm if r["v_mm"] is not None]
+        assert got["z_rows"] == len(z_vals)
+        assert got["z_hi_cnt"] == sum(1 for x in z_vals if x > 1)
+        assert got["z_lo_cnt"] == sum(1 for x in z_vals if x < -1)
+        assert got["mm_rows"] == len(mm_vals)
+        assert got["mm_hi_cnt"] == sum(1 for x in mm_vals if x > 0.5)
+
+    def test_global_no_groups(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.features import (
+            scale_outlier_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in [0, 0, 0, 10]], "v double"
+        )
+        got = scale_outlier_counts(df, "v").first()
+        # mean 2.5, std sqrt(18.75): only 10 has z>1; mm: only 10 > .5
+        assert (
+            got["z_rows"], got["z_hi_cnt"], got["z_lo_cnt"],
+            got["mm_rows"], got["mm_hi_cnt"],
+        ) == (4, 1, 0, 4, 1)

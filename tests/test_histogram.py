@@ -160,3 +160,55 @@ class TestCorrMatrix:
         df = spark.createDataFrame([(1.0,)], "a double")
         with pytest.raises(ValueError):
             corr_matrix(df, [])
+
+
+class TestCorrMoments:
+    def test_include_moments_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+        )
+        r = corr_exact(df, "x", "y", include_moments=True).first()
+        s = 10_000
+        xs = [1 * s, 2 * s, 3 * s]
+        ys = [2 * s, 4 * s, 6 * s]
+        assert int(r["sx"]) == sum(xs)
+        assert int(r["sy"]) == sum(ys)
+        assert int(r["sxx"]) == sum(v * v for v in xs)
+        assert int(r["syy"]) == sum(v * v for v in ys)
+        assert int(r["sxy"]) == sum(a * b for a, b in zip(xs, ys))
+        assert abs(r["corr"] - 1.0) < 1e-12
+
+    def test_matrix_duplicate_cols_do_not_collide(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            corr_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 9.0), (2.0, 7.0), (3.0, 5.0)], "a double, b double"
+        )
+        out = corr_matrix(df, ["a", "b", "a"]).collect()
+        # 3 cols -> 6 unordered pairs; (a,a) appears as (0,0), (0,2)
+        # and (2,2) — once all three collided into one broken tag
+        assert len(out) == 6
+        diag = [r for r in out if r["x"] == "a" and r["y"] == "a"]
+        assert len(diag) == 3
+        assert all(abs(r["corr"] - 1.0) < 1e-12 for r in diag)
+
+    def test_matrix_moments_match_corr_exact(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            corr_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 9.0), (2.0, 7.0), (3.0, 6.0)], "a double, b double"
+        )
+        cell = {
+            (r["x"], r["y"]): r
+            for r in corr_matrix(
+                df, ["a", "b"], include_moments=True
+            ).collect()
+        }[("a", "b")]
+        ref = corr_exact(df, "a", "b", include_moments=True).first()
+        for k in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            assert cell[k] == ref[k]
+        assert cell["corr"] == ref["corr"]

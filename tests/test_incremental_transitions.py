@@ -73,6 +73,27 @@ class TestIncrementalTransitions:
         assert got[("a", "b")] == 1
         assert ("a", "a") not in got
 
+    def test_late_batch_does_not_regress_tails(self, spark, tmp_path):
+        """After a late batch, the stored tail must KEEP the newest
+        endpoint — the next in-order batch stitches from the fresh
+        state, not the late batch's stale one."""
+        it = _it(spark, tmp_path)
+        # user 1 up to (t=3, 'a')
+        it.process_batch(spark.createDataFrame(B2, SCHEMA), txn=("g", 0))
+        # late replay of B1 (user 1 ends at t=2 'b') regresses nothing
+        rep = it.process_batch(spark.createDataFrame(B1, SCHEMA), txn=("g", 1))
+        assert rep["late_actors"] == 2
+        # in-order batch: boundary must stitch a(t3)→z, not b(t2)→z
+        it.process_batch(
+            spark.createDataFrame([(1, 9, "z")], SCHEMA), txn=("g", 2)
+        )
+        got = {
+            (r["prev_state"], r["state"]): r["cnt"]
+            for r in it.matrix().collect()
+        }
+        assert got[("a", "z")] == 1
+        assert ("b", "z") not in got
+
     def test_actor_tails_survive_absent_batches(self, spark, tmp_path):
         it = _it(spark, tmp_path)
         it.process_batch(spark.createDataFrame(B1, SCHEMA), txn=("s", 0))
