@@ -99,7 +99,22 @@ def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     the trimmed star schema, plans/catalog_tpch.py) each reduced to a
     deterministic (rows, md5) pair and re-derived verbatim in DuckDB.
     This panel is NON-headline on purpose — the pack's ten extra join
-    trees must not pollute per-query bench drift."""
+    trees must not pollute per-query bench drift.
+
+    Fused (round 9): the GROUPING LATTICE legs
+    (operators/grouping.py) — ROLLUP / CUBE / GROUPING SETS over
+    (l_returnflag, l_linestatus), every level's (keys, packed
+    grouping bits, count, exact decimal qty sum) md5'd and re-derived
+    with DuckDB's GROUP BY ROLLUP/CUBE/GROUPING SETS + GROUPING().
+    Three Expand passes here for API coverage; at scale one CUBE pass
+    subsumes the other two lattices for the same key set (rollup =
+    gid∈{0,1,3}, sets (rf),(ls) = gid∈{1,2}) — pinned by
+    tests/test_grouping.py."""
+    from harness_aws_etl_pipeline_spark.operators.grouping import (
+        cube_agg,
+        grouping_sets_agg,
+        rollup_agg,
+    )
     from harness_aws_etl_pipeline_spark.plans.catalog_tpch import tpch_pack_arm
 
     li = tables(spark, sf)["lineitem"]
@@ -132,9 +147,66 @@ def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
             "melt_md5"
         ),
     )
-    return base.crossJoin(F.broadcast(tpch_pack_arm(spark, sf))).crossJoin(
-        F.broadcast(melt_leg)
+    lat_keys = ["l_returnflag", "l_linestatus"]
+    lat_cnt = F.count(F.lit(1)).alias("cnt")
+    lat_q = F.sum(
+        F.round(F.col("l_quantity").cast("double") * 10000).cast(
+            "decimal(38,0)"
+        )
+    ).alias("q")
+
+    def _lattice_arm(levels, prefix):
+        s = F.concat_ws(
+            ":",
+            F.coalesce("l_returnflag", F.lit("_")),
+            F.coalesce("l_linestatus", F.lit("_")),
+            F.col("_gid").cast("string"),
+            F.col("cnt").cast("string"),
+            F.col("q").cast("string"),
+        )
+        return levels.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}_rows"),
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list(s)))).alias(
+                f"{prefix}_md5"
+            ),
+        )
+
+    ru_leg = _lattice_arm(rollup_agg(li, lat_keys, lat_cnt, lat_q), "ru")
+    cu_leg = _lattice_arm(cube_agg(li, lat_keys, lat_cnt, lat_q), "cu")
+    gs_leg = _lattice_arm(
+        grouping_sets_agg(
+            li, [["l_returnflag"], ["l_linestatus"]], lat_cnt, lat_q
+        ),
+        "gs",
     )
+    return (
+        base.crossJoin(F.broadcast(tpch_pack_arm(spark, sf)))
+        .crossJoin(F.broadcast(melt_leg))
+        .crossJoin(F.broadcast(ru_leg))
+        .crossJoin(F.broadcast(cu_leg))
+        .crossJoin(F.broadcast(gs_leg))
+    )
+
+
+def _lattice_arm_sql(group_by: str, prefix: str) -> str:
+    """One grouping-lattice arm: every level's (keys, packed grouping
+    bits, count, exact HUGEINT qty sum) md5'd — the DuckDB twin of
+    operators/grouping.py's ``_gid`` convention (leftmost key =
+    highest bit)."""
+    return f"""
+  WITH r AS (
+    SELECT COALESCE(l_returnflag, '_') AS rf,
+           COALESCE(l_linestatus, '_') AS ls,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)) AS q
+    FROM lineitem GROUP BY {group_by}),
+  s AS (SELECT rf || ':' || ls || ':' || CAST(gid AS VARCHAR) || ':'
+               || CAST(cnt AS VARCHAR) || ':' || CAST(q AS VARCHAR) AS s
+        FROM r)
+  SELECT CAST(COUNT(*) AS BIGINT) AS {prefix}_rows,
+         md5(string_agg(s, '|' ORDER BY s)) AS {prefix}_md5
+  FROM s"""
 
 
 def _oracle_pivot() -> str:
@@ -177,6 +249,10 @@ CROSS JOIN (
          md5(string_agg(s, '|' ORDER BY s)) AS melt_md5
   FROM s
 ) melt_arm
+CROSS JOIN ({_lattice_arm_sql("ROLLUP (l_returnflag, l_linestatus)", "ru")}) rollup_arm
+CROSS JOIN ({_lattice_arm_sql("CUBE (l_returnflag, l_linestatus)", "cu")}) cube_arm
+CROSS JOIN ({_lattice_arm_sql(
+    "GROUPING SETS ((l_returnflag), (l_linestatus))", "gs")}) gsets_arm
 ORDER BY l_returnflag
 """
 
