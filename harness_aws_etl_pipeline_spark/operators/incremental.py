@@ -53,6 +53,7 @@ from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 
 __all__ = [
     "IncrementalDeduper",
+    "IncrementalDrift",
     "IncrementalEmbeddingDeduper",
     "IncrementalEwma",
     "IncrementalHeavyHitters",
@@ -1565,3 +1566,199 @@ class IncrementalEwma:
             "rows": smoothed.count(),
             "late_rows": int(late),
         }
+
+
+class IncrementalDrift:
+    """Streaming drift monitor: fold batches of CURRENT data against a
+    PINNED reference distribution, without re-reading history.
+
+    ``operators/drift.py`` compares two bounded frames; a monitoring
+    DAG instead pins a reference snapshot once and asks after every
+    micro-batch "has the stream drifted yet?". The durable state is
+    the pair of exact per-category count tables — ``(side, value,
+    cnt)`` with side 'r' (reference) / 'c' (accumulated current) — so
+    state is O(|categories|) regardless of stream length, and every
+    derived statistic is exact: folding batches b₁..bₙ yields the
+    same cells as ``drift_cells(ref, b₁ ∪ … ∪ bₙ)`` (pinned by
+    tests).
+
+    Categorical by contract: values are compared as strings. For a
+    numeric column, bin it first on a PINNED grid (e.g.
+    ``operators/histogram.histogram`` cell arithmetic with the
+    reference's lo/hi) and feed the bin label — the grid must not
+    drift with the stream, which is exactly why the monitor does not
+    re-derive it per batch.
+
+    Per batch: one map-side-combinable groupBy over the batch + one
+    |categories|-row merge — no joins against the facts, no windows.
+    Exactly-once: one snapshot commit carrying the batch txn ledger
+    (same pattern as the dedup gates); replays short-circuit before
+    any Spark job. ``set_reference`` RESETS the accumulated current
+    side — a new baseline starts a fresh comparison.
+    """
+
+    def __init__(self, spark: SparkSession, state_path: str, col: str):
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.col = col
+
+    # ------------------------------------------------------------------
+
+    def state_summary(self) -> DataFrame | None:
+        if self.table.current_version() is None:
+            return None
+        return self.table.read()
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+    def _batch_counts(self, df: DataFrame, side: str) -> DataFrame:
+        v = F.col(self.col).cast("string")
+        return (
+            df.where(v.isNotNull())
+            .groupBy(v.alias("value"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(F.lit(side).alias("side"), "value", "cnt")
+        )
+
+    def set_reference(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Pin the reference distribution (one groupBy); resets the
+        accumulated current side."""
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "categories": None,
+            }
+        ref = self._batch_counts(df, "r").localCheckpoint(eager=True)
+        out = self.table.write(ref, mode="overwrite", txn=txn)
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "categories": ref.count(),
+        }
+
+    def process_batch(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Fold one batch of current data; returns ``{"state_version",
+        "skipped", "batch_rows", "categories"}``."""
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "batch_rows": None,
+                "categories": None,
+            }
+        state = self.state_summary()
+        if state is None:
+            raise ValueError(
+                "IncrementalDrift: set_reference must run before batches"
+            )
+        cur = self._batch_counts(df, "c")
+        merged = (
+            state.unionByName(cur)
+            .groupBy("side", "value")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        out = self.table.write(merged, mode="overwrite", txn=txn)
+        rows = merged.where(F.col("side") == "c").agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+        ).first()
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "batch_rows": int(rows["n"]),
+            "categories": int(rows["k"]),
+        }
+
+    def cells(self) -> DataFrame:
+        """Exact contingency table so far: ``(value, ref_cnt,
+        cur_cnt)`` — identical to ``drift_cells(reference,
+        concat(batches))``."""
+        state = self.state_summary()
+        if state is None:
+            return self.spark.createDataFrame(
+                [], "value string, ref_cnt long, cur_cnt long"
+            )
+        return (
+            state.groupBy("value")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("side") == "r", F.col("cnt"))),
+                    F.lit(0),
+                ).cast("long").alias("ref_cnt"),
+                F.coalesce(
+                    F.sum(F.when(F.col("side") == "c", F.col("cnt"))),
+                    F.lit(0),
+                ).cast("long").alias("cur_cnt"),
+            )
+        )
+
+    def report(self) -> DataFrame:
+        """1 row: ``(n_ref, n_cur, categories, tvd_num decimal(38,0),
+        tvd double, chi2 double)`` from the stored cells — the integer
+        numerator is the value to alert on reproducibly; tvd/chi2 are
+        the human-readable scores (same math as tvd_drift /
+        chi2_drift)."""
+        dec = "decimal(38,0)"
+        d = self.cells()
+        totals = d.agg(
+            F.coalesce(F.sum("ref_cnt"), F.lit(0)).cast("long").alias("n1"),
+            F.coalesce(F.sum("cur_cnt"), F.lit(0)).cast("long").alias("n2"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        j = d.crossJoin(F.broadcast(totals))
+        num = F.abs(
+            F.col("ref_cnt").cast(dec) * F.col("n2").cast(dec)
+            - F.col("cur_cnt").cast(dec) * F.col("n1").cast(dec)
+        )
+        row_tot = (F.col("ref_cnt") + F.col("cur_cnt")).cast("double")
+        n = (F.col("n1") + F.col("n2")).cast("double")
+        e1 = row_tot * F.col("n1").cast("double") / n
+        e2 = row_tot * F.col("n2").cast("double") / n
+        # expectations are 0 exactly when a whole SIDE is empty (every
+        # cell has row_tot > 0) — the chi2 output is NULL then anyway,
+        # so guard the division rather than divide by zero under ANSI
+        term = F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            (F.col("ref_cnt").cast("double") - e1) ** 2 / e1
+            + (F.col("cur_cnt").cast("double") - e2) ** 2 / e2,
+        )
+        return (
+            j.groupBy("n1", "n2", "k")
+            .agg(
+                F.coalesce(F.sum(num), F.lit(0).cast(dec)).alias("tvd_num"),
+                F.sum(term).alias("_chi2"),
+            )
+            .select(
+                F.col("n1").alias("n_ref"),
+                F.col("n2").alias("n_cur"),
+                F.col("k").alias("categories"),
+                F.col("tvd_num").cast(dec).alias("tvd_num"),
+                F.when(
+                    (F.col("n1") > 0) & (F.col("n2") > 0),
+                    F.col("tvd_num").cast("double")
+                    / (
+                        2.0
+                        * F.col("n1").cast("double")
+                        * F.col("n2").cast("double")
+                    ),
+                ).alias("tvd"),
+                F.when(
+                    (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("k") > 1),
+                    F.col("_chi2"),
+                ).alias("chi2"),
+            )
+        )

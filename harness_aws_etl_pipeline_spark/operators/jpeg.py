@@ -1,22 +1,26 @@
-"""[EXT] Baseline JPEG codec — pure numpy + stdlib, no codec library.
+"""[EXT] JPEG codec (baseline + progressive) — pure numpy + stdlib.
 
-``decode_jpeg`` handles single-scan baseline DCT JPEG (SOF0): marker
-parse, DQT / DHT tables read FROM THE FILE (so compliant baseline
-streams decode, not just this module's own output), entropy-coded
-segment with 0xFF00 unstuffing and DRI/RSTn restart handling, huffman
-DC/AC coefficient decode, dequantize + dezigzag, orthonormal 8×8
-IDCT, generic chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 via per-
+``decode_jpeg`` handles single-scan baseline DCT JPEG (SOF0/1) AND
+progressive JPEG (SOF2, spectral selection + successive approximation
+in both DC and AC, EOB runs, refinement correction bits): marker
+parse, DQT / DHT tables read FROM THE FILE (so compliant streams
+decode, not just this module's own output), entropy-coded segment
+with 0xFF00 unstuffing and DRI/RSTn restart handling, huffman DC/AC
+coefficient decode, dequantize + dezigzag, orthonormal 8×8 IDCT,
+generic chroma sampling factors (4:4:4 / 4:2:2 / 4:2:0 via per-
 component planes + nearest upsample), YCbCr→RGB (BT.601). Grayscale
 streams decode non-interleaved per spec A.2.2 (whatever sampling
-factors they declare) and replicate to 3 channels. Progressive
-(SOF2), arithmetic coding, and partial-component multi-scan streams
-raise ``ValueError`` rather than mis-decoding.
+factors they declare) and replicate to 3 channels. Arithmetic coding,
+hierarchical/lossless frames, and partial-component multi-scan
+BASELINE streams raise ``ValueError`` rather than mis-decoding.
 
 ``encode_jpeg`` writes baseline 4:4:4 with quality-scaled Annex-K-style
-quant tables and fixed huffman tables embedded in the stream — it
-exists to produce test vectors and closed-form catalog fixtures;
-round-trip at quality=100 on grayscale-valued images is exact (chroma
-sits at 128, DC-only blocks survive quantization by 1).
+quant tables and fixed huffman tables embedded in the stream;
+``encode_jpeg_progressive`` writes the classic 10-scan progressive
+script. Both exist to produce test vectors and closed-form catalog
+fixtures; a full progressive decode is bit-identical to the baseline
+decode at the same quality (the scans transmit the exact quantized
+coefficients), which is the round-trip tests' oracle.
 
 Throughput note: the entropy decode is a Python bit loop — fine for
 the Arrow-batched metadata/feature path this engine uses it for; a C
@@ -407,9 +411,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2: hand the whole stream over
+            return _decode_progressive(d)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"only baseline JPEG (SOF0) supported, got SOF marker {marker:#x}"
+                f"only baseline (SOF0/1) and progressive (SOF2) JPEG "
+                f"supported, got SOF marker {marker:#x}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -541,3 +548,554 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive JPEG
+#
+# SOF2 support: spectral selection + successive approximation, both
+# directions. The decoder ports the reference algorithm of ITU T.81
+# G.2 (the same control flow as libjpeg's jdphuff.c, re-derived from
+# the spec): per-scan entropy decode accumulates QUANTIZED
+# COEFFICIENTS per component; dequantize + IDCT happen once after the
+# last scan. The encoder emits the classic 10-scan script (DC first
+# at Al=1 → per-component AC bands at Al=2/1 → AC refinements → DC
+# refinement) with per-scan fixed-length huffman tables (progressive
+# scans need EOBn symbols that the Annex-K baseline tables lack;
+# fixed-length canonical codes keep the table derivation trivial and
+# dodge the all-ones-codeword reservation) — it exists to produce
+# test vectors that exercise every decoder path, so the full
+# round-trip (progressive decode ≡ baseline decode of the same
+# quantized coefficients) is pinned by tests.
+
+
+def _comp_blocks(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil over the
+    component's OWN sample dims (T.81 A.1.1), not the MCU-padded
+    grid."""
+    max_h = max(x["h"] for x in frame["comps"])
+    max_v = max(x["v"] for x in frame["comps"])
+    sw = -(-frame["w"] * c["h"] // max_h)
+    sh = -(-frame["h"] * c["v"] // max_v)
+    return -(-sh // 8), -(-sw // 8)
+
+
+def _prog_dc_scan(br, frame, scomps, coefs, ah, al, restart_interval):
+    prev = {c["id"]: 0 for c in scomps}
+
+    def one(c, byi, bxi, dc_table):
+        blk = coefs[c["id"]][byi, bxi]
+        if ah == 0:
+            size = _read_symbol(br, dc_table)
+            prev[c["id"]] += _extend(br.read_bits(size), size)
+            blk[0] = prev[c["id"]] << al
+        else:
+            if br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scomps) > 1:
+        max_h = max(x["h"] for x in frame["comps"])
+        max_v = max(x["v"] for x in frame["comps"])
+        mcus_x = -(-frame["w"] // (8 * max_h))
+        mcus_y = -(-frame["h"] // (8 * max_v))
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    br.sync_restart()
+                    for k in prev:
+                        prev[k] = 0
+                unit += 1
+                for c in scomps:
+                    t = c.get("dc_table")
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            one(c, my * c["v"] + vy, mx * c["h"] + vx, t)
+    else:
+        c = scomps[0]
+        ch, cw = _comp_blocks(frame, c)
+        unit = 0
+        for byi in range(ch):
+            for bxi in range(cw):
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    br.sync_restart()
+                    for k in prev:
+                        prev[k] = 0
+                unit += 1
+                one(c, byi, bxi, c.get("dc_table"))
+
+
+def _prog_ac_first(br, blk, ac_table, ss, se, al, eobrun):
+    """One block of an AC 'first' scan (Ah=0). Returns new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, blk, ac_table, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah=Al+1). Returns EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, ac_table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: advance over 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and br.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(d: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG bytes → (h, w, 3) uint8 RGB."""
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    nscans = 0
+    coefs: dict[int, np.ndarray] = {}
+
+    while pos + 1 < len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        length = struct.unpack_from(">H", d, pos + 2)[0]
+        body = d[pos + 4 : pos + 2 + length]
+        nxt = pos + 2 + length
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                    i += 65
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, i + 1).astype(np.int32)
+                    i += 129
+                dezz = np.zeros(64, np.int32)
+                dezz[ZIGZAG] = tbl
+                qts[tid] = dezz.reshape(8, 8)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision supported, got {prec}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+            mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                coefs[c["id"]] = np.zeros((c["bh"], c["bw"], 64), np.int32)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported frame in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            nscans += 1
+            ns = body[0]
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scomps = []
+            for c in range(ns):
+                cs, tables = body[1 + c * 2 : 3 + c * 2]
+                sc = dict(by_id[cs])
+                sc["dc_table"] = huff.get((0, tables >> 4))
+                sc["ac_table"] = huff.get((1, tables & 0xF))
+                scomps.append(sc)
+            ss, se, a = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = a >> 4, a & 0xF
+            br = _BitReader(d, nxt)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _prog_dc_scan(
+                    br, frame, scomps, coefs, ah, al, restart_interval
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be 1-component")
+                c = scomps[0]
+                ch, cw = _comp_blocks(frame, c)
+                plane_coefs = coefs[c["id"]]
+                eobrun = 0
+                fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+                unit = 0
+                for byi in range(ch):
+                    for bxi in range(cw):
+                        if (
+                            restart_interval
+                            and unit
+                            and unit % restart_interval == 0
+                        ):
+                            br.sync_restart()
+                            eobrun = 0
+                        unit += 1
+                        eobrun = fn(
+                            br,
+                            plane_coefs[byi, bxi],
+                            c["ac_table"],
+                            ss,
+                            se,
+                            al,
+                            eobrun,
+                        )
+            # skip to the next marker after the entropy data
+            p = br.pos
+            while p + 1 < len(d) and not (
+                d[p] == 0xFF and d[p + 1] != 0x00 and not (0xD0 <= d[p + 1] <= 0xD7)
+            ):
+                p += 1
+            nxt = p
+        pos = nxt
+
+    if frame is None or nscans == 0:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        qt_zz = qts[c["tq"]].reshape(-1)[ZIGZAG]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
+        blocks = coefs[c["id"]]
+        for byi in range(c["bh"]):
+            for bxi in range(c["bw"]):
+                coef = np.zeros(64, np.float64)
+                coef[ZIGZAG] = blocks[byi, bxi] * qt_zz
+                plane[
+                    byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8
+                ] = _M.T @ coef.reshape(8, 8) @ _M + 128.0
+        p = np.repeat(
+            np.repeat(plane, max_v // c["v"], axis=0), max_h // c["h"], axis=1
+        )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1], full[2]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _ScanOps:
+    """Per-scan op recorder: huffman symbols (per table id) + raw
+    bits, serialized once the per-scan table is known."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+        self.symbols: dict[int, set[int]] = {}
+
+    def sym(self, tid: int, symbol: int) -> None:
+        self.ops.append(("s", tid, symbol))
+        self.symbols.setdefault(tid, set()).add(symbol)
+
+    def bits(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.ops.append(("b", value, nbits))
+
+    def serialize(self, codes: dict[int, dict[int, tuple[int, int]]]) -> bytes:
+        bw = _BitWriter()
+        for op in self.ops:
+            if op[0] == "s":
+                code, length = codes[op[1]][op[2]]
+                bw.write(code, length)
+            else:
+                bw.write(op[1], op[2])
+        return bw.flush()
+
+
+def _scan_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical table over exactly these symbols: all
+    codes share length L with |symbols| ≤ 2^L − 1, so the all-ones
+    codeword (reserved — scan padding is 1-bits) is never assigned."""
+    vals = sorted(symbols)
+    n = len(vals)
+    L = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[L - 1] = n
+    return bits, vals
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) 4:4:4 JPEG bytes.
+
+    Emits the classic 10-scan script (the libjpeg default shape):
+    interleaved DC first at Al=1; luma AC split into a 1–5 band and a
+    6–63 band at Al=2 plus an Ah=2→Al=1 refinement; chroma AC full
+    bands at Al=1; then the Al=0 refinements for everything. The
+    scans transmit the exact quantized coefficients, so a full decode
+    is bit-identical to decoding ``encode_jpeg`` output at the same
+    quality — the round-trip test that pins every decoder path
+    (DC/AC × first/refine, EOB runs, ZRL-in-refinement, buffered
+    correction bits)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    qt_l, qt_c = _scaled_tables(quality)
+
+    rgb = a.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+    cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+    planes = [np.round(p).clip(0, 255) for p in (y, cb, cr)]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+
+    # quantized zigzag coefficient blocks per component, raster order
+    blocks: list[list[np.ndarray]] = [[], [], []]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(planes):
+                qt = qt_l if ci == 0 else qt_c
+                block = plane[by : by + 8, bx : bx + 8] - 128.0
+                coef = _M @ block @ _M.T
+                quant = np.round(coef / qt.reshape(8, 8)).astype(np.int32)
+                blocks[ci].append(quant.reshape(-1)[ZIGZAG])
+
+    def dc_first(ops: _ScanOps, al: int) -> None:
+        prev = [0, 0, 0]
+        for bi in range(len(blocks[0])):
+            for ci in range(3):
+                tid = 0 if ci == 0 else 1
+                v = int(blocks[ci][bi][0]) >> al  # arithmetic shift
+                diff = v - prev[ci]
+                prev[ci] = v
+                size, b = _magnitude(diff)
+                ops.sym(tid, size)
+                ops.bits(b, size)
+
+    def dc_refine(ops: _ScanOps, al: int) -> None:
+        for bi in range(len(blocks[0])):
+            for ci in range(3):
+                ops.bits((int(blocks[ci][bi][0]) >> al) & 1, 1)
+
+    def _flush_eob(ops: _ScanOps, eobrun: int, pending: list[int]) -> None:
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            ops.sym(0, nbits << 4)
+            ops.bits(eobrun & ((1 << nbits) - 1), nbits)
+            for bit in pending:
+                ops.bits(bit, 1)
+            pending.clear()
+
+    def ac_first(ops: _ScanOps, ci: int, ss: int, se: int, al: int) -> None:
+        eobrun = 0
+        for seq in blocks[ci]:
+            band = [int(v) for v in seq[ss : se + 1]]
+            shifted = [
+                (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+            ]
+            nz = [i for i, v in enumerate(shifted) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _flush_eob(ops, eobrun, [])
+                    eobrun = 0
+                continue
+            _flush_eob(ops, eobrun, [])
+            eobrun = 0
+            r = 0
+            for i in range(nz[-1] + 1):
+                v = shifted[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ops.sym(0, 0xF0)
+                    r -= 16
+                size, b = _magnitude(v)
+                ops.sym(0, (r << 4) | size)
+                ops.bits(b, size)
+                r = 0
+            if nz[-1] < se - ss:
+                eobrun = 1
+        _flush_eob(ops, eobrun, [])
+
+    def ac_refine(ops: _ScanOps, ci: int, ss: int, se: int, al: int) -> None:
+        eobrun = 0
+        pending: list[int] = []  # correction bits riding the EOB run
+        for seq in blocks[ci]:
+            band = [int(v) for v in seq[ss : se + 1]]
+            absval = [abs(v) >> al for v in band]
+            eob = 0
+            for i, t in enumerate(absval):
+                if t == 1:
+                    eob = i
+            br_bits: list[int] = []  # buffered since last symbol
+            r = 0
+            for i, t in enumerate(absval):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    _flush_eob(ops, eobrun, pending)
+                    eobrun = 0
+                    ops.sym(0, 0xF0)
+                    r -= 16
+                    for bit in br_bits:
+                        ops.bits(bit, 1)
+                    br_bits = []
+                if t > 1:
+                    br_bits.append(t & 1)
+                    continue
+                _flush_eob(ops, eobrun, pending)
+                eobrun = 0
+                ops.sym(0, (r << 4) | 1)
+                ops.bits(1 if band[i] >= 0 else 0, 1)
+                for bit in br_bits:
+                    ops.bits(bit, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pending.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    _flush_eob(ops, eobrun, pending)
+                    eobrun = 0
+        _flush_eob(ops, eobrun, pending)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFDB,
+        b"\x00" + bytes(qt_l.reshape(-1)[ZIGZAG].tolist())
+        + b"\x01" + bytes(qt_c.reshape(-1)[ZIGZAG].tolist()),
+    )
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+
+    # scan script: (kind, comp, Ss, Se, Ah, Al)
+    script = [
+        ("dc_first", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 5, 0, 2),
+        ("ac_first", 2, 1, 63, 0, 1),
+        ("ac_first", 1, 1, 63, 0, 1),
+        ("ac_first", 0, 6, 63, 0, 2),
+        ("ac_refine", 0, 1, 63, 2, 1),
+        ("dc_refine", None, 0, 0, 1, 0),
+        ("ac_refine", 0, 1, 63, 1, 0),
+        ("ac_refine", 2, 1, 63, 1, 0),
+        ("ac_refine", 1, 1, 63, 1, 0),
+    ]
+    for kind, ci, ss, se, ah, al in script:
+        ops = _ScanOps()
+        if kind == "dc_first":
+            dc_first(ops, al)
+        elif kind == "dc_refine":
+            dc_refine(ops, al)
+        elif kind == "ac_first":
+            ac_first(ops, ci, ss, se, al)
+        else:
+            ac_refine(ops, ci, ss, se, al)
+        codes: dict[int, dict[int, tuple[int, int]]] = {}
+        dht_body = b""
+        tclass = 0 if kind.startswith("dc") else 1
+        for tid, syms in sorted(ops.symbols.items()):
+            bits, vals = _scan_table(syms)
+            codes[tid] = _canonical_codes(bits, vals)
+            dht_body += bytes([(tclass << 4) | tid] + bits + vals)
+        if dht_body:
+            out += seg(0xFFC4, dht_body)
+        if kind.startswith("dc") and ci is None:
+            comps_spec = bytes([1, 0x00, 2, 0x10, 3, 0x10])
+            ns = 3
+        else:
+            cid = ci + 1
+            comps_spec = bytes([cid, 0x00])  # table id 0, both nibbles
+            ns = 1
+        out += seg(
+            0xFFDA,
+            bytes([ns]) + comps_spec + bytes([ss, se, (ah << 4) | al]),
+        )
+        out += ops.serialize(codes)
+    out += b"\xff\xd9"
+    return bytes(out)

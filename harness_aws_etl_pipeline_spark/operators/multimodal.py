@@ -15,8 +15,9 @@ JPEG (operators/jpeg.py: huffman entropy decode, dequantize, IDCT,
 ``resize_media(decode=True)`` (nearest-neighbor resample on the
 decoded array). Audio decode is REAL for WAV/RIFF 16-bit PCM
 (``decode_wav``/``audio_features`` — proper chunk walk, stdlib struct
-+ numpy). Formats that need codec libraries not present here
-(progressive JPEG, mp3/aac, video containers) remain STUBBED behind
++ numpy). JPEG covers BOTH baseline (SOF0/1) and progressive (SOF2)
+frames (operators/jpeg.py). Formats that need codec libraries not
+present here (mp3/aac, video codecs) remain STUBBED behind
 ``decode_stub``: deterministic fake features by default,
 ``NotImplementedError`` when ``strict=True``.
 
@@ -109,11 +110,11 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
 # ------------------------------------------------- real image codecs
 #
 # Pure-numpy (+ stdlib) codecs: binary PPM (P6), uncompressed 24-bit
-# BMP, non-interlaced 8-bit PNG (zlib), and baseline JPEG
-# (operators/jpeg.py). These make the decode step of the multimodal
-# path REAL — the mapInPandas plumbing feeds actual pixel arrays, not
-# fakes — while progressive JPEG / compressed audio / video stay
-# stubbed (their codecs aren't in this container).
+# BMP, non-interlaced 8-bit PNG (zlib), and JPEG — baseline AND
+# progressive (operators/jpeg.py). These make the decode step of the
+# multimodal path REAL — the mapInPandas plumbing feeds actual pixel
+# arrays, not fakes — while compressed audio / video stay stubbed
+# (their codecs aren't in this container).
 
 
 def encode_ppm(arr: "np.ndarray") -> bytes:
@@ -354,7 +355,8 @@ def _decode_png(payload: bytes) -> "np.ndarray":
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL image decode (pure numpy + stdlib): binary PPM (P6),
     uncompressed 24-bit BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA),
-    baseline JPEG (SOF0, any 1-2 sampling factors), or GIF87a/89a
+    JPEG (baseline SOF0/1 + progressive SOF2, any 1-2 sampling
+    factors), or GIF87a/89a
     (LZW; first composed frame) → (h, w, 3) uint8 RGB array. Raises
     ``ValueError`` on anything else — decode callers asserted their
     payloads are images."""

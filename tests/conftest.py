@@ -5,6 +5,7 @@ here — local FS stands in for S3)."""
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -14,10 +15,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from harness_aws_etl_pipeline_spark.session import get_spark
 
+# ---------------------------------------------------------------------
+# Sharded full-suite runs (tests/shardrunner.py): a full `pytest tests/`
+# invocation is split BY FILE across worker subprocesses, each a normal
+# sequential pytest with its own session-scoped SparkSession. Targeted
+# runs (single file, -k, -m, < SHARD_MIN items) stay in-process, so
+# debugging behavior is unchanged. Disable with SPARK_GRAFT_PAR=0.
+pytest_plugins = ("shardrunner",)
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("engine-tests", master="local[4]", shuffle_partitions=4)
+    extra = {}
+    wh = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if wh:  # per-shard warehouse: managed-table tests must not collide
+        extra["spark.sql.warehouse.dir"] = wh
+    s = get_spark(
+        "engine-tests", master="local[4]", shuffle_partitions=4,
+        extra_conf=extra or None,
+    )
     yield s
 
 

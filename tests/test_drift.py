@@ -189,3 +189,74 @@ class TestDriftCells:
         assert got == {"a": (2, 1), "b": (1, 0), "c": (0, 1)}
         # chi2 consumes the same table: categories count agrees
         assert chi2_drift(ref, cur, "v").first()["categories"] == 3
+
+
+class TestIncrementalDrift:
+    def test_folding_equals_one_shot(self, spark, tmp_path):
+        """Cells after N batches == drift_cells(ref, concat(batches));
+        report matches tvd_drift / chi2_drift on the same frames."""
+        from harness_aws_etl_pipeline_spark.operators.drift import (
+            chi2_drift,
+            drift_cells,
+            tvd_drift,
+        )
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDrift,
+        )
+
+        ref = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [(None,)], "v string"
+        )
+        b1 = spark.createDataFrame([("a",), ("a",), ("c",)], "v string")
+        b2 = spark.createDataFrame([("b",), ("c",), (None,)], "v string")
+        mon = IncrementalDrift(spark, str(tmp_path / "drift"), "v")
+        mon.set_reference(ref, txn=("d", 0))
+        mon.process_batch(b1, txn=("d", 1))
+        mon.process_batch(b2, txn=("d", 2))
+        got = {
+            r["value"]: (r["ref_cnt"], r["cur_cnt"])
+            for r in mon.cells().collect()
+        }
+        want = {
+            r["value"]: (r["ref_cnt"], r["cur_cnt"])
+            for r in drift_cells(ref, b1.unionByName(b2), "v").collect()
+        }
+        assert got == want
+        rep = mon.report().first()
+        tv = tvd_drift(ref, b1.unionByName(b2), "v").first()
+        ch = chi2_drift(ref, b1.unionByName(b2), "v").first()
+        assert rep["tvd_num"] == tv["tvd_num"]
+        assert rep["tvd"] == tv["tvd"]
+        assert abs(rep["chi2"] - ch["chi2"]) < 1e-12
+        assert rep["categories"] == ch["categories"]
+
+    def test_replay_short_circuits_and_reference_reset(
+        self, spark, tmp_path
+    ):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDrift,
+        )
+
+        mon = IncrementalDrift(spark, str(tmp_path / "d2"), "v")
+        ref = spark.createDataFrame([("a",), ("b",)], "v string")
+        mon.set_reference(ref, txn=("r", 0))
+        b = spark.createDataFrame([("a",)], "v string")
+        r1 = mon.process_batch(b, txn=("r", 1))
+        assert r1["skipped"] is False
+        v = mon.table.current_version()
+        r2 = mon.process_batch(b, txn=("r", 1))  # replay
+        assert r2["skipped"] is True
+        assert mon.table.current_version() == v
+        # new reference resets the accumulated current side
+        mon.set_reference(ref, txn=("r", 2))
+        assert mon.report().first()["n_cur"] == 0
+
+    def test_requires_reference(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDrift,
+        )
+
+        mon = IncrementalDrift(spark, str(tmp_path / "d3"), "v")
+        b = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="set_reference"):
+            mon.process_batch(b, txn=("x", 0))

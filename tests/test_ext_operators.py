@@ -791,6 +791,59 @@ class TestMultimodalShapes:
                 want = np.array([mid * c % 256 for c in chans])
                 assert np.abs(arr.reshape(-1, 3) - want).max() <= 1
 
+    def test_progressive_jpeg_matches_baseline_decode(self):
+        """The progressive scan script transmits the exact quantized
+        coefficients, so a full progressive decode must be
+        BIT-IDENTICAL to decoding the baseline encoding at the same
+        quality — this one equality exercises every SOF2 decoder
+        path: DC first/refine, AC first with EOB runs, AC refinement
+        with ZRL and buffered correction bits."""
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(11)
+        for h, w in [(16, 16), (24, 40), (13, 21), (8, 8)]:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    yy * 255 // max(h - 1, 1),
+                    xx * 255 // max(w - 1, 1),
+                    ((yy // 4 + xx // 4) % 2) * 200,
+                ],
+                axis=2,
+            ).astype(np.int32)
+            img = np.clip(
+                img + rng.integers(-30, 30, img.shape), 0, 255
+            ).astype(np.uint8)
+            for q in (90, 50):
+                assert np.array_equal(
+                    decode_jpeg(encode_jpeg_progressive(img, quality=q)),
+                    decode_jpeg(encode_jpeg(img, quality=q)),
+                )
+
+    def test_progressive_stream_shape_and_dispatch(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        img = np.full((10, 12, 3), 77, np.uint8)
+        d = encode_jpeg_progressive(img, quality=100)
+        assert b"\xff\xc2" in d  # SOF2, not SOF0
+        assert d.count(b"\xff\xda") >= 10  # the 10-scan script
+        # decode_image routes JPEG magic through the SOF2 path too;
+        # solid gray at q100 survives exactly (DC-only blocks)
+        assert np.array_equal(decode_image(d), img)
+
     def test_jpeg_roundtrip(self):
         import numpy as np
 

@@ -206,11 +206,16 @@ class TestCorruptCapture:
         # Spark disallows queries touching ONLY the corrupt column on
         # raw files — materialize first (documented in the helper)
         df = read_with_corrupt_capture(spark, str(p), schema).persist()
-        df.count()
-        good = df.filter(F.col("_corrupt_record").isNull())
-        bad = df.filter(F.col("_corrupt_record").isNotNull())
-        assert good.count() == 2 and bad.count() == 1
-        assert "not json" in bad.first()["_corrupt_record"]
+        try:
+            df.count()
+            good = df.filter(F.col("_corrupt_record").isNull())
+            bad = df.filter(F.col("_corrupt_record").isNotNull())
+            assert good.count() == 2 and bad.count() == 1
+            assert "not json" in bad.first()["_corrupt_record"]
+        finally:
+            # suite-wide invariant: empty CacheManager (the pagerank /
+            # memo hygiene tests assert it, in any execution order)
+            df.unpersist()
 
 
 class TestSinks:
