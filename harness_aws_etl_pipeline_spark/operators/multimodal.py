@@ -16,8 +16,10 @@ JPEG (operators/jpeg.py: huffman entropy decode, dequantize, IDCT,
 decoded array). Audio decode is REAL for WAV/RIFF 16-bit PCM
 (``decode_wav``/``audio_features`` — proper chunk walk, stdlib struct
 + numpy). JPEG covers BOTH baseline (SOF0/1) and progressive (SOF2)
-frames (operators/jpeg.py). Formats that need codec libraries not
-present here (mp3/aac, video codecs) remain STUBBED behind
+frames (operators/jpeg.py); video frame-sampling is REAL for MJPG
+AVIs (operators/video.py — RIFF walk + per-frame JPEG decode).
+Formats that need codec libraries not present here (mp3/aac,
+inter-frame video codecs) remain STUBBED behind
 ``decode_stub``: deterministic fake features by default,
 ``NotImplementedError`` when ``strict=True``.
 
@@ -113,8 +115,9 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
 # BMP, non-interlaced 8-bit PNG (zlib), and JPEG — baseline AND
 # progressive (operators/jpeg.py). These make the decode step of the
 # multimodal path REAL — the mapInPandas plumbing feeds actual pixel
-# arrays, not fakes — while compressed audio / video stay stubbed
-# (their codecs aren't in this container).
+# arrays, not fakes. Motion-JPEG AVI frame sampling rides the same
+# JPEG path (operators/video.py); compressed audio and inter-frame
+# video codecs stay stubbed (their codecs aren't in this container).
 
 
 def encode_ppm(arr: "np.ndarray") -> bytes:
@@ -644,6 +647,83 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "modality": "image/jpeg",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def synthesize_progressive_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL progressive (SOF2) JPEG per row — the same
+    closed forms as :func:`synthesize_jpeg_media` (``w = 1 + id % 10``,
+    ``h = 1 + id % 5``, solid gray ``(id * 29) % 256``, quality 100)
+    but emitted through the 10-scan progressive script, so the oracle
+    leg drives the successive-approximation decode path end-to-end:
+    the scans transmit the exact quantized coefficients, hence the
+    q100 exact-round-trip property carries over unchanged."""
+    from hashlib import md5
+
+    from harness_aws_etl_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 10, 1 + mid % 5
+                arr = np.full((h, w, 3), mid * 29 % 256, dtype=np.uint8)
+                payloads.append(encode_jpeg_progressive(arr, quality=100))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image/jpeg",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def synthesize_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL MJPG AVI per row: ``1 + id % 3`` solid-gray
+    frames of ``w = 1 + id % 10``, ``h = 1 + id % 5``, level
+    ``(id * 29) % 256`` (the jpeg-leg closed forms) at quality 100 —
+    every sampled frame decodes exactly, so per-frame counts, widths
+    and means stay closed-form in the id through the full container
+    walk + entropy decode (operators/video.py)."""
+    from hashlib import md5
+
+    from harness_aws_etl_pipeline_spark.operators.video import (
+        encode_avi_mjpeg,
+    )
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 10, 1 + mid % 5
+                arr = np.full((h, w, 3), mid * 29 % 256, dtype=np.uint8)
+                payloads.append(
+                    encode_avi_mjpeg([arr] * (1 + mid % 3), fps=10)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "video/x-msvideo",
                     "payload": payloads,
                     "byte_size": [len(p) for p in payloads],
                     "content_hash": [md5(p).hexdigest() for p in payloads],

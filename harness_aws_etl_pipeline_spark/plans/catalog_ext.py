@@ -2158,6 +2158,38 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.element_at("feature", 2)).cast("long").alias("jpeg_height_sum"),
         F.round(F.sum(F.element_at("feature", 4))).cast("long").alias("jpeg_gray_sum"),
     )
+    # progressive-JPEG leg (round 9): identical closed forms emitted
+    # through the SOF2 10-scan script — drives the successive-
+    # approximation decode path (DC/AC first+refine, EOB runs) under
+    # the same exact-round-trip oracle
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_progressive_jpeg_media,
+    )
+
+    pjpeg_decoded = extract_features(
+        synthesize_progressive_jpeg_media(docs, id_col="doc_id"), decode=True
+    )
+    pjpeg_agg = pjpeg_decoded.agg(
+        F.sum(F.element_at("feature", 1)).cast("long").alias("pjpeg_width_sum"),
+        F.sum(F.element_at("feature", 2)).cast("long").alias("pjpeg_height_sum"),
+        F.round(F.sum(F.element_at("feature", 4))).cast("long").alias("pjpeg_gray_sum"),
+    )
+    # MJPG-AVI leg (round 9): frame-sample video decode — RIFF movi
+    # walk + per-frame JPEG decode (operators/video.py); per-frame
+    # count/width/mean closed-form in the id
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_avi_media,
+    )
+    from harness_aws_etl_pipeline_spark.operators.video import (
+        video_frame_features,
+    )
+
+    avi_frames = video_frame_features(synthesize_avi_media(docs, id_col="doc_id"))
+    avi_agg = avi_frames.agg(
+        F.count(F.lit(1)).cast("long").alias("avi_frame_cnt"),
+        F.sum("width").cast("long").alias("avi_width_sum"),
+        F.round(F.sum("mean")).cast("long").alias("avi_gray_sum"),
+    )
     # WAV leg: RIFF chunk walk + 16-bit PCM decode — constant-signal
     # clips make decoded frame counts / mean / RMS closed-form in the
     # id (every value an exact integer, so the sums are exact)
@@ -2287,6 +2319,8 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(img_agg))
         .crossJoin(F.broadcast(png_agg))
         .crossJoin(F.broadcast(jpeg_agg))
+        .crossJoin(F.broadcast(pjpeg_agg))
+        .crossJoin(F.broadcast(avi_agg))
         .crossJoin(F.broadcast(wav_agg))
         .crossJoin(F.broadcast(hash_agg))
         .crossJoin(F.broadcast(mp4_agg))
@@ -2312,6 +2346,12 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(1 + doc_id % 10) AS BIGINT) AS jpeg_width_sum,
        CAST(SUM(1 + doc_id % 5) AS BIGINT) AS jpeg_height_sum,
        CAST(SUM((doc_id * 29) % 256) AS BIGINT) AS jpeg_gray_sum,
+       CAST(SUM(1 + doc_id % 10) AS BIGINT) AS pjpeg_width_sum,
+       CAST(SUM(1 + doc_id % 5) AS BIGINT) AS pjpeg_height_sum,
+       CAST(SUM((doc_id * 29) % 256) AS BIGINT) AS pjpeg_gray_sum,
+       CAST(SUM(1 + doc_id % 3) AS BIGINT) AS avi_frame_cnt,
+       CAST(SUM((1 + doc_id % 3) * (1 + doc_id % 10)) AS BIGINT) AS avi_width_sum,
+       CAST(SUM((1 + doc_id % 3) * ((doc_id * 29) % 256)) AS BIGINT) AS avi_gray_sum,
        CAST(SUM(50 + doc_id % 100) AS BIGINT) AS wav_frames_sum,
        CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS wav_mean_sum,
        CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS wav_rms_sum,
