@@ -415,6 +415,8 @@ def sniff_container(payload: bytes) -> str:
         return "mp3"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:4] in (b"GIF8",):
@@ -482,6 +484,25 @@ def probe_container(payload: bytes) -> dict[str, Any]:
                 base["sample_rate"] = rate
                 if dlen is not None and align:
                     base["duration_ms"] = dlen // align * 1000 // rate
+        elif kind == "avi":
+            from harness_aws_etl_pipeline_spark.operators.video import (
+                probe_avi,
+            )
+
+            m = probe_avi(payload)
+            dur = (
+                m["frames"] * 1000 // m["fps"]
+                if m["frames"] and m["fps"]
+                else None
+            )
+            base.update(
+                container="avi",
+                width=m["width"],
+                height=m["height"],
+                duration_ms=dur,
+                n_tracks=1,
+                codec=(m["codec"] or "").lower() or None,
+            )
         elif kind == "png":
             base.update(
                 container="png",
@@ -505,7 +526,11 @@ def probe_container(payload: bytes) -> dict[str, Any]:
                 seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
                 if marker in (0xC0, 0xC1, 0xC2):
                     h, w = struct.unpack_from(">HH", payload, pos + 5)
-                    base.update(container="jpeg", width=w, height=h, codec="jpeg-baseline")
+                    base.update(
+                        container="jpeg", width=w, height=h,
+                        codec="jpeg-progressive" if marker == 0xC2
+                        else "jpeg-baseline",
+                    )
                     break
                 pos += 2 + seg_len
             base["container"] = "jpeg"

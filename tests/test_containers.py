@@ -166,3 +166,44 @@ class TestSparkProbe:
         assert rows[0]["sum(duration_ms)"] == sum(
             36 * (10 + mid % 20) for mid in range(1, 21)
         )
+
+
+class TestAviProbe:
+    def test_sniff_and_probe_avi(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.containers import (
+            probe_container,
+            sniff_container,
+        )
+        from harness_aws_etl_pipeline_spark.operators.video import (
+            encode_avi_mjpeg,
+        )
+
+        avi = encode_avi_mjpeg(
+            [np.full((6, 10, 3), 5, np.uint8)] * 4, fps=2
+        )
+        assert sniff_container(avi) == "avi"
+        got = probe_container(avi)
+        assert got["container"] == "avi"
+        assert (got["width"], got["height"]) == (10, 6)
+        assert got["duration_ms"] == 2000  # 4 frames at 2 fps
+        assert got["codec"] == "mjpg"
+
+    def test_jpeg_codec_distinguishes_progressive(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.containers import (
+            probe_container,
+        )
+        from harness_aws_etl_pipeline_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = np.full((6, 10, 3), 5, np.uint8)
+        assert probe_container(encode_jpeg(img))["codec"] == "jpeg-baseline"
+        assert (
+            probe_container(encode_jpeg_progressive(img))["codec"]
+            == "jpeg-progressive"
+        )
