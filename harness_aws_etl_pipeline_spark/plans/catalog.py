@@ -1211,8 +1211,44 @@ def q_window_trend(spark: SparkSession, sf: str) -> DataFrame:
             "smooth_md5"
         ),
     )
-    return base.crossJoin(F.broadcast(scd_leg)).crossJoin(
-        F.broadcast(smooth_leg)
+    # RANGE-frame leg (round 9): 7-DAY range moving sum vs 7-ROW
+    # moving sum over a SPARSE daily series (modulo slice leaves day
+    # holes, so the two frames provably diverge — rng_divergent > 0
+    # rides the oracle). All integers: exact under any partitioning.
+    sparse = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .groupBy(F.to_date("o_orderdate").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    day_axis = F.datediff(F.col("d2"), F.lit("1992-01-01").cast("date"))
+    w_rng = Window.orderBy(day_axis).rangeBetween(-6, 0)
+    w_rows = Window.orderBy("d2").rowsBetween(-6, 0)
+    framed = sparse.select(
+        "d2",
+        "cnt2",
+        F.sum("cnt2").over(w_rng).cast("long").alias("rng7"),
+        F.sum("cnt2").over(w_rows).cast("long").alias("rows7"),
+    )
+    rs = F.concat_ws(
+        ":",
+        F.col("d2").cast("string"),
+        F.col("cnt2").cast("string"),
+        F.col("rng7").cast("string"),
+        F.col("rows7").cast("string"),
+    )
+    rng_leg = framed.agg(
+        F.count(F.lit(1)).cast("long").alias("rng_days"),
+        F.sum((F.col("rng7") != F.col("rows7")).cast("long"))
+        .cast("long")
+        .alias("rng_divergent"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(rs)))).alias(
+            "rng_md5"
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(scd_leg))
+        .crossJoin(F.broadcast(smooth_leg))
+        .crossJoin(F.broadcast(rng_leg))
     )
 
 
@@ -1297,7 +1333,27 @@ FROM (
            || CAST(CAST(FLOOR(hl.l * 1e6) AS BIGINT) AS VARCHAR) || ':'
            || CAST(CAST(FLOOR(hl.b * 1e6) AS BIGINT) AS VARCHAR) AS s
     FROM ew JOIN hl ON ew.g = hl.g) strs
-) smooth_arm
+) smooth_arm CROSS JOIN (
+  -- RANGE-frame arm: 7-DAY range vs 7-ROW frames over the sparse
+  -- modulo-slice daily series; integer sums, divergence proven
+  WITH sp AS (SELECT CAST(o_orderdate AS DATE) AS d2, COUNT(*) AS cnt2
+              FROM orders WHERE o_orderkey % 13 = 0 GROUP BY 1),
+  fr AS (SELECT d2, cnt2,
+                SUM(cnt2) OVER (ORDER BY DATEDIFF('day', DATE '1992-01-01', d2)
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rng7,
+                SUM(cnt2) OVER (ORDER BY d2
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rows7
+         FROM sp),
+  strs AS (SELECT CAST(d2 AS VARCHAR) || ':' || CAST(cnt2 AS VARCHAR) || ':'
+                  || CAST(rng7 AS VARCHAR) || ':' || CAST(rows7 AS VARCHAR) AS s,
+                  rng7, rows7
+           FROM fr)
+  SELECT CAST(COUNT(*) AS BIGINT) AS rng_days,
+         CAST(SUM(CASE WHEN rng7 <> rows7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rng_divergent,
+         md5(string_agg(s, '|' ORDER BY s)) AS rng_md5
+  FROM strs
+) rng_arm
 ORDER BY d
 """
 
