@@ -654,6 +654,61 @@ def _bench_transitions(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_lattice(spark, sf_dir: str) -> dict:
+    """Grouping-lattice leg (round 9) — NOT a catalog entry (the value
+    oracle rides pivot_returnflag's ru/cu/gs arms). Demonstrates the
+    scale claim: ONE cube pass (Expand + single shuffle) vs the same
+    four levels as four separate groupBy jobs over the full lineitem.
+    Work-done check: the cube's gid-0 detail row count must equal the
+    plain groupBy's row count, and all four level totals must agree."""
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.grouping import cube_agg
+    from harness_aws_etl_pipeline_spark.plans.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    qs = F.sum(
+        F.round(F.col("l_quantity").cast("double") * 10000).cast(
+            "decimal(38,0)"
+        )
+    ).alias("q")
+    li.count()  # warm the scan so neither side pays first-touch IO
+    t0 = time.perf_counter()
+    cube_rows = cube_agg(
+        li, ["l_returnflag", "l_linestatus"], F.count(F.lit(1)).alias("cnt"), qs
+    ).collect()
+    cube_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    level_rows = []
+    totals = []
+    for keys in (["l_returnflag", "l_linestatus"], ["l_returnflag"],
+                 ["l_linestatus"], []):
+        got = li.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("cnt"), qs
+        ).collect()
+        level_rows.append(len(got))
+        totals.append(sum(r["cnt"] for r in got))
+    separate_s = round(time.perf_counter() - t0, 3)
+    detail = sum(1 for r in cube_rows if r["_gid"] == 0)
+    return {
+        "cube_s": cube_s,
+        "separate_4x_s": separate_s,
+        "speedup": round(separate_s / cube_s, 2) if cube_s else None,
+        "cube_rows": len(cube_rows),
+        "separate_rows": sum(level_rows),
+        "rows_ok": bool(len(cube_rows) == sum(level_rows)),
+        "detail_ok": bool(detail == level_rows[0]),
+        "totals_ok": bool(len(set(totals)) == 1),
+        # the structural claim wall-clock under-measures at bench SF:
+        # the lattice is ONE fact scan + ONE shuffle; the separate
+        # levels are four of each — at 100 TB the scan dominates
+        "scans_cube": 1,
+        "scans_separate": 4,
+    }
+
+
 def _bench_bfs(spark, sf_dir: str) -> dict:
     """BFS leg (round 8) — NOT a catalog entry (the value oracle rides
     events_sessionize's planted-digraph arm). Frontier expansion at
@@ -1170,6 +1225,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
         fuzzy = {"error": str(exc)[:500]}
     print(f"# fuzzy_join: {fuzzy}", file=sys.stderr)
+
+    # grouping-lattice leg (round 9) — also outside "queries"
+    try:
+        lat = _bench_lattice(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        lat = {"error": str(exc)[:500]}
+    print(f"# lattice: {lat}", file=sys.stderr)
 
     # event-sequence leg (round 8) — also outside "queries"
     try:
