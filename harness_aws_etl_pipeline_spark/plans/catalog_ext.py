@@ -1968,11 +1968,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def q_rules_surface(spark: SparkSession, sf: str) -> DataFrame:
     """§2.12 TransformationRule surface: cap totals + drop low-value
-    orders via a RuleSet, aggregate the result."""
+    orders via a RuleSet, aggregate the result.
+
+    Fused (round 9): the Python UDTF leg — the table-valued corner of
+    the UDF surface (operators/udtf.py:ChunkTextUDTF, Spark 4's
+    ``udtf`` API invoked through SQL LATERAL). Every (doc, chunk_idx,
+    chunk_text, n_tokens) row the UDTF emits over the documents table
+    is re-derived in DuckDB from the same whitespace-token/stride
+    arithmetic (regexp split + list slices + generate_series), md5'd
+    sorted — cross-engine value parity for imperative Python
+    table-function output."""
     from harness_aws_etl_pipeline_spark.operators.rules import (
         RuleSet,
         column_rule,
         filter_rule,
+    )
+    from harness_aws_etl_pipeline_spark.operators.udtf import (
+        chunk_documents_udtf,
     )
     from harness_aws_etl_pipeline_spark.plans.catalog import dsum
 
@@ -1986,18 +1998,58 @@ def q_rules_surface(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     out, _ = rules.apply(o)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    ch = chunk_documents_udtf(spark, docs, chunk_tokens=32, overlap=8)
+    cs = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.col("chunk_idx").cast("string"),
+        F.col("n_tokens").cast("string"),
+        F.md5("chunk_text"),
+    )
+    udtf_leg = ch.agg(
+        F.count(F.lit(1)).cast("long").alias("udtf_chunks"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(cs)))).alias(
+            "udtf_md5"
+        ),
+    )
     return out.agg(
         F.count(F.lit(1)).alias("order_cnt"), dsum("o_totalprice", "capped_revenue")
-    )
+    ).crossJoin(F.broadcast(udtf_leg))
 
 
 ORACLE_RULES = """
+SELECT * FROM (
 SELECT COUNT(*) AS order_cnt,
        CAST(SUM(CAST(ROUND(CAST(
            CASE WHEN o_totalprice > 300000 THEN 300000.0 ELSE o_totalprice END
          AS DOUBLE) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS capped_revenue
 FROM orders
 WHERE (CASE WHEN o_totalprice > 300000 THEN 300000.0 ELSE o_totalprice END) >= 1000
+) base CROSS JOIN (
+  -- Python-UDTF chunking re-derived: Java-\\s whitespace tokens,
+  -- stride 24 (chunk 32, overlap 8), short tail kept, <=overlap docs
+  -- one chunk, empty docs emit nothing
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS t
+    FROM documents),
+  nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+  ch AS (
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text,
+           LEAST(n - i*24, 32) AS n_tokens
+    FROM nn, LATERAL (SELECT UNNEST(generate_series(0,
+         CAST(CASE WHEN n <= 8 THEN 0
+                   ELSE CEIL((n - 8)/24.0) - 1 END AS BIGINT))) AS i) g),
+  strs AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+                  || ':' || CAST(n_tokens AS VARCHAR) || ':' || md5(chunk_text) AS s
+           FROM ch)
+  SELECT CAST(COUNT(*) AS BIGINT) AS udtf_chunks,
+         md5(string_agg(s, '|' ORDER BY s)) AS udtf_md5
+  FROM strs
+) udtf_arm
 """
 
 
