@@ -260,3 +260,51 @@ class TestIncrementalDrift:
         b = spark.createDataFrame([("a",)], "v string")
         with pytest.raises(ValueError, match="set_reference"):
             mon.process_batch(b, txn=("x", 0))
+
+
+class TestIncrementalDriftStreaming:
+    def test_foreach_batch_monitor_end_to_end(self, spark, tmp_path):
+        """readStream → foreachBatch(process_batch) with AvailableNow:
+        the monitor folds a real micro-batch stream, and re-running
+        the same stream over a fresh checkpoint replays into the txn
+        ledger short-circuit instead of double-counting."""
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDrift,
+        )
+
+        mon = IncrementalDrift(spark, str(tmp_path / "dstate"), "v")
+        mon.set_reference(
+            spark.createDataFrame(
+                [("a",)] * 3 + [("b",)], "v string"
+            ),
+            txn=("stream-drift-ref", 0),
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [("a",), ("c",), ("c",)], "v string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+        def fold(batch_df, batch_id):
+            mon.process_batch(batch_df, txn=("stream-drift", batch_id))
+
+        def run(ckpt):
+            q = (
+                spark.readStream.schema("v string")
+                .parquet(str(src / "b0"))
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run("ckpt1")
+        rep1 = mon.report().first()
+        assert (rep1["n_ref"], rep1["n_cur"]) == (4, 3)
+        v = mon.table.current_version()
+        # same data, FRESH checkpoint → same batch_id 0 → ledger skip
+        run("ckpt2")
+        rep2 = mon.report().first()
+        assert (rep2["n_ref"], rep2["n_cur"]) == (4, 3)
+        assert mon.table.current_version() == v
