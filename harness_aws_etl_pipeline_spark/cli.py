@@ -610,6 +610,57 @@ def main(argv: list[str] | None = None) -> int:
         help="print the first N result rows per query",
     )
 
+    lat = sub.add_parser(
+        "lattice", help="multi-level aggregation: rollup / cube / grouping sets"
+    )
+    lat.add_argument("--input", required=True, help="parquet path")
+    lat.add_argument(
+        "--keys", required=True, help="comma-separated grouping keys"
+    )
+    lat.add_argument(
+        "--mode", choices=("rollup", "cube", "sets"), default="rollup"
+    )
+    lat.add_argument(
+        "--sets", default=None,
+        help='mode=sets: semicolon-separated key lists, e.g. "a,b;a;b"',
+    )
+    lat.add_argument(
+        "--sum", dest="sum_col", default=None,
+        help="optional numeric column to SUM per level (exact decimal)",
+    )
+    lat.add_argument(
+        "--show", type=int, default=20, help="print first N level rows"
+    )
+
+    vid = sub.add_parser(
+        "video", help="probe an MJPG AVI and sample decoded frames"
+    )
+    vid.add_argument("--input", required=True, help="AVI file path")
+    vid.add_argument(
+        "--sample-every", type=int, default=1, help="decode every Nth frame"
+    )
+    vid.add_argument(
+        "--max-frames", type=int, default=8, help="cap on decoded frames"
+    )
+
+    dmon = sub.add_parser(
+        "driftmon", help="incremental drift monitor over a state dir"
+    )
+    dmon.add_argument("--state", required=True, help="snapshot-state path")
+    dmon.add_argument("--col", required=True, help="category column")
+    dmon.add_argument(
+        "--set-reference", default=None,
+        help="parquet path: pin this as the reference (resets current)",
+    )
+    dmon.add_argument(
+        "--batch", default=None, help="parquet path: fold one current batch"
+    )
+    dmon.add_argument("--txn-id", default="cli-driftmon", help="ledger app id")
+    dmon.add_argument(
+        "--batch-id", type=int, default=None,
+        help="ledger batch number (required with --batch/--set-reference)",
+    )
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -1126,6 +1177,109 @@ def main(argv: list[str] | None = None) -> int:
             "rows": back.count(),
             "added_cols": sorted(set(back.columns) - set(df.columns)),
             "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "lattice":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.grouping import (
+            cube_agg,
+            grouping_sets_agg,
+            rollup_agg,
+        )
+
+        df = spark.read.parquet(args.input)
+        keys = [k for k in args.keys.split(",") if k]
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        if args.sum_col:
+            aggs.append(
+                F.sum(
+                    F.round(F.col(args.sum_col).cast("double") * 10000)
+                    .cast("decimal(38,0)")
+                ).alias(f"{args.sum_col}_sum_scaled")
+            )
+        if args.mode == "rollup":
+            out_df = rollup_agg(df, keys, *aggs)
+        elif args.mode == "cube":
+            out_df = cube_agg(df, keys, *aggs)
+        else:
+            if not args.sets:
+                p.error("mode=sets requires --sets")
+            sets = [
+                [k for k in s.split(",") if k]
+                for s in args.sets.split(";")
+            ]
+            out_df = grouping_sets_agg(df, sets, *aggs)
+        rows = out_df.orderBy("_gid", *keys).limit(args.show).collect()
+        print(json.dumps({
+            "status": "success", "action": "lattice", "mode": args.mode,
+            "levels": out_df.count(),
+            "rows": [
+                {k: (str(v) if v is not None and not isinstance(
+                    v, (int, float, bool, str)) else v)
+                 for k, v in r.asDict().items()}
+                for r in rows
+            ],
+        }))
+        return 0
+
+    if args.cmd == "video":
+        from harness_aws_etl_pipeline_spark.operators.video import (
+            decode_avi_frames,
+            probe_avi,
+        )
+
+        with open(args.input, "rb") as fh:
+            payload = fh.read()
+        meta = probe_avi(payload)
+        frames = decode_avi_frames(
+            payload, every_n=args.sample_every, max_frames=args.max_frames
+        )
+        print(json.dumps({
+            "status": "success", "action": "video", "probe": meta,
+            "sampled_frames": [
+                {"frame_index": i * args.sample_every,
+                 "width": int(a.shape[1]), "height": int(a.shape[0]),
+                 "mean": round(float(a.mean()), 4)}
+                for i, a in enumerate(frames)
+            ],
+        }))
+        return 0
+
+    if args.cmd == "driftmon":
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDrift,
+        )
+
+        mon = IncrementalDrift(spark, args.state, args.col)
+        actions = []
+        if args.set_reference:
+            if args.batch_id is None:
+                p.error("--set-reference requires --batch-id")
+            # own ledger namespace: one invocation may pin the
+            # reference AND fold a batch under the same --batch-id
+            actions.append(("set_reference", mon.set_reference(
+                spark.read.parquet(args.set_reference),
+                txn=(f"{args.txn_id}-ref", args.batch_id),
+            )))
+        if args.batch:
+            if args.batch_id is None:
+                p.error("--batch requires --batch-id")
+            actions.append(("process_batch", mon.process_batch(
+                spark.read.parquet(args.batch),
+                txn=(args.txn_id, args.batch_id),
+            )))
+        rep = mon.report().first() if mon.state_summary() is not None else None
+        print(json.dumps({
+            "status": "success", "action": "driftmon",
+            "steps": [{"step": n, **r} for n, r in actions],
+            "report": None if rep is None else {
+                "n_ref": rep["n_ref"], "n_cur": rep["n_cur"],
+                "categories": rep["categories"],
+                "tvd_num": str(rep["tvd_num"]), "tvd": rep["tvd"],
+                "chi2": rep["chi2"],
+            },
         }))
         return 0
 

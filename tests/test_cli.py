@@ -896,3 +896,77 @@ class TestSessionizeCli:
         assert res["actors"] == 2
         assert res["sessions"] == 3  # user1: 2, user2: 1
         assert res["max_sessions_per_actor"] == 2
+
+    def test_lattice_cube(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "lat_src")
+        spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+            "g string, h string, v double",
+        ).write.parquet(src)
+        rc = main(["lattice", "--input", src, "--keys", "g,h",
+                   "--mode", "cube", "--sum", "v", "--show", "50"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["levels"] == 8  # 3 detail + 2 g + 2 h + 1 total
+        total = [r for r in res["rows"] if r["_gid"] == 3]
+        assert total[0]["cnt"] == 3
+        assert total[0]["v_sum_scaled"] == "60000"
+
+    def test_lattice_sets(self, spark, tmp_path, capsys):
+        src = str(tmp_path / "lat_src2")
+        spark.createDataFrame(
+            [("a", "x"), ("b", "x")], "g string, h string"
+        ).write.parquet(src)
+        rc = main(["lattice", "--input", src, "--keys", "g,h",
+                   "--mode", "sets", "--sets", "g;h"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["levels"] == 3  # g: a,b  +  h: x
+        assert {r["_gid"] for r in res["rows"]} == {1, 2}
+
+    def test_video_probe_and_sample(self, spark, tmp_path, capsys):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.video import (
+            encode_avi_mjpeg,
+        )
+
+        clip = tmp_path / "clip.avi"
+        clip.write_bytes(
+            encode_avi_mjpeg(
+                [np.full((6, 10, 3), v, np.uint8) for v in (10, 20, 30)],
+                fps=3,
+            )
+        )
+        rc = main(["video", "--input", str(clip), "--sample-every", "2"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["probe"]["codec"] == "MJPG"
+        assert res["probe"]["frames"] == 3
+        assert [f["mean"] for f in res["sampled_frames"]] == [10.0, 30.0]
+
+    def test_driftmon_lifecycle(self, spark, tmp_path, capsys):
+        ref = str(tmp_path / "dm_ref")
+        cur = str(tmp_path / "dm_cur")
+        spark.createDataFrame(
+            [("a",)] * 3 + [("b",)], "v string"
+        ).write.parquet(ref)
+        spark.createDataFrame(
+            [("a",), ("c",)], "v string"
+        ).write.parquet(cur)
+        state = str(tmp_path / "dm_state")
+        rc = main(["driftmon", "--state", state, "--col", "v",
+                   "--set-reference", ref, "--batch", cur,
+                   "--batch-id", "0"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [s["skipped"] for s in res["steps"]] == [False, False]
+        assert res["report"]["n_ref"] == 4
+        assert res["report"]["n_cur"] == 2
+        # replaying the same batch id short-circuits
+        rc = main(["driftmon", "--state", state, "--col", "v",
+                   "--batch", cur, "--batch-id", "0"])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["steps"][0]["skipped"] is True
+        assert res["report"]["n_cur"] == 2
