@@ -32,6 +32,7 @@ __all__ = [
     "interpolate_linear",
     "ewma",
     "holt_linear",
+    "seasonal_decompose",
 ]
 
 
@@ -351,5 +352,121 @@ def holt_linear(
             F.col("_z._series.v").alias(value_col),
             F.col("_z._hl.l").alias(level_col),
             F.col("_z._hl.b").alias(trend_col),
+        )
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    period: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classical additive decomposition: ``value = trend + seasonal +
+    resid`` (per group), the standard pre-model sanity split for
+    regular time series (weekly retail cycles, hourly load).
+
+    - **trend**: centered moving average — a ``period``-point simple
+      MA for odd periods; the textbook 2×MA for even ones (a
+      ``period+1``-point window with half weights at both ends, so the
+      window stays symmetric). Edge rows whose window is incomplete
+      get a NULL trend (no padded/decaying estimates — at 100 TB a
+      silently-degraded edge estimate poisons downstream anomaly
+      thresholds).
+    - **seasonal**: per seasonal position (``row_number − 1 mod
+      period`` within the group), the mean of the INTERIOR detrended
+      values, centered so the seasonal components sum to ~0 over one
+      period.
+    - **resid**: ``value − trend − seasonal`` (NULL on edge rows).
+
+    Contract: REGULAR sampling, one row per (group, order) — run
+    ``date_spine`` + ``fill_date_gaps``/``interpolate_linear`` first
+    if the series has holes; position-based seasonality is meaningless
+    across gaps.
+
+    Shape: one rows-frame window pass over each group (sum + count +
+    first/last in ONE frame — a single group-key Exchange), one
+    ``period``-row seasonal aggregate broadcast back. The trend
+    numerator is an exact integer on the 10⁴-scaled axis (integer
+    window weights: 2·S − first − last for even periods), which is
+    what the catalog leg value-oracles cross-engine."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    groups = list(group_cols or [])
+    half = period // 2
+    even = period % 2 == 0
+    denom = float(2 * period if even else period)
+
+    vs = F.round(F.col(value_col).cast("double") * 10_000).cast(
+        "decimal(38,0)"
+    )
+    w = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy()
+    ).orderBy(order_col)
+    frame = w.rowsBetween(-half, half)
+    full = period + 1 if even else period
+    src = df.withColumn("_vs", vs).withColumn(
+        "_pos", ((F.row_number().over(w) - 1) % period).cast("int")
+    )
+    s = F.sum("_vs").over(frame)
+    cnt = F.count("_vs").over(frame)
+    if even:
+        trend_num = (
+            s * 2 - F.first("_vs").over(frame) - F.last("_vs").over(frame)
+        )
+    else:
+        trend_num = s
+    t = src.withColumn(
+        "_tnum", F.when(cnt == full, trend_num)
+    ).withColumn(
+        "trend",
+        (F.col("_tnum").cast("double") / F.lit(denom)) / 10_000.0,
+    )
+    # interior detrended values, exact numerator on the scaled axis:
+    # detr·denom = vs·denom − tnum
+    detr_num = F.col("_vs") * F.lit(int(denom)) - F.col("_tnum")
+    smean = (
+        t.where(F.col("_tnum").isNotNull())
+        .groupBy(*groups, "_pos")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(detr_num).alias("_dsum"),
+        )
+        .withColumn(
+            "_smean",
+            F.col("_dsum").cast("double")
+            / (F.col("_n") * F.lit(denom) * 10_000.0),
+        )
+    )
+    center = smean.groupBy(*groups).agg(
+        F.avg("_smean").alias("_scenter")
+    )
+    out = (
+        t.join(smean.select(*groups, "_pos", "_smean"), [*groups, "_pos"], "left")
+        .join(F.broadcast(center), groups, "left")
+        if groups
+        else t.join(
+            F.broadcast(smean.select("_pos", "_smean")), ["_pos"], "left"
+        ).crossJoin(F.broadcast(center))
+    )
+    return (
+        out.withColumn(
+            "seasonal", F.col("_smean") - F.col("_scenter")
+        )
+        .withColumn(
+            "resid",
+            F.col(value_col).cast("double")
+            - F.col("trend")
+            - F.col("seasonal"),
+        )
+        .select(
+            *groups,
+            F.col(order_col),
+            F.col(value_col),
+            F.col("_pos").alias("pos"),
+            "trend",
+            "seasonal",
+            "resid",
         )
     )

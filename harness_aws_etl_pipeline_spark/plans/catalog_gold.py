@@ -562,7 +562,15 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
     (operators/timeseries.py). The interpolated value is the exact
     IEEE chain ``y0 + (y1-y0)·((x-x0)/(x1-x0))`` on the day axis,
     re-derived verbatim in DuckDB (IGNORE NULLS running windows), and
-    hashed as a scaled long — edge NULLs render as '_'."""
+    hashed as a scaled long — edge NULLs render as '_'.
+
+    Fused (round 9): the SEASONAL-DECOMPOSITION leg — weekly additive
+    decompose of the dense daily series (operators/timeseries.py:
+    seasonal_decompose), oracled through its exact integer layer
+    (7-point window sums; interior detrended numerators v·7 − S per
+    position) — the numeric_inference scale arm's sufficient-statistic
+    discipline; float trend/seasonal/resid stay numpy-pinned in
+    tests."""
     from harness_aws_etl_pipeline_spark.operators.timeseries import (
         ffill,
         fill_date_gaps,
@@ -631,8 +639,51 @@ def q_date_funcs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
-    return base.crossJoin(F.broadcast(spine_leg)).crossJoin(
-        F.broadcast(fill_leg)
+    # SEASONAL-DECOMPOSITION leg (round 9): weekly additive decompose
+    # of the dense global daily series (operators/timeseries.py:
+    # seasonal_decompose — numpy-parity pinned in tests). The oracled
+    # stats are the decomposition's EXACT integer layer, the same
+    # discipline as numeric_inference's scale arm: trend numerator =
+    # 7-point window sum S (the counts are already integers), interior
+    # detrended numerator = v·7 − S, hashed per seasonal position.
+    from pyspark.sql import Window
+
+    gdaily = o.groupBy(F.to_date("o_orderdate").alias("od")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gd = fill_date_gaps(gdaily, "od")
+    wg = Window.orderBy("od")
+    fr = wg.rowsBetween(-3, 3)
+    seas_src = (
+        gd.select("od", F.col("cnt").cast("long").alias("v"))
+        .withColumn("_pos", ((F.row_number().over(wg) - 1) % 7).cast("int"))
+        .withColumn("_s", F.sum("v").over(fr))
+        .withColumn("_c", F.count("v").over(fr))
+    )
+    per_pos = (
+        seas_src.where(F.col("_c") == 7)
+        .groupBy("_pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v") * 7 - F.col("_s")).cast("long").alias("dsum"),
+        )
+    )
+    ps = F.concat_ws(
+        ":",
+        F.col("_pos").cast("string"),
+        F.col("n").cast("string"),
+        F.col("dsum").cast("string"),
+    )
+    seas_leg = per_pos.agg(
+        F.sum("n").cast("long").alias("seas_interior"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(ps)))).alias(
+            "seas_md5"
+        ),
+    )
+    return (
+        base.crossJoin(F.broadcast(spine_leg))
+        .crossJoin(F.broadcast(fill_leg))
+        .crossJoin(F.broadcast(seas_leg))
     )
 
 
@@ -710,7 +761,31 @@ FROM orders GROUP BY 1
   SELECT CAST(SUM(CASE WHEN ip IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fill_known,
          md5(string_agg(s, '|' ORDER BY s)) AS fill_md5
   FROM fstr
-) fill_arm
+) fill_arm CROSS JOIN (
+  -- seasonal-decomposition arm: the weekly decompose's exact integer
+  -- layer — 7-point window sums on the dense daily series, interior
+  -- detrended numerators v*7 - S per seasonal position
+  WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS cnt
+                 FROM orders GROUP BY 1),
+  b2 AS (SELECT MIN(od) AS mn, MAX(od) AS mx FROM daily),
+  spine2 AS (SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS od
+             FROM b2),
+  dense2 AS (SELECT spine2.od, COALESCE(daily.cnt, 0) AS v
+             FROM spine2 LEFT JOIN daily ON spine2.od = daily.od),
+  win AS (SELECT od, v,
+                 CAST((ROW_NUMBER() OVER (ORDER BY od) - 1) % 7 AS INT) AS pos,
+                 SUM(v) OVER fr AS s, COUNT(v) OVER fr AS c
+          FROM dense2
+          WINDOW fr AS (ORDER BY od ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+  inter AS (SELECT pos, v * 7 - s AS dn FROM win WHERE c = 7),
+  pp AS (SELECT pos, COUNT(*) AS n, SUM(dn) AS dsum FROM inter GROUP BY 1),
+  strs2 AS (SELECT CAST(pos AS VARCHAR) || ':' || CAST(n AS VARCHAR) || ':'
+                   || CAST(dsum AS VARCHAR) AS s2
+            FROM pp)
+  SELECT CAST((SELECT SUM(n) FROM pp) AS BIGINT) AS seas_interior,
+         md5(string_agg(s2, '|' ORDER BY s2)) AS seas_md5
+  FROM strs2
+) seas_arm
 ORDER BY month_start
 """
 

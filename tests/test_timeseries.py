@@ -271,3 +271,87 @@ class TestExponentialSmoothing:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestSeasonalDecompose:
+    def test_odd_period_matches_numpy(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        n, p = 35, 7
+        seas = [3, -1, 0, 2, -2, -1, -1]
+        rows = [(i, 10 + 0.5 * i + seas[i % p]) for i in range(n)]
+        out = (
+            seasonal_decompose(
+                spark.createDataFrame(rows, "t long, v double"),
+                "t", "v", p,
+            )
+            .orderBy("t")
+            .collect()
+        )
+        v = np.array([r[1] for r in rows])
+        trend = np.full(n, np.nan)
+        for i in range(3, n - 3):
+            trend[i] = v[i - 3 : i + 4].mean()
+        detr = v - trend
+        sm = np.array([np.nanmean(detr[k::p]) for k in range(p)])
+        sm -= sm.mean()
+        for i, r in enumerate(out):
+            if np.isnan(trend[i]):
+                assert r["trend"] is None and r["resid"] is None
+            else:
+                assert abs(r["trend"] - trend[i]) < 1e-9
+                assert abs(r["resid"]) < 1e-9  # pure signal, no noise
+            assert abs(r["seasonal"] - sm[i % p]) < 1e-9
+            assert r["pos"] == i % p
+
+    def test_even_period_two_sided_ma(self, spark):
+        """Even period uses the textbook 2xMA: (period+1)-point window
+        with half weights at the ends — on a pure linear series the
+        trend must equal the series exactly wherever defined."""
+        from harness_aws_etl_pipeline_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        rows = [(i, 2.0 * i + 5) for i in range(16)]
+        out = (
+            seasonal_decompose(
+                spark.createDataFrame(rows, "t long, v double"),
+                "t", "v", 4,
+            )
+            .orderBy("t")
+            .collect()
+        )
+        defined = [r for r in out if r["trend"] is not None]
+        # window is 5 rows -> rows 2..13 defined
+        assert len(defined) == 12
+        for r in defined:
+            assert abs(r["trend"] - (2.0 * r["t"] + 5)) < 1e-9
+            assert abs(r["resid"]) < 1e-9
+
+    def test_grouped_and_guard(self, spark):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        rows = [("a", i, float(i % 3)) for i in range(9)] + [
+            ("b", i, 5.0) for i in range(9)
+        ]
+        df = spark.createDataFrame(rows, "g string, t long, v double")
+        out = seasonal_decompose(df, "t", "v", 3, ["g"]).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r)
+        assert len(by_g["a"]) == len(by_g["b"]) == 9
+        # constant series: zero seasonal everywhere, resid 0 interior
+        for r in by_g["b"]:
+            assert abs(r["seasonal"]) < 1e-9
+            if r["trend"] is not None:
+                assert abs(r["resid"]) < 1e-9
+        with _pytest.raises(ValueError, match="period"):
+            seasonal_decompose(df, "t", "v", 1, ["g"])
