@@ -55,6 +55,7 @@ __all__ = [
     "psi",
     "chi2_drift",
     "drift_cells",
+    "grid_bin",
 ]
 
 _DEC = "decimal(38,0)"
@@ -316,4 +317,33 @@ def chi2_drift(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
             (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("k") > 1),
             F.col("_chi2"),
         ).alias("chi2"),
+    )
+
+
+def grid_bin(col, lo: float, hi: float, bins: int = 10):
+    """Pinned-grid bin label (INT in [0, bins), NULL for NULL input)
+    for NUMERIC drift monitoring: the same deterministic cell chain
+    as :func:`histogram <harness_aws_etl_pipeline_spark.operators.
+    histogram.histogram>` with EXPLICIT bounds — out-of-range values
+    clamp into the edge bins, so range drift is visible as edge mass.
+
+    This is the bridge from numeric columns to the categorical
+    :class:`~harness_aws_etl_pipeline_spark.operators.incremental.
+    IncrementalDrift` monitor: pin (lo, hi, bins) from the REFERENCE
+    snapshot once, then feed ``grid_bin(value, lo, hi)`` as the
+    monitored category — the grid must not drift with the stream,
+    which is exactly why it is a pure function of pinned literals."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: ({lo}, {hi})")
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    cell = F.floor(((c - F.lit(float(lo))) * F.lit(float(bins)))
+                   / F.lit(float(hi) - float(lo)))
+    return (
+        F.when(
+            c.isNotNull(),
+            F.greatest(F.least(cell, F.lit(bins - 1)), F.lit(0)),
+        )
+        .cast("int")
     )

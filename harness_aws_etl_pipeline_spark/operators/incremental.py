@@ -1583,11 +1583,11 @@ class IncrementalDrift:
     tests).
 
     Categorical by contract: values are compared as strings. For a
-    numeric column, bin it first on a PINNED grid (e.g.
-    ``operators/histogram.histogram`` cell arithmetic with the
-    reference's lo/hi) and feed the bin label — the grid must not
-    drift with the stream, which is exactly why the monitor does not
-    re-derive it per batch.
+    numeric column, bin it first on a PINNED grid
+    (``operators/drift.py:grid_bin`` with the reference's lo/hi) and
+    feed the bin label — the grid must not drift with the stream,
+    which is exactly why the monitor does not re-derive it per
+    batch.
 
     Per batch: one map-side-combinable groupBy over the batch + one
     |categories|-row merge — no joins against the facts, no windows.

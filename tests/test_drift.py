@@ -308,3 +308,63 @@ class TestIncrementalDriftStreaming:
         rep2 = mon.report().first()
         assert (rep2["n_ref"], rep2["n_cur"]) == (4, 3)
         assert mon.table.current_version() == v
+
+
+class TestGridBin:
+    def test_cells_match_histogram_and_clamp(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.drift import grid_bin
+        from harness_aws_etl_pipeline_spark.operators.histogram import (
+            histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(v,) for v in (0.0, 2.5, 9.99, -5.0, 15.0, None)],
+            "v double",
+        )
+        got = [
+            r[0]
+            for r in df.select(grid_bin("v", 0.0, 10.0, 4)).collect()
+        ]
+        assert got == [0, 1, 3, 0, 3, None]  # clamped edges, NULL kept
+        # per-bin counts equal histogram's with the same pinned bounds
+        h = {
+            r["bin"]: r["cnt"]
+            for r in histogram(df, "v", bins=4, lo=0.0, hi=10.0).collect()
+        }
+        from collections import Counter
+
+        assert Counter(x for x in got if x is not None) == {
+            b: c for b, c in h.items() if c
+        }
+
+    def test_numeric_monitor_composition(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.drift import grid_bin
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDrift,
+        )
+
+        mon = IncrementalDrift(spark, str(tmp_path / "num"), "bin")
+        ref = spark.createDataFrame(
+            [(float(v),) for v in range(10)], "x double"
+        ).select(grid_bin("x", 0.0, 10.0, 5).alias("bin"))
+        mon.set_reference(ref, txn=("n", 0))
+        cur = spark.createDataFrame(
+            [(9.0,), (9.5,), (99.0,)], "x double"
+        ).select(grid_bin("x", 0.0, 10.0, 5).alias("bin"))
+        mon.process_batch(cur, txn=("n", 1))
+        cells = {
+            r["value"]: (r["ref_cnt"], r["cur_cnt"])
+            for r in mon.cells().collect()
+        }
+        assert cells["4"] == (2, 3)  # 8,9 ref; 9,9.5,clamped-99 cur
+        assert mon.report().first()["tvd"] > 0
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.drift import grid_bin
+
+        with _pytest.raises(ValueError):
+            grid_bin("v", 1.0, 1.0)
+        with _pytest.raises(ValueError):
+            grid_bin("v", 0.0, 1.0, 0)
