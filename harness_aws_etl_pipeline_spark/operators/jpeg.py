@@ -134,10 +134,20 @@ class _BitWriter:
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (the pre-RST padding)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s
+            self.write((1 << pad) - 1, pad)
+
+    def raw(self, data: bytes) -> None:
+        """Emit marker bytes verbatim (NOT entropy data — no 0xFF
+        stuffing). Caller must align() first."""
+        assert self.nbits == 0, "raw marker inside a partial byte"
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -161,8 +171,14 @@ def _scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline 4:4:4 JPEG bytes."""
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline 4:4:4 JPEG bytes.
+    ``restart_interval > 0`` emits a DRI segment and an RSTn marker
+    every that-many MCUs (byte-aligned, DC prediction reset) — the
+    error-resilience layout real encoders produce, and the fixture
+    that drives the decoder's restart path."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
@@ -189,8 +205,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     zz = ZIGZAG
 
     # 4:4:4 non-interleaved-factor MCU = one 8×8 block per component
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.raw(
+                    bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                )
+                prev_dc = [0, 0, 0]
+            mcu += 1
             for ci, plane in enumerate(planes):
                 qt = qt_l if ci == 0 else qt_c
                 block = plane[by : by + 8, bx : bx + 8] - 128.0
@@ -252,8 +276,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sos = seg(
         0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dhts + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dri + dhts + sos + bw.flush()
+        + b"\xff\xd9"
     )
 
 
@@ -874,12 +904,19 @@ class _ScanOps:
         if nbits:
             self.ops.append(("b", value, nbits))
 
+    def rst(self, n: int) -> None:
+        """Byte-align and emit RSTn (n taken mod 8)."""
+        self.ops.append(("r", 0xD0 + n % 8))
+
     def serialize(self, codes: dict[int, dict[int, tuple[int, int]]]) -> bytes:
         bw = _BitWriter()
         for op in self.ops:
             if op[0] == "s":
                 code, length = codes[op[1]][op[2]]
                 bw.write(code, length)
+            elif op[0] == "r":
+                bw.align()
+                bw.raw(bytes([0xFF, op[1]]))
             else:
                 bw.write(op[1], op[2])
         return bw.flush()
@@ -897,7 +934,9 @@ def _scan_table(symbols: set[int]) -> tuple[list[int], list[int]]:
     return bits, vals
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB → progressive (SOF2) 4:4:4 JPEG bytes.
 
     Emits the classic 10-scan script (the libjpeg default shape):
@@ -908,7 +947,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     is bit-identical to decoding ``encode_jpeg`` output at the same
     quality — the round-trip test that pins every decoder path
     (DC/AC × first/refine, EOB runs, ZRL-in-refinement, buffered
-    correction bits)."""
+    correction bits). ``restart_interval > 0`` additionally emits an
+    RSTn every that-many data units in EVERY scan (EOB runs flushed at
+    the boundary, DC prediction reset) — the restart path of the
+    progressive decoder."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
@@ -939,6 +981,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     def dc_first(ops: _ScanOps, al: int) -> None:
         prev = [0, 0, 0]
         for bi in range(len(blocks[0])):
+            if restart_interval and bi and bi % restart_interval == 0:
+                ops.rst(bi // restart_interval - 1)
+                prev = [0, 0, 0]
             for ci in range(3):
                 tid = 0 if ci == 0 else 1
                 v = int(blocks[ci][bi][0]) >> al  # arithmetic shift
@@ -950,6 +995,8 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
 
     def dc_refine(ops: _ScanOps, al: int) -> None:
         for bi in range(len(blocks[0])):
+            if restart_interval and bi and bi % restart_interval == 0:
+                ops.rst(bi // restart_interval - 1)
             for ci in range(3):
                 ops.bits((int(blocks[ci][bi][0]) >> al) & 1, 1)
 
@@ -964,7 +1011,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
 
     def ac_first(ops: _ScanOps, ci: int, ss: int, se: int, al: int) -> None:
         eobrun = 0
-        for seq in blocks[ci]:
+        for bi, seq in enumerate(blocks[ci]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                _flush_eob(ops, eobrun, [])
+                eobrun = 0
+                ops.rst(bi // restart_interval - 1)
             band = [int(v) for v in seq[ss : se + 1]]
             shifted = [
                 (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
@@ -998,7 +1049,11 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     def ac_refine(ops: _ScanOps, ci: int, ss: int, se: int, al: int) -> None:
         eobrun = 0
         pending: list[int] = []  # correction bits riding the EOB run
-        for seq in blocks[ci]:
+        for bi, seq in enumerate(blocks[ci]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                _flush_eob(ops, eobrun, pending)
+                eobrun = 0
+                ops.rst(bi // restart_interval - 1)
             band = [int(v) for v in seq[ss : se + 1]]
             absval = [abs(v) >> al for v in band]
             eob = 0
@@ -1052,6 +1107,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
+
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
     # scan script: (kind, comp, Ss, Se, Ah, Al)
     script = [

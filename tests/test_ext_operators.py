@@ -826,6 +826,44 @@ class TestMultimodalShapes:
                     decode_jpeg(encode_jpeg(img, quality=q)),
                 )
 
+    def test_restart_markers_roundtrip_both_frames(self):
+        """DRI/RSTn: encoders emit real restart layouts (byte-aligned
+        markers, DC prediction + EOB-run reset per interval) and the
+        decoder's restart paths must reproduce the no-restart decode
+        bit-for-bit — baseline AND progressive."""
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(5)
+        img = np.clip(
+            rng.integers(0, 255, (24, 40, 3)), 0, 255
+        ).astype(np.uint8)
+        for q in (90, 50):
+            plain = decode_jpeg(encode_jpeg(img, quality=q))
+            for ri in (1, 2, 5):
+                assert np.array_equal(
+                    plain,
+                    decode_jpeg(
+                        encode_jpeg(img, quality=q, restart_interval=ri)
+                    ),
+                ), ("baseline", q, ri)
+                assert np.array_equal(
+                    plain,
+                    decode_jpeg(
+                        encode_jpeg_progressive(
+                            img, quality=q, restart_interval=ri
+                        )
+                    ),
+                ), ("progressive", q, ri)
+        # the markers are really in the stream
+        d = encode_jpeg(img, restart_interval=2)
+        assert b"\xff\xdd" in d and b"\xff\xd0" in d
+
     def test_progressive_stream_shape_and_dispatch(self):
         import numpy as np
 
