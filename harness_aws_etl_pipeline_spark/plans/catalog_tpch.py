@@ -964,6 +964,85 @@ ORDER BY s_name, s_suppkey
 """
 
 
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 suppliers-who-kept-orders-waiting: the double correlated
+    semi/anti-join shape — lines from one nation's suppliers on
+    finalized multi-supplier orders where THIS supplier was the only
+    late one. The trimmed lineitem has no commit/receipt dates, so
+    LATENESS is synthesized as a deterministic integer predicate both
+    engines derive identically:
+    ``(l_orderkey*5 + l_partkey) % 30 > (l_orderkey*3 + l_suppkey) % 30``
+    (standing in for receiptdate > commitdate). The shape under test —
+    EXISTS(another supplier on the order) AND NOT EXISTS(another LATE
+    supplier on the order) — is the real Q21 plan: two self-joins on
+    the fact key, one semi and one anti, each with a non-equi
+    supplier-disagreement term. Q21's nation filter is dropped (that
+    dimension pruning is covered by q5/q7/q9, and it starves the
+    small-SF slice to zero rows) — the waiting-supplier rollup runs
+    over all suppliers."""
+    t = tables(spark, sf)
+    late = (
+        (F.col("l_orderkey") * 5 + F.col("l_partkey")) % 30
+        > (F.col("l_orderkey") * 3 + F.col("l_suppkey")) % 30
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", late.alias("late")
+    )
+    l1 = (
+        li.filter("late")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter("late").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("ok2"))
+        & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("ok3"))
+        & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    nsup = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(nsup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+_SQL_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND (l1.l_orderkey * 5 + l1.l_partkey) % 30
+      > (l1.l_orderkey * 3 + l1.l_suppkey) % 30
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND (l3.l_orderkey * 5 + l3.l_partkey) % 30
+                        > (l3.l_orderkey * 3 + l3.l_suppkey) % 30)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def _md5_arm(df: DataFrame, tag: str, cols: list[str]) -> DataFrame:
     # a '~' prefix marks a dsum double: re-scale to the exact long for
     # the hash (double->string rendering differs between engines —
@@ -1048,6 +1127,7 @@ _PACK = [
         ["p_brand", "p_type", "p_size", "supplier_cnt"],
     ),
     ("tq20", tpch_q20_excess_availability, _SQL_Q20, ["s_suppkey", "s_name"]),
+    ("tq21", tpch_q21_waiting_suppliers, _SQL_Q21, ["s_name", "numwait"]),
     (
         "tq22",
         tpch_q22_dormant_customers,
