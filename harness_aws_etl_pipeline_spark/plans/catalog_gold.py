@@ -94,12 +94,15 @@ def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     line status. Explicit pivot values keep the plan a single pass
     (no distinct-values pre-query).
 
-    Fused (round 7): the TPC-H PARITY PACK — ten classic decision-
-    support shapes (Q4/Q7/Q8/Q9/Q10/Q14/Q17/Q18/Q19/Q22 adapted to
-    the trimmed star schema, plans/catalog_tpch.py) each reduced to a
+    Fused (round 7, grown r8/r9): the TPC-H PARITY PACK — 19 classic
+    decision-support shapes (plans/catalog_tpch.py; with standalone
+    q1/q3/q5 every TPC-H query shape), each reduced to a
     deterministic (rows, md5) pair and re-derived verbatim in DuckDB.
-    This panel is NON-headline on purpose — the pack's ten extra join
-    trees must not pollute per-query bench drift.
+    q2/q11/q16/q20 ride a deterministically synthesized partsupp and
+    q21 a synthesized integer lateness predicate — both derivable
+    identically by any engine. This panel is NON-headline on purpose —
+    the pack's extra join trees must not pollute per-query bench
+    drift.
 
     Fused (round 9): the GROUPING LATTICE legs
     (operators/grouping.py) — ROLLUP / CUBE / GROUPING SETS over
