@@ -691,6 +691,10 @@ GROUP BY 1
 
 _PS_FANOUT = 4
 
+# supplier count per sf dir — one bounded collect, shared by the five
+# pack builders that synthesize partsupp in the same panel build
+_S_CNT_MEMO: dict[str, int] = {}
+
 
 def synth_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     """``(ps_partkey, ps_suppkey, ps_availqty, ps_cost_scaled)`` —
@@ -701,7 +705,9 @@ def synth_partsupp(spark: SparkSession, sf: str) -> DataFrame:
     cheaply via the join in every consumer: non-existent keys would
     drop identically in both engines anyway)."""
     t = tables(spark, sf)
-    s_cnt = t["supplier"].count()
+    if sf not in _S_CNT_MEMO:
+        _S_CNT_MEMO[sf] = t["supplier"].count()
+    s_cnt = _S_CNT_MEMO[sf]
     sk = (F.col("p_partkey") * 7 + F.col("i") * 13) % s_cnt
     return (
         t["part"]
