@@ -602,7 +602,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     tpch.add_argument(
         "--query", default=None,
-        help="one of q4,q6,q7,q8,q9,q10,q12,q13,q14,q15,q17,q18,q19,q22"
+        help="one of q2,q4,q6-q22 (the pack derives from _PACK, so new"
+             " queries appear automatically; q1/q3/q5 live in the main"
+             " catalog)"
              " (default: all)",
     )
     tpch.add_argument(

@@ -1,8 +1,10 @@
 """TPC-H parity pack — the classic decision-support query shapes the
-gold tier didn't already cover, adapted to the test star schema (which
-has no partsupp table and a trimmed lineitem, so q2/q11/q16/q20/q21
-have no faithful shape; where a predicate column is missing the
-nearest available one is substituted and noted).
+gold tier didn't already cover, adapted to the test star schema.
+Where a predicate column is missing the nearest available one is
+substituted and noted; the missing partsupp table is SYNTHESIZED
+deterministically (``synth_partsupp``) and q21's lateness predicate
+derived as exact integer arithmetic, so with the standalone q1/q3/q5
+every TPC-H query shape is implemented and value-oracled.
 
 Each query is a standalone user-callable DataFrame builder (the API
 surface), and the whole pack is ALSO value-oracled: ``tpch_pack_arm``
@@ -57,6 +59,12 @@ __all__ = [
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive_bands",
     "tpch_q22_dormant_customers",
+    "synth_partsupp",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_availability",
+    "tpch_q21_waiting_suppliers",
     "tpch_pack_arm",
     "ORACLE_TPCH_FRAGMENT",
 ]
