@@ -929,3 +929,110 @@ def media_summary(df: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def audio_spectral_features(
+    payload: bytes, frame_size: int = 1024, rolloff: float = 0.85
+) -> list[float]:
+    """FFT-based spectral descriptors of a decoded WAV clip —
+    ``[centroid_hz, bandwidth_hz, rolloff_hz, zcr, flatness]`` — the
+    standard audio-fingerprint front-end features (pure numpy rfft,
+    mono-mixed, Hann-windowed non-overlapping frames, magnitude
+    spectra averaged across frames; DC excluded so silence and
+    constant offsets read as zero energy):
+
+    - **centroid**: magnitude-weighted mean frequency;
+    - **bandwidth**: magnitude-weighted std around the centroid;
+    - **rolloff**: the frequency below which ``rolloff`` of the
+      magnitude mass sits;
+    - **zcr**: mean zero-crossing rate per sample (time domain);
+    - **flatness**: geometric/arithmetic mean ratio of the magnitude
+      spectrum (1 ≈ noise, →0 ≈ tonal).
+
+    A pure sine at f Hz scores centroid ≈ f, near-zero bandwidth and
+    flatness, rolloff ≈ f — the closed-form facts the tests pin.
+    Clips shorter than one frame (or silent) return zeros for the
+    spectral terms. Float by nature (libm FFT) — tests-only, never a
+    cross-engine oracle surface."""
+    frames, rate = decode_wav(payload)
+    x = frames.astype(np.float64).mean(axis=1) if frames.size else np.zeros(0)
+    n = x.shape[0]
+    zcr = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if n > 1
+        else 0.0
+    )
+    nfr = n // frame_size
+    if nfr == 0 or rate <= 0:
+        return [0.0, 0.0, 0.0, zcr, 0.0]
+    w = np.hanning(frame_size)
+    mags = np.zeros(frame_size // 2 + 1)
+    for i in range(nfr):
+        seg = x[i * frame_size : (i + 1) * frame_size] * w
+        mags += np.abs(np.fft.rfft(seg))
+    mags[0] = 0.0  # DC out: offsets are not "spectral content"
+    total = mags.sum()
+    if total <= 0:
+        return [0.0, 0.0, 0.0, zcr, 0.0]
+    freqs = np.fft.rfftfreq(frame_size, d=1.0 / rate)
+    centroid = float((freqs * mags).sum() / total)
+    bandwidth = float(
+        np.sqrt(((freqs - centroid) ** 2 * mags).sum() / total)
+    )
+    cum = np.cumsum(mags)
+    roll = float(freqs[int(np.searchsorted(cum, rolloff * total))])
+    nz = mags[1:][mags[1:] > 0]
+    flatness = (
+        float(np.exp(np.mean(np.log(nz))) / nz.mean()) if nz.size else 0.0
+    )
+    return [centroid, bandwidth, roll, zcr, flatness]
+
+
+def extract_audio_spectral_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_size: int = 1024,
+) -> DataFrame:
+    """Arrow-batched spectral front-end over a WAV payload column:
+    one row per clip ``(media_id, centroid_hz, bandwidth_hz,
+    rolloff_hz, zcr, flatness)``; undecodable payloads surface as
+    all-NULL rows. Same scale posture as every multimodal op: the
+    binary column never becomes a shuffle key and is pruned after
+    this projection."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    import struct
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("centroid_hz", "bandwidth_hz", "rolloff_hz", "zcr",
+                "flatness")
+        for pdf in batches:
+            out = {"media_id": [], **{c: [] for c in cols}}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    vals = audio_spectral_features(
+                        payload, frame_size=frame_size
+                    )
+                except (ValueError, struct.error, IndexError):
+                    vals = [None] * 5
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    **{
+                        c: pd.Series(out[c], dtype="object") for c in cols
+                    },
+                }
+            )
+
+    return src.mapInPandas(
+        _gen,
+        "media_id long, centroid_hz double, bandwidth_hz double, "
+        "rolloff_hz double, zcr double, flatness double",
+    )

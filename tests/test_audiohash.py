@@ -101,3 +101,75 @@ class TestSparkPlumbing:
         # Hamming 7, covering the ≤5 noise envelope
         pairs = audio_near_dup_pairs(media, max_hamming=5, band_bits=8).collect()
         assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def _wav(samples, rate=8000):
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+class TestSpectralFeatures:
+    def test_pure_sine_closed_forms(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        t = np.arange(4096)
+        sine = 10000 * np.sin(2 * np.pi * 1000 * t / 8000)
+        c, b, r, z, f = audio_spectral_features(_wav(sine))
+        assert abs(c - 1000.0) < 2.0       # centroid at the tone
+        assert b < 25.0                    # near-zero spread
+        assert abs(r - 1000.0) < 20.0      # rolloff at the tone bin
+        assert abs(z - 0.25) < 0.01        # zcr = 2f/rate
+        assert f < 0.01                    # tonal → flatness ~ 0
+
+    def test_noise_vs_tone_flatness_orders(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        rng = np.random.default_rng(1)
+        noise = rng.integers(-8000, 8000, 4096)
+        cn, _, _, _, fn = audio_spectral_features(_wav(noise))
+        assert fn > 0.8                    # white noise → flat
+        assert abs(cn - 2000.0) < 200.0    # centroid ~ rate/4
+
+    def test_silence_and_short_clips_zero(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        assert audio_spectral_features(_wav(np.zeros(4096))) == [0.0] * 5
+        c, b, r, z, f = audio_spectral_features(_wav([100, -100] * 8))
+        assert (c, b, r, f) == (0.0, 0.0, 0.0, 0.0)  # < one frame
+        assert z > 0.9                     # but time-domain zcr real
+
+    def test_spark_face_and_bad_payload(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            extract_audio_spectral_features,
+        )
+
+        t = np.arange(2048)
+        good = _wav(10000 * np.sin(2 * np.pi * 500 * t / 8000))
+        rows = [(1, bytearray(good)), (2, bytearray(b"not audio"))]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {
+            r["media_id"]: (r["centroid_hz"], r["zcr"])
+            for r in extract_audio_spectral_features(df).collect()
+        }
+        assert abs(got[1][0] - 500.0) < 2.0
+        assert abs(got[1][1] - 0.125) < 0.01
+        assert got[2] == (None, None)

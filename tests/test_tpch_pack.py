@@ -266,3 +266,27 @@ class TestPartsuppQueries:
         names = [r["s_name"] for r in got]
         assert names == sorted(names)
         assert len({r["s_suppkey"] for r in got}) == len(got)
+
+
+class TestPartsuppPlanShape:
+    def test_q2_q20_dimensions_broadcast_no_cartesian(self, spark):
+        for fn in (
+            T.tpch_q2_min_cost_supplier,
+            T.tpch_q20_excess_availability,
+            T.tpch_q21_waiting_suppliers,
+        ):
+            plan = (
+                fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "CartesianProduct" not in plan, fn.__name__
+            assert "BroadcastHashJoin" in plan, fn.__name__
+
+    def test_q21_semi_anti_pair(self, spark):
+        plan = (
+            T.tpch_q21_waiting_suppliers(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
