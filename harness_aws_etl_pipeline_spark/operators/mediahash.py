@@ -33,7 +33,44 @@ def _classify(payload: bytes) -> str | None:
             return "image"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "audio"
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        return "video"
     return None
+
+
+_VIDEO_SAMPLE_FRAMES = 8
+
+
+def _video_sketch64(payload: bytes) -> int:
+    """64-bit clip sketch: per-frame pHash over up to
+    ``_VIDEO_SAMPLE_FRAMES`` evenly-sampled frames, folded by BITWISE
+    MAJORITY — one flipped/trimmed frame moves at most a minority of
+    votes per bit, so near-identical clips land a small Hamming
+    distance apart while the sketch stays a single long that rides the
+    existing banded join unchanged."""
+    from harness_aws_etl_pipeline_spark.operators.imagehash import phash64
+    from harness_aws_etl_pipeline_spark.operators.video import (
+        decode_avi_frames,
+        probe_avi,
+    )
+
+    meta = probe_avi(payload)
+    n = meta["frames"] or 1
+    every = max(1, n // _VIDEO_SAMPLE_FRAMES)
+    frames = decode_avi_frames(
+        payload, every_n=every, max_frames=_VIDEO_SAMPLE_FRAMES
+    )
+    if not frames:
+        raise ValueError("no decodable frames")
+    hashes = [phash64(f) for f in frames]
+    out = 0
+    half = len(hashes) / 2.0
+    for bit in range(64):
+        votes = sum((h >> bit) & 1 for h in hashes)
+        if votes > half or (votes == half and (hashes[0] >> bit) & 1):
+            out |= 1 << bit
+    # to signed 64-bit (the sketch column is a Spark long)
+    return out - (1 << 64) if out >= 1 << 63 else out
 
 
 def media_hashes(
@@ -42,8 +79,9 @@ def media_hashes(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id_col, modality, simhash) — modality-routed perceptual
-    sketches; NULL modality/sketch for unknown or undecodable
-    payloads."""
+    sketches (image pHash, audio afp, video = bitwise-majority fold of
+    sampled-frame pHashes); NULL modality/sketch for unknown or
+    undecodable payloads."""
     from collections.abc import Iterator as _Iter
 
     import pandas as pd
@@ -67,6 +105,8 @@ def media_hashes(
                     elif mode == "audio":
                         frames, rate = decode_wav(payload)
                         sketch = afp64(frames, rate)
+                    elif mode == "video":
+                        sketch = _video_sketch64(bytes(payload))
                 except (ValueError, TypeError, IndexError):
                     mode, sketch = None, None
                 modes.append(mode)

@@ -109,3 +109,51 @@ class TestPerModalityCap:
         }
         # image bucket (3 > cap 2) dropped entirely; audio (2 <= cap) kept
         assert kept == {("audio", 10), ("audio", 11)}
+
+
+class TestVideoSketch:
+    def test_near_clip_pairs_far_clip_does_not(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.mediahash import (
+            media_hashes,
+            media_near_dup_pairs,
+        )
+        from harness_aws_etl_pipeline_spark.operators.video import (
+            encode_avi_mjpeg,
+        )
+
+        rng = np.random.default_rng(9)
+        base = [
+            np.clip(rng.integers(0, 255, (32, 32, 3)), 0, 255).astype(
+                np.uint8
+            )
+            for _ in range(6)
+        ]
+        mod = [f.copy() for f in base]
+        mod[2] = np.clip(mod[2].astype(int) + 12, 0, 255).astype(np.uint8)
+        other = [
+            np.clip(rng.integers(0, 255, (32, 32, 3)), 0, 255).astype(
+                np.uint8
+            )
+            for _ in range(6)
+        ]
+        rows = [
+            (1, bytearray(encode_avi_mjpeg(base))),
+            (2, bytearray(encode_avi_mjpeg(mod))),
+            (3, bytearray(encode_avi_mjpeg(other))),
+            (4, bytearray(b"not media at all")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        hashes = {
+            r["doc_id"]: (r["modality"], r["simhash"])
+            for r in media_hashes(df).collect()
+        }
+        assert hashes[1][0] == hashes[2][0] == hashes[3][0] == "video"
+        assert hashes[4] == (None, None)
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in media_near_dup_pairs(df, max_hamming=3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+        assert (1, 3) not in pairs and (2, 3) not in pairs
