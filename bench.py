@@ -805,10 +805,11 @@ def _bench_sq(spark, sf_dir: str) -> dict:
 
 def _bench_tpch(spark, sf_dir: str) -> dict:
     """TPC-H parity-pack leg — NOT a catalog entry (the pack's value
-    oracle rides the pivot_returnflag panel; this leg times the TEN
-    multi-join decision-support plans at sf0.1, once each after a
-    warm run, so warehouse-shape performance is a recorded number
-    rather than a claim)."""
+    oracle rides the pivot_returnflag panel; this leg times every
+    in-arm pack query at sf0.1 — 19 as of r9, incl. the synthesized-
+    partsupp four and q21 — once each after a warm run, so
+    warehouse-shape performance is a recorded number rather than a
+    claim)."""
     from harness_aws_etl_pipeline_spark.plans.catalog_tpch import _PACK
 
     out: dict = {}
