@@ -759,3 +759,126 @@ def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("dim", F.size(vec_col)).withColumn(
         "l2_norm", F.round(l2_norm(vec_col), 6)
     )
+
+
+def _assign_probe_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Append ``probe_cells array<long>`` — the ``nprobe`` nearest
+    centroid ids per row (similarity-descending, ties toward the
+    smaller id), Arrow-batched like :func:`_assign_nearest`.
+    NULL/ragged vectors get an empty list (they probe nothing)."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    rows = centroids.orderBy("centroid_id").collect()
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("probe_cells", ArrayType(LongType()))]
+    )
+    if not rows:
+        return df.limit(0).withColumn(
+            "probe_cells", F.lit(None).cast("array<long>")
+        )
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cunit = cmat / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
+    dim = cmat.shape[1]
+    p = min(nprobe, len(rows))
+
+    def _assign(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(probe_cells=pd.Series([], dtype="object"))
+                continue
+            v, valid = _vec_matrix(pdf[vec_col], dim)
+            vn = np.linalg.norm(v, axis=1)
+            vu = v / np.where(vn == 0.0, 1.0, vn)[:, None]
+            sims = vu @ cunit.T
+            # stable argsort on (-sim, cid): rows are centroid_id
+            # sorted, so ties resolve toward the smaller id
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+            cells = [
+                [int(cids[j]) for j in row] if ok else []
+                for row, ok in zip(order, valid)
+            ]
+            yield pdf.assign(probe_cells=pd.Series(cells, dtype="object"))
+
+    return df.mapInPandas(_assign, out_schema)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed kNN JOIN: for EVERY left row, the ``k`` nearest
+    right rows by cosine — BOTH sides stay distributed (the existing
+    top-k entry points collect the query side as a model; this is the
+    operator for two fact-scale corpora, e.g. align every training
+    document with its nearest references).
+
+    Shape: the IVF co-partitioning trick — right rows land in their
+    single nearest cell, left rows EXPLODE to their ``nprobe`` nearest
+    cells, candidates meet on a plain cell equi-join (each right row
+    lives in exactly one cell, so no cross-probe duplicates exist and
+    no dedup shuffle is needed), and a per-left window keeps the top
+    ``k`` (cosine desc, ties toward the smaller right id — fully
+    deterministic). Only the k×dim centroid model is driver-resident.
+    Shuffle volume is O(|left|·nprobe + |right|) join rows, never
+    |left|×|right|.
+
+    Exactness: ``nprobe == n_centroids`` probes every cell, so the
+    result EQUALS the brute-force per-left top-k (test-pinned — the
+    same identity the IVF top-k oracle rides). Left rows with NULL
+    vectors probe nothing and are absent from the output; empty cells
+    cost nothing.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if centroids is None:
+        centroids = ivf_centroids(
+            right, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    r = _assign_nearest(
+        right.select(id_col, vec_col), centroids, id_col, vec_col
+    ).select(
+        F.col("centroid_id").alias("cell"),
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("r_vec"),
+    ).where(F.col("cell").isNotNull())
+    l = (
+        _assign_probe_cells(
+            left.select(id_col, vec_col), centroids, vec_col, nprobe
+        )
+        .select(
+            F.col(id_col).alias("left_id"),
+            F.col(vec_col).alias("l_vec"),
+            F.explode("probe_cells").alias("cell"),
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cosine").desc(), F.col("right_id")
+    )
+    return (
+        l.join(r, "cell")
+        .withColumn(
+            "cosine", F.round(cosine_similarity("l_vec", "r_vec"), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "rank", "right_id", "cosine")
+    )

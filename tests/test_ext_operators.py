@@ -1781,3 +1781,105 @@ class TestSampleExactN:
         df = spark.range(100).withColumnRenamed("id", "doc_id")
         plan = sample_exact_n(df, 5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestKnnJoin:
+    def _corpora(self, spark, seed=2, nl=30, nr=90, dim=16):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        L = [(i, [float(x) for x in rng.normal(0, 1, dim)]) for i in range(nl)]
+        R = [
+            (1000 + j, [float(x) for x in rng.normal(0, 1, dim)])
+            for j in range(nr)
+        ]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        return L, R, mk(L), mk(R)
+
+    def test_full_probe_equals_bruteforce(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            knn_join,
+        )
+
+        L, R, ldf, rdf = self._corpora(spark)
+        got = {
+            (r["left_id"], r["rank"]): (r["right_id"], r["cosine"])
+            for r in knn_join(
+                ldf, rdf, k=5, n_centroids=6, nprobe=6
+            ).collect()
+        }
+        lv = np.array([v for _, v in L])
+        rv = np.array([v for _, v in R])
+        lu = lv / np.linalg.norm(lv, axis=1)[:, None]
+        ru = rv / np.linalg.norm(rv, axis=1)[:, None]
+        sims = lu @ ru.T
+        for i in range(len(L)):
+            order = sorted(
+                range(len(R)), key=lambda j: (-round(sims[i, j], 6), j)
+            )[:5]
+            for rk, j in enumerate(order, 1):
+                rid, cos = got[(i, rk)]
+                assert rid == 1000 + j
+                assert abs(cos - round(sims[i, j], 6)) < 1e-9
+        assert len(got) == len(L) * 5
+
+    def test_partial_probe_on_clustered_data_high_recall(self, spark):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            knn_join,
+        )
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(0, 10, (4, 16))
+        mk_rows = lambda n, base: [
+            (base + i, [float(x) for x in centers[i % 4] + rng.normal(0, 0.3, 16)])
+            for i in range(n)
+        ]
+        ldf = spark.createDataFrame(
+            mk_rows(20, 0), "vec_id long, embedding array<double>"
+        )
+        rdf = spark.createDataFrame(
+            mk_rows(80, 1000), "vec_id long, embedding array<double>"
+        )
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            knn_join as kj,
+        )
+
+        exact = {
+            (r["left_id"], r["rank"]): r["right_id"]
+            for r in kj(ldf, rdf, k=3, n_centroids=4, nprobe=4).collect()
+        }
+        approx = {
+            (r["left_id"], r["rank"]): r["right_id"]
+            for r in kj(ldf, rdf, k=3, n_centroids=4, nprobe=1).collect()
+        }
+        hits = sum(1 for key, rid in exact.items() if approx.get(key) == rid)
+        assert hits / len(exact) >= 0.9  # cluster structure → 1 probe enough
+
+    def test_nulls_small_k_and_guard(self, spark):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            knn_join,
+        )
+
+        ldf = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+        )
+        rdf = spark.createDataFrame(
+            [(10, [1.0, 0.1]), (11, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = knn_join(ldf, rdf, k=5, n_centroids=2, nprobe=2).collect()
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r["left_id"], []).append(r["right_id"])
+        assert 2 not in by_left          # NULL vector probes nothing
+        assert len(by_left[1]) == 2      # k capped by matches
+        with _pytest.raises(ValueError):
+            knn_join(ldf, rdf, k=0)
