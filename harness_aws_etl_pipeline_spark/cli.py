@@ -663,6 +663,19 @@ def main(argv: list[str] | None = None) -> int:
         help="ledger batch number (required with --batch/--set-reference)",
     )
 
+    kj = sub.add_parser(
+        "knnjoin", help="distributed kNN join of two embedding parquets"
+    )
+    kj.add_argument("--left", required=True, help="left parquet (queries)")
+    kj.add_argument("--right", required=True, help="right parquet (corpus)")
+    kj.add_argument("--k", type=int, default=10)
+    kj.add_argument("--n-centroids", type=int, default=16)
+    kj.add_argument("--nprobe", type=int, default=4)
+    kj.add_argument("--id-col", default="vec_id")
+    kj.add_argument("--vec-col", default="embedding")
+    kj.add_argument("--output", default=None, help="optional parquet sink")
+    kj.add_argument("--show", type=int, default=5, help="print first N rows")
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -1178,6 +1191,31 @@ def main(argv: list[str] | None = None) -> int:
             "status": "success", "action": "features", "op": args.op,
             "rows": back.count(),
             "added_cols": sorted(set(back.columns) - set(df.columns)),
+            "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "knnjoin":
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            knn_join,
+        )
+
+        out_df = knn_join(
+            spark.read.parquet(args.left),
+            spark.read.parquet(args.right),
+            k=args.k,
+            n_centroids=args.n_centroids,
+            nprobe=args.nprobe,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        if args.output:
+            out_df.write.mode("overwrite").parquet(args.output)
+        head = [r.asDict() for r in out_df.limit(args.show).collect()]
+        pairs = out_df.count()
+        print(json.dumps({
+            "status": "success", "action": "knnjoin", "pairs": pairs,
+            "k": args.k, "nprobe": args.nprobe, "head": head,
             "output": args.output,
         }))
         return 0

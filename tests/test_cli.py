@@ -970,3 +970,27 @@ class TestSessionizeCli:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["steps"][0]["skipped"] is True
         assert res["report"]["n_cur"] == 2
+
+    def test_knnjoin(self, spark, tmp_path, capsys):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        mk = lambda n, base: [
+            (base + i, [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(n)
+        ]
+        lp, rp = str(tmp_path / "kl"), str(tmp_path / "kr")
+        spark.createDataFrame(
+            mk(6, 0), "vec_id long, embedding array<double>"
+        ).write.parquet(lp)
+        spark.createDataFrame(
+            mk(20, 100), "vec_id long, embedding array<double>"
+        ).write.parquet(rp)
+        out = str(tmp_path / "kout")
+        rc = main(["knnjoin", "--left", lp, "--right", rp, "--k", "3",
+                   "--n-centroids", "4", "--nprobe", "4",
+                   "--output", out])
+        assert rc == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["pairs"] == 18  # 6 left x k=3, full probe
+        assert spark.read.parquet(out).count() == 18
