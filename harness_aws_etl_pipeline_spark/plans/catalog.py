@@ -1799,13 +1799,36 @@ ORDER BY format
 """
 
 
+CHAT_FIXTURE = [
+    (1, '[{"role":"system","content":"be nice"},{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]'),
+    (2, '[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]'),
+    (3, '[{"role":"assistant","content":"yo"},{"role":"user","content":"hi"}]'),
+    (4, 'not json'),
+    (5, '[{"role":"system","content":"other sys"},{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]'),
+]
+
+
 def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """§2.9 JSON decode — extract a field from the JSON props column,
     aggregate it per event type (reference parses JSON at the edges:
-    extractor.py:96, lambda_handler.py:61)."""
+    extractor.py:96, lambda_handler.py:61).
+
+    Fused (round 9): the CHAT leg (operators/chatops.py) — the planted
+    conversation fixtures run through from_json parsing, per-turn
+    counts, and the SEQUENCE-sensitive dedup signatures (md5 over
+    role:md5(content) turns, with and without system turns); DuckDB
+    re-derives every per-doc fact from the same literals with its JSON
+    functions + list transforms. The alternation validator stays
+    pytest-pinned (its SQL twin would re-test SQL, not the operator)."""
+    from harness_aws_etl_pipeline_spark.operators.chatops import (
+        conversation_signature,
+        conversation_stats,
+        flatten_conversations,
+    )
+
     ev = tables(spark, sf)["events"]
     k = F.get_json_object("props", "$.k").cast("long")
-    return (
+    base = (
         ev.groupBy("event_type")
         .agg(
             F.sum(k).alias("k_sum"),
@@ -1814,15 +1837,123 @@ def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    chats = spark.createDataFrame(CHAT_FIXTURE, "doc_id long, messages string")
+    stats = conversation_stats(chats)
+    sigs = conversation_signature(chats)
+    sigs_ns = conversation_signature(
+        chats, include_system=False, out_col="conv_sig_ns"
+    ).select("doc_id", "conv_sig_ns")
+    joined = (
+        stats.join(sigs.select("doc_id", "conv_sig"), "doc_id")
+        .join(sigs_ns, "doc_id")
+    )
+    cs = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.col("parsed").cast("int").cast("string"),
+        F.coalesce(F.col("n_turns").cast("string"), F.lit("_")),
+        F.coalesce(F.col("n_user").cast("string"), F.lit("_")),
+        F.coalesce(F.col("n_system").cast("string"), F.lit("_")),
+        F.coalesce(F.col("total_chars").cast("string"), F.lit("_")),
+        F.coalesce("conv_sig", F.lit("_")),
+        F.coalesce("conv_sig_ns", F.lit("_")),
+    )
+    chat_leg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("chat_docs"),
+        F.sum(F.col("parsed").cast("long")).cast("long").alias("chat_parsed"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(cs)))).alias(
+            "chat_md5"
+        ),
+    )
+    turn_leg = flatten_conversations(chats).agg(
+        F.count(F.lit(1)).cast("long").alias("chat_turns"),
+        F.sum("n_chars").cast("long").alias("chat_chars"),
+    )
+    return base.crossJoin(F.broadcast(chat_leg)).crossJoin(
+        F.broadcast(turn_leg)
+    )
 
 
-ORACLE_JSON_PROPS = """
+def _oracle_json_props() -> str:
+    vals = ",\n    ".join(
+        "({}, '{}')".format(i, j.replace("'", "''")) for i, j in CHAT_FIXTURE
+    )
+    return f"""
+SELECT * FROM (
 SELECT event_type,
        CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(CAST(props->>'k' AS BIGINT)) AS k_cnt,
        MAX(CAST(props->>'k' AS BIGINT)) AS k_max
-FROM events GROUP BY event_type ORDER BY event_type
+FROM events GROUP BY event_type
+) base CROSS JOIN (
+  -- chat leg: the same planted conversations re-derived with JSON
+  -- functions + list transforms (role:md5(content) signature chain)
+  WITH chats(doc_id, j) AS (VALUES
+    {vals}),
+  parsed AS (
+    SELECT doc_id, j,
+           CASE WHEN json_valid(j) THEN json_type(j) = 'ARRAY'
+                ELSE FALSE END AS ok
+    FROM chats),
+  facts AS (
+    SELECT doc_id, ok,
+           CASE WHEN ok THEN CAST(json_array_length(j) AS BIGINT) END AS n_turns,
+           CASE WHEN ok THEN
+             list_transform(generate_series(0, CAST(json_array_length(j) AS INT) - 1),
+               i -> json_extract_string(j, '$[' || i || '].role') || ':'
+                    || md5(json_extract_string(j, '$[' || i || '].content')))
+           END AS parts,
+           CASE WHEN ok THEN
+             list_transform(generate_series(0, CAST(json_array_length(j) AS INT) - 1),
+               i -> CAST(length(json_extract_string(j, '$[' || i || '].content')) AS BIGINT))
+           END AS lens
+    FROM parsed),
+  per AS (
+    SELECT doc_id, ok, n_turns,
+           CASE WHEN ok THEN CAST(len(list_filter(parts, p -> p LIKE 'user:%')) AS BIGINT) END AS n_user,
+           CASE WHEN ok THEN CAST(len(list_filter(parts, p -> p LIKE 'system:%')) AS BIGINT) END AS n_system,
+           CASE WHEN ok THEN CAST(list_sum(lens) AS BIGINT) END AS total_chars,
+           CASE WHEN ok THEN md5(array_to_string(parts, '|')) END AS sig,
+           CASE WHEN ok THEN md5(array_to_string(
+             list_filter(parts, p -> p NOT LIKE 'system:%'), '|')) END AS sig_ns
+    FROM facts),
+  strs AS (
+    SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(CAST(ok AS INT) AS VARCHAR)
+           || ':' || COALESCE(CAST(n_turns AS VARCHAR), '_')
+           || ':' || COALESCE(CAST(n_user AS VARCHAR), '_')
+           || ':' || COALESCE(CAST(n_system AS VARCHAR), '_')
+           || ':' || COALESCE(CAST(total_chars AS VARCHAR), '_')
+           || ':' || COALESCE(sig, '_')
+           || ':' || COALESCE(sig_ns, '_') AS s,
+           ok, n_turns, total_chars
+    FROM per)
+  SELECT CAST(COUNT(*) AS BIGINT) AS chat_docs,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS chat_parsed,
+         md5(string_agg(s, '|' ORDER BY s)) AS chat_md5
+  FROM strs
+) chat_arm CROSS JOIN (
+  WITH chats(doc_id, j) AS (VALUES
+    {vals}),
+  ok_chats AS (SELECT doc_id, j FROM chats
+               WHERE CASE WHEN json_valid(j)
+                          THEN json_type(j) = 'ARRAY' ELSE FALSE END),
+  lens AS (
+    SELECT doc_id,
+           CAST(json_array_length(j) AS BIGINT) AS n,
+           list_sum(list_transform(
+             generate_series(0, CAST(json_array_length(j) AS INT) - 1),
+             i -> CAST(length(json_extract_string(j, '$[' || i || '].content')) AS BIGINT)
+           )) AS chars
+    FROM ok_chats)
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS chat_turns,
+         CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS chat_chars
+  FROM lens
+) turn_arm
+ORDER BY event_type
 """
+
+
+ORACLE_JSON_PROPS = _oracle_json_props()
 
 
 def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
