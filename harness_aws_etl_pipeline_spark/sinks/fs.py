@@ -235,10 +235,27 @@ class HadoopFS:
 
     def rename_if_absent(self, src: str, dst: str) -> bool:
         """Rename refusing to replace an existing destination.
-        ``FileSystem.rename`` already returns False when the
-        destination FILE exists (HDFS semantics) — but when the
-        destination is an existing DIRECTORY it moves src INTO it, so
-        guard that case explicitly."""
+
+        LOCAL paths delegate to :meth:`LocalFS.rename_if_absent`'s
+        hard-link CAS: Hadoop's Raw/ChecksumLocalFileSystem rename
+        bottoms out in ``java.io.File.renameTo``, which OVERWRITES an
+        existing destination on POSIX — so the obvious ``exists() +
+        rename()`` here is a broken compare-and-swap (two racing
+        committers can both pass the exists check and both report
+        success, one silently replacing the other's manifest; the
+        round-9 concurrent-writer soak caught exactly that as a lost
+        snapshot version).
+
+        On real HDFS the NameNode rejects a rename onto an existing
+        FILE atomically (rename returns False), so exists+rename is
+        sound there — the explicit exists() guards only the
+        rename-INTO-existing-DIRECTORY semantics."""
+        from urllib.parse import urlparse
+
+        if urlparse(src).scheme in ("", "file") and urlparse(
+            dst
+        ).scheme in ("", "file"):
+            return LocalFS().rename_if_absent(src, dst)
         s, d = self._jpath(src), self._jpath(dst)
         fs = self._fs(s)
         if fs.exists(d):

@@ -880,3 +880,46 @@ class TestEvolvedColumnPruning:
         assert [(r["id"], r["score"]) for r in got.collect()] == [(4, 40)]
         kept, total = table.pruned_file_count([("score", ">=", 35)])
         assert kept < total  # new files' stats still prune
+
+
+class TestRenameCasAtomicity:
+    def test_hadoopfs_local_cas_exactly_one_winner(self, spark, tmp_path):
+        """Regression for the round-9 soak failure: HadoopFS once
+        implemented rename_if_absent as exists()+rename(), and
+        Hadoop's LOCAL rename overwrites an existing destination — two
+        racing committers could both report success, silently losing a
+        snapshot version. The local-scheme path must CAS through the
+        hard-link protocol: exactly ONE winner per destination under a
+        thread hammer."""
+        import threading
+
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+        fs = get_fs(str(tmp_path), spark)
+        assert type(fs).__name__ == "HadoopFS"  # the adapter under test
+        rounds, nthreads = 60, 4
+        for r in range(rounds):
+            dst = str(tmp_path / f"v{r}.json")
+            srcs = []
+            for t in range(nthreads):
+                p = str(tmp_path / f".tmp-{r}-{t}")
+                fs.write_bytes(p, f"writer-{t}".encode())
+                srcs.append(p)
+            wins = []
+            barrier = threading.Barrier(nthreads)
+
+            def racer(i):
+                barrier.wait()
+                if fs.rename_if_absent(srcs[i], dst):
+                    wins.append(i)
+
+            ts = [
+                threading.Thread(target=racer, args=(i,))
+                for i in range(nthreads)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert len(wins) == 1, f"round {r}: winners {wins}"
+            assert fs.read_bytes(dst) == f"writer-{wins[0]}".encode()
