@@ -942,6 +942,64 @@ def _bench_pq(spark, sf_dir: str) -> dict:
     finally:
         index.unpersist()
 
+    # round 9: AUTO-NPROBE — derive nprobe from the coverage
+    # diagnostic (calibrate_nprobe) instead of a fixed default. The
+    # sf-table embeddings are near-isotropic, where ANY sub-linear
+    # probe is recall-capped (r8's coverage_at10_p4=0.6 finding), so
+    # the auto leg runs on a CLUSTERED corpus derived deterministically
+    # from the same table (each vector pulled toward one of 16 anchor
+    # rows): the case IVF exists for, and where the calibrator must
+    # find a small probe that still meets the recall target.
+    from harness_aws_etl_pipeline_spark.operators.pq import (
+        calibrate_nprobe,
+    )
+
+    anchors = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("_aid"), F.col("embedding").alias("_anchor")
+    )
+    clustered = (
+        emb.withColumn("_aid", F.col("vec_id") % 16)
+        .join(F.broadcast(anchors), "_aid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "_anchor", "embedding", lambda a, b: a * F.lit(4.0) + b
+            ).alias("embedding"),
+        )
+    )
+    cqueries = clustered.filter(F.col("vec_id") % 997 == 0).limit(16)
+    start = time.perf_counter()
+    cindex, ccents, cmodel = build_ivfpq(
+        clustered, nlist=16, m=8, k=256, dim=64
+    )
+    cindex = cindex.persist()
+    cindex.count()
+    try:
+        cal = calibrate_nprobe(
+            cindex, ccents, cqueries, clustered, target_recall=0.9, topk=10
+        )
+        calibrate_s = time.perf_counter() - start
+        # in-corpus queries: self is always rank 1 — ask k+1, drop self
+        auto = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                cindex, cqueries, cmodel, ccents,
+                nprobe=cal["nprobe"], topk=11,
+                rerank_with=clustered, shortlist=110,
+            )
+            .where("query_id != neighbor_id")
+            .collect()
+        }
+        cexact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk_arrow(
+                clustered, cqueries, k=10
+            ).collect()
+        }
+        recall_auto = len(auto & cexact) / max(len(cexact), 1)
+    finally:
+        cindex.unpersist()
+
     return {
         "train_s": round(train_s, 3),
         "encode_s": round(encode_s, 3),
@@ -968,6 +1026,18 @@ def _bench_pq(spark, sf_dir: str) -> dict:
         ),
         "coverage_at10_p4": round(coverage_p4, 3),
         "ivfpq_cfg": "nlist=16,m=8,k=256,residual,rerank100",
+        # auto-nprobe on the clustered twin corpus: the calibrated
+        # probe must meet the recall target at a sub-25% scan — the
+        # r8 VERDICT gate, achievable exactly when the data is
+        # clusterable (and honestly reported unachievable when not:
+        # see coverage_at10_p4 above for the isotropic table)
+        "auto_nprobe": cal["nprobe"],
+        "auto_calibrate_s": round(calibrate_s, 3),
+        "recall_at10_auto": round(recall_auto, 3),
+        "scan_fraction_auto": round(cal["scan_fraction"], 3),
+        "auto_ok": bool(
+            recall_auto >= 0.9 and cal["scan_fraction"] < 0.25
+        ),
     }
 
 
@@ -1118,17 +1188,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - surface in timed pass
             print(f"# warmup {spec.name} failed: {exc}", file=sys.stderr)
 
-    # three timed runs per query; headline value is the min (steady-
-    # state throughput, scheduler/GC jitter removed — min-of-2 left
-    # ±0.15 s local[32] jitter reading as ±20% regressions on
-    # sub-second queries), with p50 + raw runs alongside
+    # five timed runs per query (r9: up from 3 per the r8 VERDICT —
+    # enough samples that min and p50 bracket a publishable variance
+    # band); headline value is the min (steady-state throughput,
+    # scheduler/GC jitter removed — min-of-2 left ±0.15 s local[32]
+    # jitter reading as ±20% regressions on sub-second queries),
+    # with p50 + raw runs alongside
     timings: dict[str, float] = {}
     p50s: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for spec in headline:
         samples: list[float] = []
         n = 0
-        for _ in range(3):
+        for _ in range(5):
             start = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             n = len(df.collect())

@@ -676,6 +676,49 @@ def main(argv: list[str] | None = None) -> int:
     kj.add_argument("--output", default=None, help="optional parquet sink")
     kj.add_argument("--show", type=int, default=5, help="print first N rows")
 
+    lgr = sub.add_parser(
+        "linkgraph",
+        help="incremental link graph: fold edge batches, warm-start "
+        "pagerank/hits refresh over a state dir",
+    )
+    lgr.add_argument("--state", required=True, help="snapshot-state path")
+    lgr.add_argument(
+        "--add-edges", default=None,
+        help="parquet path: fold one batch of edges into the state",
+    )
+    lgr.add_argument("--src", default="src", help="source column")
+    lgr.add_argument("--dst", default="dst", help="destination column")
+    lgr.add_argument(
+        "--weight", default=None, help="optional integer edge-weight column"
+    )
+    lgr.add_argument("--txn-id", default="cli-linkgraph", help="ledger app id")
+    lgr.add_argument(
+        "--batch-id", type=int, default=None,
+        help="ledger batch number (required with --add-edges)",
+    )
+    lgr.add_argument(
+        "--pagerank", action="store_true",
+        help="refresh PageRank (warm-started from the stored vector)",
+    )
+    lgr.add_argument(
+        "--hits", action="store_true",
+        help="refresh HITS hubs/authorities (warm-started)",
+    )
+    lgr.add_argument("--iterations", type=int, default=30)
+    lgr.add_argument(
+        "--tol", type=float, default=1e-7,
+        help="early-stop L1 tolerance (0 disables)",
+    )
+    lgr.add_argument(
+        "--cold", action="store_true",
+        help="ignore the stored vector (cold start)",
+    )
+    lgr.add_argument(
+        "--maintain", action="store_true",
+        help="compact state + rewrite the edge fold",
+    )
+    lgr.add_argument("--show", type=int, default=10, help="print top-N nodes")
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -1320,6 +1363,66 @@ def main(argv: list[str] | None = None) -> int:
                 "tvd_num": str(rep["tvd_num"]), "tvd": rep["tvd"],
                 "chi2": rep["chi2"],
             },
+        }))
+        return 0
+
+    if args.cmd == "linkgraph":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalLinkGraph,
+        )
+
+        g = IncrementalLinkGraph(
+            spark, args.state, src=args.src, dst=args.dst, weight=args.weight
+        )
+        steps = []
+        if args.add_edges:
+            if args.batch_id is None:
+                p.error("--add-edges requires --batch-id")
+            steps.append(("add_edges", g.add_edges(
+                spark.read.parquet(args.add_edges),
+                txn=(args.txn_id, args.batch_id),
+            )))
+        tol = args.tol if args.tol and args.tol > 0 else None
+        ranks = []
+        if args.pagerank:
+            pr = g.pagerank(
+                iterations=args.iterations, tol=tol,
+                warm_start=not args.cold,
+            )
+            top = pr.orderBy(F.col("rank_scaled").desc(), "node").limit(
+                args.show
+            ).collect()
+            steps.append(("pagerank", {
+                "iterations_run": getattr(pr, "_pr_iterations", None),
+                "nodes": pr.count(),
+            }))
+            ranks.append(("pagerank_top", [
+                {"node": r["node"], "rank": r["rank"]} for r in top
+            ]))
+        if args.hits:
+            h = g.hits(
+                iterations=args.iterations, tol=tol,
+                warm_start=not args.cold,
+            )
+            top = h.orderBy(F.col("auth_scaled").desc(), "node").limit(
+                args.show
+            ).collect()
+            steps.append(("hits", {
+                "iterations_run": getattr(h, "_hits_iterations", None),
+                "nodes": h.count(),
+            }))
+            ranks.append(("hits_top_auth", [
+                {"node": r["node"], "hub": r["hub"], "auth": r["auth"]}
+                for r in top
+            ]))
+        if args.maintain:
+            steps.append(("maintain", g.maintain()))
+        print(json.dumps({
+            "status": "success", "action": "linkgraph",
+            "steps": [{"step": n, **r} for n, r in steps],
+            **dict(ranks),
         }))
         return 0
 

@@ -200,6 +200,8 @@ def hits(
     checkpoint_every: int = 2,
     partitions: int | None = None,
     lazy: bool = False,
+    tol: float | None = None,
+    init_hubs: DataFrame | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
     arithmetic — the complement to :func:`pagerank` on the same host
@@ -244,9 +246,25 @@ def hits(
     logical/cached-plan TREE still doubles per propagate, and plan
     stringification at the final ``localCheckpoint`` goes exponential
     past a handful of un-cut iterations.
+
+    ``tol`` (eager mode only) stops early once the L1 delta of the HUB
+    vector between consecutive iterations — an integer sum, so the
+    check is deterministic — drops under ``tol × scale``;
+    ``iterations`` becomes the cap and the frame carries the count as
+    ``_hits_iterations`` (pagerank's ``_pr_iterations`` convention).
+
+    ``init_hubs`` warm-starts the hub vector from a previous run
+    (``(node, hub_scaled)``): exactly L1-renormalized to ``scale``
+    over the CURRENT node set, absent nodes at the uniform cold-start
+    mass. Because HITS converges to the principal singular vectors
+    from any non-degenerate start, a warm start on a slightly-grown
+    graph reaches ``tol`` in fewer iterations; with fixed
+    ``iterations`` the floor-noise bits differ from a cold run.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if tol is not None and lazy:
+        raise ValueError("tol requires eager mode (per-iteration delta jobs)")
 
     e = edges.select(
         F.col(src).cast("string").alias("_h_src"),
@@ -303,6 +321,30 @@ def hits(
         )
 
     hub = nodes.select("node", F.lit(scale // n).cast("long").alias("s"))
+    if init_hubs is not None:
+        ih = init_hubs.select(
+            F.col("node").cast("string").alias("_wnode"),
+            F.col("hub_scaled").cast("long").alias("_whub"),
+        )
+        raw0 = nodes.join(ih, nodes["node"] == F.col("_wnode"), "left").select(
+            "node",
+            F.coalesce(
+                F.when(F.col("_whub") >= 1, F.col("_whub")),
+                F.lit(scale // n).cast("long"),
+            ).alias("_h0"),
+        )
+        if not lazy:
+            raw0 = raw0.localCheckpoint(eager=True)
+        tot0 = int(
+            raw0.agg(F.coalesce(F.sum("_h0"), F.lit(0)).cast("long")).first()[0]
+        )
+        if tot0 > 0:
+            hub = raw0.select(
+                "node",
+                F.expr(f"(CAST(_h0 AS DECIMAL(38,0)) * {scale}) div {tot0}")
+                .cast("long")
+                .alias("s"),
+            )
     gens: list[DataFrame] = []
 
     def _propagate(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
@@ -338,12 +380,33 @@ def hits(
         return normed
 
     for i in range(iterations):
+        prev_hub = hub
         auth = _propagate(hub, "_h_src", "_h_dst")
         hub = _propagate(auth, "_h_dst", "_h_src")
+        if tol is not None:
+            # integer L1 delta of the hub vector — deterministic stop
+            delta = int(
+                hub.join(
+                    prev_hub.withColumnsRenamed({"node": "_pn", "s": "_ps"}),
+                    hub["node"] == F.col("_pn"),
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("s") - F.col("_ps"))), F.lit(0)
+                    )
+                )
+                .first()[0]
+            )
+            if delta < tol * scale:
+                break
         if (
             not lazy
             and checkpoint_every
-            and (i + 1) % checkpoint_every == 0
+            # under tol the delta job materializes each generation —
+            # cut lineage every iteration (same plan-string-growth
+            # rationale as pagerank's tol cut; HITS grows ~4x per
+            # PROPAGATE, twice per iteration)
+            and (tol is not None or (i + 1) % checkpoint_every == 0)
             and i + 1 < iterations
         ):
             auth = auth.localCheckpoint(eager=True)
@@ -371,6 +434,7 @@ def hits(
     out = out.localCheckpoint(eager=True)
     for df in (*held, *gens):
         df.unpersist()
+    out._hits_iterations = i + 1  # noqa: SLF001 - deliberate metadata attr
     return out
 
 
@@ -387,6 +451,7 @@ def pagerank(
     lazy: bool = False,
     tol: float | None = None,
     seeds: DataFrame | list[str] | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank in exact fixed-point arithmetic.
 
@@ -447,6 +512,19 @@ def pagerank(
     known-good allowlist" corpus weighting. With every node seeded the
     result is bit-identical to the unseeded run; nodes with no inbound
     path from the seeds get rank exactly 0.
+
+    ``init_ranks`` is the WARM START: a ``(node, rank_scaled)`` frame
+    (a previous run's output, e.g. from
+    :class:`~harness_aws_etl_pipeline_spark.operators.incremental.IncrementalLinkGraph`)
+    used as iteration 0 instead of the uniform vector. Ranks are
+    exactly L1-renormalized to ``scale`` over the CURRENT node set
+    (``r·scale div Σr`` in decimal — no overflow, Σ ≤ scale holds);
+    nodes absent from ``init_ranks`` start at the cold-start mass.
+    Power iteration has a unique fixed point, so with ``tol`` the warm
+    run converges to the same ranks (within floor noise) in fewer
+    iterations when the graph changed little; with a fixed
+    ``iterations`` budget the trajectory — and therefore the exact
+    floor-noise bits — differs from a cold run by design.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -524,13 +602,41 @@ def pagerank(
     base = (scale * (100 - d) // 100) // n_tp
     seed_base = F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0))
 
-    ranks = nodes.select(
-        "node",
+    cold0 = (
         F.when(F.col("_seed"), F.lit(scale // n_tp))
         .otherwise(F.lit(0))
         .cast("long")
-        .alias("rank_scaled"),
     )
+    ranks = nodes.select("node", cold0.alias("rank_scaled"))
+    if init_ranks is not None:
+        ir = init_ranks.select(
+            F.col("node").cast("string").alias("_wnode"),
+            F.col("rank_scaled").cast("long").alias("_wrank"),
+        )
+        raw0 = nodes.join(ir, nodes["node"] == F.col("_wnode"), "left").select(
+            "node",
+            F.coalesce(
+                F.when(F.col("_wrank") >= 1, F.col("_wrank")), cold0
+            ).alias("_r0"),
+        )
+        if not lazy:
+            # referenced twice (total + renorm) — materialize once
+            raw0 = raw0.localCheckpoint(eager=True)
+        tot0 = int(
+            raw0.agg(F.coalesce(F.sum("_r0"), F.lit(0)).cast("long")).first()[0]
+        )
+        if tot0 > 0:
+            # exact L1 renorm to scale: decimal multiply then integral
+            # divide — Σ rank_scaled ≤ scale, preserving the overflow
+            # headroom invariant of the iteration itself
+            ranks = raw0.select(
+                "node",
+                F.expr(
+                    f"(CAST(_r0 AS DECIMAL(38,0)) * {scale}) div {tot0}"
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
     rank_gens: list[DataFrame] = []
     for i in range(iterations):
         r = ranks.join(outdeg, ranks["node"] == outdeg["_pr_src"], "left")
@@ -596,7 +702,15 @@ def pagerank(
         if (
             not lazy
             and checkpoint_every
-            and (i + 1) % checkpoint_every == 0
+            # under tol every generation is ALREADY materialized by
+            # the delta job, so cutting lineage each iteration is
+            # near-free — and necessary: each generation references
+            # the previous one twice (dang + shares), so the plan —
+            # and the multi-MB plan STRINGS Spark's SQL listener
+            # retains per job — grows ~4x per un-cut iteration
+            # (measured: 16 MB at window depth 4; driver OOM by ~26
+            # tol iterations before this cut)
+            and (tol is not None or (i + 1) % checkpoint_every == 0)
             and i + 1 < iterations
         ):
             # the eager checkpoint materializes the cut — every prior

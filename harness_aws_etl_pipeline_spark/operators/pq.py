@@ -604,6 +604,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     rerank_with: DataFrame | None = None,
     shortlist: int | None = None,
+    min_candidates: int | None = None,
+    nprobe_max: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: each query probes its ``nprobe`` nearest
     inverted lists and ADC-scores ONLY those lists' codes — the scan
@@ -619,6 +621,17 @@ def ivfpq_topk(
     contract: ``rerank_with`` must cover every indexed id (the rerank
     inner-join silently drops shortlist ids it cannot find).  Returns
     (query_id, rank, neighbor_id, score).
+
+    ``min_candidates`` switches to PER-QUERY ADAPTIVE probing (the
+    multi-probe practice of Jégou et al. §IV): lists are probed in
+    similarity order until their cumulative occupancy reaches
+    ``min_candidates`` codes, capped at ``nprobe_max`` (default: all
+    lists; ``nprobe`` is ignored). A query whose nearest list is huge
+    probes one list; one landing between small lists probes several —
+    candidate work per query is ~``min_candidates`` regardless of
+    list imbalance. Occupancies are one nlist-row aggregate.
+    Use :func:`calibrate_nprobe` to pick a FIXED nprobe from a recall
+    target instead.
     """
     import numpy as np
 
@@ -642,8 +655,19 @@ def ivfpq_topk(
     cunit = _unit_rows(cmat)
 
     residual = bool(model.get("residual"))
+    occ: dict[int, int] | None = None
+    if min_candidates is not None:
+        # one nlist-row aggregate — the per-list occupancy that the
+        # adaptive prefix expands against
+        occ = {
+            int(r["centroid_id"]): int(r["c"])
+            for r in index.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
     kept_qids, luts, probes = [], [], []
     nprobe = min(nprobe, len(crows))
+    cap = min(nprobe_max or len(crows), len(crows))
     for i, ok in enumerate(qvalid):
         if not ok:
             continue
@@ -654,7 +678,17 @@ def ivfpq_topk(
             )
         )
         sims = cunit @ qunit[i]
-        order = np.lexsort((cids, -sims))[:nprobe]
+        order = np.lexsort((cids, -sims))
+        if occ is None:
+            order = order[:nprobe]
+        else:
+            cum, take = 0, []
+            for j in order[:cap]:
+                take.append(j)
+                cum += occ.get(int(cids[j]), 0)
+                if cum >= min_candidates:
+                    break
+            order = np.asarray(take, dtype=np.int64)
         # residual scoring: q·v̂ = q·c + q·r̂ — the q·c bias is a
         # per-(query, list) constant, so it rides the probe frame
         probes.extend(
@@ -739,6 +773,126 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def calibrate_nprobe(
+    index: DataFrame,
+    centroids: DataFrame,
+    sample_queries: DataFrame,
+    corpus: DataFrame,
+    target_recall: float = 0.9,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Derive ``nprobe`` from a recall target instead of guessing it.
+
+    Probed-list COVERAGE — the fraction of exact top-k neighbors whose
+    inverted list is among the first ``p`` probed — is the recall
+    CEILING at ``nprobe=p``: no encoding or rerank can recover a
+    neighbor whose list was never scanned (with exact rerank, recall
+    ≈ coverage). This measures that curve on a bounded query sample
+    and returns the smallest ``p`` whose mean coverage meets
+    ``target_recall``:
+
+    1. exact top-k for the sample via the Arrow brute-force pass
+       (one corpus scan — calibration cost, paid once per index);
+    2. each true neighbor's list assignment (a semi-joined lookup on
+       the index, |sample|·topk rows collected);
+    3. for every query, the probe POSITION of each neighbor's list in
+       that query's centroid-similarity order; ``coverage[p]`` is then
+       the fraction of (query, neighbor) pairs with position < p.
+
+    Returns ``{"nprobe", "coverage" (p → fraction, full curve),
+    "scan_fraction" (mean fraction of corpus codes in the first
+    ``nprobe`` lists), "target_recall", "queries"}``. On clustered
+    data the curve saturates early (small nprobe, small scan
+    fraction); on isotropic data it rises ~linearly and the returned
+    nprobe is honestly large — the decision the round-8 bench left to
+    a fixed default. Multi-probe selection per Jégou et al. §IV.
+    """
+    import numpy as np
+
+    from harness_aws_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    if not 0 < target_recall <= 1:
+        raise ValueError(f"target_recall must be in (0, 1]: {target_recall}")
+    exact = brute_force_topk_arrow(
+        corpus, sample_queries, k=topk, id_col=id_col, vec_col=vec_col
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in exact]
+    if not pairs:
+        raise ValueError("calibration sample produced no exact neighbors")
+
+    crows = centroids.orderBy("centroid_id").collect()
+    if not crows:
+        raise ValueError("empty centroid set")
+    cids = np.array([r["centroid_id"] for r in crows], dtype=np.int64)
+    cmat = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    cunit = _unit_rows(cmat)
+    nlist = len(cids)
+
+    need = sorted({n for _, n in pairs})
+    assign = {
+        r[id_col]: int(r["centroid_id"])
+        for r in index.filter(F.col(id_col).isin(list(need)))
+        .select(id_col, "centroid_id")
+        .collect()
+    }
+    occ = {
+        int(r["centroid_id"]): int(r["c"])
+        for r in index.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_codes = sum(occ.values()) or 1
+
+    qrows = sample_queries.select(id_col, vec_col).collect()
+    cpos = {int(c): i for i, c in enumerate(cids)}
+    # probe position of every list, per query
+    positions: dict = {}
+    probe_order: dict = {}
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        if not np.isfinite(nv) or nv == 0:
+            continue
+        order = np.lexsort((cids, -(cunit @ (v / nv))))
+        probe_order[r[id_col]] = order
+        positions[r[id_col]] = {int(cids[j]): p for p, j in enumerate(order)}
+
+    # minimal probe depth per (query, neighbor); unplaceable neighbors
+    # (NULL-coded) count as never covered
+    depths = []
+    for q, n in pairs:
+        pos = positions.get(q)
+        c = assign.get(n)
+        depths.append(
+            pos[c] + 1 if pos is not None and c in (pos or {}) else nlist + 1
+        )
+    total = len(depths)
+    coverage = {}
+    chosen = nlist
+    for p in range(1, nlist + 1):
+        coverage[p] = sum(1 for d in depths if d <= p) / total
+        if coverage[p] >= target_recall and chosen == nlist:
+            chosen = p
+            if coverage[p] >= 1.0:
+                break
+    # mean scan fraction at the chosen depth over the sampled queries
+    fracs = [
+        sum(occ.get(int(cids[j]), 0) for j in order[:chosen]) / n_codes
+        for order in probe_order.values()
+    ]
+    return {
+        "nprobe": chosen,
+        "coverage": coverage,
+        "scan_fraction": (sum(fracs) / len(fracs)) if fracs else 1.0,
+        "target_recall": target_recall,
+        "queries": len(probe_order),
+    }
 
 
 def save_pq(model: dict, path: str, spark=None) -> None:

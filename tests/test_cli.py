@@ -994,3 +994,50 @@ class TestSessionizeCli:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["pairs"] == 18  # 6 left x k=3, full probe
         assert spark.read.parquet(out).count() == 18
+
+
+class TestLinkGraphCli:
+    def test_fold_refresh_and_maintain(self, spark, tmp_path, capsys):
+        b0 = tmp_path / "b0.parquet"
+        b1 = tmp_path / "b1.parquet"
+        spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+            "src string, dst string",
+        ).coalesce(1).write.parquet(str(b0))
+        spark.createDataFrame(
+            [("c", "d"), ("b", "d")], "src string, dst string"
+        ).coalesce(1).write.parquet(str(b1))
+        state = str(tmp_path / "state")
+
+        rc = main([
+            "linkgraph", "--state", state, "--add-edges", str(b0),
+            "--batch-id", "0", "--pagerank", "--iterations", "8",
+            "--tol", "0",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["status"] == "success"
+        steps = {s["step"]: s for s in out["steps"]}
+        assert steps["add_edges"]["skipped"] is False
+        assert steps["pagerank"]["nodes"] == 4
+        assert len(out["pagerank_top"]) == 4
+
+        rc = main([
+            "linkgraph", "--state", state, "--add-edges", str(b1),
+            "--batch-id", "1", "--pagerank", "--hits",
+            "--iterations", "8", "--tol", "0", "--maintain",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        steps = {s["step"]: s for s in out["steps"]}
+        assert steps["maintain"]["edges_folded"] == 7
+        assert len(out["hits_top_auth"]) == 4
+
+        # replay of batch 1 short-circuits
+        rc = main([
+            "linkgraph", "--state", state, "--add-edges", str(b1),
+            "--batch-id", "1",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["steps"][0]["skipped"] is True

@@ -577,3 +577,115 @@ class TestScalarQuantization:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestAutoNprobe:
+    """calibrate_nprobe + adaptive min_candidates probing (round 9:
+    derive nprobe from the coverage diagnostic instead of a fixed
+    default — VERDICT r8 item 4)."""
+
+    def _recall(self, got_df, exact_df):
+        got = {(r.query_id, r.neighbor_id) for r in got_df.collect()}
+        exact = {(r.query_id, r.neighbor_id) for r in exact_df.collect()}
+        return len(got & exact) / len(exact)
+
+    def test_calibrate_on_clustered_picks_small_nprobe(self, spark, vecs):
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            build_ivfpq,
+            calibrate_nprobe,
+            ivfpq_topk,
+        )
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            brute_force_topk_arrow,
+        )
+
+        index, cents, mdl = build_ivfpq(vecs, nlist=4, m=4, k=8, dim=DIM)
+        rep = calibrate_nprobe(
+            index, cents, vecs.limit(8), vecs, target_recall=0.9, topk=8
+        )
+        # well-separated clusters: the curve saturates after 1-2
+        # lists (k-means may split one planted cluster across cells),
+        # well under the full scan
+        assert rep["nprobe"] <= 2
+        assert rep["coverage"][rep["nprobe"]] >= 0.9
+        assert rep["scan_fraction"] <= 0.6
+        assert rep["queries"] == 8
+        # and the chosen setting actually delivers the target recall.
+        # brute_force_topk_arrow EXCLUDES self-matches while ivfpq_topk
+        # keeps them (self is always rank 1 for an in-corpus query), so
+        # ask for k+1 and drop the self pair before comparing.
+        got = ivfpq_topk(
+            index,
+            vecs.limit(8),
+            mdl,
+            cents,
+            nprobe=rep["nprobe"],
+            topk=9,
+            rerank_with=vecs,
+            shortlist=32,  # wide enough that ADC noise can't evict a
+            # covered neighbor — recall is then coverage-limited only
+        ).where("query_id != neighbor_id")
+        exact = brute_force_topk_arrow(vecs, vecs.limit(8), k=8)
+        assert self._recall(got, exact) >= rep["coverage"][rep["nprobe"]] - 1e-9
+
+    def test_calibrate_on_isotropic_is_honestly_large(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            build_ivfpq,
+            calibrate_nprobe,
+        )
+
+        rng = np.random.RandomState(11)
+        pts = rng.standard_normal((48, DIM))
+        iso = spark.createDataFrame(
+            [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        )
+        index, cents, _ = build_ivfpq(iso, nlist=4, m=4, k=8, dim=DIM)
+        rep = calibrate_nprobe(
+            index, cents, iso.limit(8), iso, target_recall=0.9, topk=8
+        )
+        # isotropic vectors spread true neighbors across lists — the
+        # calibrator must NOT pretend a small probe suffices
+        assert rep["nprobe"] >= 3
+        # the curve is monotone and ends at full coverage
+        cov = [rep["coverage"][p] for p in sorted(rep["coverage"])]
+        assert all(a <= b + 1e-12 for a, b in zip(cov, cov[1:]))
+        assert cov[-1] == 1.0
+
+    def test_min_candidates_adaptive_probing(self, spark, vecs):
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            build_ivfpq,
+            ivfpq_topk,
+        )
+
+        index, cents, mdl = build_ivfpq(vecs, nlist=4, m=4, k=8, dim=DIM)
+        q = vecs.limit(6)
+
+        def _sets(df):
+            out: dict[int, set[int]] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        # a huge candidate floor expands every query to all lists —
+        # identical to the full probe
+        full = _sets(ivfpq_topk(index, q, mdl, cents, nprobe=4, topk=8))
+        wide = _sets(
+            ivfpq_topk(index, q, mdl, cents, min_candidates=10**9, topk=8)
+        )
+        assert wide == full
+        # a 1-code floor stops at the first (non-empty) list —
+        # identical to nprobe=1 on this balanced index
+        one = _sets(ivfpq_topk(index, q, mdl, cents, nprobe=1, topk=8))
+        tight = _sets(
+            ivfpq_topk(index, q, mdl, cents, min_candidates=1, topk=8)
+        )
+        assert tight == one
+        # nprobe_max caps the expansion
+        capped = _sets(
+            ivfpq_topk(
+                index, q, mdl, cents,
+                min_candidates=10**9, nprobe_max=1, topk=8,
+            )
+        )
+        assert capped == one
