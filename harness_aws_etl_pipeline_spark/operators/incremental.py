@@ -52,6 +52,7 @@ from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
 from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 
 __all__ = [
+    "IncrementalAnnIndex",
     "IncrementalDeduper",
     "IncrementalDrift",
     "IncrementalEmbeddingDeduper",
@@ -1981,3 +1982,278 @@ class IncrementalLinkGraph:
             "edges_folded": folded.count() if folded is not None else 0,
         }
         return out
+
+
+# ----------------------------------------------------- ANN index
+
+
+class IncrementalAnnIndex:
+    """Incrementally maintained IVF-PQ ANN index — the embedding
+    corpus grows daily, the index follows in O(batch), and the probe
+    setting is re-derived from measured coverage instead of guessed.
+
+    A 100 TB deployment cannot re-train + re-encode the whole corpus
+    per ingest. The standard production split (Jégou et al.; FAISS
+    practice) is: quantizers are TRAINED ONCE on a seed sample and
+    FROZEN; new vectors are only ASSIGNED + ENCODED against them —
+    a pure per-row projection, so incremental ingestion is
+    embarrassingly parallel and bit-identical to having encoded the
+    vector at build time (pinned by tests).
+
+    * **State = the index rows** ``(id, centroid_id, pq_code)`` in a
+      :class:`~harness_aws_etl_pipeline_spark.sinks.snaptable.SnapTable`
+      (m bytes + a long per vector); the frozen model + centroids are
+      versionless JSON artifacts beside it (save_pq / save_ivf).
+    * **Per batch**: one Arrow assign+encode pass, one append commit
+      carrying the batch txn ledger — replays short-circuit before
+      any Spark job (same exactly-once contract as the dedup gates).
+    * **Probe maintenance**: :meth:`recalibrate` re-measures the
+      probed-list coverage curve (``pq.calibrate_nprobe``) against
+      the CURRENT corpus and persists the chosen nprobe — searches
+      default to it. Distribution drift (new clusters the frozen
+      coarse quantizer splits badly) shows up as a rising calibrated
+      nprobe / falling coverage, and :meth:`stats` exposes list
+      occupancy imbalance — the retrain signals.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.id_col, self.vec_col = id_col, vec_col
+        base = state_path.rstrip("/")
+        self.table = SnapTable(spark, f"{base}/index")
+        self._model_path = f"{base}/model.json"
+        self._cents_path = f"{base}/centroids.json"
+        self._settings_path = f"{base}/settings.json"
+        self._model: dict | None = None
+        self._cents = None
+
+    # ------------------------------------------------------------------
+
+    def _fs(self):
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+        return get_fs(self._settings_path, self.spark)
+
+    def model(self) -> dict:
+        if self._model is None:
+            from harness_aws_etl_pipeline_spark.operators.pq import load_pq
+
+            self._model = load_pq(self._model_path, self.spark)
+        return self._model
+
+    def centroids(self) -> DataFrame:
+        if self._cents is None:
+            from harness_aws_etl_pipeline_spark.operators.similarity import (
+                load_ivf,
+            )
+
+            self._cents = load_ivf(self._cents_path, self.spark)
+        return self._cents
+
+    def settings(self) -> dict:
+        import json
+
+        try:
+            raw = self._fs().read_bytes(self._settings_path)
+        except Exception:  # noqa: BLE001 - absent settings = defaults
+            return {}
+        return json.loads(raw.decode("utf-8"))
+
+    # ------------------------------------------------------------------
+
+    def build(
+        self,
+        df: DataFrame,
+        nlist: int = 16,
+        m: int = 8,
+        k: int = 256,
+        dim: int | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Train the frozen quantizers on ``df`` (the seed corpus) and
+        write the initial index. Replays short-circuit via the txn
+        ledger like every other gate here."""
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            build_ivfpq,
+            save_pq,
+        )
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            save_ivf,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "indexed": None,
+            }
+        index, cents, model = build_ivfpq(
+            df,
+            nlist=nlist,
+            m=m,
+            k=k,
+            dim=dim,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        index = index.localCheckpoint(eager=True)
+        save_pq(model, self._model_path, self.spark)
+        save_ivf(cents, self._cents_path, self.spark)
+        self._model, self._cents = model, cents
+        out = self.table.write(index, mode="overwrite", txn=txn)
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "indexed": index.count(),
+        }
+
+    def add_batch(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Assign + encode one batch against the FROZEN quantizers and
+        append it — bit-identical to having indexed these rows at
+        build time (encoding is a pure per-row projection)."""
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            _cent_arrays,
+            _encode_residual,
+        )
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            _assign_nearest,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "indexed": None,
+                "rejected": None,
+            }
+        model, cents = self.model(), self.centroids()
+        assigned = _assign_nearest(
+            df.select(self.id_col, self.vec_col),
+            cents,
+            self.id_col,
+            self.vec_col,
+        )
+        cids, cunit = _cent_arrays(cents)
+        enc = _encode_residual(
+            assigned, model, cids, cunit, vec_col=self.vec_col
+        ).localCheckpoint(eager=True)
+        rows = enc.filter(
+            F.col("centroid_id").isNotNull() & F.col("pq_code").isNotNull()
+        ).select(self.id_col, "centroid_id", "pq_code")
+        out = self.table.write(rows, mode="append", txn=txn)
+        n_ok = rows.count()
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "indexed": n_ok,
+            "rejected": enc.count() - n_ok,
+        }
+
+    def index(self) -> DataFrame:
+        return self.table.read()
+
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        topk: int = 10,
+        nprobe: int | None = None,
+        min_candidates: int | None = None,
+        rerank_with: DataFrame | None = None,
+        shortlist: int | None = None,
+    ) -> DataFrame:
+        """IVF-PQ top-k over the current index. ``nprobe`` defaults to
+        the last :meth:`recalibrate` result (falling back to 4)."""
+        from harness_aws_etl_pipeline_spark.operators.pq import ivfpq_topk
+
+        if nprobe is None and min_candidates is None:
+            nprobe = int(self.settings().get("nprobe", 4))
+        return ivfpq_topk(
+            self.index(),
+            queries,
+            self.model(),
+            self.centroids(),
+            nprobe=nprobe if nprobe is not None else 4,
+            topk=topk,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            rerank_with=rerank_with,
+            shortlist=shortlist,
+            min_candidates=min_candidates,
+        )
+
+    def recalibrate(
+        self,
+        sample_queries: DataFrame,
+        corpus: DataFrame,
+        target_recall: float = 0.9,
+        topk: int = 10,
+    ) -> dict:
+        """Re-derive nprobe from the measured coverage curve on the
+        CURRENT index and persist it as the search default. ``corpus``
+        supplies raw vectors for the exact top-k (the index keeps
+        codes only)."""
+        import json
+
+        from harness_aws_etl_pipeline_spark.operators.pq import (
+            calibrate_nprobe,
+        )
+
+        cal = calibrate_nprobe(
+            self.index(),
+            self.centroids(),
+            sample_queries,
+            corpus,
+            target_recall=target_recall,
+            topk=topk,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        payload = {
+            "nprobe": cal["nprobe"],
+            "target_recall": target_recall,
+            "scan_fraction": cal["scan_fraction"],
+        }
+        self._fs().write_bytes(
+            self._settings_path,
+            json.dumps(payload, ensure_ascii=False).encode("utf-8"),
+        )
+        return cal
+
+    def stats(self) -> dict:
+        """Occupancy shape of the inverted lists — imbalance rising
+        over batches is the coarse-quantizer retrain signal."""
+        rows = (
+            self.index()
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        )
+        occ = sorted(int(r["c"]) for r in rows)
+        total = sum(occ)
+        return {
+            "vectors": total,
+            "lists": len(occ),
+            "max_list": occ[-1] if occ else 0,
+            "imbalance": (occ[-1] * len(occ) / total) if total else 0.0,
+            "state_version": self.table.current_version(),
+        }
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
