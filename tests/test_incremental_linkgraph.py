@@ -179,3 +179,42 @@ class TestDeepIterationLineageCut:
         r = pagerank(edges, iterations=35, tol=1e-12)
         assert r._pr_iterations == 35  # tol unreachable: ran the cap
         assert r.count() == 4
+
+
+class TestLinkGraphStreaming:
+    def test_foreach_batch_fold_end_to_end(self, spark, tmp_path):
+        """readStream → foreachBatch(add_edges) with AvailableNow: the
+        graph folds a real micro-batch stream exactly-once — re-running
+        the same stream over a FRESH checkpoint (same batch ids) hits
+        the txn-ledger short-circuit instead of double-counting
+        weights, so pagerank on the state is unchanged."""
+        g = _graph(spark, tmp_path)
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(B1, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b0"))
+
+        def fold(batch_df, batch_id):
+            g.add_edges(batch_df, txn=("stream-lg", batch_id))
+
+        def run(ckpt):
+            q = (
+                spark.readStream.schema(SCHEMA)
+                .parquet(str(src / "b0"))
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", str(tmp_path / ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run("ckpt1")
+        before = {(r.src, r.dst): r.w for r in g.edges().collect()}
+        v = g.edges_table.current_version()
+        run("ckpt2")  # same data, fresh checkpoint → same batch id 0
+        after = {(r.src, r.dst): r.w for r in g.edges().collect()}
+        assert after == before
+        assert g.edges_table.current_version() == v
+        ranks = g.pagerank(iterations=4, tol=None)
+        assert ranks.count() == len({n for e in B1 for n in e})
