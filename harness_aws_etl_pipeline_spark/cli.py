@@ -353,6 +353,54 @@ def main(argv: list[str] | None = None) -> int:
         "loaded when it exists, else trained and saved there",
     )
 
+    anx = sub.add_parser(
+        "annindex",
+        help="incrementally maintained IVF-PQ index over a state dir",
+    )
+    anx.add_argument("--state", required=True, help="snapshot-state path")
+    anx.add_argument(
+        "--build", default=None,
+        help="parquet path: train frozen quantizers + write the seed index",
+    )
+    anx.add_argument(
+        "--add-batch", default=None,
+        help="parquet path: encode against the frozen quantizers, append",
+    )
+    anx.add_argument("--nlist", type=int, default=16)
+    anx.add_argument("--m", type=int, default=8)
+    anx.add_argument("--k-codes", type=int, default=256)
+    anx.add_argument("--id-col", default="vec_id")
+    anx.add_argument("--vec-col", default="embedding")
+    anx.add_argument("--txn-id", default="cli-annindex", help="ledger app id")
+    anx.add_argument(
+        "--batch-id", type=int, default=None,
+        help="ledger batch number (required with --build/--add-batch)",
+    )
+    anx.add_argument(
+        "--queries", default=None,
+        help="parquet path: run a top-k search (calibrated nprobe default)",
+    )
+    anx.add_argument("--topk", type=int, default=10)
+    anx.add_argument(
+        "--rerank-with", default=None,
+        help="parquet path of raw vectors for exact rerank",
+    )
+    anx.add_argument(
+        "--recalibrate", default=None,
+        help="parquet path of sample queries: re-derive + persist nprobe "
+        "(requires --corpus)",
+    )
+    anx.add_argument(
+        "--corpus", default=None,
+        help="raw-vector parquet backing recalibration's exact top-k",
+    )
+    anx.add_argument(
+        "--target-recall", type=float, default=0.9,
+        help="recalibration coverage target",
+    )
+    anx.add_argument("--output", default=None, help="search results parquet")
+    anx.add_argument("--show", type=int, default=5, help="print first N rows")
+
     bj = sub.add_parser(
         "bloomjoin",
         help="join with the big side Bloom-pruned before the shuffle",
@@ -1740,6 +1788,66 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "status": "success", "action": "rank", "algo": args.algo,
             "nodes": ranks.count(), "top": top, "output": args.output,
+        }))
+        return 0
+
+    if args.cmd == "annindex":
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalAnnIndex,
+        )
+
+        ann = IncrementalAnnIndex(
+            spark, args.state, id_col=args.id_col, vec_col=args.vec_col
+        )
+        steps = []
+        if args.build:
+            if args.batch_id is None:
+                p.error("--build requires --batch-id")
+            steps.append(("build", ann.build(
+                spark.read.parquet(args.build),
+                nlist=args.nlist, m=args.m, k=args.k_codes,
+                txn=(f"{args.txn_id}-build", args.batch_id),
+            )))
+        if args.add_batch:
+            if args.batch_id is None:
+                p.error("--add-batch requires --batch-id")
+            steps.append(("add_batch", ann.add_batch(
+                spark.read.parquet(args.add_batch),
+                txn=(args.txn_id, args.batch_id),
+            )))
+        if args.recalibrate:
+            if not args.corpus:
+                p.error("--recalibrate requires --corpus (raw vectors)")
+            cal = ann.recalibrate(
+                spark.read.parquet(args.recalibrate),
+                spark.read.parquet(args.corpus),
+                target_recall=args.target_recall,
+                topk=args.topk,
+            )
+            steps.append(("recalibrate", {
+                "nprobe": cal["nprobe"],
+                "scan_fraction": round(cal["scan_fraction"], 4),
+                "queries": cal["queries"],
+            }))
+        rows = None
+        if args.queries:
+            res = ann.search(
+                spark.read.parquet(args.queries),
+                topk=args.topk,
+                rerank_with=(
+                    spark.read.parquet(args.rerank_with)
+                    if args.rerank_with else None
+                ),
+            )
+            if args.output:
+                res.write.mode("overwrite").parquet(args.output)
+            rows = [r.asDict() for r in res.limit(args.show).collect()]
+        print(json.dumps({
+            "status": "success", "action": "annindex",
+            "steps": [{"step": n, **r} for n, r in steps],
+            "stats": ann.stats()
+            if ann.table.current_version() is not None else None,
+            "search_preview": rows, "output": args.output,
         }))
         return 0
 

@@ -1041,3 +1041,64 @@ class TestLinkGraphCli:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["steps"][0]["skipped"] is True
+
+
+class TestAnnIndexCli:
+    def test_build_add_recalibrate_search(self, spark, tmp_path, capsys):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        pts = []
+        for c in range(4):
+            center = np.zeros(16)
+            center[c * 2] = 5.0
+            center[c * 2 + 1] = 3.0
+            for _ in range(12):
+                pts.append(center + rng.standard_normal(16) * 0.05)
+
+        def _write(ids, name):
+            path = tmp_path / name
+            spark.createDataFrame(
+                [(int(i), [float(x) for x in pts[i]]) for i in ids],
+                "vec_id long, embedding array<float>",
+            ).coalesce(1).write.parquet(str(path))
+            return str(path)
+
+        seed = _write(range(36), "seed.parquet")
+        b1 = _write(range(36, 48), "b1.parquet")
+        sample = _write(range(0, 48, 12), "sample.parquet")
+        corpus = _write(range(48), "corpus.parquet")
+        state = str(tmp_path / "state")
+
+        rc = main([
+            "annindex", "--state", state, "--build", seed,
+            "--batch-id", "0", "--nlist", "4", "--m", "4",
+            "--k-codes", "8",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["stats"]["vectors"] == 36
+
+        rc = main([
+            "annindex", "--state", state, "--add-batch", b1,
+            "--batch-id", "1", "--recalibrate", sample,
+            "--corpus", corpus, "--queries", sample, "--topk", "5",
+            "--rerank-with", corpus, "--show", "3",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        steps = {s["step"]: s for s in out["steps"]}
+        assert steps["add_batch"]["indexed"] == 12
+        assert 1 <= steps["recalibrate"]["nprobe"] <= 4
+        assert out["stats"]["vectors"] == 48
+        assert len(out["search_preview"]) == 3
+
+        # replay of add-batch 1 short-circuits
+        rc = main([
+            "annindex", "--state", state, "--add-batch", b1,
+            "--batch-id", "1",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["steps"][0]["skipped"] is True
+        assert out["stats"]["vectors"] == 48
