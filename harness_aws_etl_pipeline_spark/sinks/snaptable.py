@@ -906,6 +906,90 @@ class SnapTable:
             f"delete lost {max_retries} commit races at {self.path!r}"
         )
 
+    def update_where(
+        self,
+        assignments: dict,
+        predicate: Column | str,
+        max_retries: int = 3,
+    ) -> dict:
+        """UPDATE … SET … WHERE — the third leg of the DML triad
+        (merge = upsert, delete_where, update_where). ``assignments``
+        maps existing column names to Column/SQL-string expressions
+        evaluated per matching row (non-matching rows pass through
+        bit-unchanged). Files with no matching rows are kept untouched
+        (same probe-then-rewrite shape as delete_where), a NULL
+        predicate row does NOT match (explicit three-valued handling),
+        assigned values are cast back to the column's declared type so
+        an update can never silently widen the schema, and lost commit
+        races recompute against the winner's snapshot."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        if not sets:
+            raise ValueError("update_where: empty assignments")
+        for _ in range(max_retries):
+            m = self._resolve(None)
+            cur = m["version"]
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            fields = {f.name: f.dataType for f in schema.fields}
+            unknown = sorted(set(sets) - set(fields))
+            if unknown:
+                raise ValueError(
+                    f"update_where: unknown columns {unknown} "
+                    f"(schema has {sorted(fields)})"
+                )
+            if not m["files"]:
+                return {
+                    "version": cur, "files_rewritten": 0, "rows_updated": 0
+                }
+            hits = (
+                self._read_files(schema, [f["path"] for f in m["files"]])
+                .filter(pred)
+                .select(F.input_file_name().alias("_file"))
+                .distinct()
+                .collect()
+            )
+            hit = self._rel_paths_from_uris(hits, m["files"])
+            if not hit:
+                return {
+                    "version": cur, "files_rewritten": 0, "rows_updated": 0
+                }
+            src = self._read_files(schema, hit)
+            match = pred.isNotNull() & pred
+            updated = src.select(
+                *[
+                    F.when(match, sets[c].cast(fields[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in sets
+                    else F.col(c)
+                    for c in fields
+                ]
+            )
+            n_upd = src.filter(match).count()
+            stats_cols = sorted(
+                {c for f in m["files"] for c in (f.get("stats") or {})}
+            )
+            entries = self._write_data_files(updated, stats_cols, None)
+            hitset = set(hit)
+            files = [
+                f for f in m["files"] if f["path"] not in hitset
+            ] + entries
+            manifest = self._new_manifest(
+                cur, "update", m["schema"], dict(m.get("txns") or {}), files
+            )
+            if self._try_commit(manifest, manifest["version"]):
+                return {
+                    "version": manifest["version"],
+                    "files_rewritten": len(hit),
+                    "rows_updated": n_upd,
+                }
+        raise CommitConflict(
+            f"update lost {max_retries} commit races at {self.path!r}"
+        )
+
     # ------------------------------------------------- maintenance ops
 
     def compact(

@@ -923,3 +923,76 @@ class TestRenameCasAtomicity:
                 t.join()
             assert len(wins) == 1, f"round {r}: winners {wins}"
             assert fs.read_bytes(dst) == f"writer-{wins[0]}".encode()
+
+
+class TestUpdateWhere:
+    def test_update_where_basic(self, spark, table):
+        table.write(
+            spark.range(100).withColumn("v", F.col("id") % 10),
+            mode="overwrite",
+            cluster_by=["id"],
+        )
+        out = table.update_where({"v": "v + 100"}, "id >= 90")
+        assert out["rows_updated"] == 10
+        assert out["files_rewritten"] >= 1
+        got = table.read()
+        assert got.count() == 100  # row set unchanged
+        assert got.filter("id >= 90 AND v < 100").count() == 0
+        assert got.filter("id < 90 AND v >= 100").count() == 0
+        assert table.history()[0]["operation"] == "update"
+
+    def test_update_no_match_is_noop(self, spark, table):
+        table.write(spark.range(5), mode="overwrite")
+        v0 = table.current_version()
+        out = table.update_where({"id": "id + 1"}, "id > 999")
+        assert out == {
+            "version": v0, "files_rewritten": 0, "rows_updated": 0
+        }
+        assert table.current_version() == v0
+
+    def test_null_predicate_rows_pass_through(self, spark, table):
+        table.write(
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "b")], "id long, s string"
+            ),
+            mode="overwrite",
+        )
+        out = table.update_where({"id": "id * 10"}, F.col("s") == "a")
+        assert out["rows_updated"] == 1
+        got = {r.s: r.id for r in table.read().collect()}
+        assert got == {"a": 10, None: 2, "b": 3}  # NULL pred row KEPT as-is
+
+    def test_type_preserved_and_unknown_column_rejected(self, spark, table):
+        table.write(
+            spark.range(4).withColumn("v", F.col("id").cast("int")),
+            mode="overwrite",
+        )
+        table.update_where({"v": "CAST(v AS DOUBLE) * 2.5"}, "id >= 2")
+        # assignment result is cast BACK to the declared int type
+        assert dict(table.read().dtypes)["v"] == "int"
+        assert {r.v for r in table.read().filter("id >= 2").collect()} == {
+            5, 7
+        }
+        with pytest.raises(ValueError, match="unknown columns"):
+            table.update_where({"nope": "1"}, "id = 0")
+        with pytest.raises(ValueError, match="empty assignments"):
+            table.update_where({}, "id = 0")
+
+    def test_untouched_files_not_rewritten(self, spark, table):
+        # two well-separated clusters -> distinct files via cluster_by
+        table.write(
+            spark.range(100).withColumn("v", F.lit(0)),
+            mode="overwrite",
+            cluster_by=["id"],
+            target_files=4,
+        )
+        before = {
+            f["path"] for f in table.manifest(table.current_version())["files"]
+        }
+        out = table.update_where({"v": "1"}, "id < 10")
+        after = {
+            f["path"] for f in table.manifest(table.current_version())["files"]
+        }
+        # only the files containing id<10 were replaced
+        assert out["files_rewritten"] < len(before)
+        assert len(before & after) == len(before) - out["files_rewritten"]
