@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "compact", "vacuum", "expire", "restore",
-            "changes", "optimize",
+            "changes", "optimize", "delete", "update",
         ],
     )
     snap.add_argument("--path", required=True, help="snaptable root")
@@ -128,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
     snap.add_argument(
         "--zorder-by", default=None,
         help="comma-separated columns for optimize",
+    )
+    snap.add_argument(
+        "--where", default=None,
+        help="SQL predicate for delete/update (3VL: NULL rows kept)",
+    )
+    snap.add_argument(
+        "--set", action="append", default=None, dest="set_exprs",
+        metavar="COL=EXPR",
+        help="update assignment (repeatable), e.g. --set \"v=v+1\"",
     )
 
     # training-corpus toolkit: the dedup/decontam/filter/tokenize ops
@@ -868,6 +877,20 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.action == "delete":
+            if not args.where:
+                p.error("snap delete requires --where")
+            print(json.dumps(t.delete_where(args.where)))
+        elif args.action == "update":
+            if not args.where or not args.set_exprs:
+                p.error("snap update requires --where and --set")
+            sets = {}
+            for s in args.set_exprs:
+                col, eq, expr = s.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    p.error(f"--set needs COL=EXPR, got {s!r}")
+                sets[col.strip()] = expr.strip()
+            print(json.dumps(t.update_where(sets, args.where)))
         else:  # expire
             print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
         return 0

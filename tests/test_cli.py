@@ -1102,3 +1102,30 @@ class TestAnnIndexCli:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["steps"][0]["skipped"] is True
         assert out["stats"]["vectors"] == 48
+
+
+class TestSnapDmlCli:
+    def test_delete_and_update(self, spark, tmp_path, capsys):
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        path = str(tmp_path / "t")
+        t = SnapTable(spark, path)
+        t.write(
+            spark.range(20).withColumn("v", F.lit(0)), mode="overwrite"
+        )
+        rc = main(["snap", "update", "--path", path,
+                   "--where", "id >= 10", "--set", "v=v+5"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows_updated"] == 10
+        assert t.read().filter("v = 5").count() == 10
+
+        rc = main(["snap", "delete", "--path", path, "--where", "id >= 15"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["files_rewritten"] >= 1
+        assert t.read().count() == 15
+
+        with pytest.raises(SystemExit):
+            main(["snap", "update", "--path", path, "--where", "id=0"])
+        capsys.readouterr()
