@@ -54,6 +54,7 @@ from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 __all__ = [
     "IncrementalAnnIndex",
     "IncrementalDeduper",
+    "IncrementalDistinct",
     "IncrementalDrift",
     "IncrementalEmbeddingDeduper",
     "IncrementalEwma",
@@ -2247,6 +2248,117 @@ class IncrementalAnnIndex:
             "imbalance": (occ[-1] * len(occ) / total) if total else 0.0,
             "state_version": self.table.current_version(),
         }
+
+    def maintain(
+        self,
+        target_file_bytes: int = 16 * 1024 * 1024,
+        keep_last: int = 7,
+        vacuum_min_age_seconds: float = 24 * 3600,
+    ) -> dict:
+        return _maintain_state(
+            self.table, target_file_bytes, keep_last, vacuum_min_age_seconds
+        )
+
+
+# ----------------------------------------------------- distinct count
+
+
+class IncrementalDistinct:
+    """Durable distinct-count synopsis: a KMV sketch as snapshot-table
+    state — "how many distinct keys have we EVER accepted" answered
+    after every batch without re-reading history and without the
+    full-width distinct shuffle an exact count would cost.
+
+    State is the k smallest distinct md5 hashes (≤ k short strings,
+    regardless of stream length or key cardinality). Per batch: one
+    O(batch) sketch pass (:func:`kmv.kmv_sketch` — per-partition
+    k-min, no distinct shuffle on the input), then a
+    k-smallest-of-the-union merge with the stored state (≤ 2k rows).
+    Because "the k smallest values of a fixed hash" is a pure SET
+    property, folding batches is BIT-IDENTICAL to sketching the whole
+    concatenated history — pinned by tests — and the estimate is
+    exact below k distinct. Exactly-once via the snapshot commit's
+    txn ledger, replays short-circuit before any Spark job (same
+    contract as every other gate here).
+
+    The sketch composes with the rest of the KMV family: hand
+    :meth:`sketch` to ``kmv_jaccard`` to ask "how much does this
+    month's corpus overlap everything ever seen" at synopsis cost.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        col: str,
+        k: int = 1024,
+    ):
+        if k < 2:
+            raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+        self.spark = spark
+        self.table = SnapTable(spark, state_path)
+        self.col = col
+        self.k = k
+
+    # ------------------------------------------------------------------
+
+    def sketch(self) -> DataFrame:
+        """The current synopsis ``(h string)`` — empty frame before
+        the first batch."""
+        if self.table.current_version() is None:
+            return self.spark.createDataFrame([], "h string")
+        return self.table.read()
+
+    def process_batch(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Fold one batch; returns ``{"state_version", "skipped",
+        "sketch_rows", "distinct_est", "exact"}``."""
+        from harness_aws_etl_pipeline_spark.operators.kmv import (
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        if self.table.txn_committed(txn):
+            return {
+                "state_version": self.table.current_version(),
+                "skipped": True,
+                "sketch_rows": None,
+                "distinct_est": None,
+                "exact": None,
+            }
+        batch = kmv_sketch(df, self.col, k=self.k)
+        if self.table.current_version() is None:
+            merged = batch
+        else:
+            merged = kmv_merge(self.table.read(), batch, k=self.k)
+        merged = merged.localCheckpoint(eager=True)
+        out = self.table.write(merged, mode="overwrite", txn=txn)
+        est = self._estimate(merged)
+        return {
+            "state_version": out["version"],
+            "skipped": False,
+            "sketch_rows": int(est["sketch_rows"]),
+            "distinct_est": float(est["distinct_est"]),
+            "exact": bool(est["exact"]),
+        }
+
+    def _estimate(self, sk: DataFrame):
+        from harness_aws_etl_pipeline_spark.operators.kmv import (
+            kmv_distinct_estimate,
+        )
+
+        return kmv_distinct_estimate(sk, self.k).first()
+
+    def estimate(self) -> DataFrame:
+        """1-row ``(sketch_rows, exact, distinct_est)`` over the
+        stored synopsis (``kmv_distinct_estimate`` semantics: exact
+        below k)."""
+        from harness_aws_etl_pipeline_spark.operators.kmv import (
+            kmv_distinct_estimate,
+        )
+
+        return kmv_distinct_estimate(self.sketch(), self.k)
 
     def maintain(
         self,

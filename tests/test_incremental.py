@@ -594,3 +594,77 @@ class TestIncrementalHeavyHitters:
         assert ihh.top(1).first()["count_max"] == 6
         run("hck2")  # fresh checkpoint: same batch_id 0 → ledger skip
         assert ihh.top(1).first()["count_max"] == 6  # not 12
+
+
+class TestIncrementalDistinct:
+    def test_fold_equals_one_shot_sketch(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDistinct,
+        )
+        from harness_aws_etl_pipeline_spark.operators.kmv import kmv_sketch
+
+        k = 16
+        d = IncrementalDistinct(spark, str(tmp_path / "kmv"), "v", k=k)
+        batches = [
+            [(f"u{i}",) for i in range(0, 40)],
+            [(f"u{i}",) for i in range(20, 70)],   # overlaps batch 1
+            [(f"u{i}",) for i in range(60, 100)],
+        ]
+        for i, b in enumerate(batches):
+            rep = d.process_batch(
+                spark.createDataFrame(b, "v string"), txn=("t", i)
+            )
+            assert rep["skipped"] is False
+        concat = spark.createDataFrame(
+            [r for b in batches for r in b], "v string"
+        )
+        got = sorted(r.h for r in d.sketch().collect())
+        want = sorted(r.h for r in kmv_sketch(concat, "v", k=k).collect())
+        assert got == want  # bit-identical to sketching all history
+
+    def test_exact_below_k_and_estimate_above(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDistinct,
+        )
+
+        d = IncrementalDistinct(spark, str(tmp_path / "kmv"), "v", k=64)
+        rep = d.process_batch(
+            spark.createDataFrame([(f"x{i}",) for i in range(30)], "v string"),
+            txn=("t", 0),
+        )
+        assert rep["exact"] is True and rep["distinct_est"] == 30.0
+        rep = d.process_batch(
+            spark.createDataFrame(
+                [(f"y{i}",) for i in range(1000)], "v string"
+            ),
+            txn=("t", 1),
+        )
+        assert rep["exact"] is False
+        # standard error ~1/sqrt(k-1) ≈ 12.6% at k=64 — allow 4 sigma
+        assert abs(rep["distinct_est"] - 1030) / 1030 < 0.5
+        assert rep["sketch_rows"] == 64
+
+    def test_replay_short_circuits(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDistinct,
+        )
+
+        d = IncrementalDistinct(spark, str(tmp_path / "kmv"), "v", k=8)
+        d.process_batch(
+            spark.createDataFrame([("a",), ("b",)], "v string"), txn=("t", 0)
+        )
+        v = d.table.current_version()
+        rep = d.process_batch(
+            spark.createDataFrame([("c",)], "v string"), txn=("t", 0)
+        )
+        assert rep["skipped"] is True
+        assert d.table.current_version() == v
+        assert d.estimate().first()["distinct_est"] == 2.0
+
+    def test_k_guard(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.operators.incremental import (
+            IncrementalDistinct,
+        )
+
+        with pytest.raises(ValueError, match="k must be"):
+            IncrementalDistinct(spark, str(tmp_path / "kmv"), "v", k=1)
