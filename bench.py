@@ -1371,10 +1371,13 @@ def main() -> None:
             "drift_r4": "text_stats/near_dup_clusters r4 deltas were jitter: "
             "r5 clean run measures 0.50/0.89 vs r3's 0.535/0.914 with no "
             "code change to either query; per-leg clocks in drift_legs",
-            "load": "min-of-3 removes in-process scheduler jitter but NOT "
-            "sustained co-tenant load; back-to-back r5 runs measured "
-            "totals of 9.34/10.72/11.32 s as box load moved 1->5 — "
-            "compare rounds on the best available run",
+            "load": "min-of-5 (r9; was 3) removes in-process scheduler "
+            "jitter but NOT sustained co-tenant load; back-to-back r5 "
+            "runs measured totals of 9.34/10.72/11.32 s as box load "
+            "moved 1->5, r9 quiet runs land 8.05-10.2 s, and one r9 "
+            "run co-tenant with a pytest shard measured 13.07 s — "
+            "compare rounds on the best available run, never a "
+            "co-tenant one",
         },
         "sf": sf_val,
     }
