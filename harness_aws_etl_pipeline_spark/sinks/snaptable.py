@@ -170,9 +170,27 @@ class SnapTable:
     # there, and until one is plugged in we refuse loudly instead.
     _ATOMIC_RENAME_SCHEMES = ("file", "hdfs", "viewfs", "webhdfs")
 
-    def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        fmt: str = "parquet",
+        bloom_cols: list[str] | None = None,
+    ):
+        """``bloom_cols`` turns on parquet bloom filters for the named
+        columns on EVERY data file this handle writes (write / merge /
+        delete / update / compact rewrites alike) — the point-lookup
+        complement to min/max stats: manifest ranges prune files of a
+        CLUSTERED key, blooms let parquet-mr skip row groups for
+        ``col = x`` probes on unsorted high-cardinality keys, where
+        every file's range overlaps every probe. Pure pass-through to
+        the writer (``parquet.bloom.filter.enabled#col``) — the reader
+        side is Spark's stock parquet filter pushdown, nothing custom
+        to maintain. Parquet only (rejected for ORC up front)."""
         if fmt not in ("parquet", "orc"):
             raise ValueError(f"unsupported snaptable format {fmt!r}")
+        if bloom_cols and fmt != "parquet":
+            raise ValueError("bloom_cols requires the parquet format")
         scheme = path.split("://", 1)[0] if "://" in path else "file"
         if scheme not in self._ATOMIC_RENAME_SCHEMES:
             raise ValueError(
@@ -185,6 +203,7 @@ class SnapTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self.fmt = fmt
+        self.bloom_cols = list(bloom_cols or [])
         self.fs = get_fs(self.path, spark)
         self._log = join_path(self.path, _LOG_DIR)
         self._manifest_cache: dict[int, dict] = {}
@@ -392,6 +411,10 @@ class SnapTable:
             else:
                 out = df.repartitionByRange(*cluster_by)
         w = out.write.mode("errorifexists").format(self.fmt)
+        for c in self.bloom_cols:
+            # skip columns absent from this frame (schema evolution)
+            if c in out.columns:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
         for k, v in (write_options or {}).items():
             w = w.option(k, v)
         w.save(txn_dir)

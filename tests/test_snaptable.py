@@ -996,3 +996,61 @@ class TestUpdateWhere:
         # only the files containing id<10 were replaced
         assert out["files_rewritten"] < len(before)
         assert len(before & after) == len(before) - out["files_rewritten"]
+
+
+class TestBloomCols:
+    def test_bloom_files_larger_and_reads_identical(self, spark, tmp_path):
+        """pyarrow in this environment cannot expose bloom footers, so
+        the write-side pin is the size delta: identical data written
+        with bloom_cols must be strictly larger (the serialized bloom
+        bitset), and every read/DML path stays byte-equivalent."""
+        df = spark.range(20_000).select(
+            (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+            F.col("id").alias("v"),
+        )
+        plain = SnapTable(spark, str(tmp_path / "plain"))
+        plain.write(df, mode="overwrite", target_files=1)
+        bloomed = SnapTable(
+            spark, str(tmp_path / "bloomed"), bloom_cols=["k"]
+        )
+        bloomed.write(df, mode="overwrite", target_files=1)
+        size = lambda t: sum(  # noqa: E731
+            f["bytes"] for f in t.manifest(t.current_version())["files"]
+        )
+        assert size(bloomed) > size(plain)
+        # point lookup returns the same rows through either table
+        want = sorted(r.v for r in plain.read().filter("k = 42").collect())
+        got = sorted(r.v for r in bloomed.read().filter("k = 42").collect())
+        assert got == want
+        assert bloomed.read().count() == 20_000
+
+    def test_bloom_survives_update_and_compact_rewrites(
+        self, spark, tmp_path
+    ):
+        t = SnapTable(spark, str(tmp_path / "t"), bloom_cols=["k"])
+        t.write(
+            spark.range(1000).select(
+                F.col("id").alias("k"), F.lit(0).alias("v")
+            ),
+            mode="overwrite",
+        )
+        t.update_where({"v": "1"}, "k < 10")
+        assert t.read().filter("v = 1").count() == 10
+        t.write(
+            spark.range(1000, 2000).select(
+                F.col("id").alias("k"), F.lit(0).alias("v")
+            ),
+            mode="append",
+        )
+        t.compact(target_file_bytes=1 << 30)
+        assert t.read().count() == 2000
+
+    def test_bloom_requires_parquet(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="parquet"):
+            SnapTable(spark, str(tmp_path / "t"), fmt="orc", bloom_cols=["k"])
+
+    def test_bloom_skips_absent_columns(self, spark, tmp_path):
+        # schema-evolution append without the bloom column must not fail
+        t = SnapTable(spark, str(tmp_path / "t"), bloom_cols=["missing"])
+        t.write(spark.range(5), mode="overwrite")
+        assert t.read().count() == 5
