@@ -1054,3 +1054,56 @@ class TestBloomCols:
         t = SnapTable(spark, str(tmp_path / "t"), bloom_cols=["missing"])
         t.write(spark.range(5), mode="overwrite")
         assert t.read().count() == 5
+
+
+class TestUpdateConcurrency:
+    def test_update_races_with_append(self, spark, table):
+        """An update_where racing concurrent appends must retry
+        against the winner's snapshot: no appended row may be lost,
+        and the update's predicate semantics hold on whatever snapshot
+        it finally committed against (every-check-then-act in the
+        commit path is a CAS — the round-9 durability lesson)."""
+        import threading as th
+
+        table.write(
+            spark.range(50).withColumn("v", F.lit(0)), mode="overwrite"
+        )
+        errs = []
+
+        def appender(lo):
+            try:
+                t = SnapTable(spark, table.path)
+                t.write(
+                    spark.range(lo, lo + 10).withColumn("v", F.lit(0)),
+                    mode="append",
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def updater():
+            try:
+                t = SnapTable(spark, table.path)
+                t.update_where({"v": "v + 1"}, "id < 25", max_retries=8)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            th.Thread(target=appender, args=(100,)),
+            th.Thread(target=updater),
+            th.Thread(target=appender, args=(200,)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        got = table.read()
+        ids = sorted(r["id"] for r in got.collect())
+        assert ids == list(range(50)) + list(range(100, 110)) + list(
+            range(200, 210)
+        )
+        # rows the update targeted are updated exactly once; appended
+        # rows (whether they landed before or after the update) were
+        # either untouched (committed after) or correctly predicated
+        assert got.filter("id < 25 AND v != 1").count() == 0
+        assert got.filter("id >= 25 AND id < 50 AND v != 0").count() == 0
