@@ -215,9 +215,23 @@ def similarity_search(
         rerank = kwargs.pop("rerank", False)
         shortlist = kwargs.pop("shortlist", None)
         nprobe = kwargs.pop("nprobe", 4)
+        min_candidates = kwargs.pop("min_candidates", None)
+        target_recall = kwargs.pop("target_recall", None)
         index, cents, model = build_ivfpq(
             candidates, id_col=id_col, vec_col=vec_col, **kwargs
         )
+        if target_recall is not None:
+            # nprobe="auto": derive it from the measured coverage
+            # curve on the query sample (pq.calibrate_nprobe)
+            from harness_aws_etl_pipeline_spark.operators.pq import (
+                calibrate_nprobe,
+            )
+
+            nprobe = calibrate_nprobe(
+                index, cents, queries, candidates,
+                target_recall=target_recall, topk=k,
+                id_col=id_col, vec_col=vec_col,
+            )["nprobe"]
         return ivfpq_topk(
             index,
             queries,
@@ -229,6 +243,7 @@ def similarity_search(
             vec_col=vec_col,
             rerank_with=candidates if rerank else None,
             shortlist=shortlist,
+            min_candidates=min_candidates,
         )
     raise ValueError(
         f"unknown similarity method {method!r}; choose "

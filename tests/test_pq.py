@@ -163,6 +163,24 @@ class TestFacade:
         for q, nb in sets.items():
             assert nb == {q // 8 * 8 + j for j in range(8)}
 
+    def test_similarity_search_ivfpq_target_recall(self, spark, vecs):
+        """target_recall swaps the fixed nprobe for the calibrated one
+        (coverage curve on the query sample) — on the separated
+        clusters the calibrated probe still retrieves whole clusters."""
+        from harness_aws_etl_pipeline_spark.operators.dedup_api import (
+            similarity_search,
+        )
+
+        got = similarity_search(
+            vecs, vecs.limit(4), method="ivfpq", k=8,
+            nlist=4, m=4, dim=DIM, target_recall=0.9,
+        )
+        sets: dict[int, set[int]] = {}
+        for r in got.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for q, nb in sets.items():
+            assert nb == {q // 8 * 8 + j for j in range(8)}
+
 
 class TestRerank:
     def test_rerank_scores_are_exact_cosines(self, spark, vecs, model):
