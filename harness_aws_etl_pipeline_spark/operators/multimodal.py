@@ -6,7 +6,7 @@ plumbing — schema, Arrow batch shape, mapInPandas partition flow — is
 real and tested.
 
 Image decode is REAL for four formats — binary PPM (P6), uncompressed
-24-bit BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA; stdlib zlib IDAT
+24-bit BMP, 8-bit PNG incl. Adam7 (gray/RGB/RGBA; stdlib zlib IDAT
 inflate + numpy scanline unfilter, all five filters), and baseline
 JPEG (operators/jpeg.py: huffman entropy decode, dequantize, IDCT,
 4:2:0/4:2:2/4:4:4 sampling, YCbCr→RGB) — via
@@ -112,7 +112,7 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
 # ------------------------------------------------- real image codecs
 #
 # Pure-numpy (+ stdlib) codecs: binary PPM (P6), uncompressed 24-bit
-# BMP, non-interlaced 8-bit PNG (zlib), and JPEG — baseline AND
+# BMP, 8-bit PNG — sequential AND Adam7 (zlib) — and JPEG — baseline AND
 # progressive (operators/jpeg.py). These make the decode step of the
 # multimodal path REAL — the mapInPandas plumbing feeds actual pixel
 # arrays, not fakes. Motion-JPEG AVI frame sampling rides the same
@@ -202,25 +202,30 @@ def encode_ppm_sequence(arrays: "list[np.ndarray]") -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr: "np.ndarray", filter_type: int | str = 0) -> bytes:
-    """(h, w, 3) uint8 RGB → PNG bytes, stdlib ``zlib`` only.
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) — spec
+# order; a pass is absent when its sub-grid is empty for the image size
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``filter_type``: 0–4 applies that PNG scanline filter to every row;
-    ``"mixed"`` cycles 0..4 by row — useful to exercise every unfilter
-    path in :func:`decode_image` round-trip tests."""
-    import struct
-    import zlib
 
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
-    h, w = a.shape[:2]
-    bpp = 3
-
+def _filter_rows(
+    rows: "np.ndarray", bpp: int, filter_type: int | str
+) -> list[bytes]:
+    """Apply PNG scanline filters to a (n, stride) uint8 block (one
+    image, or one Adam7 pass — the filter chain restarts per pass by
+    spec). Returns per-row ``filter_byte + encoded`` strings."""
     lines = []
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        row = a[y].reshape(-1)
+    stride = rows.shape[1] if rows.size else 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        row = rows[y]
         ft = (y % 5) if filter_type == "mixed" else int(filter_type)
         left = np.concatenate([np.zeros(bpp, dtype=np.uint8), row[:-bpp]])
         up_left = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
@@ -238,12 +243,54 @@ def encode_png(arr: "np.ndarray", filter_type: int | str = 0) -> bytes:
             raise ValueError(f"unknown PNG filter {ft}")
         lines.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
         prev = row
+    return lines
+
+
+def encode_png(
+    arr: "np.ndarray",
+    filter_type: int | str = 0,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes, stdlib ``zlib`` only.
+
+    ``filter_type``: 0–4 applies that PNG scanline filter to every row;
+    ``"mixed"`` cycles 0..4 by row — useful to exercise every unfilter
+    path in :func:`decode_image` round-trip tests.
+
+    ``interlace=True`` writes Adam7: the seven spec passes, each its
+    own filtered scanline group (the filter chain restarts per pass),
+    concatenated into one IDAT stream — round-trip bit-identity with
+    the sequential encode is the decoder's pin."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    bpp = 3
+
+    lines: list[bytes] = []
+    if interlace:
+        for x0, y0, xs, ys in _ADAM7:
+            sub = a[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(
+                _filter_rows(
+                    sub.reshape(sub.shape[0], -1), bpp, filter_type
+                )
+            )
+    else:
+        lines = _filter_rows(a.reshape(h, -1), bpp, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0
+    )  # 8-bit RGB
     idat = zlib.compress(b"".join(lines))
     return (
         _PNG_SIG
@@ -269,7 +316,7 @@ def _paeth(left: "np.ndarray", up: "np.ndarray", up_left: "np.ndarray") -> "np.n
 
 def _decode_png(payload: bytes) -> "np.ndarray":
     """Pure numpy + stdlib-zlib PNG decode: IDAT inflate + per-scanline
-    unfilter. Supports the non-interlaced 8-bit color types real
+    unfilter, sequential or Adam7-interlaced. Supports the 8-bit color types real
     corpora use — 0 (gray), 2 (RGB), 6 (RGBA; alpha dropped) — and all
     five scanline filters. Returns (h, w, 3) uint8 RGB."""
     import struct
@@ -293,9 +340,9 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
+    if depth != 8 or interlace not in (0, 1):
         raise ValueError(
-            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"only 8-bit PNG supported (depth={depth}, "
             f"interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 6: 4}.get(ctype_v)
@@ -303,15 +350,50 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError(f"unsupported PNG color type {ctype_v}")
 
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    raw = raw.reshape(h, stride + 1)
     bpp = channels
 
-    out = np.zeros((h, stride), dtype=np.uint8)
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = _unfilter_rows(raw.reshape(h, stride + 1), bpp)
+        img = out.reshape(h, w, channels)
+    else:
+        # Adam7: seven independent filtered scanline groups,
+        # unfiltered per pass and scattered onto the pixel grid
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * channels
+            need = ph * (stride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG interlaced pixel data truncated")
+            block = raw[pos : pos + need].reshape(ph, stride + 1)
+            pos += need
+            rows = _unfilter_rows(block, bpp).reshape(ph, pw, channels)
+            img[y0::ys, x0::xs] = rows
+        if pos != len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
+
+    if channels == 1:
+        return np.repeat(img, 3, axis=2).copy()
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def _unfilter_rows(raw: "np.ndarray", bpp: int) -> "np.ndarray":
+    """Reverse PNG scanline filters over one filtered block — a whole
+    sequential image or a single Adam7 pass (the filter chain is
+    per-block by spec). ``raw`` is (n, stride+1) with the leading
+    filter byte; returns (n, stride) reconstructed bytes."""
+    n, stride1 = raw.shape
+    stride = stride1 - 1
+    out = np.zeros((n, stride), dtype=np.uint8)
     zero = np.zeros(bpp, dtype=np.uint8)
-    for y in range(h):
+    for y in range(n):
         ft = int(raw[y, 0])
         line = raw[y, 1:].copy()
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
@@ -348,16 +430,12 @@ def _decode_png(payload: bytes) -> "np.ndarray":
                 left, up_left = px, up
         else:
             raise ValueError(f"unknown PNG filter {ft} on row {y}")
-
-    img = out.reshape(h, w, channels)
-    if channels == 1:
-        return np.repeat(img, 3, axis=2).copy()
-    return img[:, :, :3].copy()
+    return out
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL image decode (pure numpy + stdlib): binary PPM (P6),
-    uncompressed 24-bit BMP, non-interlaced 8-bit PNG (gray/RGB/RGBA),
+    uncompressed 24-bit BMP, 8-bit PNG incl. Adam7 (gray/RGB/RGBA),
     JPEG (baseline SOF0/1 + progressive SOF2, any 1-2 sampling
     factors), or GIF87a/89a
     (LZW; first composed frame) → (h, w, 3) uint8 RGB array. Raises
