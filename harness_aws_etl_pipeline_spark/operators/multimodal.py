@@ -314,11 +314,17 @@ def _paeth(left: "np.ndarray", up: "np.ndarray", up_left: "np.ndarray") -> "np.n
     return out.astype(np.uint8)
 
 
+_PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8}, 6: {8, 16}}
+
+
 def _decode_png(payload: bytes) -> "np.ndarray":
     """Pure numpy + stdlib-zlib PNG decode: IDAT inflate + per-scanline
-    unfilter, sequential or Adam7-interlaced. Supports the 8-bit color types real
-    corpora use — 0 (gray), 2 (RGB), 6 (RGBA; alpha dropped) — and all
-    five scanline filters. Returns (h, w, 3) uint8 RGB."""
+    unfilter, sequential or Adam7-interlaced. Covers the color types
+    and depths real corpora use — gray (1/2/4/8/16-bit), RGB (8/16),
+    palette (PLTE, 1/2/4/8), RGBA (8/16; alpha dropped) — and all five
+    scanline filters. 16-bit samples downscale to their high byte (the
+    spec's 8-bit reduction); sub-byte depths unpack MSB-first. Returns
+    (h, w, 3) uint8 RGB."""
     import struct
     import zlib
 
@@ -326,6 +332,7 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError("not a PNG (bad signature)")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
@@ -333,6 +340,10 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -340,48 +351,81 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_v, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1):
-        raise ValueError(
-            f"only 8-bit PNG supported (depth={depth}, "
-            f"interlace={interlace})"
-        )
-    channels = {0: 1, 2: 3, 6: 4}.get(ctype_v)
-    if channels is None:
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if ctype_v not in _PNG_DEPTHS:
         raise ValueError(f"unsupported PNG color type {ctype_v}")
+    if depth not in _PNG_DEPTHS[ctype_v]:
+        raise ValueError(
+            f"unsupported PNG depth {depth} for color type {ctype_v}"
+        )
+    if ctype_v == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+
+    channels_raw = {0: 1, 2: 3, 3: 1, 6: 4}[ctype_v]
+    bits_pp = depth * channels_raw
+    bpp = max(1, bits_pp // 8)  # filter step, byte-rounded per spec
+
+    def _stride(pw: int) -> int:
+        return (pw * bits_pp + 7) // 8
+
+    def _to_rgb(block: "np.ndarray", pw: int) -> "np.ndarray":
+        """(n, stride) reconstructed bytes → (n, pw, 3) uint8 RGB."""
+        n = block.shape[0]
+        if depth == 16:
+            # big-endian sample pairs; keep the high byte
+            px = block.reshape(n, pw * channels_raw, 2)[:, :, 0].reshape(
+                n, pw, channels_raw
+            )
+        elif depth == 8:
+            px = block.reshape(n, pw, channels_raw)
+        else:
+            bits = np.unpackbits(block, axis=1)[:, : pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            px = (
+                (bits.reshape(n, pw, depth) * weights)
+                .sum(axis=2)
+                .astype(np.uint8)[..., None]
+            )
+        if ctype_v == 3:
+            if int(px.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[px[..., 0]]
+        if channels_raw == 1:
+            if depth < 8:
+                px = (
+                    px.astype(np.uint16) * 255 // ((1 << depth) - 1)
+                ).astype(np.uint8)
+            return np.repeat(px, 3, axis=2)
+        return np.ascontiguousarray(px[:, :, :3])
 
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    bpp = channels
 
     if interlace == 0:
-        stride = w * channels
+        stride = _stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
-        out = _unfilter_rows(raw.reshape(h, stride + 1), bpp)
-        img = out.reshape(h, w, channels)
-    else:
-        # Adam7: seven independent filtered scanline groups,
-        # unfiltered per pass and scattered onto the pixel grid
-        img = np.zeros((h, w, channels), dtype=np.uint8)
-        pos = 0
-        for x0, y0, xs, ys in _ADAM7:
-            pw = (w - x0 + xs - 1) // xs
-            ph = (h - y0 + ys - 1) // ys
-            if pw == 0 or ph == 0:
-                continue
-            stride = pw * channels
-            need = ph * (stride + 1)
-            if pos + need > len(raw):
-                raise ValueError("PNG interlaced pixel data truncated")
-            block = raw[pos : pos + need].reshape(ph, stride + 1)
-            pos += need
-            rows = _unfilter_rows(block, bpp).reshape(ph, pw, channels)
-            img[y0::ys, x0::xs] = rows
-        if pos != len(raw):
-            raise ValueError("PNG interlaced pixel data length mismatch")
+        return _to_rgb(_unfilter_rows(raw.reshape(h, stride + 1), bpp), w)
 
-    if channels == 1:
-        return np.repeat(img, 3, axis=2).copy()
-    return np.ascontiguousarray(img[:, :, :3])
+    # Adam7: seven independent filtered scanline groups, unfiltered
+    # per pass and scattered onto the pixel grid
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw == 0 or ph == 0:
+            continue
+        stride = _stride(pw)
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG interlaced pixel data truncated")
+        block = raw[pos : pos + need].reshape(ph, stride + 1)
+        pos += need
+        img[y0::ys, x0::xs] = _to_rgb(_unfilter_rows(block, bpp), pw)
+    if pos != len(raw):
+        raise ValueError("PNG interlaced pixel data length mismatch")
+    return img
 
 
 def _unfilter_rows(raw: "np.ndarray", bpp: int) -> "np.ndarray":

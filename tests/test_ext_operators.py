@@ -1908,3 +1908,195 @@ class TestKnnJoin:
         assert len(by_left[1]) == 2      # k capped by matches
         with _pytest.raises(ValueError):
             knn_join(ldf, rdf, k=0)
+
+
+class TestPngDepthsAndPalette:
+    """Round-9 PNG depth/palette coverage: palette (PLTE) at 1/2/4/8
+    bits, gray at 1/2/4/16 bits, RGB/RGBA at 16 bits — sequential and
+    Adam7, real filters where the filter step is exercised (bpp=1 for
+    palette, bpp=2/6/8 for 16-bit). Fixtures are hand-built streams;
+    expectations are the spec's own reductions (high byte for 16-bit,
+    255*v/(2^d-1) gray scaling, palette lookup)."""
+
+    @staticmethod
+    def _chunk(ctype, data):
+        import struct
+        import zlib
+
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", crc
+        )
+
+    def _png(self, w, h, depth, ctype, lines, palette=None):
+        import struct
+        import zlib
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _PNG_SIG,
+        )
+
+        out = _PNG_SIG + self._chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        )
+        if palette is not None:
+            out += self._chunk(b"PLTE", palette.astype("uint8").tobytes())
+        out += self._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        return out + self._chunk(b"IEND", b"")
+
+    def test_palette_png_all_depths(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _filter_rows,
+            decode_image,
+        )
+
+        rng = np.random.default_rng(3)
+        palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        w, h = 11, 6
+        for depth in (1, 2, 4, 8):
+            hi = min(1 << depth, len(palette))
+            idx = rng.integers(0, hi, size=(h, w), dtype=np.uint8)
+            if depth == 8:
+                rows = idx
+                # real filters through the shared helper (bpp=1)
+                lines = _filter_rows(rows, 1, "mixed")
+            else:
+                packed = []
+                for y in range(h):
+                    bits = (
+                        (idx[y][:, None] >> np.arange(depth - 1, -1, -1))
+                        & 1
+                    ).astype(np.uint8).reshape(-1)
+                    packed.append(np.packbits(bits))
+                stride = len(packed[0])
+                rows = np.vstack(packed).reshape(h, stride)
+                lines = _filter_rows(rows, 1, 2)  # filter 2 (up), bpp=1
+            got = decode_image(
+                self._png(w, h, depth, 3, lines, palette=palette)
+            )
+            assert np.array_equal(got, palette[idx]), depth
+
+    def test_gray_subbyte_and_16bit(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _filter_rows,
+            decode_image,
+        )
+
+        rng = np.random.default_rng(4)
+        w, h = 9, 5
+        for depth in (1, 2, 4):
+            v = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            packed = []
+            for y in range(h):
+                bits = (
+                    (v[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+                packed.append(np.packbits(bits))
+            rows = np.vstack(packed)
+            got = decode_image(
+                self._png(w, h, depth, 0, _filter_rows(rows, 1, 0))
+            )
+            want = (v.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+            assert np.array_equal(got, np.repeat(want[..., None], 3, 2)), depth
+        # gray 16-bit: big-endian pairs, decode keeps the high byte;
+        # filter 4 (paeth) exercises the bpp=2 step
+        g16 = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+        rows = (
+            g16.byteswap().view(np.uint8)
+            if g16.dtype.byteorder != ">"
+            else g16.view(np.uint8)
+        ).reshape(h, w * 2)
+        got = decode_image(self._png(w, h, 16, 0, _filter_rows(rows, 2, 4)))
+        want = (g16 >> 8).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(want[..., None], 3, 2))
+
+    def test_rgb_and_rgba_16bit(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _filter_rows,
+            decode_image,
+        )
+
+        rng = np.random.default_rng(5)
+        w, h = 7, 4
+        for ctype, ch in ((2, 3), (6, 4)):
+            px = rng.integers(0, 1 << 16, size=(h, w, ch), dtype=np.uint16)
+            rows = px.byteswap().view(np.uint8).reshape(h, w * ch * 2)
+            got = decode_image(
+                self._png(w, h, 16, ctype, _filter_rows(rows, ch * 2, 1))
+            )
+            want = (px[:, :, :3] >> 8).astype(np.uint8)
+            assert np.array_equal(got, want), ctype
+
+    def test_palette_interlaced(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _ADAM7,
+            _PNG_SIG,
+            _filter_rows,
+            decode_image,
+        )
+
+        rng = np.random.default_rng(6)
+        palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+        w, h = 10, 9
+        idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+        depth = 2
+        lines = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = idx[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            packed = []
+            for y in range(sub.shape[0]):
+                bits = (
+                    (sub[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+                packed.append(np.packbits(bits))
+            lines.extend(_filter_rows(np.vstack(packed), 1, 0))
+        png = (
+            _PNG_SIG
+            + self._chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1)
+            )
+            + self._chunk(b"PLTE", palette.tobytes())
+            + self._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + self._chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_image(png), palette[idx])
+
+    def test_guards(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _filter_rows,
+            decode_image,
+        )
+
+        # palette without PLTE
+        rows = np.zeros((2, 3), dtype=np.uint8)
+        png = self._png(3, 2, 8, 3, _filter_rows(rows, 1, 0))
+        with _pytest.raises(ValueError, match="PLTE"):
+            decode_image(png)
+        # out-of-range palette index
+        pal = np.zeros((2, 3), dtype=np.uint8)
+        bad = np.full((2, 3), 7, dtype=np.uint8)
+        png = self._png(3, 2, 8, 3, _filter_rows(bad, 1, 0), palette=pal)
+        with _pytest.raises(ValueError, match="palette index"):
+            decode_image(png)
+        # invalid depth/ctype combination
+        png = self._png(3, 2, 4, 2, _filter_rows(rows, 1, 0))
+        with _pytest.raises(ValueError, match="depth"):
+            decode_image(png)
