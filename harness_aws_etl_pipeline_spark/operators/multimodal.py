@@ -13,7 +13,9 @@ JPEG (operators/jpeg.py: huffman entropy decode, dequantize, IDCT,
 ``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``/
 ``encode_jpeg``, reachable from ``extract_features(decode=True)`` and
 ``resize_media(decode=True)`` (nearest-neighbor resample on the
-decoded array). Audio decode is REAL for WAV/RIFF 16-bit PCM
+decoded array). Audio decode is REAL for WAV/RIFF across PCM
+8/16/24/32-bit, IEEE float32/64, G.711 A-law/µ-law (exact CCITT
+expansions), and WAVE_FORMAT_EXTENSIBLE
 (``decode_wav``/``audio_features`` — proper chunk walk, stdlib struct
 + numpy). JPEG covers BOTH baseline (SOF0/1) and progressive (SOF2)
 frames (operators/jpeg.py); video frame-sampling is REAL for MJPG
@@ -638,17 +640,55 @@ def encode_wav(
     )
 
 
+def _mulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 µ-law byte → int16, the closed-form spec expansion:
+    complement, split sign/exponent/mantissa, rebuild the biased
+    magnitude ``((2·mantissa + 33) << exponent) − 33`` scaled to the
+    14-bit range (×4 into int16 like every reference decoder)."""
+    u = (~codes.astype(np.uint8)) & 0xFF
+    sign = u >> 7
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((2 * mant.astype(np.int32) + 33) << exp) - 33) * 4
+    return np.where(sign == 1, -mag, mag).astype(np.int16)
+
+
+def _alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law byte → int16: XOR 0x55, then the spec's two-branch
+    magnitude (segment 0 linear, higher segments exponential) at the
+    reference decoder's 16-bit placement (max ±32256); a SET sign bit
+    after the XOR means positive, per the CCITT reference."""
+    a = (codes.astype(np.uint8) ^ 0x55).astype(np.int32)
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
-    """REAL audio decode: WAV (RIFF) with 16-bit PCM → ((n, channels)
-    int16 array, sample_rate). Walks the chunk list properly (extra
-    chunks like LIST/fact are skipped), so files from real recorders
-    parse, not just our own encoder's output."""
+    """REAL audio decode: WAV (RIFF) → ((n, channels) int16 array,
+    sample_rate). Walks the chunk list properly (extra chunks like
+    LIST/fact are skipped), so files from real recorders parse, not
+    just our own encoder's output.
+
+    Formats: PCM (format 1) at 8-bit unsigned / 16-bit / 24-bit /
+    32-bit signed, IEEE float32/64 (format 3, clipped to [-1, 1)),
+    G.711 A-law (6) and µ-law (7) via the exact closed-form spec
+    expansions, and WAVE_FORMAT_EXTENSIBLE (0xFFFE, resolved through
+    the SubFormat GUID). Everything lands in int16 (high bytes for
+    the wider PCM widths — the standard reduction)."""
     import struct
 
     if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(payload):
         ctype, length = struct.unpack_from("<4sI", payload, pos)
@@ -656,18 +696,76 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif ctype == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(
-            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+        # bytes of the 16-byte SubFormat GUID at offset 24
+        if len(fmt_body) < 26:
+            raise ValueError("EXTENSIBLE WAV fmt chunk truncated")
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+
+    if audio_format == 1:
+        if bits == 16:
+            width, dt = 2, "<i2"
+        elif bits == 8:
+            width, dt = 1, "u1"
+        elif bits == 24:
+            width, dt = 3, None
+        elif bits == 32:
+            width, dt = 4, "<i4"
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+        n = (len(data) // (width * channels)) * channels
+        if bits == 16:
+            frames = np.frombuffer(data, dtype=dt, count=n)
+        elif bits == 8:
+            # unsigned with 0x80 midpoint → int16 high-byte placement
+            u = np.frombuffer(data, dtype=dt, count=n).astype(np.int16)
+            frames = (u - 128) << 8
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(
+                -1, 3
+            )
+            # little-endian 24-bit → keep the top 16 bits
+            frames = (
+                raw[:, 1].astype(np.uint16)
+                | (raw[:, 2].astype(np.uint16) << 8)
+            ).astype(np.int16)
+        else:  # 32
+            frames = (
+                np.frombuffer(data, dtype=dt, count=n) >> 16
+            ).astype(np.int16)
+    elif audio_format == 3:
+        if bits == 32:
+            f = np.frombuffer(
+                data, dtype="<f4", count=(len(data) // (4 * channels)) * channels
+            )
+        elif bits == 64:
+            f = np.frombuffer(
+                data, dtype="<f8", count=(len(data) // (8 * channels)) * channels
+            )
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+        frames = np.clip(
+            np.round(f.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+    elif audio_format in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        n = (len(data) // channels) * channels
+        codes = np.frombuffer(data, dtype=np.uint8, count=n)
+        frames = (
+            _alaw_expand(codes) if audio_format == 6 else _mulaw_expand(codes)
         )
-    frames = np.frombuffer(
-        data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
-    )
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_format}")
     return frames.reshape(-1, channels).copy(), sample_rate
 
 

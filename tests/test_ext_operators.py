@@ -2100,3 +2100,128 @@ class TestPngDepthsAndPalette:
         png = self._png(3, 2, 4, 2, _filter_rows(rows, 1, 0))
         with _pytest.raises(ValueError, match="depth"):
             decode_image(png)
+
+
+class TestWavFormats:
+    """Round-9 WAV breadth: 8/24/32-bit PCM, IEEE float, G.711
+    A-law/µ-law (closed-form spec expansions, verified byte-for-byte
+    against the CCITT reference via stdlib audioop where available),
+    and WAVE_FORMAT_EXTENSIBLE resolution."""
+
+    @staticmethod
+    def _wav(fmt_code, channels, rate, bits, data, extensible=False):
+        import struct
+
+        if extensible:
+            sub = struct.pack("<H", fmt_code) + b"\x00" * 14
+            body = struct.pack(
+                "<HHIIHH", 0xFFFE, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            ) + struct.pack("<HHI", 22, bits, 0x3) + sub
+        else:
+            body = struct.pack(
+                "<HHIIHH", fmt_code, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            )
+        fmt = b"fmt " + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            fmt += b"\x00"
+        dat = b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            dat += b"\x00"
+        riff = b"WAVE" + fmt + dat
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def test_pcm_widths(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        # 8-bit unsigned: midpoint 128 → 0, extremes to ±full scale
+        f, r = decode_wav(self._wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+        assert r == 8000
+        assert f[:, 0].tolist() == [-32768, 0, 32512]
+        # 24-bit little-endian: keep the top 16 bits
+        s24 = b"\x00\x00\x01" + b"\xff\xff\x7f" + b"\x00\x00\x80"
+        f, _ = decode_wav(self._wav(1, 1, 8000, 24, s24))
+        assert f[:, 0].tolist() == [256, 32767, -32768]
+        # 32-bit signed: arithmetic shift
+        s32 = np.array([1 << 16, -(1 << 31), (1 << 31) - 1], "<i4")
+        f, _ = decode_wav(self._wav(1, 1, 8000, 32, s32.tobytes()))
+        assert f[:, 0].tolist() == [1, -32768, 32767]
+
+    def test_ieee_float(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        x = np.array([0.0, 0.5, -1.0, 1.0], "<f4")
+        f, _ = decode_wav(self._wav(3, 1, 16000, 32, x.tobytes()))
+        assert f[:, 0].tolist() == [0, 16384, -32768, 32767]
+        x64 = np.array([0.25, -0.5], "<f8")
+        f, _ = decode_wav(self._wav(3, 1, 16000, 64, x64.tobytes()))
+        assert f[:, 0].tolist() == [8192, -16384]
+
+    def test_g711_expansions(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _alaw_expand,
+            _mulaw_expand,
+            decode_wav,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        # spec anchor values (stable even if stdlib audioop goes away)
+        assert int(_mulaw_expand(np.array([0x00], np.uint8))[0]) == -32124
+        assert int(_mulaw_expand(np.array([0xFF], np.uint8))[0]) == 0
+        assert int(_alaw_expand(np.array([0x55], np.uint8))[0]) == -8
+        assert int(_alaw_expand(np.array([0xD5], np.uint8))[0]) == 8
+        assert int(_alaw_expand(np.array([0x2A], np.uint8))[0]) == -32256
+        try:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                import audioop
+        except ImportError:
+            audioop = None
+        if audioop is not None:
+            ref_u = np.frombuffer(
+                audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2"
+            )
+            ref_a = np.frombuffer(
+                audioop.alaw2lin(codes.tobytes(), 2), dtype="<i2"
+            )
+            assert np.array_equal(_mulaw_expand(codes), ref_u)
+            assert np.array_equal(_alaw_expand(codes), ref_a)
+        # through the WAV container, stereo interleave preserved
+        f, _ = decode_wav(self._wav(7, 2, 8000, 8, bytes([0x00, 0xFF] * 3)))
+        assert f.shape == (3, 2)
+        assert f[0].tolist() == [-32124, 0]
+        f, _ = decode_wav(self._wav(6, 1, 8000, 8, bytes([0x55, 0xD5])))
+        assert f[:, 0].tolist() == [-8, 8]
+
+    def test_extensible_and_guards(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        s = np.array([5, -5], "<i2")
+        f, r = decode_wav(
+            self._wav(1, 1, 44100, 16, s.tobytes(), extensible=True)
+        )
+        assert r == 44100 and f[:, 0].tolist() == [5, -5]
+        with _pytest.raises(ValueError, match="format code"):
+            decode_wav(self._wav(99, 1, 8000, 16, b"\x00\x00"))
+        with _pytest.raises(ValueError, match="bit depth"):
+            decode_wav(self._wav(1, 1, 8000, 12, b"\x00\x00"))
+        with _pytest.raises(ValueError, match="8-bit"):
+            decode_wav(self._wav(7, 1, 8000, 16, b"\x00\x00"))
