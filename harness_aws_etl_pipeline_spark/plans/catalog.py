@@ -401,12 +401,9 @@ j AS (SELECT COUNT(*) AS ub,
 ea AS (SELECT COUNT(*) AS cnt, MAX(h) AS mx FROM ka)
 SELECT CAST(j.ub AS BIGINT) AS kmv_union_basis,
        CAST(j.ic AS BIGINT) AS kmv_inter_cnt,
-       ROUND(CAST(j.ic AS DOUBLE) / j.ub, 4) AS kmv_jaccard,
+       CAST(ea.cnt AS BIGINT) AS kmv_sketch_rows,
        (ea.cnt < {_KMV_K}) AS kmv_exact,
-       ROUND(CASE WHEN ea.cnt < {_KMV_K} THEN CAST(ea.cnt AS DOUBLE)
-             ELSE {float(_KMV_K - 1)} /
-                  (CAST(CAST('0x' || SUBSTR(ea.mx, 1, 15) AS BIGINT) AS DOUBLE)
-                   / 1152921504606846976.0) END, 4) AS kmv_est_custkeys
+       CAST('0x' || SUBSTR(ea.mx, 1, 15) AS BIGINT) AS kmv_mx60
 FROM j, ea
 """
 
@@ -2187,7 +2184,6 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     rank arithmetic, plus the percentile_approx-vs-exact accuracy
     band as a deterministic boolean."""
     from harness_aws_etl_pipeline_spark.operators.kmv import (
-        kmv_distinct_estimate,
         kmv_jaccard,
         kmv_sketch,
     )
@@ -2255,14 +2251,23 @@ def q_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
     sk_c = kmv_sketch(
         tables(spark, sf)["customer"], "c_custkey", k=_KMV_K
     ).localCheckpoint(eager=True)
+    # r9 hash-column audit: the derived FLOAT estimates (jaccard_est,
+    # distinct_est — ROUND(chain, 4) doubles) no longer ride the
+    # driver hash; the panel pins their SUFFICIENT STATISTICS instead
+    # (union basis, intersection count, sketch occupancy, and the
+    # exact 60-bit integer of the k-th hash — everything the float
+    # estimates are a fixed IEEE chain of). Same rule as
+    # numeric_inference: hash integers, keep floats in operators/tests.
     jac = kmv_jaccard(sk_o, sk_c, k=_KMV_K, inputs_materialized=True).select(
         F.col("union_basis").alias("kmv_union_basis"),
         F.col("inter_cnt").alias("kmv_inter_cnt"),
-        F.col("jaccard_est").alias("kmv_jaccard"),
     )
-    est = kmv_distinct_estimate(sk_o, k=_KMV_K).select(
-        F.col("exact").alias("kmv_exact"),
-        F.col("distinct_est").alias("kmv_est_custkeys"),
+    est = sk_o.agg(
+        F.count(F.lit(1)).cast("long").alias("kmv_sketch_rows"),
+        (F.count(F.lit(1)) < _KMV_K).alias("kmv_exact"),
+        F.conv(F.substring(F.max("h"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("kmv_mx60"),
     )
     li = tables(spark, sf)["lineitem"]
     rq = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.99]).agg(
