@@ -427,6 +427,8 @@ def sniff_container(payload: bytes) -> str:
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     if _mp3_frame(payload, 0) is not None:
         return "mp3"
     return "unknown"
@@ -545,6 +547,19 @@ def probe_container(payload: bytes) -> dict[str, Any]:
             w = struct.unpack_from("<i", payload, 18)[0]
             h = struct.unpack_from("<i", payload, 22)[0]
             base.update(container="bmp", width=w, height=abs(h), codec="bmp-rgb")
+        elif kind == "tiff":
+            from harness_aws_etl_pipeline_spark.operators.tiff import (
+                tiff_meta,
+            )
+
+            m = tiff_meta(payload)
+            base.update(
+                container="tiff",
+                width=m["width"],
+                height=m["height"],
+                codec={1: "tiff-raw", 5: "tiff-lzw", 32773: "tiff-packbits"}
+                .get(m["compression"], f"tiff-comp{m['compression']}"),
+            )
     except (struct.error, ValueError, IndexError):
         pass
     return base

@@ -483,10 +483,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """REAL image decode (pure numpy + stdlib): binary PPM (P6),
     uncompressed 24-bit BMP, 8-bit PNG incl. Adam7 (gray/RGB/RGBA),
     JPEG (baseline SOF0/1 + progressive SOF2, any 1-2 sampling
-    factors), or GIF87a/89a
-    (LZW; first composed frame) → (h, w, 3) uint8 RGB array. Raises
-    ``ValueError`` on anything else — decode callers asserted their
-    payloads are images."""
+    factors), GIF87a/89a (LZW; first composed frame), or baseline
+    TIFF (operators/tiff.py: II/MM, strips, None/LZW/PackBits,
+    predictor, gray/RGB/palette/bilevel) → (h, w, 3) uint8 RGB array.
+    Raises ``ValueError`` on anything else — decode callers asserted
+    their payloads are images."""
     import struct
 
     if payload is None:
@@ -501,6 +502,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from harness_aws_etl_pipeline_spark.operators.gif import decode_gif
 
         return decode_gif(bytes(payload))
+    if bytes(payload[:4]) in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from harness_aws_etl_pipeline_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(bytes(payload))
     if payload[:2] == b"P6":
         w, h, raster = _parse_ppm_header(payload, 0)
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=raster)
