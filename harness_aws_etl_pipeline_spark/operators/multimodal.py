@@ -993,6 +993,53 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(_gen, MEDIA_SCHEMA)
 
 
+def synthesize_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL TIFF per row: ``w = 1 + id % 9``,
+    ``h = 1 + id % 4``, every pixel ``(id*19 % 256, id*23 % 256,
+    id*31 % 256)``; compression cycles none/PackBits/LZW by
+    ``id % 3``, the horizontal-differencing predictor toggles on odd
+    ids and the byte order on ``id // 2`` — so one pass exercises
+    every strip-decode path while the decoded properties stay
+    closed-form in the id (operators/tiff.py)."""
+    from hashlib import md5
+
+    from harness_aws_etl_pipeline_spark.operators.tiff import encode_tiff
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        comps = ("none", "packbits", "lzw")
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 9, 1 + mid % 4
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = mid * 19 % 256
+                arr[..., 1] = mid * 23 % 256
+                arr[..., 2] = mid * 31 % 256
+                payloads.append(
+                    encode_tiff(
+                        arr,
+                        compression=comps[mid % 3],
+                        predictor=bool(mid % 2),
+                        big_endian=bool((mid // 2) % 2),
+                        rows_per_strip=2,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image/tiff",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

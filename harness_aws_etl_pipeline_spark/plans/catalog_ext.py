@@ -2226,6 +2226,22 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.element_at("feature", 2)).cast("long").alias("pjpeg_height_sum"),
         F.round(F.sum(F.element_at("feature", 4))).cast("long").alias("pjpeg_gray_sum"),
     )
+    # TIFF leg (round 9): striped baseline decode — compression
+    # cycles none/PackBits/LZW, predictor and byte order toggle by
+    # id, dims/solid color closed-form (operators/tiff.py)
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_tiff_media,
+    )
+
+    tiff_decoded = extract_features(
+        synthesize_tiff_media(docs, id_col="doc_id"), decode=True
+    )
+    tiff_agg = tiff_decoded.agg(
+        F.sum(F.element_at("feature", 1)).cast("long").alias("tiff_width_sum"),
+        F.sum(F.element_at("feature", 2)).cast("long").alias("tiff_height_sum"),
+        F.sum(F.element_at("feature", 4)).cast("long").alias("tiff_red_sum"),
+        F.sum(F.element_at("feature", 6)).cast("long").alias("tiff_blue_sum"),
+    )
     # MJPG-AVI leg (round 9): frame-sample video decode — RIFF movi
     # walk + per-frame JPEG decode (operators/video.py); per-frame
     # count/width/mean closed-form in the id
@@ -2372,6 +2388,7 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(png_agg))
         .crossJoin(F.broadcast(jpeg_agg))
         .crossJoin(F.broadcast(pjpeg_agg))
+        .crossJoin(F.broadcast(tiff_agg))
         .crossJoin(F.broadcast(avi_agg))
         .crossJoin(F.broadcast(wav_agg))
         .crossJoin(F.broadcast(hash_agg))
@@ -2401,6 +2418,10 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(1 + doc_id % 10) AS BIGINT) AS pjpeg_width_sum,
        CAST(SUM(1 + doc_id % 5) AS BIGINT) AS pjpeg_height_sum,
        CAST(SUM((doc_id * 29) % 256) AS BIGINT) AS pjpeg_gray_sum,
+       CAST(SUM(1 + doc_id % 9) AS BIGINT) AS tiff_width_sum,
+       CAST(SUM(1 + doc_id % 4) AS BIGINT) AS tiff_height_sum,
+       CAST(SUM((doc_id * 19) % 256) AS BIGINT) AS tiff_red_sum,
+       CAST(SUM((doc_id * 31) % 256) AS BIGINT) AS tiff_blue_sum,
        CAST(SUM(1 + doc_id % 3) AS BIGINT) AS avi_frame_cnt,
        CAST(SUM((1 + doc_id % 3) * (1 + doc_id % 10)) AS BIGINT) AS avi_width_sum,
        CAST(SUM((1 + doc_id % 3) * ((doc_id * 29) % 256)) AS BIGINT) AS avi_gray_sum,
