@@ -733,6 +733,18 @@ def main(argv: list[str] | None = None) -> int:
     kj.add_argument("--output", default=None, help="optional parquet sink")
     kj.add_argument("--show", type=int, default=5, help="print first N rows")
 
+    pdfp = sub.add_parser(
+        "pdf", help="extract text from PDF payloads into a documents table"
+    )
+    pdfp.add_argument(
+        "--input", required=True,
+        help="parquet with (id, binary payload) columns",
+    )
+    pdfp.add_argument("--id-col", default="doc_id")
+    pdfp.add_argument("--payload-col", default="payload")
+    pdfp.add_argument("--output", default=None, help="documents parquet path")
+    pdfp.add_argument("--show", type=int, default=3, help="preview rows")
+
     lgr = sub.add_parser(
         "linkgraph",
         help="incremental link graph: fold edge batches, warm-start "
@@ -1434,6 +1446,37 @@ def main(argv: list[str] | None = None) -> int:
                 "tvd_num": str(rep["tvd_num"]), "tvd": rep["tvd"],
                 "chi2": rep["chi2"],
             },
+        }))
+        return 0
+
+    if args.cmd == "pdf":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.pdf import (
+            pdf_to_documents,
+        )
+
+        src = spark.read.parquet(args.input)
+        docs = pdf_to_documents(
+            src, id_col=args.id_col, payload_col=args.payload_col
+        )
+        if args.output:
+            docs.write.mode("overwrite").parquet(args.output)
+            docs = spark.read.parquet(args.output)
+        n = docs.count()
+        failed = docs.filter(
+            F.col("text").isNull() & (F.col("page") == 0)
+        ).count()
+        preview = [
+            {"doc_id": r[args.id_col], "page": r["page"],
+             "text": (r["text"] or "")[:80]}
+            for r in docs.orderBy(args.id_col, "page")
+            .limit(args.show).collect()
+        ]
+        print(json.dumps({
+            "status": "success", "action": "pdf",
+            "pages": n - failed, "failed_docs": failed,
+            "preview": preview, "output": args.output,
         }))
         return 0
 

@@ -429,6 +429,8 @@ def sniff_container(payload: bytes) -> str:
         return "bmp"
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return "tiff"
+    if payload[:5] == b"%PDF-":
+        return "pdf"
     if _mp3_frame(payload, 0) is not None:
         return "mp3"
     return "unknown"
@@ -559,6 +561,15 @@ def probe_container(payload: bytes) -> dict[str, Any]:
                 height=m["height"],
                 codec={1: "tiff-raw", 5: "tiff-lzw", 32773: "tiff-packbits"}
                 .get(m["compression"], f"tiff-comp{m['compression']}"),
+            )
+        elif kind == "pdf":
+            from harness_aws_etl_pipeline_spark.operators.pdf import pdf_meta
+
+            m = pdf_meta(payload)
+            base.update(
+                container="pdf",
+                n_tracks=m["pages"],  # page count in the track slot
+                codec=f"pdf-{m['version']}",
             )
     except (struct.error, ValueError, IndexError):
         pass
