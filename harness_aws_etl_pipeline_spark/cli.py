@@ -211,6 +211,11 @@ def main(argv: list[str] | None = None) -> int:
         help="prepare: HTML column - extract text into --text-col first",
     )
     corpus.add_argument(
+        "--pdf-col", default=None,
+        help="prepare: binary PDF column - extract text into --text-col "
+        "first (malformed payloads become NULL text)",
+    )
+    corpus.add_argument(
         "--block-ids", default=None,
         help="takedown: comma-separated literal doc ids (string ids "
         "welcome; all-digit ids compare as ints). Legacy: a parquet "
@@ -2107,6 +2112,7 @@ def main(argv: list[str] | None = None) -> int:
                 url_columns=args.suffix_list is not None,
                 suffix_rules=rules,
                 html_col=args.html_col,
+                pdf_col=args.pdf_col,
             )
             rows_in = df.count()
             if args.output:

@@ -57,6 +57,7 @@ def prepare_corpus(
     url_columns: bool = False,
     suffix_rules: dict | None = None,
     html_col: str | None = None,
+    pdf_col: str | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the enabled stages in order; returns ``(prepared, report)``.
@@ -77,6 +78,24 @@ def prepare_corpus(
     domain-weighted mixing over registered domains.
     """
     stages: list[tuple[str, object]] = []
+
+    if pdf_col is not None:
+        # binary PDFs → text before everything else (the html_col
+        # pattern one format earlier): downstream stages score the
+        # EXTRACTED text; malformed payloads yield NULL text and fall
+        # to the null gate rather than failing the batch
+        from harness_aws_etl_pipeline_spark.operators.pdf import (
+            pdf_extract_column,
+        )
+
+        stages.append(
+            (
+                "pdf_extract",
+                lambda d: pdf_extract_column(
+                    d, pdf_col=pdf_col, text_col=text_col, pages_col=None
+                ),
+            )
+        )
 
     if html_col is not None:
         # markup → text before anything else: every downstream stage

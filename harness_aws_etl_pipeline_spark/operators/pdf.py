@@ -37,7 +37,13 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["encode_pdf", "pdf_extract_text", "pdf_meta", "pdf_to_documents"]
+__all__ = [
+    "encode_pdf",
+    "pdf_extract_column",
+    "pdf_extract_text",
+    "pdf_meta",
+    "pdf_to_documents",
+]
 
 _WS = rb"[\x00\t\n\x0c\r ]"
 _OBJ_RE = re.compile(rb"(\d+)" + _WS + rb"+(\d+)" + _WS + rb"+obj\b")
@@ -655,3 +661,43 @@ def pdf_to_documents(df, id_col: str = "doc_id", payload_col: str = "payload"):
             )
 
     return src.mapInPandas(_run, f"{id_col} long, page long, text string")
+
+
+def pdf_extract_column(
+    df, pdf_col: str, text_col: str = "text", pages_col: str | None = "pdf_pages"
+):
+    """1:1 corpus-prep front-end: a binary PDF column → one extracted
+    ``text_col`` per row (pages joined by blank lines), NULL for
+    malformed/encrypted payloads, optional page-count column. Keeps
+    row identity so it can slot in as the first prepare_corpus stage
+    (the html_col pattern). Arrow-batched map, no shuffle."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    out_schema = f"{fields}, `{text_col}` string" + (
+        f", `{pages_col}` bigint" if pages_col else ""
+    )
+
+    def _run(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf_batch in batches:
+            texts, npages = [], []
+            for payload in pdf_batch[pdf_col]:
+                try:
+                    pages = pdf_extract_text(bytes(payload))
+                    texts.append("\n\n".join(pages))
+                    npages.append(len(pages))
+                except (ValueError, KeyError, IndexError, zlib.error, TypeError):
+                    texts.append(None)
+                    npages.append(0)
+            out = pdf_batch.assign(
+                **{text_col: pd.Series(texts, index=pdf_batch.index, dtype="object")}
+            )
+            if pages_col:
+                out[pages_col] = pd.Series(
+                    npages, index=pdf_batch.index, dtype="int64"
+                )
+            yield out
+
+    return df.mapInPandas(_run, out_schema)

@@ -235,3 +235,40 @@ class TestProbeAndCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["pages"] == 1 and rep["failed_docs"] == 1
         assert spark.read.parquet(str(out)).count() == 2
+
+
+class TestCorpusPrep:
+    def test_prepare_corpus_pdf_front_end(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.corpus_pipeline import (
+            prepare_corpus,
+        )
+        from harness_aws_etl_pipeline_spark.operators.pdf import (
+            pdf_extract_column,
+        )
+
+        rows = [
+            (1, bytearray(encode_pdf(["real text content here"]))),
+            (2, bytearray(b"broken payload")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        # the 1:1 front-end alone: text + page count, NULL on junk
+        got = {
+            r.doc_id: (r.text, r.pdf_pages)
+            for r in pdf_extract_column(df, "payload").collect()
+        }
+        assert got[1] == ("real text content here", 1)
+        assert got[2] == (None, 0)
+        # through prepare_corpus: pdf_extract runs FIRST and the
+        # downstream stages score the extracted text — the junk row's
+        # NULL text is dropped by the normalize stage's contract
+        prepared, report = prepare_corpus(
+            df,
+            pdf_col="payload",
+            normalize="NFKC",
+        )
+        stages = [r["stage"] for r in report]
+        assert stages[0] == "pdf_extract"
+        rows = {r.doc_id: r.text for r in prepared.collect()}
+        assert rows[1] == "real text content here"
+        # the malformed payload surfaced as NULL text, not a crash
+        assert rows.get(2, None) in (None, "")
