@@ -825,6 +825,36 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         "warc_resp_cnt long, warc_status_sum long, warc_body_len_sum long, "
         "warc_uri_md5 string, warc_ct_html_cnt long, warc_gzip_ok long",
     )
+    # PDF round-trip leg (round 9): planted latin-1 texts go through
+    # encode_pdf (objects + Flate stream + classic xref) and come back
+    # via the FULL extraction machinery (xref load, page-tree walk,
+    # stream decode, content-stream text ops) — the md5s of the
+    # extracted strings must equal the md5s of the literals the
+    # oracle restates in SQL (the planted-fact convention)
+    from harness_aws_etl_pipeline_spark.operators.pdf import (
+        encode_pdf,
+        pdf_extract_column,
+    )
+
+    pdf_texts = [
+        "alpha document text",
+        "beta (with parens) and \\ backslash",
+        "gamma third planted page",
+    ]
+    pdf_rows = spark.createDataFrame(
+        [(i, bytearray(encode_pdf([t]))) for i, t in enumerate(pdf_texts)],
+        "doc_id long, payload binary",
+    )
+    pdf_agg = pdf_extract_column(
+        pdf_rows, "payload", text_col="_pdf_text", pages_col=None
+    ).agg(
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.md5(F.encode("_pdf_text", "utf-8"))))
+            )
+        ).alias("pdf_rt_md5"),
+        F.count("_pdf_text").cast("long").alias("pdf_rt_cnt"),
+    )
     return (
         fp_agg.crossJoin(F.broadcast(red_agg))
         .crossJoin(F.broadcast(tc_planted))
@@ -834,11 +864,12 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(md_agg))
         .crossJoin(F.broadcast(sm_agg))
         .crossJoin(F.broadcast(warc_agg))
+        .crossJoin(F.broadcast(pdf_agg))
     )
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT fp.*, red.*, tc.*, dec.*, tcc.*, html.*, md.*, sm.*, warc.*
+SELECT fp.*, red.*, tc.*, dec.*, tcc.*, html.*, md.*, sm.*, warc.*, pdfrt.*
 FROM (
   SELECT COUNT(DISTINCT md5(text)) AS distinct_md5,
          COUNT(DISTINCT fp_rolling) AS distinct_rolling,
@@ -886,7 +917,16 @@ FROM (
             '^ | $', '', 'g') AS cleaned
         FROM documents)
 ) tcc, (__HTML_ARM__) html, (__MD_ARM__) md, (__SM_ARM__) sm,
-(__WARC_ARM__) warc
+(__WARC_ARM__) warc, (
+  -- PDF round-trip: the engine writes/extracts these literals through
+  -- real object/stream/xref machinery; SQL restates their md5s
+  SELECT md5(string_agg(m, '|' ORDER BY m)) AS pdf_rt_md5,
+         CAST(COUNT(*) AS BIGINT) AS pdf_rt_cnt
+  FROM (SELECT md5(v) AS m
+        FROM (VALUES ('alpha document text'),
+                     ('beta (with parens) and \ backslash'),
+                     ('gamma third planted page')) p(v))
+) pdfrt
 """
 
 
