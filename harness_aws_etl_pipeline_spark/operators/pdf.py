@@ -47,7 +47,7 @@ __all__ = [
 
 _WS = rb"[\x00\t\n\x0c\r ]"
 _OBJ_RE = re.compile(rb"(\d+)" + _WS + rb"+(\d+)" + _WS + rb"+obj\b")
-_NAME_RE = re.compile(rb"/([A-Za-z0-9._#-]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9._#+-]+)")  # + for subset fonts (AAAAAA+Name)
 
 
 # ------------------------------------------------------------ lexing
@@ -460,7 +460,21 @@ _TEXT_OPS = re.compile(
 )
 
 
-def _decode_pdf_string(b: bytes) -> str:
+def _decode_pdf_string(
+    b: bytes, font: tuple[dict, int] | None = None
+) -> str:
+    if font is not None:
+        cmap, clen = font
+        out = []
+        for i in range(0, len(b) - clen + 1, clen):
+            code = int.from_bytes(b[i : i + clen], "big")
+            mapped = cmap.get(code)
+            out.append(
+                mapped
+                if mapped is not None
+                else b[i : i + clen].decode("latin-1")
+            )
+        return "".join(out)
     if b[:2] == b"\xfe\xff":
         try:
             return b[2:].decode("utf-16-be")
@@ -469,11 +483,18 @@ def _decode_pdf_string(b: bytes) -> str:
     return b.decode("latin-1")
 
 
-def _extract_page_text(content: bytes) -> str:
+def _extract_page_text(
+    content: bytes, fonts: dict[str, tuple[dict, int]] | None = None
+) -> str:
     """Walk content-stream tokens; emit shown strings, newline on
-    text-line operators (Td/TD/T*/Tm and the ' / " forms)."""
+    text-line operators (Td/TD/T*/Tm and the ' / " forms). ``fonts``
+    maps resource names to ToUnicode CMaps; ``Tf`` switches the
+    active one."""
+    fonts = fonts or {}
     parts: list[str] = []
     stack: list[bytes] = []
+    cur_font: tuple[dict, int] | None = None
+    last_name: str | None = None
     in_array = 0
     for m in _TEXT_OPS.finditer(content):
         tok = m.group(0)
@@ -490,19 +511,23 @@ def _extract_page_text(content: bytes) -> str:
             in_array += 1
         elif tok == b"]":
             in_array = max(0, in_array - 1)
-        elif c == b"/" or tok[:1].isdigit() or c in b"-+.":
+        elif c == b"/":
+            last_name = tok[1:].decode("latin-1")
+        elif tok[:1].isdigit() or c in b"-+.":
             continue
         else:
             op = tok
-            if op == b"Tj":
+            if op == b"Tf":
+                cur_font = fonts.get(last_name or "")
+            elif op == b"Tj":
                 if stack:
-                    parts.append(_decode_pdf_string(stack[-1]))
+                    parts.append(_decode_pdf_string(stack[-1], cur_font))
             elif op == b"TJ":
-                parts.extend(_decode_pdf_string(s) for s in stack)
+                parts.extend(_decode_pdf_string(s, cur_font) for s in stack)
             elif op in (b"'", b'"'):
                 parts.append("\n")
                 if stack:
-                    parts.append(_decode_pdf_string(stack[-1]))
+                    parts.append(_decode_pdf_string(stack[-1], cur_font))
             elif op in (b"Td", b"TD", b"T*", b"Tm"):
                 if parts and not parts[-1].endswith("\n"):
                     parts.append("\n")
@@ -513,8 +538,97 @@ def _extract_page_text(content: bytes) -> str:
     return "".join(parts).strip("\n")
 
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap → ({code: unicode string}, code byte length).
+    Handles bfchar pairs and bfrange (both increment and array
+    destination forms); destinations are UTF-16BE hex."""
+
+    def _dst(hexs: bytes) -> str:
+        b = bytes.fromhex(hexs.decode("ascii"))
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b.decode("latin-1")
+
+    cmap: dict[int, str] = {}
+    code_len = 1
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEX_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            code_len = max(code_len, len(toks[i]) // 2)
+            cmap[int(toks[i], 16)] = _dst(toks[i + 1])
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        # split into lines; each is <lo> <hi> (<dst> | [<d1> <d2> ...])
+        pos = 0
+        while True:
+            hm = _HEX_RE.search(body, pos)
+            if not hm:
+                break
+            lo_hex = hm.group(1)
+            hm2 = _HEX_RE.search(body, hm.end())
+            if not hm2:
+                break
+            lo, hi = int(lo_hex, 16), int(hm2.group(1), 16)
+            code_len = max(code_len, len(lo_hex) // 2)
+            rest = _skip_ws(body, hm2.end())
+            if body[rest : rest + 1] == b"[":
+                end = body.index(b"]", rest)
+                dsts = _HEX_RE.findall(body[rest:end])
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        cmap[lo + k] = _dst(d)
+                pos = end + 1
+            else:
+                hm3 = _HEX_RE.search(body, rest)
+                if not hm3:
+                    break
+                base_hex = hm3.group(1)
+                base = bytes.fromhex(base_hex.decode("ascii"))
+                for k in range(hi - lo + 1):
+                    # increment the LAST code unit per spec
+                    inc = int.from_bytes(base, "big") + k
+                    cmap[lo + k] = _dst(
+                        b"%0*x" % (len(base_hex), inc)
+                    )
+                pos = hm3.end()
+    return cmap, code_len
+
+
+def _page_fonts(pdf: "_Pdf", pg: dict) -> dict[str, tuple[dict, int]]:
+    """Page /Resources /Font → {name: (ToUnicode cmap, code bytes)}
+    for fonts that carry a ToUnicode stream (subset-embedded fonts);
+    simple-encoded fonts stay absent and fall back to latin-1."""
+    out: dict[str, tuple[dict, int]] = {}
+    res = pdf.resolve(pg.get("Resources")) or {}
+    fonts = pdf.resolve(res.get("Font")) or {}
+    if not isinstance(fonts, dict):
+        return out
+    for name, fref in fonts.items():
+        fd = pdf.resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        tu = fd.get("ToUnicode")
+        if isinstance(tu, tuple) and tu and tu[0] == "ref":
+            try:
+                cmap, clen = _parse_cmap(pdf.stream_of(tu[1]))
+            except (ValueError, KeyError):
+                continue
+            if cmap:
+                out[name] = (cmap, clen)
+    return out
+
+
 def pdf_extract_text(payload: bytes) -> list[str]:
-    """Per-page extracted text for an unencrypted PDF."""
+    """Per-page extracted text for an unencrypted PDF. Fonts carrying
+    a ToUnicode CMap (subset-embedded fonts — most real-world PDFs)
+    are decoded through it, tracked per ``Tf`` font selection;
+    everything else falls back to latin-1 byte passthrough."""
     pdf = _Pdf(bytes(payload))
     pages = []
     for pg in pdf.pages():
@@ -532,7 +646,7 @@ def pdf_extract_text(payload: bytes) -> list[str]:
                     blob += b"\n"
                 except ValueError:
                     continue
-        pages.append(_extract_page_text(bytes(blob)))
+        pages.append(_extract_page_text(bytes(blob), _page_fonts(pdf, pg)))
     return pages
 
 

@@ -272,3 +272,75 @@ class TestCorpusPrep:
         assert rows[1] == "real text content here"
         # the malformed payload surfaced as NULL text, not a crash
         assert rows.get(2, None) in (None, "")
+
+
+def _cid_pdf() -> bytes:
+    """Hand-built PDF whose page font carries a ToUnicode CMap with
+    2-byte codes (bfchar + both bfrange forms) — the subset-embedded
+    font layout of real-world PDFs."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0002> <0065>\n"          # e
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <006C>\n"   # l l m  (increment form: l,m,n → use l..)
+        b"<0020> <0021> [<00F6> <0021>]\n"  # ö !
+        b"endbfrange\n"
+        b"endcmap end\n"
+    )
+    content = b"BT /F1 11 Tf <00010002001000100020 0021> Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 6 0 R >>"
+        ),
+        4: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub+Font "
+            b"/ToUnicode 5 0 R >>"
+        ),
+        5: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        6: b"<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+class TestToUnicode:
+    def test_cid_font_cmap_decoding(self):
+        # codes: 0001→H, 0002→e, 0010/0010→l l (bfrange increment),
+        # 0020→ö (array form), 0021→!
+        assert pdf_extract_text(_cid_pdf()) == ["Hellö!"]
+
+    def test_cmap_parser_units(self):
+        from harness_aws_etl_pipeline_spark.operators.pdf import _parse_cmap
+
+        cmap, clen = _parse_cmap(
+            b"1 beginbfchar <41> <0041> endbfchar\n"
+            b"1 beginbfrange <61> <63> <0078> endbfrange\n"
+        )
+        assert clen == 1
+        assert cmap[0x41] == "A"
+        assert (cmap[0x61], cmap[0x62], cmap[0x63]) == ("x", "y", "z")
+        # surrogate-pair destination (4-byte UTF-16BE)
+        cmap2, clen2 = _parse_cmap(
+            b"1 beginbfchar <0005> <D83DDE00> endbfchar"
+        )
+        assert clen2 == 2
+        assert cmap2[5] == "\U0001f600"
