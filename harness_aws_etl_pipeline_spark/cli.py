@@ -216,6 +216,11 @@ def main(argv: list[str] | None = None) -> int:
         "first (malformed payloads become NULL text)",
     )
     corpus.add_argument(
+        "--office-col", default=None,
+        help="prepare: binary docx/pptx/xlsx column - extract text into "
+        "--text-col first (malformed payloads become NULL text)",
+    )
+    corpus.add_argument(
         "--block-ids", default=None,
         help="takedown: comma-separated literal doc ids (string ids "
         "welcome; all-digit ids compare as ints). Legacy: a parquet "
@@ -2113,6 +2118,7 @@ def main(argv: list[str] | None = None) -> int:
                 suffix_rules=rules,
                 html_col=args.html_col,
                 pdf_col=args.pdf_col,
+                office_col=args.office_col,
             )
             rows_in = df.count()
             if args.output:

@@ -431,6 +431,12 @@ def sniff_container(payload: bytes) -> str:
         return "tiff"
     if payload[:5] == b"%PDF-":
         return "pdf"
+    if payload[:4] == b"PK\x03\x04":
+        from harness_aws_etl_pipeline_spark.operators.office import (
+            office_kind,
+        )
+
+        return office_kind(payload) or "zip"
     if _mp3_frame(payload, 0) is not None:
         return "mp3"
     return "unknown"
@@ -571,6 +577,8 @@ def probe_container(payload: bytes) -> dict[str, Any]:
                 n_tracks=m["pages"],  # page count in the track slot
                 codec=f"pdf-{m['version']}",
             )
+        elif kind in ("docx", "pptx", "xlsx", "zip"):
+            base.update(container=kind, codec="ooxml" if kind != "zip" else "zip")
     except (struct.error, ValueError, IndexError):
         pass
     return base

@@ -58,6 +58,7 @@ def prepare_corpus(
     suffix_rules: dict | None = None,
     html_col: str | None = None,
     pdf_col: str | None = None,
+    office_col: str | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the enabled stages in order; returns ``(prepared, report)``.
@@ -93,6 +94,22 @@ def prepare_corpus(
                 "pdf_extract",
                 lambda d: pdf_extract_column(
                     d, pdf_col=pdf_col, text_col=text_col, pages_col=None
+                ),
+            )
+        )
+
+    if office_col is not None:
+        # docx/pptx/xlsx → text, same 1:1 NULL-isolating contract
+        from harness_aws_etl_pipeline_spark.operators.office import (
+            office_extract_column,
+        )
+
+        stages.append(
+            (
+                "office_extract",
+                lambda d: office_extract_column(
+                    d, office_col=office_col, text_col=text_col,
+                    kind_col=None,
                 ),
             )
         )
