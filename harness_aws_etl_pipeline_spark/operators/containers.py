@@ -577,8 +577,11 @@ def probe_container(payload: bytes) -> dict[str, Any]:
                 n_tracks=m["pages"],  # page count in the track slot
                 codec=f"pdf-{m['version']}",
             )
-        elif kind in ("docx", "pptx", "xlsx", "zip"):
-            base.update(container=kind, codec="ooxml" if kind != "zip" else "zip")
+        elif kind in ("docx", "pptx", "xlsx", "epub", "zip"):
+            base.update(
+                container=kind,
+                codec={"zip": "zip", "epub": "epub-ocf"}.get(kind, "ooxml"),
+            )
     except (struct.error, ValueError, IndexError):
         pass
     return base

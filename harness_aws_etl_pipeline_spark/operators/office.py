@@ -38,6 +38,7 @@ from xml.etree import ElementTree
 
 __all__ = [
     "docx_extract_text",
+    "epub_extract_text",
     "office_extract_column",
     "office_extract_text",
     "office_kind",
@@ -72,6 +73,8 @@ def office_kind(payload: bytes) -> str | None:
         return "pptx"
     if "xl/workbook.xml" in names:
         return "xlsx"
+    if "META-INF/container.xml" in names or "mimetype" in names:
+        return "epub"
     return "zip"
 
 
@@ -235,6 +238,8 @@ def office_extract_text(payload: bytes) -> str:
         return "\n\n".join(pptx_extract_text(payload))
     if kind == "xlsx":
         return "\n\n".join(xlsx_extract_text(payload))
+    if kind == "epub":
+        return "\n\n".join(epub_extract_text(payload))
     raise ValueError(f"not an OOXML document (sniffed {kind!r})")
 
 
@@ -274,3 +279,83 @@ def office_extract_column(
             yield out
 
     return df.mapInPandas(_run, out_schema)
+
+
+# -------------------------------------------------------------- epub
+
+
+def _py_html_to_text(s: str) -> str:
+    """Python twin of ``html.html_to_text`` (the Column chain) for
+    in-worker use — SAME patterns, SAME entity order; a parity test
+    pins the two against each other on planted fixtures."""
+    from harness_aws_etl_pipeline_spark.operators.html import (
+        _ANY_TAG,
+        _COMMENT,
+        _NEWLINE_TAGS,
+        _SCRIPT_DROP,
+        _STYLE_DROP,
+    )
+
+    s = re.sub(_SCRIPT_DROP, " ", s)
+    s = re.sub(_STYLE_DROP, " ", s)
+    s = re.sub(_COMMENT, " ", s)
+    s = re.sub(_NEWLINE_TAGS, "\n", s)
+    s = re.sub(_ANY_TAG, " ", s)
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        s = s.replace(ent, rep)
+    s = re.sub(r"[ \t\x0B\f\r]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{3,}", "\n\n", s)
+    return re.sub(r"^[ \n]+|[ \n]+$", "", s)
+
+
+def epub_extract_text(payload: bytes) -> list[str]:
+    """Per-chapter text in SPINE order (EPUB OCF: META-INF/
+    container.xml → OPF package → manifest hrefs, spine idrefs),
+    each chapter through the html_to_text chain. Falls back to all
+    (x)html parts in name order when the OCF plumbing is damaged —
+    salvage over failure, like the PDF xref fallback."""
+    import posixpath
+
+    zf = _zip(bytes(payload))
+    names = zf.namelist()
+    docs: list[str] = []
+    try:
+        container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+        opf_path = next(
+            el.attrib["full-path"]
+            for el in container.iter()
+            if _local(el.tag) == "rootfile" and "full-path" in el.attrib
+        )
+        opf = ElementTree.fromstring(zf.read(opf_path))
+        base = posixpath.dirname(opf_path)
+        items = {
+            el.attrib["id"]: el.attrib["href"]
+            for el in opf.iter()
+            if _local(el.tag) == "item" and "id" in el.attrib
+        }
+        for el in opf.iter():
+            if _local(el.tag) == "itemref" and el.attrib.get("idref") in items:
+                href = items[el.attrib["idref"]]
+                path = posixpath.normpath(posixpath.join(base, href))
+                if path in names:
+                    docs.append(path)
+    except (KeyError, StopIteration, ElementTree.ParseError, ValueError):
+        docs = []
+    if not docs:
+        docs = sorted(
+            n for n in names if re.search(r"\.x?html?$", n, re.I)
+        )
+    if not docs:
+        raise ValueError("not an epub (no spine and no xhtml parts)")
+    return [
+        _py_html_to_text(zf.read(d).decode("utf-8", "replace")) for d in docs
+    ]

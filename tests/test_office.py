@@ -193,3 +193,80 @@ class TestIntegration:
         assert report[0]["stage"] == "office_extract"
         rows = {r.doc_id: r.text for r in prepared.collect()}
         assert rows[1] == "office corpus text"
+
+
+def _epub(chapters: list[str], damaged: bool = False) -> bytes:
+    """Minimal OCF: container.xml → OPF → spine. Chapter FILE names
+    are in REVERSE order of the spine so spine order is what's
+    tested."""
+    n = len(chapters)
+    items = "".join(
+        f'<item id="c{i}" href="text/part{n - i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(n)
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(n))
+    opf = (
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        f"<manifest>{items}</manifest><spine>{spine}</spine></package>"
+    ).encode()
+    parts = {
+        "mimetype": b"application/epub+zip",
+        "OEBPS/content.opf": opf,
+    }
+    if not damaged:
+        parts["META-INF/container.xml"] = (
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>"
+        ).encode()
+    for i, ch in enumerate(chapters):
+        parts[f"OEBPS/text/part{n - i}.xhtml"] = (
+            "<html><head><style>p{}</style></head>"
+            f"<body><p>{ch}</p></body></html>"
+        ).encode()
+    return _mkzip(parts)
+
+
+class TestEpub:
+    def test_spine_order_and_html_chain(self):
+        from harness_aws_etl_pipeline_spark.operators.office import (
+            epub_extract_text,
+        )
+
+        got = epub_extract_text(_epub(["chapter one", "chapter two &amp; more"]))
+        assert got == ["chapter one", "chapter two & more"]
+        assert office_kind(_epub(["x"])) == "epub"
+        assert office_extract_text(_epub(["a", "b"])) == "a\n\nb"
+
+    def test_damaged_ocf_falls_back_to_xhtml_scan(self):
+        from harness_aws_etl_pipeline_spark.operators.office import (
+            epub_extract_text,
+        )
+
+        # no container.xml → name-order salvage of the xhtml parts
+        got = epub_extract_text(_epub(["one", "two"], damaged=True))
+        assert sorted(got) == ["one", "two"]
+
+    def test_python_twin_matches_column_chain(self, spark):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.html import html_to_text
+        from harness_aws_etl_pipeline_spark.operators.office import (
+            _py_html_to_text,
+        )
+
+        fixtures = [
+            "<p>plain</p>",
+            "<script>drop()</script><div>kept</div>",
+            "<style>p{}</style>text &amp;lt; stays",
+            "a<br/>b<BR>c</li>d",
+            "<!-- gone -->x &nbsp;&lt;tag&gt; &quot;q&apos;",
+            "  lots \t of\n\n\n\nspace  ",
+        ]
+        df = spark.createDataFrame([(s,) for s in fixtures], "h string")
+        col = [
+            r.t for r in df.select(html_to_text("h").alias("t")).collect()
+        ]
+        assert col == [_py_html_to_text(s) for s in fixtures]
