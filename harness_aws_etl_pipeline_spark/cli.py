@@ -743,6 +743,20 @@ def main(argv: list[str] | None = None) -> int:
     kj.add_argument("--output", default=None, help="optional parquet sink")
     kj.add_argument("--show", type=int, default=5, help="print first N rows")
 
+    dl = sub.add_parser(
+        "delta",
+        help="read a Delta Lake table via the open log protocol (no jar)",
+    )
+    dl.add_argument("--path", required=True, help="Delta table root")
+    dl.add_argument(
+        "--version", type=int, default=None, help="time-travel version"
+    )
+    dl.add_argument(
+        "--history", action="store_true", help="print the commit history"
+    )
+    dl.add_argument("--output", default=None, help="export snapshot parquet")
+    dl.add_argument("--show", type=int, default=5, help="preview rows")
+
     pdfp = sub.add_parser(
         "pdf", help="extract text from PDF payloads into a documents table"
     )
@@ -1457,6 +1471,34 @@ def main(argv: list[str] | None = None) -> int:
                 "chi2": rep["chi2"],
             },
         }))
+        return 0
+
+    if args.cmd == "delta":
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_history,
+            delta_snapshot,
+            read_delta,
+        )
+
+        if args.history:
+            print(json.dumps({
+                "status": "success", "action": "delta",
+                "history": delta_history(spark, args.path),
+            }))
+            return 0
+        snap = delta_snapshot(spark, args.path, args.version)
+        df = read_delta(spark, args.path, args.version)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "delta",
+            "version": snap["version"],
+            "live_files": len(snap["files"]),
+            "partition_columns": snap["partition_columns"],
+            "rows": df.count(),
+            "preview": [r.asDict() for r in df.limit(args.show).collect()],
+            "output": args.output,
+        }, default=str))
         return 0
 
     if args.cmd == "pdf":

@@ -1,0 +1,217 @@
+"""Delta-protocol reader (sources/deltaread.py): hand-written logs
+per PROTOCOL.md — snapshot fold, remove semantics, time travel,
+partition-value recovery, checkpoint replay, protocol-2 rejection,
+history."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sources.deltaread import (
+    delta_history,
+    delta_snapshot,
+    read_delta,
+)
+
+_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _meta(partition_cols=()):
+    return {
+        "metaData": {
+            "id": "tbl-1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_JSON,
+            "partitionColumns": list(partition_cols),
+            "configuration": {},
+        }
+    }
+
+
+def _commit(tmp_path, version, actions):
+    log = tmp_path / "_delta_log"
+    log.mkdir(exist_ok=True)
+    (log / f"{version:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+
+
+def _datafile(spark, tmp_path, name, rows):
+    p = tmp_path / "stage" / name
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(p))
+    import glob
+    import shutil
+
+    src = glob.glob(str(p / "*.parquet"))[0]
+    shutil.move(src, str(tmp_path / name))
+    return name
+
+
+def _add(name, pv=None):
+    return {
+        "add": {
+            "path": name,
+            "partitionValues": pv or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+class TestSnapshotFold:
+    def _basic_table(self, spark, tmp_path):
+        a = _datafile(spark, tmp_path, "part-a.parquet", [(1, "x"), (2, "y")])
+        b = _datafile(spark, tmp_path, "part-b.parquet", [(3, "z")])
+        c = _datafile(spark, tmp_path, "part-c.parquet", [(4, "w")])
+        _commit(
+            tmp_path, 0,
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+             _meta(), _add(a), _add(b),
+             {"commitInfo": {"operation": "WRITE", "timestamp": 1000}}],
+        )
+        _commit(
+            tmp_path, 1,
+            [{"remove": {"path": b, "dataChange": True}}, _add(c),
+             {"commitInfo": {"operation": "MERGE", "timestamp": 2000}}],
+        )
+        return tmp_path
+
+    def test_read_latest_and_time_travel(self, spark, tmp_path):
+        t = self._basic_table(spark, tmp_path)
+        latest = {(r.id, r.v) for r in read_delta(spark, str(t)).collect()}
+        assert latest == {(1, "x"), (2, "y"), (4, "w")}
+        v0 = {(r.id, r.v) for r in read_delta(spark, str(t), version=0).collect()}
+        assert v0 == {(1, "x"), (2, "y"), (3, "z")}
+
+    def test_history_and_snapshot_shape(self, spark, tmp_path):
+        t = self._basic_table(spark, tmp_path)
+        h = delta_history(spark, str(t))
+        assert [(x["version"], x["operation"], x["num_adds"], x["num_removes"])
+                for x in h] == [(0, "WRITE", 2, 0), (1, "MERGE", 1, 1)]
+        snap = delta_snapshot(spark, str(t), 1)
+        assert snap["version"] == 1
+        assert sorted(snap["files"]) == ["part-a.parquet", "part-c.parquet"]
+        assert snap["partition_columns"] == []
+
+    def test_version_out_of_range_and_not_delta(self, spark, tmp_path):
+        t = self._basic_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="out of range"):
+            read_delta(spark, str(t), version=9)
+        with pytest.raises(ValueError, match="not a Delta table"):
+            read_delta(spark, str(tmp_path / "nowhere"))
+
+    def test_protocol_two_rejected(self, spark, tmp_path):
+        a = _datafile(spark, tmp_path, "p.parquet", [(1, "x")])
+        _commit(
+            tmp_path, 0,
+            [{"protocol": {"minReaderVersion": 3,
+                           "readerFeatures": ["deletionVectors"]}},
+             _meta(), _add(a)],
+        )
+        with pytest.raises(ValueError, match="deletionVectors"):
+            read_delta(spark, str(tmp_path))
+
+
+class TestPartitioned:
+    def test_partition_values_recovered_typed(self, spark, tmp_path):
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "g", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        })
+        meta = _meta(["g"])
+        meta["metaData"]["schemaString"] = schema
+        a = _datafile(spark, tmp_path, "g1.parquet", [(1, "x")])
+        b = _datafile(spark, tmp_path, "g2.parquet", [(2, "y")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 1}}, meta,
+            _add(a, {"g": "1"}), _add(b, {"g": "2"}),
+        ])
+        got = {
+            (r.id, r.v, r.g) for r in read_delta(spark, str(tmp_path)).collect()
+        }
+        assert got == {(1, "x", 1), (2, "y", 2)}
+        df = read_delta(spark, str(tmp_path))
+        assert dict(df.dtypes)["g"] == "int"  # typed per table schema
+        # partition pruning happens on the reattached literal
+        assert df.filter(F.col("g") == 2).count() == 1
+
+
+class TestCheckpoint:
+    def test_checkpoint_replay_skips_earlier_commits(self, spark, tmp_path):
+        t = TestSnapshotFold()._basic_table(spark, tmp_path)
+        # write a v1 checkpoint holding the LIVE file set, then delete
+        # the JSON commits it supersedes — replay must come from it
+        cp_schema = (
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:long,dataChange:boolean>, "
+            "metaData struct<id:string,schemaString:string,"
+            "partitionColumns:array<string>>, "
+            "protocol struct<minReaderVersion:int,"
+            "readerFeatures:array<string>>"
+        )
+        rows = [
+            (("part-a.parquet", {}, 1, True), None, None),
+            (("part-c.parquet", {}, 1, True), None, None),
+            (None, ("tbl-1", _SCHEMA_JSON, []), None),
+            (None, None, (1, None)),
+        ]
+        cp = spark.createDataFrame(rows, cp_schema)
+        cp.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "cpstage")
+        )
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / "cpstage" / "*.parquet"))[0]
+        shutil.move(
+            src,
+            str(tmp_path / "_delta_log" / "00000000000000000001.checkpoint.parquet"),
+        )
+        # delete commits 0 and 1: only the checkpoint carries them now
+        (tmp_path / "_delta_log" / f"{0:020d}.json").unlink()
+        (tmp_path / "_delta_log" / f"{1:020d}.json").unlink()
+        _commit(t, 2, [{"remove": {"path": "part-a.parquet",
+                                   "dataChange": True}}])
+        got = {(r.id, r.v) for r in read_delta(spark, str(t)).collect()}
+        assert got == {(4, "w")}
+        snap = delta_snapshot(spark, str(t))
+        assert snap["version"] == 2
+
+
+class TestCli:
+    def test_delta_cli(self, spark, tmp_path, capsys):
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        t = TestSnapshotFold()._basic_table(spark, tmp_path)
+        rc = main(["delta", "--path", str(t), "--history"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [h["version"] for h in rep["history"]] == [0, 1]
+
+        out = tmp_path / "export"
+        rc = main([
+            "delta", "--path", str(t), "--version", "0",
+            "--output", str(out),
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["version"] == 0 and rep["rows"] == 3
+        assert spark.read.parquet(str(out)).count() == 3
