@@ -48,6 +48,7 @@ _EXT_TO_FORMAT = {
     ".parquet": "parquet",
     ".pq": "parquet",
     ".orc": "orc",
+    ".avro": "avro",
 }
 
 
@@ -82,6 +83,24 @@ def _reader(spark: SparkSession, fmt: str, schema: StructType | None, infer_sche
         return lambda paths: r.parquet(*paths) if isinstance(paths, list) else r.parquet(paths)
     if fmt == "orc":
         return lambda paths: r.orc(*paths) if isinstance(paths, list) else r.orc(paths)
+    if fmt == "avro":
+        # spark-avro isn't shipped here — the engine's own
+        # open-spec OCF reader (sources/avroread.py). Avro carries
+        # its schema; an explicit schema param is rejected upstream
+        # of this (the reader pins the first file's schema).
+        from harness_aws_etl_pipeline_spark.sources.avroread import (
+            read_avro,
+        )
+
+        def _avro(paths):
+            ps = paths if isinstance(paths, list) else [paths]
+            out = None
+            for p in ps:
+                df = read_avro(spark, p)
+                out = df if out is None else out.unionByName(df)
+            return out
+
+        return _avro
     raise UnsupportedFormatError(f"unsupported format {fmt!r}")
 
 

@@ -1,0 +1,129 @@
+"""Avro OCF source (sources/avroread.py): binary-layer round trips,
+container framing (blocks, sync markers, deflate), schema mapping to
+Spark types, nullable unions, permissive corruption isolation, and
+guard behavior for general unions / foreign codecs."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from harness_aws_etl_pipeline_spark.sources.avroread import (
+    avro_spark_schema,
+    read_avro,
+    write_avro_bytes,
+)
+
+SCHEMA = json.dumps({
+    "type": "record", "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flags", "type": {"type": "array", "items": "int"}},
+        {"name": "props", "type": {"type": "map", "values": "string"}},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "sig", "type": {"type": "fixed", "name": "Sig", "size": 4}},
+        {"name": "ok", "type": "boolean"},
+    ],
+})
+
+RECORDS = [
+    {"id": 1, "text": "hello", "score": 1.5, "flags": [1, 2, 3],
+     "props": {"a": "x"}, "kind": "A", "sig": b"\x01\x02\x03\x04",
+     "ok": True},
+    {"id": 2, "text": None, "score": -0.25, "flags": [],
+     "props": {}, "kind": "C", "sig": b"\xff\x00\xff\x00", "ok": False},
+    {"id": 3, "text": "third", "score": 2.0, "flags": [7],
+     "props": {"k1": "v1", "k2": "v2"}, "kind": "B",
+     "sig": b"abcd", "ok": True},
+]
+
+
+class TestSchemaMapping:
+    def test_spark_schema(self):
+        s = avro_spark_schema(SCHEMA)
+        d = {f.name: (f.dataType.simpleString(), f.nullable) for f in s.fields}
+        assert d["id"][0] == "bigint"
+        assert d["text"] == ("string", True)
+        assert d["flags"][0] == "array<int>"
+        assert d["props"][0] == "map<string,string>"
+        assert d["kind"][0] == "string"
+        assert d["sig"][0] == "binary"
+
+    def test_general_union_rejected(self):
+        bad = json.dumps({
+            "type": "record", "name": "R",
+            "fields": [{"name": "u", "type": ["int", "string"]}],
+        })
+        with pytest.raises(ValueError, match="general Avro unions"):
+            avro_spark_schema(bad)
+
+
+class TestReadRoundTrip:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_codecs_and_blocks(self, spark, tmp_path, codec):
+        # block_size=2 over 3 records → two blocks + sync walks
+        blob = write_avro_bytes(SCHEMA, RECORDS, codec=codec, block_size=2)
+        (tmp_path / "part-0.avro").write_bytes(blob)
+        df = read_avro(spark, str(tmp_path))
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1].text == "hello" and rows[2].text is None
+        assert rows[3].props == {"k1": "v1", "k2": "v2"}
+        assert list(rows[1].flags) == [1, 2, 3]
+        assert rows[2].kind == "C"
+        assert bytes(rows[3].sig) == b"abcd"
+        assert rows[2].ok is False
+        assert abs(rows[2].score + 0.25) < 1e-12
+
+    def test_multiple_files(self, spark, tmp_path):
+        (tmp_path / "a.avro").write_bytes(
+            write_avro_bytes(SCHEMA, RECORDS[:2])
+        )
+        (tmp_path / "b.avro").write_bytes(
+            write_avro_bytes(SCHEMA, RECORDS[2:])
+        )
+        assert read_avro(spark, str(tmp_path)).count() == 3
+
+    def test_permissive_isolates_corrupt_file(self, spark, tmp_path):
+        (tmp_path / "good.avro").write_bytes(
+            write_avro_bytes(SCHEMA, RECORDS[:1])
+        )
+        (tmp_path / "bad.avro").write_bytes(b"Obj\x01" + b"\x99" * 20)
+        df = read_avro(spark, str(tmp_path), permissive=True)
+        good = df.filter("_corrupt_avro_file IS NULL").collect()
+        bad = df.filter("_corrupt_avro_file IS NOT NULL").collect()
+        assert len(good) == 1 and good[0].id == 1
+        assert len(bad) == 1 and "bad.avro" in bad[0]._corrupt_avro_file
+        # strict mode raises instead
+        with pytest.raises(Exception, match="Avro"):
+            read_avro(spark, str(tmp_path)).count()
+
+    def test_guards(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="no Avro files"):
+            read_avro(spark, str(tmp_path))
+        blob = write_avro_bytes(SCHEMA, RECORDS[:1], codec="null")
+        # foreign codec in metadata (key + zigzag len 4 + value)
+        assert b"avro.codec\x08null" in blob
+        bad = blob.replace(b"avro.codec\x08null", b"avro.codec\x08zstd")
+        (tmp_path / "z.avro").write_bytes(bad)
+        with pytest.raises(Exception, match="codec"):
+            read_avro(spark, str(tmp_path)).count()
+
+
+class TestReadersIntegration:
+    def test_read_file_dispatch(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.readers import (
+            detect_format,
+            read_file,
+        )
+
+        p = tmp_path / "data.avro"
+        p.write_bytes(write_avro_bytes(SCHEMA, RECORDS))
+        assert detect_format(str(p)) == "avro"
+        df = read_file(spark, str(p))
+        assert df.count() == 3
+        assert {r.id for r in df.collect()} == {1, 2, 3}
