@@ -757,6 +757,20 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--output", default=None, help="export snapshot parquet")
     dl.add_argument("--show", type=int, default=5, help="preview rows")
 
+    ib = sub.add_parser(
+        "iceberg",
+        help="read an Apache Iceberg table via the open spec (no jar)",
+    )
+    ib.add_argument("--path", required=True, help="Iceberg table root")
+    ib.add_argument(
+        "--snapshot-id", type=int, default=None, help="time-travel snapshot"
+    )
+    ib.add_argument(
+        "--snapshots", action="store_true", help="print the snapshot log"
+    )
+    ib.add_argument("--output", default=None, help="export snapshot parquet")
+    ib.add_argument("--show", type=int, default=5, help="preview rows")
+
     pdfp = sub.add_parser(
         "pdf", help="extract text from PDF payloads into a documents table"
     )
@@ -1495,6 +1509,34 @@ def main(argv: list[str] | None = None) -> int:
             "version": snap["version"],
             "live_files": len(snap["files"]),
             "partition_columns": snap["partition_columns"],
+            "rows": df.count(),
+            "preview": [r.asDict() for r in df.limit(args.show).collect()],
+            "output": args.output,
+        }, default=str))
+        return 0
+
+    if args.cmd == "iceberg":
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_snapshot,
+            iceberg_snapshots,
+            read_iceberg,
+        )
+
+        if args.snapshots:
+            print(json.dumps({
+                "status": "success", "action": "iceberg",
+                "snapshots": iceberg_snapshots(spark, args.path),
+            }))
+            return 0
+        snap = iceberg_snapshot(spark, args.path, args.snapshot_id)
+        df = read_iceberg(spark, args.path, args.snapshot_id)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "iceberg",
+            "snapshot_id": snap["snapshot_id"],
+            "format_version": snap["format_version"],
+            "live_files": len(snap["files"]),
             "rows": df.count(),
             "preview": [r.asDict() for r in df.limit(args.show).collect()],
             "output": args.output,

@@ -1,0 +1,248 @@
+"""Read Apache Iceberg tables WITHOUT the Iceberg jar — the second
+leg of the no-jar lakehouse interop tier (``deltaread`` is the
+first). The Iceberg table format is an open spec
+(iceberg.apache.org/spec): a table directory holds
+``metadata/vN.metadata.json`` (current snapshot pointer, schemas,
+partition specs), each snapshot points at a MANIFEST LIST (an Avro
+file), which points at MANIFESTS (Avro files), which enumerate the
+live parquet data files. The in-repo open-spec Avro decoder
+(``sources/avroread``) reads both Avro layers, so the whole walk is
+stdlib + one stock ``spark.read.parquet`` at the end.
+
+Scope (honest): format v1 and v2 tables whose current snapshot has
+NO live delete files — v2 position/equality deletes change row
+visibility and are DETECTED and rejected loudly (the deltaread
+deletion-vector policy); entries with status=DELETED are honored.
+Identity-partitioned and unpartitioned tables read directly (Iceberg
+data files physically CONTAIN their partition source columns, unlike
+Delta); hidden-transform partitioning (bucket/truncate/days) also
+reads correctly for the same reason. Snapshot time travel via
+``snapshot_id``. The Iceberg schema JSON maps to Spark types
+(struct/list/map, decimals, dates, timestamps; uuid → string).
+
+Scale shape: metadata walk is driver-side over manifest-sized Avro
+(exactly what every Iceberg client does); the data read is plain
+parquet with pushdown/pruning intact.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+from harness_aws_etl_pipeline_spark.sources.avroread import _iter_container
+
+__all__ = ["iceberg_snapshot", "iceberg_snapshots", "read_iceberg"]
+
+
+def _iceberg_to_spark(t) -> T.DataType:
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _iceberg_to_spark(f["type"]),
+                        not f.get("required", False),
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        if k == "list":
+            return T.ArrayType(
+                _iceberg_to_spark(t["element"]),
+                containsNull=not t.get("element-required", False),
+            )
+        if k == "map":
+            return T.MapType(
+                _iceberg_to_spark(t["key"]),
+                _iceberg_to_spark(t["value"]),
+                valueContainsNull=not t.get("value-required", False),
+            )
+        raise ValueError(f"unsupported Iceberg type node {t!r}")
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t or "")
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if (t or "").startswith("fixed"):
+        return T.BinaryType()
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "time": T.LongType(),  # micros since midnight (no Spark TIME)
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }.get(t)
+    if prim is None:
+        raise ValueError(f"unsupported Iceberg primitive {t!r}")
+    return prim
+
+
+def _rel(base: str, location: str | None, p: str) -> str:
+    """Manifest paths are absolute URIs in real tables; remap them
+    under ``base`` via the table location prefix (the standard trick
+    for relocated/copied tables), pass relative paths through."""
+    if "://" in p:
+        if location and p.startswith(location):
+            return base.rstrip("/") + "/" + p[len(location) :].lstrip("/")
+        # same-scheme absolute path: try the tail after the table dir name
+        tail = p.split("/" + posixpath.basename(base.rstrip("/")) + "/", 1)
+        if len(tail) == 2:
+            return posixpath.join(base, tail[1])
+        return p
+    if p.startswith("/") and location and p.startswith(location):
+        return base.rstrip("/") + "/" + p[len(location) :].lstrip("/")
+    return p if p.startswith("/") else posixpath.join(base, p)
+
+
+def _latest_metadata(fs, base: str) -> str:
+    mdir = posixpath.join(base, "metadata")
+    hint = posixpath.join(mdir, "version-hint.text")
+    if fs.exists(hint):
+        v = fs.read_bytes(hint).decode("utf-8").strip()
+        cand = posixpath.join(mdir, f"v{v}.metadata.json")
+        if fs.exists(cand):
+            return cand
+    best = None
+    best_v = -1
+    for rel, _mt, _sz in fs.list_files(mdir):
+        name = posixpath.basename(rel)
+        m = re.match(r"v(\d+)\.metadata\.json$", name) or re.match(
+            r"(\d+)-[0-9a-f-]+\.metadata\.json$", name
+        )
+        if m and int(m.group(1)) > best_v:
+            best_v = int(m.group(1))
+            best = posixpath.join(mdir, name)
+    if best is None:
+        raise ValueError(f"not an Iceberg table (no metadata json): {base}")
+    return best
+
+
+def _avro_records(fs, path: str) -> list[dict]:
+    _schema, _names, recs = _iter_container(fs.read_bytes(path))
+    return list(recs)
+
+
+def iceberg_snapshots(spark: SparkSession, path: str) -> list[dict]:
+    """The snapshot log: [{"snapshot_id", "timestamp_ms",
+    "operation"}] oldest first."""
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    md = json.loads(fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8"))
+    out = []
+    for s in md.get("snapshots") or []:
+        out.append(
+            {
+                "snapshot_id": s.get("snapshot-id"),
+                "timestamp_ms": s.get("timestamp-ms"),
+                "operation": (s.get("summary") or {}).get("operation"),
+            }
+        )
+    return sorted(out, key=lambda s: s["timestamp_ms"] or 0)
+
+
+def iceberg_snapshot(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> dict:
+    """Resolve a snapshot to its live data files:
+    ``{"snapshot_id", "files": [paths], "schema" (StructType),
+    "format_version", "delete_files": n}``."""
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    md = json.loads(fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8"))
+    location = md.get("location")
+    fmt_v = int(md.get("format-version", 1))
+
+    # schema: v2 carries "schemas" + current-schema-id; v1 "schema"
+    schema_node = None
+    if md.get("schemas") is not None:
+        cur = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id") == cur:
+                schema_node = s
+                break
+    schema_node = schema_node or md.get("schema")
+    if schema_node is None:
+        raise ValueError("Iceberg metadata carries no schema")
+    spark_schema = _iceberg_to_spark(
+        {"type": "struct", "fields": schema_node["fields"]}
+    )
+
+    snaps = md.get("snapshots") or []
+    if not snaps:
+        return {
+            "snapshot_id": None,
+            "files": [],
+            "schema": spark_schema,
+            "format_version": fmt_v,
+            "delete_files": 0,
+        }
+    target_id = (
+        snapshot_id
+        if snapshot_id is not None
+        else md.get("current-snapshot-id")
+    )
+    snap = next(
+        (s for s in snaps if s.get("snapshot-id") == target_id), None
+    )
+    if snap is None:
+        raise ValueError(
+            f"snapshot {target_id} not found (have "
+            f"{[s.get('snapshot-id') for s in snaps]})"
+        )
+
+    mlist_path = _rel(base, location, snap["manifest-list"])
+    manifests = _avro_records(fs, mlist_path)
+    files: list[str] = []
+    delete_files = 0
+    for man in manifests:
+        mpath = _rel(base, location, man["manifest_path"])
+        content = int(man.get("content") or 0)
+        entries = _avro_records(fs, mpath)
+        for e in entries:
+            status = int(e.get("status") or 0)
+            if status == 2:  # DELETED
+                continue
+            df_ = e.get("data_file") or {}
+            if content == 1 or int(df_.get("content") or 0) != 0:
+                delete_files += 1
+                continue
+            files.append(_rel(base, location, df_["file_path"]))
+    if delete_files:
+        raise ValueError(
+            f"Iceberg v{fmt_v} snapshot carries {delete_files} live delete "
+            "file(s) (position/equality deletes); this plain-parquet "
+            "reader cannot apply them — compact the table first"
+        )
+    return {
+        "snapshot_id": target_id,
+        "files": files,
+        "schema": spark_schema,
+        "format_version": fmt_v,
+        "delete_files": 0,
+    }
+
+
+def read_iceberg(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The snapshot as a DataFrame (time travel via ``snapshot_id``).
+    Iceberg data files physically contain every table column
+    (including partition sources), so the read is one stock parquet
+    scan with the table schema."""
+    snap = iceberg_snapshot(spark, path, snapshot_id)
+    if not snap["files"]:
+        return spark.createDataFrame([], snap["schema"])
+    return spark.read.schema(snap["schema"]).parquet(*snap["files"])
