@@ -16,9 +16,13 @@ ZIP containers of XML parts — which the stdlib fully covers
   ``xl/sharedStrings.xml`` resolves ``t="s"`` cells, inline strings
   and numeric ``v`` values pass through; cells are emitted in
   column-reference order.
-* ``office_extract_text``: sniff by part names and dispatch; plain
-  ZIPs that are none of the three raise (they are archives, not
-  documents).
+* ``epub_extract_text``: OCF container → OPF package → SPINE-ordered
+  chapters, each through the html_to_text chain (via a Python twin
+  parity-pinned against the Column version); damaged-OCF xhtml scan
+  salvage.
+* ``office_extract_text``: sniff by part names and dispatch
+  (docx/pptx/xlsx/epub); plain ZIPs that are none of them raise
+  (they are archives, not documents).
 
 All parsing is namespace-agnostic (matches on local tag names) so
 documents from any OOXML producer — not just one vendor's namespace
