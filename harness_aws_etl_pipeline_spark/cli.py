@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "compact", "vacuum", "expire", "restore",
-            "changes", "optimize", "delete", "update",
+            "changes", "optimize", "delete", "update", "export-delta",
         ],
     )
     snap.add_argument("--path", required=True, help="snaptable root")
@@ -927,6 +927,12 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.action == "export-delta":
+            from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
+                export_delta_log,
+            )
+
+            print(json.dumps(export_delta_log(spark, args.path)))
         elif args.action == "delete":
             if not args.where:
                 p.error("snap delete requires --where")

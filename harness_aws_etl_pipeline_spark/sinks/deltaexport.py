@@ -1,0 +1,130 @@
+"""Export a SnapTable's history as a Delta Lake ``_delta_log`` — the
+INVERSE of ``sources/deltaread``: after one metadata-only export, any
+Delta client (Spark+delta, Trino, DuckDB delta, polars … and our own
+``read_delta``) can read the snapshot table, time travel included.
+
+Why this works with zero data movement: a SnapTable is already
+"parquet files + a manifest log" (``_snaplog/``), which is exactly
+Delta's physical model. The export walks every retained snapshot
+manifest, diffs consecutive file lists into Delta ``add`` / ``remove``
+actions, and writes ``_delta_log/NNN.json`` commits next to the
+existing data — relative, URL-encoded paths per the protocol, sizes
+and row-count stats carried over, the table schema emitted as
+``metaData`` (Spark's schema JSON IS Delta's ``schemaString``
+dialect). The two logs coexist: SnapTable readers only look at
+``_snaplog/``, Delta readers only at ``_delta_log/``.
+
+Honesty: the export is a SNAPSHOT of history, not a live dual-commit
+protocol — re-run it after new SnapTable commits (idempotent:
+existing commit files are rewritten). Delta version numbers equal
+SnapTable version numbers 1:1, so expired SnapTable snapshots export
+a REMAPPED contiguous history starting at 0 with the oldest retained
+manifest as its base commit.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from urllib.parse import quote
+
+from pyspark.sql import SparkSession
+
+from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+__all__ = ["export_delta_log"]
+
+
+def export_delta_log(
+    spark: SparkSession, table_path: str, table_id: str = "snaptable-export"
+) -> dict:
+    """Write/refresh ``_delta_log`` beside the SnapTable's data.
+    Returns ``{"delta_versions", "base_snap_version", "files_live"}``.
+    """
+    t = SnapTable(spark, table_path)
+    versions = t.versions()
+    if not versions:
+        raise ValueError(f"snaptable at {table_path!r} has no snapshots")
+    fs = get_fs(t.path, spark)
+    log_dir = f"{t.path}/_delta_log"
+    fs.mkdirs(log_dir)
+
+    prev_files: dict[str, dict] = {}
+    prev_schema: str | None = None
+    n_written = 0
+    for delta_v, snap_v in enumerate(versions):
+        m = t.manifest(snap_v)
+        cur = {f["path"]: f for f in m["files"]}
+        actions: list[dict] = []
+        if delta_v == 0:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+        if m["schema"] != prev_schema:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": m["schema"],
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": int(m.get("ts", 0) * 1000),
+                    }
+                }
+            )
+            prev_schema = m["schema"]
+        ts_ms = int(m.get("ts", time.time()) * 1000)
+        for path in sorted(set(prev_files) - set(cur)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": quote(path),
+                        "deletionTimestamp": ts_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for path in sorted(set(cur) - set(prev_files)):
+            f = cur[path]
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(path),
+                        "partitionValues": {},
+                        "size": int(f.get("bytes", 0)),
+                        "modificationTime": ts_ms,
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {"numRecords": int(f.get("rows", 0))}
+                        ),
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts_ms,
+                    "operation": str(m.get("operation", "write")).upper(),
+                    "operationParameters": {},
+                    "engineInfo": "harness-aws-etl-pipeline-spark snaptable export",
+                }
+            }
+        )
+        fs.write_bytes(
+            f"{log_dir}/{delta_v:020d}.json",
+            ("\n".join(json.dumps(a) for a in actions) + "\n").encode("utf-8"),
+        )
+        n_written += 1
+        prev_files = cur
+    return {
+        "delta_versions": n_written,
+        "base_snap_version": versions[0],
+        "files_live": len(prev_files),
+    }

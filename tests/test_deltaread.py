@@ -215,3 +215,54 @@ class TestCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["version"] == 0 and rep["rows"] == 3
         assert spark.read.parquet(str(out)).count() == 3
+
+
+class TestSnapTableExport:
+    def test_snaptable_reads_back_as_delta_with_time_travel(
+        self, spark, tmp_path
+    ):
+        """The inverse interop loop: SnapTable history → _delta_log →
+        read_delta must equal snaptable.read at EVERY version."""
+        from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
+            export_delta_log,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        t = SnapTable(spark, str(tmp_path / "t"))
+        t.write(
+            spark.range(10).withColumn("v", F.lit("a")), mode="overwrite"
+        )
+        t.write(
+            spark.range(10, 15).withColumn("v", F.lit("b")), mode="append"
+        )
+        t.delete_where("id >= 12")
+        rep = export_delta_log(spark, t.path)
+        assert rep["delta_versions"] == 3 and rep["base_snap_version"] == 0
+        for dv, sv in enumerate(t.versions()):
+            want = {
+                (r.id, r.v) for r in t.read(version=sv).collect()
+            }
+            got = {
+                (r.id, r.v)
+                for r in read_delta(spark, t.path, version=dv).collect()
+            }
+            assert got == want, (dv, sv)
+        h = delta_history(spark, t.path)
+        assert [x["operation"] for x in h] == ["OVERWRITE", "APPEND", "DELETE"]
+
+    def test_export_idempotent_and_refreshable(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
+            export_delta_log,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        t = SnapTable(spark, str(tmp_path / "t"))
+        t.write(spark.range(3), mode="overwrite")
+        export_delta_log(spark, t.path)
+        n1 = read_delta(spark, t.path).count()
+        t.write(spark.range(3, 5), mode="append")
+        rep = export_delta_log(spark, t.path)  # refresh after new commit
+        assert rep["delta_versions"] == 2
+        assert n1 == 3 and read_delta(spark, t.path).count() == 5
+        # snaptable's own readers are untouched by the coexisting log
+        assert t.read().count() == 5
