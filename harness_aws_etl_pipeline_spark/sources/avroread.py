@@ -88,6 +88,17 @@ def _decode(schema, buf: io.BytesIO, names: dict):
         return _decode(schema[idx], buf, names)
     if isinstance(schema, dict):
         t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt:
+            # decode the UNDERLYING shape (fixed/bytes carriers keep
+            # their dict node, primitives decode by name), then apply
+            # the logical conversion
+            if t in ("record", "array", "map", "enum", "fixed"):
+                base = {k: x for k, x in schema.items() if k != "logicalType"}
+                v = _decode(base, buf, names)
+            else:
+                v = _decode(t, buf, names)
+            return _logical(lt, schema, v)
         if t == "record":
             return {
                 f["name"]: _decode(f["type"], buf, names)
@@ -150,6 +161,30 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     raise ValueError(f"unsupported Avro type {schema!r}")
 
 
+def _logical(lt: str, schema: dict, v):
+    """Spec logical types → python values Spark's Arrow path accepts.
+    Unknown logical types fall back to the underlying primitive (the
+    spec's own rule)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None:
+        return None
+    if lt == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if lt == "timestamp-millis":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=int(v))
+    if lt == "timestamp-micros":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
+    if lt == "decimal":
+        scale = int(schema.get("scale", 0))
+        unscaled = int.from_bytes(bytes(v), "big", signed=True)
+        return _dec.Decimal(unscaled).scaleb(-scale)
+    if lt == "uuid":
+        return str(v)
+    return v
+
+
 def _collect_names(schema, names: dict) -> None:
     if isinstance(schema, dict):
         t = schema.get("type")
@@ -198,6 +233,20 @@ def _spark_type(schema, names: dict) -> tuple[T.DataType, bool]:
             f"general Avro unions are not supported (got {schema!r}); "
             "restructure to [null, X] or read the raw file"
         )
+    lt = schema.get("logicalType")
+    if lt == "date":
+        return T.DateType(), False
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType(), False
+    if lt == "decimal":
+        return (
+            T.DecimalType(
+                int(schema.get("precision", 38)), int(schema.get("scale", 0))
+            ),
+            False,
+        )
+    if lt == "uuid":
+        return T.StringType(), False
     t = schema["type"]
     if t == "record":
         fields = []

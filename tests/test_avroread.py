@@ -127,3 +127,53 @@ class TestReadersIntegration:
         df = read_file(spark, str(p))
         assert df.count() == 3
         assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+class TestLogicalTypes:
+    def test_date_timestamp_decimal_uuid(self, spark, tmp_path):
+        import datetime as dt
+        from decimal import Decimal
+
+        schema = json.dumps({
+            "type": "record", "name": "Evt",
+            "fields": [
+                {"name": "d", "type": {"type": "int",
+                                       "logicalType": "date"}},
+                {"name": "ts", "type": {"type": "long",
+                                        "logicalType": "timestamp-micros"}},
+                {"name": "tsm", "type": {"type": "long",
+                                         "logicalType": "timestamp-millis"}},
+                {"name": "amt", "type": {"type": "bytes",
+                                         "logicalType": "decimal",
+                                         "precision": 10, "scale": 2}},
+                {"name": "afx", "type": {"type": "fixed", "name": "D8",
+                                         "size": 3,
+                                         "logicalType": "decimal",
+                                         "precision": 6, "scale": 3}},
+                {"name": "u", "type": {"type": "string",
+                                       "logicalType": "uuid"}},
+            ],
+        })
+        # writer takes the UNDERLYING primitives; reader converts
+        recs = [{
+            "d": 19723,                        # 2024-01-01
+            "ts": 1_700_000_000_000_000,       # 2023-11-14T22:13:20
+            "tsm": 86_400_000,                 # 1970-01-02
+            "amt": (12345).to_bytes(3, "big", signed=True),   # 123.45
+            "afx": (-1500).to_bytes(3, "big", signed=True),   # -1.500
+            "u": "0000-1111",
+        }]
+        (tmp_path / "e.avro").write_bytes(write_avro_bytes(schema, recs))
+        df = read_avro(spark, str(tmp_path))
+        d = {f[0]: f[1] for f in df.dtypes}
+        assert d == {
+            "d": "date", "ts": "timestamp", "tsm": "timestamp",
+            "amt": "decimal(10,2)", "afx": "decimal(6,3)", "u": "string",
+        }
+        r = df.collect()[0]
+        assert r.d == dt.date(2024, 1, 1)
+        assert r.ts == dt.datetime(2023, 11, 14, 22, 13, 20)
+        assert r.tsm == dt.datetime(1970, 1, 2)
+        assert r.amt == Decimal("123.45")
+        assert r.afx == Decimal("-1.500")
+        assert r.u == "0000-1111"
