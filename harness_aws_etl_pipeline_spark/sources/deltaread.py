@@ -37,7 +37,7 @@ from pyspark.sql.types import StructType
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
-__all__ = ["delta_history", "delta_snapshot", "read_delta"]
+__all__ = ["delta_changes", "delta_history", "delta_snapshot", "read_delta"]
 
 _LOG = "_delta_log"
 
@@ -152,33 +152,24 @@ def delta_snapshot(
     }
 
 
-def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+def _read_files_with_partitions(
+    spark: SparkSession, base: str, snap: dict
 ) -> DataFrame:
-    """The snapshot as a DataFrame (time travel via ``version``).
-    Partition columns come back typed per the table schema."""
+    """Read ``snap["files"]`` with partition columns reattached as
+    typed literals per file group (Delta's physical layout omits them
+    from the parquet files)."""
     from urllib.parse import unquote
 
-    snap = delta_snapshot(spark, path, version)
-    base = path.rstrip("/")
-    schema: StructType | None = snap["schema"]
+    schema: StructType = snap["schema"]
     pcols = snap["partition_columns"]
-    if schema is None:
-        raise ValueError("Delta table has no schema in its metadata")
-    data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = StructType(data_fields)
-
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
     if not snap["files"]:
         return spark.createDataFrame([], schema)
-
     if not pcols:
-        paths = [
-            posixpath.join(base, unquote(p)) for p in snap["files"]
-        ]
+        paths = [posixpath.join(base, unquote(p)) for p in snap["files"]]
         return spark.read.schema(data_schema).parquet(*paths)
-
-    # group files by partition tuple; one read per group with the
-    # partition values reattached as typed literals, then union
     groups: dict[tuple, list[str]] = {}
     for p, add in snap["files"].items():
         pv = add.get("partitionValues") or {}
@@ -198,6 +189,17 @@ def read_delta(
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot as a DataFrame (time travel via ``version``).
+    Partition columns come back typed per the table schema."""
+    snap = delta_snapshot(spark, path, version)
+    if snap["schema"] is None:
+        raise ValueError("Delta table has no schema in its metadata")
+    return _read_files_with_partitions(spark, path.rstrip("/"), snap)
 
 
 def delta_history(spark: SparkSession, path: str) -> list[dict]:
@@ -234,3 +236,33 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
             }
         )
     return out
+
+
+def delta_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-lite incremental consumer (the snaptable ``read_changes``
+    face for Delta): rows in files ADDED after ``since_version`` up
+    to ``to_version`` — append-only change capture. Raises when the
+    window contains removes of files that predate the window
+    (a rewrite/delete — those changes are not representable as
+    added-rows-only; full-diff CDC needs the CDF feature this
+    plain reader doesn't implement)."""
+    lo = delta_snapshot(spark, path, since_version)
+    hi = delta_snapshot(spark, path, to_version)
+    removed_old = set(lo["files"]) - set(hi["files"])
+    if removed_old:
+        raise ValueError(
+            f"versions ({since_version}, {hi['version']}] rewrite or "
+            f"delete {len(removed_old)} pre-existing file(s); "
+            "append-only change capture cannot represent that window"
+        )
+    new_files = sorted(set(hi["files"]) - set(lo["files"]))
+    if not new_files:
+        return spark.createDataFrame([], hi["schema"])
+    snap = dict(hi)
+    snap["files"] = {p: hi["files"][p] for p in new_files}
+    return _read_files_with_partitions(spark, path.rstrip("/"), snap)

@@ -266,3 +266,27 @@ class TestSnapTableExport:
         assert n1 == 3 and read_delta(spark, t.path).count() == 5
         # snaptable's own readers are untouched by the coexisting log
         assert t.read().count() == 5
+
+
+class TestChanges:
+    def test_append_only_changes(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = TestSnapshotFold()._basic_table(spark, tmp_path)
+        # (0, 1] rewrote part-b away → not representable append-only
+        with pytest.raises(ValueError, match="append-only"):
+            delta_changes(spark, str(t), since_version=0)
+        # add a pure append commit and diff (1, 2]
+        d = _datafile(spark, tmp_path, "part-d.parquet", [(9, "q")])
+        _commit(tmp_path, 2, [_add(d)])
+        got = {
+            (r.id, r.v)
+            for r in delta_changes(spark, str(t), since_version=1).collect()
+        }
+        assert got == {(9, "q")}
+        # empty window
+        assert delta_changes(
+            spark, str(t), since_version=2, to_version=2
+        ).count() == 0
