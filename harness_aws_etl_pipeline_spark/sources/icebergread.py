@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 from harness_aws_etl_pipeline_spark.sources.avroread import _iter_container
 
-__all__ = ["iceberg_snapshot", "iceberg_snapshots", "read_iceberg"]
+__all__ = ["iceberg_changes", "iceberg_snapshot", "iceberg_snapshots", "read_iceberg"]
 
 
 def _iceberg_to_spark(t) -> T.DataType:
@@ -246,3 +246,28 @@ def read_iceberg(
     if not snap["files"]:
         return spark.createDataFrame([], snap["schema"])
     return spark.read.schema(snap["schema"]).parquet(*snap["files"])
+
+
+def iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    since_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Append-only incremental consumer (the delta_changes mirror):
+    rows in data files present in ``to`` but not in ``since``.
+    Windows that drop pre-existing files (rewrites/deletes) are
+    rejected as not representable without a changelog."""
+    lo = iceberg_snapshot(spark, path, since_snapshot_id)
+    hi = iceberg_snapshot(spark, path, to_snapshot_id)
+    dropped = set(lo["files"]) - set(hi["files"])
+    if dropped:
+        raise ValueError(
+            f"snapshots ({lo['snapshot_id']}, {hi['snapshot_id']}] drop "
+            f"{len(dropped)} pre-existing file(s); append-only change "
+            "capture cannot represent that window"
+        )
+    new_files = sorted(set(hi["files"]) - set(lo["files"]))
+    if not new_files:
+        return spark.createDataFrame([], hi["schema"])
+    return spark.read.schema(hi["schema"]).parquet(*new_files)

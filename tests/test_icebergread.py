@@ -228,3 +228,42 @@ class TestCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["rows"] == 3 and rep["snapshot_id"] == 100
         assert spark.read.parquet(str(out)).count() == 3
+
+
+class TestChanges:
+    def test_append_only_changes(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+        )
+
+        t = TestRead()._table(spark, tmp_path)
+        # snapshot 100 → 200 removed part b: not representable
+        with pytest.raises(ValueError, match="append-only"):
+            iceberg_changes(spark, str(t), since_snapshot_id=100)
+        # build a pure-append snapshot 300 on top of 200
+        d = _datafile(spark, tmp_path, "d.parquet", [(9, "q")])
+        m1 = "metadata/m1.avro"  # from _table
+        m2 = "metadata/m2.avro"
+        m3 = _manifest(tmp_path, "m3.avro", [_entry(d)])
+        l3 = _mlist(tmp_path, "snap-3.avro", [(m2, 0), (m3, 0)])
+        snaps = [
+            {"snapshot-id": 100, "timestamp-ms": 1,
+             "manifest-list": "metadata/snap-1.avro",
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 200, "timestamp-ms": 2,
+             "manifest-list": "metadata/snap-2.avro",
+             "summary": {"operation": "overwrite"}},
+            {"snapshot-id": 300, "timestamp-ms": 3,
+             "manifest-list": l3, "summary": {"operation": "append"}},
+        ]
+        _metadata(tmp_path, snaps, current=300, version=2)
+        got = {
+            (r.id, r.v)
+            for r in iceberg_changes(
+                spark, str(t), since_snapshot_id=200
+            ).collect()
+        }
+        assert got == {(9, "q")}
+        assert iceberg_changes(
+            spark, str(t), since_snapshot_id=300, to_snapshot_id=300
+        ).count() == 0
