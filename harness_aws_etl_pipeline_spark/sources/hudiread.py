@@ -1,0 +1,140 @@
+"""Read Apache Hudi Copy-on-Write tables WITHOUT the Hudi jar — the
+third leg of the no-jar lakehouse interop tier (Delta, Iceberg,
+Hudi). Hudi's table layout is an open spec (hudi.apache.org/tech-specs):
+a ``.hoodie/`` timeline of instant files (``<instant>.commit`` marks a
+COMPLETED commit) plus data files named
+``<fileId>_<writeToken>_<instantTime>.parquet`` — a FILE GROUP is all
+versions of one fileId, and a snapshot at instant T is, per file
+group, the newest file slice with ``instantTime <= T``.
+
+Scope (honest): COPY_ON_WRITE tables only — MERGE_ON_READ needs log-
+file merging (Avro delta blocks applied over base files) and is
+DETECTED via ``hoodie.properties`` and rejected loudly. Snapshot and
+as-of-instant (time travel) reads; partitioned layouts supported by
+walking the data tree. Hudi's ``_hoodie_*`` meta columns are stored
+IN the parquet files and pass through (drop them with
+``drop_meta=True``).
+
+Scale shape: timeline + file listing is driver-side metadata (what
+every Hudi client's file-system view does); the data read is one
+stock parquet scan over the chosen slices.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+__all__ = ["hudi_snapshot", "hudi_timeline", "read_hudi"]
+
+_DATA_RE = re.compile(r"(?P<fid>[^_/]+)_(?P<tok>[^_/]+)_(?P<ts>\d+)\.parquet$")
+_META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+
+
+def _properties(fs, base: str) -> dict:
+    p = posixpath.join(base, ".hoodie", "hoodie.properties")
+    if not fs.exists(p):
+        raise ValueError(f"not a Hudi table (no .hoodie/hoodie.properties): {base}")
+    props: dict[str, str] = {}
+    for line in fs.read_bytes(p).decode("utf-8").splitlines():
+        line = line.strip()
+        if line and not line.startswith("#") and "=" in line:
+            k, _, v = line.partition("=")
+            props[k.strip()] = v.strip()
+    return props
+
+
+def hudi_timeline(spark: SparkSession, path: str) -> list[dict]:
+    """Completed commits, oldest first: [{"instant", "action"}]."""
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    _properties(fs, base)  # existence check
+    out = []
+    for rel, _mt, _sz in fs.list_files(posixpath.join(base, ".hoodie")):
+        name = posixpath.basename(rel)
+        m = re.fullmatch(r"(\d+)\.(commit|replacecommit)", name)
+        if m:
+            out.append({"instant": m.group(1), "action": m.group(2)})
+    return sorted(out, key=lambda x: x["instant"])
+
+
+def hudi_snapshot(
+    spark: SparkSession, path: str, as_of_instant: str | None = None
+) -> dict:
+    """Resolve the snapshot: ``{"instant", "files": [paths],
+    "table_type", "file_groups"}`` — per file group, the newest slice
+    at or before the target instant."""
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    props = _properties(fs, base)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise ValueError(
+            f"Hudi table type {ttype} needs log-file merging this "
+            "plain-parquet reader does not provide (compact to CoW first)"
+        )
+    timeline = hudi_timeline(spark, path)
+    if not timeline:
+        return {
+            "instant": None, "files": [], "table_type": ttype,
+            "file_groups": 0,
+        }
+    completed = [t["instant"] for t in timeline]
+    target = as_of_instant or completed[-1]
+    if target not in completed:
+        usable = [i for i in completed if i <= target]
+        if not usable:
+            raise ValueError(
+                f"no completed Hudi commit at or before {target!r}"
+            )
+        target = usable[-1]
+    committed = {i for i in completed if i <= target}
+
+    groups: dict[tuple[str, str], tuple[str, str]] = {}
+    for rel, _mt, _sz in fs.list_files(base):
+        if rel.startswith(".hoodie"):
+            continue
+        m = _DATA_RE.search(rel)
+        if not m:
+            continue
+        ts = m.group("ts")
+        if ts not in committed:
+            continue  # in-flight / post-target slice
+        part = posixpath.dirname(rel)
+        key = (part, m.group("fid"))
+        if key not in groups or groups[key][0] < ts:
+            groups[key] = (ts, posixpath.join(base, rel))
+    return {
+        "instant": target,
+        "files": sorted(p for _ts, p in groups.values()),
+        "table_type": ttype,
+        "file_groups": len(groups),
+    }
+
+
+def read_hudi(
+    spark: SparkSession,
+    path: str,
+    as_of_instant: str | None = None,
+    drop_meta: bool = False,
+) -> DataFrame:
+    """The CoW snapshot as a DataFrame (time travel via
+    ``as_of_instant``); ``drop_meta=True`` strips the ``_hoodie_*``
+    bookkeeping columns the files carry."""
+    snap = hudi_snapshot(spark, path, as_of_instant)
+    if not snap["files"]:
+        raise ValueError("Hudi table has no completed snapshot to read")
+    df = spark.read.parquet(*snap["files"])
+    if drop_meta:
+        df = df.drop(*[c for c in _META_COLS if c in df.columns])
+    return df

@@ -1,0 +1,105 @@
+"""Hudi CoW reader (sources/hudiread.py): hand-built spec layouts —
+file-group slice selection, as-of time travel, in-flight slices
+ignored, partitioned walk, meta-column handling, MoR rejection."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+
+from harness_aws_etl_pipeline_spark.sources.hudiread import (
+    hudi_snapshot,
+    hudi_timeline,
+    read_hudi,
+)
+
+T1, T2, T3 = "20240101000000", "20240102000000", "20240103000000"
+
+
+def _props(tmp_path, ttype="COPY_ON_WRITE"):
+    h = tmp_path / ".hoodie"
+    h.mkdir(exist_ok=True)
+    (h / "hoodie.properties").write_text(
+        f"#props\nhoodie.table.name=t\nhoodie.table.type={ttype}\n"
+    )
+
+
+def _commit(tmp_path, instant):
+    (tmp_path / ".hoodie" / f"{instant}.commit").write_text("{}")
+
+
+def _slice(spark, tmp_path, part, fid, instant, rows):
+    stage = tmp_path / "stage"
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    dest = tmp_path / part if part else tmp_path
+    dest.mkdir(parents=True, exist_ok=True)
+    src = glob.glob(str(stage / "*.parquet"))[0]
+    shutil.move(src, str(dest / f"{fid}_0-1-2_{instant}.parquet"))
+
+
+class TestHudi:
+    def _table(self, spark, tmp_path):
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        _commit(tmp_path, T2)
+        # group g1 rewritten at T2; g2 only at T1; g3 in a partition;
+        # g4 belongs to an UNCOMMITTED instant T3 and must be ignored
+        _slice(spark, tmp_path, "", "g1", T1, [(1, "old")])
+        _slice(spark, tmp_path, "", "g1", T2, [(1, "new")])
+        _slice(spark, tmp_path, "", "g2", T1, [(2, "two")])
+        _slice(spark, tmp_path, "p=1", "g3", T2, [(3, "part")])
+        _slice(spark, tmp_path, "", "g4", T3, [(9, "inflight")])
+        return tmp_path
+
+    def test_snapshot_latest_slice_per_group(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = {(r.id, r.v) for r in read_hudi(spark, str(t)).collect()}
+        assert got == {(1, "new"), (2, "two"), (3, "part")}
+        snap = hudi_snapshot(spark, str(t))
+        assert snap["instant"] == T2 and snap["file_groups"] == 3
+
+    def test_as_of_time_travel(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        got = {
+            (r.id, r.v)
+            for r in read_hudi(spark, str(t), as_of_instant=T1).collect()
+        }
+        assert got == {(1, "old"), (2, "two")}
+        # an instant between commits resolves to the newest <= it
+        mid = "20240101120000"
+        assert hudi_snapshot(spark, str(t), mid)["instant"] == T1
+        with pytest.raises(ValueError, match="at or before"):
+            hudi_snapshot(spark, str(t), "20230101000000")
+
+    def test_timeline_and_guards(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        tl = hudi_timeline(spark, str(t))
+        assert [x["instant"] for x in tl] == [T1, T2]
+        with pytest.raises(ValueError, match="not a Hudi table"):
+            hudi_timeline(spark, str(tmp_path / "nowhere"))
+
+    def test_mor_rejected(self, spark, tmp_path):
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _commit(tmp_path, T1)
+        with pytest.raises(ValueError, match="MERGE_ON_READ"):
+            hudi_snapshot(spark, str(tmp_path))
+
+    def test_drop_meta(self, spark, tmp_path):
+        # a table whose files carry _hoodie_* columns
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            [(T1, "k1", 5, "x")],
+            "_hoodie_commit_time string, _hoodie_record_key string, "
+            "id long, v string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = glob.glob(str(stage / "*.parquet"))[0]
+        shutil.move(src, str(tmp_path / f"g_0-0-0_{T1}.parquet"))
+        df = read_hudi(spark, str(tmp_path), drop_meta=True)
+        assert set(df.columns) == {"id", "v"}
+        assert read_hudi(spark, str(tmp_path)).columns[0].startswith("_hoodie")
