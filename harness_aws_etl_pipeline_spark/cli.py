@@ -771,6 +771,23 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--output", default=None, help="export snapshot parquet")
     ib.add_argument("--show", type=int, default=5, help="preview rows")
 
+    hu = sub.add_parser(
+        "hudi",
+        help="read an Apache Hudi CoW table via the open layout (no jar)",
+    )
+    hu.add_argument("--path", required=True, help="Hudi table root")
+    hu.add_argument(
+        "--as-of", default=None, help="time-travel instant (yyyyMMddHHmmss)"
+    )
+    hu.add_argument(
+        "--timeline", action="store_true", help="print completed instants"
+    )
+    hu.add_argument(
+        "--drop-meta", action="store_true", help="strip _hoodie_* columns"
+    )
+    hu.add_argument("--output", default=None, help="export snapshot parquet")
+    hu.add_argument("--show", type=int, default=5, help="preview rows")
+
     pdfp = sub.add_parser(
         "pdf", help="extract text from PDF payloads into a documents table"
     )
@@ -1543,6 +1560,35 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot_id": snap["snapshot_id"],
             "format_version": snap["format_version"],
             "live_files": len(snap["files"]),
+            "rows": df.count(),
+            "preview": [r.asDict() for r in df.limit(args.show).collect()],
+            "output": args.output,
+        }, default=str))
+        return 0
+
+    if args.cmd == "hudi":
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_snapshot,
+            hudi_timeline,
+            read_hudi,
+        )
+
+        if args.timeline:
+            print(json.dumps({
+                "status": "success", "action": "hudi",
+                "timeline": hudi_timeline(spark, args.path),
+            }))
+            return 0
+        snap = hudi_snapshot(spark, args.path, args.as_of)
+        df = read_hudi(
+            spark, args.path, args.as_of, drop_meta=args.drop_meta
+        )
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "hudi",
+            "instant": snap["instant"],
+            "file_groups": snap["file_groups"],
             "rows": df.count(),
             "preview": [r.asDict() for r in df.limit(args.show).collect()],
             "output": args.output,

@@ -103,3 +103,20 @@ class TestHudi:
         df = read_hudi(spark, str(tmp_path), drop_meta=True)
         assert set(df.columns) == {"id", "v"}
         assert read_hudi(spark, str(tmp_path)).columns[0].startswith("_hoodie")
+
+
+class TestCli:
+    def test_hudi_cli(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        t = TestHudi()._table(spark, tmp_path)
+        rc = main(["hudi", "--path", str(t), "--timeline"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [x["instant"] for x in rep["timeline"]] == [T1, T2]
+        rc = main(["hudi", "--path", str(t), "--as-of", T1])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["instant"] == T1 and rep["rows"] == 2
