@@ -290,3 +290,67 @@ class TestChanges:
         assert delta_changes(
             spark, str(t), since_version=2, to_version=2
         ).count() == 0
+
+
+class TestReadLake:
+    def test_detection_and_dispatch(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
+            export_delta_log,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+        from harness_aws_etl_pipeline_spark.sources.lakeread import (
+            detect_lake_format,
+            read_lake,
+        )
+
+        # snaptable — and after exporting a delta log, STILL snaptable
+        # (native metadata wins on ambiguous layouts)
+        st = SnapTable(spark, str(tmp_path / "snap"))
+        st.write(spark.range(4), mode="overwrite")
+        assert detect_lake_format(spark, st.path) == "snaptable"
+        export_delta_log(spark, st.path)
+        assert detect_lake_format(spark, st.path) == "snaptable"
+        assert read_lake(spark, st.path).count() == 4
+
+        # delta (hand-written log from the suite fixture)
+        d = TestSnapshotFold()._basic_table(spark, tmp_path / "dl")
+        assert detect_lake_format(spark, str(d)) == "delta"
+        assert read_lake(spark, str(d), version=0).count() == 3
+
+        # plain parquet and nothing-at-all
+        spark.range(2).write.parquet(str(tmp_path / "pq"))
+        assert detect_lake_format(spark, str(tmp_path / "pq")) == "parquet"
+        assert read_lake(spark, str(tmp_path / "pq")).count() == 2
+        import pytest as _pytest
+
+        (tmp_path / "empty").mkdir()
+        with _pytest.raises(ValueError, match="recognizable"):
+            read_lake(spark, str(tmp_path / "empty"))
+
+    def test_lake_detects_hudi_iceberg_avro(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.lakeread import (
+            detect_lake_format,
+            read_lake,
+        )
+        from tests.test_hudiread import TestHudi
+        from tests.test_icebergread import TestRead as IceRead
+        from tests.test_avroread import RECORDS, SCHEMA
+        from harness_aws_etl_pipeline_spark.sources.avroread import (
+            write_avro_bytes,
+        )
+
+        (tmp_path / "hu").mkdir()
+        (tmp_path / "ib").mkdir()
+        h = TestHudi()._table(spark, tmp_path / "hu")
+        assert detect_lake_format(spark, str(h)) == "hudi"
+        assert read_lake(spark, str(h)).count() == 3
+
+        i = IceRead()._table(spark, tmp_path / "ib")
+        assert detect_lake_format(spark, str(i)) == "iceberg"
+        assert read_lake(spark, str(i), snapshot_id=100).count() == 3
+
+        av = tmp_path / "av"
+        av.mkdir()
+        (av / "x.avro").write_bytes(write_avro_bytes(SCHEMA, RECORDS))
+        assert detect_lake_format(spark, str(av)) == "avro"
+        assert read_lake(spark, str(av)).count() == 3
