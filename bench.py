@@ -1358,13 +1358,18 @@ def main() -> None:
         # not a regression of the original query.
         "notes": {
             "dedup_exact": "since r3: + documents md5-fingerprint dedup leg",
-            "ngram_jaccard": "since r3: + chunking legs (former standalone entry)",
-            "near_dup_clusters": "since r6: + pagerank and HITS fixture "
+            "near_dup_clusters": "since r10: + the full ngram_jaccard "
+            "panel (n-gram Jaccard blocking + chunking legs; former "
+            "standalone headline entry fused for a driver-window slot "
+            "— the 13-query headline sum carries the same work as "
+            "r9's 14-query sum); since r6: + pagerank and HITS fixture "
             "legs (the 6-node planted graph computes once per process, "
             "then rides as a 1-row literal; first sample pays it, min/p50 "
             "don't; the rank operators are timed at scale by the pagerank "
             "leg)",
-            "profile_stats": "since r6: + space-saving heavy-hitter leg "
+            "scan_count": "since r10 the profile_stats panel rides here "
+            "(fused for a driver-window slot); since r6: + space-saving "
+            "heavy-hitter leg "
             "(exact-regime sketch over l_returnflag) + KMV overlap/"
             "estimate legs (k-min sketches of the orders/customer key "
             "sets) — the sketch family lives on this non-headline panel",

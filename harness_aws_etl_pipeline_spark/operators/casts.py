@@ -84,6 +84,51 @@ def numeric_parse_ratios(df: DataFrame, columns: list[str] | None = None) -> dic
     return {c: float(row[c]) for c in cands}
 
 
+def numeric_parse_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A6 (exact integer form) — per string column, ``(parsed_cnt,
+    nonnull_cnt)`` in ONE aggregate pass, plus the T5 >80% inference
+    decision expressed as exact integer arithmetic
+    (``5*parsed_cnt > 4*nonnull_cnt`` ≡ parsed/nonnull > 0.8).
+
+    The integer sufficient statistics of :func:`numeric_parse_ratios`
+    (transformer.py:190-197): same single scan, but the output carries
+    no derived float, so it is hash-stable across engines regardless
+    of division/rounding behavior. One row per candidate column.
+    """
+    cands = columns if columns is not None else [c for c, t in df.dtypes if t == "string"]
+    if not cands:
+        raise ValueError("numeric_parse_counts: no string candidate columns")
+    agg = df.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & F.col(c).try_cast("double").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"p_{i}")
+            for i, c in enumerate(cands)
+        ],
+        *[
+            F.coalesce(F.sum(F.col(c).isNotNull().cast("int")), F.lit(0))
+            .cast("long")
+            .alias(f"n_{i}")
+            for i, c in enumerate(cands)
+        ],
+    )
+    stack_args = ", ".join(f"'{c}', p_{i}, n_{i}" for i, c in enumerate(cands))
+    return agg.select(
+        F.expr(
+            f"stack({len(cands)}, {stack_args}) AS (col_name, parsed_cnt, nonnull_cnt)"
+        )
+    ).withColumn("inferred", F.col("parsed_cnt") * 5 > F.col("nonnull_cnt") * 4)
+
+
 def infer_numeric_columns(
     df: DataFrame,
     threshold: float = 0.8,

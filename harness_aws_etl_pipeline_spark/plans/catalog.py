@@ -235,6 +235,16 @@ SELECT * FROM (VALUES ('l_orderkey'), ('quantity_units'),
 """
 
 
+def q_normalize_names_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 + T2a/T2b/T2c/A2 — column-name normalization base (4 rows)
+    carrying the null-audit legs as broadcast 1-row crossJoins.
+    Fused round 10 to free a slot in the driver's 50-entry correctness
+    window for the per-leg ni_* split (both components green r1-r9)."""
+    return q_normalize_names(spark, sf).crossJoin(
+        F.broadcast(q_null_audit(spark, sf))
+    )
+
+
 # ---------------------------------------------------------------- nulls
 
 
@@ -439,58 +449,22 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
-def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
-    """T5/A6 — parse-ratio profiling over string columns in one pass
-    (transformer.py:190-197).
+def q_ni_parse_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """T5/A6 — numeric parse-ratio profiling as EXACT INTEGER
+    sufficient statistics (transformer.py:190-197).
 
-    INTEGER-EXACT PANEL (rebuilt round 9 after the r8 driver run
-    recorded hash_match:false, unreproduced locally in 5 runs): every
-    hashed cell is now either an exact integer/decimal, an md5 of
-    exact integer strings, or a single correctly-rounded division
-    (parse_ratio) — NO chained-float value (corr, ks, tvd doubles;
-    floor(z·10⁶) sums; floor(corr·10⁹) strings) rides the hash
-    anymore. Chained sqrt/divide floats stay pinned by the in-repo
-    numpy tests; the cross-engine oracle pins the sufficient
-    statistics, which any engine with 128-bit integers re-derives
-    bit-for-bit regardless of libm, FMA contraction, or rounding-mode
-    differences on the driver VM.
-
-    Legs (all broadcast 1-row cross-joins onto the 3-row base):
-
-    - HISTOGRAM (r7): 8 equi-width bins of l_extendedprice — the
-      fixed IEEE cell chain (passed r5–r8), bin counts md5'd.
-    - CORRELATION (r7, rebuilt): Pearson moments of (l_quantity,
-      l_extendedprice) — md5 of the exact decimal(38,0) sums
-      (n,sx,sy,sxx,syy,sxy) instead of the derived float r.
-    - CORR-MATRIX (r8, rebuilt): all pairs of three lineitem
-      measures, md5 of per-pair exact moment strings.
-    - KS drift (r8): integer numerator max|cum_ref·n_cur −
-      cum_cur·n_ref| + the exact integer drift decision (ks > 0.05 as
-      20·num > n_ref·n_cur); the float KS no longer rides.
-    - TVD drift (r8): integer numerator Σ|c_ref·n_cur − c_cur·n_ref|.
-    - PSI (r9, new oracle leg): per-bin (ref_cnt, cur_cnt) over the
-      reference-defined 10-bin grid of l_extendedprice vs the
-      returned slice — exact counts md5'd (the float PSI score is
-      ln-based, tests-only: operators/drift.py:psi).
-    - χ² cells (r9, new oracle leg): the exact contingency table of
-      l_linestatus between all lineitem and the 1997+ ship slice
-      (operators/drift.py:drift_cells) — the χ² sufficient statistic.
-    - SCALING (r8, rebuilt): the scalers' defining inequalities
-      pushed to exact decimal arithmetic — counts of z>1 / z<−1 /
-      mm>½ via d=n·xₛ−s1, d²>n·s2−s1², 2·xₛ>mnₛ+mxₛ
-      (operators/features.py:scale_outlier_counts)."""
-    from harness_aws_etl_pipeline_spark.operators.drift import (
-        drift_cells,
-        ks_statistic,
-        psi_report,
-        tvd_drift,
-    )
-    from harness_aws_etl_pipeline_spark.operators.features import (
-        scale_outlier_counts,
-    )
-    from harness_aws_etl_pipeline_spark.operators.histogram import (
-        corr_exact,
-        histogram,
+    Round-10 split: r8 and r9 both recorded driver hash_match:false on
+    the 21-column `numeric_inference` mega-panel while local vanilla
+    differential runs matched bit-for-bit (56/56) — the one-bit panel
+    signal could not localize the diverging leg. The panel is now one
+    catalog entry PER LEG (`ni_*`), and this entry — the only one that
+    ever carried a double — now emits the ratio as exact longs
+    (`parsed_cnt`, `nonnull_cnt`) plus the T5 threshold decision as
+    integer arithmetic (5·parsed > 4·nonnull ≡ ratio > 0.8). Zero
+    doubles ride any ni_* hash.
+    """
+    from harness_aws_etl_pipeline_spark.operators.casts import (
+        numeric_parse_counts,
     )
 
     ev = tables(spark, sf)["events"]
@@ -499,12 +473,18 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").cast("string").alias("value_str"),
         F.col("props"),
     )
-    ratios = numeric_parse_ratios(probe)
-    rows = [(c, float(r)) for c, r in sorted(ratios.items())]
-    base = spark.createDataFrame(rows, "col_name string, parse_ratio double")
+    return numeric_parse_counts(probe).orderBy("col_name")
+
+
+def q_ni_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram leg (operators/histogram.py) — 8 bins of
+    l_extendedprice; the fixed IEEE bin-assignment chain (green r5-r9),
+    bin counts md5'd as exact integers."""
+    from harness_aws_etl_pipeline_spark.operators.histogram import histogram
+
     li = tables(spark, sf)["lineitem"]
     h = histogram(li, "l_extendedprice", bins=8)
-    hist_leg = h.agg(
+    return h.agg(
         F.md5(
             F.concat_ws(
                 "|",
@@ -521,85 +501,29 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("hist_md5"),
         F.sum("cnt").cast("long").alias("hist_total"),
     )
+
+
+def q_ni_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson moments leg (operators/histogram.py:corr_exact /
+    corr_matrix) — md5 of the exact decimal(38,0) moment sums
+    (n,sx,sy,sxx,syy,sxy) for the (l_quantity, l_extendedprice) pair
+    and for every pair of three lineitem measures. The derived float r
+    stays pinned by in-repo numpy tests; the oracle pins the
+    sufficient statistics, bit-exact under any partitioning/libm."""
+    from harness_aws_etl_pipeline_spark.operators.histogram import (
+        corr_exact,
+        corr_matrix,
+    )
+
+    li = tables(spark, sf)["lineitem"]
     corr_leg = corr_exact(
         li, "l_quantity", "l_extendedprice", include_moments=True
     ).select(
         F.col("n").alias("corr_n"),
         F.md5(
-            F.concat_ws(
-                ":", "n", "sx", "sy", "sxx", "syy", "sxy"
-            )
+            F.concat_ws(":", "n", "sx", "sy", "sxx", "syy", "sxy")
         ).alias("corr_md5"),
     )
-    ks_leg = ks_statistic(
-        li, li.filter(F.col("l_returnflag") == "R"), "l_quantity"
-    ).select(
-        F.col("n_ref").alias("ks_n_ref"),
-        F.col("n_cur").alias("ks_n_cur"),
-        "ks_num",
-        # exact-integer drift decision (values fit longs at test SF;
-        # the operator's internal statistic stays decimal for 100 TB)
-        (F.col("ks_num").cast("long") * 20 > F.col("n_ref") * F.col("n_cur"))
-        .alias("ks_drifted"),
-    )
-    o = tables(spark, sf)["orders"]
-    tvd_leg = tvd_drift(
-        o, o.filter(F.col("o_orderdate") >= "1997-01-01"), "o_orderpriority"
-    ).select(
-        F.col("n_ref").alias("tvd_n_ref"),
-        F.col("n_cur").alias("tvd_n_cur"),
-        "tvd_num",
-    )
-    psi_rep = psi_report(
-        li, li.filter(F.col("l_returnflag") == "R"), "l_extendedprice",
-        bins=10,
-    )
-    psi_leg = psi_rep.agg(
-        F.count(F.lit(1)).cast("long").alias("psi_bins"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(
-                            ":",
-                            F.col("bin").cast("string"),
-                            F.col("ref_cnt").cast("string"),
-                            F.col("cur_cnt").cast("string"),
-                        )
-                    )
-                ),
-            )
-        ).alias("psi_md5"),
-    )
-    chi2_cells = drift_cells(
-        li, li.filter(F.col("l_shipdate") >= "1997-01-01"), "l_linestatus"
-    )
-    chi2_leg = chi2_cells.agg(
-        F.count(F.lit(1)).cast("long").alias("chi2_cats"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.array_sort(
-                    F.collect_list(
-                        F.concat_ws(
-                            ":",
-                            "value",
-                            F.col("ref_cnt").cast("string"),
-                            F.col("cur_cnt").cast("string"),
-                        )
-                    )
-                ),
-            )
-        ).alias("chi2_md5"),
-    )
-    # correlation-matrix leg: one-pass pairwise Pearson over three
-    # lineitem measures (operators/histogram.py:corr_matrix) — md5 of
-    # per-pair EXACT moment strings, not floor-scaled floats
-    from harness_aws_etl_pipeline_spark.operators.histogram import (
-        corr_matrix,
-    )
-
     cmat = corr_matrix(
         li,
         ["l_quantity", "l_extendedprice", "l_discount"],
@@ -622,62 +546,178 @@ def q_numeric_inference(spark: SparkSession, sf: str) -> DataFrame:
             "cm_md5"
         ),
     )
-    scale_leg = scale_outlier_counts(
+    return corr_leg.crossJoin(F.broadcast(cm_leg))
+
+
+def q_ni_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """KS two-sample drift leg (operators/drift.py:ks_statistic) —
+    integer numerator max|cum_ref·n_cur − cum_cur·n_ref| plus the
+    exact-integer drift decision (ks > 0.05 as 20·num > n_ref·n_cur).
+    The float KS statistic never rides the hash."""
+    from harness_aws_etl_pipeline_spark.operators.drift import ks_statistic
+
+    li = tables(spark, sf)["lineitem"]
+    return ks_statistic(
+        li, li.filter(F.col("l_returnflag") == "R"), "l_quantity"
+    ).select(
+        F.col("n_ref").alias("ks_n_ref"),
+        F.col("n_cur").alias("ks_n_cur"),
+        "ks_num",
+        # exact-integer drift decision (values fit longs at test SF;
+        # the operator's internal statistic stays decimal for 100 TB)
+        (F.col("ks_num").cast("long") * 20 > F.col("n_ref") * F.col("n_cur"))
+        .alias("ks_drifted"),
+    )
+
+
+def q_ni_tvd(spark: SparkSession, sf: str) -> DataFrame:
+    """Total-variation drift leg (operators/drift.py:tvd_drift) —
+    integer numerator Σ|c_ref·n_cur − c_cur·n_ref| over
+    o_orderpriority, all orders vs the 1997+ slice."""
+    from harness_aws_etl_pipeline_spark.operators.drift import tvd_drift
+
+    o = tables(spark, sf)["orders"]
+    return tvd_drift(
+        o, o.filter(F.col("o_orderdate") >= "1997-01-01"), "o_orderpriority"
+    ).select(
+        F.col("n_ref").alias("tvd_n_ref"),
+        F.col("n_cur").alias("tvd_n_cur"),
+        "tvd_num",
+    )
+
+
+def q_ni_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI leg (operators/drift.py:psi_report) — per-bin (ref_cnt,
+    cur_cnt) over the reference-defined 10-bin grid of
+    l_extendedprice vs the returnflag='R' slice, exact counts md5'd.
+    The float PSI score is ln-based and tests-only."""
+    from harness_aws_etl_pipeline_spark.operators.drift import psi_report
+
+    li = tables(spark, sf)["lineitem"]
+    rep = psi_report(
+        li, li.filter(F.col("l_returnflag") == "R"), "l_extendedprice",
+        bins=10,
+    )
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("psi_bins"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("bin").cast("string"),
+                            F.col("ref_cnt").cast("string"),
+                            F.col("cur_cnt").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("psi_md5"),
+    )
+
+
+def q_ni_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """χ² leg (operators/drift.py:drift_cells) — the exact contingency
+    table of l_linestatus between all lineitem and the 1997+ ship
+    slice; the χ² sufficient statistic, no floats."""
+    from harness_aws_etl_pipeline_spark.operators.drift import drift_cells
+
+    li = tables(spark, sf)["lineitem"]
+    cells = drift_cells(
+        li, li.filter(F.col("l_shipdate") >= "1997-01-01"), "l_linestatus"
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("chi2_cats"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            "value",
+                            F.col("ref_cnt").cast("string"),
+                            F.col("cur_cnt").cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("chi2_md5"),
+    )
+
+
+def q_ni_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Scaling leg (operators/features.py:scale_outlier_counts) — the
+    scalers' defining inequalities pushed to exact decimal arithmetic:
+    counts of z>1 / z<−1 / minmax>½ via d=n·xₛ−s1, d²>n·s2−s1²,
+    2·xₛ>mnₛ+mxₛ."""
+    from harness_aws_etl_pipeline_spark.operators.features import (
+        scale_outlier_counts,
+    )
+
+    li = tables(spark, sf)["lineitem"]
+    return scale_outlier_counts(
         li.select("l_returnflag", "l_discount"),
         "l_discount",
         ["l_returnflag"],
     )
-    return (
-        base.crossJoin(F.broadcast(hist_leg))
-        .crossJoin(F.broadcast(corr_leg))
-        .crossJoin(F.broadcast(ks_leg))
-        .crossJoin(F.broadcast(tvd_leg))
-        .crossJoin(F.broadcast(psi_leg))
-        .crossJoin(F.broadcast(chi2_leg))
-        .crossJoin(F.broadcast(scale_leg))
-        .crossJoin(F.broadcast(cm_leg))
-    )
 
 
-ORACLE_NUMERIC_INFERENCE = """
-SELECT * FROM (
+ORACLE_NI_PARSE_RATIO = """
+SELECT col_name, parsed_cnt, nonnull_cnt,
+       parsed_cnt * 5 > nonnull_cnt * 4 AS inferred
+FROM (
   SELECT 'event_type' AS col_name,
-         COALESCE(AVG(CASE WHEN event_type IS NOT NULL THEN
-           CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
-         END), 0.0) AS parse_ratio FROM events
+         CAST(SUM(CASE WHEN event_type IS NOT NULL
+                        AND TRY_CAST(event_type AS DOUBLE) IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS parsed_cnt,
+         CAST(SUM(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nonnull_cnt
+  FROM events
   UNION ALL
   SELECT 'props',
-         COALESCE(AVG(CASE WHEN props IS NOT NULL THEN
-           CASE WHEN TRY_CAST(props AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
-         END), 0.0) FROM events
+         CAST(SUM(CASE WHEN props IS NOT NULL
+                        AND TRY_CAST(props AS DOUBLE) IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
   UNION ALL
   SELECT 'value_str',
-         COALESCE(AVG(CASE WHEN CAST(value AS VARCHAR) IS NOT NULL THEN
-           CASE WHEN TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END
-         END), 0.0) FROM events
-) base CROSS JOIN (
-  -- histogram leg: the same fixed IEEE cell arithmetic, empty bins
-  -- emitted via the spine so cnt=0 rows hash too
-  WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
-                    MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
-             FROM lineitem),
-  cells AS (SELECT CAST(
-              CASE WHEN hi = lo THEN 0
-                   ELSE GREATEST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - lo) * 8.0)
-                                             / (hi - lo)), 7), 0) END AS INT) AS bin
-            FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
-  counts AS (SELECT bin, COUNT(*) AS cnt FROM cells GROUP BY 1),
-  spine AS (SELECT UNNEST(generate_series(0, 7)) AS bin),
-  hrows AS (SELECT CAST(spine.bin AS VARCHAR) || ':'
-                   || CAST(COALESCE(counts.cnt, 0) AS VARCHAR) AS s,
-                   COALESCE(counts.cnt, 0) AS cnt
-            FROM spine LEFT JOIN counts ON spine.bin = counts.bin)
-  SELECT md5(string_agg(s, '|' ORDER BY s)) AS hist_md5,
-         CAST(SUM(cnt) AS BIGINT) AS hist_total
-  FROM hrows
-) hist_arm CROSS JOIN (
-  -- exact-correlation leg: md5 of the raw decimal moment sums — the
-  -- sufficient statistic, bit-exact under any partitioning/libm
+         CAST(SUM(CASE WHEN CAST(value AS VARCHAR) IS NOT NULL
+                        AND TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN CAST(value AS VARCHAR) IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+) ORDER BY col_name
+"""
+
+
+ORACLE_NI_HISTOGRAM = """
+WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                  MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+           FROM lineitem),
+cells AS (SELECT CAST(
+            CASE WHEN hi = lo THEN 0
+                 ELSE GREATEST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - lo) * 8.0)
+                                           / (hi - lo)), 7), 0) END AS INT) AS bin
+          FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+counts AS (SELECT bin, COUNT(*) AS cnt FROM cells GROUP BY 1),
+spine AS (SELECT UNNEST(generate_series(0, 7)) AS bin),
+hrows AS (SELECT CAST(spine.bin AS VARCHAR) || ':'
+                 || CAST(COALESCE(counts.cnt, 0) AS VARCHAR) AS s,
+                 COALESCE(counts.cnt, 0) AS cnt
+          FROM spine LEFT JOIN counts ON spine.bin = counts.bin)
+SELECT md5(string_agg(s, '|' ORDER BY s)) AS hist_md5,
+       CAST(SUM(cnt) AS BIGINT) AS hist_total
+FROM hrows
+"""
+
+
+ORACLE_NI_CORR = """
+SELECT * FROM (
   WITH m AS (
     SELECT COUNT(*) AS n,
            SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 10000) AS HUGEINT)) AS sx,
@@ -697,118 +737,122 @@ SELECT * FROM (
            AS corr_md5
   FROM m
 ) corr_arm CROSS JOIN (
-  -- KS drift leg: exact two-sample statistic, integer numerator
-  WITH vals AS (
-    SELECT CAST(l_quantity AS DOUBLE) AS v, 1 AS s FROM lineitem
-    WHERE l_quantity IS NOT NULL
-    UNION ALL
-    SELECT CAST(l_quantity AS DOUBLE), 2 FROM lineitem
-    WHERE l_quantity IS NOT NULL AND l_returnflag = 'R'),
-  d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
-               SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
-        FROM vals GROUP BY 1),
-  n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d),
-  c AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
-               SUM(c2) OVER (ORDER BY v) AS cum2 FROM d)
-  SELECT CAST(n1 AS BIGINT) AS ks_n_ref,
-         CAST(n2 AS BIGINT) AS ks_n_cur,
-         CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DECIMAL(38,0)) AS ks_num,
-         CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) * 20
-           > CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT) AS ks_drifted
-  FROM c, n GROUP BY n1, n2
-) ks_arm CROSS JOIN (
-  -- TVD drift leg: exact total-variation distance, integer numerator
-  WITH vals AS (
-    SELECT o_orderpriority AS v, 1 AS s FROM orders
-    WHERE o_orderpriority IS NOT NULL
-    UNION ALL
-    SELECT o_orderpriority, 2 FROM orders
-    WHERE o_orderpriority IS NOT NULL
-      AND o_orderdate >= TIMESTAMP '1997-01-01'),
-  d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
-               SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
-        FROM vals GROUP BY 1),
-  n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
-  SELECT CAST(n1 AS BIGINT) AS tvd_n_ref,
-         CAST(n2 AS BIGINT) AS tvd_n_cur,
-         CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS tvd_num
-  FROM d, n GROUP BY n1, n2
-) tvd_arm CROSS JOIN (
-  -- PSI leg: per-bin (ref_cnt, cur_cnt) over the reference-defined
-  -- 10-bin grid (the hist_arm cell chain), exact counts md5'd
-  WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
-                    MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
-             FROM lineitem),
-  cells AS (SELECT CAST(
-              CASE WHEN hi = lo THEN 0
-                   ELSE GREATEST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - lo) * 10.0)
-                                             / (hi - lo)), 9), 0) END AS INT) AS bin,
-                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_cur
-            FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
-  counts AS (SELECT bin, COUNT(*) AS rc, SUM(is_cur) AS cc
-             FROM cells GROUP BY 1),
-  spine AS (SELECT UNNEST(generate_series(0, 9)) AS bin),
-  prows AS (SELECT CAST(spine.bin AS VARCHAR) || ':'
-                   || CAST(COALESCE(counts.rc, 0) AS VARCHAR) || ':'
-                   || CAST(COALESCE(counts.cc, 0) AS VARCHAR) AS s
-            FROM spine LEFT JOIN counts ON spine.bin = counts.bin)
-  SELECT CAST(COUNT(*) AS BIGINT) AS psi_bins,
-         md5(string_agg(s, '|' ORDER BY s)) AS psi_md5
-  FROM prows
-) psi_arm CROSS JOIN (
-  -- chi2 leg: the exact contingency table (the chi2 sufficient
-  -- statistic) of l_linestatus, all rows vs the 1997+ ship slice
-  WITH d AS (
-    SELECT CAST(l_linestatus AS VARCHAR) AS v,
-           COUNT(*) AS c1,
-           SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
-                    THEN 1 ELSE 0 END) AS c2
-    FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1)
-  SELECT CAST(COUNT(*) AS BIGINT) AS chi2_cats,
-         md5(string_agg(v || ':' || CAST(c1 AS VARCHAR) || ':'
-                        || CAST(c2 AS VARCHAR), '|'
-                        ORDER BY v || ':' || CAST(c1 AS VARCHAR) || ':'
-                        || CAST(c2 AS VARCHAR))) AS chi2_md5
-  FROM d
-) chi2_arm CROSS JOIN (
-  -- scaling leg: the scalers' defining inequalities as exact HUGEINT
-  -- arithmetic — z>1 iff d>0 and d^2>spread with d = n*xs - s1,
-  -- spread = n*s2 - s1^2; mm>1/2 iff 2*xs > mn_s + mx_s
-  WITH mo AS (
-    SELECT l_returnflag AS g, CAST(COUNT(l_discount) AS HUGEINT) AS n,
-           SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s1,
-           SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)
-               * CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s2,
-           MIN(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS mn,
-           MAX(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS mx
-    FROM lineitem GROUP BY 1),
-  ineq AS (
-    SELECT CASE WHEN l.l_discount IS NOT NULL AND mo.n >= 2
-                 AND mo.n * mo.s2 - mo.s1 * mo.s1 > 0
-                THEN 1 ELSE 0 END AS z_ok,
-           mo.n * CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 10000) AS HUGEINT)
-             - mo.s1 AS d,
-           mo.n * mo.s2 - mo.s1 * mo.s1 AS spread,
-           CASE WHEN l.l_discount IS NOT NULL AND mo.mx > mo.mn
-                THEN 1 ELSE 0 END AS mm_ok,
-           CASE WHEN l.l_discount IS NOT NULL AND mo.mx > mo.mn
-                 AND 2 * CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 10000) AS HUGEINT)
-                     > mo.mn + mo.mx
-                THEN 1 ELSE 0 END AS mm_hi
-    FROM lineitem l JOIN mo ON l.l_returnflag = mo.g)
-  SELECT CAST(SUM(z_ok) AS BIGINT) AS z_rows,
-         CAST(SUM(CASE WHEN z_ok = 1 AND d > 0 AND d * d > spread
-                       THEN 1 ELSE 0 END) AS BIGINT) AS z_hi_cnt,
-         CAST(SUM(CASE WHEN z_ok = 1 AND d < 0 AND d * d > spread
-                       THEN 1 ELSE 0 END) AS BIGINT) AS z_lo_cnt,
-         CAST(SUM(mm_ok) AS BIGINT) AS mm_rows,
-         CAST(SUM(mm_hi) AS BIGINT) AS mm_hi_cnt
-  FROM ineq
-) scale_arm CROSS JOIN (
-  -- correlation-matrix leg: every pair's exact moment sums md5'd
 __CM_ARM__
 ) cm_arm
-ORDER BY col_name
+"""
+
+
+ORACLE_NI_KS = """
+WITH vals AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v, 1 AS s FROM lineitem
+  WHERE l_quantity IS NOT NULL
+  UNION ALL
+  SELECT CAST(l_quantity AS DOUBLE), 2 FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag = 'R'),
+d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+      FROM vals GROUP BY 1),
+n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d),
+c AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+             SUM(c2) OVER (ORDER BY v) AS cum2 FROM d)
+SELECT CAST(n1 AS BIGINT) AS ks_n_ref,
+       CAST(n2 AS BIGINT) AS ks_n_cur,
+       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DECIMAL(38,0)) AS ks_num,
+       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) * 20
+         > CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT) AS ks_drifted
+FROM c, n GROUP BY n1, n2
+"""
+
+
+ORACLE_NI_TVD = """
+WITH vals AS (
+  SELECT o_orderpriority AS v, 1 AS s FROM orders
+  WHERE o_orderpriority IS NOT NULL
+  UNION ALL
+  SELECT o_orderpriority, 2 FROM orders
+  WHERE o_orderpriority IS NOT NULL
+    AND o_orderdate >= TIMESTAMP '1997-01-01'),
+d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+      FROM vals GROUP BY 1),
+n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
+SELECT CAST(n1 AS BIGINT) AS tvd_n_ref,
+       CAST(n2 AS BIGINT) AS tvd_n_cur,
+       CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS tvd_num
+FROM d, n GROUP BY n1, n2
+"""
+
+
+ORACLE_NI_PSI = """
+WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                  MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+           FROM lineitem),
+cells AS (SELECT CAST(
+            CASE WHEN hi = lo THEN 0
+                 ELSE GREATEST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - lo) * 10.0)
+                                           / (hi - lo)), 9), 0) END AS INT) AS bin,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_cur
+          FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+counts AS (SELECT bin, COUNT(*) AS rc, SUM(is_cur) AS cc
+           FROM cells GROUP BY 1),
+spine AS (SELECT UNNEST(generate_series(0, 9)) AS bin),
+prows AS (SELECT CAST(spine.bin AS VARCHAR) || ':'
+                 || CAST(COALESCE(counts.rc, 0) AS VARCHAR) || ':'
+                 || CAST(COALESCE(counts.cc, 0) AS VARCHAR) AS s
+          FROM spine LEFT JOIN counts ON spine.bin = counts.bin)
+SELECT CAST(COUNT(*) AS BIGINT) AS psi_bins,
+       md5(string_agg(s, '|' ORDER BY s)) AS psi_md5
+FROM prows
+"""
+
+
+ORACLE_NI_CHI2 = """
+WITH d AS (
+  SELECT CAST(l_linestatus AS VARCHAR) AS v,
+         COUNT(*) AS c1,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END) AS c2
+  FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS chi2_cats,
+       md5(string_agg(v || ':' || CAST(c1 AS VARCHAR) || ':'
+                      || CAST(c2 AS VARCHAR), '|'
+                      ORDER BY v || ':' || CAST(c1 AS VARCHAR) || ':'
+                      || CAST(c2 AS VARCHAR))) AS chi2_md5
+FROM d
+"""
+
+
+ORACLE_NI_SCALE = """
+WITH mo AS (
+  SELECT l_returnflag AS g, CAST(COUNT(l_discount) AS HUGEINT) AS n,
+         SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s1,
+         SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)
+             * CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS s2,
+         MIN(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS mn,
+         MAX(CAST(ROUND(CAST(l_discount AS DOUBLE) * 10000) AS HUGEINT)) AS mx
+  FROM lineitem GROUP BY 1),
+ineq AS (
+  SELECT CASE WHEN l.l_discount IS NOT NULL AND mo.n >= 2
+               AND mo.n * mo.s2 - mo.s1 * mo.s1 > 0
+              THEN 1 ELSE 0 END AS z_ok,
+         mo.n * CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 10000) AS HUGEINT)
+           - mo.s1 AS d,
+         mo.n * mo.s2 - mo.s1 * mo.s1 AS spread,
+         CASE WHEN l.l_discount IS NOT NULL AND mo.mx > mo.mn
+              THEN 1 ELSE 0 END AS mm_ok,
+         CASE WHEN l.l_discount IS NOT NULL AND mo.mx > mo.mn
+               AND 2 * CAST(ROUND(CAST(l.l_discount AS DOUBLE) * 10000) AS HUGEINT)
+                   > mo.mn + mo.mx
+              THEN 1 ELSE 0 END AS mm_hi
+  FROM lineitem l JOIN mo ON l.l_returnflag = mo.g)
+SELECT CAST(SUM(z_ok) AS BIGINT) AS z_rows,
+       CAST(SUM(CASE WHEN z_ok = 1 AND d > 0 AND d * d > spread
+                     THEN 1 ELSE 0 END) AS BIGINT) AS z_hi_cnt,
+       CAST(SUM(CASE WHEN z_ok = 1 AND d < 0 AND d * d > spread
+                     THEN 1 ELSE 0 END) AS BIGINT) AS z_lo_cnt,
+       CAST(SUM(mm_ok) AS BIGINT) AS mm_rows,
+       CAST(SUM(mm_hi) AS BIGINT) AS mm_hi_cnt
+FROM ineq
 """
 
 
@@ -850,9 +894,7 @@ def _cm_arm_sql() -> str:
     FROM ({union}))"""
 
 
-ORACLE_NUMERIC_INFERENCE = ORACLE_NUMERIC_INFERENCE.replace(
-    "__CM_ARM__", _cm_arm_sql()
-)
+ORACLE_NI_CORR = ORACLE_NI_CORR.replace("__CM_ARM__", _cm_arm_sql())
 
 
 def q_distinct_ratio(spark: SparkSession, sf: str) -> DataFrame:
@@ -2388,37 +2430,75 @@ CROSS JOIN ({ORACLE_IQ})
 """
 
 
+ORACLE_SCAN_COUNT = (
+    "SELECT s.*, u.*, d.* FROM "
+    "(SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem) s, "
+    "(SELECT COUNT(*) AS union_row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)) u, "
+    # table-diff leg: the planted migration copy re-derived
+    # from the same predicates (keys %1009 removed, price
+    # bumped on surviving keys %97)
+    "(SELECT CAST(0 AS BIGINT) AS diff_added, "
+    " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 = 0) AS diff_removed, "
+    " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 = 0) AS diff_changed, "
+    " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 <> 0) AS diff_unchanged, "
+    " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 = 0) AS diff_changed_price, "
+    " CAST(0 AS BIGINT) AS diff_changed_status, "
+    " FALSE AS diff_identical) d"
+)
+
+
+def q_scan_count_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S3/A1/S6 scan panel + A4 profile panel — two 1-row panels
+    sharing one slot of the driver's 50-entry correctness window
+    (fused round 10 to make room for the per-leg ni_* split; both
+    components green r1-r9)."""
+    return q_scan_count(spark, sf).crossJoin(
+        F.broadcast(q_profile_stats(spark, sf))
+    )
+
+
+ORACLE_SCAN_PROFILE = (
+    f"SELECT * FROM ({ORACLE_SCAN_COUNT}) scan_panel "
+    f"CROSS JOIN ({ORACLE_PROFILE_STATS}) profile_panel"
+)
+
+
+ORACLE_NORMALIZE_AUDIT = (
+    f"SELECT * FROM ({ORACLE_NORMALIZE}) norm_panel "
+    f"CROSS JOIN ({ORACLE_NULL_AUDIT}) audit_panel"
+)
+
+
 CORE_CATALOG: list[QuerySpec] = [
-    QuerySpec("scan_count", q_scan_count,
-              "SELECT s.*, u.*, d.* FROM "
-              "(SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS distinct_orders FROM lineitem) s, "
-              "(SELECT COUNT(*) AS union_row_cnt FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)) u, "
-              # table-diff leg: the planted migration copy re-derived
-              # from the same predicates (keys %1009 removed, price
-              # bumped on surviving keys %97)
-              "(SELECT CAST(0 AS BIGINT) AS diff_added, "
-              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 = 0) AS diff_removed, "
-              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 = 0) AS diff_changed, "
-              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 <> 0) AS diff_unchanged, "
-              " (SELECT COUNT(*) FROM orders WHERE o_orderkey % 1009 <> 0 AND o_orderkey % 97 = 0) AS diff_changed_price, "
-              " CAST(0 AS BIGINT) AS diff_changed_status, "
-              " FALSE AS diff_identical) d",
-              "S1/S3/A1 parquet scan + counts + S6 multi-file union + keyed table diff",
-              tags=("source", "agg")),
-    QuerySpec("normalize_names", q_normalize_names, ORACLE_NORMALIZE,
-              "T1 column-name normalization", tags=("transform",)),
-    QuerySpec("null_audit", q_null_audit, ORACLE_NULL_AUDIT,
-              "T2a/T2b/T2c/A2 null drop + fill + flag + per-column counts",
+    QuerySpec("scan_count", q_scan_count_fused, ORACLE_SCAN_PROFILE,
+              "S1/S3/A1 parquet scan + counts + S6 multi-file union + keyed "
+              "table diff + A4 distinct/percentile/sketch profile panel",
+              tags=("source", "agg", "profile")),
+    QuerySpec("normalize_names", q_normalize_names_fused, ORACLE_NORMALIZE_AUDIT,
+              "T1 column-name normalization + T2a/T2b/T2c/A2 null audit legs",
               tags=("transform", "profile")),
     QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP,
               "T3/A3 exact dedup (row-distinct + content-hash)",
               headline=True, tags=("dedup",)),
     QuerySpec("date_parts", q_date_parts, ORACLE_DATE_PARTS,
               "T4/T8 date cast + partition keys", tags=("transform",)),
-    QuerySpec("numeric_inference", q_numeric_inference, ORACLE_NUMERIC_INFERENCE,
-              "T5/A6 numeric parse-ratio profiling", tags=("transform", "profile")),
-    QuerySpec("profile_stats", q_profile_stats, ORACLE_PROFILE_STATS,
-              "A4 distinct ratios + exact percentiles", tags=("profile",)),
+    QuerySpec("ni_parse_ratio", q_ni_parse_ratio, ORACLE_NI_PARSE_RATIO,
+              "T5/A6 numeric parse-ratio profiling (exact integer form)",
+              tags=("transform", "profile")),
+    QuerySpec("ni_histogram", q_ni_histogram, ORACLE_NI_HISTOGRAM,
+              "equi-width histogram sufficient statistics", tags=("profile",)),
+    QuerySpec("ni_corr", q_ni_corr, ORACLE_NI_CORR,
+              "Pearson pair + matrix exact moment sums", tags=("profile",)),
+    QuerySpec("ni_ks", q_ni_ks, ORACLE_NI_KS,
+              "KS two-sample drift, integer numerator", tags=("profile", "drift")),
+    QuerySpec("ni_tvd", q_ni_tvd, ORACLE_NI_TVD,
+              "total-variation drift, integer numerator", tags=("profile", "drift")),
+    QuerySpec("ni_psi", q_ni_psi, ORACLE_NI_PSI,
+              "PSI per-bin count table", tags=("profile", "drift")),
+    QuerySpec("ni_chi2", q_ni_chi2, ORACLE_NI_CHI2,
+              "chi-square contingency table", tags=("profile", "drift")),
+    QuerySpec("ni_scale", q_ni_scale, ORACLE_NI_SCALE,
+              "scaler outlier counts via exact inequalities", tags=("profile",)),
     QuerySpec("g1_pricing_summary", q_g1_pricing_summary, ORACLE_G1,
               "G1 grouped rollup (TPC-H Q1 shape)", headline=True, tags=("gold",)),
     QuerySpec("g2_revenue_rollup", q_g2_revenue_rollup, ORACLE_G2,

@@ -4157,6 +4157,57 @@ FROM toks
 
 from harness_aws_etl_pipeline_spark.plans.catalog import QuerySpec  # noqa: E402
 
+
+# ---- round-10 fusions: free driver-window slots for the ni_* split ----
+# Each fused builder crossJoins previously-standalone 1-row panels that
+# were green r1-r9; the driver records correctness for only the first
+# 50 catalog entries, and splitting the numeric_inference mega-panel
+# into per-leg ni_* entries needed 7 freed slots.
+
+
+def q_doc_fingerprint_fused(spark, sf):
+    """doc_fingerprint + line_dedup + seq_packing 1-row panels fused
+    (round 10, window slot reclamation; all components green r1-r9)."""
+    from pyspark.sql import functions as F
+
+    return (
+        q_doc_fingerprint(spark, sf)
+        .crossJoin(F.broadcast(q_line_dedup(spark, sf)))
+        .crossJoin(F.broadcast(q_seq_packing(spark, sf)))
+    )
+
+
+def q_asof_fuzzy_fused(spark, sf):
+    """fuzzy_dedup_verify value-oracle panel + asof_join panel fused
+    (round 10, window slot reclamation)."""
+    from pyspark.sql import functions as F
+
+    return q_fuzzy_dedup_verify(spark, sf).crossJoin(
+        F.broadcast(q_asof_join(spark, sf))
+    )
+
+
+def q_near_dup_fused(spark, sf):
+    """near_dup_clusters + ngram_jaccard panels fused (round 10,
+    window slot reclamation; both headline — the fused entry keeps the
+    headline flag so the bench sum is unchanged)."""
+    from pyspark.sql import functions as F
+
+    return q_near_dup_clusters(spark, sf).crossJoin(
+        F.broadcast(q_ngram_jaccard(spark, sf))
+    )
+
+
+def q_rules_multimodal_fused(spark, sf):
+    """rules_surface + multimodal_meta 1-row panels fused (round 10,
+    window slot reclamation)."""
+    from pyspark.sql import functions as F
+
+    return q_rules_surface(spark, sf).crossJoin(
+        F.broadcast(q_multimodal_meta(spark, sf))
+    )
+
+
 EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("text_stats", q_text_stats, ORACLE_TEXT_STATS,
               "[EXT] text statistics + token counts by source",
@@ -4165,31 +4216,21 @@ EXT_CATALOG: list[QuerySpec] = [
               "[EXT] marker-word language ID", tags=("ext", "text")),
     QuerySpec("quality_score", q_quality_score, ORACLE_QUALITY,
               "[EXT] document quality scoring", tags=("ext", "text")),
-    QuerySpec("doc_fingerprint", q_doc_fingerprint, _oracle_fingerprint(),
-              "[EXT] md5 + rolling-hash fingerprints + PII redaction "
-              "(fused 1-row panels)", tags=("ext", "text")),
-    QuerySpec("ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
-              "[EXT] n-gram Jaccard near-dup with blocking + overlapping "
-              "token-window chunking (fused 1-row panels)", headline=True,
-              tags=("ext", "dedup", "text")),
-    QuerySpec("asof_join", q_asof_join, ORACLE_ASOF,
-              "[EXT] as-of join (window composition vs native ASOF) + "
-              "bucketed range join vs inequality-join oracle (fused "
-              "1-row panels)", tags=("ext", "join")),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint_fused,
+              f"SELECT * FROM ({_oracle_fingerprint()}) fp_panel "
+              f"CROSS JOIN ({ORACLE_LINE_DEDUP}) ld_panel "
+              f"CROSS JOIN ({ORACLE_SEQ_PACKING}) sp_panel",
+              "[EXT] md5 + rolling-hash fingerprints + PII redaction + "
+              "CCNet-style line-level corpus dedup + sequence-packing "
+              "invariants (fused 1-row panels)", tags=("ext", "text", "dedup")),
     QuerySpec("tfidf", q_tfidf, ORACLE_TFIDF,
               "[EXT] corpus TF-IDF top terms", tags=("ext", "text")),
-    QuerySpec("line_dedup", q_line_dedup, ORACLE_LINE_DEDUP,
-              "[EXT] CCNet-style line-level corpus dedup",
-              tags=("ext", "dedup", "text")),
     QuerySpec("corpus_mix", q_corpus_mix, _oracle_corpus_mix(),
               "[EXT] domain-weighted corpus mixing (exact-integer md5 "
               "thresholds, full operator re-derived by the oracle) + "
               "urlops legs (normalize/host/eTLD+1/dedup/per-host-cap "
               "over planted literals, spec re-implemented in SQL)",
               tags=("ext", "sampling", "url")),
-    QuerySpec("seq_packing", q_seq_packing, ORACLE_SEQ_PACKING,
-              "[EXT] sequence packing invariants (FFD per hash bucket)",
-              tags=("ext", "text")),
     QuerySpec("train_test_split", q_train_test_split, None,
               "[EXT] deterministic hash split, fast xxhash64 path "
               "(values oracled via fuzzy_dedup_verify)",
@@ -4197,15 +4238,20 @@ EXT_CATALOG: list[QuerySpec] = [
     QuerySpec("pandas_udaf", q_pandas_udaf, ORACLE_PANDAS_UDAF,
               "[EXT] GROUPED_AGG pandas UDAF (exact median)",
               tags=("ext", "udf")),
-    QuerySpec("near_dup_clusters", q_near_dup_clusters,
-              _oracle_near_dup_clusters(),
-              "[EXT] near-dup clustering + canonical dedup + pagerank",
-              headline=True, tags=("ext", "dedup")),
-    QuerySpec("fuzzy_dedup_verify", q_fuzzy_dedup_verify,
-              _oracle_fuzzy_dedup_verify(),
+    QuerySpec("near_dup_clusters", q_near_dup_fused,
+              f"SELECT * FROM ({_oracle_near_dup_clusters()}) ndc_panel "
+              f"CROSS JOIN ({ORACLE_NGRAM_JACCARD}) ngj_panel",
+              "[EXT] near-dup clustering + canonical dedup + pagerank + "
+              "n-gram Jaccard near-dup with blocking + token-window "
+              "chunking (fused 1-row panels)",
+              headline=True, tags=("ext", "dedup", "text")),
+    QuerySpec("fuzzy_dedup_verify", q_asof_fuzzy_fused,
+              f"SELECT * FROM ({_oracle_fuzzy_dedup_verify()}) fz_panel "
+              f"CROSS JOIN ({ORACLE_ASOF}) asof_panel",
               "[EXT] value oracle: MinHash-LSH + SimHash + embedding "
-              "near-dup + hash split (md5/fold variants)",
-              tags=("ext", "dedup", "sampling", "verify")),
+              "near-dup + hash split (md5/fold variants) + as-of join "
+              "and bucketed range-join legs (fused 1-row panels)",
+              tags=("ext", "dedup", "sampling", "verify", "join")),
     QuerySpec("ann_topk_verify", q_ann_topk_verify, _oracle_ann_topk_verify(),
               "[EXT] value oracle: LSH-bucketed + exhaustive-probe IVF "
               "top-k rankings", tags=("ext", "similarity", "verify")),
@@ -4238,11 +4284,12 @@ EXT_CATALOG: list[QuerySpec] = [
               tags=("ext", "dedup", "similarity")),
     QuerySpec("skew_salted_agg", q_skew_salted_agg, ORACLE_SKEW_AGG,
               "skew-safe salted two-phase aggregation", tags=("ext", "skew")),
-    QuerySpec("rules_surface", q_rules_surface, ORACLE_RULES,
-              "§2.12 TransformationRule pipeline", tags=("ext", "rules")),
+    QuerySpec("rules_surface", q_rules_multimodal_fused,
+              f"SELECT * FROM ({ORACLE_RULES}) rules_panel "
+              f"CROSS JOIN ({ORACLE_MULTIMODAL}) mm_panel",
+              "§2.12 TransformationRule pipeline + [EXT] binary payload "
+              "+ Arrow feature extraction (fused 1-row panels)",
+              tags=("ext", "rules", "multimodal")),
     QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,
               "[EXT] embedding profiling", tags=("ext", "similarity")),
-    QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL,
-              "[EXT] binary payload + Arrow feature extraction",
-              tags=("ext", "multimodal")),
 ]
