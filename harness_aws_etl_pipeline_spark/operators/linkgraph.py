@@ -160,28 +160,35 @@ def host_graph(
     one aggregation) — one shuffle on (src, dst).
     """
     from harness_aws_etl_pipeline_spark.operators.urlops import (
-        registered_domain,
         url_host,
+        with_registered_domain,
     )
 
     if by not in ("host", "domain"):
         raise ValueError("by must be 'host' or 'domain'")
 
-    def key(col: Column) -> Column:
-        # registered_domain extracts the host itself (takes the URL)
-        return (
-            registered_domain(col, rules=psl_rules)
-            if by == "domain"
-            else url_host(col)
+    # src is keyed BEFORE the explode (one extraction per page, not
+    # per link); domain keys ride the staged codegen-safe PSL path
+    # (urlops.with_registered_domain) — the one-expression
+    # registered_domain form re-inlines the host regex chain per
+    # branch and drops to interpreted eval
+    if by == "domain":
+        src_keyed = with_registered_domain(
+            docs, url_col=url_col, out_col="__src", rules=psl_rules
         )
-
-    edges = (
-        docs.select(
-            key(F.col(url_col)).alias("src"),
-            F.explode(links_col).alias("_link"),
+    else:
+        src_keyed = docs.withColumn("__src", url_host(F.col(url_col)))
+    exploded = src_keyed.select(
+        F.col("__src").alias("src"), F.explode(links_col).alias("_link")
+    )
+    if by == "domain":
+        keyed = with_registered_domain(
+            exploded, url_col="_link", out_col="dst", rules=psl_rules
         )
-        .select("src", key(F.col("_link")).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    else:
+        keyed = exploded.withColumn("dst", url_host(F.col("_link")))
+    edges = keyed.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     if not keep_self_loops:
         edges = edges.where(F.col("src") != F.col("dst"))

@@ -40,6 +40,8 @@ __all__ = [
     "normalize_url",
     "url_host",
     "registered_domain",
+    "registered_domain_from_parts",
+    "with_registered_domain",
     "parse_suffix_list",
     "load_suffix_list",
     "add_url_columns",
@@ -147,25 +149,31 @@ def load_suffix_list(path: str, spark=None) -> dict:
     )
 
 
-def registered_domain(col: Column | str, rules: dict | None = None) -> Column:
-    """eTLD+1 of the URL's host under the public-suffix algorithm
-    (https://publicsuffix.org/list/ — public knowledge):
+def registered_domain_from_parts(
+    h: Column, parts: Column, rules: dict | None = None
+) -> Column:
+    """The public-suffix DECISION given the host and its label array
+    as already-projected columns — the codegen-safe core of
+    :func:`registered_domain`.
 
-    - prevailing rule = the matching rule with the most labels;
-      exception rules beat everything; no match → the implicit ``*``
-      rule (suffix = the last label)
-    - registered domain = public suffix + one label; a host that IS a
-      public suffix is returned as-is (the most useful grouping key
-      for corpus work — the PSL itself leaves it undefined)
+    ``h``/``parts`` must be plain column ATTRIBUTES (projected in a
+    previous ``withColumn``), not expression trees: when the host's
+    regexp-extraction chain is re-inlined into every candidate/level/
+    take branch (as the one-shot :func:`registered_domain` wrapper
+    does), the generated Java for the projection exceeds janino's
+    64 KB method limit and Spark silently falls back to interpreted,
+    row-at-a-time evaluation with the host regexes re-evaluated
+    dozens of times per row — the classic silent constant-factor
+    scale-killer on the corpus-prep hot path.  Catalyst's
+    CollapseProject keeps staged projections separate when the
+    produced alias is non-cheap and multiply-referenced, so routing
+    through :func:`with_registered_domain` keeps whole-stage codegen
+    (verified: ``spark.sql.codegen.fallback=false`` compiles, and the
+    executed plan shows ``*(…) Project`` over the staged attributes).
 
-    ``rules`` is the dict from :func:`parse_suffix_list` /
-    :func:`load_suffix_list`; without it the bundled heuristic subset
-    (``TWO_LEVEL_SUFFIXES``) runs through the SAME engine.  Pure
-    column expressions — rule membership compiles to hash-set
-    ``IN`` lookups (Catalyst InSet), so even the full ~10k-rule list
-    is one broadcast-free, shuffle-free projection."""
-    h = url_host(col)
-    parts = F.split(h, r"\.")
+    Rule membership still compiles to hash-set ``IN`` lookups
+    (Catalyst InSet), so even the full ~10k-rule list stays one
+    broadcast-free, shuffle-free projection."""
     n = F.size(parts)
     if rules is None:
         rules = {"normal": list(TWO_LEVEL_SUFFIXES)}
@@ -217,6 +225,61 @@ def registered_domain(col: Column | str, rules: dict | None = None) -> Column:
     )
 
 
+def registered_domain(col: Column | str, rules: dict | None = None) -> Column:
+    """eTLD+1 of the URL's host under the public-suffix algorithm
+    (https://publicsuffix.org/list/ — public knowledge):
+
+    - prevailing rule = the matching rule with the most labels;
+      exception rules beat everything; no match → the implicit ``*``
+      rule (suffix = the last label)
+    - registered domain = public suffix + one label; a host that IS a
+      public suffix is returned as-is (the most useful grouping key
+      for corpus work — the PSL itself leaves it undefined)
+
+    ``rules`` is the dict from :func:`parse_suffix_list` /
+    :func:`load_suffix_list`; without it the bundled heuristic subset
+    (``TWO_LEVEL_SUFFIXES``) runs through the SAME engine.
+
+    SCALE CAVEAT: as a single Column expression this re-inlines the
+    host regexp chain into every branch, which blows janino's 64 KB
+    method limit and drops the projection to interpreted execution
+    (correct but row-at-a-time).  On anything bigger than a literal
+    fixture use :func:`with_registered_domain` /
+    :func:`add_url_columns`, which stage host+parts as real columns
+    first and keep whole-stage codegen (see
+    :func:`registered_domain_from_parts`)."""
+    h = url_host(col)
+    parts = F.split(h, r"\.")
+    return registered_domain_from_parts(h, parts, rules)
+
+
+def with_registered_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_domain",
+    rules: dict | None = None,
+    host_col: str | None = None,
+) -> DataFrame:
+    """Codegen-safe eTLD+1: stage the host and its label array as real
+    columns in one projection, then run the PSL decision over those
+    ATTRIBUTES in the next (see :func:`registered_domain_from_parts`
+    for why the one-expression form cannot compile).  Pass
+    ``host_col`` when a host column already exists to skip the
+    extraction entirely.  Both projections live in one whole-stage-
+    codegen span — no shuffle, no Python."""
+    h = F.col(host_col) if host_col is not None else url_host(F.col(url_col))
+    staged = df.withColumn("__rd_h", h).withColumn(
+        "__rd_p", F.split(F.col("__rd_h"), r"\.")
+    )
+    out = staged.withColumn(
+        out_col,
+        registered_domain_from_parts(
+            F.col("__rd_h"), F.col("__rd_p"), rules
+        ),
+    )
+    return out.drop("__rd_h", "__rd_p")
+
+
 def add_url_columns(
     df: DataFrame,
     url_col: str = "url",
@@ -224,18 +287,26 @@ def add_url_columns(
     suffix_rules: dict | None = None,
 ) -> DataFrame:
     """Adds ``{prefix}norm``, ``{prefix}host``, ``{prefix}domain``,
-    ``{prefix}path_depth`` (count of non-empty path segments)."""
+    ``{prefix}path_depth`` (count of non-empty path segments).
+
+    The domain column rides the staged codegen-safe PSL path
+    (:func:`with_registered_domain`), reusing ``{prefix}host`` as the
+    pre-projected host so the extraction regexes run once per row."""
     u = F.col(url_col)
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
-    return (
-        df.withColumn(f"{prefix}norm", normalize_url(u))
-        .withColumn(f"{prefix}host", url_host(u))
-        .withColumn(f"{prefix}domain", registered_domain(u, suffix_rules))
-        .withColumn(
-            f"{prefix}path_depth",
-            F.when(u.isNull(), F.lit(None).cast("int")).otherwise(depth),
-        )
+    hosted = df.withColumn(f"{prefix}norm", normalize_url(u)).withColumn(
+        f"{prefix}host", url_host(u)
+    )
+    return with_registered_domain(
+        hosted,
+        url_col=url_col,
+        out_col=f"{prefix}domain",
+        rules=suffix_rules,
+        host_col=f"{prefix}host",
+    ).withColumn(
+        f"{prefix}path_depth",
+        F.when(u.isNull(), F.lit(None).cast("int")).otherwise(depth),
     )
 
 

@@ -3536,7 +3536,7 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         cap_per_host,
         cap_per_host_stats,
         dedup_by_url,
-        registered_domain,
+        with_registered_domain,
     )
 
     docs = _t(spark, sf, "documents")
@@ -3586,8 +3586,11 @@ def q_corpus_mix(spark: SparkSession, sf: str) -> DataFrame:
         # planted rule set — normal/wildcard/exception) — the oracle
         # runs the full PSL algorithm in SQL over the same VALUES
         .crossJoin(F.broadcast(
-            spark.createDataFrame([(u,) for u in _PSL_URLS], "u string")
-            .select(registered_domain("u", _PSL_RULES).alias("d"))
+            with_registered_domain(
+                spark.createDataFrame([(u,) for u in _PSL_URLS], "u string"),
+                url_col="u", out_col="d", rules=_PSL_RULES,
+            )
+            .select("d")
             .agg(
                 F.md5(
                     F.concat_ws("|", F.array_sort(F.collect_list("d")))

@@ -217,6 +217,50 @@ class TestPublicSuffixList:
         ).collect()[0]
         assert out.url_domain == "foo.github.io"
 
+    def test_staged_path_compiles_under_codegen_no_fallback(self, spark):
+        """Round-10 pin for the janino 64 KB blowup: the one-expression
+        registered_domain form re-inlines the host regex chain into
+        every PSL branch, fails codegen, and silently runs interpreted.
+        The staged path (with_registered_domain) must (a) COMPILE with
+        fallback disabled — this test errors loudly if codegen fails —
+        (b) keep whole-stage codegen in the executed plan, and
+        (c) produce values identical to the one-expression form."""
+        from harness_aws_etl_pipeline_spark.operators.urlops import (
+            parse_suffix_list,
+            with_registered_domain,
+        )
+
+        rules = parse_suffix_list(_PSL_FIXTURE)
+        urls = [
+            "https://foo.github.io/x", "https://a.b.github.io/x",
+            "https://github.io/", "https://bucket.s3.amazonaws.com/k",
+            "https://www.dept.univ.ac.uk/p", "https://deep.shop.stuff.ck/x",
+            "https://sub.reg.ck/x", "https://a.example.com/x",
+            "https://x.unknown-tld/x", None,
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        staged = with_registered_domain(
+            df, url_col="u", out_col="d", rules=rules
+        )
+        prev = spark.conf.get("spark.sql.codegen.fallback")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            got = [r.d for r in staged.collect()]
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", prev)
+        want = [
+            r.d
+            for r in df.select(
+                registered_domain("u", rules).alias("d")
+            ).collect()
+        ]
+        assert got == want
+        # the staged projection stays inside a whole-stage-codegen span
+        # (the '*(n)' prefix) and references the staged attributes
+        ep = staged._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in ep  # at least one WholeStageCodegen span
+        assert "__rd_p" in ep  # PSL decision reads the staged attribute
+
 
 class TestUrlDedupAndCaps:
     def test_dedup_by_url_min_id_survives(self, spark):
