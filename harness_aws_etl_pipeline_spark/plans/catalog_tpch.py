@@ -779,8 +779,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     eu_ps = ps.join(
         F.broadcast(eu_sup), ps.ps_suppkey == F.col("s_suppkey")
     )
-    minc = eu_ps.groupBy("ps_partkey").agg(
-        F.min("ps_cost_scaled").alias("min_cost")
+    # the aggregate's key is ALIASED to a distinct name before the
+    # join-back: eu_ps.ps_partkey == minc.ps_partkey on a frame derived
+    # from eu_ps is the classic ambiguous-self-join trap — Spark's
+    # dataset-id disambiguation happens to rescue it today (with a
+    # "trivially true equals predicate" warning), but one refactor away
+    # it silently becomes a near-cross-join
+    minc = (
+        eu_ps.groupBy("ps_partkey")
+        .agg(F.min("ps_cost_scaled").alias("min_cost"))
+        .select(F.col("ps_partkey").alias("min_pk"), "min_cost")
     )
     p = t["part"].filter(
         (F.col("p_size") < 26) & (F.col("p_type") == "ECONOMY")
@@ -788,10 +796,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         eu_ps.join(
             minc,
-            (eu_ps.ps_partkey == minc.ps_partkey)
-            & (eu_ps.ps_cost_scaled == minc.min_cost),
+            (F.col("ps_partkey") == F.col("min_pk"))
+            & (F.col("ps_cost_scaled") == F.col("min_cost")),
         )
-        .drop(minc.ps_partkey)
+        .drop("min_pk")
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
