@@ -114,16 +114,291 @@ class TestSnapshotFold:
         with pytest.raises(ValueError, match="not a Delta table"):
             read_delta(spark, str(tmp_path / "nowhere"))
 
-    def test_protocol_two_rejected(self, spark, tmp_path):
+    def test_unsupported_reader_feature_rejected(self, spark, tmp_path):
+        """columnMapping + deletionVectors are readable since round 10;
+        anything else in readerFeatures still rejects loudly."""
         a = _datafile(spark, tmp_path, "p.parquet", [(1, "x")])
         _commit(
             tmp_path, 0,
             [{"protocol": {"minReaderVersion": 3,
-                           "readerFeatures": ["deletionVectors"]}},
+                           "readerFeatures": ["deletionVectors",
+                                              "v2Checkpoint"]}},
              _meta(), _add(a)],
         )
-        with pytest.raises(ValueError, match="deletionVectors"):
+        with pytest.raises(ValueError, match="v2Checkpoint"):
             read_delta(spark, str(tmp_path))
+
+    def test_supported_reader_features_accepted(self, spark, tmp_path):
+        a = _datafile(spark, tmp_path, "p.parquet", [(1, "x")])
+        _commit(
+            tmp_path, 0,
+            [{"protocol": {"minReaderVersion": 3,
+                           "readerFeatures": ["deletionVectors",
+                                              "columnMapping"]}},
+             _meta(), _add(a)],
+        )
+        assert read_delta(spark, str(tmp_path)).count() == 1
+
+
+class TestDeletionVectors:
+    """Round-10: protocol ≥ 2 DV decode — inline z85 and UUID-file
+    storage, partitioned tables, DV-update replacement, cardinality
+    cross-check. Fixtures are written through sources/dvcodec (the
+    same wire format the decoder reads — z85, roaring, framing are
+    unit-pinned against spec vectors in test_dvcodec.py)."""
+
+    def _dv_add(self, name, dv, pv=None):
+        a = _add(name, pv)
+        a["add"]["deletionVector"] = dv
+        return a
+
+    def _inline(self, indexes):
+        from harness_aws_etl_pipeline_spark.sources.dvcodec import (
+            encode_dv_blob,
+            z85_encode,
+        )
+
+        blob = encode_dv_blob(indexes)
+        # z85 works in 4-byte groups → zero-pad the tail (the decoder
+        # tolerates up to 3 trailing zero bytes on inline blobs)
+        blob_p = blob + b"\x00" * ((-len(blob)) % 4)
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(blob_p),
+            "sizeInBytes": len(blob),
+            "cardinality": len(set(indexes)),
+        }
+
+    def test_inline_dv_removes_rows(self, spark, tmp_path):
+        a = _datafile(
+            spark, tmp_path, "a.parquet",
+            [(i, f"r{i}") for i in range(6)],
+        )
+        dv = self._inline([1, 4])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(), self._dv_add(a, dv),
+        ])
+        got = {r.id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == {0, 2, 3, 5}
+
+    def test_file_dv_uuid_storage(self, spark, tmp_path):
+        import uuid
+
+        from harness_aws_etl_pipeline_spark.sources.dvcodec import (
+            encode_dv_blob,
+            frame_dv_file,
+            z85_encode,
+        )
+
+        a = _datafile(
+            spark, tmp_path, "a.parquet",
+            [(i, f"r{i}") for i in range(10)],
+        )
+        b = _datafile(
+            spark, tmp_path, "b.parquet",
+            [(i, f"r{i}") for i in range(10, 20)],
+        )
+        u = uuid.uuid4()
+        blob_a = encode_dv_blob([0, 9])       # drops ids 0, 9
+        blob_b = encode_dv_blob([5])          # drops id 15
+        data, offsets = frame_dv_file([blob_a, blob_b])
+        prefix = "ab"
+        (tmp_path / prefix).mkdir()
+        (tmp_path / prefix / f"deletion_vector_{u}.bin").write_bytes(data)
+        enc = prefix + z85_encode(u.bytes)
+
+        def dv(off, size, card):
+            return {"storageType": "u", "pathOrInlineDv": enc,
+                    "offset": off, "sizeInBytes": size, "cardinality": card}
+
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(),
+            self._dv_add(a, dv(offsets[0], len(blob_a), 2)),
+            self._dv_add(b, dv(offsets[1], len(blob_b), 1)),
+        ])
+        got = {r.id for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == (set(range(20)) - {0, 9, 15})
+
+    def test_dv_update_replaces_and_partitions_survive(self, spark, tmp_path):
+        """A DV update re-adds the same path with a bigger DV (remove +
+        add in one commit, per the protocol); the fold keeps the last
+        add. Partition literals still attach to DV'd files."""
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "g", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        })
+        meta = _meta(["g"])
+        meta["metaData"]["schemaString"] = schema
+        a = _datafile(spark, tmp_path, "g1.parquet",
+                      [(i, f"r{i}") for i in range(5)])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["deletionVectors"]}},
+            meta, _add(a, {"g": "7"}),
+        ])
+        _commit(tmp_path, 1, [
+            {"remove": {"path": a, "dataChange": True}},
+            self._dv_add(a, self._inline([0]), {"g": "7"}),
+        ])
+        _commit(tmp_path, 2, [
+            {"remove": {"path": a, "dataChange": True}},
+            self._dv_add(a, self._inline([0, 3]), {"g": "7"}),
+        ])
+        df = read_delta(spark, str(tmp_path))
+        assert {(r.id, r.g) for r in df.collect()} == {
+            (1, 7), (2, 7), (4, 7)
+        }
+        # time travel sees the older, smaller DV
+        assert {r.id for r in read_delta(spark, str(tmp_path), 1).collect()} \
+            == {1, 2, 3, 4}
+
+    def test_cardinality_mismatch_rejected(self, spark, tmp_path):
+        a = _datafile(spark, tmp_path, "a.parquet", [(1, "x"), (2, "y")])
+        dv = self._inline([0])
+        dv["cardinality"] = 5
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(), self._dv_add(a, dv),
+        ])
+        with pytest.raises(ValueError, match="cardinality mismatch"):
+            read_delta(spark, str(tmp_path)).collect()
+
+
+class TestColumnMapping:
+    def _mapped_meta(self, partition_cols=()):
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aa11"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bb22"}},
+            ],
+        })
+        return {
+            "metaData": {
+                "id": "tbl-cm",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": list(partition_cols),
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }
+
+    def _physfile(self, spark, tmp_path, name, rows):
+        p = tmp_path / "stage" / name
+        spark.createDataFrame(
+            rows, "`col-aa11` long, `col-bb22` string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(p))
+        import glob
+        import shutil
+
+        shutil.move(glob.glob(str(p / "*.parquet"))[0], str(tmp_path / name))
+        return name
+
+    def test_name_mapping_reads_logical_names(self, spark, tmp_path):
+        a = self._physfile(spark, tmp_path, "m.parquet", [(1, "x"), (2, "y")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            self._mapped_meta(), _add(a),
+        ])
+        df = read_delta(spark, str(tmp_path))
+        assert df.columns == ["id", "v"]
+        assert {(r.id, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+    def test_mapping_with_dv_composes(self, spark, tmp_path):
+        a = self._physfile(
+            spark, tmp_path, "m.parquet", [(i, f"r{i}") for i in range(4)]
+        )
+        dv = TestDeletionVectors()._inline([2])
+        add = _add(a)
+        add["add"]["deletionVector"] = dv
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["columnMapping",
+                                             "deletionVectors"]}},
+            self._mapped_meta(), add,
+        ])
+        assert {r.id for r in read_delta(spark, str(tmp_path)).collect()} \
+            == {0, 1, 3}
+
+    def test_id_mode_rejected(self, spark, tmp_path):
+        meta = self._mapped_meta()
+        meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        a = self._physfile(spark, tmp_path, "m.parquet", [(1, "x")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2}}, meta, _add(a),
+        ])
+        with pytest.raises(ValueError, match="'id'"):
+            read_delta(spark, str(tmp_path))
+
+    def test_nested_mapping_rejected(self, spark, tmp_path):
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "s", "nullable": True, "metadata":
+                 {"delta.columnMapping.physicalName": "col-s"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "x", "type": "long", "nullable": True,
+                      "metadata":
+                      {"delta.columnMapping.physicalName": "col-x"}}]}},
+            ],
+        })
+        meta = {
+            "metaData": {
+                "id": "t", "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2}}, meta,
+        ])
+        with pytest.raises(ValueError, match="NESTED"):
+            read_delta(spark, str(tmp_path))
+
+    def test_mapped_partition_values_use_physical_keys(self, spark, tmp_path):
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "col-aa11"}},
+                {"name": "g", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "col-gg33"}},
+            ],
+        })
+        meta = {
+            "metaData": {
+                "id": "t", "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": ["g"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }
+        p = tmp_path / "stage" / "p.parquet"
+        spark.createDataFrame([(1,)], "`col-aa11` long").coalesce(1)\
+            .write.mode("overwrite").parquet(str(p))
+        import glob
+        import shutil
+
+        shutil.move(glob.glob(str(p / "*.parquet"))[0],
+                    str(tmp_path / "p.parquet"))
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2}}, meta,
+            _add("p.parquet", {"col-gg33": "9"}),
+        ])
+        got = read_delta(spark, str(tmp_path)).collect()
+        assert [(r.id, r.g) for r in got] == [(1, 9)]
 
 
 class TestPartitioned:
@@ -290,6 +565,51 @@ class TestChanges:
         assert delta_changes(
             spark, str(t), since_version=2, to_version=2
         ).count() == 0
+
+    def test_in_window_rewrite_caught(self, spark, tmp_path):
+        """Round-10 guard: a file added AND removed inside the same
+        window is invisible to the by-path snapshot diff; the
+        per-commit replay must still raise."""
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
+        b = _datafile(spark, tmp_path, "b.parquet", [(2, "y")])
+        c = _datafile(spark, tmp_path, "c.parquet", [(3, "z")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 1}}, _meta(), _add(a),
+        ])
+        _commit(tmp_path, 1, [_add(b)])
+        _commit(tmp_path, 2, [
+            {"remove": {"path": b, "dataChange": True}}, _add(c),
+        ])
+        # (0, 2]: b was added at v1 and rewritten away at v2 — the
+        # final file SET is {a, c}, a pure superset of v0's {a}, so
+        # the old set-diff guard passed silently
+        with pytest.raises(ValueError, match="append-only"):
+            delta_changes(spark, str(tmp_path), since_version=0)
+
+    def test_in_window_dv_update_caught(self, spark, tmp_path):
+        """A DV update re-adds the SAME path (no path-set change at
+        all) — only the per-commit remove replay sees it."""
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        a = _datafile(spark, tmp_path, "a.parquet", [(0, "x"), (1, "y")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(), _add(a),
+        ])
+        dv_add = _add(a)
+        dv_add["add"]["deletionVector"] = TestDeletionVectors()._inline([0])
+        _commit(tmp_path, 1, [
+            {"remove": {"path": a, "dataChange": True}}, dv_add,
+        ])
+        with pytest.raises(ValueError, match="append-only"):
+            delta_changes(spark, str(tmp_path), since_version=0)
 
 
 class TestReadLake:
