@@ -9,10 +9,14 @@ live parquet data files. The in-repo open-spec Avro decoder
 (``sources/avroread``) reads both Avro layers, so the whole walk is
 stdlib + one stock ``spark.read.parquet`` at the end.
 
-Scope (honest): format v1 and v2 tables whose current snapshot has
-NO live delete files — v2 position/equality deletes change row
-visibility and are DETECTED and rejected loudly (the deltaread
-deletion-vector policy); entries with status=DELETED are honored.
+Scope (honest): format v1 and v2 tables; entries with status=DELETED
+are honored. v2 POSITION deletes (round 10) are applied: delete
+files are plain parquet of ``(file_path, pos)`` rows, folded out via
+one anti-join on the referenced data file's ``_metadata.row_index``
+(the deltaread deletion-vector mechanism) — data files no delete
+references keep the bulk scan. EQUALITY deletes need the equality
+field ids resolved against historical schemas and are still DETECTED
+and rejected loudly rather than silently misread.
 Identity-partitioned and unpartitioned tables read directly (Iceberg
 data files physically CONTAIN their partition source columns, unlike
 Delta); hidden-transform partitioning (bucket/truncate/days) also
@@ -206,7 +210,9 @@ def iceberg_snapshot(
     mlist_path = _rel(base, location, snap["manifest-list"])
     manifests = _avro_records(fs, mlist_path)
     files: list[str] = []
-    delete_files = 0
+    origin_of: dict[str, str] = {}
+    position_deletes: list[str] = []
+    equality_deletes = 0
     for man in manifests:
         mpath = _rel(base, location, man["manifest_path"])
         content = int(man.get("content") or 0)
@@ -216,22 +222,33 @@ def iceberg_snapshot(
             if status == 2:  # DELETED
                 continue
             df_ = e.get("data_file") or {}
-            if content == 1 or int(df_.get("content") or 0) != 0:
-                delete_files += 1
-                continue
-            files.append(_rel(base, location, df_["file_path"]))
-    if delete_files:
+            # the entry's own content field (v2) wins; a delete
+            # manifest (list content=1) without it defaults to
+            # position deletes per the spec's manifest typing
+            ec = df_.get("content")
+            ec = int(ec) if ec is not None else (1 if content == 1 else 0)
+            rp = _rel(base, location, df_["file_path"])
+            if ec == 1:
+                position_deletes.append(rp)
+            elif ec == 2:
+                equality_deletes += 1
+            else:
+                files.append(rp)
+                origin_of[rp] = df_["file_path"]
+    if equality_deletes:
         raise ValueError(
-            f"Iceberg v{fmt_v} snapshot carries {delete_files} live delete "
-            "file(s) (position/equality deletes); this plain-parquet "
-            "reader cannot apply them — compact the table first"
+            f"Iceberg v{fmt_v} snapshot carries {equality_deletes} live "
+            "EQUALITY delete file(s); this reader applies position "
+            "deletes only — compact the table first"
         )
     return {
         "snapshot_id": target_id,
         "files": files,
         "schema": spark_schema,
         "format_version": fmt_v,
-        "delete_files": 0,
+        "delete_files": len(position_deletes),
+        "position_delete_files": position_deletes,
+        "origin_of": origin_of,
     }
 
 
@@ -241,11 +258,58 @@ def read_iceberg(
     """The snapshot as a DataFrame (time travel via ``snapshot_id``).
     Iceberg data files physically contain every table column
     (including partition sources), so the read is one stock parquet
-    scan with the table schema."""
+    scan with the table schema. Live position deletes are folded out
+    by one anti-join on ``(referenced file, row position)`` — only
+    the data files a delete row references leave the bulk scan."""
+    from pyspark.sql import functions as F
+
     snap = iceberg_snapshot(spark, path, snapshot_id)
     if not snap["files"]:
         return spark.createDataFrame([], snap["schema"])
-    return spark.read.schema(snap["schema"]).parquet(*snap["files"])
+    pos_dels = snap.get("position_delete_files") or []
+    if not pos_dels:
+        return spark.read.schema(snap["schema"]).parquet(*snap["files"])
+    # delete files: plain parquet of (file_path, pos[, row]) — read
+    # just the two addressing columns (spec field ids 2147483546/45)
+    del_df = spark.read.schema("file_path string, pos long").parquet(
+        *pos_dels
+    )
+    referenced = {
+        r.file_path for r in del_df.select("file_path").distinct().collect()
+    }
+    origin_of = snap.get("origin_of") or {}
+    clean = [f for f in snap["files"] if origin_of.get(f) not in referenced]
+    dirty = [f for f in snap["files"] if origin_of.get(f) in referenced]
+    cols = [f.name for f in snap["schema"].fields]
+    out: DataFrame | None = None
+    if clean:
+        df = (
+            spark.read.schema(snap["schema"])
+            .parquet(*clean)
+            .withColumns(
+                {
+                    "__pd_key": F.lit(None).cast("string"),
+                    "__pd_pos": F.lit(None).cast("long"),
+                }
+            )
+        )
+        out = df
+    for f in sorted(dirty):
+        df = (
+            spark.read.schema(snap["schema"])
+            .parquet(f)
+            .select(
+                "*",
+                F.col("_metadata.row_index").alias("__pd_pos"),
+            )
+            .withColumn("__pd_key", F.lit(origin_of[f]))
+        )
+        df = df.select(*cols, "__pd_key", "__pd_pos")
+        out = df if out is None else out.unionByName(df)
+    rem = del_df.select(
+        F.col("file_path").alias("__pd_key"), F.col("pos").alias("__pd_pos")
+    )
+    return out.join(rem, ["__pd_key", "__pd_pos"], "left_anti").select(*cols)
 
 
 def iceberg_changes(
@@ -260,6 +324,18 @@ def iceberg_changes(
     rejected as not representable without a changelog."""
     lo = iceberg_snapshot(spark, path, since_snapshot_id)
     hi = iceberg_snapshot(spark, path, to_snapshot_id)
+    # a delete file appearing (or disappearing) inside the window
+    # changes the visibility of previously-captured rows — not
+    # representable as added-rows-only (round-10 guard, mirrors the
+    # delta_changes per-commit remove replay)
+    if set(hi.get("position_delete_files") or []) != set(
+        lo.get("position_delete_files") or []
+    ):
+        raise ValueError(
+            f"snapshots ({lo['snapshot_id']}, {hi['snapshot_id']}] change "
+            "the live position-delete set; append-only change capture "
+            "cannot represent that window"
+        )
     dropped = set(lo["files"]) - set(hi["files"])
     if dropped:
         raise ValueError(

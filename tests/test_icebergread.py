@@ -155,11 +155,11 @@ class TestRead:
         with pytest.raises(ValueError, match="not found"):
             iceberg_snapshot(spark, str(t), snapshot_id=999)
 
-    def test_v2_schemas_and_delete_files_rejected(self, spark, tmp_path):
+    def test_v2_equality_deletes_rejected(self, spark, tmp_path):
         a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
         d = _datafile(spark, tmp_path, "del.parquet", [(1, "x")])
         m = _manifest(tmp_path, "m.avro", [_entry(a)])
-        dm = _manifest(tmp_path, "dm.avro", [_entry(d, content=1)])
+        dm = _manifest(tmp_path, "dm.avro", [_entry(d, content=2)])
         lst = _mlist(tmp_path, "snap.avro", [(m, 0), (dm, 1)])
         _metadata(
             tmp_path,
@@ -167,12 +167,99 @@ class TestRead:
               "summary": {"operation": "delete"}}],
             current=1, v2=True,
         )
-        with pytest.raises(ValueError, match="delete file"):
+        with pytest.raises(ValueError, match="EQUALITY"):
             read_iceberg(spark, str(tmp_path))
 
     def test_not_a_table(self, spark, tmp_path):
         with pytest.raises(ValueError, match="Iceberg"):
             read_iceberg(spark, str(tmp_path))
+
+
+def _delfile(spark, tmp_path, name, rows):
+    """Position-delete parquet per the spec: (file_path, pos) rows,
+    file_path holding the referenced data file's manifest path."""
+    import glob
+    import shutil
+
+    stage = tmp_path / "stage" / name
+    spark.createDataFrame(rows, "file_path string, pos long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage))
+    (tmp_path / "data").mkdir(exist_ok=True)
+    shutil.move(
+        glob.glob(str(stage / "*.parquet"))[0],
+        str(tmp_path / "data" / name),
+    )
+    return f"data/{name}"
+
+
+class TestPositionDeletes:
+    """Round-10: v2 position deletes applied via the (file, row_index)
+    anti-join; equality deletes still rejected (TestRead above)."""
+
+    def _table(self, spark, tmp_path, deletes, extra_del_entries=()):
+        a = _datafile(
+            spark, tmp_path, "a.parquet", [(i, f"a{i}") for i in range(5)]
+        )
+        b = _datafile(
+            spark, tmp_path, "b.parquet", [(i, f"b{i}") for i in range(5, 10)]
+        )
+        d = _delfile(spark, tmp_path, "pd.parquet", deletes)
+        m = _manifest(tmp_path, "m.avro", [_entry(a), _entry(b)])
+        dm = _manifest(
+            tmp_path, "dm.avro",
+            [_entry(d, content=1), *extra_del_entries],
+        )
+        lst = _mlist(tmp_path, "snap.avro", [(m, 0), (dm, 1)])
+        _metadata(
+            tmp_path,
+            [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": lst,
+              "summary": {"operation": "delete"}}],
+            current=1, v2=True,
+        )
+        return tmp_path
+
+    def test_position_deletes_applied(self, spark, tmp_path):
+        # drop rows 0 and 3 of a.parquet and row 1 of b.parquet
+        t = self._table(spark, tmp_path, [
+            ("data/a.parquet", 0), ("data/a.parquet", 3),
+            ("data/b.parquet", 1),
+        ])
+        snap = iceberg_snapshot(spark, str(t))
+        assert snap["delete_files"] == 1
+        got = {r.id for r in read_iceberg(spark, str(t)).collect()}
+        assert got == {1, 2, 4, 5, 7, 8, 9}
+
+    def test_untouched_file_keeps_bulk_scan(self, spark, tmp_path):
+        # only a.parquet is referenced; b survives whole
+        t = self._table(spark, tmp_path, [("data/a.parquet", 4)])
+        got = {r.id for r in read_iceberg(spark, str(t)).collect()}
+        assert got == {0, 1, 2, 3, 5, 6, 7, 8, 9}
+
+    def test_changes_window_with_new_deletes_rejected(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+        )
+
+        a = _datafile(
+            spark, tmp_path, "a.parquet", [(i, f"a{i}") for i in range(3)]
+        )
+        m1 = _manifest(tmp_path, "m1.avro", [_entry(a)])
+        l1 = _mlist(tmp_path, "s1.avro", [(m1, 0)])
+        d = _delfile(spark, tmp_path, "pd.parquet", [("data/a.parquet", 0)])
+        dm = _manifest(tmp_path, "dm.avro", [_entry(d, content=1)])
+        l2 = _mlist(tmp_path, "s2.avro", [(m1, 0), (dm, 1)])
+        snaps = [
+            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": l2,
+             "summary": {"operation": "delete"}},
+        ]
+        _metadata(tmp_path, snaps, current=2, v2=True)
+        # rows visible at snapshot 1 become invisible at 2 — the
+        # file SET never changed, only the delete set did
+        with pytest.raises(ValueError, match="position-delete"):
+            iceberg_changes(spark, str(tmp_path), since_snapshot_id=1)
 
 
 class TestSchemaMapping:
