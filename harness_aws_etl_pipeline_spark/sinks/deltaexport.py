@@ -50,6 +50,22 @@ def export_delta_log(
     log_dir = f"{t.path}/_delta_log"
     fs.mkdirs(log_dir)
 
+    # a refresh after expire_snapshots REMAPS history to start at delta
+    # version 0; commit files beyond this export's length are stale
+    # leftovers of a previous (longer) export, and a Delta reader
+    # would fold the remapped base commits PLUS that old-mapping tail
+    # into a corrupted snapshot — delete them first (round-10 fix)
+    import posixpath as _pp
+
+    for rel, _mt, _sz in fs.list_files(log_dir):
+        name = _pp.basename(rel)
+        if (
+            name.endswith(".json")
+            and name[:-5].isdigit()
+            and int(name[:-5]) >= len(versions)
+        ):
+            fs.delete(_pp.join(log_dir, name), recursive=False)
+
     prev_files: dict[str, dict] = {}
     prev_schema: str | None = None
     n_written = 0

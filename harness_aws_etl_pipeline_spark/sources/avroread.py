@@ -172,10 +172,20 @@ def _logical(lt: str, schema: dict, v):
         return None
     if lt == "date":
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    # timestamp-millis/micros are UTC INSTANTS per the Avro spec — a
+    # naive datetime of the UTC wall clock would be reinterpreted in
+    # spark.sql.session.timeZone by the Arrow path and shift every
+    # value by the session's UTC offset (round-10 fix, matches
+    # spark-avro); tz-aware UTC datetimes pin the instant regardless
+    # of session zone
     if lt == "timestamp-millis":
-        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=int(v))
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(milliseconds=int(v))
     if lt == "timestamp-micros":
-        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=int(v))
     if lt == "decimal":
         scale = int(schema.get("scale", 0))
         unscaled = int.from_bytes(bytes(v), "big", signed=True)
@@ -376,7 +386,12 @@ def read_avro(
                     for r in recs:
                         r["_corrupt_avro_file"] = None
                         rows.append(r)
-                except (ValueError, KeyError, zlib.error) as exc:
+                except (
+                    ValueError,  # includes UnicodeDecodeError
+                    KeyError,
+                    zlib.error,
+                    struct.error,  # file truncated mid float/double
+                ) as exc:
                     if not permissive:
                         raise
                     rows.append(

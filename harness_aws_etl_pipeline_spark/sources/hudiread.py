@@ -22,6 +22,7 @@ stock parquet scan over the chosen slices.
 
 from __future__ import annotations
 
+import json
 import posixpath
 import re
 
@@ -100,6 +101,27 @@ def hudi_snapshot(
         target = usable[-1]
     committed = {i for i in completed if i <= target}
 
+    # replacecommits (clustering / insert_overwrite) supersede ENTIRE
+    # file groups: the replaced fileIds stay on disk until cleaning,
+    # so without this exclusion every affected row would be returned
+    # twice (or stale rows would resurface). Time travel before the
+    # replacecommit still sees the old groups — only replacecommits at
+    # or before the target instant apply (round-10 fix).
+    replaced: set[tuple[str, str]] = set()
+    for t in timeline:
+        if t["action"] != "replacecommit" or t["instant"] not in committed:
+            continue
+        p = posixpath.join(base, ".hoodie", f"{t['instant']}.replacecommit")
+        try:
+            meta = json.loads(fs.read_bytes(p).decode("utf-8") or "{}")
+        except ValueError as ex:
+            raise ValueError(
+                f"unreadable Hudi replacecommit metadata {p}: {ex}"
+            ) from ex
+        for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
+            for fid in fids or []:
+                replaced.add((part.strip("/"), fid))
+
     groups: dict[tuple[str, str], tuple[str, str]] = {}
     for rel, _mt, _sz in fs.list_files(base):
         if rel.startswith(".hoodie"):
@@ -112,6 +134,8 @@ def hudi_snapshot(
             continue  # in-flight / post-target slice
         part = posixpath.dirname(rel)
         key = (part, m.group("fid"))
+        if (part.strip("/"), m.group("fid")) in replaced:
+            continue  # file group superseded by a replacecommit
         if key not in groups or groups[key][0] < ts:
             groups[key] = (ts, posixpath.join(base, rel))
     return {

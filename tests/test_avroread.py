@@ -102,6 +102,61 @@ class TestReadRoundTrip:
         with pytest.raises(Exception, match="Avro"):
             read_avro(spark, str(tmp_path)).count()
 
+    def test_permissive_isolates_truncated_double(self, spark, tmp_path):
+        """Round-10: a block whose stated size is consistent but whose
+        content leaves fewer than 8 bytes for a double raises
+        struct.error (not a ValueError subclass) — permissive mode
+        must isolate it to a NULL row, not fail the whole scan."""
+        schema = json.dumps({
+            "type": "record", "name": "r",
+            "fields": [{"name": "s", "type": "string"},
+                       {"name": "d", "type": "double"}],
+        })
+        header = write_avro_bytes(schema, [])
+        sync = header[-16:]
+        # count=1, size=4, then a 1-char string + only 2 bytes where
+        # the 8-byte double should be
+        lying = header + b"\x02\x08" + b"\x02a\x00\x00" + sync
+        good = write_avro_bytes(schema, [{"s": "ok", "d": 1.5}])
+        (tmp_path / "good.avro").write_bytes(good)
+        (tmp_path / "bad.avro").write_bytes(lying)
+        df = read_avro(spark, str(tmp_path), permissive=True)
+        rows = df.collect()
+        assert len(rows) == 2
+        bad = [r for r in rows if r._corrupt_avro_file is not None]
+        assert len(bad) == 1 and "bad.avro" in bad[0]._corrupt_avro_file
+
+    def test_timestamps_are_utc_instants_in_any_session_zone(
+        self, spark, tmp_path
+    ):
+        """Round-10: Avro timestamps are UTC instants; the stored
+        instant must survive a non-UTC spark.sql.session.timeZone
+        (naive datetimes would shift by the UTC offset)."""
+        from pyspark.sql import functions as F
+
+        schema = json.dumps({
+            "type": "record", "name": "e",
+            "fields": [{"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}}],
+        })
+        raw = 1_700_000_000_000_000
+        (tmp_path / "t.avro").write_bytes(
+            write_avro_bytes(schema, [{"ts": raw}])
+        )
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for zone in ("UTC", "America/New_York", "Asia/Tokyo"):
+                spark.conf.set("spark.sql.session.timeZone", zone)
+                got = (
+                    read_avro(spark, str(tmp_path))
+                    .select(F.unix_micros("ts").alias("m"))
+                    .collect()[0]
+                    .m
+                )
+                assert got == raw, zone
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
     def test_guards(self, spark, tmp_path):
         with pytest.raises(ValueError, match="no Avro files"):
             read_avro(spark, str(tmp_path))

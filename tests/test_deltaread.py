@@ -525,6 +525,44 @@ class TestSnapTableExport:
         h = delta_history(spark, t.path)
         assert [x["operation"] for x in h] == ["OVERWRITE", "APPEND", "DELETE"]
 
+    def test_reexport_after_expiry_deletes_stale_commits(
+        self, spark, tmp_path
+    ):
+        """Round-10: re-export after expire_snapshots remaps history to
+        start at delta version 0 — commit files beyond the new length
+        from the previous (longer) export must be deleted, or a Delta
+        reader folds the remapped base plus the old-mapping tail into
+        a corrupted snapshot."""
+        from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
+            export_delta_log,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        t = SnapTable(spark, str(tmp_path / "t"))
+        t.write(spark.range(4).withColumn("v", F.lit("a")), mode="overwrite")
+        t.write(
+            spark.range(4, 7).withColumn("v", F.lit("b")), mode="append"
+        )
+        t.delete_where("id >= 6")
+        rep = export_delta_log(spark, t.path)
+        assert rep["delta_versions"] == 3
+        t.expire_snapshots(keep_last=1)
+        rep = export_delta_log(spark, t.path)
+        assert rep["delta_versions"] == 1
+        # stale 1.json / 2.json are gone — the latest snapshot is
+        # version 0 and reads exactly the retained rows
+        import glob as _glob
+
+        left = sorted(
+            int(p.rsplit("/", 1)[-1][:-5])
+            for p in _glob.glob(str(tmp_path / "t" / "_delta_log" / "*.json"))
+        )
+        assert left == [0]
+        snap = delta_snapshot(spark, t.path)
+        assert snap["version"] == 0
+        got = {(r.id, r.v) for r in read_delta(spark, t.path).collect()}
+        assert got == {(r.id, r.v) for r in t.read().collect()}
+
     def test_export_idempotent_and_refreshable(self, spark, tmp_path):
         from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
             export_delta_log,

@@ -75,6 +75,63 @@ class TestHudi:
         with pytest.raises(ValueError, match="at or before"):
             hudi_snapshot(spark, str(t), "20230101000000")
 
+    def test_replacecommit_excludes_replaced_file_groups(
+        self, spark, tmp_path
+    ):
+        """Round-10: clustering / insert_overwrite write a
+        .replacecommit whose partitionToReplaceFileIds lists the
+        superseded file groups; the old fileIds stay on disk until
+        cleaning, so the snapshot must exclude them or every affected
+        row comes back twice."""
+        import json
+
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        _slice(spark, tmp_path, "", "g1", T1, [(1, "one")])
+        _slice(spark, tmp_path, "", "g2", T1, [(2, "two")])
+        _slice(spark, tmp_path, "p=1", "g3", T1, [(3, "three")])
+        # T2 clusters g1+g2 into a NEW file group g9 (same rows)
+        _slice(spark, tmp_path, "", "g9", T2, [(1, "one"), (2, "two")])
+        (tmp_path / ".hoodie" / f"{T2}.replacecommit").write_text(
+            json.dumps({
+                "partitionToReplaceFileIds": {"": ["g1", "g2"]},
+            })
+        )
+        got = {(r.id, r.v) for r in read_hudi(spark, str(tmp_path)).collect()}
+        assert got == {(1, "one"), (2, "two"), (3, "three")}
+        snap = hudi_snapshot(spark, str(tmp_path))
+        assert snap["file_groups"] == 2  # g9 + g3; g1/g2 replaced
+        # time travel BEFORE the replacecommit still sees g1/g2
+        old = {
+            (r.id, r.v)
+            for r in read_hudi(spark, str(tmp_path), as_of_instant=T1).collect()
+        }
+        assert old == {(1, "one"), (2, "two"), (3, "three")}
+        assert hudi_snapshot(spark, str(tmp_path), T1)["file_groups"] == 3
+
+    def test_insert_overwrite_partition(self, spark, tmp_path):
+        """insert_overwrite of one partition: stale rows must NOT
+        resurface from the replaced group."""
+        import json
+
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        _slice(spark, tmp_path, "p=1", "g1", T1, [(1, "stale")])
+        _slice(spark, tmp_path, "p=1", "g8", T2, [(1, "fresh")])
+        (tmp_path / ".hoodie" / f"{T2}.replacecommit").write_text(
+            json.dumps({"partitionToReplaceFileIds": {"p=1": ["g1"]}})
+        )
+        got = {(r.id, r.v) for r in read_hudi(spark, str(tmp_path)).collect()}
+        assert got == {(1, "fresh")}
+
+    def test_corrupt_replacecommit_rejected(self, spark, tmp_path):
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        _slice(spark, tmp_path, "", "g1", T1, [(1, "one")])
+        (tmp_path / ".hoodie" / f"{T2}.replacecommit").write_text("not json")
+        with pytest.raises(ValueError, match="replacecommit"):
+            hudi_snapshot(spark, str(tmp_path))
+
     def test_timeline_and_guards(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         tl = hudi_timeline(spark, str(t))
