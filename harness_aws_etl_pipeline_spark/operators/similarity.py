@@ -815,6 +815,18 @@ def _assign_probe_cells(
     return df.mapInPandas(_assign, out_schema)
 
 
+def _cell_splits(r: DataFrame, max_cell_size: int) -> dict[int, int]:
+    """Per-cell split factors for :func:`knn_join`'s hot-cell guard:
+    ``ceil(occupancy / max_cell_size)`` for every cell over the cap.
+    One bounded aggregate (≤ n_centroids rows collected)."""
+    sizes = r.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    return {
+        int(row["cell"]): -(-int(row["n"]) // max_cell_size)
+        for row in sizes
+        if int(row["n"]) > max_cell_size
+    }
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -824,6 +836,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY left row, the ``k`` nearest
     right rows by cosine — BOTH sides stay distributed (the existing
@@ -846,9 +859,23 @@ def knn_join(
     same identity the IVF top-k oracle rides). Left rows with NULL
     vectors probe nothing and are absent from the output; empty cells
     cost nothing.
+
+    Hot-cell guard (round 10): a clustered right corpus can put most
+    rows in ONE cell, making the cell equi-join a single hot task.
+    ``max_cell_size`` caps per-task right-side occupancy the way the
+    LSH family's bucket caps do — but LOSSLESSLY: cells over the cap
+    split into ``ceil(n/cap)`` sub-cells on a secondary hash of the
+    right id, and left probes of a split cell replicate to every
+    sub-cell, so the candidate SET (and therefore the result) is
+    bit-identical to the unsalted join while no join task holds more
+    than ~``max_cell_size`` right rows. Cost: one bounded per-cell
+    count (≤ n_centroids rows to the driver) plus the extra left
+    replicas for split cells only.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    if max_cell_size is not None and max_cell_size < 1:
+        raise ValueError(f"max_cell_size must be >= 1: {max_cell_size}")
     if centroids is None:
         centroids = ivf_centroids(
             right, n_centroids, id_col=id_col, vec_col=vec_col
@@ -870,15 +897,79 @@ def knn_join(
             F.explode("probe_cells").alias("cell"),
         )
     )
+    join_keys = ["cell"]
+    if max_cell_size is not None:
+        splits = _cell_splits(r, max_cell_size)
+        if splits:
+            # one map literal (≤ n_centroids entries) drives both sides
+            split_map = F.create_map(
+                *[F.lit(x) for kv in sorted(splits.items()) for x in kv]
+            )
+            s_r = F.coalesce(split_map[F.col("cell")], F.lit(1))
+            # xxhash64 is TYPE-sensitive — canonical string widening
+            r = r.withColumn(
+                "sub",
+                F.pmod(F.xxhash64(F.col("right_id").cast("string")), s_r)
+                .cast("int"),
+            )
+            s_l = F.coalesce(split_map[F.col("cell")], F.lit(1))
+            l = l.withColumn(
+                "sub",
+                F.explode(
+                    F.sequence(F.lit(0), (s_l - F.lit(1)).cast("int"))
+                ),
+            )
+            join_keys = ["cell", "sub"]
     w = Window.partitionBy("left_id").orderBy(
         F.col("cosine").desc(), F.col("right_id")
     )
     return (
-        l.join(r, "cell")
+        l.join(r, join_keys)
         .withColumn(
             "cosine", F.round(cosine_similarity("l_vec", "r_vec"), 6)
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("left_id", "rank", "right_id", "cosine")
+    )
+
+
+def knn_cell_stats(
+    right: DataFrame,
+    max_cell_size: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """1-row cap-hit panel for :func:`knn_join`'s hot-cell guard (the
+    ``bucket_cap_stats`` observability convention): ``(cap,
+    cells_total, cells_split, max_cell, split_tasks)`` where
+    ``split_tasks`` is the total sub-cell count the salted join would
+    run with. Unlike the LSH caps nothing is DROPPED — the stats size
+    the extra left replication, not lost recall."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            right, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    sizes = (
+        _assign_nearest(
+            right.select(id_col, vec_col), centroids, id_col, vec_col
+        )
+        .where(F.col("centroid_id").isNotNull())
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cap = int(max_cell_size)
+    splits = F.when(
+        F.col("n") > cap, F.ceil(F.col("n") / F.lit(cap))
+    ).otherwise(F.lit(1))
+    return sizes.agg(
+        F.lit(cap).cast("long").alias("cap"),
+        F.count(F.lit(1)).cast("long").alias("cells_total"),
+        F.coalesce(F.sum((F.col("n") > cap).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("cells_split"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_cell"),
+        F.coalesce(F.sum(splits), F.lit(0)).cast("long").alias("split_tasks"),
     )

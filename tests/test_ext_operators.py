@@ -1908,6 +1908,79 @@ class TestKnnJoin:
         assert len(by_left[1]) == 2      # k capped by matches
         with _pytest.raises(ValueError):
             knn_join(ldf, rdf, k=0)
+        with _pytest.raises(ValueError):
+            knn_join(ldf, rdf, k=1, max_cell_size=0)
+
+    def test_hot_cell_salting_bounded_and_exact(self, spark):
+        """Round-10 hot-cell guard: a clustered right corpus packs one
+        IVF cell; with max_cell_size the cell splits into hash
+        sub-cells (bounded per-task occupancy) and the result stays
+        BIT-IDENTICAL to the unsalted join — the guard is lossless,
+        unlike the LSH drop-caps."""
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.similarity import (
+            _assign_nearest,
+            _cell_splits,
+            ivf_centroids,
+            knn_cell_stats,
+            knn_join,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(11)
+        hot = rng.normal(0, 0.05, (120, 8)) + np.array([5.0] * 8)
+        cold = rng.normal(0, 0.05, (6, 8)) - np.array([5.0] * 8)
+        R = [(1000 + i, [float(x) for x in v])
+             for i, v in enumerate(np.vstack([hot, cold]))]
+        L = [(i, [float(x) for x in rng.normal(0, 3, 8)]) for i in range(8)]
+        ldf = spark.createDataFrame(L, "vec_id long, embedding array<double>")
+        rdf = spark.createDataFrame(R, "vec_id long, embedding array<double>")
+
+        cents = ivf_centroids(rdf, 4)
+        base = {
+            (r["left_id"], r["rank"]): (r["right_id"], r["cosine"])
+            for r in knn_join(
+                ldf, rdf, k=4, nprobe=4, centroids=cents
+            ).collect()
+        }
+        salted = {
+            (r["left_id"], r["rank"]): (r["right_id"], r["cosine"])
+            for r in knn_join(
+                ldf, rdf, k=4, nprobe=4, centroids=cents, max_cell_size=30
+            ).collect()
+        }
+        assert salted == base  # lossless — identical to the unsalted join
+
+        # the hot cell really split, and the sub-cells are bounded:
+        # replicate the internal assignment with the same hash formula
+        r = _assign_nearest(rdf, cents, "vec_id", "embedding").select(
+            F.col("centroid_id").alias("cell"),
+            F.col("vec_id").alias("right_id"),
+        ).where(F.col("cell").isNotNull())
+        splits = _cell_splits(r, 30)
+        assert splits and max(splits.values()) >= 2  # hot cell over cap
+        split_map = F.create_map(
+            *[F.lit(x) for kv in sorted(splits.items()) for x in kv]
+        )
+        occ = (
+            r.withColumn(
+                "sub",
+                F.pmod(
+                    F.xxhash64(F.col("right_id").cast("string")),
+                    F.coalesce(split_map[F.col("cell")], F.lit(1)),
+                ),
+            )
+            .groupBy("cell", "sub")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert occ <= 2 * 30  # hash spread keeps every task near the cap
+
+        stats = knn_cell_stats(rdf, 30, centroids=cents).collect()[0]
+        assert stats.cap == 30 and stats.cells_split >= 1
+        assert stats.max_cell > 30 and stats.split_tasks > stats.cells_total
 
 
 class TestPngDepthsAndPalette:
