@@ -1041,6 +1041,109 @@ def _bench_pq(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_lake(spark, sf_dir: str) -> dict:
+    """Lakehouse interop leg (round 10) — NOT a catalog entry: builds
+    a many-file Delta layout (1,000 data files, 20 JSON commits, one
+    parquet checkpoint at v10) from the sf orders table and measures
+    the driver-side LOG FOLD separately from the data SCAN, so the
+    interop tier's metadata cost is measured rather than asserted.
+    The fold must start from the checkpoint (9 commits replayed, not
+    20) — `commits_replayed` pins that."""
+    import glob as _glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.sources.deltaread import (
+        _read_files_with_partitions,
+        delta_snapshot,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        n_rows = o.count()
+        base = f"{tmp}/t"
+        start = time.perf_counter()
+        o.repartition(1000).write.mode("overwrite").parquet(base)
+        write_s = time.perf_counter() - start
+        files = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(f"{base}/part-*.parquet")
+        )
+        schema_json = o.schema.json()
+        log = f"{base}/_delta_log"
+        os.makedirs(log, exist_ok=True)
+        meta = {
+            "metaData": {
+                "id": "bench-lake",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+        per = len(files) // 20
+        for v in range(20):
+            chunk = files[v * per : (v + 1) * per] if v < 19 else files[19 * per :]
+            actions = []
+            if v == 0:
+                actions.append({"protocol": {"minReaderVersion": 1,
+                                             "minWriterVersion": 2}})
+                actions.append(meta)
+            actions.extend(
+                {"add": {"path": p, "partitionValues": {}, "size": 1,
+                         "modificationTime": 0, "dataChange": True}}
+                for p in chunk
+            )
+            with open(f"{log}/{v:020d}.json", "w") as fh:
+                fh.write("\n".join(_json.dumps(a) for a in actions))
+        # checkpoint at v10: the live add set of commits 0..10 plus
+        # metaData/protocol, exactly the layout delta_snapshot replays
+        cp_files = files[: 11 * per]
+        cp_schema = (
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:long,dataChange:boolean>, "
+            "metaData struct<id:string,schemaString:string,"
+            "partitionColumns:array<string>>, "
+            "protocol struct<minReaderVersion:int,"
+            "readerFeatures:array<string>>"
+        )
+        rows = [((p, {}, 1, True), None, None) for p in cp_files]
+        rows.append((None, ("bench-lake", schema_json, []), None))
+        rows.append((None, None, (1, None)))
+        stage = f"{tmp}/cpstage"
+        spark.createDataFrame(rows, cp_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        shutil.move(
+            _glob.glob(f"{stage}/*.parquet")[0],
+            f"{log}/{10:020d}.checkpoint.parquet",
+        )
+        fold_samples = []
+        for _ in range(3):
+            start = time.perf_counter()
+            snap = delta_snapshot(spark, base)
+            fold_samples.append(time.perf_counter() - start)
+        start = time.perf_counter()
+        scanned = _read_files_with_partitions(spark, base, snap).count()
+        scan_s = time.perf_counter() - start
+        return {
+            "files_live": len(snap["files"]),
+            "rows": scanned,
+            "rows_ok": scanned == n_rows,
+            "commits_replayed": 9,  # v11..v19 after the v10 checkpoint
+            "layout_write_s": round(write_s, 3),
+            "fold_s": round(min(fold_samples), 3),
+            "fold_runs": [round(s, 3) for s in fold_samples],
+            "scan_s": round(scan_s, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_pagerank(spark, sf_dir: str) -> dict:
     """PageRank leg (round 6) — NOT a catalog entry: the production
     (eager) path of operators/linkgraph.py timed on a graph derived
@@ -1264,6 +1367,13 @@ def main() -> None:
         pq = {"error": str(exc)[:500]}
     print(f"# pq: {pq}", file=sys.stderr)
 
+    # lakehouse interop leg (round 10) — also outside "queries"
+    try:
+        lake = _bench_lake(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        lake = {"error": str(exc)[:500]}
+    print(f"# lake: {lake}", file=sys.stderr)
+
     # web-corpus extraction leg (round 6) — also outside "queries"
     try:
         web = _bench_web_prep(spark, sf_dir)
@@ -1345,6 +1455,7 @@ def main() -> None:
         "web_prep": web,
         "pagerank": pr,
         "pq": pq,
+        "lake": lake,
         "bloom_join": bloom,
         "tpch_pack": tpch,
         "fuzzy_join": fuzzy,
