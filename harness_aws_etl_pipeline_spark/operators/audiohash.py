@@ -22,7 +22,8 @@ image pHash: the 64-bit `simhash` column plugs into
 ``dedup_fuzzy.simhash_banded`` + ``bit_count(XOR)`` unchanged.
 
 Decoding uses the REAL pure-numpy WAV codec
-(``multimodal.decode_wav``); undecodable/NULL payloads → NULL sketch,
+(``multimodal.decode_audio`` — WAV or FLAC since round 10);
+undecodable/NULL payloads → NULL sketch,
 excluded from pairing (same tolerance contract as ``imagehash``).
 
 Scale: hashing is ``mapInPandas`` — audio bytes in, one 8-byte long
@@ -97,14 +98,16 @@ def audio_hashes(
 
     import pandas as pd
 
-    from harness_aws_etl_pipeline_spark.operators.multimodal import decode_wav
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
 
     def _hash(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
         for pdf in batches:
             out = []
             for payload in pdf[payload_col]:
                 try:
-                    frames, rate = decode_wav(payload)
+                    frames, rate = decode_audio(payload)
                     out.append(afp64(frames, rate))
                 except (ValueError, TypeError, IndexError):
                     out.append(None)

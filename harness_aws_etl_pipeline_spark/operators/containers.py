@@ -413,6 +413,8 @@ def sniff_container(payload: bytes) -> str:
         return "mp4"
     if payload[:3] == b"ID3":
         return "mp3"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -478,6 +480,23 @@ def probe_container(payload: bytes) -> dict[str, Any]:
                 bitrate_kbps=m["bitrate_kbps"],
                 n_tracks=1 if m["frames"] else 0,
                 codec=f"mp3v{m.get('mpeg_version', '?')}" if m["frames"] else None,
+            )
+        elif kind == "flac":
+            from harness_aws_etl_pipeline_spark.operators.flac import (
+                flac_meta,
+            )
+
+            m = flac_meta(payload)
+            base.update(
+                container="flac",
+                codec="flac",
+                n_tracks=1,
+                sample_rate=m["sample_rate"],
+                duration_ms=(
+                    m["total_samples"] * 1000 // m["sample_rate"]
+                    if m["sample_rate"]
+                    else None
+                ),
             )
         elif kind == "wav":
             pos, fmt, dlen = 12, None, None

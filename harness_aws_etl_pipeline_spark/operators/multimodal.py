@@ -774,11 +774,34 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     return frames.reshape(-1, channels).copy(), sample_rate
 
 
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Audio decode dispatch: WAV (RIFF) or FLAC (round 10 —
+    compressed audio is no longer fully stubbed; the integer-only
+    FLAC codec lives in ``operators/flac.py``, spec-complete decode
+    incl. LPC/rice/mid-side with CRC + STREAMINFO-MD5 verification).
+    Output is the WAV convention: ((n, channels) int16, rate) — wider
+    FLAC depths reduce to the high 16 bits, narrower shift up.
+    mp3/aac remain out of reach in this container (float DSP stacks)."""
+    if payload is not None and payload[:4] == b"fLaC":
+        from harness_aws_etl_pipeline_spark.operators.flac import (
+            decode_flac,
+        )
+
+        arr, rate, bps = decode_flac(payload)
+        if bps > 16:
+            arr = arr >> (bps - 16)
+        elif bps < 16:
+            arr = arr << (16 - bps)
+        return arr.astype(np.int16), rate
+    return decode_wav(payload)
+
+
 def audio_features(payload: bytes) -> list[float]:
     """Decoded-audio feature vector:
     ``[sample_rate, channels, n_frames, duration_s, mean, rms]`` —
-    the audio analogue of :func:`image_features`."""
-    frames, rate = decode_wav(payload)
+    the audio analogue of :func:`image_features`. WAV or FLAC
+    (:func:`decode_audio`)."""
+    frames, rate = decode_audio(payload)
     n = frames.shape[0]
     x = frames.astype(np.float64)
     mean = float(x.mean()) if n else 0.0
