@@ -4,7 +4,11 @@ zigzag-varint binary encoding, OCF framing (magic ``Obj\\x01``, file
 metadata map, 16-byte sync markers, block counts/sizes), ``null`` and
 ``deflate`` codecs (stdlib zlib, raw window), and the full type
 lattice a lake actually uses: primitives, records, arrays, maps,
-enums, fixed, and nullable unions (``[null, X]`` in either order).
+enums, fixed, and unions — nullable ``[null, X]``, plus (round 10)
+GENERAL unions via the spark-avro mapping: {int,long} widens to long,
+{float,double} to double, anything else becomes a struct of
+``member0..memberN`` fields with exactly one non-null member per
+datum; ``null`` anywhere contributes nullability.
 
 Why: Avro is the classic streaming/CDC landing format (Kafka
 ecosystems, Debezium, sqoop-era exports); the stock Spark distribution
@@ -16,10 +20,9 @@ parallelism (the natural Avro split at container granularity),
 no shuffle, malformed files isolated to NULL rows when
 ``permissive=True``.
 
-General unions (beyond ``[null, X]``) are rejected loudly — mapping
-them to Spark requires a policy decision (struct-of-branches vs
-JSON), not a silent guess. Logical types pass through as their
-underlying primitives (the spec's own fallback rule).
+Logical types pass through as their underlying primitives when
+unknown (the spec's own fallback rule); known ones (date, timestamps,
+decimal, uuid) convert to the matching Spark types.
 
 ``write_avro_bytes`` is the test-side encoder (same spec, mirrored)
 so round trips exercise real varint/block/sync machinery.
@@ -77,6 +80,24 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return data
 
 
+def _classify_union(schema: list) -> tuple[str, list]:
+    """Union mapping policy (mirrors spark-avro): ``null`` branches
+    → nullability; one remaining branch → that type; {int,long} →
+    long, {float,double} → double (numeric widening); anything else →
+    a struct of ``member0..memberN`` fields with exactly one non-null
+    member per datum. Returns ``(kind, non_null_branches)`` with kind
+    in {"simple", "long", "double", "struct"}."""
+    non_null = [s for s in schema if s != "null"]
+    if len(non_null) <= 1:
+        return "simple", non_null
+    as_names = {s if isinstance(s, str) else None for s in non_null}
+    if as_names <= {"int", "long"}:
+        return "long", non_null
+    if as_names <= {"float", "double"}:
+        return "double", non_null
+    return "struct", non_null
+
+
 def _decode(schema, buf: io.BytesIO, names: dict):
     """Schema-driven single-datum decode → python value."""
     if isinstance(schema, str):
@@ -85,7 +106,16 @@ def _decode(schema, buf: io.BytesIO, names: dict):
         idx = _read_long(buf)
         if not 0 <= idx < len(schema):
             raise ValueError(f"Avro union index {idx} out of range")
-        return _decode(schema[idx], buf, names)
+        kind, non_null = _classify_union(schema)
+        if kind != "struct" or schema[idx] == "null":
+            return _decode(schema[idx], buf, names)
+        positions = [i for i, s in enumerate(schema) if s != "null"]
+        mi = positions.index(idx)
+        v = _decode(schema[idx], buf, names)
+        return {
+            f"member{j}": (v if j == mi else None)
+            for j in range(len(non_null))
+        }
     if isinstance(schema, dict):
         t = schema["type"]
         lt = schema.get("logicalType")
@@ -235,14 +265,25 @@ def _spark_type(schema, names: dict) -> tuple[T.DataType, bool]:
             raise ValueError(f"unsupported Avro type {schema!r}")
         return prim, False
     if isinstance(schema, list):
-        non_null = [s for s in schema if s != "null"]
-        if len(non_null) == 1 and len(schema) <= 2:
+        kind, non_null = _classify_union(schema)
+        nullable = len(non_null) < len(schema)
+        if kind == "simple":
+            if not non_null:  # ["null"] alone
+                return T.NullType(), True
             dt, _ = _spark_type(non_null[0], names)
             return dt, True
-        raise ValueError(
-            f"general Avro unions are not supported (got {schema!r}); "
-            "restructure to [null, X] or read the raw file"
-        )
+        if kind == "long":
+            return T.LongType(), nullable
+        if kind == "double":
+            return T.DoubleType(), nullable
+        # struct-of-branches (the spark-avro convention): memberI per
+        # non-null branch, exactly one non-null per datum (round 10 —
+        # general unions were previously rejected)
+        fields = []
+        for i, b in enumerate(non_null):
+            dt, _ = _spark_type(b, names)
+            fields.append(T.StructField(f"member{i}", dt, True))
+        return T.StructType(fields), nullable
     lt = schema.get("logicalType")
     if lt == "date":
         return T.DateType(), False
@@ -412,6 +453,44 @@ def read_avro(
 # ------------------------------------------------------ test writer
 
 
+def _pick_branch(schema: list, value, names: dict) -> int:
+    """Fixture-writer branch selection for general unions: first
+    non-null branch whose Avro type is compatible with the python
+    value's type (bool before int — python bools are ints)."""
+
+    def _matches(branch) -> bool:
+        b = names.get(branch, branch) if isinstance(branch, str) else branch
+        if isinstance(b, dict):
+            t = b["type"]
+            if t in ("record",):
+                return isinstance(value, dict)
+            if t == "map":
+                return isinstance(value, dict)
+            if t == "array":
+                return isinstance(value, (list, tuple))
+            if t == "enum":
+                return isinstance(value, str) and value in b.get("symbols", ())
+            if t == "fixed":
+                return isinstance(value, (bytes, bytearray))
+            b = t
+        if b == "boolean":
+            return isinstance(value, bool)
+        if b in ("int", "long"):
+            return isinstance(value, int) and not isinstance(value, bool)
+        if b in ("float", "double"):
+            return isinstance(value, float)
+        if b == "string":
+            return isinstance(value, str)
+        if b == "bytes":
+            return isinstance(value, (bytes, bytearray))
+        return False
+
+    for i, s in enumerate(schema):
+        if s != "null" and _matches(s):
+            return i
+    return next(i for i, s in enumerate(schema) if s != "null")
+
+
 def _encode(schema, value, out: bytearray, names: dict) -> None:
     if isinstance(schema, str):
         schema = names.get(schema, schema)
@@ -419,7 +498,7 @@ def _encode(schema, value, out: bytearray, names: dict) -> None:
         if value is None and "null" in schema:
             idx = schema.index("null")
         else:
-            idx = next(i for i, s in enumerate(schema) if s != "null")
+            idx = _pick_branch(schema, value, names)
         _write_long(out, idx)
         _encode(schema[idx], value, out, names)
         return

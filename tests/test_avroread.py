@@ -53,13 +53,24 @@ class TestSchemaMapping:
         assert d["kind"][0] == "string"
         assert d["sig"][0] == "binary"
 
-    def test_general_union_rejected(self):
-        bad = json.dumps({
+    def test_general_union_mappings(self):
+        """Round-10: general unions map per the spark-avro policy —
+        numeric widening, struct-of-branches otherwise."""
+        sch = json.dumps({
             "type": "record", "name": "R",
-            "fields": [{"name": "u", "type": ["int", "string"]}],
+            "fields": [
+                {"name": "il", "type": ["int", "long"]},
+                {"name": "fd", "type": ["null", "float", "double"]},
+                {"name": "u", "type": ["int", "string"]},
+                {"name": "nu", "type": ["null", "string", "boolean"]},
+            ],
         })
-        with pytest.raises(ValueError, match="general Avro unions"):
-            avro_spark_schema(bad)
+        s = avro_spark_schema(sch)
+        d = {f.name: (f.dataType.simpleString(), f.nullable) for f in s.fields}
+        assert d["il"][0] == "bigint"
+        assert d["fd"] == ("double", True)
+        assert d["u"][0] == "struct<member0:int,member1:string>"
+        assert d["nu"] == ("struct<member0:string,member1:boolean>", True)
 
 
 class TestReadRoundTrip:
@@ -101,6 +112,31 @@ class TestReadRoundTrip:
         # strict mode raises instead
         with pytest.raises(Exception, match="Avro"):
             read_avro(spark, str(tmp_path)).count()
+
+    def test_general_union_read(self, spark, tmp_path):
+        """End-to-end general-union decode: int-vs-string branch rows
+        land in the right struct member; numeric unions widen."""
+        sch = json.dumps({
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["null", "int", "string"]},
+                {"name": "n", "type": ["int", "long"]},
+            ],
+        })
+        recs = [
+            {"id": 1, "u": 5, "n": 7},
+            {"id": 2, "u": "five", "n": 2**40},
+            {"id": 3, "u": None, "n": 0},
+        ]
+        (tmp_path / "u.avro").write_bytes(write_avro_bytes(sch, recs))
+        df = read_avro(spark, str(tmp_path))
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].u.member0 == 5 and rows[1].u.member1 is None
+        assert rows[2].u.member1 == "five" and rows[2].u.member0 is None
+        assert rows[3].u is None
+        assert rows[2].n == 2**40 and rows[1].n == 7
+        assert dict(df.dtypes)["n"] == "bigint"
 
     def test_permissive_isolates_truncated_double(self, spark, tmp_path):
         """Round-10: a block whose stated size is consistent but whose
