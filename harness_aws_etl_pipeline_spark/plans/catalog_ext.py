@@ -3033,12 +3033,29 @@ def q_ann_topk_verify(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # round-10: the distributed kNN JOIN (operators/similarity.knn_join)
+    # at nprobe == n_centroids — provably equal to the brute-force
+    # per-left top-k (the operator's exactness identity), so the oracle
+    # is a plain SQL cosine ranking. Rank ties break on the ROUNDED
+    # cosine then right id (the operator's own policy); self-matches
+    # included (knn_join does not exclude them). This gives the r9
+    # operator a driver-checked value oracle, not just test pins.
+    from harness_aws_etl_pipeline_spark.operators.similarity import knn_join
+
+    knn = knn_join(queries, emb, k=3, n_centroids=4, nprobe=4).select(
+        F.lit("zzzknn_exact").alias("src"),
+        F.col("left_id").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("right_id").alias("neighbor_id"),
+        "cosine",
+    )
     return (
         lsh.unionByName(ivf)
         .select("src", "query_id", "rank", "neighbor_id", "cosine")
         .unionByName(recall_leg(ivf_probe2, "zivf_recall@5"))
         .unionByName(recall_leg(lsh_default, "zlsh_recall@5"))
         .unionByName(sq_rows)
+        .unionByName(knn)
         .orderBy("src", "query_id", "rank")
     )
 
@@ -3191,9 +3208,30 @@ lsh_recall AS (
     FROM lsh_leg t JOIN exact5_o e USING (query_id, neighbor_id)
     GROUP BY t.query_id
   ) h ON h.query_id = q.query_id
+),
+knn_scored AS (
+  SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine
+  FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+{_sql_vec_fold("q.embedding", "n.embedding", 64)}
+    FROM embeddings q, embeddings n
+    WHERE q.vec_id < 4
+  )
+),
+knn_leg AS (
+  -- round-10 kNN-join leg: brute-force per-left top-3, self included,
+  -- tie policy = rounded cosine desc then neighbor id (knn_join's own)
+  SELECT 'zzzknn_exact' AS src, query_id, rank, neighbor_id, cosine
+  FROM (
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ROUND(cosine, 6) DESC, neighbor_id) AS INT) AS rank
+    FROM knn_scored
+  ) WHERE rank <= 3
 )
 SELECT * FROM lsh_leg UNION ALL SELECT * FROM ivf_leg
 UNION ALL SELECT * FROM ivf_recall UNION ALL SELECT * FROM lsh_recall
+UNION ALL SELECT * FROM knn_leg
 UNION ALL
 -- scalar-quantization leg: per-dim exact bounds, fixed affine chain
 -- round((x − mn)·255/(mx − mn)) clamped; one row per dim
