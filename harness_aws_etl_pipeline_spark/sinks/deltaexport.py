@@ -37,10 +37,18 @@ __all__ = ["export_delta_log"]
 
 
 def export_delta_log(
-    spark: SparkSession, table_path: str, table_id: str = "snaptable-export"
+    spark: SparkSession,
+    table_path: str,
+    table_id: str = "snaptable-export",
+    checkpoint: bool = False,
 ) -> dict:
     """Write/refresh ``_delta_log`` beside the SnapTable's data.
     Returns ``{"delta_versions", "base_snap_version", "files_live"}``.
+
+    ``checkpoint=True`` additionally writes a classic parquet
+    checkpoint at the final version plus ``_LAST_CHECKPOINT`` — Delta
+    clients then fold ONE parquet file instead of every JSON commit
+    (the bench ``lake`` leg measures exactly this driver-side cost).
     """
     t = SnapTable(spark, table_path)
     versions = t.versions()
@@ -54,16 +62,20 @@ def export_delta_log(
     # version 0; commit files beyond this export's length are stale
     # leftovers of a previous (longer) export, and a Delta reader
     # would fold the remapped base commits PLUS that old-mapping tail
-    # into a corrupted snapshot — delete them first (round-10 fix)
+    # into a corrupted snapshot — delete them first (round-10 fix).
+    # Checkpoints are derived artifacts of the PREVIOUS mapping, so a
+    # stale one at ANY version could replay old content — delete all;
+    # this export rewrites its own if asked.
     import posixpath as _pp
 
     for rel, _mt, _sz in fs.list_files(log_dir):
         name = _pp.basename(rel)
-        if (
+        stale_json = (
             name.endswith(".json")
             and name[:-5].isdigit()
             and int(name[:-5]) >= len(versions)
-        ):
+        )
+        if stale_json or ".checkpoint" in name or name == "_last_checkpoint":
             fs.delete(_pp.join(log_dir, name), recursive=False)
 
     prev_files: dict[str, dict] = {}
@@ -139,8 +151,92 @@ def export_delta_log(
         )
         n_written += 1
         prev_files = cur
+        prev_manifest = m
+    if checkpoint:
+        _write_checkpoint(
+            spark,
+            fs,
+            log_dir,
+            len(versions) - 1,
+            prev_files,
+            prev_manifest["schema"],
+            table_id,
+            int(prev_manifest.get("ts", time.time()) * 1000),
+        )
     return {
         "delta_versions": n_written,
         "base_snap_version": versions[0],
         "files_live": len(prev_files),
+        "checkpoint_version": len(versions) - 1 if checkpoint else None,
     }
+
+
+_CP_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:long,"
+    "modificationTime:long,dataChange:boolean,stats:string>, "
+    "metaData struct<id:string,format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>,"
+    "createdTime:long>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+)
+
+
+def _write_checkpoint(
+    spark, fs, log_dir: str, version: int, files: dict, schema_str: str,
+    table_id: str, ts_ms: int,
+) -> None:
+    """Classic single-part checkpoint (PROTOCOL.md): one parquet of
+    the LIVE add set + metaData + protocol at ``version``, plus the
+    ``_last_checkpoint`` pointer. Shaped to what readers fold — remove
+    tombstones (VACUUM bookkeeping) are not carried because the export
+    has no uncommitted deletes to retain."""
+    import posixpath as _pp
+
+    rows = [
+        (
+            (
+                quote(p),
+                {},
+                int(f.get("bytes", 0)),
+                ts_ms,
+                True,
+                json.dumps({"numRecords": int(f.get("rows", 0))}),
+            ),
+            None,
+            None,
+        )
+        for p, f in sorted(files.items())
+    ]
+    rows.append(
+        (
+            None,
+            (
+                table_id,
+                ("parquet", {}),
+                schema_str,
+                [],
+                {},
+                ts_ms,
+            ),
+            None,
+        )
+    )
+    rows.append((None, None, (1, 2)))
+    stage = _pp.join(log_dir, ".cp_stage")
+    spark.createDataFrame(rows, _CP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(
+        rel
+        for rel, _mt, _sz in fs.list_files(stage)
+        if rel.endswith(".parquet")
+    )
+    dest = _pp.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    fs.delete(dest, recursive=False)
+    fs.rename(_pp.join(stage, part), dest)
+    fs.delete(stage, recursive=True)
+    fs.write_bytes(
+        _pp.join(log_dir, "_last_checkpoint"),
+        json.dumps({"version": version, "size": len(rows)}).encode("utf-8"),
+    )

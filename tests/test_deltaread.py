@@ -525,6 +525,46 @@ class TestSnapTableExport:
         h = delta_history(spark, t.path)
         assert [x["operation"] for x in h] == ["OVERWRITE", "APPEND", "DELETE"]
 
+    def test_checkpointed_export_folds_without_json_commits(
+        self, spark, tmp_path
+    ):
+        """checkpoint=True writes a classic parquet checkpoint at the
+        final version + _last_checkpoint; the snapshot folds from it
+        even with every JSON commit deleted, and a later re-export
+        (remapped history) clears the stale checkpoint."""
+        import glob as _glob
+        import json as _json
+
+        from harness_aws_etl_pipeline_spark.sinks.deltaexport import (
+            export_delta_log,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        t = SnapTable(spark, str(tmp_path / "t"))
+        t.write(spark.range(6).withColumn("v", F.lit("a")), mode="overwrite")
+        t.write(spark.range(6, 9).withColumn("v", F.lit("b")), mode="append")
+        rep = export_delta_log(spark, t.path, checkpoint=True)
+        assert rep["checkpoint_version"] == 1
+        log = tmp_path / "t" / "_delta_log"
+        lc = _json.loads((log / "_last_checkpoint").read_text())
+        assert lc["version"] == 1
+        # delete the JSON commits: the checkpoint alone must carry it
+        for p in _glob.glob(str(log / "*.json")):
+            import os as _os
+
+            _os.unlink(p)
+        got = {(r.id, r.v) for r in read_delta(spark, t.path).collect()}
+        assert got == {(r.id, r.v) for r in t.read().collect()}
+        assert delta_snapshot(spark, t.path)["version"] == 1
+        # remapped re-export clears the stale checkpoint artifacts
+        t.write(spark.range(9, 11).withColumn("v", F.lit("c")), mode="append")
+        t.expire_snapshots(keep_last=1)
+        rep = export_delta_log(spark, t.path)
+        assert rep["delta_versions"] == 1 and rep["checkpoint_version"] is None
+        assert not _glob.glob(str(log / "*checkpoint*"))
+        assert not (log / "_last_checkpoint").exists()
+        assert read_delta(spark, t.path).count() == t.read().count()
+
     def test_reexport_after_expiry_deletes_stale_commits(
         self, spark, tmp_path
     ):
