@@ -45,7 +45,13 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
-__all__ = ["delta_changes", "delta_history", "delta_snapshot", "read_delta"]
+__all__ = [
+    "delta_changes",
+    "delta_history",
+    "delta_snapshot",
+    "delta_version_at",
+    "read_delta",
+]
 
 _LOG = "_delta_log"
 
@@ -340,11 +346,36 @@ def _read_files_with_partitions(
     return out.select(*final_cols)
 
 
+def delta_version_at(spark: SparkSession, path: str, timestamp_ms: int) -> int:
+    """Largest version whose commit timestamp is ≤ ``timestamp_ms``
+    (the AS OF TIMESTAMP resolution rule). Raises when the table's
+    first commit is later than the requested time."""
+    hist = delta_history(spark, path)
+    usable = [
+        h["version"]
+        for h in hist
+        if h["timestamp"] is not None and h["timestamp"] <= timestamp_ms
+    ]
+    if not usable:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {timestamp_ms}"
+        )
+    return max(usable)
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """The snapshot as a DataFrame (time travel via ``version``).
+    """The snapshot as a DataFrame (time travel via ``version`` or
+    ``timestamp_ms`` — the newest commit at or before the instant).
     Partition columns come back typed per the table schema."""
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        version = delta_version_at(spark, path, timestamp_ms)
     snap = delta_snapshot(spark, path, version)
     if snap["schema"] is None:
         raise ValueError("Delta table has no schema in its metadata")

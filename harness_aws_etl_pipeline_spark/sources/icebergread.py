@@ -21,7 +21,8 @@ Identity-partitioned and unpartitioned tables read directly (Iceberg
 data files physically CONTAIN their partition source columns, unlike
 Delta); hidden-transform partitioning (bucket/truncate/days) also
 reads correctly for the same reason. Snapshot time travel via
-``snapshot_id``. The Iceberg schema JSON maps to Spark types
+``snapshot_id`` or ``timestamp_ms`` (newest snapshot at or before
+the instant). The Iceberg schema JSON maps to Spark types
 (struct/list/map, decimals, dates, timestamps; uuid → string).
 
 Scale shape: metadata walk is driver-side over manifest-sized Avro
@@ -41,7 +42,13 @@ from pyspark.sql import types as T
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 from harness_aws_etl_pipeline_spark.sources.avroread import _iter_container
 
-__all__ = ["iceberg_changes", "iceberg_snapshot", "iceberg_snapshots", "read_iceberg"]
+__all__ = [
+    "iceberg_changes",
+    "iceberg_snapshot",
+    "iceberg_snapshot_at",
+    "iceberg_snapshots",
+    "read_iceberg",
+]
 
 
 def _iceberg_to_spark(t) -> T.DataType:
@@ -252,17 +259,42 @@ def iceberg_snapshot(
     }
 
 
+def iceberg_snapshot_at(
+    spark: SparkSession, path: str, timestamp_ms: int
+) -> int:
+    """Snapshot id of the newest snapshot at or before
+    ``timestamp_ms`` (AS OF TIMESTAMP resolution)."""
+    snaps = [
+        s
+        for s in iceberg_snapshots(spark, path)
+        if (s["timestamp_ms"] or 0) <= timestamp_ms
+    ]
+    if not snaps:
+        raise ValueError(
+            f"no Iceberg snapshot at or before timestamp {timestamp_ms}"
+        )
+    return snaps[-1]["snapshot_id"]
+
+
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """The snapshot as a DataFrame (time travel via ``snapshot_id``).
     Iceberg data files physically contain every table column
     (including partition sources), so the read is one stock parquet
     scan with the table schema. Live position deletes are folded out
     by one anti-join on ``(referenced file, row position)`` — only
-    the data files a delete row references leave the bulk scan."""
+    the data files a delete row references leave the bulk scan.
+    Time travel by ``snapshot_id`` or ``timestamp_ms``."""
     from pyspark.sql import functions as F
 
+    if snapshot_id is not None and timestamp_ms is not None:
+        raise ValueError("pass snapshot_id OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        snapshot_id = iceberg_snapshot_at(spark, path, timestamp_ms)
     snap = iceberg_snapshot(spark, path, snapshot_id)
     if not snap["files"]:
         return spark.createDataFrame([], snap["schema"])

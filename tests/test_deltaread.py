@@ -107,6 +107,27 @@ class TestSnapshotFold:
         assert sorted(snap["files"]) == ["part-a.parquet", "part-c.parquet"]
         assert snap["partition_columns"] == []
 
+    def test_timestamp_time_travel(self, spark, tmp_path):
+        """AS OF TIMESTAMP: newest commit at or before the instant
+        (commitInfo timestamps: v0@1000, v1@2000 in the fixture)."""
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_version_at,
+        )
+
+        t = self._basic_table(spark, tmp_path)
+        assert delta_version_at(spark, str(t), 1000) == 0
+        assert delta_version_at(spark, str(t), 1999) == 0
+        assert delta_version_at(spark, str(t), 2000) == 1
+        got = {
+            (r.id, r.v)
+            for r in read_delta(spark, str(t), timestamp_ms=1500).collect()
+        }
+        assert got == {(1, "x"), (2, "y"), (3, "z")}
+        with pytest.raises(ValueError, match="at or before"):
+            read_delta(spark, str(t), timestamp_ms=1)
+        with pytest.raises(ValueError, match="not both"):
+            read_delta(spark, str(t), version=0, timestamp_ms=1500)
+
     def test_version_out_of_range_and_not_delta(self, spark, tmp_path):
         t = self._basic_table(spark, tmp_path)
         with pytest.raises(ValueError, match="out of range"):
@@ -259,6 +280,43 @@ class TestDeletionVectors:
         # time travel sees the older, smaller DV
         assert {r.id for r in read_delta(spark, str(tmp_path), 1).collect()} \
             == {1, 2, 3, 4}
+
+    def test_large_dv_bitmap_container_through_read_lake(
+        self, spark, tmp_path
+    ):
+        """>4096 deleted positions in one container (the BITMAP
+        container encoding) through the full read path, dispatched via
+        read_lake — the integration face a user actually calls."""
+        import uuid
+
+        from harness_aws_etl_pipeline_spark.sources.dvcodec import (
+            encode_dv_blob,
+            frame_dv_file,
+            z85_encode,
+        )
+        from harness_aws_etl_pipeline_spark.sources.lakeread import read_lake
+
+        n = 12000
+        a = _datafile(
+            spark, tmp_path, "big.parquet",
+            [(i, f"r{i}") for i in range(n)],
+        )
+        dropped = list(range(0, 10000))  # one dense bitmap container+
+        blob = encode_dv_blob(dropped)
+        data, offsets = frame_dv_file([blob])
+        u = uuid.uuid4()
+        (tmp_path / f"deletion_vector_{u}.bin").write_bytes(data)
+        dv = {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+              "offset": offsets[0], "sizeInBytes": len(blob),
+              "cardinality": len(dropped)}
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(), self._dv_add(a, dv),
+        ])
+        df = read_lake(spark, str(tmp_path))
+        assert df.count() == n - len(dropped)
+        assert df.agg({"id": "min"}).collect()[0][0] == 10000
 
     def test_cardinality_mismatch_rejected(self, spark, tmp_path):
         a = _datafile(spark, tmp_path, "a.parquet", [(1, "x"), (2, "y")])

@@ -86,6 +86,40 @@ class TestRoaringRoundTrip:
         assert decode_dv_blob(blob) == [3, 4, 5, 6, 10]
 
 
+class TestProperties:
+    def test_roaring_round_trip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(
+                    st.integers(0, 2**16),          # dense low range
+                    st.integers(0, 2**33),          # crosses buckets
+                ),
+                max_size=300,
+            )
+        )
+        def check(indexes):
+            assert decode_dv_blob(encode_dv_blob(indexes)) == sorted(
+                set(indexes)
+            )
+
+        check()
+
+    def test_z85_round_trip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.binary(max_size=64).map(lambda b: b + b"\x00" * ((-len(b)) % 4)))
+        def check(data):
+            assert z85_decode(z85_encode(data)) == data
+
+        check()
+
+
 class TestFileFraming:
     def test_frame_and_read_back_multiple(self):
         b1 = encode_dv_blob([1, 5, 9])

@@ -96,6 +96,31 @@ class TestRoundTrips:
             encode_flac(np.array([200]), bits_per_sample=8)
 
 
+class TestProperties:
+    def test_encode_decode_round_trip_property(self):
+        """Any int16 signal round-trips bit-exactly through the codec
+        (the STREAMINFO MD5 check runs inside decode, so every example
+        also re-verifies the spec's audio digest layout)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.lists(
+                st.integers(-(2**15), 2**15 - 1), min_size=1, max_size=700
+            ),
+            st.sampled_from([64, 192, 256]),
+        )
+        def check(samples, blocksize):
+            s = np.array(samples, dtype=np.int64)
+            got, _, _ = decode_flac(
+                encode_flac(s, 8000, 16, blocksize=blocksize)
+            )
+            assert np.array_equal(got[:, 0], s)
+
+        check()
+
+
 class TestAudioDispatch:
     def test_decode_audio_wav_flac_equivalence(self):
         """The same 16-bit samples through WAV and FLAC containers

@@ -174,6 +174,26 @@ class TestRead:
         with pytest.raises(ValueError, match="Iceberg"):
             read_iceberg(spark, str(tmp_path))
 
+    def test_timestamp_time_travel(self, spark, tmp_path):
+        """Snapshots at ts 1 and 2: timestamp_ms resolves to the
+        newest snapshot at or before the instant."""
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_snapshot_at,
+        )
+
+        t = self._table(spark, tmp_path)
+        assert iceberg_snapshot_at(spark, str(t), 1) == 100
+        assert iceberg_snapshot_at(spark, str(t), 5) == 200
+        got = {
+            (r.id, r.v)
+            for r in read_iceberg(spark, str(t), timestamp_ms=1).collect()
+        }
+        assert got == {(1, "x"), (2, "y"), (3, "z")}
+        with pytest.raises(ValueError, match="at or before"):
+            read_iceberg(spark, str(t), timestamp_ms=0)
+        with pytest.raises(ValueError, match="not both"):
+            read_iceberg(spark, str(t), snapshot_id=100, timestamp_ms=1)
+
 
 def _delfile(spark, tmp_path, name, rows):
     """Position-delete parquet per the spec: (file_path, pos) rows,
