@@ -752,6 +752,10 @@ def main(argv: list[str] | None = None) -> int:
         "--version", type=int, default=None, help="time-travel version"
     )
     dl.add_argument(
+        "--timestamp-ms", type=int, default=None,
+        help="time travel to the newest commit at or before this epoch ms",
+    )
+    dl.add_argument(
         "--history", action="store_true", help="print the commit history"
     )
     dl.add_argument("--output", default=None, help="export snapshot parquet")
@@ -764,6 +768,10 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--path", required=True, help="Iceberg table root")
     ib.add_argument(
         "--snapshot-id", type=int, default=None, help="time-travel snapshot"
+    )
+    ib.add_argument(
+        "--timestamp-ms", type=int, default=None,
+        help="time travel to the newest snapshot at or before this epoch ms",
     )
     ib.add_argument(
         "--snapshots", action="store_true", help="print the snapshot log"
@@ -1514,6 +1522,7 @@ def main(argv: list[str] | None = None) -> int:
         from harness_aws_etl_pipeline_spark.sources.deltaread import (
             delta_history,
             delta_snapshot,
+            delta_version_at,
             read_delta,
         )
 
@@ -1523,8 +1532,11 @@ def main(argv: list[str] | None = None) -> int:
                 "history": delta_history(spark, args.path),
             }))
             return 0
-        snap = delta_snapshot(spark, args.path, args.version)
-        df = read_delta(spark, args.path, args.version)
+        version = args.version
+        if args.timestamp_ms is not None:
+            version = delta_version_at(spark, args.path, args.timestamp_ms)
+        snap = delta_snapshot(spark, args.path, version)
+        df = read_delta(spark, args.path, version)
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
@@ -1551,8 +1563,17 @@ def main(argv: list[str] | None = None) -> int:
                 "snapshots": iceberg_snapshots(spark, args.path),
             }))
             return 0
-        snap = iceberg_snapshot(spark, args.path, args.snapshot_id)
-        df = read_iceberg(spark, args.path, args.snapshot_id)
+        snapshot_id = args.snapshot_id
+        if args.timestamp_ms is not None:
+            from harness_aws_etl_pipeline_spark.sources.icebergread import (
+                iceberg_snapshot_at,
+            )
+
+            snapshot_id = iceberg_snapshot_at(
+                spark, args.path, args.timestamp_ms
+            )
+        snap = iceberg_snapshot(spark, args.path, snapshot_id)
+        df = read_iceberg(spark, args.path, snapshot_id)
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({

@@ -325,15 +325,45 @@ def _read_files_with_partitions(
              "__dv_pos": F.lit(None).cast(LongType())}
         )
         out = df if out is None else out.unionByName(df)
-    for key, pkey, apath in sorted(dv_reads):
-        df = spark.read.schema(read_schema).parquet(apath).select(
-            "*", F.col("_metadata.row_index").alias("__dv_pos")
-        )
-        df = _with_partitions(_rename(df), pkey).withColumn(
-            "__dv_key", F.lit(key)
-        )
-        df = df.select(*final_cols, "__dv_key", "__dv_pos")
-        out = df if out is None else out.unionByName(df)
+    # Few DV'd files: one frame per file with its log key as a literal
+    # (exact, no path-string matching). Many DV'd files: a per-file
+    # plan would grow the driver's analysis cost linearly, so group by
+    # partition key and recover the log key from _metadata.file_path —
+    # scheme-stripped on both sides so file:/s3a:/hdfs: URIs all match
+    # the paths the fold constructed. Both paths produce identical
+    # rows (test-pinned).
+    if len(dv_reads) <= 32:
+        for key, pkey, apath in sorted(dv_reads):
+            df = spark.read.schema(read_schema).parquet(apath).select(
+                "*", F.col("_metadata.row_index").alias("__dv_pos")
+            )
+            df = _with_partitions(_rename(df), pkey).withColumn(
+                "__dv_key", F.lit(key)
+            )
+            df = df.select(*final_cols, "__dv_key", "__dv_pos")
+            out = df if out is None else out.unionByName(df)
+    elif dv_reads:
+        strip = lambda c: F.regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")  # noqa: E731
+        key_map = spark.createDataFrame(
+            [(apath, key) for key, _pk, apath in dv_reads],
+            "__dv_apath string, __dv_key string",
+        ).withColumn("__dv_apath", strip(F.col("__dv_apath")))
+        dv_groups: dict[tuple, list[str]] = {}
+        for _key, pkey, apath in dv_reads:
+            dv_groups.setdefault(pkey, []).append(apath)
+        for pkey, paths in sorted(
+            dv_groups.items(), key=lambda kv: str(kv[0])
+        ):
+            df = spark.read.schema(read_schema).parquet(*paths).select(
+                "*",
+                F.col("_metadata.row_index").alias("__dv_pos"),
+                strip(F.col("_metadata.file_path")).alias("__dv_apath"),
+            )
+            df = _with_partitions(_rename(df), pkey)
+            df = df.join(F.broadcast(key_map), "__dv_apath").select(
+                *final_cols, "__dv_key", "__dv_pos"
+            )
+            out = df if out is None else out.unionByName(df)
     if removed:
         rem_df = spark.createDataFrame(
             removed, "__dv_key string, __dv_pos long"

