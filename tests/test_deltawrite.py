@@ -1,0 +1,155 @@
+"""Native Delta writer (sinks/deltawrite.py): append/overwrite round
+trips through the in-repo reader, hive partition layout, schema
+guards, and the put-if-absent commit race."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+from harness_aws_etl_pipeline_spark.sources.deltaread import (
+    delta_history,
+    delta_snapshot,
+    read_delta,
+)
+
+
+class TestRoundTrip:
+    def test_append_overwrite_and_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        rep = write_delta(
+            spark, spark.range(4).withColumn("v", F.lit("a")), t
+        )
+        assert rep["version"] == 0 and rep["files_removed"] == 0
+        rep = write_delta(
+            spark, spark.range(4, 6).withColumn("v", F.lit("b")), t
+        )
+        assert rep["version"] == 1
+        assert {
+            (r.id, r.v) for r in read_delta(spark, t).collect()
+        } == {(0, "a"), (1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")}
+        assert read_delta(spark, t, version=0).count() == 4
+        rep = write_delta(
+            spark,
+            spark.range(9, 10).withColumn("v", F.lit("c")),
+            t,
+            mode="overwrite",
+        )
+        assert rep["files_removed"] > 0
+        assert {
+            (r.id, r.v) for r in read_delta(spark, t).collect()
+        } == {(9, "c")}
+        ops = [h["operation"] for h in delta_history(spark, t)]
+        assert ops == ["WRITE", "WRITE", "WRITE"]
+        # the log is readable json-per-line (foreign-client shape)
+        for p in glob.glob(str(tmp_path / "t" / "_delta_log" / "*.json")):
+            for line in open(p):
+                json.loads(line)
+
+    def test_partitioned_layout(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 10), (3, "z", 20)],
+            "id long, v string, g int",
+        )
+        write_delta(spark, df, t, partition_by=["g"])
+        snap = delta_snapshot(spark, t)
+        assert snap["partition_columns"] == ["g"]
+        # hive dirs on disk, partition values in the log, column typed
+        assert glob.glob(str(tmp_path / "t" / "g=10" / "*.parquet"))
+        pvs = {
+            a["partitionValues"]["g"] for a in snap["files"].values()
+        }
+        assert pvs == {"10", "20"}
+        out = read_delta(spark, t)
+        assert dict(out.dtypes)["g"] == "int"
+        assert out.filter(F.col("g") == 10).count() == 2
+        assert {(r.id, r.g) for r in out.collect()} == {
+            (1, 10), (2, 10), (3, 20)
+        }
+        # appends must repeat the partition spec
+        with pytest.raises(ValueError, match="partitioned by"):
+            write_delta(spark, df, t)
+
+    def test_schema_guards(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(2).withColumn("v", F.lit("a")), t)
+        with pytest.raises(ValueError, match="schema differs"):
+            write_delta(
+                spark, spark.range(2).withColumn("w", F.lit(1)), t
+            )
+        # overwrite may change the schema; the new metaData wins
+        write_delta(
+            spark,
+            spark.range(3).withColumn("w", F.lit(7)),
+            t,
+            mode="overwrite",
+        )
+        out = read_delta(spark, t)
+        assert set(out.columns) == {"id", "w"}
+        assert out.count() == 3
+
+    def test_bad_mode_and_missing_partition_col(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="mode"):
+            write_delta(spark, spark.range(1), str(tmp_path / "t"), mode="merge")
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            write_delta(
+                spark, spark.range(1), str(tmp_path / "t"),
+                partition_by=["nope"],
+            )
+
+
+class TestCommitProtocol:
+    def test_lost_race_retries_with_next_version(self, spark, tmp_path):
+        """A competing commit appearing at the claimed version bumps
+        this writer to the next number (the put-if-absent loop)."""
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(2).withColumn("v", F.lit("a")), t)
+        # plant a foreign commit at version 1 (what the writer would
+        # claim next): a bare commitInfo is a valid, file-less commit
+        log = tmp_path / "t" / "_delta_log"
+        (log / f"{1:020d}.json").write_text(
+            json.dumps({"commitInfo": {"timestamp": 1, "operation": "X"}})
+            + "\n"
+        )
+        rep = write_delta(
+            spark, spark.range(2, 4).withColumn("v", F.lit("b")), t
+        )
+        assert rep["version"] == 2
+        assert read_delta(spark, t).count() == 4
+
+    def test_concurrent_appenders_both_land(self, spark, tmp_path):
+        import threading
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(0).withColumn("v", F.lit("")), t)
+        errs: list[Exception] = []
+        reps: list[dict] = []
+
+        def go(lo: int):
+            try:
+                reps.append(
+                    write_delta(
+                        spark,
+                        spark.range(lo, lo + 3).withColumn(
+                            "v", F.lit(str(lo))
+                        ),
+                        t,
+                    )
+                )
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errs.append(e)
+
+        th = [threading.Thread(target=go, args=(lo,)) for lo in (10, 20)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert not errs
+        assert sorted(r["version"] for r in reps) == [1, 2]
+        got = {r.id for r in read_delta(spark, t).collect()}
+        assert got == {10, 11, 12, 20, 21, 22}
