@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
-__all__ = ["hudi_snapshot", "hudi_timeline", "read_hudi"]
+__all__ = ["hudi_changes", "hudi_snapshot", "hudi_timeline", "read_hudi"]
 
 _DATA_RE = re.compile(r"(?P<fid>[^_/]+)_(?P<tok>[^_/]+)_(?P<ts>\d+)\.parquet$")
 _META_COLS = (
@@ -159,6 +159,77 @@ def read_hudi(
     if not snap["files"]:
         raise ValueError("Hudi table has no completed snapshot to read")
     df = spark.read.parquet(*snap["files"])
+    if drop_meta:
+        df = df.drop(*[c for c in _META_COLS if c in df.columns])
+    return df
+
+
+def hudi_changes(
+    spark: SparkSession,
+    path: str,
+    since_instant: str,
+    to_instant: str | None = None,
+    drop_meta: bool = False,
+) -> DataFrame:
+    """Append-only incremental consumer (completes the trio next to
+    ``delta_changes`` / ``iceberg_changes``): rows in file GROUPS that
+    first appeared after ``since_instant`` up to ``to_instant``.
+
+    CoW semantics make the guard precise: an instant that writes a new
+    slice into an EXISTING file group rewrote rows (update/delete) —
+    not representable as added rows — and any ``replacecommit`` in the
+    window supersedes whole groups; both raise. Pure appends create
+    only brand-new fileIds, whose single slice is exactly the new
+    rows."""
+    lo = hudi_snapshot(spark, path, since_instant)
+    hi = hudi_snapshot(spark, path, to_instant)
+    if lo["instant"] is None:
+        raise ValueError("since_instant predates every completed commit")
+    timeline = hudi_timeline(spark, path)
+    in_window = [
+        t
+        for t in timeline
+        if lo["instant"] < t["instant"] <= (hi["instant"] or "")
+    ]
+    for t in in_window:
+        if t["action"] == "replacecommit":
+            raise ValueError(
+                f"instants ({lo['instant']}, {hi['instant']}] contain "
+                f"replacecommit {t['instant']}; append-only change "
+                "capture cannot represent that window"
+            )
+
+    def _groups(snap: dict) -> dict[tuple[str, str], str]:
+        out = {}
+        for p in snap["files"]:
+            rel = p[len(path.rstrip("/")) + 1 :] if p.startswith(
+                path.rstrip("/")
+            ) else p
+            m = _DATA_RE.search(rel)
+            if m:
+                out[(posixpath.dirname(rel), m.group("fid"))] = p
+        return out
+
+    lo_g = _groups(lo)
+    hi_g = _groups(hi)
+    rewritten = [
+        k for k in lo_g if k in hi_g and lo_g[k] != hi_g[k]
+    ]
+    dropped = [k for k in lo_g if k not in hi_g]
+    if rewritten or dropped:
+        raise ValueError(
+            f"instants ({lo['instant']}, {hi['instant']}] rewrite "
+            f"{len(rewritten)} and drop {len(dropped)} pre-existing file "
+            "group(s); append-only change capture cannot represent that "
+            "window"
+        )
+    new_paths = sorted(hi_g[k] for k in hi_g if k not in lo_g)
+    if not new_paths:
+        schema = spark.read.parquet(*hi["files"]).schema if hi["files"] else None
+        if schema is None:
+            raise ValueError("Hudi table has no files to derive a schema from")
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*new_paths)
     if drop_meta:
         df = df.drop(*[c for c in _META_COLS if c in df.columns])
     return df

@@ -132,6 +132,49 @@ class TestHudi:
         with pytest.raises(ValueError, match="replacecommit"):
             hudi_snapshot(spark, str(tmp_path))
 
+    def test_hudi_changes_append_only(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_changes,
+        )
+
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        _commit(tmp_path, T2)
+        _slice(spark, tmp_path, "", "g1", T1, [(1, "one")])
+        _slice(spark, tmp_path, "p=1", "g2", T1, [(2, "two")])
+        _slice(spark, tmp_path, "", "g5", T2, [(5, "five")])
+        got = {
+            (r.id, r.v)
+            for r in hudi_changes(spark, str(tmp_path), T1).collect()
+        }
+        assert got == {(5, "five")}
+        # empty window
+        assert hudi_changes(spark, str(tmp_path), T2).count() == 0
+
+    def test_hudi_changes_rejects_rewrites_and_replacecommits(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_changes,
+        )
+
+        _props(tmp_path)
+        _commit(tmp_path, T1)
+        _commit(tmp_path, T2)
+        _slice(spark, tmp_path, "", "g1", T1, [(1, "old")])
+        _slice(spark, tmp_path, "", "g1", T2, [(1, "new")])  # rewrite
+        with pytest.raises(ValueError, match="rewrite"):
+            hudi_changes(spark, str(tmp_path), T1)
+        # replacecommit in the window
+        _slice(spark, tmp_path, "", "g9", T3, [(1, "clustered")])
+        (tmp_path / ".hoodie" / f"{T3}.replacecommit").write_text(
+            json.dumps({"partitionToReplaceFileIds": {"": ["g1"]}})
+        )
+        with pytest.raises(ValueError, match="replacecommit"):
+            hudi_changes(spark, str(tmp_path), T2)
+
     def test_timeline_and_guards(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
         tl = hudi_timeline(spark, str(t))
