@@ -54,12 +54,31 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    zorder: list[str] | None = None,
+    zorder_files: int | None = None,
+    stats: bool = True,
     max_commit_retries: int = 20,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``. Returns
-    ``{"version", "files_added", "files_removed", "retries"}``."""
+    ``{"version", "files_added", "files_removed", "retries"}``.
+
+    ``zorder`` re-lays rows along the Morton curve of the named
+    columns before writing (``operators/zorder.py``; ``zorder_files``
+    pins the output file count) — tight per-file bounding boxes that
+    the per-file ``stats`` then expose.
+    ``stats=True`` (default) records per-file
+    numRecords/minValues/maxValues/nullCount for the flat
+    atomic-typed columns in one grouped pass over THIS write's files,
+    so any Delta client data-skips on the output."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite: {mode!r}")
+    if zorder:
+        from harness_aws_etl_pipeline_spark.operators.zorder import zorder_by
+
+        # explicit partitions pin the output file count: AQE coalesces
+        # small range-shuffles to one partition, which would undo the
+        # per-file bounding boxes the layout exists to create
+        df = zorder_by(df, zorder, partitions=zorder_files)
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     log_dir = posixpath.join(base, _LOG)
@@ -109,6 +128,12 @@ def write_delta(
         fs.delete(stage, recursive=True)
     ts_ms = int(time.time() * 1000)
 
+    file_stats: dict[str, str] = (
+        _collect_stats(spark, base, sorted(new_files), df, pcols)
+        if stats and new_files
+        else {}
+    )
+
     def _partition_values(rel: str) -> dict[str, str]:
         vals: dict[str, str] = {}
         for seg in rel.split("/")[:-1]:
@@ -122,18 +147,18 @@ def write_delta(
                     )
         return vals
 
-    adds = [
-        {
-            "add": {
-                "path": quote(p, safe="/="),
-                "partitionValues": _partition_values(p),
-                "size": sz,
-                "modificationTime": ts_ms,
-                "dataChange": True,
-            }
+    adds = []
+    for p, sz in sorted(new_files.items()):
+        add = {
+            "path": quote(p, safe="/="),
+            "partitionValues": _partition_values(p),
+            "size": sz,
+            "modificationTime": ts_ms,
+            "dataChange": True,
         }
-        for p, sz in sorted(new_files.items())
-    ]
+        if p in file_stats:
+            add["stats"] = file_stats[p]
+        adds.append({"add": add})
 
     schema_str = df.schema.json()
     meta_action = {
@@ -201,8 +226,14 @@ def write_delta(
         payload = (
             "\n".join(json.dumps(a) for a in actions) + "\n"
         ).encode("utf-8")
+        # the temp file lives OUTSIDE _delta_log: a concurrent writer
+        # listing the log while this one deletes a lost-race temp hits
+        # Hadoop's stat-each-entry listing race (observed as "ls:
+        # cannot access .tmp-..." flakes in the two-writer test)
+        tmp_dir = posixpath.join(base, ".dlw_tmp")
+        fs.mkdirs(tmp_dir)
         tmp = posixpath.join(
-            log_dir, f".tmp-{uuid.uuid4().hex}-{version:020d}.json"
+            tmp_dir, f"{uuid.uuid4().hex}-{version:020d}.json"
         )
         fs.write_bytes(tmp, payload)
         dest = posixpath.join(log_dir, f"{version:020d}.json")
@@ -222,3 +253,81 @@ def write_delta(
             raise RuntimeError(
                 f"lost the Delta commit race {retries} times at {base!r}"
             )
+
+
+_STATS_TYPES = (
+    "boolean", "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz", "decimal",
+)
+
+
+def _collect_stats(
+    spark: SparkSession,
+    base: str,
+    rel_paths: list[str],
+    df: DataFrame,
+    pcols: list[str],
+) -> dict[str, str]:
+    """Per-file Delta stats JSON (numRecords / minValues / maxValues /
+    nullCount) for flat atomic-typed non-partition columns — ONE
+    grouped aggregation over this write's files keyed by
+    scheme-stripped ``_metadata.file_path``."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in pcols
+        and f.dataType.typeName().split("(")[0] in _STATS_TYPES
+    ]
+    abs_to_rel = {}
+    for rel in rel_paths:
+        ap = f"{base}/{rel}"
+        key = (
+            "/" + ap.split("://", 1)[1].lstrip("/")
+            if "://" in ap
+            else "/" + ap.lstrip("/")
+        )
+        abs_to_rel[key] = rel
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"))
+    rows = (
+        spark.read.parquet(*[f"{base}/{r}" for r in rel_paths])
+        .select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+            ).alias("__fp"),
+            *[F.col(c) for c in cols],
+        )
+        .groupBy("__fp")
+        .agg(*aggs)
+        .collect()
+    )
+
+    def _j(v):
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return float(v)
+        return v
+
+    out: dict[str, str] = {}
+    for r in rows:
+        rel = abs_to_rel.get(r["__fp"])
+        if rel is None:
+            continue
+        out[rel] = json.dumps(
+            {
+                "numRecords": int(r["__n"]),
+                "minValues": {c: _j(r[f"__mn_{c}"]) for c in cols},
+                "maxValues": {c: _j(r[f"__mx_{c}"]) for c in cols},
+                "nullCount": {c: int(r[f"__nc_{c}"]) for c in cols},
+            }
+        )
+    return out

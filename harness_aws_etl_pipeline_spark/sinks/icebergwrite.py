@@ -363,7 +363,11 @@ def write_iceberg(
             "metadata-log": [],
         }
         target = posixpath.join(mdir, f"v{cur_version + 1}.metadata.json")
-        tmp = posixpath.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        # temp OUTSIDE metadata/ — concurrent writers list that dir
+        # and Hadoop's listing stats each entry (vanishing-file race)
+        tmp_dir = posixpath.join(base, ".icw_tmp")
+        fs.mkdirs(tmp_dir)
+        tmp = posixpath.join(tmp_dir, f"{uuid.uuid4().hex}.json")
         fs.write_bytes(tmp, json.dumps(new_md).encode("utf-8"))
         if fs.rename_if_absent(tmp, target):
             fs.write_bytes(

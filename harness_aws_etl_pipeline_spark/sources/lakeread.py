@@ -1,7 +1,8 @@
-"""``read_lake``: point the engine at ANY lake table directory and it
-detects the format and reads it — the one-call face over the no-jar
-interop tier (Delta / Iceberg / Hudi readers) plus this engine's own
-SnapTable, plain parquet directories, and Avro containers.
+"""``read_lake`` / ``write_lake``: point the engine at ANY lake table
+directory and it detects the format and reads it — the one-call face
+over the no-jar interop tier (Delta / Iceberg / Hudi readers, Delta /
+Iceberg writers) plus this engine's own SnapTable, plain parquet
+directories, and Avro containers.
 
 Detection is by layout marker, cheapest first: ``_snaplog/`` →
 SnapTable, ``_delta_log/`` → Delta, ``metadata/*.metadata.json`` →
@@ -19,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
-__all__ = ["detect_lake_format", "read_lake"]
+__all__ = ["detect_lake_format", "read_lake", "write_lake"]
 
 
 def detect_lake_format(spark: SparkSession, path: str) -> str:
@@ -45,6 +46,41 @@ def detect_lake_format(spark: SparkSession, path: str) -> str:
     if any(n.endswith(".parquet") for n in names):
         return "parquet"
     raise ValueError(f"no recognizable lake table layout under {path!r}")
+
+
+def write_lake(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    format: str = "delta",  # noqa: A002 - mirrors spark.write API
+    **kwargs,
+) -> dict:
+    """Dispatch face for the writer tier (the :func:`read_lake`
+    mirror): ``delta`` → ``sinks/deltawrite``, ``iceberg`` →
+    ``sinks/icebergwrite``, ``snaptable`` → ``SnapTable.write``,
+    ``parquet`` → stock writer. kwargs pass through (``mode``,
+    ``partition_by``, ``zorder``/``zorder_by``, ...)."""
+    if format == "delta":
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+
+        return write_delta(spark, df, path, **kwargs)
+    if format == "iceberg":
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+
+        return write_iceberg(spark, df, path, **kwargs)
+    if format == "snaptable":
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        return SnapTable(spark, path).write(df, **kwargs)
+    if format == "parquet":
+        mode = kwargs.pop("mode", "append")
+        df.write.mode(mode).parquet(path, **kwargs)
+        return {"format": "parquet", "path": path}
+    raise ValueError(f"unknown lake write format {format!r}")
 
 
 def read_lake(spark: SparkSession, path: str, **kwargs) -> DataFrame:

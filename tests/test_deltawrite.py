@@ -103,6 +103,71 @@ class TestRoundTrip:
             )
 
 
+class TestStatsAndZorder:
+    def test_per_file_stats_recorded(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(100).withColumn("v", F.col("id") * 2).repartition(4)
+        write_delta(spark, df, t)
+        snap = delta_snapshot(spark, t)
+        total = 0
+        for add in snap["files"].values():
+            st = json.loads(add["stats"])
+            total += st["numRecords"]
+            assert st["minValues"]["id"] <= st["maxValues"]["id"]
+            assert st["nullCount"]["id"] == 0
+            assert st["minValues"]["v"] == st["minValues"]["id"] * 2
+        assert total == 100
+        # stats=False omits them
+        t2 = str(tmp_path / "t2")
+        write_delta(spark, spark.range(3), t2, stats=False)
+        snap2 = delta_snapshot(spark, t2)
+        assert all("stats" not in a for a in snap2["files"].values())
+
+    def test_zorder_tightens_per_file_ranges(self, spark, tmp_path):
+        """Morton layout + per-file stats: the id range covered per
+        file shrinks vs a hash-shuffled write — the data-skipping win
+        any Delta client gets from the recorded minValues/maxValues."""
+        import random
+
+        rng = random.Random(7)
+        rows = [(rng.randrange(10_000), rng.randrange(10_000))
+                for _ in range(8_000)]
+        df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+
+        def spread(table):
+            snap = delta_snapshot(spark, table)
+            spans = []
+            for add in snap["files"].values():
+                st = json.loads(add["stats"])
+                spans.append(st["maxValues"]["x"] - st["minValues"]["x"])
+            return sum(spans) / len(spans)
+
+        t_plain = str(tmp_path / "plain")
+        t_z = str(tmp_path / "zed")
+        write_delta(spark, df, t_plain)
+        write_delta(spark, df, t_z, zorder=["x", "y"], zorder_files=8)
+        assert read_delta(spark, t_z).count() == 8_000
+        assert spread(t_z) < spread(t_plain) * 0.6
+
+    def test_write_lake_dispatch(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.lakeread import (
+            detect_lake_format,
+            read_lake,
+            write_lake,
+        )
+
+        d = str(tmp_path / "d")
+        write_lake(spark, spark.range(5), d, format="delta")
+        assert detect_lake_format(spark, d) == "delta"
+        assert read_lake(spark, d).count() == 5
+        i = str(tmp_path / "i")
+        write_lake(spark, spark.range(4), i, format="iceberg")
+        assert detect_lake_format(spark, i) == "iceberg"
+        assert read_lake(spark, i).count() == 4
+        with pytest.raises(ValueError, match="unknown lake write"):
+            write_lake(spark, spark.range(1), d, format="orc")
+
+
 class TestCommitProtocol:
     def test_lost_race_retries_with_next_version(self, spark, tmp_path):
         """A competing commit appearing at the claimed version bumps
