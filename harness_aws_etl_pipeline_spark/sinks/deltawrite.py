@@ -43,7 +43,7 @@ from harness_aws_etl_pipeline_spark.sources.deltaread import (
     delta_snapshot,
 )
 
-__all__ = ["write_delta"]
+__all__ = ["stream_to_delta", "write_delta"]
 
 _LOG = "_delta_log"
 
@@ -57,6 +57,7 @@ def write_delta(
     zorder: list[str] | None = None,
     zorder_files: int | None = None,
     stats: bool = True,
+    txn: tuple[str, int] | None = None,
     max_commit_retries: int = 20,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``. Returns
@@ -69,9 +70,22 @@ def write_delta(
     ``stats=True`` (default) records per-file
     numRecords/minValues/maxValues/nullCount for the flat
     atomic-typed columns in one grouped pass over THIS write's files,
-    so any Delta client data-skips on the output."""
+    so any Delta client data-skips on the output.
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT via the
+    protocol's ``txn`` action (exactly how Delta's own streaming sink
+    achieves exactly-once): if the log already records that app at or
+    past that version, the write is SKIPPED (``{"skipped": True}``) —
+    replays after a crash between data write and commit are safe
+    because the data files of an uncommitted attempt are never
+    referenced. The check re-runs inside the commit-retry loop, so a
+    racing duplicate of the same (app, version) cannot double-commit.
+    Pair with ``foreachBatch`` passing ``version=batch_id``
+    (:func:`stream_to_delta`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite: {mode!r}")
+    if txn is not None:
+        app_id, app_version = str(txn[0]), int(txn[1])
     if zorder:
         from harness_aws_etl_pipeline_spark.operators.zorder import zorder_by
 
@@ -96,6 +110,14 @@ def write_delta(
                 f"table is partitioned by {prev['partition_columns']}, "
                 f"got partition_by={pcols}"
             )
+        if txn is not None and prev["txns"].get(app_id, -1) >= app_version:
+            return {
+                "version": prev["version"],
+                "files_added": 0,
+                "files_removed": 0,
+                "retries": 0,
+                "skipped": True,
+            }
 
     # ---- data: stage into a unique temp dir, then move files into
     # the table layout. Listing-diff against the live dir would race a
@@ -211,6 +233,22 @@ def write_delta(
                     }
                     for p in sorted(prev["files"])
                 ]
+        if txn is not None and version > 0:
+            # the race re-check: a concurrent duplicate of the same
+            # (app, version) may have landed since the pre-check
+            if prev["txns"].get(app_id, -1) >= app_version:
+                return {
+                    "version": version - 1,
+                    "files_added": 0,
+                    "files_removed": 0,
+                    "retries": retries,
+                    "skipped": True,
+                }
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": app_id, "version": app_version,
+                          "lastUpdated": ts_ms}}
+            )
         actions.extend(removes)
         actions.extend(adds)
         actions.append(
@@ -331,3 +369,41 @@ def _collect_stats(
             }
         )
     return out
+
+
+def stream_to_delta(
+    stream_df: DataFrame,
+    path: str,
+    app_id: str,
+    checkpoint_location: str,
+    mode: str = "append",
+    available_now: bool = True,
+    **write_kwargs,
+):
+    """Exactly-once streaming sink into a Delta table: every
+    micro-batch commits through :func:`write_delta` with
+    ``txn=(app_id, batch_id)``, so a batch replayed after a crash
+    between the data write and the commit (or after a checkpoint
+    rollback) is recognized in the log and skipped — the same
+    ``txn``-action mechanism Delta's own streaming sink uses.
+
+    Returns the configured ``DataStreamWriter`` — call ``.start()``
+    (``available_now=True`` drains the source and stops, the batch
+    ingestion trigger used across the engine's streaming tier)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            mode=mode,
+            txn=(app_id, int(batch_id)),
+            **write_kwargs,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -153,6 +153,7 @@ def delta_snapshot(
     files: dict[int, dict] = {}
     meta: dict | None = None
     protocol: dict | None = None
+    txns: dict[str, int] = {}
     start = 0
 
     cps = _checkpoints(fs, log_dir)
@@ -163,7 +164,7 @@ def delta_snapshot(
         cp = spark.read.parquet(*cps[cp_ver])
         cols = set(cp.columns)
         rows = cp.select(
-            *[c for c in ("add", "remove", "metaData", "protocol") if c in cols]
+            *[c for c in ("add", "remove", "metaData", "protocol", "txn") if c in cols]
         ).collect()
         for r in rows:
             d = r.asDict(recursive=True)
@@ -182,6 +183,11 @@ def delta_snapshot(
         rem = action.get("remove")
         if rem and rem.get("path"):
             files.pop(rem["path"], None)
+        tx = action.get("txn")
+        if tx and tx.get("appId") is not None:
+            txns[tx["appId"]] = max(
+                int(tx.get("version") or 0), txns.get(tx["appId"], -1)
+            )
 
     for a in actions_from_checkpoint:
         _apply(a)
@@ -242,6 +248,7 @@ def delta_snapshot(
         "partition_columns": list(meta.get("partitionColumns") or []),
         "protocol": protocol or {"minReaderVersion": 1},
         "column_mapping": {"mode": cm_mode, "physical": physical},
+        "txns": txns,
     }
 
 

@@ -168,6 +168,72 @@ class TestStatsAndZorder:
             write_lake(spark, spark.range(1), d, format="orc")
 
 
+class TestTxnIdempotence:
+    def test_same_txn_skips(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        rep = write_delta(
+            spark, spark.range(3).withColumn("v", F.lit("a")), t,
+            txn=("appA", 0),
+        )
+        assert not rep.get("skipped")
+        # replay of the SAME (app, version): recognized, no new rows
+        rep = write_delta(
+            spark, spark.range(3).withColumn("v", F.lit("a")), t,
+            txn=("appA", 0),
+        )
+        assert rep["skipped"] and rep["files_added"] == 0
+        assert read_delta(spark, t).count() == 3
+        # next version lands; an older version replays as a skip too
+        rep = write_delta(
+            spark, spark.range(3, 5).withColumn("v", F.lit("b")), t,
+            txn=("appA", 1),
+        )
+        assert not rep.get("skipped")
+        rep = write_delta(
+            spark, spark.range(99).withColumn("v", F.lit("x")), t,
+            txn=("appA", 0),
+        )
+        assert rep["skipped"]
+        assert read_delta(spark, t).count() == 5
+        # a DIFFERENT app's version 0 is independent
+        rep = write_delta(
+            spark, spark.range(5, 6).withColumn("v", F.lit("c")), t,
+            txn=("appB", 0),
+        )
+        assert not rep.get("skipped")
+        assert read_delta(spark, t).count() == 6
+        snap = delta_snapshot(spark, t)
+        assert snap["txns"] == {"appA": 1, "appB": 0}
+
+    def test_stream_to_delta_exactly_once(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            stream_to_delta,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.range(5).withColumn("v", F.lit("s")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b1"))
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .parquet(str(src / "*"))
+        )
+        t = str(tmp_path / "t")
+        q = stream_to_delta(
+            stream, t, "ingest", str(tmp_path / "ckpt")
+        ).start()
+        q.awaitTermination(120)
+        assert read_delta(spark, t).count() == 5
+        # drain again with a FRESH checkpoint (simulating a replay of
+        # the same batches): the txn ledger skips them
+        q = stream_to_delta(
+            stream, t, "ingest", str(tmp_path / "ckpt2")
+        ).start()
+        q.awaitTermination(120)
+        assert read_delta(spark, t).count() == 5
+
+
 class TestCommitProtocol:
     def test_lost_race_retries_with_next_version(self, spark, tmp_path):
         """A competing commit appearing at the claimed version bumps
