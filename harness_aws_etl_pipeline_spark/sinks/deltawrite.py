@@ -58,6 +58,7 @@ def write_delta(
     zorder_files: int | None = None,
     stats: bool = True,
     txn: tuple[str, int] | None = None,
+    checkpoint_interval: int | None = 10,
     max_commit_retries: int = 20,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``. Returns
@@ -276,6 +277,15 @@ def write_delta(
         fs.write_bytes(tmp, payload)
         dest = posixpath.join(log_dir, f"{version:020d}.json")
         if fs.rename_if_absent(tmp, dest):
+            if (
+                checkpoint_interval
+                and version > 0
+                and (version + 1) % checkpoint_interval == 0
+            ):
+                try:
+                    _write_classic_checkpoint(spark, fs, base, version)
+                except Exception:  # noqa: BLE001 - checkpoint is an optimization
+                    pass  # the JSON log remains the source of truth
             return {
                 "version": version,
                 "files_added": len(adds),
@@ -407,3 +417,88 @@ def stream_to_delta(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+_CP_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:long,"
+    "modificationTime:long,dataChange:boolean,stats:string,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:long>>, "
+    "metaData struct<id:string,format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>,"
+    "createdTime:long>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>>, "
+    "txn struct<appId:string,version:long,lastUpdated:long>"
+)
+
+
+def _write_classic_checkpoint(
+    spark: SparkSession, fs, base: str, version: int
+) -> None:
+    """Classic single-part checkpoint at ``version``: the live add
+    set, metaData, protocol AND the txn ledger (without the txn rows a
+    checkpoint would amnesia the idempotence state once the JSON
+    commits it supersedes are cleaned). Plus ``_last_checkpoint``."""
+    snap = delta_snapshot(spark, base, version)
+    rows = []
+    for p, add in sorted(snap["files"].items()):
+        dv = add.get("deletionVector")
+        dv_t = (
+            (
+                dv.get("storageType"),
+                dv.get("pathOrInlineDv"),
+                dv.get("offset"),
+                dv.get("sizeInBytes"),
+                dv.get("cardinality"),
+            )
+            if dv and dv.get("storageType")
+            else None
+        )
+        rows.append((
+            (
+                p,
+                add.get("partitionValues") or {},
+                int(add.get("size") or 0),
+                int(add.get("modificationTime") or 0),
+                bool(add.get("dataChange", True)),
+                add.get("stats"),
+                dv_t,
+            ),
+            None, None, None,
+        ))
+    schema_str = snap["schema"].json() if snap["schema"] is not None else None
+    rows.append((
+        None,
+        ("deltawrite", ("parquet", {}), schema_str,
+         snap["partition_columns"], {}, 0),
+        None, None,
+    ))
+    proto = snap["protocol"]
+    rows.append((
+        None, None,
+        (int(proto.get("minReaderVersion", 1)),
+         int(proto.get("minWriterVersion", 2)),
+         proto.get("readerFeatures")),
+        None,
+    ))
+    for app, ver in sorted(snap["txns"].items()):
+        rows.append((None, None, None, (app, int(ver), 0)))
+    log_dir = posixpath.join(base, _LOG)
+    stage = posixpath.join(base, ".dlw_tmp", f"cp-{uuid.uuid4().hex}")
+    spark.createDataFrame(rows, _CP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(
+        rel
+        for rel, _mt, _sz in fs.list_files(stage)
+        if rel.endswith(".parquet")
+    )
+    dest = posixpath.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    fs.rename_if_absent(posixpath.join(stage, part), dest)
+    fs.delete(stage, recursive=True)
+    fs.write_bytes(
+        posixpath.join(log_dir, "_last_checkpoint"),
+        json.dumps({"version": version, "size": len(rows)}).encode("utf-8"),
+    )

@@ -168,6 +168,43 @@ class TestStatsAndZorder:
             write_lake(spark, spark.range(1), d, format="orc")
 
 
+class TestCheckpointing:
+    def test_interval_checkpoint_preserves_fold_and_txns(
+        self, spark, tmp_path
+    ):
+        """checkpoint_interval=5 → a checkpoint at v4; deleting every
+        superseded JSON commit still folds the snapshot AND the txn
+        ledger (idempotence state must survive checkpointing)."""
+        import glob as _glob
+        import os as _os
+
+        t = str(tmp_path / "t")
+        for i in range(6):
+            write_delta(
+                spark,
+                spark.range(i * 10, i * 10 + 2).withColumn("v", F.lit(str(i))),
+                t,
+                txn=("app", i),
+                checkpoint_interval=5,
+            )
+        log = tmp_path / "t" / "_delta_log"
+        assert (log / f"{4:020d}.checkpoint.parquet").exists()
+        assert json.loads((log / "_last_checkpoint").read_text())["version"] == 4
+        for p in sorted(_glob.glob(str(log / "*.json")))[:5]:
+            _os.unlink(p)  # commits 0..4 now live only in the checkpoint
+        snap = delta_snapshot(spark, t)
+        assert snap["version"] == 5
+        assert snap["txns"] == {"app": 5}
+        assert read_delta(spark, t).count() == 12
+        # a replayed batch from BEFORE the checkpoint still skips
+        rep = write_delta(
+            spark, spark.range(99).withColumn("v", F.lit("x")), t,
+            txn=("app", 2), checkpoint_interval=5,
+        )
+        assert rep["skipped"]
+        assert read_delta(spark, t).count() == 12
+
+
 class TestTxnIdempotence:
     def test_same_txn_skips(self, spark, tmp_path):
         t = str(tmp_path / "t")
