@@ -104,8 +104,12 @@ def write_delta(
         raise ValueError(f"partition_by columns not in DataFrame: {missing}")
 
     commits = _commit_files(fs, log_dir)
+    table_id = str(uuid.uuid4())
     if commits:
         prev = delta_snapshot(spark, base)
+        # the table id is stable for the table's whole life (spec);
+        # only a brand-new table mints one
+        table_id = prev.get("metadata_id") or table_id
         if sorted(prev["partition_columns"]) != sorted(pcols):
             raise ValueError(
                 f"table is partitioned by {prev['partition_columns']}, "
@@ -186,7 +190,7 @@ def write_delta(
     schema_str = df.schema.json()
     meta_action = {
         "metaData": {
-            "id": str(uuid.uuid4()),
+            "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_str,
             "partitionColumns": pcols,

@@ -249,6 +249,7 @@ def delta_snapshot(
         "protocol": protocol or {"minReaderVersion": 1},
         "column_mapping": {"mode": cm_mode, "physical": physical},
         "txns": txns,
+        "metadata_id": meta.get("id"),
     }
 
 
