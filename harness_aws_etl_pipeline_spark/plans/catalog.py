@@ -1670,14 +1670,36 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """L1/L2/L3 — write parquet/csv/json/orc, re-read, verify counts
     and a content checksum survive the round trip (reference
     loader.py:104-127; orc is a Spark-native format beyond the
-    reference's three)."""
+    reference's three).
+
+    Round-10 legs: the no-jar INTEROP WRITERS under the same checksum
+    — ``write_delta``→``read_delta`` (put-if-absent commit, log fold)
+    and ``write_iceberg``→``read_iceberg`` (avro manifests, CAS
+    metadata rename) — so both writer tiers sit under the driver's
+    value gate, not just their own suites."""
     import tempfile
 
     from harness_aws_etl_pipeline_spark.sinks import write_table
+    from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+    from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+        write_iceberg,
+    )
+    from harness_aws_etl_pipeline_spark.sources.deltaread import read_delta
+    from harness_aws_etl_pipeline_spark.sources.icebergread import (
+        read_iceberg,
+    )
 
     li = tables(spark, sf)["lineitem"].select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
+
+    def _checksum(back) -> tuple[int, int]:
+        row = back.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_orderkey").alias("key_sum"),
+        ).first()
+        return (int(row["cnt"]), int(row["key_sum"]))
+
     with tempfile.TemporaryDirectory(prefix="sink_roundtrip_") as tmp:
         results = {}
         for fmt in ("parquet", "csv", "json", "orc"):
@@ -1686,11 +1708,13 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             back = (
                 spark.read.schema(li.schema).option("header", True).format(fmt).load(path)
             )
-            row = back.agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum("l_orderkey").alias("key_sum"),
-            ).first()
-            results[fmt] = (int(row["cnt"]), int(row["key_sum"]))
+            results[fmt] = _checksum(back)
+        write_delta(
+            spark, li, f"{tmp}/delta", stats=False, checkpoint_interval=None
+        )
+        results["delta"] = _checksum(read_delta(spark, f"{tmp}/delta"))
+        write_iceberg(spark, li, f"{tmp}/iceberg")
+        results["iceberg"] = _checksum(read_iceberg(spark, f"{tmp}/iceberg"))
     rows = [(fmt, c, s) for fmt, (c, s) in sorted(results.items())]
     return spark.createDataFrame(rows, "format string, row_cnt bigint, key_sum bigint")
 
@@ -1698,7 +1722,8 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_SINK_ROUNDTRIP = """
 SELECT fmt AS format, (SELECT COUNT(*) FROM lineitem) AS row_cnt,
        (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM lineitem) AS key_sum
-FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) AS t(fmt)
+FROM (VALUES ('csv'), ('delta'), ('iceberg'), ('json'), ('orc'),
+             ('parquet')) AS t(fmt)
 ORDER BY fmt
 """
 
