@@ -118,7 +118,8 @@ def decode_stub(payload: bytes, modality: str, strict: bool = False) -> list[flo
 # progressive (operators/jpeg.py). These make the decode step of the
 # multimodal path REAL — the mapInPandas plumbing feeds actual pixel
 # arrays, not fakes. Motion-JPEG AVI frame sampling rides the same
-# JPEG path (operators/video.py); compressed audio and inter-frame
+# JPEG path (operators/video.py); FLAC decode is real too
+# (operators/flac.py via decode_audio); mp3/aac and inter-frame
 # video codecs stay stubbed (their codecs aren't in this container).
 
 
@@ -842,6 +843,47 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "modality": "audio/wav",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+def synthesize_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL FLAC per row — the SAME signal definitions
+    as :func:`synthesize_wav_media` (mono 16-bit, ``n = 50 + id %
+    100`` frames of constant amplitude ``(id * 17) % 2000 - 1000``)
+    compressed through ``operators/flac.py``, so the decoded sums are
+    closed-form in the id AND container-invariant: the FLAC leg's
+    oracle values equal the WAV leg's by construction."""
+    from hashlib import md5
+
+    from harness_aws_etl_pipeline_spark.operators.flac import encode_flac
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % 100
+                amp = (mid * 17) % 2000 - 1000
+                payloads.append(
+                    encode_flac(
+                        np.full(n, amp, dtype=np.int64),
+                        sample_rate=8000,
+                        bits_per_sample=16,
+                        blocksize=64,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "audio/flac",
                     "payload": payloads,
                     "byte_size": [len(p) for p in payloads],
                     "content_hash": [md5(p).hexdigest() for p in payloads],

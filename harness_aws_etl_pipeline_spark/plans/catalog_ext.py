@@ -2314,6 +2314,21 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.element_at("feature", 5))).cast("long").alias("wav_mean_sum"),
         F.round(F.sum(F.element_at("feature", 6))).cast("long").alias("wav_rms_sum"),
     )
+    # FLAC leg (round 10): the SAME signals through the FLAC codec —
+    # decoded sums must equal the WAV leg's (container invariance
+    # under the driver's value gate, not just the unit suites)
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_flac_media,
+    )
+
+    flac_decoded = extract_audio_features(
+        synthesize_flac_media(docs, id_col="doc_id")
+    )
+    flac_agg = flac_decoded.agg(
+        F.round(F.sum(F.element_at("feature", 3))).cast("long").alias("flac_frames_sum"),
+        F.round(F.sum(F.element_at("feature", 5))).cast("long").alias("flac_mean_sum"),
+        F.round(F.sum(F.element_at("feature", 6))).cast("long").alias("flac_rms_sum"),
+    )
     # media-hash legs (round 6): planted payloads whose perceptual-
     # hash bits are HAND-COMPUTABLE facts of the algorithms — the
     # oracle states them as constants (the NFKC planted-fact
@@ -2431,6 +2446,7 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(tiff_agg))
         .crossJoin(F.broadcast(avi_agg))
         .crossJoin(F.broadcast(wav_agg))
+        .crossJoin(F.broadcast(flac_agg))
         .crossJoin(F.broadcast(hash_agg))
         .crossJoin(F.broadcast(mp4_agg))
         .crossJoin(F.broadcast(mp3_agg))
@@ -2468,6 +2484,10 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(50 + doc_id % 100) AS BIGINT) AS wav_frames_sum,
        CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS wav_mean_sum,
        CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS wav_rms_sum,
+       -- FLAC leg: same signal definitions through the FLAC codec
+       CAST(SUM(50 + doc_id % 100) AS BIGINT) AS flac_frames_sum,
+       CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS flac_mean_sum,
+       CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS flac_rms_sum,
        -- media-hash facts (round 6): hand-computable from the hash
        -- definitions over the planted payloads (see q_multimodal_meta)
        CAST(-4294967296 AS BIGINT) AS mh_ahash_split,
