@@ -1,0 +1,93 @@
+"""Deletion-vector DELETE (sinks/deltadml.py): DV write path — inline
+and sidecar vectors, protocol upgrade, DV union on repeat deletes,
+partitioned predicates, bounds."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.deltadml import delta_delete_where
+from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+from harness_aws_etl_pipeline_spark.sources.deltaread import (
+    delta_snapshot,
+    read_delta,
+)
+
+
+class TestDeleteWhere:
+    def test_inline_dv_delete_and_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(20).withColumn("v", F.lit("a")), t)
+        rep = delta_delete_where(spark, t, "id % 5 = 0")
+        assert rep["rows_deleted"] == 4 and rep["version"] == 1
+        got = {r.id for r in read_delta(spark, t).collect()}
+        assert got == set(range(20)) - {0, 5, 10, 15}
+        # time travel still sees everything; protocol upgraded
+        assert read_delta(spark, t, version=0).count() == 20
+        proto = delta_snapshot(spark, t)["protocol"]
+        assert proto["minReaderVersion"] == 3
+        assert "deletionVectors" in proto["readerFeatures"]
+        # no parquet was rewritten — the same data files are live
+        assert rep["files_touched"] >= 1
+
+    def test_repeat_delete_unions_dvs(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(10).withColumn("v", F.lit("a")), t)
+        delta_delete_where(spark, t, "id < 3")
+        rep = delta_delete_where(spark, t, "id >= 8")
+        assert rep["rows_deleted"] == 2
+        got = {r.id for r in read_delta(spark, t).collect()}
+        assert got == {3, 4, 5, 6, 7}
+        # deleting already-deleted rows is a no-op commit
+        rep = delta_delete_where(spark, t, "id < 3")
+        assert rep["rows_deleted"] == 0 and rep["files_touched"] == 0
+        assert read_delta(spark, t).count() == 5
+
+    def test_sidecar_dv_for_large_deletes(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.range(20000).withColumn("v", F.lit("x")).coalesce(1),
+            t,
+        )
+        rep = delta_delete_where(spark, t, "id % 2 = 0")
+        assert rep["rows_deleted"] == 10000
+        # a .bin sidecar exists and the read path applies it
+        assert glob.glob(str(tmp_path / "t" / "deletion_vector_*.bin"))
+        out = read_delta(spark, t)
+        assert out.count() == 10000
+        assert out.agg(F.min("id")).collect()[0][0] == 1
+
+    def test_partition_predicate(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id long, g int"
+        )
+        write_delta(spark, df, t, partition_by=["g"])
+        rep = delta_delete_where(spark, t, "g = 1 AND id > 5")
+        assert rep["rows_deleted"] == 2  # ids 7, 9
+        got = {(r.id, r.g) for r in read_delta(spark, t).collect()}
+        assert got == {(i, i % 2) for i in range(10)} - {(7, 1), (9, 1)}
+
+    def test_bulk_bound(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(100).withColumn("v", F.lit("a")), t)
+        with pytest.raises(ValueError, match="rewrite-based"):
+            delta_delete_where(spark, t, "id >= 0", max_deleted_rows=10)
+
+    def test_changes_window_rejects_dv_commit(self, spark, tmp_path):
+        """A DV delete re-adds the same path — append-only change
+        capture must refuse the window (the reader-side guard closes
+        the loop on the writer)."""
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(6).withColumn("v", F.lit("a")), t)
+        delta_delete_where(spark, t, "id = 0")
+        with pytest.raises(ValueError, match="append-only"):
+            delta_changes(spark, t, since_version=0)
