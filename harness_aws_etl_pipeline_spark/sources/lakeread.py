@@ -57,8 +57,8 @@ def write_lake(
 ) -> dict:
     """Dispatch face for the writer tier (the :func:`read_lake`
     mirror): ``delta`` → ``sinks/deltawrite``, ``iceberg`` →
-    ``sinks/icebergwrite``, ``snaptable`` → ``SnapTable.write``,
-    ``parquet`` → stock writer. kwargs pass through (``mode``,
+    ``sinks/icebergwrite``, ``hudi`` → ``sinks/hudiwrite``,
+    ``snaptable`` → ``SnapTable.write``, ``parquet`` → stock writer. kwargs pass through (``mode``,
     ``partition_by``, ``zorder``/``zorder_by``, ...)."""
     if format == "delta":
         from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
@@ -72,6 +72,10 @@ def write_lake(
         )
 
         return write_iceberg(spark, df, path, **kwargs)
+    if format == "hudi":
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import write_hudi
+
+        return write_hudi(spark, df, path, **kwargs)
     if format == "snaptable":
         from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
 

@@ -1,0 +1,102 @@
+"""Native Hudi CoW writer (sinks/hudiwrite.py): append/overwrite round
+trips through the in-repo reader, replacecommit supersession, instant
+CAS race, incremental changes over written commits."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.hudiwrite import write_hudi
+from harness_aws_etl_pipeline_spark.sources.hudiread import (
+    hudi_changes,
+    hudi_snapshot,
+    hudi_timeline,
+    read_hudi,
+)
+
+
+class TestRoundTrip:
+    def test_append_and_changes(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        rep = write_hudi(spark, spark.range(4).withColumn("v", F.lit("a")), t)
+        assert rep["action"] == "commit" and rep["files_added"] >= 1
+        first = rep["instant"]
+        time.sleep(0.01)
+        write_hudi(spark, spark.range(4, 6).withColumn("v", F.lit("b")), t)
+        got = {(r.id, r.v) for r in read_hudi(spark, t).collect()}
+        assert got == {
+            (0, "a"), (1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")
+        }
+        # time travel to the first instant
+        assert read_hudi(spark, t, as_of_instant=first).count() == 4
+        # incremental: appends are representable
+        inc = {(r.id, r.v) for r in hudi_changes(spark, t, first).collect()}
+        assert inc == {(4, "b"), (5, "b")}
+
+    def test_overwrite_is_replacecommit(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        rep0 = write_hudi(
+            spark, spark.range(5).withColumn("v", F.lit("old")), t
+        )
+        time.sleep(0.01)
+        rep = write_hudi(
+            spark,
+            spark.range(9, 11).withColumn("v", F.lit("new")),
+            t,
+            mode="overwrite",
+        )
+        assert rep["action"] == "replacecommit"
+        assert rep["groups_replaced"] >= 1
+        got = {(r.id, r.v) for r in read_hudi(spark, t).collect()}
+        assert got == {(9, "new"), (10, "new")}
+        # old groups still on disk; time travel sees them
+        old = {
+            (r.id, r.v)
+            for r in read_hudi(spark, t, as_of_instant=rep0["instant"]).collect()
+        }
+        assert old == {(i, "old") for i in range(5)}
+        actions = [x["action"] for x in hudi_timeline(spark, t)]
+        assert actions == ["commit", "replacecommit"]
+        snap = hudi_snapshot(spark, t)
+        assert snap["file_groups"] == rep["files_added"]
+
+    def test_concurrent_appenders_both_land(self, spark, tmp_path):
+        import threading
+
+        t = str(tmp_path / "t")
+        write_hudi(spark, spark.range(0).withColumn("v", F.lit("")), t)
+        errs: list[Exception] = []
+
+        def go(lo: int):
+            try:
+                write_hudi(
+                    spark,
+                    spark.range(lo, lo + 2).withColumn("v", F.lit(str(lo))),
+                    t,
+                )
+            except Exception as e:  # noqa: BLE001 - surfaced below
+                errs.append(e)
+
+        th = [threading.Thread(target=go, args=(lo,)) for lo in (10, 20)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert not errs
+        assert {r.id for r in read_hudi(spark, t).collect()} == {
+            10, 11, 20, 21
+        }
+
+    def test_guards(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="mode"):
+            write_hudi(spark, spark.range(1), str(tmp_path / "t"), mode="upsert")
+        mor = tmp_path / "mor" / ".hoodie"
+        mor.mkdir(parents=True)
+        (mor / "hoodie.properties").write_text(
+            "hoodie.table.name=m\nhoodie.table.type=MERGE_ON_READ\n"
+        )
+        with pytest.raises(ValueError, match="MERGE_ON_READ"):
+            write_hudi(spark, spark.range(1), str(tmp_path / "mor"))
