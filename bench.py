@@ -1144,6 +1144,58 @@ def _bench_lake(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _bench_writers(spark, sf_dir: str) -> dict:
+    """Writer-tier leg (round 10) — NOT a catalog entry: the same
+    orders projection written as plain parquet, as a Delta commit
+    (per-file stats on), and as an Iceberg snapshot; the deltas over
+    the parquet baseline measure the metadata/commit overhead each
+    protocol adds (stats job, log/manifest writes, CAS claim) rather
+    than asserting it is small."""
+    import shutil
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+    from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+        write_iceberg,
+    )
+    from harness_aws_etl_pipeline_spark.sources.deltaread import read_delta
+    from harness_aws_etl_pipeline_spark.sources.icebergread import (
+        read_iceberg,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_writers_")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        ).repartition(16)
+        n = o.count()
+        start = time.perf_counter()
+        o.write.mode("overwrite").parquet(f"{tmp}/pq")
+        pq_s = time.perf_counter() - start
+        start = time.perf_counter()
+        rep_d = write_delta(spark, o, f"{tmp}/delta")
+        delta_s = time.perf_counter() - start
+        start = time.perf_counter()
+        rep_i = write_iceberg(spark, o, f"{tmp}/ice")
+        ice_s = time.perf_counter() - start
+        ok = (
+            read_delta(spark, f"{tmp}/delta").count() == n
+            and read_iceberg(spark, f"{tmp}/ice").count() == n
+        )
+        return {
+            "rows": n,
+            "files": rep_d["files_added"],
+            "parquet_s": round(pq_s, 3),
+            "delta_s": round(delta_s, 3),
+            "iceberg_s": round(ice_s, 3),
+            "delta_overhead_s": round(delta_s - pq_s, 3),
+            "iceberg_overhead_s": round(ice_s - pq_s, 3),
+            "readback_ok": ok,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_pagerank(spark, sf_dir: str) -> dict:
     """PageRank leg (round 6) — NOT a catalog entry: the production
     (eager) path of operators/linkgraph.py timed on a graph derived
@@ -1374,6 +1426,13 @@ def main() -> None:
         lake = {"error": str(exc)[:500]}
     print(f"# lake: {lake}", file=sys.stderr)
 
+    # writer-tier leg (round 10) — also outside "queries"
+    try:
+        writers = _bench_writers(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        writers = {"error": str(exc)[:500]}
+    print(f"# writers: {writers}", file=sys.stderr)
+
     # web-corpus extraction leg (round 6) — also outside "queries"
     try:
         web = _bench_web_prep(spark, sf_dir)
@@ -1456,6 +1515,7 @@ def main() -> None:
         "pagerank": pr,
         "pq": pq,
         "lake": lake,
+        "writers": writers,
         "bloom_join": bloom,
         "tpch_pack": tpch,
         "fuzzy_join": fuzzy,
