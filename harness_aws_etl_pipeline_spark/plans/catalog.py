@@ -562,7 +562,10 @@ def q_ni_ks(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("n_ref").alias("ks_n_ref"),
         F.col("n_cur").alias("ks_n_cur"),
-        "ks_num",
+        # BIGINT on the oracle wire: the numerator fits a long at every
+        # test SF (<= n_ref*n_cur ~ 9e8 at sf0.01); the operator keeps
+        # its internal decimal(38,0) for 100 TB overflow safety.
+        F.col("ks_num").cast("long").alias("ks_num"),
         # exact-integer drift decision (values fit longs at test SF;
         # the operator's internal statistic stays decimal for 100 TB)
         (F.col("ks_num").cast("long") * 20 > F.col("n_ref") * F.col("n_cur"))
@@ -582,7 +585,7 @@ def q_ni_tvd(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("n_ref").alias("tvd_n_ref"),
         F.col("n_cur").alias("tvd_n_cur"),
-        "tvd_num",
+        F.col("tvd_num").cast("long").alias("tvd_num"),
     )
 
 
@@ -757,7 +760,7 @@ c AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
              SUM(c2) OVER (ORDER BY v) AS cum2 FROM d)
 SELECT CAST(n1 AS BIGINT) AS ks_n_ref,
        CAST(n2 AS BIGINT) AS ks_n_cur,
-       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DECIMAL(38,0)) AS ks_num,
+       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
        CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) * 20
          > CAST(n1 AS BIGINT) * CAST(n2 AS BIGINT) AS ks_drifted
 FROM c, n GROUP BY n1, n2
@@ -778,7 +781,7 @@ d AS (SELECT v, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
 n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
 SELECT CAST(n1 AS BIGINT) AS tvd_n_ref,
        CAST(n2 AS BIGINT) AS tvd_n_cur,
-       CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DECIMAL(38,0)) AS tvd_num
+       CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS tvd_num
 FROM d, n GROUP BY n1, n2
 """
 
