@@ -144,18 +144,7 @@ def delta_delete_where(
         key = abs_to_key.get(r["__fp"])
         if key is not None:
             by_key.setdefault(key, set()).add(int(r["__pos"]))
-    matches: dict[str, list[int]] = {}
-    total = 0
-    for key, pos in by_key.items():
-        dv = snap["files"][key].get("deletionVector")
-        already: set[int] = set()
-        if dv and dv.get("storageType"):
-            already = set(_load_dv(fs, base, dv))
-        fresh = pos - already
-        total += len(fresh)
-        if fresh:
-            matches[key] = sorted(pos | already)
-    if not matches:
+    if not by_key:
         return {
             "version": snap["version"],
             "rows_deleted": 0,
@@ -165,46 +154,77 @@ def delta_delete_where(
 
     ts_ms = int(time.time() * 1000)
 
-    # ---- build DV descriptors (inline or one shared .bin sidecar)
-    blobs: list[bytes] = []
-    descriptors: dict[str, dict] = {}
-    sidecar_keys: list[str] = []
-    for key, positions in sorted(matches.items()):
-        blob = encode_dv_blob(positions)
-        if len(blob) <= _INLINE_LIMIT:
-            padded = blob + b"\x00" * ((-len(blob)) % 4)
-            descriptors[key] = {
-                "storageType": "i",
-                "pathOrInlineDv": z85_encode(padded),
-                "sizeInBytes": len(blob),
-                "cardinality": len(positions),
-            }
-        else:
-            sidecar_keys.append(key)
-            blobs.append(blob)
-    if blobs:
-        data, offsets = frame_dv_file(blobs)
-        u = uuid.uuid4()
-        fs.write_bytes(
-            posixpath.join(base, f"deletion_vector_{u}.bin"), data
-        )
-        enc = z85_encode(u.bytes)
-        for key, blob, off in zip(sidecar_keys, blobs, offsets):
-            descriptors[key] = {
-                "storageType": "u",
-                "pathOrInlineDv": enc,
-                "offset": off,
-                "sizeInBytes": len(blob),
-                "cardinality": len(matches[key]),
-            }
-
-    # ---- commit loop (put-if-absent, like write_delta)
+    # ---- commit loop (put-if-absent, like write_delta). The DV union
+    # and descriptors are (re)built against the snapshot the commit is
+    # based on — a concurrent delete that lands a DV for the same file
+    # between our scan and our winning commit would otherwise be
+    # silently overwritten and its rows resurrected.
     log_dir = posixpath.join(base, _LOG)
     retries = 0
     while True:
         commits = _commit_files(fs, log_dir)
         version = (max(commits) + 1) if commits else 0
         cur = delta_snapshot(spark, base, version - 1) if version else snap
+        matches: dict[str, list[int]] = {}
+        total = 0
+        for key, pos in sorted(by_key.items()):
+            add = cur["files"].get(key)
+            if add is None:
+                raise ValueError(
+                    f"file {key!r} vanished from the snapshot while "
+                    "deleting (concurrent rewrite); rerun the delete"
+                )
+            dv = add.get("deletionVector")
+            already: set[int] = set()
+            if dv and dv.get("storageType"):
+                already = set(_load_dv(fs, base, dv))
+            fresh = pos - already
+            total += len(fresh)
+            if fresh:
+                matches[key] = sorted(pos | already)
+        if not matches:
+            return {
+                "version": cur["version"],
+                "rows_deleted": 0,
+                "files_touched": 0,
+                "retries": retries,
+            }
+
+        # DV descriptors (inline or one shared .bin sidecar). A retry
+        # may re-write a sidecar; the loser's orphan is never
+        # referenced by any commit and is vacuum-able.
+        blobs: list[bytes] = []
+        descriptors: dict[str, dict] = {}
+        sidecar_keys: list[str] = []
+        for key, positions in sorted(matches.items()):
+            blob = encode_dv_blob(positions)
+            if len(blob) <= _INLINE_LIMIT:
+                padded = blob + b"\x00" * ((-len(blob)) % 4)
+                descriptors[key] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(padded),
+                    "sizeInBytes": len(blob),
+                    "cardinality": len(positions),
+                }
+            else:
+                sidecar_keys.append(key)
+                blobs.append(blob)
+        if blobs:
+            data, offsets = frame_dv_file(blobs)
+            u = uuid.uuid4()
+            fs.write_bytes(
+                posixpath.join(base, f"deletion_vector_{u}.bin"), data
+            )
+            enc = z85_encode(u.bytes)
+            for key, blob, off in zip(sidecar_keys, blobs, offsets):
+                descriptors[key] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": enc,
+                    "offset": off,
+                    "sizeInBytes": len(blob),
+                    "cardinality": len(matches[key]),
+                }
+
         actions: list[dict] = []
         proto = cur["protocol"]
         feats = set(proto.get("readerFeatures") or [])

@@ -346,7 +346,7 @@ def _collect_stats(
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"))
-    rows = (
+    plan = (
         spark.read.parquet(*[f"{base}/{r}" for r in rel_paths])
         .select(
             F.regexp_replace(
@@ -356,31 +356,61 @@ def _collect_stats(
         )
         .groupBy("__fp")
         .agg(*aggs)
-        .collect()
     )
+    # collect under UTC — PySpark renders timestamps in the SESSION
+    # zone, and Delta stats are UTC-normalized ("...Z"); a non-UTC
+    # session would shift min/max and mislead external data-skippers
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = plan.collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+    import datetime as _dt
+    import decimal as _dec
+    import re as _re
+
+    _DEC_OPEN, _DEC_CLOSE = "\x00dec:", "\x00"
 
     def _j(v):
-        import datetime as _dt
-        import decimal as _dec
-
-        if isinstance(v, (_dt.date, _dt.datetime)):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return (
+                v.strftime("%Y-%m-%dT%H:%M:%S.")
+                + f"{v.microsecond // 1000:03d}Z"
+            )
+        if isinstance(v, _dt.date):
             return v.isoformat()
         if isinstance(v, _dec.Decimal):
-            return float(v)
+            # exact: marked here, spliced into the JSON as a raw
+            # number below (str(Decimal) is valid JSON number syntax)
+            return _DEC_OPEN + str(v) + _DEC_CLOSE
         return v
+
+    def _splice_decimals(s: str) -> str:
+        return _re.sub(
+            r'"\\u0000dec:(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)'
+            r'\\u0000"',
+            r"\1",
+            s,
+        )
 
     out: dict[str, str] = {}
     for r in rows:
         rel = abs_to_rel.get(r["__fp"])
         if rel is None:
             continue
-        out[rel] = json.dumps(
-            {
-                "numRecords": int(r["__n"]),
-                "minValues": {c: _j(r[f"__mn_{c}"]) for c in cols},
-                "maxValues": {c: _j(r[f"__mx_{c}"]) for c in cols},
-                "nullCount": {c: int(r[f"__nc_{c}"]) for c in cols},
-            }
+        out[rel] = _splice_decimals(
+            json.dumps(
+                {
+                    "numRecords": int(r["__n"]),
+                    "minValues": {c: _j(r[f"__mn_{c}"]) for c in cols},
+                    "maxValues": {c: _j(r[f"__mx_{c}"]) for c in cols},
+                    "nullCount": {c: int(r[f"__nc_{c}"]) for c in cols},
+                }
+            )
         )
     return out
 

@@ -86,18 +86,23 @@ def write_hudi(
             ).encode("utf-8"),
         )
 
-    # groups to supersede on overwrite: the CURRENT live snapshot
-    replaced: dict[str, list[str]] = {}
-    if mode == "overwrite":
-        snap = hudi_snapshot(spark, base)
+    # groups to supersede on overwrite: recomputed from the LIVE
+    # snapshot inside the retry loop — a concurrent append that lands
+    # between our snapshot and our winning CAS must also be replaced,
+    # or its rows would survive the insert_overwrite
+    def _live_groups() -> dict[str, list[str]]:
         import re as _re
 
-        for p in snap["files"]:
+        out: dict[str, list[str]] = {}
+        for p in hudi_snapshot(spark, base)["files"]:
             rel = p[len(base) + 1 :]
             m = _re.search(r"(?P<fid>[^_/]+)_[^_/]+_\d+\.parquet$", rel)
             if m:
                 part = posixpath.dirname(rel)
-                replaced.setdefault(part, []).append(m.group("fid"))
+                out.setdefault(part, []).append(m.group("fid"))
+        return out
+
+    replaced: dict[str, list[str]] = {}
 
     # ---- commit loop: claim the instant FIRST by staging data under
     # names carrying it; a lost claim bumps the instant and renames
@@ -117,6 +122,7 @@ def write_hudi(
             suffix = "replacecommit" if mode == "overwrite" else "commit"
             meta: dict = {}
             if mode == "overwrite":
+                replaced = _live_groups()
                 meta["partitionToReplaceFileIds"] = {
                     part: fids for part, fids in replaced.items()
                 }

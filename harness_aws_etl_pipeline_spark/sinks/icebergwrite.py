@@ -54,6 +54,11 @@ _ENTRY_SCHEMA = json.dumps({
                 {"name": "content", "type": "int", "field-id": 134},
                 {"name": "file_path", "type": "string", "field-id": 100},
                 {"name": "file_format", "type": "string", "field-id": 101},
+                # spec-required even for unpartitioned tables: an
+                # empty struct matching the (empty) partition spec
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": [],
+                }},
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
@@ -247,8 +252,11 @@ def write_iceberg(
                 "sequence_number": seq,
                 "data_file": {
                     "content": 0,
-                    "file_path": p,
+                    # full location-based path, like real clients
+                    # (the reader maps it back via the location prefix)
+                    "file_path": posixpath.join(base, p),
                     "file_format": "PARQUET",
+                    "partition": {},
                     "record_count": counts.get(p, 0),
                     "file_size_in_bytes": sz,
                 },
@@ -260,7 +268,7 @@ def write_iceberg(
         fs.write_bytes(posixpath.join(base, man_rel), man_bytes)
         rows_added = sum(counts.values())
         new_manifest = {
-            "manifest_path": man_rel,
+            "manifest_path": posixpath.join(base, man_rel),
             "manifest_length": len(man_bytes),
             "partition_spec_id": 0,
             "content": 0,
@@ -337,7 +345,7 @@ def write_iceberg(
             "timestamp-ms": ts_ms,
             "sequence-number": seq,
             "summary": {"operation": mode},
-            "manifest-list": mlist_rel,
+            "manifest-list": posixpath.join(base, mlist_rel),
             "schema-id": schema_id,
         }
         new_md = {

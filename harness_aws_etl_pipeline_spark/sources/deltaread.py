@@ -426,7 +426,15 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
     observability face of the log fold."""
     base = path.rstrip("/")
     fs = get_fs(base, spark)
-    commits = _commit_files(fs, posixpath.join(base, _LOG))
+    log_dir = posixpath.join(base, _LOG)
+    commits = _commit_files(fs, log_dir)
+    # commitInfo (and its timestamp) is OPTIONAL in the Delta spec —
+    # fall back to the commit file's modification time so timestamp
+    # travel over tables written by other clients never silently skips
+    # a newer commit (the reference AS OF TIMESTAMP resolution)
+    mtimes = {
+        posixpath.basename(rel): mt for rel, mt, _sz in fs.list_files(log_dir)
+    }
     out = []
     for v in sorted(commits):
         adds = removes = 0
@@ -444,6 +452,10 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
             if ci:
                 op = ci.get("operation")
                 ts = ci.get("timestamp")
+        if ts is None:
+            mt = mtimes.get(posixpath.basename(commits[v]))
+            if mt is not None:
+                ts = int(mt * 1000)
         out.append(
             {
                 "version": v,

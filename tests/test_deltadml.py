@@ -91,3 +91,40 @@ class TestDeleteWhere:
         delta_delete_where(spark, t, "id = 0")
         with pytest.raises(ValueError, match="append-only"):
             delta_changes(spark, t, since_version=0)
+
+    def test_concurrent_dv_delete_is_unioned_not_overwritten(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A delete that commits a DV for the same file between our
+        snapshot and our winning commit must be unioned in on retry —
+        not silently overwritten (which would resurrect its rows)."""
+        import harness_aws_etl_pipeline_spark.sinks.deltadml as dml
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark, spark.range(10).withColumn("v", F.lit("a")).coalesce(1), t
+        )
+        real_get_fs = dml.get_fs
+        state = {"raced": False}
+
+        class RacingFs:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+            def rename_if_absent(self, src, dst):
+                if not state["raced"]:
+                    state["raced"] = True
+                    # concurrent winner lands a DV for the same file
+                    delta_delete_where(spark, t, "id = 7")
+                return self._inner.rename_if_absent(src, dst)
+
+        monkeypatch.setattr(
+            dml, "get_fs", lambda p, s: RacingFs(real_get_fs(p, s))
+        )
+        rep = delta_delete_where(spark, t, "id < 3")
+        assert rep["retries"] == 1 and rep["rows_deleted"] == 3
+        got = {r.id for r in read_delta(spark, t).collect()}
+        assert got == {3, 4, 5, 6, 8, 9}  # 7 stays deleted

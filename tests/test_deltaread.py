@@ -128,6 +128,27 @@ class TestSnapshotFold:
         with pytest.raises(ValueError, match="not both"):
             read_delta(spark, str(t), version=0, timestamp_ms=1500)
 
+    def test_timestamp_travel_without_commitinfo(self, spark, tmp_path):
+        """commitInfo is OPTIONAL in the spec: a newer commit without a
+        timestamp must resolve via the commit file's mtime, not be
+        silently skipped in favor of an older version."""
+        import time as _time
+
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_version_at,
+        )
+
+        t = self._basic_table(spark, tmp_path)
+        d = _datafile(spark, tmp_path, "part-d.parquet", [(9, "q")])
+        _commit(tmp_path, 2, [_add(d)])  # no commitInfo action at all
+        now_ms = int(_time.time() * 1000) + 60_000
+        assert delta_version_at(spark, str(t), now_ms) == 2
+        got = {
+            (r.id, r.v)
+            for r in read_delta(spark, str(t), timestamp_ms=now_ms).collect()
+        }
+        assert (9, "q") in got
+
     def test_version_out_of_range_and_not_delta(self, spark, tmp_path):
         t = self._basic_table(spark, tmp_path)
         with pytest.raises(ValueError, match="out of range"):

@@ -123,6 +123,35 @@ class TestStatsAndZorder:
         snap2 = delta_snapshot(spark, t2)
         assert all("stats" not in a for a in snap2["files"].values())
 
+    def test_stats_utc_timestamps_and_exact_decimals(
+        self, spark, tmp_path
+    ):
+        """Timestamp stats must be UTC-normalized Z-format regardless
+        of the session zone, and decimal stats exact JSON numbers —
+        external engines data-skip on these."""
+        t = str(tmp_path / "t")
+        df = spark.sql(
+            "SELECT TIMESTAMP'2021-01-01 00:00:00' AS ts,"
+            " CAST('12345678901234567.89' AS DECIMAL(19,2)) AS d"
+        )
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            write_delta(spark, df, t)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+        snap = delta_snapshot(spark, t)
+        (add,) = snap["files"].values()
+        st = json.loads(add["stats"])
+        # the literal parsed under the (UTC) test session → instant
+        # 00:00Z; a naive session-zone isoformat under the NY write
+        # session would have said 2020-12-31T19:00:00
+        assert st["minValues"]["ts"] == "2021-01-01T00:00:00.000Z"
+        assert st["maxValues"]["ts"].endswith("Z")
+        # decimal survives exactly as a raw JSON number (a float cast
+        # would have rounded the 19-digit value)
+        assert "12345678901234567.89" in add["stats"]
+
     def test_zorder_tightens_per_file_ranges(self, spark, tmp_path):
         """Morton layout + per-file stats: the id range covered per
         file shrinks vs a hash-shuffled write — the data-skipping win

@@ -100,3 +100,47 @@ class TestRoundTrip:
         )
         with pytest.raises(ValueError, match="MERGE_ON_READ"):
             write_hudi(spark, spark.range(1), str(tmp_path / "mor"))
+
+    def test_overwrite_replaces_concurrently_appended_group(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append that commits while the overwrite stages/retries
+        must still be superseded: partitionToReplaceFileIds is
+        recomputed from the live snapshot inside the retry loop."""
+        import harness_aws_etl_pipeline_spark.sinks.hudiwrite as hw
+
+        t = str(tmp_path / "t")
+        write_hudi(spark, spark.range(5).withColumn("v", F.lit("old")), t)
+        real_get_fs = hw.get_fs
+        state = {"raced": False}
+
+        class RacingFs:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+            def rename_if_absent(self, src, dst):
+                if not state["raced"]:
+                    state["raced"] = True
+                    write_hudi(
+                        spark,
+                        spark.range(3).withColumn("v", F.lit("race")),
+                        t,
+                    )
+                    return False  # we lost the instant claim
+                return self._inner.rename_if_absent(src, dst)
+
+        monkeypatch.setattr(
+            hw, "get_fs", lambda p, s: RacingFs(real_get_fs(p, s))
+        )
+        rep = write_hudi(
+            spark,
+            spark.range(2).withColumn("v", F.lit("new")),
+            t,
+            mode="overwrite",
+        )
+        assert rep["retries"] == 1 and rep["action"] == "replacecommit"
+        got = {(r.id, r.v) for r in read_hudi(spark, t).collect()}
+        assert got == {(0, "new"), (1, "new")}  # the raced append is gone

@@ -67,7 +67,16 @@ class TestRoundTrip:
         _s, _n, entries = _iter_container(
             (tmp_path / "t" / man["manifest_path"]).read_bytes()
         )
+        entries = list(entries)
         assert sum(e["data_file"]["record_count"] for e in entries) == 7
+        # spec-required fields external clients expect: partition is
+        # an (empty) struct even unpartitioned; paths are full
+        # location-based, not relative
+        for e in entries:
+            assert e["data_file"]["partition"] == {}
+            assert e["data_file"]["file_path"].startswith(t)
+        assert man["manifest_path"].startswith(t)
+        assert md["snapshots"][0]["manifest-list"].startswith(t)
         assert snap["files"]
 
     def test_schema_guard_and_overwrite_evolution(self, spark, tmp_path):
