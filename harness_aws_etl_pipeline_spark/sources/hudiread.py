@@ -1,23 +1,32 @@
-"""Read Apache Hudi Copy-on-Write tables WITHOUT the Hudi jar — the
-third leg of the no-jar lakehouse interop tier (Delta, Iceberg,
-Hudi). Hudi's table layout is an open spec (hudi.apache.org/tech-specs):
-a ``.hoodie/`` timeline of instant files (``<instant>.commit`` marks a
-COMPLETED commit) plus data files named
+"""Read Apache Hudi tables WITHOUT the Hudi jar — the third leg of
+the no-jar lakehouse interop tier (Delta, Iceberg, Hudi). Hudi's
+table layout is an open spec (hudi.apache.org/tech-specs):
+a ``.hoodie/`` timeline of instant files (``<instant>.commit`` /
+``.deltacommit`` mark COMPLETED commits) plus data files named
 ``<fileId>_<writeToken>_<instantTime>.parquet`` — a FILE GROUP is all
 versions of one fileId, and a snapshot at instant T is, per file
 group, the newest file slice with ``instantTime <= T``.
 
-Scope (honest): COPY_ON_WRITE tables only — MERGE_ON_READ needs log-
-file merging (Avro delta blocks applied over base files) and is
-DETECTED via ``hoodie.properties`` and rejected loudly. Snapshot and
-as-of-instant (time travel) reads; partitioned layouts supported by
-walking the data tree. Hudi's ``_hoodie_*`` meta columns are stored
-IN the parquet files and pass through (drop them with
+MERGE_ON_READ (round 11): a file slice is the base parquet PLUS its
+``.<fileId>_<baseInstant>.log.<version>_<token>`` delta logs; the
+snapshot read decodes the log blocks (``sources/hudilog``) on the
+EXECUTORS via a binaryFile scan + ``mapInPandas``, then merges
+latest-wins by ``_hoodie_record_key`` — only file groups that carry
+logs enter the merge window (one shuffle on the record key); logless
+groups stay a plain parquet scan. Delete blocks are tombstones in the
+same window; rollback command blocks void their log file's earlier
+target-instant blocks; hfile/parquet/cdc blocks and foreign content
+versions reject loudly.
+
+Snapshot and as-of-instant (time travel) reads; partitioned layouts
+supported by walking the data tree. Hudi's ``_hoodie_*`` meta columns
+are stored IN the files and pass through (drop them with
 ``drop_meta=True``).
 
 Scale shape: timeline + file listing is driver-side metadata (what
 every Hudi client's file-system view does); the data read is one
-stock parquet scan over the chosen slices.
+stock parquet scan over the chosen slices, plus the bounded
+log-merge window for slices that have deltas.
 """
 
 from __future__ import annotations
@@ -33,6 +42,9 @@ from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 __all__ = ["hudi_changes", "hudi_snapshot", "hudi_timeline", "read_hudi"]
 
 _DATA_RE = re.compile(r"(?P<fid>[^_/]+)_(?P<tok>[^_/]+)_(?P<ts>\d+)\.parquet$")
+_LOG_RE = re.compile(
+    r"^\.(?P<fid>[^_/]+)_(?P<bts>\d+)\.log\.(?P<ver>\d+)(_(?P<tok>[^/]+))?$"
+)
 _META_COLS = (
     "_hoodie_commit_time",
     "_hoodie_commit_seqno",
@@ -63,7 +75,7 @@ def hudi_timeline(spark: SparkSession, path: str) -> list[dict]:
     out = []
     for rel, _mt, _sz in fs.list_files(posixpath.join(base, ".hoodie")):
         name = posixpath.basename(rel)
-        m = re.fullmatch(r"(\d+)\.(commit|replacecommit)", name)
+        m = re.fullmatch(r"(\d+)\.(commit|deltacommit|replacecommit)", name)
         if m:
             out.append({"instant": m.group(1), "action": m.group(2)})
     return sorted(out, key=lambda x: x["instant"])
@@ -73,22 +85,21 @@ def hudi_snapshot(
     spark: SparkSession, path: str, as_of_instant: str | None = None
 ) -> dict:
     """Resolve the snapshot: ``{"instant", "files": [paths],
-    "table_type", "file_groups"}`` — per file group, the newest slice
-    at or before the target instant."""
+    "table_type", "file_groups", "log_files", "committed"}`` — per
+    file group, the newest slice at or before the target instant;
+    for MERGE_ON_READ, ``log_files`` carries each chosen slice's
+    delta logs (``read_hudi`` merges them)."""
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     props = _properties(fs, base)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
-        raise ValueError(
-            f"Hudi table type {ttype} needs log-file merging this "
-            "plain-parquet reader does not provide (compact to CoW first)"
-        )
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"unknown Hudi table type {ttype!r}")
     timeline = hudi_timeline(spark, path)
     if not timeline:
         return {
             "instant": None, "files": [], "table_type": ttype,
-            "file_groups": 0,
+            "file_groups": 0, "log_files": [], "committed": [],
         }
     completed = [t["instant"] for t in timeline]
     target = as_of_instant or completed[-1]
@@ -123,8 +134,22 @@ def hudi_snapshot(
                 replaced.add((part.strip("/"), fid))
 
     groups: dict[tuple[str, str], tuple[str, str]] = {}
+    raw_logs: list[tuple[str, str, str, str, int]] = []
     for rel, _mt, _sz in fs.list_files(base):
         if rel.startswith(".hoodie"):
+            continue
+        name = posixpath.basename(rel)
+        lm = _LOG_RE.match(name)
+        if lm is not None:
+            raw_logs.append(
+                (
+                    posixpath.dirname(rel),
+                    lm.group("fid"),
+                    lm.group("bts"),
+                    posixpath.join(base, rel),
+                    int(lm.group("ver")),
+                )
+            )
             continue
         m = _DATA_RE.search(rel)
         if not m:
@@ -138,12 +163,212 @@ def hudi_snapshot(
             continue  # file group superseded by a replacecommit
         if key not in groups or groups[key][0] < ts:
             groups[key] = (ts, posixpath.join(base, rel))
+
+    # MOR: attach each chosen slice's delta logs (base instant must
+    # match the slice); a log-only file group (inserts routed to logs)
+    # contributes a base-less slice. CoW tables with stray log files
+    # are malformed — reject rather than silently drop rows.
+    log_files: list[dict] = []
+    if raw_logs and ttype != "MERGE_ON_READ":
+        raise ValueError(
+            "found Hudi log files in a COPY_ON_WRITE table — "
+            "corrupt or mislabeled layout"
+        )
+    for part, fid, bts, apath, ver in raw_logs:
+        if bts > target:
+            continue  # slice started after the target instant
+        if (part.strip("/"), fid) in replaced:
+            continue
+        key = (part, fid)
+        if key in groups and groups[key][0] != bts:
+            continue  # log belongs to a compacted-away older slice
+        log_files.append(
+            {
+                "path": apath,
+                "part": part,
+                "fid": fid,
+                "base_instant": bts,
+                "version": ver,
+            }
+        )
     return {
         "instant": target,
         "files": sorted(p for _ts, p in groups.values()),
         "table_type": ttype,
-        "file_groups": len(groups),
+        "file_groups": len(
+            set(groups) | {(lf["part"], lf["fid"]) for lf in log_files}
+        ),
+        "log_files": sorted(
+            log_files, key=lambda x: (x["part"], x["fid"], x["version"])
+        ),
+        "committed": sorted(committed),
     }
+
+
+def _strip_scheme(p: str) -> str:
+    return re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", p)
+
+
+def _merge_mor(spark: SparkSession, base: str, snap: dict) -> DataFrame:
+    """MOR snapshot assembly: plain-scan logless file groups; for
+    logged slices, decode delta blocks on the executors and merge
+    latest-wins by record key (delete blocks are tombstones in the
+    same window). One shuffle, scoped to the logged slices only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from harness_aws_etl_pipeline_spark.sources.avroread import (
+        avro_spark_schema,
+    )
+    from harness_aws_etl_pipeline_spark.sources.hudilog import (
+        decode_log_blocks,
+    )
+
+    committed = frozenset(snap["committed"])
+    logged: dict[tuple[str, str], list[dict]] = {}
+    for lf in snap["log_files"]:
+        logged.setdefault((lf["part"], lf["fid"]), []).append(lf)
+    base_by_key: dict[tuple[str, str], str] = {}
+    for p in snap["files"]:
+        rel = p[len(base) + 1 :]
+        m = _DATA_RE.search(rel)
+        if m:
+            base_by_key[(posixpath.dirname(rel), m.group("fid"))] = p
+    plain = sorted(
+        p for k, p in base_by_key.items() if k not in logged
+    )
+    merged_bases = sorted(
+        p for k, p in base_by_key.items() if k in logged
+    )
+
+    if snap["files"]:
+        schema = spark.read.parquet(*snap["files"]).schema
+    else:
+        # log-only table: schema from the first avro block (one
+        # driver-side header read; every block carries its schema)
+        fs = get_fs(base, spark)
+        blocks = decode_log_blocks(
+            fs.read_bytes(snap["log_files"][0]["path"])
+        )
+        avro_blocks = [b for b in blocks if b["type"] == "avro"]
+        if not avro_blocks:
+            raise ValueError(
+                "cannot derive a schema: the first Hudi log file has "
+                "no avro data block"
+            )
+        schema = avro_spark_schema(avro_blocks[0]["schema"])
+    names = [f.name for f in schema.fields]
+    if "_hoodie_record_key" not in names:
+        raise ValueError(
+            "MERGE_ON_READ merge needs the _hoodie_record_key meta "
+            "column; this table does not populate it"
+        )
+    key_cols = ["_hoodie_record_key"] + (
+        ["_hoodie_partition_path"]
+        if "_hoodie_partition_path" in names
+        else []
+    )
+
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("__inst", T.StringType()),
+            T.StructField("__seq", T.LongType()),
+            T.StructField("__del", T.BooleanType()),
+        ]
+    )
+
+    def _decode_logs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            inst: list = []
+            seq: list = []
+            tomb: list = []
+            for pth, ver in zip(pdf["path"], pdf["version"]):
+                with open(_strip_scheme(pth), "rb") as fh:
+                    content = fh.read()
+                ver = int(ver)
+                for bi, blk in enumerate(decode_log_blocks(content)):
+                    if blk["instant"] not in committed:
+                        continue  # in-flight / post-target delta
+                    if blk["type"] == "avro":
+                        for ri, rec in enumerate(blk["records"]):
+                            for n in names:
+                                cols[n].append(rec.get(n))
+                            inst.append(blk["instant"])
+                            seq.append(
+                                (ver * 100_000 + bi) * 1_000_000 + ri
+                            )
+                            tomb.append(False)
+                    else:  # delete block
+                        for ri, (k, p) in enumerate(blk["deletes"]):
+                            for n in names:
+                                if n == "_hoodie_record_key":
+                                    cols[n].append(k)
+                                elif n == "_hoodie_partition_path":
+                                    cols[n].append(p)
+                                else:
+                                    cols[n].append(None)
+                            inst.append(blk["instant"])
+                            seq.append(
+                                (ver * 100_000 + bi) * 1_000_000 + ri
+                            )
+                            tomb.append(True)
+            # object dtype everywhere: an all-skipped batch must not
+            # emit float64 empties that fail the Arrow cast
+            data = {n: pd.Series(cols[n], dtype="object") for n in names}
+            data["__inst"] = pd.Series(inst, dtype="object")
+            data["__seq"] = pd.Series(seq, dtype="int64")
+            data["__del"] = pd.Series(tomb, dtype="bool")
+            yield pd.DataFrame(data)
+
+    # Hadoop file sources refuse dot-prefixed (hidden) files — exactly
+    # why Hudi names logs that way — so the file LIST is distributed
+    # and the bytes are opened on the executors. POSIX paths only; an
+    # object-store deployment needs an executor-side client here.
+    if "://" in base and not base.startswith("file:"):
+        raise ValueError(
+            "MERGE_ON_READ log merging reads log bytes via POSIX open "
+            f"on the executors; unsupported scheme in {base!r}"
+        )
+    files_df = spark.createDataFrame(
+        [(lf["path"], int(lf["version"])) for lf in snap["log_files"]],
+        "path string, version int",
+    )
+    log_df = files_df.repartition(
+        min(len(snap["log_files"]), 64)
+    ).mapInPandas(_decode_logs, out_schema)
+    union = log_df
+    if merged_bases:
+        bdf = (
+            spark.read.schema(schema)
+            .parquet(*merged_bases)
+            .select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"_(\d+)\.parquet$", 1
+                ).alias("__inst"),
+            )
+            .withColumn("__seq", F.lit(-1).cast("long"))
+            .withColumn("__del", F.lit(False))
+        )
+        union = union.unionByName(bdf)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc("__inst"), F.desc("__seq")
+    )
+    merged = (
+        union.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (~F.col("__del")))
+        .select(*names)
+    )
+    if plain:
+        merged = merged.unionByName(
+            spark.read.schema(schema).parquet(*plain)
+        )
+    return merged
 
 
 def read_hudi(
@@ -152,13 +377,17 @@ def read_hudi(
     as_of_instant: str | None = None,
     drop_meta: bool = False,
 ) -> DataFrame:
-    """The CoW snapshot as a DataFrame (time travel via
-    ``as_of_instant``); ``drop_meta=True`` strips the ``_hoodie_*``
-    bookkeeping columns the files carry."""
+    """The snapshot as a DataFrame (time travel via
+    ``as_of_instant``) — plain parquet for CoW, log-merged for MOR;
+    ``drop_meta=True`` strips the ``_hoodie_*`` bookkeeping columns
+    the files carry."""
     snap = hudi_snapshot(spark, path, as_of_instant)
-    if not snap["files"]:
+    if not snap["files"] and not snap["log_files"]:
         raise ValueError("Hudi table has no completed snapshot to read")
-    df = spark.read.parquet(*snap["files"])
+    if snap["log_files"]:
+        df = _merge_mor(spark, path.rstrip("/"), snap)
+    else:
+        df = spark.read.parquet(*snap["files"])
     if drop_meta:
         df = df.drop(*[c for c in _META_COLS if c in df.columns])
     return df
@@ -185,6 +414,12 @@ def hudi_changes(
     hi = hudi_snapshot(spark, path, to_instant)
     if lo["instant"] is None:
         raise ValueError("since_instant predates every completed commit")
+    if hi.get("log_files"):
+        raise ValueError(
+            "MERGE_ON_READ snapshot carries delta log files; "
+            "append-only change capture cannot represent log-merged "
+            "rows (compact first)"
+        )
     timeline = hudi_timeline(spark, path)
     in_window = [
         t

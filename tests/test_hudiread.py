@@ -182,11 +182,11 @@ class TestHudi:
         with pytest.raises(ValueError, match="not a Hudi table"):
             hudi_timeline(spark, str(tmp_path / "nowhere"))
 
-    def test_mor_rejected(self, spark, tmp_path):
-        _props(tmp_path, ttype="MERGE_ON_READ")
-        _commit(tmp_path, T1)
-        with pytest.raises(ValueError, match="MERGE_ON_READ"):
-            hudi_snapshot(spark, str(tmp_path))
+    def test_stray_logs_on_cow_rejected(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        (t / f".g1_{T1}.log.1_0-1-2").write_bytes(b"")
+        with pytest.raises(ValueError, match="COPY_ON_WRITE"):
+            hudi_snapshot(spark, str(t))
 
     def test_drop_meta(self, spark, tmp_path):
         # a table whose files carry _hoodie_* columns
@@ -220,3 +220,164 @@ class TestCli:
         assert rc == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["instant"] == T1 and rep["rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ (round 11): log-file merging per hudi tech-specs
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+from harness_aws_etl_pipeline_spark.sources.hudilog import (
+    decode_log_blocks,
+    encode_avro_block,
+    encode_command_block,
+    encode_delete_block,
+)
+
+T4, T5 = "20240104000000", "20240105000000"
+
+_AVRO = _json.dumps(
+    {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": ["null", "string"]},
+            {"name": "_hoodie_partition_path", "type": ["null", "string"]},
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+)
+
+
+def _deltacommit(tmp_path, instant):
+    (tmp_path / ".hoodie" / f"{instant}.deltacommit").write_text("{}")
+
+
+def _mor_base(spark, tmp_path, fid, instant, rows):
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(k, "", i, v) for k, i, v in rows],
+        "_hoodie_record_key string, _hoodie_partition_path string, "
+        "id long, v string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    src = glob.glob(str(stage / "*.parquet"))[0]
+    shutil.move(src, str(tmp_path / f"{fid}_0-1-2_{instant}.parquet"))
+
+
+def _rec(k, i, v):
+    return {
+        "_hoodie_record_key": k,
+        "_hoodie_partition_path": "",
+        "id": i,
+        "v": v,
+    }
+
+
+class TestMergeOnRead:
+    def _mor_table(self, spark, tmp_path):
+        """Base at T1 (groups g1, g2) + two logs on g1: updates/insert
+        at T2, a delete at T3; an UNCOMMITTED T5 block rides log 2."""
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _commit(tmp_path, T1)
+        _mor_base(spark, tmp_path, "g1", T1, [("k1", 1, "a"), ("k2", 2, "b")])
+        _mor_base(spark, tmp_path, "g2", T1, [("k3", 3, "c")])
+        _deltacommit(tmp_path, T2)
+        _deltacommit(tmp_path, T3)
+        (tmp_path / f".g1_{T1}.log.1_0-1-2").write_bytes(
+            encode_avro_block(
+                _AVRO, [_rec("k1", 1, "a2"), _rec("k4", 4, "d")], T2
+            )
+        )
+        (tmp_path / f".g1_{T1}.log.2_0-1-2").write_bytes(
+            encode_delete_block([("k2", "")], T3)
+            + encode_avro_block(_AVRO, [_rec("k9", 9, "never")], T5)
+        )
+        return tmp_path
+
+    def test_snapshot_merges_updates_inserts_deletes(self, spark, tmp_path):
+        t = self._mor_table(spark, tmp_path)
+        got = {(r.id, r.v) for r in read_hudi(spark, str(t)).collect()}
+        assert got == {(1, "a2"), (3, "c"), (4, "d")}
+        snap = hudi_snapshot(spark, str(t))
+        assert snap["table_type"] == "MERGE_ON_READ"
+        assert len(snap["log_files"]) == 2 and snap["file_groups"] == 2
+
+    def test_as_of_instant_filters_log_blocks(self, spark, tmp_path):
+        t = self._mor_table(spark, tmp_path)
+        at2 = {
+            (r.id, r.v)
+            for r in read_hudi(spark, str(t), as_of_instant=T2).collect()
+        }
+        assert at2 == {(1, "a2"), (2, "b"), (3, "c"), (4, "d")}
+        at1 = {
+            (r.id, r.v)
+            for r in read_hudi(spark, str(t), as_of_instant=T1).collect()
+        }
+        assert at1 == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_log_only_file_group(self, spark, tmp_path):
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _deltacommit(tmp_path, T1)
+        _deltacommit(tmp_path, T2)
+        (tmp_path / f".gx_{T1}.log.1_0-1-2").write_bytes(
+            encode_avro_block(_AVRO, [_rec("k1", 1, "a")], T1)
+            + encode_avro_block(
+                _AVRO, [_rec("k1", 1, "a2"), _rec("k2", 2, "b")], T2
+            )
+        )
+        got = {(r.id, r.v) for r in read_hudi(spark, str(tmp_path)).collect()}
+        assert got == {(1, "a2"), (2, "b")}
+
+    def test_rollback_command_block_voids_target_instant(
+        self, spark, tmp_path
+    ):
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _deltacommit(tmp_path, T1)
+        _deltacommit(tmp_path, T2)
+        _deltacommit(tmp_path, T3)
+        (tmp_path / f".gx_{T1}.log.1_0-1-2").write_bytes(
+            encode_avro_block(_AVRO, [_rec("k1", 1, "keep")], T1)
+            + encode_avro_block(_AVRO, [_rec("k1", 1, "bad")], T2)
+            + encode_command_block(T3, T2)  # rollback of the T2 block
+        )
+        got = {(r.id, r.v) for r in read_hudi(spark, str(tmp_path)).collect()}
+        assert got == {(1, "keep")}
+
+    def test_later_block_in_same_instant_wins(self, spark, tmp_path):
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _deltacommit(tmp_path, T1)
+        (tmp_path / f".gx_{T1}.log.1_0-1-2").write_bytes(
+            encode_avro_block(_AVRO, [_rec("k1", 1, "first")], T1)
+            + encode_avro_block(_AVRO, [_rec("k1", 1, "second")], T1)
+        )
+        got = {(r.id, r.v) for r in read_hudi(spark, str(tmp_path)).collect()}
+        assert got == {(1, "second")}
+
+    def test_foreign_block_types_reject_loudly(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.hudilog import (
+            _frame_block,
+            _T_PARQUET,
+            H_INSTANT_TIME,
+        )
+
+        with pytest.raises(ValueError, match="parquet"):
+            decode_log_blocks(
+                _frame_block(_T_PARQUET, {H_INSTANT_TIME: T1}, b"xx")
+            )
+
+    def test_torn_tail_is_skipped(self, spark, tmp_path):
+        good = encode_avro_block(_AVRO, [_rec("k1", 1, "a")], T1)
+        torn = good + encode_avro_block(_AVRO, [_rec("k2", 2, "b")], T1)[:9]
+        blocks = decode_log_blocks(torn)
+        assert len(blocks) == 1 and blocks[0]["records"][0]["id"] == 1
+
+    def test_changes_rejects_mor_with_logs(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_changes,
+        )
+
+        t = self._mor_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="log"):
+            hudi_changes(spark, str(t), since_instant=T1)
