@@ -14,9 +14,13 @@ are honored. v2 POSITION deletes (round 10) are applied: delete
 files are plain parquet of ``(file_path, pos)`` rows, folded out via
 one anti-join on the referenced data file's ``_metadata.row_index``
 (the deltaread deletion-vector mechanism) — data files no delete
-references keep the bulk scan. EQUALITY deletes need the equality
-field ids resolved against historical schemas and are still DETECTED
-and rejected loudly rather than silently misread.
+references keep the bulk scan. v2 EQUALITY deletes (round 11, the
+Flink streaming-upsert staple) are applied too: ``equality_ids``
+resolve against the current schema's top-level field ids, and each
+distinct equality column set folds out as ONE null-safe anti-join
+with the spec's strict sequence-number scoping (deletes hit only
+data files with a LOWER data sequence). Nested / dropped-column
+equality ids still reject loudly rather than silently misread.
 Identity-partitioned and unpartitioned tables read directly (Iceberg
 data files physically CONTAIN their partition source columns, unlike
 Delta); hidden-transform partitioning (bucket/truncate/days) also
@@ -218,11 +222,19 @@ def iceberg_snapshot(
     manifests = _avro_records(fs, mlist_path)
     files: list[str] = []
     origin_of: dict[str, str] = {}
+    seq_of: dict[str, int] = {}
     position_deletes: list[str] = []
-    equality_deletes = 0
+    equality_deletes: list[dict] = []
+    # field-id → top-level column name, for equality_ids resolution
+    names_by_id = {
+        int(f["id"]): f["name"]
+        for f in schema_node["fields"]
+        if f.get("id") is not None
+    }
     for man in manifests:
         mpath = _rel(base, location, man["manifest_path"])
         content = int(man.get("content") or 0)
+        man_seq = int(man.get("sequence_number") or 0)
         entries = _avro_records(fs, mpath)
         for e in entries:
             status = int(e.get("status") or 0)
@@ -235,27 +247,48 @@ def iceberg_snapshot(
             ec = df_.get("content")
             ec = int(ec) if ec is not None else (1 if content == 1 else 0)
             rp = _rel(base, location, df_["file_path"])
+            # sequence-number inheritance: ADDED entries with a null
+            # sequence take the manifest's (spec §sequence numbers)
+            eseq = e.get("sequence_number")
+            eseq = int(eseq) if eseq is not None else man_seq
             if ec == 1:
                 position_deletes.append(rp)
             elif ec == 2:
-                equality_deletes += 1
+                ids = [int(i) for i in (df_.get("equality_ids") or [])]
+                if not ids:
+                    raise ValueError(
+                        f"Iceberg equality delete file {rp} carries no "
+                        "equality_ids"
+                    )
+                missing = [i for i in ids if i not in names_by_id]
+                if missing:
+                    raise ValueError(
+                        "Iceberg equality delete references field ids "
+                        f"{missing} that are not top-level columns of "
+                        "the current schema; nested or dropped-column "
+                        "equality deletes are not supported"
+                    )
+                equality_deletes.append(
+                    {
+                        "path": rp,
+                        "seq": eseq,
+                        "columns": [names_by_id[i] for i in ids],
+                    }
+                )
             else:
                 files.append(rp)
                 origin_of[rp] = df_["file_path"]
-    if equality_deletes:
-        raise ValueError(
-            f"Iceberg v{fmt_v} snapshot carries {equality_deletes} live "
-            "EQUALITY delete file(s); this reader applies position "
-            "deletes only — compact the table first"
-        )
+                seq_of[rp] = eseq
     return {
         "snapshot_id": target_id,
         "files": files,
         "schema": spark_schema,
         "format_version": fmt_v,
-        "delete_files": len(position_deletes),
+        "delete_files": len(position_deletes) + len(equality_deletes),
         "position_delete_files": position_deletes,
+        "equality_delete_files": equality_deletes,
         "origin_of": origin_of,
+        "seq_of": seq_of,
     }
 
 
@@ -299,6 +332,9 @@ def read_iceberg(
     if not snap["files"]:
         return spark.createDataFrame([], snap["schema"])
     pos_dels = snap.get("position_delete_files") or []
+    eq_dels = snap.get("equality_delete_files") or []
+    if eq_dels:
+        return _read_with_equality_deletes(spark, snap, pos_dels, eq_dels)
     if not pos_dels:
         return spark.read.schema(snap["schema"]).parquet(*snap["files"])
     # delete files: plain parquet of (file_path, pos[, row]) — read
@@ -344,6 +380,89 @@ def read_iceberg(
     return out.join(rem, ["__pd_key", "__pd_pos"], "left_anti").select(*cols)
 
 
+def _norm_path(p: str) -> str:
+    return (
+        "/" + p.split("://", 1)[1].lstrip("/")
+        if "://" in p
+        else "/" + p.lstrip("/")
+    )
+
+
+def _read_with_equality_deletes(
+    spark: SparkSession, snap: dict, pos_dels: list, eq_dels: list
+) -> DataFrame:
+    """Snapshot read when live EQUALITY deletes exist (round 11):
+    Flink-style streaming upserts write these routinely. Per the spec,
+    an equality delete removes every data row whose values in the
+    delete's equality columns match a delete row (null-safe) AND whose
+    data sequence number is STRICTLY below the delete file's. The
+    fold is one broadcast-joined (file → sequence) annotation plus one
+    anti-join per distinct equality column set — delete files are
+    metadata-scale next to the data, so the anti-join build sides stay
+    small; the sequence predicate rides the join as a residual."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    schema = snap["schema"]
+    cols = [f.name for f in schema.fields]
+    origin_of = snap.get("origin_of") or {}
+    seq_of = snap.get("seq_of") or {}
+    df = (
+        spark.read.schema(schema)
+        .parquet(*snap["files"])
+        .select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pd_pos"),
+        )
+    )
+    mp = F.broadcast(
+        spark.createDataFrame(
+            [
+                (_norm_path(f), origin_of.get(f), int(seq_of.get(f, 0)))
+                for f in snap["files"]
+            ],
+            "__file string, __pd_key string, __seq long",
+        )
+    )
+    df = df.join(mp, "__file").drop("__file")
+    if pos_dels:
+        rem = spark.read.schema("file_path string, pos long").parquet(
+            *pos_dels
+        ).select(
+            F.col("file_path").alias("__pd_key"),
+            F.col("pos").alias("__pd_pos"),
+        )
+        df = df.join(rem, ["__pd_key", "__pd_pos"], "left_anti")
+    by_colset: dict[tuple, list[dict]] = {}
+    for d in eq_dels:
+        by_colset.setdefault(tuple(d["columns"]), []).append(d)
+    for colset, dels in sorted(by_colset.items()):
+        sub = T.StructType([f for f in schema.fields if f.name in colset])
+        rows = None
+        for d in dels:
+            one = (
+                spark.read.schema(sub)
+                .parquet(d["path"])
+                .withColumn("__eq_seq", F.lit(int(d["seq"])).cast("long"))
+            )
+            rows = one if rows is None else rows.unionByName(one)
+        left = df.alias("l")
+        right = rows.alias("r")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+                for c in colset
+            ],
+        ) & (F.col("l.__seq") < F.col("r.__eq_seq"))
+        df = left.join(right, cond, "left_anti")
+    return df.select(*cols)
+
+
 def iceberg_changes(
     spark: SparkSession,
     path: str,
@@ -366,6 +485,14 @@ def iceberg_changes(
         raise ValueError(
             f"snapshots ({lo['snapshot_id']}, {hi['snapshot_id']}] change "
             "the live position-delete set; append-only change capture "
+            "cannot represent that window"
+        )
+    if {d["path"] for d in hi.get("equality_delete_files") or []} != {
+        d["path"] for d in lo.get("equality_delete_files") or []
+    }:
+        raise ValueError(
+            f"snapshots ({lo['snapshot_id']}, {hi['snapshot_id']}] change "
+            "the live equality-delete set; append-only change capture "
             "cannot represent that window"
         )
     dropped = set(lo["files"]) - set(hi["files"])

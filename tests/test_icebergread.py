@@ -155,7 +155,9 @@ class TestRead:
         with pytest.raises(ValueError, match="not found"):
             iceberg_snapshot(spark, str(t), snapshot_id=999)
 
-    def test_v2_equality_deletes_rejected(self, spark, tmp_path):
+    def test_equality_delete_without_ids_rejected(self, spark, tmp_path):
+        """An equality delete entry carrying no equality_ids is
+        unreadable — reject rather than silently misread."""
         a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
         d = _datafile(spark, tmp_path, "del.parquet", [(1, "x")])
         m = _manifest(tmp_path, "m.avro", [_entry(a)])
@@ -167,7 +169,7 @@ class TestRead:
               "summary": {"operation": "delete"}}],
             current=1, v2=True,
         )
-        with pytest.raises(ValueError, match="EQUALITY"):
+        with pytest.raises(ValueError, match="equality_ids"):
             read_iceberg(spark, str(tmp_path))
 
     def test_not_a_table(self, spark, tmp_path):
@@ -374,3 +376,173 @@ class TestChanges:
         assert iceberg_changes(
             spark, str(t), since_snapshot_id=300, to_snapshot_id=300
         ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 11: v2 EQUALITY deletes (the Flink streaming-upsert staple)
+# ---------------------------------------------------------------------------
+
+_ENTRY_SCHEMA_EQ = json.dumps({
+    "type": "record", "name": "manifest_entry_eq",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file_eq",
+            "fields": [
+                {"name": "content", "type": ["null", "int"]},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
+            ],
+        }},
+    ],
+})
+
+
+def _eq_entry(path, seq, content=0, equality_ids=None):
+    return {
+        "status": 1,
+        "sequence_number": seq,
+        "data_file": {
+            "content": content,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": 1,
+            "equality_ids": equality_ids,
+        },
+    }
+
+
+def _eq_manifest(tmp_path, name, entries):
+    p = tmp_path / "metadata" / name
+    p.parent.mkdir(exist_ok=True)
+    p.write_bytes(write_avro_bytes(_ENTRY_SCHEMA_EQ, entries))
+    return f"metadata/{name}"
+
+
+def _typed_file(spark, tmp_path, name, rows, ddl):
+    import glob
+    import shutil
+
+    stage = tmp_path / "stage" / name
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    (tmp_path / "data").mkdir(exist_ok=True)
+    shutil.move(
+        glob.glob(str(stage / "*.parquet"))[0],
+        str(tmp_path / "data" / name),
+    )
+    return f"data/{name}"
+
+
+class TestEqualityDeletes:
+    def _table(self, spark, tmp_path, entries):
+        m = _eq_manifest(tmp_path, "m.avro", entries)
+        lst = _mlist(tmp_path, "snap.avro", [(m, 0)])
+        _metadata(
+            tmp_path,
+            [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": lst,
+              "summary": {"operation": "overwrite"}}],
+            current=1, v2=True,
+        )
+        return tmp_path
+
+    def test_sequence_scoped_equality_delete(self, spark, tmp_path):
+        """Delete on id at seq 2 hits the seq-1 data file but NOT the
+        seq-3 re-insert of the same key — the spec's strict
+        lower-sequence rule."""
+        a = _datafile(
+            spark, tmp_path, "a.parquet", [(1, "x"), (2, "y"), (3, "z")]
+        )
+        b = _datafile(spark, tmp_path, "b.parquet", [(2, "y2")])
+        ed = _typed_file(
+            spark, tmp_path, "ed.parquet", [(2,), (3,)], "id long"
+        )
+        t = self._table(spark, tmp_path, [
+            _eq_entry(a, 1),
+            _eq_entry(b, 3),
+            _eq_entry(ed, 2, content=2, equality_ids=[1]),
+        ])
+        snap = iceberg_snapshot(spark, str(t))
+        assert snap["delete_files"] == 1
+        assert snap["equality_delete_files"][0]["columns"] == ["id"]
+        got = {(r.id, r.v) for r in read_iceberg(spark, str(t)).collect()}
+        assert got == {(1, "x"), (2, "y2")}
+
+    def test_multi_column_and_multi_set_deletes(self, spark, tmp_path):
+        """Two delete files with different equality column sets fold
+        out as independent anti-joins; a composite (id, v) delete
+        matches both columns null-safely."""
+        a = _datafile(
+            spark, tmp_path, "a.parquet",
+            [(1, "x"), (1, "q"), (2, "y"), (None, None)],
+        )
+        ed1 = _typed_file(
+            spark, tmp_path, "ed1.parquet", [(1, "x")], "id long, v string"
+        )
+        ed2 = _typed_file(
+            spark, tmp_path, "ed2.parquet",
+            [(None,)], "id long",
+        )
+        t = self._table(spark, tmp_path, [
+            _eq_entry(a, 1),
+            _eq_entry(ed1, 2, content=2, equality_ids=[1, 2]),
+            _eq_entry(ed2, 2, content=2, equality_ids=[1]),
+        ])
+        got = {(r.id, r.v) for r in read_iceberg(spark, str(t)).collect()}
+        # (1,"x") dies to the composite; (None,None) dies null-safely
+        assert got == {(1, "q"), (2, "y")}
+
+    def test_equality_plus_position_deletes(self, spark, tmp_path):
+        a = _datafile(
+            spark, tmp_path, "a.parquet",
+            [(1, "x"), (2, "y"), (3, "z")],
+        )
+        pd_ = _delfile(spark, tmp_path, "pd.parquet", [("data/a.parquet", 0)])
+        ed = _typed_file(spark, tmp_path, "ed.parquet", [(3,)], "id long")
+        t = self._table(spark, tmp_path, [
+            _eq_entry(a, 1),
+            _eq_entry(pd_, 2, content=1),
+            _eq_entry(ed, 2, content=2, equality_ids=[1]),
+        ])
+        got = {(r.id, r.v) for r in read_iceberg(spark, str(t)).collect()}
+        assert got == {(2, "y")}
+
+    def test_unknown_field_id_rejected(self, spark, tmp_path):
+        a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
+        ed = _typed_file(spark, tmp_path, "ed.parquet", [(1,)], "id long")
+        t = self._table(spark, tmp_path, [
+            _eq_entry(a, 1),
+            _eq_entry(ed, 2, content=2, equality_ids=[99]),
+        ])
+        with pytest.raises(ValueError, match="field ids"):
+            read_iceberg(spark, str(t))
+
+    def test_changes_window_with_new_equality_deletes_rejected(
+        self, spark, tmp_path
+    ):
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+        )
+
+        a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
+        m1 = _eq_manifest(tmp_path, "m1.avro", [_eq_entry(a, 1)])
+        l1 = _mlist(tmp_path, "s1.avro", [(m1, 0)])
+        ed = _typed_file(spark, tmp_path, "ed.parquet", [(1,)], "id long")
+        m2 = _eq_manifest(tmp_path, "m2.avro", [
+            _eq_entry(a, 1), _eq_entry(ed, 2, content=2, equality_ids=[1]),
+        ])
+        l2 = _mlist(tmp_path, "s2.avro", [(m2, 0)])
+        snaps = [
+            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": l2,
+             "summary": {"operation": "delete"}},
+        ]
+        _metadata(tmp_path, snaps, current=2, v2=True)
+        with pytest.raises(ValueError, match="equality-delete"):
+            iceberg_changes(spark, str(tmp_path), since_snapshot_id=1)
