@@ -18,13 +18,17 @@ schema), stats passthrough — PLUS the two protocol ≥ 2 features that
 change data interpretation on default-config modern tables (round
 10): DELETION VECTORS (storageType ``i``/``u``/``p``; 64-bit roaring
 decode in ``sources/dvcodec.py``, applied as an anti-join on
-``(file, _metadata.row_index)``) and NAME-mode COLUMN MAPPING
+``(file, _metadata.row_index)``) and COLUMN MAPPING — name mode
 (physical parquet names from the schema's
 ``delta.columnMapping.physicalName`` metadata, logical names
-restored after the scan). Still rejected loudly: id-mode column
-mapping (needs field-id resolution), nested-field mapping, and any
-reader feature outside {columnMapping, deletionVectors} — detected,
-never silently misread.
+restored after the scan) and, round 11, ID mode: the read schema
+carries ``parquet.field.id`` metadata from
+``delta.columnMapping.id`` (recursively, nested fields included) and
+Spark's parquet reader resolves columns by field id natively —
+renames and drop/re-add cycles read correctly from old and new
+files alike. Still rejected loudly: NAME-mode mapping on nested
+fields, and any reader feature outside
+{columnMapping, deletionVectors} — detected, never silently misread.
 
 Scale shape: the log fold is driver-side over manifest-sized JSON
 (exactly what every Delta client does); data reading is a stock
@@ -219,27 +223,29 @@ def delta_snapshot(
     )
     config = meta.get("configuration") or {}
     cm_mode = (config.get("delta.columnMapping.mode") or "none").lower()
-    if cm_mode not in ("none", "name"):
+    if cm_mode not in ("none", "name", "id"):
         raise ValueError(
-            f"Delta column mapping mode {cm_mode!r} (field-id "
-            "resolution) is not supported by this reader; only "
-            "'name' mapping is"
+            f"Delta column mapping mode {cm_mode!r} is not supported "
+            "by this reader; 'name' and 'id' mapping are"
         )
     physical: dict[str, str] = {}
-    if cm_mode == "name" and schema is not None:
+    if cm_mode in ("name", "id") and schema is not None:
         for f in schema.fields:
             md = f.metadata or {}
             pn = md.get("delta.columnMapping.physicalName")
             if pn:
                 physical[f.name] = pn
-            if isinstance(f.dataType, StructType) and any(
+            if cm_mode == "name" and isinstance(f.dataType, StructType) and any(
                 (sf.metadata or {}).get("delta.columnMapping.physicalName")
                 for sf in f.dataType.fields
             ):
+                # id mode resolves nested fields by parquet field id;
+                # name mode would need per-level physical renames this
+                # reader does not do
                 raise ValueError(
-                    "Delta column mapping on NESTED struct fields "
-                    f"(column {f.name!r}) is not supported by this "
-                    "reader"
+                    "Delta NAME-mode column mapping on NESTED struct "
+                    f"fields (column {f.name!r}) is not supported by "
+                    "this reader (id mode handles nested fields)"
                 )
     return {
         "version": target,
@@ -251,6 +257,36 @@ def delta_snapshot(
         "txns": txns,
         "metadata_id": meta.get("id"),
     }
+
+
+def _field_with_parquet_ids(f: StructField) -> StructField:
+    """id-mode column mapping: re-emit the field (recursively) with
+    ``parquet.field.id`` metadata from ``delta.columnMapping.id`` so
+    Spark's parquet reader resolves it by field id."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    md = f.metadata or {}
+    cid = md.get("delta.columnMapping.id")
+    if cid is None:
+        raise ValueError(
+            "Delta id-mode column mapping: field "
+            f"{f.name!r} carries no delta.columnMapping.id"
+        )
+
+    def _t(dt):
+        if isinstance(dt, StructType):
+            return StructType([_field_with_parquet_ids(x) for x in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(_t(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                _t(dt.keyType), _t(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    return StructField(
+        f.name, _t(f.dataType), f.nullable, {"parquet.field.id": int(cid)}
+    )
 
 
 def _read_files_with_partitions(
@@ -276,16 +312,35 @@ def _read_files_with_partitions(
 
     schema: StructType = snap["schema"]
     pcols = snap["partition_columns"]
-    phys = (snap.get("column_mapping") or {}).get("physical") or {}
+    cm = snap.get("column_mapping") or {}
+    phys = cm.get("physical") or {}
+    cm_mode = cm.get("mode") or "none"
 
     def _p(name: str) -> str:
         return phys.get(name, name)
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
-    read_schema = StructType(
-        [StructField(_p(f.name), f.dataType, f.nullable) for f in data_fields]
-    )
-    logical_names = [f.name for f in data_fields]
+    if cm_mode == "id":
+        # id mode: columns resolve by parquet field id — Spark does
+        # this natively when the read schema's fields carry
+        # `parquet.field.id` metadata (recursively, so nested renames
+        # and drop/re-add cycles resolve correctly). Logical names
+        # ride the read schema directly; no rename pass needed. The
+        # conf only activates for schemas that carry field ids, so
+        # leaving it on is safe for every other read in the session.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        read_schema = StructType(
+            [_field_with_parquet_ids(f) for f in data_fields]
+        )
+        logical_names: list[str] = []  # nothing to rename
+    else:
+        read_schema = StructType(
+            [
+                StructField(_p(f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
+        logical_names = [f.name for f in data_fields]
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     if not snap["files"]:

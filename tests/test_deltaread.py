@@ -449,14 +449,149 @@ class TestColumnMapping:
         assert {r.id for r in read_delta(spark, str(tmp_path)).collect()} \
             == {0, 1, 3}
 
-    def test_id_mode_rejected(self, spark, tmp_path):
-        meta = self._mapped_meta()
-        meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    def _idfile(self, spark, tmp_path, name, fields, rows):
+        """Parquet with explicit parquet field ids (what Delta id-mode
+        writers produce). fields = [(physical_name, type, field_id)]."""
+        import glob
+        import shutil
+
+        from pyspark.sql import types as T
+
+        st = T.StructType(
+            [
+                T.StructField(n, t, True, {"parquet.field.id": i})
+                for n, t, i in fields
+            ]
+        )
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        p = tmp_path / "stage" / name
+        spark.createDataFrame(rows, st).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(p))
+        shutil.move(glob.glob(str(p / "*.parquet"))[0], str(tmp_path / name))
+        return name
+
+    def _id_meta(self, fields):
+        """fields = [(logical, type_str_or_node, field_id, phys)]"""
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True,
+                 "metadata": {"delta.columnMapping.id": i,
+                              "delta.columnMapping.physicalName": p}}
+                for n, t, i, p in fields
+            ],
+        })
+        return {
+            "metaData": {
+                "id": "tbl-id",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        }
+
+    def test_id_mode_resolves_by_field_id(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        a = self._idfile(
+            spark, tmp_path, "m.parquet",
+            [("col-aa11", T.LongType(), 1), ("col-bb22", T.StringType(), 2)],
+            [(1, "x"), (2, "y")],
+        )
+        meta = self._id_meta(
+            [("id", "long", 1, "col-aa11"), ("v", "string", 2, "col-bb22")]
+        )
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta, _add(a),
+        ])
+        df = read_delta(spark, str(tmp_path))
+        assert df.columns == ["id", "v"]
+        assert {(r.id, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+    def test_id_mode_rename_and_drop_readd_cycle(self, spark, tmp_path):
+        """The in-place-upgrade shape id mode exists for: a column is
+        renamed (same id), another dropped and re-added under a NEW id
+        — old files must resolve the rename and yield null for the
+        re-added column, never the dropped column's stale bytes."""
+        from pyspark.sql import types as T
+
+        f1 = self._idfile(
+            spark, tmp_path, "f1.parquet",
+            [("col-aa11", T.LongType(), 1), ("col-bb22", T.StringType(), 2)],
+            [(1, "old")],
+        )
+        f2 = self._idfile(
+            spark, tmp_path, "f2.parquet",
+            [("col-aa11", T.LongType(), 1), ("col-cc33", T.StringType(), 3)],
+            [(2, "new")],
+        )
+        # schema: id renamed to ident (id 1); v (id 2) dropped; w
+        # re-added as id 3
+        meta = self._id_meta(
+            [("ident", "long", 1, "col-aa11"), ("w", "string", 3, "col-cc33")]
+        )
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta, _add(f1), _add(f2),
+        ])
+        got = {(r.ident, r.w) for r in read_delta(spark, str(tmp_path)).collect()}
+        assert got == {(1, None), (2, "new")}
+
+    def test_id_mode_nested_field_resolution(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        inner = T.StructType(
+            [T.StructField("col-x", T.LongType(), True,
+                           {"parquet.field.id": 11})]
+        )
+        a = self._idfile(
+            spark, tmp_path, "n.parquet",
+            [("col-s", inner, 10)],
+            [((5,),)],
+        )
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "s", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 10,
+                              "delta.columnMapping.physicalName": "col-s"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "x_renamed", "type": "long", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 11,
+                                   "delta.columnMapping.physicalName":
+                                   "col-x"}}]}},
+            ],
+        })
+        meta = {
+            "metaData": {
+                "id": "t", "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        }
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta, _add(a),
+        ])
+        got = read_delta(spark, str(tmp_path)).collect()
+        assert [r.s.x_renamed for r in got] == [5]
+
+    def test_id_mode_missing_id_rejected(self, spark, tmp_path):
         a = self._physfile(spark, tmp_path, "m.parquet", [(1, "x")])
+        meta = self._mapped_meta()  # has physicalName but NO ids? it has ids
+        # strip the ids to simulate a malformed id-mode table
+        schema = json.loads(meta["metaData"]["schemaString"])
+        for f in schema["fields"]:
+            f["metadata"].pop("delta.columnMapping.id", None)
+        meta["metaData"]["schemaString"] = json.dumps(schema)
+        meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         _commit(tmp_path, 0, [
             {"protocol": {"minReaderVersion": 2}}, meta, _add(a),
         ])
-        with pytest.raises(ValueError, match="'id'"):
+        with pytest.raises(ValueError, match="columnMapping.id"):
             read_delta(spark, str(tmp_path))
 
     def test_nested_mapping_rejected(self, spark, tmp_path):
