@@ -760,6 +760,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     dl.add_argument("--output", default=None, help="export snapshot parquet")
     dl.add_argument("--show", type=int, default=5, help="preview rows")
+    dl.add_argument(
+        "--delete-where", default=None,
+        help="DELETE matching rows via deletion vectors (no rewrite)",
+    )
 
     ib = sub.add_parser(
         "iceberg",
@@ -778,6 +782,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     ib.add_argument("--output", default=None, help="export snapshot parquet")
     ib.add_argument("--show", type=int, default=5, help="preview rows")
+    ib.add_argument(
+        "--delete-where", default=None,
+        help="DELETE matching rows via v2 position deletes (no rewrite)",
+    )
 
     hu = sub.add_parser(
         "hudi",
@@ -1526,6 +1534,16 @@ def main(argv: list[str] | None = None) -> int:
             read_delta,
         )
 
+        if args.delete_where:
+            from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+                delta_delete_where,
+            )
+
+            rep = delta_delete_where(spark, args.path, args.delete_where)
+            print(json.dumps({
+                "status": "success", "action": "delta_delete", **rep,
+            }))
+            return 0
         if args.history:
             print(json.dumps({
                 "status": "success", "action": "delta",
@@ -1557,6 +1575,16 @@ def main(argv: list[str] | None = None) -> int:
             read_iceberg,
         )
 
+        if args.delete_where:
+            from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+                iceberg_delete_where,
+            )
+
+            rep = iceberg_delete_where(spark, args.path, args.delete_where)
+            print(json.dumps({
+                "status": "success", "action": "iceberg_delete", **rep,
+            }))
+            return 0
         if args.snapshots:
             print(json.dumps({
                 "status": "success", "action": "iceberg",

@@ -1679,11 +1679,22 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     — ``write_delta``→``read_delta`` (put-if-absent commit, log fold)
     and ``write_iceberg``→``read_iceberg`` (avro manifests, CAS
     metadata rename) — so both writer tiers sit under the driver's
-    value gate, not just their own suites."""
+    value gate, not just their own suites.
+
+    Round-11 legs: the no-rewrite DML — ``delta_delete_where``
+    (deletion vectors) and ``iceberg_delete_where`` (v2 position
+    deletes) checksum the SURVIVORS of ``l_orderkey % 100 = 0``
+    against the oracle's complement aggregate."""
     import tempfile
 
     from harness_aws_etl_pipeline_spark.sinks import write_table
+    from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+        delta_delete_where,
+    )
     from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+    from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+        iceberg_delete_where,
+    )
     from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
         write_iceberg,
     )
@@ -1718,15 +1729,35 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         results["delta"] = _checksum(read_delta(spark, f"{tmp}/delta"))
         write_iceberg(spark, li, f"{tmp}/iceberg")
         results["iceberg"] = _checksum(read_iceberg(spark, f"{tmp}/iceberg"))
+        delta_delete_where(spark, f"{tmp}/delta", "l_orderkey % 100 = 0")
+        results["delta_deleted"] = _checksum(
+            read_delta(spark, f"{tmp}/delta")
+        )
+        iceberg_delete_where(
+            spark, f"{tmp}/iceberg", "l_orderkey % 100 = 0"
+        )
+        results["iceberg_deleted"] = _checksum(
+            read_iceberg(spark, f"{tmp}/iceberg")
+        )
     rows = [(fmt, c, s) for fmt, (c, s) in sorted(results.items())]
     return spark.createDataFrame(rows, "format string, row_cnt bigint, key_sum bigint")
 
 
 ORACLE_SINK_ROUNDTRIP = """
-SELECT fmt AS format, (SELECT COUNT(*) FROM lineitem) AS row_cnt,
-       (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM lineitem) AS key_sum
-FROM (VALUES ('csv'), ('delta'), ('iceberg'), ('json'), ('orc'),
-             ('parquet')) AS t(fmt)
+WITH full_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+                       CAST(SUM(l_orderkey) AS BIGINT) AS s FROM lineitem),
+     del_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+                      CAST(SUM(l_orderkey) AS BIGINT) AS s FROM lineitem
+               WHERE l_orderkey % 100 <> 0)
+SELECT fmt AS format,
+       CASE WHEN fmt LIKE '%deleted'
+            THEN (SELECT c FROM del_t) ELSE (SELECT c FROM full_t)
+       END AS row_cnt,
+       CASE WHEN fmt LIKE '%deleted'
+            THEN (SELECT s FROM del_t) ELSE (SELECT s FROM full_t)
+       END AS key_sum
+FROM (VALUES ('csv'), ('delta'), ('delta_deleted'), ('iceberg'),
+             ('iceberg_deleted'), ('json'), ('orc'), ('parquet')) AS t(fmt)
 ORDER BY fmt
 """
 

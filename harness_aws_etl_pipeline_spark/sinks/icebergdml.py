@@ -1,0 +1,308 @@
+"""DELETE on Iceberg tables via v2 POSITION DELETES — no jar, no
+rewrite: the Iceberg mirror of ``sinks/deltadml.delta_delete_where``
+(same capped probe-then-write shape).
+
+Per the open spec (iceberg.apache.org/spec#position-delete-files):
+
+- matching ``(data file, row position)`` pairs come from ONE
+  distributed scan of the live data files with
+  ``_metadata.row_index`` / ``_metadata.file_path``, with already
+  position-deleted rows anti-joined out BEFORE the bounded collect
+  (a repeat delete is a no-op commit, and ``rows_deleted`` counts
+  fresh rows only);
+- the delete rows are written as a plain parquet of
+  ``(file_path, pos)`` — ``file_path`` holding the data file's
+  manifest-recorded path, columns tagged with the spec's reserved
+  field ids 2147483546/2147483545 via parquet field-id metadata;
+- the commit adds a DELETE manifest (entry content=1) to a new
+  manifest list that carries every previous manifest forward, at the
+  next sequence number, and claims ``vN+1.metadata.json`` by CAS —
+  exactly ``write_iceberg``'s commit protocol, so racing writers
+  retry cleanly.
+
+Honest bounds: matched positions are collected driver-side
+(``max_deleted_rows``, default 10M, fails loudly toward a
+rewrite-based delete); tables carrying live EQUALITY deletes are
+refused (the raw probe scan cannot see through them) — compact
+first.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+    _ENTRY_SCHEMA,
+    _MLIST_SCHEMA,
+)
+from harness_aws_etl_pipeline_spark.sources.avroread import (
+    _iter_container,
+    write_avro_bytes,
+)
+from harness_aws_etl_pipeline_spark.sources.icebergread import (
+    _latest_metadata,
+    iceberg_snapshot,
+)
+
+__all__ = ["iceberg_delete_where"]
+
+
+def _strip(p: str) -> str:
+    return (
+        "/" + p.split("://", 1)[1].lstrip("/")
+        if "://" in p
+        else "/" + p.lstrip("/")
+    )
+
+
+def iceberg_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_deleted_rows: int = 10_000_000,
+    max_commit_retries: int = 20,
+) -> dict:
+    """Delete rows matching the SQL ``predicate`` by writing a v2
+    position-delete file + snapshot. Returns ``{"version" (snapshot
+    id), "rows_deleted", "files_touched", "retries"}``."""
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    snap = iceberg_snapshot(spark, base)
+    if snap.get("equality_delete_files"):
+        raise ValueError(
+            "table carries live equality deletes; the probe scan "
+            "cannot see through them — compact first"
+        )
+    if not snap["files"]:
+        return {
+            "version": snap["snapshot_id"],
+            "rows_deleted": 0,
+            "files_touched": 0,
+            "retries": 0,
+        }
+    origin_of = snap.get("origin_of") or {}
+
+    # ---- probe: (manifest-recorded file path, row position) pairs
+    scan = (
+        spark.read.schema(snap["schema"])
+        .parquet(*snap["files"])
+        .select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    )
+    mp = F.broadcast(
+        spark.createDataFrame(
+            [(_strip(f), origin_of.get(f, f)) for f in snap["files"]],
+            "__fp string, file_path string",
+        )
+    )
+    hits_df = (
+        scan.where(predicate)
+        .select("__fp", "__pos")
+        .join(mp, "__fp")
+        .select("file_path", F.col("__pos").alias("pos"))
+    )
+    pos_dels = snap.get("position_delete_files") or []
+    if pos_dels:
+        existing = spark.read.schema("file_path string, pos long").parquet(
+            *pos_dels
+        )
+        hits_df = hits_df.join(existing, ["file_path", "pos"], "left_anti")
+    hits = hits_df.limit(max_deleted_rows + 1).collect()
+    if len(hits) > max_deleted_rows:
+        raise ValueError(
+            f"predicate matches more than {max_deleted_rows} live rows; "
+            "use a rewrite-based delete (SnapTable delete_where) for "
+            "bulk deletion"
+        )
+    if not hits:
+        return {
+            "version": snap["snapshot_id"],
+            "rows_deleted": 0,
+            "files_touched": 0,
+            "retries": 0,
+        }
+    del_rows = sorted((r.file_path, int(r.pos)) for r in hits)
+    touched = len({f for f, _ in del_rows})
+    live_keys = {origin_of.get(f, f) for f in snap["files"]}
+
+    # ---- the position-delete parquet (spec-reserved field ids)
+    from pyspark.sql import types as T
+
+    del_schema = T.StructType(
+        [
+            T.StructField(
+                "file_path", T.StringType(), False,
+                {"parquet.field.id": 2147483546},
+            ),
+            T.StructField(
+                "pos", T.LongType(), False,
+                {"parquet.field.id": 2147483545},
+            ),
+        ]
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
+    del_rel = None
+    ts_ms = int(time.time() * 1000)
+    retries = 0
+    try:
+        spark.createDataFrame(del_rows, del_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        staged = [
+            rel
+            for rel, _mt, _sz in fs.list_files(stage)
+            if rel.endswith(".parquet")
+        ]
+        (src,) = staged
+        del_rel = f"data/{uuid.uuid4().hex}-deletes.parquet"
+        del_size = next(
+            sz for rel, _mt, sz in fs.list_files(stage) if rel == src
+        )
+        if not fs.rename(
+            posixpath.join(stage, src), posixpath.join(base, del_rel)
+        ):
+            raise RuntimeError("could not move staged delete file")
+    finally:
+        fs.delete(stage, recursive=True)
+
+    # ---- commit loop (CAS on vN+1.metadata.json, like write_iceberg)
+    mdir = posixpath.join(base, "metadata")
+    while True:
+        md = json.loads(
+            fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8")
+        )
+        cur_version = 0
+        for rel, _mt, _sz in fs.list_files(mdir):
+            m = re.match(
+                r"v(\d+)\.metadata\.json$", posixpath.basename(rel)
+            )
+            if m:
+                cur_version = max(cur_version, int(m.group(1)))
+        if int(md.get("format-version", 1)) < 2:
+            raise ValueError(
+                "position deletes need an Iceberg format-version 2 table"
+            )
+        # the referenced data files must still be live (a concurrent
+        # rewrite would orphan the delete rows)
+        cur_snap = iceberg_snapshot(spark, base)
+        cur_live = {
+            (cur_snap.get("origin_of") or {}).get(f, f)
+            for f in cur_snap["files"]
+        }
+        if not live_keys <= cur_live:
+            raise ValueError(
+                "referenced data file(s) vanished from the snapshot "
+                "while deleting (concurrent rewrite); rerun the delete"
+            )
+        snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": posixpath.join(base, del_rel),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(del_rows),
+                    "file_size_in_bytes": del_size,
+                },
+            }
+        ]
+        man_rel = f"metadata/{uuid.uuid4().hex}-d0.avro"
+        man_bytes = write_avro_bytes(_ENTRY_SCHEMA, entries)
+        fs.write_bytes(posixpath.join(base, man_rel), man_bytes)
+        new_manifest = {
+            "manifest_path": posixpath.join(base, man_rel),
+            "manifest_length": len(man_bytes),
+            "partition_spec_id": 0,
+            "content": 1,  # deletes manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(del_rows),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        prev_manifests: list[dict] = []
+        cur_md_snap = next(
+            (
+                s
+                for s in md.get("snapshots") or []
+                if s.get("snapshot-id") == md.get("current-snapshot-id")
+            ),
+            None,
+        )
+        if cur_md_snap is not None:
+            mlist_rel = cur_md_snap["manifest-list"]
+            mlist_path = (
+                mlist_rel
+                if mlist_rel.startswith("/")
+                else posixpath.join(base, mlist_rel)
+            )
+            _s, _n, recs = _iter_container(fs.read_bytes(mlist_path))
+            prev_manifests = list(recs)
+        mlist_rel = f"metadata/snap-{snapshot_id}.avro"
+        fs.write_bytes(
+            posixpath.join(base, mlist_rel),
+            write_avro_bytes(_MLIST_SCHEMA, prev_manifests + [new_manifest]),
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": ts_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "delete"},
+            "manifest-list": posixpath.join(base, mlist_rel),
+            "schema-id": md.get("current-schema-id", 0),
+        }
+        new_md = dict(md)
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = ts_ms
+        new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": ts_ms}
+        ]
+        target = posixpath.join(mdir, f"v{cur_version + 1}.metadata.json")
+        tmp_dir = posixpath.join(base, ".icw_tmp")
+        fs.mkdirs(tmp_dir)
+        tmp = posixpath.join(tmp_dir, f"{uuid.uuid4().hex}.json")
+        fs.write_bytes(tmp, json.dumps(new_md).encode("utf-8"))
+        if fs.rename_if_absent(tmp, target):
+            fs.write_bytes(
+                posixpath.join(mdir, "version-hint.text"),
+                str(cur_version + 1).encode("utf-8"),
+            )
+            return {
+                "version": snapshot_id,
+                "rows_deleted": len(del_rows),
+                "files_touched": touched,
+                "retries": retries,
+            }
+        fs.delete(tmp, recursive=False)
+        fs.delete(posixpath.join(base, man_rel), recursive=False)
+        fs.delete(posixpath.join(base, mlist_rel), recursive=False)
+        retries += 1
+        if retries > max_commit_retries:
+            raise RuntimeError(
+                f"lost the Iceberg commit race {retries} times at {base!r}"
+            )
