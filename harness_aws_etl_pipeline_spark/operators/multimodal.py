@@ -1130,14 +1130,47 @@ def resize_stub(payload: bytes, w: int, h: int, strict: bool = False) -> bytes:
     return payload[:target] + bytes(max(0, target - len(payload)))
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize: decode (PPM/BMP), nearest-neighbor resample to
-    (height, width) with pure-numpy index maps, re-encode as PPM."""
+def resize_image(
+    payload: bytes, width: int, height: int, method: str = "nearest"
+) -> bytes:
+    """REAL resize: decode, resample to (height, width) pure-numpy —
+    ``nearest`` (index maps) or ``bilinear`` (round 11: the standard
+    half-pixel-center convention PIL/OpenCV use, edge-clamped) —
+    re-encode as PPM."""
     arr = decode_image(payload)
     h, w = arr.shape[:2]
-    ys = (np.arange(height) * h // height).clip(max=h - 1)
-    xs = (np.arange(width) * w // width).clip(max=w - 1)
-    return encode_ppm(arr[ys][:, xs])
+    if method == "nearest":
+        ys = (np.arange(height) * h // height).clip(max=h - 1)
+        xs = (np.arange(width) * w // width).clip(max=w - 1)
+        return encode_ppm(arr[ys][:, xs])
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    a = arr.astype(np.float64)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    # src = (dst + 0.5) * scale - 0.5; fractional weights are taken
+    # BEFORE clamping, so edge samples (y0 == y1) are weight-agnostic
+    ys = (np.arange(height) + 0.5) * (h / height) - 0.5
+    xs = (np.arange(width) + 0.5) * (w / width) - 0.5
+    wy = (ys - np.floor(ys))[:, None, None]
+    wx = (xs - np.floor(xs))[None, :, None]
+    fy = np.floor(ys).astype(np.int64)
+    fx = np.floor(xs).astype(np.int64)
+    y0 = np.clip(fy, 0, h - 1)
+    x0 = np.clip(fx, 0, w - 1)
+    y1 = np.clip(fy + 1, 0, h - 1)
+    x1 = np.clip(fx + 1, 0, w - 1)
+    out = (
+        a[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + a[np.ix_(y0, x1)] * (1 - wy) * wx
+        + a[np.ix_(y1, x0)] * wy * (1 - wx)
+        + a[np.ix_(y1, x1)] * wy * wx
+    )
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    if squeeze:
+        out = out[:, :, 0]
+    return encode_ppm(out)
 
 
 def resize_media(
@@ -1146,17 +1179,22 @@ def resize_media(
     height: int,
     strict: bool = False,
     decode: bool = False,
+    method: str = "nearest",
 ) -> DataFrame:
     """Arrow-batched resize over media rows. With ``decode=True`` the
-    payloads are really decoded and nearest-neighbor resampled
-    (:func:`resize_image`); otherwise the byte-truncation stub runs.
-    Output carries refreshed byte_size/content_hash metadata."""
+    payloads are really decoded and resampled (:func:`resize_image`,
+    ``method`` = nearest | bilinear); otherwise the byte-truncation
+    stub runs. Output carries refreshed byte_size/content_hash
+    metadata."""
     from hashlib import md5
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode:
-                resized = [resize_image(p, width, height) for p in pdf["payload"]]
+                resized = [
+                    resize_image(p, width, height, method)
+                    for p in pdf["payload"]
+                ]
             else:
                 resized = [resize_stub(p, width, height, strict) for p in pdf["payload"]]
             yield pd.DataFrame(

@@ -1773,6 +1773,60 @@ class TestRealImageDecode:
         assert np.array_equal(resized[3, 3], [9, 9, 9])
         assert out["byte_size"] == len(bytes(out["payload"]))
 
+    def test_resize_bilinear_known_values(self, spark):
+        """Round 11: pure-numpy bilinear (half-pixel-center,
+        edge-clamped). 2x2 checkerboard → 4x4: corners exact, interior
+        the hand-computable 3/8-1/8 blends (96 = round(255·0.375),
+        159 = round(255·0.625), 64/191 on the edges)."""
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_ppm,
+            resize_image,
+            resize_media,
+        )
+
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        arr[0, 1] = 255
+        arr[1, 0] = 255
+        out = decode_image(
+            resize_image(encode_ppm(arr), 4, 4, method="bilinear")
+        )
+        assert out.shape == (4, 4, 3)
+        expect = np.array(
+            [
+                [0, 64, 191, 255],
+                [64, 96, 159, 191],
+                [191, 159, 96, 64],
+                [255, 191, 64, 0],
+            ]
+        )
+        assert np.array_equal(out[:, :, 0], expect)
+        # downsample 4x4 → 2x2 averages each quadrant exactly
+        back = decode_image(
+            resize_image(encode_ppm(out), 2, 2, method="bilinear")
+        )
+        assert np.array_equal(
+            back[:, :, 0],
+            np.array([[round((0 + 64 + 64 + 96) / 4),
+                       round((191 + 255 + 159 + 191) / 4)],
+                      [round((191 + 159 + 255 + 191) / 4),
+                       round((96 + 64 + 64 + 0) / 4)]]),
+        )
+        # the mapInPandas path threads the method through
+        df = spark.createDataFrame(
+            [(1, "image/ppm", bytearray(encode_ppm(arr)), None, None)],
+            "media_id long, modality string, payload binary, "
+            "byte_size long, content_hash string",
+        )
+        row = resize_media(
+            df, width=4, height=4, decode=True, method="bilinear"
+        ).first()
+        assert np.array_equal(
+            decode_image(bytes(row["payload"]))[:, :, 0], expect
+        )
+
 
 class TestSampleExactN:
     def test_exact_count_and_determinism(self, spark):
