@@ -1321,6 +1321,118 @@ def _bench_drift_legs(spark, sf_dir: str) -> dict:
     return out
 
 
+def _ensure_sf1(spark, sf_dir: str) -> str:
+    """Materialize an sf1-scale twin (~10x sf0.1) ONCE into a cache
+    dir: the five TPC-H-shaped tables plus events are replicated 10x
+    with key-shifted copies (crossJoin against range(10), every key
+    column offset by replica * (max_key + 1) so joins fan out
+    realistically and dedup stages see distinct rows); nation/region
+    and the document tables stay symlinked as-is. One decade of
+    measured scaling beats any amount of plan-shape argument."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.plans.catalog import load_table
+
+    out = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
+    )
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    reps = 10
+
+    def _maxkey(table: str, col: str) -> int:
+        return int(
+            load_table(spark, sf_dir, table).agg(F.max(col)).first()[0]
+        ) + 1
+
+    bases = {
+        "c": _maxkey("customer", "c_custkey"),
+        "s": _maxkey("supplier", "s_suppkey"),
+        "p": _maxkey("part", "p_partkey"),
+        "o": _maxkey("orders", "o_orderkey"),
+        "e": _maxkey("events", "event_id"),
+        "u": _maxkey("events", "user_id"),
+    }
+    shifts = {
+        "customer": [("c_custkey", "c")],
+        "supplier": [("s_suppkey", "s")],
+        "part": [("p_partkey", "p")],
+        "orders": [("o_orderkey", "o"), ("o_custkey", "c")],
+        "lineitem": [
+            ("l_orderkey", "o"), ("l_partkey", "p"), ("l_suppkey", "s"),
+        ],
+        "events": [("event_id", "e"), ("user_id", "u")],
+    }
+    for name, cols in shifts.items():
+        df = load_table(spark, sf_dir, name)
+        big = df.crossJoin(
+            spark.range(reps).select(F.col("id").alias("__rep"))
+        )
+        for c, b in cols:
+            big = big.withColumn(
+                c,
+                (F.col(c) + F.col("__rep") * F.lit(bases[b])).cast(
+                    df.schema[c].dataType
+                ),
+            )
+        big.drop("__rep").repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    for name in ("nation", "region", "documents", "embeddings"):
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(out, f"{name}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("ok")
+    return out
+
+
+def _bench_sf1(spark, sf_dir: str, timings: dict) -> dict:
+    """Scale-evidence leg (round 11): run the heaviest fact-path
+    headline queries at sf0.1 AND the 10x twin, report the measured
+    scaling ratio per query. Sub-linear-to-linear ratios (<= ~12x for
+    10x data on a fixed 32-thread box) are the empirical half of the
+    100 TB story — the plan-shape audit is the other half."""
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return {"skipped": f"sf1 leg runs only from sf0.1 (got {sf_dir!r})"}
+    t0 = time.perf_counter()
+    sf1_dir = _ensure_sf1(spark, sf_dir)
+    gen_s = round(time.perf_counter() - t0, 3)
+    names = [
+        "g1_pricing_summary", "g2_revenue_rollup",
+        "q3_shipping_priority", "q5_region_revenue", "pipeline_e2e",
+    ]
+    queries = {}
+    ratios = []
+    for nm in names:
+        spec = CATALOG[nm]
+        spec.builder(spark, sf1_dir).collect()  # warmup at the new SF
+        samples = []
+        for _ in range(3):
+            start = time.perf_counter()
+            spec.builder(spark, sf1_dir).collect()
+            samples.append(time.perf_counter() - start)
+        s1 = round(min(samples), 3)
+        base = timings.get(nm)
+        ratio = round(s1 / base, 2) if base else None
+        queries[nm] = {"sf01_s": base, "sf1_s": s1, "ratio": ratio}
+        if ratio is not None:
+            ratios.append(ratio)
+    return {
+        "gen_s": gen_s,
+        "queries": queries,
+        "ratio_max": max(ratios) if ratios else None,
+        "ratio_ok": bool(ratios) and max(ratios) <= 12.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1351,21 +1463,32 @@ def main() -> None:
     # with p50 + raw runs alongside
     timings: dict[str, float] = {}
     p50s: dict[str, float] = {}
+    p10s: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    # r11 (VERDICT #6): the five queries that drifted +11..20% in r10
+    # with unchanged plans get 9 samples instead of 5 — enough that
+    # min and p10 separate real regressions from the VM variance band
+    drifted = {
+        "q5_region_revenue", "q3_shipping_priority", "window_topk",
+        "g4_kpis", "pipeline_e2e",
+    }
     for spec in headline:
         samples: list[float] = []
         n = 0
-        for _ in range(5):
+        for _ in range(9 if spec.name in drifted else 5):
             start = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             n = len(df.collect())
             samples.append(time.perf_counter() - start)
+        srt = sorted(samples)
         runs[spec.name] = [round(s, 3) for s in samples]
-        timings[spec.name] = round(min(samples), 3)
-        p50s[spec.name] = round(sorted(samples)[len(samples) // 2], 3)
+        timings[spec.name] = round(srt[0], 3)
+        p50s[spec.name] = round(srt[len(srt) // 2], 3)
+        p10s[spec.name] = round(srt[round(0.1 * (len(srt) - 1))], 3)
         print(
             f"# {spec.name}: min {timings[spec.name]:.3f}s "
-            f"p50 {p50s[spec.name]:.3f}s ({n} rows)",
+            f"p10 {p10s[spec.name]:.3f}s p50 {p50s[spec.name]:.3f}s "
+            f"({n} rows)",
             file=sys.stderr,
         )
 
@@ -1496,6 +1619,13 @@ def main() -> None:
         sq = {"error": str(exc)[:500]}
     print(f"# sq: {sq}", file=sys.stderr)
 
+    # sf1 scale-evidence leg (round 11) — also outside "queries"
+    try:
+        sf1 = _bench_sf1(spark, sf_dir, timings)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        sf1 = {"error": str(exc)[:500]}
+    print(f"# sf1: {sf1}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -1503,6 +1633,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_p50": p50s,
+        "queries_p10": p10s,
         "runs": runs,
         "value_p50": round(sum(p50s.values()), 3),
         "bucketed": bucketed,
@@ -1522,6 +1653,7 @@ def main() -> None:
         "transitions": trans,
         "bfs": bfs,
         "sq": sq,
+        "sf1": sf1,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of
