@@ -1676,6 +1676,15 @@ def main() -> None:
             "(exact-regime sketch over l_returnflag) + KMV overlap/"
             "estimate legs (k-min sketches of the orders/customer key "
             "sets) — the sketch family lives on this non-headline panel",
+            "drift_r10": "the r10 +11..20% drift on q5/q3/window_topk/"
+            "g4/pipeline_e2e decomposed under 9-sample p10: q3/"
+            "window_topk/pipeline_e2e were VM jitter (r11 mins back "
+            "within ±6% of r9); q5/g4 had a NAMED cause — ~90 ms of "
+            "spark.read.parquet reader construction per table per "
+            "BUILD (q5 loads 6 tables → ~0.55 s/run). Fixed by the "
+            "catalog-level scan memo (load_table _TABLE_MEMO, keyed "
+            "by applicationId): q5 0.801→0.537, g4 0.696→0.412 — "
+            "both now beat their r9 mins",
             "drift_r4": "text_stats/near_dup_clusters r4 deltas were jitter: "
             "r5 clean run measures 0.50/0.89 vs r3's 0.535/0.914 with no "
             "code change to either query; per-leg clocks in drift_legs",

@@ -65,6 +65,17 @@ def _ns_timestamp_columns(local_path: str) -> list[str]:
     return _NS_COLS_CACHE[local_path]
 
 
+#: (applicationId, sf_dir, name) → analyzed reader DataFrame. Reader
+#: construction (file listing + JVM footer/schema read) costs ~90 ms
+#: per table; a 6-table join paid ~0.55 s of it on EVERY build — the
+#: named cause of the r10 bench drift on q5/g4. Test tables are
+#: immutable, DataFrames are immutable plans, and the key includes
+#: the application id so a restarted session never sees a stale JVM
+#: handle. This is exactly what a real catalog does: resolve a
+#: table's scan relation once.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One test table, with nanosecond-timestamp normalization.
 
@@ -77,7 +88,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # pin UTC so the nanos→ntz conversion below is host-tz independent
+    # (re-pinned on every call even on memo hits — catalog queries
+    # rely on load_table leaving the session zone UTC)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
 
@@ -88,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 c,
                 F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
+    _TABLE_MEMO[key] = df
     return df
 
 

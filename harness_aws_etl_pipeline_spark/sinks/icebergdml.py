@@ -52,7 +52,7 @@ from harness_aws_etl_pipeline_spark.sources.icebergread import (
     iceberg_snapshot,
 )
 
-__all__ = ["iceberg_delete_where"]
+__all__ = ["iceberg_delete_where", "iceberg_upsert"]
 
 
 def _strip(p: str) -> str:
@@ -222,6 +222,7 @@ def iceberg_delete_where(
                     "partition": {},
                     "record_count": len(del_rows),
                     "file_size_in_bytes": del_size,
+                    "equality_ids": None,
                 },
             }
         ]
@@ -300,6 +301,271 @@ def iceberg_delete_where(
             }
         fs.delete(tmp, recursive=False)
         fs.delete(posixpath.join(base, man_rel), recursive=False)
+        fs.delete(posixpath.join(base, mlist_rel), recursive=False)
+        retries += 1
+        if retries > max_commit_retries:
+            raise RuntimeError(
+                f"lost the Iceberg commit race {retries} times at {base!r}"
+            )
+
+
+def iceberg_upsert(
+    spark: SparkSession,
+    path: str,
+    df,
+    keys: list[str],
+    max_commit_retries: int = 20,
+) -> dict:
+    """Keyed UPSERT as ONE atomic snapshot — the Flink streaming-upsert
+    shape this engine's reader learned to consume this round: the
+    commit carries the new data files at sequence N PLUS an EQUALITY
+    delete file on ``keys`` at the same sequence. The spec's strict
+    lower-sequence rule makes it atomic-by-construction: the delete
+    removes every OLDER row with a matching key and cannot touch this
+    commit's own rows. Returns ``{"snapshot_id", "rows_upserted",
+    "retries"}``. A table that does not exist yet is created with a
+    plain ``write_iceberg`` (nothing to delete)."""
+    from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+        write_iceberg,
+    )
+
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    mdir = posixpath.join(base, "metadata")
+    if not fs.exists(mdir):
+        rep = write_iceberg(spark, df, base)
+        return {
+            "snapshot_id": rep["snapshot_id"],
+            "rows_upserted": None,
+            "retries": rep["retries"],
+        }
+    md = json.loads(
+        fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8")
+    )
+    if int(md.get("format-version", 1)) < 2:
+        raise ValueError("equality deletes need a format-version 2 table")
+    schemas = md.get("schemas") or (
+        [dict(md["schema"], **{"schema-id": 0})] if md.get("schema") else []
+    )
+    cur_id = md.get("current-schema-id", 0)
+    node = next(
+        (s for s in schemas if s.get("schema-id") == cur_id), None
+    )
+    if node is None:
+        raise ValueError("Iceberg metadata carries no current schema")
+    ids_by_name = {f["name"]: int(f["id"]) for f in node["fields"]}
+    missing = [k for k in keys if k not in ids_by_name]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in the table schema")
+    if sorted(c for c in df.columns) != sorted(ids_by_name):
+        raise ValueError(
+            f"upsert frame columns {sorted(df.columns)} do not match the "
+            f"table schema {sorted(ids_by_name)}"
+        )
+    eq_ids = [ids_by_name[k] for k in keys]
+
+    # ---- stage new data files (write_iceberg's exact-ownership move)
+    stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
+    new_files: dict[str, int] = {}
+    del_rel = None
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        for rel, _mt, size in fs.list_files(stage):
+            if not rel.endswith(".parquet"):
+                continue
+            dest_rel = f"data/{uuid.uuid4().hex}-{posixpath.basename(rel)}"
+            if not fs.rename(
+                posixpath.join(stage, rel), posixpath.join(base, dest_rel)
+            ):
+                raise RuntimeError(f"could not move staged file {rel!r}")
+            new_files[dest_rel] = size
+
+        # equality-delete parquet: the distinct keys, field-id tagged
+        # via withMetadata — fully distributed, no driver collect
+        kdf = df.select(*keys).distinct()
+        for k in keys:
+            kdf = kdf.withMetadata(k, {"parquet.field.id": ids_by_name[k]})
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        dstage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
+        try:
+            kdf.coalesce(1).write.mode("overwrite").parquet(dstage)
+            (src,) = [
+                rel
+                for rel, _mt, _sz in fs.list_files(dstage)
+                if rel.endswith(".parquet")
+            ]
+            del_size = next(
+                sz for rel, _mt, sz in fs.list_files(dstage) if rel == src
+            )
+            del_rel = f"data/{uuid.uuid4().hex}-eqdeletes.parquet"
+            if not fs.rename(
+                posixpath.join(dstage, src), posixpath.join(base, del_rel)
+            ):
+                raise RuntimeError("could not move staged delete file")
+        finally:
+            fs.delete(dstage, recursive=True)
+        del_count = spark.read.parquet(
+            posixpath.join(base, del_rel)
+        ).count()
+    finally:
+        fs.delete(stage, recursive=True)
+
+    # per-file record counts, one grouped job over this write's files
+    counts: dict[str, int] = {}
+    if new_files:
+        paths = {posixpath.join(base, p): p for p in new_files}
+        rows = (
+            spark.read.parquet(*paths)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+                ).alias("fp")
+            )
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        stripped = {_strip(ap): rel for ap, rel in paths.items()}
+        for r in rows:
+            rel = stripped.get(r.fp)
+            if rel is not None:
+                counts[rel] = int(r.n)
+    rows_upserted = sum(counts.values())
+
+    ts_ms = int(time.time() * 1000)
+    retries = 0
+    while True:
+        md = json.loads(
+            fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8")
+        )
+        cur_version = 0
+        for rel, _mt, _sz in fs.list_files(mdir):
+            m = re.match(r"v(\d+)\.metadata\.json$", posixpath.basename(rel))
+            if m:
+                cur_version = max(cur_version, int(m.group(1)))
+        snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        data_entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": posixpath.join(base, p),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": counts.get(p, 0),
+                    "file_size_in_bytes": sz,
+                    "equality_ids": None,
+                },
+            }
+            for p, sz in sorted(new_files.items())
+        ]
+        del_entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": posixpath.join(base, del_rel),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": del_count,
+                    "file_size_in_bytes": del_size,
+                    "equality_ids": eq_ids,
+                },
+            }
+        ]
+        dman_rel = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        dman = write_avro_bytes(_ENTRY_SCHEMA, data_entries)
+        fs.write_bytes(posixpath.join(base, dman_rel), dman)
+        eman_rel = f"metadata/{uuid.uuid4().hex}-d0.avro"
+        eman = write_avro_bytes(_ENTRY_SCHEMA, del_entries)
+        fs.write_bytes(posixpath.join(base, eman_rel), eman)
+
+        def _mf(rel_, blob, content, adds, rows_):
+            return {
+                "manifest_path": posixpath.join(base, rel_),
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": adds,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": rows_,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+
+        prev_manifests: list[dict] = []
+        cur_md_snap = next(
+            (
+                s
+                for s in md.get("snapshots") or []
+                if s.get("snapshot-id") == md.get("current-snapshot-id")
+            ),
+            None,
+        )
+        if cur_md_snap is not None:
+            mlist_rel = cur_md_snap["manifest-list"]
+            mlist_path = (
+                mlist_rel
+                if mlist_rel.startswith("/")
+                else posixpath.join(base, mlist_rel)
+            )
+            _s, _n, recs = _iter_container(fs.read_bytes(mlist_path))
+            prev_manifests = list(recs)
+        mlist_rel = f"metadata/snap-{snapshot_id}.avro"
+        fs.write_bytes(
+            posixpath.join(base, mlist_rel),
+            write_avro_bytes(
+                _MLIST_SCHEMA,
+                prev_manifests
+                + [
+                    _mf(dman_rel, dman, 0, len(data_entries), rows_upserted),
+                    _mf(eman_rel, eman, 1, 1, 1),
+                ],
+            ),
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": ts_ms,
+            "sequence-number": seq,
+            "summary": {"operation": "overwrite"},
+            "manifest-list": posixpath.join(base, mlist_rel),
+            "schema-id": cur_id,
+        }
+        new_md = dict(md)
+        new_md["last-sequence-number"] = seq
+        new_md["last-updated-ms"] = ts_ms
+        new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]
+        new_md["current-snapshot-id"] = snapshot_id
+        new_md["snapshot-log"] = (md.get("snapshot-log") or []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": ts_ms}
+        ]
+        target = posixpath.join(mdir, f"v{cur_version + 1}.metadata.json")
+        tmp_dir = posixpath.join(base, ".icw_tmp")
+        fs.mkdirs(tmp_dir)
+        tmp = posixpath.join(tmp_dir, f"{uuid.uuid4().hex}.json")
+        fs.write_bytes(tmp, json.dumps(new_md).encode("utf-8"))
+        if fs.rename_if_absent(tmp, target):
+            fs.write_bytes(
+                posixpath.join(mdir, "version-hint.text"),
+                str(cur_version + 1).encode("utf-8"),
+            )
+            return {
+                "snapshot_id": snapshot_id,
+                "rows_upserted": rows_upserted,
+                "retries": retries,
+            }
+        fs.delete(tmp, recursive=False)
+        fs.delete(posixpath.join(base, dman_rel), recursive=False)
+        fs.delete(posixpath.join(base, eman_rel), recursive=False)
         fs.delete(posixpath.join(base, mlist_rel), recursive=False)
         retries += 1
         if retries > max_commit_retries:

@@ -62,6 +62,10 @@ _ENTRY_SCHEMA = json.dumps({
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                # null for data/position entries; the equality-delete
+                # writer (icebergdml.iceberg_upsert) sets the field ids
+                {"name": "equality_ids", "field-id": 135,
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ],
         }},
     ],
@@ -259,6 +263,7 @@ def write_iceberg(
                     "partition": {},
                     "record_count": counts.get(p, 0),
                     "file_size_in_bytes": sz,
+                    "equality_ids": None,
                 },
             }
             for p, sz in sorted(new_files.items())

@@ -131,3 +131,116 @@ class TestCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["action"] == "delta_delete" and rep["rows_deleted"] == 2
         assert read_delta(spark, t).count() == 4
+
+
+class TestUpsert:
+    def test_upsert_replaces_older_keys_atomically(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+            ),
+            t,
+        )
+        rep = iceberg_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(2, "b2"), (4, "d")], "id long, v string"
+            ),
+            keys=["id"],
+        )
+        assert rep["rows_upserted"] == 2
+        got = {(r.id, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+        # the old snapshot is intact; the upsert is one new snapshot
+        ops = [s["operation"] for s in iceberg_snapshots(spark, t)]
+        assert ops == ["append", "overwrite"]
+        snap = iceberg_snapshot(spark, t)
+        assert len(snap["equality_delete_files"]) == 1
+        assert snap["equality_delete_files"][0]["columns"] == ["id"]
+
+    def test_repeat_upserts_latest_wins(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        iceberg_upsert(
+            spark, t,
+            spark.createDataFrame([(1, "v1")], "id long, v string"),
+            keys=["id"],
+        )  # creates the table
+        iceberg_upsert(
+            spark, t,
+            spark.createDataFrame([(1, "v2")], "id long, v string"),
+            keys=["id"],
+        )
+        iceberg_upsert(
+            spark, t,
+            spark.createDataFrame([(1, "v3"), (2, "w")], "id long, v string"),
+            keys=["id"],
+        )
+        got = {(r.id, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(1, "v3"), (2, "w")}
+
+    def test_composite_keys_and_guards(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", 10.0), (1, "y", 20.0)], "id long, g string, m double"
+            ),
+            t,
+        )
+        iceberg_upsert(
+            spark, t,
+            spark.createDataFrame(
+                [(1, "x", 99.0)], "id long, g string, m double"
+            ),
+            keys=["id", "g"],
+        )
+        got = {(r.id, r.g, r.m) for r in read_iceberg(spark, t).collect()}
+        assert got == {(1, "x", 99.0), (1, "y", 20.0)}
+        with pytest.raises(ValueError, match="not in the table schema"):
+            iceberg_upsert(
+                spark, t,
+                spark.createDataFrame(
+                    [(1, "x", 1.0)], "id long, g string, m double"
+                ),
+                keys=["nope"],
+            )
+        with pytest.raises(ValueError, match="do not match"):
+            iceberg_upsert(
+                spark, t,
+                spark.createDataFrame([(1,)], "id long"),
+                keys=["id"],
+            )
+
+    def test_upsert_then_delete_where_refused(self, spark, tmp_path):
+        """delete_where cannot see through live equality deletes —
+        the refusal must hold on tables this writer produces."""
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark, spark.range(3).withColumn("v", F.lit("a")), t
+        )
+        iceberg_upsert(
+            spark, t,
+            spark.createDataFrame([(1, "b")], "id long, v string"),
+            keys=["id"],
+        )
+        with pytest.raises(ValueError, match="equality"):
+            iceberg_delete_where(spark, t, "id = 0")
