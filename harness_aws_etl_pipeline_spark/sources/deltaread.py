@@ -136,11 +136,14 @@ def _checkpoints(fs, log_dir: str) -> dict[int, list[str]]:
 
 
 def delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession | None, path: str, version: int | None = None
 ) -> dict:
     """Fold the log into a snapshot dict: ``{"version", "files":
     {path: add-action}, "schema" (StructType), "partition_columns",
-    "protocol"}``."""
+    "protocol"}``. Works without a session (``spark=None``, local
+    paths): the checkpoint replay falls back to pyarrow — this is
+    what lets the Python-DataSource stream reader plan offsets inside
+    a JVM-less worker."""
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     log_dir = posixpath.join(base, _LOG)
@@ -165,14 +168,34 @@ def delta_snapshot(
     actions_from_checkpoint = []
     if usable:
         cp_ver = max(usable)
-        cp = spark.read.parquet(*cps[cp_ver])
-        cols = set(cp.columns)
-        rows = cp.select(
-            *[c for c in ("add", "remove", "metaData", "protocol", "txn") if c in cols]
-        ).collect()
-        for r in rows:
-            d = r.asDict(recursive=True)
-            actions_from_checkpoint.append(d)
+        wanted = ("add", "remove", "metaData", "protocol", "txn")
+        if spark is not None and getattr(spark, "_jvm", None) is not None:
+            cp = spark.read.parquet(*cps[cp_ver])
+            cols = set(cp.columns)
+            rows = cp.select(*[c for c in wanted if c in cols]).collect()
+            for r in rows:
+                actions_from_checkpoint.append(r.asDict(recursive=True))
+        else:
+            # no JVM — e.g. inside a Python DataSource worker
+            # (sources/deltastream.py): checkpoint parquet via pyarrow
+            import pyarrow.parquet as pq
+
+            def _fix(d):
+                # pyarrow maps decode as [(k, v)] pairs; the Spark
+                # path (and every consumer) expects dicts
+                if isinstance(d, list) and all(
+                    isinstance(x, tuple) and len(x) == 2 for x in d
+                ):
+                    return dict(d)
+                if isinstance(d, dict):
+                    return {k: _fix(v) for k, v in d.items()}
+                return d
+
+            for p in cps[cp_ver]:
+                tbl = pq.read_table(p.removeprefix("file:"))
+                cols = [c for c in wanted if c in tbl.column_names]
+                for d in tbl.select(cols).to_pylist():
+                    actions_from_checkpoint.append(_fix(d))
         start = cp_ver + 1
 
     def _apply(action: dict) -> None:

@@ -1,0 +1,221 @@
+"""Delta tables as a STRUCTURED STREAMING SOURCE — no jar: a Spark 4
+Python DataSource (``pyspark.sql.datasource``) whose offsets are Delta
+log versions, completing the interop loop (`stream_to_delta` is the
+exactly-once sink; this is the source).
+
+    from harness_aws_etl_pipeline_spark.sources.deltastream import (
+        register_delta_stream,
+    )
+    register_delta_stream(spark)
+    df = (spark.readStream.format("delta_nojar")
+          .option("path", "/lake/events").load())
+
+Shape per Delta's own streaming source semantics:
+
+- an OFFSET is ``{"version": N}`` — the newest log version whose adds
+  have been emitted; Spark checkpoints it, so restarts resume exactly;
+- a micro-batch ``(start, end]`` is the set of data files ADDED by the
+  commits in that version window — ONE InputPartition per file, read
+  in the executors' Python workers via pyarrow (the planner runs in a
+  JVM-less worker, which is why ``delta_snapshot``'s checkpoint replay
+  has a pyarrow path);
+- append-only guard like ``delta_changes``: a ``remove`` with
+  ``dataChange`` or a deletion-vector re-add inside the window raises
+  (an update/delete is not representable as appended rows);
+- ``startingVersion`` option (default ``-1`` → include version 0's
+  files) mirrors the jar's option of the same name;
+- partition columns are reattached as typed literals from
+  ``add.partitionValues`` (string/numeric/boolean/date primitives —
+  exotic partition types reject loudly at planning time).
+
+Scale shape: offset planning is driver-side metadata (the same log
+fold every Delta client does); data reading is distributed one file
+per task. Local/posix paths (the Python workers ``open()`` the
+parquet directly); an object-store deployment plugs a pyarrow
+filesystem in here.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["DeltaStreamDataSource", "register_delta_stream"]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, pvalues: dict, columns: list):
+        self.path = path
+        self.pvalues = pvalues  # partition column name -> typed value
+        self.columns = columns  # output order (table schema order)
+
+
+def _typed_partition_value(raw: str | None, dt) -> object:
+    if raw is None:
+        return None
+    t = dt.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    if t == "string":
+        return raw
+    if t == "date":
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    raise ValueError(
+        f"partition column type {t!r} is not supported by the "
+        "delta_nojar stream source"
+    )
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema, starting_version: int):
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
+        )
+
+        self._base = path.rstrip("/")
+        self._schema = schema
+        self._start = starting_version
+        snap = delta_snapshot(None, self._base)
+        if (snap.get("column_mapping") or {}).get("physical"):
+            raise ValueError(
+                "delta_nojar streaming does not support column-mapped "
+                "tables yet"
+            )
+        self._pcols = snap["partition_columns"]
+        self._latest = snap["version"]
+
+    # -- offsets -------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            _commit_files,
+        )
+
+        fs = get_fs(self._base, None)
+        commits = _commit_files(fs, posixpath.join(self._base, "_delta_log"))
+        self._latest = max(commits) if commits else self._latest
+        return {"version": self._latest}
+
+    # -- planning ------------------------------------------------------
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            _commit_files,
+        )
+
+        fs = get_fs(self._base, None)
+        commits = _commit_files(fs, posixpath.join(self._base, "_delta_log"))
+        lo, hi = int(start["version"]), int(end["version"])
+        ptypes = {
+            f.name: f.dataType
+            for f in self._schema.fields
+            if f.name in self._pcols
+        }
+        cols = [f.name for f in self._schema.fields]
+        parts: list[InputPartition] = []
+        for v in range(lo + 1, hi + 1):
+            p = commits.get(v)
+            if p is None:
+                continue  # log-cleaned versions below a checkpoint
+            for line in fs.read_bytes(p).decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                rem = a.get("remove")
+                if rem and rem.get("dataChange", True):
+                    raise ValueError(
+                        f"commit {v} removes data file {rem.get('path')!r}"
+                        " — an update/delete window is not representable"
+                        " as a stream of appended rows"
+                    )
+                add = a.get("add")
+                if not add or not add.get("path"):
+                    continue
+                if (add.get("deletionVector") or {}).get("storageType"):
+                    raise ValueError(
+                        f"commit {v} adds a deletion-vector'd file — "
+                        "not representable as appended rows"
+                    )
+                pv = add.get("partitionValues") or {}
+                parts.append(
+                    _FilePartition(
+                        posixpath.join(self._base, unquote(add["path"])),
+                        {
+                            c: _typed_partition_value(pv.get(c), ptypes[c])
+                            for c in self._pcols
+                        },
+                        cols,
+                    )
+                )
+        return parts
+
+    # -- reading (executor-side Python worker) --------------------------
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path.removeprefix("file:"))
+        data_cols = [
+            c for c in partition.columns if c not in partition.pvalues
+        ]
+        present = [c for c in data_cols if c in tbl.column_names]
+        pylists = {c: tbl.column(c).to_pylist() for c in present}
+        n = tbl.num_rows
+        for i in range(n):
+            yield tuple(
+                partition.pvalues[c]
+                if c in partition.pvalues
+                else (pylists[c][i] if c in pylists else None)
+                for c in partition.columns
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_nojar").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_nojar"
+
+    def schema(self):
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_nojar needs .option('path', ...)")
+        snap = delta_snapshot(None, path)
+        if snap["schema"] is None:
+            raise ValueError("Delta table has no schema in its metadata")
+        return snap["schema"]
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _DeltaStreamReader(
+            self.options["path"],
+            schema,
+            int(self.options.get("startingVersion", -1)),
+        )
+
+
+def register_delta_stream(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(DeltaStreamDataSource)

@@ -1,0 +1,161 @@
+"""Delta as a Structured Streaming SOURCE (sources/deltastream.py):
+Spark 4 Python DataSource with log versions as offsets — batch
+boundaries, checkpoint resume without duplicates, partitioned tables,
+append-only and deletion-vector guards, startingVersion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+from harness_aws_etl_pipeline_spark.sources.deltastream import (
+    register_delta_stream,
+)
+
+
+def _drain(df, out, cp):
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+class TestDeltaStreamSource:
+    def test_stream_then_resume_exactly_once(self, spark, tmp_path):
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(spark, spark.range(5).withColumn("v", F.lit("a")), t)
+        write_delta(
+            spark, spark.range(5, 8).withColumn("v", F.lit("b")), t,
+            mode="append",
+        )
+        df = spark.readStream.format("delta_nojar").option("path", t).load()
+        _drain(df, out, cp)
+        got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+        assert got == [(i, "a") for i in range(5)] + [
+            (i, "b") for i in range(5, 8)
+        ]
+        # new commit, SAME checkpoint: only the delta arrives, no dups
+        write_delta(
+            spark, spark.range(8, 10).withColumn("v", F.lit("c")), t,
+            mode="append",
+        )
+        _drain(df, out, cp)
+        got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+        assert len(got) == 10 and (9, "c") in got
+        assert len(got) == len(set(got))
+
+    def test_partitioned_values_typed(self, spark, tmp_path):
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        df0 = spark.createDataFrame(
+            [(i, i % 2) for i in range(6)], "id long, g int"
+        )
+        write_delta(spark, df0, t, partition_by=["g"])
+        df = spark.readStream.format("delta_nojar").option("path", t).load()
+        _drain(df, out, cp)
+        back = spark.read.parquet(out)
+        assert dict(back.dtypes)["g"] == "int"
+        assert {(r.id, r.g) for r in back.collect()} == {
+            (i, i % 2) for i in range(6)
+        }
+
+    def test_starting_version_skips_history(self, spark, tmp_path):
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(spark, spark.range(3).withColumn("v", F.lit("old")), t)
+        write_delta(
+            spark, spark.range(3, 5).withColumn("v", F.lit("new")), t,
+            mode="append",
+        )
+        df = (
+            spark.readStream.format("delta_nojar")
+            .option("path", t)
+            .option("startingVersion", 0)  # emit commits AFTER v0
+            .load()
+        )
+        _drain(df, out, cp)
+        got = {(r.id, r.v) for r in spark.read.parquet(out).collect()}
+        assert got == {(3, "new"), (4, "new")}
+
+    def test_remove_in_window_rejected(self, spark, tmp_path):
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(spark, spark.range(4).withColumn("v", F.lit("a")), t)
+        write_delta(
+            spark, spark.range(9, 10).withColumn("v", F.lit("b")), t,
+            mode="overwrite",
+        )
+        df = spark.readStream.format("delta_nojar").option("path", t).load()
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException, match="remove"):
+            q.awaitTermination(120)
+
+    def test_dv_add_in_window_rejected(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(spark, spark.range(6).withColumn("v", F.lit("a")), t)
+        delta_delete_where(spark, t, "id = 2")
+        df = spark.readStream.format("delta_nojar").option("path", t).load()
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException, match="remove|vector"):
+            q.awaitTermination(120)
+
+    def test_roundtrip_with_stream_to_delta(self, spark, tmp_path):
+        """Source and sink compose: delta → stream → delta, both
+        no-jar, exactly-once on both ends."""
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            stream_to_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            read_delta,
+        )
+
+        register_delta_stream(spark)
+        src, dst, cp = (
+            str(tmp_path / "src"), str(tmp_path / "dst"), str(tmp_path / "cp")
+        )
+        write_delta(spark, spark.range(7).withColumn("v", F.lit("x")), src)
+        df = spark.readStream.format("delta_nojar").option("path", src).load()
+        q = stream_to_delta(df, dst, app_id="relay", checkpoint_location=cp)
+        q.start().awaitTermination(120)
+        assert read_delta(spark, dst).count() == 7
+        # second drain with no new source commits writes nothing new
+        q = stream_to_delta(df, dst, app_id="relay", checkpoint_location=cp)
+        q.start().awaitTermination(120)
+        assert read_delta(spark, dst).count() == 7
