@@ -23,14 +23,16 @@ Layout per the open spec (hudi.apache.org/tech-specs) and the shape
 Scope (honest): CoW, unpartitioned layout (Hudi data files CONTAIN
 all columns, so partitioned layouts are a directory-shape concern the
 reader already walks; the writer keeps one flat layout), append /
-insert_overwrite only — no record-key upserts (use SnapTable.merge
-and export, or write_delta, for keyed DML).
+insert_overwrite, plus (round 11) MERGE_ON_READ keyed
+upserts via ``hudi_upsert`` — log-block appends routed by a simple
+index, the streaming-upsert shape MOR exists for.
 """
 
 from __future__ import annotations
 
 import json
 import posixpath
+import re
 import time
 import uuid
 
@@ -39,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 from harness_aws_etl_pipeline_spark.sources.hudiread import hudi_snapshot
 
-__all__ = ["write_hudi"]
+__all__ = ["hudi_upsert", "write_hudi"]
 
 _DATA_RE_TOKEN = "0-1-2"
 
@@ -168,3 +170,267 @@ def write_hudi(
                 )
     finally:
         fs.delete(stage, recursive=True)
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ upsert (round 11) — the write-side complement of the
+# round-11 MOR reader: updates/inserts land as Avro log blocks
+# (sources/hudilog.py) on the owning file group, exactly the streaming
+# upsert shape MOR exists for. Routing is Hudi's "simple index": one
+# distributed join of the incoming keys against the live (key → file
+# group) mapping scanned from base files + decoded log rows. Matched
+# rows append a data block to THEIR group's next log file; unmatched
+# keys start one new log-only file group. The commit point is the
+# .deltacommit instant claimed via PUT-IF-ABSENT, so uncommitted log
+# files stay invisible, same as write_hudi's data files.
+#
+# Honest bound: the routed rows are collected driver-side to encode
+# the log blocks (`max_upsert_rows`, default 10M, fails loudly toward
+# a CoW rewrite); column types are restricted to Avro-primitive-
+# mappable Spark types.
+# ---------------------------------------------------------------------------
+
+_AVRO_PRIM = {
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _avro_schema_for(df: DataFrame) -> str:
+    fields = []
+    for f in df.schema.fields:
+        prim = _AVRO_PRIM.get(f.dataType.typeName())
+        if prim is None:
+            raise ValueError(
+                f"hudi_upsert supports Avro-primitive column types only; "
+                f"column {f.name!r} is {f.dataType.simpleString()}"
+            )
+        fields.append({"name": f.name, "type": ["null", prim]})
+    return json.dumps({"type": "record", "name": "rec", "fields": fields})
+
+
+def hudi_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    table_name: str = "t",
+    max_upsert_rows: int = 10_000_000,
+    max_commit_retries: int = 20,
+) -> dict:
+    """Keyed upsert into a MERGE_ON_READ table (created on first call).
+    Returns ``{"instant", "rows_upserted", "groups_logged",
+    "new_groups", "retries"}``."""
+    from harness_aws_etl_pipeline_spark.sources.hudilog import (
+        encode_avro_block,
+    )
+    from harness_aws_etl_pipeline_spark.sources.hudiread import (
+        _LOG_RE,
+        hudi_snapshot,
+    )
+
+    if key_col not in df.columns:
+        raise ValueError(f"key column {key_col!r} not in the frame")
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    hoodie = posixpath.join(base, ".hoodie")
+    props_path = posixpath.join(hoodie, "hoodie.properties")
+    if fs.exists(props_path):
+        body = fs.read_bytes(props_path).decode("utf-8")
+        if "MERGE_ON_READ" not in body:
+            raise ValueError(
+                "hudi_upsert writes log files — a COPY_ON_WRITE table "
+                "cannot carry them (use SnapTable.merge or write_delta "
+                "for keyed CoW DML)"
+            )
+    else:
+        fs.mkdirs(hoodie)
+        fs.write_bytes(
+            props_path,
+            (
+                "#auto-generated\n"
+                f"hoodie.table.name={table_name}\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+            ).encode("utf-8"),
+        )
+
+    # ---- normalize the frame: meta columns first, like Hudi's layout
+    from pyspark.sql import functions as F
+
+    meta_free = [c for c in df.columns if not c.startswith("_hoodie_")]
+    up = df.select(
+        F.col(key_col).cast("string").alias("_hoodie_record_key"),
+        F.lit("").alias("_hoodie_partition_path"),
+        *[F.col(c) for c in meta_free],
+    )
+
+    # ---- simple index: live (record key → file group) mapping
+    snap = hudi_snapshot(spark, base)
+    key_to_fid: dict[str, str] = {}
+    if snap["files"] or snap["log_files"]:
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        live = read_hudi(spark, base).select(
+            "_hoodie_record_key", "_hoodie_file_name"
+        ) if "_hoodie_file_name" in _live_columns(spark, base, snap) else None
+        if live is None:
+            # derive group from the scan's file metadata instead
+            live = _keys_with_groups(spark, base, snap)
+        hits = (
+            up.select("_hoodie_record_key")
+            .distinct()
+            .join(live, "_hoodie_record_key")
+            .collect()
+        )
+        key_to_fid = {r[0]: r[1] for r in hits}
+
+    rows = up.limit(max_upsert_rows + 1).collect()
+    if len(rows) > max_upsert_rows:
+        raise ValueError(
+            f"upsert frame exceeds {max_upsert_rows} rows; log-block "
+            "encoding is driver-side — batch the upsert or use a CoW "
+            "rewrite"
+        )
+    schema_json = _avro_schema_for(up)
+    names = up.columns
+    by_group: dict[str | None, list[dict]] = {}
+    for r in rows:
+        rec = {n: r[n] for n in names}
+        if isinstance(rec.get(key_col), (bytes, bytearray)):
+            raise ValueError("binary key columns are not supported")
+        fid = key_to_fid.get(rec["_hoodie_record_key"])
+        by_group.setdefault(fid, []).append(rec)
+
+    # next log version per group (from the live listing)
+    next_ver: dict[str, int] = {}
+    base_instant: dict[str, str] = {}
+    for lf in snap.get("log_files") or []:
+        next_ver[lf["fid"]] = max(
+            next_ver.get(lf["fid"], 0), int(lf["version"])
+        )
+        base_instant[lf["fid"]] = lf["base_instant"]
+    for p in snap.get("files") or []:
+        m = _DATA_RE_PAT.search(p)
+        if m:
+            base_instant.setdefault(m.group("fid"), m.group("ts"))
+
+    timeline_last = None
+    from harness_aws_etl_pipeline_spark.sources.hudiread import (
+        hudi_timeline,
+    )
+
+    tl = hudi_timeline(spark, base)
+    if tl:
+        timeline_last = tl[-1]["instant"]
+
+    retries = 0
+    staged: list[tuple[str, str]] = []  # (tmp path, final rel name)
+    while True:
+        instant = _instant_now(timeline_last)
+        timeline_last = instant
+        staged = []
+        groups_logged = new_groups = 0
+        for fid, recs in sorted(
+            by_group.items(), key=lambda kv: str(kv[0])
+        ):
+            block = encode_avro_block(schema_json, recs, instant)
+            if fid is None:
+                gid = uuid.uuid4().hex
+                name = f".{gid}_{instant}.log.1_{_DATA_RE_TOKEN}"
+                new_groups += 1
+            else:
+                ver = next_ver.get(fid, 0) + 1
+                name = (
+                    f".{fid}_{base_instant[fid]}.log.{ver}_{_DATA_RE_TOKEN}"
+                )
+                groups_logged += 1
+            fs.write_bytes(posixpath.join(base, name), block)
+            staged.append(name)
+        tmp = posixpath.join(hoodie, f".commitmeta-{uuid.uuid4().hex}")
+        fs.write_bytes(tmp, b"{}")
+        dest = posixpath.join(hoodie, f"{instant}.deltacommit")
+        if fs.rename_if_absent(tmp, dest):
+            return {
+                "instant": instant,
+                "rows_upserted": len(rows),
+                "groups_logged": groups_logged,
+                "new_groups": new_groups,
+                "retries": retries,
+            }
+        # lost the instant: the written log files reference an instant
+        # that will never commit — the reader's committed-instant
+        # filter makes them invisible, but clean up anyway
+        fs.delete(tmp, recursive=False)
+        for name in staged:
+            fs.delete(posixpath.join(base, name), recursive=False)
+        retries += 1
+        if retries > max_commit_retries:
+            raise RuntimeError(
+                f"lost the Hudi instant race {retries} times at {base!r}"
+            )
+
+
+_DATA_RE_PAT = re.compile(
+    r"(?P<fid>[^_/]+)_(?P<tok>[^_/]+)_(?P<ts>\d+)\.parquet$"
+)
+
+
+def _live_columns(spark, base: str, snap: dict) -> list[str]:
+    if snap["files"]:
+        return spark.read.parquet(snap["files"][0]).columns
+    return []
+
+
+def _keys_with_groups(spark, base: str, snap: dict):
+    """(record key, fid) over the LIVE view: base files keyed by their
+    filename's fid; log rows keyed by their log file's fid."""
+    from pyspark.sql import functions as F
+
+    out = None
+    if snap["files"]:
+        out = (
+            spark.read.parquet(*snap["files"])
+            .select(
+                "_hoodie_record_key",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    r"([^_/]+)_[^_/]+_\d+\.parquet$",
+                    1,
+                ).alias("fid"),
+            )
+        )
+    for lf in snap.get("log_files") or []:
+        from harness_aws_etl_pipeline_spark.sources.hudilog import (
+            decode_log_blocks,
+        )
+
+        fs = get_fs(base, spark)
+        keys = set()
+        for blk in decode_log_blocks(fs.read_bytes(lf["path"])):
+            if blk["instant"] not in set(snap["committed"]):
+                continue
+            if blk["type"] == "avro":
+                keys.update(
+                    r.get("_hoodie_record_key") for r in blk["records"]
+                )
+            else:
+                for k, _p in blk["deletes"]:
+                    keys.discard(k)
+        if keys:
+            kdf = spark.createDataFrame(
+                [(k, lf["fid"]) for k in sorted(keys)],
+                "_hoodie_record_key string, fid string",
+            )
+            out = kdf if out is None else out.unionByName(kdf)
+    if out is None:
+        out = spark.createDataFrame(
+            [], "_hoodie_record_key string, fid string"
+        )
+    return out.dropDuplicates(["_hoodie_record_key"])

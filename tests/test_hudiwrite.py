@@ -144,3 +144,135 @@ class TestRoundTrip:
         assert rep["retries"] == 1 and rep["action"] == "replacecommit"
         got = {(r.id, r.v) for r in read_hudi(spark, t).collect()}
         assert got == {(0, "new"), (1, "new")}  # the raced append is gone
+
+
+class TestMorUpsert:
+    def test_upsert_creates_then_updates(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_snapshot,
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        assert rep["new_groups"] == 1 and rep["rows_upserted"] == 2
+        got = {
+            (r.id, r.v) for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        assert got == {(1, "a"), (2, "b")}
+        # update one key, insert another — the update must land on the
+        # EXISTING file group's log (no new group for it)
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(2, "b2"), (3, "c")], "id long, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        assert rep["groups_logged"] == 1 and rep["new_groups"] == 1
+        got = {
+            (r.id, r.v) for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        assert got == {(1, "a"), (2, "b2"), (3, "c")}
+        snap = hudi_snapshot(spark, t)
+        assert snap["table_type"] == "MERGE_ON_READ"
+
+    def test_upsert_onto_base_file_group(self, spark, tmp_path):
+        """A MOR table with a parquet base slice: the upsert's update
+        block must attach to the base file's group and merge over it."""
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        # build the base via the existing MOR fixture helpers
+        from tests.test_hudiread import T1, _commit, _mor_base, _props
+
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _commit(tmp_path, T1)
+        _mor_base(
+            spark, tmp_path, "g1", T1, [("k1", 1, "a"), ("k2", 2, "b")]
+        )
+        t = str(tmp_path)
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [("k2", "", 2, "b2")],
+                "_hoodie_record_key string, _hoodie_partition_path string,"
+                " id long, v string",
+            ),
+            t,
+            key_col="_hoodie_record_key",
+        )
+        assert rep["groups_logged"] == 1 and rep["new_groups"] == 0
+        got = {(r.id, r.v) for r in read_hudi(spark, t).collect()}
+        assert got == {(1, "a"), (2, "b2")}
+
+    def test_upsert_as_of_sees_history(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_timeline,
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "v1")], "id long, v string"),
+            t, key_col="id",
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "v2")], "id long, v string"),
+            t, key_col="id",
+        )
+        first = hudi_timeline(spark, t)[0]["instant"]
+        assert {
+            r.v for r in read_hudi(spark, t, as_of_instant=first).collect()
+        } == {"v1"}
+        assert {r.v for r in read_hudi(spark, t).collect()} == {"v2"}
+
+    def test_upsert_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        write_hudi(spark, spark.range(2).withColumn("v", F.lit("a")), t)
+        with _pytest.raises(ValueError, match="COPY_ON_WRITE"):
+            hudi_upsert(
+                spark,
+                spark.createDataFrame([(1, "x")], "id long, v string"),
+                t, key_col="id",
+            )
+        with _pytest.raises(ValueError, match="not in the frame"):
+            hudi_upsert(
+                spark,
+                spark.createDataFrame([(1, "x")], "id long, v string"),
+                str(tmp_path / "t2"), key_col="nope",
+            )
+        with _pytest.raises(ValueError, match="rows"):
+            hudi_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(i, "x") for i in range(5)], "id long, v string"
+                ),
+                str(tmp_path / "t3"), key_col="id", max_upsert_rows=2,
+            )
