@@ -1702,7 +1702,12 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     Round-11 legs: the no-rewrite DML — ``delta_delete_where``
     (deletion vectors) and ``iceberg_delete_where`` (v2 position
     deletes) checksum the SURVIVORS of ``l_orderkey % 100 = 0``
-    against the oracle's complement aggregate."""
+    against the oracle's complement aggregate; then
+    ``iceberg_upsert`` re-inserts ONE row per deleted key through an
+    EQUALITY delete + data file commit, so the reader's
+    position+equality composition and the strict sequence scoping are
+    value-gated too (expected: complement rows + one row per distinct
+    deleted key)."""
     import tempfile
 
     from harness_aws_etl_pipeline_spark.sinks import write_table
@@ -1757,6 +1762,26 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         results["iceberg_deleted"] = _checksum(
             read_iceberg(spark, f"{tmp}/iceberg")
         )
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+
+        upsert_df = (
+            li.where("l_orderkey % 100 = 0")
+            .groupBy("l_orderkey")
+            .agg(
+                F.min("l_linenumber").alias("l_linenumber"),
+                F.min("l_quantity").alias("l_quantity"),
+                F.min("l_returnflag").alias("l_returnflag"),
+            )
+            .select(*li.columns)
+        )
+        iceberg_upsert(
+            spark, f"{tmp}/iceberg", upsert_df, keys=["l_orderkey"]
+        )
+        results["iceberg_upserted"] = _checksum(
+            read_iceberg(spark, f"{tmp}/iceberg")
+        )
     rows = [(fmt, c, s) for fmt, (c, s) in sorted(results.items())]
     return spark.createDataFrame(rows, "format string, row_cnt bigint, key_sum bigint")
 
@@ -1766,16 +1791,24 @@ WITH full_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
                        CAST(SUM(l_orderkey) AS BIGINT) AS s FROM lineitem),
      del_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
                       CAST(SUM(l_orderkey) AS BIGINT) AS s FROM lineitem
-               WHERE l_orderkey % 100 <> 0)
+               WHERE l_orderkey % 100 <> 0),
+     ups_t AS (SELECT (SELECT c FROM del_t)
+                      + CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS c,
+                      (SELECT s FROM del_t)
+                      + CAST(SUM(DISTINCT l_orderkey) AS BIGINT) AS s
+               FROM lineitem WHERE l_orderkey % 100 = 0)
 SELECT fmt AS format,
-       CASE WHEN fmt LIKE '%deleted'
-            THEN (SELECT c FROM del_t) ELSE (SELECT c FROM full_t)
+       CASE WHEN fmt LIKE '%upserted' THEN (SELECT c FROM ups_t)
+            WHEN fmt LIKE '%deleted' THEN (SELECT c FROM del_t)
+            ELSE (SELECT c FROM full_t)
        END AS row_cnt,
-       CASE WHEN fmt LIKE '%deleted'
-            THEN (SELECT s FROM del_t) ELSE (SELECT s FROM full_t)
+       CASE WHEN fmt LIKE '%upserted' THEN (SELECT s FROM ups_t)
+            WHEN fmt LIKE '%deleted' THEN (SELECT s FROM del_t)
+            ELSE (SELECT s FROM full_t)
        END AS key_sum
 FROM (VALUES ('csv'), ('delta'), ('delta_deleted'), ('iceberg'),
-             ('iceberg_deleted'), ('json'), ('orc'), ('parquet')) AS t(fmt)
+             ('iceberg_deleted'), ('iceberg_upserted'), ('json'), ('orc'),
+             ('parquet')) AS t(fmt)
 ORDER BY fmt
 """
 
