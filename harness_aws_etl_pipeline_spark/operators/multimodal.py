@@ -646,6 +646,197 @@ def encode_wav(
     )
 
 
+# IMA/DVI ADPCM (WAV format tag 0x0011) — the canonical step/index
+# tables (IMA ADPCM reference, reproduced in RFCs and every codec)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_decode_channel(
+    nibbles: "np.ndarray", predictor: int, index: int
+) -> "np.ndarray":
+    """One channel's nibble stream → int16 samples (the per-sample
+    recurrence is inherent to ADPCM; blocks are small and independent,
+    so parallelism lives at the block level)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    pred = int(predictor)
+    idx = int(index)
+    for i, n in enumerate(nibbles):
+        n = int(n)
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+        out[i] = pred
+    return out
+
+
+def _decode_ima_adpcm(
+    data: bytes, channels: int, block_align: int, samples_per_block: int
+) -> "np.ndarray":
+    """WAV IMA ADPCM data chunk → (n, channels) int16. Per block and
+    channel: a 4-byte header (predictor int16, step index, reserved)
+    — the predictor IS the first output sample — then nibble data in
+    4-byte per-channel interleaved groups, low nibble first."""
+    import struct
+
+    frames: list = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = data[off : off + block_align]
+        preds = []
+        idxs = []
+        for c in range(channels):
+            p, i, _r = struct.unpack_from("<hBB", block, c * 4)
+            if i > 88:
+                raise ValueError(f"IMA ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+        body = np.frombuffer(block, dtype=np.uint8, count=len(block))[
+            4 * channels :
+        ]
+        nib = np.empty(len(body) * 2, dtype=np.uint8)
+        nib[0::2] = body & 0x0F  # low nibble first
+        nib[1::2] = body >> 4
+        # per-channel nibble streams: 8-nibble (4-byte) groups rotate
+        # through the channels
+        chans = []
+        for c in range(channels):
+            groups = nib.reshape(-1, 8)[c::channels]
+            stream = groups.reshape(-1)[: samples_per_block - 1]
+            chans.append(
+                np.concatenate(
+                    (
+                        np.array([preds[c]], dtype=np.int16),
+                        _ima_decode_channel(stream, preds[c], idxs[c]),
+                    )
+                )
+            )
+        frames.append(np.stack(chans, axis=1))
+    if not frames:
+        return np.zeros((0, channels), dtype=np.int16)
+    return np.concatenate(frames, axis=0)
+
+
+def encode_wav_ima_adpcm(
+    samples: "np.ndarray",
+    sample_rate: int = 16_000,
+    samples_per_block: int = 505,
+) -> bytes:
+    """(n,) or (n, channels) int16 → IMA ADPCM WAV (format 0x0011),
+    the standard block layout real encoders emit. The companion of
+    :func:`decode_wav`'s format-17 branch; round-trip tests pin the
+    nibble/group conventions against each other AND against the
+    spec's hand-computable first samples."""
+    import struct
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    if (samples_per_block - 1) % 8 != 0:
+        raise ValueError("samples_per_block must be 1 + a multiple of 8")
+    n, channels = a.shape
+    if n == 0:
+        a = np.zeros((1, channels), dtype=np.int16)
+        n = 1
+    pad = (-len(a)) % samples_per_block
+    if pad:
+        a = np.vstack([a, np.repeat(a[-1:], pad, axis=0)])
+    block_align = 4 * channels + (samples_per_block - 1) // 2 * channels
+    blocks = []
+    idx = [0] * channels
+    for b0 in range(0, len(a), samples_per_block):
+        chunk = a[b0 : b0 + samples_per_block]
+        # header sample = first frame; encode the rest
+        hdr = b""
+        streams = []
+        for c in range(channels):
+            pred = int(chunk[0, c])
+            hdr += struct.pack("<hBB", pred, idx[c], 0)
+            nibs = []
+            for s in chunk[1:samples_per_block, c]:
+                step = int(_IMA_STEPS[idx[c]])
+                delta = int(s) - pred
+                code = 0
+                if delta < 0:
+                    code = 8
+                    delta = -delta
+                if delta >= step:
+                    code |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    code |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    code |= 1
+                # reconstruct like the decoder to track the predictor
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                if code & 8:
+                    diff = -diff
+                pred = max(-32768, min(32767, pred + diff))
+                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX[code & 7])))
+                nibs.append(code)
+            while len(nibs) < samples_per_block - 1:
+                nibs.append(0)
+            streams.append(np.array(nibs, dtype=np.uint8).reshape(-1, 8))
+        inter = np.empty(
+            (streams[0].shape[0] * channels, 8), dtype=np.uint8
+        )
+        for c in range(channels):
+            inter[c::channels] = streams[c]
+        flat = inter.reshape(-1)
+        packed = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+        blocks.append(hdr + packed.tobytes())
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * block_align) // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, channels, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data)
+        )
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def _mulaw_expand(codes: "np.ndarray") -> "np.ndarray":
     """G.711 µ-law byte → int16, the closed-form spec expansion:
     complement, split sign/exponent/mantissa, rebuild the biased
@@ -769,6 +960,19 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
         codes = np.frombuffer(data, dtype=np.uint8, count=n)
         frames = (
             _alaw_expand(codes) if audio_format == 6 else _mulaw_expand(codes)
+        )
+    elif audio_format in (0x11, 0x0011):  # IMA/DVI ADPCM (round 11)
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        if len(fmt_body) >= 20:
+            import struct as _struct
+
+            samples_per_block = _struct.unpack_from("<H", fmt_body, 18)[0]
+        else:
+            samples_per_block = ((_align - 4 * channels) * 2) // channels + 1
+        return (
+            _decode_ima_adpcm(data, channels, _align, samples_per_block),
+            sample_rate,
         )
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")

@@ -2352,3 +2352,101 @@ class TestWavFormats:
             decode_wav(self._wav(1, 1, 8000, 12, b"\x00\x00"))
         with _pytest.raises(ValueError, match="8-bit"):
             decode_wav(self._wav(7, 1, 8000, 16, b"\x00\x00"))
+
+
+class TestImaAdpcm:
+    """Round-11: IMA/DVI ADPCM (WAV format 0x0011) — hand-computable
+    step arithmetic, block layout, encoder/decoder round trip, SNR."""
+
+    def test_single_nibble_closed_forms(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            _ima_decode_channel,
+        )
+
+        # step table starts at 7: nibble 1 → diff 7>>3 + 7>>2 = 1;
+        # nibble 15 → -(0 + 1 + 3 + 7) = -11
+        assert _ima_decode_channel(
+            np.array([1], dtype=np.uint8), 0, 0
+        ).tolist() == [1]
+        assert _ima_decode_channel(
+            np.array([15], dtype=np.uint8), 0, 0
+        ).tolist() == [-11]
+        # nibble 0 at step 7: diff = 7>>3 = 0, index 0 + (-1) clamps
+        # at 0 — the predictor holds
+        assert _ima_decode_channel(
+            np.array([0, 0], dtype=np.uint8), -32768, 0
+        ).tolist() == [-32768, -32768]
+
+    def test_roundtrip_snr_and_block_layout(self):
+        import struct
+
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_ima_adpcm,
+        )
+
+        t = np.arange(4000)
+        sig = (8000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        wav = encode_wav_ima_adpcm(sig, 16000)
+        arr, rate = decode_wav(wav)
+        assert rate == 16000 and arr.shape[1] == 1
+        d = arr[: len(sig), 0].astype(np.float64) - sig
+        snr = 10 * np.log10(
+            (sig.astype(np.float64) ** 2).mean() / (d ** 2).mean()
+        )
+        assert snr > 20.0  # 4-bit ADPCM lands ~25-30 dB on a sine
+        # block header sample is EXACT (the spec's predictor-in-header)
+        spb = 505
+        for b in range(len(sig) // spb):
+            assert int(arr[b * spb, 0]) == int(sig[b * spb])
+        # fmt chunk says format 0x11, 4 bits, samples_per_block extra
+        a_fmt = wav[wav.index(b"fmt ") + 8 :]
+        code, ch, _r, _br, _ba, bits, cb, got_spb = struct.unpack_from(
+            "<HHIIHHHH", a_fmt, 0
+        )
+        assert (code, ch, bits, cb, got_spb) == (0x11, 1, 4, 2, spb)
+
+    def test_stereo_interleave(self):
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_ima_adpcm,
+        )
+
+        t = np.arange(1200)
+        left = (6000 * np.sin(2 * np.pi * 300 * t / 8000)).astype(np.int16)
+        right = (-left).astype(np.int16)
+        st = np.stack([left, right], axis=1)
+        arr, _ = decode_wav(encode_wav_ima_adpcm(st, 8000))
+        d = arr[: len(t)].astype(np.float64) - st
+        snr = 10 * np.log10(
+            (st.astype(np.float64) ** 2).mean() / (d ** 2).mean()
+        )
+        assert snr > 20.0
+        # channels stay separated: decoded L ≈ -decoded R
+        assert np.abs(arr[:, 0] + arr[:, 1]).max() < 2500
+
+    def test_bad_step_index_rejected(self):
+        import struct
+
+        import numpy as np
+
+        import pytest as _pytest
+
+        from harness_aws_etl_pipeline_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_ima_adpcm,
+        )
+
+        wav = bytearray(
+            encode_wav_ima_adpcm(np.zeros(10, dtype=np.int16), 8000)
+        )
+        data_off = bytes(wav).index(b"data") + 8
+        wav[data_off + 2] = 99  # step index byte out of range
+        with _pytest.raises(ValueError, match="out of range"):
+            decode_wav(bytes(wav))
