@@ -1,78 +1,306 @@
-"""Small-file compaction for partitioned parquet tables.
+"""Lakehouse MAINTENANCE — compaction for all three formats, no jar:
+the lifecycle close-out of the round-10/11 DML and MOR machinery.
 
-The reference writes one file per job (loader.py:94); thousands of
-jobs → the classic small-file problem (every downstream scan pays a
-task + open per file). This utility rewrites a table with bounded file
-counts, preserving the hive partition layout.
+- :func:`delta_optimize` — bin-pack small files and PURGE deletion
+  vectors (rows materialize into clean files): the commit removes the
+  candidates and adds the rewritten files all with ``dataChange:
+  false``, which is exactly what lets ``delta_changes`` and the
+  ``delta_nojar`` stream source pass over compaction windows without
+  re-emitting rows (the real Delta OPTIMIZE contract).
+- :func:`iceberg_compact` — major compaction: the live snapshot (with
+  position AND equality deletes applied) rewrites into fresh data
+  files; the new snapshot's manifest list carries ONLY the new
+  manifest, so every delete file falls out of scope.
+- :func:`hudi_compact` — MOR compaction: each file group carrying
+  delta logs gets its merged slice written as a NEW base parquet at a
+  fresh ``commit`` instant; the reader's newest-slice rule then
+  ignores the old base + logs (their base instant no longer matches).
 
-Strategy: read → repartition on the partition columns (so each output
-partition directory is written by as few tasks as hold its data) →
-write with ``maxRecordsPerFile`` as the upper bound. For very skewed
-partition sizes, pass ``files_per_partition > 1`` to spread a hot
-partition over several files (repartition by partition cols + a
-bounded random split key).
+All three commit through their format's native claim (put-if-absent
+NNN.json / CAS metadata rename / instant CAS), so they compose with
+concurrent writers the same way the writers themselves do.
 """
 
 from __future__ import annotations
 
+import json
+import math
+import posixpath
+import time
+import uuid
+
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+
+__all__ = ["delta_optimize", "hudi_compact", "iceberg_compact"]
 
 
-def compact_table(
+def delta_optimize(
     spark: SparkSession,
     path: str,
-    partition_cols: list[str] | None = None,
-    max_records_per_file: int = 5_000_000,
-    files_per_partition: int = 1,
-    target_path: str | None = None,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    purge_dvs: bool = True,
+    max_commit_retries: int = 20,
 ) -> dict:
-    """Rewrite ``path`` with compacted files; in-place when
-    ``target_path`` is None (write to temp sibling, then swap).
+    """OPTIMIZE: rewrite files smaller than ``small_file_bytes``
+    (default half the target) plus, with ``purge_dvs``, every file
+    carrying a deletion vector, into ~``target_file_bytes`` files.
+    Returns ``{"version", "files_removed", "files_added",
+    "dvs_purged", "retries"}`` (version None = nothing to do).
 
-    All path operations go through the Hadoop FileSystem adapter
-    (sinks/fs.py) so the swap works on any scheme the cluster has a
-    connector for, not just the local filesystem. Single-writer
-    operation: the staging dir name is deterministic (so a crashed
-    run's leftovers are found and cleaned), which also means two
-    concurrent compactions of the same table would clobber each other
-    — serialize them like any other table rewrite.
-    """
-    from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
+    Scope: unpartitioned, non-column-mapped tables (the layouts this
+    engine's writer produces); partitioned optimize is a per-partition
+    repeat of the same move and rejects loudly for now."""
+    from harness_aws_etl_pipeline_spark.sources.deltaread import (
+        _commit_files,
+        _read_files_with_partitions,
+        delta_snapshot,
+    )
 
-    fs = get_fs(path, spark)
-    df = spark.read.parquet(path)
-    in_place = target_path is None
-    # deterministic temp sibling (same parent → same filesystem, so
-    # the final rename is a metadata move, never a copy)
-    dest = target_path or path.rstrip("/") + ".__compacting__"
-    if in_place and fs.exists(dest):
-        fs.delete(dest, recursive=True)  # stale leftover from a crash
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    snap = delta_snapshot(spark, base)
+    if snap["partition_columns"]:
+        raise ValueError(
+            "delta_optimize does not support partitioned tables yet"
+        )
+    if (snap.get("column_mapping") or {}).get("physical"):
+        raise ValueError(
+            "delta_optimize does not support column-mapped tables yet"
+        )
+    small = small_file_bytes or target_file_bytes // 2
+    cands = {
+        k: add
+        for k, add in snap["files"].items()
+        if int(add.get("size") or 0) < small
+        or (purge_dvs and (add.get("deletionVector") or {}).get("storageType"))
+    }
+    dvs = sum(
+        1
+        for a in cands.values()
+        if (a.get("deletionVector") or {}).get("storageType")
+    )
+    if len(cands) < 2 and dvs == 0:
+        return {
+            "version": None, "files_removed": 0, "files_added": 0,
+            "dvs_purged": 0, "retries": 0,
+        }
 
-    if partition_cols:
-        if files_per_partition > 1:
-            split = (F.rand(7) * files_per_partition).cast("int")
-            df = df.repartition(*[F.col(c) for c in partition_cols], split)
-        else:
-            df = df.repartition(*[F.col(c) for c in partition_cols])
-        writer = df.write.mode("overwrite").partitionBy(*partition_cols)
-    else:
-        df = df.coalesce(max(files_per_partition, 1))
-        writer = df.write.mode("overwrite")
-    writer.option("maxRecordsPerFile", max_records_per_file).parquet(dest)
+    subsnap = dict(snap)
+    subsnap["files"] = cands
+    df = _read_files_with_partitions(spark, base, subsnap)  # DVs applied
+    total = sum(int(a.get("size") or 0) for a in cands.values())
+    nfiles = max(1, math.ceil(total / target_file_bytes))
 
-    if in_place:
-        # rename-aside swap: a crash at any point leaves either the
-        # old table or both copies on disk, never neither
-        aside = path.rstrip("/") + ".__old__"
-        if fs.exists(aside):
-            fs.delete(aside, recursive=True)
-        if not fs.rename(path, aside):
-            raise IOError(f"compact: could not move table aside to {aside!r}")
-        if not fs.rename(dest, path):
-            fs.rename(aside, path)  # roll back
-            raise IOError("compact: swap rename failed; table restored")
-        fs.delete(aside, recursive=True)
-        dest = path
+    stage = posixpath.join(base, f".dlw_stage-{uuid.uuid4().hex}")
+    new_files: dict[str, int] = {}
+    try:
+        df.repartition(nfiles).write.mode("overwrite").parquet(stage)
+        for rel, _mt, size in fs.list_files(stage):
+            if not rel.endswith(".parquet"):
+                continue
+            dest = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            if not fs.rename(
+                posixpath.join(stage, rel), posixpath.join(base, dest)
+            ):
+                raise RuntimeError(f"could not move staged file {rel!r}")
+            new_files[dest] = size
+    finally:
+        fs.delete(stage, recursive=True)
 
-    return {"path": dest, "parquet_files": fs.file_count(dest, ".parquet")}
+    ts_ms = int(time.time() * 1000)
+    log_dir = posixpath.join(base, "_delta_log")
+    retries = 0
+    while True:
+        commits = _commit_files(fs, log_dir)
+        version = (max(commits) + 1) if commits else 0
+        cur = delta_snapshot(spark, base, version - 1) if version else snap
+        for k in cands:
+            cur_add = cur["files"].get(k)
+            if cur_add is None or (cur_add.get("deletionVector") or {}) != (
+                cands[k].get("deletionVector") or {}
+            ):
+                raise ValueError(
+                    f"candidate file {k!r} changed under the optimize "
+                    "(concurrent rewrite/delete); rerun"
+                )
+        actions = []
+        for k in sorted(cands):
+            actions.append(
+                {
+                    "remove": {
+                        "path": k,
+                        "deletionTimestamp": ts_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        for dest, size in sorted(new_files.items()):
+            actions.append(
+                {
+                    "add": {
+                        "path": dest,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": ts_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": ts_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetSize": str(target_file_bytes)
+                    },
+                    "engineInfo": "harness-aws-etl-pipeline-spark compact",
+                }
+            }
+        )
+        payload = (
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        ).encode("utf-8")
+        tmp_dir = posixpath.join(base, ".dlw_tmp")
+        fs.mkdirs(tmp_dir)
+        tmp = posixpath.join(tmp_dir, f"{uuid.uuid4().hex}.json")
+        fs.write_bytes(tmp, payload)
+        dest = posixpath.join(log_dir, f"{version:020d}.json")
+        if fs.rename_if_absent(tmp, dest):
+            return {
+                "version": version,
+                "files_removed": len(cands),
+                "files_added": len(new_files),
+                "dvs_purged": dvs,
+                "retries": retries,
+            }
+        fs.delete(tmp, recursive=False)
+        retries += 1
+        if retries > max_commit_retries:
+            raise RuntimeError(
+                f"lost the Delta commit race {retries} times at {base!r}"
+            )
+
+
+def iceberg_compact(
+    spark: SparkSession, path: str, max_commit_retries: int = 20
+) -> dict:
+    """Major compaction: rewrite the LIVE rows (position + equality
+    deletes applied) into fresh data files; the new snapshot lists
+    only the new manifest, dropping every delete file from scope.
+    Returns ``{"snapshot_id", "files_added", "delete_files_dropped",
+    "retries"}``."""
+    from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+        write_iceberg,
+    )
+    from harness_aws_etl_pipeline_spark.sources.icebergread import (
+        iceberg_snapshot,
+        read_iceberg,
+    )
+
+    base = path.rstrip("/")
+    snap = iceberg_snapshot(spark, base)
+    dropped = int(snap.get("delete_files") or 0)
+    live = read_iceberg(spark, base)
+    # overwrite = a snapshot whose manifest list holds only the new
+    # manifest — exactly compaction's contract; the CAS commit loop
+    # in write_iceberg carries the race handling
+    rep = write_iceberg(spark, live, base, mode="overwrite")
+    return {
+        "snapshot_id": rep["snapshot_id"],
+        "files_added": rep["files_added"],
+        "delete_files_dropped": dropped,
+        "retries": rep["retries"],
+    }
+
+
+def hudi_compact(
+    spark: SparkSession, path: str, max_commit_retries: int = 20
+) -> dict:
+    """MOR compaction: per file group carrying delta logs, write the
+    MERGED slice as a new base parquet at a fresh ``commit`` instant
+    (the reader's newest-slice rule then supersedes the old base +
+    logs). Returns ``{"instant", "groups_compacted", "retries"}``."""
+    from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+        _DATA_RE_TOKEN,
+        _instant_now,
+    )
+    from harness_aws_etl_pipeline_spark.sources.hudiread import (
+        _merge_mor,
+        hudi_snapshot,
+        hudi_timeline,
+    )
+
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    snap = hudi_snapshot(spark, base)
+    if snap["table_type"] != "MERGE_ON_READ":
+        raise ValueError("hudi_compact applies to MERGE_ON_READ tables")
+    logged = sorted(
+        {(lf["part"], lf["fid"]) for lf in snap.get("log_files") or []}
+    )
+    if not logged:
+        return {"instant": None, "groups_compacted": 0, "retries": 0}
+
+    tl = hudi_timeline(spark, base)
+    last = tl[-1]["instant"] if tl else None
+    retries = 0
+    while True:
+        instant = _instant_now(last)
+        last = instant
+        moved: list[str] = []
+        for part, fid in logged:
+            gsnap = dict(snap)
+            gsnap["files"] = [
+                p
+                for p in snap["files"]
+                if posixpath.basename(p).startswith(f"{fid}_")
+                and posixpath.dirname(p[len(base) + 1 :]) == part
+            ]
+            gsnap["log_files"] = [
+                lf
+                for lf in snap["log_files"]
+                if (lf["part"], lf["fid"]) == (part, fid)
+            ]
+            merged = _merge_mor(spark, base, gsnap)
+            stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
+            try:
+                merged.coalesce(1).write.mode("overwrite").parquet(stage)
+                (src,) = [
+                    rel
+                    for rel, _mt, _sz in fs.list_files(stage)
+                    if rel.endswith(".parquet")
+                ]
+                dname = f"{fid}_{_DATA_RE_TOKEN}_{instant}.parquet"
+                dest = posixpath.join(base, part, dname) if part else (
+                    posixpath.join(base, dname)
+                )
+                if not fs.rename(posixpath.join(stage, src), dest):
+                    raise RuntimeError(
+                        f"could not move compacted slice for {fid!r}"
+                    )
+                moved.append(dest)
+            finally:
+                fs.delete(stage, recursive=True)
+        tmp = posixpath.join(
+            base, ".hoodie", f".commitmeta-{uuid.uuid4().hex}"
+        )
+        fs.write_bytes(tmp, b"{}")
+        dest = posixpath.join(base, ".hoodie", f"{instant}.commit")
+        if fs.rename_if_absent(tmp, dest):
+            return {
+                "instant": instant,
+                "groups_compacted": len(logged),
+                "retries": retries,
+            }
+        fs.delete(tmp, recursive=False)
+        for m in moved:
+            fs.delete(m, recursive=False)
+        retries += 1
+        if retries > max_commit_retries:
+            raise RuntimeError(
+                f"lost the Hudi instant race {retries} times at {base!r}"
+            )

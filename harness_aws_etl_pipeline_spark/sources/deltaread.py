@@ -570,6 +570,7 @@ def delta_changes(
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     commits = _commit_files(fs, posixpath.join(base, _LOG))
+    compacted_away: set[str] = set()
     for v in range(lo["version"] + 1, hi["version"] + 1):
         p = commits.get(v)
         if p is None:
@@ -578,21 +579,32 @@ def delta_changes(
             if not line.strip():
                 continue
             a = json.loads(line)
-            if a.get("remove") and a["remove"].get("path"):
-                raise ValueError(
-                    f"commit {v} removes or rewrites file "
-                    f"{a['remove']['path']!r}; append-only change "
-                    "capture cannot represent versions "
-                    f"({since_version}, {hi['version']}]"
-                )
-    removed_old = set(lo["files"]) - set(hi["files"])
+            rem = a.get("remove")
+            if rem and rem.get("path"):
+                # dataChange=false removes are COMPACTION (the rows
+                # live on in same-commit dataChange=false adds) — the
+                # real Delta streaming-source rule
+                if rem.get("dataChange", True):
+                    raise ValueError(
+                        f"commit {v} removes or rewrites file "
+                        f"{rem['path']!r}; append-only change "
+                        "capture cannot represent versions "
+                        f"({since_version}, {hi['version']}]"
+                    )
+                compacted_away.add(rem["path"])
+    removed_old = set(lo["files"]) - set(hi["files"]) - compacted_away
     if removed_old:
         raise ValueError(
             f"versions ({since_version}, {hi['version']}] rewrite or "
             f"delete {len(removed_old)} pre-existing file(s); "
             "append-only change capture cannot represent that window"
         )
-    new_files = sorted(set(hi["files"]) - set(lo["files"]))
+    # compaction adds (dataChange=false) carry OLD rows — never emit
+    new_files = sorted(
+        p
+        for p in set(hi["files"]) - set(lo["files"])
+        if hi["files"][p].get("dataChange", True) is not False
+    )
     if not new_files:
         return spark.createDataFrame([], hi["schema"])
     snap = dict(hi)

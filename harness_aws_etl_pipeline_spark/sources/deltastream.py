@@ -147,6 +147,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 add = a.get("add")
                 if not add or not add.get("path"):
                     continue
+                if add.get("dataChange", True) is False:
+                    continue  # compaction re-add: rows already emitted
                 if (add.get("deletionVector") or {}).get("storageType"):
                     raise ValueError(
                         f"commit {v} adds a deletion-vector'd file — "
