@@ -764,6 +764,10 @@ def main(argv: list[str] | None = None) -> int:
         "--delete-where", default=None,
         help="DELETE matching rows via deletion vectors (no rewrite)",
     )
+    dl.add_argument(
+        "--optimize", action="store_true",
+        help="bin-pack small files and purge deletion vectors",
+    )
 
     ib = sub.add_parser(
         "iceberg",
@@ -786,6 +790,10 @@ def main(argv: list[str] | None = None) -> int:
         "--delete-where", default=None,
         help="DELETE matching rows via v2 position deletes (no rewrite)",
     )
+    ib.add_argument(
+        "--compact", action="store_true",
+        help="major compaction: rewrite live rows, drop delete files",
+    )
 
     hu = sub.add_parser(
         "hudi",
@@ -797,6 +805,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     hu.add_argument(
         "--timeline", action="store_true", help="print completed instants"
+    )
+    hu.add_argument(
+        "--compact", action="store_true",
+        help="MOR compaction: merge delta logs into new base slices",
     )
     hu.add_argument(
         "--drop-meta", action="store_true", help="strip _hoodie_* columns"
@@ -1544,6 +1556,16 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "success", "action": "delta_delete", **rep,
             }))
             return 0
+        if args.optimize:
+            from harness_aws_etl_pipeline_spark.sinks.compact import (
+                delta_optimize,
+            )
+
+            rep = delta_optimize(spark, args.path)
+            print(json.dumps({
+                "status": "success", "action": "delta_optimize", **rep,
+            }))
+            return 0
         if args.history:
             print(json.dumps({
                 "status": "success", "action": "delta",
@@ -1585,6 +1607,16 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "success", "action": "iceberg_delete", **rep,
             }))
             return 0
+        if args.compact:
+            from harness_aws_etl_pipeline_spark.sinks.compact import (
+                iceberg_compact,
+            )
+
+            rep = iceberg_compact(spark, args.path)
+            print(json.dumps({
+                "status": "success", "action": "iceberg_compact", **rep,
+            }))
+            return 0
         if args.snapshots:
             print(json.dumps({
                 "status": "success", "action": "iceberg",
@@ -1622,6 +1654,16 @@ def main(argv: list[str] | None = None) -> int:
             read_hudi,
         )
 
+        if args.compact:
+            from harness_aws_etl_pipeline_spark.sinks.compact import (
+                hudi_compact,
+            )
+
+            rep = hudi_compact(spark, args.path)
+            print(json.dumps({
+                "status": "success", "action": "hudi_compact", **rep,
+            }))
+            return 0
         if args.timeline:
             print(json.dumps({
                 "status": "success", "action": "hudi",

@@ -198,3 +198,53 @@ class TestHudiCompact:
         hudi_compact(spark, t2)  # first compaction eats the log
         rep = hudi_compact(spark, t2)  # second is a no-op
         assert rep["groups_compacted"] == 0 and rep["instant"] is None
+
+
+class TestCli:
+    def test_compact_cli_all_three(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+
+        d = str(tmp_path / "d")
+        write_delta(spark, spark.range(50).repartition(4), d)
+        delta_delete_where(spark, d, "id = 0")
+        rc = main(["delta", "--path", d, "--optimize"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "delta_optimize" and rep["dvs_purged"] >= 1
+
+        i = str(tmp_path / "i")
+        write_iceberg(spark, spark.range(5).withColumn("v", F.lit("a")), i)
+        iceberg_delete_where(spark, i, "id = 0")
+        rc = main(["iceberg", "--path", i, "--compact"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "iceberg_compact"
+        assert rep["delete_files_dropped"] == 1
+
+        h = str(tmp_path / "h")
+        hudi_upsert(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"),
+            h, key_col="id",
+        )
+        rc = main(["hudi", "--path", h, "--compact"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "hudi_compact"
+        assert rep["groups_compacted"] == 1
