@@ -768,6 +768,11 @@ def main(argv: list[str] | None = None) -> int:
         "--optimize", action="store_true",
         help="bin-pack small files and purge deletion vectors",
     )
+    dl.add_argument(
+        "--vacuum-hours", type=float, default=None,
+        help="VACUUM files unreferenced by the current snapshot and "
+             "older than this many hours",
+    )
 
     ib = sub.add_parser(
         "iceberg",
@@ -794,6 +799,10 @@ def main(argv: list[str] | None = None) -> int:
         "--compact", action="store_true",
         help="major compaction: rewrite live rows, drop delete files",
     )
+    ib.add_argument(
+        "--expire-keep-last", type=int, default=None,
+        help="expire all but the newest N snapshots and reclaim files",
+    )
 
     hu = sub.add_parser(
         "hudi",
@@ -809,6 +818,10 @@ def main(argv: list[str] | None = None) -> int:
     hu.add_argument(
         "--compact", action="store_true",
         help="MOR compaction: merge delta logs into new base slices",
+    )
+    hu.add_argument(
+        "--clean-keep-last", type=int, default=None,
+        help="delete all but the newest N slices per file group",
     )
     hu.add_argument(
         "--drop-meta", action="store_true", help="strip _hoodie_* columns"
@@ -1566,6 +1579,19 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "success", "action": "delta_optimize", **rep,
             }))
             return 0
+        if args.vacuum_hours is not None:
+            from harness_aws_etl_pipeline_spark.sinks.compact import (
+                delta_vacuum,
+            )
+
+            rep = delta_vacuum(
+                spark, args.path, retain_hours=args.vacuum_hours
+            )
+            rep.pop("candidates", None)
+            print(json.dumps({
+                "status": "success", "action": "delta_vacuum", **rep,
+            }))
+            return 0
         if args.history:
             print(json.dumps({
                 "status": "success", "action": "delta",
@@ -1617,6 +1643,18 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "success", "action": "iceberg_compact", **rep,
             }))
             return 0
+        if args.expire_keep_last is not None:
+            from harness_aws_etl_pipeline_spark.sinks.compact import (
+                iceberg_expire_snapshots,
+            )
+
+            rep = iceberg_expire_snapshots(
+                spark, args.path, keep_last=args.expire_keep_last
+            )
+            print(json.dumps({
+                "status": "success", "action": "iceberg_expire", **rep,
+            }))
+            return 0
         if args.snapshots:
             print(json.dumps({
                 "status": "success", "action": "iceberg",
@@ -1662,6 +1700,18 @@ def main(argv: list[str] | None = None) -> int:
             rep = hudi_compact(spark, args.path)
             print(json.dumps({
                 "status": "success", "action": "hudi_compact", **rep,
+            }))
+            return 0
+        if args.clean_keep_last is not None:
+            from harness_aws_etl_pipeline_spark.sinks.compact import (
+                hudi_clean,
+            )
+
+            rep = hudi_clean(
+                spark, args.path, keep_last=args.clean_keep_last
+            )
+            print(json.dumps({
+                "status": "success", "action": "hudi_clean", **rep,
             }))
             return 0
         if args.timeline:

@@ -33,7 +33,14 @@ from pyspark.sql import SparkSession
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
-__all__ = ["delta_optimize", "hudi_compact", "iceberg_compact"]
+__all__ = [
+    "delta_optimize",
+    "delta_vacuum",
+    "hudi_clean",
+    "hudi_compact",
+    "iceberg_compact",
+    "iceberg_expire_snapshots",
+]
 
 
 def delta_optimize(
@@ -304,3 +311,233 @@ def hudi_compact(
             raise RuntimeError(
                 f"lost the Hudi instant race {retries} times at {base!r}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Reference-counted space reclamation — the other half of maintenance
+# (the age-based sweep in sinks/retention.py is per-file mtime with no
+# table awareness; these walk the table's OWN metadata).
+# ---------------------------------------------------------------------------
+
+
+def delta_vacuum(
+    spark: SparkSession,
+    path: str,
+    retain_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """VACUUM: delete data files and DV sidecars NOT referenced by the
+    CURRENT snapshot whose modification time is older than
+    ``retain_hours`` (the standard trade: time travel to versions
+    whose files age out stops working). Returns ``{"removed",
+    "bytes", "dry_run", "candidates"}``."""
+    from urllib.parse import unquote
+
+    from harness_aws_etl_pipeline_spark.sources.deltaread import (
+        delta_snapshot,
+    )
+
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    snap = delta_snapshot(spark, base)
+    live: set[str] = set()
+    for k, add in snap["files"].items():
+        live.add(unquote(k))
+        dv = add.get("deletionVector") or {}
+        if dv.get("storageType") == "u":
+            import uuid as _uuid
+
+            from harness_aws_etl_pipeline_spark.sources.dvcodec import (
+                z85_decode,
+            )
+
+            enc = dv["pathOrInlineDv"]
+            u = _uuid.UUID(bytes=z85_decode(enc[-20:]))
+            prefix = enc[:-20]
+            rel = f"deletion_vector_{u}.bin"
+            live.add(posixpath.join(prefix, rel) if prefix else rel)
+    cutoff = time.time() - retain_hours * 3600.0
+    removed = 0
+    freed = 0
+    cands: list[str] = []
+    for rel, mtime, size in fs.list_files(base):
+        top = rel.split("/", 1)[0]
+        if top == "_delta_log" or top.startswith("."):
+            continue
+        name = posixpath.basename(rel)
+        if name.startswith(".") or name.startswith("_"):
+            continue
+        if not (name.endswith(".parquet") or name.endswith(".bin")):
+            continue
+        if rel in live or mtime >= cutoff:
+            continue
+        cands.append(rel)
+        freed += size
+        if not dry_run:
+            fs.delete(posixpath.join(base, rel), recursive=False)
+            removed += 1
+    return {
+        "removed": removed,
+        "bytes": freed,
+        "dry_run": dry_run,
+        "candidates": sorted(cands),
+    }
+
+
+def iceberg_expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    max_commit_retries: int = 20,
+) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots: a new
+    metadata version lists only the retained snapshots, then every
+    manifest list, manifest, and data/delete file reachable ONLY from
+    expired snapshots is deleted. Returns ``{"expired",
+    "files_removed", "retries"}``."""
+    from harness_aws_etl_pipeline_spark.sources.avroread import (
+        _iter_container,
+    )
+    from harness_aws_etl_pipeline_spark.sources.icebergread import (
+        _latest_metadata,
+        _rel,
+    )
+
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    mdir = posixpath.join(base, "metadata")
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+
+    def _reachable(md: dict, snaps: list[dict]) -> set[str]:
+        out: set[str] = set()
+        location = md.get("location")
+        for s in snaps:
+            mlist = _rel(base, location, s["manifest-list"])
+            out.add(mlist)
+            if not fs.exists(mlist):
+                continue
+            _s, _n, recs = _iter_container(fs.read_bytes(mlist))
+            for man in recs:
+                mpath = _rel(base, location, man["manifest_path"])
+                out.add(mpath)
+                if not fs.exists(mpath):
+                    continue
+                _s2, _n2, entries = _iter_container(fs.read_bytes(mpath))
+                for e in entries:
+                    df_ = e.get("data_file") or {}
+                    if df_.get("file_path"):
+                        out.add(_rel(base, location, df_["file_path"]))
+        return out
+
+    retries = 0
+    while True:
+        import re as _re
+
+        md = json.loads(
+            fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8")
+        )
+        snaps = md.get("snapshots") or []
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "files_removed": 0, "retries": retries}
+        snaps_sorted = sorted(snaps, key=lambda s: s.get("timestamp-ms") or 0)
+        expired = snaps_sorted[:-keep_last]
+        retained = snaps_sorted[-keep_last:]
+        cur_version = 0
+        for rel, _mt, _sz in fs.list_files(mdir):
+            m = _re.match(r"v(\d+)\.metadata\.json$", posixpath.basename(rel))
+            if m:
+                cur_version = max(cur_version, int(m.group(1)))
+        new_md = dict(md)
+        new_md["snapshots"] = retained
+        retained_ids = {s["snapshot-id"] for s in retained}
+        new_md["snapshot-log"] = [
+            e
+            for e in md.get("snapshot-log") or []
+            if e.get("snapshot-id") in retained_ids
+        ]
+        new_md["last-updated-ms"] = int(time.time() * 1000)
+        target = posixpath.join(mdir, f"v{cur_version + 1}.metadata.json")
+        tmp_dir = posixpath.join(base, ".icw_tmp")
+        fs.mkdirs(tmp_dir)
+        tmp = posixpath.join(tmp_dir, f"{uuid.uuid4().hex}.json")
+        fs.write_bytes(tmp, json.dumps(new_md).encode("utf-8"))
+        if fs.rename_if_absent(tmp, target):
+            fs.write_bytes(
+                posixpath.join(mdir, "version-hint.text"),
+                str(cur_version + 1).encode("utf-8"),
+            )
+            keep = _reachable(md, retained)
+            drop = _reachable(md, expired) - keep
+            removed = 0
+            for p in sorted(drop):
+                if fs.exists(p):
+                    fs.delete(p, recursive=False)
+                    removed += 1
+            return {
+                "expired": len(expired),
+                "files_removed": removed,
+                "retries": retries,
+            }
+        fs.delete(tmp, recursive=False)
+        retries += 1
+        if retries > max_commit_retries:
+            raise RuntimeError(
+                f"lost the Iceberg commit race {retries} times at {base!r}"
+            )
+
+
+def hudi_clean(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> dict:
+    """CLEAN: per file group, keep the newest ``keep_last`` base
+    slices (plus the logs of the RETAINED slices); older slices and
+    their logs are deleted, and a ``<instant>.clean`` marker records
+    the pass. Time travel behind the cleaned slices stops working —
+    Hudi's own cleaner trade. Returns ``{"files_removed",
+    "instant"}``."""
+    from harness_aws_etl_pipeline_spark.sinks.hudiwrite import _instant_now
+    from harness_aws_etl_pipeline_spark.sources.hudiread import (
+        _DATA_RE,
+        _LOG_RE,
+        hudi_timeline,
+    )
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    tl = hudi_timeline(spark, base)
+    committed = {t["instant"] for t in tl}
+    slices: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    logs: dict[tuple[str, str, str], list[str]] = {}
+    for rel, _mt, _sz in fs.list_files(base):
+        if rel.startswith(".hoodie"):
+            continue
+        name = posixpath.basename(rel)
+        lm = _LOG_RE.match(name)
+        if lm is not None:
+            key = (posixpath.dirname(rel), lm.group("fid"), lm.group("bts"))
+            logs.setdefault(key, []).append(rel)
+            continue
+        m = _DATA_RE.search(rel)
+        if m is not None and m.group("ts") in committed:
+            slices.setdefault(
+                (posixpath.dirname(rel), m.group("fid")), []
+            ).append((m.group("ts"), rel))
+    removed = 0
+    for (part, fid), lst in slices.items():
+        lst.sort()
+        for ts, rel in lst[:-keep_last]:
+            fs.delete(posixpath.join(base, rel), recursive=False)
+            removed += 1
+            for lrel in logs.pop((part, fid, ts), []):
+                fs.delete(posixpath.join(base, lrel), recursive=False)
+                removed += 1
+    instant = None
+    if removed:
+        instant = _instant_now(tl[-1]["instant"] if tl else None)
+        fs.write_bytes(
+            posixpath.join(base, ".hoodie", f"{instant}.clean"), b"{}"
+        )
+    return {"files_removed": removed, "instant": instant}

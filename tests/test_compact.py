@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.sinks.compact import (
     delta_optimize,
+    delta_vacuum,
     hudi_compact,
     iceberg_compact,
 )
@@ -248,3 +249,148 @@ class TestCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["action"] == "hudi_compact"
         assert rep["groups_compacted"] == 1
+
+
+class TestVacuumAndRetention:
+    def test_delta_vacuum_reclaims_old_versions(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            read_delta,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(10).withColumn("v", F.lit("a")), t)
+        write_delta(
+            spark, spark.range(5).withColumn("v", F.lit("b")), t,
+            mode="overwrite",
+        )
+        rep = delta_vacuum(spark, t, retain_hours=0, dry_run=True)
+        assert rep["dry_run"] and len(rep["candidates"]) >= 1
+        before = rep["candidates"]
+        rep = delta_vacuum(spark, t, retain_hours=0)
+        assert rep["removed"] == len(before) and rep["bytes"] > 0
+        # the current snapshot is intact
+        assert read_delta(spark, t).count() == 5
+        # a second vacuum finds nothing
+        assert delta_vacuum(spark, t, retain_hours=0)["removed"] == 0
+
+    def test_delta_vacuum_keeps_live_dv_sidecars(self, spark, tmp_path):
+        import glob
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            read_delta,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.range(20000).withColumn("v", F.lit("x")).coalesce(1),
+            t,
+        )
+        delta_delete_where(spark, t, "id % 2 = 0")  # sidecar DV
+        assert glob.glob(str(tmp_path / "t" / "deletion_vector_*.bin"))
+        rep = delta_vacuum(spark, t, retain_hours=0)
+        # the referenced sidecar survives; the read still applies it
+        assert glob.glob(str(tmp_path / "t" / "deletion_vector_*.bin"))
+        assert read_delta(spark, t).count() == 10000
+        assert rep["removed"] == 0
+
+    def test_iceberg_expire_snapshots(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_expire_snapshots,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_snapshots,
+            read_iceberg,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(spark, spark.range(4).withColumn("v", F.lit("a")), t)
+        write_iceberg(
+            spark, spark.range(4, 6).withColumn("v", F.lit("b")), t,
+            mode="append",
+        )
+        write_iceberg(
+            spark, spark.range(9, 10).withColumn("v", F.lit("c")), t,
+            mode="overwrite",
+        )
+        rep = iceberg_expire_snapshots(spark, t, keep_last=1)
+        assert rep["expired"] == 2 and rep["files_removed"] >= 2
+        assert len(iceberg_snapshots(spark, t)) == 1
+        got = {(r.id, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(9, "c")}
+        # idempotent
+        assert iceberg_expire_snapshots(spark, t)["expired"] == 0
+
+    def test_iceberg_expire_keeps_shared_files(self, spark, tmp_path):
+        """An append chain shares data files across snapshots — files
+        reachable from the RETAINED head must survive expiry."""
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_expire_snapshots,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            read_iceberg,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(spark, spark.range(3).withColumn("v", F.lit("a")), t)
+        write_iceberg(
+            spark, spark.range(3, 5).withColumn("v", F.lit("b")), t,
+            mode="append",
+        )
+        iceberg_expire_snapshots(spark, t, keep_last=1)
+        got = {(r.id, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b")}
+
+    def test_hudi_clean(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import hudi_clean
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark, spark.createDataFrame([(1, "v1")], "id long, v string"),
+            t, key_col="id",
+        )
+        hudi_upsert(
+            spark, spark.createDataFrame([(1, "v2")], "id long, v string"),
+            t, key_col="id",
+        )
+        hudi_compact(spark, t)  # old log-only slice + new base slice
+        rep = hudi_clean(spark, t, keep_last=1)
+        assert rep["files_removed"] >= 0  # log-only groups have no old base
+        got = {(r.id, r.v) for r in read_hudi(spark, t, drop_meta=True).collect()}
+        assert got == {(1, "v2")}
+        # CoW shape: two slices of one group, clean drops the older
+        from tests.test_hudiread import T1, T2, _commit, _props, _slice
+
+        t2 = tmp_path / "t2"
+        t2.mkdir()
+        _props(t2)
+        _commit(t2, T1)
+        _commit(t2, T2)
+        _slice(spark, t2, "", "g1", T1, [(1, "old")])
+        _slice(spark, t2, "", "g1", T2, [(1, "new")])
+        rep = hudi_clean(spark, str(t2), keep_last=1)
+        assert rep["files_removed"] == 1
+        assert {(r.id, r.v) for r in read_hudi(spark, str(t2)).collect()} == {
+            (1, "new")
+        }
