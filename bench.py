@@ -1321,6 +1321,80 @@ def _bench_drift_legs(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_maintenance(spark, sf_dir: str) -> dict:
+    """Maintenance-tier pricing (round 11): on a 16-file 150k-row
+    Delta table — DV-delete 1%%, OPTIMIZE (bin-pack + DV purge),
+    VACUUM the superseded files — plus an Iceberg upsert+compact
+    cycle. Checks the row counts survive every step."""
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.plans.catalog import tables
+    from harness_aws_etl_pipeline_spark.sinks.compact import (
+        delta_optimize,
+        delta_vacuum,
+        iceberg_compact,
+    )
+    from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+        delta_delete_where,
+    )
+    from harness_aws_etl_pipeline_spark.sinks.deltawrite import write_delta
+    from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+        iceberg_upsert,
+    )
+    from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+        write_iceberg,
+    )
+    from harness_aws_etl_pipeline_spark.sources.deltaread import read_delta
+    from harness_aws_etl_pipeline_spark.sources.icebergread import (
+        read_iceberg,
+    )
+
+    li = (
+        tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(150_000)
+        .repartition(16)
+    )
+    out: dict = {}
+    with tempfile.TemporaryDirectory(prefix="bench_maint_") as tmp:
+        t = f"{tmp}/delta"
+        start = time.perf_counter()
+        write_delta(spark, li, t, stats=False, checkpoint_interval=None)
+        out["write_s"] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        rep = delta_delete_where(spark, t, "l_orderkey % 97 = 0")
+        out["dv_delete_s"] = round(time.perf_counter() - start, 3)
+        out["rows_deleted"] = rep["rows_deleted"]
+        expected = read_delta(spark, t).count()
+        start = time.perf_counter()
+        rep = delta_optimize(spark, t, target_file_bytes=64 << 20)
+        out["optimize_s"] = round(time.perf_counter() - start, 3)
+        out["files_removed"] = rep["files_removed"]
+        out["files_added"] = rep["files_added"]
+        out["dvs_purged"] = rep["dvs_purged"]
+        start = time.perf_counter()
+        vac = delta_vacuum(spark, t, retain_hours=0)
+        out["vacuum_s"] = round(time.perf_counter() - start, 3)
+        out["vacuumed"] = vac["removed"]
+        out["rows_ok"] = bool(read_delta(spark, t).count() == expected)
+
+        it = f"{tmp}/iceberg"
+        write_iceberg(spark, li, it)
+        ups = li.limit(2000)
+        start = time.perf_counter()
+        iceberg_upsert(
+            spark, it, ups, keys=["l_orderkey", "l_linenumber"]
+        )
+        out["iceberg_upsert_s"] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        rep = iceberg_compact(spark, it)
+        out["iceberg_compact_s"] = round(time.perf_counter() - start, 3)
+        out["iceberg_rows_ok"] = bool(
+            read_iceberg(spark, it).count() == li.count()
+        )
+    return out
+
+
 def _ensure_sf1(spark, sf_dir: str) -> str:
     """Materialize an sf1-scale twin (~10x sf0.1) ONCE into a cache
     dir: the five TPC-H-shaped tables plus events are replicated 10x
@@ -1619,6 +1693,13 @@ def main() -> None:
         sq = {"error": str(exc)[:500]}
     print(f"# sq: {sq}", file=sys.stderr)
 
+    # maintenance-tier leg (round 11) — also outside "queries"
+    try:
+        maint = _bench_maintenance(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        maint = {"error": str(exc)[:500]}
+    print(f"# maintenance: {maint}", file=sys.stderr)
+
     # sf1 scale-evidence leg (round 11) — also outside "queries"
     try:
         sf1 = _bench_sf1(spark, sf_dir, timings)
@@ -1654,6 +1735,7 @@ def main() -> None:
         "bfs": bfs,
         "sq": sq,
         "sf1": sf1,
+        "maintenance": maint,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of
