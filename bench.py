@@ -1349,10 +1349,12 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
         read_iceberg,
     )
 
+    # deterministic subset (limit() picks different rows per
+    # evaluation, which would break the row-count checks)
     li = (
         tables(spark, sf_dir)["lineitem"]
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .limit(150_000)
+        .where("l_orderkey % 4 = 0")
         .repartition(16)
     )
     out: dict = {}
@@ -1380,7 +1382,8 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
 
         it = f"{tmp}/iceberg"
         write_iceberg(spark, li, it)
-        ups = li.limit(2000)
+        base_cnt = read_iceberg(spark, it).count()
+        ups = li.where("l_orderkey % 400 = 0")  # subset of the base keys
         start = time.perf_counter()
         iceberg_upsert(
             spark, it, ups, keys=["l_orderkey", "l_linenumber"]
@@ -1390,7 +1393,7 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
         rep = iceberg_compact(spark, it)
         out["iceberg_compact_s"] = round(time.perf_counter() - start, 3)
         out["iceberg_rows_ok"] = bool(
-            read_iceberg(spark, it).count() == li.count()
+            read_iceberg(spark, it).count() == base_cnt
         )
     return out
 
