@@ -58,9 +58,9 @@ def delta_optimize(
     Returns ``{"version", "files_removed", "files_added",
     "dvs_purged", "retries"}`` (version None = nothing to do).
 
-    Scope: unpartitioned, non-column-mapped tables (the layouts this
-    engine's writer produces); partitioned optimize is a per-partition
-    repeat of the same move and rejects loudly for now."""
+    Partitioned tables optimize PER PARTITION (a bin never crosses a
+    partition boundary, like the real OPTIMIZE); column-mapped tables
+    reject loudly."""
     from harness_aws_etl_pipeline_spark.sources.deltaread import (
         _commit_files,
         _read_files_with_partitions,
@@ -70,53 +70,77 @@ def delta_optimize(
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     snap = delta_snapshot(spark, base)
-    if snap["partition_columns"]:
-        raise ValueError(
-            "delta_optimize does not support partitioned tables yet"
-        )
     if (snap.get("column_mapping") or {}).get("physical"):
         raise ValueError(
             "delta_optimize does not support column-mapped tables yet"
         )
+    pcols = snap["partition_columns"]
     small = small_file_bytes or target_file_bytes // 2
-    cands = {
-        k: add
-        for k, add in snap["files"].items()
-        if int(add.get("size") or 0) < small
-        or (purge_dvs and (add.get("deletionVector") or {}).get("storageType"))
-    }
+
+    def _is_cand(add: dict) -> bool:
+        return int(add.get("size") or 0) < small or (
+            purge_dvs
+            and (add.get("deletionVector") or {}).get("storageType")
+        )
+
+    # candidates grouped by partition tuple; a group qualifies with
+    # >= 2 bin-packable files or any DV to purge
+    by_part: dict[tuple, dict[str, dict]] = {}
+    for k, add in snap["files"].items():
+        if not _is_cand(add):
+            continue
+        pv = add.get("partitionValues") or {}
+        by_part.setdefault(tuple(pv.get(c) for c in pcols), {})[k] = add
+    cands: dict[str, dict] = {}
+    groups: dict[tuple, dict[str, dict]] = {}
+    for pkey, files in by_part.items():
+        has_dv = any(
+            (a.get("deletionVector") or {}).get("storageType")
+            for a in files.values()
+        )
+        if len(files) >= 2 or has_dv:
+            groups[pkey] = files
+            cands.update(files)
     dvs = sum(
         1
         for a in cands.values()
         if (a.get("deletionVector") or {}).get("storageType")
     )
-    if len(cands) < 2 and dvs == 0:
+    if not cands:
         return {
             "version": None, "files_removed": 0, "files_added": 0,
             "dvs_purged": 0, "retries": 0,
         }
 
-    subsnap = dict(snap)
-    subsnap["files"] = cands
-    df = _read_files_with_partitions(spark, base, subsnap)  # DVs applied
-    total = sum(int(a.get("size") or 0) for a in cands.values())
-    nfiles = max(1, math.ceil(total / target_file_bytes))
-
-    stage = posixpath.join(base, f".dlw_stage-{uuid.uuid4().hex}")
-    new_files: dict[str, int] = {}
-    try:
-        df.repartition(nfiles).write.mode("overwrite").parquet(stage)
-        for rel, _mt, size in fs.list_files(stage):
-            if not rel.endswith(".parquet"):
-                continue
-            dest = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            if not fs.rename(
-                posixpath.join(stage, rel), posixpath.join(base, dest)
-            ):
-                raise RuntimeError(f"could not move staged file {rel!r}")
-            new_files[dest] = size
-    finally:
-        fs.delete(stage, recursive=True)
+    # rewrite per partition group (DVs applied by the reader); new
+    # files land at the table root with exact partitionValues in their
+    # add actions — the protocol's source of truth (directory layout
+    # is convention)
+    new_files: dict[str, tuple[int, tuple]] = {}
+    for pkey, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        subsnap = dict(snap)
+        subsnap["files"] = files
+        df = _read_files_with_partitions(spark, base, subsnap)
+        if pcols:
+            df = df.drop(*pcols)  # physical layout omits them
+        total = sum(int(a.get("size") or 0) for a in files.values())
+        nfiles = max(1, math.ceil(total / target_file_bytes))
+        stage = posixpath.join(base, f".dlw_stage-{uuid.uuid4().hex}")
+        try:
+            df.repartition(nfiles).write.mode("overwrite").parquet(stage)
+            for rel, _mt, size in fs.list_files(stage):
+                if not rel.endswith(".parquet"):
+                    continue
+                dest = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                if not fs.rename(
+                    posixpath.join(stage, rel), posixpath.join(base, dest)
+                ):
+                    raise RuntimeError(
+                        f"could not move staged file {rel!r}"
+                    )
+                new_files[dest] = (size, pkey)
+        finally:
+            fs.delete(stage, recursive=True)
 
     ts_ms = int(time.time() * 1000)
     log_dir = posixpath.join(base, "_delta_log")
@@ -145,12 +169,14 @@ def delta_optimize(
                     }
                 }
             )
-        for dest, size in sorted(new_files.items()):
+        for dest, (size, pkey) in sorted(new_files.items()):
             actions.append(
                 {
                     "add": {
                         "path": dest,
-                        "partitionValues": {},
+                        "partitionValues": {
+                            c: v for c, v in zip(pcols, pkey)
+                        },
                         "size": size,
                         "modificationTime": ts_ms,
                         "dataChange": False,

@@ -394,3 +394,65 @@ class TestVacuumAndRetention:
         assert {(r.id, r.v) for r in read_hudi(spark, str(t2)).collect()} == {
             (1, "new")
         }
+
+
+class TestPartitionedOptimize:
+    def test_per_partition_binpack(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
+            read_delta,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2) for i in range(40)], "id long, g int"
+        ).repartition(6)
+        write_delta(spark, df, t, partition_by=["g"])
+        snap0 = delta_snapshot(spark, t)
+        assert len(snap0["files"]) > 2
+        rep = delta_optimize(spark, t)
+        assert rep["files_removed"] == len(snap0["files"])
+        # one file per partition after the pack
+        snap = delta_snapshot(spark, t)
+        pvs = [
+            tuple((a.get("partitionValues") or {}).items())
+            for a in snap["files"].values()
+        ]
+        assert len(pvs) == 2 and len(set(pvs)) == 2
+        got = {(r.id, r.g) for r in read_delta(spark, t).collect()}
+        assert got == {(i, i % 2) for i in range(40)}
+        # partition pruning semantics survive (typed values recovered)
+        assert read_delta(spark, t).where("g = 1").count() == 20
+
+    def test_partitioned_dv_purge(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
+            read_delta,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2) for i in range(30)], "id long, g int"
+        )
+        write_delta(spark, df, t, partition_by=["g"])
+        delta_delete_where(spark, t, "g = 0 AND id < 10")
+        rep = delta_optimize(spark, t)
+        assert rep["dvs_purged"] >= 1
+        snap = delta_snapshot(spark, t)
+        assert not any(
+            (a.get("deletionVector") or {}).get("storageType")
+            for a in snap["files"].values()
+        )
+        got = {(r.id, r.g) for r in read_delta(spark, t).collect()}
+        assert got == {
+            (i, i % 2) for i in range(30) if not (i % 2 == 0 and i < 10)
+        }
