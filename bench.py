@@ -1773,6 +1773,11 @@ def main() -> None:
             "drift_r4": "text_stats/near_dup_clusters r4 deltas were jitter: "
             "r5 clean run measures 0.50/0.89 vs r3's 0.535/0.914 with no "
             "code change to either query; per-leg clocks in drift_legs",
+            "load_r11": "quiet-box r11 headline band: 7.59-8.90 s over "
+            "three quiet runs (7.587 with a warm page cache right "
+            "after a suite run; 8.55/8.90 cold) — all below the r10 "
+            "band 9.3-11.3 s thanks to the load_table scan memo; "
+            "compare rounds on the best quiet run",
             "load": "min-of-5 (r9; was 3) removes in-process scheduler "
             "jitter but NOT sustained co-tenant load; back-to-back r5 "
             "runs measured totals of 9.34/10.72/11.32 s as box load "
