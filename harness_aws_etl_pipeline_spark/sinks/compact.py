@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
 __all__ = [
+    "compact_lake",
     "compact_table",
     "delta_optimize",
     "delta_vacuum",
@@ -50,13 +51,18 @@ def delta_optimize(
     target_file_bytes: int = 128 << 20,
     small_file_bytes: int | None = None,
     purge_dvs: bool = True,
+    zorder_by: list[str] | None = None,
     max_commit_retries: int = 20,
 ) -> dict:
     """OPTIMIZE: rewrite files smaller than ``small_file_bytes``
     (default half the target) plus, with ``purge_dvs``, every file
     carrying a deletion vector, into ~``target_file_bytes`` files.
-    Returns ``{"version", "files_removed", "files_added",
-    "dvs_purged", "retries"}`` (version None = nothing to do).
+    ``zorder_by`` lays the rewritten rows along the Morton curve of
+    the named columns (OPTIMIZE ZORDER BY — with zorder EVERY live
+    file of the affected partitions is rewritten, not just small
+    ones, since the clustering is global per partition). Returns
+    ``{"version", "files_removed", "files_added", "dvs_purged",
+    "retries"}`` (version None = nothing to do).
 
     Partitioned tables optimize PER PARTITION (a bin never crosses a
     partition boundary, like the real OPTIMIZE); column-mapped tables
@@ -78,6 +84,8 @@ def delta_optimize(
     small = small_file_bytes or target_file_bytes // 2
 
     def _is_cand(add: dict) -> bool:
+        if zorder_by:
+            return True  # global re-clustering rewrites every file
         return int(add.get("size") or 0) < small or (
             purge_dvs
             and (add.get("deletionVector") or {}).get("storageType")
@@ -98,7 +106,7 @@ def delta_optimize(
             (a.get("deletionVector") or {}).get("storageType")
             for a in files.values()
         )
-        if len(files) >= 2 or has_dv:
+        if zorder_by or len(files) >= 2 or has_dv:
             groups[pkey] = files
             cands.update(files)
     dvs = sum(
@@ -125,9 +133,17 @@ def delta_optimize(
             df = df.drop(*pcols)  # physical layout omits them
         total = sum(int(a.get("size") or 0) for a in files.values())
         nfiles = max(1, math.ceil(total / target_file_bytes))
+        if zorder_by:
+            from harness_aws_etl_pipeline_spark.operators.zorder import (
+                zorder_by as _zorder,
+            )
+
+            df = _zorder(df, zorder_by, partitions=nfiles)
+        else:
+            df = df.repartition(nfiles)
         stage = posixpath.join(base, f".dlw_stage-{uuid.uuid4().hex}")
         try:
-            df.repartition(nfiles).write.mode("overwrite").parquet(stage)
+            df.write.mode("overwrite").parquet(stage)
             for rel, _mt, size in fs.list_files(stage):
                 if not rel.endswith(".parquet"):
                     continue
@@ -141,6 +157,20 @@ def delta_optimize(
                 new_files[dest] = (size, pkey)
         finally:
             fs.delete(stage, recursive=True)
+
+    # per-file stats for the rewritten files (real OPTIMIZE refreshes
+    # them — data-skipping is half the point of clustering)
+    from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+        _collect_stats,
+    )
+
+    stats_of = _collect_stats(
+        spark,
+        base,
+        sorted(new_files),
+        spark.createDataFrame([], snap["schema"]),
+        pcols,
+    )
 
     ts_ms = int(time.time() * 1000)
     log_dir = posixpath.join(base, "_delta_log")
@@ -170,19 +200,16 @@ def delta_optimize(
                 }
             )
         for dest, (size, pkey) in sorted(new_files.items()):
-            actions.append(
-                {
-                    "add": {
-                        "path": dest,
-                        "partitionValues": {
-                            c: v for c, v in zip(pcols, pkey)
-                        },
-                        "size": size,
-                        "modificationTime": ts_ms,
-                        "dataChange": False,
-                    }
-                }
-            )
+            add = {
+                "path": dest,
+                "partitionValues": {c: v for c, v in zip(pcols, pkey)},
+                "size": size,
+                "modificationTime": ts_ms,
+                "dataChange": False,
+            }
+            if dest in stats_of:
+                add["stats"] = stats_of[dest]
+            actions.append({"add": add})
         actions.append(
             {
                 "commitInfo": {
@@ -633,3 +660,33 @@ def compact_table(
         dest = path
 
     return {"path": dest, "parquet_files": fs.file_count(dest, ".parquet")}
+
+
+def compact_lake(spark: SparkSession, path: str, **kwargs) -> dict:
+    """Format-dispatching maintenance face (the ``read_lake`` /
+    ``write_lake`` sibling): detect the table's layout and run its
+    compaction — Delta → :func:`delta_optimize`, Iceberg →
+    :func:`iceberg_compact`, Hudi MOR → :func:`hudi_compact`, plain
+    parquet/hive → :func:`compact_table`. kwargs pass through to the
+    chosen implementation."""
+    from harness_aws_etl_pipeline_spark.sources.lakeread import (
+        detect_lake_format,
+    )
+
+    fmt = detect_lake_format(spark, path)
+    if fmt == "delta":
+        rep = delta_optimize(spark, path, **kwargs)
+    elif fmt == "iceberg":
+        rep = iceberg_compact(spark, path, **kwargs)
+    elif fmt == "hudi":
+        rep = hudi_compact(spark, path, **kwargs)
+    elif fmt in ("parquet", "snaptable", "avro"):
+        if fmt != "parquet":
+            raise ValueError(
+                f"compact_lake: use the {fmt}-native maintenance "
+                "(SnapTable.compact / rewrite) for this layout"
+            )
+        rep = compact_table(spark, path, **kwargs)
+    else:
+        raise ValueError(f"compact_lake: unknown layout {fmt!r}")
+    return {"format": fmt, **rep}

@@ -456,3 +456,75 @@ class TestPartitionedOptimize:
         assert got == {
             (i, i % 2) for i in range(30) if not (i % 2 == 0 and i < 10)
         }
+
+
+class TestZorderOptimizeAndDispatch:
+    def test_optimize_zorder_tightens_ranges(self, spark, tmp_path):
+        import json as _json
+
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
+            read_delta,
+        )
+
+        t = str(tmp_path / "t")
+        # rows shuffled across files → every file spans the full id
+        # range; OPTIMIZE ZORDER should give disjoint-ish ranges
+        df = (
+            spark.range(8000)
+            .withColumn("v", F.col("id") % 97)
+            .repartition(8)
+        )
+        write_delta(spark, df, t)
+        rep = delta_optimize(
+            spark, t, target_file_bytes=16_000, zorder_by=["id"]
+        )
+        assert rep["files_removed"] == 8 and rep["files_added"] >= 2
+        assert read_delta(spark, t).count() == 8000
+        # per-file id spans shrink vs the full range (stats audit)
+        snap = delta_snapshot(spark, t)
+        spans = []
+        for add in snap["files"].values():
+            st = _json.loads(add["stats"])
+            spans.append(st["maxValues"]["id"] - st["minValues"]["id"])
+        assert max(spans) < 8000 * 0.8
+
+    def test_compact_lake_dispatch(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            compact_lake,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+
+        d = str(tmp_path / "d")
+        write_delta(spark, spark.range(30).repartition(3), d)
+        rep = compact_lake(spark, d)
+        assert rep["format"] == "delta" and rep["files_removed"] == 3
+
+        i = str(tmp_path / "i")
+        write_iceberg(spark, spark.range(5).withColumn("v", F.lit("a")), i)
+        rep = compact_lake(spark, i)
+        assert rep["format"] == "iceberg"
+
+        h = str(tmp_path / "h")
+        hudi_upsert(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"),
+            h, key_col="id",
+        )
+        rep = compact_lake(spark, h)
+        assert rep["format"] == "hudi" and rep["groups_compacted"] == 1
+
+        p = str(tmp_path / "p")
+        spark.range(10).repartition(4).write.parquet(p)
+        rep = compact_lake(spark, p, files_per_partition=1)
+        assert rep["format"] == "parquet" and rep["parquet_files"] == 1
