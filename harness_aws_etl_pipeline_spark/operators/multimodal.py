@@ -887,6 +887,7 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     fmt = None
     fmt_body = b""
     data = None
+    fact_frames = None
     while pos + 8 <= len(payload):
         ctype, length = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + length]
@@ -896,6 +897,10 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
             fmt_body = body
         elif ctype == b"data":
             data = body
+        elif ctype == b"fact" and length >= 4:
+            # true sample count per channel — compressed formats pad
+            # their final block; real decoders trim to this
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _rate, _align, bits = fmt
@@ -970,10 +975,10 @@ def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
             samples_per_block = _struct.unpack_from("<H", fmt_body, 18)[0]
         else:
             samples_per_block = ((_align - 4 * channels) * 2) // channels + 1
-        return (
-            _decode_ima_adpcm(data, channels, _align, samples_per_block),
-            sample_rate,
-        )
+        out = _decode_ima_adpcm(data, channels, _align, samples_per_block)
+        if fact_frames is not None:
+            out = out[:fact_frames]
+        return out, sample_rate
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")
     return frames.reshape(-1, channels).copy(), sample_rate
@@ -1088,6 +1093,48 @@ def synthesize_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "modality": "audio/flac",
+                    "payload": payloads,
+                    "byte_size": [len(p) for p in payloads],
+                    "content_hash": [md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(_gen, MEDIA_SCHEMA)
+
+
+
+def synthesize_adpcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL IMA-ADPCM WAV per row — the SAME signal
+    definitions as :func:`synthesize_wav_media` (mono 16-bit,
+    ``n = 50 + id %% 100`` frames of constant amplitude
+    ``(id * 17) %% 2000 - 1000``) through the round-11 ADPCM encoder.
+    Constant signals survive 4-bit ADPCM BIT-EXACTLY (delta 0 →
+    nibble 0 → step stays at the table floor) and the ``fact`` chunk
+    trims the final block's padding, so the decoded sums are
+    closed-form AND equal to the WAV/FLAC legs' — three containers,
+    one oracle."""
+    from hashlib import md5
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 50 + mid % 100
+                amp = (mid * 17) % 2000 - 1000
+                payloads.append(
+                    encode_wav_ima_adpcm(
+                        np.full(n, amp, dtype=np.int16),
+                        sample_rate=8000,
+                        samples_per_block=9,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "audio/wav",
                     "payload": payloads,
                     "byte_size": [len(p) for p in payloads],
                     "content_hash": [md5(p).hexdigest() for p in payloads],

@@ -2329,6 +2329,21 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.element_at("feature", 5))).cast("long").alias("flac_mean_sum"),
         F.round(F.sum(F.element_at("feature", 6))).cast("long").alias("flac_rms_sum"),
     )
+    # ADPCM leg (round 11): the SAME signals through 4-bit IMA ADPCM —
+    # constant clips survive the lossy codec bit-exactly and the fact
+    # chunk trims block padding, so all three containers share sums
+    from harness_aws_etl_pipeline_spark.operators.multimodal import (
+        synthesize_adpcm_media,
+    )
+
+    adpcm_decoded = extract_audio_features(
+        synthesize_adpcm_media(docs, id_col="doc_id")
+    )
+    adpcm_agg = adpcm_decoded.agg(
+        F.round(F.sum(F.element_at("feature", 3))).cast("long").alias("adpcm_frames_sum"),
+        F.round(F.sum(F.element_at("feature", 5))).cast("long").alias("adpcm_mean_sum"),
+        F.round(F.sum(F.element_at("feature", 6))).cast("long").alias("adpcm_rms_sum"),
+    )
     # media-hash legs (round 6): planted payloads whose perceptual-
     # hash bits are HAND-COMPUTABLE facts of the algorithms — the
     # oracle states them as constants (the NFKC planted-fact
@@ -2447,6 +2462,7 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(avi_agg))
         .crossJoin(F.broadcast(wav_agg))
         .crossJoin(F.broadcast(flac_agg))
+        .crossJoin(F.broadcast(adpcm_agg))
         .crossJoin(F.broadcast(hash_agg))
         .crossJoin(F.broadcast(mp4_agg))
         .crossJoin(F.broadcast(mp3_agg))
@@ -2488,6 +2504,10 @@ SELECT 'text_blob' AS modality, COUNT(*) AS media_cnt,
        CAST(SUM(50 + doc_id % 100) AS BIGINT) AS flac_frames_sum,
        CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS flac_mean_sum,
        CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS flac_rms_sum,
+       -- ADPCM leg (r11): same signals, third container, same sums
+       CAST(SUM(50 + doc_id % 100) AS BIGINT) AS adpcm_frames_sum,
+       CAST(SUM((doc_id * 17) % 2000 - 1000) AS BIGINT) AS adpcm_mean_sum,
+       CAST(SUM(ABS((doc_id * 17) % 2000 - 1000)) AS BIGINT) AS adpcm_rms_sum,
        -- media-hash facts (round 6): hand-computable from the hash
        -- definitions over the planted payloads (see q_multimodal_meta)
        CAST(-4294967296 AS BIGINT) AS mh_ahash_split,
