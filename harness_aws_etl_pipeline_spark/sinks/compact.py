@@ -300,16 +300,20 @@ def hudi_compact(
     snap = hudi_snapshot(spark, base)
     if snap["table_type"] != "MERGE_ON_READ":
         raise ValueError("hudi_compact applies to MERGE_ON_READ tables")
-    logged = sorted(
-        {(lf["part"], lf["fid"]) for lf in snap.get("log_files") or []}
-    )
-    if not logged:
+    if not snap.get("log_files"):
         return {"instant": None, "groups_compacted": 0, "retries": 0}
 
     tl = hudi_timeline(spark, base)
     last = tl[-1]["instant"] if tl else None
     retries = 0
     while True:
+        logged = sorted(
+            {(lf["part"], lf["fid"]) for lf in snap.get("log_files") or []}
+        )
+        if not logged:
+            return {
+                "instant": None, "groups_compacted": 0, "retries": retries,
+            }
         instant = _instant_now(last)
         last = instant
         moved: list[str] = []
@@ -346,6 +350,38 @@ def hudi_compact(
                 moved.append(dest)
             finally:
                 fs.delete(stage, recursive=True)
+        # re-validate right before the CAS: a concurrent hudi_upsert
+        # deltacommit landing after our snapshot appends log blocks to
+        # the OLD base instant, which our freshly committed base would
+        # silently supersede — abort and re-merge from a fresh snapshot
+        # if any compacted group grew a new log file (mirrors
+        # delta_optimize's in-loop candidate re-check)
+        fresh = hudi_snapshot(spark, base)
+        seen = {
+            (lf["part"], lf["fid"], lf["path"], lf["version"])
+            for lf in snap.get("log_files") or []
+        }
+        compacted_set = set(logged)
+        grew = [
+            lf
+            for lf in fresh.get("log_files") or []
+            if (lf["part"], lf["fid"], lf["path"], lf["version"]) not in seen
+            and (lf["part"], lf["fid"]) in compacted_set
+        ]
+        if grew:
+            for m in moved:
+                fs.delete(m, recursive=False)
+            snap = fresh
+            retries += 1
+            if retries > max_commit_retries:
+                raise RuntimeError(
+                    f"concurrent deltacommits kept landing on compacted "
+                    f"groups {retries} times at {base!r}"
+                )
+            tl = hudi_timeline(spark, base)
+            if tl and tl[-1]["instant"] > last:
+                last = tl[-1]["instant"]
+            continue
         tmp = posixpath.join(
             base, ".hoodie", f".commitmeta-{uuid.uuid4().hex}"
         )
@@ -365,6 +401,12 @@ def hudi_compact(
             raise RuntimeError(
                 f"lost the Hudi instant race {retries} times at {base!r}"
             )
+        # a lost CAS means another writer committed: refresh the
+        # snapshot so the re-merge sees their blocks too
+        snap = hudi_snapshot(spark, base)
+        tl = hudi_timeline(spark, base)
+        if tl and tl[-1]["instant"] > last:
+            last = tl[-1]["instant"]
 
 
 # ---------------------------------------------------------------------------

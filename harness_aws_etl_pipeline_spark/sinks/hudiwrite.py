@@ -230,8 +230,8 @@ def hudi_upsert(
         encode_avro_block,
     )
     from harness_aws_etl_pipeline_spark.sources.hudiread import (
-        _LOG_RE,
         hudi_snapshot,
+        hudi_timeline,
     )
 
     if key_col not in df.columns:
@@ -269,28 +269,10 @@ def hudi_upsert(
         *[F.col(c) for c in meta_free],
     )
 
-    # ---- simple index: live (record key → file group) mapping
-    snap = hudi_snapshot(spark, base)
-    key_to_fid: dict[str, str] = {}
-    if snap["files"] or snap["log_files"]:
-        from harness_aws_etl_pipeline_spark.sources.hudiread import (
-            read_hudi,
-        )
-
-        live = read_hudi(spark, base).select(
-            "_hoodie_record_key", "_hoodie_file_name"
-        ) if "_hoodie_file_name" in _live_columns(spark, base, snap) else None
-        if live is None:
-            # derive group from the scan's file metadata instead
-            live = _keys_with_groups(spark, base, snap)
-        hits = (
-            up.select("_hoodie_record_key")
-            .distinct()
-            .join(live, "_hoodie_record_key")
-            .collect()
-        )
-        key_to_fid = {r[0]: r[1] for r in hits}
-
+    # ---- driver-side row gate FIRST: log-block encoding is
+    # driver-side, so the cap must fire before ANY other collect
+    # (including the routing join below) can materialize an oversized
+    # frame on the driver
     rows = up.limit(max_upsert_rows + 1).collect()
     if len(rows) > max_upsert_rows:
         raise ValueError(
@@ -300,6 +282,24 @@ def hudi_upsert(
         )
     schema_json = _avro_schema_for(up)
     names = up.columns
+
+    # ---- simple index: route the (now bounded) incoming keys against
+    # the live (record key → file group) mapping. The fid is always
+    # derived from file metadata (_keys_with_groups): genuine Hudi
+    # tables store the full file NAME in _hoodie_file_name, never the
+    # bare fileId, so that column cannot be used as the group id.
+    snap = hudi_snapshot(spark, base)
+    key_to_fid: dict[str, str] = {}
+    if snap["files"] or snap["log_files"]:
+        keys = sorted({r["_hoodie_record_key"] for r in rows})
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], "_hoodie_record_key string"
+        )
+        hits = kdf.join(
+            _keys_with_groups(spark, base, snap), "_hoodie_record_key"
+        ).collect()
+        key_to_fid = {r[0]: r[1] for r in hits}
+
     by_group: dict[str | None, list[dict]] = {}
     for r in rows:
         rec = {n: r[n] for n in names}
@@ -308,33 +308,34 @@ def hudi_upsert(
         fid = key_to_fid.get(rec["_hoodie_record_key"])
         by_group.setdefault(fid, []).append(rec)
 
-    # next log version per group (from the live listing)
-    next_ver: dict[str, int] = {}
-    base_instant: dict[str, str] = {}
-    for lf in snap.get("log_files") or []:
-        next_ver[lf["fid"]] = max(
-            next_ver.get(lf["fid"], 0), int(lf["version"])
-        )
-        base_instant[lf["fid"]] = lf["base_instant"]
-    for p in snap.get("files") or []:
-        m = _DATA_RE_PAT.search(p)
-        if m:
-            base_instant.setdefault(m.group("fid"), m.group("ts"))
+    def _group_meta(s: dict) -> tuple[dict[str, int], dict[str, str]]:
+        """Per file group: newest log version and the base instant its
+        next log file must name."""
+        nv: dict[str, int] = {}
+        bi: dict[str, str] = {}
+        for lf in s.get("log_files") or []:
+            nv[lf["fid"]] = max(nv.get(lf["fid"], 0), int(lf["version"]))
+            bi[lf["fid"]] = lf["base_instant"]
+        for p in s.get("files") or []:
+            m = _DATA_RE_PAT.search(p)
+            if m:
+                bi.setdefault(m.group("fid"), m.group("ts"))
+        return nv, bi
 
-    timeline_last = None
-    from harness_aws_etl_pipeline_spark.sources.hudiread import (
-        hudi_timeline,
-    )
-
+    next_ver, base_instant = _group_meta(snap)
     tl = hudi_timeline(spark, base)
-    if tl:
-        timeline_last = tl[-1]["instant"]
+    timeline_last = tl[-1]["instant"] if tl else None
 
     retries = 0
-    staged: list[tuple[str, str]] = []  # (tmp path, final rel name)
+    staged: list[str] = []
     while True:
         instant = _instant_now(timeline_last)
         timeline_last = instant
+        # per-attempt unique write token: two racing upserts on the
+        # same file group must never share a log path — a shared name
+        # would let the second write overwrite the first and the CAS
+        # loser's cleanup delete the winner's committed file
+        token = uuid.uuid4().hex
         staged = []
         groups_logged = new_groups = 0
         for fid, recs in sorted(
@@ -343,13 +344,18 @@ def hudi_upsert(
             block = encode_avro_block(schema_json, recs, instant)
             if fid is None:
                 gid = uuid.uuid4().hex
-                name = f".{gid}_{instant}.log.1_{_DATA_RE_TOKEN}"
+                name = f".{gid}_{instant}.log.1_{token}"
                 new_groups += 1
             else:
+                bts = base_instant.get(fid)
+                if bts is None:
+                    raise RuntimeError(
+                        f"file group {fid!r} vanished while retrying "
+                        "the upsert commit (concurrent replace?); "
+                        "re-run the upsert"
+                    )
                 ver = next_ver.get(fid, 0) + 1
-                name = (
-                    f".{fid}_{base_instant[fid]}.log.{ver}_{_DATA_RE_TOKEN}"
-                )
+                name = f".{fid}_{bts}.log.{ver}_{token}"
                 groups_logged += 1
             fs.write_bytes(posixpath.join(base, name), block)
             staged.append(name)
@@ -366,7 +372,8 @@ def hudi_upsert(
             }
         # lost the instant: the written log files reference an instant
         # that will never commit — the reader's committed-instant
-        # filter makes them invisible, but clean up anyway
+        # filter makes them invisible, but clean up anyway (safe: the
+        # unique token means no other writer shares these paths)
         fs.delete(tmp, recursive=False)
         for name in staged:
             fs.delete(posixpath.join(base, name), recursive=False)
@@ -375,17 +382,19 @@ def hudi_upsert(
             raise RuntimeError(
                 f"lost the Hudi instant race {retries} times at {base!r}"
             )
+        # the racer that beat us may have appended log blocks or
+        # compacted a base — recompute versions/base instants from a
+        # FRESH snapshot so the retry names the correct next slice
+        snap = hudi_snapshot(spark, base)
+        next_ver, base_instant = _group_meta(snap)
+        tl = hudi_timeline(spark, base)
+        if tl and tl[-1]["instant"] > timeline_last:
+            timeline_last = tl[-1]["instant"]
 
 
 _DATA_RE_PAT = re.compile(
     r"(?P<fid>[^_/]+)_(?P<tok>[^_/]+)_(?P<ts>\d+)\.parquet$"
 )
-
-
-def _live_columns(spark, base: str, snap: dict) -> list[str]:
-    if snap["files"]:
-        return spark.read.parquet(snap["files"][0]).columns
-    return []
 
 
 def _keys_with_groups(spark, base: str, snap: dict):

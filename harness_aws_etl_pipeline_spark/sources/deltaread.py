@@ -571,14 +571,35 @@ def delta_changes(
     fs = get_fs(base, spark)
     commits = _commit_files(fs, posixpath.join(base, _LOG))
     compacted_away: set[str] = set()
+    # lineage of in-window appended rows: dataChange=true adds still
+    # live under their original path OR under the compacted outputs
+    # that absorbed them — a file appended then compacted INSIDE the
+    # window is absent from hi["files"] and its compacted output
+    # carries dataChange=false, so a plain set-diff would silently
+    # drop those rows (r11 ADVICE fix)
+    pending: dict[str, None] = {}
+    replay_complete = True
     for v in range(lo["version"] + 1, hi["version"] + 1):
         p = commits.get(v)
         if p is None:
-            continue  # folded into a checkpoint; the set diff below still guards pre-window files
+            # folded into a checkpoint; the set diff below still
+            # guards pre-window files
+            replay_complete = False
+            continue
+        adds_true: list[str] = []
+        adds_false: list[str] = []
+        rem_false: list[str] = []
         for line in fs.read_bytes(p).decode("utf-8").splitlines():
             if not line.strip():
                 continue
             a = json.loads(line)
+            add = a.get("add")
+            if add and add.get("path"):
+                (
+                    adds_true
+                    if add.get("dataChange", True)
+                    else adds_false
+                ).append(add["path"])
             rem = a.get("remove")
             if rem and rem.get("path"):
                 # dataChange=false removes are COMPACTION (the rows
@@ -591,7 +612,28 @@ def delta_changes(
                         "capture cannot represent versions "
                         f"({since_version}, {hi['version']}]"
                     )
+                rem_false.append(rem["path"])
                 compacted_away.add(rem["path"])
+        consumed = [q for q in rem_false if q in pending]
+        if consumed:
+            others = [q for q in rem_false if q not in pending]
+            if others:
+                # the rewrite merged in-window appends with pre-window
+                # files: its outputs double-count pre-window rows and
+                # the appended rows exist nowhere else — unrepresentable
+                raise ValueError(
+                    f"commit {v} compacts {len(consumed)} in-window "
+                    f"appended file(s) together with {len(others)} "
+                    "pre-window file(s); append-only change capture "
+                    "cannot represent versions "
+                    f"({since_version}, {hi['version']}]"
+                )
+            for q in consumed:
+                del pending[q]
+            for q in adds_false:
+                pending[q] = None
+        for q in adds_true:
+            pending[q] = None
     removed_old = set(lo["files"]) - set(hi["files"]) - compacted_away
     if removed_old:
         raise ValueError(
@@ -599,12 +641,23 @@ def delta_changes(
             f"delete {len(removed_old)} pre-existing file(s); "
             "append-only change capture cannot represent that window"
         )
-    # compaction adds (dataChange=false) carry OLD rows — never emit
-    new_files = sorted(
-        p
-        for p in set(hi["files"]) - set(lo["files"])
-        if hi["files"][p].get("dataChange", True) is not False
-    )
+    if replay_complete:
+        missing = [q for q in pending if q not in hi["files"]]
+        if missing:
+            raise ValueError(
+                f"versions ({since_version}, {hi['version']}] lose track "
+                f"of {len(missing)} in-window appended file(s); "
+                "append-only change capture cannot represent that window"
+            )
+        new_files = sorted(q for q in pending if q not in lo["files"])
+    else:
+        # some window commits are checkpoint-folded: fall back to the
+        # snapshot-set diff (compaction adds carry OLD rows — never emit)
+        new_files = sorted(
+            p
+            for p in set(hi["files"]) - set(lo["files"])
+            if hi["files"][p].get("dataChange", True) is not False
+        )
     if not new_files:
         return spark.createDataFrame([], hi["schema"])
     snap = dict(hi)

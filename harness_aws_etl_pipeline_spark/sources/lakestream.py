@@ -6,11 +6,15 @@ Spark 4 Python DataSources completing the streaming interop trio
     spark.readStream.format("iceberg_nojar").option("path", p).load()
     spark.readStream.format("hudi_nojar").option("path", p).load()
 
-- **iceberg_nojar**: the offset is ``{"idx": N}`` — how many entries
-  of the snapshot log have been emitted. A micro-batch is the data
-  files ADDED between two snapshots; windows that drop files or touch
-  the delete-file sets raise (append-only capture, the
-  ``iceberg_changes`` rule).
+- **iceberg_nojar**: the offset is ``{"sid": "<snapshot-id>"}`` — the
+  newest snapshot emitted (``None`` before the first batch). Snapshot
+  ids are STABLE across ``iceberg_expire_snapshots``, unlike list
+  positions: a checkpointed stream resuming after expiration resolves
+  its id against the current snapshot log and fails loudly if that
+  snapshot was expired (legacy positional ``{"idx": N}`` offsets are
+  still accepted). A micro-batch is the data files ADDED between two
+  snapshots; windows that drop files or touch the delete-file sets
+  raise (append-only capture, the ``iceberg_changes`` rule).
 - **hudi_nojar**: the offset is ``{"instant": "..."}`` — the newest
   completed instant emitted. A micro-batch is the file GROUPS that
   first appeared in the window; rewrites of existing groups,
@@ -79,10 +83,41 @@ class _IcebergStreamReader(DataSourceStreamReader):
         ]
 
     def initialOffset(self) -> dict:
-        return {"idx": self._start}
+        if self._start <= 0:
+            return {"sid": None}
+        ids = self._snap_ids()
+        if self._start > len(ids):
+            raise ValueError(
+                f"startingIdx {self._start} exceeds the snapshot log "
+                f"({len(ids)} snapshots)"
+            )
+        return {"sid": str(ids[self._start - 1])}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._snap_ids())}
+        ids = self._snap_ids()
+        return {"sid": str(ids[-1]) if ids else None}
+
+    @staticmethod
+    def _resolve(off: dict, ids: list[int]) -> int:
+        """Offset → count of already-emitted snapshots. Snapshot IDS
+        are the durable coordinate — positions shift when
+        iceberg_expire_snapshots rewrites the snapshot list, so a
+        positional offset resumed after expiration would silently
+        skip or replay batches. Legacy {"idx": N} offsets (pre-r12
+        checkpoints) are still honored positionally."""
+        if "idx" in off:
+            return int(off["idx"])
+        sid = off.get("sid")
+        if sid is None:
+            return 0
+        strs = [str(i) for i in ids]
+        if str(sid) not in strs:
+            raise ValueError(
+                f"checkpointed offset snapshot {sid} is no longer in "
+                "the snapshot log (expired?); cannot resume this "
+                "stream safely — restart it from a fresh checkpoint"
+            )
+        return strs.index(str(sid)) + 1
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from harness_aws_etl_pipeline_spark.sources.icebergread import (
@@ -90,7 +125,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         )
 
         ids = self._snap_ids()
-        lo, hi = int(start["idx"]), int(end["idx"])
+        lo, hi = self._resolve(start, ids), self._resolve(end, ids)
         cols = [f.name for f in self._schema.fields]
         parts: list[InputPartition] = []
         prev = (

@@ -182,6 +182,66 @@ class TestHudiCompact:
         # change capture works again (no live logs)
         assert hudi_changes(spark, t, rep["instant"]).count() == 0
 
+    def test_aborts_on_concurrent_deltacommit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r11 ADVICE fix: a deltacommit landing between hudi_compact's
+        snapshot and its CAS appends log blocks to the OLD base
+        instant; the freshly committed compacted base would silently
+        supersede them. The pre-CAS re-check must catch it, re-merge
+        from a fresh snapshot, and keep the late rows."""
+        import harness_aws_etl_pipeline_spark.sources.hudiread as hr
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t, key_col="id",
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(2, "b2")], "id long, v string"),
+            t, key_col="id",
+        )
+        real_snap = hr.hudi_snapshot
+        state = {"calls": 0, "injecting": False}
+
+        def wrapper(spark_, path, as_of_instant=None):
+            out = real_snap(spark_, path, as_of_instant)
+            if state["injecting"]:
+                return out
+            state["calls"] += 1
+            if state["calls"] == 1:
+                # lands AFTER compact took its planning snapshot
+                state["injecting"] = True
+                try:
+                    hudi_upsert(
+                        spark,
+                        spark.createDataFrame(
+                            [(1, "late")], "id long, v string"
+                        ),
+                        t, key_col="id",
+                    )
+                finally:
+                    state["injecting"] = False
+            return out
+
+        monkeypatch.setattr(hr, "hudi_snapshot", wrapper)
+        rep = hudi_compact(spark, t)
+        assert rep["retries"] >= 1 and rep["groups_compacted"] >= 1
+        monkeypatch.setattr(hr, "hudi_snapshot", real_snap)
+        got = {
+            (r.id, r.v)
+            for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        assert got == {(1, "late"), (2, "b2")}
+
     def test_cow_rejected_and_noop(self, spark, tmp_path):
         from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
             hudi_upsert, write_hudi,

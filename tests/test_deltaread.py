@@ -919,6 +919,77 @@ class TestChanges:
         with pytest.raises(ValueError, match="append-only"):
             delta_changes(spark, str(tmp_path), since_version=0)
 
+    def test_append_then_compact_in_window_emitted(self, spark, tmp_path):
+        """r11 ADVICE: rows appended at v1 then compacted at v2 — both
+        inside the window — must surface via the compacted output
+        (dataChange=false add), not be silently dropped; a later
+        re-compaction of that output keeps the lineage alive."""
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
+        b = _datafile(spark, tmp_path, "b.parquet", [(2, "y")])
+        c = _datafile(spark, tmp_path, "c.parquet", [(2, "y")])
+        d = _datafile(spark, tmp_path, "d.parquet", [(2, "y")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 1}}, _meta(), _add(a),
+        ])
+        _commit(tmp_path, 1, [_add(b)])
+        cadd = _add(c)
+        cadd["add"]["dataChange"] = False
+        _commit(tmp_path, 2, [
+            {"remove": {"path": b, "dataChange": False}}, cadd,
+        ])
+        got = {
+            (r.id, r.v)
+            for r in delta_changes(spark, str(tmp_path), 0).collect()
+        }
+        assert got == {(2, "y")}
+        # chain: the absorbing output is itself compacted away at v3
+        dadd = _add(d)
+        dadd["add"]["dataChange"] = False
+        _commit(tmp_path, 3, [
+            {"remove": {"path": c, "dataChange": False}}, dadd,
+        ])
+        got = {
+            (r.id, r.v)
+            for r in delta_changes(spark, str(tmp_path), 0).collect()
+        }
+        assert got == {(2, "y")}
+        # a window past the append sees pure pre-window compaction: empty
+        assert delta_changes(spark, str(tmp_path), 2).count() == 0
+
+    def test_mixed_compaction_of_pre_window_files_raises(
+        self, spark, tmp_path
+    ):
+        """A rewrite that merges in-window appends WITH pre-window
+        files double-counts pre-window rows in its outputs — the
+        window is honestly unrepresentable."""
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        a = _datafile(spark, tmp_path, "a.parquet", [(1, "x")])
+        b = _datafile(spark, tmp_path, "b.parquet", [(2, "y")])
+        c = _datafile(spark, tmp_path, "c.parquet", [(1, "x"), (2, "y")])
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 1}}, _meta(), _add(a),
+        ])
+        _commit(tmp_path, 1, [_add(b)])
+        cadd = _add(c)
+        cadd["add"]["dataChange"] = False
+        _commit(tmp_path, 2, [
+            {"remove": {"path": a, "dataChange": False}},
+            {"remove": {"path": b, "dataChange": False}},
+            cadd,
+        ])
+        with pytest.raises(ValueError, match="pre-window"):
+            delta_changes(spark, str(tmp_path), 0)
+        # the same v2 viewed from since=1 is PURE pre-window
+        # compaction: representable, zero new rows
+        assert delta_changes(spark, str(tmp_path), 1).count() == 0
+
     def test_in_window_dv_update_caught(self, spark, tmp_path):
         """A DV update re-adds the SAME path (no path-set change at
         all) — only the per-commit remove replay sees it."""

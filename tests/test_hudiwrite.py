@@ -247,6 +247,145 @@ class TestMorUpsert:
         } == {"v1"}
         assert {r.v for r in read_hudi(spark, t).collect()} == {"v2"}
 
+    def test_row_gate_fires_before_routing_join(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r11 verdict fix: max_upsert_rows must gate BEFORE the
+        key-routing join can materialize anything driver-side — an
+        oversized frame fails loudly on a join-free path."""
+        import harness_aws_etl_pipeline_spark.sinks.hudiwrite as hw
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t, key_col="id",
+        )
+
+        def boom(*a, **k):
+            raise AssertionError("routing join ran before the row gate")
+
+        monkeypatch.setattr(hw, "_keys_with_groups", boom)
+        with pytest.raises(ValueError, match="rows"):
+            hudi_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(i, "x") for i in range(5)], "id long, v string"
+                ),
+                t, key_col="id", max_upsert_rows=2,
+            )
+
+    def test_racing_upserts_do_not_share_log_paths(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r11 ADVICE fix: two upserts racing on the SAME file group
+        must write distinct log files (per-attempt write token) — the
+        CAS loser's cleanup must never delete the winner's committed
+        log, and the retry must see the winner's bumped log version."""
+        import harness_aws_etl_pipeline_spark.sinks.hudiwrite as hw
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t, key_col="id",
+        )
+        real_get_fs = hw.get_fs
+        state = {"raced": False}
+
+        class RacingFs:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+            def rename_if_absent(self, src, dst):
+                if not state["raced"]:
+                    state["raced"] = True
+                    hudi_upsert(
+                        spark,
+                        spark.createDataFrame(
+                            [(2, "inner")], "id long, v string"
+                        ),
+                        t, key_col="id",
+                    )
+                    return False  # we lost the instant claim
+                return self._inner.rename_if_absent(src, dst)
+
+        monkeypatch.setattr(
+            hw, "get_fs", lambda p, s: RacingFs(real_get_fs(p, s))
+        )
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "outer")], "id long, v string"),
+            t, key_col="id",
+        )
+        assert rep["retries"] == 1
+        got = {
+            (r.id, r.v)
+            for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        # the raced (committed) upsert's row must survive the loser's
+        # cleanup; the retried upsert lands on a later instant
+        assert got == {(1, "outer"), (2, "inner")}
+
+    def test_genuine_file_name_meta_column_not_misused(
+        self, spark, tmp_path
+    ):
+        """r11 ADVICE fix: genuine Hudi base files store the FULL file
+        name (fid_token_instant.parquet) in _hoodie_file_name, never
+        the bare fileId — routing must derive the fid from file
+        metadata, not from that column."""
+        import glob
+        import shutil
+
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+        from tests.test_hudiread import T1, _commit, _props
+
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _commit(tmp_path, T1)
+        fname = f"g1_0-1-2_{T1}.parquet"
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            [
+                (T1, f"{T1}_0_1", "k1", "", fname, 1, "a"),
+                (T1, f"{T1}_0_2", "k2", "", fname, 2, "b"),
+            ],
+            "_hoodie_commit_time string, _hoodie_commit_seqno string, "
+            "_hoodie_record_key string, _hoodie_partition_path string, "
+            "_hoodie_file_name string, id long, v string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = glob.glob(str(stage / "*.parquet"))[0]
+        shutil.move(src, str(tmp_path / fname))
+
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [("k2", 2, "b2")],
+                "_hoodie_record_key string, id long, v string",
+            ),
+            str(tmp_path),
+            key_col="_hoodie_record_key",
+        )
+        assert rep["groups_logged"] == 1 and rep["new_groups"] == 0
+        got = {(r.id, r.v) for r in read_hudi(spark, str(tmp_path)).collect()}
+        assert got == {(1, "a"), (2, "b2")}
+
     def test_upsert_guards(self, spark, tmp_path):
         import pytest as _pytest
 
