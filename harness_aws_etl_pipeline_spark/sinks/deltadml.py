@@ -64,15 +64,30 @@ def delta_delete_where(
     predicate: str,
     max_deleted_rows: int = 10_000_000,
     max_commit_retries: int = 20,
+    change_data: bool | None = None,
 ) -> dict:
     """Delete rows matching the SQL ``predicate`` by writing deletion
     vectors. Returns ``{"version", "rows_deleted", "files_touched",
-    "retries"}``. A predicate matching nothing commits nothing."""
+    "retries"}``. A predicate matching nothing commits nothing.
+
+    ``change_data`` emits the deleted rows as a CHANGE DATA FEED file
+    under ``_change_data/`` plus a ``cdc`` action in the commit (the
+    Delta CDF protocol shape) so downstream incremental consumers
+    (``delta_changes(cdf=True)``) can represent the delete as
+    row-level changes. ``None`` auto-enables when the table sets
+    ``delta.enableChangeDataFeed=true``."""
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     snap = delta_snapshot(spark, base)
     if snap["schema"] is None:
         raise ValueError("Delta table has no schema in its metadata")
+    if change_data is None:
+        change_data = (
+            (snap.get("configuration") or {})
+            .get("delta.enableChangeDataFeed", "")
+            .lower()
+            == "true"
+        )
     pcols = snap["partition_columns"]
     if (snap.get("column_mapping") or {}).get("physical"):
         raise ValueError(
@@ -166,6 +181,7 @@ def delta_delete_where(
         version = (max(commits) + 1) if commits else 0
         cur = delta_snapshot(spark, base, version - 1) if version else snap
         matches: dict[str, list[int]] = {}
+        fresh_by_key: dict[str, list[int]] = {}
         total = 0
         for key, pos in sorted(by_key.items()):
             add = cur["files"].get(key)
@@ -182,6 +198,7 @@ def delta_delete_where(
             total += len(fresh)
             if fresh:
                 matches[key] = sorted(pos | already)
+                fresh_by_key[key] = sorted(fresh)
         if not matches:
             return {
                 "version": cur["version"],
@@ -271,6 +288,55 @@ def delta_delete_where(
             new_add["deletionVector"] = desc
             actions.append({"add": new_add})
             touched += 1
+
+        # ---- change data feed: the freshly deleted rows, written as
+        # a _change_data/ parquet (table columns + _change_type) and
+        # referenced by a cdc action — distributed write, no extra
+        # driver materialization beyond the positions already held
+        cdc_rels: list[str] = []
+        if change_data and fresh_by_key:
+            norm_of = {v: k for k, v in abs_to_key.items()}
+            pairs = [
+                (norm_of[key], int(p))
+                for key, fresh in sorted(fresh_by_key.items())
+                for p in fresh
+            ]
+            pairs_df = F.broadcast(
+                spark.createDataFrame(pairs, "__fp string, __pos long")
+            )
+            cdc_df = (
+                scan.join(pairs_df, ["__fp", "__pos"])
+                .select(*[f.name for f in snap["schema"].fields])
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_stage = posixpath.join(base, f".cdc_stage-{uuid.uuid4().hex}")
+            try:
+                cdc_df.write.mode("overwrite").parquet(cdc_stage)
+                for rel, _mt, size in fs.list_files(cdc_stage):
+                    if not rel.endswith(".parquet"):
+                        continue
+                    fs.mkdirs(posixpath.join(base, "_change_data"))
+                    dest_rel = f"_change_data/{uuid.uuid4().hex}.parquet"
+                    if not fs.rename(
+                        posixpath.join(cdc_stage, rel),
+                        posixpath.join(base, dest_rel),
+                    ):
+                        raise RuntimeError(
+                            f"could not move change-data file {rel!r}"
+                        )
+                    cdc_rels.append(dest_rel)
+                    actions.append(
+                        {
+                            "cdc": {
+                                "path": dest_rel,
+                                "partitionValues": {},
+                                "size": size,
+                                "dataChange": False,
+                            }
+                        }
+                    )
+            finally:
+                fs.delete(cdc_stage, recursive=True)
         actions.append(
             {
                 "commitInfo": {
@@ -297,6 +363,8 @@ def delta_delete_where(
                 "retries": retries,
             }
         fs.delete(tmp, recursive=False)
+        for rel in cdc_rels:  # unreferenced by any commit; re-written next try
+            fs.delete(posixpath.join(base, rel), recursive=False)
         retries += 1
         if retries > max_commit_retries:
             raise RuntimeError(

@@ -20,12 +20,15 @@ Layout per the open spec (hudi.apache.org/tech-specs) and the shape
   exclusion applies it; time travel before the replace still sees the
   old groups).
 
-Scope (honest): CoW, unpartitioned layout (Hudi data files CONTAIN
-all columns, so partitioned layouts are a directory-shape concern the
-reader already walks; the writer keeps one flat layout), append /
-insert_overwrite, plus (round 11) MERGE_ON_READ keyed
-upserts via ``hudi_upsert`` — log-block appends routed by a simple
-index, the streaming-upsert shape MOR exists for.
+Scope (honest): CoW append / insert_overwrite (table-level replace,
+not per-partition), plus (round 11) MERGE_ON_READ keyed upserts via
+``hudi_upsert`` — log-block appends routed by a simple index, the
+streaming-upsert shape MOR exists for. Round 12 adds PARTITIONED
+layouts to both: ``partition_by=[cols]`` writes hive-style
+``col=val/`` directories (data files still contain the source
+columns), records the fields in ``hoodie.properties``
+(``hoodie.table.partition.fields``), and scopes upsert key routing
+to (partition path, record key) — Hudi's simple (non-global) index.
 """
 
 from __future__ import annotations
@@ -57,36 +60,119 @@ def _instant_now(last: str | None = None) -> str:
     return inst
 
 
+def _props_partition_fields(body: str) -> list[str]:
+    for line in body.splitlines():
+        line = line.strip()
+        if line.startswith("hoodie.table.partition.fields="):
+            v = line.split("=", 1)[1].strip()
+            return [c for c in v.split(",") if c]
+    return []
+
+
+def _resolve_partitioning(
+    fs,
+    hoodie: str,
+    props_path: str,
+    df: DataFrame,
+    partition_by: list[str] | None,
+    table_name: str,
+    table_type: str,
+) -> list[str]:
+    """Create-or-validate ``hoodie.properties``; returns the effective
+    partition columns (inherited from the table when omitted)."""
+    if fs.exists(props_path):
+        body = fs.read_bytes(props_path).decode("utf-8")
+        ttype = "MERGE_ON_READ" if "MERGE_ON_READ" in body else "COPY_ON_WRITE"
+        if ttype != table_type:
+            if table_type == "COPY_ON_WRITE":
+                raise ValueError("cannot write into a MERGE_ON_READ table")
+            raise ValueError(
+                "hudi_upsert writes log files — a COPY_ON_WRITE table "
+                "cannot carry them (use SnapTable.merge or write_delta "
+                "for keyed CoW DML)"
+            )
+        existing = _props_partition_fields(body)
+        part_cols = list(partition_by) if partition_by is not None else existing
+        if part_cols != existing:
+            raise ValueError(
+                f"partitioning {part_cols} differs from the table's "
+                f"{existing} (hoodie.table.partition.fields)"
+            )
+    else:
+        part_cols = list(partition_by or [])
+        fs.mkdirs(hoodie)
+        extra = (
+            f"hoodie.table.partition.fields={','.join(part_cols)}\n"
+            if part_cols
+            else ""
+        )
+        fs.write_bytes(
+            props_path,
+            (
+                "#auto-generated\n"
+                f"hoodie.table.name={table_name}\n"
+                f"hoodie.table.type={table_type}\n" + extra
+            ).encode("utf-8"),
+        )
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in the frame: {missing}")
+    return part_cols
+
+
+def _stage_partitioned(
+    fs, df: DataFrame, stage: str, part_cols: list[str]
+) -> list[tuple[str, str]]:
+    """Write ``df`` into ``stage`` (hive dirs via duplicated ``__hw_``
+    columns so data files keep the source columns); returns
+    ``[(stage-relative path, partition path)]``."""
+    from pyspark.sql import functions as F
+
+    if part_cols:
+        sdf = df
+        for c in part_cols:
+            sdf = sdf.withColumn(f"__hw_{c}", F.col(c).cast("string"))
+        sdf.write.partitionBy(*[f"__hw_{c}" for c in part_cols]).mode(
+            "overwrite"
+        ).parquet(stage)
+    else:
+        df.write.mode("overwrite").parquet(stage)
+    out: list[tuple[str, str]] = []
+    for rel, _mt, _sz in fs.list_files(stage):
+        if not rel.endswith(".parquet"):
+            continue
+        pdir = []
+        for comp in rel.split("/")[:-1]:
+            k, sep, v = comp.partition("=")
+            if sep and k.startswith("__hw_"):
+                pdir.append(f"{k[len('__hw_'):]}={v}")
+        out.append((rel, "/".join(pdir)))
+    return out
+
+
 def write_hudi(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     mode: str = "append",
     table_name: str = "t",
+    partition_by: list[str] | None = None,
     max_commit_retries: int = 20,
 ) -> dict:
     """Write ``df`` as one Hudi CoW commit. Returns ``{"instant",
-    "files_added", "groups_replaced", "retries", "action"}``."""
+    "files_added", "groups_replaced", "retries", "action"}``.
+    ``partition_by`` lays data out hive-style (``col=val/``); omitted,
+    it inherits the table's recorded partition fields."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite: {mode!r}")
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     hoodie = posixpath.join(base, ".hoodie")
     props_path = posixpath.join(hoodie, "hoodie.properties")
-    if fs.exists(props_path):
-        body = fs.read_bytes(props_path).decode("utf-8")
-        if "MERGE_ON_READ" in body:
-            raise ValueError("cannot write into a MERGE_ON_READ table")
-    else:
-        fs.mkdirs(hoodie)
-        fs.write_bytes(
-            props_path,
-            (
-                "#auto-generated\n"
-                f"hoodie.table.name={table_name}\n"
-                "hoodie.table.type=COPY_ON_WRITE\n"
-            ).encode("utf-8"),
-        )
+    part_cols = _resolve_partitioning(
+        fs, hoodie, props_path, df, partition_by, table_name,
+        "COPY_ON_WRITE",
+    )
 
     # groups to supersede on overwrite: recomputed from the LIVE
     # snapshot inside the retry loop — a concurrent append that lands
@@ -112,12 +198,7 @@ def write_hudi(
     last_instant: str | None = None
     stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
     try:
-        df.write.mode("overwrite").parquet(stage)
-        staged = [
-            rel
-            for rel, _mt, _sz in fs.list_files(stage)
-            if rel.endswith(".parquet")
-        ]
+        staged = _stage_partitioned(fs, df, stage, part_cols)
         while True:
             instant = _instant_now(last_instant)
             last_instant = instant
@@ -134,15 +215,20 @@ def write_hudi(
             # move the DATA first under this instant's names, then the
             # CAS on the instant file makes them visible atomically
             # (uncommitted instants are invisible to the reader)
-            moved = []
-            for rel in staged:
+            moved: list[tuple[str, str]] = []
+            for rel, part in staged:
                 fid = uuid.uuid4().hex
                 dname = f"{fid}_{_DATA_RE_TOKEN}_{instant}.parquet"
-                if not fs.rename(
-                    posixpath.join(stage, rel), posixpath.join(base, dname)
-                ):
+                if part:
+                    fs.mkdirs(posixpath.join(base, part))
+                dpath = (
+                    posixpath.join(base, part, dname)
+                    if part
+                    else posixpath.join(base, dname)
+                )
+                if not fs.rename(posixpath.join(stage, rel), dpath):
                     raise RuntimeError(f"could not move staged file {rel!r}")
-                moved.append(dname)
+                moved.append((dpath, part))
             if fs.rename_if_absent(tmp, dest):
                 return {
                     "instant": instant,
@@ -156,12 +242,10 @@ def write_hudi(
             # lost the instant: the moved files belong to an instant
             # that will never commit → rename them under the next one
             staged = []
-            for dname in moved:
+            for dpath, part in moved:
                 back = f"reclaim-{uuid.uuid4().hex}.parquet"
-                fs.rename(
-                    posixpath.join(base, dname), posixpath.join(stage, back)
-                )
-                staged.append(back)
+                fs.rename(dpath, posixpath.join(stage, back))
+                staged.append((back, part))
             fs.delete(tmp, recursive=False)
             retries += 1
             if retries > max_commit_retries:
@@ -220,12 +304,16 @@ def hudi_upsert(
     path: str,
     key_col: str,
     table_name: str = "t",
+    partition_by: list[str] | None = None,
     max_upsert_rows: int = 10_000_000,
     max_commit_retries: int = 20,
 ) -> dict:
     """Keyed upsert into a MERGE_ON_READ table (created on first call).
     Returns ``{"instant", "rows_upserted", "groups_logged",
-    "new_groups", "retries"}``."""
+    "new_groups", "retries"}``. With ``partition_by`` the simple index
+    is partition-scoped — (partition path, record key) is the record
+    identity, Hudi's non-global index — and log files land inside
+    their partition's directory."""
     from harness_aws_etl_pipeline_spark.sources.hudilog import (
         encode_avro_block,
     )
@@ -240,32 +328,38 @@ def hudi_upsert(
     fs = get_fs(base, spark)
     hoodie = posixpath.join(base, ".hoodie")
     props_path = posixpath.join(hoodie, "hoodie.properties")
-    if fs.exists(props_path):
-        body = fs.read_bytes(props_path).decode("utf-8")
-        if "MERGE_ON_READ" not in body:
-            raise ValueError(
-                "hudi_upsert writes log files — a COPY_ON_WRITE table "
-                "cannot carry them (use SnapTable.merge or write_delta "
-                "for keyed CoW DML)"
-            )
-    else:
-        fs.mkdirs(hoodie)
-        fs.write_bytes(
-            props_path,
-            (
-                "#auto-generated\n"
-                f"hoodie.table.name={table_name}\n"
-                "hoodie.table.type=MERGE_ON_READ\n"
-            ).encode("utf-8"),
-        )
+    part_cols = _resolve_partitioning(
+        fs, hoodie, props_path, df, partition_by, table_name,
+        "MERGE_ON_READ",
+    )
 
     # ---- normalize the frame: meta columns first, like Hudi's layout
     from pyspark.sql import functions as F
 
+    if part_cols:
+        ppath = F.concat_ws(
+            "/",
+            *[
+                F.concat(
+                    F.lit(f"{c}="),
+                    F.coalesce(
+                        F.col(c).cast("string"),
+                        F.lit("__HIVE_DEFAULT_PARTITION__"),
+                    ),
+                )
+                for c in part_cols
+            ],
+        )
+    elif "_hoodie_partition_path" in df.columns:
+        ppath = F.coalesce(
+            F.col("_hoodie_partition_path").cast("string"), F.lit("")
+        )
+    else:
+        ppath = F.lit("")
     meta_free = [c for c in df.columns if not c.startswith("_hoodie_")]
     up = df.select(
         F.col(key_col).cast("string").alias("_hoodie_record_key"),
-        F.lit("").alias("_hoodie_partition_path"),
+        ppath.alias("_hoodie_partition_path"),
         *[F.col(c) for c in meta_free],
     )
 
@@ -289,37 +383,56 @@ def hudi_upsert(
     # tables store the full file NAME in _hoodie_file_name, never the
     # bare fileId, so that column cannot be used as the group id.
     snap = hudi_snapshot(spark, base)
-    key_to_fid: dict[str, str] = {}
+    key_to_fid: dict[tuple[str, str], str] = {}
     if snap["files"] or snap["log_files"]:
-        keys = sorted({r["_hoodie_record_key"] for r in rows})
+        keys = sorted(
+            {
+                (r["_hoodie_record_key"], r["_hoodie_partition_path"])
+                for r in rows
+            }
+        )
         kdf = spark.createDataFrame(
-            [(k,) for k in keys], "_hoodie_record_key string"
+            keys,
+            "_hoodie_record_key string, _hoodie_partition_path string",
         )
         hits = kdf.join(
-            _keys_with_groups(spark, base, snap), "_hoodie_record_key"
+            _keys_with_groups(spark, base, snap),
+            ["_hoodie_record_key", "_hoodie_partition_path"],
         ).collect()
-        key_to_fid = {r[0]: r[1] for r in hits}
+        key_to_fid = {
+            (r["_hoodie_record_key"], r["_hoodie_partition_path"]): r["fid"]
+            for r in hits
+        }
 
-    by_group: dict[str | None, list[dict]] = {}
+    # group key: (partition path, fid-or-None) — one log file (or one
+    # fresh log-only group) per partitioned file group
+    by_group: dict[tuple[str, str | None], list[dict]] = {}
     for r in rows:
         rec = {n: r[n] for n in names}
         if isinstance(rec.get(key_col), (bytes, bytearray)):
             raise ValueError("binary key columns are not supported")
-        fid = key_to_fid.get(rec["_hoodie_record_key"])
-        by_group.setdefault(fid, []).append(rec)
+        part = rec["_hoodie_partition_path"] or ""
+        fid = key_to_fid.get((rec["_hoodie_record_key"], part))
+        by_group.setdefault((part, fid), []).append(rec)
 
-    def _group_meta(s: dict) -> tuple[dict[str, int], dict[str, str]]:
-        """Per file group: newest log version and the base instant its
-        next log file must name."""
-        nv: dict[str, int] = {}
-        bi: dict[str, str] = {}
+    def _group_meta(
+        s: dict,
+    ) -> tuple[dict[tuple[str, str], int], dict[tuple[str, str], str]]:
+        """Per (partition, file group): newest log version and the
+        base instant its next log file must name."""
+        nv: dict[tuple[str, str], int] = {}
+        bi: dict[tuple[str, str], str] = {}
         for lf in s.get("log_files") or []:
-            nv[lf["fid"]] = max(nv.get(lf["fid"], 0), int(lf["version"]))
-            bi[lf["fid"]] = lf["base_instant"]
+            k = (lf["part"], lf["fid"])
+            nv[k] = max(nv.get(k, 0), int(lf["version"]))
+            bi[k] = lf["base_instant"]
         for p in s.get("files") or []:
-            m = _DATA_RE_PAT.search(p)
+            rel = p[len(base) + 1 :] if p.startswith(base) else p
+            m = _DATA_RE_PAT.search(rel)
             if m:
-                bi.setdefault(m.group("fid"), m.group("ts"))
+                bi.setdefault(
+                    (posixpath.dirname(rel), m.group("fid")), m.group("ts")
+                )
         return nv, bi
 
     next_ver, base_instant = _group_meta(snap)
@@ -338,8 +451,8 @@ def hudi_upsert(
         token = uuid.uuid4().hex
         staged = []
         groups_logged = new_groups = 0
-        for fid, recs in sorted(
-            by_group.items(), key=lambda kv: str(kv[0])
+        for (part, fid), recs in sorted(
+            by_group.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
         ):
             block = encode_avro_block(schema_json, recs, instant)
             if fid is None:
@@ -347,18 +460,21 @@ def hudi_upsert(
                 name = f".{gid}_{instant}.log.1_{token}"
                 new_groups += 1
             else:
-                bts = base_instant.get(fid)
+                bts = base_instant.get((part, fid))
                 if bts is None:
                     raise RuntimeError(
                         f"file group {fid!r} vanished while retrying "
                         "the upsert commit (concurrent replace?); "
                         "re-run the upsert"
                     )
-                ver = next_ver.get(fid, 0) + 1
+                ver = next_ver.get((part, fid), 0) + 1
                 name = f".{fid}_{bts}.log.{ver}_{token}"
                 groups_logged += 1
-            fs.write_bytes(posixpath.join(base, name), block)
-            staged.append(name)
+            if part:
+                fs.mkdirs(posixpath.join(base, part))
+            rel = posixpath.join(part, name) if part else name
+            fs.write_bytes(posixpath.join(base, rel), block)
+            staged.append(rel)
         tmp = posixpath.join(hoodie, f".commitmeta-{uuid.uuid4().hex}")
         fs.write_bytes(tmp, b"{}")
         dest = posixpath.join(hoodie, f"{instant}.deltacommit")
@@ -398,16 +514,30 @@ _DATA_RE_PAT = re.compile(
 
 
 def _keys_with_groups(spark, base: str, snap: dict):
-    """(record key, fid) over the LIVE view: base files keyed by their
-    filename's fid; log rows keyed by their log file's fid."""
+    """(record key, partition path, fid) over the LIVE view: base
+    files keyed by their file PATH (partition dir + filename fid, the
+    authoritative group identity); log rows keyed by their log file's
+    (part, fid)."""
+    import re as _re
+
     from pyspark.sql import functions as F
 
     out = None
     if snap["files"]:
+        rel = F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-zA-Z0-9+.-]+:/+", "/"
+            ),
+            "^" + _re.escape(base) + "/",
+            "",
+        )
         out = (
             spark.read.parquet(*snap["files"])
             .select(
                 "_hoodie_record_key",
+                F.regexp_extract(rel, r"^(.*)/[^/]+$", 1).alias(
+                    "_hoodie_partition_path"
+                ),
                 F.regexp_extract(
                     F.col("_metadata.file_path"),
                     r"([^_/]+)_[^_/]+_\d+\.parquet$",
@@ -434,12 +564,17 @@ def _keys_with_groups(spark, base: str, snap: dict):
                     keys.discard(k)
         if keys:
             kdf = spark.createDataFrame(
-                [(k, lf["fid"]) for k in sorted(keys)],
-                "_hoodie_record_key string, fid string",
+                [(k, lf["part"], lf["fid"]) for k in sorted(keys)],
+                "_hoodie_record_key string, _hoodie_partition_path "
+                "string, fid string",
             )
             out = kdf if out is None else out.unionByName(kdf)
     if out is None:
         out = spark.createDataFrame(
-            [], "_hoodie_record_key string, fid string"
+            [],
+            "_hoodie_record_key string, _hoodie_partition_path string, "
+            "fid string",
         )
-    return out.dropDuplicates(["_hoodie_record_key"])
+    return out.dropDuplicates(
+        ["_hoodie_record_key", "_hoodie_partition_path"]
+    )

@@ -17,11 +17,21 @@ layout of the open spec (iceberg.apache.org/spec):
   manifest list; overwrite lists only the new manifest (a snapshot IS
   the files its manifest list reaches).
 
-Scope (honest): format v2, unpartitioned tables, append/overwrite
-only — no partition specs (identity or hidden), no delete files, no
-schema evolution on append (overwrite may change the schema; a new
-schema-id is registered). Field ids are assigned sequentially from
-the Spark schema on table creation and REUSED by name afterwards.
+Scope (honest): format v2, append/overwrite, unpartitioned or
+IDENTITY-partitioned tables (round 12): ``partition_by=[cols]``
+registers a partition spec with per-field ids (1000+), lays data out
+hive-style under ``data/col=val/``, and populates each manifest
+entry's ``partition`` struct — data files still physically CONTAIN
+the partition source columns, as the spec requires. Hidden transforms
+(bucket/truncate/days) and partition-spec evolution on append are
+rejected; omitted ``partition_by`` inherits the table's spec.
+Schema evolution on APPEND (round 12): added columns register an
+evolved schema whose new fields take fresh ids above
+``last-column-id`` (never reused — the spec's field-id discipline),
+int→long / float→double widen in place, and incompatible changes
+reject; overwrite may replace the schema outright. Field ids are
+assigned sequentially from the Spark schema on table creation and
+REUSED by name afterwards.
 Per-file ``record_count`` (required by the spec) comes from one
 grouped count over this write's files only.
 """
@@ -41,35 +51,81 @@ from harness_aws_etl_pipeline_spark.sources.avroread import write_avro_bytes
 
 __all__ = ["write_iceberg"]
 
-_ENTRY_SCHEMA = json.dumps({
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {"name": "data_file", "field-id": 2, "type": {
-            "type": "record", "name": "r2",
-            "fields": [
-                {"name": "content", "type": "int", "field-id": 134},
-                {"name": "file_path", "type": "string", "field-id": 100},
-                {"name": "file_format", "type": "string", "field-id": 101},
-                # spec-required even for unpartitioned tables: an
-                # empty struct matching the (empty) partition spec
-                {"name": "partition", "field-id": 102, "type": {
-                    "type": "record", "name": "r102", "fields": [],
-                }},
-                {"name": "record_count", "type": "long", "field-id": 103},
-                {"name": "file_size_in_bytes", "type": "long",
-                 "field-id": 104},
-                # null for data/position entries; the equality-delete
-                # writer (icebergdml.iceberg_upsert) sets the field ids
-                {"name": "equality_ids", "field-id": 135,
-                 "type": ["null", {"type": "array", "items": "int"}]},
-            ],
-        }},
-    ],
-})
+def _entry_schema(part_fields: list[dict] | None = None) -> str:
+    """Manifest-entry Avro schema; ``part_fields`` (name/avro type/
+    field-id triples) populate the ``partition`` record to match the
+    table's partition spec — empty for unpartitioned tables."""
+    return json.dumps({
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    # spec-required: a struct matching the partition
+                    # spec (empty for unpartitioned tables)
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [
+                            {
+                                "name": pf["name"],
+                                "type": ["null", pf["avro"]],
+                                "field-id": pf["field-id"],
+                            }
+                            for pf in (part_fields or [])
+                        ],
+                    }},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    # null for data/position entries; the
+                    # equality-delete writer (icebergdml.
+                    # iceberg_upsert) sets the field ids
+                    {"name": "equality_ids", "field-id": 135,
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ],
+            }},
+        ],
+    })
+
+
+_ENTRY_SCHEMA = _entry_schema()
+
+# identity-partition source column types this writer can round-trip
+# through hive path values and the manifest partition struct
+_PART_AVRO = {
+    "integer": "int",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _parse_pval(raw: str, type_name: str):
+    """Hive-path partition value string → typed manifest value."""
+    if type_name in ("integer", "long"):
+        return int(raw)
+    if type_name == "boolean":
+        return raw.lower() == "true"
+    if type_name == "date":
+        import datetime
+
+        return (
+            datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
+        ).days
+    return raw
 
 _MLIST_SCHEMA = json.dumps({
     "type": "record",
@@ -147,6 +203,83 @@ def _spark_to_iceberg(dt, next_id) -> object:
     return m
 
 
+_WIDEN = {("int", "long"), ("float", "double")}
+
+
+def _strip_ids(t):
+    """Type node with every field/element/key/value id removed, for
+    structural comparison across independently-assigned id spaces."""
+    if isinstance(t, dict):
+        out = {}
+        for k, v in t.items():
+            if k in ("id", "element-id", "key-id", "value-id", "schema-id"):
+                continue
+            if k == "fields":
+                out[k] = [_strip_ids(x) for x in v]
+            elif k in ("element", "key", "value", "type"):
+                out[k] = _strip_ids(v)
+            else:
+                out[k] = v
+        return out
+    return t
+
+
+def _evolve_fields(
+    cur_fields: list[dict], df: DataFrame, last_column_id: int
+) -> tuple[list[dict], int]:
+    """Append-time schema evolution per the Iceberg spec's field-id
+    discipline: existing columns KEEP their ids (int→long /
+    float→double widen in place — the safe promotions), NEW columns
+    get fresh ids above ``last-column-id`` (ids are never reused),
+    and table columns missing from the frame survive (the new files
+    simply read null for them). Incompatible changes raise."""
+    by_name = {f["name"]: f for f in cur_fields}
+    out = [dict(f) for f in cur_fields]
+    pos = {f["name"]: i for i, f in enumerate(out)}
+    next_free = int(last_column_id)
+    for f in df.schema.fields:
+        probe = {"n": 0}
+
+        def _pid():
+            probe["n"] += 1
+            return probe["n"]
+
+        t_probe = _spark_to_iceberg(f.dataType, _pid)
+        cur = by_name.get(f.name)
+        if cur is not None:
+            if _strip_ids(cur["type"]) == _strip_ids(t_probe):
+                continue
+            if (
+                isinstance(cur["type"], str)
+                and isinstance(t_probe, str)
+                and (cur["type"], t_probe) in _WIDEN
+            ):
+                out[pos[f.name]] = dict(cur, type=t_probe)
+                continue
+            raise ValueError(
+                f"append changes column {f.name!r} from {cur['type']} "
+                f"to {t_probe} — not a safe promotion (int→long, "
+                "float→double); overwrite to change the schema"
+            )
+        holder = {"n": next_free}
+
+        def _nid():
+            holder["n"] += 1
+            return holder["n"]
+
+        fid = _nid()
+        out.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": False,
+                "type": _spark_to_iceberg(f.dataType, _nid),
+            }
+        )
+        next_free = holder["n"]
+    return out, next_free
+
+
 def _schema_node(df: DataFrame, schema_id: int) -> tuple[dict, int]:
     counter = {"n": 0}
 
@@ -159,16 +292,80 @@ def _schema_node(df: DataFrame, schema_id: int) -> tuple[dict, int]:
     return node, counter["n"]
 
 
+def _latest_md(fs, mdir: str) -> tuple[dict | None, int]:
+    """Newest ``vN.metadata.json`` (parsed) and its version, or
+    ``(None, 0)`` for a fresh table."""
+    import re as _re
+
+    best = -1
+    if fs.exists(mdir):
+        for rel, _mt, _sz in fs.list_files(mdir):
+            m = _re.match(r"v(\d+)\.metadata\.json$", posixpath.basename(rel))
+            if m and int(m.group(1)) > best:
+                best = int(m.group(1))
+    if best < 0:
+        return None, 0
+    md = json.loads(
+        fs.read_bytes(
+            posixpath.join(mdir, f"v{best}.metadata.json")
+        ).decode("utf-8")
+    )
+    return md, best
+
+
+def _spec_identity_cols(md: dict | None) -> list[str] | None:
+    """Column names of the table's default partition spec (identity
+    transforms only; hidden transforms raise)."""
+    if not md:
+        return None
+    specs = md.get("partition-specs") or []
+    spec = next(
+        (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)),
+        None,
+    )
+    if spec is None:
+        return None
+    fields = spec.get("fields") or []
+    if not fields:
+        return []
+    hidden = [f for f in fields if f.get("transform") != "identity"]
+    if hidden:
+        raise ValueError(
+            "table uses hidden partition transforms "
+            f"({[f.get('transform') for f in hidden]}); this writer "
+            "supports identity partitioning only"
+        )
+    names_by_id: dict[int, str] = {}
+    schemas = md.get("schemas") or ([md["schema"]] if md.get("schema") else [])
+    cur = md.get("current-schema-id", 0)
+    node = next((s for s in schemas if s.get("schema-id") == cur), None)
+    for f in (node or {}).get("fields") or []:
+        names_by_id[int(f["id"])] = f["name"]
+    out = []
+    for f in fields:
+        name = names_by_id.get(int(f["source-id"]))
+        if name is None:
+            raise ValueError(
+                f"partition spec field {f.get('name')!r} references "
+                f"unknown source column id {f.get('source-id')}"
+            )
+        out.append(name)
+    return out
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     mode: str = "append",
+    partition_by: list[str] | None = None,
     max_commit_retries: int = 20,
 ) -> dict:
     """Write ``df`` as one Iceberg snapshot at ``path``. Returns
     ``{"snapshot_id", "metadata_version", "files_added", "retries"}``.
-    """
+    ``partition_by`` declares identity partitioning (hive-style
+    ``data/col=val/`` layout + populated manifest partition structs);
+    omitted, it inherits the table's existing spec."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite: {mode!r}")
     base = path.rstrip("/")
@@ -178,21 +375,85 @@ def write_iceberg(
     fs.mkdirs(mdir)
     fs.mkdirs(ddir)
 
+    # ---- resolve the effective partitioning against the table spec
+    md0, _v0 = _latest_md(fs, mdir)
+    existing_cols = _spec_identity_cols(md0)
+    if partition_by is None:
+        partition_by = list(existing_cols or [])
+    else:
+        partition_by = list(partition_by)
+        if (
+            mode == "append"
+            and existing_cols is not None
+            and partition_by != existing_cols
+        ):
+            raise ValueError(
+                f"append partitioning {partition_by} differs from the "
+                f"table's partition spec {existing_cols}; overwrite to "
+                "change it"
+            )
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in the frame: {missing}")
+    part_types: dict[str, str] = {}
+    for c in partition_by:
+        tn = df.schema[c].dataType.typeName()
+        if tn not in _PART_AVRO:
+            raise ValueError(
+                f"unsupported identity-partition column type {tn!r} "
+                f"for {c!r} (supported: {sorted(_PART_AVRO)})"
+            )
+        part_types[c] = tn
+
     # ---- data: staged write + exact-ownership move (deltawrite's
-    # concurrency reasoning)
+    # concurrency reasoning). Partitioned writes duplicate the
+    # partition columns under __icw_ aliases for the directory layout
+    # so the data files still CONTAIN the source columns (the spec
+    # requires it; the reader's one-scan design relies on it).
+    from urllib.parse import unquote
+
     stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
     new_files: dict[str, int] = {}
+    part_of: dict[str, dict] = {}
     try:
-        df.write.mode("overwrite").parquet(stage)
+        if partition_by:
+            staged_df = df
+            for c in partition_by:
+                staged_df = staged_df.withColumn(f"__icw_{c}", F.col(c))
+            staged_df.write.partitionBy(
+                *[f"__icw_{c}" for c in partition_by]
+            ).mode("overwrite").parquet(stage)
+        else:
+            df.write.mode("overwrite").parquet(stage)
         for rel, _mt, size in fs.list_files(stage):
             if not rel.endswith(".parquet"):
                 continue
-            dest_rel = f"data/{uuid.uuid4().hex}-{posixpath.basename(rel)}"
+            pvals: dict[str, object] = {}
+            pdir: list[str] = []
+            for comp in rel.split("/")[:-1]:
+                k, sep, v = comp.partition("=")
+                if not sep or not k.startswith("__icw_"):
+                    continue
+                c = k[len("__icw_"):]
+                raw = unquote(v)
+                pvals[c] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else _parse_pval(raw, part_types[c])
+                )
+                pdir.append(f"{c}={v}")
+            dest_dir = "/".join(["data"] + pdir)
+            if pdir:
+                fs.mkdirs(posixpath.join(base, dest_dir))
+            dest_rel = (
+                f"{dest_dir}/{uuid.uuid4().hex}-{posixpath.basename(rel)}"
+            )
             if not fs.rename(
                 posixpath.join(stage, rel), posixpath.join(base, dest_rel)
             ):
                 raise RuntimeError(f"could not move staged file {rel!r}")
             new_files[dest_rel] = size
+            part_of[dest_rel] = {c: pvals.get(c) for c in partition_by}
     finally:
         fs.delete(stage, recursive=True)
 
@@ -227,26 +488,102 @@ def write_iceberg(
     retries = 0
     while True:
         # ---- latest metadata (if any)
-        cur_version = 0
-        md = None
-        best = -1
-        if fs.exists(mdir):
-            import re as _re
-
-            for rel, _mt, _sz in fs.list_files(mdir):
-                m = _re.match(r"v(\d+)\.metadata\.json$", posixpath.basename(rel))
-                if m and int(m.group(1)) > best:
-                    best = int(m.group(1))
-            if best >= 0:
-                md = json.loads(
-                    fs.read_bytes(
-                        posixpath.join(mdir, f"v{best}.metadata.json")
-                    ).decode("utf-8")
-                )
-                cur_version = best
+        md, cur_version = _latest_md(fs, mdir)
 
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
         seq = int(md.get("last-sequence-number", 0)) + 1 if md else 1
+
+        # ---- schema resolution: an exact structural match reuses its
+        # schema-id; APPENDS evolve the current schema (added columns
+        # get fresh field ids, int→long / float→double widen in place,
+        # table columns missing from the frame survive); overwrites
+        # register a brand-new schema
+        schemas = []
+        if md:
+            schemas = list(md.get("schemas") or [])
+            if not schemas and md.get("schema"):
+                schemas = [dict(md["schema"], **{"schema-id": 0})]
+        node, last_col = _schema_node(df, 0)
+        same = next(
+            (
+                s["schema-id"]
+                for s in schemas
+                if s.get("fields") == node["fields"]
+            ),
+            None,
+        )
+        cur_node = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == (md or {}).get("current-schema-id")
+            ),
+            None,
+        )
+        if same is not None:
+            schema_id = same
+            eff_fields = node["fields"]
+        elif mode == "append" and md and cur_node is not None:
+            eff_fields, last_col = _evolve_fields(
+                cur_node["fields"], df, int(md.get("last-column-id", 0))
+            )
+            if eff_fields == cur_node["fields"]:
+                schema_id = cur_node["schema-id"]
+            else:
+                schema_id = (
+                    max((s["schema-id"] for s in schemas), default=-1) + 1
+                )
+                schemas = schemas + [
+                    {
+                        "type": "struct",
+                        "schema-id": schema_id,
+                        "fields": eff_fields,
+                    }
+                ]
+        else:
+            schema_id = max((s["schema-id"] for s in schemas), default=-1) + 1
+            node["schema-id"] = schema_id
+            schemas = schemas + [node]
+            eff_fields = node["fields"]
+
+        # ---- partition spec for this write (source ids resolved
+        # against the EFFECTIVE schema, so evolved field ids hold)
+        name_to_fid = {f["name"]: f["id"] for f in eff_fields}
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": name_to_fid[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ]
+        prev_specs = list((md or {}).get("partition-specs") or [])
+        same_spec = next(
+            (
+                s
+                for s in prev_specs
+                if [
+                    (f["name"], f["transform"], f["source-id"])
+                    for f in s.get("fields") or []
+                ]
+                == [
+                    (f["name"], f["transform"], f["source-id"])
+                    for f in spec_fields
+                ]
+            ),
+            None,
+        )
+        if same_spec is not None:
+            spec_id = same_spec["spec-id"]
+            specs = prev_specs
+        else:
+            spec_id = max(
+                (s["spec-id"] for s in prev_specs), default=-1
+            ) + 1
+            specs = prev_specs + [
+                {"spec-id": spec_id, "fields": spec_fields}
+            ]
 
         # ---- manifest for this write
         entries = [
@@ -260,7 +597,7 @@ def write_iceberg(
                     # (the reader maps it back via the location prefix)
                     "file_path": posixpath.join(base, p),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_of.get(p) or {},
                     "record_count": counts.get(p, 0),
                     "file_size_in_bytes": sz,
                     "equality_ids": None,
@@ -269,13 +606,25 @@ def write_iceberg(
             for p, sz in sorted(new_files.items())
         ]
         man_rel = f"metadata/{uuid.uuid4().hex}-m0.avro"
-        man_bytes = write_avro_bytes(_ENTRY_SCHEMA, entries)
+        man_bytes = write_avro_bytes(
+            _entry_schema(
+                [
+                    {
+                        "name": f["name"],
+                        "avro": _PART_AVRO[part_types[f["name"]]],
+                        "field-id": f["field-id"],
+                    }
+                    for f in spec_fields
+                ]
+            ),
+            entries,
+        )
         fs.write_bytes(posixpath.join(base, man_rel), man_bytes)
         rows_added = sum(counts.values())
         new_manifest = {
             "manifest_path": posixpath.join(base, man_rel),
             "manifest_length": len(man_bytes),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -322,29 +671,6 @@ def write_iceberg(
         )
 
         # ---- new metadata json
-        schema_id = 0
-        schemas = []
-        if md:
-            schemas = list(md.get("schemas") or [])
-            if not schemas and md.get("schema"):
-                schemas = [dict(md["schema"], **{"schema-id": 0})]
-        node, last_col = _schema_node(df, 0)
-        same = None
-        for s in schemas:
-            if s.get("fields") == node["fields"]:
-                same = s["schema-id"]
-                break
-        if same is not None:
-            schema_id = same
-        else:
-            schema_id = max((s["schema-id"] for s in schemas), default=-1) + 1
-            node["schema-id"] = schema_id
-            schemas = schemas + [node]
-            if md and mode == "append" and md.get("current-schema-id") is not None:
-                raise ValueError(
-                    "append schema differs from the table schema; "
-                    "overwrite to change it"
-                )
         snapshot = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": ts_ms,
@@ -364,9 +690,16 @@ def write_iceberg(
             ),
             "schemas": schemas,
             "current-schema-id": schema_id,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0,
-            "last-partition-id": 999,
+            "partition-specs": specs or [{"spec-id": 0, "fields": []}],
+            "default-spec-id": spec_id,
+            "last-partition-id": max(
+                [999]
+                + [
+                    int(f["field-id"])
+                    for s in specs
+                    for f in s.get("fields") or []
+                ]
+            ),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "snapshots": ((md or {}).get("snapshots") or []) + [snapshot],

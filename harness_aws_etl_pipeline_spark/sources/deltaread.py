@@ -258,18 +258,30 @@ def delta_snapshot(
             pn = md.get("delta.columnMapping.physicalName")
             if pn:
                 physical[f.name] = pn
-            if cm_mode == "name" and isinstance(f.dataType, StructType) and any(
-                (sf.metadata or {}).get("delta.columnMapping.physicalName")
-                for sf in f.dataType.fields
-            ):
-                # id mode resolves nested fields by parquet field id;
-                # name mode would need per-level physical renames this
-                # reader does not do
-                raise ValueError(
-                    "Delta NAME-mode column mapping on NESTED struct "
-                    f"fields (column {f.name!r}) is not supported by "
-                    "this reader (id mode handles nested fields)"
-                )
+            if cm_mode == "name":
+                # round 12: ONE nested struct level restores by name
+                # (mirroring the id-mode recursion); anything deeper —
+                # struct-in-struct, arrays/maps of structs — still
+                # rejects loudly (id mode handles those by field id)
+                if isinstance(f.dataType, StructType):
+                    deep = [
+                        sf.name
+                        for sf in f.dataType.fields
+                        if _phys_below(sf.dataType)
+                    ]
+                    if deep:
+                        raise ValueError(
+                            "Delta NAME-mode column mapping below one "
+                            f"nested level (column {f.name!r}, fields "
+                            f"{deep}) is not supported by this reader "
+                            "(id mode handles deep nesting)"
+                        )
+                elif _phys_below(f.dataType):
+                    raise ValueError(
+                        "Delta NAME-mode column mapping inside "
+                        f"array/map column {f.name!r} is not supported "
+                        "by this reader (id mode handles it)"
+                    )
     return {
         "version": target,
         "files": files,
@@ -279,7 +291,27 @@ def delta_snapshot(
         "column_mapping": {"mode": cm_mode, "physical": physical},
         "txns": txns,
         "metadata_id": meta.get("id"),
+        "configuration": config,
     }
+
+
+def _phys_below(dt) -> bool:
+    """True when any field at or below ``dt`` carries a
+    ``delta.columnMapping.physicalName`` (used to bound the name-mode
+    nested-restore to one struct level)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return any(
+            (sf.metadata or {}).get("delta.columnMapping.physicalName")
+            or _phys_below(sf.dataType)
+            for sf in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return _phys_below(dt.elementType)
+    if isinstance(dt, MapType):
+        return _phys_below(dt.keyType) or _phys_below(dt.valueType)
+    return False
 
 
 def _field_with_parquet_ids(f: StructField) -> StructField:
@@ -356,14 +388,39 @@ def _read_files_with_partitions(
             [_field_with_parquet_ids(f) for f in data_fields]
         )
         logical_names: list[str] = []  # nothing to rename
+        nested_restore: dict[str, StructField] = {}
     else:
+
+        def _pn(sf: StructField) -> str:
+            return (sf.metadata or {}).get(
+                "delta.columnMapping.physicalName"
+            ) or sf.name
+
+        def _phys_type(dt):
+            # one nested struct level restores by name (round 12);
+            # delta_snapshot rejects deeper physical names up front
+            if isinstance(dt, StructType):
+                return StructType(
+                    [
+                        StructField(_pn(sf), sf.dataType, sf.nullable)
+                        for sf in dt.fields
+                    ]
+                )
+            return dt
+
         read_schema = StructType(
             [
-                StructField(_p(f.name), f.dataType, f.nullable)
+                StructField(_p(f.name), _phys_type(f.dataType), f.nullable)
                 for f in data_fields
             ]
         )
         logical_names = [f.name for f in data_fields]
+        nested_restore = {
+            f.name: f
+            for f in data_fields
+            if isinstance(f.dataType, StructType)
+            and any(_pn(sf) != sf.name for sf in f.dataType.fields)
+        }
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     if not snap["files"]:
@@ -385,6 +442,31 @@ def _read_files_with_partitions(
             plain_groups.setdefault(pkey, []).append(apath)
 
     def _rename(df: DataFrame) -> DataFrame:
+        # nested restore FIRST (addressing the physical top name),
+        # then the top-level rename; a null struct stays null rather
+        # than becoming a struct of nulls
+        for logical, f in nested_restore.items():
+            ptop = _p(logical)
+            md_of = {
+                sf.name: (sf.metadata or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                or sf.name
+                for sf in f.dataType.fields
+            }
+            rebuilt = F.struct(
+                *[
+                    F.col(ptop).getField(md_of[sf.name]).alias(sf.name)
+                    for sf in f.dataType.fields
+                ]
+            )
+            df = df.withColumn(
+                ptop,
+                F.when(
+                    F.col(ptop).isNull(),
+                    F.lit(None).cast(f.dataType),
+                ).otherwise(rebuilt.cast(f.dataType)),
+            )
         for logical in logical_names:
             if _p(logical) != logical:
                 df = df.withColumnRenamed(_p(logical), logical)
@@ -551,16 +633,27 @@ def delta_changes(
     path: str,
     since_version: int,
     to_version: int | None = None,
+    cdf: bool = False,
 ) -> DataFrame:
     """CDC-lite incremental consumer (the snaptable ``read_changes``
     face for Delta): rows in files ADDED after ``since_version`` up
     to ``to_version`` — append-only change capture. Raises when the
     window contains removes of files that predate the window
     (a rewrite/delete — those changes are not representable as
-    added-rows-only; full-diff CDC needs the CDF feature this
-    plain reader doesn't implement)."""
+    added-rows-only).
+
+    ``cdf=True`` switches to CHANGE DATA FEED consumption: the result
+    carries the table columns plus ``_change_type`` / ``_commit_
+    version``. Per commit, ``cdc`` actions (written by e.g.
+    ``delta_delete_where(change_data=True)``) are the authoritative
+    change rows; pure appends surface as ``insert`` rows; compaction
+    commits (dataChange=false) contribute nothing. A commit that
+    rewrites files WITHOUT change data still rejects loudly — CDF
+    cannot be reconstructed after the fact."""
     lo = delta_snapshot(spark, path, since_version)
     hi = delta_snapshot(spark, path, to_version)
+    if cdf:
+        return _delta_changes_cdf(spark, path.rstrip("/"), lo, hi)
     # append-only means NO remove action anywhere in the window — a
     # snapshot-set diff alone misses a file added AND removed/rewritten
     # inside the same window (an in-window UPDATE/DELETE of in-window
@@ -663,3 +756,102 @@ def delta_changes(
     snap = dict(hi)
     snap["files"] = {p: hi["files"][p] for p in new_files}
     return _read_files_with_partitions(spark, path.rstrip("/"), snap)
+
+
+def _delta_changes_cdf(
+    spark: SparkSession, base: str, lo: dict, hi: dict
+) -> DataFrame:
+    """Change-data-feed replay of the commits in ``(lo, hi]``: per
+    commit, ``cdc`` actions win; else dataChange=true adds are
+    ``insert`` rows and dataChange=true removes reject (no change
+    data to replay). Output = table columns + ``_change_type`` +
+    ``_commit_version``."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if (hi.get("column_mapping") or {}).get("physical"):
+        raise ValueError(
+            "CDF consumption on column-mapped tables is not supported"
+        )
+    schema = hi["schema"]
+    cols = [f.name for f in schema.fields]
+    pcols = hi["partition_columns"]
+    fs = get_fs(base, spark)
+    commits = _commit_files(fs, posixpath.join(base, _LOG))
+    out: DataFrame | None = None
+    for v in range(lo["version"] + 1, hi["version"] + 1):
+        p = commits.get(v)
+        if p is None:
+            raise ValueError(
+                f"commit {v} is folded into a checkpoint; CDF replay "
+                "needs the JSON commits in the window"
+            )
+        cdc_acts: list[dict] = []
+        adds_true: dict[str, dict] = {}
+        removes_true = 0
+        for line in fs.read_bytes(p).decode("utf-8").splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if a.get("cdc") and a["cdc"].get("path"):
+                cdc_acts.append(a["cdc"])
+            add = a.get("add")
+            if add and add.get("path") and add.get("dataChange", True):
+                adds_true[add["path"]] = add
+            rem = a.get("remove")
+            if rem and rem.get("path") and rem.get("dataChange", True):
+                removes_true += 1
+        if cdc_acts:
+            # authoritative change rows; the commit's add/remove pairs
+            # (e.g. DV re-adds) are bookkeeping for the same change
+            for c in cdc_acts:
+                df = spark.read.parquet(
+                    posixpath.join(base, unquote(c["path"]))
+                )
+                if "_change_type" not in df.columns:
+                    raise ValueError(
+                        f"change-data file {c['path']!r} carries no "
+                        "_change_type column"
+                    )
+                for pc in pcols:
+                    if pc not in df.columns:
+                        pv = (c.get("partitionValues") or {}).get(pc)
+                        df = df.withColumn(
+                            pc, F.lit(pv).cast(schema[pc].dataType)
+                        )
+                df = df.select(*cols, "_change_type").withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+                out = df if out is None else out.unionByName(df)
+            continue
+        if removes_true:
+            raise ValueError(
+                f"commit {v} rewrites or deletes files without change "
+                "data; CDF capture cannot represent versions "
+                f"({lo['version']}, {hi['version']}] — enable change "
+                "data on the writer (delta_delete_where change_data)"
+            )
+        if adds_true:
+            snap1 = dict(hi)
+            snap1["files"] = adds_true
+            df = (
+                _read_files_with_partitions(spark, base, snap1)
+                .select(*cols)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            out = df if out is None else out.unionByName(df)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            ),
+        )
+    return out

@@ -223,6 +223,7 @@ def iceberg_snapshot(
     files: list[str] = []
     origin_of: dict[str, str] = {}
     seq_of: dict[str, int] = {}
+    partition_of: dict[str, dict] = {}
     position_deletes: list[str] = []
     equality_deletes: list[dict] = []
     # field-id → top-level column name, for equality_ids resolution
@@ -279,6 +280,9 @@ def iceberg_snapshot(
                 files.append(rp)
                 origin_of[rp] = df_["file_path"]
                 seq_of[rp] = eseq
+                part = df_.get("partition")
+                if isinstance(part, dict) and part:
+                    partition_of[rp] = dict(part)
     return {
         "snapshot_id": target_id,
         "files": files,
@@ -289,6 +293,7 @@ def iceberg_snapshot(
         "equality_delete_files": equality_deletes,
         "origin_of": origin_of,
         "seq_of": seq_of,
+        "partition_of": partition_of,
     }
 
 
@@ -314,6 +319,7 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """The snapshot as a DataFrame (time travel via ``snapshot_id``).
     Iceberg data files physically contain every table column
@@ -321,7 +327,14 @@ def read_iceberg(
     scan with the table schema. Live position deletes are folded out
     by one anti-join on ``(referenced file, row position)`` — only
     the data files a delete row references leave the bulk scan.
-    Time travel by ``snapshot_id`` or ``timestamp_ms``."""
+    Time travel by ``snapshot_id`` or ``timestamp_ms``.
+
+    ``partition_filter={col: value}`` prunes the FILE LIST via the
+    manifests' partition structs (identity transforms) before any
+    data is scanned — the metadata-level pruning real clients do —
+    and also applies the equivalent row filter, so files written
+    without partition metadata (older specs, DML rewrites) are
+    conservatively scanned yet still row-filtered correctly."""
     from pyspark.sql import functions as F
 
     if snapshot_id is not None and timestamp_ms is not None:
@@ -329,14 +342,48 @@ def read_iceberg(
     if timestamp_ms is not None:
         snapshot_id = iceberg_snapshot_at(spark, path, timestamp_ms)
     snap = iceberg_snapshot(spark, path, snapshot_id)
+    def _pf(d: DataFrame) -> DataFrame:
+        for k, v in (partition_filter or {}).items():
+            d = d.where(F.col(k).eqNullSafe(F.lit(v)))
+        return d
+
+    if partition_filter:
+        import datetime
+
+        # manifests store date partition values as days-since-epoch
+        norm = {
+            k: (
+                (v - datetime.date(1970, 1, 1)).days
+                if isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+                else v
+            )
+            for k, v in partition_filter.items()
+        }
+        pof = snap.get("partition_of") or {}
+        snap = dict(snap)
+        snap["files"] = [
+            f
+            for f in snap["files"]
+            # conservative inclusion: a file with no recorded value
+            # for a key might still hold matching rows
+            if all(
+                k not in pof.get(f, {}) or pof[f][k] == v
+                for k, v in norm.items()
+            )
+        ]
     if not snap["files"]:
         return spark.createDataFrame([], snap["schema"])
     pos_dels = snap.get("position_delete_files") or []
     eq_dels = snap.get("equality_delete_files") or []
     if eq_dels:
-        return _read_with_equality_deletes(spark, snap, pos_dels, eq_dels)
+        return _pf(
+            _read_with_equality_deletes(spark, snap, pos_dels, eq_dels)
+        )
     if not pos_dels:
-        return spark.read.schema(snap["schema"]).parquet(*snap["files"])
+        return _pf(
+            spark.read.schema(snap["schema"]).parquet(*snap["files"])
+        )
     # delete files: plain parquet of (file_path, pos[, row]) — read
     # just the two addressing columns (spec field ids 2147483546/45)
     del_df = spark.read.schema("file_path string, pos long").parquet(
@@ -377,7 +424,9 @@ def read_iceberg(
     rem = del_df.select(
         F.col("file_path").alias("__pd_key"), F.col("pos").alias("__pd_pos")
     )
-    return out.join(rem, ["__pd_key", "__pd_pos"], "left_anti").select(*cols)
+    return _pf(
+        out.join(rem, ["__pd_key", "__pd_pos"], "left_anti").select(*cols)
+    )
 
 
 def _norm_path(p: str) -> str:

@@ -128,3 +128,116 @@ class TestDeleteWhere:
         assert rep["retries"] == 1 and rep["rows_deleted"] == 3
         got = {r.id for r in read_delta(spark, t).collect()}
         assert got == {3, 4, 5, 6, 8, 9}  # 7 stays deleted
+
+
+class TestChangeDataFeed:
+    """Round 12: Delta CDF — delta_delete_where(change_data=True)
+    writes _change_data/ files + cdc actions; delta_changes(cdf=True)
+    replays them as row-level changes."""
+
+    def test_delete_optimize_changes_sequence(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            delta_optimize,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(10).withColumn("v", F.lit("a")), t)
+        rep = delta_delete_where(
+            spark, t, "id in (2, 7)", change_data=True
+        )
+        assert rep["rows_deleted"] == 2
+        assert glob.glob(str(tmp_path / "t" / "_change_data" / "*.parquet"))
+        # append then OPTIMIZE (dataChange=false rewrite) in the window
+        write_delta(
+            spark,
+            spark.range(10, 12).withColumn("v", F.lit("b")),
+            t,
+            mode="append",
+        )
+        delta_optimize(spark, t, small_file_bytes=1 << 30)
+        ch = delta_changes(spark, t, since_version=0, cdf=True)
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in ch.collect()
+        }
+        assert got == {
+            (2, "a", "delete", 1),
+            (7, "a", "delete", 1),
+            (10, "b", "insert", 2),
+            (11, "b", "insert", 2),
+        }
+        # live table agrees with replaying the changes over version 0
+        assert {r.id for r in read_delta(spark, t).collect()} == (
+            set(range(10)) - {2, 7}
+        ) | {10, 11}
+
+    def test_cdf_auto_enabled_by_table_property(self, spark, tmp_path):
+        import json as _json
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(6).withColumn("v", F.lit("a")), t)
+        # plant the table property the way a foreign writer would
+        log = tmp_path / "t" / "_delta_log"
+        v0 = _json.loads(
+            [
+                ln
+                for ln in (log / f"{0:020d}.json").read_text().splitlines()
+                if '"metaData"' in ln
+            ][0]
+        )
+        v0["metaData"]["configuration"] = {
+            "delta.enableChangeDataFeed": "true"
+        }
+        actions = []
+        for ln in (log / f"{0:020d}.json").read_text().splitlines():
+            if '"metaData"' in ln:
+                actions.append(_json.dumps(v0))
+            elif ln.strip():
+                actions.append(ln)
+        (log / f"{0:020d}.json").write_text("\n".join(actions) + "\n")
+        delta_delete_where(spark, t, "id = 1")  # change_data=None → auto
+        assert glob.glob(str(tmp_path / "t" / "_change_data" / "*.parquet"))
+
+    def test_window_without_cdf_still_rejects(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(6).withColumn("v", F.lit("a")), t)
+        delta_delete_where(spark, t, "id = 1", change_data=False)
+        with pytest.raises(ValueError, match="without change data"):
+            delta_changes(spark, t, since_version=0, cdf=True)
+        # and the append-only mode rejects as before
+        with pytest.raises(ValueError, match="append-only"):
+            delta_changes(spark, t, since_version=0)
+
+    def test_cdf_empty_window_schema(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(3).withColumn("v", F.lit("a")), t)
+        ch = delta_changes(spark, t, since_version=0, cdf=True)
+        assert ch.count() == 0
+        assert set(ch.columns) == {"id", "v", "_change_type", "_commit_version"}
+
+    def test_partitioned_cdf_delete(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(8)],
+            "id long, p int, v string",
+        )
+        write_delta(spark, df, t, partition_by=["p"])
+        delta_delete_where(spark, t, "p = 1 and id < 4", change_data=True)
+        ch = delta_changes(spark, t, since_version=0, cdf=True)
+        got = {(r.id, r.p, r._change_type) for r in ch.collect()}
+        assert got == {(1, 1, "delete"), (3, 1, "delete")}

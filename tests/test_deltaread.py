@@ -594,7 +594,10 @@ class TestColumnMapping:
         with pytest.raises(ValueError, match="columnMapping.id"):
             read_delta(spark, str(tmp_path))
 
-    def test_nested_mapping_rejected(self, spark, tmp_path):
+    def test_one_level_nested_mapping_reads(self, spark, tmp_path):
+        """Round 12: ONE nested struct level restores by name (was a
+        loud rejection through r11); deeper nesting still rejects —
+        pinned by TestNameModeNested.test_deeper_nesting_still_rejects."""
         schema = json.dumps({
             "type": "struct",
             "fields": [
@@ -616,8 +619,10 @@ class TestColumnMapping:
         _commit(tmp_path, 0, [
             {"protocol": {"minReaderVersion": 2}}, meta,
         ])
-        with pytest.raises(ValueError, match="NESTED"):
-            read_delta(spark, str(tmp_path))
+        df = read_delta(spark, str(tmp_path))
+        assert df.columns == ["s"]
+        assert df.schema["s"].dataType.fieldNames() == ["x"]
+        assert df.count() == 0
 
     def test_mapped_partition_values_use_physical_keys(self, spark, tmp_path):
         schema = json.dumps({
@@ -1074,3 +1079,103 @@ class TestReadLake:
         (av / "x.avro").write_bytes(write_avro_bytes(SCHEMA, RECORDS))
         assert detect_lake_format(spark, str(av)) == "avro"
         assert read_lake(spark, str(av)).count() == 3
+
+
+class TestNameModeNested:
+    """Round 12: NAME-mode column mapping one nested struct level —
+    inner fields restore by physicalName; deeper nesting rejects."""
+
+    def _nested_meta(self, deep=False):
+        inner = {
+            "type": "struct",
+            "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": "col-x3"}},
+                {"name": "y", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 4,
+                              "delta.columnMapping.physicalName": "col-y4"}},
+            ],
+        }
+        if deep:
+            inner["fields"].append({
+                "name": "z",
+                "type": {
+                    "type": "struct",
+                    "fields": [{
+                        "name": "w", "type": "long", "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 9,
+                            "delta.columnMapping.physicalName": "col-w9",
+                        },
+                    }],
+                },
+                "nullable": True,
+                "metadata": {"delta.columnMapping.id": 8,
+                             "delta.columnMapping.physicalName": "col-z8"},
+            })
+        schema = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aa11"}},
+                {"name": "s", "type": inner, "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-ss22"}},
+            ],
+        })
+        return {
+            "metaData": {
+                "id": "tbl-nm",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }
+
+    def test_nested_rename_round_trips(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        p = tmp_path / "stage" / "n.parquet"
+        spark.createDataFrame(
+            [(1, (10, "a")), (2, None)],
+            "`col-aa11` long, "
+            "`col-ss22` struct<`col-x3`: long, `col-y4`: string>",
+        ).coalesce(1).write.mode("overwrite").parquet(str(p))
+        shutil.move(
+            glob.glob(str(p / "*.parquet"))[0], str(tmp_path / "n.parquet")
+        )
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            self._nested_meta(), _add("n.parquet"),
+        ])
+        df = read_delta(spark, str(tmp_path))
+        assert df.columns == ["id", "s"]
+        assert df.schema["s"].dataType.fieldNames() == ["x", "y"]
+        rows = {tuple(r) for r in df.select(
+            "id", "s.x", "s.y"
+        ).collect()}
+        assert rows == {(1, 10, "a"), (2, None, None)}
+        # a NULL struct stays null (not a struct of nulls)
+        assert df.where("s is null").count() == 1
+
+    def test_deeper_nesting_still_rejects(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        p = tmp_path / "stage" / "n.parquet"
+        spark.createDataFrame(
+            [(1,)], "`col-aa11` long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(p))
+        shutil.move(
+            glob.glob(str(p / "*.parquet"))[0], str(tmp_path / "n.parquet")
+        )
+        _commit(tmp_path, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            self._nested_meta(deep=True), _add("n.parquet"),
+        ])
+        with pytest.raises(ValueError, match="nested level"):
+            read_delta(spark, str(tmp_path))

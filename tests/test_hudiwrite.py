@@ -415,3 +415,157 @@ class TestMorUpsert:
                 ),
                 str(tmp_path / "t3"), key_col="id", max_upsert_rows=2,
             )
+
+
+class TestPartitionedWrites:
+    """Round 12: hive-style partitioned layouts for CoW writes and
+    partition-scoped (non-global simple index) MOR upserts."""
+
+    def test_partitioned_cow_round_trip(self, spark, tmp_path):
+        import glob
+
+        t = str(tmp_path / "t")
+        rep = write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(0, 1, "a"), (1, 2, "b")], "id long, p int, v string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        first = rep["instant"]
+        assert glob.glob(str(tmp_path / "t" / "p=1" / "*.parquet"))
+        assert glob.glob(str(tmp_path / "t" / "p=2" / "*.parquet"))
+        # data files still CONTAIN the partition column
+        back = spark.read.parquet(
+            *glob.glob(str(tmp_path / "t" / "p=1" / "*.parquet"))
+        )
+        assert "p" in back.columns
+        # append WITHOUT partition_by inherits the recorded fields
+        time.sleep(0.01)
+        write_hudi(
+            spark,
+            spark.createDataFrame([(2, 1, "c")], "id long, p int, v string"),
+            t,
+        )
+        got = {(r.id, r.p, r.v) for r in read_hudi(spark, t).collect()}
+        assert got == {(0, 1, "a"), (1, 2, "b"), (2, 1, "c")}
+        assert read_hudi(spark, t, as_of_instant=first).count() == 2
+        with pytest.raises(ValueError, match="partition"):
+            write_hudi(
+                spark,
+                spark.createDataFrame(
+                    [(9, 9, "z")], "id long, p int, v string"
+                ),
+                t,
+                partition_by=["v"],
+            )
+
+    def test_partitioned_overwrite_replaces_every_partition(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(0, 1, "old"), (1, 2, "old")], "id long, p int, v string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        time.sleep(0.01)
+        rep = write_hudi(
+            spark,
+            spark.createDataFrame([(7, 3, "new")], "id long, p int, v string"),
+            t,
+            mode="overwrite",
+        )
+        assert rep["action"] == "replacecommit"
+        assert rep["groups_replaced"] >= 2
+        got = {(r.id, r.p, r.v) for r in read_hudi(spark, t).collect()}
+        assert got == {(7, 3, "new")}
+
+    def test_partition_scoped_mor_upsert(self, spark, tmp_path):
+        import glob
+
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", "a"), (2, "x", "b"), (1, "y", "c")],
+                "id long, region string, v string",
+            ),
+            t,
+            key_col="id",
+            partition_by=["region"],
+        )
+        # one new log-only group PER PARTITION
+        assert rep["new_groups"] == 2 and rep["groups_logged"] == 0
+        got = {
+            (r.id, r.region, r.v)
+            for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        assert got == {(1, "x", "a"), (2, "x", "b"), (1, "y", "c")}
+        # key 1 updated ONLY within partition x — the simple index is
+        # partition-scoped, so (1, y) must keep its value
+        rep = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", "a2")], "id long, region string, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        assert rep["groups_logged"] == 1 and rep["new_groups"] == 0
+        got = {
+            (r.id, r.region, r.v)
+            for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        assert got == {(1, "x", "a2"), (2, "x", "b"), (1, "y", "c")}
+        # log files live inside their partition directories
+        logs = glob.glob(str(tmp_path / "t" / "region=x" / ".*.log.*"))
+        assert logs
+
+    def test_partitioned_mor_compaction(self, spark, tmp_path):
+        import glob
+
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            hudi_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", "a"), (2, "y", "b")],
+                "id long, region string, v string",
+            ),
+            t,
+            key_col="id",
+            partition_by=["region"],
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(2, "y", "b2")], "id long, region string, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        rep = hudi_compact(spark, t)
+        assert rep["groups_compacted"] == 2
+        # compacted base slices land inside the partition dirs
+        assert glob.glob(str(tmp_path / "t" / "region=x" / "*.parquet"))
+        assert glob.glob(str(tmp_path / "t" / "region=y" / "*.parquet"))
+        got = {
+            (r.id, r.region, r.v)
+            for r in read_hudi(spark, t, drop_meta=True).collect()
+        }
+        assert got == {(1, "x", "a"), (2, "y", "b2")}

@@ -82,9 +82,10 @@ class TestRoundTrip:
     def test_schema_guard_and_overwrite_evolution(self, spark, tmp_path):
         t = str(tmp_path / "t")
         write_iceberg(spark, spark.range(2).withColumn("v", F.lit("a")), t)
-        with pytest.raises(ValueError, match="schema differs"):
+        # incompatible type change on append still rejects
+        with pytest.raises(ValueError, match="not a safe promotion"):
             write_iceberg(
-                spark, spark.range(2).withColumn("w", F.lit(1)), t
+                spark, spark.range(2).withColumn("v", F.lit(1)), t
             )
         write_iceberg(
             spark,
@@ -98,6 +99,57 @@ class TestRoundTrip:
             (tmp_path / "t" / "metadata" / "v2.metadata.json").read_text()
         )
         assert len(md["schemas"]) == 2  # old + evolved, both registered
+
+    def test_append_schema_evolution(self, spark, tmp_path):
+        """Round 12: appends with ADDED columns evolve the schema —
+        new fields get fresh ids above last-column-id, old files read
+        null for them; int→long widens in place."""
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(1, "a")], "id int, v string"),
+            t,
+        )
+        # append with an added column AND id widened int→long
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, v string, score double"
+            ),
+            t,
+        )
+        out = read_iceberg(spark, t)
+        got = {(r.id, r.v, r.score) for r in out.collect()}
+        assert got == {(1, "a", None), (2, "b", 9.5)}
+        md = json.loads(
+            (tmp_path / "t" / "metadata" / "v2.metadata.json").read_text()
+        )
+        cur = next(
+            s
+            for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )
+        by_name = {f["name"]: f for f in cur["fields"]}
+        # existing columns keep their ids; the new column's id is fresh
+        assert by_name["id"]["id"] == 1 and by_name["id"]["type"] == "long"
+        assert by_name["v"]["id"] == 2
+        assert by_name["score"]["id"] == 3
+        assert md["last-column-id"] == 3
+        assert len(md["schemas"]) == 2
+        # a subset append (missing column) reuses the evolved schema
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(3, "c")], "id long, v string"),
+            t,
+        )
+        md = json.loads(
+            (tmp_path / "t" / "metadata" / "v3.metadata.json").read_text()
+        )
+        assert len(md["schemas"]) == 2  # no new schema registered
+        got = {
+            (r.id, r.v, r.score) for r in read_iceberg(spark, t).collect()
+        }
+        assert got == {(1, "a", None), (2, "b", 9.5), (3, "c", None)}
 
     def test_commit_race_bumps_version(self, spark, tmp_path):
         t = str(tmp_path / "t")
@@ -147,3 +199,164 @@ class TestRoundTrip:
             write_iceberg(
                 spark, spark.range(1), str(tmp_path / "t"), mode="merge"
             )
+
+
+class TestPartitionedWrites:
+    """Round 12: identity partition specs — hive-style data layout,
+    populated manifest partition structs, spec inheritance on append,
+    metadata-level partition pruning."""
+
+    def test_partitioned_round_trip_and_layout(self, spark, tmp_path):
+        import glob
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(0, 1, "a"), (1, 1, "b"), (2, 2, "c")], "id long, p int, v string"
+        )
+        rep = write_iceberg(spark, df, t, partition_by=["p"])
+        assert rep["files_added"] >= 2
+        got = {(r.id, r.p, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(0, 1, "a"), (1, 1, "b"), (2, 2, "c")}
+        # hive-style layout, and data files still CONTAIN the column
+        p1 = glob.glob(str(tmp_path / "t" / "data" / "p=1" / "*.parquet"))
+        p2 = glob.glob(str(tmp_path / "t" / "data" / "p=2" / "*.parquet"))
+        assert p1 and p2
+        back = spark.read.parquet(*p1)
+        assert "p" in back.columns and {r.p for r in back.collect()} == {1}
+        # spec registered in metadata
+        md = json.loads(
+            (tmp_path / "t" / "metadata" / "v1.metadata.json").read_text()
+        )
+        spec = md["partition-specs"][md["default-spec-id"]]
+        assert [f["name"] for f in spec["fields"]] == ["p"]
+        assert [f["transform"] for f in spec["fields"]] == ["identity"]
+        assert spec["fields"][0]["field-id"] == 1000
+        assert md["last-partition-id"] == 1000
+
+    def test_append_inherits_spec_and_mismatch_rejects(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame([(0, 1, "a")], "id long, p int, v string")
+        write_iceberg(spark, df, t, partition_by=["p"])
+        # append WITHOUT partition_by inherits the table spec
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(9, 3, "z")], "id long, p int, v string"),
+        t)
+        assert glob.glob(str(tmp_path / "t" / "data" / "p=3" / "*.parquet"))
+        assert read_iceberg(spark, t).count() == 2
+        with pytest.raises(ValueError, match="partition"):
+            write_iceberg(
+                spark,
+                spark.createDataFrame(
+                    [(1, 1, "b")], "id long, p int, v string"
+                ),
+                t,
+                partition_by=["v"],
+            )
+        with pytest.raises(ValueError, match="not in the frame"):
+            write_iceberg(
+                spark,
+                spark.createDataFrame(
+                    [(1, 1, "b")], "id long, p int, v string"
+                ),
+                str(tmp_path / "t2"),
+                partition_by=["nope"],
+            )
+
+    def test_partition_pruned_read(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(9)],
+            "id long, p int, v string",
+        )
+        write_iceberg(spark, df, t, partition_by=["p"])
+        snap = iceberg_snapshot(spark, t)
+        all_files = snap["files"]
+        pof = snap["partition_of"]
+        assert all(pof[f].keys() == {"p"} for f in all_files)
+        pruned = read_iceberg(spark, t, partition_filter={"p": 1})
+        got = {(r.id, r.p) for r in pruned.collect()}
+        assert got == {(1, 1), (4, 1), (7, 1)}
+        # metadata-level pruning: the scan touches ONLY p=1 files
+        scanned = {f for f in pruned.inputFiles()}
+        assert scanned and all("p=1" in f for f in scanned)
+        assert len(scanned) < len(all_files)
+
+    def test_overwrite_can_change_partitioning(self, spark, tmp_path):
+        import glob
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(0, 1, "a")], "id long, p int, v string"),
+            t,
+            partition_by=["p"],
+        )
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(5, 7, "q")], "id long, p int, v string"
+            ),
+            t,
+            mode="overwrite",
+            partition_by=["v"],
+        )
+        assert glob.glob(str(tmp_path / "t" / "data" / "v=q" / "*.parquet"))
+        md_files = sorted(
+            glob.glob(str(tmp_path / "t" / "metadata" / "v*.metadata.json"))
+        )
+        md = json.loads(open(md_files[-1]).read())
+        specs = {s["spec-id"] for s in md["partition-specs"]}
+        assert len(specs) == 2 and md["default-spec-id"] == max(specs)
+        got = {(r.id, r.p, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(5, 7, "q")}
+
+    def test_compaction_preserves_partitioning(self, spark, tmp_path):
+        import glob
+
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_compact,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(0, 1, "a"), (1, 2, "b")], "id long, p int, v string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(2, 1, "c")], "id long, p int, v string"),
+            t,
+        )
+        iceberg_compact(spark, t)
+        got = {(r.id, r.p, r.v) for r in read_iceberg(spark, t).collect()}
+        assert got == {(0, 1, "a"), (1, 2, "b"), (2, 1, "c")}
+        # compacted files still live in hive dirs (spec inherited)
+        assert glob.glob(str(tmp_path / "t" / "data" / "p=1" / "*.parquet"))
+
+    def test_null_and_string_partition_values(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(0, None, "a"), (1, "us", "b")], "id long, region string, v string"
+        )
+        write_iceberg(spark, df, t, partition_by=["region"])
+        got = {(r.id, r.region) for r in read_iceberg(spark, t).collect()}
+        assert got == {(0, None), (1, "us")}
+        snap = iceberg_snapshot(spark, t)
+        vals = {tuple(v.items()) for v in snap["partition_of"].values()}
+        assert (("region", None),) in vals and (("region", "us"),) in vals
+        got = {
+            r.id
+            for r in read_iceberg(
+                spark, t, partition_filter={"region": "us"}
+            ).collect()
+        }
+        assert got == {1}
