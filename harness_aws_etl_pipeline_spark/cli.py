@@ -765,6 +765,28 @@ def main(argv: list[str] | None = None) -> int:
         help="DELETE matching rows via deletion vectors (no rewrite)",
     )
     dl.add_argument(
+        "--write", default=None,
+        help="parquet path: write it INTO the table as one commit",
+    )
+    dl.add_argument(
+        "--mode", default="append", choices=["append", "overwrite"],
+        help="write mode for --write",
+    )
+    dl.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated partition columns for --write",
+    )
+    dl.add_argument(
+        "--changes-since", type=int, default=None,
+        help="incremental read: rows changed after this version",
+    )
+    dl.add_argument(
+        "--cdf", action="store_true",
+        help="with --delete-where: also write the change data feed; "
+             "with --changes-since: replay cdc actions as row-level "
+             "changes (_change_type/_commit_version)",
+    )
+    dl.add_argument(
         "--optimize", action="store_true",
         help="bin-pack small files and purge deletion vectors",
     )
@@ -796,6 +818,18 @@ def main(argv: list[str] | None = None) -> int:
         help="DELETE matching rows via v2 position deletes (no rewrite)",
     )
     ib.add_argument(
+        "--write", default=None,
+        help="parquet path: write it INTO the table as one snapshot",
+    )
+    ib.add_argument(
+        "--mode", default="append", choices=["append", "overwrite"],
+        help="write mode for --write",
+    )
+    ib.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated identity partition columns for --write",
+    )
+    ib.add_argument(
         "--compact", action="store_true",
         help="major compaction: rewrite live rows, drop delete files",
     )
@@ -818,6 +852,18 @@ def main(argv: list[str] | None = None) -> int:
     hu.add_argument(
         "--compact", action="store_true",
         help="MOR compaction: merge delta logs into new base slices",
+    )
+    hu.add_argument(
+        "--write", default=None,
+        help="parquet path: write it INTO the table as one CoW commit",
+    )
+    hu.add_argument(
+        "--mode", default="append", choices=["append", "overwrite"],
+        help="write mode for --write",
+    )
+    hu.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated partition columns for --write",
     )
     hu.add_argument(
         "--clean-keep-last", type=int, default=None,
@@ -1559,15 +1605,53 @@ def main(argv: list[str] | None = None) -> int:
             read_delta,
         )
 
+        if args.write:
+            from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+                write_delta,
+            )
+
+            rep = write_delta(
+                spark,
+                spark.read.parquet(args.write),
+                args.path,
+                mode=args.mode,
+                partition_by=(
+                    args.partition_by.split(",") if args.partition_by else None
+                ),
+            )
+            print(json.dumps({
+                "status": "success", "action": "delta_write", **rep,
+            }))
+            return 0
         if args.delete_where:
             from harness_aws_etl_pipeline_spark.sinks.deltadml import (
                 delta_delete_where,
             )
 
-            rep = delta_delete_where(spark, args.path, args.delete_where)
+            rep = delta_delete_where(
+                spark, args.path, args.delete_where,
+                change_data=True if args.cdf else None,
+            )
             print(json.dumps({
                 "status": "success", "action": "delta_delete", **rep,
             }))
+            return 0
+        if args.changes_since is not None:
+            from harness_aws_etl_pipeline_spark.sources.deltaread import (
+                delta_changes,
+            )
+
+            df = delta_changes(
+                spark, args.path, args.changes_since, cdf=args.cdf
+            )
+            print(json.dumps({
+                "status": "success", "action": "delta_changes",
+                "cdf": bool(args.cdf),
+                "rows": df.count(),
+                "preview": [
+                    r.asDict() for r in df.limit(args.show).collect()
+                ],
+            }, default=str))
             return 0
         if args.optimize:
             from harness_aws_etl_pipeline_spark.sinks.compact import (
@@ -1623,6 +1707,24 @@ def main(argv: list[str] | None = None) -> int:
             read_iceberg,
         )
 
+        if args.write:
+            from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+                write_iceberg,
+            )
+
+            rep = write_iceberg(
+                spark,
+                spark.read.parquet(args.write),
+                args.path,
+                mode=args.mode,
+                partition_by=(
+                    args.partition_by.split(",") if args.partition_by else None
+                ),
+            )
+            print(json.dumps({
+                "status": "success", "action": "iceberg_write", **rep,
+            }))
+            return 0
         if args.delete_where:
             from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
                 iceberg_delete_where,
@@ -1692,6 +1794,24 @@ def main(argv: list[str] | None = None) -> int:
             read_hudi,
         )
 
+        if args.write:
+            from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+                write_hudi,
+            )
+
+            rep = write_hudi(
+                spark,
+                spark.read.parquet(args.write),
+                args.path,
+                mode=args.mode,
+                partition_by=(
+                    args.partition_by.split(",") if args.partition_by else None
+                ),
+            )
+            print(json.dumps({
+                "status": "success", **rep, "action": "hudi_write",
+            }))
+            return 0
         if args.compact:
             from harness_aws_etl_pipeline_spark.sinks.compact import (
                 hudi_compact,

@@ -1179,3 +1179,40 @@ class TestNameModeNested:
         ])
         with pytest.raises(ValueError, match="nested level"):
             read_delta(spark, str(tmp_path))
+
+
+class TestCliWriteAndCdf:
+    def test_cli_write_delete_cdf_changes(self, spark, tmp_path, capsys):
+        """Round 12 CLI surface: delta --write / --delete-where --cdf /
+        --changes-since --cdf end to end."""
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(i, "a") for i in range(6)], "id long, v string"
+        ).write.parquet(str(src))
+        t = tmp_path / "t"
+        rc = main(["delta", "--path", str(t), "--write", str(src)])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "delta_write" and rep["version"] == 0
+
+        rc = main([
+            "delta", "--path", str(t),
+            "--delete-where", "id = 2", "--cdf",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows_deleted"] == 1
+        import glob as _glob
+
+        assert _glob.glob(str(t / "_change_data" / "*.parquet"))
+
+        rc = main([
+            "delta", "--path", str(t), "--changes-since", "0", "--cdf",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 1 and rep["cdf"] is True
+        assert rep["preview"][0]["_change_type"] == "delete"
+        assert rep["preview"][0]["id"] == 2

@@ -569,3 +569,26 @@ class TestPartitionedWrites:
             for r in read_hudi(spark, t, drop_meta=True).collect()
         }
         assert got == {(1, "x", "a"), (2, "y", "b2")}
+
+
+class TestCliWrite:
+    def test_cli_partitioned_write(self, spark, tmp_path, capsys):
+        import glob
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(0, 1, "a"), (1, 2, "b")], "id long, p int, v string"
+        ).write.parquet(str(src))
+        t = tmp_path / "t"
+        rc = main([
+            "hudi", "--path", str(t), "--write", str(src),
+            "--partition-by", "p",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "hudi_write" and rep["files_added"] >= 2
+        assert glob.glob(str(t / "p=2" / "*.parquet"))
+        assert read_hudi(spark, str(t)).count() == 2

@@ -360,3 +360,53 @@ class TestPartitionedWrites:
             ).collect()
         }
         assert got == {1}
+
+
+class TestCliWrite:
+    def test_cli_partitioned_write(self, spark, tmp_path, capsys):
+        import glob
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(0, 1, "a"), (1, 2, "b")], "id long, p int, v string"
+        ).write.parquet(str(src))
+        t = tmp_path / "t"
+        rc = main([
+            "iceberg", "--path", str(t), "--write", str(src),
+            "--partition-by", "p",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "iceberg_write" and rep["files_added"] >= 2
+        assert glob.glob(str(t / "data" / "p=1" / "*.parquet"))
+        assert read_iceberg(spark, str(t)).count() == 2
+
+
+class TestPartitionedDmlComposition:
+    def test_delete_where_on_partitioned_table(self, spark, tmp_path):
+        """DML rewrites carry empty partition structs — the pruned
+        read must stay CORRECT via conservative inclusion + the row
+        filter."""
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(8)],
+            "id long, p int, v string",
+        )
+        write_iceberg(spark, df, t, partition_by=["p"])
+        rep = iceberg_delete_where(spark, t, "id < 2")
+        assert rep["rows_deleted"] == 2
+        got = {(r.id, r.p) for r in read_iceberg(spark, t).collect()}
+        assert got == {(i, i % 2) for i in range(2, 8)}
+        pruned = {
+            (r.id, r.p)
+            for r in read_iceberg(
+                spark, t, partition_filter={"p": 0}
+            ).collect()
+        }
+        assert pruned == {(2, 0), (4, 0), (6, 0)}

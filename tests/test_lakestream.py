@@ -193,3 +193,30 @@ class TestHudiStream:
 
         with pytest.raises(StreamingQueryException, match="replacecommit"):
             q.awaitTermination(120)
+
+
+class TestPartitionedHudiStream:
+    def test_stream_over_partitioned_table(self, spark, tmp_path):
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(0, 1, "a"), (1, 2, "b")], "id long, p int, v string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        df = spark.readStream.format("hudi_nojar").option("path", t).load()
+        _drain(df, out, cp)
+        assert spark.read.parquet(out).count() == 2
+        write_hudi(
+            spark,
+            spark.createDataFrame([(2, 1, "c")], "id long, p int, v string"),
+            t,
+        )
+        _drain(df, out, cp)
+        got = sorted((r.id, r.p) for r in spark.read.parquet(out).collect())
+        assert got == [(0, 1), (1, 2), (2, 1)]
