@@ -1395,6 +1395,41 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
         out["iceberg_rows_ok"] = bool(
             read_iceberg(spark, it).count() == base_cnt
         )
+
+        # Delta keyed MERGE (round 12): upsert ~0.25% of the keys +
+        # insert a synthetic slice, CDF on — prices the new DML triad
+        # member on the post-OPTIMIZE table
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        upd = li.where("l_orderkey % 400 = 0").withColumn(
+            "l_quantity", F.col("l_quantity") + F.lit(1)
+        )
+        ins = li.where("l_orderkey % 400 = 0").withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(1)  # % 4 != 0 → new
+        )
+        mf = upd.unionByName(ins).dropDuplicates(
+            ["l_orderkey", "l_linenumber"]
+        )
+        pre_cnt = read_delta(spark, t).count()
+        start = time.perf_counter()
+        mrep = delta_merge(
+            spark, mf, t, keys=["l_orderkey", "l_linenumber"],
+            change_data=True,
+        )
+        out["delta_merge_s"] = round(time.perf_counter() - start, 3)
+        out["merge_updated"] = mrep["rows_updated"]
+        out["merge_inserted"] = mrep["rows_inserted"]
+        out["merge_rows_ok"] = bool(
+            read_delta(spark, t).count()
+            == pre_cnt
+            - mrep["rows_replaced"]
+            + mrep["rows_updated"]
+            + mrep["rows_inserted"]
+        )
     return out
 
 

@@ -777,6 +777,24 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated partition columns for --write",
     )
     dl.add_argument(
+        "--update-where", default=None,
+        help="UPDATE matching rows (needs --set); DV old rows + append "
+             "updated copies in one commit",
+    )
+    dl.add_argument(
+        "--set", action="append", default=None, metavar="COL=EXPR",
+        help="SET clause for --update-where (repeatable)",
+    )
+    dl.add_argument(
+        "--merge", default=None,
+        help="parquet path: keyed MERGE (upsert) into the table "
+             "(needs --keys)",
+    )
+    dl.add_argument(
+        "--keys", default=None,
+        help="comma-separated merge key columns for --merge",
+    )
+    dl.add_argument(
         "--changes-since", type=int, default=None,
         help="incremental read: rows changed after this version",
     )
@@ -1634,6 +1652,45 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({
                 "status": "success", "action": "delta_delete", **rep,
+            }))
+            return 0
+        if args.update_where:
+            from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+                delta_update_where,
+            )
+
+            if not args.set:
+                raise SystemExit("--update-where needs at least one --set")
+            set_exprs = {}
+            for s in args.set:
+                c, _, e = s.partition("=")
+                if not _ or not c.strip():
+                    raise SystemExit(f"bad --set clause {s!r} (COL=EXPR)")
+                set_exprs[c.strip()] = e
+            rep = delta_update_where(
+                spark, args.path, args.update_where, set_exprs,
+                change_data=True if args.cdf else None,
+            )
+            print(json.dumps({
+                "status": "success", "action": "delta_update", **rep,
+            }))
+            return 0
+        if args.merge:
+            from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+                delta_merge,
+            )
+
+            if not args.keys:
+                raise SystemExit("--merge needs --keys")
+            rep = delta_merge(
+                spark,
+                spark.read.parquet(args.merge),
+                args.path,
+                keys=args.keys.split(","),
+                change_data=True if args.cdf else None,
+            )
+            print(json.dumps({
+                "status": "success", "action": "delta_merge", **rep,
             }))
             return 0
         if args.changes_since is not None:

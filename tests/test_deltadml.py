@@ -241,3 +241,313 @@ class TestChangeDataFeed:
         ch = delta_changes(spark, t, since_version=0, cdf=True)
         got = {(r.id, r.p, r._change_type) for r in ch.collect()}
         assert got == {(1, 1, "delete"), (3, 1, "delete")}
+
+
+class TestUpdateWhere:
+    """Round 12: delta_update_where — DV the old rows + append the
+    updated copies in one atomic commit."""
+
+    def test_update_and_time_travel(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(10).withColumn("v", F.lit("a")), t)
+        rep = delta_update_where(
+            spark, t, "id >= 8", {"v": "concat(v, '-up')"}
+        )
+        assert rep["rows_updated"] == 2 and rep["version"] == 1
+        assert rep["files_added"] >= 1 and rep["files_touched"] >= 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(i, "a") for i in range(8)} | {
+            (8, "a-up"), (9, "a-up")
+        }
+        # time travel: old values intact
+        assert {
+            r.v for r in read_delta(spark, t, version=0).collect()
+        } == {"a"}
+        # no-op predicate commits nothing
+        rep = delta_update_where(spark, t, "id = 999", {"v": "'x'"})
+        assert rep["rows_updated"] == 0 and rep["version"] == 1
+
+    def test_update_skips_already_deleted_rows(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(6).withColumn("v", F.lit("a")), t)
+        delta_delete_where(spark, t, "id = 3")
+        rep = delta_update_where(spark, t, "id >= 3", {"v": "'up'"})
+        # id=3 is deleted — must NOT be resurrected as an updated copy
+        assert rep["rows_updated"] == 2
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(0, "a"), (1, "a"), (2, "a"), (4, "up"), (5, "up")}
+
+    def test_update_cdf(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(spark, spark.range(4).withColumn("v", F.lit("a")), t)
+        delta_update_where(
+            spark, t, "id = 1", {"v": "'b'"}, change_data=True
+        )
+        ch = delta_changes(spark, t, 0, cdf=True)
+        got = {(r.id, r.v, r._change_type) for r in ch.collect()}
+        assert got == {
+            (1, "a", "update_preimage"),
+            (1, "b", "update_postimage"),
+        }
+
+    def test_partitioned_rejected(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.range(4).withColumn("p", F.col("id") % 2),
+            t,
+            partition_by=["p"],
+        )
+        with pytest.raises(ValueError, match="unpartitioned"):
+            delta_update_where(spark, t, "id = 1", {"id": "id + 10"})
+
+
+class TestMerge:
+    """Round 12: delta_merge — keyed upsert completing the DML triad
+    (iceberg_upsert / hudi_upsert siblings)."""
+
+    def test_merge_updates_and_inserts(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+            ),
+            t,
+        )
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame(
+                [(2, "b2"), (9, "i")], "id long, v string"
+            ),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "a"), (2, "b2"), (3, "c"), (9, "i")}
+        # repeat merge of the same keys is latest-wins again
+        delta_merge(
+            spark,
+            spark.createDataFrame([(9, "i2")], "id long, v string"),
+            t,
+            keys=["id"],
+        )
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "a"), (2, "b2"), (3, "c"), (9, "i2")}
+
+    def test_merge_cdf_labels(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t,
+        )
+        delta_merge(
+            spark,
+            spark.createDataFrame(
+                [(2, "b2"), (7, "n")], "id long, v string"
+            ),
+            t,
+            keys=["id"],
+            change_data=True,
+        )
+        ch = delta_changes(spark, t, 0, cdf=True)
+        got = {(r.id, r.v, r._change_type) for r in ch.collect()}
+        assert got == {
+            (2, "b", "update_preimage"),
+            (2, "b2", "update_postimage"),
+            (7, "n", "insert"),
+        }
+
+    def test_merge_guards(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+        )
+        with pytest.raises(ValueError, match="unique"):
+            delta_merge(
+                spark,
+                spark.createDataFrame(
+                    [(2, "x"), (2, "y")], "id long, v string"
+                ),
+                t, keys=["id"],
+            )
+        with pytest.raises(ValueError, match="missing"):
+            delta_merge(
+                spark,
+                spark.createDataFrame([(1, "x")], "id long, v string"),
+                t, keys=["nope"],
+            )
+        with pytest.raises(ValueError, match="lacks table columns"):
+            delta_merge(
+                spark,
+                spark.createDataFrame([(1,)], "id long"),
+                t, keys=["id"],
+            )
+
+    def test_merge_pure_insert_and_changes_compose(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+        )
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame([(5, "n")], "id long, v string"),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_updated"] == 0 and rep["rows_inserted"] == 1
+        assert rep["files_touched"] == 0
+        # a pure-insert merge IS append-only representable
+        got = {
+            (r.id, r.v) for r in delta_changes(spark, t, 0).collect()
+        }
+        assert got == {(5, "n")}
+
+    def test_concurrent_delete_conflict_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A delete landing between the merge's scan and its commit,
+        touching a matched row, must abort the merge — committing
+        would resurrect the deleted row as its updated copy."""
+        import harness_aws_etl_pipeline_spark.sinks.deltadml as dml
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t,
+        )
+        real = dml._dv_descriptors
+        state = {"raced": False}
+
+        def racing(fs, base, matches):
+            if not state["raced"]:
+                state["raced"] = True
+                delta_delete_where(spark, t, "id = 2")
+            return real(fs, base, matches)
+
+        monkeypatch.setattr(dml, "_dv_descriptors", racing)
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        with pytest.raises(ValueError, match="concurrently"):
+            delta_merge(
+                spark,
+                spark.createDataFrame([(2, "b2")], "id long, v string"),
+                t,
+                keys=["id"],
+            )
+        # the aborted merge left no data behind
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "a")}
+
+
+class TestDmlCli:
+    def test_cli_update_and_merge(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t,
+        )
+        rc = main([
+            "delta", "--path", t,
+            "--update-where", "id = 1", "--set", "v=concat(v, '!')",
+        ])
+        assert rc == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "delta_update" and rep["rows_updated"] == 1
+
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(2, "b2"), (3, "c")], "id long, v string"
+        ).write.parquet(str(src))
+        rc = main([
+            "delta", "--path", t, "--merge", str(src), "--keys", "id",
+        ])
+        assert rc == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "delta_merge"
+        assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "a!"), (2, "b2"), (3, "c")}
+
+
+class TestMergeNonUniqueTable:
+    def test_key_matching_multiple_rows_replaces_all(self, spark, tmp_path):
+        """A non-unique table: one incoming key replaces EVERY live
+        row carrying it — rows_replaced reports the removed count."""
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (1, "a2"), (2, "b")], "id long, v string"
+            ),
+            t,
+        )
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame([(1, "one")], "id long, v string"),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_updated"] == 1 and rep["rows_replaced"] == 2
+        assert rep["rows_inserted"] == 0
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "one"), (2, "b")}
