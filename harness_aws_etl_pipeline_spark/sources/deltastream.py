@@ -26,7 +26,13 @@ Shape per Delta's own streaming source semantics:
   files) mirrors the jar's option of the same name;
 - partition columns are reattached as typed literals from
   ``add.partitionValues`` (string/numeric/boolean/date primitives —
-  exotic partition types reject loudly at planning time).
+  exotic partition types reject loudly at planning time);
+- ``readChangeFeed=true`` (round 12) streams the CHANGE DATA FEED
+  instead: per commit, ``cdc`` actions (written by the CDF-emitting
+  DML in ``sinks/deltadml``) are the authoritative change rows, pure
+  appends surface as ``insert`` rows, compactions contribute
+  nothing, and a rewrite WITHOUT change data raises — output schema
+  gains ``_change_type`` + ``_commit_version``.
 
 Scale shape: offset planning is driver-side metadata (the same log
 fold every Delta client does); data reading is distributed one file
@@ -51,10 +57,21 @@ __all__ = ["DeltaStreamDataSource", "register_delta_stream"]
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, pvalues: dict, columns: list):
+    def __init__(
+        self,
+        path: str,
+        pvalues: dict,
+        columns: list,
+        ctype: str | None = None,
+        version: int | None = None,
+    ):
         self.path = path
         self.pvalues = pvalues  # partition column name -> typed value
         self.columns = columns  # output order (table schema order)
+        # CDF mode: constant _change_type for insert partitions, None
+        # for cdc files (the file carries the column); commit version
+        self.ctype = ctype
+        self.version = version
 
 
 def _typed_partition_value(raw: str | None, dt) -> object:
@@ -80,7 +97,9 @@ def _typed_partition_value(raw: str | None, dt) -> object:
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema, starting_version: int):
+    def __init__(
+        self, path: str, schema, starting_version: int, cdf: bool = False
+    ):
         from harness_aws_etl_pipeline_spark.sources.deltaread import (
             delta_snapshot,
         )
@@ -88,6 +107,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._base = path.rstrip("/")
         self._schema = schema
         self._start = starting_version
+        self._cdf = cdf
         snap = delta_snapshot(None, self._base)
         if (snap.get("column_mapping") or {}).get("physical"):
             raise ValueError(
@@ -128,6 +148,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
             if f.name in self._pcols
         }
         cols = [f.name for f in self._schema.fields]
+        if self._cdf:
+            return self._cdf_partitions(fs, commits, lo, hi, ptypes, cols)
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             p = commits.get(v)
@@ -167,24 +189,119 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 )
         return parts
 
+    def _cdf_partitions(
+        self, fs, commits: dict, lo: int, hi: int, ptypes: dict, cols: list
+    ) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(lo + 1, hi + 1):
+            p = commits.get(v)
+            if p is None:
+                raise ValueError(
+                    f"commit {v} is folded into a checkpoint; CDF "
+                    "streaming needs the JSON commits in the window"
+                )
+            cdc_acts: list[dict] = []
+            adds_true: list[dict] = []
+            removes_true = 0
+            for line in fs.read_bytes(p).decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("cdc") and a["cdc"].get("path"):
+                    cdc_acts.append(a["cdc"])
+                add = a.get("add")
+                if add and add.get("path") and add.get("dataChange", True):
+                    adds_true.append(add)
+                rem = a.get("remove")
+                if rem and rem.get("path") and rem.get("dataChange", True):
+                    removes_true += 1
+            if cdc_acts:
+                # authoritative change rows; the commit's add/remove
+                # pairs (DV re-adds, merge data files) are bookkeeping
+                # for the same change
+                for c in cdc_acts:
+                    pv = c.get("partitionValues") or {}
+                    parts.append(
+                        _FilePartition(
+                            posixpath.join(self._base, unquote(c["path"])),
+                            {
+                                k: _typed_partition_value(
+                                    pv.get(k), ptypes[k]
+                                )
+                                for k in self._pcols
+                            },
+                            cols,
+                            ctype=None,  # the file carries _change_type
+                            version=v,
+                        )
+                    )
+                continue
+            if removes_true:
+                raise ValueError(
+                    f"commit {v} rewrites or deletes files without "
+                    "change data; CDF streaming cannot represent it — "
+                    "enable change data on the writer"
+                )
+            for add in adds_true:
+                if (add.get("deletionVector") or {}).get("storageType"):
+                    raise ValueError(
+                        f"commit {v} adds a deletion-vector'd file "
+                        "without change data — not representable"
+                    )
+                pv = add.get("partitionValues") or {}
+                parts.append(
+                    _FilePartition(
+                        posixpath.join(self._base, unquote(add["path"])),
+                        {
+                            k: _typed_partition_value(pv.get(k), ptypes[k])
+                            for k in self._pcols
+                        },
+                        cols,
+                        ctype="insert",
+                        version=v,
+                    )
+                )
+        return parts
+
     # -- reading (executor-side Python worker) --------------------------
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path.removeprefix("file:"))
-        data_cols = [
-            c for c in partition.columns if c not in partition.pvalues
+        names = set(tbl.column_names)
+        special = {"_change_type", "_commit_version"}
+        file_cols = [
+            c
+            for c in partition.columns
+            if c in names and c not in special
         ]
-        present = [c for c in data_cols if c in tbl.column_names]
-        pylists = {c: tbl.column(c).to_pylist() for c in present}
+        pylists = {c: tbl.column(c).to_pylist() for c in file_cols}
+        ct_list = (
+            tbl.column("_change_type").to_pylist()
+            if "_change_type" in names and partition.ctype is None
+            else None
+        )
         n = tbl.num_rows
         for i in range(n):
-            yield tuple(
-                partition.pvalues[c]
-                if c in partition.pvalues
-                else (pylists[c][i] if c in pylists else None)
-                for c in partition.columns
-            )
+            out = []
+            for c in partition.columns:
+                if c == "_change_type":
+                    out.append(
+                        partition.ctype
+                        if partition.ctype is not None
+                        else (ct_list[i] if ct_list is not None else None)
+                    )
+                elif c == "_commit_version":
+                    out.append(partition.version)
+                elif c in pylists:
+                    # prefer the file's value (cdc files may carry
+                    # partition columns inline)
+                    out.append(pylists[c][i])
+                elif c in partition.pvalues:
+                    out.append(partition.pvalues[c])
+                else:
+                    out.append(None)
+            yield tuple(out)
 
     def commit(self, end: dict) -> None:
         pass
@@ -197,7 +314,20 @@ class DeltaStreamDataSource(DataSource):
     def name(cls) -> str:
         return "delta_nojar"
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readChangeFeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
         from harness_aws_etl_pipeline_spark.sources.deltaread import (
             delta_snapshot,
         )
@@ -208,6 +338,14 @@ class DeltaStreamDataSource(DataSource):
         snap = delta_snapshot(None, path)
         if snap["schema"] is None:
             raise ValueError("Delta table has no schema in its metadata")
+        if self._cdf():
+            return StructType(
+                list(snap["schema"].fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
         return snap["schema"]
 
     def streamReader(self, schema) -> DataSourceStreamReader:
@@ -215,6 +353,7 @@ class DeltaStreamDataSource(DataSource):
             self.options["path"],
             schema,
             int(self.options.get("startingVersion", -1)),
+            cdf=self._cdf(),
         )
 
 

@@ -159,3 +159,136 @@ class TestDeltaStreamSource:
         q = stream_to_delta(df, dst, app_id="relay", checkpoint_location=cp)
         q.start().awaitTermination(120)
         assert read_delta(spark, dst).count() == 7
+
+
+class TestChangeFeedStream:
+    """Round 12: readChangeFeed=true — streaming CDC consumption of
+    cdc actions + insert-labeled appends."""
+
+    def test_cdf_stream_and_resume(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            delta_optimize,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, "a") for i in range(4)], "id long, v string"
+            ),
+            t,
+        )
+        delta_delete_where(spark, t, "id = 2", change_data=True)
+        df = (
+            spark.readStream.format("delta_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        assert "_change_type" in df.columns
+        _drain(df, out, cp)
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {(i, "a", "insert", 0) for i in range(4)} | {
+            (2, "a", "delete", 1)
+        }
+        # OPTIMIZE contributes nothing; a fresh append surfaces as
+        # inserts at its commit version — exactly once across drains
+        delta_optimize(spark, t, small_file_bytes=1 << 30)
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, "b")], "id long, v string"),
+            t,
+            mode="append",
+        )
+        _drain(df, out, cp)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 6 and len(set(map(tuple, rows))) == 6
+        assert (9, "b", "insert", 3) in {
+            (r.id, r.v, r._change_type, r._commit_version) for r in rows
+        }
+
+    def test_cdf_merge_labels_stream_through(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            t,
+        )
+        delta_merge(
+            spark,
+            spark.createDataFrame(
+                [(2, "b2"), (7, "n")], "id long, v string"
+            ),
+            t,
+            keys=["id"],
+            change_data=True,
+        )
+        df = (
+            spark.readStream.format("delta_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        _drain(df, out, cp)
+        got = {
+            (r.id, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            (1, "a", "insert"),
+            (2, "b", "insert"),
+            (2, "b", "update_preimage"),
+            (2, "b2", "update_postimage"),
+            (7, "n", "insert"),
+        }
+
+    def test_rewrite_without_cdf_rejected(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+
+        register_delta_stream(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+        )
+        delta_delete_where(spark, t, "id = 1", change_data=False)
+        df = (
+            spark.readStream.format("delta_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        with pytest.raises(StreamingQueryException, match="change data"):
+            q.awaitTermination(120)
