@@ -18,13 +18,15 @@ layout of the open spec (iceberg.apache.org/spec):
   the files its manifest list reaches).
 
 Scope (honest): format v2, append/overwrite, unpartitioned or
-IDENTITY-partitioned tables (round 12): ``partition_by=[cols]``
-registers a partition spec with per-field ids (1000+), lays data out
-hive-style under ``data/col=val/``, and populates each manifest
-entry's ``partition`` struct — data files still physically CONTAIN
-the partition source columns, as the spec requires. Hidden transforms
-(bucket/truncate/days) and partition-spec evolution on append are
-rejected; omitted ``partition_by`` inherits the table's spec.
+PARTITIONED tables (round 12): ``partition_by`` entries are
+``"col"`` (identity), ``"days(ts)"`` / ``years`` / ``months`` /
+``hours``, ``"bucket(N, col)"`` (spec-exact murmur3 bucketing), or
+``"truncate(W, col)"`` — a partition spec with per-field ids (1000+),
+hive-style ``data/<field>=<value>/`` layout, and populated manifest
+partition structs; data files still physically CONTAIN the partition
+source columns, as the spec requires. Partition-spec evolution on
+append is rejected; omitted ``partition_by`` inherits the table's
+spec (transforms included).
 Schema evolution on APPEND (round 12): added columns register an
 evolved schema whose new fields take fresh ids above
 ``last-column-id`` (never reused — the spec's field-id discipline),
@@ -313,46 +315,6 @@ def _latest_md(fs, mdir: str) -> tuple[dict | None, int]:
     return md, best
 
 
-def _spec_identity_cols(md: dict | None) -> list[str] | None:
-    """Column names of the table's default partition spec (identity
-    transforms only; hidden transforms raise)."""
-    if not md:
-        return None
-    specs = md.get("partition-specs") or []
-    spec = next(
-        (s for s in specs if s.get("spec-id") == md.get("default-spec-id", 0)),
-        None,
-    )
-    if spec is None:
-        return None
-    fields = spec.get("fields") or []
-    if not fields:
-        return []
-    hidden = [f for f in fields if f.get("transform") != "identity"]
-    if hidden:
-        raise ValueError(
-            "table uses hidden partition transforms "
-            f"({[f.get('transform') for f in hidden]}); this writer "
-            "supports identity partitioning only"
-        )
-    names_by_id: dict[int, str] = {}
-    schemas = md.get("schemas") or ([md["schema"]] if md.get("schema") else [])
-    cur = md.get("current-schema-id", 0)
-    node = next((s for s in schemas if s.get("schema-id") == cur), None)
-    for f in (node or {}).get("fields") or []:
-        names_by_id[int(f["id"])] = f["name"]
-    out = []
-    for f in fields:
-        name = names_by_id.get(int(f["source-id"]))
-        if name is None:
-            raise ValueError(
-                f"partition spec field {f.get('name')!r} references "
-                f"unknown source column id {f.get('source-id')}"
-            )
-        out.append(name)
-    return out
-
-
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -363,9 +325,10 @@ def write_iceberg(
 ) -> dict:
     """Write ``df`` as one Iceberg snapshot at ``path``. Returns
     ``{"snapshot_id", "metadata_version", "files_added", "retries"}``.
-    ``partition_by`` declares identity partitioning (hive-style
-    ``data/col=val/`` layout + populated manifest partition structs);
-    omitted, it inherits the table's existing spec."""
+    ``partition_by`` declares the partitioning — identity columns or
+    hidden transforms (``days(ts)``, ``bucket(16, id)``,
+    ``truncate(4, name)``, ...); omitted, it inherits the table's
+    existing spec."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite: {mode!r}")
     base = path.rstrip("/")
@@ -376,34 +339,97 @@ def write_iceberg(
     fs.mkdirs(ddir)
 
     # ---- resolve the effective partitioning against the table spec
+    # (identity OR hidden transforms: year/month/day/hour, bucket[N],
+    # truncate[W] — round 12)
+    from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+        parse_transform,
+        spec_transforms,
+        transform_column,
+        transform_json,
+    )
+
     md0, _v0 = _latest_md(fs, mdir)
-    existing_cols = _spec_identity_cols(md0)
+    existing = spec_transforms(md0)
+    if existing and any(d["kind"] == "void" for d in existing):
+        raise ValueError(
+            "table's partition spec carries void (dropped) fields; "
+            "writing through spec evolution is not supported"
+        )
+
+    def _sig(ds):
+        return [(d["kind"], d["param"], d["source"]) for d in ds]
+
     if partition_by is None:
-        partition_by = list(existing_cols or [])
+        descs = list(existing or [])
     else:
-        partition_by = list(partition_by)
+        descs = [parse_transform(s) for s in partition_by]
         if (
             mode == "append"
-            and existing_cols is not None
-            and partition_by != existing_cols
+            and existing is not None
+            and _sig(descs) != _sig(existing)
         ):
             raise ValueError(
-                f"append partitioning {partition_by} differs from the "
-                f"table's partition spec {existing_cols}; overwrite to "
-                "change it"
+                f"append partitioning {[transform_json(d) for d in descs]}"
+                f" on {[d['source'] for d in descs]} differs from the "
+                "table's partition spec "
+                f"{[transform_json(d) for d in existing]} on "
+                f"{[d['source'] for d in existing]}; overwrite to change it"
             )
-    missing = [c for c in partition_by if c not in df.columns]
+    missing = [d["source"] for d in descs if d["source"] not in df.columns]
     if missing:
         raise ValueError(f"partition columns not in the frame: {missing}")
-    part_types: dict[str, str] = {}
-    for c in partition_by:
-        tn = df.schema[c].dataType.typeName()
-        if tn not in _PART_AVRO:
-            raise ValueError(
-                f"unsupported identity-partition column type {tn!r} "
-                f"for {c!r} (supported: {sorted(_PART_AVRO)})"
-            )
-        part_types[c] = tn
+    # per spec field: source type validation + hive-value parse type +
+    # avro type of the manifest partition struct member
+    _TIME_SRC = ("date", "timestamp", "timestamp_ntz")
+    field_parse: dict[str, str] = {}
+    field_avro: dict[str, object] = {}
+    src_type: dict[str, str] = {}
+    for d in descs:
+        tn = df.schema[d["source"]].dataType.typeName()
+        src_type[d["field"]] = tn
+        k = d["kind"]
+        if k == "identity":
+            if tn not in _PART_AVRO:
+                raise ValueError(
+                    f"unsupported identity-partition column type {tn!r} "
+                    f"for {d['source']!r} (supported: {sorted(_PART_AVRO)})"
+                )
+            field_parse[d["field"]] = tn
+            field_avro[d["field"]] = _PART_AVRO[tn]
+        elif k in ("year", "month", "day"):
+            if tn not in _TIME_SRC:
+                raise ValueError(
+                    f"{k} transform needs a date/timestamp column; "
+                    f"{d['source']!r} is {tn!r}"
+                )
+            field_parse[d["field"]] = "integer"
+            field_avro[d["field"]] = "int"
+        elif k == "hour":
+            if tn not in ("timestamp", "timestamp_ntz"):
+                raise ValueError(
+                    f"hour transform needs a timestamp column; "
+                    f"{d['source']!r} is {tn!r}"
+                )
+            field_parse[d["field"]] = "integer"
+            field_avro[d["field"]] = "int"
+        elif k == "bucket":
+            if tn not in ("integer", "long", "string", "date"):
+                raise ValueError(
+                    f"bucket transform unsupported for {tn!r} column "
+                    f"{d['source']!r}"
+                )
+            field_parse[d["field"]] = "integer"
+            field_avro[d["field"]] = "int"
+        elif k == "truncate":
+            if tn not in ("integer", "long", "string"):
+                raise ValueError(
+                    f"truncate transform unsupported for {tn!r} column "
+                    f"{d['source']!r}"
+                )
+            field_parse[d["field"]] = tn
+            field_avro[d["field"]] = _PART_AVRO[tn]
+        else:
+            raise ValueError(f"unsupported transform kind {k!r}")
 
     # ---- data: staged write + exact-ownership move (deltawrite's
     # concurrency reasoning). Partitioned writes duplicate the
@@ -415,13 +441,17 @@ def write_iceberg(
     stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
     new_files: dict[str, int] = {}
     part_of: dict[str, dict] = {}
+    fields = [d["field"] for d in descs]
     try:
-        if partition_by:
+        if descs:
             staged_df = df
-            for c in partition_by:
-                staged_df = staged_df.withColumn(f"__icw_{c}", F.col(c))
+            for d in descs:
+                staged_df = staged_df.withColumn(
+                    f"__icw_{d['field']}",
+                    transform_column(d, src_type[d["field"]]),
+                )
             staged_df.write.partitionBy(
-                *[f"__icw_{c}" for c in partition_by]
+                *[f"__icw_{d['field']}" for d in descs]
             ).mode("overwrite").parquet(stage)
         else:
             df.write.mode("overwrite").parquet(stage)
@@ -439,7 +469,7 @@ def write_iceberg(
                 pvals[c] = (
                     None
                     if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else _parse_pval(raw, part_types[c])
+                    else _parse_pval(raw, field_parse[c])
                 )
                 pdir.append(f"{c}={v}")
             dest_dir = "/".join(["data"] + pdir)
@@ -453,7 +483,7 @@ def write_iceberg(
             ):
                 raise RuntimeError(f"could not move staged file {rel!r}")
             new_files[dest_rel] = size
-            part_of[dest_rel] = {c: pvals.get(c) for c in partition_by}
+            part_of[dest_rel] = {c: pvals.get(c) for c in fields}
     finally:
         fs.delete(stage, recursive=True)
 
@@ -551,12 +581,12 @@ def write_iceberg(
         name_to_fid = {f["name"]: f["id"] for f in eff_fields}
         spec_fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": name_to_fid[c],
+                "name": d["field"],
+                "transform": transform_json(d),
+                "source-id": name_to_fid[d["source"]],
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(partition_by)
+            for i, d in enumerate(descs)
         ]
         prev_specs = list((md or {}).get("partition-specs") or [])
         same_spec = next(
@@ -611,7 +641,7 @@ def write_iceberg(
                 [
                     {
                         "name": f["name"],
-                        "avro": _PART_AVRO[part_types[f["name"]]],
+                        "avro": field_avro[f["name"]],
                         "field-id": f["field-id"],
                     }
                     for f in spec_fields

@@ -294,7 +294,22 @@ def iceberg_snapshot(
         "origin_of": origin_of,
         "seq_of": seq_of,
         "partition_of": partition_of,
+        "partition_spec_transforms": _safe_spec_transforms(md),
     }
+
+
+def _safe_spec_transforms(md: dict) -> list[dict] | None:
+    """The default partition spec as transform descriptors — lenient
+    on READ (an exotic transform must not break plain snapshot reads;
+    only partition_filter needs the descriptors and raises then)."""
+    try:
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            spec_transforms,
+        )
+
+        return spec_transforms(md)
+    except ValueError:
+        return None
 
 
 def iceberg_snapshot_at(
@@ -342,14 +357,50 @@ def read_iceberg(
     if timestamp_ms is not None:
         snapshot_id = iceberg_snapshot_at(spark, path, timestamp_ms)
     snap = iceberg_snapshot(spark, path, snapshot_id)
+    spec_by_field = {
+        d["field"]: d
+        for d in (snap.get("partition_spec_transforms") or [])
+    }
+    src_types = {f.name: f.dataType.typeName() for f in snap["schema"].fields}
+
     def _pf(d: DataFrame) -> DataFrame:
+        """Equivalent ROW filter per partition-filter key — identity
+        compares the source column, hidden time/truncate transforms
+        recompute the transform expression; bucket has no JVM
+        expression, so its exactness rests on the strict
+        metadata-coverage check below."""
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            transform_column,
+        )
+
         for k, v in (partition_filter or {}).items():
-            d = d.where(F.col(k).eqNullSafe(F.lit(v)))
+            desc = spec_by_field.get(k)
+            if desc is None or desc["kind"] == "identity":
+                col = desc["source"] if desc else k
+                d = d.where(F.col(col).eqNullSafe(F.lit(v)))
+            elif desc["kind"] == "bucket":
+                continue
+            else:
+                d = d.where(
+                    transform_column(
+                        desc, src_types[desc["source"]]
+                    ).eqNullSafe(F.lit(v))
+                )
         return d
 
     if partition_filter:
         import datetime
 
+        unknown = [
+            k
+            for k in partition_filter
+            if k not in spec_by_field and k not in src_types
+        ]
+        if unknown:
+            raise ValueError(
+                f"partition_filter keys {unknown} match neither a "
+                "partition spec field nor a table column"
+            )
         # manifests store date partition values as days-since-epoch
         norm = {
             k: (
@@ -361,6 +412,26 @@ def read_iceberg(
             for k, v in partition_filter.items()
         }
         pof = snap.get("partition_of") or {}
+        bucket_keys = [
+            k
+            for k in partition_filter
+            if (spec_by_field.get(k) or {}).get("kind") == "bucket"
+        ]
+        if bucket_keys:
+            # bucket values are not recomputable as a row filter —
+            # pruning is exact ONLY if every live file carries the
+            # partition value (rows in a file share its tuple)
+            uncovered = [
+                f
+                for f in snap["files"]
+                if any(k not in pof.get(f, {}) for k in bucket_keys)
+            ]
+            if uncovered:
+                raise ValueError(
+                    f"cannot filter by bucket field(s) {bucket_keys}: "
+                    f"{len(uncovered)} live file(s) carry no partition "
+                    "metadata for them (DML rewrites or older specs)"
+                )
         snap = dict(snap)
         snap["files"] = [
             f

@@ -410,3 +410,185 @@ class TestPartitionedDmlComposition:
             ).collect()
         }
         assert pruned == {(2, 0), (4, 0), (6, 0)}
+
+
+class TestHiddenTransforms:
+    """Round 12: hidden partition transforms — day/month/year/hour,
+    spec-exact murmur3 bucket, truncate — write layout, manifest
+    values, spec JSON, inheritance, and transform-aware pruning."""
+
+    def test_murmur3_and_bucket_spec_vectors(self):
+        """The spec's published test vectors (iceberg.apache.org/spec
+        Appendix B)."""
+        import datetime
+        import struct
+
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            bucket_value,
+            murmur3_32,
+        )
+
+        def signed(u):
+            return u - (1 << 32) if u >= (1 << 31) else u
+
+        assert signed(murmur3_32(struct.pack("<q", 34))) == 2017239379
+        assert signed(murmur3_32(b"iceberg")) == 1210000089
+        days = (
+            datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)
+        ).days
+        assert signed(murmur3_32(struct.pack("<q", days))) == -653330422
+        assert bucket_value(34, 16, "long") == 2017239379 % 16
+        assert bucket_value("iceberg", 16, "string") == 1210000089 % 16
+        assert (
+            bucket_value(datetime.date(2017, 11, 16), 8, "date")
+            == ((-653330422) & 0x7FFFFFFF) % 8
+        )
+
+    def test_day_and_bucket_write_read_prune(self, spark, tmp_path):
+        import datetime
+        import glob
+
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            bucket_value,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                (i, datetime.date(2024, 1, 1 + (i % 2)), f"v{i}")
+                for i in range(8)
+            ],
+            "id long, d date, v string",
+        )
+        rep = write_iceberg(
+            spark, df, t, partition_by=["days(d)", "bucket(4, id)"]
+        )
+        assert rep["files_added"] >= 2
+        # layout dirs carry the TRANSFORMED values
+        day0 = (
+            datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)
+        ).days
+        assert glob.glob(
+            str(tmp_path / "t" / "data" / f"d_day={day0}" / "*" / "*.parquet")
+        )
+        # spec JSON records the transforms
+        md = json.loads(
+            (tmp_path / "t" / "metadata" / "v1.metadata.json").read_text()
+        )
+        spec = md["partition-specs"][md["default-spec-id"]]
+        assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+            ("d_day", "day"), ("id_bucket", "bucket[4]"),
+        ]
+        # full read round-trips
+        got = {(r.id, r.d, r.v) for r in read_iceberg(spark, t).collect()}
+        assert len(got) == 8
+        # day pruning: exact rows, only d_day=day0 files scanned
+        pruned = read_iceberg(spark, t, partition_filter={"d_day": day0})
+        assert {r.d for r in pruned.collect()} == {datetime.date(2024, 1, 1)}
+        assert all(f"d_day={day0}" in f for f in pruned.inputFiles())
+        # bucket pruning: exact rows for one bucket
+        b = bucket_value(3, 4, "long")
+        got = {
+            r.id
+            for r in read_iceberg(
+                spark, t, partition_filter={"id_bucket": b}
+            ).collect()
+        }
+        assert 3 in got
+        assert got == {
+            i for i in range(8) if bucket_value(i, 4, "long") == b
+        }
+        # append WITHOUT partition_by inherits the transform spec
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(100, datetime.date(2024, 1, 1), "x")],
+                "id long, d date, v string",
+            ),
+            t,
+        )
+        assert read_iceberg(spark, t).count() == 9
+        # manifest partition values match the driver-side twin
+        snap = iceberg_snapshot(spark, t)
+        for f, pv in snap["partition_of"].items():
+            assert set(pv) == {"d_day", "id_bucket"}
+
+    def test_truncate_and_month_year_hour(self, spark, tmp_path):
+        import datetime
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                (17, "alphabet", datetime.datetime(2023, 3, 5, 22, 30)),
+                (-3, "beta", datetime.datetime(2024, 7, 1, 1, 10)),
+            ],
+            "n long, s string, ts timestamp",
+        )
+        write_iceberg(
+            spark, df, t,
+            partition_by=[
+                "truncate(10, n)", "truncate(4, s)",
+                "months(ts)", "years(ts)", "hours(ts)",
+            ],
+        )
+        snap = iceberg_snapshot(spark, t)
+        vals = sorted(
+            tuple(sorted(pv.items()))
+            for pv in snap["partition_of"].values()
+        )
+        # spec semantics: truncate floors toward -inf; month/year are
+        # offsets from 1970; hour = epoch_seconds // 3600
+        h1 = int(
+            datetime.datetime(
+                2023, 3, 5, 22, 30, tzinfo=datetime.timezone.utc
+            ).timestamp() // 3600
+        )
+        h2 = int(
+            datetime.datetime(
+                2024, 7, 1, 1, 10, tzinfo=datetime.timezone.utc
+            ).timestamp() // 3600
+        )
+        expect = sorted([
+            tuple(sorted({
+                "n_trunc": 10, "s_trunc": "alph",
+                "ts_month": (2023 - 1970) * 12 + 2, "ts_year": 53,
+                "ts_hour": h1,
+            }.items())),
+            tuple(sorted({
+                "n_trunc": -10, "s_trunc": "beta",
+                "ts_month": (2024 - 1970) * 12 + 6, "ts_year": 54,
+                "ts_hour": h2,
+            }.items())),
+        ])
+        assert vals == expect
+        got = {(r.n, r.s) for r in read_iceberg(spark, t).collect()}
+        assert got == {(17, "alphabet"), (-3, "beta")}
+        # month pruning returns exactly the 2023 row
+        got = {
+            r.n
+            for r in read_iceberg(
+                spark, t,
+                partition_filter={"ts_month": (2023 - 1970) * 12 + 2},
+            ).collect()
+        }
+        assert got == {17}
+
+    def test_transform_guards(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        with pytest.raises(ValueError, match="needs a date/timestamp"):
+            write_iceberg(spark, df, t, partition_by=["days(id)"])
+        with pytest.raises(ValueError, match="unparseable"):
+            write_iceberg(spark, df, t, partition_by=["bucket(id)"])
+        write_iceberg(spark, df, t, partition_by=["bucket(4, id)"])
+        # append with a DIFFERENT transform of the same column rejects
+        with pytest.raises(ValueError, match="differs"):
+            write_iceberg(
+                spark,
+                spark.createDataFrame([(2, "b")], "id long, v string"),
+                t,
+                partition_by=["bucket(8, id)"],
+            )
+        # unknown filter key rejects
+        with pytest.raises(ValueError, match="neither"):
+            read_iceberg(spark, t, partition_filter={"nope": 1}).collect()
