@@ -1433,6 +1433,66 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming-interop pricing (round 12): a lineitem slice written
+    as a 4-commit Delta table, relayed delta_nojar → stream_to_delta
+    with AvailableNow — measures the Python-DataSource Arrow-batch
+    read path + the exactly-once sink end to end (rows/s)."""
+    import tempfile
+
+    from harness_aws_etl_pipeline_spark.plans.catalog import tables
+    from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+        stream_to_delta,
+        write_delta,
+    )
+    from harness_aws_etl_pipeline_spark.sources.deltaread import read_delta
+    from harness_aws_etl_pipeline_spark.sources.deltastream import (
+        register_delta_stream,
+    )
+
+    register_delta_stream(spark)
+    li = (
+        tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .where("l_orderkey % 2 = 0")
+        .repartition(8)
+    )
+    out: dict = {}
+    with tempfile.TemporaryDirectory(prefix="bench_stream_") as tmp:
+        src = f"{tmp}/src"
+        for i in range(4):
+            write_delta(
+                spark,
+                li.where(f"pmod(l_orderkey, 8) = {2 * i}"),
+                src,
+                stats=False,
+                checkpoint_interval=None,
+            )
+        expected = read_delta(spark, src).count()
+        stream = (
+            spark.readStream.format("delta_nojar")
+            .option("path", src)
+            .load()
+        )
+        start = time.perf_counter()
+        q = stream_to_delta(
+            stream,
+            f"{tmp}/dst",
+            app_id="bench-relay",
+            checkpoint_location=f"{tmp}/cp",
+            stats=False,
+            checkpoint_interval=None,
+        ).start()
+        q.awaitTermination(600)
+        relay_s = time.perf_counter() - start
+        got = read_delta(spark, f"{tmp}/dst").count()
+        out["rows"] = got
+        out["relay_s"] = round(relay_s, 3)
+        out["rows_per_s"] = int(got / relay_s) if relay_s > 0 else None
+        out["rows_ok"] = bool(got == expected)
+    return out
+
+
 def _ensure_sf1(spark, sf_dir: str) -> str:
     """Materialize an sf1-scale twin (~10x sf0.1) ONCE into a cache
     dir: the five TPC-H-shaped tables plus events are replicated 10x
@@ -1796,6 +1856,13 @@ def main() -> None:
         maint = {"error": str(exc)[:500]}
     print(f"# maintenance: {maint}", file=sys.stderr)
 
+    # streaming-interop relay leg (round 12) — also outside "queries"
+    try:
+        streaming = _bench_streaming(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        streaming = {"error": str(exc)[:500]}
+    print(f"# streaming: {streaming}", file=sys.stderr)
+
     # sf1 scale-evidence leg (round 11) — also outside "queries"
     try:
         sf1 = _bench_sf1(spark, sf_dir, timings)
@@ -1832,6 +1899,7 @@ def main() -> None:
         "sq": sq,
         "sf1": sf1,
         "maintenance": maint,
+        "streaming": streaming,
         # Round-over-round comparability: several headline names carry
         # MORE work than in BENCH_r03 because 1-row panels were fused
         # to keep the driver's 50-entry correctness window full of

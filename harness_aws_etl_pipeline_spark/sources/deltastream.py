@@ -64,6 +64,7 @@ class _FilePartition(InputPartition):
         columns: list,
         ctype: str | None = None,
         version: int | None = None,
+        arrow_schema=None,
     ):
         self.path = path
         self.pvalues = pvalues  # partition column name -> typed value
@@ -72,6 +73,10 @@ class _FilePartition(InputPartition):
         # for cdc files (the file carries the column); commit version
         self.ctype = ctype
         self.version = version
+        # target arrow schema (picklable): read() emits whole
+        # RecordBatches instead of per-row tuples — the Spark 4
+        # Python-DataSource fast path
+        self.arrow_schema = arrow_schema
 
 
 def _typed_partition_value(raw: str | None, dt) -> object:
@@ -148,8 +153,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
             if f.name in self._pcols
         }
         cols = [f.name for f in self._schema.fields]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        asch = to_arrow_schema(self._schema)
         if self._cdf:
-            return self._cdf_partitions(fs, commits, lo, hi, ptypes, cols)
+            return self._cdf_partitions(
+                fs, commits, lo, hi, ptypes, cols, asch
+            )
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             p = commits.get(v)
@@ -185,12 +195,20 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             for c in self._pcols
                         },
                         cols,
+                        arrow_schema=asch,
                     )
                 )
         return parts
 
     def _cdf_partitions(
-        self, fs, commits: dict, lo: int, hi: int, ptypes: dict, cols: list
+        self,
+        fs,
+        commits: dict,
+        lo: int,
+        hi: int,
+        ptypes: dict,
+        cols: list,
+        asch,
     ) -> list[InputPartition]:
         parts: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
@@ -233,6 +251,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             cols,
                             ctype=None,  # the file carries _change_type
                             version=v,
+                            arrow_schema=asch,
                         )
                     )
                 continue
@@ -259,49 +278,47 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         cols,
                         ctype="insert",
                         version=v,
+                        arrow_schema=asch,
                     )
                 )
         return parts
 
     # -- reading (executor-side Python worker) --------------------------
     def read(self, partition: _FilePartition):
+        """Emits whole Arrow RecordBatches (the Spark 4
+        Python-DataSource fast path — no per-row Python tuples):
+        file columns are cast to the target schema, partition values
+        and CDF labels become constant arrays, missing columns null
+        out. cdc files may carry partition columns inline — the
+        file's value wins over the planned literal."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path.removeprefix("file:"))
-        names = set(tbl.column_names)
-        special = {"_change_type", "_commit_version"}
-        file_cols = [
-            c
-            for c in partition.columns
-            if c in names and c not in special
-        ]
-        pylists = {c: tbl.column(c).to_pylist() for c in file_cols}
-        ct_list = (
-            tbl.column("_change_type").to_pylist()
-            if "_change_type" in names and partition.ctype is None
-            else None
-        )
         n = tbl.num_rows
-        for i in range(n):
-            out = []
-            for c in partition.columns:
-                if c == "_change_type":
-                    out.append(
-                        partition.ctype
-                        if partition.ctype is not None
-                        else (ct_list[i] if ct_list is not None else None)
-                    )
-                elif c == "_commit_version":
-                    out.append(partition.version)
-                elif c in pylists:
-                    # prefer the file's value (cdc files may carry
-                    # partition columns inline)
-                    out.append(pylists[c][i])
-                elif c in partition.pvalues:
-                    out.append(partition.pvalues[c])
-                else:
-                    out.append(None)
-            yield tuple(out)
+        if n == 0:
+            return
+        target = partition.arrow_schema
+        names = set(tbl.column_names)
+        cols = []
+        for field in target:
+            c = field.name
+            if c == "_change_type" and partition.ctype is not None:
+                cols.append(pa.array([partition.ctype] * n, field.type))
+            elif c == "_commit_version":
+                cols.append(
+                    pa.array([partition.version] * n, field.type)
+                )
+            elif c in names:
+                cols.append(tbl.column(c).cast(field.type))
+            elif c in partition.pvalues:
+                cols.append(
+                    pa.array([partition.pvalues[c]] * n, field.type)
+                )
+            else:
+                cols.append(pa.nulls(n, field.type))
+        out = pa.table(cols, schema=target).combine_chunks()
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass

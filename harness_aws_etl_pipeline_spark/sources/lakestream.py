@@ -45,22 +45,33 @@ __all__ = [
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list):
+    def __init__(self, path: str, columns: list, arrow_schema=None):
         self.path = path
         self.columns = columns
+        # target arrow schema (picklable): read() emits whole
+        # RecordBatches — the Spark 4 Python-DataSource fast path
+        self.arrow_schema = arrow_schema
 
 
 def _read_parquet_rows(partition: _FilePartition):
+    """Arrow-batch read: file columns cast to the target schema,
+    missing columns null out — no per-row Python tuples."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(partition.path.removeprefix("file:"))
-    present = [c for c in partition.columns if c in tbl.column_names]
-    pylists = {c: tbl.column(c).to_pylist() for c in present}
-    for i in range(tbl.num_rows):
-        yield tuple(
-            pylists[c][i] if c in pylists else None
-            for c in partition.columns
-        )
+    n = tbl.num_rows
+    if n == 0:
+        return
+    names = set(tbl.column_names)
+    cols = []
+    for field in partition.arrow_schema:
+        if field.name in names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(n, field.type))
+    out = pa.table(cols, schema=partition.arrow_schema).combine_chunks()
+    yield from out.to_batches()
 
 
 # ------------------------------------------------------------- Iceberg
@@ -127,6 +138,9 @@ class _IcebergStreamReader(DataSourceStreamReader):
         ids = self._snap_ids()
         lo, hi = self._resolve(start, ids), self._resolve(end, ids)
         cols = [f.name for f in self._schema.fields]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        asch = to_arrow_schema(self._schema)
         parts: list[InputPartition] = []
         prev = (
             iceberg_snapshot(None, self._base, ids[lo - 1])  # type: ignore[arg-type]
@@ -156,7 +170,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
                     "file(s); append-only streaming cannot represent it"
                 )
             for f in sorted(set(cur["files"]) - prev_files):
-                parts.append(_FilePartition(f, cols))
+                parts.append(_FilePartition(f, cols, arrow_schema=asch))
             prev = cur
         return parts
 
@@ -259,8 +273,11 @@ class _HudiStreamReader(DataSourceStreamReader):
                 "cannot represent it"
             )
         cols = [f.name for f in self._schema.fields]
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        asch = to_arrow_schema(self._schema)
         return [
-            _FilePartition(hi_g[k], cols)
+            _FilePartition(hi_g[k], cols, arrow_schema=asch)
             for k in sorted(hi_g)
             if k not in lo_g
         ]
