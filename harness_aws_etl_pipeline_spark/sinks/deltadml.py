@@ -9,8 +9,10 @@ and land the new copies as data files in the SAME atomic commit,
 optionally emitting update_preimage/update_postimage/insert rows on
 the change data feed. Both refuse to commit if a concurrent delete
 touched one of their matched rows (committing would resurrect it as
-an updated copy), and both are scoped to unpartitioned tables —
-partitioned keyed DML is SnapTable.merge / update_where.
+an updated copy). Partitioned tables work end to end (round-12
+follow-up): new files land in their hive partitions with recorded
+partitionValues, and updated rows whose SET (or incoming values)
+change a partition column simply MIGRATE partitions.
 
 ``delta_delete_where`` marks matching rows deleted by writing roaring
 deletion vectors (``sources/dvcodec``) instead of rewriting parquet:
@@ -202,29 +204,54 @@ def _protocol_upgrade_action(cur: dict) -> dict | None:
 
 
 def _stage_new_files(
-    spark: SparkSession, fs, base: str, df, ts_ms: int
+    spark: SparkSession, fs, base: str, df, ts_ms: int,
+    pcols: list[str] | None = None,
 ) -> list[dict]:
-    """Write ``df`` as new data files at the table root (staged +
+    """Write ``df`` as new data files into the table layout (staged +
     exact-ownership move, write_delta's concurrency reasoning) and
-    return their add actions (dataChange=true). Unpartitioned layout —
-    the DML callers reject partitioned tables."""
+    return their add actions (dataChange=true). Partitioned tables
+    follow write_delta's conventions exactly: hive dirs carry over,
+    partition columns are dropped from the files, and
+    ``partitionValues`` come from the directory segments."""
+    from urllib.parse import quote
+
+    pcols = list(pcols or [])
     stage = posixpath.join(base, f".dml_stage-{uuid.uuid4().hex}")
     adds: list[dict] = []
     try:
-        df.write.mode("overwrite").parquet(stage)
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(stage)
         for rel, _mt, size in fs.list_files(stage):
             if not rel.endswith(".parquet"):
                 continue
-            dest_rel = f"part-{uuid.uuid4().hex}.parquet"
+            if pcols:
+                dest_rel = rel  # hive dirs carry over unchanged
+                parent = posixpath.dirname(dest_rel)
+                if parent:
+                    fs.mkdirs(posixpath.join(base, parent))
+            else:
+                dest_rel = f"part-{uuid.uuid4().hex}.parquet"
             if not fs.rename(
                 posixpath.join(stage, rel), posixpath.join(base, dest_rel)
             ):
                 raise RuntimeError(f"could not move staged file {rel!r}")
+            pv: dict[str, str | None] = {}
+            for seg in dest_rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    if k in pcols:
+                        pv[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
+                        )
             adds.append(
                 {
                     "add": {
-                        "path": dest_rel,
-                        "partitionValues": {},
+                        "path": quote(dest_rel, safe="/="),
+                        "partitionValues": pv,
                         "size": size,
                         "modificationTime": ts_ms,
                         "dataChange": True,
@@ -546,11 +573,7 @@ def _dml_guards(snap: dict, what: str) -> None:
         raise ValueError(
             f"{what} does not support column-mapped tables yet"
         )
-    if snap["partition_columns"]:
-        raise ValueError(
-            f"{what} supports unpartitioned tables only (partitioned "
-            "keyed DML: SnapTable.merge / SnapTable.update_where)"
-        )
+
 
 
 def _auto_cdf(snap: dict, change_data: bool | None) -> bool:
@@ -568,7 +591,9 @@ def _cleanup_rels(fs, base: str, actions: list[dict]) -> None:
     for a in actions:
         rel = (a.get("add") or a.get("cdc") or {}).get("path")
         if rel:
-            fs.delete(posixpath.join(base, rel), recursive=False)
+            fs.delete(
+                posixpath.join(base, unquote(rel)), recursive=False
+            )
 
 
 def _commit_dml_rewrite(
@@ -749,7 +774,9 @@ def delta_update_where(
         )
     updated_out = updated.select(*cols)
     ts_ms = int(time.time() * 1000)
-    new_adds = _stage_new_files(spark, fs, base, updated_out, ts_ms)
+    new_adds = _stage_new_files(
+        spark, fs, base, updated_out, ts_ms, pcols=snap["partition_columns"]
+    )
     cdc_actions: list[dict] = []
     if change_data:
         cdc_df = (
@@ -862,7 +889,10 @@ def delta_merge(
             mkeys.add(tuple(r[k] for k in keys))
 
     ts_ms = int(time.time() * 1000)
-    new_adds = _stage_new_files(spark, fs, base, df.select(*cols), ts_ms)
+    new_adds = _stage_new_files(
+        spark, fs, base, df.select(*cols), ts_ms,
+        pcols=snap["partition_columns"],
+    )
     cdc_actions: list[dict] = []
     if change_data:
         from pyspark.sql.types import StructType

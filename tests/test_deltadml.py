@@ -305,20 +305,46 @@ class TestUpdateWhere:
             (1, "b", "update_postimage"),
         }
 
-    def test_partitioned_rejected(self, spark, tmp_path):
+    def test_partitioned_update_and_partition_migration(
+        self, spark, tmp_path
+    ):
+        """Round-12 follow-up: partitioned tables update end to end;
+        a SET that changes the partition column MIGRATES the row into
+        its new hive partition with recorded partitionValues."""
+        import glob
+
         from harness_aws_etl_pipeline_spark.sinks.deltadml import (
             delta_update_where,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
         )
 
         t = str(tmp_path / "t")
         write_delta(
             spark,
-            spark.range(4).withColumn("p", F.col("id") % 2),
+            spark.range(6).withColumn("p", F.col("id") % 2),
             t,
             partition_by=["p"],
         )
-        with pytest.raises(ValueError, match="unpartitioned"):
-            delta_update_where(spark, t, "id = 1", {"id": "id + 10"})
+        rep = delta_update_where(spark, t, "id = 1", {"p": "7"})
+        assert rep["rows_updated"] == 1
+        got = {(r.id, r.p) for r in read_delta(spark, t).collect()}
+        assert got == {(0, 0), (2, 0), (4, 0), (3, 1), (5, 1), (1, 7)}
+        assert glob.glob(str(tmp_path / "t" / "p=7" / "*.parquet"))
+        snap = delta_snapshot(spark, t)
+        migrated = [
+            add
+            for add in snap["files"].values()
+            if add.get("partitionValues", {}).get("p") == "7"
+        ]
+        assert migrated and migrated[0].get("dataChange") is True
+        # predicate over the partition column also works
+        rep = delta_update_where(spark, t, "p = 7", {"id": "id + 100"})
+        assert rep["rows_updated"] == 1
+        assert (101, 7) in {
+            (r.id, r.p) for r in read_delta(spark, t).collect()
+        }
 
 
 class TestMerge:
@@ -551,3 +577,44 @@ class TestMergeNonUniqueTable:
         assert rep["rows_inserted"] == 0
         got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
         assert got == {(1, "one"), (2, "b")}
+
+
+class TestPartitionedMerge:
+    def test_merge_into_partitioned_table(self, spark, tmp_path):
+        import glob
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, 0, "a"), (2, 1, "b")], "id long, p int, v string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame(
+                # key 2 migrates partitions 1 -> 0; key 9 inserts
+                [(2, 0, "b2"), (9, 1, "n")], "id long, p int, v string"
+            ),
+            t,
+            keys=["id"],
+            change_data=True,
+        )
+        assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+        got = {(r.id, r.p, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, 0, "a"), (2, 0, "b2"), (9, 1, "n")}
+        assert glob.glob(str(tmp_path / "t" / "p=0" / "*.parquet"))
+        ch = delta_changes(spark, t, 0, cdf=True)
+        labels = {(r.id, r.p, r._change_type) for r in ch.collect()}
+        assert (2, 1, "update_preimage") in labels
+        assert (2, 0, "update_postimage") in labels
+        assert (9, 1, "insert") in labels
