@@ -1782,6 +1782,30 @@ def q_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         results["iceberg_upserted"] = _checksum(
             read_iceberg(spark, f"{tmp}/iceberg")
         )
+        # round 12: delta_merge under the same gate — one incoming row
+        # per key for keys %100==50 (REPLACES every live row carrying
+        # the key: the multi-row-key replace-all semantics) and per
+        # deleted key %100==0 (pure re-insert past the DVs)
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        merge_df = (
+            li.where("l_orderkey % 100 = 50 or l_orderkey % 100 = 0")
+            .groupBy("l_orderkey")
+            .agg(
+                F.min("l_linenumber").alias("l_linenumber"),
+                F.min("l_quantity").alias("l_quantity"),
+                F.min("l_returnflag").alias("l_returnflag"),
+            )
+            .select(*li.columns)
+        )
+        delta_merge(
+            spark, merge_df, f"{tmp}/delta", keys=["l_orderkey"]
+        )
+        results["delta_merged"] = _checksum(
+            read_delta(spark, f"{tmp}/delta")
+        )
     rows = [(fmt, c, s) for fmt, (c, s) in sorted(results.items())]
     return spark.createDataFrame(rows, "format string, row_cnt bigint, key_sum bigint")
 
@@ -1796,19 +1820,39 @@ WITH full_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
                       + CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS c,
                       (SELECT s FROM del_t)
                       + CAST(SUM(DISTINCT l_orderkey) AS BIGINT) AS s
-               FROM lineitem WHERE l_orderkey % 100 = 0)
+               FROM lineitem WHERE l_orderkey % 100 = 0),
+     -- merge on the DV-deleted delta table: keys %100==50 replace ALL
+     -- their live rows with ONE row each; keys %100==0 re-insert
+     mrg_t AS (SELECT (SELECT c FROM del_t)
+                      - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                         WHERE l_orderkey % 100 = 50)
+                      + (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                         FROM lineitem WHERE l_orderkey % 100 = 50)
+                      + (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                         FROM lineitem WHERE l_orderkey % 100 = 0) AS c,
+                      (SELECT s FROM del_t)
+                      - (SELECT CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT)
+                         FROM lineitem WHERE l_orderkey % 100 = 50)
+                      + (SELECT CAST(COALESCE(SUM(DISTINCT l_orderkey), 0)
+                              AS BIGINT)
+                         FROM lineitem WHERE l_orderkey % 100 = 50)
+                      + (SELECT CAST(COALESCE(SUM(DISTINCT l_orderkey), 0)
+                              AS BIGINT)
+                         FROM lineitem WHERE l_orderkey % 100 = 0) AS s)
 SELECT fmt AS format,
-       CASE WHEN fmt LIKE '%upserted' THEN (SELECT c FROM ups_t)
+       CASE WHEN fmt = 'delta_merged' THEN (SELECT c FROM mrg_t)
+            WHEN fmt LIKE '%upserted' THEN (SELECT c FROM ups_t)
             WHEN fmt LIKE '%deleted' THEN (SELECT c FROM del_t)
             ELSE (SELECT c FROM full_t)
        END AS row_cnt,
-       CASE WHEN fmt LIKE '%upserted' THEN (SELECT s FROM ups_t)
+       CASE WHEN fmt = 'delta_merged' THEN (SELECT s FROM mrg_t)
+            WHEN fmt LIKE '%upserted' THEN (SELECT s FROM ups_t)
             WHEN fmt LIKE '%deleted' THEN (SELECT s FROM del_t)
             ELSE (SELECT s FROM full_t)
        END AS key_sum
-FROM (VALUES ('csv'), ('delta'), ('delta_deleted'), ('iceberg'),
-             ('iceberg_deleted'), ('iceberg_upserted'), ('json'), ('orc'),
-             ('parquet')) AS t(fmt)
+FROM (VALUES ('csv'), ('delta'), ('delta_deleted'), ('delta_merged'),
+             ('iceberg'), ('iceberg_deleted'), ('iceberg_upserted'),
+             ('json'), ('orc'), ('parquet')) AS t(fmt)
 ORDER BY fmt
 """
 
