@@ -642,9 +642,13 @@ def _commit_dml_rewrite(
                 matches[key] = sorted(pos | already)
             descriptors = _dv_descriptors(fs, base, matches)
             actions: list[dict] = []
-            up = _protocol_upgrade_action(cur)
-            if up:
-                actions.append(up)
+            if descriptors:
+                # DV protocol upgrade only when this commit actually
+                # writes deletion vectors — a pure-insert merge must
+                # not lock out protocol-v1/v2 readers.
+                up = _protocol_upgrade_action(cur)
+                if up:
+                    actions.append(up)
             touched = 0
             for key, desc in sorted(descriptors.items()):
                 add = cur["files"][key]
@@ -767,12 +771,20 @@ def delta_update_where(
             "retries": 0,
         }
 
-    updated = matched
-    for c, expr in set_exprs.items():
-        updated = updated.withColumn(
-            c, F.expr(expr).cast(snap["schema"][c].dataType)
-        )
-    updated_out = updated.select(*cols)
+    # ALL SET expressions evaluate against the PRE-update row (SQL
+    # UPDATE semantics): one select, so {'a': 'b', 'b': 'a'} swaps —
+    # a sequential withColumn chain would feed later SETs the new
+    # values of earlier ones.
+    updated_out = matched.select(
+        *[
+            F.expr(set_exprs[c])
+            .cast(snap["schema"][c].dataType)
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ]
+    )
     ts_ms = int(time.time() * 1000)
     new_adds = _stage_new_files(
         spark, fs, base, updated_out, ts_ms, pcols=snap["partition_columns"]

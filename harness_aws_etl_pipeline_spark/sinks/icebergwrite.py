@@ -579,16 +579,42 @@ def write_iceberg(
         # ---- partition spec for this write (source ids resolved
         # against the EFFECTIVE schema, so evolved field ids hold)
         name_to_fid = {f["name"]: f["id"] for f in eff_fields}
-        spec_fields = [
-            {
-                "name": d["field"],
-                "transform": transform_json(d),
-                "source-id": name_to_fid[d["source"]],
-                "field-id": 1000 + i,
-            }
-            for i, d in enumerate(descs)
-        ]
         prev_specs = list((md or {}).get("partition-specs") or [])
+        # Partition field ids must be UNIQUE across all of the table's
+        # specs (Iceberg v2 — old snapshots' manifests still reference
+        # the old spec): reuse an id only for a field identical to one
+        # in an existing spec, otherwise allocate past the largest id
+        # ever assigned (tracked by last-partition-id).
+        prev_field_id = {
+            (f["name"], f["transform"], f["source-id"]): int(f["field-id"])
+            for s in prev_specs
+            for f in s.get("fields") or []
+        }
+        next_fid = (
+            max(
+                [
+                    int((md or {}).get("last-partition-id", 999)),
+                    999,
+                ]
+                + list(prev_field_id.values())
+            )
+            + 1
+        )
+        spec_fields = []
+        for d in descs:
+            key = (d["field"], transform_json(d), name_to_fid[d["source"]])
+            fid = prev_field_id.get(key)
+            if fid is None:
+                fid = next_fid
+                next_fid += 1
+            spec_fields.append(
+                {
+                    "name": key[0],
+                    "transform": key[1],
+                    "source-id": key[2],
+                    "field-id": fid,
+                }
+            )
         same_spec = next(
             (
                 s

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bucket_value",
     "murmur3_32",
+    "murmur3_32_i64_batch",
     "parse_transform",
     "spec_transforms",
     "transform_column",
@@ -208,28 +209,67 @@ def spec_transforms(md: dict) -> list[dict] | None:
     return out
 
 
+def _utc_date(c: Column, dtype_name: str) -> Column:
+    """The source value's calendar date per the Iceberg spec: UTC for
+    ``timestamp`` (spec defines time transforms over UTC epoch micros,
+    independent of ``spark.sql.session.timeZone``), the stored local
+    value for ``timestamp_ntz``, the value itself for ``date``."""
+    if dtype_name == "timestamp":
+        # epoch-day via unix_micros (tz-independent), floor handles
+        # pre-1970 instants; date_add back onto the epoch gives a
+        # DateType whose year/month extraction is tz-free.
+        epoch_day = F.floor(
+            F.unix_micros(c) / F.lit(86_400_000_000)
+        ).cast("int")
+        return F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day)
+    # date: identity. timestamp_ntz: cast-to-date truncates the stored
+    # local datetime — no timezone is involved for either.
+    return c.cast("date")
+
+
 def transform_column(desc: dict, dtype_name: str) -> Column:
     """The transform as a Column over the source column — JVM-side
-    expressions everywhere except bucket (spec murmur3 via an
-    Arrow-batched pandas UDF; writer staging only)."""
+    expressions everywhere except bucket's string path (spec murmur3
+    via an Arrow-batched pandas UDF; writer staging only).
+
+    Time transforms follow the spec exactly: for ``timestamp`` they
+    are derived from UTC epoch micros (``unix_micros``), never from
+    session-timezone field extraction, so ``days(ts)`` and
+    ``hours(ts)//24`` always agree; for ``timestamp_ntz`` they use the
+    stored local value; for ``date`` the value itself."""
     kind, param, src = desc["kind"], desc["param"], desc["source"]
     c = F.col(src)
     if kind == "identity":
         return c
-    if kind == "year":
-        return (F.year(c) - F.lit(1970)).cast("int")
-    if kind == "month":
-        return (
-            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
-        ).cast("int")
-    if kind == "day":
-        return F.datediff(
-            c.cast("date"), F.to_date(F.lit("1970-01-01"))
-        ).cast("int")
-    if kind == "hour":
-        if dtype_name not in ("timestamp", "timestamp_ntz"):
+    if kind in ("year", "month", "day", "hour"):
+        if kind == "hour" and dtype_name not in (
+            "timestamp",
+            "timestamp_ntz",
+        ):
             raise ValueError("hour transform needs a timestamp column")
-        return F.floor(c.cast("double") / F.lit(3600.0)).cast("int")
+        if kind == "hour":
+            if dtype_name == "timestamp":
+                return F.floor(
+                    F.unix_micros(c) / F.lit(3_600_000_000)
+                ).cast("int")
+            # timestamp_ntz: no numeric cast exists; hours since epoch
+            # of the stored local value = local-epoch-day * 24 + hour.
+            d = F.datediff(
+                c.cast("date"), F.to_date(F.lit("1970-01-01"))
+            )
+            return (d * F.lit(24) + F.hour(c)).cast("int")
+        ud = _utc_date(c, dtype_name)
+        if kind == "year":
+            return (F.year(ud) - F.lit(1970)).cast("int")
+        if kind == "month":
+            return (
+                (F.year(ud) - F.lit(1970)) * F.lit(12)
+                + F.month(ud)
+                - F.lit(1)
+            ).cast("int")
+        return F.datediff(
+            ud, F.to_date(F.lit("1970-01-01"))
+        ).cast("int")
     if kind == "truncate":
         if dtype_name == "string":
             return F.substring(c, 1, param)
@@ -240,8 +280,78 @@ def transform_column(desc: dict, dtype_name: str) -> Column:
             f"truncate transform unsupported for {dtype_name!r}"
         )
     if kind == "bucket":
+        if dtype_name in ("integer", "long", "date"):
+            # Serialize JVM-side to the spec's 8-byte long (dates as
+            # days-since-epoch), null-fill with 0 so the Arrow batch
+            # arrives as exact int64 (a nullable int batch converts to
+            # float64 in pandas and silently rounds > 2^53), and mask
+            # nulls back afterwards.
+            v = (
+                F.datediff(c, F.to_date(F.lit("1970-01-01")))
+                if dtype_name == "date"
+                else c
+            ).cast("long")
+            return F.when(
+                c.isNotNull(),
+                _bucket_i64_udf(param)(F.coalesce(v, F.lit(0))),
+            )
         return _bucket_udf(param, dtype_name)(c)
     raise ValueError(f"unknown transform kind {kind!r}")
+
+
+def murmur3_32_i64_batch(vals):
+    """Vectorized murmur3_x86_32 over int64 values serialized as the
+    spec's 8-byte little-endian blocks (the int/long/date bucket
+    layout) — pure numpy bit-ops, no per-row Python. Returns a uint32
+    ndarray. Matches :func:`murmur3_32` bit-for-bit (two 4-byte body
+    blocks, no tail, length 8)."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    blocks = (
+        np.ascontiguousarray(vals, dtype="<i8").view("<u4").reshape(-1, 2)
+    )
+    with np.errstate(over="ignore"):
+        h = np.zeros(blocks.shape[0], dtype=np.uint32)
+        for i in (0, 1):
+            k = blocks[:, i] * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)  # total byte length
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _bucket_i64_udf(n: int):
+    """Fixed-width bucket path: whole-batch numpy murmur3 over exact
+    non-null int64 input (the caller null-fills and masks JVM-side) —
+    every row of a bucket-partitioned write flows through here, so no
+    per-row Python."""
+    import pandas as pd  # noqa: F401 (resolved via globals by pyspark)
+
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _b(s: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        vals = s.to_numpy(dtype=np.int64)
+        h = murmur3_32_i64_batch(vals)
+        out = (
+            (h & np.uint32(0x7FFFFFFF)).astype(np.int64) % n
+        ).astype(np.int32)
+        return pd.Series(out, index=s.index)
+
+    return _b
 
 
 def _bucket_udf(n: int, type_name: str):

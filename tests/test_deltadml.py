@@ -618,3 +618,76 @@ class TestPartitionedMerge:
         assert (2, 1, "update_preimage") in labels
         assert (2, 0, "update_postimage") in labels
         assert (9, 1, "insert") in labels
+
+
+class TestAdviceRegressionsR13:
+    def test_update_interdependent_sets_swap(self, spark, tmp_path):
+        """All SET expressions evaluate against the PRE-update row
+        (SQL UPDATE semantics): {'a': 'b', 'b': 'a'} swaps."""
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, 10, 20), (2, 30, 40)], "id long, a long, b long"
+            ),
+            t,
+        )
+        rep = delta_update_where(
+            spark, t, "id = 1", {"a": "b", "b": "a"}
+        )
+        assert rep["rows_updated"] == 1
+        got = {(r.id, r.a, r.b) for r in read_delta(spark, t).collect()}
+        assert got == {(1, 20, 10), (2, 30, 40)}
+
+    def test_pure_insert_merge_keeps_protocol(self, spark, tmp_path):
+        """A merge that matches nothing writes no DVs and must NOT
+        upgrade the table protocol to reader v3."""
+        import glob
+        import json
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+        )
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame([(9, "n")], "id long, v string"),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_inserted"] == 1 and rep["rows_updated"] == 0
+        commit = sorted(glob.glob(f"{t}/_delta_log/*.json"))[-1]
+        actions = [
+            json.loads(line)
+            for line in open(commit)
+            if line.strip()
+        ]
+        assert not any("protocol" in a for a in actions), actions
+        # an actually-matching merge still upgrades
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame([(1, "up")], "id long, v string"),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_updated"] == 1
+        commit = sorted(glob.glob(f"{t}/_delta_log/*.json"))[-1]
+        actions = [
+            json.loads(line)
+            for line in open(commit)
+            if line.strip()
+        ]
+        protos = [a["protocol"] for a in actions if "protocol" in a]
+        assert protos and protos[0]["minReaderVersion"] == 3
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(1, "up"), (9, "n")}

@@ -592,3 +592,206 @@ class TestHiddenTransforms:
         # unknown filter key rejects
         with pytest.raises(ValueError, match="neither"):
             read_iceberg(spark, t, partition_filter={"nope": 1}).collect()
+
+
+class TestTimeTransformTimezone:
+    """Spec: all timestamp time transforms are defined over UTC epoch
+    micros — results must not depend on spark.sql.session.timeZone,
+    and days(ts) must always equal hours(ts) // 24."""
+
+    def test_utc_consistent_under_non_utc_session_tz(self, spark):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            parse_transform,
+            transform_column,
+        )
+
+        # 2024-01-01T02:30Z — in America/Los_Angeles this is still
+        # 2023-12-31 local, so session-tz field extraction would give
+        # the wrong year/month/day.
+        inst = datetime.datetime(
+            2024, 1, 1, 2, 30, tzinfo=datetime.timezone.utc
+        )
+        epoch_s = int(inst.timestamp())
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        results = {}
+        try:
+            for zone in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+                spark.conf.set("spark.sql.session.timeZone", zone)
+                df = spark.createDataFrame(
+                    [(inst,)], "ts timestamp"
+                ).select(
+                    *[
+                        transform_column(
+                            parse_transform(f"{k}(ts)"), "timestamp"
+                        ).alias(k)
+                        for k in ("years", "months", "days", "hours")
+                    ]
+                )
+                row = df.collect()[0]
+                results[zone] = (row.years, row.months, row.days, row.hours)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        expect = (
+            2024 - 1970,
+            (2024 - 1970) * 12 + 0,
+            epoch_s // 86400,
+            epoch_s // 3600,
+        )
+        for zone, got in results.items():
+            assert got == expect, (zone, got, expect)
+            assert got[3] // 24 == got[2], (zone, got)
+
+    def test_hours_on_timestamp_ntz(self, spark):
+        import datetime
+
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            parse_transform,
+            transform_column,
+        )
+
+        # ntz transforms use the STORED local value (no tz) — hour of
+        # 1970-01-02T03:00 local is 27 regardless of session tz.
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            for zone in ("UTC", "America/Los_Angeles"):
+                spark.conf.set("spark.sql.session.timeZone", zone)
+                df = spark.createDataFrame(
+                    [(datetime.datetime(1970, 1, 2, 3, 0),)],
+                    "ts timestamp_ntz",
+                ).select(
+                    transform_column(
+                        parse_transform("hours(ts)"), "timestamp_ntz"
+                    ).alias("h"),
+                    transform_column(
+                        parse_transform("days(ts)"), "timestamp_ntz"
+                    ).alias("d"),
+                )
+                row = df.collect()[0]
+                assert (row.h, row.d) == (27, 1), zone
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+
+    def test_pre_epoch_timestamp_floors(self, spark):
+        import datetime
+
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            parse_transform,
+            transform_column,
+        )
+
+        inst = datetime.datetime(
+            1969, 12, 31, 23, 0, tzinfo=datetime.timezone.utc
+        )
+        row = (
+            spark.createDataFrame([(inst,)], "ts timestamp")
+            .select(
+                *[
+                    transform_column(
+                        parse_transform(f"{k}(ts)"), "timestamp"
+                    ).alias(k)
+                    for k in ("years", "months", "days", "hours")
+                ]
+            )
+            .collect()[0]
+        )
+        assert (row.years, row.months, row.days, row.hours) == (
+            -1,
+            -1,
+            -1,
+            -1,
+        )
+
+    def test_bucket_vectorized_matches_scalar(self, spark):
+        import datetime
+        import struct
+
+        import numpy as np
+
+        from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+            bucket_value,
+            murmur3_32,
+            murmur3_32_i64_batch,
+            parse_transform,
+            transform_column,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+        batch = murmur3_32_i64_batch(vals)
+        assert list(batch) == [
+            murmur3_32(struct.pack("<q", int(v))) for v in vals
+        ]
+        # end-to-end through the staging UDF, nulls included
+        df = spark.createDataFrame(
+            [(int(v),) for v in vals[:50]] + [(None,)], "id long"
+        ).select(
+            "id",
+            transform_column(
+                parse_transform("bucket(16, id)"), "long"
+            ).alias("b"),
+        )
+        for r in df.collect():
+            assert r.b == (
+                None if r.id is None else bucket_value(r.id, 16, "long")
+            )
+        # date path through the vectorized UDF
+        dd = spark.createDataFrame(
+            [(datetime.date(2017, 11, 16),), (None,)], "d date"
+        ).select(
+            "d",
+            transform_column(
+                parse_transform("bucket(8, d)"), "date"
+            ).alias("b"),
+        )
+        got = {str(r.d): r.b for r in dd.collect()}
+        assert got["2017-11-16"] == ((-653330422) & 0x7FFFFFFF) % 8
+        assert got["None"] is None
+
+
+class TestSpecFieldIdUniqueness:
+    def test_overwrite_new_spec_allocates_fresh_field_ids(
+        self, spark, tmp_path
+    ):
+        """Iceberg v2: partition field ids are unique across ALL
+        specs — an overwrite that changes partitioning must not reuse
+        spec 0's ids for different transforms; identical fields DO
+        keep their id."""
+        import json
+
+        t = tmp_path / "t"
+        df = spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(4)],
+            "id long, p int, v string",
+        )
+        write_iceberg(spark, df, str(t), partition_by=["p"])
+        write_iceberg(
+            spark, df, str(t), mode="overwrite",
+            partition_by=["bucket(4, id)", "p"],
+        )
+        mds = sorted((t / "metadata").glob("v*.metadata.json"))
+        md = json.loads(mds[-1].read_text())
+        specs = {s["spec-id"]: s for s in md["partition-specs"]}
+        assert set(specs) == {0, 1}
+        ids0 = {
+            (f["name"], f["transform"], f["source-id"]): f["field-id"]
+            for f in specs[0]["fields"]
+        }
+        ids1 = {
+            (f["name"], f["transform"], f["source-id"]): f["field-id"]
+            for f in specs[1]["fields"]
+        }
+        # the identical field ("p", identity) keeps its id
+        same = next(k for k in ids0 if k in ids1)
+        assert ids0[same] == ids1[same]
+        # the new bucket field gets an id no other spec ever used
+        new_ids = {v for k, v in ids1.items() if k not in ids0}
+        assert new_ids and new_ids.isdisjoint(set(ids0.values()))
+        assert md["last-partition-id"] == max(
+            set(ids0.values()) | set(ids1.values())
+        )
+        # round-trip still reads
+        assert read_iceberg(spark, str(t)).count() == 4
