@@ -25,6 +25,19 @@ Honest bounds: matched positions are collected driver-side
 rewrite-based delete); tables carrying live EQUALITY deletes are
 refused (the raw probe scan cannot see through them) — compact
 first.
+
+PARTITIONED tables (round 13): DML is spec-aware. Position-delete
+files are written ONE PER PARTITION of the data files they reference,
+and both delete and upsert manifest entries carry the referenced /
+staged files' real partition values under the table's default spec id
+(before this, DML hardcoded empty partition structs + spec id 0 —
+spec-inconsistent metadata on partitioned tables). ``iceberg_upsert``
+stages its new data files through ``write_iceberg``'s exact
+partitioned staging (hive layout under the spec transforms), and its
+global equality delete rides an UNPARTITIONED spec per the spec's
+global-delete rule (one is added to ``partition-specs`` if the table
+has none). A commit-time guard re-checks the spec signature so a
+concurrent spec change can never land old-spec values.
 """
 
 from __future__ import annotations
@@ -42,6 +55,9 @@ from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
     _ENTRY_SCHEMA,
     _MLIST_SCHEMA,
+    _entry_schema,
+    _field_meta,
+    _stage_data_files,
 )
 from harness_aws_etl_pipeline_spark.sources.avroread import (
     _iter_container,
@@ -61,6 +77,49 @@ def _strip(p: str) -> str:
         if "://" in p
         else "/" + p.lstrip("/")
     )
+
+
+def _dml_spec_fields(
+    md: dict, descs: list[dict], schema, op: str
+) -> tuple[int, list[dict]]:
+    """Commit-time spec resolution for DML: re-check that the table's
+    default partition spec still matches the descriptors the probe /
+    staging ran under (a concurrent overwrite can change the spec —
+    committing old-spec partition values against a new spec id would
+    be exactly the metadata corruption this round fixed), and return
+    ``(default_spec_id, part_fields)`` where ``part_fields`` feeds
+    ``_entry_schema`` (empty for unpartitioned tables)."""
+    from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+        spec_transforms,
+    )
+
+    cur = [
+        d
+        for d in (spec_transforms(md) or [])
+        if d["kind"] != "void"
+    ]
+
+    def _sig(ds):
+        return [(d["kind"], d["param"], d["source"], d["field"]) for d in ds]
+
+    if _sig(cur) != _sig(descs):
+        raise ValueError(
+            f"{op}: the table's partition spec changed concurrently "
+            "(staged files/values follow the old spec); rerun the DML"
+        )
+    spec_id = int(md.get("default-spec-id", 0))
+    if not descs:
+        return spec_id, []
+    _parse, field_avro, _types = _field_meta(descs, schema)
+    part_fields = [
+        {
+            "name": d["field"],
+            "avro": field_avro[d["field"]],
+            "field-id": d.get("field_id") or (1000 + i),
+        }
+        for i, d in enumerate(descs)
+    ]
+    return spec_id, part_fields
 
 
 def iceberg_delete_where(
@@ -89,6 +148,34 @@ def iceberg_delete_where(
             "retries": 0,
         }
     origin_of = snap.get("origin_of") or {}
+    # partitioned table: delete entries must carry the referenced data
+    # file's REAL partition values under the table's spec (an empty
+    # struct against a partitioned spec is metadata external readers
+    # cannot decode)
+    descs = [
+        d
+        for d in (snap.get("partition_spec_transforms") or [])
+        if d["kind"] != "void"
+    ]
+    part_by_origin: dict[str, dict] = {}
+    if descs:
+        fields = [d["field"] for d in descs]
+        pof = snap.get("partition_of") or {}
+        uncovered = [
+            f
+            for f in snap["files"]
+            if any(k not in (pof.get(f) or {}) for k in fields)
+        ]
+        if uncovered:
+            raise ValueError(
+                f"{len(uncovered)} live data file(s) carry no partition "
+                "metadata for the table's spec (older specs or foreign "
+                "writers) — iceberg_compact first, then rerun the delete"
+            )
+        for f in snap["files"]:
+            part_by_origin[origin_of.get(f, f)] = {
+                k: pof[f].get(k) for k in fields
+            }
 
     # ---- probe: (manifest-recorded file path, row position) pairs
     scan = (
@@ -138,8 +225,27 @@ def iceberg_delete_where(
     touched = len({f for f, _ in del_rows})
     live_keys = {origin_of.get(f, f) for f in snap["files"]}
 
-    # ---- the position-delete parquet (spec-reserved field ids)
+    # ---- the position-delete parquet(s) (spec-reserved field ids).
+    # On a partitioned table delete rows are grouped by the REFERENCED
+    # data file's partition tuple — one delete file per partition, so
+    # every manifest entry carries real partition values under the
+    # table's spec and external readers can prune delete files exactly
+    # like data files.
     from pyspark.sql import types as T
+
+    def _ptuple(fp: str) -> tuple:
+        pv = part_by_origin.get(fp) or {}
+        return tuple(pv.get(d["field"]) for d in descs)
+
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    for fp, pos in del_rows:
+        groups.setdefault(_ptuple(fp), []).append((fp, pos))
+    toks = {pt: str(i) for i, pt in enumerate(sorted(groups, key=repr))}
+    part_of_tok = {
+        toks[pt]: dict(zip([d["field"] for d in descs], pt))
+        for pt in groups
+    }
+    count_of_tok = {toks[pt]: len(rows_) for pt, rows_ in groups.items()}
 
     del_schema = T.StructType(
         [
@@ -151,33 +257,50 @@ def iceberg_delete_where(
                 "pos", T.LongType(), False,
                 {"parquet.field.id": 2147483545},
             ),
+            T.StructField("__tok", T.StringType(), False),
         ]
     )
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
-    del_rel = None
+    # del_files: rel path → (size, record_count, partition values)
+    del_files: dict[str, tuple[int, int, dict]] = {}
     ts_ms = int(time.time() * 1000)
     retries = 0
     try:
-        spark.createDataFrame(del_rows, del_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        staged = [
-            rel
-            for rel, _mt, _sz in fs.list_files(stage)
-            if rel.endswith(".parquet")
+        staged_rows = [
+            (fp, pos, toks[pt])
+            for pt, rows_ in groups.items()
+            for fp, pos in rows_
         ]
-        (src,) = staged
-        del_rel = f"data/{uuid.uuid4().hex}-deletes.parquet"
-        del_size = next(
-            sz for rel, _mt, sz in fs.list_files(stage) if rel == src
-        )
-        if not fs.rename(
-            posixpath.join(stage, src), posixpath.join(base, del_rel)
-        ):
-            raise RuntimeError("could not move staged delete file")
+        # repartition(1) + partitionBy → exactly ONE file per group
+        # (driver-bounded rows by max_deleted_rows, same as before)
+        spark.createDataFrame(staged_rows, del_schema).repartition(
+            1
+        ).write.partitionBy("__tok").mode("overwrite").parquet(stage)
+        for rel, _mt, sz in fs.list_files(stage):
+            if not rel.endswith(".parquet"):
+                continue
+            tok = next(
+                (
+                    comp.split("=", 1)[1]
+                    for comp in rel.split("/")[:-1]
+                    if comp.startswith("__tok=")
+                ),
+                "0",
+            )
+            dest_rel = f"data/{uuid.uuid4().hex}-deletes.parquet"
+            if not fs.rename(
+                posixpath.join(stage, rel), posixpath.join(base, dest_rel)
+            ):
+                raise RuntimeError("could not move staged delete file")
+            del_files[dest_rel] = (
+                sz,
+                count_of_tok[tok],
+                part_of_tok[tok],
+            )
     finally:
         fs.delete(stage, recursive=True)
+    assert sum(c for _s, c, _p in del_files.values()) == len(del_rows)
 
     # ---- commit loop (CAS on vN+1.metadata.json, like write_iceberg)
     mdir = posixpath.join(base, "metadata")
@@ -208,6 +331,9 @@ def iceberg_delete_where(
                 "referenced data file(s) vanished from the snapshot "
                 "while deleting (concurrent rewrite); rerun the delete"
             )
+        spec_id, part_fields = _dml_spec_fields(
+            md, descs, snap["schema"], "iceberg_delete_where"
+        )
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
         seq = int(md.get("last-sequence-number", 0)) + 1
         entries = [
@@ -217,27 +343,31 @@ def iceberg_delete_where(
                 "sequence_number": seq,
                 "data_file": {
                     "content": 1,  # position deletes
-                    "file_path": posixpath.join(base, del_rel),
+                    "file_path": posixpath.join(base, rel_),
                     "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": len(del_rows),
-                    "file_size_in_bytes": del_size,
+                    "partition": pvals,
+                    "record_count": cnt,
+                    "file_size_in_bytes": sz,
                     "equality_ids": None,
                 },
             }
+            for rel_, (sz, cnt, pvals) in sorted(del_files.items())
         ]
         man_rel = f"metadata/{uuid.uuid4().hex}-d0.avro"
-        man_bytes = write_avro_bytes(_ENTRY_SCHEMA, entries)
+        man_bytes = write_avro_bytes(
+            _entry_schema(part_fields) if part_fields else _ENTRY_SCHEMA,
+            entries,
+        )
         fs.write_bytes(posixpath.join(base, man_rel), man_bytes)
         new_manifest = {
             "manifest_path": posixpath.join(base, man_rel),
             "manifest_length": len(man_bytes),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 1,  # deletes manifest
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
-            "added_files_count": 1,
+            "added_files_count": len(entries),
             "existing_files_count": 0,
             "deleted_files_count": 0,
             "added_rows_count": len(del_rows),
@@ -364,51 +494,66 @@ def iceberg_upsert(
         )
     eq_ids = [ids_by_name[k] for k in keys]
 
-    # ---- stage new data files (write_iceberg's exact-ownership move)
-    stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
-    new_files: dict[str, int] = {}
-    del_rel = None
-    try:
-        df.write.mode("overwrite").parquet(stage)
-        for rel, _mt, size in fs.list_files(stage):
-            if not rel.endswith(".parquet"):
-                continue
-            dest_rel = f"data/{uuid.uuid4().hex}-{posixpath.basename(rel)}"
-            if not fs.rename(
-                posixpath.join(stage, rel), posixpath.join(base, dest_rel)
-            ):
-                raise RuntimeError(f"could not move staged file {rel!r}")
-            new_files[dest_rel] = size
+    # ---- resolve the table's partition spec: new data files must be
+    # staged partitioned and their manifest entries must carry real
+    # partition values (round 13 — before this, upsert files landed
+    # unpartitioned with empty partition structs, degrading pruning
+    # and writing spec-inconsistent metadata on partitioned tables)
+    from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+        spec_transforms,
+    )
 
-        # equality-delete parquet: the distinct keys, field-id tagged
-        # via withMetadata — fully distributed, no driver collect
-        kdf = df.select(*keys).distinct()
-        for k in keys:
-            kdf = kdf.withMetadata(k, {"parquet.field.id": ids_by_name[k]})
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        dstage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
-        try:
-            kdf.coalesce(1).write.mode("overwrite").parquet(dstage)
-            (src,) = [
-                rel
-                for rel, _mt, _sz in fs.list_files(dstage)
-                if rel.endswith(".parquet")
-            ]
-            del_size = next(
-                sz for rel, _mt, sz in fs.list_files(dstage) if rel == src
-            )
-            del_rel = f"data/{uuid.uuid4().hex}-eqdeletes.parquet"
-            if not fs.rename(
-                posixpath.join(dstage, src), posixpath.join(base, del_rel)
-            ):
-                raise RuntimeError("could not move staged delete file")
-        finally:
-            fs.delete(dstage, recursive=True)
-        del_count = spark.read.parquet(
-            posixpath.join(base, del_rel)
-        ).count()
+    all_descs = spec_transforms(md) or []
+    if any(d["kind"] == "void" for d in all_descs):
+        raise ValueError(
+            "table's partition spec carries void (dropped) fields; "
+            "upserting through spec evolution is not supported"
+        )
+    descs = list(all_descs)
+    field_parse: dict[str, str] = {}
+    src_type: dict[str, str] = {}
+    if descs:
+        field_parse, _field_avro_unused, src_type = _field_meta(
+            descs, df.schema
+        )
+
+    # ---- stage new data files (write_iceberg's exact staging: hive
+    # layout under the spec transforms + exact-ownership move)
+    new_files, part_of = _stage_data_files(
+        spark, fs, base, df, descs, src_type, field_parse
+    )
+    del_rel = None
+
+    # equality-delete parquet: the distinct keys, field-id tagged
+    # via withMetadata — fully distributed, no driver collect. It is
+    # a GLOBAL delete (spec: equality deletes stored with an
+    # unpartitioned spec apply to the whole table), so it stays one
+    # unpartitioned file regardless of the table's partitioning.
+    kdf = df.select(*keys).distinct()
+    for k in keys:
+        kdf = kdf.withMetadata(k, {"parquet.field.id": ids_by_name[k]})
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    dstage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
+    try:
+        kdf.coalesce(1).write.mode("overwrite").parquet(dstage)
+        (src,) = [
+            rel
+            for rel, _mt, _sz in fs.list_files(dstage)
+            if rel.endswith(".parquet")
+        ]
+        del_size = next(
+            sz for rel, _mt, sz in fs.list_files(dstage) if rel == src
+        )
+        del_rel = f"data/{uuid.uuid4().hex}-eqdeletes.parquet"
+        if not fs.rename(
+            posixpath.join(dstage, src), posixpath.join(base, del_rel)
+        ):
+            raise RuntimeError("could not move staged delete file")
     finally:
-        fs.delete(stage, recursive=True)
+        fs.delete(dstage, recursive=True)
+    del_count = spark.read.parquet(
+        posixpath.join(base, del_rel)
+    ).count()
 
     # per-file record counts, one grouped job over this write's files
     counts: dict[str, int] = {}
@@ -443,6 +588,21 @@ def iceberg_upsert(
             m = re.match(r"v(\d+)\.metadata\.json$", posixpath.basename(rel))
             if m:
                 cur_version = max(cur_version, int(m.group(1)))
+        data_spec_id, part_fields = _dml_spec_fields(
+            md, descs, df.schema, "iceberg_upsert"
+        )
+        # the GLOBAL equality delete rides an UNPARTITIONED spec (the
+        # spec's global-delete rule); add one to the table if it only
+        # has partitioned specs
+        specs = list(
+            md.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+        )
+        del_spec_id = next(
+            (s["spec-id"] for s in specs if not s.get("fields")), None
+        )
+        if del_spec_id is None:
+            del_spec_id = max(s["spec-id"] for s in specs) + 1
+            specs = specs + [{"spec-id": del_spec_id, "fields": []}]
         snapshot_id = int(uuid.uuid4().int % (1 << 62)) + 1
         seq = int(md.get("last-sequence-number", 0)) + 1
         data_entries = [
@@ -454,7 +614,7 @@ def iceberg_upsert(
                     "content": 0,
                     "file_path": posixpath.join(base, p),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_of.get(p) or {},
                     "record_count": counts.get(p, 0),
                     "file_size_in_bytes": sz,
                     "equality_ids": None,
@@ -479,17 +639,20 @@ def iceberg_upsert(
             }
         ]
         dman_rel = f"metadata/{uuid.uuid4().hex}-m0.avro"
-        dman = write_avro_bytes(_ENTRY_SCHEMA, data_entries)
+        dman = write_avro_bytes(
+            _entry_schema(part_fields) if part_fields else _ENTRY_SCHEMA,
+            data_entries,
+        )
         fs.write_bytes(posixpath.join(base, dman_rel), dman)
         eman_rel = f"metadata/{uuid.uuid4().hex}-d0.avro"
         eman = write_avro_bytes(_ENTRY_SCHEMA, del_entries)
         fs.write_bytes(posixpath.join(base, eman_rel), eman)
 
-        def _mf(rel_, blob, content, adds, rows_):
+        def _mf(rel_, blob, content, adds, rows_, spec_id_):
             return {
                 "manifest_path": posixpath.join(base, rel_),
                 "manifest_length": len(blob),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id_,
                 "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -527,8 +690,11 @@ def iceberg_upsert(
                 _MLIST_SCHEMA,
                 prev_manifests
                 + [
-                    _mf(dman_rel, dman, 0, len(data_entries), rows_upserted),
-                    _mf(eman_rel, eman, 1, 1, 1),
+                    _mf(
+                        dman_rel, dman, 0, len(data_entries),
+                        rows_upserted, data_spec_id,
+                    ),
+                    _mf(eman_rel, eman, 1, 1, 1, del_spec_id),
                 ],
             ),
         )
@@ -541,6 +707,9 @@ def iceberg_upsert(
             "schema-id": cur_id,
         }
         new_md = dict(md)
+        # persist the unpartitioned spec if the global delete added
+        # one (default-spec-id unchanged — data stays partitioned)
+        new_md["partition-specs"] = specs
         new_md["last-sequence-number"] = seq
         new_md["last-updated-ms"] = ts_ms
         new_md["snapshots"] = (md.get("snapshots") or []) + [snapshot]

@@ -294,6 +294,142 @@ def _schema_node(df: DataFrame, schema_id: int) -> tuple[dict, int]:
     return node, counter["n"]
 
 
+def _field_meta(
+    descs: list[dict], schema
+) -> tuple[dict[str, str], dict[str, object], dict[str, str]]:
+    """Per partition-spec field: source-type validation + hive-value
+    parse type + avro type of the manifest partition struct member.
+    ``schema`` is a Spark StructType (the frame's on write, the
+    TABLE's on DML). Shared by ``write_iceberg`` and the DML paths
+    (``sinks/icebergdml``) so both stage and record partition values
+    identically."""
+    _TIME_SRC = ("date", "timestamp", "timestamp_ntz")
+    field_parse: dict[str, str] = {}
+    field_avro: dict[str, object] = {}
+    src_type: dict[str, str] = {}
+    for d in descs:
+        tn = schema[d["source"]].dataType.typeName()
+        src_type[d["field"]] = tn
+        k = d["kind"]
+        if k == "identity":
+            if tn not in _PART_AVRO:
+                raise ValueError(
+                    f"unsupported identity-partition column type {tn!r} "
+                    f"for {d['source']!r} (supported: {sorted(_PART_AVRO)})"
+                )
+            field_parse[d["field"]] = tn
+            field_avro[d["field"]] = _PART_AVRO[tn]
+        elif k in ("year", "month", "day"):
+            if tn not in _TIME_SRC:
+                raise ValueError(
+                    f"{k} transform needs a date/timestamp column; "
+                    f"{d['source']!r} is {tn!r}"
+                )
+            field_parse[d["field"]] = "integer"
+            field_avro[d["field"]] = "int"
+        elif k == "hour":
+            if tn not in ("timestamp", "timestamp_ntz"):
+                raise ValueError(
+                    f"hour transform needs a timestamp column; "
+                    f"{d['source']!r} is {tn!r}"
+                )
+            field_parse[d["field"]] = "integer"
+            field_avro[d["field"]] = "int"
+        elif k == "bucket":
+            if tn not in ("integer", "long", "string", "date"):
+                raise ValueError(
+                    f"bucket transform unsupported for {tn!r} column "
+                    f"{d['source']!r}"
+                )
+            field_parse[d["field"]] = "integer"
+            field_avro[d["field"]] = "int"
+        elif k == "truncate":
+            if tn not in ("integer", "long", "string"):
+                raise ValueError(
+                    f"truncate transform unsupported for {tn!r} column "
+                    f"{d['source']!r}"
+                )
+            field_parse[d["field"]] = tn
+            field_avro[d["field"]] = _PART_AVRO[tn]
+        else:
+            raise ValueError(f"unsupported transform kind {k!r}")
+    return field_parse, field_avro, src_type
+
+
+def _stage_data_files(
+    spark: SparkSession,
+    fs,
+    base: str,
+    df: DataFrame,
+    descs: list[dict],
+    src_type: dict[str, str],
+    field_parse: dict[str, str],
+) -> tuple[dict[str, int], dict[str, dict]]:
+    """Staged write + exact-ownership move into ``data/`` — hive
+    layout under the spec's transform values for partitioned tables.
+    Returns ``(new_files {rel: size}, part_of {rel: {field: typed
+    partition value}})``. Shared by ``write_iceberg`` and
+    ``iceberg_upsert`` so DML files land partitioned exactly like
+    appends (the spec requires DML data files to carry real partition
+    values; without them partition pruning silently degrades)."""
+    from urllib.parse import unquote
+
+    from harness_aws_etl_pipeline_spark.sources.icebergpart import (
+        transform_column,
+    )
+
+    stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
+    new_files: dict[str, int] = {}
+    part_of: dict[str, dict] = {}
+    fields = [d["field"] for d in descs]
+    try:
+        if descs:
+            staged_df = df
+            for d in descs:
+                staged_df = staged_df.withColumn(
+                    f"__icw_{d['field']}",
+                    transform_column(d, src_type[d["field"]]),
+                )
+            staged_df.write.partitionBy(
+                *[f"__icw_{d['field']}" for d in descs]
+            ).mode("overwrite").parquet(stage)
+        else:
+            df.write.mode("overwrite").parquet(stage)
+        for rel, _mt, size in fs.list_files(stage):
+            if not rel.endswith(".parquet"):
+                continue
+            pvals: dict[str, object] = {}
+            pdir: list[str] = []
+            for comp in rel.split("/")[:-1]:
+                k, sep, v = comp.partition("=")
+                if not sep or not k.startswith("__icw_"):
+                    continue
+                c = k[len("__icw_"):]
+                raw = unquote(v)
+                pvals[c] = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else _parse_pval(raw, field_parse[c])
+                )
+                pdir.append(f"{c}={v}")
+            dest_dir = "/".join(["data"] + pdir)
+            if pdir:
+                fs.mkdirs(posixpath.join(base, dest_dir))
+            dest_rel = (
+                f"{dest_dir}/{uuid.uuid4().hex}-{posixpath.basename(rel)}"
+            )
+            if not fs.rename(
+                posixpath.join(stage, rel), posixpath.join(base, dest_rel)
+            ):
+                raise RuntimeError(f"could not move staged file {rel!r}")
+            new_files[dest_rel] = size
+            if fields:
+                part_of[dest_rel] = {c: pvals.get(c) for c in fields}
+    finally:
+        fs.delete(stage, recursive=True)
+    return new_files, part_of
+
+
 def _latest_md(fs, mdir: str) -> tuple[dict | None, int]:
     """Newest ``vN.metadata.json`` (parsed) and its version, or
     ``(None, 0)`` for a fresh table."""
@@ -344,7 +480,6 @@ def write_iceberg(
     from harness_aws_etl_pipeline_spark.sources.icebergpart import (
         parse_transform,
         spec_transforms,
-        transform_column,
         transform_json,
     )
 
@@ -378,114 +513,16 @@ def write_iceberg(
     missing = [d["source"] for d in descs if d["source"] not in df.columns]
     if missing:
         raise ValueError(f"partition columns not in the frame: {missing}")
-    # per spec field: source type validation + hive-value parse type +
-    # avro type of the manifest partition struct member
-    _TIME_SRC = ("date", "timestamp", "timestamp_ntz")
-    field_parse: dict[str, str] = {}
-    field_avro: dict[str, object] = {}
-    src_type: dict[str, str] = {}
-    for d in descs:
-        tn = df.schema[d["source"]].dataType.typeName()
-        src_type[d["field"]] = tn
-        k = d["kind"]
-        if k == "identity":
-            if tn not in _PART_AVRO:
-                raise ValueError(
-                    f"unsupported identity-partition column type {tn!r} "
-                    f"for {d['source']!r} (supported: {sorted(_PART_AVRO)})"
-                )
-            field_parse[d["field"]] = tn
-            field_avro[d["field"]] = _PART_AVRO[tn]
-        elif k in ("year", "month", "day"):
-            if tn not in _TIME_SRC:
-                raise ValueError(
-                    f"{k} transform needs a date/timestamp column; "
-                    f"{d['source']!r} is {tn!r}"
-                )
-            field_parse[d["field"]] = "integer"
-            field_avro[d["field"]] = "int"
-        elif k == "hour":
-            if tn not in ("timestamp", "timestamp_ntz"):
-                raise ValueError(
-                    f"hour transform needs a timestamp column; "
-                    f"{d['source']!r} is {tn!r}"
-                )
-            field_parse[d["field"]] = "integer"
-            field_avro[d["field"]] = "int"
-        elif k == "bucket":
-            if tn not in ("integer", "long", "string", "date"):
-                raise ValueError(
-                    f"bucket transform unsupported for {tn!r} column "
-                    f"{d['source']!r}"
-                )
-            field_parse[d["field"]] = "integer"
-            field_avro[d["field"]] = "int"
-        elif k == "truncate":
-            if tn not in ("integer", "long", "string"):
-                raise ValueError(
-                    f"truncate transform unsupported for {tn!r} column "
-                    f"{d['source']!r}"
-                )
-            field_parse[d["field"]] = tn
-            field_avro[d["field"]] = _PART_AVRO[tn]
-        else:
-            raise ValueError(f"unsupported transform kind {k!r}")
+    field_parse, field_avro, src_type = _field_meta(descs, df.schema)
 
     # ---- data: staged write + exact-ownership move (deltawrite's
     # concurrency reasoning). Partitioned writes duplicate the
     # partition columns under __icw_ aliases for the directory layout
     # so the data files still CONTAIN the source columns (the spec
     # requires it; the reader's one-scan design relies on it).
-    from urllib.parse import unquote
-
-    stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
-    new_files: dict[str, int] = {}
-    part_of: dict[str, dict] = {}
-    fields = [d["field"] for d in descs]
-    try:
-        if descs:
-            staged_df = df
-            for d in descs:
-                staged_df = staged_df.withColumn(
-                    f"__icw_{d['field']}",
-                    transform_column(d, src_type[d["field"]]),
-                )
-            staged_df.write.partitionBy(
-                *[f"__icw_{d['field']}" for d in descs]
-            ).mode("overwrite").parquet(stage)
-        else:
-            df.write.mode("overwrite").parquet(stage)
-        for rel, _mt, size in fs.list_files(stage):
-            if not rel.endswith(".parquet"):
-                continue
-            pvals: dict[str, object] = {}
-            pdir: list[str] = []
-            for comp in rel.split("/")[:-1]:
-                k, sep, v = comp.partition("=")
-                if not sep or not k.startswith("__icw_"):
-                    continue
-                c = k[len("__icw_"):]
-                raw = unquote(v)
-                pvals[c] = (
-                    None
-                    if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else _parse_pval(raw, field_parse[c])
-                )
-                pdir.append(f"{c}={v}")
-            dest_dir = "/".join(["data"] + pdir)
-            if pdir:
-                fs.mkdirs(posixpath.join(base, dest_dir))
-            dest_rel = (
-                f"{dest_dir}/{uuid.uuid4().hex}-{posixpath.basename(rel)}"
-            )
-            if not fs.rename(
-                posixpath.join(stage, rel), posixpath.join(base, dest_rel)
-            ):
-                raise RuntimeError(f"could not move staged file {rel!r}")
-            new_files[dest_rel] = size
-            part_of[dest_rel] = {c: pvals.get(c) for c in fields}
-    finally:
-        fs.delete(stage, recursive=True)
+    new_files, part_of = _stage_data_files(
+        spark, fs, base, df, descs, src_type, field_parse
+    )
 
     # per-file record counts in ONE job over this write's files only
     counts: dict[str, int] = {}

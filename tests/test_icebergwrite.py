@@ -386,9 +386,9 @@ class TestCliWrite:
 
 class TestPartitionedDmlComposition:
     def test_delete_where_on_partitioned_table(self, spark, tmp_path):
-        """DML rewrites carry empty partition structs — the pruned
-        read must stay CORRECT via conservative inclusion + the row
-        filter."""
+        """The pruned read must stay CORRECT after a delete (r13:
+        delete entries now carry real partition values too — see
+        tests/test_icebergdml.py::TestPartitionedDml)."""
         from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
             iceberg_delete_where,
         )
