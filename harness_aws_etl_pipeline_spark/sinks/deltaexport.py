@@ -78,6 +78,20 @@ def export_delta_log(
         if stale_json or ".checkpoint" in name or name == "_last_checkpoint":
             fs.delete(_pp.join(log_dir, name), recursive=False)
 
+    # CDF surfaces in the export when the table emitted change data
+    # (SnapTable DML under delta.enableChangeDataFeed) or carries the
+    # property — the exported metaData advertises it so Delta CDF
+    # readers trust the cdc actions
+    cdf_on = any(
+        t.manifest(v).get("cdc") for v in versions
+    ) or str(
+        (t.manifest(versions[-1]).get("properties") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )
+    ).lower() == "true"
+    table_conf = (
+        {"delta.enableChangeDataFeed": "true"} if cdf_on else {}
+    )
     prev_files: dict[str, dict] = {}
     prev_schema: str | None = None
     n_written = 0
@@ -102,13 +116,24 @@ def export_delta_log(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": m["schema"],
                         "partitionColumns": [],
-                        "configuration": {},
+                        "configuration": table_conf,
                         "createdTime": int(m.get("ts", 0) * 1000),
                     }
                 }
             )
             prev_schema = m["schema"]
         ts_ms = int(m.get("ts", time.time()) * 1000)
+        for c in m.get("cdc") or []:
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(c["path"]),
+                        "partitionValues": {},
+                        "size": int(c.get("bytes", 0)),
+                        "dataChange": False,
+                    }
+                }
+            )
         for path in sorted(set(prev_files) - set(cur)):
             actions.append(
                 {

@@ -77,6 +77,10 @@ __all__ = ["SnapTable", "CommitConflict"]
 
 _LOG_DIR = "_snaplog"
 _DATA_DIR = "data"
+# change-data files for DML commits (Delta CDF's _change_data layout,
+# so export_delta_log can surface them as ``cdc`` actions verbatim)
+_CDC_DIR = "_change_data"
+_CDF_PROP = "delta.enableChangeDataFeed"
 _VERSION_WIDTH = 20
 
 
@@ -283,8 +287,16 @@ class SnapTable:
         schema_json: str,
         txns: dict,
         files: list[dict],
+        cdc: list[dict] | None = None,
+        properties: dict | None = None,
     ) -> dict:
-        return {
+        # table properties carry forward commit-to-commit unless the
+        # caller overrides them (set_properties)
+        if properties is None and parent is not None:
+            properties = dict(
+                self.manifest(parent).get("properties") or {}
+            )
+        out = {
             "version": (parent if parent is not None else -1) + 1,
             "parent": parent,
             "operation": operation,
@@ -293,6 +305,103 @@ class SnapTable:
             "txns": txns,
             "files": files,
         }
+        if properties:
+            out["properties"] = properties
+        if cdc:
+            out["cdc"] = cdc
+        return out
+
+    # ------------------------------------------------ table properties
+
+    def properties(self) -> dict:
+        """The table's properties at the current version (empty for a
+        fresh or property-less table)."""
+        cur = self.current_version()
+        if cur is None:
+            return {}
+        return dict(self.manifest(cur).get("properties") or {})
+
+    def set_properties(
+        self, props: dict, max_retries: int = 3
+    ) -> dict:
+        """Merge ``props`` into the table properties as a
+        metadata-only commit (a ``None`` value deletes the key).
+        ``{"delta.enableChangeDataFeed": "true"}`` turns on change-data
+        emission for every later ``merge`` / ``delete_where`` /
+        ``update_where`` — the rewrite-path mirror of
+        ``sinks/deltadml``'s ``change_data`` flag, so bulk DML
+        redirected here no longer strands the table's CDC consumers
+        after ``export_delta_log``."""
+        for _ in range(max_retries):
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    "set_properties needs an existing table (write first)"
+                )
+            m = self.manifest(cur)
+            merged = dict(m.get("properties") or {})
+            for k, v in props.items():
+                if v is None:
+                    merged.pop(k, None)
+                else:
+                    merged[k] = str(v)
+            manifest = self._new_manifest(
+                cur,
+                "set_properties",
+                m["schema"],
+                dict(m.get("txns") or {}),
+                m["files"],
+                properties=merged,
+            )
+            if self._try_commit(manifest, manifest["version"]):
+                return {
+                    "version": manifest["version"],
+                    "properties": merged,
+                }
+        raise CommitConflict(
+            f"set_properties lost {max_retries} races at {self.path!r}"
+        )
+
+    def _cdf_on(self, m: dict) -> bool:
+        return (
+            str((m.get("properties") or {}).get(_CDF_PROP, "")).lower()
+            == "true"
+        )
+
+    def _conform(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """``df`` projected onto ``schema``'s columns (missing ones as
+        typed nulls) — change rows always carry the unified schema."""
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def _write_change_files(self, df: DataFrame) -> list[dict]:
+        """Write change rows (``_change_type`` column included) under
+        a fresh ``_change_data/txn-<token>/`` dir — ALWAYS parquet
+        (Delta CDF readers expect parquet cdc files regardless of the
+        table's data format). Returns ``[{path, bytes}]`` manifest
+        entries; an orphaned dir from a lost commit race is collected
+        by ``vacuum`` exactly like a data txn dir."""
+        token = f"txn-{uuid.uuid4().hex[:16]}"
+        rel_dir = posixpath.join(_CDC_DIR, token)
+        cdir = join_path(self.path, rel_dir)
+        df.write.mode("errorifexists").parquet(cdir)
+        entries = [
+            {
+                "path": posixpath.join(rel_dir, posixpath.basename(rel)),
+                "bytes": size,
+            }
+            for rel, _mt, size in self.fs.list_files(cdir)
+            if not posixpath.basename(rel).startswith(("_", "."))
+        ]
+        if not entries:
+            self.fs.delete(cdir, recursive=True)
+        return entries
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
         """Stage the manifest and CAS-rename it to ``version``. One
@@ -854,6 +963,47 @@ class SnapTable:
                 )
             else:
                 merged = df
+            cdc_entries = None
+            if self._cdf_on(m):
+                if hit:
+                    old_matched = self._read_files(schema, hit).join(
+                        keys_df, key_cols, "left_semi"
+                    )
+                    existing_keys = old_matched.select(
+                        *key_cols
+                    ).distinct()
+                    changes = (
+                        self._conform(old_matched, schema)
+                        .withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                        .unionByName(
+                            self._conform(
+                                df.join(
+                                    existing_keys, key_cols, "left_semi"
+                                ),
+                                schema,
+                            ).withColumn(
+                                "_change_type",
+                                F.lit("update_postimage"),
+                            )
+                        )
+                        .unionByName(
+                            self._conform(
+                                df.join(
+                                    existing_keys, key_cols, "left_anti"
+                                ),
+                                schema,
+                            ).withColumn(
+                                "_change_type", F.lit("insert")
+                            )
+                        )
+                    )
+                else:
+                    changes = self._conform(df, schema).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                cdc_entries = self._write_change_files(changes)
             entries = self._write_data_files(
                 merged, stats_cols, cluster_by, target_files
             )
@@ -862,7 +1012,9 @@ class SnapTable:
             txns = dict(m.get("txns") or {})
             if txn is not None:
                 txns[txn[0]] = txn[1]
-            manifest = self._new_manifest(cur, "merge", schema_json, txns, files)
+            manifest = self._new_manifest(
+                cur, "merge", schema_json, txns, files, cdc=cdc_entries
+            )
             if self._try_commit(manifest, manifest["version"]):
                 return {
                     "version": manifest["version"],
@@ -905,6 +1057,15 @@ class SnapTable:
             keep_rows = self._read_files(schema, hit).filter(
                 pred.isNull() | ~pred
             )
+            cdc_entries = None
+            if self._cdf_on(m):
+                deleted = self._conform(
+                    self._read_files(schema, hit).filter(
+                        pred.isNotNull() & pred
+                    ),
+                    schema,
+                ).withColumn("_change_type", F.lit("delete"))
+                cdc_entries = self._write_change_files(deleted)
             stats_cols = sorted(
                 {c for f in m["files"] for c in (f.get("stats") or {})}
             )
@@ -918,7 +1079,12 @@ class SnapTable:
                 f for f in m["files"] if f["path"] not in hitset
             ] + entries
             manifest = self._new_manifest(
-                cur, "delete", m["schema"], dict(m.get("txns") or {}), files
+                cur,
+                "delete",
+                m["schema"],
+                dict(m.get("txns") or {}),
+                files,
+                cdc=cdc_entries,
             )
             if self._try_commit(manifest, manifest["version"]):
                 return {
@@ -992,6 +1158,28 @@ class SnapTable:
                 ]
             )
             n_upd = src.filter(match).count()
+            cdc_entries = None
+            if self._cdf_on(m):
+                post = src.filter(match).select(
+                    *[
+                        sets[c].cast(fields[c]).alias(c)
+                        if c in sets
+                        else F.col(c)
+                        for c in fields
+                    ]
+                )
+                changes = (
+                    self._conform(src.filter(match), schema)
+                    .withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        self._conform(post, schema).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+                cdc_entries = self._write_change_files(changes)
             stats_cols = sorted(
                 {c for f in m["files"] for c in (f.get("stats") or {})}
             )
@@ -1001,7 +1189,12 @@ class SnapTable:
                 f for f in m["files"] if f["path"] not in hitset
             ] + entries
             manifest = self._new_manifest(
-                cur, "update", m["schema"], dict(m.get("txns") or {}), files
+                cur,
+                "update",
+                m["schema"],
+                dict(m.get("txns") or {}),
+                files,
+                cdc=cdc_entries,
             )
             if self._try_commit(manifest, manifest["version"]):
                 return {
@@ -1162,27 +1355,39 @@ class SnapTable:
         NEWEST file is older than the window — far longer than any
         write-to-commit gap."""
         referenced: set[str] = set()
+        cdc_referenced: set[str] = set()
         for v in self.versions():
-            for f in self.manifest(v)["files"]:
+            m = self.manifest(v)
+            for f in m["files"]:
                 parts = f["path"].split("/")
                 if len(parts) >= 2:
                     referenced.add(parts[1])
-        data_root = join_path(self.path, _DATA_DIR)
+            for c in m.get("cdc") or []:
+                parts = c["path"].split("/")
+                if len(parts) >= 2:
+                    cdc_referenced.add(parts[1])
         now = time.time()
         victims = []
         too_young = 0
-        for child in self.fs.list_children(data_root):
-            if not child.startswith("txn-") or child in referenced:
+        for root_rel, refs in (
+            (_DATA_DIR, referenced),
+            (_CDC_DIR, cdc_referenced),
+        ):
+            root = join_path(self.path, root_rel)
+            if not self.fs.exists(root):
                 continue
-            listed = self.fs.list_files(join_path(data_root, child))
-            newest = max((mt for _rel, mt, _sz in listed), default=0.0)
-            if now - newest < min_age_seconds:
-                too_young += 1
-                continue
-            victims.append(child)
+            for child in self.fs.list_children(root):
+                if not child.startswith("txn-") or child in refs:
+                    continue
+                listed = self.fs.list_files(join_path(root, child))
+                newest = max((mt for _rel, mt, _sz in listed), default=0.0)
+                if now - newest < min_age_seconds:
+                    too_young += 1
+                    continue
+                victims.append(posixpath.join(root_rel, child))
         if not dry_run:
             for child in victims:
-                self.fs.delete(join_path(data_root, child), recursive=True)
+                self.fs.delete(join_path(self.path, child), recursive=True)
         return {"removed": victims, "skipped_young": too_young, "dry_run": dry_run}
 
     # ------------------------------------------------------- streaming
