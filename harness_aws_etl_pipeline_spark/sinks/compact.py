@@ -268,8 +268,12 @@ def iceberg_compact(
     live = read_iceberg(spark, base)
     # overwrite = a snapshot whose manifest list holds only the new
     # manifest — exactly compaction's contract; the CAS commit loop
-    # in write_iceberg carries the race handling
-    rep = write_iceberg(spark, live, base, mode="overwrite")
+    # in write_iceberg carries the race handling. The snapshot is
+    # summarized as "replace" (the spec's data-neutral rewrite), so
+    # change-feed consumers skip it instead of rejecting.
+    rep = write_iceberg(
+        spark, live, base, mode="overwrite", operation="replace"
+    )
     return {
         "snapshot_id": rep["snapshot_id"],
         "files_added": rep["files_added"],

@@ -458,6 +458,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: list[str] | None = None,
     max_commit_retries: int = 20,
+    operation: str | None = None,
 ) -> dict:
     """Write ``df`` as one Iceberg snapshot at ``path``. Returns
     ``{"snapshot_id", "metadata_version", "files_added", "retries"}``.
@@ -768,7 +769,10 @@ def write_iceberg(
             "snapshot-id": snapshot_id,
             "timestamp-ms": ts_ms,
             "sequence-number": seq,
-            "summary": {"operation": mode},
+            # "replace" marks data-NEUTRAL file rewrites (compaction —
+            # the spec's RewriteDataFiles operation); change-feed
+            # consumers skip those snapshots
+            "summary": {"operation": operation or mode},
             "manifest-list": posixpath.join(base, mlist_rel),
             "schema-id": schema_id,
         }

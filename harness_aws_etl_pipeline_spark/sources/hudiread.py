@@ -139,6 +139,11 @@ def hudi_snapshot(
         if rel.startswith(".hoodie"):
             continue
         name = posixpath.basename(rel)
+        if name.endswith(".crc"):
+            # Hadoop checksum shadow of a dot-prefixed log file —
+            # POSIX listings (JVM-less DataSource workers) surface
+            # them, and _LOG_RE's token group would swallow ".crc"
+            continue
         lm = _LOG_RE.match(name)
         if lm is not None:
             raw_logs.append(

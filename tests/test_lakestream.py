@@ -220,3 +220,366 @@ class TestPartitionedHudiStream:
         _drain(df, out, cp)
         got = sorted((r.id, r.p) for r in spark.read.parquet(out).collect())
         assert got == [(0, 1), (1, 2), (2, 1)]
+
+
+class TestIcebergChangeFeed:
+    """Round 13: readChangeFeed=true — change-row consumption of
+    equality-delete upserts, position deletes, and appends; within a
+    _commit_version, deletes apply before inserts."""
+
+    def test_upsert_yields_keyed_change_rows_exactly_once(
+        self, spark, tmp_path
+    ):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(i, "a") for i in range(4)], "id long, v string"
+            ),
+            t,
+        )
+        df = (
+            spark.readStream.format("iceberg_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        assert "_change_type" in df.columns
+        _drain(df, out, cp)
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {(i, "a", "insert", 1) for i in range(4)}
+        # upsert: update id=1, insert id=9 → key-only delete rows for
+        # both keys + insert rows, all at the upsert's sequence number
+        iceberg_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(1, "up"), (9, "n")], "id long, v string"
+            ),
+            keys=["id"],
+        )
+        _drain(df, out, cp)
+        rows = spark.read.parquet(out).collect()
+        got2 = {
+            (r.id, r.v, r._change_type, r._commit_version) for r in rows
+        } - got
+        assert got2 == {
+            (1, None, "delete", 2),
+            (9, None, "delete", 2),
+            (1, "up", "insert", 2),
+            (9, "n", "insert", 2),
+        }
+        # exactly-once: nothing replays on an idle drain
+        _drain(df, out, cp)
+        assert len(spark.read.parquet(out).collect()) == len(rows)
+        # applying the changelog (deletes before inserts per version)
+        # reproduces the table
+        state = {i: "a" for i in range(4)}
+        for _id, _v, ct, _cv in sorted(
+            got2, key=lambda x: (x[3], x[2] != "delete")
+        ):
+            if ct == "delete":
+                state.pop(_id, None)
+            else:
+                state[_id] = _v
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            read_iceberg,
+        )
+
+        assert state == {
+            r.id: r.v for r in read_iceberg(spark, t).collect()
+        }
+
+    def test_position_delete_replays_preimage_rows(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(4)], "id long, v string"
+            ),
+            t,
+        )
+        iceberg_delete_where(spark, t, "id IN (1, 2)")
+        df = (
+            spark.readStream.format("iceberg_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        _drain(df, out, cp)
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        }
+        # full preimage VALUES on the delete rows (position deletes
+        # resolve the referenced rows)
+        assert got == {(i, f"v{i}", "insert", 1) for i in range(4)} | {
+            (1, "v1", "delete", 2),
+            (2, "v2", "delete", 2),
+        }
+
+    def test_compaction_contributes_nothing_then_appends_flow(
+        self, spark, tmp_path
+    ):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(i, "a") for i in range(4)], "id long, v string"
+            ),
+            t,
+        )
+        df = (
+            spark.readStream.format("iceberg_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        _drain(df, out, cp)
+        n0 = spark.read.parquet(out).count()
+        iceberg_delete_where(spark, t, "id = 0")
+        iceberg_compact(spark, t)
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(9, "b")], "id long, v string"),
+            t,
+            mode="append",
+        )
+        _drain(df, out, cp)
+        fresh = {
+            (r.id, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert len(spark.read.parquet(out).collect()) == n0 + 2
+        assert (0, "a", "delete") in fresh and (9, "b", "insert") in fresh
+
+    def test_append_only_guard_names_the_cdf_escape(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_iceberg(spark, spark.range(4).withColumn("v", F.lit("a")), t)
+        iceberg_delete_where(spark, t, "id = 0")
+        df = (
+            spark.readStream.format("iceberg_nojar").option("path", t).load()
+        )
+        with pytest.raises(Exception, match="readChangeFeed"):
+            _drain(df, out, cp)
+
+
+class TestHudiChangeFeed:
+    """Round 13: readChangeFeed=true on hudi_nojar — MOR deltacommit
+    log blocks ARE the change data."""
+
+    def test_mor_upserts_and_deletes_stream_as_change_rows(
+        self, spark, tmp_path
+    ):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        r1 = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        df = (
+            spark.readStream.format("hudi_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        assert "_change_type" in df.columns
+        _drain(df, out, cp)
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()
+        }
+        v1 = int(r1["instant"])
+        assert got == {
+            (1, "a", "upsert", v1),
+            (2, "b", "upsert", v1),
+        }
+        # second upsert updates an existing key and inserts a new one
+        r2 = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(2, "B"), (3, "c")], "id long, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        _drain(df, out, cp)
+        v2 = int(r2["instant"])
+        rows = spark.read.parquet(out).collect()
+        got2 = {
+            (r.id, r.v, r._change_type, r._commit_version) for r in rows
+        } - got
+        assert got2 == {
+            (2, "B", "upsert", v2),
+            (3, "c", "upsert", v2),
+        }
+        # exactly-once across a drain with no new instants
+        _drain(df, out, cp)
+        assert len(spark.read.parquet(out).collect()) == len(rows)
+
+    def test_mor_delete_block_yields_key_only_delete_rows(
+        self, spark, tmp_path
+    ):
+        import glob as _glob
+        import json as _json
+        import shutil
+
+        from harness_aws_etl_pipeline_spark.sources.hudilog import (
+            encode_avro_block,
+            encode_delete_block,
+        )
+
+        register_lake_streams(spark)
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        t = tmp_path / "t"
+        (t / ".hoodie").mkdir(parents=True)
+        (t / ".hoodie" / "hoodie.properties").write_text(
+            "hoodie.table.name=t\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+        )
+        T1, T2 = "20240101000000000", "20240102000000000"
+        (t / ".hoodie" / f"{T1}.commit").write_text("{}")
+        (t / ".hoodie" / f"{T2}.deltacommit").write_text("{}")
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            [("k1", "", 1, "a"), ("k2", "", 2, "b")],
+            "_hoodie_record_key string, _hoodie_partition_path string, "
+            "id long, v string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = _glob.glob(str(stage / "*.parquet"))[0]
+        shutil.move(src, str(t / f"g1_0-1-2_{T1}.parquet"))
+        avro = _json.dumps(
+            {
+                "type": "record",
+                "name": "rec",
+                "fields": [
+                    {
+                        "name": "_hoodie_record_key",
+                        "type": ["null", "string"],
+                    },
+                    {
+                        "name": "_hoodie_partition_path",
+                        "type": ["null", "string"],
+                    },
+                    {"name": "id", "type": ["null", "long"]},
+                    {"name": "v", "type": ["null", "string"]},
+                ],
+            }
+        )
+        (t / f".g1_{T1}.log.1_0-1-2").write_bytes(
+            encode_delete_block([("k2", "")], T2)
+            + encode_avro_block(
+                avro,
+                [
+                    {
+                        "_hoodie_record_key": "k1",
+                        "_hoodie_partition_path": "",
+                        "id": 1,
+                        "v": "a2",
+                    }
+                ],
+                T2,
+            )
+        )
+        df = (
+            spark.readStream.format("hudi_nojar")
+            .option("path", str(t))
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        _drain(df, out, cp)
+        got = {
+            (
+                r._hoodie_record_key,
+                r.id,
+                r.v,
+                r._change_type,
+                r._commit_version,
+            )
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            ("k1", 1, "a", "insert", int(T1)),
+            ("k2", 2, "b", "insert", int(T1)),
+            ("k2", None, None, "delete", int(T2)),
+            ("k1", 1, "a2", "upsert", int(T2)),
+        }
+
+    def test_base_rewrite_rejects_loudly(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            hudi_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        df = (
+            spark.readStream.format("hudi_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        _drain(df, out, cp)
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a2")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        hudi_compact(spark, t)
+        with pytest.raises(Exception, match="fresh checkpoint"):
+            _drain(df, out, cp)
