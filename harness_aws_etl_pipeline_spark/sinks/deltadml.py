@@ -79,25 +79,32 @@ def _live_scan(spark: SparkSession, base: str, snap: dict):
     returns ``(scan, abs_to_key)``. NOTE: reads the raw files — rows
     already marked deleted by existing DVs are INCLUDED; callers
     subtract them where that matters."""
-    from pyspark.sql.types import StructType
+    from harness_aws_etl_pipeline_spark.sources.deltaread import (
+        _mapped_read_plan,
+    )
 
     pcols = snap["partition_columns"]
-    data_schema = StructType(
-        [f for f in snap["schema"].fields if f.name not in pcols]
-    )
     ptypes = {
         f.name: f.dataType for f in snap["schema"].fields if f.name in pcols
     }
+    # column-mapped tables: the scan addresses the files' PHYSICAL
+    # layout and restores logical names right after, exactly like
+    # read_delta — predicates/SET expressions then see logical names.
+    # For an unmapped table this is the plain logical data schema and
+    # a no-op rename.
+    read_schema, rename = _mapped_read_plan(spark, snap)
+    phys = (snap.get("column_mapping") or {}).get("physical") or {}
 
     def _strip(c):
         return F.regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
 
     # group files per partition tuple (predicates may reference
-    # partition columns), key rows by scheme-stripped file path
+    # partition columns), key rows by scheme-stripped file path;
+    # partitionValues keys are PHYSICAL on mapped tables
     groups: dict[tuple, list[tuple[str, str]]] = {}
     for key, add in snap["files"].items():
         pv = add.get("partitionValues") or {}
-        pkey = tuple(pv.get(c) for c in pcols)
+        pkey = tuple(pv.get(phys.get(c, c)) for c in pcols)
         groups.setdefault(pkey, []).append(
             (key, posixpath.join(base, unquote(key)))
         )
@@ -112,12 +119,14 @@ def _live_scan(spark: SparkSession, base: str, snap: dict):
             abs_to_key[norm] = key
     scan = None
     for pkey, pairs in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(
-            *[apath for _k, apath in pairs]
-        ).select(
-            "*",
-            F.col("_metadata.row_index").alias("__pos"),
-            _strip(F.col("_metadata.file_path")).alias("__fp"),
+        df = rename(
+            spark.read.schema(read_schema).parquet(
+                *[apath for _k, apath in pairs]
+            ).select(
+                "*",
+                F.col("_metadata.row_index").alias("__pos"),
+                _strip(F.col("_metadata.file_path")).alias("__fp"),
+            )
         )
         for c in pcols:
             v = pkey[pcols.index(c)]
@@ -203,19 +212,134 @@ def _protocol_upgrade_action(cur: dict) -> dict | None:
     }
 
 
+def _physicalize_for_write(spark: SparkSession, snap: dict, df):
+    """``df`` (logical names) → the table's PHYSICAL write layout.
+    Name mode: top-level rename + one-level nested struct rebuild
+    (the reader's bound — delta_snapshot rejects deeper name-mode
+    mapping up front). Id mode: the written files keep LOGICAL column
+    names but carry ``parquet.field.id`` metadata (id-mode readers —
+    ours included — resolve strictly by field id, so names are
+    immaterial and arbitrarily deep nesting works); partition columns
+    still rename to physical so staging dirs yield physical
+    ``partitionValues`` keys. Extra non-table columns (``_change_type``)
+    pass through. Unmapped tables return ``df`` unchanged."""
+    from pyspark.sql.types import StructField, StructType
+
+    cm = snap.get("column_mapping") or {}
+    phys = cm.get("physical") or {}
+    mode = cm.get("mode") or "none"
+    if not phys:
+        return df
+    schema = snap["schema"]
+    table_fields = {f.name: f for f in schema.fields}
+    if mode == "id":
+        # field ids attach via alias(metadata=...) — .to(schema)
+        # carries metadata in the plan but the parquet writer drops
+        # it (verified); alias metadata survives to the file. Alias
+        # metadata is top-level only, so nested MAPPED columns
+        # reject loudly rather than writing id-less nested fields.
+        def _nested_ids(dt) -> bool:
+            from pyspark.sql.types import ArrayType, MapType
+
+            if isinstance(dt, StructType):
+                return any(
+                    (sf.metadata or {}).get("delta.columnMapping.id")
+                    is not None
+                    or _nested_ids(sf.dataType)
+                    for sf in dt.fields
+                )
+            if isinstance(dt, ArrayType):
+                return _nested_ids(dt.elementType)
+            if isinstance(dt, MapType):
+                return _nested_ids(dt.keyType) or _nested_ids(dt.valueType)
+            return False
+
+        sel = []
+        for c in df.columns:
+            f = table_fields.get(c)
+            if f is None:
+                sel.append(F.col(c))
+                continue
+            cid = (f.metadata or {}).get("delta.columnMapping.id")
+            if cid is None:
+                raise ValueError(
+                    "Delta id-mode column mapping: field "
+                    f"{c!r} carries no delta.columnMapping.id"
+                )
+            if _nested_ids(f.dataType):
+                raise ValueError(
+                    "DML on id-mapped tables with NESTED mapped "
+                    f"columns (column {c!r}) is not supported — the "
+                    "writer cannot attach nested parquet field ids"
+                )
+            sel.append(
+                F.col(c).alias(c, metadata={"parquet.field.id": int(cid)})
+            )
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        out = df.select(*sel)
+        for c in snap["partition_columns"]:
+            if c in df.columns and phys.get(c, c) != c:
+                out = out.withColumnRenamed(c, phys[c])
+        return out
+    sel = []
+    for c in df.columns:
+        f = table_fields.get(c)
+        if f is None:
+            sel.append(F.col(c))
+            continue
+        pn = phys.get(c, c)
+        col = F.col(c)
+        if isinstance(f.dataType, StructType):
+            inner = [
+                (
+                    sf,
+                    (sf.metadata or {}).get(
+                        "delta.columnMapping.physicalName"
+                    )
+                    or sf.name,
+                )
+                for sf in f.dataType.fields
+            ]
+            if any(ipn != sf.name for sf, ipn in inner):
+                ptype = StructType(
+                    [
+                        StructField(ipn, sf.dataType, sf.nullable)
+                        for sf, ipn in inner
+                    ]
+                )
+                col = F.when(
+                    col.isNull(), F.lit(None).cast(ptype)
+                ).otherwise(
+                    F.struct(
+                        *[
+                            col.getField(sf.name).alias(ipn)
+                            for sf, ipn in inner
+                        ]
+                    ).cast(ptype)
+                )
+        sel.append(col.alias(pn))
+    return df.select(*sel)
+
+
 def _stage_new_files(
     spark: SparkSession, fs, base: str, df, ts_ms: int,
     pcols: list[str] | None = None,
+    snap: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` as new data files into the table layout (staged +
     exact-ownership move, write_delta's concurrency reasoning) and
     return their add actions (dataChange=true). Partitioned tables
     follow write_delta's conventions exactly: hive dirs carry over,
     partition columns are dropped from the files, and
-    ``partitionValues`` come from the directory segments."""
+    ``partitionValues`` come from the directory segments (PHYSICAL
+    keys on column-mapped tables, matching the reader)."""
     from urllib.parse import quote
 
     pcols = list(pcols or [])
+    if snap is not None:
+        phys = (snap.get("column_mapping") or {}).get("physical") or {}
+        df = _physicalize_for_write(spark, snap, df)
+        pcols = [phys.get(c, c) for c in pcols]
     stage = posixpath.join(base, f".dml_stage-{uuid.uuid4().hex}")
     adds: list[dict] = []
     try:
@@ -264,10 +388,14 @@ def _stage_new_files(
 
 
 def _write_cdc_files(
-    spark: SparkSession, fs, base: str, cdc_df
+    spark: SparkSession, fs, base: str, cdc_df, snap: dict | None = None
 ) -> list[dict]:
     """Distributed write of change rows (table columns +
-    ``_change_type``) under ``_change_data/``; returns cdc actions."""
+    ``_change_type``) under ``_change_data/``; returns cdc actions.
+    On column-mapped tables the change files follow the table's
+    physical layout, like the data files."""
+    if snap is not None:
+        cdc_df = _physicalize_for_write(spark, snap, cdc_df)
     actions: list[dict] = []
     stage = posixpath.join(base, f".cdc_stage-{uuid.uuid4().hex}")
     try:
@@ -329,10 +457,6 @@ def delta_delete_where(
             == "true"
         )
     pcols = snap["partition_columns"]
-    if (snap.get("column_mapping") or {}).get("physical"):
-        raise ValueError(
-            "delta_delete_where does not support column-mapped tables yet"
-        )
 
     # ---- find matching (file, row_index) pairs
     scan, abs_to_key = _live_scan(spark, base, snap)
@@ -569,10 +693,6 @@ def delta_delete_where(
 def _dml_guards(snap: dict, what: str) -> None:
     if snap["schema"] is None:
         raise ValueError("Delta table has no schema in its metadata")
-    if (snap.get("column_mapping") or {}).get("physical"):
-        raise ValueError(
-            f"{what} does not support column-mapped tables yet"
-        )
 
 
 
@@ -787,7 +907,8 @@ def delta_update_where(
     )
     ts_ms = int(time.time() * 1000)
     new_adds = _stage_new_files(
-        spark, fs, base, updated_out, ts_ms, pcols=snap["partition_columns"]
+        spark, fs, base, updated_out, ts_ms,
+        pcols=snap["partition_columns"], snap=snap,
     )
     cdc_actions: list[dict] = []
     if change_data:
@@ -800,7 +921,7 @@ def delta_update_where(
                 )
             )
         )
-        cdc_actions = _write_cdc_files(spark, fs, base, cdc_df)
+        cdc_actions = _write_cdc_files(spark, fs, base, cdc_df, snap=snap)
     rep = _commit_dml_rewrite(
         spark, fs, base, by_key, initial_already, new_adds, cdc_actions,
         {
@@ -903,7 +1024,7 @@ def delta_merge(
     ts_ms = int(time.time() * 1000)
     new_adds = _stage_new_files(
         spark, fs, base, df.select(*cols), ts_ms,
-        pcols=snap["partition_columns"],
+        pcols=snap["partition_columns"], snap=snap,
     )
     cdc_actions: list[dict] = []
     if change_data:
@@ -931,7 +1052,7 @@ def delta_merge(
                 .withColumn("_change_type", F.lit("insert"))
             )
         )
-        cdc_actions = _write_cdc_files(spark, fs, base, cdc_df)
+        cdc_actions = _write_cdc_files(spark, fs, base, cdc_df, snap=snap)
     if not by_key:
         # pure insert: no DVs to write — still one atomic commit
         rep = _commit_dml_rewrite(

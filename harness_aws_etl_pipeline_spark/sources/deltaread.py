@@ -344,27 +344,14 @@ def _field_with_parquet_ids(f: StructField) -> StructField:
     )
 
 
-def _read_files_with_partitions(
-    spark: SparkSession, base: str, snap: dict
-) -> DataFrame:
-    """Read ``snap["files"]`` with partition columns reattached as
-    typed literals per file group (Delta's physical layout omits them
-    from the parquet files).
-
-    Name-mode column mapping: the parquet files carry PHYSICAL column
-    names (``delta.columnMapping.physicalName`` metadata) — the scan
-    schema uses them and the logical names are restored immediately
-    after, so pushdown/pruning run against the physical layout.
-    ``add.partitionValues`` keys are physical too.
-
-    Deletion vectors: files without a DV ride the bulk per-partition
-    scan untouched (the common fast path). DV'd files are scanned
-    with ``_metadata.row_index`` and their decoded indexes (driver-
-    side, DV blobs are manifest-sized) are removed by ONE anti-join
-    on ``(file key, row_index)`` across all DV'd files — no
-    per-file plan explosion, no Python row filtering."""
-    from urllib.parse import unquote
-
+def _mapped_read_plan(spark: SparkSession, snap: dict):
+    """Column-mapping read machinery shared by the snapshot reader and
+    the DML scans (``sinks/deltadml``): returns ``(read_schema,
+    rename)`` where ``read_schema`` addresses the files' PHYSICAL
+    layout (physical names in name mode; ``parquet.field.id`` metadata
+    in id mode — the session conf is set here) and ``rename(df)``
+    restores the logical names (one nested struct level in name mode,
+    exactly the reader's bound)."""
     schema: StructType = snap["schema"]
     pcols = snap["partition_columns"]
     cm = snap.get("column_mapping") or {}
@@ -376,18 +363,11 @@ def _read_files_with_partitions(
 
     data_fields = [f for f in schema.fields if f.name not in pcols]
     if cm_mode == "id":
-        # id mode: columns resolve by parquet field id — Spark does
-        # this natively when the read schema's fields carry
-        # `parquet.field.id` metadata (recursively, so nested renames
-        # and drop/re-add cycles resolve correctly). Logical names
-        # ride the read schema directly; no rename pass needed. The
-        # conf only activates for schemas that carry field ids, so
-        # leaving it on is safe for every other read in the session.
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         read_schema = StructType(
             [_field_with_parquet_ids(f) for f in data_fields]
         )
-        logical_names: list[str] = []  # nothing to rename
+        logical_names: list[str] = []
         nested_restore: dict[str, StructField] = {}
     else:
 
@@ -397,8 +377,6 @@ def _read_files_with_partitions(
             ) or sf.name
 
         def _phys_type(dt):
-            # one nested struct level restores by name (round 12);
-            # delta_snapshot rejects deeper physical names up front
             if isinstance(dt, StructType):
                 return StructType(
                     [
@@ -421,25 +399,6 @@ def _read_files_with_partitions(
             if isinstance(f.dataType, StructType)
             and any(_pn(sf) != sf.name for sf in f.dataType.fields)
         }
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-
-    if not snap["files"]:
-        return spark.createDataFrame([], schema)
-
-    fs = get_fs(base, spark)
-    plain_groups: dict[tuple, list[str]] = {}
-    dv_reads: list[tuple[str, tuple, str]] = []  # (key, pkey, abs path)
-    removed: list[tuple[str, int]] = []
-    for p, add in snap["files"].items():
-        pv = add.get("partitionValues") or {}
-        pkey = tuple(pv.get(_p(c)) for c in pcols)
-        apath = posixpath.join(base, unquote(p))
-        dv = add.get("deletionVector")
-        if dv and dv.get("storageType"):
-            dv_reads.append((p, pkey, apath))
-            removed.extend((p, int(i)) for i in _load_dv(fs, base, dv))
-        else:
-            plain_groups.setdefault(pkey, []).append(apath)
 
     def _rename(df: DataFrame) -> DataFrame:
         # nested restore FIRST (addressing the physical top name),
@@ -471,6 +430,59 @@ def _read_files_with_partitions(
             if _p(logical) != logical:
                 df = df.withColumnRenamed(_p(logical), logical)
         return df
+
+    return read_schema, _rename
+
+
+def _read_files_with_partitions(
+    spark: SparkSession, base: str, snap: dict
+) -> DataFrame:
+    """Read ``snap["files"]`` with partition columns reattached as
+    typed literals per file group (Delta's physical layout omits them
+    from the parquet files).
+
+    Name-mode column mapping: the parquet files carry PHYSICAL column
+    names (``delta.columnMapping.physicalName`` metadata) — the scan
+    schema uses them and the logical names are restored immediately
+    after, so pushdown/pruning run against the physical layout.
+    ``add.partitionValues`` keys are physical too.
+
+    Deletion vectors: files without a DV ride the bulk per-partition
+    scan untouched (the common fast path). DV'd files are scanned
+    with ``_metadata.row_index`` and their decoded indexes (driver-
+    side, DV blobs are manifest-sized) are removed by ONE anti-join
+    on ``(file key, row_index)`` across all DV'd files — no
+    per-file plan explosion, no Python row filtering."""
+    from urllib.parse import unquote
+
+    schema: StructType = snap["schema"]
+    pcols = snap["partition_columns"]
+    cm = snap.get("column_mapping") or {}
+    phys = cm.get("physical") or {}
+
+    def _p(name: str) -> str:
+        return phys.get(name, name)
+
+    read_schema, _rename = _mapped_read_plan(spark, snap)
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    if not snap["files"]:
+        return spark.createDataFrame([], schema)
+
+    fs = get_fs(base, spark)
+    plain_groups: dict[tuple, list[str]] = {}
+    dv_reads: list[tuple[str, tuple, str]] = []  # (key, pkey, abs path)
+    removed: list[tuple[str, int]] = []
+    for p, add in snap["files"].items():
+        pv = add.get("partitionValues") or {}
+        pkey = tuple(pv.get(_p(c)) for c in pcols)
+        apath = posixpath.join(base, unquote(p))
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType"):
+            dv_reads.append((p, pkey, apath))
+            removed.extend((p, int(i)) for i in _load_dv(fs, base, dv))
+        else:
+            plain_groups.setdefault(pkey, []).append(apath)
 
     def _with_partitions(df: DataFrame, pkey: tuple) -> DataFrame:
         for c, v in zip(pcols, pkey):

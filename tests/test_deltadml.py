@@ -691,3 +691,255 @@ class TestAdviceRegressionsR13:
         assert protos and protos[0]["minReaderVersion"] == 3
         got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
         assert got == {(1, "up"), (9, "n")}
+
+
+class TestColumnMappedDml:
+    """Round 13: DML on column-mapped tables — the scan restores
+    logical names, staged files follow the physical layout, and
+    partitionValues keys stay physical."""
+
+    @staticmethod
+    def _commit(t, v, actions):
+        import json as _json
+        import pathlib
+
+        log = pathlib.Path(t) / "_delta_log"
+        log.mkdir(parents=True, exist_ok=True)
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(_json.dumps(a) for a in actions) + "\n"
+        )
+
+    def _name_mapped_table(self, spark, tmp_path, partition=False):
+        import json as _json
+
+        t = str(tmp_path / "t")
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ]
+        pcols = []
+        if partition:
+            fields.append(
+                {"name": "p", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName": "col-pp"}}
+            )
+            pcols = ["p"]
+        schema = _json.dumps({"type": "struct", "fields": fields})
+        meta = {
+            "metaData": {
+                "id": "tbl-cm",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": pcols,
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        }
+        import glob as _glob
+        import shutil
+
+        stage = tmp_path / "stage"
+        rows = [(i, f"v{i}") for i in range(6)]
+        adds = []
+        if partition:
+            for pval in (0, 1):
+                spark.createDataFrame(
+                    [(i, s) for i, s in rows if i % 2 == pval],
+                    "`col-aa` long, `col-bb` string",
+                ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+                rel = f"col-pp={pval}/f{pval}.parquet"
+                (tmp_path / "t" / f"col-pp={pval}").mkdir(
+                    parents=True, exist_ok=True
+                )
+                shutil.move(
+                    _glob.glob(str(stage / "*.parquet"))[0],
+                    str(tmp_path / "t" / rel),
+                )
+                adds.append(
+                    {"add": {"path": rel,
+                             "partitionValues": {"col-pp": str(pval)},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}}
+                )
+        else:
+            spark.createDataFrame(
+                rows, "`col-aa` long, `col-bb` string"
+            ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+            (tmp_path / "t").mkdir(parents=True, exist_ok=True)
+            shutil.move(
+                _glob.glob(str(stage / "*.parquet"))[0],
+                str(tmp_path / "t" / "f0.parquet"),
+            )
+            adds.append(
+                {"add": {"path": "f0.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}}
+            )
+        self._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta, *adds,
+        ])
+        return t
+
+    def _id_mapped_table(self, spark, tmp_path):
+        import glob as _glob
+        import json as _json
+        import shutil
+
+        from pyspark.sql import types as T
+
+        t = str(tmp_path / "t")
+        schema = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aa"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bb"}},
+            ],
+        })
+        st = T.StructType([
+            T.StructField("col-aa", T.LongType(), True,
+                          {"parquet.field.id": 1}),
+            T.StructField("col-bb", T.StringType(), True,
+                          {"parquet.field.id": 2}),
+        ])
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], st
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (tmp_path / "t").mkdir(parents=True, exist_ok=True)
+        shutil.move(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            str(tmp_path / "t" / "f0.parquet"),
+        )
+        self._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "tbl-id",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        return t
+
+    def test_name_mapped_update_merge_delete(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+            delta_update_where,
+        )
+
+        t = self._name_mapped_table(spark, tmp_path)
+        rep = delta_update_where(
+            spark, t, "id = 1", {"v": "concat(v, '-up')"}
+        )
+        assert rep["rows_updated"] == 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(i, f"v{i}") for i in range(6) if i != 1} | {
+            (1, "v1-up")
+        }
+        # staged files carry PHYSICAL column names
+        snap = delta_snapshot(spark, t)
+        new_keys = [k for k in snap["files"] if k != "f0.parquet"]
+        assert new_keys
+        import posixpath as _pp
+
+        sch = spark.read.parquet(
+            _pp.join(t, new_keys[0])
+        ).schema
+        assert [f.name for f in sch.fields] == ["col-aa", "col-bb"]
+        # merge: update + insert
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame(
+                [(2, "V2"), (9, "n")], "id long, v string"
+            ),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(0, "v0"), (1, "v1-up"), (2, "V2"), (3, "v3"),
+                       (4, "v4"), (5, "v5"), (9, "n")}
+        # delete composes with the DVs
+        rep = delta_delete_where(spark, t, "id >= 4 AND id < 9")
+        assert rep["rows_deleted"] == 2
+        got = {r.id for r in read_delta(spark, t).collect()}
+        assert got == {0, 1, 2, 3, 9}
+
+    def test_name_mapped_partitioned_update(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+
+        t = self._name_mapped_table(spark, tmp_path, partition=True)
+        rep = delta_update_where(
+            spark, t, "p = 1 AND id = 1", {"v": "'up'"}
+        )
+        assert rep["rows_updated"] == 1
+        got = {(r.id, r.v, r.p) for r in read_delta(spark, t).collect()}
+        assert got == {
+            (i, f"v{i}", i % 2) for i in range(6) if i != 1
+        } | {(1, "up", 1)}
+        # new add actions carry PHYSICAL partitionValues keys
+        snap = delta_snapshot(spark, t)
+        new = [
+            add
+            for k, add in snap["files"].items()
+            if not k.startswith("col-pp=") or "/f" not in k
+        ]
+        assert any(
+            "col-pp" in (add.get("partitionValues") or {}) for add in new
+        )
+
+    def test_id_mapped_update_and_merge(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+            delta_update_where,
+        )
+
+        t = self._id_mapped_table(spark, tmp_path)
+        rep = delta_update_where(spark, t, "id = 0", {"v": "'up'"})
+        assert rep["rows_updated"] == 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(i, f"v{i}") for i in range(1, 6)} | {(0, "up")}
+        # the staged file carries parquet FIELD IDS (id-mode readers
+        # resolve by id; names are immaterial)
+        snap = delta_snapshot(spark, t)
+        new_keys = [k for k in snap["files"] if k != "f0.parquet"]
+        assert new_keys
+        import posixpath as _pp
+
+        psch = pq.read_schema(_pp.join(t, new_keys[0]))
+        ids = {
+            psch.field(i).name: (psch.field(i).metadata or {}).get(
+                b"PARQUET:field_id"
+            )
+            for i in range(len(psch.names))
+        }
+        assert set(ids.values()) == {b"1", b"2"}
+        rep = delta_merge(
+            spark,
+            spark.createDataFrame([(5, "V5"), (7, "n")],
+                                  "id long, v string"),
+            t,
+            keys=["id"],
+        )
+        assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert got == {(0, "up"), (1, "v1"), (2, "v2"), (3, "v3"),
+                       (4, "v4"), (5, "V5"), (7, "n")}
