@@ -1641,9 +1641,41 @@ def _bench_sf1(spark, sf_dir: str, timings: dict) -> dict:
     heavies = {"near_dup_clusters", "minhash_lsh", "sim_bruteforce_topk"}
     queries = {}
     ratios = []
+    cold_ratios = []
+    from harness_aws_etl_pipeline_spark.operators.memo import (
+        clear_all_memos,
+    )
+
     for nm in names:
         spec = CATALOG[nm]
-        spec.builder(spark, sf1_dir).collect()  # warmup at the new SF
+        entry: dict = {}
+        if nm in heavies:
+            # COLD decade (round 13): the steady-state ratios below
+            # measure the PlanMemo'd path — bust the memos and time
+            # the FIRST call at each SF so the 100 TB claim also has
+            # a cold number (signature passes, candidate joins, all
+            # setup included).
+            clear_all_memos()
+            start = time.perf_counter()
+            spec.builder(spark, sf_dir).collect()
+            cold01 = round(time.perf_counter() - start, 3)
+            clear_all_memos()
+            start = time.perf_counter()
+            spec.builder(spark, sf1_dir).collect()  # doubles as warmup
+            cold1 = round(time.perf_counter() - start, 3)
+            entry.update(
+                {
+                    "cold01_s": cold01,
+                    "cold_s": cold1,
+                    "cold_ratio": round(cold1 / cold01, 2),
+                }
+            )
+            cold_ratios.append(entry["cold_ratio"])
+            # one more untimed sf1 call so the timed samples below
+            # measure the memoized steady state, as before
+            spec.builder(spark, sf1_dir).collect()
+        else:
+            spec.builder(spark, sf1_dir).collect()  # warmup at the new SF
         samples = []
         for _ in range(2 if nm in heavies else 3):
             start = time.perf_counter()
@@ -1652,7 +1684,8 @@ def _bench_sf1(spark, sf_dir: str, timings: dict) -> dict:
         s1 = round(min(samples), 3)
         base = timings.get(nm)
         ratio = round(s1 / base, 2) if base else None
-        queries[nm] = {"sf01_s": base, "sf1_s": s1, "ratio": ratio}
+        entry.update({"sf01_s": base, "sf1_s": s1, "ratio": ratio})
+        queries[nm] = entry
         if ratio is not None:
             ratios.append(ratio)
     return {
@@ -1660,6 +1693,10 @@ def _bench_sf1(spark, sf_dir: str, timings: dict) -> dict:
         "queries": queries,
         "ratio_max": max(ratios) if ratios else None,
         "ratio_ok": bool(ratios) and max(ratios) <= 12.0,
+        # cold decade: first-call-vs-first-call for 10x data on the
+        # dedup/ANN heavies (memo-busted both sides)
+        "cold_ratio_max": max(cold_ratios) if cold_ratios else None,
+        "cold_ratio_ok": bool(cold_ratios) and max(cold_ratios) <= 14.0,
     }
 
 
