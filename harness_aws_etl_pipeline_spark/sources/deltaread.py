@@ -783,13 +783,25 @@ def _delta_changes_cdf(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if (hi.get("column_mapping") or {}).get("physical"):
-        raise ValueError(
-            "CDF consumption on column-mapped tables is not supported"
-        )
     schema = hi["schema"]
     cols = [f.name for f in schema.fields]
     pcols = hi["partition_columns"]
+    cm = hi.get("column_mapping") or {}
+    phys = cm.get("physical") or {}
+    if phys:
+        # column-mapped tables (round 13): change-data files follow
+        # the table's PHYSICAL layout, like data files — read them
+        # with the snapshot reader's exact mapping machinery (all
+        # table columns: cdc files carry partition columns inline)
+        snap_all = dict(hi)
+        snap_all["partition_columns"] = []
+        cdc_read_schema, cdc_rename = _mapped_read_plan(spark, snap_all)
+        cdc_read_schema = T.StructType(
+            list(cdc_read_schema.fields)
+            + [T.StructField("_change_type", T.StringType())]
+        )
+    else:
+        cdc_read_schema, cdc_rename = None, None
     fs = get_fs(base, spark)
     commits = _commit_files(fs, posixpath.join(base, _LOG))
     out: DataFrame | None = None
@@ -819,17 +831,25 @@ def _delta_changes_cdf(
             # authoritative change rows; the commit's add/remove pairs
             # (e.g. DV re-adds) are bookkeeping for the same change
             for c in cdc_acts:
-                df = spark.read.parquet(
-                    posixpath.join(base, unquote(c["path"]))
-                )
-                if "_change_type" not in df.columns:
-                    raise ValueError(
-                        f"change-data file {c['path']!r} carries no "
-                        "_change_type column"
+                cpath = posixpath.join(base, unquote(c["path"]))
+                if cdc_read_schema is not None:
+                    df = cdc_rename(
+                        spark.read.schema(cdc_read_schema).parquet(cpath)
                     )
+                else:
+                    df = spark.read.parquet(cpath)
+                    if "_change_type" not in df.columns:
+                        raise ValueError(
+                            f"change-data file {c['path']!r} carries "
+                            "no _change_type column"
+                        )
                 for pc in pcols:
                     if pc not in df.columns:
-                        pv = (c.get("partitionValues") or {}).get(pc)
+                        # partitionValues keys are physical on mapped
+                        # tables, like data files
+                        pv = (c.get("partitionValues") or {}).get(
+                            phys.get(pc, pc)
+                        )
                         df = df.withColumn(
                             pc, F.lit(pv).cast(schema[pc].dataType)
                         )

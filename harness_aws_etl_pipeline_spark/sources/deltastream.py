@@ -32,7 +32,11 @@ Shape per Delta's own streaming source semantics:
   DML in ``sinks/deltadml``) are the authoritative change rows, pure
   appends surface as ``insert`` rows, compactions contribute
   nothing, and a rewrite WITHOUT change data raises — output schema
-  gains ``_change_type`` + ``_commit_version``.
+  gains ``_change_type`` + ``_commit_version``;
+- COLUMN-MAPPED tables stream (round 13): the Arrow reader resolves
+  file columns by physical name (name mode) or parquet field id (id
+  mode) and partitionValues by physical key; NESTED mapped columns
+  reject loudly.
 
 Scale shape: offset planning is driver-side metadata (the same log
 fold every Delta client does); data reading is distributed one file
@@ -65,6 +69,8 @@ class _FilePartition(InputPartition):
         ctype: str | None = None,
         version: int | None = None,
         arrow_schema=None,
+        colmap: dict | None = None,
+        cm_mode: str = "none",
     ):
         self.path = path
         self.pvalues = pvalues  # partition column name -> typed value
@@ -77,6 +83,11 @@ class _FilePartition(InputPartition):
         # RecordBatches instead of per-row tuples — the Spark 4
         # Python-DataSource fast path
         self.arrow_schema = arrow_schema
+        # column mapping (round 13): logical name -> physical name
+        # (name mode) or -> delta.columnMapping.id (id mode); the
+        # Arrow reader resolves file columns through it
+        self.colmap = colmap
+        self.cm_mode = cm_mode
 
 
 def _typed_partition_value(raw: str | None, dt) -> object:
@@ -114,11 +125,52 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._start = starting_version
         self._cdf = cdf
         snap = delta_snapshot(None, self._base)
-        if (snap.get("column_mapping") or {}).get("physical"):
-            raise ValueError(
-                "delta_nojar streaming does not support column-mapped "
-                "tables yet"
+        cm = snap.get("column_mapping") or {}
+        self._phys = cm.get("physical") or {}
+        self._cm_mode = cm.get("mode") or "none"
+        self._colmap: dict | None = None
+        if self._phys:
+            # round 13: mapped tables stream — the Arrow reader
+            # resolves columns by physical name (name mode) or parquet
+            # field id (id mode). NESTED mapped columns would need
+            # struct surgery in Arrow; reject those loudly.
+            from pyspark.sql.types import StructType as _St
+
+            from harness_aws_etl_pipeline_spark.sources.deltaread import (
+                _phys_below,
             )
+
+            colmap: dict = {}
+            for f in snap["schema"].fields:
+                md = f.metadata or {}
+                nested = _phys_below(f.dataType) or (
+                    isinstance(f.dataType, _St)
+                    and any(
+                        (sf.metadata or {}).get(
+                            "delta.columnMapping.physicalName"
+                        )
+                        for sf in f.dataType.fields
+                    )
+                )
+                if nested:
+                    raise ValueError(
+                        "delta_nojar streaming on tables with NESTED "
+                        f"mapped columns (column {f.name!r}) is not "
+                        "supported"
+                    )
+                if self._cm_mode == "id":
+                    cid = md.get("delta.columnMapping.id")
+                    if cid is None:
+                        raise ValueError(
+                            "Delta id-mode column mapping: field "
+                            f"{f.name!r} carries no delta.columnMapping.id"
+                        )
+                    colmap[f.name] = int(cid)
+                else:
+                    colmap[f.name] = md.get(
+                        "delta.columnMapping.physicalName"
+                    ) or f.name
+            self._colmap = colmap
         self._pcols = snap["partition_columns"]
         self._latest = snap["version"]
 
@@ -191,11 +243,15 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         posixpath.join(self._base, unquote(add["path"])),
                         {
-                            c: _typed_partition_value(pv.get(c), ptypes[c])
+                            c: _typed_partition_value(
+                                pv.get(self._phys.get(c, c)), ptypes[c]
+                            )
                             for c in self._pcols
                         },
                         cols,
                         arrow_schema=asch,
+                        colmap=self._colmap,
+                        cm_mode=self._cm_mode,
                     )
                 )
         return parts
@@ -244,7 +300,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             posixpath.join(self._base, unquote(c["path"])),
                             {
                                 k: _typed_partition_value(
-                                    pv.get(k), ptypes[k]
+                                    pv.get(self._phys.get(k, k)),
+                                    ptypes[k],
                                 )
                                 for k in self._pcols
                             },
@@ -252,6 +309,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                             ctype=None,  # the file carries _change_type
                             version=v,
                             arrow_schema=asch,
+                            colmap=self._colmap,
+                            cm_mode=self._cm_mode,
                         )
                     )
                 continue
@@ -272,13 +331,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         posixpath.join(self._base, unquote(add["path"])),
                         {
-                            k: _typed_partition_value(pv.get(k), ptypes[k])
+                            k: _typed_partition_value(
+                                pv.get(self._phys.get(k, k)), ptypes[k]
+                            )
                             for k in self._pcols
                         },
                         cols,
                         ctype="insert",
                         version=v,
                         arrow_schema=asch,
+                        colmap=self._colmap,
+                        cm_mode=self._cm_mode,
                     )
                 )
         return parts
@@ -300,6 +363,26 @@ class _DeltaStreamReader(DataSourceStreamReader):
             return
         target = partition.arrow_schema
         names = set(tbl.column_names)
+        colmap = getattr(partition, "colmap", None)
+        by_id: dict[int, int] = {}
+        if colmap and getattr(partition, "cm_mode", "none") == "id":
+            for i, fld in enumerate(tbl.schema):
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = i
+
+        def _src(c):
+            """The file column backing logical column ``c`` — by
+            parquet field id (id mode), physical name (name mode), or
+            its own name — or None when the file lacks it."""
+            if colmap and c in colmap:
+                if by_id or getattr(partition, "cm_mode", "") == "id":
+                    i = by_id.get(colmap[c])
+                    return None if i is None else tbl.column(i)
+                pn = colmap[c]
+                return tbl.column(pn) if pn in names else None
+            return tbl.column(c) if c in names else None
+
         cols = []
         for field in target:
             c = field.name
@@ -309,8 +392,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 cols.append(
                     pa.array([partition.version] * n, field.type)
                 )
-            elif c in names:
-                cols.append(tbl.column(c).cast(field.type))
+            elif (src := _src(c)) is not None:
+                cols.append(src.cast(field.type))
             elif c in partition.pvalues:
                 cols.append(
                     pa.array([partition.pvalues[c]] * n, field.type)

@@ -306,7 +306,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         asch = to_arrow_schema(self._schema)
-        meta = self._snap_meta() if self._cdf else {}
+        meta = self._snap_meta() if self._cdf else None
         parts: list[InputPartition] = []
         prev = (
             iceberg_snapshot(None, self._base, ids[lo - 1])  # type: ignore[arg-type]
@@ -327,6 +327,16 @@ class _IcebergStreamReader(DataSourceStreamReader):
             new_data = sorted(set(cur["files"]) - prev_files)
             dropped = prev_files - set(cur["files"])
             if not self._cdf:
+                if cur_pd != prev_pd or cur_eq != prev_eq or dropped:
+                    # compaction (operation "replace") is data-neutral
+                    # — rows were already emitted from the files it
+                    # rewrites, so the append stream passes over it
+                    # (the delta_nojar dataChange=false rule)
+                    if meta is None:
+                        meta = self._snap_meta()
+                    if (meta.get(ids[i]) or {}).get("op") == "replace":
+                        prev = cur
+                        continue
                 if cur_pd != prev_pd or cur_eq != prev_eq:
                     raise ValueError(
                         f"snapshot {ids[i]} changes the live delete-file "

@@ -943,3 +943,77 @@ class TestColumnMappedDml:
         got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
         assert got == {(0, "up"), (1, "v1"), (2, "v2"), (3, "v3"),
                        (4, "v4"), (5, "V5"), (7, "n")}
+
+    def test_mapped_cdf_write_and_read(self, spark, tmp_path):
+        """Round 13 follow-up: CDF on column-mapped tables — DML
+        writes PHYSICAL-layout change files; delta_changes(cdf=True)
+        reads them back with logical names."""
+        import json as _json
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = self._name_mapped_table(spark, tmp_path)
+        # flip on CDF via a metadata commit (carrying the mapping)
+        log = sorted(glob.glob(f"{t}/_delta_log/*.json"))[0]
+        meta = next(
+            _json.loads(line)
+            for line in open(log)
+            if '"metaData"' in line
+        )
+        meta["metaData"]["configuration"][
+            "delta.enableChangeDataFeed"
+        ] = "true"
+        self._commit(t, 1, [meta])
+        rep = delta_update_where(
+            spark, t, "id = 1", {"v": "concat(v, '-up')"}
+        )
+        assert rep["rows_updated"] == 1
+        # the change file itself follows the physical layout
+        cdc = glob.glob(f"{t}/_change_data/*.parquet")
+        assert cdc
+        psch = spark.read.parquet(cdc[0]).schema
+        assert {f.name for f in psch.fields} == {
+            "col-aa", "col-bb", "_change_type"
+        }
+        got = {
+            (r.id, r.v, r._change_type)
+            for r in delta_changes(spark, t, 1, cdf=True).collect()
+        }
+        assert got == {
+            (1, "v1", "update_preimage"),
+            (1, "v1-up", "update_postimage"),
+        }
+
+    def test_id_mapped_cdf_read(self, spark, tmp_path):
+        import json as _json
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        t = self._id_mapped_table(spark, tmp_path)
+        log = sorted(glob.glob(f"{t}/_delta_log/*.json"))[0]
+        meta = next(
+            _json.loads(line)
+            for line in open(log)
+            if '"metaData"' in line
+        )
+        meta["metaData"]["configuration"][
+            "delta.enableChangeDataFeed"
+        ] = "true"
+        self._commit(t, 1, [meta])
+        rep = delta_delete_where(spark, t, "id IN (0, 3)")
+        assert rep["rows_deleted"] == 2
+        got = {
+            (r.id, r.v, r._change_type)
+            for r in delta_changes(spark, t, 1, cdf=True).collect()
+        }
+        assert got == {(0, "v0", "delete"), (3, "v3", "delete")}

@@ -292,3 +292,159 @@ class TestChangeFeedStream:
 
         with pytest.raises(StreamingQueryException, match="change data"):
             q.awaitTermination(120)
+
+
+class TestColumnMappedStream:
+    """Round 13: delta_nojar streams column-mapped tables — the Arrow
+    reader resolves columns by physical name (name mode) or parquet
+    field id (id mode); nested-mapped columns reject loudly."""
+
+    @staticmethod
+    def _commitfile(t, v, actions):
+        import json as _json
+        import pathlib
+
+        log = pathlib.Path(t) / "_delta_log"
+        log.mkdir(parents=True, exist_ok=True)
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(_json.dumps(a) for a in actions) + "\n"
+        )
+
+    def _name_mapped(self, spark, tmp_path, cdf=False):
+        import glob as _glob
+        import json as _json
+        import shutil
+
+        t = str(tmp_path / "t")
+        schema = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aa"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bb"}},
+            ],
+        })
+        conf = {"delta.columnMapping.mode": "name"}
+        if cdf:
+            conf["delta.enableChangeDataFeed"] = "true"
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(4)],
+            "`col-aa` long, `col-bb` string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (tmp_path / "t").mkdir(parents=True, exist_ok=True)
+        shutil.move(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            str(tmp_path / "t" / "f0.parquet"),
+        )
+        self._commitfile(t, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "tbl-cm",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": conf,
+            }},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        return t
+
+    def test_name_mapped_append_stream(self, spark, tmp_path):
+        register_delta_stream(spark)
+        t = self._name_mapped(spark, tmp_path)
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        df = (
+            spark.readStream.format("delta_nojar").option("path", t).load()
+        )
+        assert df.columns == ["id", "v"]
+        _drain(df, out, cp)
+        got = {(r.id, r.v) for r in spark.read.parquet(out).collect()}
+        assert got == {(i, f"v{i}") for i in range(4)}
+
+    def test_name_mapped_cdf_stream_of_dml(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_update_where,
+        )
+
+        register_delta_stream(spark)
+        t = self._name_mapped(spark, tmp_path, cdf=True)
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        delta_update_where(spark, t, "id = 1", {"v": "'up'"})
+        df = (
+            spark.readStream.format("delta_nojar")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        _drain(df, out, cp)
+        got = {
+            (r.id, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {(i, f"v{i}", "insert") for i in range(4)} | {
+            (1, "v1", "update_preimage"),
+            (1, "up", "update_postimage"),
+        }
+
+    def test_id_mapped_stream(self, spark, tmp_path):
+        import glob as _glob
+        import json as _json
+        import shutil
+
+        from pyspark.sql import types as T
+
+        register_delta_stream(spark)
+        t = str(tmp_path / "t")
+        schema = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aa"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bb"}},
+            ],
+        })
+        st = T.StructType([
+            T.StructField("col-aa", T.LongType(), True,
+                          {"parquet.field.id": 1}),
+            T.StructField("col-bb", T.StringType(), True,
+                          {"parquet.field.id": 2}),
+        ])
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        stage = tmp_path / "stage"
+        spark.createDataFrame([(1, "a"), (2, "b")], st).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        (tmp_path / "t").mkdir(parents=True, exist_ok=True)
+        shutil.move(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            str(tmp_path / "t" / "f0.parquet"),
+        )
+        self._commitfile(t, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "tbl-id",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        df = (
+            spark.readStream.format("delta_nojar").option("path", t).load()
+        )
+        _drain(df, out, cp)
+        got = {(r.id, r.v) for r in spark.read.parquet(out).collect()}
+        assert got == {(1, "a"), (2, "b")}

@@ -583,3 +583,37 @@ class TestHudiChangeFeed:
         hudi_compact(spark, t)
         with pytest.raises(Exception, match="fresh checkpoint"):
             _drain(df, out, cp)
+
+
+class TestIcebergCompactionPassOver:
+    def test_append_stream_passes_over_compaction(self, spark, tmp_path):
+        """Round 13: operation-'replace' snapshots (iceberg_compact)
+        are data-neutral — the append-only stream passes over them
+        instead of raising (delta_nojar's dataChange=false rule)."""
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_compact,
+        )
+
+        register_lake_streams(spark)
+        t, out, cp = (
+            str(tmp_path / "t"), str(tmp_path / "out"), str(tmp_path / "cp")
+        )
+        write_iceberg(spark, spark.range(3).withColumn("v", F.lit("a")), t)
+        write_iceberg(
+            spark, spark.range(3, 5).withColumn("v", F.lit("a")), t,
+            mode="append",
+        )
+        df = (
+            spark.readStream.format("iceberg_nojar").option("path", t).load()
+        )
+        _drain(df, out, cp)
+        assert spark.read.parquet(out).count() == 5
+        iceberg_compact(spark, t)
+        write_iceberg(
+            spark, spark.createDataFrame([(9, "b")], "id long, v string"),
+            t, mode="append",
+        )
+        _drain(df, out, cp)
+        rows = [(r.id, r.v) for r in spark.read.parquet(out).collect()]
+        assert len(rows) == 6 and len(set(rows)) == 6
+        assert (9, "b") in set(rows)
