@@ -398,12 +398,193 @@ def read_hudi(
     return df
 
 
+def _hudi_change_rows(
+    spark: SparkSession, path: str, lo: dict, hi: dict
+) -> DataFrame:
+    """CHANGE-ROW replay of the instants in ``(lo, hi]`` — the batch
+    twin of ``hudi_nojar``'s ``readChangeFeed``: brand-new file
+    groups' base files are ``insert`` rows; MOR deltacommit log
+    blocks ARE the change data (avro → ``upsert`` rows, delete
+    blocks → key-only ``delete`` rows on ``_hoodie_record_key``),
+    labeled with the block's instant as ``_commit_version``.
+    Base-slice rewrites (CoW upserts, compaction — including the
+    first base slice of a log-only group) reject loudly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from harness_aws_etl_pipeline_spark.sources.avroread import (
+        avro_spark_schema,
+    )
+    from harness_aws_etl_pipeline_spark.sources.hudilog import (
+        decode_log_blocks,
+    )
+
+    base = path.rstrip("/")
+    timeline = hudi_timeline(spark, path)
+    window = [
+        t["instant"]
+        for t in timeline
+        if lo["instant"] < t["instant"] <= (hi["instant"] or "")
+    ]
+    for t in timeline:
+        if t["instant"] in window and t["action"] == "replacecommit":
+            raise ValueError(
+                f"replacecommit {t['instant']} in the window; change "
+                "capture cannot represent it"
+            )
+
+    # table schema: base files, else the first log avro block
+    if hi["files"]:
+        schema = spark.read.parquet(*hi["files"]).schema
+    elif hi.get("log_files"):
+        with open(
+            _strip_scheme(hi["log_files"][0]["path"]), "rb"
+        ) as fh:
+            blocks = decode_log_blocks(fh.read())
+        avro_blocks = [b for b in blocks if b["type"] == "avro"]
+        if not avro_blocks:
+            raise ValueError(
+                "cannot derive a schema: the first Hudi log file has "
+                "no avro data block"
+            )
+        schema = avro_spark_schema(avro_blocks[0]["schema"])
+    else:
+        raise ValueError("Hudi table has no files to derive a schema from")
+    names = [f.name for f in schema.fields]
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+
+    def _groups(snap: dict) -> dict[tuple[str, str], str]:
+        out = {}
+        for p in snap["files"]:
+            rel = p[len(base) + 1 :] if p.startswith(base) else p
+            m = _DATA_RE.search(rel)
+            if m:
+                out[(posixpath.dirname(rel), m.group("fid"))] = p
+        return out
+
+    def _conform(df: DataFrame, ct: str, version: int) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c).cast(schema[c].dataType).alias(c)
+                if c in df.columns
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+                for c in names
+            ],
+            F.lit(ct).alias("_change_type"),
+            F.lit(version).cast("long").alias("_commit_version"),
+        )
+
+    out: DataFrame | None = None
+    prev_inst = lo["instant"]
+    for inst in window:
+        snap_prev = hudi_snapshot(spark, path, prev_inst)
+        snap_cur = hudi_snapshot(spark, path, inst)
+        lo_g, hi_g = _groups(snap_prev), _groups(snap_cur)
+        rewritten = [k for k in lo_g if k in hi_g and lo_g[k] != hi_g[k]]
+        dropped = [k for k in lo_g if k not in hi_g]
+        if rewritten or dropped:
+            raise ValueError(
+                f"instant {inst} rewrites {len(rewritten)} / drops "
+                f"{len(dropped)} base file slice(s); base rewrites "
+                "carry no row-level change data"
+            )
+        prev_logged = {
+            (lf["part"], lf["fid"])
+            for lf in snap_prev.get("log_files") or []
+        }
+        new_paths = []
+        for k in sorted(hi_g):
+            if k in lo_g:
+                continue
+            if k in prev_logged:
+                raise ValueError(
+                    f"instant {inst} compacts log-only file group "
+                    f"{k[1]!r} into a base slice; base rewrites carry "
+                    "no row-level change data"
+                )
+            new_paths.append(hi_g[k])
+        if new_paths:
+            df = _conform(
+                spark.read.parquet(*new_paths), "insert", int(inst)
+            )
+            out = df if out is None else out.unionByName(df)
+        prev_inst = inst
+
+    # log blocks: distributed decode over the hi snapshot's log list,
+    # filtered to the window's committed instants (log FILES do not
+    # time-travel — a version-2 log carries its group's original base
+    # instant — but their BLOCKS label their own instant)
+    log_paths = sorted(
+        lf["path"] for lf in hi.get("log_files") or []
+    )
+    if log_paths and window:
+        window_set = frozenset(window)
+
+        def _decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                cols: dict[str, list] = {n: [] for n in names}
+                ctypes: list = []
+                versions: list = []
+                for pth in pdf["path"]:
+                    with open(_strip_scheme(pth), "rb") as fh:
+                        content = fh.read()
+                    for blk in decode_log_blocks(content):
+                        inst = blk.get("instant")
+                        if inst not in window_set:
+                            continue
+                        if blk["type"] == "avro":
+                            for rec in blk["records"]:
+                                for n in names:
+                                    cols[n].append(rec.get(n))
+                                ctypes.append("upsert")
+                                versions.append(int(inst))
+                        elif blk["type"] == "delete":
+                            for key, part in blk["deletes"]:
+                                for n in names:
+                                    if n == "_hoodie_record_key":
+                                        cols[n].append(key)
+                                    elif n == "_hoodie_partition_path":
+                                        cols[n].append(part)
+                                    else:
+                                        cols[n].append(None)
+                                ctypes.append("delete")
+                                versions.append(int(inst))
+                # object dtype so all-skipped batches don't emit
+                # float64 empties that fail the Arrow cast
+                data = {
+                    n: pd.Series(cols[n], dtype="object") for n in names
+                }
+                data["_change_type"] = pd.Series(ctypes, dtype="object")
+                data["_commit_version"] = pd.Series(
+                    versions, dtype="int64"
+                )
+                yield pd.DataFrame(data)
+
+        ldf = spark.createDataFrame(
+            [(p,) for p in log_paths], "path string"
+        ).repartition(min(len(log_paths), 32))
+        df = ldf.mapInPandas(_decode, out_schema)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        return spark.createDataFrame([], out_schema)
+    return out
+
+
 def hudi_changes(
     spark: SparkSession,
     path: str,
     since_instant: str,
     to_instant: str | None = None,
     drop_meta: bool = False,
+    change_rows: bool = False,
 ) -> DataFrame:
     """Append-only incremental consumer (completes the trio next to
     ``delta_changes`` / ``iceberg_changes``): rows in file GROUPS that
@@ -419,11 +600,14 @@ def hudi_changes(
     hi = hudi_snapshot(spark, path, to_instant)
     if lo["instant"] is None:
         raise ValueError("since_instant predates every completed commit")
+    if change_rows:
+        return _hudi_change_rows(spark, path, lo, hi)
     if hi.get("log_files"):
         raise ValueError(
             "MERGE_ON_READ snapshot carries delta log files; "
             "append-only change capture cannot represent log-merged "
-            "rows (compact first)"
+            "rows (compact first; change_rows=True consumes them as "
+            "change rows)"
         )
     timeline = hudi_timeline(spark, path)
     in_window = [

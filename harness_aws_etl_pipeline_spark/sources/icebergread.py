@@ -583,18 +583,173 @@ def _read_with_equality_deletes(
     return df.select(*cols)
 
 
+def _snapshot_meta(spark: SparkSession, path: str) -> dict:
+    """snapshot-id → {"seq", "op"} from the table metadata."""
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    md = json.loads(
+        fs.read_bytes(_latest_metadata(fs, base)).decode("utf-8")
+    )
+    return {
+        s["snapshot-id"]: {
+            "seq": int(s.get("sequence-number") or 0),
+            "op": (s.get("summary") or {}).get("operation"),
+        }
+        for s in md.get("snapshots") or []
+    }
+
+
+def _iceberg_change_rows(
+    spark: SparkSession, path: str, lo: dict, hi: dict
+) -> DataFrame:
+    """CHANGE-ROW replay of the snapshots in ``(lo, hi]`` — the batch
+    twin of ``iceberg_nojar``'s ``readChangeFeed``: per snapshot,
+    position deletes replay the referenced PREIMAGE rows (full
+    values), equality deletes surface as key-only ``delete`` rows, new
+    data files as ``insert`` rows; within one ``_commit_version`` (the
+    snapshot's sequence number) deletes apply BEFORE inserts — the
+    upsert-changelog order. Compaction snapshots (operation
+    ``replace``) contribute nothing; other file-dropping snapshots
+    reject loudly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base = path.rstrip("/")
+    schema = hi["schema"]
+    cols = [f.name for f in schema.fields]
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    meta = _snapshot_meta(spark, path)
+    snaps = iceberg_snapshots(spark, path)
+    ids = [s["snapshot_id"] for s in snaps]
+    if lo["snapshot_id"] not in ids or hi["snapshot_id"] not in ids:
+        raise ValueError("window endpoints are not in the snapshot log")
+    window = ids[ids.index(lo["snapshot_id"]) + 1 : ids.index(
+        hi["snapshot_id"]
+    ) + 1]
+    out: DataFrame | None = None
+    prev = lo
+
+    def _conform(df: DataFrame, ct: str, version: int) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c).cast(schema[c].dataType).alias(c)
+                if c in df.columns
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+                for c in cols
+            ],
+            F.lit(ct).alias("_change_type"),
+            F.lit(version).cast("long").alias("_commit_version"),
+        )
+
+    for sid in window:
+        cur = iceberg_snapshot(spark, path, sid)
+        sm = meta.get(sid) or {}
+        version = int(sm.get("seq") or 0)
+        prev_files = set(prev["files"])
+        prev_pd = set(prev.get("position_delete_files") or [])
+        prev_eq = {d["path"] for d in prev.get("equality_delete_files") or []}
+        cur_pd = set(cur.get("position_delete_files") or [])
+        cur_eq = {d["path"] for d in cur.get("equality_delete_files") or []}
+        dropped = prev_files - set(cur["files"])
+        if sm.get("op") == "replace":
+            prev = cur
+            continue
+        if dropped:
+            raise ValueError(
+                f"snapshot {sid} ({sm.get('op')}) drops {len(dropped)} "
+                "data file(s) outside a compaction; change capture "
+                "cannot reconstruct rewrite deltas"
+            )
+        if (prev_pd - cur_pd) or (prev_eq - cur_eq):
+            raise ValueError(
+                f"snapshot {sid} removes delete files outside a "
+                "compaction; change capture cannot represent it"
+            )
+        new_pos = sorted(cur_pd - prev_pd)
+        if new_pos:
+            # preimage rows: scan the referenced data files of the
+            # PRIOR snapshot with row positions, semi-joined to the
+            # delete pairs — fully distributed
+            del_df = spark.read.schema(
+                "file_path string, pos long"
+            ).parquet(*new_pos)
+            origin_of = prev.get("origin_of") or {}
+            mp = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (
+                            "/" + f.split("://", 1)[1].lstrip("/")
+                            if "://" in f
+                            else "/" + f.lstrip("/"),
+                            origin_of.get(f, f),
+                        )
+                        for f in prev["files"]
+                    ],
+                    "__fp string, file_path string",
+                )
+            )
+            scan = (
+                spark.read.schema(schema)
+                .parquet(*prev["files"])
+                .select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"),
+                        "^[a-zA-Z0-9+.-]+:/+",
+                        "/",
+                    ).alias("__fp"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+                .join(mp, "__fp")
+                .join(del_df, ["file_path", "pos"], "left_semi")
+            )
+            df = _conform(scan, "delete", version)
+            out = df if out is None else out.unionByName(df)
+        for efp in sorted(cur_eq - prev_eq):
+            df = _conform(
+                spark.read.parquet(efp), "delete", version
+            )
+            out = df if out is None else out.unionByName(df)
+        new_files = sorted(set(cur["files"]) - prev_files)
+        if new_files:
+            df = _conform(
+                spark.read.schema(schema).parquet(*new_files),
+                "insert",
+                version,
+            )
+            out = df if out is None else out.unionByName(df)
+        prev = cur
+    if out is None:
+        return spark.createDataFrame([], out_schema)
+    return out
+
+
 def iceberg_changes(
     spark: SparkSession,
     path: str,
     since_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    change_rows: bool = False,
 ) -> DataFrame:
     """Append-only incremental consumer (the delta_changes mirror):
     rows in data files present in ``to`` but not in ``since``.
     Windows that drop pre-existing files (rewrites/deletes) are
-    rejected as not representable without a changelog."""
+    rejected as not representable without a changelog.
+
+    ``change_rows=True`` (round 13) switches to CHANGE-ROW capture —
+    the batch twin of ``iceberg_nojar``'s ``readChangeFeed``: upserts
+    and deletes in the window surface as labeled change rows
+    (``_change_type`` / ``_commit_version``) instead of rejecting."""
     lo = iceberg_snapshot(spark, path, since_snapshot_id)
     hi = iceberg_snapshot(spark, path, to_snapshot_id)
+    if change_rows:
+        return _iceberg_change_rows(spark, path, lo, hi)
     # a delete file appearing (or disappearing) inside the window
     # changes the visibility of previously-captured rows — not
     # representable as added-rows-only (round-10 guard, mirrors the

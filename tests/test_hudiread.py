@@ -10,6 +10,7 @@ import shutil
 import pytest
 
 from harness_aws_etl_pipeline_spark.sources.hudiread import (
+    hudi_changes,
     hudi_snapshot,
     hudi_timeline,
     read_hudi,
@@ -381,3 +382,102 @@ class TestMergeOnRead:
         t = self._mor_table(spark, tmp_path)
         with pytest.raises(ValueError, match="log"):
             hudi_changes(spark, str(t), since_instant=T1)
+
+
+class TestChangeRows:
+    """Round 13: hudi_changes(change_rows=True) — the batch twin of
+    hudi_nojar's readChangeFeed (MOR log blocks as change rows)."""
+
+    def test_mor_upserts_and_delete_blocks(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        r1 = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        r2 = hudi_upsert(
+            spark,
+            spark.createDataFrame(
+                [(2, "B"), (3, "c")], "id long, v string"
+            ),
+            t,
+            key_col="id",
+        )
+        ch = hudi_changes(
+            spark, t, r1["instant"], change_rows=True
+        )
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in ch.collect()
+        }
+        assert got == {
+            (2, "B", "upsert", int(r2["instant"])),
+            (3, "c", "upsert", int(r2["instant"])),
+        }
+
+    def test_fixture_delete_block_and_new_group(self, spark, tmp_path):
+        """Hand-built MOR layout: base group at T1, a new base group +
+        a delete block + an update block at T2 — inserts labeled by
+        the base file's instant, log rows by the block's."""
+        _props(tmp_path, ttype="MERGE_ON_READ")
+        _commit(tmp_path, T1)
+        _mor_base(spark, tmp_path, "g1", T1,
+                  [("k1", 1, "a"), ("k2", 2, "b")])
+        _deltacommit(tmp_path, T2)
+        _mor_base(spark, tmp_path, "g2", T2, [("k5", 5, "e")])
+        (tmp_path / f".g1_{T1}.log.1_0-1-2").write_bytes(
+            encode_delete_block([("k2", "")], T2)
+            + encode_avro_block(_AVRO, [_rec("k1", 1, "a2")], T2)
+        )
+        ch = hudi_changes(
+            spark, str(tmp_path), T1, change_rows=True
+        )
+        got = {
+            (
+                r._hoodie_record_key,
+                r.id,
+                r.v,
+                r._change_type,
+                r._commit_version,
+            )
+            for r in ch.collect()
+        }
+        assert got == {
+            ("k5", 5, "e", "insert", int(T2)),
+            ("k2", None, None, "delete", int(T2)),
+            ("k1", 1, "a2", "upsert", int(T2)),
+        }
+
+    def test_compaction_rejects(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            hudi_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        r1 = hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a2")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        hudi_compact(spark, t)
+        with pytest.raises(ValueError, match="change data"):
+            hudi_changes(
+                spark, t, r1["instant"], change_rows=True
+            ).collect()

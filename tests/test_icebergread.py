@@ -546,3 +546,104 @@ class TestEqualityDeletes:
         _metadata(tmp_path, snaps, current=2, v2=True)
         with pytest.raises(ValueError, match="equality-delete"):
             iceberg_changes(spark, str(tmp_path), since_snapshot_id=1)
+
+
+class TestChangeRows:
+    """Round 13: iceberg_changes(change_rows=True) — the batch twin
+    of iceberg_nojar's readChangeFeed."""
+
+    def test_upsert_and_delete_replay(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+            iceberg_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+            iceberg_snapshots,
+            read_iceberg,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.range(4).withColumn("v", F.lit("a")),
+            t,
+        )
+        s0 = iceberg_snapshots(spark, t)[-1]["snapshot_id"]
+        # position delete first (delete_where refuses tables carrying
+        # live equality deletes), then the eq-delete upsert
+        iceberg_delete_where(spark, t, "id = 2")
+        iceberg_upsert(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(1, "up"), (9, "n")], "id long, v string"
+            ),
+            keys=["id"],
+        )
+        ch = iceberg_changes(spark, t, s0, change_rows=True)
+        got = {
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in ch.collect()
+        }
+        assert got == {
+            (2, "a", "delete", 2),  # position delete: full preimage
+            (1, None, "delete", 3),
+            (9, None, "delete", 3),
+            (1, "up", "insert", 3),
+            (9, "n", "insert", 3),
+        }
+        # applying the changelog (per version, deletes first) over the
+        # base snapshot reproduces the table
+        state = {i: "a" for i in range(4)}
+        for _id, _v, ct, _cv in sorted(
+            got, key=lambda x: (x[3], x[2] != "delete")
+        ):
+            if ct == "delete":
+                state.pop(_id, None)
+            else:
+                state[_id] = _v
+        assert state == {
+            r.id: r.v for r in read_iceberg(spark, t).collect()
+        }
+
+    def test_compaction_skipped_appends_flow(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+            iceberg_snapshots,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(spark, spark.range(4).withColumn("v", F.lit("a")), t)
+        s0 = iceberg_snapshots(spark, t)[-1]["snapshot_id"]
+        iceberg_delete_where(spark, t, "id = 0")
+        iceberg_compact(spark, t)
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(9, "b")], "id long, v string"),
+            t,
+            mode="append",
+        )
+        got = {
+            (r.id, r._change_type)
+            for r in iceberg_changes(
+                spark, t, s0, change_rows=True
+            ).collect()
+        }
+        assert got == {(0, "delete"), (9, "insert")}
