@@ -855,6 +855,24 @@ def main(argv: list[str] | None = None) -> int:
         "--expire-keep-last", type=int, default=None,
         help="expire all but the newest N snapshots and reclaim files",
     )
+    ib.add_argument(
+        "--upsert", default=None,
+        help="parquet path: keyed upsert via equality deletes "
+             "(needs --keys)",
+    )
+    ib.add_argument(
+        "--keys", default=None,
+        help="comma-separated upsert key columns for --upsert",
+    )
+    ib.add_argument(
+        "--changes-since", type=int, default=None,
+        help="incremental read: rows changed after this snapshot id",
+    )
+    ib.add_argument(
+        "--change-rows", action="store_true",
+        help="with --changes-since: replay upserts/deletes as labeled "
+             "change rows (_change_type/_commit_version)",
+    )
 
     hu = sub.add_parser(
         "hudi",
@@ -889,6 +907,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     hu.add_argument(
         "--drop-meta", action="store_true", help="strip _hoodie_* columns"
+    )
+    hu.add_argument(
+        "--upsert", default=None,
+        help="parquet path: keyed upsert (MOR log blocks) "
+             "(needs --key-col)",
+    )
+    hu.add_argument(
+        "--key-col", default=None,
+        help="record key column for --upsert",
+    )
+    hu.add_argument(
+        "--changes-since", default=None,
+        help="incremental read: rows changed after this instant",
+    )
+    hu.add_argument(
+        "--change-rows", action="store_true",
+        help="with --changes-since: replay upserts/deletes as labeled "
+             "change rows (_change_type/_commit_version)",
     )
     hu.add_argument("--output", default=None, help="export snapshot parquet")
     hu.add_argument("--show", type=int, default=5, help="preview rows")
@@ -1792,6 +1828,41 @@ def main(argv: list[str] | None = None) -> int:
                 "status": "success", "action": "iceberg_delete", **rep,
             }))
             return 0
+        if args.upsert:
+            from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+                iceberg_upsert,
+            )
+
+            if not args.keys:
+                raise SystemExit("--upsert needs --keys")
+            rep = iceberg_upsert(
+                spark,
+                args.path,
+                spark.read.parquet(args.upsert),
+                keys=args.keys.split(","),
+            )
+            print(json.dumps({
+                "status": "success", "action": "iceberg_upsert", **rep,
+            }))
+            return 0
+        if args.changes_since is not None:
+            from harness_aws_etl_pipeline_spark.sources.icebergread import (
+                iceberg_changes,
+            )
+
+            df = iceberg_changes(
+                spark, args.path, args.changes_since,
+                change_rows=args.change_rows,
+            )
+            print(json.dumps({
+                "status": "success", "action": "iceberg_changes",
+                "change_rows": bool(args.change_rows),
+                "rows": df.count(),
+                "preview": [
+                    r.asDict() for r in df.limit(args.show).collect()
+                ],
+            }, default=str))
+            return 0
         if args.compact:
             from harness_aws_etl_pipeline_spark.sinks.compact import (
                 iceberg_compact,
@@ -1890,6 +1961,41 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "status": "success", "action": "hudi_clean", **rep,
             }))
+            return 0
+        if args.upsert:
+            from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+                hudi_upsert,
+            )
+
+            if not args.key_col:
+                raise SystemExit("--upsert needs --key-col")
+            rep = hudi_upsert(
+                spark,
+                spark.read.parquet(args.upsert),
+                args.path,
+                key_col=args.key_col,
+            )
+            print(json.dumps({
+                "status": "success", "action": "hudi_upsert", **rep,
+            }))
+            return 0
+        if args.changes_since is not None:
+            from harness_aws_etl_pipeline_spark.sources.hudiread import (
+                hudi_changes,
+            )
+
+            df = hudi_changes(
+                spark, args.path, args.changes_since,
+                change_rows=args.change_rows,
+            )
+            print(json.dumps({
+                "status": "success", "action": "hudi_changes",
+                "change_rows": bool(args.change_rows),
+                "rows": df.count(),
+                "preview": [
+                    r.asDict() for r in df.limit(args.show).collect()
+                ],
+            }, default=str))
             return 0
         if args.timeline:
             print(json.dumps({

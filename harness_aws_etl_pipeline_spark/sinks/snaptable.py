@@ -69,7 +69,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs, join_path
 
@@ -764,6 +764,7 @@ class SnapTable:
         since_version: int,
         to_version: int | None = None,
         on_rewrite: str = "error",
+        change_rows: bool = False,
     ) -> DataFrame:
         """Rows ADDED between two snapshots — the incremental-consumer
         primitive (CDC-lite): a downstream job remembers the last
@@ -785,6 +786,17 @@ class SnapTable:
         The result carries a ``_commit_version`` column so a consumer
         can checkpoint mid-stream. Requires every version in
         ``(since, to]`` plus ``since`` itself to still be retained.
+
+        ``change_rows=True`` switches to CHANGE-ROW capture (the
+        native face of the ``_change_data`` files DML commits write
+        when ``delta.enableChangeDataFeed`` is set — no Delta export
+        hop): DML commits replay their recorded change rows verbatim
+        (``_change_type`` of ``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage``), appends surface
+        as ``insert`` rows, compactions contribute nothing, and a
+        rewrite commit that recorded no change data rejects loudly —
+        change rows cannot be reconstructed after the fact.
+        ``on_rewrite`` is ignored in this mode.
         """
         if on_rewrite not in ("error", "include", "skip"):
             raise ValueError('on_rewrite must be "error"/"include"/"skip"')
@@ -815,6 +827,40 @@ class SnapTable:
             if m["operation"] in ("compact", "optimize"):
                 # row-preserving rewrites: files change, rows don't
                 continue
+            if change_rows:
+                schema = StructType.fromJson(json.loads(m["schema"]))
+                if m.get("cdc"):
+                    cschema = StructType(
+                        list(schema.fields)
+                        + [StructField("_change_type", StringType())]
+                    )
+                    frames.append(
+                        self.spark.read.schema(cschema)
+                        .parquet(
+                            *[
+                                join_path(self.path, f["path"])
+                                for f in m["cdc"]
+                            ]
+                        )
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                elif m["operation"] == "append":
+                    if added:
+                        frames.append(
+                            self._read_files(
+                                schema, [f["path"] for f in added]
+                            )
+                            .withColumn("_change_type", F.lit("insert"))
+                            .withColumn("_commit_version", F.lit(v))
+                        )
+                else:
+                    raise ValueError(
+                        f"snapshot {v} is a {m['operation']!r} with no "
+                        "recorded change data; set "
+                        "delta.enableChangeDataFeed before the rewrite "
+                        "to capture change rows"
+                    )
+                continue
             if m["operation"] not in ("append",):
                 if on_rewrite == "error":
                     raise ValueError(
@@ -836,7 +882,12 @@ class SnapTable:
             schema = StructType.fromJson(
                 json.loads(self.manifest(to_version)["schema"])
             )
-            return self.spark.createDataFrame([], schema).withColumn(
+            empty = self.spark.createDataFrame([], schema)
+            if change_rows:
+                empty = empty.withColumn(
+                    "_change_type", F.lit(None).cast("string")
+                )
+            return empty.withColumn(
                 "_commit_version", F.lit(0).cast("int")
             )
         out = frames[0]

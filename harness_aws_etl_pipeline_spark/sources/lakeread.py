@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from harness_aws_etl_pipeline_spark.sinks.fs import get_fs
 
-__all__ = ["detect_lake_format", "read_lake", "write_lake"]
+__all__ = [
+    "detect_lake_format",
+    "lake_changes",
+    "read_lake",
+    "write_lake",
+]
 
 
 def detect_lake_format(spark: SparkSession, path: str) -> str:
@@ -117,3 +122,64 @@ def read_lake(spark: SparkSession, path: str, **kwargs) -> DataFrame:
 
         return read_avro(spark, path, **kwargs)
     return spark.read.parquet(path, **kwargs)
+
+
+def lake_changes(
+    spark: SparkSession,
+    path: str,
+    since,
+    to=None,
+    change_rows: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Detect + incremental-consume: the one-call face over the four
+    change-capture readers (``SnapTable.read_changes``,
+    ``delta_changes``, ``iceberg_changes``, ``hudi_changes``).
+    ``since``/``to`` are the format's own cursor — version int
+    (snaptable/delta), snapshot id (iceberg), instant string (hudi);
+    a consumer checkpoints whatever cursor it last processed and
+    passes it back here.
+
+    Default mode is append-only capture (rewrites reject loudly);
+    ``change_rows=True`` switches every format to CHANGE-ROW capture
+    (``_change_type`` / ``_commit_version`` labeled rows replaying
+    upserts and deletes). Extra ``kwargs`` pass through to the
+    format's reader (e.g. ``on_rewrite=`` for snaptable)."""
+    kind = detect_lake_format(spark, path)
+    if kind == "snaptable":
+        from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+        return SnapTable(spark, path).read_changes(
+            int(since),
+            None if to is None else int(to),
+            change_rows=change_rows,
+            **kwargs,
+        )
+    if kind == "delta":
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_changes,
+        )
+
+        return delta_changes(
+            spark, path, int(since), to, cdf=change_rows, **kwargs
+        )
+    if kind == "iceberg":
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+        )
+
+        return iceberg_changes(
+            spark, path, int(since), to, change_rows=change_rows, **kwargs
+        )
+    if kind == "hudi":
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_changes,
+        )
+
+        return hudi_changes(
+            spark, path, str(since), to, change_rows=change_rows, **kwargs
+        )
+    raise ValueError(
+        f"{kind!r} layouts have no change-capture log; lake_changes "
+        "needs a snaptable/delta/iceberg/hudi table"
+    )

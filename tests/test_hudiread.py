@@ -481,3 +481,37 @@ class TestChangeRows:
             hudi_changes(
                 spark, t, r1["instant"], change_rows=True
             ).collect()
+
+    def test_upsert_and_changes_cli(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        r1 = hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "A2"), (2, "b")], "id long, v string"
+        ).write.parquet(src)
+        rc = main([
+            "hudi", "--path", t, "--upsert", src, "--key-col", "id",
+        ])
+        assert rc == 0
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rc = main([
+            "hudi", "--path", t, "--changes-since", r1["instant"],
+            "--change-rows", "--show", "10",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "hudi_changes" and rep["change_rows"]
+        got = {(p["id"], p["v"]) for p in rep["preview"]}
+        assert got == {(1, "A2"), (2, "b")}

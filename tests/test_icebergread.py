@@ -647,3 +647,46 @@ class TestChangeRows:
             ).collect()
         }
         assert got == {(0, "delete"), (9, "insert")}
+
+    def test_upsert_and_changes_cli(self, spark, tmp_path, capsys):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.cli import main
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_snapshots,
+            read_iceberg,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark, spark.range(3).withColumn("v", F.lit("a")), t
+        )
+        s0 = iceberg_snapshots(spark, t)[-1]["snapshot_id"]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "up"), (5, "n")], "id long, v string"
+        ).write.parquet(src)
+        rc = main([
+            "iceberg", "--path", t, "--upsert", src, "--keys", "id",
+        ])
+        assert rc == 0
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert {
+            (r.id, r.v) for r in read_iceberg(spark, t).collect()
+        } == {(0, "a"), (1, "up"), (2, "a"), (5, "n")}
+        rc = main([
+            "iceberg", "--path", t, "--changes-since", str(s0),
+            "--change-rows", "--show", "10",
+        ])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["action"] == "iceberg_changes" and rep["change_rows"]
+        got = {
+            (p["id"], p["_change_type"]) for p in rep["preview"]
+        }
+        assert got == {
+            (1, "delete"), (5, "delete"), (1, "insert"), (5, "insert"),
+        }

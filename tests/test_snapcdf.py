@@ -228,3 +228,157 @@ class TestChangeFeedStreamFromExport:
             (1, "a", "update_preimage"),
             (1, "up", "update_postimage"),
         }
+
+
+class TestNativeChangeRows:
+    """read_changes(change_rows=True): native CDF consumption without
+    the Delta export hop, plus the lake_changes one-call dispatch."""
+
+    def test_dml_and_append_change_rows(self, spark, table):
+        table.write(
+            spark.createDataFrame(
+                [(i, "a") for i in range(4)], "id long, v string"
+            ),
+            mode="overwrite",
+        )
+        table.set_properties({"delta.enableChangeDataFeed": "true"})
+        base = table.current_version()
+        table.delete_where("id = 3")
+        table.write(
+            spark.createDataFrame([(7, "n")], "id long, v string"),
+            mode="append",
+        )
+        table.merge(
+            spark.createDataFrame(
+                [(0, "up"), (9, "new")], "id long, v string"
+            ),
+            key_cols=["id"],
+        )
+        got = {
+            tuple(r)
+            for r in table.read_changes(base, change_rows=True)
+            .select("id", "v", "_change_type")
+            .collect()
+        }
+        assert got == {
+            (3, "a", "delete"),
+            (7, "n", "insert"),
+            (0, "a", "update_preimage"),
+            (0, "up", "update_postimage"),
+            (9, "new", "insert"),
+        }
+        # versions label each commit distinctly
+        vs = {
+            r["_commit_version"]
+            for r in table.read_changes(base, change_rows=True).collect()
+        }
+        assert len(vs) == 3
+
+    def test_rewrite_without_cdf_rejects(self, spark, table):
+        table.write(
+            spark.createDataFrame(
+                [(i, "a") for i in range(4)], "id long, v string"
+            ),
+            mode="overwrite",
+        )
+        base = table.current_version()
+        table.delete_where("id = 0")
+        with pytest.raises(ValueError, match="change data"):
+            table.read_changes(base, change_rows=True)
+
+    def test_compaction_contributes_nothing(self, spark, table):
+        table.write(
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            mode="overwrite",
+        )
+        table.set_properties({"delta.enableChangeDataFeed": "true"})
+        base = table.current_version()
+        table.write(
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            mode="append",
+        )
+        table.compact()
+        got = {
+            (r.id, r._change_type)
+            for r in table.read_changes(base, change_rows=True).collect()
+        }
+        assert got == {(2, "insert")}
+
+    def test_lake_changes_dispatch(self, spark, table, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.lakeread import (
+            lake_changes,
+        )
+
+        table.write(
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            mode="overwrite",
+        )
+        table.set_properties({"delta.enableChangeDataFeed": "true"})
+        base = table.current_version()
+        table.delete_where("id = 1")
+        got = {
+            (r.id, r._change_type)
+            for r in lake_changes(
+                spark, table.path, base, change_rows=True
+            ).collect()
+        }
+        assert got == {(1, "delete")}
+        # non-log layouts reject loudly
+        pq = str(tmp_path / "pq")
+        spark.range(3).write.parquet(pq)
+        with pytest.raises(ValueError, match="change-capture"):
+            lake_changes(spark, pq, 0)
+
+    def test_lake_changes_iceberg_and_hudi(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_snapshots,
+        )
+        from harness_aws_etl_pipeline_spark.sources.lakeread import (
+            lake_changes,
+        )
+
+        it = str(tmp_path / "it")
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            it,
+        )
+        s0 = iceberg_snapshots(spark, it)[-1]["snapshot_id"]
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            it,
+            mode="append",
+        )
+        assert {
+            (r.id, r._change_type)
+            for r in lake_changes(
+                spark, it, s0, change_rows=True
+            ).collect()
+        } == {(2, "insert")}
+
+        ht = str(tmp_path / "ht")
+        r1 = hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            ht,
+            key_col="id",
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "A2")], "id long, v string"),
+            ht,
+            key_col="id",
+        )
+        assert {
+            (r.id, r.v, r._change_type)
+            for r in lake_changes(
+                spark, ht, r1["instant"], change_rows=True
+            ).collect()
+        } == {(1, "A2", "upsert")}
