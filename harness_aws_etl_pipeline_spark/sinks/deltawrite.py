@@ -60,6 +60,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     checkpoint_interval: int | None = 10,
     max_commit_retries: int = 20,
+    merge_schema: bool = False,
 ) -> dict:
     """Write ``df`` as one Delta commit at ``path``. Returns
     ``{"version", "files_added", "files_removed", "retries"}``.
@@ -82,7 +83,24 @@ def write_delta(
     referenced. The check re-runs inside the commit-retry loop, so a
     racing duplicate of the same (app, version) cannot double-commit.
     Pair with ``foreachBatch`` passing ``version=batch_id``
-    (:func:`stream_to_delta`)."""
+    (:func:`stream_to_delta`).
+
+    ``merge_schema=True`` (appends only) evolves the table schema at
+    append time — the Iceberg writer's sibling (and Delta's own
+    ``mergeSchema`` option): new top-level columns append to the
+    table schema as nullable fields, table columns the batch lacks
+    fill with typed nulls, and batch columns whose type upcasts
+    losslessly (int→long, float→double) cast to the table's type.
+    Type conflicts, nested struct changes, and column-mapped tables
+    reject loudly.
+
+    Column-mapped tables (name or id mode) append correctly WITHOUT
+    flags: staged files follow the physical layout (renamed columns /
+    parquet field ids via the DML writer's machinery), partition
+    directories and ``partitionValues`` keys stay physical, and
+    per-file stats key physical names — any mapped reader resolves
+    the new files. Schema-changing writes on mapped tables reject
+    loudly (evolving a mapping needs fresh column ids)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite: {mode!r}")
     if txn is not None:
@@ -105,6 +123,8 @@ def write_delta(
 
     commits = _commit_files(fs, log_dir)
     table_id = str(uuid.uuid4())
+    cm_mode = "none"
+    df_store, store_pcols = df, pcols
     if commits:
         prev = delta_snapshot(spark, base)
         # the table id is stable for the table's whole life (spec);
@@ -123,6 +143,32 @@ def write_delta(
                 "retries": 0,
                 "skipped": True,
             }
+        cm = prev.get("column_mapping") or {}
+        cm_mode = cm.get("mode") or "none"
+        if merge_schema and mode == "append" and prev["schema"] is not None:
+            if cm_mode != "none":
+                raise ValueError(
+                    "merge_schema on a column-mapped table is not "
+                    "supported — evolving a mapping needs fresh "
+                    "column ids"
+                )
+            df = _merge_append_schema(df, prev["schema"])
+            df_store = df
+        if cm.get("physical"):
+            from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+                _physicalize_for_write,
+            )
+
+            if prev["schema"] is not None and _schema_shape(
+                prev["schema"]
+            ) != _schema_shape(df.schema):
+                raise ValueError(
+                    "schema-changing writes on a column-mapped table "
+                    "are not supported — evolving a mapping needs "
+                    "fresh column ids"
+                )
+            df_store = _physicalize_for_write(spark, prev, df)
+            store_pcols = [cm["physical"].get(c, c) for c in pcols]
 
     # ---- data: stage into a unique temp dir, then move files into
     # the table layout. Listing-diff against the live dir would race a
@@ -132,9 +178,9 @@ def write_delta(
     # write, so the moves cannot collide either.
     stage = posixpath.join(base, f".stage-{uuid.uuid4().hex}")
     try:
-        writer = df.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
+        writer = df_store.write.mode("overwrite")
+        if store_pcols:
+            writer = writer.partitionBy(*store_pcols)
         writer.parquet(stage)
         new_files: dict[str, int] = {}
         for rel, _mt, size in fs.list_files(stage):
@@ -156,7 +202,7 @@ def write_delta(
     ts_ms = int(time.time() * 1000)
 
     file_stats: dict[str, str] = (
-        _collect_stats(spark, base, sorted(new_files), df, pcols)
+        _collect_stats(spark, base, sorted(new_files), df_store, store_pcols)
         if stats and new_files
         else {}
     )
@@ -166,7 +212,7 @@ def write_delta(
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
                 k, _, v = seg.partition("=")
-                if k in pcols:
+                if k in store_pcols:
                     vals[k] = (
                         None
                         if v == "__HIVE_DEFAULT_PARTITION__"
@@ -215,18 +261,62 @@ def write_delta(
         else:
             prev = delta_snapshot(spark, base, version - 1)
 
-            def _shape(sch):
-                return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+            if prev["schema"] is not None and _schema_shape(
+                prev["schema"]
+            ) != _schema_shape(df.schema):
+                if mode == "overwrite":
+                    if cm_mode != "none":
+                        raise ValueError(
+                            "schema-changing writes on a column-mapped "
+                            "table are not supported — evolving a "
+                            "mapping needs fresh column ids"
+                        )
+                    actions.append(meta_action)
+                elif merge_schema:
+                    # a racing evolver may have widened the table since
+                    # staging: the metaData this commit claims is the
+                    # union of the CURRENT table schema and the staged
+                    # columns (racer-added columns read as nulls from
+                    # this write's files)
+                    from pyspark.sql.types import StructType
 
-            if prev["schema"] is not None and _shape(prev["schema"]) != _shape(
-                df.schema
-            ):
-                if mode != "overwrite":
+                    have = {f.name for f in prev["schema"].fields}
+                    prev_types = {
+                        f.name: f.dataType.simpleString()
+                        for f in prev["schema"].fields
+                    }
+                    conflicts = [
+                        f.name
+                        for f in df.schema.fields
+                        if f.name in have
+                        and f.dataType.simpleString() != prev_types[f.name]
+                    ]
+                    if conflicts:
+                        raise ValueError(
+                            "merge_schema lost a race to a conflicting "
+                            f"schema change on column(s) {conflicts}"
+                        )
+                    union = StructType(
+                        list(prev["schema"].fields)
+                        + [
+                            f
+                            for f in df.schema.fields
+                            if f.name not in have
+                        ]
+                    )
+                    evolved_meta = {
+                        "metaData": {
+                            **meta_action["metaData"],
+                            "schemaString": union.json(),
+                        }
+                    }
+                    actions.append(evolved_meta)
+                else:
                     raise ValueError(
                         "append schema differs from the table schema; "
-                        "overwrite to change it"
+                        "overwrite to change it or pass "
+                        "merge_schema=True to evolve it"
                     )
-                actions.append(meta_action)
             if mode == "overwrite":
                 removes = [
                     {
@@ -305,6 +395,67 @@ def write_delta(
             raise RuntimeError(
                 f"lost the Delta commit race {retries} times at {base!r}"
             )
+
+
+def _schema_shape(sch) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+
+
+# lossless upcasts merge_schema applies silently (batch type → table
+# type); anything else is a conflict
+_UPCASTS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _merge_append_schema(df: DataFrame, table_schema) -> DataFrame:
+    """``df`` conformed to the union of the table schema and its own:
+    table columns first (cast to the table's type — lossless upcasts
+    only — or typed nulls when the batch lacks them), then the
+    batch's NEW columns in batch order (forced nullable). Type
+    conflicts and nested struct changes raise."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    batch = {f.name: f for f in df.schema.fields}
+    sel = []
+    for f in table_schema.fields:
+        b = batch.get(f.name)
+        if b is None:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        bt, tt = b.dataType.simpleString(), f.dataType.simpleString()
+        if bt == tt:
+            sel.append(F.col(f.name))
+        elif bt == "void" or (bt, tt) in _UPCASTS:
+            sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"merge_schema type conflict on column {f.name!r}: "
+                f"table has {tt}, batch has {bt} (only lossless "
+                "upcasts are applied)"
+            )
+    have = {f.name for f in table_schema.fields}
+    new = [f for f in df.schema.fields if f.name not in have]
+    for f in new:
+        sel.append(F.col(f.name))
+    out = df.select(*sel)
+    if not new:
+        return out
+    # new columns must be nullable in the evolved table schema —
+    # re-assert via the plan schema so the metaData records them so
+    forced = StructType(
+        [
+            StructField(f.name, f.dataType, True, f.metadata)
+            if f.name in {n.name for n in new}
+            else f
+            for f in out.schema.fields
+        ]
+    )
+    return out.to(forced)
 
 
 _STATS_TYPES = (

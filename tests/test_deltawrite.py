@@ -355,3 +355,156 @@ class TestCommitProtocol:
         assert sorted(r["version"] for r in reps) == [1, 2]
         got = {r.id for r in read_delta(spark, t).collect()}
         assert got == {10, 11, 12, 20, 21, 22}
+
+
+class TestMergeSchema:
+    """merge_schema=True: append-time schema evolution (the Iceberg
+    writer's sibling)."""
+
+    def test_new_column_nullfill_and_upcast(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 3.5)], "id long, v string, score double"
+            ),
+            t,
+            merge_schema=True,
+        )
+        # batch missing table columns null-fills; int id upcasts
+        write_delta(
+            spark,
+            spark.createDataFrame([(7,)], "id int"),
+            t,
+            merge_schema=True,
+        )
+        snap = delta_snapshot(spark, t)
+        assert [
+            (f.name, f.dataType.simpleString()) for f in snap["schema"].fields
+        ] == [("id", "bigint"), ("v", "string"), ("score", "double")]
+        assert snap["schema"]["score"].nullable
+        assert sorted(
+            tuple(r) for r in read_delta(spark, t).collect()
+        ) == [(1, "a", None), (2, "b", 3.5), (7, None, None)]
+
+    def test_conflict_and_plain_append_reject(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        with pytest.raises(ValueError, match="type conflict"):
+            write_delta(
+                spark,
+                spark.createDataFrame([("x", "a")], "id string, v string"),
+                t,
+                merge_schema=True,
+            )
+        with pytest.raises(ValueError, match="merge_schema"):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(1, "a", 2)], "id long, v string, z long"
+                ),
+                t,
+            )
+
+    def test_streaming_sink_still_works(self, spark, tmp_path):
+        # the default path is untouched: same-schema appends emit no
+        # metaData action
+        t = str(tmp_path / "t")
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        write_delta(
+            spark, spark.createDataFrame([(2, "b")], "id long, v string"), t
+        )
+        import pathlib
+
+        last = sorted(
+            pathlib.Path(t, "_delta_log").glob("*.json")
+        )[-1].read_text()
+        assert '"metaData"' not in last
+
+
+class TestColumnMappedAppend:
+    """write_delta on column-mapped tables: staged files follow the
+    physical layout so any mapped reader resolves them."""
+
+    def _name_mapped_table(self, spark, tmp_path, partition=False):
+        from tests.test_deltadml import TestColumnMappedDml
+
+        return TestColumnMappedDml()._name_mapped_table(
+            spark, tmp_path, partition=partition
+        )
+
+    def test_name_mapped_append_reads_back(self, spark, tmp_path):
+        t = self._name_mapped_table(spark, tmp_path)
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, "nine")], "id long, v string"),
+            t,
+        )
+        got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert (9, "nine") in got and len(got) == 7
+        # the staged parquet carries PHYSICAL column names
+        import pathlib
+
+        new = [
+            p
+            for p in pathlib.Path(t).glob("*.parquet")
+            if p.name != "f0.parquet"
+        ]
+        cols = spark.read.parquet(str(new[0])).columns
+        assert set(cols) <= {"col-aa", "col-bb"}
+
+    def test_name_mapped_partitioned_append(self, spark, tmp_path):
+        t = self._name_mapped_table(spark, tmp_path, partition=True)
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(10, "ten", 0)], "id long, v string, p int"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        got = {
+            (r.id, r.v, r.p) for r in read_delta(spark, t).collect()
+        }
+        assert (10, "ten", 0) in got and len(got) == 7
+        assert read_delta(spark, t).filter("p = 0").count() == 4
+
+    def test_schema_change_rejects(self, spark, tmp_path):
+        t = self._name_mapped_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="column-mapped"):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(1, "a", 2)], "id long, v string, z long"
+                ),
+                t,
+            )
+        with pytest.raises(ValueError, match="column-mapped"):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(1, "a", 2)], "id long, v string, z long"
+                ),
+                t,
+                merge_schema=True,
+            )
+
+    def test_id_mapped_append_reads_back(self, spark, tmp_path):
+        from tests.test_deltadml import TestColumnMappedDml
+
+        t = TestColumnMappedDml()._id_mapped_table(spark, tmp_path)
+        df = read_delta(spark, t)
+        write_delta(
+            spark,
+            spark.createDataFrame([(99, "x99")], df.schema),
+            t,
+        )
+        got = read_delta(spark, t)
+        assert got.filter(got[got.columns[0]] == 99).count() == 1
