@@ -173,6 +173,8 @@ def write_hudi(
         fs, hoodie, props_path, df, partition_by, table_name,
         "COPY_ON_WRITE",
     )
+    if mode == "append":
+        _check_schema_evolution(spark, base, df)
 
     # groups to supersede on overwrite: recomputed from the LIVE
     # snapshot inside the retry loop — a concurrent append that lands
@@ -274,6 +276,80 @@ def write_hudi(
 # mappable Spark types.
 # ---------------------------------------------------------------------------
 
+_WIDEN_OK = {
+    frozenset(p)
+    for p in (
+        ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("float", "double"),
+    )
+}
+
+
+def _check_schema_evolution(
+    spark: SparkSession, base: str, df, allow_new: bool = True
+) -> None:
+    """Append-time schema guard: a column present in both the live
+    table and the batch must keep its type (lossless integer/float
+    widening in either direction is allowed — the reader's union
+    footer schema resolves to the wider type); conflicts raise before
+    any data is staged. New and batch-missing columns are legal
+    evolution for CoW appends — the union read fills nulls.
+    ``allow_new=False`` (the MOR upsert path) also rejects NEW
+    columns: they would ride log blocks the reader's base-file
+    schema derivation never sees, so they'd silently vanish from
+    merged reads."""
+    from harness_aws_etl_pipeline_spark.sources.hudiread import (
+        hudi_snapshot,
+    )
+
+    snap = hudi_snapshot(spark, base)
+    if snap["files"]:
+        cur = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*snap["files"])
+            .schema
+        )
+    elif snap.get("log_files"):
+        # log-only table: schema from the first avro block, exactly
+        # like the reader derives it
+        from harness_aws_etl_pipeline_spark.sources.avroread import (
+            avro_spark_schema,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudilog import (
+            decode_log_blocks,
+        )
+
+        blocks = decode_log_blocks(
+            get_fs(base, spark).read_bytes(snap["log_files"][0]["path"])
+        )
+        avro_blocks = [b for b in blocks if b["type"] == "avro"]
+        if not avro_blocks:
+            return
+        cur = avro_spark_schema(avro_blocks[0]["schema"])
+    else:
+        return
+    cur_t = {f.name: f.dataType.simpleString() for f in cur.fields}
+    for f in df.schema.fields:
+        t = cur_t.get(f.name)
+        b = f.dataType.simpleString()
+        if t is None:
+            if allow_new:
+                continue
+            raise ValueError(
+                f"upsert batch adds column {f.name!r} not in the "
+                "table; log-merged reads cannot surface log-only "
+                "columns — rewrite the table with the evolved schema "
+                "(write_hudi overwrite) first"
+            )
+        if b == t or frozenset((b, t)) in _WIDEN_OK:
+            continue
+        raise ValueError(
+            f"append schema conflict on column {f.name!r}: table has "
+            f"{t}, batch has {b} (only lossless widening is allowed)"
+        )
+
+
 _AVRO_PRIM = {
     "long": "long",
     "integer": "int",
@@ -362,6 +438,7 @@ def hudi_upsert(
         ppath.alias("_hoodie_partition_path"),
         *[F.col(c) for c in meta_free],
     )
+    _check_schema_evolution(spark, base, up, allow_new=False)
 
     # ---- driver-side row gate FIRST: log-block encoding is
     # driver-side, so the cap must fire before ANY other collect

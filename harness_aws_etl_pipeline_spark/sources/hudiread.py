@@ -248,7 +248,14 @@ def _merge_mor(spark: SparkSession, base: str, snap: dict) -> DataFrame:
     )
 
     if snap["files"]:
-        schema = spark.read.parquet(*snap["files"]).schema
+        # union of every live file's footer schema — a sampled single
+        # footer silently drops columns added by schema-evolved
+        # appends (files missing a union column read as nulls)
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*snap["files"])
+            .schema
+        )
     else:
         # log-only table: schema from the first avro block (one
         # driver-side header read; every block carries its schema)
@@ -392,7 +399,9 @@ def read_hudi(
     if snap["log_files"]:
         df = _merge_mor(spark, path.rstrip("/"), snap)
     else:
-        df = spark.read.parquet(*snap["files"])
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *snap["files"]
+        )
     if drop_meta:
         df = df.drop(*[c for c in _META_COLS if c in df.columns])
     return df
@@ -433,9 +442,14 @@ def _hudi_change_rows(
                 "capture cannot represent it"
             )
 
-    # table schema: base files, else the first log avro block
+    # table schema: base files (footer union), else the first log
+    # avro block
     if hi["files"]:
-        schema = spark.read.parquet(*hi["files"]).schema
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*hi["files"])
+            .schema
+        )
     elif hi.get("log_files"):
         with open(
             _strip_scheme(hi["log_files"][0]["path"]), "rb"

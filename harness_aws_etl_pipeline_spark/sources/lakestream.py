@@ -649,12 +649,23 @@ class HudiStreamDataSource(DataSource):
             raise ValueError("hudi_nojar needs .option('path', ...)")
         snap = hudi_snapshot(None, path)  # type: ignore[arg-type]
         if snap["files"]:
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            sch = from_arrow_schema(
-                pq.read_schema(snap["files"][0].removeprefix("file:"))
-            )
+            # footer UNION across live files — a single sampled footer
+            # drops columns added by schema-evolved appends
+            schemas = [
+                pq.read_schema(f.removeprefix("file:"))
+                for f in snap["files"]
+            ]
+            try:
+                unified = pa.unify_schemas(
+                    schemas, promote_options="permissive"
+                )
+            except TypeError:  # older pyarrow: no promote_options
+                unified = pa.unify_schemas(schemas)
+            sch = from_arrow_schema(unified)
         elif snap.get("log_files"):
             # log-only MOR table (hudi_upsert-created): the avro
             # block's schema is the table schema. POSIX open — log

@@ -592,3 +592,72 @@ class TestCliWrite:
         assert rep["action"] == "hudi_write" and rep["files_added"] >= 2
         assert glob.glob(str(t / "p=2" / "*.parquet"))
         assert read_hudi(spark, str(t)).count() == 2
+
+
+class TestSchemaEvolution:
+    """CoW appends evolve the schema (union footer reads); type
+    conflicts and MOR log-only new columns reject loudly — before
+    this, an evolved append's column silently vanished from reads."""
+
+    def test_cow_append_new_column(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        write_hudi(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, v string, score double"
+            ),
+            t,
+        )
+        df = read_hudi(spark, t)
+        assert set(df.columns) == {"id", "v", "score"}
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, "a", None),
+            (2, "b", 9.5),
+        ]
+
+    def test_cow_type_conflict_rejects(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_hudi(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        with pytest.raises(ValueError, match="schema conflict"):
+            write_hudi(
+                spark,
+                spark.createDataFrame([("x", "c")], "id string, v string"),
+                t,
+            )
+        # lossless widening is allowed in either direction
+        write_hudi(
+            spark,
+            spark.createDataFrame([(3, "c")], "id int, v string"),
+            t,
+        )
+
+    def test_mor_upsert_new_column_rejects(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        with pytest.raises(ValueError, match="log-only"):
+            hudi_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(1, "A", 5)], "id long, v string, n long"
+                ),
+                t,
+                key_col="id",
+            )
