@@ -258,6 +258,16 @@ def _evolve_fields(
             ):
                 out[pos[f.name]] = dict(cur, type=t_probe)
                 continue
+            if (
+                isinstance(cur["type"], str)
+                and isinstance(t_probe, str)
+                and (t_probe, cur["type"]) in _WIDEN
+            ):
+                # batch NARROWER than the table (int file under a long
+                # column): exactly the state the spec's int→long
+                # evolution leaves behind — readers widen old int32/
+                # float files natively, so the column keeps its type
+                continue
             raise ValueError(
                 f"append changes column {f.name!r} from {cur['type']} "
                 f"to {t_probe} — not a safe promotion (int→long, "
@@ -572,14 +582,6 @@ def write_iceberg(
             if not schemas and md.get("schema"):
                 schemas = [dict(md["schema"], **{"schema-id": 0})]
         node, last_col = _schema_node(df, 0)
-        same = next(
-            (
-                s["schema-id"]
-                for s in schemas
-                if s.get("fields") == node["fields"]
-            ),
-            None,
-        )
         cur_node = next(
             (
                 s
@@ -587,6 +589,16 @@ def write_iceberg(
                 if s.get("schema-id") == (md or {}).get("current-schema-id")
             ),
             None,
+        )
+        # the exact-match shortcut compares against the CURRENT schema
+        # ONLY: matching a historical schema would move
+        # current-schema-id BACK to it, silently undoing evolution
+        # (dropping added columns / narrowing widened ones)
+        same = (
+            cur_node["schema-id"]
+            if cur_node is not None
+            and cur_node.get("fields") == node["fields"]
+            else None
         )
         if same is not None:
             schema_id = same

@@ -150,6 +150,20 @@ class TestRoundTrip:
             (r.id, r.v, r.score) for r in read_iceberg(spark, t).collect()
         }
         assert got == {(1, "a", None), (2, "b", 9.5), (3, "c", None)}
+        # a NARROWER batch (int under the evolved long column) is the
+        # spec's own evolved-table state — accepted, column keeps long
+        write_iceberg(
+            spark,
+            spark.createDataFrame([(4, "d")], "id int, v string"),
+            t,
+        )
+        md = json.loads(
+            (tmp_path / "t" / "metadata" / "v4.metadata.json").read_text()
+        )
+        assert len(md["schemas"]) == 2  # still no new schema
+        out = read_iceberg(spark, t)
+        assert out.schema["id"].dataType.simpleString() == "bigint"
+        assert {r.id for r in out.collect()} == {1, 2, 3, 4}
 
     def test_commit_race_bumps_version(self, spark, tmp_path):
         t = str(tmp_path / "t")
