@@ -1,0 +1,233 @@
+"""Round 13: LakeRollup — incrementally-maintained gold rollups over
+ANY lake table via lake_changes, with retraction-aware (sum/count)
+folding for change-row sources."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harness_aws_etl_pipeline_spark.plans.lakeview import LakeRollup
+from harness_aws_etl_pipeline_spark.sinks.snaptable import SnapTable
+
+
+def _rows(view):
+    return {
+        (r.g, r.cnt, r.rev)
+        for r in view.read().select("g", "cnt", "rev").collect()
+    }
+
+
+def _mk(spark, tmp_path, src, change_rows=False, name="v"):
+    return LakeRollup(
+        spark,
+        src,
+        str(tmp_path / f"view_{name}"),
+        name,
+        group_cols=["g"],
+        aggs={
+            "cnt": ("count", F.lit(1)),
+            "rev": ("sum", F.col("x")),
+        },
+        change_rows=change_rows,
+    )
+
+
+class TestSnapTableSource:
+    def test_cdf_fold_through_dml(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        t = SnapTable(spark, src)
+        t.write(
+            spark.createDataFrame(
+                [("a", 10), ("a", 20), ("b", 5)], "g string, x long"
+            ),
+            mode="overwrite",
+        )
+        t.set_properties({"delta.enableChangeDataFeed": "true"})
+        v = _mk(spark, tmp_path, src, change_rows=True)
+        assert v.refresh()["skipped"] is False
+        assert _rows(v) == {("a", 2, 30), ("b", 1, 5)}
+        # delete + merge-update fold exactly via retraction
+        t.delete_where("g = 'b'")
+        t.merge(
+            spark.createDataFrame(
+                [("a", 100), ("c", 7)], "g string, x long"
+            ),
+            key_cols=["g"],
+        )
+        # the merge replaces BOTH 'a' rows with one (keyed replace)
+        assert v.refresh()["skipped"] is False
+        assert _rows(v) == {("a", 1, 100), ("b", 0, 0), ("c", 1, 7)}
+        # replay short-circuits on the ledger
+        assert v.refresh()["skipped"] is True
+
+    def test_append_only_policy_error_on_rewrite(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        t = SnapTable(spark, src)
+        t.write(
+            spark.createDataFrame([("a", 1)], "g string, x long"),
+            mode="overwrite",
+        )
+        v = _mk(spark, tmp_path, src)
+        v.refresh()
+        t.delete_where("g = 'a'")
+        with pytest.raises(ValueError, match="delete"):
+            v.refresh()
+
+    def test_minmax_rejected_in_change_mode(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="retractable"):
+            LakeRollup(
+                spark,
+                str(tmp_path / "s"),
+                str(tmp_path / "v"),
+                "v",
+                group_cols=["g"],
+                aggs={"m": ("max", F.col("x"))},
+                change_rows=True,
+            )
+
+
+class TestDeltaSource:
+    def test_cdf_update_retraction(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+
+        src = str(tmp_path / "src")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [("a", 10, 1), ("b", 5, 2)], "g string, x long, id long"
+            ),
+            src,
+        )
+        v = _mk(spark, tmp_path, src, change_rows=True)
+        v.refresh()
+        assert _rows(v) == {("a", 1, 10), ("b", 1, 5)}
+        delta_merge(
+            spark,
+            spark.createDataFrame(
+                [("a", 90, 1), ("c", 3, 9)], "g string, x long, id long"
+            ),
+            src,
+            keys=["id"],
+            change_data=True,
+        )
+        v.refresh()
+        assert _rows(v) == {("a", 1, 90), ("b", 1, 5), ("c", 1, 3)}
+
+    def test_append_only_delta(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+
+        src = str(tmp_path / "src")
+        write_delta(
+            spark,
+            spark.createDataFrame([("a", 1)], "g string, x long"),
+            src,
+        )
+        v = _mk(spark, tmp_path, src)
+        v.refresh()
+        write_delta(
+            spark,
+            spark.createDataFrame([("a", 2), ("b", 7)], "g string, x long"),
+            src,
+        )
+        v.refresh()
+        assert _rows(v) == {("a", 2, 3), ("b", 1, 7)}
+
+
+class TestIcebergSource:
+    def test_position_delete_retraction(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+
+        src = str(tmp_path / "src")
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [("a", 10, 1), ("a", 20, 2), ("b", 5, 3)],
+                "g string, x long, id long",
+            ),
+            src,
+        )
+        v = _mk(spark, tmp_path, src, change_rows=True)
+        v.refresh()
+        assert _rows(v) == {("a", 2, 30), ("b", 1, 5)}
+        # position deletes carry full pre-images: exact retraction
+        iceberg_delete_where(spark, src, "id = 2")
+        v.refresh()
+        assert _rows(v) == {("a", 1, 10), ("b", 1, 5)}
+
+    def test_equality_delete_null_guard(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+
+        src = str(tmp_path / "src")
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [("a", 10, 1)], "g string, x long, id long"
+            ),
+            src,
+        )
+        v = _mk(spark, tmp_path, src, change_rows=True)
+        v.refresh()
+        # equality-delete upsert: key-only delete rows cannot retract x
+        iceberg_upsert(
+            spark,
+            src,
+            spark.createDataFrame([("a", 99, 1)], "g string, x long, id long"),
+            keys=["id"],
+        )
+        with pytest.raises(ValueError, match="pre-images"):
+            v.refresh()
+
+
+class TestHudiSource:
+    def test_append_only_hudi(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            write_hudi,
+        )
+
+        src = str(tmp_path / "src")
+        write_hudi(
+            spark,
+            spark.createDataFrame([("a", 1)], "g string, x long"),
+            src,
+        )
+        v = _mk(spark, tmp_path, src)
+        v.refresh()
+        write_hudi(
+            spark,
+            spark.createDataFrame([("b", 4)], "g string, x long"),
+            src,
+        )
+        v.refresh()
+        assert _rows(v) == {("a", 1, 1), ("b", 1, 4)}
+
+    def test_change_rows_rejected(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            write_hudi,
+        )
+
+        src = str(tmp_path / "src")
+        write_hudi(
+            spark,
+            spark.createDataFrame([("a", 1)], "g string, x long"),
+            src,
+        )
+        with pytest.raises(ValueError, match="POST-images"):
+            _mk(spark, tmp_path, src, change_rows=True)
