@@ -1430,6 +1430,59 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
             + mrep["rows_updated"]
             + mrep["rows_inserted"]
         )
+
+        # LakeRollup (round 13): a gold rollup maintained from the
+        # Delta table's change feed — first fold reads the snapshot,
+        # the second folds ONLY one merge commit via CDF retraction;
+        # the view must equal a full recompute
+        from harness_aws_etl_pipeline_spark.plans.lakeview import (
+            LakeRollup,
+        )
+
+        lv = LakeRollup(
+            spark,
+            t,
+            f"{tmp}/gold",
+            "bench",
+            group_cols=["l_returnflag"],
+            aggs={
+                "cnt": ("count", F.lit(1)),
+                "qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
+            },
+            change_rows=True,
+        )
+        start = time.perf_counter()
+        lv.refresh()
+        out["lakeview_first_s"] = round(time.perf_counter() - start, 3)
+        upd2 = li.where("l_orderkey % 800 = 0").withColumn(
+            "l_quantity", F.col("l_quantity") + F.lit(2)
+        ).dropDuplicates(["l_orderkey", "l_linenumber"])
+        delta_merge(
+            spark, upd2, t, keys=["l_orderkey", "l_linenumber"],
+            change_data=True,
+        )
+        start = time.perf_counter()
+        lv.refresh()
+        out["lakeview_refresh_s"] = round(time.perf_counter() - start, 3)
+        full = {
+            (r.l_returnflag, r.cnt, r.qty)
+            for r in read_delta(spark, t)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(
+                    F.col("l_quantity").cast("decimal(18,2)")
+                ).alias("qty"),
+            )
+            .collect()
+        }
+        got = {
+            (r.l_returnflag, r.cnt, r.qty)
+            for r in lv.read()
+            .select("l_returnflag", "cnt", "qty")
+            .collect()
+        }
+        out["lakeview_ok"] = bool(got == full)
     return out
 
 

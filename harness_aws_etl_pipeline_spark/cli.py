@@ -984,6 +984,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     lgr.add_argument("--show", type=int, default=10, help="print top-N nodes")
 
+    lvw = sub.add_parser(
+        "lakeview",
+        help="incrementally-maintained rollup over any lake table "
+        "(snaptable/delta/iceberg/hudi) via its change feed",
+    )
+    lvw.add_argument("--source", required=True, help="lake table root")
+    lvw.add_argument("--view", required=True, help="view snaptable path")
+    lvw.add_argument("--name", default="view", help="ledger view name")
+    lvw.add_argument(
+        "--group-cols", required=True,
+        help="comma-separated group-by columns",
+    )
+    lvw.add_argument(
+        "--agg", action="append", required=True, metavar="OUT=KIND:EXPR",
+        help="aggregate spec, repeatable: OUT=sum:EXPR / OUT=count:1 "
+             "/ OUT=min:EXPR / OUT=max:EXPR",
+    )
+    lvw.add_argument(
+        "--change-rows", action="store_true",
+        help="fold the change-row stream with retraction "
+             "(sum/count only; exact through updates and deletes)",
+    )
+    lvw.add_argument("--show", type=int, default=5, help="preview rows")
+
     args = p.parse_args(argv)
 
     from harness_aws_etl_pipeline_spark.config import EngineConfig
@@ -2048,6 +2072,42 @@ def main(argv: list[str] | None = None) -> int:
             "pages": n - failed, "failed_docs": failed,
             "preview": preview, "output": args.output,
         }))
+        return 0
+
+    if args.cmd == "lakeview":
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.plans.lakeview import LakeRollup
+
+        aggs = {}
+        for spec in args.agg:
+            out_name, _, rest = spec.partition("=")
+            kind, _, expr = rest.partition(":")
+            if not out_name.strip() or not kind.strip() or not expr:
+                raise SystemExit(f"bad --agg spec {spec!r} (OUT=KIND:EXPR)")
+            aggs[out_name.strip()] = (kind.strip(), F.expr(expr))
+        v = LakeRollup(
+            spark,
+            args.source,
+            args.view,
+            args.name,
+            group_cols=args.group_cols.split(","),
+            aggs=aggs,
+            change_rows=args.change_rows,
+        )
+        rep = v.refresh()
+        view = v.read()
+        print(json.dumps({
+            "status": "success", "action": "lakeview",
+            **{k: rep[k] for k in ("folded_to", "skipped") if k in rep},
+            "rows": view.count(),
+            "preview": [
+                r.asDict()
+                for r in view.orderBy(*v.group_cols)
+                .limit(args.show)
+                .collect()
+            ],
+        }, default=str))
         return 0
 
     if args.cmd == "linkgraph":

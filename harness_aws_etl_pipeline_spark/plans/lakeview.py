@@ -197,30 +197,33 @@ class LakeRollup:
             .otherwise(F.lit(None))
         )
         labeled = rows.withColumn("__sign", sign)
-        bad_label = labeled.filter(F.col("__sign").isNull()).limit(1)
-        if bad_label.count():
-            ct = bad_label.collect()[0]["_change_type"]
+        # both guards in ONE job over the delta
+        needed = [c for _, (k, c) in self.aggs.items() if k == "sum"]
+        any_null = F.lit(False)
+        for c in needed:
+            any_null = any_null | c.isNull()
+        checks = labeled.agg(
+            F.sum(F.col("__sign").isNull().cast("long")).alias("unk"),
+            F.sum(
+                ((F.col("__sign") == -1) & any_null).cast("long")
+            ).alias("holes"),
+        ).collect()[0]
+        if checks["unk"]:
+            ct = (
+                labeled.filter(F.col("__sign").isNull())
+                .limit(1)
+                .collect()[0]["_change_type"]
+            )
             raise ValueError(
                 f"unknown _change_type {ct!r} in the change stream"
             )
-        needed = [c for _, (k, c) in self.aggs.items() if k == "sum"]
-        if needed:
-            any_null = needed[0].isNull()
-            for c in needed[1:]:
-                any_null = any_null | c.isNull()
-            holes = (
-                labeled.filter(F.col("__sign") == -1)
-                .filter(any_null)
-                .limit(1)
-                .count()
+        if checks["holes"]:
+            raise ValueError(
+                "retraction rows carry NULL aggregate sources "
+                "(key-only deletes — equality deletes or delete "
+                "blocks); exact retraction needs full pre-images "
+                "— rebuild the view from a snapshot instead"
             )
-            if holes:
-                raise ValueError(
-                    "retraction rows carry NULL aggregate sources "
-                    "(key-only deletes — equality deletes or delete "
-                    "blocks); exact retraction needs full pre-images "
-                    "— rebuild the view from a snapshot instead"
-                )
         exprs = []
         for out, (kind, col) in self.aggs.items():
             src = F.lit(1) if kind == "count" else col
@@ -284,6 +287,19 @@ class LakeRollup:
                         for out, (kind, _) in self.aggs.items()
                     ]
                 )
+            )
+            # combining widens sum types (decimal(28,2)→(38,2));
+            # conform back to the view's stored types so the merge
+            # never sees a schema conflict
+            vtypes = {f.name: f.dataType for f in existing.schema.fields}
+            combined = combined.select(
+                *self.group_cols,
+                *[
+                    F.col(out).cast(vtypes[out]).alias(out)
+                    if out in vtypes
+                    else F.col(out)
+                    for out in self.aggs
+                ],
             )
         else:
             combined = agg

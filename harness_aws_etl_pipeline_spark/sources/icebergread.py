@@ -711,11 +711,30 @@ def _iceberg_change_rows(
             )
             df = _conform(scan, "delete", version)
             out = df if out is None else out.unionByName(df)
-        for efp in sorted(cur_eq - prev_eq):
-            df = _conform(
-                spark.read.parquet(efp), "delete", version
+        new_eq = [
+            d
+            for d in cur.get("equality_delete_files") or []
+            if d["path"] not in prev_eq
+        ]
+        if new_eq and prev["files"]:
+            # FULL preimage resolution: the rows an equality delete at
+            # sequence N removes are exactly the PRIOR snapshot's live
+            # rows matching the delete keys (all at sequence < N), so
+            # read the prior snapshot through the normal reader (its
+            # own deletes applied) and semi-join on the equality
+            # columns — retraction-grade change rows, not key-only
+            prior = read_iceberg(
+                spark, path, snapshot_id=prev["snapshot_id"]
             )
-            out = df if out is None else out.unionByName(df)
+            for d in sorted(new_eq, key=lambda d: d["path"]):
+                keys = (
+                    spark.read.parquet(d["path"])
+                    .select(*d["columns"])
+                    .distinct()
+                )
+                pre = prior.join(keys, d["columns"], "left_semi")
+                df = _conform(pre, "delete", version)
+                out = df if out is None else out.unionByName(df)
         new_files = sorted(set(cur["files"]) - prev_files)
         if new_files:
             df = _conform(

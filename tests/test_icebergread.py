@@ -593,8 +593,10 @@ class TestChangeRows:
         }
         assert got == {
             (2, "a", "delete", 2),  # position delete: full preimage
-            (1, None, "delete", 3),
-            (9, None, "delete", 3),
+            # equality deletes resolve FULL preimages from the prior
+            # snapshot; the key-9 delete matches no live row and
+            # correctly vanishes (deleting a nonexistent row is a no-op)
+            (1, "a", "delete", 3),
             (1, "up", "insert", 3),
             (9, "n", "insert", 3),
         }
@@ -687,6 +689,7 @@ class TestChangeRows:
         got = {
             (p["id"], p["_change_type"]) for p in rep["preview"]
         }
+        # key-5 delete matches no prior row and vanishes
         assert got == {
-            (1, "delete"), (5, "delete"), (1, "insert"), (5, "insert"),
+            (1, "delete"), (1, "insert"), (5, "insert"),
         }

@@ -167,7 +167,7 @@ class TestIcebergSource:
         v.refresh()
         assert _rows(v) == {("a", 1, 10), ("b", 1, 5)}
 
-    def test_equality_delete_null_guard(self, spark, tmp_path):
+    def test_equality_delete_retraction(self, spark, tmp_path):
         from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
             iceberg_upsert,
         )
@@ -185,15 +185,16 @@ class TestIcebergSource:
         )
         v = _mk(spark, tmp_path, src, change_rows=True)
         v.refresh()
-        # equality-delete upsert: key-only delete rows cannot retract x
+        # equality-delete upsert: change capture resolves FULL
+        # preimages from the prior snapshot, so retraction is exact
         iceberg_upsert(
             spark,
             src,
             spark.createDataFrame([("a", 99, 1)], "g string, x long, id long"),
             keys=["id"],
         )
-        with pytest.raises(ValueError, match="pre-images"):
-            v.refresh()
+        v.refresh()
+        assert _rows(v) == {("a", 1, 99)}
 
 
 class TestHudiSource:
@@ -231,3 +232,47 @@ class TestHudiSource:
         )
         with pytest.raises(ValueError, match="POST-images"):
             _mk(spark, tmp_path, src, change_rows=True)
+
+
+class TestCli:
+    def test_lakeview_cli_refresh(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+
+        src = str(tmp_path / "src")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [("a", 10), ("a", 5), ("b", 1)], "g string, x long"
+            ),
+            src,
+        )
+        view = str(tmp_path / "view")
+        argv = [
+            "lakeview", "--source", src, "--view", view, "--name", "rv",
+            "--group-cols", "g",
+            "--agg", "cnt=count:1", "--agg", "rev=sum:x",
+            "--change-rows",
+        ]
+        rc = main(argv)
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 2 and rep["skipped"] is False
+        assert rep["preview"][0] == {"g": "a", "cnt": 2, "rev": 15}
+        # append + re-run folds the delta
+        write_delta(
+            spark,
+            spark.createDataFrame([("b", 9)], "g string, x long"),
+            src,
+        )
+        rc = main(argv)
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert {(p["g"], p["cnt"], p["rev"]) for p in rep["preview"]} == {
+            ("a", 2, 15),
+            ("b", 2, 10),
+        }
