@@ -118,6 +118,12 @@ class IncrementalRollup:
         else:
             delta = self.source.read_changes(last, to_version=src_version)
         agg = self._partial(delta)
+        if last is not None:
+            from harness_aws_etl_pipeline_spark.plans.lakeview import (
+                _guard_null_groups,
+            )
+
+            _guard_null_groups(agg, self.group_cols)
 
         if last is not None:
             existing = self.table.read()

@@ -123,6 +123,22 @@ def _native_cursor_for(
     )
 
 
+def _guard_null_groups(agg: DataFrame, group_cols: list[str]) -> None:
+    """An incremental fold whose delta holds NULL group values would
+    silently accumulate duplicate NULL-group rows — the view's keyed
+    merge cannot address a NULL key (SQL join semantics). The partial
+    aggregate is group-level small, so this probe is cheap."""
+    cond = F.lit(False)
+    for g in group_cols:
+        cond = cond | F.col(g).isNull()
+    if agg.filter(cond).limit(1).count():
+        raise ValueError(
+            "the fold delta carries NULL group-by values; the view's "
+            "keyed merge cannot address a NULL group — coalesce the "
+            "group column upstream"
+        )
+
+
 class LakeRollup:
     """A gold rollup ``SELECT group_cols, aggs FROM <lake table>
     GROUP BY group_cols`` maintained incrementally from the table's
@@ -202,12 +218,22 @@ class LakeRollup:
         any_null = F.lit(False)
         for c in needed:
             any_null = any_null | c.isNull()
+        null_group = F.lit(False)
+        for g in self.group_cols:
+            null_group = null_group | F.col(g).isNull()
         checks = labeled.agg(
             F.sum(F.col("__sign").isNull().cast("long")).alias("unk"),
             F.sum(
                 ((F.col("__sign") == -1) & any_null).cast("long")
             ).alias("holes"),
+            F.sum(null_group.cast("long")).alias("ng"),
         ).collect()[0]
+        if checks["ng"]:
+            raise ValueError(
+                "change rows carry NULL group-by values; the view's "
+                "keyed merge cannot address a NULL group (SQL join "
+                "semantics) — coalesce the group column upstream"
+            )
         if checks["unk"]:
             ct = (
                 labeled.filter(F.col("__sign").isNull())
@@ -267,6 +293,7 @@ class LakeRollup:
                 if self.change_rows
                 else self._partial(delta)
             )
+            _guard_null_groups(agg, self.group_cols)
 
         if last is not None:
             existing = self.table.read()

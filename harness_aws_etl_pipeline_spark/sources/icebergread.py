@@ -723,16 +723,30 @@ def _iceberg_change_rows(
             # read the prior snapshot through the normal reader (its
             # own deletes applied) and semi-join on the equality
             # columns — retraction-grade change rows, not key-only
+            import functools
+
             prior = read_iceberg(
                 spark, path, snapshot_id=prev["snapshot_id"]
             )
             for d in sorted(new_eq, key=lambda d: d["path"]):
-                keys = (
-                    spark.read.parquet(d["path"])
-                    .select(*d["columns"])
-                    .distinct()
+                sub = T.StructType(
+                    [f for f in schema.fields if f.name in d["columns"]]
                 )
-                pre = prior.join(keys, d["columns"], "left_semi")
+                keys = (
+                    spark.read.schema(sub).parquet(d["path"]).distinct()
+                )
+                # NULL-SAFE equality, matching the snapshot read path
+                # (the spec treats null delete values as IS NULL)
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+                        for c in d["columns"]
+                    ],
+                )
+                pre = prior.alias("l").join(
+                    keys.alias("r"), cond, "left_semi"
+                )
                 df = _conform(pre, "delete", version)
                 out = df if out is None else out.unionByName(df)
         new_files = sorted(set(cur["files"]) - prev_files)

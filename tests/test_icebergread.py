@@ -693,3 +693,43 @@ class TestChangeRows:
         assert got == {
             (1, "delete"), (1, "insert"), (5, "insert"),
         }
+
+    def test_equality_delete_null_key_preimage(self, spark, tmp_path):
+        """Null-safe preimage resolution — the spec treats null
+        equality-delete values as IS NULL, matching the read path."""
+        from harness_aws_etl_pipeline_spark.sinks.icebergdml import (
+            iceberg_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+            iceberg_snapshots,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(None, "a"), (1, "b")], "id long, v string"
+            ),
+            t,
+        )
+        s0 = iceberg_snapshots(spark, t)[-1]["snapshot_id"]
+        iceberg_upsert(
+            spark,
+            t,
+            spark.createDataFrame([(None, "A2")], "id long, v string"),
+            keys=["id"],
+        )
+        got = {
+            (r.id, r.v, r._change_type)
+            for r in iceberg_changes(
+                spark, t, s0, change_rows=True
+            ).collect()
+        }
+        assert got == {
+            (None, "a", "delete"),
+            (None, "A2", "insert"),
+        }

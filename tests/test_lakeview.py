@@ -276,3 +276,26 @@ class TestCli:
             ("a", 2, 15),
             ("b", 2, 10),
         }
+
+
+class TestNullGroupGuard:
+    def test_incremental_fold_rejects_null_groups(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltawrite import (
+            write_delta,
+        )
+
+        src = str(tmp_path / "src")
+        write_delta(
+            spark,
+            spark.createDataFrame([("a", 1)], "g string, x long"),
+            src,
+        )
+        v = _mk(spark, tmp_path, src)
+        v.refresh()
+        write_delta(
+            spark,
+            spark.createDataFrame([(None, 9)], "g string, x long"),
+            src,
+        )
+        with pytest.raises(ValueError, match="NULL group"):
+            v.refresh()
