@@ -291,6 +291,7 @@ def hudi_compact(
     logs). Returns ``{"instant", "groups_compacted", "retries"}``."""
     from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
         _DATA_RE_TOKEN,
+        _avro_schema_of,
         _instant_now,
     )
     from harness_aws_etl_pipeline_spark.sources.hudiread import (
@@ -389,7 +390,23 @@ def hudi_compact(
         tmp = posixpath.join(
             base, ".hoodie", f".commitmeta-{uuid.uuid4().hex}"
         )
-        fs.write_bytes(tmp, b"{}")
+        # carry the table schema forward (the pre-compaction commit's
+        # recording would otherwise stop being the newest one and
+        # readers would fall back to the footer-union pass)
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_table_schema,
+        )
+
+        _ts = hudi_table_schema(spark, base, snap)
+        rec_schema = _avro_schema_of(_ts) if _ts is not None else None
+        fs.write_bytes(
+            tmp,
+            json.dumps(
+                {"extraMetadata": {"schema": rec_schema}}
+                if rec_schema
+                else {}
+            ).encode("utf-8"),
+        )
         dest = posixpath.join(base, ".hoodie", f"{instant}.commit")
         if fs.rename_if_absent(tmp, dest):
             return {

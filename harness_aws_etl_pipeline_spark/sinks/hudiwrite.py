@@ -173,8 +173,11 @@ def write_hudi(
         fs, hoodie, props_path, df, partition_by, table_name,
         "COPY_ON_WRITE",
     )
+    union = None
     if mode == "append":
-        _check_schema_evolution(spark, base, df)
+        union = _check_schema_evolution(spark, base, df)
+    if union is None:
+        union = df.schema
 
     # groups to supersede on overwrite: recomputed from the LIVE
     # snapshot inside the retry loop — a concurrent append that lands
@@ -206,6 +209,12 @@ def write_hudi(
             last_instant = instant
             suffix = "replacecommit" if mode == "overwrite" else "commit"
             meta: dict = {}
+            rec_schema = _avro_schema_of(union)
+            if rec_schema:
+                # real-Hudi convention: the commit metadata records
+                # the post-write table schema, so readers skip the
+                # distributed footer-union pass
+                meta["extraMetadata"] = {"schema": rec_schema}
             if mode == "overwrite":
                 replaced = _live_groups()
                 meta["partitionToReplaceFileIds"] = {
@@ -284,11 +293,28 @@ _WIDEN_OK = {
         ("float", "double"),
     )
 }
+_WIDTH_RANK = {
+    "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+    "float": 0, "double": 1,
+}
+
+
+def _avro_schema_of(schema) -> str | None:
+    """Avro record schema for a Spark schema, or None when a column
+    type has no Avro-primitive mapping (the caller then skips
+    recording and readers fall back to the footer union)."""
+    fields = []
+    for f in schema.fields:
+        prim = _AVRO_PRIM.get(f.dataType.typeName())
+        if prim is None:
+            return None
+        fields.append({"name": f.name, "type": ["null", prim]})
+    return json.dumps({"type": "record", "name": "rec", "fields": fields})
 
 
 def _check_schema_evolution(
     spark: SparkSession, base: str, df, allow_new: bool = True
-) -> None:
+):
     """Append-time schema guard: a column present in both the live
     table and the batch must keep its type (lossless integer/float
     widening in either direction is allowed — the reader's union
@@ -298,42 +324,29 @@ def _check_schema_evolution(
     ``allow_new=False`` (the MOR upsert path) also rejects NEW
     columns: they would ride log blocks the reader's base-file
     schema derivation never sees, so they'd silently vanish from
-    merged reads."""
+    merged reads.
+
+    Returns the post-write TABLE schema (the union of the live schema
+    and the batch, widened where applicable) for the caller to record
+    in the commit metadata, or ``None`` for an empty table."""
+    from pyspark.sql import types as T
+
     from harness_aws_etl_pipeline_spark.sources.hudiread import (
         hudi_snapshot,
+        hudi_table_schema,
     )
 
     snap = hudi_snapshot(spark, base)
-    if snap["files"]:
-        cur = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*snap["files"])
-            .schema
-        )
-    elif snap.get("log_files"):
-        # log-only table: schema from the first avro block, exactly
-        # like the reader derives it
-        from harness_aws_etl_pipeline_spark.sources.avroread import (
-            avro_spark_schema,
-        )
-        from harness_aws_etl_pipeline_spark.sources.hudilog import (
-            decode_log_blocks,
-        )
-
-        blocks = decode_log_blocks(
-            get_fs(base, spark).read_bytes(snap["log_files"][0]["path"])
-        )
-        avro_blocks = [b for b in blocks if b["type"] == "avro"]
-        if not avro_blocks:
-            return
-        cur = avro_spark_schema(avro_blocks[0]["schema"])
-    else:
-        return
-    cur_t = {f.name: f.dataType.simpleString() for f in cur.fields}
+    if not snap["files"] and not snap.get("log_files"):
+        return None
+    cur = hudi_table_schema(spark, base, snap)
+    if cur is None:
+        return None
+    cur_f = {f.name: f for f in cur.fields}
     for f in df.schema.fields:
-        t = cur_t.get(f.name)
+        c = cur_f.get(f.name)
         b = f.dataType.simpleString()
-        if t is None:
+        if c is None:
             if allow_new:
                 continue
             raise ValueError(
@@ -342,12 +355,35 @@ def _check_schema_evolution(
                 "columns — rewrite the table with the evolved schema "
                 "(write_hudi overwrite) first"
             )
+        t = c.dataType.simpleString()
         if b == t or frozenset((b, t)) in _WIDEN_OK:
             continue
         raise ValueError(
             f"append schema conflict on column {f.name!r}: table has "
             f"{t}, batch has {b} (only lossless widening is allowed)"
         )
+    # union: table fields first (widened where the batch is wider),
+    # then the batch's new fields
+    batch_f = {f.name: f for f in df.schema.fields}
+    out = []
+    for f in cur.fields:
+        b = batch_f.get(f.name)
+        if (
+            b is not None
+            and _WIDTH_RANK.get(b.dataType.simpleString(), -1)
+            > _WIDTH_RANK.get(f.dataType.simpleString(), -1)
+            and frozenset(
+                (b.dataType.simpleString(), f.dataType.simpleString())
+            )
+            in _WIDEN_OK
+        ):
+            out.append(T.StructField(f.name, b.dataType, True))
+        else:
+            out.append(f)
+    for f in df.schema.fields:
+        if f.name not in cur_f:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
 
 
 _AVRO_PRIM = {
@@ -438,7 +474,7 @@ def hudi_upsert(
         ppath.alias("_hoodie_partition_path"),
         *[F.col(c) for c in meta_free],
     )
-    _check_schema_evolution(spark, base, up, allow_new=False)
+    table_union = _check_schema_evolution(spark, base, up, allow_new=False)
 
     # ---- driver-side row gate FIRST: log-block encoding is
     # driver-side, so the cap must fire before ANY other collect
@@ -553,7 +589,15 @@ def hudi_upsert(
             fs.write_bytes(posixpath.join(base, rel), block)
             staged.append(rel)
         tmp = posixpath.join(hoodie, f".commitmeta-{uuid.uuid4().hex}")
-        fs.write_bytes(tmp, b"{}")
+        rec_schema = _avro_schema_of(table_union) if table_union is not None else schema_json
+        fs.write_bytes(
+            tmp,
+            json.dumps(
+                {"extraMetadata": {"schema": rec_schema}}
+                if rec_schema
+                else {}
+            ).encode("utf-8"),
+        )
         dest = posixpath.join(hoodie, f"{instant}.deltacommit")
         if fs.rename_if_absent(tmp, dest):
             return {

@@ -81,6 +81,78 @@ def hudi_timeline(spark: SparkSession, path: str) -> list[dict]:
     return sorted(out, key=lambda x: x["instant"])
 
 
+def hudi_recorded_schema(
+    spark, path: str, target_instant: str | None = None
+):
+    """Table schema RECORDED in the newest completed commit's
+    metadata (``extraMetadata.schema``, the real-Hudi convention this
+    engine's writers follow) — or ``None`` when that commit carries
+    no recording (foreign writers, pre-recording history), in which
+    case callers fall back to the parquet-footer union. Only the
+    NEWEST usable commit is consulted: an older recording could be
+    stale across schema evolution."""
+    from harness_aws_etl_pipeline_spark.sources.avroread import (
+        avro_spark_schema,
+    )
+
+    base = path.rstrip("/")
+    fs = get_fs(base, spark)
+    usable = [
+        t
+        for t in hudi_timeline(spark, base)
+        if target_instant is None or t["instant"] <= target_instant
+    ]
+    if not usable:
+        return None
+    t = usable[-1]
+    p = posixpath.join(base, ".hoodie", f"{t['instant']}.{t['action']}")
+    try:
+        meta = json.loads(fs.read_bytes(p).decode("utf-8") or "{}")
+    except (OSError, ValueError):
+        return None
+    sj = (meta.get("extraMetadata") or {}).get("schema")
+    if not sj:
+        return None
+    try:
+        return avro_spark_schema(sj)
+    except ValueError:
+        return None
+
+
+def hudi_table_schema(spark: SparkSession, path: str, snap: dict):
+    """The snapshot's table schema: the commit-recorded schema when
+    the newest commit carries one (no data access), else the UNION of
+    every live base-file footer, else the first log avro block for
+    log-only tables; ``None`` for an empty table."""
+    base = path.rstrip("/")
+    rec = hudi_recorded_schema(spark, base, snap.get("instant"))
+    if rec is not None:
+        return rec
+    if snap["files"]:
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*snap["files"])
+            .schema
+        )
+    if snap.get("log_files"):
+        from harness_aws_etl_pipeline_spark.sources.avroread import (
+            avro_spark_schema,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudilog import (
+            decode_log_blocks,
+        )
+
+        with open(
+            _strip_scheme(snap["log_files"][0]["path"]), "rb"
+        ) as fh:
+            blocks = decode_log_blocks(fh.read())
+        avro_blocks = [b for b in blocks if b["type"] == "avro"]
+        if not avro_blocks:
+            return None
+        return avro_spark_schema(avro_blocks[0]["schema"])
+    return None
+
+
 def hudi_snapshot(
     spark: SparkSession, path: str, as_of_instant: str | None = None
 ) -> dict:
@@ -247,29 +319,12 @@ def _merge_mor(spark: SparkSession, base: str, snap: dict) -> DataFrame:
         p for k, p in base_by_key.items() if k in logged
     )
 
-    if snap["files"]:
-        # union of every live file's footer schema — a sampled single
-        # footer silently drops columns added by schema-evolved
-        # appends (files missing a union column read as nulls)
-        schema = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*snap["files"])
-            .schema
+    schema = hudi_table_schema(spark, base, snap)
+    if schema is None:
+        raise ValueError(
+            "cannot derive a schema: the first Hudi log file has "
+            "no avro data block"
         )
-    else:
-        # log-only table: schema from the first avro block (one
-        # driver-side header read; every block carries its schema)
-        fs = get_fs(base, spark)
-        blocks = decode_log_blocks(
-            fs.read_bytes(snap["log_files"][0]["path"])
-        )
-        avro_blocks = [b for b in blocks if b["type"] == "avro"]
-        if not avro_blocks:
-            raise ValueError(
-                "cannot derive a schema: the first Hudi log file has "
-                "no avro data block"
-            )
-        schema = avro_spark_schema(avro_blocks[0]["schema"])
     names = [f.name for f in schema.fields]
     if "_hoodie_record_key" not in names:
         raise ValueError(
@@ -399,8 +454,13 @@ def read_hudi(
     if snap["log_files"]:
         df = _merge_mor(spark, path.rstrip("/"), snap)
     else:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *snap["files"]
+        rec = hudi_recorded_schema(spark, path, snap.get("instant"))
+        df = (
+            spark.read.schema(rec).parquet(*snap["files"])
+            if rec is not None
+            else spark.read.option("mergeSchema", "true").parquet(
+                *snap["files"]
+            )
         )
     if drop_meta:
         df = df.drop(*[c for c in _META_COLS if c in df.columns])
@@ -442,27 +502,10 @@ def _hudi_change_rows(
                 "capture cannot represent it"
             )
 
-    # table schema: base files (footer union), else the first log
-    # avro block
-    if hi["files"]:
-        schema = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*hi["files"])
-            .schema
-        )
-    elif hi.get("log_files"):
-        with open(
-            _strip_scheme(hi["log_files"][0]["path"]), "rb"
-        ) as fh:
-            blocks = decode_log_blocks(fh.read())
-        avro_blocks = [b for b in blocks if b["type"] == "avro"]
-        if not avro_blocks:
-            raise ValueError(
-                "cannot derive a schema: the first Hudi log file has "
-                "no avro data block"
-            )
-        schema = avro_spark_schema(avro_blocks[0]["schema"])
-    else:
+    # table schema: commit-recorded, else footer union, else the
+    # first log avro block
+    schema = hudi_table_schema(spark, base, hi)
+    if schema is None:
         raise ValueError("Hudi table has no files to derive a schema from")
     names = [f.name for f in schema.fields]
     out_schema = T.StructType(

@@ -648,7 +648,14 @@ class HudiStreamDataSource(DataSource):
         if not path:
             raise ValueError("hudi_nojar needs .option('path', ...)")
         snap = hudi_snapshot(None, path)  # type: ignore[arg-type]
-        if snap["files"]:
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_recorded_schema,
+        )
+
+        rec = hudi_recorded_schema(None, path, snap.get("instant"))
+        if rec is not None:
+            sch = rec
+        elif snap["files"]:
             import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema

@@ -661,3 +661,89 @@ class TestSchemaEvolution:
                 t,
                 key_col="id",
             )
+
+
+class TestRecordedSchema:
+    """Commit metadata records the table schema (extraMetadata.schema,
+    the real-Hudi convention) so readers skip the footer-union pass;
+    non-Avro-representable schemas skip recording and fall back."""
+
+    def test_record_evolve_and_fallback(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_recorded_schema,
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        write_hudi(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), t
+        )
+        rec = hudi_recorded_schema(spark, t)
+        assert [f.name for f in rec.fields] == ["id", "v"]
+        # evolved append records the UNION schema
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, v string, score double"
+            ),
+            t,
+        )
+        rec = hudi_recorded_schema(spark, t)
+        assert [f.name for f in rec.fields] == ["id", "v", "score"]
+        assert sorted(tuple(r) for r in read_hudi(spark, t).collect()) == [
+            (1, "a", None),
+            (2, "b", 9.5),
+        ]
+
+    def test_nonprimitive_skips_recording(self, spark, tmp_path):
+        import datetime
+
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_recorded_schema,
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(1, datetime.date(2020, 1, 1))], "id long, d date"
+            ),
+            t,
+        )
+        assert hudi_recorded_schema(spark, t) is None
+        assert read_hudi(spark, t).count() == 1
+
+    def test_mor_and_compaction_carry_schema(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            hudi_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            hudi_recorded_schema,
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        hudi_upsert(
+            spark,
+            spark.createDataFrame([(1, "A")], "id long, v string"),
+            t,
+            key_col="id",
+        )
+        rec = hudi_recorded_schema(spark, t)
+        assert "_hoodie_record_key" in [f.name for f in rec.fields]
+        hudi_compact(spark, t)
+        assert hudi_recorded_schema(spark, t) is not None
+        assert sorted(
+            (r.id, r.v)
+            for r in read_hudi(spark, t, drop_meta=True).collect()
+        ) == [(1, "A")]
