@@ -299,16 +299,38 @@ _WIDTH_RANK = {
 }
 
 
+def _avro_type_node(dt):
+    """Avro type node for a Spark type — primitives plus the logical
+    types the in-repo codec round-trips (date, timestamp-micros,
+    decimal); ``None`` when unmappable."""
+    tn = dt.typeName()
+    prim = _AVRO_PRIM.get(tn)
+    if prim is not None:
+        return prim
+    if tn == "date":
+        return {"type": "int", "logicalType": "date"}
+    if tn == "timestamp":
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if tn == "decimal":
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": int(dt.precision),
+            "scale": int(dt.scale),
+        }
+    return None
+
+
 def _avro_schema_of(schema) -> str | None:
     """Avro record schema for a Spark schema, or None when a column
-    type has no Avro-primitive mapping (the caller then skips
-    recording and readers fall back to the footer union)."""
+    type has no Avro mapping (the caller then skips recording and
+    readers fall back to the footer union)."""
     fields = []
     for f in schema.fields:
-        prim = _AVRO_PRIM.get(f.dataType.typeName())
-        if prim is None:
+        node = _avro_type_node(f.dataType)
+        if node is None:
             return None
-        fields.append({"name": f.name, "type": ["null", prim]})
+        fields.append({"name": f.name, "type": ["null", node]})
     return json.dumps({"type": "record", "name": "rec", "fields": fields})
 
 
@@ -400,13 +422,14 @@ _AVRO_PRIM = {
 def _avro_schema_for(df: DataFrame) -> str:
     fields = []
     for f in df.schema.fields:
-        prim = _AVRO_PRIM.get(f.dataType.typeName())
-        if prim is None:
+        node = _avro_type_node(f.dataType)
+        if node is None:
             raise ValueError(
-                f"hudi_upsert supports Avro-primitive column types only; "
-                f"column {f.name!r} is {f.dataType.simpleString()}"
+                "hudi_upsert supports Avro-mappable column types only "
+                "(primitives, date, timestamp, decimal); column "
+                f"{f.name!r} is {f.dataType.simpleString()}"
             )
-        fields.append({"name": f.name, "type": ["null", prim]})
+        fields.append({"name": f.name, "type": ["null", node]})
     return json.dumps({"type": "record", "name": "rec", "fields": fields})
 
 
@@ -480,7 +503,16 @@ def hudi_upsert(
     # driver-side, so the cap must fire before ANY other collect
     # (including the routing join below) can materialize an oversized
     # frame on the driver
-    rows = up.limit(max_upsert_rows + 1).collect()
+    # collect under UTC so TimestampType values arrive as UTC wall
+    # clocks — the avro encoder treats naive datetimes as UTC, and
+    # timestamp-micros is a UTC instant per the spec (zone-proof,
+    # the write_delta stats precedent)
+    _tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = up.limit(max_upsert_rows + 1).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", _tz)
     if len(rows) > max_upsert_rows:
         raise ValueError(
             f"upsert frame exceeds {max_upsert_rows} rows; log-block "

@@ -459,8 +459,20 @@ def _pick_branch(schema: list, value, names: dict) -> int:
     value's type (bool before int — python bools are ints)."""
 
     def _matches(branch) -> bool:
+        import datetime as _dt
+        import decimal as _dec
+
         b = names.get(branch, branch) if isinstance(branch, str) else branch
         if isinstance(b, dict):
+            lt = b.get("logicalType")
+            if lt == "date":
+                return isinstance(value, _dt.date) and not isinstance(
+                    value, _dt.datetime
+                )
+            if lt in ("timestamp-millis", "timestamp-micros"):
+                return isinstance(value, _dt.datetime)
+            if lt == "decimal":
+                return isinstance(value, _dec.Decimal)
             t = b["type"]
             if t in ("record",):
                 return isinstance(value, dict)
@@ -491,6 +503,70 @@ def _pick_branch(schema: list, value, names: dict) -> int:
     return next(i for i, s in enumerate(schema) if s != "null")
 
 
+def _encode_logical(lt: str, schema: dict, value, out: bytearray) -> None:
+    """Logical-typed datum → underlying primitive bytes (the write
+    mirror of ``_logical``): date → days, timestamp-millis/micros →
+    epoch delta (tz-aware converted; naive treated as UTC wall time —
+    callers pin the session zone to UTC before collecting),
+    decimal → big-endian two's-complement unscaled bytes."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if lt == "date":
+        days = (
+            int(value)
+            if isinstance(value, int)
+            else (value - _dt.date(1970, 1, 1)).days
+        )
+        _write_long(out, days)
+        return
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        if isinstance(value, int):
+            n = int(value)
+        else:
+            epoch = (
+                _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                if value.tzinfo is not None
+                else _dt.datetime(1970, 1, 1)
+            )
+            unit = (
+                _dt.timedelta(milliseconds=1)
+                if lt == "timestamp-millis"
+                else _dt.timedelta(microseconds=1)
+            )
+            n = (value - epoch) // unit
+        _write_long(out, n)
+        return
+    if lt == "decimal":
+        if isinstance(value, (bytes, bytearray)):
+            # pre-encoded unscaled bytes (fixture-writer passthrough)
+            b = bytes(value)
+        else:
+            scale = int(schema.get("scale", 0))
+            d = (
+                value
+                if isinstance(value, _dec.Decimal)
+                else _dec.Decimal(str(value))
+            )
+            unscaled = int(d.scaleb(scale).to_integral_value())
+            b = unscaled.to_bytes(
+                max(1, (unscaled.bit_length() + 8) // 8),
+                "big",
+                signed=True,
+            )
+        _write_long(out, len(b))
+        out += b
+        return
+    if lt == "uuid":
+        b = str(value).encode("utf-8")
+        _write_long(out, len(b))
+        out += b
+        return
+    # unknown logical types fall back to the underlying primitive —
+    # the spec's own rule, mirroring the read side
+    _encode(schema["type"], value, out, {})
+
+
 def _encode(schema, value, out: bytearray, names: dict) -> None:
     if isinstance(schema, str):
         schema = names.get(schema, schema)
@@ -504,6 +580,10 @@ def _encode(schema, value, out: bytearray, names: dict) -> None:
         return
     if isinstance(schema, dict):
         t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt and t not in ("record", "array", "map", "enum", "fixed"):
+            _encode_logical(lt, schema, value, out)
+            return
         if t == "record":
             for f in schema["fields"]:
                 _encode(f["type"], value[f["name"]], out, names)

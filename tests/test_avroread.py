@@ -268,3 +268,56 @@ class TestLogicalTypes:
         assert r.amt == Decimal("123.45")
         assert r.afx == Decimal("-1.500")
         assert r.u == "0000-1111"
+
+
+class TestLogicalEncode:
+    """Round 13: the binary encoder's logical-type write path — the
+    mirror of _logical's read conversions."""
+
+    def test_encode_decode_round_trip(self):
+        import datetime
+        import decimal
+        import io
+        import json
+
+        from harness_aws_etl_pipeline_spark.sources.avroread import (
+            _collect_names,
+            _decode,
+            _encode,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+                {"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+                {"name": "tm", "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+                {"name": "amt", "type": ["null", {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 3}]},
+            ],
+        }
+        names: dict = {}
+        _collect_names(schema, names)
+        rec = {
+            "d": datetime.date(2024, 2, 29),
+            "ts": datetime.datetime(
+                2024, 3, 1, 1, 2, 3, 456789, tzinfo=datetime.timezone.utc
+            ),
+            "tm": datetime.datetime(1969, 12, 31, 23, 59, 59, 999000),
+            "amt": decimal.Decimal("-123.456"),
+        }
+        out = bytearray()
+        _encode(schema, rec, out, names)
+        back = _decode(schema, io.BytesIO(bytes(out)), names)
+        assert back["d"] == rec["d"]
+        assert back["ts"] == rec["ts"]
+        # naive input is treated as UTC wall time; decode returns aware
+        assert back["tm"] == rec["tm"].replace(
+            tzinfo=datetime.timezone.utc
+        )
+        assert back["amt"] == rec["amt"]
+        # nulls pass through every branch
+        out2 = bytearray()
+        _encode(schema, {"d": None, "ts": None, "tm": None, "amt": None}, out2, names)
+        back2 = _decode(schema, io.BytesIO(bytes(out2)), names)
+        assert back2 == {"d": None, "ts": None, "tm": None, "amt": None}

@@ -747,3 +747,96 @@ class TestRecordedSchema:
             (r.id, r.v)
             for r in read_hudi(spark, t, drop_meta=True).collect()
         ) == [(1, "A")]
+
+
+class TestLogicalTypeUpserts:
+    """MOR upserts with date / timestamp / decimal columns — encoded
+    as Avro logical types in the log blocks, zone-proof round trip."""
+
+    def test_round_trip_under_non_utc_session(self, spark, tmp_path):
+        import datetime
+        import decimal
+
+        from pyspark.sql import types as T
+
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            hudi_compact,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("d", T.DateType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("amt", T.DecimalType(10, 2)),
+            ]
+        )
+        ts = datetime.datetime(
+            2024, 3, 1, 12, 30, 45, 123456, tzinfo=datetime.timezone.utc
+        )
+        t = str(tmp_path / "t")
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        try:
+            hudi_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(1, datetime.date(2024, 3, 1), ts,
+                      decimal.Decimal("12.34"))],
+                    schema,
+                ),
+                t,
+                key_col="id",
+            )
+            hudi_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(1, datetime.date(2025, 1, 2), ts,
+                      decimal.Decimal("-5.67")), (2, None, None, None)],
+                    schema,
+                ),
+                t,
+                key_col="id",
+            )
+            out = read_hudi(spark, t, drop_meta=True)
+            got = {
+                (r.id, r.d, r["um"], r.amt)
+                for r in out.withColumn(
+                    "um", F.unix_micros("ts")
+                ).collect()
+            }
+            exp_um = int(ts.timestamp() * 1_000_000)
+            assert got == {
+                (1, datetime.date(2025, 1, 2), exp_um,
+                 decimal.Decimal("-5.67")),
+                (2, None, None, None),
+            }
+            # survives compaction (avro → parquet base slice)
+            hudi_compact(spark, t)
+            assert {
+                (r.id, r.amt)
+                for r in read_hudi(spark, t, drop_meta=True).collect()
+            } == {(1, decimal.Decimal("-5.67")), (2, None)}
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+
+    def test_unmappable_type_still_rejects(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.hudiwrite import (
+            hudi_upsert,
+        )
+
+        with pytest.raises(ValueError, match="Avro-mappable"):
+            hudi_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(1, [1, 2])], "id long, xs array<long>"
+                ),
+                str(tmp_path / "t"),
+                key_col="id",
+            )
