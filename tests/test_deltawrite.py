@@ -508,3 +508,30 @@ class TestColumnMappedAppend:
         )
         got = read_delta(spark, t)
         assert got.filter(got[got.columns[0]] == 99).count() == 1
+
+
+    def test_merge_schema_on_partitioned_table(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0)], "id long, v string, p int"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 1, 9.5)], "id long, v string, p int, score double"
+            ),
+            t,
+            partition_by=["p"],
+            merge_schema=True,
+        )
+        df = read_delta(spark, t)
+        assert sorted(tuple(r) for r in df.collect()) == [
+            (1, "a", 0, None),
+            (2, "b", 1, 9.5),
+        ]
+        assert df.filter("p = 1").count() == 1

@@ -840,3 +840,29 @@ class TestLogicalTypeUpserts:
                 str(tmp_path / "t"),
                 key_col="id",
             )
+
+
+    def test_partitioned_evolved_append(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sources.hudiread import (
+            read_hudi,
+        )
+
+        t = str(tmp_path / "t")
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0)], "id long, v string, p int"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        write_hudi(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 1, 9.5)], "id long, v string, p int, score double"
+            ),
+            t,
+        )
+        assert sorted(
+            tuple(r) for r in read_hudi(spark, t).collect()
+        ) == [(1, "a", 0, None), (2, "b", 1, 9.5)]
