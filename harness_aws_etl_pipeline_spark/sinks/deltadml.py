@@ -217,9 +217,10 @@ def _physicalize_for_write(spark: SparkSession, snap: dict, df):
     Name mode: top-level rename + one-level nested struct rebuild
     (the reader's bound — delta_snapshot rejects deeper name-mode
     mapping up front). Id mode: the written files keep LOGICAL column
-    names but carry ``parquet.field.id`` metadata (id-mode readers —
-    ours included — resolve strictly by field id, so names are
-    immaterial and arbitrarily deep nesting works); partition columns
+    names but carry ``parquet.field.id`` metadata at EVERY nesting
+    level (id-mode readers — ours included — resolve strictly by
+    field id, so names are immaterial and arbitrarily deep nesting
+    round-trips); partition columns
     still rename to physical so staging dirs yield physical
     ``partitionValues`` keys. Extra non-table columns (``_change_type``)
     pass through. Unmapped tables return ``df`` unchanged."""
@@ -233,50 +234,129 @@ def _physicalize_for_write(spark: SparkSession, snap: dict, df):
     schema = snap["schema"]
     table_fields = {f.name: f for f in schema.fields}
     if mode == "id":
-        # field ids attach via alias(metadata=...) — .to(schema)
-        # carries metadata in the plan but the parquet writer drops
-        # it (verified); alias metadata survives to the file. Alias
-        # metadata is top-level only, so nested MAPPED columns
-        # reject loudly rather than writing id-less nested fields.
-        def _nested_ids(dt) -> bool:
-            from pyspark.sql.types import ArrayType, MapType
+        # Files keep LOGICAL names — id-mode readers (ours included)
+        # resolve strictly by field id, so names are immaterial and
+        # arbitrarily deep nesting round-trips. FLAT mapped columns
+        # attach ``parquet.field.id`` via ``alias(metadata=...)``
+        # (cheap, proven); NESTED mapped columns need the metadata in
+        # the TYPE, and the only RELIABLE carrier is a
+        # ``mapInPandas`` identity whose output schema is used
+        # verbatim — ``.to(schema)`` attaches metadata only when its
+        # reconciliation happens to insert a projection (verified
+        # live: a type-matching column silently loses its id).
+        from pyspark.sql.types import ArrayType, MapType
 
+        def _id_md_type(dt, where: str):
+            if isinstance(dt, StructType):
+                out_f = []
+                for sf in dt.fields:
+                    cid = (sf.metadata or {}).get("delta.columnMapping.id")
+                    if cid is None:
+                        raise ValueError(
+                            "Delta id-mode column mapping: nested "
+                            f"field {where}.{sf.name} carries no "
+                            "delta.columnMapping.id"
+                        )
+                    out_f.append(
+                        StructField(
+                            sf.name,
+                            _id_md_type(
+                                sf.dataType, f"{where}.{sf.name}"
+                            ),
+                            True,
+                            {"parquet.field.id": int(cid)},
+                        )
+                    )
+                return StructType(out_f)
+            if isinstance(dt, ArrayType):
+                return ArrayType(
+                    _id_md_type(dt.elementType, where + "[]"),
+                    dt.containsNull,
+                )
+            if isinstance(dt, MapType):
+                return MapType(
+                    _id_md_type(dt.keyType, where + "{k}"),
+                    _id_md_type(dt.valueType, where + "{v}"),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        def _has_nested_ids(dt) -> bool:
             if isinstance(dt, StructType):
                 return any(
                     (sf.metadata or {}).get("delta.columnMapping.id")
                     is not None
-                    or _nested_ids(sf.dataType)
+                    or _has_nested_ids(sf.dataType)
                     for sf in dt.fields
                 )
             if isinstance(dt, ArrayType):
-                return _nested_ids(dt.elementType)
+                return _has_nested_ids(dt.elementType)
             if isinstance(dt, MapType):
-                return _nested_ids(dt.keyType) or _nested_ids(dt.valueType)
+                return _has_nested_ids(dt.keyType) or _has_nested_ids(
+                    dt.valueType
+                )
             return False
 
-        sel = []
-        for c in df.columns:
-            f = table_fields.get(c)
-            if f is None:
-                sel.append(F.col(c))
-                continue
-            cid = (f.metadata or {}).get("delta.columnMapping.id")
-            if cid is None:
-                raise ValueError(
-                    "Delta id-mode column mapping: field "
-                    f"{c!r} carries no delta.columnMapping.id"
-                )
-            if _nested_ids(f.dataType):
-                raise ValueError(
-                    "DML on id-mapped tables with NESTED mapped "
-                    f"columns (column {c!r}) is not supported — the "
-                    "writer cannot attach nested parquet field ids"
-                )
-            sel.append(
-                F.col(c).alias(c, metadata={"parquet.field.id": int(cid)})
-            )
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        out = df.select(*sel)
+        nested = any(
+            f is not None and _has_nested_ids(f.dataType)
+            for f in (table_fields.get(c) for c in df.columns)
+        )
+        if nested:
+            out_fields = []
+            for c in df.columns:
+                f = table_fields.get(c)
+                if f is None:
+                    out_fields.append(
+                        StructField(c, df.schema[c].dataType, True)
+                    )
+                    continue
+                cid = (f.metadata or {}).get("delta.columnMapping.id")
+                if cid is None:
+                    raise ValueError(
+                        "Delta id-mode column mapping: field "
+                        f"{c!r} carries no delta.columnMapping.id"
+                    )
+                out_fields.append(
+                    StructField(
+                        c,
+                        _id_md_type(f.dataType, c),
+                        True,
+                        {"parquet.field.id": int(cid)},
+                    )
+                )
+            target = StructType(out_fields)
+
+            def _identity(batches):
+                yield from batches
+
+            out = df.to(
+                StructType(
+                    [
+                        StructField(f.name, f.dataType, True)
+                        for f in out_fields
+                    ]
+                )
+            ).mapInPandas(_identity, target)
+        else:
+            sel = []
+            for c in df.columns:
+                f = table_fields.get(c)
+                if f is None:
+                    sel.append(F.col(c))
+                    continue
+                cid = (f.metadata or {}).get("delta.columnMapping.id")
+                if cid is None:
+                    raise ValueError(
+                        "Delta id-mode column mapping: field "
+                        f"{c!r} carries no delta.columnMapping.id"
+                    )
+                sel.append(
+                    F.col(c).alias(
+                        c, metadata={"parquet.field.id": int(cid)}
+                    )
+                )
+            out = df.select(*sel)
         for c in snap["partition_columns"]:
             if c in df.columns and phys.get(c, c) != c:
                 out = out.withColumnRenamed(c, phys[c])

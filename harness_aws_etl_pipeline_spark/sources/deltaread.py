@@ -314,6 +314,27 @@ def _phys_below(dt) -> bool:
     return False
 
 
+def _nested_mapped_ids(dt) -> bool:
+    """True when a NESTED field (below the top level) carries a
+    ``delta.columnMapping.id`` — the shapes whose fieldId resolution
+    nested schema pruning would break."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return any(
+            (sf.metadata or {}).get("delta.columnMapping.id") is not None
+            or _nested_mapped_ids(sf.dataType)
+            for sf in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return _nested_mapped_ids(dt.elementType)
+    if isinstance(dt, MapType):
+        return _nested_mapped_ids(dt.keyType) or _nested_mapped_ids(
+            dt.valueType
+        )
+    return False
+
+
 def _field_with_parquet_ids(f: StructField) -> StructField:
     """id-mode column mapping: re-emit the field (recursively) with
     ``parquet.field.id`` metadata from ``delta.columnMapping.id`` so
@@ -367,6 +388,18 @@ def _mapped_read_plan(spark: SparkSession, snap: dict):
         read_schema = StructType(
             [_field_with_parquet_ids(f) for f in data_fields]
         )
+        if any(_nested_mapped_ids(f.dataType) for f in data_fields):
+            # Spark's nested schema pruning rebuilds pruned struct
+            # types WITHOUT field metadata, so the fieldId parquet
+            # reader cannot resolve a pruned nested field and returns
+            # NULLs (verified live: select("s.a") nulls while
+            # select("s") reads fine). Disable it for the session the
+            # moment a nested id-mapped table is scanned — plans are
+            # lazy, so a save/restore around planning would be unsafe.
+            spark.conf.set(
+                "spark.sql.optimizer.nestedSchemaPruning.enabled",
+                "false",
+            )
         logical_names: list[str] = []
         nested_restore: dict[str, StructField] = {}
     else:

@@ -1017,3 +1017,114 @@ class TestColumnMappedDml:
             for r in delta_changes(spark, t, 1, cdf=True).collect()
         }
         assert got == {(0, "v0", "delete"), (3, "v3", "delete")}
+
+
+class TestNestedIdMappedDml:
+    """Round 13: DML on id-mapped tables with NESTED mapped columns —
+    field ids attach at every level via a metadata-carrying plan
+    schema (the old loud reject is gone)."""
+
+    def _nested_id_table(self, spark, tmp_path):
+        import glob as _glob
+        import json as _json
+        import shutil
+
+        from pyspark.sql import types as T
+
+        t = str(tmp_path / "t")
+        schema = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aa"}},
+                {"name": "s", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-ss"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "a", "type": "long", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName": "col-a"}},
+                     {"name": "b", "type": "string", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 4,
+                                   "delta.columnMapping.physicalName": "col-b"}},
+                 ]}},
+            ],
+        })
+        st = T.StructType([
+            T.StructField("col-aa", T.LongType(), True,
+                          {"parquet.field.id": 1}),
+            T.StructField("col-ss", T.StructType([
+                T.StructField("col-a", T.LongType(), True,
+                              {"parquet.field.id": 3}),
+                T.StructField("col-b", T.StringType(), True,
+                              {"parquet.field.id": 4}),
+            ]), True, {"parquet.field.id": 2}),
+        ])
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            [(i, (i * 10, f"v{i}")) for i in range(4)], st
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (tmp_path / "t").mkdir(parents=True, exist_ok=True)
+        shutil.move(
+            _glob.glob(str(stage / "*.parquet"))[0],
+            str(tmp_path / "t" / "f0.parquet"),
+        )
+        TestColumnMappedDml._commit(t, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "tbl-nid",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        return t
+
+    def test_update_and_merge_round_trip(self, spark, tmp_path):
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+            delta_update_where,
+        )
+
+        t = self._nested_id_table(spark, tmp_path)
+        base = {(r.id, r.s["a"], r.s["b"])
+                for r in read_delta(spark, t).collect()}
+        assert base == {(i, i * 10, f"v{i}") for i in range(4)}
+
+        rep = delta_update_where(
+            spark, t, "id = 1",
+            {"s": "named_struct('a', s.a + 5, 'b', 'UP')"},
+        )
+        assert rep["rows_updated"] == 1
+        got = {(r.id, r.s["a"], r.s["b"])
+               for r in read_delta(spark, t).collect()}
+        assert got == {(0, 0, "v0"), (1, 15, "UP"),
+                       (2, 20, "v2"), (3, 30, "v3")}
+
+        # keyed merge: replace id=2, insert id=9
+        src = spark.createDataFrame(
+            [(2, (222, "m2")), (9, (99, "m9"))],
+            "id long, s struct<a: long, b: string>",
+        )
+        delta_merge(spark, src, t, keys=["id"])
+        got = {(r.id, r.s["a"], r.s["b"])
+               for r in read_delta(spark, t).collect()}
+        assert got == {(0, 0, "v0"), (1, 15, "UP"),
+                       (2, 222, "m2"), (3, 30, "v3"), (9, 99, "m9")}
+        # the staged files carry field ids at the nested level
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        newest = max(
+            _glob.glob(str(tmp_path / "t" / "*.parquet")),
+            key=lambda p: p,
+        )
+        txt = str(pq.ParquetFile(newest).schema)
+        assert "field_id=3" in txt and "field_id=4" in txt

@@ -1216,3 +1216,20 @@ class TestCliWriteAndCdf:
         assert rep["rows"] == 1 and rep["cdf"] is True
         assert rep["preview"][0]["_change_type"] == "delete"
         assert rep["preview"][0]["id"] == 2
+
+
+class TestNestedIdMappedPruning:
+    def test_nested_field_select_survives_pruning(self, spark, tmp_path):
+        """Nested schema pruning rebuilds pruned struct types without
+        field metadata, which broke fieldId resolution of nested
+        id-mapped fields (select("s.a") returned NULLs while
+        select("s") read fine). The mapped read plan disables nested
+        pruning for the session when such a table is scanned."""
+        from tests.test_deltadml import TestNestedIdMappedDml
+
+        t = TestNestedIdMappedDml()._nested_id_table(spark, tmp_path)
+        df = read_delta(spark, t)
+        assert sorted(
+            r["a"] for r in df.select(df.s.a.alias("a")).collect()
+        ) == [0, 10, 20, 30]
+        assert df.filter("s.a = 20").count() == 1
