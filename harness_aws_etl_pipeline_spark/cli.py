@@ -984,6 +984,39 @@ def main(argv: list[str] | None = None) -> int:
     )
     lgr.add_argument("--show", type=int, default=10, help="print top-N nodes")
 
+    lk = sub.add_parser(
+        "lake",
+        help="format-agnostic lake table access: detect the layout "
+        "(snaptable/delta/iceberg/hudi/avro/parquet) and read, "
+        "consume changes, or write",
+    )
+    lk.add_argument("--path", required=True, help="table root")
+    lk.add_argument(
+        "--changes-since", default=None,
+        help="incremental read from this cursor (version / snapshot "
+             "id / instant, per the detected format)",
+    )
+    lk.add_argument(
+        "--change-rows", action="store_true",
+        help="with --changes-since: labeled change rows "
+             "(_change_type/_commit_version)",
+    )
+    lk.add_argument(
+        "--write", default=None,
+        help="parquet path: write it INTO the table (format detected; "
+             "new paths need --format)",
+    )
+    lk.add_argument(
+        "--format", default=None,
+        choices=["snaptable", "delta", "iceberg", "hudi", "parquet"],
+        help="target format when --write creates a NEW table",
+    )
+    lk.add_argument(
+        "--mode", default="append", choices=["append", "overwrite"],
+    )
+    lk.add_argument("--output", default=None, help="export parquet path")
+    lk.add_argument("--show", type=int, default=5, help="preview rows")
+
     lvw = sub.add_parser(
         "lakeview",
         help="incrementally-maintained rollup over any lake table "
@@ -2072,6 +2105,52 @@ def main(argv: list[str] | None = None) -> int:
             "pages": n - failed, "failed_docs": failed,
             "preview": preview, "output": args.output,
         }))
+        return 0
+
+    if args.cmd == "lake":
+        from harness_aws_etl_pipeline_spark.sources.lakeread import (
+            detect_lake_format,
+            lake_changes,
+            read_lake,
+            write_lake,
+        )
+
+        if args.write:
+            kind = args.format
+            if kind is None:
+                try:
+                    kind = detect_lake_format(spark, args.path)
+                except ValueError:
+                    raise SystemExit(
+                        "--write into a new path needs --format"
+                    )
+            rep = write_lake(
+                spark,
+                spark.read.parquet(args.write),
+                args.path,
+                format=kind,
+                mode=args.mode,
+            )
+            print(json.dumps({
+                "status": "success", "action": "lake_write", **rep,
+            }, default=str))
+            return 0
+        kind = detect_lake_format(spark, args.path)
+        if args.changes_since is not None:
+            df = lake_changes(
+                spark, args.path, args.changes_since,
+                change_rows=args.change_rows,
+            )
+        else:
+            df = read_lake(spark, args.path)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "status": "success", "action": "lake", "format": kind,
+            "rows": df.count(),
+            "preview": [r.asDict() for r in df.limit(args.show).collect()],
+            "output": args.output,
+        }, default=str))
         return 0
 
     if args.cmd == "lakeview":

@@ -299,3 +299,35 @@ class TestNullGroupGuard:
         )
         with pytest.raises(ValueError, match="NULL group"):
             v.refresh()
+
+    def test_lake_cli_dispatch(self, spark, tmp_path, capsys):
+        import json
+
+        from harness_aws_etl_pipeline_spark.cli import main
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "g string, x long"
+        ).write.parquet(src)
+        t = str(tmp_path / "t")
+        rc = main([
+            "lake", "--path", t, "--write", src, "--format", "delta",
+        ])
+        assert rc == 0
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rc = main(["lake", "--path", t, "--show", "5"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["format"] == "delta" and rep["rows"] == 2
+        # append then incremental consume from version 0
+        src2 = str(tmp_path / "in2")
+        spark.createDataFrame([("c", 3)], "g string, x long").write.parquet(
+            src2
+        )
+        rc = main(["lake", "--path", t, "--write", src2])
+        assert rc == 0
+        capsys.readouterr()
+        rc = main(["lake", "--path", t, "--changes-since", "0"])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 1 and rep["preview"][0]["g"] == "c"
