@@ -65,8 +65,11 @@ def delta_optimize(
     "retries"}`` (version None = nothing to do).
 
     Partitioned tables optimize PER PARTITION (a bin never crosses a
-    partition boundary, like the real OPTIMIZE); column-mapped tables
-    reject loudly."""
+    partition boundary, like the real OPTIMIZE). Column-mapped tables
+    (name and id mode) are supported: the rewrite reads through the
+    mapped plan (logical names) and stages back through the DML
+    writer's physical layout, with physical partitionValues keys and
+    physical-named per-file stats."""
     from harness_aws_etl_pipeline_spark.sources.deltaread import (
         _commit_files,
         _read_files_with_partitions,
@@ -76,10 +79,7 @@ def delta_optimize(
     base = path.rstrip("/")
     fs = get_fs(base, spark)
     snap = delta_snapshot(spark, base)
-    if (snap.get("column_mapping") or {}).get("physical"):
-        raise ValueError(
-            "delta_optimize does not support column-mapped tables yet"
-        )
+    phys = (snap.get("column_mapping") or {}).get("physical") or {}
     pcols = snap["partition_columns"]
     small = small_file_bytes or target_file_bytes // 2
 
@@ -98,7 +98,10 @@ def delta_optimize(
         if not _is_cand(add):
             continue
         pv = add.get("partitionValues") or {}
-        by_part.setdefault(tuple(pv.get(c) for c in pcols), {})[k] = add
+        # partitionValues keys are PHYSICAL on mapped tables
+        by_part.setdefault(
+            tuple(pv.get(phys.get(c, c)) for c in pcols), {}
+        )[k] = add
     cands: dict[str, dict] = {}
     groups: dict[tuple, dict[str, dict]] = {}
     for pkey, files in by_part.items():
@@ -141,6 +144,12 @@ def delta_optimize(
             df = _zorder(df, zorder_by, partitions=nfiles)
         else:
             df = df.repartition(nfiles)
+        if phys:
+            from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+                _physicalize_for_write,
+            )
+
+            df = _physicalize_for_write(spark, snap, df)
         stage = posixpath.join(base, f".dlw_stage-{uuid.uuid4().hex}")
         try:
             df.write.mode("overwrite").parquet(stage)
@@ -164,12 +173,19 @@ def delta_optimize(
         _collect_stats,
     )
 
+    stats_frame = spark.createDataFrame([], snap["schema"])
+    if phys:
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            _physicalize_for_write,
+        )
+
+        stats_frame = _physicalize_for_write(spark, snap, stats_frame)
     stats_of = _collect_stats(
         spark,
         base,
         sorted(new_files),
-        spark.createDataFrame([], snap["schema"]),
-        pcols,
+        stats_frame,
+        [phys.get(c, c) for c in pcols],
     )
 
     ts_ms = int(time.time() * 1000)
@@ -202,7 +218,9 @@ def delta_optimize(
         for dest, (size, pkey) in sorted(new_files.items()):
             add = {
                 "path": dest,
-                "partitionValues": {c: v for c, v in zip(pcols, pkey)},
+                "partitionValues": {
+                    phys.get(c, c): v for c, v in zip(pcols, pkey)
+                },
                 "size": size,
                 "modificationTime": ts_ms,
                 "dataChange": False,

@@ -588,3 +588,83 @@ class TestZorderOptimizeAndDispatch:
         spark.range(10).repartition(4).write.parquet(p)
         rep = compact_lake(spark, p, files_per_partition=1)
         assert rep["format"] == "parquet" and rep["parquet_files"] == 1
+
+
+class TestMappedOptimize:
+    """Round 13: delta_optimize on column-mapped tables — reads
+    through the mapped plan, stages back through the physical layout
+    (the old loud reject is gone)."""
+
+    def test_name_mapped_with_dv_purge(self, spark, tmp_path):
+        from tests.test_deltadml import TestColumnMappedDml
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_delete_where,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            read_delta,
+        )
+
+        t = TestColumnMappedDml()._name_mapped_table(spark, tmp_path)
+        delta_delete_where(spark, t, "id = 5")
+        rep = delta_optimize(spark, t, target_file_bytes=1 << 20)
+        assert rep["dvs_purged"] == 1 and rep["files_added"] >= 1
+        assert sorted(
+            (r.id, r.v) for r in read_delta(spark, t).collect()
+        ) == [(i, f"v{i}") for i in range(5)]
+
+    def test_partitioned_name_mapped(self, spark, tmp_path):
+        from tests.test_deltadml import TestColumnMappedDml
+
+        from harness_aws_etl_pipeline_spark.sinks.deltadml import (
+            delta_merge,
+        )
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            read_delta,
+        )
+
+        t = TestColumnMappedDml()._name_mapped_table(
+            spark, tmp_path, partition=True
+        )
+        delta_merge(
+            spark,
+            spark.createDataFrame(
+                [(9, "nine", 1)], "id long, v string, p int"
+            ),
+            t,
+            keys=["id"],
+        )
+        rep = delta_optimize(spark, t, target_file_bytes=1 << 20)
+        assert rep["files_added"] >= 1
+        df = read_delta(spark, t)
+        assert df.count() == 7
+        assert df.filter("p = 1").count() == 4
+        # the rewritten adds carry PHYSICAL partitionValues keys
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            delta_snapshot,
+        )
+
+        snap = delta_snapshot(spark, t)
+        assert all(
+            set(a.get("partitionValues") or {}) == {"col-pp"}
+            for a in snap["files"].values()
+        )
+
+    def test_nested_id_mapped(self, spark, tmp_path):
+        from tests.test_deltadml import TestNestedIdMappedDml
+
+        from harness_aws_etl_pipeline_spark.sources.deltaread import (
+            read_delta,
+        )
+
+        t = TestNestedIdMappedDml()._nested_id_table(spark, tmp_path)
+        rep = delta_optimize(spark, t, target_file_bytes=1 << 20)
+        # single file -> nothing to bin unless DVs; force via zorder
+        rep = delta_optimize(
+            spark, t, target_file_bytes=1 << 20, zorder_by=["id"]
+        )
+        assert rep["files_added"] >= 1
+        assert sorted(
+            (r.id, r.s["a"], r.s["b"])
+            for r in read_delta(spark, t).collect()
+        ) == [(i, i * 10, f"v{i}") for i in range(4)]
