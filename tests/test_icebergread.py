@@ -733,3 +733,36 @@ class TestChangeRows:
             (None, "a", "delete"),
             (None, "A2", "insert"),
         }
+
+    def test_change_rows_across_schema_evolution(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+        from harness_aws_etl_pipeline_spark.sources.icebergread import (
+            iceberg_changes,
+            iceberg_snapshots,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg(
+            spark, spark.createDataFrame([("g1", 1)], "g string, x long"), t
+        )
+        s0 = iceberg_snapshots(spark, t)[-1]["snapshot_id"]
+        write_iceberg(
+            spark,
+            spark.createDataFrame(
+                [("g1", 2, 9.5)], "g string, x long, score double"
+            ),
+            t,
+            mode="append",
+        )
+        got = [
+            tuple(r)
+            for r in iceberg_changes(
+                spark, t, s0, change_rows=True
+            ).collect()
+        ]
+        # latest (evolved) schema labels the change rows
+        assert got == [("g1", 2, 9.5, "insert", 2)]

@@ -331,3 +331,37 @@ class TestNullGroupGuard:
         assert rc == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["rows"] == 1 and rep["preview"][0]["g"] == "c"
+
+    def test_expired_cursor_raises_loudly(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.plans.lakeview import (
+            LakeRollup,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.compact import (
+            iceberg_expire_snapshots,
+        )
+        from harness_aws_etl_pipeline_spark.sinks.icebergwrite import (
+            write_iceberg,
+        )
+
+        t = str(tmp_path / "src")
+        write_iceberg(
+            spark, spark.createDataFrame([("a", 1)], "g string, x long"), t
+        )
+        v = LakeRollup(
+            spark, t, str(tmp_path / "v"), "v",
+            group_cols=["g"],
+            aggs={"cnt": ("count", F.lit(1))},
+        )
+        v.refresh()
+        for val in (2, 3):
+            write_iceberg(
+                spark,
+                spark.createDataFrame([("b", val)], "g string, x long"),
+                t,
+                mode="append",
+            )
+        iceberg_expire_snapshots(spark, t, keep_last=1)
+        with pytest.raises(ValueError, match="expired"):
+            v.refresh()
