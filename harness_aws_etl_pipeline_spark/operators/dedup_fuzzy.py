@@ -315,6 +315,29 @@ def minhash_signatures(
     return src.mapInPandas(_sig, f"doc_id {id_type}, signature array<long>")
 
 
+def _band_array_expr(bands: int, rows_per_band: int):
+    """``array(struct(band, bucket), ...)`` banding expression built as
+    ONE parsed SQL string instead of ``bands × rows_per_band`` nested
+    Column objects.
+
+    The Column-object form costs hundreds of py4j round-trips per call
+    (~0.5-0.8 s of driver latency at 16×4 — measured r13); the parsed
+    form is one round-trip and yields the same expression tree: integer
+    band literals and ``xxhash64(signature[i], ...)`` buckets, so bucket
+    values (and therefore candidate pair sets) are bit-identical."""
+    parts = ", ".join(
+        "named_struct('band', {i}, 'bucket', xxhash64({args}))".format(
+            i=i,
+            args=", ".join(
+                f"signature[{i * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ),
+        )
+        for i in range(bands)
+    )
+    return F.expr(f"array({parts})")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -330,19 +353,7 @@ def minhash_lsh_candidates(
     """
     exploded = signatures.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[i * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(_band_array_expr(bands, rows_per_band)).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     sizes = exploded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -419,22 +430,7 @@ def banded_buckets(
     key every LSH join in this module blocks on."""
     return sig.select(
         F.col("doc_id").alias(out_id),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[i * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(_band_array_expr(bands, rows_per_band)).alias("bb"),
     ).select(
         out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -571,11 +567,14 @@ def near_dup_clusters(
     keep multiple representatives per true cluster in
     :func:`deduplicate_near`).
     """
-    # limit(threshold+1) bounds the gating probe: we only need to know
-    # "more than threshold edges?", not the exact count, so unpersisted
-    # callers don't pay a full pair-generation pass just to pick a
-    # strategy
-    if pairs.limit(driver_threshold + 1).count() <= driver_threshold:
+    # ONE gating job: collect up to threshold+1 edges — when the limit
+    # is not hit, the collected rows ARE the union-find input, so the
+    # driver path pays a single Spark job instead of the former
+    # probe-count + collect pair (measured ~0.2 s/call at local[32]);
+    # when it is hit, the partial collect is discarded and the
+    # distributed loop below runs (same strategy choice as before)
+    probe = pairs.select("doc_a", "doc_b").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         id_type = pairs.schema["doc_a"].dataType.simpleString()
         parent: dict = {}
 
@@ -587,7 +586,7 @@ def near_dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in pairs.select("doc_a", "doc_b").collect():
+        for r in probe:
             a, b = r[0], r[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -123,6 +123,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 128,
     overlap: int = 16,
+    with_text: bool = True,
 ) -> DataFrame:
     """Split documents into overlapping token windows — the standard
     pre-tokenization step for training-sequence packing.
@@ -133,6 +134,13 @@ def chunk_documents(
     (sequence + slice + concat_ws) exploded per chunk — the row
     explosion is the intended output, not a join blow-up, and
     everything stays narrow until the caller aggregates.
+
+    ``with_text=False`` drops the ``chunk_text`` column AND skips the
+    per-chunk slice+concat that builds it — manual column pruning for
+    callers that only aggregate chunk accounting (Catalyst cannot prune
+    a struct field built inside a higher-order ``transform`` lambda, so
+    without this flag every discarded chunk string is still
+    materialized; the chunk boundaries and token counts are unchanged).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -145,26 +153,35 @@ def chunk_documents(
     n_chunks = F.when(F.size(toks) <= overlap, F.lit(1)).otherwise(
         F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride))
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.struct(
-            i.alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
-                "chunk_text"
-            ),
+
+    def _chunk_struct(i):
+        fields = [i.alias("chunk_idx")]
+        if with_text:
+            fields.append(
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_tokens)
+                ).alias("chunk_text")
+            )
+        fields.append(
             F.least(F.size(toks) - i * stride, F.lit(chunk_tokens)).alias(
                 "n_tokens"
-            ),
-        ),
+            )
+        )
+        return F.struct(*fields)
+
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")), _chunk_struct
     )
-    return src.select(
-        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
-    ).select(
+    out_cols = [
         "doc_id",
         F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("c.chunk_text").alias("chunk_text"),
-        F.col("c.n_tokens").cast("int").alias("n_tokens"),
-    )
+    ]
+    if with_text:
+        out_cols.append(F.col("c.chunk_text").alias("chunk_text"))
+    out_cols.append(F.col("c.n_tokens").cast("int").alias("n_tokens"))
+    return src.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(*out_cols)
 
 
 # Redaction patterns: email, long digit runs (phone/ids), IPv4.

@@ -1132,7 +1132,9 @@ def _oracle_fingerprint() -> str:
 # --------------------------------------------------------------- dedup
 
 
-def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+def q_ngram_jaccard(
+    spark: SparkSession, sf: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """[EXT] n-gram Jaccard near-dup detection with inverted-index
     blocking (operators/dedup_fuzzy.py:ngram_jaccard_pairs) at a low
     threshold so the synthetic corpus yields pairs to check.
@@ -1148,15 +1150,25 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from harness_aws_etl_pipeline_spark.operators.textops import chunk_documents
 
     docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2)
     jac = pairs.agg(
         F.count(F.lit(1)).alias("pair_cnt"),
         F.coalesce(F.round(F.sum("jaccard"), 4), F.lit(0.0)).alias("jaccard_sum"),
     )
-    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    # with_text=False: this panel only aggregates chunk accounting —
+    # skip materializing every chunk's string (guide §2.3: project
+    # before the opaque expression; values unchanged)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8, with_text=False)
+    # docs_chunked was countDistinct(doc_id) — an extra distinct
+    # shuffle. Every chunked doc emits exactly one chunk_idx=0 row
+    # (chunk indices start at 0 per doc), so counting those rows is the
+    # same number in one pass (guide §2.4; value unchanged).
     chunk_agg = chunks.agg(
         F.count(F.lit(1)).alias("chunk_cnt"),
-        F.countDistinct("doc_id").alias("docs_chunked"),
+        F.coalesce(
+            F.sum((F.col("chunk_idx") == 0).cast("long")), F.lit(0)
+        ).cast("long").alias("docs_chunked"),
         F.sum("n_tokens").cast("long").alias("token_total"),
         F.max("chunk_idx").cast("int").alias("max_chunk_idx"),
     )
@@ -1533,7 +1545,9 @@ _TRI_EDGES = (
 _TRI_ROW: tuple | None = None
 
 
-def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+def q_near_dup_clusters(
+    spark: SparkSession, sf: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """[EXT] graph-algorithm panel: near-dup clustering + canonical
     dedup (Jaccard pairs → connected components → one survivor per
     cluster; oracle recomputes the pairs in SQL and resolves
@@ -1547,7 +1561,6 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     rounds with integer L1 renormalization: full-vector md5 + top hub
     + top authority)."""
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
-        deduplicate_near,
         near_dup_clusters,
     )
     from harness_aws_etl_pipeline_spark.operators.linkgraph import pagerank
@@ -1555,13 +1568,31 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     # read by clustering, dedup, and the summary legs — memoized so
     # repeated verification runs reuse one bounded entry instead of
-    # accreting CacheManager entries (operators/memo.py)
-    pairs = _PAIRS_MEMO.get_or_persist(ngram_jaccard_pairs(docs, n=5, threshold=0.2))
+    # accreting CacheManager entries (operators/memo.py); the fused
+    # panel passes its shared ``pairs`` in so the subtree is built and
+    # executed once per call, not once per panel
+    if pairs is None:
+        pairs = _PAIRS_MEMO.get_or_persist(
+            ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+        )
     clusters = near_dup_clusters(pairs)
-    survivors = deduplicate_near(docs, pairs, clusters=clusters)
+    # r13 shuffle elimination (guide §2.4): cluster_cnt was a
+    # countDistinct (extra shuffle) and survivor_cnt an anti-join of
+    # the full corpus against the losers (join + wide doc scan). Both
+    # are exact algebra over the SAME cluster labels: every component
+    # is labeled by its min member, which labels itself, so
+    #   cluster_cnt   == Σ(doc_id = cluster_id)        (one-pass agg)
+    #   survivor_cnt  == total_docs − losers
+    #                 == total_docs − (clustered_docs − cluster_cnt)
+    # — the identical arithmetic the DuckDB oracle has always used for
+    # survivor_cnt. deduplicate_near (the materializing operator) stays
+    # exercised by tests and the bench drift leg; values are unchanged.
     summary = clusters.agg(
         F.count(F.lit(1)).alias("clustered_docs"),
-        F.countDistinct("cluster_id").alias("cluster_cnt"),
+        F.coalesce(
+            F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("cluster_cnt"),
     )
     global _PR_ROW
     if _PR_ROW is None:
@@ -1658,10 +1689,18 @@ def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         ).first()
         _TRI_ROW = (trow["tri_md5"], trow["tri_total"])
     tri_agg = spark.createDataFrame([_TRI_ROW], "tri_md5 string, tri_total long")
+    total = docs.agg(F.count(F.lit(1)).alias("__docs_total"))
     return (
-        summary.crossJoin(F.broadcast(
-            survivors.agg(F.count(F.lit(1)).alias("survivor_cnt"))
-        ))
+        summary.crossJoin(F.broadcast(total))
+        .select(
+            "clustered_docs",
+            "cluster_cnt",
+            (
+                F.col("__docs_total")
+                - F.col("clustered_docs")
+                + F.col("cluster_cnt")
+            ).alias("survivor_cnt"),
+        )
         .crossJoin(F.broadcast(pr_agg))
         .crossJoin(F.broadcast(hits_agg))
         .crossJoin(F.broadcast(tri_agg))
@@ -4271,11 +4310,21 @@ def q_asof_fuzzy_fused(spark, sf):
 def q_near_dup_fused(spark, sf):
     """near_dup_clusters + ngram_jaccard panels fused (round 10,
     window slot reclamation; both headline — the fused entry keeps the
-    headline flag so the bench sum is unchanged)."""
+    headline flag so the bench sum is unchanged).
+
+    r13: the two panels derive from the SAME ``ngram_jaccard_pairs``
+    subtree (same args) — build it once and pass it to both, so one
+    call constructs and executes the candidate self-join once instead
+    of once per panel (common-subexpression elimination inside a single
+    query; the computed values are unchanged)."""
     from pyspark.sql import functions as F
 
-    return q_near_dup_clusters(spark, sf).crossJoin(
-        F.broadcast(q_ngram_jaccard(spark, sf))
+    docs = _t(spark, sf, "documents")
+    pairs = _PAIRS_MEMO.get_or_persist(
+        ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+    )
+    return q_near_dup_clusters(spark, sf, pairs=pairs).crossJoin(
+        F.broadcast(q_ngram_jaccard(spark, sf, pairs=pairs))
     )
 
 
