@@ -25,7 +25,7 @@ runs and executors, no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.functions.text import shingles, tokens
@@ -166,10 +166,16 @@ def ngram_jaccard_pairs(
         sets.select("doc_id", "set_size", F.explode("shingles").alias("shingle"))
     )
 
-    bucket_sizes = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("bucket_n"))
-    posting = posting.join(
-        bucket_sizes.filter(F.col("bucket_n") <= max_bucket_size).select("shingle"),
-        "shingle",
+    # frequent-shingle cutoff as a window count over the posting list —
+    # one pass, partitioned by the same shingle key the self-join below
+    # shuffles on, instead of a groupBy + re-join that walks the
+    # posting list twice (guide §2.4; row retention identical)
+    posting = (
+        posting.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("bucket_n") <= max_bucket_size)
+        .drop("bucket_n")
     )
 
     a = posting.select(
@@ -356,12 +362,18 @@ def minhash_lsh_candidates(
         F.explode(_band_array_expr(bands, rows_per_band)).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    sizes = exploded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
-    exploded = exploded.join(
-        sizes.filter(
-            (F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket_size)
-        ).select("band", "bucket"),
-        ["band", "bucket"],
+    # Bucket-occupancy gate as a WINDOW count instead of a groupBy +
+    # re-join (guide §2.4): the former shape computed the banding
+    # explode twice (once for sizes, once for the probe side) and paid
+    # a join; the window computes it once, shuffled by the SAME
+    # (band, bucket) key the self-join below needs, so the exchange is
+    # shared. Row retention is identical: a row survives iff its
+    # bucket holds 2..max_bucket_size members.
+    w = Window.partitionBy("band", "bucket")
+    exploded = (
+        exploded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket_size))
+        .drop("bucket_n")
     )
 
     a = exploded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
@@ -440,11 +452,17 @@ def cap_buckets(b: DataFrame, max_bucket_size: int) -> DataFrame:
     """Drop rows in degenerate buckets (> max occupancy). No n > 1
     floor — in a CROSS-corpus join a singleton bucket still pairs
     with the other side's occupants (the self-join candidate path
-    applies its own floor separately)."""
-    sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    return b.join(
-        sizes.filter(F.col("n") <= max_bucket_size).select("band", "bucket"),
-        ["band", "bucket"],
+    applies its own floor separately).
+
+    Window count, not groupBy + re-join: one pass over the bucket
+    rows, shuffled by the same (band, bucket) key the downstream
+    bucket join uses (guide §2.4; row retention identical)."""
+    return (
+        b.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
     )
 
 
