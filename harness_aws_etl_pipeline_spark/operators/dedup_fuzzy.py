@@ -559,6 +559,59 @@ def minhash_join(
     )
 
 
+def _driver_union_find(probe):
+    """Union-find over collected (doc_a, doc_b) rows: returns the
+    ``parent`` map plus a path-compressing ``find``. Roots are always
+    the component MINIMUM (the larger root attaches under the
+    smaller), matching the distributed min-label fixpoint exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in probe:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller → the final
+            # root IS the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return parent, find
+
+
+def near_dup_cluster_stats(
+    pairs: DataFrame, driver_threshold: int = 1_000_000
+) -> tuple[int, int] | None:
+    """(clustered_docs, cluster_cnt) for the near-dup pair graph via
+    the driver union-find, or ``None`` when the graph exceeds
+    ``driver_threshold`` edges (caller falls back to
+    :func:`near_dup_clusters` + a distributed aggregation).
+
+    Exact algebra, not an approximation: ``clustered_docs`` is the
+    number of distinct nodes in the pair graph and ``cluster_cnt`` the
+    number of union-find roots — identical to
+    ``near_dup_clusters(pairs).agg(count(*), Σ(doc_id = cluster_id))``
+    because every component is labeled by its min member, which is the
+    one self-labeled root (pinned by tests). Summary consumers skip
+    the N-row createDataFrame round-trip plus its aggregation job and
+    pay exactly one Spark job (the same size-gating limit-collect)."""
+    probe = pairs.select("doc_a", "doc_b").limit(driver_threshold + 1).collect()
+    if len(probe) > driver_threshold:
+        return None
+    parent, find = _driver_union_find(probe)
+    roots = sum(1 for node in parent if find(node) == node)
+    return len(parent), roots
+
+
 def near_dup_clusters(
     pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
 ) -> DataFrame:
@@ -594,27 +647,7 @@ def near_dup_clusters(
     probe = pairs.select("doc_a", "doc_b").limit(driver_threshold + 1).collect()
     if len(probe) <= driver_threshold:
         id_type = pairs.schema["doc_a"].dataType.simpleString()
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in probe:
-            a, b = r[0], r[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # attach the larger root under the smaller → the final
-                # root IS the component minimum
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
+        parent, find = _driver_union_find(probe)
         rows = [(node, find(node)) for node in parent]
         return pairs.sparkSession.createDataFrame(
             rows, f"doc_id {id_type}, cluster_id {id_type}"

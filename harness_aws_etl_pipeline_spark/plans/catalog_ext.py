@@ -1561,6 +1561,7 @@ def q_near_dup_clusters(
     rounds with integer L1 renormalization: full-vector md5 + top hub
     + top authority)."""
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        near_dup_cluster_stats,
         near_dup_clusters,
     )
     from harness_aws_etl_pipeline_spark.operators.linkgraph import pagerank
@@ -1575,7 +1576,6 @@ def q_near_dup_clusters(
         pairs = _PAIRS_MEMO.get_or_persist(
             ngram_jaccard_pairs(docs, n=5, threshold=0.2)
         )
-    clusters = near_dup_clusters(pairs)
     # r13 shuffle elimination (guide §2.4): cluster_cnt was a
     # countDistinct (extra shuffle) and survivor_cnt an anti-join of
     # the full corpus against the losers (join + wide doc scan). Both
@@ -1585,15 +1585,29 @@ def q_near_dup_clusters(
     #   survivor_cnt  == total_docs − losers
     #                 == total_docs − (clustered_docs − cluster_cnt)
     # — the identical arithmetic the DuckDB oracle has always used for
-    # survivor_cnt. deduplicate_near (the materializing operator) stays
-    # exercised by tests and the bench drift leg; values are unchanged.
-    summary = clusters.agg(
-        F.count(F.lit(1)).alias("clustered_docs"),
-        F.coalesce(
-            F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")),
-            F.lit(0),
-        ).cast("long").alias("cluster_cnt"),
-    )
+    # survivor_cnt. And when the pair graph fits the driver gate the
+    # clustering already collects every edge (union-find), so the two
+    # counts come straight off the union-find structure
+    # (near_dup_cluster_stats) instead of round-tripping N label rows
+    # through createDataFrame + an aggregation job (guide §1.2/§5:
+    # don't re-distribute data the driver already holds). Over the
+    # gate, the distributed labels + aggregation run as before.
+    # deduplicate_near (the materializing operator) stays exercised by
+    # tests and the bench drift leg; values are unchanged either way.
+    stats = near_dup_cluster_stats(pairs)
+    if stats is not None:
+        summary = spark.createDataFrame(
+            [stats], "clustered_docs long, cluster_cnt long"
+        )
+    else:
+        clusters = near_dup_clusters(pairs)
+        summary = clusters.agg(
+            F.count(F.lit(1)).alias("clustered_docs"),
+            F.coalesce(
+                F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("cluster_cnt"),
+        )
     global _PR_ROW
     if _PR_ROW is None:
         # lazy mode: the 3 iterations compile into ONE nested plan (no

@@ -221,6 +221,40 @@ class TestNearDupClusters:
         }
         assert labels == {f"doc{i:02d}": "doc00" for i in range(10)}
 
+    def test_cluster_stats_match_operator_aggregation(self, spark):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            near_dup_cluster_stats,
+            near_dup_clusters,
+        )
+
+        # two components + a pair + self-contained singleton edges;
+        # r13: the panel's summary comes from near_dup_cluster_stats
+        # (driver union-find counts) — pin it against the operator's
+        # label-frame aggregation on both sides of the driver gate
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9), (11, 12), (3, 1)],
+            "doc_a long, doc_b long",
+        )
+        row = (
+            near_dup_clusters(pairs)
+            .agg(
+                F.count(F.lit(1)).alias("clustered_docs"),
+                F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")).alias(
+                    "cluster_cnt"
+                ),
+            )
+            .first()
+        )
+        expected = (row["clustered_docs"], row["cluster_cnt"])
+        assert near_dup_cluster_stats(pairs) == expected == (7, 3)
+        # over the gate: callers must fall back to the operator path
+        assert near_dup_cluster_stats(pairs, driver_threshold=0) is None
+        # empty pair graph: zero clusters, zero clustered docs
+        empty = pairs.filter(F.lit(False))
+        assert near_dup_cluster_stats(empty) == (0, 0)
+
     def test_warns_when_not_converged(self, spark):
         import warnings
 
