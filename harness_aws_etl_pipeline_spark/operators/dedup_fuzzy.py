@@ -288,22 +288,29 @@ def minhash_signatures(
     def _sig_md5(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hashlib import md5
 
+        # component i = min over shingles of the 16-hex prefix of
+        # md5(f"{i}|{shingle}") — computed here as the min over the raw
+        # 8-byte digest prefixes (hex is monotonic for equal-length
+        # strings) with the "{i}|" prefixes pre-encoded and each shingle
+        # encoded once, not num_hashes times; one hex conversion per
+        # component instead of one per (component, shingle)
+        prefixes = [b"%d|" % i for i in range(num_hashes)]
         for pdf in batches:
             out_ids, out_sig = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.split() if text else []
                 if len(toks) < n:
                     continue
-                shingle_set = {
-                    " ".join(toks[i : i + n])
-                    for i in range(len(toks) - n + 1)
-                }
+                enc = [
+                    s.encode()
+                    for s in {
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    }
+                ]
                 sig = [
-                    min(
-                        md5(f"{i}|{s}".encode()).hexdigest()[:16]
-                        for s in shingle_set
-                    )
-                    for i in range(num_hashes)
+                    min(md5(pre + sb).digest()[:8] for sb in enc).hex()
+                    for pre in prefixes
                 ]
                 out_ids.append(doc_id)
                 out_sig.append(sig)
@@ -907,6 +914,18 @@ def simhash_md5(
     def _sketch(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
         from hashlib import md5
 
+        import numpy as np
+
+        # bit (bits-1-i) of int(hexdigest[:bits//4], 16) IS bit i of the
+        # digest read MSB-first, so the per-token vote vector is one
+        # np.unpackbits of the digest prefix — the bits-wide Python
+        # vote loop per token collapses to one vectorized column sum
+        # per doc (votes = 2·ones − n_tokens). Token digests repeat
+        # heavily across docs (shared vocabulary): cache the 8-byte
+        # digest per distinct token, capped so task memory stays
+        # bounded on huge vocabularies.
+        nb = (bits + 7) // 8
+        cache: dict[str, bytes] = {}
         for pdf in batches:
             out = []
             for text in pdf["text"]:
@@ -914,11 +933,18 @@ def simhash_md5(
                 if not toks:
                     out.append("0" * bits)
                     continue
-                votes = [0] * bits
+                parts = []
                 for t in toks:
-                    v = int(md5(t.encode()).hexdigest()[: bits // 4], 16)
-                    for i in range(bits):
-                        votes[i] += 1 if (v >> (bits - 1 - i)) & 1 else -1
+                    d = cache.get(t)
+                    if d is None:
+                        d = md5(t.encode()).digest()[:nb]
+                        if len(cache) < (1 << 20):
+                            cache[t] = d
+                    parts.append(d)
+                m = np.unpackbits(
+                    np.frombuffer(b"".join(parts), dtype=np.uint8)
+                ).reshape(-1, nb * 8)[:, :bits]
+                votes = 2 * m.sum(axis=0, dtype=np.int64) - len(parts)
                 out.append("".join("1" if s > 0 else "0" for s in votes))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sketch": out})
 
