@@ -338,6 +338,38 @@ class TestOraclePathEquivalence:
         assert pairs[(1, 4)] == 0
         assert (1, 3) not in pairs
 
+    def test_simhash_md5_sketch_matches_hashlib_reference(self, spark):
+        # the sketch must equal a direct hashlib recomputation of the
+        # documented definition (bit i of a token's vote = bit 63-i of
+        # int(md5(token).hexdigest()[:16], 16), majority vote, ties to
+        # '0') — pins the r13 unpackbits/digest-cache rewrite to the
+        # original per-bit formulation, including tie positions (any
+        # two distinct tokens disagree somewhere, voting 0 there)
+        from hashlib import md5
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            simhash_md5,
+        )
+
+        # doc 4 has exactly two distinct tokens: every bit where their
+        # digests disagree votes 0, so the tie→'0' rule is exercised
+        texts = {1: "alpha beta gamma", 2: "alpha alpha", 3: "x y z w v", 4: "p q"}
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r["sketch"] for r in simhash_md5(df).collect()}
+        saw_tie = False
+        for doc_id, text in texts.items():
+            votes = [0] * 64
+            for t in set(text.split()):
+                v = int(md5(t.encode()).hexdigest()[:16], 16)
+                for i in range(64):
+                    votes[i] += 1 if (v >> (63 - i)) & 1 else -1
+            want = "".join("1" if s > 0 else "0" for s in votes)
+            assert rows[doc_id] == want
+            saw_tie = saw_tie or 0 in votes
+        assert saw_tie
+
     def test_simhash_md5_empty_doc_sketch(self, spark):
         from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import simhash_md5
 
