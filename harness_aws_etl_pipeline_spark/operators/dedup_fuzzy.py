@@ -619,6 +619,47 @@ def near_dup_cluster_stats(
     return len(parent), roots
 
 
+def near_dup_panel_stats(
+    pairs: DataFrame, driver_threshold: int = 1_000_000
+) -> tuple[int, int, int, float] | None:
+    """(clustered_docs, cluster_cnt, pair_cnt, jaccard_sum) for the
+    near-dup pair graph in ONE gating limit-collect, or ``None`` when
+    the graph exceeds ``driver_threshold`` edges (caller falls back to
+    the distributed aggregations).
+
+    Superset of :func:`near_dup_cluster_stats` for panel consumers
+    that also need the pair-level rollup: when the gate already pulls
+    every edge to the driver for the union-find, the pair count and
+    Jaccard sum are free — charging a second Spark aggregation job for
+    them re-reads data the driver is already holding.
+
+    ``jaccard_sum`` reproduces ``round(sum(jaccard), 4)`` exactly:
+    ``math.fsum`` is the correctly-rounded double sum (order
+    independent, at most 1 ulp from Spark's partition-ordered sum —
+    equality on the fixed corpora is pinned by test) and the HALF_UP
+    quantize matches Spark's ``Round`` (``BigDecimal.valueOf(d)``,
+    i.e. shortest-repr decimal, ``setScale(4, HALF_UP)``).
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    probe = (
+        pairs.select("doc_a", "doc_b", "jaccard")
+        .limit(driver_threshold + 1)
+        .collect()
+    )
+    if len(probe) > driver_threshold:
+        return None
+    parent, find = _driver_union_find(probe)
+    roots = sum(1 for node in parent if find(node) == node)
+    jac_sum = float(
+        Decimal(repr(math.fsum(r[2] for r in probe))).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+    return len(parent), roots, len(probe), jac_sum
+
+
 def near_dup_clusters(
     pairs: DataFrame, max_iter: int = 20, driver_threshold: int = 1_000_000
 ) -> DataFrame:

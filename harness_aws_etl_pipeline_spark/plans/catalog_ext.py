@@ -1133,7 +1133,10 @@ def _oracle_fingerprint() -> str:
 
 
 def q_ngram_jaccard(
-    spark: SparkSession, sf: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf: str,
+    pairs: DataFrame | None = None,
+    stats: tuple[int, int, int, float] | None = None,
 ) -> DataFrame:
     """[EXT] n-gram Jaccard near-dup detection with inverted-index
     blocking (operators/dedup_fuzzy.py:ngram_jaccard_pairs) at a low
@@ -1152,7 +1155,13 @@ def q_ngram_jaccard(
     docs = _t(spark, sf, "documents")
     if pairs is None:
         pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2)
-    jac = pairs.agg(
+    # r13 round-2: when the caller's driver gate already collected the
+    # pair graph (stats from near_dup_panel_stats), pair_cnt and
+    # jaccard_sum are driver values — ride as literal columns instead
+    # of a second aggregation job over the same persisted pairs
+    # (guide §5: the driver already holds the data). Distributed agg
+    # unchanged when no stats were passed (standalone call / over-gate).
+    jac = None if stats is not None else pairs.agg(
         F.count(F.lit(1)).alias("pair_cnt"),
         F.coalesce(F.round(F.sum("jaccard"), 4), F.lit(0.0)).alias("jaccard_sum"),
     )
@@ -1172,6 +1181,15 @@ def q_ngram_jaccard(
         F.sum("n_tokens").cast("long").alias("token_total"),
         F.max("chunk_idx").cast("int").alias("max_chunk_idx"),
     )
+    if stats is not None:
+        return chunk_agg.select(
+            F.lit(stats[2]).cast("long").alias("pair_cnt"),
+            F.lit(float(stats[3])).alias("jaccard_sum"),
+            "chunk_cnt",
+            "docs_chunked",
+            "token_total",
+            "max_chunk_idx",
+        )
     return jac.crossJoin(F.broadcast(chunk_agg))
 
 
@@ -1546,7 +1564,10 @@ _TRI_ROW: tuple | None = None
 
 
 def q_near_dup_clusters(
-    spark: SparkSession, sf: str, pairs: DataFrame | None = None
+    spark: SparkSession,
+    sf: str,
+    pairs: DataFrame | None = None,
+    stats: tuple[int, int, int, float] | None = None,
 ) -> DataFrame:
     """[EXT] graph-algorithm panel: near-dup clustering + canonical
     dedup (Jaccard pairs → connected components → one survivor per
@@ -1561,8 +1582,8 @@ def q_near_dup_clusters(
     rounds with integer L1 renormalization: full-vector md5 + top hub
     + top authority)."""
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
-        near_dup_cluster_stats,
         near_dup_clusters,
+        near_dup_panel_stats,
     )
     from harness_aws_etl_pipeline_spark.operators.linkgraph import pagerank
 
@@ -1594,10 +1615,25 @@ def q_near_dup_clusters(
     # gate, the distributed labels + aggregation run as before.
     # deduplicate_near (the materializing operator) stays exercised by
     # tests and the bench drift leg; values are unchanged either way.
-    stats = near_dup_cluster_stats(pairs)
+    if stats is None:
+        stats = near_dup_panel_stats(pairs)
+    # r13 round-2: when the gate passed, the summary values are plain
+    # Python ints on the driver — attach them (and the memoized
+    # pr/hits/tri fixture rows below) as LITERAL columns instead of
+    # createDataFrame + crossJoin(broadcast(...)): every such crossJoin
+    # was a BroadcastExchange materialization job per call (guide §2.4
+    # remove shuffles outright / §5 the driver already holds the data).
+    total = docs.agg(F.count(F.lit(1)).alias("__docs_total"))
     if stats is not None:
-        summary = spark.createDataFrame(
-            [stats], "clustered_docs long, cluster_cnt long"
+        clustered_docs, cluster_cnt = stats[0], stats[1]
+        base = total.select(
+            F.lit(clustered_docs).cast("long").alias("clustered_docs"),
+            F.lit(cluster_cnt).cast("long").alias("cluster_cnt"),
+            (
+                F.col("__docs_total")
+                - F.lit(clustered_docs)
+                + F.lit(cluster_cnt)
+            ).cast("long").alias("survivor_cnt"),
         )
     else:
         clusters = near_dup_clusters(pairs)
@@ -1607,6 +1643,15 @@ def q_near_dup_clusters(
                 F.sum((F.col("doc_id") == F.col("cluster_id")).cast("long")),
                 F.lit(0),
             ).cast("long").alias("cluster_cnt"),
+        )
+        base = summary.crossJoin(F.broadcast(total)).select(
+            "clustered_docs",
+            "cluster_cnt",
+            (
+                F.col("__docs_total")
+                - F.col("clustered_docs")
+                + F.col("cluster_cnt")
+            ).alias("survivor_cnt"),
         )
     global _PR_ROW
     if _PR_ROW is None:
@@ -1637,9 +1682,6 @@ def q_near_dup_clusters(
             F.max(F.struct("rank_scaled", "node"))["node"].alias("pr_top_node"),
         ).first()
         _PR_ROW = (row["pr_rank_md5"], row["pr_mass"], row["pr_top_node"])
-    pr_agg = spark.createDataFrame(
-        [_PR_ROW], "pr_rank_md5 string, pr_mass long, pr_top_node string"
-    )
     global _HITS_ROW
     if _HITS_ROW is None:
         from harness_aws_etl_pipeline_spark.operators.linkgraph import hits
@@ -1671,9 +1713,6 @@ def q_near_dup_clusters(
             F.max(F.struct("auth_scaled", "node"))["node"].alias("hits_top_auth"),
         ).first()
         _HITS_ROW = (hrow["hits_md5"], hrow["hits_top_hub"], hrow["hits_top_auth"])
-    hits_agg = spark.createDataFrame(
-        [_HITS_ROW], "hits_md5 string, hits_top_hub string, hits_top_auth string"
-    )
     global _TRI_ROW
     if _TRI_ROW is None:
         from harness_aws_etl_pipeline_spark.operators.linkgraph import (
@@ -1702,22 +1741,21 @@ def q_near_dup_clusters(
             (F.sum("tri_cnt") / 3).cast("long").alias("tri_total"),
         ).first()
         _TRI_ROW = (trow["tri_md5"], trow["tri_total"])
-    tri_agg = spark.createDataFrame([_TRI_ROW], "tri_md5 string, tri_total long")
-    total = docs.agg(F.count(F.lit(1)).alias("__docs_total"))
-    return (
-        summary.crossJoin(F.broadcast(total))
-        .select(
-            "clustered_docs",
-            "cluster_cnt",
-            (
-                F.col("__docs_total")
-                - F.col("clustered_docs")
-                + F.col("cluster_cnt")
-            ).alias("survivor_cnt"),
-        )
-        .crossJoin(F.broadcast(pr_agg))
-        .crossJoin(F.broadcast(hits_agg))
-        .crossJoin(F.broadcast(tri_agg))
+    # the fixture rows are plain Python values once computed — ride as
+    # literal columns (zero joins, zero broadcast jobs), same schema as
+    # the former createDataFrame + crossJoin(broadcast(...)) chain
+    return base.select(
+        "clustered_docs",
+        "cluster_cnt",
+        "survivor_cnt",
+        F.lit(_PR_ROW[0]).alias("pr_rank_md5"),
+        F.lit(_PR_ROW[1]).cast("long").alias("pr_mass"),
+        F.lit(_PR_ROW[2]).alias("pr_top_node"),
+        F.lit(_HITS_ROW[0]).alias("hits_md5"),
+        F.lit(_HITS_ROW[1]).alias("hits_top_hub"),
+        F.lit(_HITS_ROW[2]).alias("hits_top_auth"),
+        F.lit(_TRI_ROW[0]).alias("tri_md5"),
+        F.lit(_TRI_ROW[1]).cast("long").alias("tri_total"),
     )
 
 
@@ -4330,15 +4368,25 @@ def q_near_dup_fused(spark, sf):
     subtree (same args) — build it once and pass it to both, so one
     call constructs and executes the candidate self-join once instead
     of once per panel (common-subexpression elimination inside a single
-    query; the computed values are unchanged)."""
+    query; the computed values are unchanged).
+
+    r13 round-2: ONE gating limit-collect (near_dup_panel_stats) now
+    serves both panels — union-find summary AND the pair-count /
+    Jaccard-sum rollup — so a call below the driver gate pays a single
+    Spark job for everything pair-derived."""
     from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        near_dup_panel_stats,
+    )
 
     docs = _t(spark, sf, "documents")
     pairs = _PAIRS_MEMO.get_or_persist(
         ngram_jaccard_pairs(docs, n=5, threshold=0.2)
     )
-    return q_near_dup_clusters(spark, sf, pairs=pairs).crossJoin(
-        F.broadcast(q_ngram_jaccard(spark, sf, pairs=pairs))
+    stats = near_dup_panel_stats(pairs)
+    return q_near_dup_clusters(spark, sf, pairs=pairs, stats=stats).crossJoin(
+        F.broadcast(q_ngram_jaccard(spark, sf, pairs=pairs, stats=stats))
     )
 
 

@@ -255,6 +255,44 @@ class TestNearDupClusters:
         empty = pairs.filter(F.lit(False))
         assert near_dup_cluster_stats(empty) == (0, 0)
 
+    def test_panel_stats_match_distributed_aggregations(self, spark):
+        from pyspark.sql import functions as F
+
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            near_dup_cluster_stats,
+            near_dup_panel_stats,
+        )
+
+        # r13 round-2: the fused panel's pair_cnt/jaccard_sum come off
+        # the SAME gating collect as the union-find summary — pin all
+        # four values against the distributed aggregations they
+        # replace, including the exact round(sum(jaccard), 4) double
+        pairs = spark.createDataFrame(
+            [
+                (1, 2, 0.333333),
+                (2, 3, 0.217391),
+                (7, 9, 0.874126),
+                (11, 12, 0.200005),
+                (3, 1, 0.299999),
+            ],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("pair_cnt"),
+            F.coalesce(F.round(F.sum("jaccard"), 4), F.lit(0.0)).alias(
+                "jaccard_sum"
+            ),
+        ).first()
+        st = near_dup_panel_stats(pairs)
+        assert st[:2] == near_dup_cluster_stats(pairs) == (7, 3)
+        assert st[2] == row["pair_cnt"] == 5
+        assert st[3] == row["jaccard_sum"]  # exact double equality
+        # over the gate: callers must fall back to the distributed aggs
+        assert near_dup_panel_stats(pairs, driver_threshold=0) is None
+        # empty pair graph: the coalesce(0.0) twin
+        empty = pairs.filter(F.lit(False))
+        assert near_dup_panel_stats(empty) == (0, 0, 0, 0.0)
+
     def test_warns_when_not_converged(self, spark):
         import warnings
 
