@@ -166,31 +166,42 @@ def ngram_jaccard_pairs(
         sets.select("doc_id", "set_size", F.explode("shingles").alias("shingle"))
     )
 
-    # frequent-shingle cutoff as a window count over the posting list —
-    # one pass, partitioned by the same shingle key the self-join below
-    # shuffles on, instead of a groupBy + re-join that walks the
-    # posting list twice (guide §2.4; row retention identical)
-    posting = (
-        posting.withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    # r13 round-2 (guide §2.4, remove shuffles outright): frequent-
+    # shingle cutoff + inverted-index lookup in ONE groupBy(shingle)
+    # instead of a window gate followed by a self-join — the join's
+    # two sides were separate full shuffles of the posting list even
+    # though their subtrees are identical. Each surviving posting
+    # group generates its i<j member pairs in place; the sorted member
+    # array yields exactly the doc_a < doc_b pairs the join's filter
+    # kept, and a singleton group generates nothing (the old shape
+    # kept singletons through the gate and dropped them in the join).
+    # Degenerate-shingle memory is the same cap-bounded profile as the
+    # window gate (both buffer the group's rows in one task).
+    groups = (
+        posting.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "set_size"))
+            ).alias("members")
         )
-        .filter(F.col("bucket_n") <= max_bucket_size)
-        .drop("bucket_n")
-    )
-
-    a = posting.select(
-        F.col("shingle"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("set_size").alias("size_a"),
-    )
-    b = posting.select(
-        F.col("shingle"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("set_size").alias("size_b"),
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
     )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        groups.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> named_struct('a', x, 'b', y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.set_size").alias("size_a"),
+            F.col("p.b.set_size").alias("size_b"),
+        )
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
@@ -369,26 +380,36 @@ def minhash_lsh_candidates(
         F.explode(_band_array_expr(bands, rows_per_band)).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # Bucket-occupancy gate as a WINDOW count instead of a groupBy +
-    # re-join (guide §2.4): the former shape computed the banding
-    # explode twice (once for sizes, once for the probe side) and paid
-    # a join; the window computes it once, shuffled by the SAME
-    # (band, bucket) key the self-join below needs, so the exchange is
-    # shared. Row retention is identical: a row survives iff its
-    # bucket holds 2..max_bucket_size members.
-    w = Window.partitionBy("band", "bucket")
-    exploded = (
-        exploded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-        .filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket_size))
-        .drop("bucket_n")
+    # r13 round-2 (guide §2.4, remove shuffles outright): the former
+    # shape gated occupancy with a window count and then SELF-JOINED
+    # the gated rows on (band, bucket) — physically two full shuffles
+    # of the band rows plus a broadcast, because the join's two sides
+    # are separate exchanges even over identical subtrees. One
+    # groupBy(band, bucket) collects each bucket's members and
+    # generates the i<j pairs in place: ONE shuffle of the same
+    # 16-byte key, no join. Identical pair set — a bucket survives iff
+    # it holds 2..max_bucket_size members (same gate), and the sorted
+    # member array yields exactly the doc_a < doc_b pairs the join's
+    # filter kept. Degenerate-bucket memory is the same cap-bounded
+    # profile as before (a window partition buffers the same rows the
+    # collect_list holds); C(cap, 2) pair structs per bucket is the
+    # explicit worst case the cap exists to bound.
+    buckets = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
-
-    a = exploded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = exploded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
