@@ -168,33 +168,17 @@ def ngram_jaccard_pairs(
 
     # r13 round-2 (guide §2.4, remove shuffles outright): frequent-
     # shingle cutoff + inverted-index lookup in ONE groupBy(shingle)
-    # instead of a window gate followed by a self-join — the join's
-    # two sides were separate full shuffles of the posting list even
-    # though their subtrees are identical. Each surviving posting
-    # group generates its i<j member pairs in place; the sorted member
-    # array yields exactly the doc_a < doc_b pairs the join's filter
-    # kept, and a singleton group generates nothing (the old shape
-    # kept singletons through the gate and dropped them in the join).
-    # Degenerate-shingle memory is the same cap-bounded profile as the
-    # window gate (both buffer the group's rows in one task).
-    groups = (
-        posting.groupBy("shingle")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "set_size"))
-            ).alias("members")
-        )
-        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket_size))
-    )
+    # via _bucket_pairs instead of a window gate followed by a
+    # self-join that shuffled the posting list twice. The old shape
+    # kept singleton shingles through the gate and dropped them in the
+    # join; _bucket_pairs drops them at the gate — same pair set.
     pairs = (
-        groups.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), "
-                    "y -> named_struct('a', x, 'b', y))))"
-                )
-            ).alias("p")
+        _bucket_pairs(
+            posting,
+            "doc_id",
+            "set_size",
+            key_cols=("shingle",),
+            max_bucket_size=max_bucket_size,
         )
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
@@ -339,6 +323,48 @@ def minhash_signatures(
     return src.mapInPandas(_sig, f"doc_id {id_type}, signature array<long>")
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    id_col: str,
+    *payload_cols: str,
+    key_cols: tuple[str, ...] = ("band", "key"),
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All i<j member pairs within each bucket of ``banded``, in ONE
+    groupBy over the bucket key (r13 round-2, guide §2.4).
+
+    Returns rows with a single struct column ``p`` whose ``a``/``b``
+    fields are member structs of ``(id_col, *payload_cols)`` with
+    ``a.id < b.id`` — the sorted member array yields exactly the pairs
+    the former bucket-key SELF-JOIN + ``doc_a < doc_b`` filter
+    produced, for one shuffle instead of two (the join's two sides
+    plan as separate exchanges even over identical subtrees).
+    Singleton buckets generate nothing (the join dropped them too);
+    ``max_bucket_size`` keeps the occupancy gate where the caller had
+    one. Degenerate-bucket memory is the same profile as the join's
+    buffered match group; C(cap, 2) pair structs per bucket is the
+    explicit worst case the cap exists to bound."""
+    members = banded.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(id_col, *payload_cols))
+        ).alias("members")
+    )
+    keep = F.size("members") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("members") <= max_bucket_size)
+    # key columns ride along (pruned when the caller drops them)
+    return members.filter(keep).select(
+        *key_cols,
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                "transform(slice(members, i + 2, size(members) - i - 1), "
+                "y -> named_struct('a', x, 'b', y))))"
+            )
+        ).alias("p"),
+    )
+
+
 def _band_array_expr(bands: int, rows_per_band: int):
     """``array(struct(band, bucket), ...)`` banding expression built as
     ONE parsed SQL string instead of ``bands × rows_per_band`` nested
@@ -383,33 +409,20 @@ def minhash_lsh_candidates(
     # r13 round-2 (guide §2.4, remove shuffles outright): the former
     # shape gated occupancy with a window count and then SELF-JOINED
     # the gated rows on (band, bucket) — physically two full shuffles
-    # of the band rows plus a broadcast, because the join's two sides
-    # are separate exchanges even over identical subtrees. One
-    # groupBy(band, bucket) collects each bucket's members and
-    # generates the i<j pairs in place: ONE shuffle of the same
-    # 16-byte key, no join. Identical pair set — a bucket survives iff
-    # it holds 2..max_bucket_size members (same gate), and the sorted
-    # member array yields exactly the doc_a < doc_b pairs the join's
-    # filter kept. Degenerate-bucket memory is the same cap-bounded
-    # profile as before (a window partition buffers the same rows the
-    # collect_list holds); C(cap, 2) pair structs per bucket is the
-    # explicit worst case the cap exists to bound.
-    buckets = (
-        exploded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
-    )
+    # of the band rows plus a broadcast. _bucket_pairs generates the
+    # i<j pairs inside ONE groupBy over the same 16-byte key; the
+    # occupancy gate (2..max_bucket_size members) is unchanged.
     return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
-                )
-            ).alias("p")
+        _bucket_pairs(
+            exploded,
+            "doc_id",
+            key_cols=("band", "bucket"),
+            max_bucket_size=max_bucket_size,
         )
-        .select("p.doc_a", "p.doc_b")
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -1055,8 +1068,11 @@ def simhash_near_pairs_str(
         ).alias("bb"),
     ).select("doc_id", "sketch", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
 
-    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("sketch").alias("sk_a"))
-    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("sketch").alias("sk_b"))
+    # r13 round-2 (guide §2.4): pairs generated inside ONE
+    # groupBy(band, key) instead of a window-less self-join that
+    # shuffled the banded rows twice — same pair set (docs sharing a
+    # band key, doc_a < doc_b via the sorted member array; singleton
+    # groups generate nothing, exactly the rows the join produced)
     mismatches = F.aggregate(
         F.sequence(F.lit(1), F.lit(width)),
         F.lit(0),
@@ -1067,8 +1083,13 @@ def simhash_near_pairs_str(
         ).otherwise(F.lit(1)),
     )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(banded, "doc_id", "sketch")
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sketch").alias("sk_a"),
+            F.col("p.b.sketch").alias("sk_b"),
+        )
         .select("doc_a", "doc_b", mismatches.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -1169,12 +1190,19 @@ def simhash_near_pairs(
     sketches = _SKETCH_MEMO.get_or_persist(sketches)
     banded = simhash_banded(sketches, "doc_id", band_bits, "simhash")
 
-    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    # r13 round-2 (guide §2.4): pairs generated inside ONE
+    # groupBy(band, key) instead of a self-join shuffling the banded
+    # rows twice — same pair set (doc_a < doc_b via the sorted member
+    # array; singletons generate nothing, as in the join)
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        _bucket_pairs(banded, "doc_id", "simhash")
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

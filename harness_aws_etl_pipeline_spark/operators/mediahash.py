@@ -137,6 +137,7 @@ def media_near_dup_pairs(
     modality; the band join key is (modality, band, key) so sketches
     from different spaces can never pair."""
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        _bucket_pairs,
         _check_simhash_bands,
         simhash_banded,
     )
@@ -148,31 +149,34 @@ def media_near_dup_pairs(
     # modality rides the banding (extra_key_cols), so the bucket cap is
     # applied PER (modality, band, key): image and audio sketches that
     # collide on a 16-bit band key neither share a cap nor need a
-    # post-hoc join to recover modality
-    a = simhash_banded(
+    # post-hoc join to recover modality. r13 round-2 (guide §2.4):
+    # pairs generated inside ONE groupBy over that key via
+    # _bucket_pairs instead of a self-join that shuffled the banded
+    # rows twice; the per-(modality, band, key) cap moves onto the
+    # group-size gate — identical retention (capped buckets were
+    # dropped on both join sides; singletons paired nothing).
+    banded = simhash_banded(
         sketches.withColumnRenamed(id_col, "doc_id"),
-        "doc_a",
+        "doc_id",
         band_bits,
-        "sh_a",
-        max_bucket_size,
-        extra_key_cols=("modality",),
-    )
-    b = simhash_banded(
-        sketches.withColumnRenamed(id_col, "doc_id"),
-        "doc_b",
-        band_bits,
-        "sh_b",
-        max_bucket_size,
+        "simhash",
         extra_key_cols=("modality",),
     )
     return (
-        a.join(b, ["modality", "band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(
+            banded,
+            "doc_id",
+            "simhash",
+            key_cols=("modality", "band", "key"),
+            max_bucket_size=max_bucket_size,
+        )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             "modality",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

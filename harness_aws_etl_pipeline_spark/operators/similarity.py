@@ -631,23 +631,29 @@ def embedding_near_dup_pairs(
         )
     )
 
-    sizes = flat.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    flat_ok = flat.join(
-        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)).select(
-            "tbl", "bucket"
-        ),
-        ["tbl", "bucket"],
+    # r13 round-2 (guide §2.4): bucket-size gate + inverted-index
+    # lookup in ONE groupBy(tbl, bucket) via _bucket_pairs instead of
+    # a size profile + re-join + self-join (three shuffles of the flat
+    # bucket rows). Same pair set: buckets gated to 2..max members,
+    # id_a < id_b via the sorted member array.
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        _bucket_pairs,
     )
-    a = flat_ok.select(
-        "tbl", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
-    )
-    b = flat_ok.select(
-        "tbl", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
-    )
+
     return (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        _bucket_pairs(
+            flat,
+            "id",
+            "vec",
+            key_cols=("tbl", "bucket"),
+            max_bucket_size=max_bucket_size,
+        )
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.vec").alias("vec_a"),
+            F.col("p.b.vec").alias("vec_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(cosine_similarity("vec_a", "vec_b"), 6))
         .filter(F.col("cosine") >= threshold)
