@@ -181,6 +181,7 @@ def image_near_dup_pairs(
     they cannot be judged and must not congregate in a NULL bucket.
     """
     from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        _bucket_pairs,
         _check_simhash_bands,
         simhash_banded,
     )
@@ -191,15 +192,21 @@ def image_near_dup_pairs(
         .filter(F.col("simhash").isNotNull())
         .withColumnRenamed(id_col, "doc_id")
     )
-    a = simhash_banded(sketches, "doc_a", band_bits, "sh_a", max_bucket_size)
-    b = simhash_banded(sketches, "doc_b", band_bits, "sh_b", max_bucket_size)
+    # r13 round-2 (guide §2.4): pairs generated inside ONE
+    # groupBy(band, key) via _bucket_pairs instead of the banded
+    # self-join (two shuffles); the occupancy cap rides the group gate
+    # — identical retention
+    banded = simhash_banded(sketches, "doc_id", band_bits, "simhash")
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(
+            banded, "doc_id", "simhash", max_bucket_size=max_bucket_size
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
