@@ -353,7 +353,7 @@ def _bucket_pairs(
     if max_bucket_size is not None:
         keep = keep & (F.size("members") <= max_bucket_size)
     # key columns ride along (pruned when the caller drops them)
-    return members.filter(keep).select(
+    out = members.filter(keep).select(
         *key_cols,
         F.explode(
             F.expr(
@@ -362,6 +362,13 @@ def _bucket_pairs(
                 "y -> named_struct('a', x, 'b', y))))"
             )
         ).alias("p"),
+    )
+    # NULL-id members count toward bucket occupancy (they did in the
+    # self-join shape too) but never form a pair: the join's
+    # ``id_a < id_b`` filter was NULL-valued for them and dropped the
+    # row — reproduce that exactly
+    return out.filter(
+        F.col(f"p.a.{id_col}").isNotNull() & F.col(f"p.b.{id_col}").isNotNull()
     )
 
 

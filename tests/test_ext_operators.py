@@ -293,6 +293,57 @@ class TestNearDupClusters:
         empty = pairs.filter(F.lit(False))
         assert near_dup_panel_stats(empty) == (0, 0, 0, 0.0)
 
+    def test_bucket_pairs_null_ids_count_but_never_pair(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            _bucket_pairs,
+        )
+
+        # r13 round-2: _bucket_pairs replaced the bucket self-joins —
+        # pin the NULL-id corner the join shape defined implicitly:
+        # a NULL id occupies its bucket (cap/gate arithmetic) but
+        # every pair touching it evaporated at ``id_a < id_b``
+        banded = spark.createDataFrame(
+            [
+                # bucket (0, 1): null + one real member → no pairs
+                (None, 0, 1),
+                (10, 0, 1),
+                # bucket (0, 2): null + two real members → one pair
+                (None, 0, 2),
+                (20, 0, 2),
+                (21, 0, 2),
+                # bucket (0, 3): three members incl. null — under a
+                # cap of 2 the occupancy (3, nulls count) drops the
+                # whole bucket, exactly as the old cap did
+                (None, 0, 3),
+                (30, 0, 3),
+                (31, 0, 3),
+                # bucket (0, 4): two real members → survives cap 2
+                (40, 0, 4),
+                (41, 0, 4),
+            ],
+            "doc_id long, band int, key long",
+        )
+        pairs = {
+            (r["a"], r["b"])
+            for r in _bucket_pairs(banded, "doc_id")
+            .select(
+                F.col("p.a.doc_id").alias("a"), F.col("p.b.doc_id").alias("b")
+            )
+            .collect()
+        }
+        assert pairs == {(20, 21), (30, 31), (40, 41)}
+        capped = {
+            (r["a"], r["b"])
+            for r in _bucket_pairs(banded, "doc_id", max_bucket_size=2)
+            .select(
+                F.col("p.a.doc_id").alias("a"), F.col("p.b.doc_id").alias("b")
+            )
+            .collect()
+        }
+        # buckets (0,2)/(0,3) hold 3 members (nulls occupy) → capped
+        # out; (0,1)'s only pair touches the null id → never emitted
+        assert capped == {(40, 41)}
+
     def test_warns_when_not_converged(self, spark):
         import warnings
 
