@@ -1984,6 +1984,7 @@ def main() -> None:
         "bloom_join": bloom,
         "tpch_pack": tpch,
         "fuzzy_join": fuzzy,
+        "lattice": lat,
         "transitions": trans,
         "bfs": bfs,
         "sq": sq,
