@@ -110,6 +110,24 @@ class TestCatalogContract:
         flagship = entry_mod.entry(spark)
         assert flagship.columns == ["order_date", "line_cnt", "revenue"]
 
+    def test_near_dup_panel_fallback_matches_gate_path(self, spark, monkeypatch):
+        """r13 round-2: the fused near-dup panel's summary normally
+        comes off the driver gate (near_dup_panel_stats); over the
+        gate it falls back to the distributed clustering + jac
+        aggregations. Force the fallback and pin it value-equal to the
+        gate path — the branch no oracle run exercises (testdata pair
+        graphs always fit the gate)."""
+        gate_rows = [tuple(r) for r in CATALOG["near_dup_clusters"].builder(
+            spark, SF
+        ).collect()]
+        import harness_aws_etl_pipeline_spark.operators.dedup_fuzzy as dfz
+
+        monkeypatch.setattr(dfz, "near_dup_panel_stats", lambda *a, **k: None)
+        fb_rows = [tuple(r) for r in CATALOG["near_dup_clusters"].builder(
+            spark, SF
+        ).collect()]
+        assert fb_rows == gate_rows
+
     @pytest.mark.parametrize("name", EXECUTED)
     def test_oracle_match(self, spark, name):
         spec = CATALOG[name]
