@@ -40,8 +40,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from harness_aws_etl_pipeline_spark.operators.imagehash import _bits_to_long
+from harness_aws_etl_pipeline_spark.operators.memo import PlanMemo
 
 __all__ = ["afp64", "audio_hashes", "audio_near_dup_pairs"]
+
+# r14 (guide §6 read amortization): memoize the (tiny: id + 8-byte
+# sketch) hash rows so repeated panel calls skip the payload decode
+# entirely — the same pattern text SimHash already uses
+# (``dedup_fuzzy._SKETCH_MEMO``); the decode is by far the dominant
+# cost of this operator and was re-run on every invocation.
+_SKETCH_MEMO = PlanMemo()
 
 _FRAMES = 9
 _BANDS = 9
@@ -138,7 +146,7 @@ def audio_near_dup_pairs(
     )
 
     _check_simhash_bands(max_hamming, band_bits, strict_recall=True)
-    sketches = (
+    sketches = _SKETCH_MEMO.get_or_persist(
         audio_hashes(df, payload_col, id_col)
         .filter(F.col("simhash").isNotNull())
         .withColumnRenamed(id_col, "doc_id")

@@ -330,46 +330,82 @@ def _bucket_pairs(
     key_cols: tuple[str, ...] = ("band", "key"),
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """All i<j member pairs within each bucket of ``banded``, in ONE
-    groupBy over the bucket key (r13 round-2, guide §2.4).
+    """All i<j member pairs within each bucket of ``banded``, generated
+    inside ONE groupBy over the bucket key (r13 round-2, guide §2.4;
+    r14 memory hardening, guide §2.5/§5).
 
     Returns rows with a single struct column ``p`` whose ``a``/``b``
     fields are member structs of ``(id_col, *payload_cols)`` with
-    ``a.id < b.id`` — the sorted member array yields exactly the pairs
-    the former bucket-key SELF-JOIN + ``doc_a < doc_b`` filter
-    produced, for one shuffle instead of two (the join's two sides
-    plan as separate exchanges even over identical subtrees).
-    Singleton buckets generate nothing (the join dropped them too);
-    ``max_bucket_size`` keeps the occupancy gate where the caller had
-    one. Degenerate-bucket memory is the same profile as the join's
-    buffered match group; C(cap, 2) pair structs per bucket is the
-    explicit worst case the cap exists to bound."""
-    members = banded.groupBy(*key_cols).agg(
+    ``a.id < b.id`` — exactly the pairs the former bucket-key
+    SELF-JOIN + ``id_a < id_b`` filter produced, for one wide shuffle
+    instead of two. Singleton buckets generate nothing (the join
+    dropped them too); NULL ids occupy their bucket (cap arithmetic
+    unchanged) but never pair, and duplicate ids never self-pair —
+    ``a.id < b.id`` is the join's filter applied verbatim.
+
+    r14 (guide §2.5 skew / §5 memory): ``max_bucket_size`` is enforced
+    BEFORE the wide ``collect_list``, by a window count over the SAME
+    bucket key the aggregation groups on — the window rides the one
+    existing exchange (same partitioning, no extra shuffle or job),
+    its per-group buffer is disk-spillable
+    (``ExternalAppendOnlyUnsafeRowArray``), and the ``<= cap`` filter
+    drops every row of an over-cap bucket before the aggregation, so
+    no ``collect_list`` buffer ever materializes more than ``cap``
+    member structs. The r13 shape filtered on ``size(members)`` AFTER
+    ``collect_list`` had buffered the whole bucket in one in-memory
+    aggregation buffer — an executor OOM at 100 TB on a degenerate key
+    (constant sketch, stopword-like shingle); now a degenerate key
+    costs one spilling sort partition and is discarded. (The
+    alternative — partial-agg counts + broadcast-anti-join of over-cap
+    keys — would also drop the degenerate rows before the exchange,
+    but was measured at +2 Spark jobs per call, +0.2-0.27 s on the two
+    headline LSH paths, and consumes the banded source twice — an
+    extra Arrow decode pass for the media callers. Retention is
+    identical either way; window-count keeps the one-pass shape.)
+
+    Pair generation is PER ANCHOR (posexplode + strictly-later suffix
+    slice): peak per-row state is O(bucket) member structs, never the
+    O(bucket²) flattened pair array of the r13 shape — so uncapped
+    callers keep the old self-join's O(bucket) buffering profile.
+    """
+    keys = list(key_cols)
+    if max_bucket_size is not None:
+        banded = (
+            banded.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            )
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    members = banded.groupBy(*keys).agg(
         F.array_sort(
             F.collect_list(F.struct(id_col, *payload_cols))
         ).alias("members")
     )
-    keep = F.size("members") > 1
-    if max_bucket_size is not None:
-        keep = keep & (F.size("members") <= max_bucket_size)
     # key columns ride along (pruned when the caller drops them)
-    out = members.filter(keep).select(
-        *key_cols,
-        F.explode(
-            F.expr(
-                "flatten(transform(members, (x, i) -> "
-                "transform(slice(members, i + 2, size(members) - i - 1), "
-                "y -> named_struct('a', x, 'b', y))))"
-            )
-        ).alias("p"),
+    pairs = (
+        members.filter(F.size("members") > 1)
+        .select(
+            *keys, "members", F.posexplode("members").alias("__i", "__a")
+        )
+        .select(
+            *keys,
+            "__a",
+            F.explode(
+                F.expr("slice(members, __i + 2, size(members) - __i - 1)")
+            ).alias("__b"),
+        )
+        .select(
+            *keys,
+            F.struct(
+                F.col("__a").alias("a"), F.col("__b").alias("b")
+            ).alias("p"),
+        )
     )
-    # NULL-id members count toward bucket occupancy (they did in the
-    # self-join shape too) but never form a pair: the join's
-    # ``id_a < id_b`` filter was NULL-valued for them and dropped the
-    # row — reproduce that exactly
-    return out.filter(
-        F.col(f"p.a.{id_col}").isNotNull() & F.col(f"p.b.{id_col}").isNotNull()
-    )
+    # array_sort guarantees a.id <= b.id within each suffix; the strict
+    # filter reproduces the old join's ``id_a < id_b`` exactly — NULL
+    # ids never pair, duplicate ids never self-pair
+    return pairs.filter(F.col(f"p.a.{id_col}") < F.col(f"p.b.{id_col}"))
 
 
 def _band_array_expr(bands: int, rows_per_band: int):
@@ -1038,6 +1074,7 @@ def simhash_near_pairs_str(
     max_hamming: int = 3,
     band_chars: int = 16,
     bits: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over string sketches (:func:`simhash_md5`) by
     Hamming distance ≤ ``max_hamming``, blocked on ``band_chars``-wide
@@ -1047,7 +1084,14 @@ def simhash_near_pairs_str(
     together and count positions that don't exist. Hamming is a
     per-position compare of the two sketch strings — a bound-array HOF
     evaluated only on banded candidates. Returns
-    (doc_a, doc_b, hamming)."""
+    (doc_a, doc_b, hamming).
+
+    ``max_bucket_size`` (default ``None`` — unchanged uncapped
+    semantics, every band-collision surfaces) drops degenerate band
+    buckets, e.g. the all-zero sketch of empty docs congregating in
+    one band key; at 100 TB set it (the pairs a dropped bucket loses
+    are exactly the quadratic-noise candidates the cutoff exists to
+    shed)."""
     width = bits
     if width % band_chars:
         raise ValueError(
@@ -1090,7 +1134,7 @@ def simhash_near_pairs_str(
         ).otherwise(F.lit(1)),
     )
     return (
-        _bucket_pairs(banded, "doc_id", "sketch")
+        _bucket_pairs(banded, "doc_id", "sketch", max_bucket_size=max_bucket_size)
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
@@ -1184,11 +1228,16 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 16,
     strict_recall: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
     blocked on 16-bit bands (a pair within Hamming 3 of a 64-bit sketch
     must agree exactly on at least one of the 4 bands — pigeonhole).
-    Returns (doc_a, doc_b, hamming)."""
+    Returns (doc_a, doc_b, hamming).
+
+    ``max_bucket_size`` (default ``None`` — unchanged uncapped
+    semantics) drops degenerate band buckets (e.g. all-zero sketches
+    of empty docs sharing every band key); set it at 100 TB scale."""
     # best-effort by default for back-compat: max_hamming above the
     # band guarantee still surfaces whatever candidates band-collide
     _check_simhash_bands(max_hamming, band_bits, strict_recall)
@@ -1202,7 +1251,7 @@ def simhash_near_pairs(
     # rows twice — same pair set (doc_a < doc_b via the sorted member
     # array; singletons generate nothing, as in the join)
     return (
-        _bucket_pairs(banded, "doc_id", "simhash")
+        _bucket_pairs(banded, "doc_id", "simhash", max_bucket_size=max_bucket_size)
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),

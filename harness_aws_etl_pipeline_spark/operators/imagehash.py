@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from harness_aws_etl_pipeline_spark.operators.memo import PlanMemo
+
 __all__ = [
     "ahash64",
     "dhash64",
@@ -59,6 +61,13 @@ __all__ = [
 ]
 
 _METHODS = ("phash", "dhash", "ahash")
+
+# r14 (guide §6 read amortization): memoize the (tiny: id + 8-byte
+# sketch) hash rows so repeated panel calls skip the image decode
+# entirely — the same pattern text SimHash already uses
+# (``dedup_fuzzy._SKETCH_MEMO``); the decode is by far the dominant
+# cost of this operator and was re-run on every invocation.
+_SKETCH_MEMO = PlanMemo()
 
 
 def _to_gray(arr, out_h: int, out_w: int):
@@ -187,7 +196,7 @@ def image_near_dup_pairs(
     )
 
     _check_simhash_bands(max_hamming, band_bits, strict_recall=True)
-    sketches = (
+    sketches = _SKETCH_MEMO.get_or_persist(
         image_hashes(df, payload_col, id_col, method)
         .filter(F.col("simhash").isNotNull())
         .withColumnRenamed(id_col, "doc_id")

@@ -19,7 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from harness_aws_etl_pipeline_spark.operators.memo import PlanMemo
+
 __all__ = ["media_hashes", "media_near_dup_pairs"]
+
+# r14 (guide §6 read amortization): memoize the (tiny: id + sketch +
+# modality) hash rows so repeated panel calls skip the payload decode
+# entirely — the same pattern text SimHash already uses
+# (``dedup_fuzzy._SKETCH_MEMO``); the decode is by far the dominant
+# cost of this operator and was re-run on every invocation.
+_SKETCH_MEMO = PlanMemo()
 
 _IMAGE_MAGICS = (b"\x89PNG", b"\xff\xd8", b"GIF8", b"P6", b"BM")
 
@@ -143,8 +152,10 @@ def media_near_dup_pairs(
     )
 
     _check_simhash_bands(max_hamming, band_bits, strict_recall=True)
-    sketches = media_hashes(df, payload_col, id_col).filter(
-        F.col("simhash").isNotNull()
+    sketches = _SKETCH_MEMO.get_or_persist(
+        media_hashes(df, payload_col, id_col).filter(
+            F.col("simhash").isNotNull()
+        )
     )
     # modality rides the banding (extra_key_cols), so the bucket cap is
     # applied PER (modality, band, key): image and audio sketches that

@@ -1562,12 +1562,20 @@ _TRI_EDGES = (
 )
 _TRI_ROW: tuple | None = None
 
+# r14 (ADVICE): distinguishes "stats not probed yet" (default) from an
+# explicit ``stats=None`` meaning "the caller already probed and the
+# pair graph exceeds the driver gate" — without the sentinel the fused
+# caller's over-gate result triggered a second limit(1M+1).collect() of
+# the same pair graph here, paying the expensive gating collect twice
+# on exactly the inputs where it is most costly.
+_STATS_UNPROBED: object = object()
+
 
 def q_near_dup_clusters(
     spark: SparkSession,
     sf: str,
     pairs: DataFrame | None = None,
-    stats: tuple[int, int, int, float] | None = None,
+    stats: tuple[int, int, int, float] | None | object = _STATS_UNPROBED,
 ) -> DataFrame:
     """[EXT] graph-algorithm panel: near-dup clustering + canonical
     dedup (Jaccard pairs → connected components → one survivor per
@@ -1615,7 +1623,7 @@ def q_near_dup_clusters(
     # gate, the distributed labels + aggregation run as before.
     # deduplicate_near (the materializing operator) stays exercised by
     # tests and the bench drift leg; values are unchanged either way.
-    if stats is None:
+    if stats is _STATS_UNPROBED:
         stats = near_dup_panel_stats(pairs)
     # r13 round-2: when the gate passed, the summary values are plain
     # Python ints on the driver — attach them (and the memoized
@@ -1636,7 +1644,13 @@ def q_near_dup_clusters(
             ).cast("long").alias("survivor_cnt"),
         )
     else:
-        clusters = near_dup_clusters(pairs)
+        # stats is None ⇒ the gate probe ALREADY saw > driver_threshold
+        # edges (here or in the fused caller) — driver_threshold=0 makes
+        # near_dup_clusters skip straight to the distributed min-label
+        # propagation behind a limit(1) probe instead of re-collecting
+        # up to 1M+1 edges a third time (empty graphs cannot reach this
+        # branch: near_dup_panel_stats returns a zero tuple for them)
+        clusters = near_dup_clusters(pairs, driver_threshold=0)
         summary = clusters.agg(
             F.count(F.lit(1)).alias("clustered_docs"),
             F.coalesce(

@@ -344,6 +344,66 @@ class TestNearDupClusters:
         # out; (0,1)'s only pair touches the null id → never emitted
         assert capped == {(40, 41)}
 
+    def test_bucket_pairs_duplicate_ids_never_self_pair(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            _bucket_pairs,
+        )
+
+        # r14 (ADVICE): a duplicate source id occupying one bucket
+        # twice must not emit an (x, x) self-pair — the replaced
+        # self-join's ``id_a < id_b`` filter excluded it. Cross pairs
+        # keep the join's multiplicity: each of the two 7-rows joins
+        # the 9-row once.
+        banded = spark.createDataFrame(
+            [(7, 0, 1), (7, 0, 1), (9, 0, 1)],
+            "doc_id long, band int, key long",
+        )
+        rows = (
+            _bucket_pairs(banded, "doc_id")
+            .select(
+                F.col("p.a.doc_id").alias("a"), F.col("p.b.doc_id").alias("b")
+            )
+            .collect()
+        )
+        assert {(r["a"], r["b"]) for r in rows} == {(7, 9)}
+        assert len(rows) == 2  # join multiplicity, no (7,7)
+
+    def test_bucket_pairs_cap_gates_before_collect_list(self, spark):
+        from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+            _bucket_pairs,
+        )
+
+        # r14 (VERDICT #1): the occupancy cap runs UPSTREAM of the
+        # collect_list — a degenerate bucket (≫ cap members: one key
+        # owning 500 rows under cap 10) is dropped by the spillable
+        # window-count gate before any aggregation buffers it, instead
+        # of being materialized whole and filtered afterwards.
+        rows = [(i, 0, 99) for i in range(500)] + [
+            (1000, 0, 1),
+            (1001, 0, 1),
+        ]
+        banded = spark.createDataFrame(
+            rows, "doc_id long, band int, key long"
+        )
+        out = _bucket_pairs(banded, "doc_id", max_bucket_size=10)
+        got = {
+            (r["a"], r["b"])
+            for r in out.select(
+                F.col("p.a.doc_id").alias("a"), F.col("p.b.doc_id").alias("b")
+            ).collect()
+        }
+        assert got == {(1000, 1001)}
+        # the gate is in-plan below the aggregate: a window count over
+        # the bucket key feeding a <= cap filter, not a post-agg
+        # size(members) filter
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "windowspecdefinition" in plan
+        agg_pos = plan.find("collect_list")
+        win_pos = plan.find("windowspecdefinition")
+        # optimizedPlan prints consumers above producers: the window
+        # gate must appear BELOW (after, in print order) the aggregate
+        assert agg_pos != -1 and win_pos > agg_pos
+
     def test_warns_when_not_converged(self, spark):
         import warnings
 
