@@ -544,6 +544,7 @@ def build_ivfpq(
     from harness_aws_etl_pipeline_spark.operators.sampling import sample_exact_n
     from harness_aws_etl_pipeline_spark.operators.similarity import (
         _assign_nearest,
+        _ivf_src,
         ivf_centroids,
     )
 
@@ -552,13 +553,16 @@ def build_ivfpq(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    # r14 (r13-VERDICT #4): the same memoized (id, vec) projection the
+    # quantizer trains on also feeds the corpus assignment and the
+    # residual-sample pass — one derivation of the source instead of
+    # one per pass (guide §6 read amortization)
+    src = _ivf_src(df, id_col, vec_col)
     if centroids is None:
         centroids = ivf_centroids(df, k=nlist, id_col=id_col, vec_col=vec_col)
     cids, cunit = _cent_arrays(centroids)
 
-    assigned = _assign_nearest(
-        df.select(id_col, vec_col), centroids, id_col, vec_col
-    )
+    assigned = _assign_nearest(src, centroids, id_col, vec_col)
     # residual training sample: bounded deterministic (smallest-hash)
     # sample of ASSIGNED vectors — residuals need the assignment
     sample = sample_exact_n(

@@ -34,6 +34,20 @@ from harness_aws_etl_pipeline_spark.operators.memo import PlanMemo
 # see operators/memo.py and dedup_fuzzy's memos for the rationale
 _CENT_MEMO = PlanMemo()
 _FLAT_MEMO = PlanMemo()
+# r14 (r13-VERDICT #4, guide §6 read amortization): ONE projected
+# (id, vec) frame shared by every IVF pass — the quantizer's sampling
+# job, each Lloyd assignment, the final mean, and build_ivfpq's corpus
+# assignment + residual-sample passes each re-derived (re-scanned /
+# re-joined) the corpus otherwise. Persisted entries spill to disk per
+# executor at scale — still strictly cheaper than re-deriving a wide
+# source per pass, and the projection keeps the entry at id + vector
+# width.
+_IVF_SRC_MEMO = PlanMemo()
+
+
+def _ivf_src(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The memoized (id, vec) projection every IVF pass reads."""
+    return _IVF_SRC_MEMO.get_or_persist(df.select(id_col, vec_col))
 
 
 def _vec_matrix(values, dim: int):
@@ -363,8 +377,12 @@ def ivf_centroids(
     # project FIRST: every downstream pass (sampling job + each Lloyd
     # assignment) goes through mapInPandas, which blocks column
     # pruning — without this, a wide corpus frame would ship all its
-    # columns through Arrow on every iteration
-    df = df.select(id_col, vec_col)
+    # columns through Arrow on every iteration. r14: the projection is
+    # memoized (_IVF_SRC_MEMO) so the sampling job, every Lloyd
+    # assignment, the final mean, and any caller-side pass over the
+    # same corpus (build_ivfpq) share ONE derivation instead of
+    # re-scanning/re-deriving the source per pass.
+    df = _ivf_src(df, id_col, vec_col)
 
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sample_n = max(64 * k, 1024)
@@ -430,7 +448,24 @@ def ivf_centroids(
             .groupBy("centroid_id")
             .applyInPandas(_mean, "centroid_id long, centroid array<double>")
         )
-    return centroids
+    # r14 (guide §5: the model is driver-resident by design; §6 read
+    # amortization): return the FINAL centroids materialized as a
+    # local relation. Every consumer collects this frame at least once
+    # (_assign_nearest / _cent_arrays embed the model in task
+    # closures) and several collect it more than once (build_ivfpq:
+    # _cent_arrays + the corpus assignment; semdedup centroid_far:
+    # assignment + a broadcast join) — each such collect re-executed
+    # the whole Lloyd chain, i.e. ``iterations`` extra full corpus
+    # scans + mean shuffles per extra consumer. Materializing here
+    # runs the final mean pass exactly once; values are identical
+    # (collected doubles round-trip exactly through createDataFrame).
+    rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "centroid_id long, centroid array<double>"
+    )
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
