@@ -1067,7 +1067,19 @@ def _bench_lake(spark, sf_dir: str) -> dict:
         n_rows = o.count()
         base = f"{tmp}/t"
         start = time.perf_counter()
-        o.repartition(1000).write.mode("overwrite").parquet(base)
+        # r14 (guide §6, r13-VERDICT #5): build the ~1,000-file layout
+        # with 32 write tasks rolling files at n/1000 rows each instead
+        # of repartition(1000) — 1,000 tasks cost ~31 scheduling waves
+        # plus 1,000 task commits for the same file count (A/B/A: 6.0
+        # vs 2.6 s same-phase, 2x both phases). The leg's deliverable
+        # (a many-file Delta log to fold) is unchanged: ~1,024 files
+        # (32 tasks x 32 rolls), same 20-commit slicing below.
+        (
+            o.repartition(32)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max(n_rows // 1000, 1))
+            .parquet(base)
+        )
         write_s = time.perf_counter() - start
         files = sorted(
             os.path.basename(p)
@@ -1753,6 +1765,80 @@ def _bench_sf1(spark, sf_dir: str, timings: dict) -> dict:
     }
 
 
+def _bench_scaling(spark, sf_dir: str) -> dict:
+    """Data-path scaling leg (round 14, r13-VERDICT #2): one number
+    that genuinely moves with ``$SPARK_GRAFT_CPUS``. At sf0.1 every
+    headline query is per-call fixed-cost bound (py4j round-trips,
+    Catalyst, per-stage scheduling — measured in r13 at 85-95% of each
+    sub-second number), so their low-core/high-core ratios sit at ~1
+    and a "cores ignored" heuristic over the headline table misfires.
+    This leg times the pure DATA PATH instead: the COLD MinHash
+    signature pass (shingle + 64 universal-hash remixes, the dominant
+    Arrow compute of the dedup family) over the sf1 documents twin
+    replicated 8x in-plan with distinct ids — signatures don't
+    interact across docs, so replication scales compute linearly
+    without touching pair structure. Memo-busted before each sample
+    and executed through the noop sink (guide §1.4) so neither a
+    driver gate nor row transfer is inside the timed region. Probe
+    validation on this box: 32 cores 1.79 s vs 8 cores 4.11 s
+    (ratio 2.3 on oversubscribed VM threads), where every headline
+    ratio reads ~1.0."""
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return {"skipped": f"scaling leg runs only from sf0.1 (got {sf_dir!r})"}
+    from pyspark.sql import functions as F
+
+    from harness_aws_etl_pipeline_spark.operators.dedup_fuzzy import (
+        minhash_signatures,
+    )
+    from harness_aws_etl_pipeline_spark.operators.memo import clear_all_memos
+
+    sf1_dir = _ensure_sf1(spark, sf_dir)
+    reps = 8
+    docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+    big = docs.crossJoin(
+        spark.range(reps).select(F.col("id").alias("__rep"))
+    ).select(
+        (F.col("doc_id") * reps + F.col("__rep")).alias("doc_id"), "text"
+    )
+    samples = []
+    for _ in range(3):
+        clear_all_memos()
+        start = time.perf_counter()
+        (
+            minhash_signatures(big)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        samples.append(time.perf_counter() - start)
+    clear_all_memos()
+    return {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+        "probe": "cold minhash_signatures @ 8x sf1 twin, noop sink",
+        "data_path_s": round(min(samples), 3),
+        "runs": [round(s, 3) for s in samples],
+    }
+
+
+def _bench_cold_sf01(spark, sf_dir: str) -> dict:
+    """Cold (memo-busted) first-call numbers for the sf0.1 heavies
+    (round 14, r13-VERDICT #3): the headline table times the PlanMemo
+    steady state; this records the cold twin at the SAME SF so the
+    next round's PERF can compare cold numbers round-over-round, not
+    just the memoized path. Runs after every other leg so busting the
+    memos cannot disturb anything else."""
+    from harness_aws_etl_pipeline_spark.operators.memo import clear_all_memos
+
+    out = {}
+    for nm in ("near_dup_clusters", "minhash_lsh", "sim_lsh_topk"):
+        clear_all_memos()
+        start = time.perf_counter()
+        CATALOG[nm].builder(spark, sf_dir).collect()
+        out[nm] = round(time.perf_counter() - start, 3)
+    clear_all_memos()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1787,10 +1873,13 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     # r11 (VERDICT #6): the five queries that drifted +11..20% in r10
     # with unchanged plans get 9 samples instead of 5 — enough that
-    # min and p10 separate real regressions from the VM variance band
+    # min and p10 separate real regressions from the VM variance band.
+    # r14 (VERDICT #6): + sim_bruteforce_topk and dedup_exact, which
+    # read >10% "regressed" on noise in both r12→r13 comparisons with
+    # untouched code and identical plans.
     drifted = {
         "q5_region_revenue", "q3_shipping_priority", "window_topk",
-        "g4_kpis", "pipeline_e2e",
+        "g4_kpis", "pipeline_e2e", "sim_bruteforce_topk", "dedup_exact",
     }
     for spec in headline:
         samples: list[float] = []
@@ -1960,6 +2049,21 @@ def main() -> None:
         sf1 = {"error": str(exc)[:500]}
     print(f"# sf1: {sf1}", file=sys.stderr)
 
+    # data-path scaling leg (round 14) — also outside "queries"
+    try:
+        scaling = _bench_scaling(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        scaling = {"error": str(exc)[:500]}
+    print(f"# scaling: {scaling}", file=sys.stderr)
+
+    # cold sf0.1 heavies (round 14) — also outside "queries"; LAST so
+    # the memo busting cannot disturb any other leg
+    try:
+        cold_sf01 = _bench_cold_sf01(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - keep the headline JSON alive
+        cold_sf01 = {"error": str(exc)[:500]}
+    print(f"# cold_sf01: {cold_sf01}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_total",
@@ -1989,6 +2093,8 @@ def main() -> None:
         "bfs": bfs,
         "sq": sq,
         "sf1": sf1,
+        "scaling": scaling,
+        "cold_sf01": cold_sf01,
         "maintenance": maint,
         "streaming": streaming,
         # Round-over-round comparability: several headline names carry
