@@ -1215,10 +1215,21 @@ def simhash_banded(
         F.col("bb.key").alias("key"),
     )
     if max_bucket_size is not None:
+        # r14 (guide §2.4, the cap_buckets shape): occupancy gate as a
+        # window count over the SAME key the downstream band join
+        # shuffles on — one pass on a shared exchange instead of a
+        # size profile + re-join that shuffled the banded rows twice.
+        # Row retention identical for every consumer (all follow with
+        # an inner equi-join on these keys, which drops NULL-key rows
+        # in both shapes; no n > 1 floor — cross-corpus singletons
+        # still pair with the other side).
         keys = extra + ["band", "key"]
-        sizes = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-        b = b.join(
-            sizes.filter(F.col("n") <= max_bucket_size).select(*keys), keys
+        b = (
+            b.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            )
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
     return b
 

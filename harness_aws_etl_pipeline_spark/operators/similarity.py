@@ -734,12 +734,21 @@ def embedding_join(
                 F.posexplode("buckets").alias("tbl", "bucket"),
             )
         )
-        sizes = f.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
-        # no n > 1 floor: a singleton bucket still pairs with the
-        # OTHER side's occupants
-        f = f.join(
-            sizes.filter(F.col("n") <= max_bucket_size).select("tbl", "bucket"),
-            ["tbl", "bucket"],
+        # r14 (guide §2.4, the cap_buckets shape): occupancy gate as a
+        # window count over the SAME (tbl, bucket) key the downstream
+        # cross join shuffles on — one pass on a shared exchange
+        # instead of a size profile + re-join that shuffled the flat
+        # bucket rows twice per side. No n > 1 floor: a singleton
+        # bucket still pairs with the OTHER side's occupants. Row
+        # retention identical (the inner cross join below drops
+        # NULL-key rows in both shapes).
+        f = (
+            f.withColumn(
+                "__n",
+                F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket")),
+            )
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
         return f.select(
             "tbl", "bucket", F.col("id").alias(out_id), F.col("vec").alias(vec_out)
