@@ -716,6 +716,21 @@ def near_dup_panel_stats(
     equality on the fixed corpora is pinned by test) and the HALF_UP
     quantize matches Spark's ``Round`` (``BigDecimal.valueOf(d)``,
     i.e. shortest-repr decimal, ``setScale(4, HALF_UP)``).
+
+    ACCEPTED TOLERANCE (r14, ADVICE): on arbitrary data the 1-ulp
+    pre-round difference between fsum and Spark's partition-ordered
+    double sum can flip the 4th decimal when the true sum sits within
+    ~1 ulp of a .00005 boundary — the driver gate, the distributed
+    fallback, and a re-derived oracle could then disagree by 1e-4.
+    This is inherent to publishing ANY rounded float aggregate from a
+    non-associative sum (Spark's own value is partition-order-
+    dependent there too, so no driver-side accumulation order can
+    track it in general; fsum is the unique order-independent choice).
+    The verification corpora are fixed and nowhere near a boundary
+    (pinned at sf0.001/0.01/0.1 by
+    test_panel_stats_match_distributed_aggregations); consumers
+    comparing across engines on other data should compare jaccard_sum
+    with a 1e-4 epsilon.
     """
     import math
     from decimal import ROUND_HALF_UP, Decimal
